@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+entry(spark)  — flagship pipeline on sf0.001 (smoke).
+queries()     — name → (spark, sf_dir) -> DataFrame, one per operator
+                from SURVEY.md §2 (+ extension layer).
+oracle_sql()  — name → DuckDB SQL over the same parquet views; the
+                driver hash-compares both sides at sf0.01.
 """
 
 from __future__ import annotations
@@ -15,24 +15,37 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: the reference's semantic heart (clean → tokenize →
+    stopword gate → TF → per-doc stats, SURVEY.md §7.2 slice 0) joined
+    back to document metadata."""
+    from pyspark.sql import functions as F
+
+    from capstone_etl_spark.operators.tokenize import doc_stats, term_frequencies
+    from capstone_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    stats = doc_stats(term_frequencies(docs))
+    return (
+        docs.select("doc_id", "lang", "source", "n_chars")
+        .join(stats, "doc_id", "left")
+        .orderBy("doc_id")
+    )
+
+
+def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
+    from capstone_etl_spark.operators import relational, text_pipeline
+
+    queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    oracles: dict[str, str] = {}
+    for mod in (text_pipeline, relational):
+        queries.update(mod.QUERIES)
+        oracles.update(mod.ORACLE_SQL)
+    return queries, oracles
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return _registry()[0]
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return _registry()[1]

@@ -1,0 +1,3 @@
+from capstone_etl_spark.functions import text, vectors
+
+__all__ = ["text", "vectors"]

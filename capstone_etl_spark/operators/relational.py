@@ -1,0 +1,332 @@
+"""Relational query layer over the TPC-H-ish star schema.
+
+The reference has no general query surface (it is one hard-coded
+pipeline), but its operators decompose into scans, projections,
+filters, equi-joins, hash aggregations, sorts and dense ranks
+(SURVEY.md §2). This module exercises those operators — plus the
+standard relational repertoire any replacement engine needs — over the
+driver's star schema, each with a DuckDB oracle.
+
+Float discipline: money columns carry exactly 2 decimal places, so every
+SUM goes through an exact DECIMAL cast and back to double at the end —
+Spark and DuckDB then agree bit-for-bit regardless of partial-agg order.
+AVG is computed as exact-sum / count for the same reason.
+
+Scale notes:
+- fact-fact joins (lineitem⋈orders) shuffle on the orderkey; dimension
+  joins (customer, nation, region, supplier, part) are broadcasts —
+  dimensions grow ~log(fact) in star schemas.
+- every aggregation is a partial+final hash agg (map-side combine).
+- top-k = per-partition partial top-k via window only on the already-
+  aggregated (small) relation, never on raw facts.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from capstone_etl_spark.sources.tables import load_table
+
+
+def _dsum(col: Column, scale_expr: str = "decimal(18,2)") -> Column:
+    """Exact decimal SUM → double (see module docstring)."""
+    return F.sum(col.cast(scale_expr)).cast("double")
+
+
+# ---------------------------------------------------------------- queries
+
+def pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 analogue: scan-filter-groupBy-agg over the largest fact
+    table. Catalyst pushes the shipdate filter to the parquet reader."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("sum_qty"),
+            _dsum(F.col("l_extendedprice")).alias("sum_base_price"),
+            _dsum(disc_price, "decimal(24,4)").alias("sum_disc_price"),
+            _dsum(charge, "decimal(30,6)").alias("sum_charge"),
+            (_dsum(F.col("l_quantity")) / F.count("*")).alias("avg_qty"),
+            (_dsum(F.col("l_extendedprice")) / F.count("*")).alias("avg_price"),
+            (_dsum(F.col("l_discount"), "decimal(18,2)") / F.count("*")).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+PRICING_SUMMARY_SQL = """
+SELECT
+  l_returnflag,
+  l_linestatus,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS sum_disc_price,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax) AS DECIMAL(30,6))) AS DOUBLE) AS sum_charge,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_price,
+  CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_disc,
+  COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+"""
+
+
+def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue per customer: fact-fact shuffle join (lineitem⋈orders on
+    orderkey) then broadcast dimension join (customer); top 10."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            _dsum(revenue, "decimal(24,4)").alias("revenue"),
+            F.countDistinct("o_orderkey").alias("n_orders"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(10)
+    )
+
+
+TOP_CUSTOMERS_SQL = """
+SELECT
+  c_custkey,
+  c_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+  COUNT(DISTINCT o_orderkey) AS n_orders
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey, c_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 10
+"""
+
+
+def revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style multi-join through the full dimension chain
+    (lineitem⋈orders⋈customer⋈nation⋈region). Dimensions broadcast."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .join(F.broadcast(region), nation["n_regionkey"] == region["r_regionkey"])
+        .groupBy("r_name", "n_name")
+        .agg(
+            _dsum(revenue, "decimal(24,4)").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("r_name", "n_name")
+    )
+
+
+REVENUE_BY_NATION_SQL = """
+SELECT
+  r_name,
+  n_name,
+  CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+  COUNT(*) AS n_items
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+GROUP BY r_name, n_name
+ORDER BY r_name, n_name
+"""
+
+
+def orders_per_customer_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Window ranking: each customer's 3 largest orders (row_number over
+    partitioned window — runs on the orders relation, never on facts)."""
+    orders = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        orders.withColumn("rank_in_cust", F.row_number().over(w))
+        .filter(F.col("rank_in_cust") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
+        .orderBy("o_custkey", "rank_in_cust")
+    )
+
+
+ORDERS_PER_CUSTOMER_RANK_SQL = """
+SELECT o_custkey, o_orderkey, o_totalprice, rank_in_cust
+FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rank_in_cust
+  FROM orders
+) t
+WHERE rank_in_cust <= 3
+ORDER BY o_custkey, rank_in_cust
+"""
+
+
+def segment_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot-style conditional aggregation: order counts and totals per
+    market segment × order status (expressed as portable CASE aggs)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+
+    def status_sum(status: str) -> Column:
+        return F.sum(
+            F.when(F.col("o_orderstatus") == status, F.col("o_totalprice").cast("decimal(18,2)")).otherwise(
+                F.lit(0).cast("decimal(18,2)")
+            )
+        ).cast("double")
+
+    def status_cnt(status: str) -> Column:
+        return F.count(F.when(F.col("o_orderstatus") == status, F.lit(1)))
+
+    return (
+        orders.join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .groupBy("c_mktsegment")
+        .agg(
+            status_cnt("O").alias("n_open"),
+            status_cnt("F").alias("n_filled"),
+            status_cnt("P").alias("n_pending"),
+            status_sum("O").alias("total_open"),
+            status_sum("F").alias("total_filled"),
+            status_sum("P").alias("total_pending"),
+        )
+        .orderBy("c_mktsegment")
+    )
+
+
+SEGMENT_STATUS_MATRIX_SQL = """
+SELECT
+  c_mktsegment,
+  COUNT(CASE WHEN o_orderstatus = 'O' THEN 1 END) AS n_open,
+  COUNT(CASE WHEN o_orderstatus = 'F' THEN 1 END) AS n_filled,
+  COUNT(CASE WHEN o_orderstatus = 'P' THEN 1 END) AS n_pending,
+  CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_open,
+  CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_filled,
+  CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DECIMAL(18,2)) ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS total_pending
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+"""
+
+
+def parts_without_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Anti-join: parts never ordered (NOT EXISTS). Broadcast the
+    distinct fact keys when small; at scale this flips to shuffle —
+    left as a plain anti-join so Catalyst/AQE pick the strategy."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        part.join(li.select("l_partkey").distinct(), part["p_partkey"] == F.col("l_partkey"), "left_anti")
+        .select("p_partkey", "p_name", "p_brand")
+        .orderBy("p_partkey")
+    )
+
+
+PARTS_WITHOUT_ORDERS_SQL = """
+SELECT p_partkey, p_name, p_brand
+FROM part
+WHERE NOT EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+ORDER BY p_partkey
+"""
+
+
+def supplier_part_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-join + agg: per-supplier shipped quantity and distinct parts,
+    only for suppliers that actually shipped (left_semi before agg)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    return (
+        li.join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(
+            _dsum(F.col("l_quantity")).alias("total_qty"),
+            F.countDistinct("l_partkey").alias("n_parts"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+SUPPLIER_PART_VOLUME_SQL = """
+SELECT s_suppkey, s_name,
+  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty,
+  COUNT(DISTINCT l_partkey) AS n_parts
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+GROUP BY s_suppkey, s_name
+ORDER BY s_suppkey
+"""
+
+
+def order_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Date-bucketed agg with running window total: orders per month +
+    cumulative revenue (lag/frame window over the monthly rollup)."""
+    orders = load_table(spark, sf_dir, "orders")
+    monthly = (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("month_total"),
+        )
+    )
+    # decimal window sum: DuckDB's windowed double-SUM associates via a
+    # segment tree, so agree exactly by accumulating in decimal.
+    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        monthly.withColumn(
+            "running_total",
+            F.sum(F.col("month_total").cast("decimal(18,2)")).over(w).cast("double"),
+        )
+        .orderBy("month")
+    )
+
+
+ORDER_DATE_ROLLUP_SQL = """
+WITH monthly AS (
+  SELECT strftime(o_orderdate, '%Y-%m') AS month,
+         COUNT(*) AS n_orders,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS month_total
+  FROM orders
+  GROUP BY 1
+)
+SELECT month, n_orders, month_total,
+       CAST(SUM(CAST(month_total AS DECIMAL(18,2))) OVER (ORDER BY month ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_total
+FROM monthly
+ORDER BY month
+"""
+
+
+QUERIES = {
+    "pricing_summary": pricing_summary,
+    "top_customers": top_customers,
+    "revenue_by_nation": revenue_by_nation,
+    "orders_per_customer_rank": orders_per_customer_rank,
+    "segment_status_matrix": segment_status_matrix,
+    "parts_without_orders": parts_without_orders,
+    "supplier_part_volume": supplier_part_volume,
+    "order_date_rollup": order_date_rollup,
+}
+
+ORACLE_SQL = {
+    "pricing_summary": PRICING_SUMMARY_SQL,
+    "top_customers": TOP_CUSTOMERS_SQL,
+    "revenue_by_nation": REVENUE_BY_NATION_SQL,
+    "orders_per_customer_rank": ORDERS_PER_CUSTOMER_RANK_SQL,
+    "segment_status_matrix": SEGMENT_STATUS_MATRIX_SQL,
+    "parts_without_orders": PARTS_WITHOUT_ORDERS_SQL,
+    "supplier_part_volume": SUPPLIER_PART_VOLUME_SQL,
+    "order_date_rollup": ORDER_DATE_ROLLUP_SQL,
+}

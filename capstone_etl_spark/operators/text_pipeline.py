@@ -1,0 +1,321 @@
+"""Driver-facing text-pipeline queries (the reference-parity core).
+
+Each function takes (spark, sf_dir) → DataFrame and has a DuckDB oracle
+SQL string built from the same literal stopword/dictionary data, so both
+engines compute identical relations (SURVEY.md §7.4).
+
+Array/map outputs are canonicalized to strings ('k:v,k:v' sorted) for
+the oracle hash — nested types serialize differently across engines;
+strings don't (SURVEY.md §7.7).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from capstone_etl_spark.functions.stopwords import STOPWORDS, stopwords_sql_in_list
+from capstone_etl_spark.operators import index as index_ops
+from capstone_etl_spark.operators import hierarchy as hier_ops
+from capstone_etl_spark.operators.tokenize import doc_stats as _doc_stats
+from capstone_etl_spark.operators.tokenize import doc_tokens, term_frequencies
+from capstone_etl_spark.operators.vocab import vocabulary
+from capstone_etl_spark.sources.tables import load_table
+
+# Literal dictionary side-input (SURVEY.md S2/P2/J2): the mechanism is a
+# broadcast semi-join against a wordlist; contents are config data. This
+# default list deliberately excludes a few live tokens ('spark',
+# 'vector', 'dup') so the gate provably filters.
+DICTIONARY: tuple[str, ...] = (
+    "agg", "batch", "big", "column", "customer", "data", "fast", "filter",
+    "group", "hash", "join", "key", "line", "merge", "order", "part",
+    "query", "row", "scan", "slow", "small", "sort", "stream", "table",
+    "value", "window",
+)
+
+_STOPLIST_SQL = stopwords_sql_in_list(STOPWORDS)
+_DICT_SQL = ", ".join(f"'{w}'" for w in DICTIONARY)
+
+# Shared oracle CTE: clean → lower → split → stopword gate → TF.
+# DuckDB regexp_replace needs the 'g' flag (Spark's is global by default).
+_TF_CTE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +')) AS token
+  FROM documents
+), kept AS (
+  SELECT doc_id, token FROM toks WHERE token NOT IN ({_STOPLIST_SQL})
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS qty FROM kept GROUP BY doc_id, token
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+def _tf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return term_frequencies(_docs(spark, sf_dir))
+
+
+def _pairs_string(pairs_col, key, val) -> F.Column:
+    """Canonical 'k:v,k:v' string of an array<struct> sorted by key."""
+    return F.array_join(
+        F.transform(F.sort_array(pairs_col), lambda r: F.concat_ws(":", r[key], r[val])), ","
+    )
+
+
+# ------------------------------------------------------------- tf / stats
+
+def tf_per_doc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: (doc_id, token, qty) term frequencies after the stopword gate."""
+    return _tf(spark, sf_dir)
+
+
+TF_PER_DOC_SQL = _TF_CTE + "SELECT doc_id, token, qty FROM tf"
+
+
+def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2+A4: per-doc token totals, distinct count, L2 norm."""
+    return _doc_stats(_tf(spark, sf_dir))
+
+
+DOC_STATS_SQL = _TF_CTE + """
+SELECT doc_id,
+       CAST(SUM(qty) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_unique,
+       SQRT(CAST(SUM(qty * qty) AS DOUBLE)) AS euclidian_norm
+FROM tf GROUP BY doc_id
+"""
+
+
+def dictionary_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P2/J2: TF restricted to dictionary words via broadcast semi-join."""
+    docs = _docs(spark, sf_dir)
+    dict_df = spark.createDataFrame([(w,) for w in DICTIONARY], "word string")
+    return (
+        doc_tokens(docs, dictionary=dict_df)
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("qty"))
+    )
+
+
+DICTIONARY_GATE_SQL = _TF_CTE + f"""
+SELECT doc_id, token, qty FROM tf WHERE token IN ({_DICT_SQL})
+"""
+
+
+# ------------------------------------------------------- vocabulary / index
+
+def vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A5+O3+O4: distinct vocabulary with 0-based dense ids in
+    lexicographic order."""
+    return vocabulary(_tf(spark, sf_dir))
+
+
+VOCAB_IDS_SQL = _TF_CTE + """
+SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+FROM (SELECT DISTINCT token FROM tf) t
+"""
+
+
+def posting_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6 scalar projection: document frequency + total qty per token."""
+    return index_ops.posting_stats(_tf(spark, sf_dir))
+
+
+POSTING_STATS_SQL = _TF_CTE + """
+SELECT token, COUNT(*) AS df, CAST(SUM(qty) AS BIGINT) AS total_qty
+FROM tf GROUP BY token
+"""
+
+
+def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: posting lists, canonicalized to 'doc:qty,...' strings sorted
+    by doc id for the cross-engine hash."""
+    idx = index_ops.inverted_index(_tf(spark, sf_dir))
+    return idx.select(
+        "token", _pairs_string(F.col("references"), "doc_id", "qty").alias("postings")
+    )
+
+
+INVERTED_INDEX_SQL = _TF_CTE + """
+SELECT token, string_agg(doc_id || ':' || qty, ',' ORDER BY doc_id) AS postings
+FROM tf GROUP BY token
+"""
+
+
+def sparse_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J4+A8 exploded form: (doc_id, token_id, qty) — the O(NNZ)
+    replacement for the reference's O(D×V) probe loop."""
+    tf = _tf(spark, sf_dir)
+    return index_ops.tf_with_token_ids(tf, vocabulary(tf))
+
+
+SPARSE_VECTORS_SQL = _TF_CTE + """
+, vocab AS (
+  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+  FROM (SELECT DISTINCT token FROM tf) t
+)
+SELECT doc_id, token_id, qty FROM tf JOIN vocab USING (token)
+"""
+
+
+def sparse_vector_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8+A9 per-doc shapes canonicalized: the compressed map as
+    'idx:qty,...' and tokenrefs as 'i,j,k' (trimmed — divergence
+    SURVEY.md §7.6.2)."""
+    tf = _tf(spark, sf_dir)
+    sv = index_ops.sparse_vectors(tf, vocabulary(tf))
+    return sv.select(
+        "doc_id",
+        F.array_join(
+            F.transform(
+                F.map_entries("compressed_token_vector"),
+                lambda e: F.concat_ws(":", e.key, e.value),
+            ),
+            ",",
+        ).alias("vector"),
+        F.array_join(F.transform("tokenrefs", lambda i: i.cast("string")), ",").alias("tokenrefs"),
+    )
+
+
+SPARSE_VECTOR_STRINGS_SQL = _TF_CTE + """
+, vocab AS (
+  SELECT token, CAST(ROW_NUMBER() OVER (ORDER BY token) - 1 AS BIGINT) AS token_id
+  FROM (SELECT DISTINCT token FROM tf) t
+), ids AS (
+  SELECT doc_id, token_id, qty FROM tf JOIN vocab USING (token)
+)
+SELECT doc_id,
+       string_agg(token_id || ':' || qty, ',' ORDER BY token_id) AS vector,
+       string_agg(CAST(token_id AS VARCHAR), ',' ORDER BY token_id) AS tokenrefs
+FROM ids GROUP BY doc_id
+"""
+
+
+def doc_token_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: per-doc (token,qty) array, canonicalized sorted-by-token."""
+    arr = index_ops.doc_token_arrays(_tf(spark, sf_dir))
+    return arr.select("doc_id", _pairs_string(F.col("tokens"), "token", "qty").alias("tokens"))
+
+
+DOC_TOKEN_ARRAYS_SQL = _TF_CTE + """
+SELECT doc_id, string_agg(token || ':' || qty, ',' ORDER BY token) AS tokens
+FROM tf GROUP BY doc_id
+"""
+
+
+def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Extension (SURVEY.md §7.8): TF-IDF weights; rounded to 6 dp so the
+    transcendental ln() agrees across engines' libm."""
+    tf = _tf(spark, sf_dir)
+    n_docs = tf.select("doc_id").distinct().count()
+    out = index_ops.tf_idf(tf, n_docs)
+    return out.select("doc_id", "token", "qty", F.round("tfidf", 6).alias("tfidf"))
+
+
+TF_IDF_SQL = _TF_CTE + """
+, dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+  n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM tf)
+SELECT doc_id, token, qty,
+       ROUND(qty * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
+FROM tf JOIN dfreq USING (token) CROSS JOIN n
+"""
+
+
+# ------------------------------------------------------------- hierarchy
+
+def parent_child(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3+J1 over a deterministic synthetic path tree on documents
+    (the driver corpus has no URL column): LEFT OUTER self-join on the
+    derived parent path; NULL parent for roots (divergence §7.6.3)."""
+    pages = hier_ops.synthetic_doc_paths(_docs(spark, sf_dir))
+    linked = hier_ops.link_hierarchy(pages, id_col="doc_id")
+    return linked.select(
+        pages["doc_id"].alias("doc_id"), "page_loc", "parent_path", "parent_page"
+    )
+
+
+PARENT_CHILD_SQL = """
+WITH pages AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 50 THEN 'b' || doc_id
+              ELSE 'b' || (doc_id % 50) || '/p' || doc_id END AS page_loc
+  FROM documents
+), withp AS (
+  SELECT doc_id, page_loc,
+         CASE WHEN strpos(page_loc, '/') = 0 THEN ''
+              ELSE regexp_replace(page_loc, '/[^/]*$', '') END AS parent_path
+  FROM pages
+)
+SELECT c.doc_id AS doc_id, c.page_loc, c.parent_path, p.doc_id AS parent_page
+FROM withp c LEFT JOIN withp p ON c.parent_path = p.page_loc
+"""
+
+
+def parent_child_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3: per-parent child count + canonical sorted child list."""
+    pages = hier_ops.synthetic_doc_paths(_docs(spark, sf_dir))
+    linked = hier_ops.link_hierarchy(pages, id_col="doc_id")
+    agg = hier_ops.child_aggregates(
+        linked.select(pages["doc_id"].alias("doc_id"), "parent_page"), id_col="doc_id"
+    )
+    return agg.select(
+        "parent_page",
+        "count_children",
+        F.array_join(F.transform("child_pages", lambda i: i.cast("string")), ",").alias("child_pages"),
+    )
+
+
+PARENT_CHILD_AGG_SQL = """
+WITH pages AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 50 THEN 'b' || doc_id
+              ELSE 'b' || (doc_id % 50) || '/p' || doc_id END AS page_loc
+  FROM documents
+), withp AS (
+  SELECT doc_id, page_loc,
+         CASE WHEN strpos(page_loc, '/') = 0 THEN ''
+              ELSE regexp_replace(page_loc, '/[^/]*$', '') END AS parent_path
+  FROM pages
+), linked AS (
+  SELECT c.doc_id AS doc_id, p.doc_id AS parent_page
+  FROM withp c JOIN withp p ON c.parent_path = p.page_loc
+)
+SELECT parent_page, COUNT(*) AS count_children,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS child_pages
+FROM linked GROUP BY parent_page
+"""
+
+
+QUERIES = {
+    "tf_per_doc": tf_per_doc,
+    "doc_stats": doc_stats,
+    "dictionary_gate": dictionary_gate,
+    "vocab_ids": vocab_ids,
+    "posting_stats": posting_stats,
+    "inverted_index": inverted_index,
+    "sparse_vectors": sparse_vectors,
+    "sparse_vector_strings": sparse_vector_strings,
+    "doc_token_arrays": doc_token_arrays,
+    "tf_idf": tf_idf,
+    "parent_child": parent_child,
+    "parent_child_agg": parent_child_agg,
+}
+
+ORACLE_SQL = {
+    "tf_per_doc": TF_PER_DOC_SQL,
+    "doc_stats": DOC_STATS_SQL,
+    "dictionary_gate": DICTIONARY_GATE_SQL,
+    "vocab_ids": VOCAB_IDS_SQL,
+    "posting_stats": POSTING_STATS_SQL,
+    "inverted_index": INVERTED_INDEX_SQL,
+    "sparse_vectors": SPARSE_VECTORS_SQL,
+    "sparse_vector_strings": SPARSE_VECTOR_STRINGS_SQL,
+    "doc_token_arrays": DOC_TOKEN_ARRAYS_SQL,
+    "tf_idf": TF_IDF_SQL,
+    "parent_child": PARENT_CHILD_SQL,
+    "parent_child_agg": PARENT_CHILD_AGG_SQL,
+}

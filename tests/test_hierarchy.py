@@ -1,0 +1,34 @@
+"""Hierarchy operators: derived-key LEFT OUTER self-join + child aggs,
+including orphan children (parent path absent) and NULL-parent roots."""
+
+from __future__ import annotations
+
+from capstone_etl_spark.operators.hierarchy import (
+    child_aggregates,
+    derive_paths,
+    link_hierarchy,
+)
+
+PAGES = [
+    (1, "https://en.wikibooks.org/wiki/Book"),
+    (2, "https://en.wikibooks.org/wiki/Book/Ch1"),
+    (3, "https://en.wikibooks.org/wiki/Book/Ch1/Sec1"),
+    (4, "https://en.wikibooks.org/wiki/Orphan/Child"),  # parent path absent
+]
+
+
+def _linked(spark):
+    pages = spark.createDataFrame(PAGES, "page_id long, url string")
+    return link_hierarchy(derive_paths(pages), id_col="page_id")
+
+
+def test_left_outer_parent_links(spark):
+    got = {r.page_id: r.parent_page for r in _linked(spark).collect()}
+    # root and orphan → NULL (divergence from 0-sentinel, SURVEY.md §7.6.3)
+    assert got == {1: None, 2: 1, 3: 2, 4: None}
+
+
+def test_child_aggregates(spark):
+    agg = {r.parent_page: r for r in child_aggregates(_linked(spark), id_col="page_id").collect()}
+    assert agg[1].count_children == 1 and agg[1].child_pages == [2]
+    assert agg[2].count_children == 1 and agg[2].child_pages == [3]

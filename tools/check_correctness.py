@@ -1,0 +1,100 @@
+"""Local mimic of the driver's correctness gate.
+
+Runs every __spark_entry__.queries() entry on Spark and its
+oracle_sql() on DuckDB at the given sf dir, then compares row count,
+column names, and order-insensitive values (exact — floats included,
+since the engine is built to agree bit-for-bit via exact decimal sums).
+
+Usage: python tools/check_correctness.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pandas as pd
+
+
+def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    problems: list[str] = []
+    if len(spark_pdf) != len(duck_pdf):
+        problems.append(f"rowcount spark={len(spark_pdf)} duck={len(duck_pdf)}")
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        problems.append(f"columns spark={s_cols} duck={d_cols}")
+        return problems
+    s = spark_pdf[s_cols].sort_values(s_cols, ignore_index=True)
+    d = duck_pdf[d_cols].sort_values(d_cols, ignore_index=True)
+    if len(s) != len(d):
+        return problems
+    for col in s_cols:
+        sv, dv = s[col], d[col]
+        try:
+            if sv.dtype.kind == "f" or dv.dtype.kind == "f":
+                sv, dv = sv.astype(float), dv.astype(float)
+                neq = ~((sv == dv) | (sv.isna() & dv.isna()))
+                if neq.any():
+                    md = (sv[neq] - dv[neq]).abs().max()
+                    problems.append(f"col {col}: {int(neq.sum())} diffs, max abs {md}")
+            else:
+                sv2, dv2 = sv.astype(str), dv.astype(str)
+                neq = sv2 != dv2
+                if neq.any():
+                    i = neq.idxmax()
+                    problems.append(
+                        f"col {col}: {int(neq.sum())} diffs, first @{i}: spark={sv2[i]!r} duck={dv2[i]!r}"
+                    )
+        except Exception as e:  # noqa: BLE001
+            problems.append(f"col {col}: compare error {e}")
+    return problems
+
+
+def main() -> int:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+    from capstone_etl_spark.session import get_spark
+
+    spark = get_spark("correctness-check", cpus=8, shuffle_partitions=8)
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+
+    con = duckdb.connect()
+    for t in (
+        "region nation customer supplier part orders lineitem events documents embeddings".split()
+    ):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+
+    failures = 0
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        try:
+            spark_pdf = fn(spark, sf_dir).toPandas()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: spark error: {e}")
+            failures += 1
+            continue
+        if name not in oracles:
+            print(f"ok   {name}: rows-only ({len(spark_pdf)} rows, no oracle)")
+            continue
+        try:
+            duck_pdf = con.execute(oracles[name]).df()
+        except Exception as e:  # noqa: BLE001
+            print(f"FAIL {name}: duckdb error: {e}")
+            failures += 1
+            continue
+        problems = compare(name, spark_pdf, duck_pdf)
+        if problems:
+            failures += 1
+            print(f"FAIL {name}: " + "; ".join(problems))
+        else:
+            print(f"PASS {name} ({len(spark_pdf)} rows)")
+    print(f"\n{failures} failures")
+    return 1 if failures else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
