@@ -33,11 +33,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
-    from capstone_etl_spark.operators import relational, text_pipeline
+    from capstone_etl_spark.operators import (
+        dedup,
+        events,
+        relational,
+        similarity,
+        text_pipeline,
+        textstats,
+    )
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (text_pipeline, relational):
+    for mod in (text_pipeline, relational, events, dedup, similarity, textstats):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE_SQL)
     return queries, oracles

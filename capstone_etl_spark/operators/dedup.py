@@ -1,0 +1,393 @@
+"""Deduplication operators for LLM-training-data pipelines.
+
+The scale-critical extension layer (BASELINE.json north star): exact
+dedup, n-gram Jaccard near-dup, MinHash+LSH, SimHash blocking, and
+embedding-cosine near-dup. Every operator is relational (joins + aggs,
+no UDFs), deterministic, and oracle-checkable — the hash functions are
+engine-portable (functions/hashing.py), so the DuckDB oracle computes
+the *identical* signatures and pairs.
+
+Scale design (100 TB):
+- candidate generation is always index-based (shared shingle / LSH
+  band / simhash block), never an O(n²) cross join; verification runs
+  only on candidates.
+- shingles hot enough to blow up the candidate join are dropped by a
+  document-frequency cap (standard practice — a shingle in >maxdf docs
+  carries no dedup signal). The cap is part of the operator contract
+  and mirrored in the oracle.
+- pair joins key on content hashes — uniformly distributed, no skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from capstone_etl_spark.functions.hashing import (
+    MERSENNE_P,
+    md5_hash60,
+    md5_hash60_sql,
+    minhash_expr,
+    minhash_expr_sql,
+    minhash_params,
+)
+from capstone_etl_spark.functions.text import tokenize
+from capstone_etl_spark.sources.tables import load_table
+
+NGRAM_N = 3
+MAX_SHINGLE_DF = 50          # drop shingles present in more docs than this
+JACCARD_THRESHOLD = 0.5
+MINHASH_K = 32               # 8 bands × 4 rows
+LSH_BANDS = 8
+LSH_ROWS = 4
+SIMHASH_BITS = 48
+SIMHASH_BLOCKS = 4           # pigeonhole: finds all pairs with hamming ≤ 3
+SIMHASH_MAX_HAMMING = 3
+
+_MINHASH_AB = minhash_params(MINHASH_K)
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents")
+
+
+# --------------------------------------------------------------- exact
+
+def exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by content hash: keep the lowest doc_id per distinct
+    text. Hash-groupBy — one shuffle on a uniform key."""
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.groupBy(F.md5("text").alias("text_hash"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+    )
+
+
+EXACT_DEDUP_SQL = """
+SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_doc_id, COUNT(*) AS n_copies
+FROM documents GROUP BY md5(text)
+"""
+
+
+# ------------------------------------------------------ shingles (shared)
+
+def shingles(docs: DataFrame, n: int = NGRAM_N, max_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
+    """(doc_id, shingle_hash) distinct — token n-grams hashed to 60 bits.
+    Tokenization is the raw pipeline (no stopword gate: dedup wants the
+    full surface form). The df-cap drops non-discriminative shingles
+    *before* any join (skew + volume control at scale)."""
+    toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                lambda i: F.array_join(F.slice("toks", i, n), " "),
+            )
+        ).alias("shingle"),
+    ).filter(F.size(F.split(F.col("shingle"), " ")) == n)
+    hashed = grams.select("doc_id", md5_hash60(F.col("shingle")).alias("sh")).distinct()
+    if max_df is not None:
+        df_counts = hashed.groupBy("sh").agg(F.count("*").alias("sdf"))
+        hashed = (
+            hashed.join(df_counts.filter(F.col("sdf") <= max_df), "sh", "left_semi")
+        )
+    return hashed
+
+
+# DuckDB mirror of the shingle relation (raw tokenize, n-gram, hash, df-cap).
+_SHINGLES_CTE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(t[i : i + {NGRAM_N} - 1], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {NGRAM_N} + 2)) AS i) r
+  WHERE len(t) >= {NGRAM_N}
+), hashed AS (
+  SELECT DISTINCT doc_id, {md5_hash60_sql('shingle')} AS sh FROM grams
+), df AS (
+  SELECT sh FROM hashed GROUP BY sh HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+), shingles AS (
+  SELECT h.doc_id, h.sh FROM hashed h JOIN df USING (sh)
+)
+"""
+
+
+# ------------------------------------------------- n-gram Jaccard pairs
+
+def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard ≥ threshold. Candidates come from
+    the inverted shingle index (docs sharing ≥1 surviving shingle);
+    |A∩B| falls out of the same join; |A∪B| = |A|+|B|−|A∩B|."""
+    sh = shingles(_docs(spark, sf_dir)).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    # filter on the RAW jaccard (identical doubles both engines — one
+    # division of identical ints); round only the emitted value
+    jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    return (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+NGRAM_JACCARD_PAIRS_SQL = _SHINGLES_CTE + f"""
+, sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ------------------------------------------------------- MinHash + LSH
+
+def minhash_signatures(docs: DataFrame) -> DataFrame:
+    """(doc_id, h0..h{k-1}) — k universal-hash minima over the shingle
+    set. One groupBy; k aggregates computed in a single pass."""
+    sh = shingles(docs)
+    aggs = [
+        F.min(minhash_expr(F.col("sh"), a, b)).alias(f"h{i}")
+        for i, (a, b) in enumerate(_MINHASH_AB)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by exact Jaccard.
+
+    Banding: k=32 minima → 8 bands × 4 rows; docs sharing any full band
+    collide. The band key is a single string — the self-join keys on
+    (band_idx, key), uniform by construction. Verification joins the
+    shingle sets only for candidate pairs (tiny vs corpus).
+    Deterministic end-to-end ⇒ exact oracle parity, and at threshold
+    0.5 with these params LSH recall on planted dups is effectively 1."""
+    docs = _docs(spark, sf_dir)
+    sig = minhash_signatures(docs)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col(f"h{bi * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                        ).alias("key"),
+                    )
+                    for bi in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    # exact-Jaccard verification on candidates only
+    sh = shingles(docs).cache()
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    sa_sh = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    sb_sh = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(sa_sh, "doc_a")
+        .join(sb_sh, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+def _minhash_sql_min_exprs() -> str:
+    return ",\n         ".join(
+        f"MIN({minhash_expr_sql('sh', a, b)}) AS h{i}" for i, (a, b) in enumerate(_MINHASH_AB)
+    )
+
+
+def _band_key_sql(bi: int) -> str:
+    cols = " || ',' || ".join(f"h{bi * LSH_ROWS + r}" for r in range(LSH_ROWS))
+    return f"SELECT doc_id, {bi} AS band, {cols} AS key FROM sig"
+
+
+MINHASH_LSH_PAIRS_SQL = _SHINGLES_CTE + f"""
+, sig AS (
+  SELECT doc_id,
+         {_minhash_sql_min_exprs()}
+  FROM shingles GROUP BY doc_id
+), bands AS (
+  {" UNION ALL ".join(_band_key_sql(bi) for bi in range(LSH_BANDS))}
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_a, c.doc_b, COUNT(*) AS n_inter
+  FROM cand c
+  JOIN shingles sa ON sa.doc_id = c.doc_a
+  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+  GROUP BY 1, 2
+)
+SELECT doc_a, doc_b,
+       ROUND(CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes za ON za.doc_id = doc_a
+JOIN sizes zb ON zb.doc_id = doc_b
+WHERE CAST(n_inter AS DOUBLE) / (za.sz + zb.sz - n_inter) >= {JACCARD_THRESHOLD}
+"""
+
+
+# ------------------------------------------------------------- SimHash
+
+def simhash(docs: DataFrame, bits: int = SIMHASH_BITS) -> DataFrame:
+    """(doc_id, simhash) — qty-weighted SimHash over token hashes.
+
+    Expressed relationally: explode (token_hash, qty) × bit position,
+    accumulate signed qty per bit, re-pack with shiftleft. Stays in
+    whole-stage codegen; the bit explosion is bits× the TF relation but
+    aggregates immediately (map-side combine)."""
+    toks = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    tf = toks.groupBy("doc_id", "token").agg(F.count("*").alias("qty"))
+    hashed = tf.select("doc_id", md5_hash60(F.col("token")).alias("x"), "qty")
+    bit = F.explode(F.sequence(F.lit(0), F.lit(bits - 1))).alias("j")
+    # the Python shiftright/shiftleft wrappers take int literals only —
+    # the SQL operators accept column shift amounts
+    contrib = hashed.select("doc_id", bit, "x", "qty").select(
+        "doc_id",
+        "j",
+        F.when(F.expr("(x >> j) & 1") == 1, F.col("qty")).otherwise(-F.col("qty")).alias("c"),
+    )
+    bitsum = contrib.groupBy("doc_id", "j").agg(F.sum("c").alias("s"))
+    return bitsum.groupBy("doc_id").agg(
+        F.sum(F.when(F.col("s") > 0, F.expr("shiftleft(1L, j)")).otherwise(F.lit(0).cast("long"))).alias(
+            "simhash"
+        )
+    )
+
+
+def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs with hamming(simhash) ≤ 3 via block-LSH: split the
+    48-bit hash into 4 blocks of 12; any pair within distance 3 shares
+    ≥1 exact block (pigeonhole) ⇒ candidates = per-block equi-join."""
+    sh = simhash(_docs(spark, sf_dir)).cache()
+    blocks = sh.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("blk"),
+                        F.shiftright(F.col("simhash"), i * (SIMHASH_BITS // SIMHASH_BLOCKS))
+                        .bitwiseAND(F.lit((1 << (SIMHASH_BITS // SIMHASH_BLOCKS)) - 1))
+                        .alias("bval"),
+                    )
+                    for i in range(SIMHASH_BLOCKS)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.blk", "b.bval")
+    a, b = blocks.alias("a"), blocks.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.col("a.simhash").alias("sh_a"),
+            F.col("b.simhash").alias("sh_b"),
+        )
+        .distinct()
+    )
+    ham = F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b")))
+    return (
+        cand.select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= SIMHASH_MAX_HAMMING)
+    )
+
+
+_BLOCK_W = SIMHASH_BITS // SIMHASH_BLOCKS
+_SIMHASH_SQL_CORE = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS qty FROM toks WHERE token <> '' GROUP BY doc_id, token
+), hashed AS (
+  SELECT doc_id, {md5_hash60_sql('token')} AS x, qty FROM tf
+), contrib AS (
+  SELECT doc_id, j,
+         CASE WHEN (x >> j) & 1 = 1 THEN qty ELSE -qty END AS c
+  FROM hashed CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BITS})) AS j) bits
+), bitsum AS (
+  SELECT doc_id, j, SUM(c) AS s FROM contrib GROUP BY doc_id, j
+), sim AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << j) ELSE 0 END) AS BIGINT) AS simhash
+  FROM bitsum GROUP BY doc_id
+)
+"""
+
+SIMHASH_PAIRS_SQL = _SIMHASH_SQL_CORE + f"""
+, blocks AS (
+  SELECT doc_id, simhash, blk,
+         (simhash >> (blk * {_BLOCK_W})) & {(1 << _BLOCK_W) - 1} AS bval
+  FROM sim CROSS JOIN (SELECT unnest(range(0, {SIMHASH_BLOCKS})) AS blk) t
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS sh_a, b.simhash AS sh_b
+  FROM blocks a JOIN blocks b ON a.blk = b.blk AND a.bval = b.bval AND a.doc_id < b.doc_id
+)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sh_a, sh_b)) AS INT) AS hamming
+FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
+"""
+
+
+QUERIES = {
+    "dedup_exact": exact_dedup,
+    "dedup_ngram_jaccard": ngram_jaccard_pairs,
+    "dedup_minhash_lsh": minhash_lsh_pairs,
+    "dedup_simhash": simhash_pairs,
+}
+
+ORACLE_SQL = {
+    "dedup_exact": EXACT_DEDUP_SQL,
+    "dedup_ngram_jaccard": NGRAM_JACCARD_PAIRS_SQL,
+    "dedup_minhash_lsh": MINHASH_LSH_PAIRS_SQL,
+    "dedup_simhash": SIMHASH_PAIRS_SQL,
+}

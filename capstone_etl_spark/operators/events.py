@@ -1,0 +1,249 @@
+"""Event-stream analytics in batch mode (SURVEY.md §2.8 extension).
+
+The reference has no streaming surface; the driver's `events` table
+(ts, user_id, event_type, value, props JSON) is the designated
+extension target. Every query here is the *batch-equivalent* of a
+Structured Streaming operator (the streaming forms live in
+capstone_etl_spark/streaming/ and are tested for result-equivalence
+against these), which keeps the DuckDB oracle valid.
+
+Timestamp discipline for cross-engine hashing: window starts are
+emitted as epoch-second BIGINTs (floor-truncated), never raw
+timestamps — Spark and DuckDB serialize timestamps differently but
+agree on integers. value sums go through DECIMAL (value has 2 dp).
+
+Scale notes: all aggregations key on (bucket, type) or user_id —
+high-cardinality, unskewed; sessionization is a window over user_id
+partitions (distributes on user hash; no global window anywhere).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from capstone_etl_spark.sources.tables import load_table
+
+SESSION_GAP_SEC = 30 * 60
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "events")
+
+
+def _dsum(col: Column) -> Column:
+    return F.sum(col.cast("decimal(18,2)")).cast("double")
+
+
+def tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute tumbling window × event_type: count + exact sum(value).
+    Uses the native F.window operator (epoch-aligned); start emitted as
+    epoch seconds."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("n_events"), _dsum(F.col("value")).alias("total_value"))
+        .select(
+            F.col("w.start").cast("long").alias("window_start"),
+            "event_type",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+TUMBLING_WINDOWS_SQL = """
+SELECT (FLOOR(epoch(ts) / 600) * 600)::BIGINT AS window_start,
+       event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+def sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """10-minute windows sliding every 5 — each event lands in exactly 2
+    windows (native F.window with slide)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"))
+        .agg(F.count("*").alias("n_events"))
+        .select(F.col("w.start").cast("long").alias("window_start"), "n_events")
+    )
+
+
+SLIDING_WINDOWS_SQL = """
+WITH exploded AS (
+  SELECT ((FLOOR(epoch(ts) / 300) - i) * 300)::BIGINT AS window_start
+  FROM events CROSS JOIN (VALUES (0), (1)) offsets(i)
+)
+SELECT window_start, COUNT(*) AS n_events FROM exploded GROUP BY 1
+"""
+
+
+def sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (gap > 30 min closes a session): the
+    classic lag + conditional-cumsum window pattern, partitioned by
+    user (distributes cleanly; no global state). Second granularity."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("ts_sec")
+    )
+    by_user = Window.partitionBy("user_id").orderBy("ts_sec", "event_type")
+    with_gap = ev.withColumn(
+        "new_session",
+        F.when(
+            (F.col("ts_sec") - F.lag("ts_sec").over(by_user)) > SESSION_GAP_SEC, 1
+        ).otherwise(0),
+    )
+    with_id = with_gap.withColumn(
+        "session_seq",
+        F.sum("new_session").over(by_user.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    return (
+        with_id.groupBy("user_id", "session_seq")
+        .agg(
+            F.min("ts_sec").alias("session_start"),
+            F.max("ts_sec").alias("session_end"),
+            F.count("*").alias("n_events"),
+        )
+        .withColumn("duration_sec", F.col("session_end") - F.col("session_start"))
+    )
+
+
+SESSIONIZE_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_type, FLOOR(epoch(ts))::BIGINT AS ts_sec FROM events
+), with_gap AS (
+  SELECT user_id, event_type, ts_sec,
+         CASE WHEN ts_sec - LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec, event_type) > {SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+), with_id AS (
+  SELECT user_id, ts_sec,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec, event_type
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM with_gap
+)
+SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+       MIN(ts_sec) AS session_start, MAX(ts_sec) AS session_end,
+       COUNT(*) AS n_events,
+       MAX(ts_sec) - MIN(ts_sec) AS duration_sec
+FROM with_id GROUP BY user_id, session_seq
+"""
+
+
+def props_json_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON extraction from the props column (F.get_json_object — the
+    schema-on-read path; from_json with an explicit schema is the
+    scale-preferred variant, used in streaming/)."""
+    ev = _events(spark, sf_dir)
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum(k).alias("sum_k"),
+        F.min(k).alias("min_k"),
+        F.max(k).alias("max_k"),
+    )
+
+
+PROPS_JSON_ROLLUP_SQL = """
+SELECT event_type, COUNT(*) AS n_events,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
+       MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+       MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
+FROM events GROUP BY event_type
+"""
+
+
+def user_activity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 users by activity with dense_rank ties."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"), _dsum(F.col("value")).alias("total_value")
+    )
+    w = Window.orderBy(F.desc("n_events"), "user_id")
+    return (
+        per_user.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= 20)
+        .select("user_id", "n_events", "total_value", "rnk")
+    )
+
+
+USER_ACTIVITY_RANK_SQL = """
+WITH per_user AS (
+  SELECT user_id, COUNT(*) AS n_events,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+  FROM events GROUP BY user_id
+)
+SELECT user_id, n_events, total_value, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS rnk FROM per_user
+) t WHERE rnk <= 20
+"""
+
+
+def event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact event dedup on (user_id, event_type, ts) — batch form of
+    streaming dropDuplicatesWithinWatermark."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.select("user_id", "event_type", F.col("ts").cast("long").alias("ts_sec"))
+        .dropDuplicates(["user_id", "event_type", "ts_sec"])
+        .groupBy("event_type")
+        .agg(F.count("*").alias("n_distinct_events"))
+    )
+
+
+EVENT_DEDUP_SQL = """
+SELECT event_type, COUNT(*) AS n_distinct_events FROM (
+  SELECT DISTINCT user_id, event_type, FLOOR(epoch(ts))::BIGINT AS ts_sec FROM events
+) t GROUP BY event_type
+"""
+
+
+def daily_type_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-day event-type count matrix (pivot as portable CASE aggs)."""
+    ev = _events(spark, sf_dir).withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+
+    def cnt(t: str) -> Column:
+        return F.count(F.when(F.col("event_type") == t, F.lit(1)))
+
+    return ev.groupBy("day").agg(
+        cnt("click").alias("n_click"),
+        cnt("view").alias("n_view"),
+        cnt("purchase").alias("n_purchase"),
+        cnt("signup").alias("n_signup"),
+        cnt("error").alias("n_error"),
+    )
+
+
+DAILY_TYPE_MATRIX_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+FROM events GROUP BY 1
+"""
+
+
+QUERIES = {
+    "event_tumbling_windows": tumbling_windows,
+    "event_sliding_windows": sliding_windows,
+    "event_sessions": sessionize,
+    "event_props_json": props_json_rollup,
+    "event_user_rank": user_activity_rank,
+    "event_dedup": event_dedup,
+    "event_daily_matrix": daily_type_matrix,
+}
+
+ORACLE_SQL = {
+    "event_tumbling_windows": TUMBLING_WINDOWS_SQL,
+    "event_sliding_windows": SLIDING_WINDOWS_SQL,
+    "event_sessions": SESSIONIZE_SQL,
+    "event_props_json": PROPS_JSON_ROLLUP_SQL,
+    "event_user_rank": USER_ACTIVITY_RANK_SQL,
+    "event_dedup": EVENT_DEDUP_SQL,
+    "event_daily_matrix": DAILY_TYPE_MATRIX_SQL,
+}

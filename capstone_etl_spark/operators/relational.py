@@ -158,7 +158,7 @@ def orders_per_customer_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders")
     w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
     return (
-        orders.withColumn("rank_in_cust", F.row_number().over(w))
+        orders.withColumn("rank_in_cust", F.row_number().over(w).cast("long"))
         .filter(F.col("rank_in_cust") <= 3)
         .select("o_custkey", "o_orderkey", "o_totalprice", "rank_in_cust")
         .orderBy("o_custkey", "rank_in_cust")

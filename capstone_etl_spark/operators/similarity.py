@@ -1,0 +1,301 @@
+"""Similarity search over embedding columns (SURVEY.md §7.8 extension).
+
+The reference computes L2 norms "for use later with similarities"
+(main.go:62) but never finishes the job; this module does, for dense
+embeddings (array<float>):
+
+- brute-force cosine top-k — the correctness baseline; a broadcast
+  nested-loop join of the (small) query set against all vectors, all
+  JVM-side higher-order functions.
+- hyperplane-LSH bucketed ANN — the scale path: T tables × B random
+  hyperplane sign bits → bucket equi-join prunes the candidate set,
+  cosine computed only on candidates.
+
+Determinism/oracle strategy: the "random" hyperplanes are ±1 sign
+rows derived from md5 at build time and embedded as literal '0'/'1'
+strings in both the Spark plan and the DuckDB oracle, so both engines
+compute IDENTICAL signatures, buckets, candidates and ranks. All dot
+products fold sequentially (Spark `aggregate`, DuckDB `list_sum`) —
+verified bit-identical.
+
+Scale notes (100 TB):
+- brute force is O(Q·N·dim): fine for reranking / small Q, never the
+  corpus×corpus path.
+- LSH signature computation is embarrassingly parallel (per-row
+  expressions); the bucket join shuffles on (table, bucket) — uniform
+  by construction. At production scale the per-element expression dot
+  products would move to a vectorized pandas UDF with a broadcast
+  numpy hyperplane matrix (same semantics, ~10× batch speedup); kept
+  expression-native here for exact oracle parity.
+- candidate verification reuses the brute-force kernel on the pruned
+  set (classic two-stage retrieve-rerank).
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from capstone_etl_spark.functions.vectors import cosine
+from capstone_etl_spark.sources.tables import load_table
+
+DIM = 64
+N_QUERIES = 10          # query set = vec_id < 10
+TOP_K = 5
+LSH_TABLES = 4
+LSH_BITS = 8
+PAIR_THRESHOLD = 0.45
+
+
+def _hyperplane_bits(tables: int = LSH_TABLES, bits: int = LSH_BITS, dim: int = DIM) -> list[list[str]]:
+    """[table][bit] → '0'/'1' string of length dim; bit d of hyperplane =
+    parity of an md5-derived value (deterministic, engine-neutral)."""
+    planes = []
+    for t in range(tables):
+        row = []
+        for j in range(bits):
+            s = "".join(
+                str(int(hashlib.md5(f"{t}:{j}:{d}".encode()).hexdigest()[:15], 16) & 1)
+                for d in range(dim)
+            )
+            row.append(s)
+        planes.append(row)
+    return planes
+
+
+_PLANES = _hyperplane_bits()
+
+
+def _signed_dot_expr(vec_col: str, bits: str) -> str:
+    """SQL (Spark dialect) for Σ_d v[d]·(±1 from bits[d]) as a sequential
+    fold — matches DuckDB list_sum(list_transform(...)) exactly."""
+    return (
+        f"aggregate(sequence(0, {DIM - 1}), cast(0.0 as double), (acc, d) -> acc + "
+        f"CAST(element_at({vec_col}, d + 1) AS DOUBLE) * "
+        f"(CASE WHEN substring('{bits}', d + 1, 1) = '1' THEN 1.0 ELSE -1.0 END))"
+    )
+
+
+def _signed_dot_sql(vec_expr: str, bits: str) -> str:
+    return (
+        f"list_sum(list_transform(range({DIM}), d -> "
+        f"CAST({vec_expr}[d + 1] AS DOUBLE) * "
+        f"(CASE WHEN substring('{bits}', d + 1, 1) = '1' THEN 1.0 ELSE -1.0 END)))"
+    )
+
+
+def lsh_buckets(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    """(vec_id, table, bucket) — one packed sign-bit bucket per table."""
+    out_cols = []
+    for t, row in enumerate(_PLANES):
+        bucket = None
+        for j, bits in enumerate(row):
+            bit = F.when(F.expr(_signed_dot_expr(vec_col, bits)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
+            bucket = bit if bucket is None else bucket + bit
+        out_cols.append(F.struct(F.lit(t).alias("tbl"), bucket.cast("long").alias("bucket")))
+    return emb.select("vec_id", F.explode(F.array(*out_cols)).alias("tb")).select(
+        "vec_id", "tb.tbl", "tb.bucket"
+    )
+
+
+def _bucket_sql_one_table(t: int, row: list[str]) -> str:
+    packed = " + ".join(
+        f"(CASE WHEN {_signed_dot_sql('embedding', bits)} > 0 THEN {1 << j} ELSE 0 END)"
+        for j, bits in enumerate(row)
+    )
+    return f"SELECT vec_id, {t} AS tbl, CAST({packed} AS BIGINT) AS bucket FROM embeddings"
+
+
+_BUCKETS_SQL = " UNION ALL ".join(_bucket_sql_one_table(t, row) for t, row in enumerate(_PLANES))
+
+_COSINE_SQL = (
+    "list_sum(list_transform(range({dim}), d -> CAST(qe[d+1] AS DOUBLE) * CAST(ne[d+1] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(qe, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(ne, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+).format(dim=DIM)
+
+
+# ------------------------------------------------------------- queries
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm + dimension per vector (the vector-math smoke check)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from capstone_etl_spark.functions.vectors import norm2
+
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        norm2("embedding").alias("norm"),
+        "label",
+    )
+
+
+EMBEDDING_NORMS_SQL = """
+SELECT vec_id, len(embedding) AS dim,
+       sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm,
+       label
+FROM embeddings
+"""
+
+
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine neighbors for the query set — broadcast the queries,
+    scan the corpus once, per-query heap via ranked window on the
+    (tiny) scored relation. Ranking keys on the ROUNDED similarity so
+    cross-engine last-ulp drift cannot reorder."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(n)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(cosine("qe", "ne"), 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+ANN_BRUTE_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({_COSINE_SQL.replace('ne', 'e.embedding')}, 6) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM scored
+) t WHERE rnk <= {TOP_K}
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: LSH bucket equi-join prunes candidates, cosine
+    reranks. Deterministic planes ⇒ the oracle reproduces the exact
+    candidate set and ranking."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = lsh_buckets(emb).cache()
+    qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
+    cand = (
+        qb.join(buckets.withColumnRenamed("vec_id", "neighbor_id"), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(cosine("qe", "ne"), 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+ANN_LSH_TOPK_SQL = f"""
+WITH buckets AS (
+  {_BUCKETS_SQL}
+), cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+  FROM buckets qb
+  JOIN buckets nb ON qb.tbl = nb.tbl AND qb.bucket = nb.bucket AND qb.vec_id <> nb.vec_id
+  WHERE qb.vec_id < {N_QUERIES}
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND({_COSINE_SQL.replace('qe', 'q.embedding').replace('ne', 'n.embedding')}, 6) AS sim
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM scored
+) t WHERE rnk <= {TOP_K}
+"""
+
+
+def embedding_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs (all pairs ≥ threshold). Brute
+    force here (N=500); the LSH bucketing above is the scale path —
+    at corpus scale, near-dup = lsh candidates + threshold filter."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ne"))
+    sim = cosine("qe", "ne")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(sim >= PAIR_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
+    )
+
+
+EMBEDDING_PAIRS_THRESHOLD_SQL = f"""
+SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       ROUND({_COSINE_SQL.replace('qe', 'a.embedding').replace('ne', 'b.embedding')}, 6) AS sim
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE {_COSINE_SQL.replace('qe', 'a.embedding').replace('ne', 'b.embedding')} >= {PAIR_THRESHOLD}
+"""
+
+
+def label_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF building block: per-label centroid (coarse quantizer), then
+    each vector's distance-to-own-centroid. Demonstrates the
+    assign-to-centroid kernel; rounded for cross-engine agreement.
+    (IVF probe = same pattern with argmin over centroids.)"""
+    emb = load_table(spark, sf_dir, "embeddings")
+    # centroid[d] = avg over label — exact-sum (sequential per group is
+    # NOT guaranteed) → round centroids hard (4dp) before distances.
+    by_dim = emb.select(
+        "label", "vec_id", F.posexplode("embedding").alias("d", "v")
+    )
+    cent = (
+        by_dim.groupBy("label", "d")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("c"))
+    )
+    joined = by_dim.join(cent, ["label", "d"])
+    dist2 = F.sum(F.pow(F.col("v").cast("double") - F.col("c"), 2))
+    return (
+        joined.groupBy("label", "vec_id")
+        .agg(F.round(F.sqrt(dist2), 4).alias("dist_to_centroid"))
+    )
+
+
+QUERIES = {
+    "embedding_norms": embedding_norms,
+    "ann_brute_topk": ann_brute_topk,
+    "ann_lsh_topk": ann_lsh_topk,
+    "embedding_pairs": embedding_pairs_threshold,
+    "label_centroids": label_centroid_assignment,
+}
+
+ORACLE_SQL = {
+    "embedding_norms": EMBEDDING_NORMS_SQL,
+    "ann_brute_topk": ANN_BRUTE_TOPK_SQL,
+    "ann_lsh_topk": ANN_LSH_TOPK_SQL,
+    "embedding_pairs": EMBEDDING_PAIRS_THRESHOLD_SQL,
+    # label_centroids: avg() accumulation order differs per engine (grouped
+    # sum, not a sequential list fold) → rows-only check by design.
+}

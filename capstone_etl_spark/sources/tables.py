@@ -11,6 +11,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 # The driver-generated star schema + text/embedding/event tables (TESTDATA.md).
 TABLES = (
@@ -31,7 +32,19 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one table. Pushdown-friendly: callers select/filter
-    on the returned frame and Catalyst prunes at the parquet reader."""
+    on the returned frame and Catalyst prunes at the parquet reader.
+
+    events.ts is written as parquet TIMESTAMP(NANOS), which Spark's
+    vectorized reader rejects; read it as a nanos LONG (legacy conf,
+    runtime-settable) and truncate to a micros TimestampType — matching
+    DuckDB's own nanos→micros truncation so oracles agree."""
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            # integer div keeps exactness (double division drifts at 1e18)
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 

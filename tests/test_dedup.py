@@ -1,0 +1,47 @@
+"""Dedup operators on a tiny corpus with known near-duplicates."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from capstone_etl_spark.operators.dedup import (
+    minhash_signatures,
+    shingles,
+    simhash,
+)
+
+BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+NEAR = "alpha beta gamma delta epsilon zeta eta theta iota lambda"  # 1 token differs
+FAR = "one two three four five six seven eight nine ten"
+
+DOCS = [(0, BASE), (1, BASE), (2, NEAR), (3, FAR)]
+
+
+def _docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, text string")
+
+
+def test_shingles_identical_docs_equal_sets(spark):
+    sh = shingles(_docs(spark), max_df=None)
+    sets = (
+        sh.groupBy("doc_id").agg(F.sort_array(F.collect_list("sh")).alias("s")).collect()
+    )
+    by_id = {r.doc_id: r.s for r in sets}
+    assert by_id[0] == by_id[1]          # identical docs → identical shingles
+    assert by_id[0] != by_id[3]          # disjoint docs → different
+    inter = set(by_id[0]) & set(by_id[2])
+    assert len(inter) == 7               # 8 trigrams; only the last contains the differing token
+
+
+def test_minhash_identical_docs_equal_signatures(spark):
+    sig = {r.doc_id: tuple(r)[1:] for r in minhash_signatures(_docs(spark)).collect()}
+    assert sig[0] == sig[1]
+    assert sig[0] != sig[3]
+
+
+def test_simhash_hamming_properties(spark):
+    sh = {r.doc_id: r.simhash for r in simhash(_docs(spark)).collect()}
+    assert sh[0] == sh[1]                # identical text → identical simhash
+    ham_near = bin(sh[0] ^ sh[2]).count("1")
+    ham_far = bin(sh[0] ^ sh[3]).count("1")
+    assert ham_near < ham_far            # near-dup closer than unrelated
