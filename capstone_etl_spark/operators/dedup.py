@@ -77,15 +77,23 @@ def shingles(docs: DataFrame, n: int = NGRAM_N, max_df: int | None = MAX_SHINGLE
     full surface form). The df-cap drops non-discriminative shingles
     *before* any join (skew + volume control at scale)."""
     toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    # Guard: F.sequence(1, size-(n-1)) DESCENDS through 0 when size < n
+    # (sequence(1, 0) = [1, 0]) and slice(toks, 0, n) throws
+    # INVALID_PARAMETER_VALUE.START — docs with < n tokens after cleaning
+    # (empty/punctuation-only text) must yield zero shingles, mirroring
+    # the oracle's len(t) >= n guard below.
     grams = toks.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-                lambda i: F.array_join(F.slice("toks", i, n), " "),
-            )
+            F.when(
+                F.size("toks") >= n,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.array_join(F.slice("toks", i, n), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
         ).alias("shingle"),
-    ).filter(F.size(F.split(F.col("shingle"), " ")) == n)
+    )
     hashed = grams.select("doc_id", md5_hash60(F.col("shingle")).alias("sh")).distinct()
     if max_df is not None:
         df_counts = hashed.groupBy("sh").agg(F.count("*").alias("sdf"))
@@ -160,10 +168,13 @@ WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {JACCARD_THRESHOLD}
 
 # ------------------------------------------------------- MinHash + LSH
 
-def minhash_signatures(docs: DataFrame) -> DataFrame:
+def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """(doc_id, h0..h{k-1}) — k universal-hash minima over the shingle
-    set. One groupBy; k aggregates computed in a single pass."""
-    sh = shingles(docs)
+    set. One groupBy; k aggregates computed in a single pass. Pass a
+    pre-built (ideally cached) shingle relation to share the
+    tokenize/n-gram pass with other consumers."""
+    if sh is None:
+        sh = shingles(docs)
     aggs = [
         F.min(minhash_expr(F.col("sh"), a, b)).alias(f"h{i}")
         for i, (a, b) in enumerate(_MINHASH_AB)
@@ -181,7 +192,10 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Deterministic end-to-end ⇒ exact oracle parity, and at threshold
     0.5 with these params LSH recall on planted dups is effectively 1."""
     docs = _docs(spark, sf_dir)
-    sig = minhash_signatures(docs)
+    # One shingle pass shared by the signature and verification stages
+    # (the cache materializes on first action; both subtrees reuse it).
+    sh = shingles(docs).cache()
+    sig = minhash_signatures(docs, sh=sh)
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -209,8 +223,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
-    # exact-Jaccard verification on candidates only
-    sh = shingles(docs).cache()
+    # exact-Jaccard verification on candidates only (reuses cached sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa_sh = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     sb_sh = sh.select(F.col("doc_id").alias("doc_b"), "sh")

@@ -79,18 +79,26 @@ def doc_token_arrays(tf: DataFrame) -> DataFrame:
     )
 
 
-def tf_idf(tf: DataFrame, n_docs: int | None = None) -> DataFrame:
+def tf_idf(tf: DataFrame) -> DataFrame:
     """TF-IDF extension (SURVEY.md §7.8): weight = qty * ln(N / df).
-    df comes from the posting stats — one extra broadcast join."""
-    if n_docs is None:
-        n_docs = tf.select("doc_id").distinct().count()
+
+    N (corpus size) is a 1-row `agg(countDistinct)` relation broadcast
+    into the plan as a scalar cross join — never a driver-side eager
+    `.count()`, which would execute the whole TF lineage as a blocking
+    action and then recompute it for the output (the exact anti-pattern
+    at 100 TB: two corpus tokenization passes + a driver sync point).
+    df comes from the posting stats — one extra broadcast join. Callers
+    should pass a cached `tf` so its three consumers (rows, df, N)
+    evaluate the lineage once."""
+    n_rel = tf.agg(F.countDistinct("doc_id").cast("double").alias("_n_docs"))
     df_rel = tf.groupBy("token").agg(F.count("*").alias("df"))
     return (
         tf.join(F.broadcast(df_rel), "token")
+        .crossJoin(F.broadcast(n_rel))
         .select(
             "doc_id",
             "token",
             "qty",
-            (F.col("qty") * F.log(F.lit(float(n_docs)) / F.col("df"))).alias("tfidf"),
+            (F.col("qty") * F.log(F.col("_n_docs") / F.col("df"))).alias("tfidf"),
         )
     )

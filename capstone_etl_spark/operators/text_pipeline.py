@@ -19,7 +19,7 @@ from capstone_etl_spark.operators import index as index_ops
 from capstone_etl_spark.operators import hierarchy as hier_ops
 from capstone_etl_spark.operators.tokenize import doc_stats as _doc_stats
 from capstone_etl_spark.operators.tokenize import doc_tokens, term_frequencies
-from capstone_etl_spark.operators.vocab import vocabulary
+from capstone_etl_spark.operators.vocab import vocabulary, with_dense_ids
 from capstone_etl_spark.sources.tables import load_table
 
 # Literal dictionary side-input (SURVEY.md S2/P2/J2): the mechanism is a
@@ -148,8 +148,10 @@ FROM tf GROUP BY token
 
 def sparse_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """J4+A8 exploded form: (doc_id, token_id, qty) — the O(NNZ)
-    replacement for the reference's O(D×V) probe loop."""
-    tf = _tf(spark, sf_dir)
+    replacement for the reference's O(D×V) probe loop. tf is cached:
+    both the vocabulary subtree and the consuming join read it, and the
+    cache makes tokenization (the expensive stage) run once."""
+    tf = _tf(spark, sf_dir).cache()
     return index_ops.tf_with_token_ids(tf, vocabulary(tf))
 
 
@@ -165,8 +167,8 @@ SELECT doc_id, token_id, qty FROM tf JOIN vocab USING (token)
 def sparse_vector_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8+A9 per-doc shapes canonicalized: the compressed map as
     'idx:qty,...' and tokenrefs as 'i,j,k' (trimmed — divergence
-    SURVEY.md §7.6.2)."""
-    tf = _tf(spark, sf_dir)
+    SURVEY.md §7.6.2). tf cached — one tokenize pass (see sparse_vectors)."""
+    tf = _tf(spark, sf_dir).cache()
     sv = index_ops.sparse_vectors(tf, vocabulary(tf))
     return sv.select(
         "doc_id",
@@ -209,10 +211,11 @@ FROM tf GROUP BY doc_id
 
 def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Extension (SURVEY.md §7.8): TF-IDF weights; rounded to 6 dp so the
-    transcendental ln() agrees across engines' libm."""
-    tf = _tf(spark, sf_dir)
-    n_docs = tf.select("doc_id").distinct().count()
-    out = index_ops.tf_idf(tf, n_docs)
+    transcendental ln() agrees across engines' libm. Fully lazy — N is a
+    broadcast 1-row relation inside the plan (no driver-side .count()),
+    and tf is cached so its three consumers share one tokenize pass."""
+    tf = _tf(spark, sf_dir).cache()
+    out = index_ops.tf_idf(tf)
     return out.select("doc_id", "token", "qty", F.round("tfidf", 6).alias("tfidf"))
 
 
@@ -222,6 +225,30 @@ TF_IDF_SQL = _TF_CTE + """
 SELECT doc_id, token, qty,
        ROUND(qty * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
 FROM tf JOIN dfreq USING (token) CROSS JOIN n
+"""
+
+
+def doc_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: dense 0-based document ids over the page_loc sort order
+    (reference: id++ per row in url order, main.go:137-141). Uses the
+    distributed partition-offset implementation — no single-partition
+    window, no RDD — so the same code is the 100 TB path."""
+    pages = hier_ops.synthetic_doc_paths(_docs(spark, sf_dir)).select("doc_id", "page_loc")
+    return with_dense_ids(pages, "page_loc", id_name="dense_id").select(
+        "doc_id", "page_loc", "dense_id"
+    )
+
+
+DOC_DENSE_IDS_SQL = """
+WITH pages AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 50 THEN 'b' || doc_id
+              ELSE 'b' || (doc_id % 50) || '/p' || doc_id END AS page_loc
+  FROM documents
+)
+SELECT doc_id, page_loc,
+       CAST(ROW_NUMBER() OVER (ORDER BY page_loc) - 1 AS BIGINT) AS dense_id
+FROM pages
 """
 
 
@@ -301,6 +328,7 @@ QUERIES = {
     "sparse_vector_strings": sparse_vector_strings,
     "doc_token_arrays": doc_token_arrays,
     "tf_idf": tf_idf,
+    "doc_dense_ids": doc_dense_ids,
     "parent_child": parent_child,
     "parent_child_agg": parent_child_agg,
 }
@@ -316,6 +344,7 @@ ORACLE_SQL = {
     "sparse_vector_strings": SPARSE_VECTOR_STRINGS_SQL,
     "doc_token_arrays": DOC_TOKEN_ARRAYS_SQL,
     "tf_idf": TF_IDF_SQL,
+    "doc_dense_ids": DOC_DENSE_IDS_SQL,
     "parent_child": PARENT_CHILD_SQL,
     "parent_child_agg": PARENT_CHILD_AGG_SQL,
 }

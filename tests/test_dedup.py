@@ -33,6 +33,19 @@ def test_shingles_identical_docs_equal_sets(spark):
     assert len(inter) == 7               # 8 trigrams; only the last contains the differing token
 
 
+def test_shingles_short_docs_yield_empty_not_crash(spark):
+    # Regression: docs with < n tokens after cleaning used to crash
+    # (sequence(1, 0) descends through 0 → slice(toks, 0, n) throws).
+    docs = spark.createDataFrame(
+        [(0, ""), (1, "..!!.."), (2, "one two"), (3, "one two three four")],
+        "doc_id long, text string",
+    )
+    sh = shingles(docs, max_df=None)
+    by_id = {r.doc_id: r.cnt for r in sh.groupBy("doc_id").agg(F.count("*").alias("cnt")).collect()}
+    assert 0 not in by_id and 1 not in by_id and 2 not in by_id
+    assert by_id[3] == 2  # 4 tokens → 2 trigrams
+
+
 def test_minhash_identical_docs_equal_signatures(spark):
     sig = {r.doc_id: tuple(r)[1:] for r in minhash_signatures(_docs(spark)).collect()}
     assert sig[0] == sig[1]

@@ -14,7 +14,7 @@ from capstone_etl_spark.operators.index import (
     tf_with_token_ids,
 )
 from capstone_etl_spark.operators.tokenize import doc_stats, term_frequencies
-from capstone_etl_spark.operators.vocab import vocabulary, with_dense_ids_zipindex
+from capstone_etl_spark.operators.vocab import vocabulary, with_dense_ids
 
 DOCS = [
     (0, "apple banana apple"),
@@ -46,10 +46,22 @@ def test_vocabulary_dense_ids(spark):
     assert got == {"apple": 0, "banana": 1, "cherry": 2}
 
 
-def test_zipindex_matches_row_number(spark):
+def test_dense_ids_match_row_number(spark):
     vocab = _tf(spark).select("token").distinct()
-    got = {r.token: r.id for r in with_dense_ids_zipindex(vocab, "token").collect()}
+    got = {r.token: r.id for r in with_dense_ids(vocab, "token").collect()}
     assert got == {"apple": 0, "banana": 1, "cherry": 2}
+
+
+def test_dense_ids_multi_partition(spark):
+    # 10k rows across many input partitions: ids must be a dense 0-based
+    # permutation matching the sort order, with no Python-row path.
+    df = spark.range(0, 10_000, 1, 16).select(
+        F.concat(F.lit("k"), F.format_string("%05d", (F.col("id") * 7919) % 10_000)).alias("key")
+    )
+    out = with_dense_ids(df, "key", id_name="rank")
+    rows = out.orderBy("key").collect()
+    assert [r.rank for r in rows] == list(range(10_000))
+    assert rows[0].key == "k00000" and rows[-1].key == "k09999"
 
 
 def test_inverted_index_sorted_postings(spark):
@@ -68,7 +80,7 @@ def test_sparse_vectors_shapes(spark):
 
 def test_tf_idf_values(spark):
     tf = _tf(spark)
-    got = {(r.doc_id, r.token): r.tfidf for r in tf_idf(tf, n_docs=2).collect()}
+    got = {(r.doc_id, r.token): r.tfidf for r in tf_idf(tf).collect()}
     # banana appears in both docs → idf = ln(2/2) = 0
     assert got[(0, "banana")] == 0.0
     assert math.isclose(got[(0, "apple")], 2 * math.log(2))
