@@ -36,6 +36,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
     from capstone_etl_spark.operators import (
         dedup,
         events,
+        outputs,
         relational,
         similarity,
         text_pipeline,
@@ -44,7 +45,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (text_pipeline, relational, events, dedup, similarity, textstats):
+    for mod in (text_pipeline, relational, events, dedup, similarity, textstats, outputs):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE_SQL)
     return queries, oracles

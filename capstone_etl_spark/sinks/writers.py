@@ -1,0 +1,100 @@
+"""Batch document sinks (SURVEY.md §2.1 S4).
+
+The reference's entire output side is three bulk `InsertMany` calls into
+MongoDB collections — `tokens` (main.go:164), `wikibooks` (main.go:174),
+`token_vector` (main.go:238). Here every sink is a `df.write` job:
+columnar parquet as the primary format (splittable, predicate-pushdown
+friendly on read-back), JSON lines as the document-store-shaped export
+(the closest open analogue of the Mongo collections).
+
+Scale design (100 TB):
+- a `df.write` is executed by every task in parallel — there is no
+  driver-side collect/iterate anywhere on the output path.
+- `max_records_per_file` bounds file sizes so downstream scans can
+  split; `partition_by` lays out hive-style directories for partition
+  pruning on read-back.
+- `sort_within_partitions` clusters rows (e.g. by doc_id) inside each
+  file for run-length/dictionary encoding wins without a global sort.
+- mode defaults to "overwrite" for idempotent re-runs (the reference's
+  InsertMany into a fresh collection has the same effective contract).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _configure(
+    df: DataFrame,
+    mode: str,
+    partition_by: list[str] | None,
+    max_records_per_file: int | None,
+    sort_within_partitions: list[str] | None,
+):
+    if sort_within_partitions:
+        df = df.sortWithinPartitions(*sort_within_partitions)
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    if max_records_per_file:
+        w = w.option("maxRecordsPerFile", str(max_records_per_file))
+    return w
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    sort_within_partitions: list[str] | None = None,
+) -> None:
+    """Columnar sink — the primary format for every output relation."""
+    _configure(df, mode, partition_by, max_records_per_file, sort_within_partitions).parquet(path)
+
+
+def write_json(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+) -> None:
+    """JSON-lines sink — one document per row, nested arrays/maps/structs
+    serialize natively (the document-store shape of main.go:164/174/238)."""
+    _configure(df, mode, partition_by, max_records_per_file, None).json(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    header: bool = True,
+) -> None:
+    """CSV sink for flat (scalar-only) relations."""
+    df.write.mode(mode).option("header", str(header).lower()).csv(path)
+
+
+def read_back(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
+    """Scan a sink's output (round-trip surface for tests/consumers)."""
+    return spark.read.format(fmt).load(path)
+
+
+def write_outputs(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, str]:
+    """The reference's three-collection output pass (S4 ×3): compose the
+    §1.4 relations and write each as parquet + JSON lines. Returns
+    {relation: parquet_path}."""
+    from capstone_etl_spark.operators import outputs as out_ops
+
+    rels = {
+        "wikibooks": out_ops.wikibooks_output(spark, sf_dir),
+        "tokens": out_ops.tokens_output(spark, sf_dir),
+        "token_vector": out_ops.token_vector_output(spark, sf_dir),
+    }
+    paths: dict[str, str] = {}
+    for name, df in rels.items():
+        pq = f"{out_dir}/{name}.parquet"
+        write_parquet(df, pq, sort_within_partitions=[df.columns[0]])
+        write_json(df, f"{out_dir}/{name}.json")
+        paths[name] = pq
+    return paths

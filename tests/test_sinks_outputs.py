@@ -1,0 +1,78 @@
+"""S4 sinks + composed §1.4 output relations: write → read-back
+round-trips and composition invariants on sf0.001."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from capstone_etl_spark.operators import outputs as out_ops
+from capstone_etl_spark.sinks import read_back, write_json, write_outputs, write_parquet
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_wikibooks_output_composition(spark):
+    wb = out_ops.wikibooks_output(spark, SF_DIR)
+    rows = {r.doc_id: r for r in wb.collect()}
+    docs_n = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) == docs_n                       # one document per page
+    roots = [r for r in rows.values() if r.parent_page is None]
+    kids = [r for r in rows.values() if r.parent_page is not None]
+    assert roots and kids
+    # child lists are consistent with parent links
+    for r in kids:
+        assert r.doc_id in rows[r.parent_page].child_pages
+    # counts agree with the tokens array on the same row
+    for r in rows.values():
+        assert r.count_unique_words == len(r.tokens)
+        assert r.n_tokens == sum(t.qty for t in r.tokens)
+
+
+def test_parquet_roundtrip_all_outputs(spark, tmp_path):
+    paths = write_outputs(spark, SF_DIR, str(tmp_path))
+    assert set(paths) == {"wikibooks", "tokens", "token_vector"}
+    for name, pq in paths.items():
+        src = {
+            "wikibooks": out_ops.wikibooks_output,
+            "tokens": out_ops.tokens_output,
+            "token_vector": out_ops.token_vector_output,
+        }[name](spark, SF_DIR)
+        back = read_back(spark, pq)
+        # parquet read-back relaxes nullability (incl. nested) — compare
+        # names + types via simpleString, which omits nullability
+        assert back.schema.simpleString() == src.schema.simpleString(), name
+        assert back.count() == src.count(), name
+
+
+def test_json_roundtrip_tokens(spark, tmp_path):
+    src = out_ops.tokens_output(spark, SF_DIR)
+    path = str(tmp_path / "tokens_json")
+    write_json(src, path)
+    back = spark.read.json(path)
+    assert back.count() == src.count()
+    # spot-check one posting list survives the JSON round trip intact
+    tok = src.orderBy("_id").first()
+    got = back.filter(F.col("token") == tok.token).first()
+    assert got._id == tok._id
+    assert sorted((r.doc_id, r.qty) for r in got.references) == sorted(
+        (r.doc_id, r.qty) for r in tok.references
+    )
+
+
+def test_partitioned_parquet_sink(spark, tmp_path):
+    """partition_by lays out hive dirs → partition pruning on read-back."""
+    wb = out_ops.wikibooks_output(spark, SF_DIR).withColumn(
+        "is_root", F.col("parent_page").isNull()
+    )
+    path = str(tmp_path / "wb_part")
+    write_parquet(wb, path, partition_by=["is_root"])
+    pruned = read_back(spark, path).filter(F.col("is_root") == True)  # noqa: E712
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() > 0
+    assert "PartitionFilters: [" in plan
+
+
+def test_token_vector_dense_ids_are_permutation(spark):
+    tv = out_ops.token_vector_output(spark, SF_DIR)
+    ids = [r._id for r in tv.select("_id").collect()]
+    assert sorted(ids) == list(range(len(ids)))
