@@ -68,6 +68,10 @@ def parent_path(loc: Column | str) -> Column:
     matches no page_loc ⇒ no parent (main.go:195)."""
     c = F.col(loc) if isinstance(loc, str) else loc
     parts = F.split(c, "/")
-    return F.when(F.size(parts) <= 1, F.lit("")).otherwise(
-        F.array_join(F.slice(parts, 1, F.size(parts) - 1), "/")
+    # NULL input (e.g. off-prefix URL → NULL page_loc) propagates as NULL
+    # explicitly — size(NULL) semantics vary with ANSI/legacy conf.
+    return (
+        F.when(c.isNull(), F.lit(None).cast("string"))
+        .when(F.size(parts) <= 1, F.lit(""))
+        .otherwise(F.array_join(F.slice(parts, 1, F.size(parts) - 1), "/"))
     )

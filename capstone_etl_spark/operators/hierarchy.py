@@ -55,6 +55,24 @@ def child_aggregates(linked: DataFrame, id_col: str = "page_id") -> DataFrame:
     )
 
 
+WIKI_PREFIX = "https://en.wikibooks.org/wiki/"
+
+
+def synthetic_doc_urls(docs: DataFrame, fanout: int = 50, alt_every: int = 97) -> DataFrame:
+    """URL-shaped variant of synthetic_doc_paths: full wiki URLs so the
+    F2 prefix strip (page_loc, main.go:194) runs on real input. Docs
+    with doc_id % alt_every == 3 get an off-wiki URL — those yield NULL
+    page_loc (the reference would panic, divergence §7.6.5)."""
+    is_root = F.col("doc_id") < fanout
+    path = F.when(is_root, F.concat(F.lit("b"), F.col("doc_id"))).otherwise(
+        F.concat(F.lit("b"), F.col("doc_id") % fanout, F.lit("/p"), F.col("doc_id"))
+    )
+    url = F.when(
+        F.col("doc_id") % alt_every == 3, F.concat(F.lit("https://example.org/ext/"), path)
+    ).otherwise(F.concat(F.lit(WIKI_PREFIX), path))
+    return docs.select("doc_id", url.alias("url"))
+
+
 def synthetic_doc_paths(docs: DataFrame, fanout: int = 50) -> DataFrame:
     """Deterministic path tree over the driver's `documents` table (which
     has no URL column): docs with doc_id < fanout are roots at

@@ -228,6 +228,29 @@ FROM tf JOIN dfreq USING (token) CROSS JOIN n
 """
 
 
+def substring_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: raw substring-occurrence counts (the reference's external-link
+    counter strings.Count(body_html, 'href=\"h'), main.go:192) — two
+    needles over documents.text: a whole token and a cross-word bigram
+    fragment (substring semantics, not token match)."""
+    from capstone_etl_spark.functions.text import count_substring
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        count_substring("text", "scan").cast("long").alias("n_scan"),
+        count_substring("text", "ta").cast("long").alias("n_ta"),
+    )
+
+
+SUBSTRING_COUNTS_SQL = """
+SELECT doc_id,
+       CAST((length(text) - length(replace(text, 'scan', ''))) / 4 AS BIGINT) AS n_scan,
+       CAST((length(text) - length(replace(text, 'ta', ''))) / 2 AS BIGINT) AS n_ta
+FROM documents
+"""
+
+
 def doc_dense_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
     """O2: dense 0-based document ids over the page_loc sort order
     (reference: id++ per row in url order, main.go:137-141). Uses the
@@ -255,36 +278,61 @@ FROM pages
 # ------------------------------------------------------------- hierarchy
 
 def parent_child(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """F3+J1 over a deterministic synthetic path tree on documents
-    (the driver corpus has no URL column): LEFT OUTER self-join on the
-    derived parent path; NULL parent for roots (divergence §7.6.3)."""
-    pages = hier_ops.synthetic_doc_paths(_docs(spark, sf_dir))
+    """F2+F3+J1 on URL-shaped input: synthetic wiki URLs → page_loc via
+    prefix strip (main.go:194 — off-prefix URLs yield NULL instead of
+    the reference's panic, §7.6.5) → parent_path → LEFT OUTER self-join;
+    NULL parent for roots/off-wiki docs (divergence §7.6.3)."""
+    urls = hier_ops.synthetic_doc_urls(_docs(spark, sf_dir))
+    pages = hier_ops.derive_paths(urls, url_col="url").select(
+        "doc_id", "page_loc", "parent_path"
+    )
     linked = hier_ops.link_hierarchy(pages, id_col="doc_id")
     return linked.select(
         pages["doc_id"].alias("doc_id"), "page_loc", "parent_path", "parent_page"
     )
 
 
-PARENT_CHILD_SQL = """
-WITH pages AS (
+# Mirrors synthetic_doc_urls + page_loc/parent_path derivations.
+_URL_PAGES_CTE = """
+paths AS (
   SELECT doc_id,
          CASE WHEN doc_id < 50 THEN 'b' || doc_id
-              ELSE 'b' || (doc_id % 50) || '/p' || doc_id END AS page_loc
+              ELSE 'b' || (doc_id % 50) || '/p' || doc_id END AS path
   FROM documents
+), urls AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 97 = 3 THEN 'https://example.org/ext/' || path
+              ELSE 'https://en.wikibooks.org/wiki/' || path END AS url
+  FROM paths
+), pages AS (
+  SELECT doc_id,
+         CASE WHEN starts_with(url, 'https://en.wikibooks.org/wiki/')
+              THEN substr(url, length('https://en.wikibooks.org/wiki/') + 1)
+              END AS page_loc
+  FROM urls
 ), withp AS (
   SELECT doc_id, page_loc,
-         CASE WHEN strpos(page_loc, '/') = 0 THEN ''
+         CASE WHEN page_loc IS NULL THEN NULL
+              WHEN strpos(page_loc, '/') = 0 THEN ''
               ELSE regexp_replace(page_loc, '/[^/]*$', '') END AS parent_path
   FROM pages
 )
+"""
+
+PARENT_CHILD_SQL = f"""
+WITH {_URL_PAGES_CTE.strip()}
 SELECT c.doc_id AS doc_id, c.page_loc, c.parent_path, p.doc_id AS parent_page
 FROM withp c LEFT JOIN withp p ON c.parent_path = p.page_loc
 """
 
 
 def parent_child_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """A3: per-parent child count + canonical sorted child list."""
-    pages = hier_ops.synthetic_doc_paths(_docs(spark, sf_dir))
+    """A3: per-parent child count + canonical sorted child list (over
+    the URL-derived hierarchy — F2 path)."""
+    urls = hier_ops.synthetic_doc_urls(_docs(spark, sf_dir))
+    pages = hier_ops.derive_paths(urls, url_col="url").select(
+        "doc_id", "page_loc", "parent_path"
+    )
     linked = hier_ops.link_hierarchy(pages, id_col="doc_id")
     agg = hier_ops.child_aggregates(
         linked.select(pages["doc_id"].alias("doc_id"), "parent_page"), id_col="doc_id"
@@ -296,18 +344,9 @@ def parent_child_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-PARENT_CHILD_AGG_SQL = """
-WITH pages AS (
-  SELECT doc_id,
-         CASE WHEN doc_id < 50 THEN 'b' || doc_id
-              ELSE 'b' || (doc_id % 50) || '/p' || doc_id END AS page_loc
-  FROM documents
-), withp AS (
-  SELECT doc_id, page_loc,
-         CASE WHEN strpos(page_loc, '/') = 0 THEN ''
-              ELSE regexp_replace(page_loc, '/[^/]*$', '') END AS parent_path
-  FROM pages
-), linked AS (
+PARENT_CHILD_AGG_SQL = f"""
+WITH {_URL_PAGES_CTE.strip()}
+, linked AS (
   SELECT c.doc_id AS doc_id, p.doc_id AS parent_page
   FROM withp c JOIN withp p ON c.parent_path = p.page_loc
 )
@@ -328,6 +367,7 @@ QUERIES = {
     "sparse_vector_strings": sparse_vector_strings,
     "doc_token_arrays": doc_token_arrays,
     "tf_idf": tf_idf,
+    "substring_counts": substring_counts,
     "doc_dense_ids": doc_dense_ids,
     "parent_child": parent_child,
     "parent_child_agg": parent_child_agg,
@@ -344,6 +384,7 @@ ORACLE_SQL = {
     "sparse_vector_strings": SPARSE_VECTOR_STRINGS_SQL,
     "doc_token_arrays": DOC_TOKEN_ARRAYS_SQL,
     "tf_idf": TF_IDF_SQL,
+    "substring_counts": SUBSTRING_COUNTS_SQL,
     "doc_dense_ids": DOC_DENSE_IDS_SQL,
     "parent_child": PARENT_CHILD_SQL,
     "parent_child_agg": PARENT_CHILD_AGG_SQL,
