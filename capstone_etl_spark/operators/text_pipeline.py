@@ -106,6 +106,31 @@ SELECT doc_id, token, qty FROM tf WHERE token IN ({_DICT_SQL})
 """
 
 
+def dictionary_file_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S2 end-to-end: the wordlist FILE scan (read.text → lower/trim →
+    distinct, sources/dictionary.py) broadcast-semi-joined into the
+    token stream — the reference's loadDictionary + gate
+    (main.go:108-118, :251) as a distributed plan."""
+    from capstone_etl_spark.sources.dictionary import load_dictionary
+
+    docs = _docs(spark, sf_dir)
+    return (
+        doc_tokens(docs, dictionary=load_dictionary(spark))
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("qty"))
+    )
+
+
+def _dictionary_file_gate_sql() -> str:
+    from capstone_etl_spark.sources.dictionary import dictionary_sql_cte
+
+    return (
+        _TF_CTE
+        + f", dict AS ({dictionary_sql_cte()})\n"
+        + "SELECT doc_id, token, qty FROM tf WHERE token IN (SELECT word FROM dict)"
+    )
+
+
 # ------------------------------------------------------- vocabulary / index
 
 def vocab_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -360,6 +385,7 @@ QUERIES = {
     "tf_per_doc": tf_per_doc,
     "doc_stats": doc_stats,
     "dictionary_gate": dictionary_gate,
+    "dictionary_file_gate": dictionary_file_gate,
     "vocab_ids": vocab_ids,
     "posting_stats": posting_stats,
     "inverted_index": inverted_index,
@@ -377,6 +403,7 @@ ORACLE_SQL = {
     "tf_per_doc": TF_PER_DOC_SQL,
     "doc_stats": DOC_STATS_SQL,
     "dictionary_gate": DICTIONARY_GATE_SQL,
+    "dictionary_file_gate": _dictionary_file_gate_sql(),
     "vocab_ids": VOCAB_IDS_SQL,
     "posting_stats": POSTING_STATS_SQL,
     "inverted_index": INVERTED_INDEX_SQL,
