@@ -67,6 +67,16 @@ def _hyperplane_bits(tables: int = LSH_TABLES, bits: int = LSH_BITS, dim: int = 
 
 _PLANES = _hyperplane_bits()
 
+# Pairs-mode banding: near-dup at moderate cosine (0.45 ⇒ bit-agreement
+# prob ≈ 0.65) needs MANY SHORT bands for recall — 16 tables × 4 bits
+# gives 1-(1-0.65⁴)¹⁶ ≈ 0.96 expected recall, vs ≈ 0.12 for the 4×8
+# top-k banding. Bits/tables grow with corpus size at scale (bucket
+# cardinality 2^bits controls the candidate-join fan-in); recall vs
+# brute force is measured in test_similarity_vectors.
+PAIR_LSH_TABLES = 16
+PAIR_LSH_BITS = 4
+_PAIR_PLANES = _hyperplane_bits(PAIR_LSH_TABLES, PAIR_LSH_BITS)
+
 
 def _signed_dot_expr(vec_col: str, bits: str) -> str:
     """SQL (Spark dialect) for Σ_d v[d]·(±1 from bits[d]) as a sequential
@@ -86,10 +96,12 @@ def _signed_dot_sql(vec_expr: str, bits: str) -> str:
     )
 
 
-def lsh_buckets(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+def lsh_buckets(
+    emb: DataFrame, vec_col: str = "embedding", planes: list[list[str]] | None = None
+) -> DataFrame:
     """(vec_id, table, bucket) — one packed sign-bit bucket per table."""
     out_cols = []
-    for t, row in enumerate(_PLANES):
+    for t, row in enumerate(planes if planes is not None else _PLANES):
         bucket = None
         for j, bits in enumerate(row):
             bit = F.when(F.expr(_signed_dot_expr(vec_col, bits)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
@@ -109,6 +121,9 @@ def _bucket_sql_one_table(t: int, row: list[str]) -> str:
 
 
 _BUCKETS_SQL = " UNION ALL ".join(_bucket_sql_one_table(t, row) for t, row in enumerate(_PLANES))
+_PAIR_BUCKETS_SQL = " UNION ALL ".join(
+    _bucket_sql_one_table(t, row) for t, row in enumerate(_PAIR_PLANES)
+)
 
 _COSINE_SQL = (
     "list_sum(list_transform(range({dim}), d -> CAST(qe[d+1] AS DOUBLE) * CAST(ne[d+1] AS DOUBLE)))"
@@ -236,10 +251,10 @@ SELECT query_id, neighbor_id, sim, rnk FROM (
 """
 
 
-def embedding_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs (all pairs ≥ threshold). Brute
-    force here (N=500); the LSH bucketing above is the scale path —
-    at corpus scale, near-dup = lsh candidates + threshold filter."""
+def embedding_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine ≥ threshold by cross join — O(N²), kept ONLY as
+    the recall cross-check for the LSH path (tests); never the
+    production plan."""
     emb = load_table(spark, sf_dir, "embeddings")
     a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"))
     b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ne"))
@@ -252,35 +267,111 @@ def embedding_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def embedding_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH bucket equi-join generates
+    candidates (docs sharing any (table, bucket)), cosine verifies ≥
+    threshold — candidates-only, NO cartesian product in the plan. The
+    deterministic hyperplanes make the oracle reproduce the exact same
+    candidate set, so the result is hash-checkable; recall vs brute
+    force is asserted in tests (test_similarity_vectors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = lsh_buckets(emb, planes=_PAIR_PLANES).cache()
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    ea = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"))
+    eb = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ne"))
+    sim = cosine("qe", "ne")
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .filter(sim >= PAIR_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
+    )
+
+
 EMBEDDING_PAIRS_THRESHOLD_SQL = f"""
-SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-       ROUND({_COSINE_SQL.replace('qe', 'a.embedding').replace('ne', 'b.embedding')}, 6) AS sim
-FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE {_COSINE_SQL.replace('qe', 'a.embedding').replace('ne', 'b.embedding')} >= {PAIR_THRESHOLD}
+WITH buckets AS (
+  {_PAIR_BUCKETS_SQL}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       ROUND({_COSINE_SQL.replace('qe', 'ea.embedding').replace('ne', 'eb.embedding')}, 6) AS sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE {_COSINE_SQL.replace('qe', 'ea.embedding').replace('ne', 'eb.embedding')} >= {PAIR_THRESHOLD}
 """
+
+
+CENTROID_SCALE = 10_000  # fixed-point scale for exact accumulation
 
 
 def label_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF building block: per-label centroid (coarse quantizer), then
-    each vector's distance-to-own-centroid. Demonstrates the
-    assign-to-centroid kernel; rounded for cross-engine agreement.
-    (IVF probe = same pattern with argmin over centroids.)"""
+    each vector's distance-to-own-centroid. (IVF probe = same pattern
+    with argmin over centroids.)
+
+    Exact-arithmetic design so the DuckDB oracle hash-matches: floats
+    are fixed-pointed via floor(v·S + 0.5) → int64 (floor avoids
+    round-half mode ambiguity across engines); the centroid numerator
+    is an exact integer SUM (order-independent, unlike float avg);
+    distances clear the 1/n denominator by scaling through n:
+        dist² · (n·S)² = Σ_d (n·v_d·S − Σ_label v_d·S)²   — all int64.
+    Magnitudes: |v|<0.6, S=1e4, n≤thousands per label ⇒ terms ≪ 2^63.
+    One double sqrt + division at the very end, rounded to 6 dp."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # centroid[d] = avg over label — exact-sum (sequential per group is
-    # NOT guaranteed) → round centroids hard (4dp) before distances.
-    by_dim = emb.select(
-        "label", "vec_id", F.posexplode("embedding").alias("d", "v")
+    by_dim = emb.select("label", "vec_id", F.posexplode("embedding").alias("d", "v"))
+    scaled = by_dim.select(
+        "label",
+        "vec_id",
+        "d",
+        F.floor(F.col("v").cast("double") * CENTROID_SCALE + 0.5).cast("long").alias("vs"),
     )
-    cent = (
-        by_dim.groupBy("label", "d")
-        .agg(F.round(F.avg(F.col("v").cast("double")), 4).alias("c"))
+    cent = scaled.groupBy("label", "d").agg(
+        F.sum("vs").alias("csum"), F.count("*").alias("n")
     )
-    joined = by_dim.join(cent, ["label", "d"])
-    dist2 = F.sum(F.pow(F.col("v").cast("double") - F.col("c"), 2))
+    joined = scaled.join(cent, ["label", "d"])
+    diff = F.col("n") * F.col("vs") - F.col("csum")
+    term = diff * diff  # long·long — exact integer, never a double
     return (
         joined.groupBy("label", "vec_id")
-        .agg(F.round(F.sqrt(dist2), 4).alias("dist_to_centroid"))
+        .agg(
+            F.round(
+                F.sqrt(F.sum(term).cast("double"))
+                / (F.max("n") * F.lit(float(CENTROID_SCALE))),
+                6,
+            ).alias("dist_to_centroid")
+        )
     )
+
+
+LABEL_CENTROIDS_SQL = f"""
+WITH by_dim AS (
+  SELECT label, vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
+), cent AS (
+  SELECT label, d, CAST(SUM(vs) AS BIGINT) AS csum, COUNT(*) AS n
+  FROM by_dim GROUP BY label, d
+)
+SELECT b.label, b.vec_id,
+       ROUND(sqrt(CAST(CAST(SUM((c.n * b.vs - c.csum) * (c.n * b.vs - c.csum)) AS BIGINT) AS DOUBLE))
+             / (ANY_VALUE(c.n) * {CENTROID_SCALE}.0), 6) AS dist_to_centroid
+FROM by_dim b JOIN cent c ON c.label = b.label AND c.d = b.d
+GROUP BY b.label, b.vec_id
+"""
 
 
 QUERIES = {
@@ -296,6 +387,5 @@ ORACLE_SQL = {
     "ann_brute_topk": ANN_BRUTE_TOPK_SQL,
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "embedding_pairs": EMBEDDING_PAIRS_THRESHOLD_SQL,
-    # label_centroids: avg() accumulation order differs per engine (grouped
-    # sum, not a sequential list fold) → rows-only check by design.
+    "label_centroids": LABEL_CENTROIDS_SQL,
 }

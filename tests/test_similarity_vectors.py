@@ -40,3 +40,49 @@ def test_lsh_buckets_identical_vectors_collide(spark):
     # negated vector flips every sign bit → complement bucket in each table
     for t, bucket in by_vec[0].items():
         assert by_vec[2][t] == (~bucket) & 0xFF
+
+
+def test_embedding_pairs_lsh_recall_and_plan(spark):
+    """The LSH near-dup path: candidates-only (no cartesian product in
+    the plan) and full recall vs brute force on the sf0.001 corpus."""
+    from capstone_etl_spark.operators.similarity import (
+        embedding_pairs_brute,
+        embedding_pairs_threshold,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    lsh_df = embedding_pairs_threshold(spark, sf)
+    plan = lsh_df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    lsh = {(r.vec_a, r.vec_b): r.sim for r in lsh_df.collect()}
+    brute = {(r.vec_a, r.vec_b): r.sim for r in embedding_pairs_brute(spark, sf).collect()}
+    assert set(lsh) <= set(brute)          # LSH verifies with true cosine
+    # 16×4 banding: expected recall ≈ 0.96 at sim 0.45; deterministic
+    # planes make the observed value stable (6/7 at sf0.001, 14/14 at
+    # sf0.01)
+    assert len(lsh) >= 0.8 * len(brute)
+    for k, sim in lsh.items():
+        assert sim == brute[k]
+
+
+def test_label_centroid_distances_match_numpy(spark):
+    """Exact fixed-point centroid math agrees with straight float math
+    to fixed-point precision (~1e-4 relative)."""
+    import numpy as np
+
+    from capstone_etl_spark.operators.similarity import label_centroid_assignment
+
+    sf = "/root/testdata/sf0.001"
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").collect()
+    got = {
+        (r.label, r.vec_id): r.dist_to_centroid
+        for r in label_centroid_assignment(spark, sf).collect()
+    }
+    by_label = {}
+    for r in emb:
+        by_label.setdefault(r.label, []).append((r.vec_id, np.array(r.embedding, dtype=np.float64)))
+    for label, vecs in by_label.items():
+        cent = np.mean([v for _, v in vecs], axis=0)
+        for vec_id, v in vecs:
+            expect = float(np.linalg.norm(v - cent))
+            assert abs(got[(label, vec_id)] - expect) < 2e-4, (label, vec_id)
