@@ -39,13 +39,23 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         outputs,
         relational,
         similarity,
+        streaming_queries,
         text_pipeline,
         textstats,
     )
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
     oracles: dict[str, str] = {}
-    for mod in (text_pipeline, relational, events, dedup, similarity, textstats, outputs):
+    for mod in (
+        text_pipeline,
+        relational,
+        events,
+        dedup,
+        similarity,
+        textstats,
+        outputs,
+        streaming_queries,
+    ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE_SQL)
     return queries, oracles

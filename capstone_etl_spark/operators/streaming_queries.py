@@ -1,0 +1,111 @@
+"""Driver-facing queries that run the REAL Structured Streaming engine
+end-to-end (readStream → watermark → windowed agg → availableNow →
+memory sink) and return the final table — so even the streaming layer
+is DuckDB-oracle-checked, not just rows-counted.
+
+Each query stages the events table to a temp directory through the S4
+parquet sink, attaches a multi-batch file stream (maxFilesPerTrigger
+keeps several micro-batches in play — incremental state is genuinely
+exercised), runs to completion, and returns the sink table.
+"""
+
+from __future__ import annotations
+
+import shutil
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+from capstone_etl_spark.operators.events import EVENT_DEDUP_SQL, TUMBLING_WINDOWS_SQL
+from capstone_etl_spark.streaming import (
+    events_stream,
+    run_to_memory,
+    stage_events,
+    stream_dedup_counts,
+    stream_session_windows,
+    stream_tumbling,
+)
+
+SESSION_GAP_SEC = 30 * 60
+
+# Replaying a historical table: files arrive in arbitrary event-time
+# order, so batch-exact results need a watermark beyond the replay
+# disorder (full horizon). See streaming/windows.py watermark note.
+HORIZON_WATERMARK = "400 days"
+
+
+def _run(spark: SparkSession, sf_dir: str, transform, output_mode: str) -> DataFrame:
+    work = tempfile.mkdtemp(prefix="spark_stream_")
+    try:
+        stage_events(spark, sf_dir, f"{work}/staging", n_files=4)
+        stream = events_stream(spark, f"{work}/staging", max_files_per_trigger=2)
+        return run_to_memory(
+            transform(stream), f"{work}/checkpoint", output_mode=output_mode
+        )
+    finally:
+        # The memory sink holds results in the driver; staged files and
+        # checkpoints are no longer needed once the query terminates.
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def stream_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming tumbling windows, oracle-identical to the batch form."""
+    return _run(
+        spark, sf_dir, lambda s: stream_tumbling(s, watermark=HORIZON_WATERMARK), "complete"
+    )
+
+
+def stream_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming dropDuplicatesWithinWatermark → per-type counts."""
+    return _run(
+        spark, sf_dir, lambda s: stream_dedup_counts(s, watermark=HORIZON_WATERMARK), "complete"
+    )
+
+
+def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window) on the stream."""
+    return _run(
+        spark,
+        sf_dir,
+        lambda s: stream_session_windows(s, watermark=HORIZON_WATERMARK),
+        "complete",
+    )
+
+
+# Session-window semantics: a session closes when the next event is
+# >= gap after the PREVIOUS EVENT; end = last event + gap. (The
+# lag+cumsum batch sessionize closes on > — both documented.)
+STREAM_USER_SESSIONS_SQL = f"""
+WITH ev AS (
+  SELECT user_id, FLOOR(epoch(ts))::BIGINT AS ts_sec FROM events
+), with_gap AS (
+  SELECT user_id, ts_sec,
+         CASE WHEN ts_sec - LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec)
+                   >= {SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS new_session
+  FROM ev
+), with_id AS (
+  SELECT user_id, ts_sec,
+         SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_sec
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM with_gap
+)
+SELECT user_id,
+       MIN(ts_sec) AS session_start,
+       MAX(ts_sec) + {SESSION_GAP_SEC} AS session_end,
+       COUNT(*) AS n_events
+FROM with_id GROUP BY user_id, session_seq
+"""
+
+
+QUERIES = {
+    "stream_tumbling_windows": stream_tumbling_windows,
+    "stream_event_dedup": stream_event_dedup,
+    "stream_user_sessions": stream_user_sessions,
+}
+
+ORACLE_SQL = {
+    "stream_tumbling_windows": TUMBLING_WINDOWS_SQL,
+    "stream_event_dedup": EVENT_DEDUP_SQL,
+    "stream_user_sessions": STREAM_USER_SESSIONS_SQL,
+}

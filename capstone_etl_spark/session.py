@@ -26,8 +26,9 @@ def get_spark(
       coalesces from a deliberately-high initial number).
     - UTC session timezone so timestamp semantics match the DuckDB
       oracle exactly.
-    - Arrow enabled for the few pandas-UDF operators (similarity,
-      multimodal) — everything else is JVM-side.
+    - Arrow enabled for the few pandas-backed operators (stateful
+      streaming via applyInPandasWithState, multimodal decode stubs
+      via mapInPandas) — everything else is JVM-side.
     """
     cpus = cpus or os.environ.get("SPARK_GRAFT_CPUS", "32")
     shuffle = shuffle_partitions or int(os.environ.get("SPARK_GRAFT_SHUFFLE", str(min(int(cpus), 32))))

@@ -1,0 +1,62 @@
+"""Performance-contract assertions via plan inspection: broadcasts
+where broadcasts belong, no cartesians, scan pushdown, codegen."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from capstone_etl_spark.operators.text_pipeline import sparse_vectors, tf_idf
+from capstone_etl_spark.operators.similarity import embedding_pairs_threshold
+from capstone_etl_spark.plans import (
+    broadcast_hash_join_count,
+    exchange_count,
+    formatted_plan,
+    has_cartesian,
+    pushed_filters,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_parquet_filter_pushdown(spark):
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    q = docs.filter(F.col("doc_id") < 10).select("doc_id", "lang")
+    pf = pushed_filters(q)
+    assert any("doc_id" in f for f in pf), pf
+    # column pruning: the scan must not read the wide text column
+    assert "text" not in formatted_plan(q).split("ReadSchema")[-1][:200]
+
+
+def test_sparse_vectors_broadcasts_vocab(spark):
+    df = sparse_vectors(spark, SF_DIR)
+    assert broadcast_hash_join_count(df) >= 1
+    assert not has_cartesian(df)
+
+
+def test_tf_idf_lazy_scalar_count_and_single_tokenize(spark):
+    from capstone_etl_spark.plans import executed_plan
+
+    df = tf_idf(spark, SF_DIR)
+    plan = executed_plan(df)
+    # df-relation joined by broadcast; N arrives as a broadcast 1-row
+    # cross join (NOT an eager driver-side .count())
+    assert broadcast_hash_join_count(df) >= 1
+    assert "BroadcastNestedLoopJoin BuildRight, Cross" in plan
+    # tf cached → every consumer reads the InMemoryRelation: one
+    # tokenize pass total
+    assert plan.count("InMemoryTableScan") >= 2
+
+
+def test_embedding_pairs_no_cartesian(spark):
+    assert not has_cartesian(embedding_pairs_threshold(spark, SF_DIR))
+
+
+def test_exchange_budget_tf(spark):
+    """TF = explode → filter → partial agg | shuffle | final agg: the
+    plan must carry exactly one exchange for the groupBy (plus AQE
+    reads), not re-shuffle per stage."""
+    from capstone_etl_spark.operators.tokenize import term_frequencies
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tf = term_frequencies(docs)
+    assert exchange_count(tf) == 1, formatted_plan(tf)

@@ -1,0 +1,117 @@
+"""Structured Streaming layer: multi-batch equivalence vs batch forms,
+watermark late-drop semantics, custom stateful operator."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from capstone_etl_spark.operators import events as batch_events
+from capstone_etl_spark.streaming import (
+    events_stream,
+    run_to_memory,
+    stage_events,
+    stream_dedup_counts,
+    stream_session_windows,
+    stream_tumbling,
+)
+from capstone_etl_spark.streaming.stateful import running_user_activity
+
+SF_DIR = "/root/testdata/sf0.001"
+HORIZON = "400 days"
+
+
+def _pdf(df) -> pd.DataFrame:
+    return df.toPandas().sort_values(list(df.columns), ignore_index=True)
+
+
+def _staged_stream(spark, tmp_path, files=4, per_trigger=1):
+    stage_events(spark, SF_DIR, str(tmp_path / "staging"), n_files=files)
+    return events_stream(spark, str(tmp_path / "staging"), max_files_per_trigger=per_trigger)
+
+
+def test_stream_tumbling_equals_batch(spark, tmp_path):
+    """4 files × 1 per trigger = 4 micro-batches; incremental window
+    state must converge to the batch answer."""
+    stream = _staged_stream(spark, tmp_path)
+    got = run_to_memory(
+        stream_tumbling(stream, watermark=HORIZON), str(tmp_path / "ckpt"), "complete"
+    )
+    want = batch_events.tumbling_windows(spark, SF_DIR)
+    pd.testing.assert_frame_equal(_pdf(got), _pdf(want))
+
+
+def test_stream_dedup_equals_batch(spark, tmp_path):
+    stream = _staged_stream(spark, tmp_path)
+    got = run_to_memory(
+        stream_dedup_counts(stream, watermark=HORIZON), str(tmp_path / "ckpt"), "complete"
+    )
+    want = batch_events.event_dedup(spark, SF_DIR)
+    pd.testing.assert_frame_equal(_pdf(got), _pdf(want))
+
+
+def test_stream_sessions_equal_batch_session_window(spark, tmp_path):
+    """Streaming F.session_window == the same operator run in batch
+    (session_window is batch-or-stream polymorphic)."""
+    stream = _staged_stream(spark, tmp_path)
+    got = run_to_memory(
+        stream_session_windows(stream, watermark=HORIZON), str(tmp_path / "ckpt"), "complete"
+    )
+    batch = spark.read.parquet(str(tmp_path / "staging"))
+    want = stream_session_windows(batch)
+    pd.testing.assert_frame_equal(_pdf(got), _pdf(want))
+
+
+def test_watermark_drops_late(spark, tmp_path):
+    """A tight watermark on an out-of-order replay DROPS late rows —
+    the state-bounding behavior the 400-day horizon deliberately
+    disables for exact replay. Staged round-robin files each span the
+    full time range, so batch 2+ is almost entirely 'late' under a
+    30-minute watermark. NOTE: dropping applies in update/append modes;
+    complete mode retains all state by definition."""
+    stream = _staged_stream(spark, tmp_path)
+    got = run_to_memory(
+        stream_tumbling(stream, watermark="30 minutes"), str(tmp_path / "ckpt"), "update"
+    )
+    # update mode emits revised window rows per batch; counts per window
+    # are monotone — max per window = that window's final count
+    n_stream = (
+        got.groupBy("window_start", "event_type")
+        .agg(F.max("n_events").alias("n"))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    n_batch = spark.read.parquet(str(tmp_path / "staging")).count()
+    assert n_stream < n_batch
+
+
+def test_stateful_running_activity(spark, tmp_path):
+    """applyInPandasWithState accumulates per-user state across
+    micro-batches; the final update per user equals the batch rollup."""
+    stream = _staged_stream(spark, tmp_path, per_trigger=2)
+    got = run_to_memory(
+        running_user_activity(stream), str(tmp_path / "ckpt"), output_mode="update"
+    )
+    # update mode emits one row per (user, batch-touched); the running
+    # count is monotone — the max row per user is the final state
+    final = (
+        got.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+            F.max("last_seen_sec").alias("last_seen_sec"),
+        )
+    )
+    ev = spark.read.parquet(str(tmp_path / "staging"))
+    want = ev.groupBy("user_id").agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum(F.col("value").cast("double")), 2).alias("total_value"),
+        F.max(F.col("ts").cast("long")).alias("last_seen_sec"),
+    )
+    g = {r.user_id: r for r in final.collect()}
+    w = {r.user_id: r for r in want.collect()}
+    assert set(g) == set(w)
+    for uid, row in w.items():
+        assert g[uid].n_events == row.n_events, uid
+        assert abs(g[uid].total_value - row.total_value) < 0.05, uid
+        assert g[uid].last_seen_sec == row.last_seen_sec, uid
