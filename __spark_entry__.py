@@ -36,6 +36,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
     from capstone_etl_spark.operators import (
         dedup,
         events,
+        multimodal,
         outputs,
         relational,
         similarity,
@@ -55,6 +56,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         textstats,
         outputs,
         streaming_queries,
+        multimodal,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE_SQL)
