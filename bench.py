@@ -5,7 +5,11 @@ Runs the headline queries at $SPARK_GRAFT_SF_DIR (default
 line: {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
-Each query is forced with a full-result count (no collect to driver).
+Each query is forced by hashing EVERY output column into a 1-row
+aggregate (xxhash64 over string-cast columns, summed). A bare count()
+would let Catalyst prune unreferenced projections (decimal sums, tfidf
+logs would never execute) and under-measure; the hash forces every
+value to materialize while still collecting only one row.
 """
 
 from __future__ import annotations
@@ -19,6 +23,7 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
 import __spark_entry__ as entrymod
 from capstone_etl_spark.session import get_spark
+from pyspark.sql import functions as F
 
 # Headline set: the reference-parity text pipeline end-to-end plus the
 # heavy relational queries (fact-fact join, multi-join, window rank).
@@ -51,9 +56,15 @@ def main() -> None:
     for name in names:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
-        n = df.count()
+        row = df.agg(
+            F.count(F.lit(1)).alias("n"),
+            # decimal sum: long would overflow under ANSI mode
+            F.sum(
+                F.xxhash64(*[F.col(c).cast("string") for c in df.columns]).cast("decimal(38,0)")
+            ).alias("h"),
+        ).collect()[0]
         timings[name] = round(time.perf_counter() - t0, 3)
-        print(f"# {name}: {timings[name]:.3f}s ({n} rows)", file=sys.stderr)
+        print(f"# {name}: {timings[name]:.3f}s ({row.n} rows)", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
     print(

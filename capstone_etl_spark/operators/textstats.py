@@ -161,10 +161,12 @@ def language_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         for lang, words in LANG_MARKERS.items()
     ]
     scored = docs.select("doc_id", "lang", *scores)
-    langs = list(LANG_MARKERS)
+    langs = sorted(LANG_MARKERS)  # lexicographic-stable tiebreak: the
+    # alphabetically-first language among ties wins (mirrored in the SQL
+    # CASE below, which iterates the same sorted order)
     best = F.greatest(*[F.col(f"score_{lg}") for lg in langs])
     pred = F.when(best == 0, F.lit("und"))
-    for lg in langs:  # lexicographic-stable: first max wins in sorted order
+    for lg in langs:
         pred = pred.when(F.col(f"score_{lg}") == best, F.lit(lg))
     return scored.select(
         "doc_id",
@@ -180,7 +182,7 @@ def _lang_score_sql(lang: str) -> str:
 
 
 _LANG_CASE = " ".join(
-    f"WHEN {_lang_score_sql(lg)} = best THEN '{lg}'" for lg in LANG_MARKERS
+    f"WHEN {_lang_score_sql(lg)} = best THEN '{lg}'" for lg in sorted(LANG_MARKERS)
 )
 
 LANGUAGE_ID_SQL = f"""
