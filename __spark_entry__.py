@@ -35,6 +35,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
     from capstone_etl_spark.operators import (
         dedup,
+        doc_similarity,
         events,
         multimodal,
         outputs,
@@ -57,6 +58,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         outputs,
         streaming_queries,
         multimodal,
+        doc_similarity,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE_SQL)

@@ -228,6 +228,53 @@ FROM events GROUP BY 1
 """
 
 
+def asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AS-OF join: for every purchase, the most recent view AT OR BEFORE
+    it by the same user. Implemented as the scale-correct window form —
+    ONE shuffle on user_id and a running `last(ignorenulls)` over the
+    time-ordered union — instead of a range join (which explodes on
+    |purchases|×|views| per user and skews on hot users). Ties at the
+    same second resolve by event_id (deterministic in both engines)."""
+    ev = _events(spark, sf_dir).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.col("ts").cast("long").alias("ts_sec"),
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts_sec"))
+    enriched = ev.withColumn("last_view_ts", F.last(view_ts, ignorenulls=True).over(w))
+    return (
+        enriched.filter(F.col("event_type") == "purchase")
+        .select(
+            "user_id",
+            F.col("ts_sec").alias("purchase_ts"),
+            "last_view_ts",
+            (F.col("ts_sec") - F.col("last_view_ts")).alias("gap_sec"),
+        )
+    )
+
+
+ASOF_LAST_VIEW_SQL = """
+WITH ev AS (
+  SELECT event_id, user_id, event_type, FLOOR(epoch(ts))::BIGINT AS ts_sec FROM events
+), enriched AS (
+  SELECT user_id, event_type, ts_sec,
+         LAST_VALUE(CASE WHEN event_type = 'view' THEN ts_sec END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts_sec, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_ts
+  FROM ev
+)
+SELECT user_id, ts_sec AS purchase_ts, last_view_ts,
+       ts_sec - last_view_ts AS gap_sec
+FROM enriched WHERE event_type = 'purchase'
+"""
+
+
 QUERIES = {
     "event_tumbling_windows": tumbling_windows,
     "event_sliding_windows": sliding_windows,
@@ -236,6 +283,7 @@ QUERIES = {
     "event_user_rank": user_activity_rank,
     "event_dedup": event_dedup,
     "event_daily_matrix": daily_type_matrix,
+    "event_asof_last_view": asof_last_view,
 }
 
 ORACLE_SQL = {
@@ -246,4 +294,5 @@ ORACLE_SQL = {
     "event_user_rank": USER_ACTIVITY_RANK_SQL,
     "event_dedup": EVENT_DEDUP_SQL,
     "event_daily_matrix": DAILY_TYPE_MATRIX_SQL,
+    "event_asof_last_view": ASOF_LAST_VIEW_SQL,
 }

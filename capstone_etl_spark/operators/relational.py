@@ -309,6 +309,42 @@ ORDER BY month
 """
 
 
+def customer_year_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (§2.6 — absent in the reference, Spark built-ins):
+    customers ordering in 1996 vs 1997 sliced into INTERSECT ('both'),
+    EXCEPT ('only_1996' / 'only_1997') segments. Each set op is a
+    distinct-style hash aggregation shuffling on the full row — keys
+    here are single bigints, uniform."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def custs(year: int) -> DataFrame:
+        return (
+            orders.filter(F.year("o_orderdate") == year).select("o_custkey").distinct()
+        )
+
+    y96, y97 = custs(1996), custs(1997)
+    tag = lambda df, t: df.select(F.lit(t).alias("segment"), "o_custkey")  # noqa: E731
+    return (
+        tag(y96.intersect(y97), "both")
+        .unionByName(tag(y96.subtract(y97), "only_1996"))
+        .unionByName(tag(y97.subtract(y96), "only_1997"))
+    )
+
+
+CUSTOMER_YEAR_SETOPS_SQL = """
+WITH y96 AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+), y97 AS (
+  SELECT DISTINCT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+)
+SELECT 'both' AS segment, o_custkey FROM (SELECT o_custkey FROM y96 INTERSECT SELECT o_custkey FROM y97)
+UNION ALL
+SELECT 'only_1996', o_custkey FROM (SELECT o_custkey FROM y96 EXCEPT SELECT o_custkey FROM y97)
+UNION ALL
+SELECT 'only_1997', o_custkey FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_custkey FROM y96)
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "top_customers": top_customers,
@@ -318,6 +354,7 @@ QUERIES = {
     "parts_without_orders": parts_without_orders,
     "supplier_part_volume": supplier_part_volume,
     "order_date_rollup": order_date_rollup,
+    "customer_year_setops": customer_year_setops,
 }
 
 ORACLE_SQL = {
@@ -329,4 +366,5 @@ ORACLE_SQL = {
     "parts_without_orders": PARTS_WITHOUT_ORDERS_SQL,
     "supplier_part_volume": SUPPLIER_PART_VOLUME_SQL,
     "order_date_rollup": ORDER_DATE_ROLLUP_SQL,
+    "customer_year_setops": CUSTOMER_YEAR_SETOPS_SQL,
 }
