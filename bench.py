@@ -49,8 +49,18 @@ def main() -> None:
     qs = entrymod.queries()
     names = [n for n in HEADLINE if n in qs] + [n for n in sys.argv[1:] if n in qs]
 
-    # warm the JVM + parquet footers with one tiny action
+    # Warm the JVM before timing: parquet footer reads, whole-stage
+    # codegen compilation, one shuffle exchange and one broadcast —
+    # otherwise the first measured query absorbs one-time startup cost
+    # that is not query work.
     spark.read.parquet(f"{sf_dir}/region.parquet").count()
+    warm = spark.range(100_000).select(
+        (F.col("id") % 97).alias("k"), F.md5(F.col("id").cast("string")).alias("s")
+    )
+    warm.groupBy("k").agg(F.count("*"), F.sum(F.xxhash64("s").cast("decimal(38,0)"))).collect()
+    r = spark.read.parquet(f"{sf_dir}/region.parquet")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).count()
 
     timings: dict[str, float] = {}
     for name in names:

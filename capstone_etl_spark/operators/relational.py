@@ -79,19 +79,30 @@ ORDER BY l_returnflag, l_linestatus
 
 
 def top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Revenue per customer: fact-fact shuffle join (lineitem⋈orders on
-    orderkey) then broadcast dimension join (customer); top 10."""
+    """Revenue per customer; top 10.
+
+    Plan: PRE-AGGREGATE lineitem revenue per orderkey BEFORE the
+    fact-fact join (a rewrite Catalyst does not perform itself) — the
+    join then carries one row per order instead of one per line item
+    (~4× less at TPC-H shape, and the orderkey exchange from the
+    aggregation is reused by the join), and the per-customer
+    countDistinct(o_orderkey) collapses to a plain count(*) because
+    orderkey is unique post-agg. Decimal sums stay exact through the
+    two-level aggregation (associative)."""
     li = load_table(spark, sf_dir, "lineitem")
     orders = load_table(spark, sf_dir, "orders")
     cust = load_table(spark, sf_dir, "customer")
     revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    per_order = li.groupBy("l_orderkey").agg(
+        F.sum(revenue.cast("decimal(24,4)")).alias("order_rev")
+    )
     return (
-        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        per_order.join(orders, per_order["l_orderkey"] == orders["o_orderkey"])
         .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
         .groupBy("c_custkey", "c_name")
         .agg(
-            _dsum(revenue, "decimal(24,4)").alias("revenue"),
-            F.countDistinct("o_orderkey").alias("n_orders"),
+            F.sum("order_rev").cast("double").alias("revenue"),
+            F.count("*").alias("n_orders"),
         )
         .orderBy(F.desc("revenue"), "c_custkey")
         .limit(10)
