@@ -15,21 +15,15 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: the reference's semantic heart (clean → tokenize →
-    stopword gate → TF → per-doc stats, SURVEY.md §7.2 slice 0) joined
-    back to document metadata."""
-    from pyspark.sql import functions as F
+    """Flagship: the reference's composed output document — one row per
+    page carrying hierarchy + counts + tokens + L2 norm together (the
+    `wikibooks` collection, SURVEY.md §1.4.1), canonicalized. This is
+    the full pipeline end-to-end: scan → clean/tokenize → stopword
+    gate → TF → stats → token arrays → path derivation → hierarchy
+    self-join → child aggregates → substring counts → assembly."""
+    from capstone_etl_spark.operators.outputs import wikibooks_docs
 
-    from capstone_etl_spark.operators.tokenize import doc_stats, term_frequencies
-    from capstone_etl_spark.sources.tables import load_table
-
-    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
-    stats = doc_stats(term_frequencies(docs))
-    return (
-        docs.select("doc_id", "lang", "source", "n_chars")
-        .join(stats, "doc_id", "left")
-        .orderBy("doc_id")
-    )
+    return wikibooks_docs(spark, "/root/testdata/sf0.001").orderBy("doc_id")
 
 
 def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:

@@ -275,6 +275,37 @@ FROM enriched WHERE event_type = 'purchase'
 """
 
 
+def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (median/p90/p99) of value per
+    event type — F.percentile is the EXACT sort-based aggregate (both
+    engines interpolate linearly between order statistics; rounded 6dp
+    against last-ulp drift in the interpolation arithmetic). The
+    approx_percentile sketch is the scale alternative when exactness
+    isn't required — not used here because sketch implementations
+    differ across engines."""
+    ev = _events(spark, sf_dir)
+    pct = F.percentile("value", F.array(F.lit(0.5), F.lit(0.9), F.lit(0.99)))
+    return (
+        ev.groupBy("event_type")
+        .agg(pct.alias("p"))
+        .select(
+            "event_type",
+            F.round(F.col("p")[0], 6).alias("p50"),
+            F.round(F.col("p")[1], 6).alias("p90"),
+            F.round(F.col("p")[2], 6).alias("p99"),
+        )
+    )
+
+
+VALUE_PERCENTILES_SQL = """
+SELECT event_type,
+       ROUND(quantile_cont(value, 0.5), 6) AS p50,
+       ROUND(quantile_cont(value, 0.9), 6) AS p90,
+       ROUND(quantile_cont(value, 0.99), 6) AS p99
+FROM events GROUP BY event_type
+"""
+
+
 QUERIES = {
     "event_tumbling_windows": tumbling_windows,
     "event_sliding_windows": sliding_windows,
@@ -284,6 +315,7 @@ QUERIES = {
     "event_dedup": event_dedup,
     "event_daily_matrix": daily_type_matrix,
     "event_asof_last_view": asof_last_view,
+    "event_value_percentiles": value_percentiles,
 }
 
 ORACLE_SQL = {
@@ -295,4 +327,5 @@ ORACLE_SQL = {
     "event_dedup": EVENT_DEDUP_SQL,
     "event_daily_matrix": DAILY_TYPE_MATRIX_SQL,
     "event_asof_last_view": ASOF_LAST_VIEW_SQL,
+    "event_value_percentiles": VALUE_PERCENTILES_SQL,
 }

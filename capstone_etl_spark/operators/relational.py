@@ -320,6 +320,35 @@ ORDER BY month
 """
 
 
+def order_priority_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ROLLUP (year, priority): per-(year,priority) rows plus
+    year subtotals plus a grand total in ONE pass — Spark expands the
+    grouping sets before the hash agg (no extra scans). grouping_id
+    disambiguates genuine NULL keys from subtotal rows."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.rollup(
+            F.year("o_orderdate").alias("year"), F.col("o_orderpriority").alias("priority")
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_orders"),
+            _dsum(F.col("o_totalprice")).alias("revenue"),
+        )
+        .select("year", "priority", "gid", "n_orders", "revenue")
+    )
+
+
+ORDER_PRIORITY_ROLLUP_SQL = """
+SELECT year(o_orderdate) AS year, o_orderpriority AS priority,
+       CAST(GROUPING(year(o_orderdate), o_orderpriority) AS BIGINT) AS gid,
+       COUNT(*) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+FROM orders
+GROUP BY ROLLUP (year(o_orderdate), o_orderpriority)
+"""
+
+
 def customer_year_setops(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Set operations (§2.6 — absent in the reference, Spark built-ins):
     customers ordering in 1996 vs 1997 sliced into INTERSECT ('both'),
@@ -365,6 +394,7 @@ QUERIES = {
     "parts_without_orders": parts_without_orders,
     "supplier_part_volume": supplier_part_volume,
     "order_date_rollup": order_date_rollup,
+    "order_priority_rollup": order_priority_rollup,
     "customer_year_setops": customer_year_setops,
 }
 
@@ -377,5 +407,6 @@ ORACLE_SQL = {
     "parts_without_orders": PARTS_WITHOUT_ORDERS_SQL,
     "supplier_part_volume": SUPPLIER_PART_VOLUME_SQL,
     "order_date_rollup": ORDER_DATE_ROLLUP_SQL,
+    "order_priority_rollup": ORDER_PRIORITY_ROLLUP_SQL,
     "customer_year_setops": CUSTOMER_YEAR_SETOPS_SQL,
 }

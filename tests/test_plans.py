@@ -57,6 +57,9 @@ def test_exchange_budget_tf(spark):
     reads), not re-shuffle per stage."""
     from capstone_etl_spark.operators.tokenize import term_frequencies
 
+    # other tests may have cached an identical TF lineage, which would
+    # hide the exchange behind an InMemoryTableScan — inspect a cold plan
+    spark.catalog.clearCache()
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     tf = term_frequencies(docs)
     assert exchange_count(tf) == 1, formatted_plan(tf)
