@@ -374,10 +374,124 @@ GROUP BY b.label, b.vec_id
 """
 
 
+IVF_CELLS = 8
+IVF_PROBES = 3
+
+
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF two-stage ANN with a REAL geometric coarse quantizer:
+    Voronoi cells seeded by the first IVF_CELLS vectors (deterministic
+    first-K seeding — one k-means assignment step), each vector
+    assigned to its nearest seed; a query probes its IVF_PROBES nearest
+    cells and reranks only those cells' vectors by exact cosine. The
+    classic inverted-file trade: scan ~probes/cells of the corpus.
+
+    Exactness for the oracle: assignment and probe distances are pure
+    fixed-point integer algebra (quantized vectors, integer sums,
+    argmin with cell tiebreak), so both engines build the identical
+    index, probe identical cells and rank identical candidates.
+
+    Scale notes: assignment is the standard O(N·cells) quantizer pass
+    over a broadcast seed table; the candidate join shuffles on cell;
+    rerank cost = probed fraction of brute force. Recall vs brute
+    force asserted in tests."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    by_dim = emb.select("vec_id", F.posexplode("embedding").alias("d", "v"))
+    scaled = by_dim.select(
+        "vec_id",
+        "d",
+        F.floor(F.col("v").cast("double") * CENTROID_SCALE + 0.5).cast("long").alias("vs"),
+    )
+    seeds = scaled.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell"), "d", F.col("vs").alias("ss")
+    )
+    # quantizer pass: nearest seed per vector (exact integer distance)
+    sd = F.col("vs") - F.col("ss")
+    vec_seed_d2 = (
+        scaled.join(F.broadcast(seeds), "d")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(sd * sd).alias("d2"))
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    assign = (
+        vec_seed_d2.withColumn("arnk", F.row_number().over(aw))
+        .filter(F.col("arnk") == 1)
+        .select("vec_id", "cell")
+    )
+    # probe: each query's IVF_PROBES nearest cells (same distance table)
+    pw = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        vec_seed_d2.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("prnk", F.row_number().over(pw))
+        .filter(F.col("prnk") <= IVF_PROBES)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    cand = (
+        probes.join(assign.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(cosine("qe", "ne"), 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+ANN_IVF_TOPK_SQL = f"""
+WITH by_dim AS (
+  SELECT vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
+), seeds AS (
+  SELECT vec_id AS cell, d, vs AS ss FROM by_dim WHERE vec_id < {IVF_CELLS}
+), vec_seed_d2 AS (
+  SELECT v.vec_id, s.cell, CAST(SUM((v.vs - s.ss) * (v.vs - s.ss)) AS BIGINT) AS d2
+  FROM by_dim v JOIN seeds s ON s.d = v.d
+  GROUP BY v.vec_id, s.cell
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS arnk
+    FROM vec_seed_d2
+  ) t WHERE arnk = 1
+), probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS prnk
+    FROM vec_seed_d2 WHERE vec_id < {N_QUERIES}
+  ) t WHERE prnk <= {IVF_PROBES}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND({_COSINE_SQL.replace('qe', 'q.embedding').replace('ne', 'n.embedding')}, 6) AS sim
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM scored
+) t WHERE rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_topk": ann_lsh_topk,
+    "ann_ivf_topk": ann_ivf_topk,
     "embedding_pairs": embedding_pairs_threshold,
     "label_centroids": label_centroid_assignment,
 }
@@ -386,6 +500,7 @@ ORACLE_SQL = {
     "embedding_norms": EMBEDDING_NORMS_SQL,
     "ann_brute_topk": ANN_BRUTE_TOPK_SQL,
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
+    "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "embedding_pairs": EMBEDDING_PAIRS_THRESHOLD_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
 }

@@ -86,3 +86,19 @@ def test_label_centroid_distances_match_numpy(spark):
         for vec_id, v in vecs:
             expect = float(np.linalg.norm(v - cent))
             assert abs(got[(label, vec_id)] - expect) < 2e-4, (label, vec_id)
+
+
+def test_ann_ivf_recall_vs_brute(spark):
+    """IVF probes 3/8 Voronoi cells: true top-k neighbors concentrate
+    in the query's nearest cells, so recall stays high (observed 45/50
+    at sf0.001, 41/50 at sf0.01 — deterministic) while reranking only
+    ~probes/cells of the corpus."""
+    from capstone_etl_spark.operators.similarity import ann_brute_topk, ann_ivf_topk
+
+    sf = "/root/testdata/sf0.001"
+    ivf: dict[int, set[int]] = {}
+    for r in ann_ivf_topk(spark, sf).collect():
+        ivf.setdefault(r.query_id, set()).add(r.neighbor_id)
+    brute = [(r.query_id, r.neighbor_id) for r in ann_brute_topk(spark, sf).collect()]
+    hits = sum(1 for q, n in brute if n in ivf.get(q, set()))
+    assert hits >= 0.7 * len(brute), f"recall {hits}/{len(brute)}"
