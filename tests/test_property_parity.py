@@ -1,0 +1,62 @@
+"""Property-based parity: Spark column expressions vs pure-Python
+models of the reference semantics (clean/lower/split, main.go:245-297;
+dense ids, main.go:137-153). Each example ships a BATCH of generated
+strings through one Spark job to keep the suite fast."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import given, settings, strategies as st
+from pyspark.sql import functions as F
+
+from capstone_etl_spark.functions.text import count_substring, tokenize
+from capstone_etl_spark.operators.vocab import with_dense_ids
+
+# printable ascii + some unicode/whitespace torture
+TEXTS = st.lists(
+    st.text(
+        alphabet=st.characters(codec="utf-8", exclude_categories=["Cs"]),
+        max_size=60,
+    ),
+    min_size=1,
+    max_size=24,
+)
+
+
+def _model_tokens(s: str) -> list[str]:
+    """The reference semantics: DELETE every char outside [a-zA-Z0-9 ],
+    lowercase, split on space runs, drop empties (main.go:245-297)."""
+    cleaned = re.sub(r"[^a-zA-Z0-9 ]", "", s)
+    return cleaned.lower().split()
+
+
+@settings(max_examples=12, deadline=None)
+@given(TEXTS)
+def test_tokenize_matches_python_model(spark, texts):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, s string")
+    got = {r.i: r.toks for r in df.select("i", tokenize("s").alias("toks")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _model_tokens(t), repr(t)
+
+
+@settings(max_examples=12, deadline=None)
+@given(TEXTS, st.sampled_from(["a", "ab", "x y", "0"]))
+def test_count_substring_matches_str_count(spark, texts, needle):
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, s string")
+    got = {
+        r.i: r.n
+        for r in df.select("i", count_substring("s", needle).alias("n")).collect()
+    }
+    for i, t in enumerate(texts):
+        assert got[i] == t.count(needle), (repr(t), needle)
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.integers(min_value=-(10**9), max_value=10**9), min_size=1, max_size=200, unique=True))
+def test_dense_ids_are_sorted_permutation(spark, keys):
+    df = spark.createDataFrame([(k,) for k in keys], "k long").repartition(4)
+    rows = with_dense_ids(df, "k", id_name="rank").collect()
+    got = {r.k: r.rank for r in rows}
+    for rank, k in enumerate(sorted(keys)):
+        assert got[k] == rank
