@@ -80,6 +80,27 @@ def read_back(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame
     return spark.read.format(fmt).load(path)
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_by: str,
+    n_buckets: int = 32,
+    sort_by: str | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed managed table: rows are hash-partitioned into n_buckets
+    files per partition BY THE JOIN KEY at write time, so later joins
+    and aggregations on that key need NO exchange — the shuffle is paid
+    once at ingest instead of per query. The 100 TB co-location tool
+    for repeatedly-joined fact tables (lineitem ⋈ orders on orderkey);
+    both sides must bucket on the same key with the same count.
+    Requires saveAsTable (bucket metadata lives in the catalog)."""
+    w = df.write.mode(mode).bucketBy(n_buckets, bucket_by)
+    if sort_by:
+        w = w.sortBy(sort_by)
+    w.saveAsTable(table)
+
+
 def write_outputs(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, str]:
     """The reference's three-collection output pass (S4 ×3): compose the
     §1.4 relations and write each as parquet + JSON lines. Returns

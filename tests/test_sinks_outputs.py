@@ -76,3 +76,36 @@ def test_token_vector_dense_ids_are_permutation(spark):
     tv = out_ops.token_vector_output(spark, SF_DIR)
     ids = [r._id for r in tv.select("_id").collect()]
     assert sorted(ids) == list(range(len(ids)))
+
+
+def test_bucketed_join_is_exchange_free(spark):
+    """Bucketing both fact tables on the join key at write time removes
+    the per-query shuffle: the sort-merge join reads co-located buckets
+    directly (scan -> sort -> join, zero Exchange operators)."""
+    from capstone_etl_spark.plans import exchange_count, executed_plan
+    from capstone_etl_spark.sinks.writers import write_bucketed
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_custkey"
+    )
+    write_bucketed(li, "b_lineitem", "l_orderkey", n_buckets=8)
+    write_bucketed(orders, "b_orders", "o_orderkey", n_buckets=8)
+    # compare shuffle joins: disable auto-broadcast (at test scale the
+    # plain join would otherwise broadcast and hide its exchange)
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        bl, bo = spark.table("b_lineitem"), spark.table("b_orders")
+        joined = bl.join(bo, bl.l_orderkey == bo.o_orderkey)
+        assert exchange_count(joined) == 0, executed_plan(joined)
+        assert "SortMergeJoin" in executed_plan(joined)
+        plain = li.join(orders, li.l_orderkey == orders.o_orderkey)
+        assert exchange_count(plain) >= 2          # unbucketed pays the shuffle
+        assert joined.count() == plain.count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+        spark.sql("DROP TABLE IF EXISTS b_orders")
