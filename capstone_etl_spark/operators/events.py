@@ -275,6 +275,33 @@ FROM enriched WHERE event_type = 'purchase'
 """
 
 
+EVENT_TYPES = ("click", "view", "purchase", "signup", "error")
+
+
+def daily_type_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native pivot API form of daily_type_matrix: groupBy(day)
+    .pivot(event_type, values).count(). Passing the value list
+    explicitly keeps the plan single-pass (no extra distinct scan to
+    discover pivot columns) — the scale rule for pivot."""
+    ev = _events(spark, sf_dir).withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+    out = ev.groupBy("day").pivot("event_type", list(EVENT_TYPES)).count()
+    renamed = out.select(
+        "day", *[F.coalesce(F.col(t), F.lit(0)).alias(f"n_{t}") for t in EVENT_TYPES]
+    )
+    return renamed
+
+
+DAILY_TYPE_PIVOT_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+       COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+       COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+       COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+       COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+FROM events GROUP BY 1
+"""
+
+
 def value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact interpolated percentiles (median/p90/p99) of value per
     event type — F.percentile is the EXACT sort-based aggregate (both
@@ -316,6 +343,7 @@ QUERIES = {
     "event_daily_matrix": daily_type_matrix,
     "event_asof_last_view": asof_last_view,
     "event_value_percentiles": value_percentiles,
+    "event_daily_pivot": daily_type_pivot,
 }
 
 ORACLE_SQL = {
@@ -328,4 +356,5 @@ ORACLE_SQL = {
     "event_daily_matrix": DAILY_TYPE_MATRIX_SQL,
     "event_asof_last_view": ASOF_LAST_VIEW_SQL,
     "event_value_percentiles": VALUE_PERCENTILES_SQL,
+    "event_daily_pivot": DAILY_TYPE_PIVOT_SQL,
 }
