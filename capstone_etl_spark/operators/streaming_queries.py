@@ -72,16 +72,19 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# Session-window semantics: a session closes when the next event is
-# >= gap after the PREVIOUS EVENT; end = last event + gap. (The
-# lag+cumsum batch sessionize closes on > — both documented.)
+# Session-window semantics (pinned against Spark at sf0.1, where an
+# exact-gap pair exists): a session EXTENDS while the next event is <=
+# gap after the previous one — a touching boundary (gap exactly equal)
+# still merges, i.e. a new session starts only on STRICTLY greater
+# gaps; end = last event + gap. Matches the lag+cumsum batch
+# sessionize's strict `>` close.
 STREAM_USER_SESSIONS_SQL = f"""
 WITH ev AS (
   SELECT user_id, FLOOR(epoch(ts))::BIGINT AS ts_sec FROM events
 ), with_gap AS (
   SELECT user_id, ts_sec,
          CASE WHEN ts_sec - LAG(ts_sec) OVER (PARTITION BY user_id ORDER BY ts_sec)
-                   >= {SESSION_GAP_SEC}
+                   > {SESSION_GAP_SEC}
               THEN 1 ELSE 0 END AS new_session
   FROM ev
 ), with_id AS (

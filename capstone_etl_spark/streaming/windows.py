@@ -66,10 +66,13 @@ def stream_session_windows(
     events: DataFrame, gap: str = SESSION_GAP, watermark: str = WATERMARK
 ) -> DataFrame:
     """Native session windows per user (F.session_window): a session
-    extends while successive events arrive strictly within `gap`; the
-    window end is last_event + gap. (The lag+cumsum batch sessionize
-    uses `>` where this uses `>=` for the closing gap — both forms are
-    kept, semantics documented.) Event time is truncated to whole
+    extends while successive events arrive within `gap` INCLUSIVE — a
+    touching boundary (next event exactly gap after the previous)
+    still merges, so a new session starts only on strictly greater
+    gaps, matching the lag+cumsum batch sessionize's strict `>` close
+    (pinned against the sf0.1 corpus, which contains an exact-gap
+    pair). The window end is last_event + gap. Event time is truncated
+    to whole
     seconds BEFORE sessionization so gap decisions match the
     second-granularity oracle (raw micros would move boundary cases)."""
     ev = events.withColumn("ts", F.timestamp_seconds(F.col("ts").cast("long")))
