@@ -150,20 +150,145 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-NGRAM_JACCARD_PAIRS_SQL = _SHINGLES_CTE + f"""
+# sizes/inter/pairs CTE block shared by the pair query and the
+# connected-components clustering oracle.
+_JACCARD_PAIRS_CTE = f"""
 , sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
   FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
   GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {JACCARD_THRESHOLD}
 )
-SELECT doc_a, doc_b,
-       ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
-FROM inter
-JOIN sizes sa ON sa.doc_id = doc_a
-JOIN sizes sb ON sb.doc_id = doc_b
-WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {JACCARD_THRESHOLD}
 """
+
+NGRAM_JACCARD_PAIRS_SQL = (
+    _SHINGLES_CTE + _JACCARD_PAIRS_CTE + "SELECT doc_a, doc_b, jaccard FROM pairs"
+)
+
+
+# ------------------------------------------- near-dup clusters (keep-one)
+
+CC_MAX_ROUNDS = 25
+
+
+def connected_components(edges: DataFrame) -> DataFrame:
+    """(doc_id, label) for every node in `edges`, label = component min.
+
+    Distributed min-label propagation with pointer jumping (hash-to-min
+    family — Rastogi et al., "Finding Connected Components in MapReduce");
+    each round is two self-joins + one convergence aggregate, so rounds ~
+    O(log diameter), and near-dup components (dense LSH/shingle cliques)
+    converge in 2-3. Per-round driver work is ONE scalar aggregate (the
+    changed-count) — no row collection; labels persist round-over-round
+    and the superseded cache is dropped. This is the 100 TB shape for
+    iterative graph algorithms on DataFrames.
+
+    `edges` must be directed both ways (src→dst and dst→src).
+    """
+    labels = (
+        edges.select(F.col("src").alias("doc_id")).distinct()
+        .select("doc_id", F.col("doc_id").alias("label"))
+        .cache()
+    )
+    for _ in range(CC_MAX_ROUNDS):
+        nmin = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("src"), F.col("label").alias("nl")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.min("nl").alias("nmin"))
+        )
+        hop = labels.join(nmin, "doc_id", "left").select(
+            "doc_id", F.least("label", F.coalesce("nmin", "label")).alias("label")
+        )
+        # pointer jump: follow label -> label(label); labels only shrink,
+        # so the parent's label is always <= the current one
+        jump = (
+            hop.join(
+                hop.select(F.col("doc_id").alias("label"), F.col("label").alias("pl")),
+                "label",
+                "left",
+            )
+            .select("doc_id", F.coalesce("pl", "label").alias("label"))
+            .cache()
+        )
+        changed = (
+            jump.alias("n")
+            .join(labels.alias("o"), "doc_id")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels.unpersist()
+        labels = jump
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"connected_components did not converge in {CC_MAX_ROUNDS} rounds")
+
+
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup clusters with keep-one semantics — the output a training
+    pipeline actually consumes: every document labeled with its cluster
+    id (= min doc_id reachable through the n-gram-Jaccard near-dup
+    graph), cluster size, and an is_kept flag on the canonical doc.
+    Pairs → connected components → representative selection; singleton
+    docs are their own cluster. Completes the dedup family (pairs alone
+    don't say WHICH copy to keep when dups chain A~B~C)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    edges = (
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+        .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
+        .cache()
+    )
+    labels = connected_components(edges)
+    comp = docs.join(labels, "doc_id", "left").select(
+        "doc_id", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_members",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_kept"),
+    )
+
+
+# Oracle: transitive closure over the pair graph via WITH RECURSIVE
+# (DuckDB's UNION-dedup recursion terminates on cycles), then component
+# label = min reachable id (∪ self).
+DEDUP_CLUSTERS_SQL = (
+    _SHINGLES_CTE.replace("WITH toks", "WITH RECURSIVE toks", 1)
+    + _JACCARD_PAIRS_CTE
+    + """
+, edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+), minreach AS (
+  SELECT s AS doc_id, MIN(d) AS mr FROM reach GROUP BY s
+), comp AS (
+  SELECT dd.doc_id, LEAST(dd.doc_id, COALESCE(m.mr, dd.doc_id)) AS cluster_id
+  FROM documents dd LEFT JOIN minreach m USING (doc_id)
+), csizes AS (
+  SELECT cluster_id, COUNT(*) AS n_members FROM comp GROUP BY cluster_id
+)
+SELECT c.doc_id, c.cluster_id, s.n_members,
+       CAST(c.doc_id = c.cluster_id AS INT) AS is_kept
+FROM comp c JOIN csizes s USING (cluster_id)
+"""
+)
 
 
 # ------------------------------------------------------- MinHash + LSH
@@ -396,6 +521,7 @@ QUERIES = {
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_simhash": simhash_pairs,
+    "dedup_clusters": dedup_clusters,
 }
 
 ORACLE_SQL = {
@@ -403,4 +529,5 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": NGRAM_JACCARD_PAIRS_SQL,
     "dedup_minhash_lsh": MINHASH_LSH_PAIRS_SQL,
     "dedup_simhash": SIMHASH_PAIRS_SQL,
+    "dedup_clusters": DEDUP_CLUSTERS_SQL,
 }

@@ -385,6 +385,56 @@ SELECT 'only_1997', o_custkey FROM (SELECT o_custkey FROM y97 EXCEPT SELECT o_cu
 """
 
 
+def small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17-style correlated scalar subquery, decorrelated: per
+    part of one brand, the average-yearly revenue of lineitems whose
+    quantity is below 20% of THAT part's average quantity.
+
+    The correlated `(SELECT 0.2*avg(l_quantity) WHERE l_partkey = p)`
+    becomes a per-part pre-aggregate joined back onto the fact — the
+    classic Catalyst-friendly rewrite: one scan of lineitem feeds both
+    the threshold agg and the probe (self-join on partkey), the brand
+    filter prunes parts BEFORE either join so the fact is filtered by
+    a broadcast semi-join, never scanned per-part. l_quantity is
+    integral-valued, so avg = exact-int-sum / count is deterministic
+    across engines; revenue accumulates in DECIMAL for exactness."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    brand_parts = part.filter(F.col("p_brand") == "Brand#12").select("p_partkey")
+    branded = li.join(
+        F.broadcast(brand_parts),
+        li["l_partkey"] == brand_parts["p_partkey"],
+        "left_semi",
+    )
+    thresholds = branded.groupBy("l_partkey").agg(
+        (F.lit(0.2) * F.avg("l_quantity")).alias("qty_cut")
+    )
+    return (
+        branded.join(F.broadcast(thresholds), "l_partkey")
+        .filter(F.col("l_quantity") < F.col("qty_cut"))
+        .agg(
+            (_dsum(F.col("l_extendedprice")) / F.lit(7.0)).alias("avg_yearly"),
+            F.count("*").alias("n_lineitems"),
+        )
+    )
+
+
+SMALL_QTY_REVENUE_SQL = """
+WITH branded AS (
+  SELECT l.l_partkey, l.l_quantity, l.l_extendedprice
+  FROM lineitem l
+  WHERE l.l_partkey IN (SELECT p_partkey FROM part WHERE p_brand = 'Brand#12')
+), thresholds AS (
+  SELECT l_partkey, 0.2 * AVG(l_quantity) AS qty_cut
+  FROM branded GROUP BY l_partkey
+)
+SELECT CAST(SUM(CAST(b.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
+       COUNT(*) AS n_lineitems
+FROM branded b JOIN thresholds t USING (l_partkey)
+WHERE b.l_quantity < t.qty_cut
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "top_customers": top_customers,
@@ -396,6 +446,7 @@ QUERIES = {
     "order_date_rollup": order_date_rollup,
     "order_priority_rollup": order_priority_rollup,
     "customer_year_setops": customer_year_setops,
+    "small_qty_revenue": small_qty_revenue,
 }
 
 ORACLE_SQL = {
@@ -409,4 +460,5 @@ ORACLE_SQL = {
     "order_date_rollup": ORDER_DATE_ROLLUP_SQL,
     "order_priority_rollup": ORDER_PRIORITY_ROLLUP_SQL,
     "customer_year_setops": CUSTOMER_YEAR_SETOPS_SQL,
+    "small_qty_revenue": SMALL_QTY_REVENUE_SQL,
 }

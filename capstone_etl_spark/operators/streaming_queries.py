@@ -16,13 +16,18 @@ import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
 
-from capstone_etl_spark.operators.events import EVENT_DEDUP_SQL, TUMBLING_WINDOWS_SQL
+from capstone_etl_spark.operators.events import (
+    EVENT_DEDUP_SQL,
+    SLIDING_WINDOWS_SQL,
+    TUMBLING_WINDOWS_SQL,
+)
 from capstone_etl_spark.streaming import (
     events_stream,
     run_to_memory,
     stage_events,
     stream_dedup_counts,
     stream_session_windows,
+    stream_sliding,
     stream_tumbling,
 )
 
@@ -52,6 +57,15 @@ def stream_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling windows, oracle-identical to the batch form."""
     return _run(
         spark, sf_dir, lambda s: stream_tumbling(s, watermark=HORIZON_WATERMARK), "complete"
+    )
+
+
+def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming sliding windows (10 min / slide 5): every event enters
+    two overlapping state-store windows — overlapping-window state is
+    the piece tumbling doesn't exercise."""
+    return _run(
+        spark, sf_dir, lambda s: stream_sliding(s, watermark=HORIZON_WATERMARK), "complete"
     )
 
 
@@ -103,12 +117,14 @@ FROM with_id GROUP BY user_id, session_seq
 
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
+    "stream_sliding_windows": stream_sliding_windows,
     "stream_event_dedup": stream_event_dedup,
     "stream_user_sessions": stream_user_sessions,
 }
 
 ORACLE_SQL = {
     "stream_tumbling_windows": TUMBLING_WINDOWS_SQL,
+    "stream_sliding_windows": SLIDING_WINDOWS_SQL,
     "stream_event_dedup": EVENT_DEDUP_SQL,
     "stream_user_sessions": STREAM_USER_SESSIONS_SQL,
 }

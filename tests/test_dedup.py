@@ -5,6 +5,7 @@ from __future__ import annotations
 from pyspark.sql import functions as F
 
 from capstone_etl_spark.operators.dedup import (
+    connected_components,
     minhash_signatures,
     shingles,
     simhash,
@@ -50,6 +51,18 @@ def test_minhash_identical_docs_equal_signatures(spark):
     sig = {r.doc_id: tuple(r)[1:] for r in minhash_signatures(_docs(spark)).collect()}
     assert sig[0] == sig[1]
     assert sig[0] != sig[3]
+
+
+def test_connected_components_chain_and_islands(spark):
+    # Chain 1-2-3-4 (transitivity pairs alone can't express: 1~4 only
+    # through the chain), triangle 10-11-12, isolated edge 20-21.
+    pairs = [(1, 2), (2, 3), (3, 4), (10, 11), (11, 12), (10, 12), (20, 21)]
+    p = spark.createDataFrame(pairs, "a long, b long")
+    edges = p.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        p.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    labels = {r.doc_id: r.label for r in connected_components(edges).collect()}
+    assert labels == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10, 12: 10, 20: 20, 21: 20}
 
 
 def test_simhash_hamming_properties(spark):
