@@ -33,6 +33,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         events,
         multimodal,
         outputs,
+        rangejoin,
         relational,
         similarity,
         streaming_queries,
@@ -53,6 +54,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         streaming_queries,
         multimodal,
         doc_similarity,
+        rangejoin,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE_SQL)

@@ -203,11 +203,151 @@ FROM scored
 """
 
 
+MIN_BIGRAM_COUNT = 5
+TOP_VOCAB_K = 100
+
+# Shared DuckDB token-array CTE (tokenize() mirror).
+_TOKS_CTE = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +') AS t
+  FROM documents
+)
+"""
+
+
+def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation / phrase mining: adjacent-token bigrams scored by
+    pointwise mutual information — pmi = ln(p(ab) / (p(a)·p(b))) with
+    unigram probabilities over token mass and bigram probability over
+    bigram mass. The count floor is applied BEFORE the unigram joins
+    (exact-integer predicate — prunes the candidate set early, and a
+    float threshold can't diverge across engines). Corpus totals enter
+    the plan as 1-row aggregates cross-joined in (never an eager
+    driver-side count — same pattern as tf_idf). All counts are exact
+    ints; the single ln() is rounded to 6 dp."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    # t[i-1]/t[i] is 0-based SQL indexing; sequence(1, 0) DESCENDS, so
+    # docs with < 2 tokens must be guarded to an empty array.
+    bigr = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc = (
+        bigr.groupBy("w1", "w2")
+        .agg(F.count("*").alias("c_ab"))
+        .filter(F.col("c_ab") >= MIN_BIGRAM_COUNT)
+    )
+    unig = (
+        toks.select(F.explode("t").alias("w")).groupBy("w").agg(F.count("*").alias("c_w"))
+    )
+    n_uni = unig.agg(F.sum("c_w").alias("n_uni"))
+    n_bi = bigr.agg(F.count("*").alias("n_bi"))
+    u1 = unig.select(F.col("w").alias("w1"), F.col("c_w").alias("c_a"))
+    u2 = unig.select(F.col("w").alias("w2"), F.col("c_w").alias("c_b"))
+    pmi = F.log(
+        (F.col("c_ab").cast("double") * F.col("n_uni") * F.col("n_uni"))
+        / (F.col("n_bi").cast("double") * F.col("c_a") * F.col("c_b"))
+    )
+    return (
+        bc.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(n_uni))
+        .crossJoin(F.broadcast(n_bi))
+        .select("w1", "w2", "c_ab", F.round(pmi, 6).alias("pmi"))
+    )
+
+
+BIGRAM_PMI_SQL = _TOKS_CTE + f"""
+, bigr AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+  WHERE len(t) >= 2
+), bc AS (
+  SELECT w1, w2, COUNT(*) AS c_ab FROM bigr GROUP BY 1, 2
+  HAVING COUNT(*) >= {MIN_BIGRAM_COUNT}
+), unig AS (
+  SELECT w, COUNT(*) AS c_w FROM (SELECT unnest(t) AS w FROM toks) u
+  WHERE w <> '' GROUP BY w
+), totals AS (
+  SELECT (SELECT CAST(SUM(c_w) AS BIGINT) FROM unig) AS n_uni,
+         (SELECT COUNT(*) FROM bigr) AS n_bi
+)
+SELECT b.w1, b.w2, b.c_ab,
+       ROUND(LN((CAST(b.c_ab AS DOUBLE) * t.n_uni * t.n_uni)
+                / (CAST(t.n_bi AS DOUBLE) * u1.c_w * u2.c_w)), 6) AS pmi
+FROM bc b
+JOIN unig u1 ON u1.w = b.w1
+JOIN unig u2 ON u2.w = b.w2
+CROSS JOIN totals t
+"""
+
+
+def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf / coverage curve: top-K tokens by global frequency with each
+    rank's cumulative share of total token mass — the standard check
+    before vocabulary truncation (what OOV rate would a K-token vocab
+    leave?). The windows run over the AGGREGATED vocabulary relation
+    (Heaps-law bounded — same single-partition defense as
+    vocab.vocabulary); cumulative mass stays in exact longs, divided
+    once at the end."""
+    docs = _docs(spark, sf_dir)
+    freq = (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("freq"))
+    )
+    total = freq.agg(F.sum("freq").alias("total"))
+    ranked = (
+        freq.withColumn(
+            "rank",
+            F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("w"))).cast("long"),
+        )
+        .filter(F.col("rank") <= TOP_VOCAB_K)
+    )
+    cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        ranked.crossJoin(F.broadcast(total))
+        .withColumn("cum_freq", F.sum("freq").over(cum))
+        .select(
+            "rank",
+            "w",
+            "freq",
+            F.round(F.col("cum_freq") / F.col("total"), 6).alias("cum_share"),
+        )
+    )
+
+
+VOCAB_COVERAGE_SQL = _TOKS_CTE + f"""
+, freq AS (
+  SELECT w, COUNT(*) AS freq FROM (SELECT unnest(t) AS w FROM toks) u
+  WHERE w <> '' GROUP BY w
+), ranked AS (
+  SELECT w, freq,
+         CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, w) AS BIGINT) AS rank
+  FROM freq
+), total AS (SELECT CAST(SUM(freq) AS BIGINT) AS total FROM freq)
+SELECT rank, w, freq,
+       ROUND(CAST(SUM(freq) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+             / total, 6) AS cum_share
+FROM ranked CROSS JOIN total
+WHERE rank <= {TOP_VOCAB_K}
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "token_counts": token_counts,
     "doc_fingerprint": doc_fingerprint,
     "language_id": language_id,
+    "bigram_pmi": bigram_pmi,
+    "vocab_coverage": vocab_coverage,
 }
 
 ORACLE_SQL = {
@@ -215,4 +355,6 @@ ORACLE_SQL = {
     "token_counts": TOKEN_COUNTS_SQL,
     "doc_fingerprint": DOC_FINGERPRINT_SQL,
     "language_id": LANGUAGE_ID_SQL,
+    "bigram_pmi": BIGRAM_PMI_SQL,
+    "vocab_coverage": VOCAB_COVERAGE_SQL,
 }
