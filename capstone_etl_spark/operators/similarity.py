@@ -487,6 +487,63 @@ SELECT query_id, neighbor_id, sim, rnk FROM (
 """
 
 
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar quantization (the ANN memory-compression
+    step: 4 bytes/dim float → 1 byte/dim level): level_i =
+    floor((x_i − min) · 255 / (max − min)), degenerate constant vectors
+    → all-zero levels. Pure per-row array expressions — embarrassingly
+    parallel, no shuffle. Cross-engine exactness: elements are cast
+    float→double BEFORE identical-order IEEE arithmetic, so floor()
+    lands identically; emitted stats are exact longs plus 6-dp-rounded
+    range endpoints."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    x = F.transform("embedding", lambda v: v.cast("double"))
+    d = emb.select("vec_id", x.alias("x"))
+    vmin, vmax = F.array_min("x"), F.array_max("x")
+    levels = F.when(vmax == vmin, F.transform("x", lambda _: F.lit(0).cast("long"))).otherwise(
+        F.transform(
+            "x",
+            lambda v: F.least(
+                F.lit(255).cast("long"),
+                F.floor((v - vmin) * F.lit(255.0) / (vmax - vmin)).cast("long"),
+            ),
+        )
+    )
+    q = d.select(
+        "vec_id",
+        F.round(vmin, 6).alias("qmin"),
+        F.round(vmax, 6).alias("qmax"),
+        levels.alias("levels"),
+    )
+    return q.select(
+        "vec_id",
+        "qmin",
+        "qmax",
+        F.aggregate("levels", F.lit(0).cast("long"), lambda a, v: a + v).alias("level_sum"),
+        F.size(F.array_distinct("levels")).cast("long").alias("n_distinct_levels"),
+    )
+
+
+EMBEDDING_QUANTIZE_SQL = """
+WITH d AS (
+  SELECT vec_id, list_transform(embedding, v -> CAST(v AS DOUBLE)) AS x FROM embeddings
+), r AS (
+  SELECT vec_id, x, list_min(x) AS vmin, list_max(x) AS vmax FROM d
+), q AS (
+  SELECT vec_id, vmin, vmax,
+         CASE WHEN vmax = vmin
+              THEN list_transform(x, v -> CAST(0 AS BIGINT))
+              ELSE list_transform(x, v -> CAST(LEAST(255, FLOOR((v - vmin) * 255.0 / (vmax - vmin))) AS BIGINT))
+         END AS levels
+  FROM r
+)
+SELECT vec_id, ROUND(vmin, 6) AS qmin, ROUND(vmax, 6) AS qmax,
+       CAST(list_sum(levels) AS BIGINT) AS level_sum,
+       CAST(len(list_distinct(levels)) AS BIGINT) AS n_distinct_levels
+FROM q
+"""
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_brute_topk": ann_brute_topk,
@@ -494,6 +551,7 @@ QUERIES = {
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_pairs": embedding_pairs_threshold,
     "label_centroids": label_centroid_assignment,
+    "embedding_quantize": embedding_quantize,
 }
 
 ORACLE_SQL = {
@@ -503,4 +561,5 @@ ORACLE_SQL = {
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "embedding_pairs": EMBEDDING_PAIRS_THRESHOLD_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
+    "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
 }
