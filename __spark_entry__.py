@@ -35,6 +35,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         outputs,
         rangejoin,
         relational,
+        sampling,
         similarity,
         streaming_queries,
         text_pipeline,
@@ -55,6 +56,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         multimodal,
         doc_similarity,
         rangejoin,
+        sampling,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE_SQL)

@@ -333,6 +333,70 @@ FROM events GROUP BY event_type
 """
 
 
+def user_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged conversion funnel per user: first view → first click at or
+    after it → first purchase at or after that. Each stage is a
+    conditional min-aggregate over the previous stage's anchor — three
+    aggregations all shuffling on the SAME key (user_id), so AQE reuses
+    one partitioning; no windows over raw events, no per-user state.
+    All comparisons are exact epoch-second longs."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("ts_sec")
+    )
+    v = (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("t_view"))
+    )
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts_sec") >= F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("t_click"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts_sec") >= F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts_sec").alias("t_purchase"))
+    )
+    stage = (
+        F.lit(1)
+        + F.when(F.col("t_click").isNotNull(), 1).otherwise(0)
+        + F.when(F.col("t_purchase").isNotNull(), 1).otherwise(0)
+    )
+    return (
+        v.join(c, "user_id", "left")
+        .join(p, "user_id", "left")
+        .select("user_id", "t_view", "t_click", "t_purchase", stage.alias("funnel_stage"))
+    )
+
+
+USER_FUNNEL_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, FLOOR(epoch(ts))::BIGINT AS ts_sec FROM events
+), v AS (
+  SELECT user_id, MIN(ts_sec) AS t_view FROM ev WHERE event_type = 'view' GROUP BY user_id
+), c AS (
+  SELECT e.user_id, MIN(e.ts_sec) AS t_click
+  FROM ev e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts_sec >= v.t_view
+  GROUP BY e.user_id
+), p AS (
+  SELECT e.user_id, MIN(e.ts_sec) AS t_purchase
+  FROM ev e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts_sec >= c.t_click
+  GROUP BY e.user_id
+)
+SELECT v.user_id, v.t_view, c.t_click, p.t_purchase,
+       1 + CASE WHEN c.t_click IS NOT NULL THEN 1 ELSE 0 END
+         + CASE WHEN p.t_purchase IS NOT NULL THEN 1 ELSE 0 END AS funnel_stage
+FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
+"""
+
+
 QUERIES = {
     "event_tumbling_windows": tumbling_windows,
     "event_sliding_windows": sliding_windows,
@@ -344,6 +408,7 @@ QUERIES = {
     "event_asof_last_view": asof_last_view,
     "event_value_percentiles": value_percentiles,
     "event_daily_pivot": daily_type_pivot,
+    "event_user_funnel": user_funnel,
 }
 
 ORACLE_SQL = {
@@ -357,4 +422,5 @@ ORACLE_SQL = {
     "event_asof_last_view": ASOF_LAST_VIEW_SQL,
     "event_value_percentiles": VALUE_PERCENTILES_SQL,
     "event_daily_pivot": DAILY_TYPE_PIVOT_SQL,
+    "event_user_funnel": USER_FUNNEL_SQL,
 }

@@ -1,0 +1,95 @@
+"""Deterministic sampling / dataset-split operators for training-data
+pipelines.
+
+Random sampling is wrong for reproducible corpus construction — resifting
+on every run, impossible to oracle, and unstable under retries at 100 TB.
+The standard fix is SALTED-HASH bucketing: bucket = h(salt || stable_id)
+mod 100; membership is a pure per-row expression (no shuffle, no state,
+trivially re-runnable on any subset of the data), and changing the salt
+re-draws the sample without touching the data. The same md5-derived hash
+as the dedup/LSH layer (functions/hashing.py) keeps it engine-portable,
+so both assignments are DuckDB-oracle-checked exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from capstone_etl_spark.functions.hashing import md5_hash60, md5_hash60_sql
+from capstone_etl_spark.sources.tables import load_table
+
+SPLIT_SALT = "split:v1:"
+TRAIN_PCT = 90
+VAL_PCT = 5            # val = [90, 95), test = [95, 100)
+
+SAMPLE_SALT = "sample:v1:"
+# Per-language keep percentages: downsample the head language, keep the
+# low-resource tail (the classic corpus-balancing move).
+STRATUM_PCT: dict[str, int] = {"en": 10, "de": 50, "es": 50, "fr": 50, "zh": 50}
+
+
+def _bucket(salt: str, id_col: Column) -> Column:
+    return md5_hash60(F.concat(F.lit(salt), id_col.cast("string"))) % 100
+
+
+def _bucket_sql(salt: str, id_expr: str) -> str:
+    inner = f"'{salt}' || CAST({id_expr} AS VARCHAR)"
+    return f"({md5_hash60_sql(inner)} % 100)"
+
+
+def doc_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/val/test assignment per document — stable under reruns,
+    data reorderings, and partial recomputation, because membership
+    depends only on (salt, doc_id)."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket(SPLIT_SALT, F.col("doc_id"))
+    split = (
+        F.when(b < TRAIN_PCT, "train")
+        .when(b < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", "lang", split.alias("split"))
+
+
+DOC_SPLITS_SQL = f"""
+SELECT doc_id, lang,
+       CASE WHEN {_bucket_sql(SPLIT_SALT, 'doc_id')} < {TRAIN_PCT} THEN 'train'
+            WHEN {_bucket_sql(SPLIT_SALT, 'doc_id')} < {TRAIN_PCT + VAL_PCT} THEN 'val'
+            ELSE 'test' END AS split
+FROM documents
+"""
+
+
+def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep rates via the same hash-bucket trick: keep iff
+    bucket < rate(lang). Pure per-row predicate — pushes straight into
+    the scan, zero shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    b = _bucket(SAMPLE_SALT, F.col("doc_id"))
+    rate = F.lit(None).cast("int")
+    for lang, pct in sorted(STRATUM_PCT.items()):
+        rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
+    return docs.filter(b < rate).select("doc_id", "lang", "n_chars")
+
+
+_RATE_CASE = " ".join(
+    f"WHEN lang = '{lang}' THEN {pct}" for lang, pct in sorted(STRATUM_PCT.items())
+)
+
+DOC_SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, n_chars
+FROM documents
+WHERE {_bucket_sql(SAMPLE_SALT, 'doc_id')} < (CASE {_RATE_CASE} ELSE NULL END)
+"""
+
+
+QUERIES = {
+    "doc_splits": doc_splits,
+    "doc_sample_stratified": doc_sample_stratified,
+}
+
+ORACLE_SQL = {
+    "doc_splits": DOC_SPLITS_SQL,
+    "doc_sample_stratified": DOC_SAMPLE_STRATIFIED_SQL,
+}
