@@ -242,7 +242,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs are their own cluster. Completes the dedup family (pairs alone
     don't say WHICH copy to keep when dups chain A~B~C)."""
     docs = _docs(spark, sf_dir).select("doc_id")
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    # cached: the union below consumes the pair lineage twice (once per
+    # edge direction), and each CC round walks the edge relation again
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))

@@ -225,9 +225,12 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     float threshold can't diverge across engines). Corpus totals enter
     the plan as 1-row aggregates cross-joined in (never an eager
     driver-side count — same pattern as tf_idf). All counts are exact
-    ints; the single ln() is rounded to 6 dp."""
+    ints; the single ln() is rounded to 6 dp. The token-array relation
+    is cached: four consumers (bigram counts, bigram total, unigram
+    counts, unigram total) share ONE tokenize pass — the regex clean is
+    the expensive stage, the downstream explodes are cheap."""
     docs = _docs(spark, sf_dir)
-    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    toks = docs.select("doc_id", tokenize("text").alias("t")).cache()
     # t[i-1]/t[i] is 0-based SQL indexing; sequence(1, 0) DESCENDS, so
     # docs with < 2 tokens must be guarded to an empty array.
     bigr = toks.select(
@@ -296,12 +299,14 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     leave?). The windows run over the AGGREGATED vocabulary relation
     (Heaps-law bounded — same single-partition defense as
     vocab.vocabulary); cumulative mass stays in exact longs, divided
-    once at the end."""
+    once at the end. freq is cached (vocab-sized) so the rank and the
+    total consumers share one tokenize pass."""
     docs = _docs(spark, sf_dir)
     freq = (
         docs.select(F.explode(tokenize("text")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
+        .cache()
     )
     total = freq.agg(F.sum("freq").alias("total"))
     ranked = (
