@@ -397,6 +397,47 @@ FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
 """
 
 
+TRAIL_SEC = 3600
+
+
+def trailing_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing 1-hour activity per user via a RANGE window
+    frame (rangeBetween on epoch seconds) — the value-based frame class
+    the row-frame queries don't cover: the frame holds every event
+    within the last hour of EVENT TIME, not the last N rows. One
+    shuffle on user_id; the running sum accumulates in exact DECIMAL
+    (a double running sum would drift between engines under DuckDB's
+    segment-tree association)."""
+    ev = _events(spark, sf_dir).select(
+        "event_id", "user_id", F.col("ts").cast("long").alias("ts_sec"), "value"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts_sec")
+        .rangeBetween(-TRAIL_SEC, 0)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts_sec",
+        F.count("*").over(w).alias("n_trailing"),
+        F.sum(F.col("value").cast("decimal(18,2)")).over(w).cast("double").alias("trailing_value"),
+    )
+
+
+TRAILING_USER_VALUE_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, FLOOR(epoch(ts))::BIGINT AS ts_sec, value FROM events
+)
+SELECT event_id, user_id, ts_sec,
+       COUNT(*) OVER w AS n_trailing,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS trailing_value
+FROM ev
+WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
+             RANGE BETWEEN {TRAIL_SEC} PRECEDING AND CURRENT ROW)
+"""
+
+
 QUERIES = {
     "event_tumbling_windows": tumbling_windows,
     "event_sliding_windows": sliding_windows,
@@ -409,6 +450,7 @@ QUERIES = {
     "event_value_percentiles": value_percentiles,
     "event_daily_pivot": daily_type_pivot,
     "event_user_funnel": user_funnel,
+    "event_trailing_value": trailing_user_value,
 }
 
 ORACLE_SQL = {
@@ -423,4 +465,5 @@ ORACLE_SQL = {
     "event_value_percentiles": VALUE_PERCENTILES_SQL,
     "event_daily_pivot": DAILY_TYPE_PIVOT_SQL,
     "event_user_funnel": USER_FUNNEL_SQL,
+    "event_trailing_value": TRAILING_USER_VALUE_SQL,
 }

@@ -101,6 +101,34 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+def merge_upsert(
+    spark: SparkSession,
+    base_path: str,
+    delta: DataFrame,
+    keys: list[str],
+    out_path: str | None = None,
+) -> str:
+    """Keyed upsert (last-write-wins merge) into a parquet dataset
+    without a transactional table format: survivors = current rows
+    LEFT-ANTI-joined on the delta's keys, unioned with all delta rows,
+    written to a NEW snapshot directory (write-audit-swap — the caller
+    repoints readers after validating; never rewrite a dataset in
+    place, a failed overwrite of the live path loses data). Returns
+    the snapshot path.
+
+    Scale shape: one anti-join shuffling on the merge key (broadcast
+    when the delta is small — typical for incremental loads; AQE picks
+    that up from the delta's actual size) + one fully-parallel write.
+    This is the open-format equivalent of MERGE INTO; swap in a
+    transactional format (Delta/Iceberg) for concurrent writers."""
+    current = spark.read.parquet(base_path)
+    survivors = current.join(delta.select(*keys).distinct(), keys, "left_anti")
+    merged = survivors.unionByName(delta)
+    target = out_path or base_path.rstrip("/") + ".next"
+    merged.write.mode("overwrite").parquet(target)
+    return target
+
+
 def write_outputs(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, str]:
     """The reference's three-collection output pass (S4 ×3): compose the
     §1.4 relations and write each as parquet + JSON lines. Returns

@@ -109,3 +109,20 @@ def test_bucketed_join_is_exchange_free(spark):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.sql("DROP TABLE IF EXISTS b_lineitem")
         spark.sql("DROP TABLE IF EXISTS b_orders")
+
+
+def test_merge_upsert_last_write_wins(spark, tmp_path):
+    from capstone_etl_spark.sinks.writers import merge_upsert
+
+    base = str(tmp_path / "docs")
+    spark.createDataFrame(
+        [(1, "a", 1), (2, "b", 1), (3, "c", 1)], "id long, text string, ver int"
+    ).write.parquet(base)
+    delta = spark.createDataFrame(
+        [(2, "b2", 2), (4, "d", 2)], "id long, text string, ver int"
+    )
+    snap = merge_upsert(spark, base, delta, keys=["id"])
+    got = {r.id: (r.text, r.ver) for r in read_back(spark, snap).collect()}
+    assert got == {1: ("a", 1), 2: ("b2", 2), 3: ("c", 1), 4: ("d", 2)}
+    # base snapshot untouched (write-audit-swap, never in-place)
+    assert {r.id for r in read_back(spark, base).collect()} == {1, 2, 3}
