@@ -397,6 +397,34 @@ FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
 """
 
 
+def day_type_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE (day, event_type): all four grouping sets — cells,
+    day subtotals, type subtotals, grand total — in one pass (Spark
+    expands the sets before the hash agg, one shuffle; complements the
+    ROLLUP in relational.order_priority_rollup). grouping_id separates
+    subtotal rows from genuine NULL keys."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.cube(F.date_format("ts", "yyyy-MM-dd").alias("day"), "event_type")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .select("day", "event_type", "gid", "n_events", "total_value")
+    )
+
+
+DAY_TYPE_CUBE_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       CAST(GROUPING(strftime(ts, '%Y-%m-%d'), event_type) AS BIGINT) AS gid,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CUBE (strftime(ts, '%Y-%m-%d'), event_type)
+"""
+
+
 TRAIL_SEC = 3600
 
 
@@ -451,6 +479,7 @@ QUERIES = {
     "event_daily_pivot": daily_type_pivot,
     "event_user_funnel": user_funnel,
     "event_trailing_value": trailing_user_value,
+    "event_day_type_cube": day_type_cube,
 }
 
 ORACLE_SQL = {
@@ -466,4 +495,5 @@ ORACLE_SQL = {
     "event_daily_pivot": DAILY_TYPE_PIVOT_SQL,
     "event_user_funnel": USER_FUNNEL_SQL,
     "event_trailing_value": TRAILING_USER_VALUE_SQL,
+    "event_day_type_cube": DAY_TYPE_CUBE_SQL,
 }

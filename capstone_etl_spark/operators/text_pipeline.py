@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from capstone_etl_spark.functions.stopwords import STOPWORDS, stopwords_sql_in_list
+from capstone_etl_spark.functions.text import tokenize
 from capstone_etl_spark.operators import index as index_ops
 from capstone_etl_spark.operators import hierarchy as hier_ops
 from capstone_etl_spark.operators.tokenize import doc_stats as _doc_stats
@@ -168,6 +169,54 @@ def inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
 INVERTED_INDEX_SQL = _TF_CTE + """
 SELECT token, string_agg(doc_id || ':' || qty, ',' ORDER BY doc_id) AS postings
 FROM tf GROUP BY token
+"""
+
+
+def positional_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Positional inverted index: postings carry the ordered WORD
+    OFFSETS of every occurrence — the structure phrase and proximity
+    search need, extending A6's (doc, qty) postings. Positions are
+    0-based offsets in the RAW token stream (no stopword gate — gating
+    would shift offsets and break adjacency queries). Same plan shape
+    as inverted_index: posexplode, one shuffle on (token, doc), one on
+    token; canonicalized to 'doc:p1|p2,...' strings for the
+    cross-engine hash."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.posexplode(tokenize("text")).alias("pos", "token")
+    )
+    per_doc = toks.groupBy("token", "doc_id").agg(
+        F.array_join(
+            F.transform(F.sort_array(F.collect_list("pos")), lambda p: p.cast("string")),
+            "|",
+        ).alias("posstr")
+    )
+    return per_doc.groupBy("token").agg(
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("doc_id", "posstr"))),
+                lambda s: F.concat_ws(":", s.doc_id.cast("string"), s.posstr),
+            ),
+            ",",
+        ).alias("postings")
+    )
+
+
+POSITIONAL_INDEX_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, t[i] AS token, i - 1 AS pos
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r
+  WHERE len(t) >= 1
+), per_doc AS (
+  SELECT token, doc_id, string_agg(pos, '|' ORDER BY pos) AS posstr
+  FROM pos WHERE token <> '' GROUP BY token, doc_id
+)
+SELECT token, string_agg(doc_id || ':' || posstr, ',' ORDER BY doc_id) AS postings
+FROM per_doc GROUP BY token
 """
 
 
@@ -389,6 +438,7 @@ QUERIES = {
     "vocab_ids": vocab_ids,
     "posting_stats": posting_stats,
     "inverted_index": inverted_index,
+    "positional_index": positional_index,
     "sparse_vectors": sparse_vectors,
     "sparse_vector_strings": sparse_vector_strings,
     "doc_token_arrays": doc_token_arrays,
@@ -407,6 +457,7 @@ ORACLE_SQL = {
     "vocab_ids": VOCAB_IDS_SQL,
     "posting_stats": POSTING_STATS_SQL,
     "inverted_index": INVERTED_INDEX_SQL,
+    "positional_index": POSITIONAL_INDEX_SQL,
     "sparse_vectors": SPARSE_VECTORS_SQL,
     "sparse_vector_strings": SPARSE_VECTOR_STRINGS_SQL,
     "doc_token_arrays": DOC_TOKEN_ARRAYS_SQL,
