@@ -28,6 +28,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
     from capstone_etl_spark.operators import (
+        corpus,
         dedup,
         doc_similarity,
         events,
@@ -57,6 +58,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         doc_similarity,
         rangejoin,
         sampling,
+        corpus,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE_SQL)

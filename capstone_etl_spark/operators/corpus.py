@@ -1,0 +1,94 @@
+"""Composed training-corpus construction job — the LLM-pipeline
+flagship, analogous to outputs.wikibooks_docs for the reference-parity
+layer: the individually-verified stages chained into ONE lazy plan.
+
+    quality gate → near-dup keep-one (pairs → connected components →
+    canonical representative) → train/val/test assignment
+
+Stage order matters and is part of the contract: dedup runs on the
+quality-surviving set (a junk doc must not be the canonical survivor of
+a cluster it shares with a good doc), and splits are assigned to the
+deduped corpus (leakage control: near-identical docs can't straddle
+train/test because only one survives). Everything is the same operators
+the standalone queries verify — this query verifies their COMPOSITION
+against a single recursive-CTE oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from capstone_etl_spark.operators.dedup import (
+    _JACCARD_PAIRS_CTE,
+    _SHINGLES_CTE,
+    connected_components,
+    jaccard_pairs,
+)
+from capstone_etl_spark.operators.sampling import split_column, split_sql_case
+from capstone_etl_spark.sources.tables import load_table
+
+MIN_CHARS = 20
+
+
+def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per doc that survives the full pipeline: quality gate,
+    near-dup canonicalization, split assignment."""
+    docs = load_table(spark, sf_dir, "documents")
+    kept = docs.filter(F.col("n_chars") >= MIN_CHARS).select("doc_id", "lang", "n_chars", "text")
+    pairs = jaccard_pairs(kept).select("doc_a", "doc_b").cache()
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+    labels = connected_components(edges)
+    comp = kept.join(labels, "doc_id", "left").select(
+        "doc_id", "lang", "n_chars", F.coalesce("label", "doc_id").alias("cluster_id")
+    )
+    return (
+        comp.filter(F.col("doc_id") == F.col("cluster_id"))
+        .select("doc_id", "lang", "n_chars", split_column(F.col("doc_id")).alias("split"))
+    )
+
+
+# Oracle: the shingle/pair CTEs rebased onto the quality-filtered `src`
+# relation, then the same recursive transitive closure as dedup_clusters.
+_SRC_SHINGLES = _SHINGLES_CTE.replace("FROM documents", "FROM src").replace(
+    "WITH toks",
+    "WITH RECURSIVE src AS (\n"
+    f"  SELECT doc_id, text, lang, n_chars FROM documents WHERE n_chars >= {MIN_CHARS}\n"
+    "), toks",
+    1,
+)
+
+CORPUS_PIPELINE_SQL = (
+    _SRC_SHINGLES
+    + _JACCARD_PAIRS_CTE
+    + f"""
+, edges AS (
+  SELECT doc_a AS s, doc_b AS d FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), reach AS (
+  SELECT s, d FROM edges
+  UNION
+  SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s
+), minreach AS (
+  SELECT s AS doc_id, MIN(d) AS mr FROM reach GROUP BY s
+), comp AS (
+  SELECT sr.doc_id, sr.lang, sr.n_chars,
+         LEAST(sr.doc_id, COALESCE(m.mr, sr.doc_id)) AS cluster_id
+  FROM src sr LEFT JOIN minreach m USING (doc_id)
+)
+SELECT doc_id, lang, n_chars, {split_sql_case('doc_id')} AS split
+FROM comp WHERE doc_id = cluster_id
+"""
+)
+
+
+QUERIES = {
+    "corpus_pipeline": corpus_pipeline,
+}
+
+ORACLE_SQL = {
+    "corpus_pipeline": CORPUS_PIPELINE_SQL,
+}

@@ -126,10 +126,16 @@ WITH toks AS (
 # ------------------------------------------------- n-gram Jaccard pairs
 
 def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup pairs by n-gram Jaccard ≥ threshold. Candidates come from
-    the inverted shingle index (docs sharing ≥1 surviving shingle);
-    |A∩B| falls out of the same join; |A∪B| = |A|+|B|−|A∩B|."""
-    sh = shingles(_docs(spark, sf_dir)).cache()
+    """Near-dup pairs over the full documents table (driver query)."""
+    return jaccard_pairs(_docs(spark, sf_dir))
+
+
+def jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Near-dup pairs by n-gram Jaccard ≥ threshold over any docs
+    relation (doc_id, text). Candidates come from the inverted shingle
+    index (docs sharing ≥1 surviving shingle); |A∩B| falls out of the
+    same join; |A∪B| = |A|+|B|−|A∩B|."""
+    sh = shingles(docs).cache()
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

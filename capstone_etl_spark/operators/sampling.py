@@ -38,25 +38,35 @@ def _bucket_sql(salt: str, id_expr: str) -> str:
     return f"({md5_hash60_sql(inner)} % 100)"
 
 
+def split_column(id_col: Column) -> Column:
+    """'train'/'val'/'test' from the salted hash bucket of a stable id."""
+    b = _bucket(SPLIT_SALT, id_col)
+    return (
+        F.when(b < TRAIN_PCT, "train")
+        .when(b < TRAIN_PCT + VAL_PCT, "val")
+        .otherwise("test")
+    )
+
+
+def split_sql_case(id_expr: str) -> str:
+    """DuckDB mirror of split_column."""
+    b = _bucket_sql(SPLIT_SALT, id_expr)
+    return (
+        f"CASE WHEN {b} < {TRAIN_PCT} THEN 'train' "
+        f"WHEN {b} < {TRAIN_PCT + VAL_PCT} THEN 'val' ELSE 'test' END"
+    )
+
+
 def doc_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Train/val/test assignment per document — stable under reruns,
     data reorderings, and partial recomputation, because membership
     depends only on (salt, doc_id)."""
     docs = load_table(spark, sf_dir, "documents")
-    b = _bucket(SPLIT_SALT, F.col("doc_id"))
-    split = (
-        F.when(b < TRAIN_PCT, "train")
-        .when(b < TRAIN_PCT + VAL_PCT, "val")
-        .otherwise("test")
-    )
-    return docs.select("doc_id", "lang", split.alias("split"))
+    return docs.select("doc_id", "lang", split_column(F.col("doc_id")).alias("split"))
 
 
 DOC_SPLITS_SQL = f"""
-SELECT doc_id, lang,
-       CASE WHEN {_bucket_sql(SPLIT_SALT, 'doc_id')} < {TRAIN_PCT} THEN 'train'
-            WHEN {_bucket_sql(SPLIT_SALT, 'doc_id')} < {TRAIN_PCT + VAL_PCT} THEN 'val'
-            ELSE 'test' END AS split
+SELECT doc_id, lang, {split_sql_case('doc_id')} AS split
 FROM documents
 """
 
