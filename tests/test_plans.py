@@ -63,3 +63,14 @@ def test_exchange_budget_tf(spark):
     docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
     tf = term_frequencies(docs)
     assert exchange_count(tf) == 1, formatted_plan(tf)
+
+
+def test_binned_range_join_no_nested_loop(spark):
+    # The point of the binned decomposition: a range predicate planned as
+    # a hash equi-join on bin (+ residual filter), never a cartesian /
+    # BroadcastNestedLoopJoin that blows up when both sides are large.
+    from capstone_etl_spark.operators.rangejoin import campaign_window_stats
+
+    spark.catalog.clearCache()
+    df = campaign_window_stats(spark, SF_DIR)
+    assert not has_cartesian(df)
