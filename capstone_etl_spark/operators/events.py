@@ -397,6 +397,48 @@ FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)
 """
 
 
+def event_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival-gap statistics per event_type: lag() over
+    (user, type) event-time order derives each gap, then exact median /
+    p90 / max per type. The lag window and the aggregation shuffle on
+    different keys — unavoidable (the gap is per-user, the stat is
+    per-type) but both keys are high-cardinality/uniform. Gaps are
+    exact second longs; percentiles interpolate identically (Spark
+    percentile == DuckDB percentile_cont on the same sorted longs),
+    rounded to 6 dp."""
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("ts_sec"), "event_id"
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts_sec", "event_id")
+    gaps = ev.withColumn("gap", F.col("ts_sec") - F.lag("ts_sec").over(w)).filter(
+        F.col("gap").isNotNull()
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count("*").alias("n_gaps"),
+        F.round(F.expr("percentile(gap, 0.5)"), 6).alias("median_gap"),
+        F.round(F.expr("percentile(gap, 0.9)"), 6).alias("p90_gap"),
+        F.max("gap").alias("max_gap"),
+    )
+
+
+EVENT_GAP_STATS_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, FLOOR(epoch(ts))::BIGINT AS ts_sec, event_id FROM events
+), gaps AS (
+  SELECT event_type,
+         ts_sec - LAG(ts_sec) OVER (PARTITION BY user_id, event_type
+                                    ORDER BY ts_sec, event_id) AS gap
+  FROM ev
+)
+SELECT event_type, COUNT(*) AS n_gaps,
+       ROUND(percentile_cont(0.5) WITHIN GROUP (ORDER BY gap), 6) AS median_gap,
+       ROUND(percentile_cont(0.9) WITHIN GROUP (ORDER BY gap), 6) AS p90_gap,
+       MAX(gap) AS max_gap
+FROM gaps WHERE gap IS NOT NULL
+GROUP BY event_type
+"""
+
+
 def day_type_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY CUBE (day, event_type): all four grouping sets — cells,
     day subtotals, type subtotals, grand total — in one pass (Spark
@@ -480,6 +522,7 @@ QUERIES = {
     "event_user_funnel": user_funnel,
     "event_trailing_value": trailing_user_value,
     "event_day_type_cube": day_type_cube,
+    "event_gap_stats": event_gap_stats,
 }
 
 ORACLE_SQL = {
@@ -496,4 +539,5 @@ ORACLE_SQL = {
     "event_user_funnel": USER_FUNNEL_SQL,
     "event_trailing_value": TRAILING_USER_VALUE_SQL,
     "event_day_type_cube": DAY_TYPE_CUBE_SQL,
+    "event_gap_stats": EVENT_GAP_STATS_SQL,
 }
