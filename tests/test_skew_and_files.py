@@ -110,3 +110,50 @@ def test_streaming_checkpoint_incremental_restart(spark, tmp_path):
     # complete-mode state resumed from checkpoint: old events counted
     # once (not re-read), new events added exactly once
     assert n2 == total_first + 500
+
+
+def test_parquet_schema_evolution_mergeschema(spark, tmp_path):
+    # Producers add columns over time; readers must see the union schema
+    # with NULLs for files written before the column existed.
+    root = tmp_path / "evolving"
+    spark.createDataFrame([(1, "a")], "id long, a string").write.parquet(
+        str(root / "v1")
+    )
+    spark.createDataFrame(
+        [(2, "b", 9.5)], "id long, a string, score double"
+    ).write.parquet(str(root / "v2"))
+    df = spark.read.option("mergeSchema", "true").parquet(str(root / "*"))
+    assert set(df.columns) == {"id", "a", "score"}
+    rows = {r.id: r.score for r in df.collect()}
+    assert rows[1] is None and rows[2] == 9.5
+
+
+def test_incremental_rollup_merge_equals_full(spark):
+    # Incremental view maintenance: daily partials computed per ingest
+    # slice then MERGED (sum of counts, sum of DECIMAL sums) must equal
+    # the full recompute — the contract that lets a 100 TB rollup update
+    # from deltas instead of rescanning history.
+    from capstone_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events").select(
+        F.date_format("ts", "yyyy-MM-dd").alias("day"),
+        "user_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    )
+    slice_a = ev.filter(F.col("user_id") % 2 == 0)
+    slice_b = ev.filter(F.col("user_id") % 2 == 1)
+
+    def partial(df):
+        return df.groupBy("day").agg(
+            F.count("*").alias("n"), F.sum("v").alias("total")
+        )
+
+    merged = (
+        partial(slice_a)
+        .unionByName(partial(slice_b))
+        .groupBy("day")
+        .agg(F.sum("n").alias("n"), F.sum("total").alias("total"))
+    )
+    full = partial(ev)
+    sym_diff = merged.exceptAll(full).count() + full.exceptAll(merged).count()
+    assert sym_diff == 0
