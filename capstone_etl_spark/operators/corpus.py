@@ -85,10 +85,60 @@ FROM comp WHERE doc_id = cluster_id
 )
 
 
+CHUNK_TOKENS = 50
+
+
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Context-window chunking: split every document into fixed-size
+    token chunks (chunk_id = pos ÷ 50 over the raw token stream) and
+    reassemble each chunk's text — the prep step that turns documents
+    into training sequences. One posexplode + one shuffle on
+    (doc_id, chunk_id); chunk boundaries are pure arithmetic on the
+    token offset, so the op parallelizes per document with no state."""
+    from capstone_etl_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.posexplode(tokenize("text")).alias("pos", "token"))
+    return (
+        toks.withColumn("chunk_id", F.floor(F.col("pos") / CHUNK_TOKENS))
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s.token,
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
+DOC_CHUNKS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, t[i] AS token, i - 1 AS pos
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r
+  WHERE len(t) >= 1
+)
+SELECT doc_id, pos // {CHUNK_TOKENS} AS chunk_id,
+       COUNT(*) AS n_tokens,
+       string_agg(token, ' ' ORDER BY pos) AS chunk_text
+FROM pos WHERE token <> ''
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "corpus_pipeline": corpus_pipeline,
+    "doc_chunks": doc_chunks,
 }
 
 ORACLE_SQL = {
     "corpus_pipeline": CORPUS_PIPELINE_SQL,
+    "doc_chunks": DOC_CHUNKS_SQL,
 }
