@@ -299,6 +299,61 @@ FROM comp c JOIN csizes s USING (cluster_id)
 )
 
 
+# ----------------------------------------- benchmark decontamination
+
+BENCH_MOD = 50   # stand-in eval set: doc_id % 50 == 0
+
+
+def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-corpus near-dup detection: flag training docs whose n-gram
+    Jaccard against ANY benchmark/eval doc reaches the threshold — the
+    decontamination pass every serious training pipeline runs so eval
+    answers don't leak into train. Same inverted-shingle candidate
+    machinery as within-corpus dedup, but the pair join is BIPARTITE
+    (corpus side × bench side), so cost scales with shared-shingle
+    pairs across the cut, not |corpus|². One shingle pass (cached) is
+    split by set membership; emits every contaminated (train, bench)
+    pair with its score."""
+    docs = _docs(spark, sf_dir)
+    sh = shingles(docs).cache()
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    shb = sh.filter(is_bench)
+    shc = sh.filter(~is_bench)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    inter = (
+        shc.alias("c")
+        .join(shb.alias("b"), F.col("c.sh") == F.col("b.sh"))
+        .groupBy(
+            F.col("c.doc_id").alias("train_doc"), F.col("b.doc_id").alias("bench_doc")
+        )
+        .agg(F.count("*").alias("n_inter"))
+    )
+    jac = F.col("n_inter") / (F.col("sz_c") + F.col("sz_b") - F.col("n_inter"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("train_doc"), F.col("sz").alias("sz_c")), "train_doc")
+        .join(sizes.select(F.col("doc_id").alias("bench_doc"), F.col("sz").alias("sz_b")), "bench_doc")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("train_doc", "bench_doc", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+DECONTAMINATION_SQL = _SHINGLES_CTE + f"""
+, sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT c.doc_id AS train_doc, b.doc_id AS bench_doc, COUNT(*) AS n_inter
+  FROM shingles c JOIN shingles b ON c.sh = b.sh
+  WHERE c.doc_id % {BENCH_MOD} <> 0 AND b.doc_id % {BENCH_MOD} = 0
+  GROUP BY 1, 2
+)
+SELECT train_doc, bench_doc,
+       ROUND(CAST(n_inter AS DOUBLE) / (sc.sz + sb.sz - n_inter), 6) AS jaccard
+FROM inter
+JOIN sizes sc ON sc.doc_id = train_doc
+JOIN sizes sb ON sb.doc_id = bench_doc
+WHERE CAST(n_inter AS DOUBLE) / (sc.sz + sb.sz - n_inter) >= {JACCARD_THRESHOLD}
+"""
+
+
 # ------------------------------------------------------- MinHash + LSH
 
 def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
@@ -530,6 +585,7 @@ QUERIES = {
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_simhash": simhash_pairs,
     "dedup_clusters": dedup_clusters,
+    "decontamination": benchmark_decontamination,
 }
 
 ORACLE_SQL = {
@@ -538,4 +594,5 @@ ORACLE_SQL = {
     "dedup_minhash_lsh": MINHASH_LSH_PAIRS_SQL,
     "dedup_simhash": SIMHASH_PAIRS_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "decontamination": DECONTAMINATION_SQL,
 }
