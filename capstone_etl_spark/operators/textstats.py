@@ -205,6 +205,61 @@ FROM scored
 
 MIN_BIGRAM_COUNT = 5
 TOP_VOCAB_K = 100
+REP_N = 3
+
+
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition filter input: fraction of duplicate
+    token 3-grams per document (1 − distinct/total) — high values mean
+    boilerplate/looping text. Pure per-doc explode + aggregate, one
+    shuffle on doc_id; docs with < 3 tokens have no grams and emit
+    NULL (nothing to judge). Exact-integer ratio, rounded once."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    # sequence(1, size-2) descends when size < 3 — guard to empty.
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.when(
+                F.size("t") >= REP_N,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (REP_N - 1)),
+                    lambda i: F.array_join(F.slice("t", i, REP_N), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("g"),
+    )
+    per_doc = grams.groupBy("doc_id").agg(
+        F.count("*").alias("total_grams"),
+        F.countDistinct("g").alias("distinct_grams"),
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        "total_grams",
+        "distinct_grams",
+        F.round(
+            F.lit(1.0) - F.col("distinct_grams") / F.col("total_grams"), 6
+        ).alias("repetition"),
+    )
+
+
+REPETITION_RATIO_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(t[i : i + {REP_N} - 1], ' ') AS g
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {REP_N} + 2)) AS i) r
+  WHERE len(t) >= {REP_N}
+), per_doc AS (
+  SELECT doc_id, COUNT(*) AS total_grams, COUNT(DISTINCT g) AS distinct_grams
+  FROM grams GROUP BY doc_id
+)
+SELECT d.doc_id, p.total_grams, p.distinct_grams,
+       ROUND(1.0 - CAST(p.distinct_grams AS DOUBLE) / p.total_grams, 6) AS repetition
+FROM documents d LEFT JOIN per_doc p USING (doc_id)
+"""
 
 # Shared DuckDB token-array CTE (tokenize() mirror).
 _TOKS_CTE = """
@@ -353,6 +408,7 @@ QUERIES = {
     "language_id": language_id,
     "bigram_pmi": bigram_pmi,
     "vocab_coverage": vocab_coverage,
+    "repetition_ratio": repetition_ratio,
 }
 
 ORACLE_SQL = {
@@ -362,4 +418,5 @@ ORACLE_SQL = {
     "language_id": LANGUAGE_ID_SQL,
     "bigram_pmi": BIGRAM_PMI_SQL,
     "vocab_coverage": VOCAB_COVERAGE_SQL,
+    "repetition_ratio": REPETITION_RATIO_SQL,
 }
