@@ -71,3 +71,16 @@ def test_simhash_hamming_properties(spark):
     ham_near = bin(sh[0] ^ sh[2]).count("1")
     ham_far = bin(sh[0] ^ sh[3]).count("1")
     assert ham_near < ham_far            # near-dup closer than unrelated
+
+
+def test_decontamination_is_bipartite(spark):
+    # Flags must only pair train (id % 50 != 0) with bench (id % 50 == 0):
+    # identical docs on both sides of the cut are caught, train-train
+    # dups are NOT this operator's job.
+    from capstone_etl_spark.operators.dedup import benchmark_decontamination
+
+    rows = benchmark_decontamination(spark, "/root/testdata/sf0.001").collect()
+    for r in rows:
+        assert r.train_doc % 50 != 0
+        assert r.bench_doc % 50 == 0
+        assert r.jaccard >= 0.5

@@ -38,3 +38,36 @@ def test_binned_join_matches_naive_range_join(spark):
     assert got == naive
     # half-open semantics: ts == win_start in, ts == win_end out
     assert (2, 0) in got and (5, 0) not in got
+
+
+def test_doc_chunks_partition_token_stream(spark):
+    # Chunks tile the token stream: sizes are CHUNK_TOKENS except the
+    # last, and per-doc chunk token counts sum to the doc's token count.
+    from pyspark.sql import functions as F
+
+    from capstone_etl_spark.functions.text import tokenize
+    from capstone_etl_spark.operators.corpus import CHUNK_TOKENS, doc_chunks
+
+    sf = "/root/testdata/sf0.001"
+    chunks = doc_chunks(spark, sf)
+    bad = chunks.filter(
+        (F.col("n_tokens") > CHUNK_TOKENS) | (F.col("n_tokens") <= 0)
+    ).count()
+    assert bad == 0
+    # non-final chunks are exactly full
+    w_max = chunks.groupBy("doc_id").agg(F.max("chunk_id").alias("last"))
+    partial_non_final = (
+        chunks.join(w_max, "doc_id")
+        .filter((F.col("chunk_id") < F.col("last")) & (F.col("n_tokens") != CHUNK_TOKENS))
+        .count()
+    )
+    assert partial_non_final == 0
+    totals = {
+        r.doc_id: r.s
+        for r in chunks.groupBy("doc_id").agg(F.sum("n_tokens").alias("s")).collect()
+    }
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", F.size(tokenize("text")).alias("n")
+    )
+    expect = {r.doc_id: r.n for r in docs.filter(F.col("n") > 0).collect()}
+    assert totals == expect
