@@ -302,18 +302,20 @@ FROM comp c JOIN csizes s USING (cluster_id)
 # ----------------------------------------- benchmark decontamination
 
 BENCH_MOD = 50   # stand-in eval set: doc_id % 50 == 0
+CONTAINMENT_THRESHOLD = 0.8
 
 
 def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cross-corpus near-dup detection: flag training docs whose n-gram
-    Jaccard against ANY benchmark/eval doc reaches the threshold — the
-    decontamination pass every serious training pipeline runs so eval
-    answers don't leak into train. Same inverted-shingle candidate
-    machinery as within-corpus dedup, but the pair join is BIPARTITE
-    (corpus side × bench side), so cost scales with shared-shingle
-    pairs across the cut, not |corpus|². One shingle pass (cached) is
-    split by set membership; emits every contaminated (train, bench)
-    pair with its score."""
+    """Cross-corpus near-dup detection: flag training docs that leak
+    benchmark/eval content — the decontamination pass every serious
+    training pipeline runs. A pair is flagged on EITHER metric:
+    symmetric Jaccard ≥ 0.5 (near-identical docs) OR containment
+    |A∩B| / |bench| ≥ 0.8 (the eval doc embedded inside a LARGER train
+    doc — low Jaccard, high containment; Jaccard alone misses these).
+    Same inverted-shingle candidate machinery as within-corpus dedup,
+    but the pair join is BIPARTITE (corpus side × bench side), so cost
+    scales with shared-shingle pairs across the cut, not |corpus|².
+    One shingle pass (cached) is split by set membership."""
     docs = _docs(spark, sf_dir)
     sh = shingles(docs).cache()
     is_bench = F.col("doc_id") % BENCH_MOD == 0
@@ -329,11 +331,17 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n_inter"))
     )
     jac = F.col("n_inter") / (F.col("sz_c") + F.col("sz_b") - F.col("n_inter"))
+    cont = F.col("n_inter") / F.col("sz_b")
     return (
         inter.join(sizes.select(F.col("doc_id").alias("train_doc"), F.col("sz").alias("sz_c")), "train_doc")
         .join(sizes.select(F.col("doc_id").alias("bench_doc"), F.col("sz").alias("sz_b")), "bench_doc")
-        .filter(jac >= JACCARD_THRESHOLD)
-        .select("train_doc", "bench_doc", F.round(jac, 6).alias("jaccard"))
+        .filter((jac >= JACCARD_THRESHOLD) | (cont >= CONTAINMENT_THRESHOLD))
+        .select(
+            "train_doc",
+            "bench_doc",
+            F.round(jac, 6).alias("jaccard"),
+            F.round(cont, 6).alias("containment"),
+        )
     )
 
 
@@ -346,11 +354,13 @@ inter AS (
   GROUP BY 1, 2
 )
 SELECT train_doc, bench_doc,
-       ROUND(CAST(n_inter AS DOUBLE) / (sc.sz + sb.sz - n_inter), 6) AS jaccard
+       ROUND(CAST(n_inter AS DOUBLE) / (sc.sz + sb.sz - n_inter), 6) AS jaccard,
+       ROUND(CAST(n_inter AS DOUBLE) / sb.sz, 6) AS containment
 FROM inter
 JOIN sizes sc ON sc.doc_id = train_doc
 JOIN sizes sb ON sb.doc_id = bench_doc
 WHERE CAST(n_inter AS DOUBLE) / (sc.sz + sb.sz - n_inter) >= {JACCARD_THRESHOLD}
+   OR CAST(n_inter AS DOUBLE) / sb.sz >= {CONTAINMENT_THRESHOLD}
 """
 
 

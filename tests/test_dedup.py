@@ -83,4 +83,4 @@ def test_decontamination_is_bipartite(spark):
     for r in rows:
         assert r.train_doc % 50 != 0
         assert r.bench_doc % 50 == 0
-        assert r.jaccard >= 0.5
+        assert r.jaccard >= 0.5 or r.containment >= 0.8
