@@ -133,12 +133,77 @@ GROUP BY 1, 2
 """
 
 
+CHUNK_STRIDE = 40   # overlap = CHUNK_TOKENS - CHUNK_STRIDE = 10 tokens
+
+
+def doc_chunks_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window chunking: chunk k covers token offsets
+    [k·stride, k·stride + size), so consecutive training sequences
+    share a `size − stride` token overlap (context continuity across
+    chunk boundaries). Each token EXPLODES into the ≤ ⌈size/stride⌉
+    chunks containing it — membership is pure offset arithmetic
+    (sequence between the lowest and highest covering k), stateless and
+    embarrassingly parallel like the non-overlapping form."""
+    from capstone_etl_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.posexplode(tokenize("text")).alias("pos", "token"))
+    lo = F.greatest(
+        F.lit(0).cast("long"),
+        F.ceil((F.col("pos") - (CHUNK_TOKENS - 1)) / F.lit(float(CHUNK_STRIDE))),
+    )
+    hi = F.floor(F.col("pos") / CHUNK_STRIDE)
+    return (
+        toks.select(
+            "doc_id", "pos", "token", F.explode(F.sequence(lo, hi)).alias("chunk_id")
+        )
+        .groupBy("doc_id", "chunk_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "token"))),
+                    lambda s: s.token,
+                ),
+                " ",
+            ).alias("chunk_text"),
+        )
+    )
+
+
+DOC_CHUNKS_OVERLAP_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, t[i] AS token, i - 1 AS pos
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r
+  WHERE len(t) >= 1
+), member AS (
+  SELECT doc_id, pos, token, k AS chunk_id
+  FROM pos, LATERAL (
+    SELECT unnest(range(
+      GREATEST(0, CAST(CEIL((pos - {CHUNK_TOKENS - 1}) / {CHUNK_STRIDE}.0) AS BIGINT)),
+      pos // {CHUNK_STRIDE} + 1
+    )) AS k
+  ) kk
+  WHERE token <> ''
+)
+SELECT doc_id, chunk_id, COUNT(*) AS n_tokens,
+       string_agg(token, ' ' ORDER BY pos) AS chunk_text
+FROM member GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "corpus_pipeline": corpus_pipeline,
     "doc_chunks": doc_chunks,
+    "doc_chunks_overlap": doc_chunks_overlap,
 }
 
 ORACLE_SQL = {
     "corpus_pipeline": CORPUS_PIPELINE_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
+    "doc_chunks_overlap": DOC_CHUNKS_OVERLAP_SQL,
 }

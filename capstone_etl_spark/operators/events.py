@@ -439,6 +439,36 @@ GROUP BY event_type
 """
 
 
+def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ntile(10) cohorting of users by lifetime value — the window
+    function the rank/row_number queries don't cover (equal-count
+    buckets, not equal-value ranges). The window runs over the
+    per-user AGGREGATE (one row per user), ordered by the exact
+    DECIMAL total with user_id tiebreak so bucket boundaries are a
+    total order in both engines."""
+    ev = _events(spark, sf_dir)
+    per_user = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total")
+    )
+    w = Window.orderBy(F.col("total").desc(), F.col("user_id"))
+    return per_user.select(
+        "user_id",
+        F.col("total").cast("double").alias("total_value"),
+        F.ntile(10).over(w).cast("long").alias("decile"),
+    )
+
+
+USER_VALUE_DECILES_SQL = """
+WITH per_user AS (
+  SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS total
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(total AS DOUBLE) AS total_value,
+       CAST(NTILE(10) OVER (ORDER BY total DESC, user_id) AS BIGINT) AS decile
+FROM per_user
+"""
+
+
 def day_type_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """GROUP BY CUBE (day, event_type): all four grouping sets — cells,
     day subtotals, type subtotals, grand total — in one pass (Spark
@@ -523,6 +553,7 @@ QUERIES = {
     "event_trailing_value": trailing_user_value,
     "event_day_type_cube": day_type_cube,
     "event_gap_stats": event_gap_stats,
+    "event_user_deciles": user_value_deciles,
 }
 
 ORACLE_SQL = {
@@ -540,4 +571,5 @@ ORACLE_SQL = {
     "event_trailing_value": TRAILING_USER_VALUE_SQL,
     "event_day_type_cube": DAY_TYPE_CUBE_SQL,
     "event_gap_stats": EVENT_GAP_STATS_SQL,
+    "event_user_deciles": USER_VALUE_DECILES_SQL,
 }
