@@ -77,6 +77,11 @@ def main() -> int:
             print(f"FAIL {name}: spark error: {e}")
             failures += 1
             continue
+        finally:
+            # queries cache their multi-consumer lineages; drop them so
+            # one query's cache can't mask or skew the next (and the
+            # gate's memory stays flat across 79 queries)
+            spark.catalog.clearCache()
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(spark_pdf)} rows, no oracle)")
             continue
