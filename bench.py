@@ -10,6 +10,13 @@ aggregate (xxhash64 over string-cast columns, summed). A bare count()
 would let Catalyst prune unreferenced projections (decimal sums, tfidf
 logs would never execute) and under-measure; the hash forces every
 value to materialize while still collecting only one row.
+
+Cross-round comparability: BENCH_r01 was taken with count() forcing
+(per-round ADVICE flagged it as under-measuring — e.g. pricing_summary's
+decimal sums were pruned entirely) and a 10-query headline set; from r2
+on, timings are full-materialization over 11 queries (wikibooks_docs —
+the reference's entire job — added). r2+ totals are therefore higher AND
+more honest than r1's; compare per-query, not totals, across that line.
 """
 
 from __future__ import annotations
