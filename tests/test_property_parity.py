@@ -60,3 +60,41 @@ def test_dense_ids_are_sorted_permutation(spark, keys):
     got = {r.k: r.rank for r in rows}
     for rank, k in enumerate(sorted(keys)):
         assert got[k] == rank
+
+
+EDGES = st.lists(
+    st.tuples(st.integers(min_value=0, max_value=15), st.integers(min_value=0, max_value=15)),
+    min_size=1,
+    max_size=20,
+)
+
+
+def _model_components(pairs: list[tuple[int, int]]) -> dict[int, int]:
+    """Union-find reference: node -> min node id of its component."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
+@settings(max_examples=6, deadline=None)
+@given(EDGES)
+def test_connected_components_matches_union_find(spark, pairs):
+    from capstone_etl_spark.operators.dedup import connected_components
+
+    p = spark.createDataFrame(pairs, "a long, b long")
+    edges = p.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+        p.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+    )
+    got = {r.doc_id: r.label for r in connected_components(edges).collect()}
+    assert got == _model_components(pairs)
