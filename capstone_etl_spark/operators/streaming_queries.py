@@ -15,6 +15,7 @@ import shutil
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from capstone_etl_spark.operators.events import (
     EVENT_DEDUP_SQL,
@@ -30,6 +31,7 @@ from capstone_etl_spark.streaming import (
     stream_sliding,
     stream_tumbling,
 )
+from capstone_etl_spark.streaming.stateful import running_user_activity
 
 SESSION_GAP_SEC = 30 * 60
 
@@ -115,11 +117,38 @@ FROM with_id GROUP BY user_id, session_seq
 """
 
 
+def stream_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful operator (applyInPandasWithState) end-to-end:
+    per-user running count / value-sum / last-seen evolved across
+    micro-batches, state in exact integer cents so the final answer is
+    replay-order independent and ORACLE-CHECKABLE. Update mode emits a
+    row per touched user per batch; the final state is the row with the
+    highest running count (strictly increasing per touch) — extracted
+    with a lexicographic struct-max, no ordering assumptions on the
+    value column."""
+    got = _run(spark, sf_dir, running_user_activity, "update")
+    final = F.max(F.struct("n_events", "total_value", "last_seen_sec")).alias("s")
+    return (
+        got.groupBy("user_id")
+        .agg(final)
+        .select("user_id", "s.n_events", "s.total_value", "s.last_seen_sec")
+    )
+
+
+STREAM_USER_ACTIVITY_SQL = """
+SELECT user_id, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       MAX(FLOOR(epoch(ts))::BIGINT) AS last_seen_sec
+FROM events GROUP BY user_id
+"""
+
+
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
     "stream_sliding_windows": stream_sliding_windows,
     "stream_event_dedup": stream_event_dedup,
     "stream_user_sessions": stream_user_sessions,
+    "stream_user_activity": stream_user_activity,
 }
 
 ORACLE_SQL = {
@@ -127,4 +156,5 @@ ORACLE_SQL = {
     "stream_sliding_windows": SLIDING_WINDOWS_SQL,
     "stream_event_dedup": EVENT_DEDUP_SQL,
     "stream_user_sessions": STREAM_USER_SESSIONS_SQL,
+    "stream_user_activity": STREAM_USER_ACTIVITY_SQL,
 }

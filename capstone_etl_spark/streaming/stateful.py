@@ -26,24 +26,30 @@ from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 OUTPUT_SCHEMA = (
     "user_id long, n_events long, total_value double, last_seen_sec long"
 )
-STATE_SCHEMA = "n long, total double, last_sec long"
+STATE_SCHEMA = "n long, cents long, last_sec long"
 
 
 def _accumulate(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    n, total, last = state.get if state.exists else (0, 0.0, 0)
+    # State accumulates EXACT integer cents (per-row rounding), never a
+    # running float — float accumulation is micro-batch-order dependent,
+    # which would make the final state irreproducible across replays and
+    # impossible to oracle. cents/100.0 at emit time is one correctly-
+    # rounded IEEE division, identical to a DECIMAL(18,2) sum cast to
+    # double.
+    n, cents, last = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += int(len(pdf))
-        total += float(pdf["value"].sum())
         if len(pdf):
+            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
             last = max(last, int(pdf["ts_sec"].max()))
-    state.update((n, round(total, 2), last))
+    state.update((n, cents, last))
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
             "n_events": [n],
-            "total_value": [round(total, 2)],
+            "total_value": [cents / 100.0],
             "last_seen_sec": [last],
         }
     )
