@@ -435,6 +435,369 @@ WHERE b.l_quantity < t.qty_cut
 """
 
 
+def nation_trade_flows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7-style bilateral trade: revenue flowing between two named
+    nations (supplier side vs customer side), per order year.
+
+    Two independent dimension chains hang off the same fact row —
+    lineitem→supplier→nation and lineitem→orders→customer→nation. Both
+    chains broadcast (supplier and customer are dimensions); the only
+    shuffle is the fact-fact lineitem⋈orders join on orderkey. The
+    disjunctive nation-pair predicate evaluates AFTER both chains so it
+    can't push to either scan, but the per-side nation equality lists
+    CAN: Catalyst pushes `n_name IN (A,B)` into each broadcast build."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    pair = ("NATION_1", "NATION_2")
+    n1 = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("s_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = nation.filter(F.col("n_name").isin(*pair)).select(
+        F.col("n_nationkey").alias("c_nkey"), F.col("n_name").alias("cust_nation")
+    )
+    revenue = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(n1), F.col("s_nationkey") == F.col("s_nkey"))
+        .join(F.broadcast(n2), F.col("c_nationkey") == F.col("c_nkey"))
+        .filter(
+            ((F.col("supp_nation") == pair[0]) & (F.col("cust_nation") == pair[1]))
+            | ((F.col("supp_nation") == pair[1]) & (F.col("cust_nation") == pair[0]))
+        )
+        .groupBy("supp_nation", "cust_nation", F.year("o_orderdate").alias("order_year"))
+        .agg(
+            _dsum(revenue, "decimal(24,4)").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("supp_nation", "cust_nation", "order_year")
+    )
+
+
+NATION_TRADE_FLOWS_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       year(o_orderdate) AS order_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation n1 ON s_nationkey = n1.n_nationkey
+JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY n1.n_name, n2.n_name, year(o_orderdate)
+ORDER BY supp_nation, cust_nation, order_year
+"""
+
+
+def market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8-style market share: of all PROMO-part revenue sold to
+    EUROPE customers, the fraction supplied by NATION_5, per year.
+
+    share = conditional-sum / total-sum in ONE aggregation pass (no
+    self-join, no second scan). Part/customer/region prune the fact via
+    broadcast joins before the orderkey shuffle; both sums accumulate
+    in DECIMAL so numerator and denominator are exact and the final
+    double division is bit-identical across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    part = load_table(spark, sf_dir, "part")
+    promo = part.filter(F.col("p_type") == "PROMO").select("p_partkey")
+    eu_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+            nation["n_regionkey"] == region["r_regionkey"],
+        ).select(F.col("n_nationkey").alias("cust_nkey"))
+    )
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("supp_nation")
+    )
+    rev_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,4)")
+    zero = F.lit(0).cast("decimal(24,4)")
+    return (
+        li.join(F.broadcast(promo), li["l_partkey"] == promo["p_partkey"], "left_semi")
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(eu_nations), F.col("c_nationkey") == F.col("cust_nkey"), "left_semi")
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("supp_nkey"))
+        .groupBy(F.year("o_orderdate").alias("order_year"))
+        .agg(
+            (
+                F.sum(F.when(F.col("supp_nation") == "NATION_5", rev_dec).otherwise(zero)).cast("double")
+                / F.sum(rev_dec).cast("double")
+            ).alias("mkt_share"),
+            F.sum(rev_dec).cast("double").alias("total_revenue"),
+        )
+        .orderBy("order_year")
+    )
+
+
+MARKET_SHARE_SQL = """
+SELECT year(o_orderdate) AS order_year,
+       CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                     THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))
+                     ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
+         / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS mkt_share,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS total_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation n2 ON s_nationkey = n2.n_nationkey
+WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_type = 'PROMO')
+  AND c_nationkey IN (
+    SELECT n_nationkey FROM nation JOIN region ON n_regionkey = r_regionkey
+    WHERE r_name = 'EUROPE')
+GROUP BY year(o_orderdate)
+ORDER BY order_year
+"""
+
+
+def product_profit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9-style product profit: per supplier nation per year,
+    profit = revenue − cost proxy (0.5·retailprice·qty — the schema has
+    no partsupp.ps_supplycost) over parts whose name contains 'red'.
+
+    The part-name filter is a broadcast semi-join that prunes the fact
+    before anything else; the profit expression is computed per row in
+    DECIMAL so the grouped sum is associative-exact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    part = load_table(spark, sf_dir, "part")
+    red_parts = part.filter(F.col("p_name").contains("red")).select("p_partkey", "p_retailprice")
+    profit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.lit(0.5) * F.col("p_retailprice") * F.col("l_quantity")
+    ).cast("decimal(24,4)")
+    return (
+        li.join(F.broadcast(red_parts), li["l_partkey"] == red_parts["p_partkey"])
+        .join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .join(F.broadcast(nation), F.col("s_nationkey") == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("order_year"))
+        .agg(F.sum(profit).cast("double").alias("profit"), F.count("*").alias("n_items"))
+        .orderBy("nation", F.desc("order_year"))
+    )
+
+
+PRODUCT_PROFIT_SQL = """
+SELECT n_name AS nation, year(o_orderdate) AS order_year,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                     - 0.5 * p_retailprice * l_quantity AS DECIMAL(24,4))) AS DOUBLE) AS profit,
+       COUNT(*) AS n_items
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE p_name LIKE '%red%'
+GROUP BY n_name, year(o_orderdate)
+ORDER BY nation, order_year DESC
+"""
+
+
+def promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14-style promo share: of lineitems shipped in 1997, the
+    percentage of revenue from PROMO-type parts. Single fact scan with
+    the shipdate range pushed to parquet; part broadcasts; one
+    conditional aggregate — no subquery, no second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    rev_dec = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,4)")
+    zero = F.lit(0).cast("decimal(24,4)")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev_dec).otherwise(zero)).cast("double")
+                / F.sum(rev_dec).cast("double")
+            ).alias("promo_pct"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+PROMO_REVENUE_SQL = """
+SELECT 100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+                             THEN CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))
+                             ELSE CAST(0 AS DECIMAL(24,4)) END) AS DOUBLE)
+             / CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS promo_pct,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+"""
+
+
+def disjunctive_part_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19-style disjunctive join predicate: revenue from three
+    OR'd (brand × size-range × quantity-range) clauses.
+
+    The predicate spans both join sides, so it can't be a pure join
+    key — but Catalyst still extracts the join-independent residuals:
+    the per-side implied filters (brand IN (...), size BETWEEN 1..25,
+    quantity BETWEEN 1..30 — the union of the clause ranges) push to
+    the scans, and the equi-join on partkey stays a hash join with the
+    disjunction as a post-join filter rather than degrading to a
+    nested-loop theta join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    joined = li.join(F.broadcast(part), li["l_partkey"] == part["p_partkey"])
+    clause = (
+        (
+            (F.col("p_brand") == "Brand#12")
+            & F.col("p_size").between(1, 5)
+            & F.col("l_quantity").between(1, 11)
+        )
+        | (
+            (F.col("p_brand") == "Brand#23")
+            & F.col("p_size").between(1, 10)
+            & F.col("l_quantity").between(10, 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & F.col("p_size").between(1, 25)
+            & F.col("l_quantity").between(20, 30)
+        )
+    )
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,4)")
+    return joined.filter(clause).agg(
+        F.sum(revenue).cast("double").alias("revenue"), F.count("*").alias("n_items")
+    )
+
+
+DISJUNCTIVE_PART_REVENUE_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS revenue,
+       COUNT(*) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5  AND l_quantity BETWEEN 1  AND 11)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10 AND l_quantity BETWEEN 10 AND 20)
+   OR (p_brand = 'Brand#3'  AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 20 AND 30)
+"""
+
+
+def idle_rich_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22-style: customers with above-average positive balance
+    and no order since 2000, counted per nation (lapsed high-value
+    accounts).
+
+    The global-average scalar subquery is a 1-row aggregate CROSS
+    JOINed into the plan (never `.collect()`ed to the driver — the
+    whole query stays one lazy DAG); the `NOT EXISTS` is a left_anti
+    join against the distinct recent-order custkeys, with the date
+    filter pushed below the distinct so the anti build side is small.
+    At scale the anti-join shuffles on custkey (uniform); the 1-row
+    broadcast is free."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders")
+    nation = load_table(spark, sf_dir, "nation")
+    avg_bal = cust.filter(F.col("c_acctbal") > 0).agg(
+        F.avg("c_acctbal").alias("avg_bal")
+    )
+    recent = (
+        orders.filter(F.col("o_orderdate") >= F.lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+        .distinct()
+    )
+    return (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("avg_bal"))
+        .join(recent, cust["c_custkey"] == F.col("o_custkey"), "left_anti")
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            _dsum(F.col("c_acctbal")).alias("total_bal"),
+        )
+        .orderBy("nation")
+    )
+
+
+IDLE_RICH_CUSTOMERS_SQL = """
+SELECT n_name AS nation, COUNT(*) AS n_customers,
+       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_acctbal > (SELECT AVG(c_acctbal) FROM customer WHERE c_acctbal > 0)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+                  AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+GROUP BY n_name
+ORDER BY nation
+"""
+
+
+def blocking_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21-style "suppliers who kept orders waiting": orders where
+    at least one line shipped late (>90 days after the order date) and
+    EVERY late line came from the same single supplier — charged to
+    that supplier.
+
+    Q21's EXISTS + NOT EXISTS double-correlation collapses into ONE
+    per-order aggregation: count late lines, count distinct late
+    suppliers, and pick the unique late supplier with a conditional
+    max — one orderkey shuffle instead of two correlated re-scans of
+    the fact. The supplier name lookup broadcasts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    supp = load_table(spark, sf_dir, "supplier")
+    late = F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 90)
+    per_order = (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .groupBy("l_orderkey")
+        .agg(
+            F.count(F.when(late, F.lit(1))).alias("n_late"),
+            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.max(F.when(late, F.col("l_suppkey"))).alias("late_supp"),
+            F.countDistinct("l_suppkey").alias("n_supp"),
+        )
+        .filter((F.col("n_late") > 0) & (F.col("n_late_supp") == 1) & (F.col("n_supp") > 1))
+    )
+    return (
+        per_order.join(F.broadcast(supp), per_order["late_supp"] == supp["s_suppkey"])
+        .groupBy("s_suppkey", "s_name")
+        .agg(F.count("*").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_suppkey")
+        .limit(20)
+    )
+
+
+BLOCKING_SUPPLIERS_SQL = """
+WITH per_order AS (
+  SELECT l_orderkey,
+         COUNT(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 END) AS n_late,
+         COUNT(DISTINCT CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN l_suppkey END) AS n_late_supp,
+         MAX(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN l_suppkey END) AS late_supp,
+         COUNT(DISTINCT l_suppkey) AS n_supp
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey
+)
+SELECT s_suppkey, s_name, COUNT(*) AS numwait
+FROM per_order JOIN supplier ON late_supp = s_suppkey
+WHERE n_late > 0 AND n_late_supp = 1 AND n_supp > 1
+GROUP BY s_suppkey, s_name
+ORDER BY numwait DESC, s_suppkey
+LIMIT 20
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "top_customers": top_customers,
@@ -447,6 +810,13 @@ QUERIES = {
     "order_priority_rollup": order_priority_rollup,
     "customer_year_setops": customer_year_setops,
     "small_qty_revenue": small_qty_revenue,
+    "nation_trade_flows": nation_trade_flows,
+    "market_share": market_share,
+    "product_profit": product_profit,
+    "promo_revenue": promo_revenue,
+    "disjunctive_part_revenue": disjunctive_part_revenue,
+    "idle_rich_customers": idle_rich_customers,
+    "blocking_suppliers": blocking_suppliers,
 }
 
 ORACLE_SQL = {
@@ -461,4 +831,11 @@ ORACLE_SQL = {
     "order_priority_rollup": ORDER_PRIORITY_ROLLUP_SQL,
     "customer_year_setops": CUSTOMER_YEAR_SETOPS_SQL,
     "small_qty_revenue": SMALL_QTY_REVENUE_SQL,
+    "nation_trade_flows": NATION_TRADE_FLOWS_SQL,
+    "market_share": MARKET_SHARE_SQL,
+    "product_profit": PRODUCT_PROFIT_SQL,
+    "promo_revenue": PROMO_REVENUE_SQL,
+    "disjunctive_part_revenue": DISJUNCTIVE_PART_REVENUE_SQL,
+    "idle_rich_customers": IDLE_RICH_CUSTOMERS_SQL,
+    "blocking_suppliers": BLOCKING_SUPPLIERS_SQL,
 }
