@@ -184,6 +184,23 @@ NGRAM_JACCARD_PAIRS_SQL = (
 CC_MAX_ROUNDS = 25
 
 
+def _truncate_lineage(df: DataFrame) -> DataFrame:
+    """Materialize `df` and CUT its logical plan — mandatory inside
+    iterative loops. Each CC round embeds the previous round's plan ~4×
+    (labels feeds nmin, hop, the jump self-join and the changed-count),
+    so an un-truncated loop grows the plan tree 4^rounds: Catalyst
+    re-optimization slows every round and the AQE explain-string alone
+    OOMs the driver after ~10 rounds (observed on Spark 4.1.2 — a
+    `.cache()` does NOT help, caching keeps the full lineage). Uses the
+    reliable checkpoint when a checkpoint dir is configured (cluster:
+    survives executor loss), else an eager localCheckpoint (tests /
+    local mode)."""
+    sc = df.sparkSession.sparkContext
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        return df.checkpoint(eager=True)
+    return df.localCheckpoint(eager=True)
+
+
 def connected_components(edges: DataFrame) -> DataFrame:
     """(doc_id, label) for every node in `edges`, label = component min.
 
@@ -192,16 +209,16 @@ def connected_components(edges: DataFrame) -> DataFrame:
     each round is two self-joins + one convergence aggregate, so rounds ~
     O(log diameter), and near-dup components (dense LSH/shingle cliques)
     converge in 2-3. Per-round driver work is ONE scalar aggregate (the
-    changed-count) — no row collection; labels persist round-over-round
-    and the superseded cache is dropped. This is the 100 TB shape for
+    changed-count) — no row collection; each round's labels are
+    checkpointed (see _truncate_lineage) so the plan stays O(1) per
+    round no matter the iteration count. This is the 100 TB shape for
     iterative graph algorithms on DataFrames.
 
     `edges` must be directed both ways (src→dst and dst→src).
     """
-    labels = (
+    labels = _truncate_lineage(
         edges.select(F.col("src").alias("doc_id")).distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
-        .cache()
     )
     for _ in range(CC_MAX_ROUNDS):
         nmin = (
@@ -217,14 +234,13 @@ def connected_components(edges: DataFrame) -> DataFrame:
         )
         # pointer jump: follow label -> label(label); labels only shrink,
         # so the parent's label is always <= the current one
-        jump = (
+        jump = _truncate_lineage(
             hop.join(
                 hop.select(F.col("doc_id").alias("label"), F.col("label").alias("pl")),
                 "label",
                 "left",
             )
             .select("doc_id", F.coalesce("pl", "label").alias("label"))
-            .cache()
         )
         changed = (
             jump.alias("n")
@@ -232,7 +248,6 @@ def connected_components(edges: DataFrame) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
-        labels.unpersist()
         labels = jump
         if changed == 0:
             return labels
