@@ -196,14 +196,80 @@ FROM member GROUP BY 1, 2
 """
 
 
+def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source corpus accounting → sampling weights: the table a
+    data-mixing stage consumes when assembling a training blend (docs,
+    tokens, exact-dup rate per source, and a sublinear sampling weight
+    that up-weights small sources — here √tokens, the α=0.5 point of
+    the standard temperature-mixing family).
+
+    One shuffle (groupBy source); the dup rate rides the same pass as
+    countDistinct(md5(text)). Numeric discipline for the cross-engine
+    hash: √ is IEEE-correctly-rounded in BOTH engines (pow() is not —
+    libm vs JVM may drift an ulp, so the exponent is fixed at 0.5, not
+    a parameter), each √ is snapped to DECIMAL(28,10) before the
+    normalizer sums them (20 doubles summed in engine-dependent order
+    would drift), and the final weight is one double division. The
+    normalizer is a whole-relation window over |sources| rows — single
+    partition, but only AFTER aggregation (≤ thousands of sources at
+    any scale), never over docs."""
+    from pyspark.sql import Window
+
+    from capstone_etl_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    ws = F.size(tokenize("text")).cast("long")
+    per_src = docs.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(ws).alias("n_tokens"),
+        F.countDistinct(F.md5("text")).alias("n_unique"),
+        F.sum(F.length("text").cast("long")).alias("n_chars_sum"),
+    )
+    sq = F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(28,10)")
+    w_all = Window.partitionBy()
+    return (
+        per_src.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.lit(1.0) - F.col("n_unique").cast("double") / F.col("n_docs")).alias("dup_rate"),
+            (F.col("n_chars_sum").cast("double") / F.col("n_docs")).alias("mean_chars"),
+            (sq.cast("double") / F.sum(sq).over(w_all).cast("double")).alias("mix_weight"),
+        )
+        .orderBy("source")
+    )
+
+
+SOURCE_MIXING_WEIGHTS_SQL = """
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           t -> t <> ''))) AS BIGINT) AS n_tokens,
+         COUNT(DISTINCT md5(text)) AS n_unique,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars_sum
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       1.0 - CAST(n_unique AS DOUBLE) / n_docs AS dup_rate,
+       CAST(n_chars_sum AS DOUBLE) / n_docs AS mean_chars,
+       CAST(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,10)) AS DOUBLE)
+         / CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,10))) OVER () AS DOUBLE) AS mix_weight
+FROM per_src
+ORDER BY source
+"""
+
+
 QUERIES = {
     "corpus_pipeline": corpus_pipeline,
     "doc_chunks": doc_chunks,
     "doc_chunks_overlap": doc_chunks_overlap,
+    "source_mixing_weights": source_mixing_weights,
 }
 
 ORACLE_SQL = {
     "corpus_pipeline": CORPUS_PIPELINE_SQL,
     "doc_chunks": DOC_CHUNKS_SQL,
     "doc_chunks_overlap": DOC_CHUNKS_OVERLAP_SQL,
+    "source_mixing_weights": SOURCE_MIXING_WEIGHTS_SQL,
 }

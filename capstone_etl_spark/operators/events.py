@@ -538,6 +538,67 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
 """
 
 
+def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-series resample + forward fill: regularize each user's
+    event stream onto a dense daily grid (observability/feature-store
+    staple the raw queries don't cover — downstream models need one
+    row per (user, day) even for silent days).
+
+    Three stages, all distributed: (1) daily aggregate per user —
+    one shuffle on (user_id, day); (2) per-user date spine generated
+    EXECUTOR-SIDE with `sequence(min_day, max_day)` + explode off the
+    per-user bounds aggregate — no driver-side calendar loop, and the
+    spine length is bounded by each user's own active span, not the
+    global range; (3) forward fill = `last(value, ignorenulls)` over a
+    per-user ordered window. The daily relation is consumed twice
+    (bounds + the spine join), so it's cached. At 100 TB the spine
+    join shuffles on (user_id, day) with uniform keys; the window
+    shuffles on user_id — both AQE-coalescible."""
+    daily = (
+        _events(spark, sf_dir)
+        .filter(F.col("user_id") < 10)
+        .groupBy("user_id", F.to_date("ts").alias("day"))
+        .agg(_dsum(F.col("value")).alias("day_value"))
+        .cache()
+    )
+    bounds = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+    spine = bounds.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))
+    w = Window.partitionBy("user_id").orderBy("day").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        spine.join(daily, ["user_id", "day"], "left")
+        .withColumn("filled_value", F.last("day_value", ignorenulls=True).over(w))
+        .select(
+            "user_id",
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            "day_value",
+            "filled_value",
+            F.col("day_value").isNull().cast("int").alias("is_gap"),
+        )
+        .orderBy("user_id", "day")
+    )
+
+
+GAP_FILL_DAILY_SQL = """
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS day_value
+  FROM events WHERE user_id < 10 GROUP BY 1, 2
+), bounds AS (
+  SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1
+), spine AS (
+  SELECT user_id, CAST(UNNEST(generate_series(CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS day
+  FROM bounds
+)
+SELECT s.user_id, strftime(s.day, '%Y-%m-%d') AS day, d.day_value,
+       LAST_VALUE(d.day_value IGNORE NULLS) OVER (
+         PARTITION BY s.user_id ORDER BY s.day
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled_value,
+       CAST(d.day_value IS NULL AS INT) AS is_gap
+FROM spine s LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day
+ORDER BY s.user_id, s.day
+"""
+
+
 QUERIES = {
     "event_tumbling_windows": tumbling_windows,
     "event_sliding_windows": sliding_windows,
@@ -554,6 +615,7 @@ QUERIES = {
     "event_day_type_cube": day_type_cube,
     "event_gap_stats": event_gap_stats,
     "event_user_deciles": user_value_deciles,
+    "event_gap_fill": gap_fill_daily,
 }
 
 ORACLE_SQL = {
@@ -572,4 +634,5 @@ ORACLE_SQL = {
     "event_day_type_cube": DAY_TYPE_CUBE_SQL,
     "event_gap_stats": EVENT_GAP_STATS_SQL,
     "event_user_deciles": USER_VALUE_DECILES_SQL,
+    "event_gap_fill": GAP_FILL_DAILY_SQL,
 }
