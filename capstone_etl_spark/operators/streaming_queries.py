@@ -26,11 +26,13 @@ from capstone_etl_spark.streaming import (
     events_stream,
     run_to_memory,
     stage_events,
+    stream_click_purchase_join,
     stream_dedup_counts,
     stream_session_windows,
     stream_sliding,
     stream_tumbling,
 )
+from capstone_etl_spark.streaming.windows import ATTRIBUTION_WINDOW_SEC
 from capstone_etl_spark.streaming.stateful import running_user_activity
 
 SESSION_GAP_SEC = 30 * 60
@@ -143,12 +145,53 @@ FROM events GROUP BY user_id
 """
 
 
+def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM join end-to-end: purchases × same-user clicks
+    within the preceding hour, joined incrementally across micro-
+    batches (pairs whose two sides arrive in different batches are
+    emitted when the second side lands), then rolled up per purchase.
+    The rollup runs on the memory-sink table (batch) — chaining a
+    second stateful aggregation after a stream-stream join is
+    restricted territory; the join itself is the streaming operator
+    under test. Inner join ⇒ only purchases with ≥1 prior click
+    appear (documented, mirrored by the oracle)."""
+    got = _run(
+        spark,
+        sf_dir,
+        lambda s: stream_click_purchase_join(s, watermark=HORIZON_WATERMARK),
+        "append",
+    )
+    return (
+        got.groupBy("purchase_id", "user_id", "purchase_sec")
+        .agg(
+            F.count("*").alias("n_clicks_prior_hour"),
+            F.max("click_sec").alias("last_click_sec"),
+        )
+    )
+
+
+STREAM_CLICK_ATTRIBUTION_SQL = f"""
+WITH ev AS (
+  SELECT event_id, user_id, event_type, FLOOR(epoch(ts))::BIGINT AS ts_sec FROM events
+)
+SELECT p.event_id AS purchase_id, p.user_id, p.ts_sec AS purchase_sec,
+       COUNT(*) AS n_clicks_prior_hour,
+       MAX(c.ts_sec) AS last_click_sec
+FROM ev p
+JOIN ev c ON c.user_id = p.user_id
+         AND c.ts_sec BETWEEN p.ts_sec - {ATTRIBUTION_WINDOW_SEC} AND p.ts_sec
+WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+GROUP BY p.event_id, p.user_id, p.ts_sec
+"""
+
+
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
     "stream_sliding_windows": stream_sliding_windows,
     "stream_event_dedup": stream_event_dedup,
     "stream_user_sessions": stream_user_sessions,
     "stream_user_activity": stream_user_activity,
+    "stream_click_attribution": stream_click_attribution,
 }
 
 ORACLE_SQL = {
@@ -157,4 +200,5 @@ ORACLE_SQL = {
     "stream_event_dedup": EVENT_DEDUP_SQL,
     "stream_user_sessions": STREAM_USER_SESSIONS_SQL,
     "stream_user_activity": STREAM_USER_ACTIVITY_SQL,
+    "stream_click_attribution": STREAM_CLICK_ATTRIBUTION_SQL,
 }

@@ -18,6 +18,7 @@ enforced two ways:
 from capstone_etl_spark.streaming.source import events_stream, stage_events  # noqa: F401
 from capstone_etl_spark.streaming.runner import run_to_memory  # noqa: F401
 from capstone_etl_spark.streaming.windows import (  # noqa: F401
+    stream_click_purchase_join,
     stream_dedup_counts,
     stream_session_windows,
     stream_sliding,

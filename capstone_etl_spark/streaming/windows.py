@@ -104,3 +104,48 @@ def stream_dedup_counts(events: DataFrame, watermark: str = WATERMARK) -> DataFr
     else:
         deduped = ev.dropDuplicates(keys)
     return deduped.groupBy("event_type").agg(F.count("*").alias("n_distinct_events"))
+
+
+ATTRIBUTION_WINDOW_SEC = 3600
+
+
+def stream_click_purchase_join(events: DataFrame, watermark: str = WATERMARK) -> DataFrame:
+    """STREAM-STREAM interval self-join: every purchase paired with the
+    same user's clicks from the preceding hour (click attribution).
+
+    Both join inputs derive from ONE watermarked stream (filter twice +
+    alias — a supported streaming self-join), so each side carries the
+    watermark the state store needs: a buffered click can be evicted
+    once the watermark passes click_ts + 1 h (no purchase can match it
+    anymore), which is exactly how a stream-stream join stays bounded
+    at 100 TB/day — state is watermark-horizon-sized, never
+    stream-sized. The time-range predicate (c_ts BETWEEN p_ts - 1 h
+    AND p_ts) is what makes eviction derivable; an unconstrained
+    equi-join on user_id alone would be rejected by Spark in append
+    mode for exactly that reason. Event times are truncated to whole
+    seconds first so pair decisions match the second-granularity
+    oracle. Inner join ⇒ append output mode (pairs emit as soon as
+    both sides have arrived, possibly in different micro-batches)."""
+    ev = events.withColumn("ts", F.timestamp_seconds(F.col("ts").cast("long")))
+    if events.isStreaming:
+        ev = ev.withWatermark("ts", watermark)
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user"),
+        F.col("ts").alias("p_ts"),
+    )
+    return purchases.join(
+        clicks,
+        (F.col("c_user") == F.col("p_user"))
+        & (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {ATTRIBUTION_WINDOW_SEC} SECONDS"))
+        & (F.col("c_ts") <= F.col("p_ts")),
+        "inner",
+    ).select(
+        "purchase_id",
+        F.col("p_user").alias("user_id"),
+        F.col("p_ts").cast("long").alias("purchase_sec"),
+        F.col("c_ts").cast("long").alias("click_sec"),
+    )

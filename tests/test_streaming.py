@@ -11,6 +11,7 @@ from capstone_etl_spark.streaming import (
     events_stream,
     run_to_memory,
     stage_events,
+    stream_click_purchase_join,
     stream_dedup_counts,
     stream_session_windows,
     stream_tumbling,
@@ -59,6 +60,23 @@ def test_stream_sessions_equal_batch_session_window(spark, tmp_path):
     )
     batch = spark.read.parquet(str(tmp_path / "staging"))
     want = stream_session_windows(batch)
+    pd.testing.assert_frame_equal(_pdf(got), _pdf(want))
+
+
+def test_stream_stream_join_equals_batch(spark, tmp_path):
+    """Stream-stream interval self-join (purchases × prior-hour clicks)
+    across 4 micro-batches equals the same operator run in batch —
+    pairs whose sides land in different micro-batches must still be
+    emitted exactly once."""
+    stream = _staged_stream(spark, tmp_path)
+    got = run_to_memory(
+        stream_click_purchase_join(stream, watermark=HORIZON),
+        str(tmp_path / "ckpt"),
+        "append",
+    )
+    batch = spark.read.parquet(str(tmp_path / "staging"))
+    want = stream_click_purchase_join(batch)
+    assert got.count() > 0
     pd.testing.assert_frame_equal(_pdf(got), _pdf(want))
 
 
