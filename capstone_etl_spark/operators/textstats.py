@@ -401,6 +401,54 @@ WHERE rank <= {TOP_VOCAB_K}
 """
 
 
+TOP_TOKENS_K = 3
+
+
+def top_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group heavy hitters, exact: the K most frequent tokens of
+    every source (corpus drift / boilerplate monitoring per slice).
+
+    explode → two-level hash agg (partial map-side combine absorbs the
+    token skew before the (source, token) shuffle) → row_number only
+    over the per-source aggregated relation (≤ vocab rows per source,
+    never raw tokens). Tiebreak is lexicographic for cross-engine
+    determinism. At 100 TB the exact path is viable precisely because
+    the window input is post-aggregation; the sketch alternative
+    (count-min / approx_top_k) trades that shuffle for mergeable
+    state — tests/test_sketches.py pins the approx toolkit instead."""
+    tok = _docs(spark, sf_dir).select(
+        "source", F.explode(tokenize("text")).alias("token")
+    )
+    freq = tok.groupBy("source", "token").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("source").orderBy(F.desc("cnt"), "token")
+    return (
+        freq.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_TOKENS_K)
+        .select("source", "token", "cnt", "rnk")
+        .orderBy("source", "rnk")
+    )
+
+
+TOP_TOKENS_PER_SOURCE_SQL = f"""
+WITH toks AS (
+  SELECT source,
+         UNNEST(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           t -> t <> '')) AS token
+  FROM documents
+), freq AS (
+  SELECT source, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+)
+SELECT source, token, cnt, rnk FROM (
+  SELECT source, token, cnt,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY cnt DESC, token) AS rnk
+  FROM freq
+) t
+WHERE rnk <= {TOP_TOKENS_K}
+ORDER BY source, rnk
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "token_counts": token_counts,
@@ -409,6 +457,7 @@ QUERIES = {
     "bigram_pmi": bigram_pmi,
     "vocab_coverage": vocab_coverage,
     "repetition_ratio": repetition_ratio,
+    "top_tokens_per_source": top_tokens_per_source,
 }
 
 ORACLE_SQL = {
@@ -419,4 +468,5 @@ ORACLE_SQL = {
     "bigram_pmi": BIGRAM_PMI_SQL,
     "vocab_coverage": VOCAB_COVERAGE_SQL,
     "repetition_ratio": REPETITION_RATIO_SQL,
+    "top_tokens_per_source": TOP_TOKENS_PER_SOURCE_SQL,
 }
