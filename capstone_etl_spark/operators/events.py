@@ -599,6 +599,34 @@ ORDER BY s.user_id, s.day
 """
 
 
+def props_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex scrubbing — the PII-redaction operator shape a training
+    pipeline runs before anything else: mask every digit run in the
+    raw payload, count what was masked (the audit column compliance
+    wants), and emit a stable hash of the redacted form for
+    dedup-after-redaction. Pure per-row column math (regexp_replace /
+    regexp_extract_all stay in whole-stage codegen, no UDF, no
+    shuffle); the regex is kept to the Java∩RE2 common subset so the
+    DuckDB oracle masks identically."""
+    ev = _events(spark, sf_dir)
+    redacted = F.regexp_replace(F.col("props"), "[0-9]+", "<num>")
+    return ev.select(
+        "event_id",
+        redacted.alias("props_redacted"),
+        F.size(F.regexp_extract_all("props", F.lit("[0-9]+"), 0)).cast("long").alias("n_masked"),
+        F.md5(redacted).alias("redacted_hash"),
+    )
+
+
+PROPS_REDACTION_SQL = """
+SELECT event_id,
+       regexp_replace(props, '[0-9]+', '<num>', 'g') AS props_redacted,
+       CAST(len(regexp_extract_all(props, '[0-9]+')) AS BIGINT) AS n_masked,
+       md5(regexp_replace(props, '[0-9]+', '<num>', 'g')) AS redacted_hash
+FROM events
+"""
+
+
 QUERIES = {
     "event_tumbling_windows": tumbling_windows,
     "event_sliding_windows": sliding_windows,
@@ -616,6 +644,7 @@ QUERIES = {
     "event_gap_stats": event_gap_stats,
     "event_user_deciles": user_value_deciles,
     "event_gap_fill": gap_fill_daily,
+    "event_props_redaction": props_redaction,
 }
 
 ORACLE_SQL = {
@@ -635,4 +664,5 @@ ORACLE_SQL = {
     "event_gap_stats": EVENT_GAP_STATS_SQL,
     "event_user_deciles": USER_VALUE_DECILES_SQL,
     "event_gap_fill": GAP_FILL_DAILY_SQL,
+    "event_props_redaction": PROPS_REDACTION_SQL,
 }
