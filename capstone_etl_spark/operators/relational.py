@@ -798,6 +798,102 @@ LIMIT 20
 """
 
 
+def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15-style argmax WITH ties: the supplier(s) whose revenue
+    over 1997-H1 shipments equals the maximum such revenue.
+
+    The MAX scalar subquery is a 1-row aggregate OVER the per-supplier
+    rollup, cross-joined back and compared — two passes over the small
+    aggregated relation, one pass over the fact. Revenue is compared
+    as exact DECIMAL (an argmax on drifting doubles could select
+    different suppliers per engine). Ties survive (no arbitrary
+    LIMIT 1), matching Q15's VIEW + WHERE total = (SELECT MAX...)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    rev = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .groupBy("l_suppkey")
+        .agg(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,4)")).alias(
+                "total_rev"
+            )
+        )
+    )
+    max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
+    return (
+        rev.crossJoin(F.broadcast(max_rev))
+        .filter(F.col("total_rev") == F.col("max_rev"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == supp["s_suppkey"])
+        .select("s_suppkey", "s_name", F.col("total_rev").cast("double").alias("total_revenue"))
+        .orderBy("s_suppkey")
+    )
+
+
+TOP_SUPPLIER_SQL = """
+WITH rev AS (
+  SELECT l_suppkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS total_rev
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_revenue
+FROM rev JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+ORDER BY s_suppkey
+"""
+
+
+def large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18-style large-volume orders: orders whose total line
+    quantity exceeds 300, with customer context.
+
+    The HAVING subquery is a pre-aggregation of the fact on orderkey
+    (map-side combine collapses ~6 lines/order before the shuffle) and
+    the filter prunes BEFORE the joins — orders/customer join only the
+    few surviving keys. Quantity is integral-valued, so the sum and
+    the >300 cut are exact on both engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(_dsum(F.col("l_quantity")).alias("sum_qty"))
+        .filter(F.col("sum_qty") > 300)
+    )
+    return (
+        big.join(orders, big["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_totalprice",
+            "sum_qty",
+        )
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+    )
+
+
+LARGE_ORDERS_SQL = """
+SELECT c_custkey, c_name, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS orderdate,
+       o_totalprice, sum_qty
+FROM (
+  SELECT l_orderkey, CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+  FROM lineitem GROUP BY l_orderkey HAVING SUM(CAST(l_quantity AS DECIMAL(18,2))) > 300
+) big
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "top_customers": top_customers,
@@ -817,6 +913,8 @@ QUERIES = {
     "disjunctive_part_revenue": disjunctive_part_revenue,
     "idle_rich_customers": idle_rich_customers,
     "blocking_suppliers": blocking_suppliers,
+    "top_supplier": top_supplier,
+    "large_orders": large_orders,
 }
 
 ORACLE_SQL = {
@@ -838,4 +936,6 @@ ORACLE_SQL = {
     "disjunctive_part_revenue": DISJUNCTIVE_PART_REVENUE_SQL,
     "idle_rich_customers": IDLE_RICH_CUSTOMERS_SQL,
     "blocking_suppliers": BLOCKING_SUPPLIERS_SQL,
+    "top_supplier": TOP_SUPPLIER_SQL,
+    "large_orders": LARGE_ORDERS_SQL,
 }

@@ -401,6 +401,56 @@ WHERE rank <= {TOP_VOCAB_K}
 """
 
 
+def token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc Shannon entropy of the token distribution (nats) — the
+    classic diversity/quality signal (degenerate boilerplate → low
+    entropy; natural text sits in a band).
+
+    Numeric discipline: ln() is NOT guaranteed bit-identical across
+    engines (JVM Math.log vs libm may differ in the last ulp), and the
+    per-token term summation order differs under partial aggregation —
+    so each term p·ln(p) is snapped to DECIMAL(28,12) (identical to
+    12 places on both sides), summed EXACTLY, and only the final value
+    is rounded to 6 decimals. One (doc_id, token) shuffle + one doc_id
+    shuffle, both uniform."""
+    tok = _docs(spark, sf_dir).select("doc_id", F.explode(tokenize("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    n = Window.partitionBy("doc_id")
+    p = F.col("cnt") / F.sum("cnt").over(n)
+    term = (-(p * F.log(p))).cast("decimal(28,12)")
+    return (
+        tf.select("doc_id", F.col("cnt"), term.alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.round(F.sum("term").cast("double"), 6).alias("entropy_nats"),
+        )
+    )
+
+
+TOKEN_ENTROPY_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         UNNEST(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           t -> t <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+), terms AS (
+  SELECT doc_id, cnt,
+         CAST(-( (CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY doc_id))
+                 * ln(CAST(cnt AS DOUBLE) / SUM(cnt) OVER (PARTITION BY doc_id)) )
+              AS DECIMAL(28,12)) AS term
+  FROM tf
+)
+SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS entropy_nats
+FROM terms GROUP BY doc_id
+"""
+
+
 TOP_TOKENS_K = 3
 
 
@@ -458,6 +508,7 @@ QUERIES = {
     "vocab_coverage": vocab_coverage,
     "repetition_ratio": repetition_ratio,
     "top_tokens_per_source": top_tokens_per_source,
+    "token_entropy": token_entropy,
 }
 
 ORACLE_SQL = {
@@ -469,4 +520,5 @@ ORACLE_SQL = {
     "vocab_coverage": VOCAB_COVERAGE_SQL,
     "repetition_ratio": REPETITION_RATIO_SQL,
     "top_tokens_per_source": TOP_TOKENS_PER_SOURCE_SQL,
+    "token_entropy": TOKEN_ENTROPY_SQL,
 }
