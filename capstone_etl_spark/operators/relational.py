@@ -821,6 +821,9 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "total_rev"
             )
         )
+        # consumed twice (the relation and its MAX) — cache so the fact
+        # scan + rollup runs once
+        .cache()
     )
     max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
     return (
