@@ -379,6 +379,92 @@ WHERE CAST(n_inter AS DOUBLE) / (sc.sz + sb.sz - n_inter) >= {JACCARD_THRESHOLD}
 """
 
 
+SPAN_N = 5        # exact-overlap gram width for span-level decontamination
+SPAN_MIN_SHARED = 2
+
+
+def decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SPAN-level decontamination: for every (train, bench) pair
+    sharing ≥ SPAN_MIN_SHARED exact 5-grams, the token-offset span the
+    overlap covers on each side — the output a surgical pipeline
+    consumes (mask/cut the contaminated span) when whole-doc dropping
+    (benchmark_decontamination) is too blunt. This is the exact-
+    substring-overlap family (Lee et al. 2022's dedup applied across
+    the train/eval cut) at n-gram granularity.
+
+    POSITIONAL grams (posexplode — position is 1-based on both
+    engines), so the same bipartite hash join that finds pairs also
+    carries min/max offsets; no second pass over the text. The df-cap
+    (distinct-doc frequency ≤ MAX_SHINGLE_DF) drops boilerplate grams
+    before the join, same skew/volume control as the dedup family."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    n = SPAN_N
+    grams = (
+        toks.filter(F.size("toks") >= n)
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
+                    lambda i: F.struct(
+                        i.cast("long").alias("pos"),
+                        F.array_join(F.slice("toks", i, n), " ").alias("gram"),
+                    ),
+                )
+            ).alias("g"),
+        )
+        .select("doc_id", F.col("g.pos").alias("pos"), md5_hash60(F.col("g.gram")).alias("sh"))
+    )
+    df_ok = (
+        grams.select("sh", "doc_id").distinct()
+        .groupBy("sh").agg(F.count("*").alias("sdf"))
+        .filter(F.col("sdf") <= MAX_SHINGLE_DF)
+    )
+    g = grams.join(df_ok.select("sh"), "sh", "left_semi").cache()
+    is_bench = F.col("doc_id") % BENCH_MOD == 0
+    t, b = g.filter(~is_bench).alias("t"), g.filter(is_bench).alias("b")
+    return (
+        t.join(b, F.col("t.sh") == F.col("b.sh"))
+        .groupBy(F.col("t.doc_id").alias("train_doc"), F.col("b.doc_id").alias("bench_doc"))
+        .agg(
+            F.countDistinct("t.sh").alias("n_shared"),
+            F.min("t.pos").alias("train_start"),
+            (F.max("t.pos") + (n - 1)).alias("train_end"),
+            F.min("b.pos").alias("bench_start"),
+            (F.max("b.pos") + (n - 1)).alias("bench_end"),
+        )
+        .filter(F.col("n_shared") >= SPAN_MIN_SHARED)
+    )
+
+
+DECONTAMINATION_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, CAST(i AS BIGINT) AS pos,
+         {md5_hash60_sql(f"array_to_string(t[i : i + {SPAN_N} - 1], ' ')")} AS sh
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {SPAN_N} + 2)) AS i) r
+  WHERE len(t) >= {SPAN_N}
+), df_ok AS (
+  SELECT sh FROM (SELECT DISTINCT sh, doc_id FROM grams) d
+  GROUP BY sh HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+), g AS (
+  SELECT grams.* FROM grams JOIN df_ok USING (sh)
+)
+SELECT t.doc_id AS train_doc, b.doc_id AS bench_doc,
+       COUNT(DISTINCT t.sh) AS n_shared,
+       MIN(t.pos) AS train_start, MAX(t.pos) + {SPAN_N} - 1 AS train_end,
+       MIN(b.pos) AS bench_start, MAX(b.pos) + {SPAN_N} - 1 AS bench_end
+FROM g t JOIN g b ON t.sh = b.sh
+WHERE t.doc_id % {BENCH_MOD} <> 0 AND b.doc_id % {BENCH_MOD} = 0
+GROUP BY t.doc_id, b.doc_id
+HAVING COUNT(DISTINCT t.sh) >= {SPAN_MIN_SHARED}
+"""
+
+
 # ------------------------------------------------------- MinHash + LSH
 
 def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
@@ -611,6 +697,7 @@ QUERIES = {
     "dedup_simhash": simhash_pairs,
     "dedup_clusters": dedup_clusters,
     "decontamination": benchmark_decontamination,
+    "decontamination_spans": decontamination_spans,
 }
 
 ORACLE_SQL = {
@@ -620,4 +707,5 @@ ORACLE_SQL = {
     "dedup_simhash": SIMHASH_PAIRS_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "decontamination": DECONTAMINATION_SQL,
+    "decontamination_spans": DECONTAMINATION_SPANS_SQL,
 }
