@@ -627,6 +627,66 @@ FROM events
 """
 
 
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention: users cohorted by FIRST-PURCHASE week, counted
+    per subsequent activity week (the product-analytics staple the
+    other event queries don't cover; purchase-based cohorts, since in
+    this corpus every user is *seen* from week 1).
+
+    Two aggregations, no self-join: (1) per-user first-purchase week
+    via min over a per-user agg (one user_id shuffle; users who never
+    purchase drop out via the inner join — documented); (2) distinct
+    (user, activity-week) joined to the cohort label and counted. The
+    cohort relation is per-user (small, broadcastable at any scale
+    where users ≪ events); retention_pct divides two exact counts, so
+    the doubles agree bit-for-bit."""
+    raw = _events(spark, sf_dir)
+    ev = raw.select("user_id", F.weekofyear("ts").alias("week"))
+    first_week = (
+        raw.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.min(F.weekofyear("ts")).alias("cohort_week"))
+    )
+    active = ev.distinct()
+    cohort_sizes = first_week.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
+    return (
+        active.join(F.broadcast(first_week), "user_id")
+        .groupBy("cohort_week", F.col("week").alias("active_week"))
+        .agg(F.count("*").alias("n_active"))
+        .join(F.broadcast(cohort_sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "active_week",
+            (F.col("active_week") - F.col("cohort_week")).alias("weeks_since"),
+            "n_active",
+            "cohort_size",
+            (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention_pct"),
+        )
+        .orderBy("cohort_week", "active_week")
+    )
+
+
+RETENTION_COHORTS_SQL = """
+WITH ev AS (
+  SELECT DISTINCT user_id, weekofyear(ts) AS week FROM events
+), first_week AS (
+  SELECT user_id, MIN(weekofyear(ts)) AS cohort_week
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+), cohort_sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM first_week GROUP BY cohort_week
+), act AS (
+  SELECT f.cohort_week, e.week AS active_week, COUNT(*) AS n_active
+  FROM ev e JOIN first_week f USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT cohort_week, active_week, active_week - cohort_week AS weeks_since,
+       n_active, cohort_size,
+       CAST(n_active AS DOUBLE) / cohort_size AS retention_pct
+FROM act JOIN cohort_sizes USING (cohort_week)
+ORDER BY cohort_week, active_week
+"""
+
+
 QUERIES = {
     "event_tumbling_windows": tumbling_windows,
     "event_sliding_windows": sliding_windows,
@@ -645,6 +705,7 @@ QUERIES = {
     "event_user_deciles": user_value_deciles,
     "event_gap_fill": gap_fill_daily,
     "event_props_redaction": props_redaction,
+    "event_retention_cohorts": retention_cohorts,
 }
 
 ORACLE_SQL = {
@@ -665,4 +726,5 @@ ORACLE_SQL = {
     "event_user_deciles": USER_VALUE_DECILES_SQL,
     "event_gap_fill": GAP_FILL_DAILY_SQL,
     "event_props_redaction": PROPS_REDACTION_SQL,
+    "event_retention_cohorts": RETENTION_COHORTS_SQL,
 }
