@@ -544,6 +544,122 @@ FROM q
 """
 
 
+KMEANS_CELLS = 8
+
+
+def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO full Lloyd's k-means iterations (assign → recompute →
+    re-assign), exactly oracle-checkable — the iterative-refinement
+    step the one-shot IVF quantizer (ann_ivf_topk) stops short of.
+
+    Exactness design: vectors are fixed-pointed once (floor(v·S+0.5) →
+    int64); every distance is an exact integer Σ(vs−qc)²; updated
+    centroids are RE-QUANTIZED to the same grid (floor(mean+0.5) — the
+    int→double division is exact below 2^53, so both engines floor the
+    same value), which keeps iteration 2's distances integer too. The
+    argmin is a row_number window ordered (dist, cell): fully
+    deterministic, ties to the lower cell id. Empty cells keep their
+    seed centroid (left join + coalesce — same rule in the oracle).
+
+    Scale notes: each iteration is one dimension-join (N·K·dim rows —
+    the standard O(N·K·dim) Lloyd cost), one (vec,cell) partial-agg
+    shuffle and one per-cell update agg; centroids (K·dim rows)
+    broadcast. by_dim feeds every stage → cached once. For MANY
+    iterations the loop would checkpoint per round exactly like
+    connected components (dedup._truncate_lineage); at 2 iterations
+    the plan stays comfortably bounded and fully lazy."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    by_dim = (
+        emb.select("vec_id", F.posexplode("embedding").alias("d", "v"))
+        .select(
+            "vec_id",
+            "d",
+            F.floor(F.col("v").cast("double") * CENTROID_SCALE + 0.5).cast("long").alias("vs"),
+        )
+        .cache()
+    )
+    seeds = by_dim.filter(F.col("vec_id") < KMEANS_CELLS).select(
+        F.col("vec_id").cast("int").alias("cell"), "d", F.col("vs").alias("qc")
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        diff = F.col("vs") - F.col("qc")
+        dists = (
+            by_dim.join(F.broadcast(cent), "d")
+            .groupBy("vec_id", "cell")
+            .agg(F.sum(diff * diff).alias("dist_sq"))
+        )
+        w = Window.partitionBy("vec_id").orderBy("dist_sq", "cell")
+        return (
+            dists.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell", "dist_sq")
+        )
+
+    assign1 = assign(seeds).cache()
+    sums = (
+        assign1.join(by_dim, "vec_id")
+        .groupBy("cell", "d")
+        .agg(F.sum("vs").alias("s"), F.count("*").alias("n"))
+    )
+    requant = F.floor(F.col("s").cast("double") / F.col("n") + 0.5).cast("long")
+    cent1 = (
+        seeds.select("cell", "d", F.col("qc").alias("qc0"))
+        .join(sums, ["cell", "d"], "left")
+        .select("cell", "d", F.coalesce(requant, F.col("qc0")).alias("qc"))
+    )
+    assign2 = assign(cent1)
+    return (
+        assign2.alias("a2")
+        .join(assign1.select("vec_id", F.col("cell").alias("cell1")), "vec_id")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("dist_sq").alias("dist_sq_fp"),
+            (F.col("cell") != F.col("cell1")).cast("int").alias("moved"),
+        )
+    )
+
+
+KMEANS_LLOYD_SQL = f"""
+WITH by_dim AS (
+  SELECT vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
+), cent0 AS (
+  SELECT CAST(vec_id AS INT) AS cell, d, vs AS qc FROM by_dim WHERE vec_id < {KMEANS_CELLS}
+), dist1 AS (
+  SELECT b.vec_id, c.cell, CAST(SUM((b.vs - c.qc) * (b.vs - c.qc)) AS BIGINT) AS dist_sq
+  FROM by_dim b JOIN cent0 c USING (d) GROUP BY 1, 2
+), assign1 AS (
+  SELECT vec_id, cell, dist_sq FROM (
+    SELECT vec_id, cell, dist_sq,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_sq, cell) AS rn
+    FROM dist1) t WHERE rn = 1
+), sums AS (
+  SELECT a.cell, b.d, CAST(SUM(b.vs) AS BIGINT) AS s, COUNT(*) AS n
+  FROM assign1 a JOIN by_dim b USING (vec_id) GROUP BY 1, 2
+), cent1 AS (
+  SELECT c0.cell, c0.d,
+         COALESCE(CAST(floor(CAST(s1.s AS DOUBLE) / s1.n + 0.5) AS BIGINT), c0.qc) AS qc
+  FROM cent0 c0 LEFT JOIN sums s1 ON s1.cell = c0.cell AND s1.d = c0.d
+), dist2 AS (
+  SELECT b.vec_id, c.cell, CAST(SUM((b.vs - c.qc) * (b.vs - c.qc)) AS BIGINT) AS dist_sq
+  FROM by_dim b JOIN cent1 c USING (d) GROUP BY 1, 2
+), assign2 AS (
+  SELECT vec_id, cell, dist_sq FROM (
+    SELECT vec_id, cell, dist_sq,
+           ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_sq, cell) AS rn
+    FROM dist2) t WHERE rn = 1
+)
+SELECT a2.vec_id, a2.cell, a2.dist_sq AS dist_sq_fp,
+       CAST(a1.cell <> a2.cell AS INT) AS moved
+FROM assign2 a2 JOIN assign1 a1 USING (vec_id)
+"""
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_brute_topk": ann_brute_topk,
@@ -552,6 +668,7 @@ QUERIES = {
     "embedding_pairs": embedding_pairs_threshold,
     "label_centroids": label_centroid_assignment,
     "embedding_quantize": embedding_quantize,
+    "kmeans_lloyd": kmeans_lloyd,
 }
 
 ORACLE_SQL = {
@@ -562,4 +679,5 @@ ORACLE_SQL = {
     "embedding_pairs": EMBEDDING_PAIRS_THRESHOLD_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
+    "kmeans_lloyd": KMEANS_LLOYD_SQL,
 }
