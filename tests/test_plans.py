@@ -74,3 +74,24 @@ def test_binned_range_join_no_nested_loop(spark):
     spark.catalog.clearCache()
     df = campaign_window_stats(spark, SF_DIR)
     assert not has_cartesian(df)
+
+
+def test_join_strategy_hints_are_honored(spark):
+    """The engine's join-strategy knobs: the same equi-join planned
+    three ways on demand. AQE may pick its own default, but explicit
+    hints must be honored — broadcast for dimension joins,
+    shuffle_hash when one side is modest and sort should be avoided,
+    merge for large-large (the spill-safe 100 TB fallback)."""
+    from capstone_etl_spark.plans import executed_plan
+
+    li = spark.read.parquet(f"{SF_DIR}/lineitem.parquet")
+    orders = spark.read.parquet(f"{SF_DIR}/orders.parquet")
+
+    def plan_with(hint: str) -> str:
+        return executed_plan(
+            li.join(orders.hint(hint), li.l_orderkey == orders.o_orderkey)
+        )
+
+    assert "BroadcastHashJoin" in plan_with("broadcast")
+    assert "ShuffledHashJoin" in plan_with("shuffle_hash")
+    assert "SortMergeJoin" in plan_with("merge")
