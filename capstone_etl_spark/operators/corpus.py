@@ -196,6 +196,33 @@ FROM member GROUP BY 1, 2
 """
 
 
+def cluster_aware_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe splits WITHOUT dropping duplicates: every doc keeps
+    its row, but the train/val/test hash is taken over the near-dup
+    CLUSTER id instead of the doc id — so a cluster of near-identical
+    docs lands wholly in one split and can never straddle train/test.
+    The complement of corpus_pipeline's keep-one strategy (some
+    pipelines want all variants available for sampling, just safely
+    co-located). Split membership stays a pure per-row expression over
+    the cluster label; the cost is the clustering itself (shared with
+    dedup_clusters)."""
+    from capstone_etl_spark.operators.dedup import dedup_clusters
+
+    labels = dedup_clusters(spark, sf_dir)
+    return labels.select(
+        "doc_id", "cluster_id", split_column(F.col("cluster_id")).alias("split")
+    )
+
+
+def _cluster_aware_splits_sql() -> str:
+    from capstone_etl_spark.operators.dedup import DEDUP_CLUSTERS_SQL
+
+    return f"""
+SELECT doc_id, cluster_id, {split_sql_case('cluster_id')} AS split
+FROM ({DEDUP_CLUSTERS_SQL}) t
+"""
+
+
 def source_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source corpus accounting → sampling weights: the table a
     data-mixing stage consumes when assembling a training blend (docs,
@@ -265,6 +292,7 @@ QUERIES = {
     "doc_chunks": doc_chunks,
     "doc_chunks_overlap": doc_chunks_overlap,
     "source_mixing_weights": source_mixing_weights,
+    "cluster_aware_splits": cluster_aware_splits,
 }
 
 ORACLE_SQL = {
@@ -272,4 +300,5 @@ ORACLE_SQL = {
     "doc_chunks": DOC_CHUNKS_SQL,
     "doc_chunks_overlap": DOC_CHUNKS_OVERLAP_SQL,
     "source_mixing_weights": SOURCE_MIXING_WEIGHTS_SQL,
+    "cluster_aware_splits": _cluster_aware_splits_sql(),
 }
