@@ -92,6 +92,62 @@ FROM p
 """
 
 
+def media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-level content dedup across binary payloads: every payload
+    is cut into fixed FRAME_BYTES chunks, each chunk fingerprinted,
+    and the per-media-type duplicate ratio reported — the storage-
+    dedup/near-copy signal a video/audio corpus pipeline runs before
+    expensive decode (identical frames decode once). Chunking is
+    offset arithmetic + substring, hashing is md5 — all whole-stage
+    codegen, zero Python; one shuffle on media_type after the
+    map-side distinct aggregation."""
+    b = with_binary_payload(_docs(spark, sf_dir))
+    nf = F.ceil(F.length("payload") / F.lit(FRAME_BYTES)).cast("int")
+    frames = b.select(
+        "doc_id",
+        "media_type",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), nf),
+                lambda i: F.md5(
+                    F.col("payload").substr((i - 1) * F.lit(FRAME_BYTES) + 1, F.lit(FRAME_BYTES))
+                ),
+            )
+        ).alias("frame_hash"),
+    )
+    return (
+        frames.groupBy("media_type")
+        .agg(
+            F.countDistinct("doc_id").alias("n_payloads"),
+            F.count("*").alias("n_frames"),
+            F.countDistinct("frame_hash").alias("n_distinct_frames"),
+            (
+                F.lit(1.0)
+                - F.countDistinct("frame_hash").cast("double") / F.count("*")
+            ).alias("dup_ratio"),
+        )
+        .orderBy("media_type")
+    )
+
+
+MEDIA_FRAME_DEDUP_SQL = f"""
+WITH p AS ({_PAYLOAD_SQL}),
+frames AS (
+  SELECT doc_id, media_type,
+         md5(substr(payload, CAST((i - 1) * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES})) AS frame_hash
+  FROM p, LATERAL (
+    SELECT unnest(range(1, CAST(ceil(length(payload) / {FRAME_BYTES}.0) AS BIGINT) + 1)) AS i
+  ) r
+)
+SELECT media_type,
+       COUNT(DISTINCT doc_id) AS n_payloads,
+       COUNT(*) AS n_frames,
+       COUNT(DISTINCT frame_hash) AS n_distinct_frames,
+       1.0 - CAST(COUNT(DISTINCT frame_hash) AS DOUBLE) / COUNT(*) AS dup_ratio
+FROM frames GROUP BY media_type ORDER BY media_type
+"""
+
+
 # ------------------------------------------------------ decode (stubbed)
 
 def decode_image(payload: bytes) -> tuple[int, int]:
@@ -199,10 +255,12 @@ QUERIES = {
     "multimodal_stats": binary_stats,
     "multimodal_meta": media_metadata,
     "multimodal_frames": frame_samples,
+    "multimodal_frame_dedup": media_frame_dedup,
 }
 
 ORACLE_SQL = {
     "multimodal_stats": BINARY_STATS_SQL,
     "multimodal_meta": MEDIA_METADATA_SQL,
     "multimodal_frames": FRAME_SAMPLES_SQL,
+    "multimodal_frame_dedup": MEDIA_FRAME_DEDUP_SQL,
 }
