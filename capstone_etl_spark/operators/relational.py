@@ -897,6 +897,50 @@ ORDER BY o_totalprice DESC, o_orderkey
 """
 
 
+FUZZY_MAX_DIST = 2
+
+
+def fuzzy_part_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fuzzy string join (entity resolution): distinct part-name pairs
+    within Levenshtein distance ≤ 2, candidates generated by LENGTH
+    blocking instead of all-pairs.
+
+    The blocking exploits lev(a,b) ≤ k ⇒ |len(a)−len(b)| ≤ k: the
+    right side re-emits each name under its 2k+1 admissible lengths,
+    turning the band predicate into an EQUI join key (hash-
+    shuffleable; never a nested-loop theta join), and the expensive
+    edit distance runs on candidates only. Each true pair matches
+    under exactly one shift, so no dedup pass is needed. Runs on the
+    DISTINCT name catalog (dimension-sized), not the part rows."""
+    part = load_table(spark, sf_dir, "part")
+    names = part.select("p_name").distinct()
+    a = names.select(F.col("p_name").alias("n1"), F.length("p_name").alias("l1"))
+    b = names.select(F.col("p_name").alias("n2"), F.length("p_name").alias("l2")).withColumn(
+        "lk",
+        F.explode(F.array(*[F.col("l2") + d for d in range(-FUZZY_MAX_DIST, FUZZY_MAX_DIST + 1)])),
+    )
+    dist = F.levenshtein("n1", "n2")
+    return (
+        a.join(b, F.col("l1") == F.col("lk"))
+        .filter(F.col("n1") < F.col("n2"))
+        .filter(dist <= FUZZY_MAX_DIST)
+        .select("n1", "n2", dist.cast("long").alias("dist"))
+        .orderBy("n1", "n2")
+    )
+
+
+FUZZY_PART_NAMES_SQL = f"""
+WITH names AS (SELECT DISTINCT p_name FROM part)
+SELECT a.p_name AS n1, b.p_name AS n2,
+       CAST(levenshtein(a.p_name, b.p_name) AS BIGINT) AS dist
+FROM names a JOIN names b
+  ON a.p_name < b.p_name
+ AND abs(length(a.p_name) - length(b.p_name)) <= {FUZZY_MAX_DIST}
+WHERE levenshtein(a.p_name, b.p_name) <= {FUZZY_MAX_DIST}
+ORDER BY n1, n2
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "top_customers": top_customers,
@@ -918,6 +962,7 @@ QUERIES = {
     "blocking_suppliers": blocking_suppliers,
     "top_supplier": top_supplier,
     "large_orders": large_orders,
+    "fuzzy_part_names": fuzzy_part_names,
 }
 
 ORACLE_SQL = {
@@ -941,4 +986,5 @@ ORACLE_SQL = {
     "blocking_suppliers": BLOCKING_SUPPLIERS_SQL,
     "top_supplier": TOP_SUPPLIER_SQL,
     "large_orders": LARGE_ORDERS_SQL,
+    "fuzzy_part_names": FUZZY_PART_NAMES_SQL,
 }
