@@ -78,3 +78,55 @@ def test_session_and_windows_empty_events(spark):
     assert stream_tumbling(ev).count() == 0
     assert stream_session_windows(ev).count() == 0
     assert stream_dedup_counts(ev).count() == 0
+
+
+def test_connected_components_degenerate(spark):
+    from capstone_etl_spark.operators.dedup import connected_components
+
+    # empty edge relation → empty labels, no crash, no infinite loop
+    edges = spark.createDataFrame([], "src long, dst long")
+    assert connected_components(edges).count() == 0
+    # pure self-loops converge in one round
+    loops = spark.createDataFrame([(7, 7), (9, 9)], "src long, dst long")
+    got = {r.doc_id: r.label for r in connected_components(loops).collect()}
+    assert got == {7: 7, 9: 9}
+
+
+def test_kmeans_fewer_vectors_than_cells(spark, monkeypatch):
+    """N < K: every vector is its own seed; empty cells keep their seed
+    centroid and the job completes with one row per vector."""
+    import capstone_etl_spark.operators.similarity as sim
+
+    emb = spark.createDataFrame(
+        [(i, [float(i) / 10] * sim.DIM, 0) for i in range(3)],
+        "vec_id long, embedding array<float>, label int",
+    )
+    monkeypatch.setattr(sim, "load_table", lambda *_a, **_k: emb)
+    rows = sim.kmeans_lloyd(spark, "unused").collect()
+    assert len(rows) == 3
+    assert all(r.dist_sq_fp == 0 for r in rows)  # each vec sits on its seed
+
+
+def test_fuzzy_names_no_self_pairs(spark, monkeypatch):
+    import capstone_etl_spark.operators.relational as rel
+
+    part = spark.createDataFrame(
+        [(1, "blue bolt"), (2, "blue bolt"), (3, "glue bolt"), (4, "completely different")],
+        "p_partkey long, p_name string",
+    )
+    monkeypatch.setattr(rel, "load_table", lambda *_a, **_k: part)
+    got = [(r.n1, r.n2, r.dist) for r in rel.fuzzy_part_names(spark, "unused").collect()]
+    # duplicate names collapse via distinct; only the 1-edit pair remains
+    assert got == [("blue bolt", "glue bolt", 1)]
+
+
+def test_gap_fill_single_event_user(spark, monkeypatch):
+    import capstone_etl_spark.operators.events as ev
+
+    one = spark.createDataFrame(
+        [(1, "2024-01-05 10:00:00", 3, "view", 1.0, "{}")],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    monkeypatch.setattr(ev, "_events", lambda *_a, **_k: one)
+    rows = ev.gap_fill_daily(spark, "unused").collect()
+    assert len(rows) == 1 and rows[0].is_gap == 0
