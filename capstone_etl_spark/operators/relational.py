@@ -897,6 +897,197 @@ ORDER BY o_totalprice DESC, o_orderkey
 """
 
 
+def shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style shipping priority: top-10 orders by outstanding
+    revenue for one market segment — orders placed before a date whose
+    items shipped after it. Segment prunes customers into a broadcast
+    semi-join BEFORE the fact-fact join; both date filters push to the
+    scans; the top-10 runs on the aggregated per-order relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    cut = F.lit("1998-01-01").cast("timestamp")
+    seg = cust.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,4)")
+    return (
+        li.filter(F.col("l_shipdate") > cut)
+        .join(orders.filter(F.col("o_orderdate") < cut), li["l_orderkey"] == orders["o_orderkey"])
+        .join(F.broadcast(seg), orders["o_custkey"] == seg["c_custkey"], "left_semi")
+        .groupBy(
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .agg(F.sum(revenue).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "o_orderkey")
+        .limit(10)
+    )
+
+
+SHIPPING_PRIORITY_SQL = """
+SELECT o_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND o_custkey IN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING')
+GROUP BY o_orderkey, strftime(o_orderdate, '%Y-%m-%d'), o_orderpriority
+ORDER BY revenue DESC, o_orderkey
+LIMIT 10
+"""
+
+
+def priority_order_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4-style: orders per priority in one quarter that had at
+    least one late-shipping item. The EXISTS subquery is a left_semi
+    join against the late lineitem keys — the date filter narrows the
+    orders side before the semi shuffle; no fact row survives the
+    join, only membership."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    late = li.join(
+        orders.select("o_orderkey", "o_orderdate"),
+        li["l_orderkey"] == F.col("o_orderkey"),
+    ).filter(F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60)).select("l_orderkey")
+    q = orders.filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp"))
+    )
+    return (
+        q.join(late, q["o_orderkey"] == late["l_orderkey"], "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count("*").alias("n_orders"))
+        .orderBy("o_orderpriority")
+    )
+
+
+PRIORITY_ORDER_COUNTS_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders o
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-04-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    JOIN orders o2 ON l_orderkey = o2.o_orderkey
+    WHERE l_orderkey = o.o_orderkey
+      AND l_shipdate > o2.o_orderdate + INTERVAL 60 DAY)
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+"""
+
+
+def forecast_revenue_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6: the pure scan-filter-aggregate — discount-band revenue
+    in one year. Every predicate pushes to the parquet reader
+    (`PushedFilters` on shipdate/discount/quantity); zero joins, one
+    1-row aggregate. The simplest possible plan, kept as the pushdown
+    canary."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            F.sum((F.col("l_extendedprice") * F.col("l_discount")).cast("decimal(24,4)"))
+            .cast("double")
+            .alias("revenue_delta"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+FORECAST_REVENUE_CHANGE_SQL = """
+SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(24,4))) AS DOUBLE) AS revenue_delta,
+       COUNT(*) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+"""
+
+
+def returned_item_losses(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10-style: top-20 customers by revenue lost to returns in
+    one quarter (l_returnflag = 'R'). Return-flag + date filters push
+    to the scans; customer/nation broadcast; top-k over the aggregated
+    per-customer relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    nation = load_table(spark, sf_dir, "nation")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,4)")
+    return (
+        li.filter(F.col("l_returnflag") == "R")
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1997-07-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+            ),
+            li["l_orderkey"] == orders["o_orderkey"],
+        )
+        .join(F.broadcast(cust), orders["o_custkey"] == cust["c_custkey"])
+        .join(F.broadcast(nation), cust["c_nationkey"] == nation["n_nationkey"])
+        .groupBy("c_custkey", "c_name", F.col("n_name").alias("nation"), "c_acctbal")
+        .agg(F.sum(revenue).cast("double").alias("lost_revenue"))
+        .orderBy(F.desc("lost_revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+RETURNED_ITEM_LOSSES_SQL = """
+SELECT c_custkey, c_name, n_name AS nation, c_acctbal,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS lost_revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+  AND o_orderdate >= TIMESTAMP '1997-07-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+GROUP BY c_custkey, c_name, n_name, c_acctbal
+ORDER BY lost_revenue DESC, c_custkey
+LIMIT 20
+"""
+
+
+def customer_order_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13: the distribution of customers by how many orders they
+    placed, INCLUDING the zero-order bucket — the left outer join +
+    double aggregation shape (join → per-customer count with NULLs →
+    histogram over the counts). The left join preserves customers with
+    no orders (count = 0 via counting the join's order keys, not
+    rows)."""
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    per_cust = (
+        cust.join(orders, cust["c_custkey"] == orders["o_custkey"], "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+    return (
+        per_cust.groupBy("n_orders")
+        .agg(F.count("*").alias("n_customers"))
+        .orderBy(F.desc("n_customers"), F.desc("n_orders"))
+    )
+
+
+CUSTOMER_ORDER_DISTRIBUTION_SQL = """
+SELECT n_orders, COUNT(*) AS n_customers
+FROM (
+  SELECT c_custkey, COUNT(o_orderkey) AS n_orders
+  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+) t
+GROUP BY n_orders
+ORDER BY n_customers DESC, n_orders DESC
+"""
+
+
 FUZZY_MAX_DIST = 2
 
 
@@ -963,6 +1154,11 @@ QUERIES = {
     "top_supplier": top_supplier,
     "large_orders": large_orders,
     "fuzzy_part_names": fuzzy_part_names,
+    "shipping_priority": shipping_priority,
+    "priority_order_counts": priority_order_counts,
+    "forecast_revenue_change": forecast_revenue_change,
+    "returned_item_losses": returned_item_losses,
+    "customer_order_distribution": customer_order_distribution,
 }
 
 ORACLE_SQL = {
@@ -987,4 +1183,9 @@ ORACLE_SQL = {
     "top_supplier": TOP_SUPPLIER_SQL,
     "large_orders": LARGE_ORDERS_SQL,
     "fuzzy_part_names": FUZZY_PART_NAMES_SQL,
+    "shipping_priority": SHIPPING_PRIORITY_SQL,
+    "priority_order_counts": PRIORITY_ORDER_COUNTS_SQL,
+    "forecast_revenue_change": FORECAST_REVENUE_CHANGE_SQL,
+    "returned_item_losses": RETURNED_ITEM_LOSSES_SQL,
+    "customer_order_distribution": CUSTOMER_ORDER_DISTRIBUTION_SQL,
 }
