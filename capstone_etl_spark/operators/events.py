@@ -687,6 +687,49 @@ ORDER BY cohort_week, active_week
 """
 
 
+HIST_BIN_WIDTH = 50.0
+HIST_N_BINS = 10
+
+
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram of event values (10 × 50-unit bins, last
+    bin open-ended): binning is pure floor arithmetic — a per-row
+    expression that pushes work map-side, one tiny shuffle on the bin
+    id. The bin edges are exact halves/integers, so float boundary
+    cases bin identically across engines."""
+    ev = _events(spark, sf_dir)
+    bin_id = F.least(
+        F.greatest(F.floor(F.col("value") / HIST_BIN_WIDTH), F.lit(0)), F.lit(HIST_N_BINS - 1)
+    ).cast("long")
+    return (
+        ev.groupBy(bin_id.alias("bin_id"))
+        .agg(
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value")).alias("bin_value_sum"),
+        )
+        .select(
+            "bin_id",
+            (F.col("bin_id") * HIST_BIN_WIDTH).alias("bin_lo"),
+            "n_events",
+            "bin_value_sum",
+        )
+        .orderBy("bin_id")
+    )
+
+
+VALUE_HISTOGRAM_SQL = f"""
+SELECT bin_id, bin_id * {HIST_BIN_WIDTH} AS bin_lo, COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS bin_value_sum
+FROM (
+  SELECT CAST(least(greatest(floor(value / {HIST_BIN_WIDTH}), 0), {HIST_N_BINS - 1}) AS BIGINT) AS bin_id,
+         value
+  FROM events
+) t
+GROUP BY bin_id
+ORDER BY bin_id
+"""
+
+
 QUERIES = {
     "event_tumbling_windows": tumbling_windows,
     "event_sliding_windows": sliding_windows,
@@ -706,6 +749,7 @@ QUERIES = {
     "event_gap_fill": gap_fill_daily,
     "event_props_redaction": props_redaction,
     "event_retention_cohorts": retention_cohorts,
+    "event_value_histogram": value_histogram,
 }
 
 ORACLE_SQL = {
@@ -727,4 +771,5 @@ ORACLE_SQL = {
     "event_gap_fill": GAP_FILL_DAILY_SQL,
     "event_props_redaction": PROPS_REDACTION_SQL,
     "event_retention_cohorts": RETENTION_COHORTS_SQL,
+    "event_value_histogram": VALUE_HISTOGRAM_SQL,
 }

@@ -50,8 +50,12 @@ def wholestage_codegen_count(df: DataFrame) -> int:
 
 
 def pushed_filters(df: DataFrame) -> list[str]:
-    """Filters pushed into the columnar scan (PushedFilters: [...])."""
-    hits = re.findall(r"PushedFilters: \[([^\]]*)\]", executed_plan(df))
+    """Filters pushed into the columnar scan (PushedFilters: [...]).
+    Parsed from explain('formatted'), NOT executedPlan().toString() —
+    the latter truncates long scan-metadata entries mid-list (no
+    closing bracket), silently dropping every filter from the match
+    whenever more than a few predicates push."""
+    hits = re.findall(r"PushedFilters: \[([^\]]*)\]", formatted_plan(df))
     out: list[str] = []
     for h in hits:
         out.extend(s.strip() for s in h.split(",") if s.strip())

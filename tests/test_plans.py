@@ -95,3 +95,17 @@ def test_join_strategy_hints_are_honored(spark):
     assert "BroadcastHashJoin" in plan_with("broadcast")
     assert "ShuffledHashJoin" in plan_with("shuffle_hash")
     assert "SortMergeJoin" in plan_with("merge")
+
+
+def test_q6_full_predicate_pushdown(spark):
+    """The Q6 canary: every filter (shipdate range, discount band,
+    quantity cut) must reach the parquet scan as PushedFilters, and
+    the scan must not read unreferenced columns."""
+    from capstone_etl_spark.operators.relational import forecast_revenue_change
+
+    df = forecast_revenue_change(spark, SF_DIR)
+    pf = " ".join(pushed_filters(df))
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert col in pf, pf
+    schema_part = formatted_plan(df).split("ReadSchema")[-1][:300]
+    assert "l_returnflag" not in schema_part
