@@ -730,6 +730,45 @@ ORDER BY bin_id
 """
 
 
+def user_value_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The remaining analytic-window flavors in one query: each user's
+    lifetime value with percent_rank, cume_dist, and the global
+    median's value via nth_value over an ordered frame — all over the
+    per-user AGGREGATED relation (150 rows at any SF where users ≪
+    events), so the single-partition ordered window is post-shuffle
+    small. percent_rank/cume_dist are count-ratios of exact DECIMAL
+    totals — deterministic doubles on both engines."""
+    ev = _events(spark, sf_dir)
+    totals = ev.groupBy("user_id").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("total")
+    )
+    w = Window.orderBy("total", "user_id")
+    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return totals.select(
+        "user_id",
+        F.col("total").cast("double").alias("total_value"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        F.nth_value(F.col("total").cast("double"), 75).over(wall).alias("p50ish_value"),
+    ).orderBy("user_id")
+
+
+USER_VALUE_RANK_PROFILE_SQL = """
+WITH totals AS (
+  SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS total
+  FROM events GROUP BY user_id
+)
+SELECT user_id, CAST(total AS DOUBLE) AS total_value,
+       ROUND(PERCENT_RANK() OVER (ORDER BY total, user_id), 6) AS pct_rank,
+       ROUND(CUME_DIST() OVER (ORDER BY total, user_id), 6) AS cume,
+       NTH_VALUE(CAST(total AS DOUBLE), 75) OVER (
+         ORDER BY total, user_id
+         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS p50ish_value
+FROM totals
+ORDER BY user_id
+"""
+
+
 QUERIES = {
     "event_tumbling_windows": tumbling_windows,
     "event_sliding_windows": sliding_windows,
@@ -750,6 +789,7 @@ QUERIES = {
     "event_props_redaction": props_redaction,
     "event_retention_cohorts": retention_cohorts,
     "event_value_histogram": value_histogram,
+    "event_user_rank_profile": user_value_rank_profile,
 }
 
 ORACLE_SQL = {
@@ -772,4 +812,5 @@ ORACLE_SQL = {
     "event_props_redaction": PROPS_REDACTION_SQL,
     "event_retention_cohorts": RETENTION_COHORTS_SQL,
     "event_value_histogram": VALUE_HISTOGRAM_SQL,
+    "event_user_rank_profile": USER_VALUE_RANK_PROFILE_SQL,
 }

@@ -32,7 +32,10 @@ from capstone_etl_spark.streaming import (
     stream_sliding,
     stream_tumbling,
 )
-from capstone_etl_spark.streaming.windows import ATTRIBUTION_WINDOW_SEC
+from capstone_etl_spark.streaming.windows import (
+    ATTRIBUTION_WINDOW_SEC,
+    stream_enrich_user_tier,
+)
 from capstone_etl_spark.streaming.stateful import running_user_activity
 
 SESSION_GAP_SEC = 30 * 60
@@ -185,6 +188,64 @@ GROUP BY p.event_id, p.user_id, p.ts_sec
 """
 
 
+TIER_HIGH = 800.0
+TIER_MID = 500.0
+
+
+def _user_tiers(spark: SparkSession, sf_dir: str):
+    """Batch-computed static dimension: per-user lifetime purchase
+    value bucketed into fixed tiers (fixed thresholds, DECIMAL-exact
+    sums — deterministic on both engines)."""
+    from capstone_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    total = (
+        ev.filter(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("ltv"))
+    )
+    return total.select(
+        "user_id",
+        F.when(F.col("ltv") >= TIER_HIGH, "high")
+        .when(F.col("ltv") >= TIER_MID, "mid")
+        .otherwise("low")
+        .alias("tier"),
+    )
+
+
+def stream_tier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join end-to-end: the event stream enriched per
+    micro-batch with a batch-computed user-tier dimension (broadcast
+    lookup, no stream state), then aggregated per (tier, type). The
+    third streaming join class after windowed aggs and stream-stream —
+    dimension enrichment at ingest."""
+    tiers = _user_tiers(spark, sf_dir)
+    return _run(
+        spark,
+        sf_dir,
+        lambda s: stream_enrich_user_tier(s, tiers),
+        "complete",
+    )
+
+
+STREAM_TIER_ROLLUP_SQL = f"""
+WITH tiers AS (
+  SELECT user_id,
+         CASE WHEN ltv >= {TIER_HIGH} THEN 'high'
+              WHEN ltv >= {TIER_MID} THEN 'mid' ELSE 'low' END AS tier
+  FROM (
+    SELECT user_id, CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS ltv
+    FROM events WHERE event_type = 'purchase' GROUP BY user_id
+  ) t
+)
+SELECT COALESCE(tier, 'unknown') AS tier, event_type,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events LEFT JOIN tiers USING (user_id)
+GROUP BY COALESCE(tier, 'unknown'), event_type
+"""
+
+
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
     "stream_sliding_windows": stream_sliding_windows,
@@ -192,6 +253,7 @@ QUERIES = {
     "stream_user_sessions": stream_user_sessions,
     "stream_user_activity": stream_user_activity,
     "stream_click_attribution": stream_click_attribution,
+    "stream_tier_rollup": stream_tier_rollup,
 }
 
 ORACLE_SQL = {
@@ -201,4 +263,5 @@ ORACLE_SQL = {
     "stream_user_sessions": STREAM_USER_SESSIONS_SQL,
     "stream_user_activity": STREAM_USER_ACTIVITY_SQL,
     "stream_click_attribution": STREAM_CLICK_ATTRIBUTION_SQL,
+    "stream_tier_rollup": STREAM_TIER_ROLLUP_SQL,
 }

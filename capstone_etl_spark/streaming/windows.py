@@ -106,6 +106,24 @@ def stream_dedup_counts(events: DataFrame, watermark: str = WATERMARK) -> DataFr
     return deduped.groupBy("event_type").agg(F.count("*").alias("n_distinct_events"))
 
 
+def stream_enrich_user_tier(events: DataFrame, user_tiers: DataFrame) -> DataFrame:
+    """STREAM-STATIC enrichment join: each streaming event joined to a
+    batch-computed per-user dimension (tier), then aggregated per
+    (tier, type). The static side needs no watermark — Spark plans it
+    as a broadcast (or shuffle) lookup against an immutable relation,
+    re-resolved per micro-batch; this is THE pattern for dimension
+    enrichment at ingest (users ≪ events, so the dim broadcasts).
+    Left join: events from users outside the dim survive with a
+    literal 'unknown' tier rather than silently dropping."""
+    enriched = events.join(F.broadcast(user_tiers), "user_id", "left").withColumn(
+        "tier", F.coalesce("tier", F.lit("unknown"))
+    )
+    return enriched.groupBy("tier", "event_type").agg(
+        F.count("*").alias("n_events"),
+        _dsum(F.col("value")).alias("total_value"),
+    )
+
+
 ATTRIBUTION_WINDOW_SEC = 3600
 
 
