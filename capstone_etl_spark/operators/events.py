@@ -769,6 +769,48 @@ ORDER BY user_id
 """
 
 
+def daily_type_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UNPIVOT — reshaping's other half: the wide daily matrix melted
+    back to long (day, event_type, n) via the native unpivot operator
+    (Spark plans it as a single Expand node — one pass, rows × k
+    output, no self-union of scans). Round-trips daily_type_pivot:
+    pivot ∘ unpivot = identity modulo zero rows, which the oracle's
+    UNION-ALL melt mirrors. Zero-count cells are kept (explicit in
+    both engines) so the long form is dense."""
+    wide = daily_type_pivot(spark, sf_dir)
+    return (
+        wide.unpivot(
+            "day",
+            [f"n_{t}" for t in EVENT_TYPES],
+            "event_type",
+            "n",
+        )
+        .withColumn("event_type", F.expr("substring(event_type, 3)"))
+        .orderBy("day", "event_type")
+    )
+
+
+DAILY_TYPE_UNPIVOT_SQL = """
+WITH wide AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day,
+         COUNT(CASE WHEN event_type = 'click' THEN 1 END) AS n_click,
+         COUNT(CASE WHEN event_type = 'view' THEN 1 END) AS n_view,
+         COUNT(CASE WHEN event_type = 'purchase' THEN 1 END) AS n_purchase,
+         COUNT(CASE WHEN event_type = 'signup' THEN 1 END) AS n_signup,
+         COUNT(CASE WHEN event_type = 'error' THEN 1 END) AS n_error
+  FROM events GROUP BY 1
+)
+SELECT day, event_type, n FROM (
+  SELECT day, 'click' AS event_type, n_click AS n FROM wide
+  UNION ALL SELECT day, 'view', n_view FROM wide
+  UNION ALL SELECT day, 'purchase', n_purchase FROM wide
+  UNION ALL SELECT day, 'signup', n_signup FROM wide
+  UNION ALL SELECT day, 'error', n_error FROM wide
+) t
+ORDER BY day, event_type
+"""
+
+
 QUERIES = {
     "event_tumbling_windows": tumbling_windows,
     "event_sliding_windows": sliding_windows,
@@ -790,6 +832,7 @@ QUERIES = {
     "event_retention_cohorts": retention_cohorts,
     "event_value_histogram": value_histogram,
     "event_user_rank_profile": user_value_rank_profile,
+    "event_daily_unpivot": daily_type_unpivot,
 }
 
 ORACLE_SQL = {
@@ -813,4 +856,5 @@ ORACLE_SQL = {
     "event_retention_cohorts": RETENTION_COHORTS_SQL,
     "event_value_histogram": VALUE_HISTOGRAM_SQL,
     "event_user_rank_profile": USER_VALUE_RANK_PROFILE_SQL,
+    "event_daily_unpivot": DAILY_TYPE_UNPIVOT_SQL,
 }

@@ -1088,6 +1088,65 @@ ORDER BY n_customers DESC, n_orders DESC
 """
 
 
+def customer_yoy_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join (the one outer flavor the other queries don't
+    exercise): per-customer 1996 vs 1997 revenue side by side,
+    INCLUDING customers active in only one year — churn shows as a
+    NULL-backed zero on one side, which no inner/left form preserves
+    in both directions. Aggregate-then-join: the full-outer runs on
+    two per-customer rollups (small), never on raw facts."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    revenue = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,4)")
+
+    def year_rev(year: int) -> DataFrame:
+        return (
+            li.join(
+                orders.filter(F.year("o_orderdate") == year),
+                li["l_orderkey"] == orders["o_orderkey"],
+            )
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.sum(revenue).alias("rev"))
+        )
+
+    a = year_rev(1996).select("custkey", F.col("rev").alias("rev_1996"))
+    b = year_rev(1997).select("custkey", F.col("rev").alias("rev_1997"))
+    zero = F.lit(0).cast("decimal(24,4)")
+    return (
+        a.join(b, "custkey", "full_outer")
+        .select(
+            "custkey",
+            F.coalesce("rev_1996", zero).cast("double").alias("rev_1996"),
+            F.coalesce("rev_1997", zero).cast("double").alias("rev_1997"),
+            (F.coalesce("rev_1997", zero) - F.coalesce("rev_1996", zero))
+            .cast("double")
+            .alias("yoy_delta"),
+        )
+        .orderBy("custkey")
+    )
+
+
+CUSTOMER_YOY_REVENUE_SQL = """
+WITH a AS (
+  SELECT o_custkey AS custkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1996 GROUP BY o_custkey
+), b AS (
+  SELECT o_custkey AS custkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(o_orderdate) = 1997 GROUP BY o_custkey
+)
+SELECT COALESCE(a.custkey, b.custkey) AS custkey,
+       CAST(COALESCE(a.rev, 0) AS DOUBLE) AS rev_1996,
+       CAST(COALESCE(b.rev, 0) AS DOUBLE) AS rev_1997,
+       CAST(COALESCE(b.rev, 0) - COALESCE(a.rev, 0) AS DOUBLE) AS yoy_delta
+FROM a FULL OUTER JOIN b ON a.custkey = b.custkey
+ORDER BY custkey
+"""
+
+
 FUZZY_MAX_DIST = 2
 
 
@@ -1159,6 +1218,7 @@ QUERIES = {
     "forecast_revenue_change": forecast_revenue_change,
     "returned_item_losses": returned_item_losses,
     "customer_order_distribution": customer_order_distribution,
+    "customer_yoy_revenue": customer_yoy_revenue,
 }
 
 ORACLE_SQL = {
@@ -1188,4 +1248,5 @@ ORACLE_SQL = {
     "forecast_revenue_change": FORECAST_REVENUE_CHANGE_SQL,
     "returned_item_losses": RETURNED_ITEM_LOSSES_SQL,
     "customer_order_distribution": CUSTOMER_ORDER_DISTRIBUTION_SQL,
+    "customer_yoy_revenue": CUSTOMER_YOY_REVENUE_SQL,
 }
