@@ -465,6 +465,55 @@ HAVING COUNT(DISTINCT t.sh) >= {SPAN_MIN_SHARED}
 """
 
 
+def gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc n-gram novelty: the fraction of a document's distinct
+    3-grams that appear in NO other document — the inverse of
+    boilerplate/memorization risk at gram granularity (complements
+    repetition_ratio, which is intra-doc). Low novelty = the doc is
+    assembled from corpus-common phrasing; high = unique content.
+
+    Reuses the shingle relation WITHOUT the df-cap (the cap exists to
+    prune join candidates; here the document frequency IS the signal).
+    Two shuffles: the df count on gram hash and the per-doc rollup —
+    both uniform keys; the ratio is exact-int count division."""
+    sh = shingles(_docs(spark, sf_dir), max_df=None).cache()
+    df_counts = sh.groupBy("sh").agg(F.count("*").alias("gdf"))
+    return (
+        sh.join(df_counts, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.count(F.when(F.col("gdf") == 1, F.lit(1))).alias("n_unique_grams"),
+            (
+                F.count(F.when(F.col("gdf") == 1, F.lit(1))).cast("double") / F.count("*")
+            ).alias("novelty"),
+        )
+    )
+
+
+# shingles-CTE without the df-cap: document frequency is the signal here
+GRAM_NOVELTY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(t[i : i + {NGRAM_N} - 1], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {NGRAM_N} + 2)) AS i) r
+  WHERE len(t) >= {NGRAM_N}
+), hashed AS (
+  SELECT DISTINCT doc_id, {md5_hash60_sql('shingle')} AS sh FROM grams
+), gdf AS (
+  SELECT sh, COUNT(*) AS gdf FROM hashed GROUP BY sh
+)
+SELECT h.doc_id, COUNT(*) AS n_grams,
+       COUNT(CASE WHEN g.gdf = 1 THEN 1 END) AS n_unique_grams,
+       CAST(COUNT(CASE WHEN g.gdf = 1 THEN 1 END) AS DOUBLE) / COUNT(*) AS novelty
+FROM hashed h JOIN gdf g ON h.sh = g.sh
+GROUP BY h.doc_id
+"""
+
+
 # ------------------------------------------------------- MinHash + LSH
 
 def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
@@ -698,6 +747,7 @@ QUERIES = {
     "dedup_clusters": dedup_clusters,
     "decontamination": benchmark_decontamination,
     "decontamination_spans": decontamination_spans,
+    "gram_novelty": gram_novelty,
 }
 
 ORACLE_SQL = {
@@ -708,4 +758,5 @@ ORACLE_SQL = {
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "decontamination": DECONTAMINATION_SQL,
     "decontamination_spans": DECONTAMINATION_SPANS_SQL,
+    "gram_novelty": GRAM_NOVELTY_SQL,
 }
