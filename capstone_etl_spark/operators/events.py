@@ -811,6 +811,53 @@ ORDER BY day, event_type
 """
 
 
+def event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: counts and conditional probabilities of type→type
+    transitions (the sequence-analytics primitive behind funnels and
+    journey maps). One lag window per user (ordered by event time with
+    event_id tiebreak — simultaneous events get a deterministic
+    order), one hash agg on the (from, to) pair, and the row-
+    normalizing denominator is a windowed exact count — probability =
+    exact-int division, bit-identical across engines."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+    ).filter(F.col("from_type").isNotNull())
+    counts = seq.groupBy("from_type", "to_type").agg(F.count("*").alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return (
+        counts.select(
+            "from_type",
+            "to_type",
+            "n",
+            (F.col("n").cast("double") / F.sum("n").over(wrow)).alias("p"),
+        )
+        .orderBy("from_type", "to_type")
+    )
+
+
+EVENT_TRANSITIONS_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type
+  FROM events
+), pairs AS (
+  SELECT from_type, to_type, COUNT(*) AS n
+  FROM seq WHERE from_type IS NOT NULL
+  GROUP BY from_type, to_type
+)
+SELECT from_type, to_type, n,
+       CAST(n AS DOUBLE) / SUM(n) OVER (PARTITION BY from_type) AS p
+FROM pairs
+ORDER BY from_type, to_type
+"""
+
+
 QUERIES = {
     "event_tumbling_windows": tumbling_windows,
     "event_sliding_windows": sliding_windows,
@@ -833,6 +880,7 @@ QUERIES = {
     "event_value_histogram": value_histogram,
     "event_user_rank_profile": user_value_rank_profile,
     "event_daily_unpivot": daily_type_unpivot,
+    "event_transitions": event_transitions,
 }
 
 ORACLE_SQL = {
@@ -857,4 +905,5 @@ ORACLE_SQL = {
     "event_value_histogram": VALUE_HISTOGRAM_SQL,
     "event_user_rank_profile": USER_VALUE_RANK_PROFILE_SQL,
     "event_daily_unpivot": DAILY_TYPE_UNPIVOT_SQL,
+    "event_transitions": EVENT_TRANSITIONS_SQL,
 }

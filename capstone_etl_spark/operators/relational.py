@@ -1147,6 +1147,41 @@ ORDER BY custkey
 """
 
 
+COOCCURRENCE_TOP_K = 20
+
+
+def part_cooccurrence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket co-occurrence: the top-20 part pairs most often
+    ordered together. The pair generation is a self equi-join ON THE
+    ORDER KEY of the deduplicated (order, part) relation — pair count
+    per order is (parts/order choose 2), bounded by basket size, never
+    |parts|²; the p1<p2 canonical orientation halves it. Support
+    counting is one hash agg on the pair key; top-k runs on the
+    aggregated relation."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    return (
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("support"))
+        .orderBy(F.desc("support"), "p1", "p2")
+        .limit(COOCCURRENCE_TOP_K)
+    )
+
+
+PART_COOCCURRENCE_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+SELECT a.l_partkey AS p1, b.l_partkey AS p2, COUNT(*) AS support
+FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+GROUP BY a.l_partkey, b.l_partkey
+ORDER BY support DESC, p1, p2
+LIMIT {COOCCURRENCE_TOP_K}
+"""
+
+
 FUZZY_MAX_DIST = 2
 
 
@@ -1219,6 +1254,7 @@ QUERIES = {
     "returned_item_losses": returned_item_losses,
     "customer_order_distribution": customer_order_distribution,
     "customer_yoy_revenue": customer_yoy_revenue,
+    "part_cooccurrence": part_cooccurrence,
 }
 
 ORACLE_SQL = {
@@ -1249,4 +1285,5 @@ ORACLE_SQL = {
     "returned_item_losses": RETURNED_ITEM_LOSSES_SQL,
     "customer_order_distribution": CUSTOMER_ORDER_DISTRIBUTION_SQL,
     "customer_yoy_revenue": CUSTOMER_YOY_REVENUE_SQL,
+    "part_cooccurrence": PART_COOCCURRENCE_SQL,
 }
