@@ -287,12 +287,72 @@ ORDER BY source
 """
 
 
+def corpus_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row corpus health dashboard: size, language/source spread,
+    token volume, exact-duplicate groups, near-dup clusters, and the
+    keep-one survivor count — the report a data curator reads before
+    and after every pipeline change. Three independent 1-row
+    aggregates (base stats / exact-dup rollup / cluster rollup)
+    cross-joined — each is a full reduction, so the joins are free;
+    the expensive input (near-dup clustering) is the same machinery
+    dedup_clusters verifies."""
+    from capstone_etl_spark.functions.text import tokenize
+    from capstone_etl_spark.operators.dedup import dedup_clusters
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.size(tokenize("text")).cast("long")).alias("total_tokens"),
+    )
+    exact = docs.groupBy(F.md5("text").alias("h")).agg(F.count("*").alias("c")).agg(
+        F.count(F.when(F.col("c") > 1, F.lit(1))).alias("n_exact_dup_groups"),
+        F.sum(F.col("c") - 1).alias("n_exact_dup_docs"),
+    )
+    clusters = dedup_clusters(spark, sf_dir)
+    near = clusters.agg(
+        F.countDistinct(F.when(F.col("n_members") > 1, F.col("cluster_id"))).alias(
+            "n_near_dup_clusters"
+        ),
+        F.sum("is_kept").alias("n_docs_surviving"),
+    )
+    return base.crossJoin(exact).crossJoin(near)
+
+
+def _corpus_summary_sql() -> str:
+    from capstone_etl_spark.operators.dedup import DEDUP_CLUSTERS_SQL
+
+    return f"""
+SELECT * FROM (
+  SELECT COUNT(*) AS n_docs,
+         COUNT(DISTINCT lang) AS n_langs,
+         COUNT(DISTINCT source) AS n_sources,
+         CAST(SUM(len(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           t -> t <> ''))) AS BIGINT) AS total_tokens
+  FROM documents
+) base
+CROSS JOIN (
+  SELECT COUNT(CASE WHEN c > 1 THEN 1 END) AS n_exact_dup_groups,
+         CAST(SUM(c - 1) AS BIGINT) AS n_exact_dup_docs
+  FROM (SELECT md5(text) AS h, COUNT(*) AS c FROM documents GROUP BY md5(text)) g
+) exact
+CROSS JOIN (
+  SELECT COUNT(DISTINCT CASE WHEN n_members > 1 THEN cluster_id END) AS n_near_dup_clusters,
+         CAST(SUM(is_kept) AS BIGINT) AS n_docs_surviving
+  FROM ({DEDUP_CLUSTERS_SQL}) cl
+) near
+"""
+
+
 QUERIES = {
     "corpus_pipeline": corpus_pipeline,
     "doc_chunks": doc_chunks,
     "doc_chunks_overlap": doc_chunks_overlap,
     "source_mixing_weights": source_mixing_weights,
     "cluster_aware_splits": cluster_aware_splits,
+    "corpus_summary": corpus_summary,
 }
 
 ORACLE_SQL = {
@@ -301,4 +361,5 @@ ORACLE_SQL = {
     "doc_chunks_overlap": DOC_CHUNKS_OVERLAP_SQL,
     "source_mixing_weights": SOURCE_MIXING_WEIGHTS_SQL,
     "cluster_aware_splits": _cluster_aware_splits_sql(),
+    "corpus_summary": _corpus_summary_sql(),
 }
