@@ -26,6 +26,92 @@ def entry(spark: SparkSession) -> DataFrame:
     return wikibooks_docs(spark, "/root/testdata/sf0.001").orderBy("doc_id")
 
 
+# The driver's correctness harness samples the FIRST ~50 registered
+# queries in registry order. Round 2 registered text_pipeline +
+# relational first, so the sample never reached the dedup / ANN /
+# streaming / multimodal / corpus families (VERDICT r2, item 1). This
+# priority list leads with one flagship per family — every family gets
+# a driver CORRECTNESS row — then the §2 core and the relational long
+# tail (both fully driver-green in r2) follow.
+_PRIORITY = [
+    # corpus / dedup flagships
+    "corpus_pipeline",
+    "dedup_clusters",
+    "decontamination",
+    "decontamination_spans",
+    "gram_novelty",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    # similarity / ANN
+    "ann_ivf_topk",
+    "embedding_pairs",
+    "label_centroids",
+    "kmeans_lloyd",
+    "embedding_quantize",
+    "embedding_norms",
+    "ann_lsh_topk",
+    "ann_brute_topk",
+    "doc_similarity_topk",
+    # streaming (Structured Streaming, availableNow)
+    "stream_tumbling_windows",
+    "stream_sliding_windows",
+    "stream_event_dedup",
+    "stream_user_sessions",
+    "stream_user_activity",
+    "stream_click_attribution",
+    "stream_tier_rollup",
+    # multimodal
+    "multimodal_stats",
+    "multimodal_meta",
+    "multimodal_frames",
+    "multimodal_frame_dedup",
+    # §1.4 composed output collections (S4 sinks)
+    "wikibooks_docs",
+    "tokens_collection",
+    "token_vector_collection",
+    # corpus prep: chunking / splits / mixing
+    "doc_chunks",
+    "doc_chunks_overlap",
+    "source_mixing_weights",
+    "cluster_aware_splits",
+    "corpus_summary",
+    "doc_splits",
+    "doc_sample_stratified",
+    "campaign_window_stats",
+    # text analysis
+    "text_quality",
+    "token_counts",
+    "doc_fingerprint",
+    "language_id",
+    "bigram_pmi",
+    "vocab_coverage",
+    "repetition_ratio",
+    "top_tokens_per_source",
+    "token_entropy",
+    # events queries with no r2 driver row (reworked windows first)
+    "event_user_rank_profile",
+    "event_user_deciles",
+    "event_user_rank",
+    "event_props_json",
+    "event_daily_matrix",
+    "event_asof_last_view",
+    "event_value_percentiles",
+    "event_daily_pivot",
+    "event_user_funnel",
+    "event_trailing_value",
+    "event_day_type_cube",
+    "event_gap_stats",
+    "event_gap_fill",
+    "event_props_redaction",
+    "event_retention_cohorts",
+    "event_value_histogram",
+    "event_daily_unpivot",
+    "event_transitions",
+]
+
+
 def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], dict[str, str]]:
     from capstone_etl_spark.operators import (
         corpus,
@@ -62,7 +148,16 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE_SQL)
-    return queries, oracles
+
+    ordered_q: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+    for name in _PRIORITY:
+        if name in queries:
+            ordered_q[name] = queries[name]
+    for name, fn in queries.items():
+        if name not in ordered_q:
+            ordered_q[name] = fn
+    ordered_o = {name: oracles[name] for name in ordered_q if name in oracles}
+    return ordered_q, ordered_o
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

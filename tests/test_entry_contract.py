@@ -28,6 +28,37 @@ def test_oracle_keys_subset_of_queries():
     assert len(qs) >= 20
 
 
+def test_priority_names_all_registered():
+    qs = entrymod.queries()
+    missing = [n for n in entrymod._PRIORITY if n not in qs]
+    assert missing == [], f"stale _PRIORITY entries: {missing}"
+
+
+def test_first_fifty_span_every_family():
+    """The driver's correctness harness samples the first ~50 registered
+    queries; every operator family must land at least one row in that
+    window (VERDICT r2, item 1)."""
+    first50 = list(entrymod.queries())[:50]
+    families = {
+        "corpus": "corpus_pipeline",
+        "dedup": "dedup_minhash_lsh",
+        "decontamination": "decontamination",
+        "ann": "ann_lsh_topk",
+        "kmeans": "kmeans_lloyd",
+        "doc_similarity": "doc_similarity_topk",
+        "streaming": "stream_tumbling_windows",
+        "multimodal": "multimodal_frame_dedup",
+        "outputs": "wikibooks_docs",
+        "chunking": "doc_chunks",
+        "splits": "doc_splits",
+        "rangejoin": "campaign_window_stats",
+        "textstats": "text_quality",
+        "events": "event_user_rank_profile",
+    }
+    absent = {fam: q for fam, q in families.items() if q not in first50}
+    assert absent == {}, f"families missing from the driver's 50-query window: {absent}"
+
+
 @pytest.mark.parametrize("name", SAMPLE)
 def test_query_matches_oracle(spark, sf_dir, name):
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
