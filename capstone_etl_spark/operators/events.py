@@ -22,6 +22,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from capstone_etl_spark.functions.windows import bounded_window_key
+from capstone_etl_spark.operators.vocab import with_dense_ids
 from capstone_etl_spark.sources.tables import load_table
 
 SESSION_GAP_SEC = 30 * 60
@@ -157,16 +159,25 @@ FROM events GROUP BY event_type
 
 
 def user_activity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-20 users by activity with dense_rank ties."""
+    """Top-20 users by activity, ranked.
+
+    orderBy + limit plans as TakeOrderedAndProject — a distributed
+    partial top-k (each partition keeps its local top 20, the driver
+    merges 20·P candidates) — instead of a row_number window that would
+    move the ENTIRE per-user aggregate (10⁷–10⁸ rows at 100 TB) to one
+    task. The rank is assigned after the limit, over exactly 20 rows;
+    the explicit bounded_window_key documents that bounded
+    single-partition stage (asserted in tests/test_plans.py)."""
     ev = _events(spark, sf_dir)
     per_user = ev.groupBy("user_id").agg(
         F.count("*").alias("n_events"), _dsum(F.col("value")).alias("total_value")
     )
-    w = Window.orderBy(F.desc("n_events"), "user_id")
-    return (
-        per_user.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= 20)
-        .select("user_id", "n_events", "total_value", "rnk")
+    top = per_user.orderBy(F.desc("n_events"), "user_id").limit(20)
+    w = Window.partitionBy(bounded_window_key("user_id")).orderBy(
+        F.desc("n_events"), "user_id"
+    )
+    return top.select(
+        "user_id", "n_events", "total_value", F.row_number().over(w).cast("long").alias("rnk")
     )
 
 
@@ -440,21 +451,34 @@ GROUP BY event_type
 
 
 def user_value_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ntile(10) cohorting of users by lifetime value — the window
-    function the rank/row_number queries don't cover (equal-count
-    buckets, not equal-value ranges). The window runs over the
-    per-user AGGREGATE (one row per user), ordered by the exact
-    DECIMAL total with user_id tiebreak so bucket boundaries are a
-    total order in both engines."""
+    """ntile(10) cohorting of users by lifetime value — equal-count
+    buckets over the per-user aggregate, ordered by the exact DECIMAL
+    total with user_id tiebreak so bucket boundaries are a total order
+    in both engines.
+
+    NO global ntile window: the per-user relation is 10⁷–10⁸ rows at
+    100 TB and an unpartitioned window would move all of it to one
+    task. Instead: distributed global rank via `with_dense_ids`
+    (range sort + partition-offset rank), the row count joined in as a
+    1-row broadcast cross join, and the SQL-standard NTILE bucket
+    derived arithmetically — with n rows and k buckets the first
+    n mod k buckets hold floor(n/k)+1 rows, the rest floor(n/k)."""
     ev = _events(spark, sf_dir)
     per_user = ev.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(18,2)")).alias("total")
     )
-    w = Window.orderBy(F.col("total").desc(), F.col("user_id"))
-    return per_user.select(
+    ranked = with_dense_ids(per_user, [F.col("total").desc(), F.col("user_id")], "_rid")
+    n = ranked.agg(F.count("*").alias("_n"))
+    q = F.floor(F.col("_n") / 10)
+    rem = F.col("_n") % 10
+    cut = rem * (q + 1)
+    decile = F.when(F.col("_rid") < cut, F.floor(F.col("_rid") / (q + 1))).otherwise(
+        rem + F.floor((F.col("_rid") - cut) / F.greatest(q, F.lit(1)))
+    ) + 1
+    return ranked.crossJoin(F.broadcast(n)).select(
         "user_id",
         F.col("total").cast("double").alias("total_value"),
-        F.ntile(10).over(w).cast("long").alias("decile"),
+        decile.cast("long").alias("decile"),
     )
 
 
@@ -733,38 +757,60 @@ ORDER BY bin_id
 def user_value_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The remaining analytic-window flavors in one query: each user's
     lifetime value with percent_rank, cume_dist, and the global
-    median's value via nth_value over an ordered frame — all over the
-    per-user AGGREGATED relation (150 rows at any SF where users ≪
-    events), so the single-partition ordered window is post-shuffle
-    small. percent_rank/cume_dist are count-ratios of exact DECIMAL
-    totals — deterministic doubles on both engines."""
+    median-position value — all DISTRIBUTED. The order keys
+    (total, user_id) are unique, so rank == row_number and the window
+    functions reduce to arithmetic over a distributed dense rank:
+    percent_rank = rid/(n-1), cume_dist = (rid+1)/n. The median's
+    value is the row at 1-based position floor((n+1)/2), selected with
+    the count relation and joined back — two 1-row broadcast cross
+    joins, no unpartitioned window over the per-user relation
+    (10⁷–10⁸ rows at 100 TB). Ratios divide exact longs —
+    deterministic doubles on both engines."""
     ev = _events(spark, sf_dir)
     totals = ev.groupBy("user_id").agg(
         F.sum(F.col("value").cast("decimal(18,2)")).alias("total")
     )
-    w = Window.orderBy("total", "user_id")
-    wall = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    return totals.select(
-        "user_id",
-        F.col("total").cast("double").alias("total_value"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
-        F.nth_value(F.col("total").cast("double"), 75).over(wall).alias("p50ish_value"),
-    ).orderBy("user_id")
+    ranked = with_dense_ids(totals, [F.col("total"), F.col("user_id")], "_rid")
+    n = ranked.agg(F.count("*").alias("_n"))
+    median = (
+        ranked.crossJoin(F.broadcast(n))
+        .filter(F.col("_rid") == F.floor((F.col("_n") + 1) / 2) - 1)
+        .select(F.col("total").cast("double").alias("p50ish_value"))
+    )
+    return (
+        ranked.crossJoin(F.broadcast(n))
+        .crossJoin(F.broadcast(median))
+        .select(
+            "user_id",
+            F.col("total").cast("double").alias("total_value"),
+            F.round(F.col("_rid") / (F.col("_n") - 1), 6).alias("pct_rank"),
+            F.round((F.col("_rid") + 1) / F.col("_n"), 6).alias("cume"),
+            "p50ish_value",
+        )
+        .orderBy("user_id")
+    )
 
 
 USER_VALUE_RANK_PROFILE_SQL = """
 WITH totals AS (
   SELECT user_id, SUM(CAST(value AS DECIMAL(18,2))) AS total
   FROM events GROUP BY user_id
+),
+cnt AS (SELECT COUNT(*) AS n FROM totals),
+ranked AS (
+  SELECT user_id, total,
+         ROW_NUMBER() OVER (ORDER BY total, user_id) AS rid
+  FROM totals
+),
+median AS (
+  SELECT CAST(total AS DOUBLE) AS p50ish_value
+  FROM ranked CROSS JOIN cnt WHERE rid = (n + 1) // 2
 )
 SELECT user_id, CAST(total AS DOUBLE) AS total_value,
        ROUND(PERCENT_RANK() OVER (ORDER BY total, user_id), 6) AS pct_rank,
        ROUND(CUME_DIST() OVER (ORDER BY total, user_id), 6) AS cume,
-       NTH_VALUE(CAST(total AS DOUBLE), 75) OVER (
-         ORDER BY total, user_id
-         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS p50ish_value
-FROM totals
+       p50ish_value
+FROM totals CROSS JOIN median
 ORDER BY user_id
 """
 

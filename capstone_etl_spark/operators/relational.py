@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from capstone_etl_spark.functions.windows import bounded_window_key
 from capstone_etl_spark.sources.tables import load_table
 
 
@@ -295,7 +296,13 @@ def order_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # decimal window sum: DuckDB's windowed double-SUM associates via a
     # segment tree, so agree exactly by accumulating in decimal.
-    w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, 0)
+    # The window input is one row per calendar month — bounded by time,
+    # not data volume; bounded_window_key states that explicitly.
+    w = (
+        Window.partitionBy(bounded_window_key("month"))
+        .orderBy("month")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return (
         monthly.withColumn(
             "running_total",

@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from capstone_etl_spark.functions.hashing import MERSENNE_P, md5_hash60_sql
 from capstone_etl_spark.functions.stopwords import STOPWORDS, stopwords_sql_in_list
 from capstone_etl_spark.functions.text import tokenize
+from capstone_etl_spark.functions.windows import bounded_window_key
+from capstone_etl_spark.operators.vocab import with_dense_ids
 from capstone_etl_spark.sources.tables import load_table
 
 FP_BASE = 1_000_003  # rolling-hash base; acc·B + h stays < 2^52 (exact)
@@ -351,11 +353,15 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Zipf / coverage curve: top-K tokens by global frequency with each
     rank's cumulative share of total token mass — the standard check
     before vocabulary truncation (what OOV rate would a K-token vocab
-    leave?). The windows run over the AGGREGATED vocabulary relation
-    (Heaps-law bounded — same single-partition defense as
-    vocab.vocabulary); cumulative mass stays in exact longs, divided
-    once at the end. freq is cached (vocab-sized) so the rank and the
-    total consumers share one tokenize pass."""
+    leave?).
+
+    The rank over the FULL vocabulary is distributed
+    (`with_dense_ids`: range sort + partition-offset rank — no
+    Heaps-law defense needed); the cumulative window then runs over at
+    most TOP_VOCAB_K rows — bounded by the constant, stated by the
+    explicit partitionBy(lit(0)). Cumulative mass stays in exact
+    longs, divided once at the end. freq is cached (vocab-sized) so
+    the rank and the total consumers share one tokenize pass."""
     docs = _docs(spark, sf_dir)
     freq = (
         docs.select(F.explode(tokenize("text")).alias("w"))
@@ -365,13 +371,16 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     total = freq.agg(F.sum("freq").alias("total"))
     ranked = (
-        freq.withColumn(
-            "rank",
-            F.row_number().over(Window.orderBy(F.col("freq").desc(), F.col("w"))).cast("long"),
-        )
+        with_dense_ids(freq, [F.col("freq").desc(), F.col("w")], "_rank0")
+        .withColumn("rank", (F.col("_rank0") + 1).cast("long"))
         .filter(F.col("rank") <= TOP_VOCAB_K)
+        .drop("_rank0")
     )
-    cum = Window.orderBy("rank").rowsBetween(Window.unboundedPreceding, 0)
+    cum = (
+        Window.partitionBy(bounded_window_key("rank"))
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     return (
         ranked.crossJoin(F.broadcast(total))
         .withColumn("cum_freq", F.sum("freq").over(cum))

@@ -7,5 +7,6 @@ from capstone_etl_spark.plans.inspect import (  # noqa: F401
     formatted_plan,
     has_cartesian,
     pushed_filters,
+    unpartitioned_window_count,
     wholestage_codegen_count,
 )

@@ -49,6 +49,31 @@ def wholestage_codegen_count(df: DataFrame) -> int:
     return len(set(re.findall(r"\*\((\d+)\)", executed_plan(df))))
 
 
+def unpartitioned_window_count(df: DataFrame) -> int:
+    """Window nodes with an EMPTY partition spec — the shape behind
+    Spark's "No Partition Defined for Window operation! Moving all data
+    to a single partition" warning. A physical Window node prints as
+    `Window [exprs], [partitionSpec], [orderSpec]`; an unpartitioned one
+    omits the middle group. Count top-level bracket groups per node:
+    fewer than 3 means no partition spec."""
+    n = 0
+    for line in executed_plan(df).splitlines():
+        m = re.search(r"\bWindow (\[.*)$", line)
+        if not m:
+            continue
+        groups, depth = 0, 0
+        for ch in m.group(1):
+            if ch == "[":
+                if depth == 0:
+                    groups += 1
+                depth += 1
+            elif ch == "]":
+                depth -= 1
+        if groups < 3:
+            n += 1
+    return n
+
+
 def pushed_filters(df: DataFrame) -> list[str]:
     """Filters pushed into the columnar scan (PushedFilters: [...]).
     Parsed from explain('formatted'), NOT executedPlan().toString() —
