@@ -27,6 +27,7 @@ from capstone_etl_spark.operators.dedup import (
 )
 from capstone_etl_spark.operators.sampling import split_column, split_sql_case
 from capstone_etl_spark.sources.tables import load_table
+from capstone_etl_spark.session import cached
 
 MIN_CHARS = 20
 
@@ -36,7 +37,7 @@ def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-dup canonicalization, split assignment."""
     docs = load_table(spark, sf_dir, "documents")
     kept = docs.filter(F.col("n_chars") >= MIN_CHARS).select("doc_id", "lang", "n_chars", "text")
-    pairs = jaccard_pairs(kept).select("doc_a", "doc_b").cache()
+    pairs = jaccard_pairs(kept).select("doc_a", "doc_b").transform(cached)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )

@@ -33,6 +33,7 @@ from capstone_etl_spark.functions.hashing import (
 )
 from capstone_etl_spark.functions.text import tokenize
 from capstone_etl_spark.sources.tables import load_table
+from capstone_etl_spark.session import cached, checkpoint_truncate, release_checkpoint
 
 NGRAM_N = 3
 MAX_SHINGLE_DF = 50          # drop shingles present in more docs than this
@@ -135,7 +136,7 @@ def jaccard_pairs(docs: DataFrame) -> DataFrame:
     relation (doc_id, text). Candidates come from the inverted shingle
     index (docs sharing ≥1 surviving shingle); |A∩B| falls out of the
     same join; |A∪B| = |A|+|B|−|A∩B|."""
-    sh = shingles(docs).cache()
+    sh = shingles(docs).transform(cached)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -191,14 +192,11 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     so an un-truncated loop grows the plan tree 4^rounds: Catalyst
     re-optimization slows every round and the AQE explain-string alone
     OOMs the driver after ~10 rounds (observed on Spark 4.1.2 — a
-    `.cache()` does NOT help, caching keeps the full lineage). Uses the
-    reliable checkpoint when a checkpoint dir is configured (cluster:
-    survives executor loss), else an eager localCheckpoint (tests /
-    local mode)."""
-    sc = df.sparkSession.sparkContext
-    if sc._jsc.sc().getCheckpointDir().isDefined():
-        return df.checkpoint(eager=True)
-    return df.localCheckpoint(eager=True)
+    `.transform(cached)` does NOT help, caching keeps the full lineage).
+    Delegates to session.checkpoint_truncate, which also tracks the
+    persisted blocks so release_caches()/release_checkpoint() can free
+    them — localCheckpoint blocks are invisible to DataFrame.unpersist."""
+    return checkpoint_truncate(df)
 
 
 def connected_components(edges: DataFrame) -> DataFrame:
@@ -248,6 +246,10 @@ def connected_components(edges: DataFrame) -> DataFrame:
             .filter(F.col("n.label") != F.col("o.label"))
             .count()
         )
+        # round N-1's checkpointed blocks are dead once the changed
+        # count is taken — free them so loop memory stays O(2 rounds),
+        # not O(rounds)
+        release_checkpoint(labels)
         labels = jump
         if changed == 0:
             return labels
@@ -265,11 +267,11 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).select("doc_id")
     # cached: the union below consumes the pair lineage twice (once per
     # edge direction), and each CC round walks the edge relation again
-    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").cache()
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").transform(cached)
     edges = (
         pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
         .union(pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")))
-        .cache()
+        .transform(cached)
     )
     labels = connected_components(edges)
     comp = docs.join(labels, "doc_id", "left").select(
@@ -332,7 +334,7 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales with shared-shingle pairs across the cut, not |corpus|².
     One shingle pass (cached) is split by set membership."""
     docs = _docs(spark, sf_dir)
-    sh = shingles(docs).cache()
+    sh = shingles(docs).transform(cached)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     shb = sh.filter(is_bench)
     shc = sh.filter(~is_bench)
@@ -421,7 +423,7 @@ def decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("sh").agg(F.count("*").alias("sdf"))
         .filter(F.col("sdf") <= MAX_SHINGLE_DF)
     )
-    g = grams.join(df_ok.select("sh"), "sh", "left_semi").cache()
+    g = grams.join(df_ok.select("sh"), "sh", "left_semi").transform(cached)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     t, b = g.filter(~is_bench).alias("t"), g.filter(is_bench).alias("b")
     return (
@@ -476,7 +478,7 @@ def gram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     prune join candidates; here the document frequency IS the signal).
     Two shuffles: the df count on gram hash and the per-doc rollup —
     both uniform keys; the ratio is exact-int count division."""
-    sh = shingles(_docs(spark, sf_dir), max_df=None).cache()
+    sh = shingles(_docs(spark, sf_dir), max_df=None).transform(cached)
     df_counts = sh.groupBy("sh").agg(F.count("*").alias("gdf"))
     return (
         sh.join(df_counts, "sh")
@@ -542,7 +544,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     # One shingle pass shared by the signature and verification stages
     # (the cache materializes on first action; both subtrees reuse it).
-    sh = shingles(docs).cache()
+    sh = shingles(docs).transform(cached)
     sig = minhash_signatures(docs, sh=sh)
     bands = sig.select(
         "doc_id",
@@ -660,7 +662,7 @@ def simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs with hamming(simhash) ≤ 3 via block-LSH: split the
     48-bit hash into 4 blocks of 12; any pair within distance 3 shares
     ≥1 exact block (pigeonhole) ⇒ candidates = per-block equi-join."""
-    sh = simhash(_docs(spark, sf_dir)).cache()
+    sh = simhash(_docs(spark, sf_dir)).transform(cached)
     blocks = sh.select(
         "doc_id",
         "simhash",

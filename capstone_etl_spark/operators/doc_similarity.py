@@ -36,6 +36,7 @@ from pyspark.sql import functions as F
 from capstone_etl_spark.operators.tokenize import term_frequencies
 from capstone_etl_spark.operators.text_pipeline import _TF_CTE
 from capstone_etl_spark.sources.tables import load_table
+from capstone_etl_spark.session import cached
 
 TOP_K = 5
 
@@ -70,7 +71,7 @@ def doc_cosine_pairs(tf: DataFrame, max_df: int | None = None) -> DataFrame:
 
 def doc_similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top-k most TF-cosine-similar documents per document."""
-    tf = term_frequencies(load_table(spark, sf_dir, "documents")).cache()
+    tf = term_frequencies(load_table(spark, sf_dir, "documents")).transform(cached)
     pairs = doc_cosine_pairs(tf)
     directed = pairs.select(
         F.col("doc_a").alias("query_doc"), F.col("doc_b").alias("neighbor_doc"), "cos"

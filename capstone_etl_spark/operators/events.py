@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from capstone_etl_spark.functions.windows import bounded_window_key
 from capstone_etl_spark.operators.vocab import with_dense_ids
 from capstone_etl_spark.sources.tables import load_table
+from capstone_etl_spark.session import cached
 
 SESSION_GAP_SEC = 30 * 60
 
@@ -583,7 +584,7 @@ def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("user_id") < 10)
         .groupBy("user_id", F.to_date("ts").alias("day"))
         .agg(_dsum(F.col("value")).alias("day_value"))
-        .cache()
+        .transform(cached)
     )
     bounds = daily.groupBy("user_id").agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
     spine = bounds.select("user_id", F.explode(F.sequence("d0", "d1")).alias("day"))

@@ -40,15 +40,35 @@ def posting_stats(tf: DataFrame) -> DataFrame:
     )
 
 
-def tf_with_token_ids(tf: DataFrame, vocab: DataFrame) -> DataFrame:
-    """(doc_id, token_id, qty) — J4 as a broadcast equi-join (the
-    vocabulary is bounded by Heaps' law; at 100 TB corpus scale it is
-    still ≪ broadcast threshold after stopword removal; fall back to a
-    shuffled sort-merge join by dropping the hint if it ever is not)."""
-    return tf.join(F.broadcast(vocab), "token").select("doc_id", "token_id", "qty")
+def tf_with_token_ids(tf: DataFrame, vocab: DataFrame, strategy: str = "broadcast") -> DataFrame:
+    """(doc_id, token_id, qty) — J4 as an equi-join on token.
+
+    strategy picks the physical join for the vocabulary side:
+    - 'broadcast' (default): the vocabulary is bounded by Heaps' law —
+      at 100 TB corpus scale it is still ≪ broadcast threshold after
+      stopword removal, so ship it to every task and never shuffle the
+      TF side.
+    - 'shuffle': spill-safe sort-merge — the fallback for a vocabulary
+      past the broadcast threshold (e.g. no stopword gate + byte-level
+      n-gram vocab). Both sides shuffle on token; no executor needs to
+      hold the vocab in memory.
+    - 'auto': no hint — Catalyst sizes it against
+      spark.sql.autoBroadcastJoinThreshold, and AQE re-plans
+      sort-merge → broadcast at runtime from TRUE sizes.
+    All three produce identical rows (tests/test_plans.py pins the
+    broadcast and sort-merge plans and cross-checks results)."""
+    if strategy == "broadcast":
+        v = F.broadcast(vocab)
+    elif strategy == "shuffle":
+        v = vocab.hint("merge")
+    elif strategy == "auto":
+        v = vocab
+    else:
+        raise ValueError(f"unknown join strategy {strategy!r}")
+    return tf.join(v, "token").select("doc_id", "token_id", "qty")
 
 
-def sparse_vectors(tf: DataFrame, vocab: DataFrame) -> DataFrame:
+def sparse_vectors(tf: DataFrame, vocab: DataFrame, strategy: str = "broadcast") -> DataFrame:
     """Per-doc sparse TF vector in both reference shapes (A8, A9):
     - compressed_token_vector: map<string,long> (BSON-style string keys,
       main.go:222-235)
@@ -57,7 +77,7 @@ def sparse_vectors(tf: DataFrame, vocab: DataFrame) -> DataFrame:
     At scale prefer the paired-array layout (indices/values) also
     emitted here — it is MLlib SparseVector's layout and avoids
     MapType's comparison/shuffle awkwardness (SURVEY.md §7.7)."""
-    ids = tf_with_token_ids(tf, vocab)
+    ids = tf_with_token_ids(tf, vocab, strategy)
     entries = ids.groupBy("doc_id").agg(
         F.sort_array(F.collect_list(F.struct("token_id", "qty"))).alias("pairs")
     )

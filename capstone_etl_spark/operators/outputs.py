@@ -42,6 +42,7 @@ from capstone_etl_spark.operators.text_pipeline import _TF_CTE
 from capstone_etl_spark.operators.tokenize import doc_stats, term_frequencies
 from capstone_etl_spark.operators.vocab import vocabulary, with_dense_ids
 from capstone_etl_spark.sources.tables import load_table
+from capstone_etl_spark.session import cached
 
 # F1 needle (stands in for the reference's 'href="h' over body_html).
 EXTERNAL_LINK_MARKER = "scan"
@@ -76,7 +77,7 @@ def wikibooks_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed per-page document (typed): hierarchy + counts +
     tokens array + norm in ONE relation (struct main.go:46-64)."""
     docs = _docs(spark, sf_dir)
-    tf = term_frequencies(docs).cache()
+    tf = term_frequencies(docs).transform(cached)
 
     pages = hier_ops.synthetic_doc_paths(docs)
     linked = hier_ops.link_hierarchy(pages, id_col="doc_id").select(
@@ -178,7 +179,7 @@ LEFT JOIN tokarr t ON t.doc_id = d.doc_id
 def tokens_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The inverted-index collection (typed): dense `_id` (O4), token,
     posting list array<struct<doc_id,qty>> (A6/J5, main.go:151-163)."""
-    tf = term_frequencies(_docs(spark, sf_dir)).cache()
+    tf = term_frequencies(_docs(spark, sf_dir)).transform(cached)
     idx = index_ops.inverted_index(tf)
     vocab = vocabulary(tf)
     return (
@@ -222,7 +223,7 @@ def token_vector_output(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the trimmed sorted index array `tokenrefs` (A9 — trailing-zero
     divergence §7.6.2)."""
     docs = _docs(spark, sf_dir)
-    tf = term_frequencies(docs).cache()
+    tf = term_frequencies(docs).transform(cached)
     sv = index_ops.sparse_vectors(tf, vocabulary(tf))
     dense = with_dense_ids(
         hier_ops.synthetic_doc_paths(docs).select("doc_id", "page_loc"),

@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from capstone_etl_spark.functions.windows import bounded_window_key
 from capstone_etl_spark.sources.tables import load_table
+from capstone_etl_spark.session import cached
 
 
 def _dsum(col: Column, scale_expr: str = "decimal(18,2)") -> Column:
@@ -830,7 +831,7 @@ def top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # consumed twice (the relation and its MAX) — cache so the fact
         # scan + rollup runs once
-        .cache()
+        .transform(cached)
     )
     max_rev = rev.agg(F.max("total_rev").alias("max_rev"))
     return (

@@ -40,6 +40,7 @@ from pyspark.sql import functions as F
 
 from capstone_etl_spark.functions.vectors import cosine
 from capstone_etl_spark.sources.tables import load_table
+from capstone_etl_spark.session import cached
 
 DIM = 64
 N_QUERIES = 10          # query set = vec_id < 10
@@ -204,7 +205,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets = lsh_buckets(emb).cache()
+    buckets = lsh_buckets(emb).transform(cached)
     qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), "tbl", "bucket"
     )
@@ -275,7 +276,7 @@ def embedding_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate set, so the result is hash-checkable; recall vs brute
     force is asserted in tests (test_similarity_vectors)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    buckets = lsh_buckets(emb, planes=_PAIR_PLANES).cache()
+    buckets = lsh_buckets(emb, planes=_PAIR_PLANES).transform(cached)
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
         a.join(
@@ -578,7 +579,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             "d",
             F.floor(F.col("v").cast("double") * CENTROID_SCALE + 0.5).cast("long").alias("vs"),
         )
-        .cache()
+        .transform(cached)
     )
     seeds = by_dim.filter(F.col("vec_id") < KMEANS_CELLS).select(
         F.col("vec_id").cast("int").alias("cell"), "d", F.col("vs").alias("qc")
@@ -598,7 +599,7 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_id", "cell", "dist_sq")
         )
 
-    assign1 = assign(seeds).cache()
+    assign1 = assign(seeds).transform(cached)
     sums = (
         assign1.join(by_dim, "vec_id")
         .groupBy("cell", "d")

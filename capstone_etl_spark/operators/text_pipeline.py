@@ -22,6 +22,7 @@ from capstone_etl_spark.operators.tokenize import doc_stats as _doc_stats
 from capstone_etl_spark.operators.tokenize import doc_tokens, term_frequencies
 from capstone_etl_spark.operators.vocab import vocabulary, with_dense_ids
 from capstone_etl_spark.sources.tables import load_table
+from capstone_etl_spark.session import cached
 
 # Literal dictionary side-input (SURVEY.md S2/P2/J2): the mechanism is a
 # broadcast semi-join against a wordlist; contents are config data. This
@@ -225,7 +226,7 @@ def sparse_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
     replacement for the reference's O(D×V) probe loop. tf is cached:
     both the vocabulary subtree and the consuming join read it, and the
     cache makes tokenization (the expensive stage) run once."""
-    tf = _tf(spark, sf_dir).cache()
+    tf = _tf(spark, sf_dir).transform(cached)
     return index_ops.tf_with_token_ids(tf, vocabulary(tf))
 
 
@@ -242,7 +243,7 @@ def sparse_vector_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A8+A9 per-doc shapes canonicalized: the compressed map as
     'idx:qty,...' and tokenrefs as 'i,j,k' (trimmed — divergence
     SURVEY.md §7.6.2). tf cached — one tokenize pass (see sparse_vectors)."""
-    tf = _tf(spark, sf_dir).cache()
+    tf = _tf(spark, sf_dir).transform(cached)
     sv = index_ops.sparse_vectors(tf, vocabulary(tf))
     return sv.select(
         "doc_id",
@@ -288,7 +289,7 @@ def tf_idf(spark: SparkSession, sf_dir: str) -> DataFrame:
     transcendental ln() agrees across engines' libm. Fully lazy — N is a
     broadcast 1-row relation inside the plan (no driver-side .count()),
     and tf is cached so its three consumers share one tokenize pass."""
-    tf = _tf(spark, sf_dir).cache()
+    tf = _tf(spark, sf_dir).transform(cached)
     out = index_ops.tf_idf(tf)
     return out.select("doc_id", "token", "qty", F.round("tfidf", 6).alias("tfidf"))
 

@@ -17,6 +17,7 @@ from capstone_etl_spark.functions.text import tokenize
 from capstone_etl_spark.functions.windows import bounded_window_key
 from capstone_etl_spark.operators.vocab import with_dense_ids
 from capstone_etl_spark.sources.tables import load_table
+from capstone_etl_spark.session import cached
 
 FP_BASE = 1_000_003  # rolling-hash base; acc·B + h stays < 2^52 (exact)
 
@@ -287,7 +288,7 @@ def bigram_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts, unigram total) share ONE tokenize pass — the regex clean is
     the expensive stage, the downstream explodes are cheap."""
     docs = _docs(spark, sf_dir)
-    toks = docs.select("doc_id", tokenize("text").alias("t")).cache()
+    toks = docs.select("doc_id", tokenize("text").alias("t")).transform(cached)
     # t[i-1]/t[i] is 0-based SQL indexing; sequence(1, 0) DESCENDS, so
     # docs with < 2 tokens must be guarded to an empty array.
     bigr = toks.select(
@@ -367,7 +368,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(tokenize("text")).alias("w"))
         .groupBy("w")
         .agg(F.count("*").alias("freq"))
-        .cache()
+        .transform(cached)
     )
     total = freq.agg(F.sum("freq").alias("total"))
     ranked = (

@@ -22,6 +22,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from capstone_etl_spark.functions.windows import bounded_window_key
+from capstone_etl_spark.session import cached
 
 
 def vocabulary(tf: DataFrame, token_col: str = "token") -> DataFrame:
@@ -71,7 +72,7 @@ def with_dense_ids(df: DataFrame, order_col, id_name: str = "id") -> DataFrame:
         df.orderBy(*cols)
         .withColumn("_pid", F.spark_partition_id())
         .withColumn("_local", F.row_number().over(local_w) - 1)
-    ).cache()
+    ).transform(cached)
     off_w = (
         Window.partitionBy(bounded_window_key("_pid"))
         .orderBy("_pid")

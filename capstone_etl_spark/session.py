@@ -9,7 +9,90 @@ from __future__ import annotations
 
 import os
 
-from pyspark.sql import SparkSession
+from pyspark.sql import DataFrame, SparkSession
+
+# Query-scoped caches/checkpoints the engine created and has not yet
+# released. Query functions return LAZY DataFrames, so they cannot
+# unpersist in a try/finally themselves — the cache must outlive the
+# function and die after the caller's action. `cached()` /
+# `checkpoint_truncate()` register here; callers (the gate, bench,
+# tests, any long-lived session) call `release_caches()` after
+# consuming a query's result. Without release, behavior degrades to
+# Spark's LRU eviction — same as a bare .cache().
+_LIVE_CACHES: list[DataFrame] = []
+_LIVE_CHECKPOINTS: list[tuple[DataFrame, list]] = []
+
+
+def cached(df: DataFrame) -> DataFrame:
+    """`.cache()` + track for later release_caches()."""
+    df.cache()
+    _LIVE_CACHES.append(df)
+    return df
+
+
+def _persistent_rdd_ids(sc) -> set[int]:
+    ids: set[int] = set()
+    it = sc._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        ids.add(it.next().getKey())
+    return ids
+
+
+def checkpoint_truncate(df: DataFrame) -> DataFrame:
+    """Materialize `df` and CUT its logical plan — mandatory inside
+    iterative DataFrame loops, where each round embeds the previous
+    round's plan several times over and an un-truncated loop grows the
+    plan tree exponentially (`.cache()` does NOT help: caching keeps
+    the full lineage). Uses the reliable checkpoint when a checkpoint
+    dir is configured (cluster: survives executor loss), else an eager
+    localCheckpoint (tests / local mode).
+
+    localCheckpoint persists RDD blocks OUTSIDE the SQL cache, which
+    `DataFrame.unpersist()` cannot reach — so the blocks created here
+    are tracked by handle and freed by `release_checkpoint()` /
+    `release_caches()`."""
+    sc = df.sparkSession.sparkContext
+    before = _persistent_rdd_ids(sc)
+    if sc._jsc.sc().getCheckpointDir().isDefined():
+        out = df.checkpoint(eager=True)
+    else:
+        out = df.localCheckpoint(eager=True)
+    handles = []
+    it = sc._jsc.getPersistentRDDs().entrySet().iterator()
+    while it.hasNext():
+        e = it.next()
+        if e.getKey() not in before:
+            handles.append(e.getValue())
+    _LIVE_CHECKPOINTS.append((out, handles))
+    return out
+
+
+def release_checkpoint(df: DataFrame) -> None:
+    """Free the persisted blocks behind one checkpoint_truncate result.
+    The data is NOT recomputable afterwards (the lineage was cut) —
+    only call once `df` will never be read again (e.g. a superseded
+    round inside an iterative loop)."""
+    for i, (d, handles) in enumerate(_LIVE_CHECKPOINTS):
+        if d is df:
+            for h in handles:
+                h.unpersist(False)
+            _LIVE_CHECKPOINTS.pop(i)
+            return
+
+
+def release_caches() -> int:
+    """Unpersist every engine-created cache and checkpoint; returns how
+    many were released. DataFrames returned by earlier query calls must
+    be REBUILT after this, not re-collected — checkpointed results have
+    no lineage to recompute from."""
+    n = len(_LIVE_CACHES) + len(_LIVE_CHECKPOINTS)
+    while _LIVE_CACHES:
+        _LIVE_CACHES.pop().unpersist()
+    while _LIVE_CHECKPOINTS:
+        _, handles = _LIVE_CHECKPOINTS.pop()
+        for h in handles:
+            h.unpersist(False)
+    return n
 
 
 def get_spark(

@@ -152,3 +152,36 @@ def test_no_unpartitioned_windows_in_registered_queries(spark):
         if cnt:
             bad[name] = cnt
     assert bad == {}, f"unpartitioned global windows: {bad}"
+
+
+def test_j4_join_strategy_paths(spark):
+    """J4's vocabulary join must work past the broadcast threshold: the
+    'shuffle' strategy plans a SortMergeJoin (no broadcast of the vocab
+    side) and produces exactly the broadcast path's rows (VERDICT r2
+    'What's missing' #4)."""
+    from capstone_etl_spark.operators.index import tf_with_token_ids
+    from capstone_etl_spark.operators.tokenize import term_frequencies
+    from capstone_etl_spark.operators.vocab import vocabulary
+    from capstone_etl_spark.plans import executed_plan
+
+    spark.catalog.clearCache()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    tf = term_frequencies(docs)
+    vocab = vocabulary(tf)
+
+    bcast = tf_with_token_ids(tf, vocab, "broadcast")
+    merge = tf_with_token_ids(tf, vocab, "shuffle")
+    # inspect the TOKEN join specifically — the vocab subtree carries
+    # with_dense_ids' own (tiny) broadcast offset join in both plans
+    assert "BroadcastHashJoin [token" in executed_plan(bcast)
+    p = executed_plan(merge)
+    assert "SortMergeJoin [token" in p and "BroadcastHashJoin [token" not in p
+
+    key = ["doc_id", "token_id"]
+    rows_b = sorted(map(tuple, bcast.select(*key, "qty").collect()))
+    rows_m = sorted(map(tuple, merge.select(*key, "qty").collect()))
+    assert rows_b == rows_m and len(rows_b) > 0
+
+    # 'auto' leaves the choice to Catalyst/AQE — must run and agree too
+    rows_a = sorted(map(tuple, tf_with_token_ids(tf, vocab, "auto").select(*key, "qty").collect()))
+    assert rows_a == rows_b

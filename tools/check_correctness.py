@@ -56,7 +56,7 @@ def main() -> int:
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
-    from capstone_etl_spark.session import get_spark
+    from capstone_etl_spark.session import get_spark, release_caches
 
     spark = get_spark("correctness-check", cpus=8, shuffle_partitions=8)
     qs, oracles = entrymod.queries(), entrymod.oracle_sql()
@@ -78,10 +78,12 @@ def main() -> int:
             failures += 1
             continue
         finally:
-            # queries cache their multi-consumer lineages; drop them so
-            # one query's cache can't mask or skew the next (and the
-            # gate's memory stays flat across 79 queries)
-            spark.catalog.clearCache()
+            # queries cache/checkpoint their multi-consumer lineages;
+            # release them so one query's cache can't mask or skew the
+            # next and the gate's memory stays flat across all queries.
+            # Uses the engine's own registry (not a blanket clearCache)
+            # so an untracked cache site shows up in the leak check.
+            release_caches()
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(spark_pdf)} rows, no oracle)")
             continue
@@ -97,6 +99,10 @@ def main() -> int:
             print(f"FAIL {name}: " + "; ".join(problems))
         else:
             print(f"PASS {name} ({len(spark_pdf)} rows)")
+    leaked = spark.sparkContext._jsc.getPersistentRDDs().size()
+    if leaked:
+        failures += 1
+        print(f"FAIL cache-hygiene: {leaked} relations still persisted after release_caches()")
     print(f"\n{failures} failures")
     return 1 if failures else 0
 
