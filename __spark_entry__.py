@@ -27,34 +27,31 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness samples the FIRST ~50 registered
-# queries in registry order. Round 2 registered text_pipeline +
-# relational first, so the sample never reached the dedup / ANN /
-# streaming / multimodal / corpus families (VERDICT r2, item 1). This
-# priority list leads with one flagship per family — every family gets
-# a driver CORRECTNESS row — then the §2 core and the relational long
-# tail (both fully driver-green in r2) follow.
+# queries in registry order. Rounds 2+3 together attested 101/115
+# queries; the 14 events queries below never got a driver row
+# (VERDICT r3, item 1). Round-4 order: those 14 lead, then every
+# query whose semantics changed this round (so the driver re-attests
+# the new behavior), then one canary per family — families already
+# driver-green in r3 and still covered by the local full gate.
 _PRIORITY = [
-    # corpus / dedup flagships
-    "corpus_pipeline",
-    "dedup_clusters",
-    "decontamination",
-    "decontamination_spans",
-    "gram_novelty",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    # similarity / ANN
-    "ann_ivf_topk",
-    "embedding_pairs",
-    "label_centroids",
-    "kmeans_lloyd",
-    "embedding_quantize",
-    "embedding_norms",
-    "ann_lsh_topk",
-    "ann_brute_topk",
-    "doc_similarity_topk",
-    # streaming (Structured Streaming, availableNow)
+    # 14 events queries with no driver row in any round (VERDICT r3 #1)
+    "event_asof_last_view",
+    "event_daily_pivot",
+    "event_daily_unpivot",
+    "event_day_type_cube",
+    "event_gap_fill",
+    "event_gap_stats",
+    "event_props_redaction",
+    "event_retention_cohorts",
+    "event_trailing_value",
+    "event_transitions",
+    "event_user_deciles",
+    "event_user_funnel",
+    "event_value_histogram",
+    "event_value_percentiles",
+    # semantics touched in round 4 → driver must re-attest
+    "event_user_rank_profile",
+    "doc_sample_stratified",
     "stream_tumbling_windows",
     "stream_sliding_windows",
     "stream_event_dedup",
@@ -62,53 +59,52 @@ _PRIORITY = [
     "stream_user_activity",
     "stream_click_attribution",
     "stream_tier_rollup",
-    # multimodal
-    "multimodal_stats",
+    # family canaries (driver-green in r3; keep the hard signal fresh)
+    "corpus_pipeline",
+    "dedup_clusters",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "decontamination",
+    "decontamination_spans",
+    "gram_novelty",
+    "ann_ivf_topk",
+    "ann_lsh_topk",
+    "ann_brute_topk",
+    "embedding_pairs",
+    "kmeans_lloyd",
+    "label_centroids",
+    "doc_similarity_topk",
     "multimodal_meta",
-    "multimodal_frames",
     "multimodal_frame_dedup",
-    # §1.4 composed output collections (S4 sinks)
     "wikibooks_docs",
     "tokens_collection",
     "token_vector_collection",
-    # corpus prep: chunking / splits / mixing
     "doc_chunks",
-    "doc_chunks_overlap",
-    "source_mixing_weights",
     "cluster_aware_splits",
+    "source_mixing_weights",
     "corpus_summary",
-    "doc_splits",
-    "doc_sample_stratified",
-    "campaign_window_stats",
-    # text analysis
     "text_quality",
-    "token_counts",
-    "doc_fingerprint",
     "language_id",
-    "bigram_pmi",
     "vocab_coverage",
-    "repetition_ratio",
-    "top_tokens_per_source",
     "token_entropy",
-    # events queries with no r2 driver row (reworked windows first)
-    "event_user_rank_profile",
-    "event_user_deciles",
+    "doc_fingerprint",
+    # remaining r2/r3-green queries follow in module order
     "event_user_rank",
     "event_props_json",
     "event_daily_matrix",
-    "event_asof_last_view",
-    "event_value_percentiles",
-    "event_daily_pivot",
-    "event_user_funnel",
-    "event_trailing_value",
-    "event_day_type_cube",
-    "event_gap_stats",
-    "event_gap_fill",
-    "event_props_redaction",
-    "event_retention_cohorts",
-    "event_value_histogram",
-    "event_daily_unpivot",
-    "event_transitions",
+    "doc_chunks_overlap",
+    "doc_splits",
+    "campaign_window_stats",
+    "token_counts",
+    "bigram_pmi",
+    "repetition_ratio",
+    "top_tokens_per_source",
+    "multimodal_stats",
+    "multimodal_frames",
+    "embedding_quantize",
+    "embedding_norms",
 ]
 
 
