@@ -664,13 +664,21 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
     (user, activity-week) joined to the cohort label and counted. The
     cohort relation is per-user (small, broadcastable at any scale
     where users ≪ events); retention_pct divides two exact counts, so
-    the doubles agree bit-for-bit."""
+    the doubles agree bit-for-bit.
+
+    Weeks are ABSOLUTE (Monday-truncated dates via date_trunc), not
+    weekofyear ordinals: ordinals wrap at year boundaries, so a
+    Dec-cohorted user active in Jan would land in week 1 < cohort
+    week 52 and corrupt weeks_since (ADVICE r3). Both engines
+    truncate to Monday, and weeks_since = day-diff / 7 is exact
+    because both endpoints are week-starts."""
     raw = _events(spark, sf_dir)
-    ev = raw.select("user_id", F.weekofyear("ts").alias("week"))
+    week = F.date_trunc("week", F.col("ts")).cast("date")
+    ev = raw.select("user_id", week.alias("week"))
     first_week = (
         raw.filter(F.col("event_type") == "purchase")
         .groupBy("user_id")
-        .agg(F.min(F.weekofyear("ts")).alias("cohort_week"))
+        .agg(F.min(week).alias("cohort_week"))
     )
     active = ev.distinct()
     cohort_sizes = first_week.groupBy("cohort_week").agg(F.count("*").alias("cohort_size"))
@@ -682,7 +690,9 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "cohort_week",
             "active_week",
-            (F.col("active_week") - F.col("cohort_week")).alias("weeks_since"),
+            (F.datediff(F.col("active_week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("weeks_since"),
             "n_active",
             "cohort_size",
             (F.col("n_active").cast("double") / F.col("cohort_size")).alias("retention_pct"),
@@ -693,9 +703,9 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 RETENTION_COHORTS_SQL = """
 WITH ev AS (
-  SELECT DISTINCT user_id, weekofyear(ts) AS week FROM events
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
 ), first_week AS (
-  SELECT user_id, MIN(weekofyear(ts)) AS cohort_week
+  SELECT user_id, MIN(CAST(date_trunc('week', ts) AS DATE)) AS cohort_week
   FROM events WHERE event_type = 'purchase' GROUP BY user_id
 ), cohort_sizes AS (
   SELECT cohort_week, COUNT(*) AS cohort_size FROM first_week GROUP BY cohort_week
@@ -704,7 +714,8 @@ WITH ev AS (
   FROM ev e JOIN first_week f USING (user_id)
   GROUP BY 1, 2
 )
-SELECT cohort_week, active_week, active_week - cohort_week AS weeks_since,
+SELECT cohort_week, active_week,
+       CAST(date_diff('day', cohort_week, active_week) / 7 AS BIGINT) AS weeks_since,
        n_active, cohort_size,
        CAST(n_active AS DOUBLE) / cohort_size AS retention_pct
 FROM act JOIN cohort_sizes USING (cohort_week)

@@ -27,6 +27,11 @@ SAMPLE_SALT = "sample:v1:"
 # Per-language keep percentages: downsample the head language, keep the
 # low-resource tail (the classic corpus-balancing move).
 STRATUM_PCT: dict[str, int] = {"en": 10, "de": 50, "es": 50, "fr": 50, "zh": 50}
+# Languages outside the configured strata keep at this explicit default.
+# A NULL rate would make `bucket < rate` silently FALSE and drop every
+# unknown language — a data-loss trap when a new language lands in the
+# corpus (ADVICE r3).
+DEFAULT_STRATUM_PCT = 50
 
 
 def _bucket(salt: str, id_col: Column) -> Column:
@@ -73,11 +78,12 @@ FROM documents
 
 def doc_sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-language keep rates via the same hash-bucket trick: keep iff
-    bucket < rate(lang). Pure per-row predicate — pushes straight into
+    bucket < rate(lang), unknown languages at DEFAULT_STRATUM_PCT (never
+    silently dropped). Pure per-row predicate — pushes straight into
     the scan, zero shuffle."""
     docs = load_table(spark, sf_dir, "documents")
     b = _bucket(SAMPLE_SALT, F.col("doc_id"))
-    rate = F.lit(None).cast("int")
+    rate = F.lit(DEFAULT_STRATUM_PCT)
     for lang, pct in sorted(STRATUM_PCT.items()):
         rate = F.when(F.col("lang") == lang, pct).otherwise(rate)
     return docs.filter(b < rate).select("doc_id", "lang", "n_chars")
@@ -90,7 +96,7 @@ _RATE_CASE = " ".join(
 DOC_SAMPLE_STRATIFIED_SQL = f"""
 SELECT doc_id, lang, n_chars
 FROM documents
-WHERE {_bucket_sql(SAMPLE_SALT, 'doc_id')} < (CASE {_RATE_CASE} ELSE NULL END)
+WHERE {_bucket_sql(SAMPLE_SALT, 'doc_id')} < (CASE {_RATE_CASE} ELSE {DEFAULT_STRATUM_PCT} END)
 """
 
 

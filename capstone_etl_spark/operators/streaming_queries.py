@@ -11,6 +11,7 @@ exercised), runs to completion, and returns the sink table.
 
 from __future__ import annotations
 
+import math
 import shutil
 import tempfile
 
@@ -40,19 +41,30 @@ from capstone_etl_spark.streaming.stateful import running_user_activity
 
 SESSION_GAP_SEC = 30 * 60
 
-# Replaying a historical table: files arrive in arbitrary event-time
-# order, so batch-exact results need a watermark beyond the replay
-# disorder (full horizon). See streaming/windows.py watermark note.
-HORIZON_WATERMARK = "400 days"
+
+def _horizon_watermark(staged: DataFrame) -> str:
+    """Replaying a historical table: files arrive in arbitrary event-time
+    order, so batch-exact results need a watermark beyond the replay
+    disorder — the staged data's FULL time span, measured, not guessed
+    (a fixed constant silently under-covers a longer corpus and drops
+    rows; ADVICE r3). One min/max over the ts column of the staging
+    copy we just wrote — parquet column stats make this metadata-cheap
+    at any scale. See streaming/windows.py watermark note."""
+    lo, hi = staged.agg(
+        F.min(F.col("ts").cast("long")), F.max(F.col("ts").cast("long"))
+    ).first()
+    days = math.ceil(((hi or 0) - (lo or 0)) / 86400) + 1
+    return f"{days} days"
 
 
 def _run(spark: SparkSession, sf_dir: str, transform, output_mode: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="spark_stream_")
     try:
-        stage_events(spark, sf_dir, f"{work}/staging", n_files=4)
+        staged = stage_events(spark, sf_dir, f"{work}/staging", n_files=4)
+        watermark = _horizon_watermark(staged)
         stream = events_stream(spark, f"{work}/staging", max_files_per_trigger=2)
         return run_to_memory(
-            transform(stream), f"{work}/checkpoint", output_mode=output_mode
+            transform(stream, watermark), f"{work}/checkpoint", output_mode=output_mode
         )
     finally:
         # The memory sink holds results in the driver; staged files and
@@ -63,7 +75,7 @@ def _run(spark: SparkSession, sf_dir: str, transform, output_mode: str) -> DataF
 def stream_tumbling_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming tumbling windows, oracle-identical to the batch form."""
     return _run(
-        spark, sf_dir, lambda s: stream_tumbling(s, watermark=HORIZON_WATERMARK), "complete"
+        spark, sf_dir, lambda s, wm: stream_tumbling(s, watermark=wm), "complete"
     )
 
 
@@ -72,14 +84,14 @@ def stream_sliding_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     two overlapping state-store windows — overlapping-window state is
     the piece tumbling doesn't exercise."""
     return _run(
-        spark, sf_dir, lambda s: stream_sliding(s, watermark=HORIZON_WATERMARK), "complete"
+        spark, sf_dir, lambda s, wm: stream_sliding(s, watermark=wm), "complete"
     )
 
 
 def stream_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Streaming dropDuplicatesWithinWatermark → per-type counts."""
     return _run(
-        spark, sf_dir, lambda s: stream_dedup_counts(s, watermark=HORIZON_WATERMARK), "complete"
+        spark, sf_dir, lambda s, wm: stream_dedup_counts(s, watermark=wm), "complete"
     )
 
 
@@ -88,7 +100,7 @@ def stream_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(
         spark,
         sf_dir,
-        lambda s: stream_session_windows(s, watermark=HORIZON_WATERMARK),
+        lambda s, wm: stream_session_windows(s, watermark=wm),
         "complete",
     )
 
@@ -131,7 +143,7 @@ def stream_user_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     highest running count (strictly increasing per touch) — extracted
     with a lexicographic struct-max, no ordering assumptions on the
     value column."""
-    got = _run(spark, sf_dir, running_user_activity, "update")
+    got = _run(spark, sf_dir, lambda s, wm: running_user_activity(s), "update")
     final = F.max(F.struct("n_events", "total_value", "last_seen_sec")).alias("s")
     return (
         got.groupBy("user_id")
@@ -161,7 +173,7 @@ def stream_click_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     got = _run(
         spark,
         sf_dir,
-        lambda s: stream_click_purchase_join(s, watermark=HORIZON_WATERMARK),
+        lambda s, wm: stream_click_purchase_join(s, watermark=wm),
         "append",
     )
     return (
@@ -223,7 +235,7 @@ def stream_tier_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run(
         spark,
         sf_dir,
-        lambda s: stream_enrich_user_tier(s, tiers),
+        lambda s, wm: stream_enrich_user_tier(s, tiers),
         "complete",
     )
 

@@ -16,8 +16,10 @@ batches rows per key-group — never row-at-a-time Python.
 from __future__ import annotations
 
 from collections.abc import Iterator
+from decimal import ROUND_HALF_UP, Decimal
 from typing import Any
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -27,22 +29,46 @@ OUTPUT_SCHEMA = (
     "user_id long, n_events long, total_value double, last_seen_sec long"
 )
 STATE_SCHEMA = "n long, cents long, last_sec long"
+CENT = Decimal("0.01")
+
+
+def _to_cents(values: pd.Series) -> int:
+    """Sum of per-row integer cents under the SAME rule both engines
+    apply when casting double → DECIMAL(18,2): round the double's
+    SHORTEST decimal representation (Java Double.toString / Python
+    repr) HALF_UP. pandas `.round()` is banker's (half-to-even) and
+    diverges on ties (ADVICE r3); a naive floor(|v|*100 + 0.5) double-
+    rounds (2.675*100 == 267.5 exactly in binary, yet the engines see
+    "2.675" → 2.68 while 1.005*100 == 100.4999… yet they see 1.01).
+
+    Vectorized fast path for the overwhelming non-tie majority; rows
+    whose scaled fraction lands near .5 take the exact Decimal(repr)
+    slow path — the only rows where the two procedures can differ."""
+    v = values.to_numpy(dtype="float64")
+    scaled = np.abs(v) * 100.0
+    out = (np.sign(v) * np.floor(scaled + 0.5)).astype("int64")
+    frac = scaled - np.floor(scaled)
+    near_tie = np.abs(frac - 0.5) < 1e-6 * np.maximum(scaled, 1.0)
+    for i in np.flatnonzero(near_tie):
+        exact = Decimal(repr(float(v[i]))).quantize(CENT, rounding=ROUND_HALF_UP)
+        out[i] = int(exact.scaleb(2))
+    return int(out.sum())
 
 
 def _accumulate(
     key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
-    # State accumulates EXACT integer cents (per-row rounding), never a
-    # running float — float accumulation is micro-batch-order dependent,
-    # which would make the final state irreproducible across replays and
-    # impossible to oracle. cents/100.0 at emit time is one correctly-
-    # rounded IEEE division, identical to a DECIMAL(18,2) sum cast to
-    # double.
+    # State accumulates EXACT integer cents (per-row HALF_UP rounding),
+    # never a running float — float accumulation is micro-batch-order
+    # dependent, which would make the final state irreproducible across
+    # replays and impossible to oracle. cents/100.0 at emit time is one
+    # correctly-rounded IEEE division, identical to a DECIMAL(18,2) sum
+    # cast to double.
     n, cents, last = state.get if state.exists else (0, 0, 0)
     for pdf in pdfs:
         n += int(len(pdf))
         if len(pdf):
-            cents += int(pdf["value"].mul(100).round().astype("int64").sum())
+            cents += _to_cents(pdf["value"])
             last = max(last, int(pdf["ts_sec"].max()))
     state.update((n, cents, last))
     yield pd.DataFrame(

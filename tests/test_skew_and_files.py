@@ -5,7 +5,7 @@ from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-from capstone_etl_spark.functions.skew import salted_join
+from capstone_etl_spark.functions.skew import salt_column, salted_join
 from capstone_etl_spark.sinks import write_csv, write_json
 from capstone_etl_spark.sources.files import read_csv, read_json
 
@@ -41,10 +41,9 @@ def test_salted_join_matches_plain_left(spark):
 
 def test_salt_spreads_hot_key(spark):
     fact, _ = _skewed_frames(spark)
-    salt = F.pmod(F.xxhash64(*[F.col(c) for c in fact.columns]), F.lit(8)).cast("int")
     buckets = (
         fact.filter(F.col("k") == 7)
-        .withColumn("_salt", salt)
+        .withColumn("_salt", salt_column(8))
         .groupBy("_salt")
         .count()
         .collect()
@@ -52,6 +51,24 @@ def test_salt_spreads_hot_key(spark):
     assert len(buckets) == 8                       # hot key hits every bucket
     counts = [r["count"] for r in buckets]
     assert max(counts) < 2 * min(counts)           # roughly uniform
+
+
+def test_salt_spreads_duplicate_rows(spark):
+    # ADVICE r3 regression: a hot key whose rows are byte-identical must
+    # still scatter — a content-derived salt collapses them into ONE
+    # bucket and the skew survives.
+    dup = spark.range(0, 8_000).select(F.lit(7).alias("k"), F.lit(42).alias("payload"))
+    buckets = dup.withColumn("_salt", salt_column(8)).groupBy("_salt").count().collect()
+    assert len(buckets) == 8
+    counts = [r["count"] for r in buckets]
+    assert max(counts) < 2 * min(counts)
+    # and join semantics survive duplicate rows
+    dim = spark.range(0, 100).select(
+        F.col("id").alias("k"), F.concat(F.lit("d"), F.col("id")).alias("name")
+    )
+    plain = dup.join(dim, "k").select("k", "payload", "name")
+    salted = salted_join(dup, dim, "k", n_salt=8).select("k", "payload", "name")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
 
 
 def test_csv_roundtrip(spark, tmp_path):
