@@ -8,12 +8,13 @@ never row-at-a-time), while everything computable from bytes without a
 codec (sizes, fingerprints, magic sniffing, chunking arithmetic) stays
 expression-native in whole-stage codegen.
 
-This container ships no image/audio codecs, so the REAL decoders are
-stubbed behind NotImplementedError (`decode_image`) and the pipeline
-runs a deterministic fake decode (`_fake_meta`) with the exact
-schema/partitioning/batch shape the real one would have — the
-Spark-side plumbing is real and oracle-checked; only the codec call is
-fake (builder's brief: stub the decode, make the plumbing real).
+`decode_image` is REAL: PIL when installed (optional import), else a
+stdlib header parse that reads true dimensions from PNG/GIF/JPEG
+headers — no codec library needed. Payloads neither path recognizes
+(including the gate's synthetic magic+text payloads) fall back to a
+deterministic fake decode (`_fake_meta`) whose arithmetic the SQL
+oracle mirrors, so the pipeline is hash-checked end to end with or
+without PIL, and real image bytes get real metadata.
 
 The test corpus has no binary column either: `with_binary_payload`
 synthesizes one deterministically (4-byte type magic + utf-8 text
@@ -25,6 +26,7 @@ from __future__ import annotations
 
 import hashlib
 import math
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -148,13 +150,68 @@ FROM frames GROUP BY media_type ORDER BY media_type
 """
 
 
-# ------------------------------------------------------ decode (stubbed)
+# -------------------------------------------------------------- decode
+#
+# Two real paths + one deterministic fallback, tried in order:
+#   1. PIL, when installed (full codec surface — every format PIL
+#      reads; header-lazy, so dimension extraction never decompresses
+#      pixel data);
+#   2. stdlib header parse for PNG / GIF / JPEG — dimensions live in
+#      fixed header fields (PNG IHDR, GIF logical-screen descriptor,
+#      JPEG SOFn marker), no codec needed;
+#   3. the deterministic fake (_fake_meta) for payloads neither path
+#      recognizes — which includes the gate's synthetic magic+text
+#      payloads, so the DuckDB oracle stays exact with or without PIL.
+
+try:  # optional codec — absent in this container, used when deployed with it
+    from PIL import Image as _PIL_Image  # type: ignore
+except ImportError:  # pragma: no cover - exercised via the header path
+    _PIL_Image = None
+
+_PNG_SIG = b"\x89PNG\r\n\x1a\n"
+# JPEG start-of-frame markers that carry dimensions (all SOFn except
+# DHT/JPG/DAC which reuse the 0xC range: C4, C8, CC).
+_JPEG_SOF = {
+    0xC0, 0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA, 0xCB, 0xCD, 0xCE, 0xCF,
+}
+
+
+def _header_dims(payload: bytes) -> tuple[int, int]:
+    """(width, height) from format headers alone — PNG/GIF/JPEG."""
+    if payload[:8] == _PNG_SIG and len(payload) >= 24:
+        w, h = struct.unpack(">II", payload[16:24])
+        return int(w), int(h)
+    if payload[:4] == b"GIF8" and len(payload) >= 10:
+        w, h = struct.unpack("<HH", payload[6:10])
+        return int(w), int(h)
+    if payload[:2] == b"\xff\xd8":  # JPEG: walk markers to the first SOFn
+        i = 2
+        while i + 9 <= len(payload):
+            if payload[i] != 0xFF:
+                break
+            marker = payload[i + 1]
+            if marker in _JPEG_SOF:
+                h, w = struct.unpack(">HH", payload[i + 5 : i + 9])
+                return int(w), int(h)
+            seg_len = struct.unpack(">H", payload[i + 2 : i + 4])[0]
+            i += 2 + seg_len
+    raise NotImplementedError("unrecognized image format (no codec for it here)")
+
 
 def decode_image(payload: bytes) -> tuple[int, int]:
-    """REAL image decode — requires an image codec (PIL/libvips), not
-    shipped in this container. The pipeline calls _fake_meta instead;
-    swap this in when a codec is available."""
-    raise NotImplementedError("image codec not available in this environment")
+    """REAL image decode to (width, height): PIL when available, else
+    stdlib header parsing. Raises NotImplementedError only when the
+    bytes match no path — callers fall back to the deterministic fake
+    so pipelines never fail on junk bytes."""
+    if _PIL_Image is not None:
+        import io
+
+        try:
+            with _PIL_Image.open(io.BytesIO(payload)) as im:
+                return int(im.width), int(im.height)
+        except Exception:
+            pass  # not PIL-readable; the header parse may still know it
+    return _header_dims(payload)
 
 
 def _fake_meta(payload: bytes, media_type: str) -> tuple[int, int, int]:
@@ -168,34 +225,50 @@ def _fake_meta(payload: bytes, media_type: str) -> tuple[int, int, int]:
     return width, height, duration
 
 
+def _meta(payload: bytes, media_type: str) -> tuple[int, int, int]:
+    """Real decode first for images; deterministic fake for synthetic /
+    unrecognized payloads and for the codec-less media types."""
+    if media_type == "image":
+        try:
+            w, h = decode_image(payload)
+            return w, h, 0
+        except NotImplementedError:
+            pass
+    return _fake_meta(payload, media_type)
+
+
 def media_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Decode-shaped metadata extraction over mapInPandas: Arrow batches
     of (doc_id, media_type, payload) → (doc_id, media_type, width,
-    height, duration_ms, n_bytes). The fake decode stands where the
-    codec call would be."""
+    height, duration_ms, n_bytes). Real image payloads (PNG/GIF/JPEG,
+    or anything PIL reads when installed) get true dimensions; the
+    gate's synthetic payloads take the oracle-mirrored fake path."""
     b = with_binary_payload(_docs(spark, sf_dir))
-    schema = (
-        "doc_id long, media_type string, width long, height long, "
-        "duration_ms long, n_bytes long"
-    )
+    return b.mapInPandas(extract_meta, META_SCHEMA)
 
-    def extract(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in batches:
-            metas = [
-                _fake_meta(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])
-            ]
-            yield pd.DataFrame(
-                {
-                    "doc_id": pdf["doc_id"],
-                    "media_type": pdf["media_type"],
-                    "width": [m[0] for m in metas],
-                    "height": [m[1] for m in metas],
-                    "duration_ms": [m[2] for m in metas],
-                    "n_bytes": [len(p) for p in pdf["payload"]],
-                }
-            )
 
-    return b.mapInPandas(extract, schema)
+META_SCHEMA = (
+    "doc_id long, media_type string, width long, height long, "
+    "duration_ms long, n_bytes long"
+)
+
+
+def extract_meta(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """The mapInPandas decode stage, module-level so any (doc_id,
+    media_type, payload) frame — synthetic or real bytes — runs the
+    identical code path."""
+    for pdf in batches:
+        metas = [_meta(p, m) for p, m in zip(pdf["payload"], pdf["media_type"])]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "width": [m[0] for m in metas],
+                "height": [m[1] for m in metas],
+                "duration_ms": [m[2] for m in metas],
+                "n_bytes": [len(p) for p in pdf["payload"]],
+            }
+        )
 
 
 MEDIA_METADATA_SQL = f"""
