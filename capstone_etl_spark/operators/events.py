@@ -795,7 +795,14 @@ def user_value_rank_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             F.col("total").cast("double").alias("total_value"),
-            F.round(F.col("_rid") / (F.col("_n") - 1), 6).alias("pct_rank"),
+            # n == 1 guard: _rid/(n-1) is 0/0 → NULL, but PERCENT_RANK
+            # is DEFINED as 0.0 for a single row (ADVICE r3).
+            F.round(
+                F.when(F.col("_n") == 1, F.lit(0.0)).otherwise(
+                    F.col("_rid") / (F.col("_n") - 1)
+                ),
+                6,
+            ).alias("pct_rank"),
             F.round((F.col("_rid") + 1) / F.col("_n"), 6).alias("cume"),
             "p50ish_value",
         )

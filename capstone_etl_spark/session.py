@@ -20,7 +20,8 @@ from pyspark.sql import DataFrame, SparkSession
 # consuming a query's result. Without release, behavior degrades to
 # Spark's LRU eviction — same as a bare .cache().
 _LIVE_CACHES: list[DataFrame] = []
-_LIVE_CHECKPOINTS: list[tuple[DataFrame, list]] = []
+# (result df, persisted-RDD handles, reliable-checkpoint path or None, sc)
+_LIVE_CHECKPOINTS: list[tuple[DataFrame, list, str | None, object]] = []
 
 
 def cached(df: DataFrame) -> DataFrame:
@@ -30,12 +31,33 @@ def cached(df: DataFrame) -> DataFrame:
     return df
 
 
-def _persistent_rdd_ids(sc) -> set[int]:
-    ids: set[int] = set()
-    it = sc._jsc.getPersistentRDDs().entrySet().iterator()
-    while it.hasNext():
-        ids.add(it.next().getKey())
-    return ids
+def _checkpoint_artifacts(out: DataFrame) -> tuple[list, str | None]:
+    """The checkpoint's OWN persisted-RDD handle + reliable-checkpoint
+    file, read off the result's plan (a LogicalRDD wrapping exactly the
+    RDD the checkpoint persisted/wrote). Identifying the RDD by id —
+    not by diffing the global persistent-RDD map around the checkpoint
+    job — matters because unrelated lazy SQL caches materialize DURING
+    that job; a diff attributes their blocks to this checkpoint and
+    releasing it would silently unpersist shared caches (ADVICE r3).
+
+    Returns ([], None) if the plan shape ever stops being LogicalRDD
+    (Spark-internals drift): blocks then outlive their release call,
+    which tests/test_cache_hygiene.py turns into a loud failure."""
+    sc = out.sparkSession.sparkContext
+    try:
+        jrdd = out._jdf.queryExecution().analyzed().rdd()
+        rid = jrdd.id()
+        handles = []
+        it = sc._jsc.getPersistentRDDs().entrySet().iterator()
+        while it.hasNext():
+            e = it.next()
+            if e.getKey() == rid:
+                handles.append(e.getValue())
+        cf = jrdd.getCheckpointFile()
+        ckpt_file = cf.get() if cf.isDefined() else None
+        return handles, ckpt_file
+    except Exception:
+        return [], None
 
 
 def checkpoint_truncate(df: DataFrame) -> DataFrame:
@@ -48,34 +70,38 @@ def checkpoint_truncate(df: DataFrame) -> DataFrame:
     localCheckpoint (tests / local mode).
 
     localCheckpoint persists RDD blocks OUTSIDE the SQL cache, which
-    `DataFrame.unpersist()` cannot reach — so the blocks created here
-    are tracked by handle and freed by `release_checkpoint()` /
-    `release_caches()`."""
+    `DataFrame.unpersist()` cannot reach, and a reliable checkpoint
+    leaves files on disk — both are tracked here and freed by
+    `release_checkpoint()` / `release_caches()`, so the release
+    contract holds on either path."""
     sc = df.sparkSession.sparkContext
-    before = _persistent_rdd_ids(sc)
     if sc._jsc.sc().getCheckpointDir().isDefined():
         out = df.checkpoint(eager=True)
     else:
         out = df.localCheckpoint(eager=True)
-    handles = []
-    it = sc._jsc.getPersistentRDDs().entrySet().iterator()
-    while it.hasNext():
-        e = it.next()
-        if e.getKey() not in before:
-            handles.append(e.getValue())
-    _LIVE_CHECKPOINTS.append((out, handles))
+    handles, ckpt_file = _checkpoint_artifacts(out)
+    _LIVE_CHECKPOINTS.append((out, handles, ckpt_file, sc))
     return out
 
 
+def _free_checkpoint(handles: list, ckpt_file: str | None, sc) -> None:
+    for h in handles:
+        h.unpersist(False)
+    if ckpt_file is not None:
+        jvm = sc._jvm
+        path = jvm.org.apache.hadoop.fs.Path(ckpt_file)
+        fs = path.getFileSystem(sc._jsc.hadoopConfiguration())
+        fs.delete(path, True)
+
+
 def release_checkpoint(df: DataFrame) -> None:
-    """Free the persisted blocks behind one checkpoint_truncate result.
-    The data is NOT recomputable afterwards (the lineage was cut) —
-    only call once `df` will never be read again (e.g. a superseded
-    round inside an iterative loop)."""
-    for i, (d, handles) in enumerate(_LIVE_CHECKPOINTS):
+    """Free the persisted blocks / checkpoint files behind one
+    checkpoint_truncate result. The data is NOT recomputable afterwards
+    (the lineage was cut) — only call once `df` will never be read
+    again (e.g. a superseded round inside an iterative loop)."""
+    for i, (d, handles, ckpt_file, sc) in enumerate(_LIVE_CHECKPOINTS):
         if d is df:
-            for h in handles:
-                h.unpersist(False)
+            _free_checkpoint(handles, ckpt_file, sc)
             _LIVE_CHECKPOINTS.pop(i)
             return
 
@@ -89,9 +115,8 @@ def release_caches() -> int:
     while _LIVE_CACHES:
         _LIVE_CACHES.pop().unpersist()
     while _LIVE_CHECKPOINTS:
-        _, handles = _LIVE_CHECKPOINTS.pop()
-        for h in handles:
-            h.unpersist(False)
+        _, handles, ckpt_file, sc = _LIVE_CHECKPOINTS.pop()
+        _free_checkpoint(handles, ckpt_file, sc)
     return n
 
 
