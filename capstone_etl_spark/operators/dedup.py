@@ -183,6 +183,9 @@ NGRAM_JACCARD_PAIRS_SQL = (
 # ------------------------------------------- near-dup clusters (keep-one)
 
 CC_MAX_ROUNDS = 25
+# rounds the most recent connected_components call took (test hook:
+# long-chain graphs must converge in O(log diameter), far under the cap)
+_LAST_CC_ROUNDS = 0
 
 
 def _truncate_lineage(df: DataFrame) -> DataFrame:
@@ -214,11 +217,13 @@ def connected_components(edges: DataFrame) -> DataFrame:
 
     `edges` must be directed both ways (src→dst and dst→src).
     """
+    global _LAST_CC_ROUNDS
     labels = _truncate_lineage(
         edges.select(F.col("src").alias("doc_id")).distinct()
         .select("doc_id", F.col("doc_id").alias("label"))
     )
-    for _ in range(CC_MAX_ROUNDS):
+    changed = -1
+    for rounds in range(1, CC_MAX_ROUNDS + 1):
         nmin = (
             edges.join(
                 labels.select(F.col("doc_id").alias("src"), F.col("label").alias("nl")),
@@ -251,9 +256,19 @@ def connected_components(edges: DataFrame) -> DataFrame:
         # not O(rounds)
         release_checkpoint(labels)
         labels = jump
+        _LAST_CC_ROUNDS = rounds
         if changed == 0:
             return labels
-    raise RuntimeError(f"connected_components did not converge in {CC_MAX_ROUNDS} rounds")
+    # Pointer jumping halves chain lengths per round, so rounds ~
+    # O(log diameter): 25 covers diameters ≈ 2^25. Hitting the cap
+    # means a logic regression (labels oscillating), not a big graph —
+    # raise with enough state to see which.
+    raise RuntimeError(
+        f"connected_components did not converge in {CC_MAX_ROUNDS} rounds: "
+        f"{changed} labels still changing in the last round "
+        f"(nodes={labels.count()}; labels should strictly decrease — "
+        f"an oscillation here is a propagation bug, not graph size)"
+    )
 
 
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

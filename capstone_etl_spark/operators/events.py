@@ -174,6 +174,7 @@ def user_activity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("*").alias("n_events"), _dsum(F.col("value")).alias("total_value")
     )
     top = per_user.orderBy(F.desc("n_events"), "user_id").limit(20)
+    # bound: ≤ 20 rows — the .limit(20) slice above is the window input
     w = Window.partitionBy(bounded_window_key("user_id")).orderBy(
         F.desc("n_events"), "user_id"
     )

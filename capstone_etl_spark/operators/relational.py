@@ -300,6 +300,7 @@ def order_date_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # The window input is one row per calendar month — bounded by time,
     # not data volume; bounded_window_key states that explicitly.
     w = (
+        # bound: ≤ one row per calendar month of data (time, not volume)
         Window.partitionBy(bounded_window_key("month"))
         .orderBy("month")
         .rowsBetween(Window.unboundedPreceding, 0)

@@ -378,6 +378,7 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .drop("_rank0")
     )
     cum = (
+        # bound: ≤ TOP_VOCAB_K rows — the rank filter above caps the input
         Window.partitionBy(bounded_window_key("rank"))
         .orderBy("rank")
         .rowsBetween(Window.unboundedPreceding, 0)

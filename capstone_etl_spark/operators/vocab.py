@@ -74,6 +74,7 @@ def with_dense_ids(df: DataFrame, order_col, id_name: str = "id") -> DataFrame:
         .withColumn("_local", F.row_number().over(local_w) - 1)
     ).transform(cached)
     off_w = (
+        # bound: ≤ spark.sql.shuffle.partitions rows (one per _pid)
         Window.partitionBy(bounded_window_key("_pid"))
         .orderBy("_pid")
         .rowsBetween(Window.unboundedPreceding, -1)

@@ -64,6 +64,11 @@ def test_connected_components_frees_superseded_rounds(spark):
     edges = edges.union(edges.selectExpr("dst AS src", "src AS dst"))
     labels = connected_components(edges)
     assert labels.select("label").distinct().count() == 1
+    # pointer jumping is O(log diameter): a 64-chain must converge far
+    # under CC_MAX_ROUNDS, or the cap would mask a propagation bug
+    from capstone_etl_spark.operators import dedup as dedup_mod
+
+    assert 1 < dedup_mod._LAST_CC_ROUNDS <= 10
     # converged: only the final labels checkpoint may remain live
     assert _persisted(spark) - baseline <= 1
     release_caches()

@@ -185,3 +185,21 @@ def test_j4_join_strategy_paths(spark):
     # 'auto' leaves the choice to Catalyst/AQE — must run and agree too
     rows_a = sorted(map(tuple, tf_with_token_ids(tf, vocab, "auto").select(*key, "qty").collect()))
     assert rows_a == rows_b
+
+
+def test_bounded_window_key_is_not_constant_folded(spark):
+    """bounded_window_key relies on Catalyst NOT simplifying
+    pmod(xxhash64(col), 1) to a literal 0 — if a future optimizer rule
+    folds it, the partition key vanishes and every window it guards
+    regresses to the unpartitioned shape (ADVICE r3). Fail loudly on a
+    Spark upgrade instead of silently losing the plan contract."""
+    from capstone_etl_spark.functions.windows import bounded_window_key
+
+    df = spark.range(5).select(bounded_window_key("id").alias("k"))
+    optimized = df._jdf.queryExecution().optimizedPlan().toString()
+    assert "xxhash64" in optimized, (
+        "pmod(xxhash64, 1) was constant-folded — bounded_window_key no "
+        "longer pins windows to an explicit partition"
+    )
+    # and it IS constant-valued: exactly one key, value 0
+    assert [r.k for r in df.distinct().collect()] == [0]
