@@ -23,20 +23,24 @@ def run_to_memory(
     output_mode: str = "complete",
     name: str | None = None,
     timeout_sec: int = 300,
+    once: bool = False,
 ) -> DataFrame:
-    """Start sdf → memory sink with availableNow, await termination,
-    return the sink table. output_mode: 'complete' for aggregations,
-    'append' for dedup/map-only streams."""
+    """Start sdf → memory sink, await termination, return the sink
+    table. output_mode: 'complete' for aggregations, 'append' for
+    dedup/map-only streams. Default trigger is availableNow (drain a
+    BOUNDED source and stop); pass once=True for UNBOUNDED sources
+    (rate/Kafka) where "everything available" never ends — one
+    micro-batch, then stop."""
     spark: SparkSession = sdf.sparkSession
     qname = name or f"mem_sink_{next(_COUNTER)}"
-    q = (
+    writer = (
         sdf.writeStream.format("memory")
         .queryName(qname)
         .outputMode(output_mode)
         .option("checkpointLocation", checkpoint_dir)
-        .trigger(availableNow=True)
-        .start()
     )
+    writer = writer.trigger(once=True) if once else writer.trigger(availableNow=True)
+    q = writer.start()
     try:
         if not q.awaitTermination(timeout_sec):
             raise TimeoutError(f"streaming query {qname} exceeded {timeout_sec}s")

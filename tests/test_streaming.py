@@ -5,6 +5,7 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import functions as F
+from pyspark.sql import types as _t
 
 from capstone_etl_spark.operators import events as batch_events
 from capstone_etl_spark.streaming import (
@@ -185,3 +186,42 @@ def test_stream_foreachbatch_incremental_upsert(spark, tmp_path):
     assert snapshots["n"] >= 2  # genuinely incremental (multi-batch)
     # original snapshot untouched
     assert {r.id for r in spark.read.parquet(base).collect()} == {1, 2}
+
+
+def test_source_factory_seam_rate_source(spark, tmp_path):
+    """A Kafka-shaped source factory plugs into the SAME pipeline the
+    file-staged oracle queries run: rate-micro-batch generator → events
+    schema → stream_tumbling → memory sink. Unbounded source, so one
+    micro-batch via trigger(once) instead of availableNow."""
+    from capstone_etl_spark.streaming.runner import run_to_memory
+    from capstone_etl_spark.streaming.source import (
+        EVENTS_DDL,
+        events_stream,
+        rate_events_source,
+    )
+    from capstone_etl_spark.streaming.windows import stream_tumbling
+
+    stream = events_stream(spark, source=rate_events_source(rows_per_batch=200))
+    assert stream.isStreaming
+    want = _t.StructType.fromDDL(EVENTS_DDL)
+    assert [(f.name, f.dataType) for f in stream.schema] == [
+        (f.name, f.dataType) for f in want
+    ]  # nullability differs by source; names/types are the contract
+    out = run_to_memory(
+        stream_tumbling(stream, watermark="1 day"),
+        str(tmp_path / "ckpt"),
+        output_mode="complete",
+        once=True,
+    )
+    rows = out.collect()
+    assert sum(r["n_events"] for r in rows) == 200
+    assert set(r["event_type"] for r in rows) == {"view", "click", "purchase"}
+
+
+def test_events_stream_requires_dir_or_factory(spark):
+    import pytest as _pytest
+
+    from capstone_etl_spark.streaming.source import events_stream
+
+    with _pytest.raises(ValueError):
+        events_stream(spark)
