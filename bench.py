@@ -57,6 +57,74 @@ HEADLINE = [
 ]
 
 
+def _prior_round_timings() -> dict[str, float]:
+    """Per-query seconds from the most recent BENCH_r*.json, for the
+    regression gate. Empty dict when no prior round exists."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    if not rounds:
+        return {}
+    path = max(rounds)[1]
+    try:
+        with open(path) as f:
+            doc = json.load(f)
+        return dict(doc.get("parsed", doc).get("queries", {}))
+    except (OSError, ValueError):
+        return {}
+
+
+def _noted_regressions() -> set[str]:
+    """Queries PLANS.md explicitly allows to regress (lines of the form
+    `regression-ok: <query> — reason`)."""
+    import re
+
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "PLANS.md")
+    try:
+        with open(path) as f:
+            return set(re.findall(r"^regression-ok:\s*(\S+)", f.read(), re.M))
+    except OSError:
+        return set()
+
+
+# Per-query regression gate vs the prior round (VERDICT r3 #6): warn at
+# >1.25x, fail at >1.5x unless PLANS.md carries a regression-ok note for
+# the query. Sub-second priors are skipped (scheduling jitter dominates).
+WARN_RATIO = 1.25
+FAIL_RATIO = 1.5
+MIN_PRIOR_SEC = 0.5
+
+
+def _regression_gate(timings: dict[str, float]) -> int:
+    prior = _prior_round_timings()
+    noted = _noted_regressions()
+    failures = 0
+    for name, now in timings.items():
+        was = prior.get(name)
+        if not was or was < MIN_PRIOR_SEC:
+            continue
+        ratio = now / was
+        if ratio > FAIL_RATIO and name not in noted:
+            print(
+                f"# REGRESSION {name}: {was:.3f}s -> {now:.3f}s ({ratio:.2f}x) "
+                f"— add a `regression-ok: {name}` note to PLANS.md if intended",
+                file=sys.stderr,
+            )
+            failures += 1
+        elif ratio > WARN_RATIO:
+            print(
+                f"# warn {name}: {was:.3f}s -> {now:.3f}s ({ratio:.2f}x)",
+                file=sys.stderr,
+            )
+    return failures
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else -1.0
@@ -106,6 +174,11 @@ def main() -> None:
             }
         )
     )
+    # after the JSON line (driver contract kept): nonzero exit on an
+    # unexplained per-query regression vs the prior round
+    failures = _regression_gate(timings)
+    if failures and os.environ.get("SPARK_GRAFT_BENCH_GATE", "1") != "0":
+        sys.exit(2)
 
 
 if __name__ == "__main__":
