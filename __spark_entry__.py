@@ -68,7 +68,6 @@ _PRIORITY = [
     "dedup_simhash",
     "decontamination",
     "decontamination_spans",
-    "gram_novelty",
     "ann_ivf_topk",
     "ann_lsh_topk",
     "ann_brute_topk",
@@ -86,6 +85,8 @@ _PRIORITY = [
     "source_mixing_weights",
     "corpus_summary",
     "text_quality",
+    "doc_splits",
+    "campaign_window_stats",
     "language_id",
     "vocab_coverage",
     "token_entropy",
@@ -95,8 +96,7 @@ _PRIORITY = [
     "event_props_json",
     "event_daily_matrix",
     "doc_chunks_overlap",
-    "doc_splits",
-    "campaign_window_stats",
+    "gram_novelty",
     "token_counts",
     "bigram_pmi",
     "repetition_ratio",
@@ -105,6 +105,10 @@ _PRIORITY = [
     "multimodal_frames",
     "embedding_quantize",
     "embedding_norms",
+    # new in round 4 (no driver row yet — rotate forward in r5)
+    "sequence_packing",
+    "sequence_packing_greedy",
+    "packing_efficiency",
 ]
 
 
@@ -116,6 +120,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         events,
         multimodal,
         outputs,
+        packing,
         rangejoin,
         relational,
         sampling,
@@ -141,6 +146,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         rangejoin,
         sampling,
         corpus,
+        packing,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE_SQL)

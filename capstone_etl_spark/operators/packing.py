@@ -1,0 +1,242 @@
+"""Sequence packing: assemble documents into fixed-token-budget
+training sequences (the step between chunking and batching in an LLM
+data pipeline; extends the reference's per-doc token pipeline,
+main.go:207-238, to training-sequence assembly).
+
+Two industry-standard packing disciplines, each with an exact DuckDB
+oracle:
+
+1. `sequence_packing` — concat-then-split (GPT-style): documents are
+   laid end-to-end in a deterministic order and the token stream is cut
+   every SEQ_LEN tokens; a document may straddle a cut. Pure window
+   arithmetic: one cumulative sum + one explode over the sequences a
+   doc overlaps. No Python, no state.
+2. `sequence_packing_greedy` — first-fit-sequential with document
+   boundaries respected: a doc never splits; a new pack starts when the
+   running fill would exceed SEQ_LEN. Inherently sequential per group,
+   so it runs as an Arrow-batched `applyInPandas` over bounded shards.
+
+Scale design (100 TB):
+- Packing is defined per (source, shard), shard = portable-hash(doc_id)
+  mod PACK_SHARDS — the parallelism unit is #sources × PACK_SHARDS, not
+  #sources, so one giant source cannot serialize into a single window
+  partition or a single pandas group. Raising PACK_SHARDS re-shards
+  deterministically (salted hash, same trick as sampling.py).
+- The cumulative-sum window and the pandas groups are both partitioned
+  by (source, shard); group state is O(1) (running fill), group input
+  is one shard's (doc_id, n_tokens) pairs — counts, never text.
+- Token counts ride the same `tokenize` used everywhere else, so the
+  DuckDB mirrors are exact (no float, all int64).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from capstone_etl_spark.functions.hashing import md5_hash60, md5_hash60_sql
+from capstone_etl_spark.functions.text import tokenize
+from capstone_etl_spark.sources.tables import load_table
+
+SEQ_LEN = 256          # token budget per training sequence
+PACK_SHARDS = 8        # deterministic sub-source parallelism
+PACK_SALT = "pack:v1:"
+
+# DuckDB mirror of functions.text.tokenize (same fragment as textstats).
+_TOKS_SQL = (
+    "list_filter(string_split_regex(trim(lower("
+    "regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'), t -> t <> '')"
+)
+
+
+def _counted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, shard, doc_id, n_tokens) for every non-empty document."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard = (
+        md5_hash60(F.concat(F.lit(PACK_SALT), F.col("doc_id").cast("string")))
+        % PACK_SHARDS
+    )
+    return (
+        docs.select(
+            "source",
+            shard.alias("shard"),
+            "doc_id",
+            F.size(tokenize("text")).cast("long").alias("n_tokens"),
+        )
+        .filter(F.col("n_tokens") > 0)
+    )
+
+
+_COUNTED_SQL = f"""
+  SELECT source,
+         ({md5_hash60_sql("'" + PACK_SALT + "' || CAST(doc_id AS VARCHAR)")} % {PACK_SHARDS}) AS shard,
+         doc_id,
+         len({_TOKS_SQL}) AS n_tokens
+  FROM documents
+  WHERE len({_TOKS_SQL}) > 0
+"""
+
+
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-then-split packing: within each (source, shard), docs are
+    concatenated in doc_id order and the stream is cut every SEQ_LEN
+    tokens. A doc occupying token span [cum−n, cum) lands in every
+    sequence floor((cum−n)/L)..floor((cum−1)/L), contributing the span
+    overlap; sum(tokens_in_seq) per doc == n_tokens, and every sequence
+    except a shard's last holds exactly SEQ_LEN tokens (zero padding
+    waste — why the big labs pack this way)."""
+    counted = _counted(spark, sf_dir)
+    w = Window.partitionBy("source", "shard").orderBy("doc_id")
+    cum = F.sum("n_tokens").over(w)
+    spans = counted.select(
+        "source", "shard", "doc_id", "n_tokens", cum.alias("cum")
+    )
+    start = F.col("cum") - F.col("n_tokens")
+    # `div`, not `/`: Spark's `/` is double division — keep this exact int64.
+    seq_id = F.explode(
+        F.sequence(
+            F.expr(f"(cum - n_tokens) div {SEQ_LEN}"),
+            F.expr(f"(cum - 1) div {SEQ_LEN}"),
+        )
+    )
+    return (
+        spans.select("source", "shard", "doc_id", "n_tokens", "cum", seq_id.alias("seq_id"))
+        .select(
+            "source",
+            "shard",
+            "doc_id",
+            "n_tokens",
+            "seq_id",
+            (
+                F.least(F.col("cum"), (F.col("seq_id") + 1) * SEQ_LEN)
+                - F.greatest(start, F.col("seq_id") * SEQ_LEN)
+            ).alias("tokens_in_seq"),
+        )
+    )
+
+
+SEQUENCE_PACKING_SQL = f"""
+WITH counted AS ({_COUNTED_SQL}),
+spans AS (
+  SELECT source, shard, doc_id, n_tokens,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source, shard ORDER BY doc_id) AS BIGINT) AS cum
+  FROM counted
+),
+member AS (
+  SELECT source, shard, doc_id, n_tokens, cum, s AS seq_id
+  FROM spans, LATERAL (
+    SELECT unnest(range((cum - n_tokens) // {SEQ_LEN}, (cum - 1) // {SEQ_LEN} + 1)) AS s
+  ) ss
+)
+SELECT source, shard, doc_id, n_tokens, seq_id,
+       LEAST(cum, (seq_id + 1) * {SEQ_LEN}) - GREATEST(cum - n_tokens, seq_id * {SEQ_LEN}) AS tokens_in_seq
+FROM member
+"""
+
+
+def sequence_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-sequential packing, document boundaries respected: walk
+    each (source, shard) in doc_id order keeping a running fill; a doc
+    that would overflow SEQ_LEN starts the next pack (a doc longer than
+    SEQ_LEN sits alone in its own pack). The walk is inherently
+    sequential, so it runs as ONE Arrow batch per shard via
+    applyInPandas — O(1) state, counts-only input, shard-parallel."""
+    counted = _counted(spark, sf_dir)
+
+    def _pack(pdf):
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pack_ids = []
+        fill = 0
+        pack = 0
+        for n in pdf["n_tokens"]:
+            if pack_ids and fill + n > SEQ_LEN:
+                pack += 1
+                fill = 0
+            fill += n
+            pack_ids.append(pack)
+        pdf["pack_id"] = pack_ids
+        return pdf[["source", "shard", "doc_id", "n_tokens", "pack_id"]]
+
+    return counted.groupBy("source", "shard").applyInPandas(
+        _pack, "source string, shard bigint, doc_id bigint, n_tokens bigint, pack_id bigint"
+    )
+
+
+SEQUENCE_PACKING_GREEDY_SQL = f"""
+WITH RECURSIVE counted AS ({_COUNTED_SQL}),
+ordered AS (
+  SELECT source, shard, doc_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source, shard ORDER BY doc_id) AS rn
+  FROM counted
+),
+packed AS (
+  SELECT source, shard, doc_id, n_tokens, rn,
+         0::BIGINT AS pack_id, n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.shard, o.doc_id, o.n_tokens, o.rn,
+         CASE WHEN p.fill + o.n_tokens <= {SEQ_LEN} THEN p.pack_id ELSE p.pack_id + 1 END,
+         CASE WHEN p.fill + o.n_tokens <= {SEQ_LEN} THEN p.fill + o.n_tokens ELSE o.n_tokens END
+  FROM packed p
+  JOIN ordered o ON o.source = p.source AND o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT source, shard, doc_id, n_tokens, pack_id FROM packed
+"""
+
+
+def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Padding-waste audit of the greedy packing: per source, the number
+    of packs, mean fill, and the padding fraction a SEQ_LEN-token batch
+    of these packs would waste. One agg over the greedy output — the
+    number every packing change is judged by."""
+    packed = sequence_packing_greedy(spark, sf_dir)
+    per_pack = packed.groupBy("source", "shard", "pack_id").agg(
+        F.sum("n_tokens").alias("fill"), F.count("*").alias("n_docs")
+    )
+    return (
+        per_pack.groupBy("source")
+        .agg(
+            F.count("*").alias("n_packs"),
+            F.sum("n_docs").alias("n_docs"),
+            F.sum("fill").alias("n_tokens"),
+            F.avg(F.col("fill").cast("double")).alias("mean_fill"),
+            F.avg(
+                F.when(
+                    F.col("fill") < SEQ_LEN,
+                    (F.lit(SEQ_LEN) - F.col("fill")).cast("double") / SEQ_LEN,
+                ).otherwise(0.0)
+            ).alias("padding_frac"),
+        )
+    )
+
+
+PACKING_EFFICIENCY_SQL = f"""
+WITH packed AS ({SEQUENCE_PACKING_GREEDY_SQL}),
+per_pack AS (
+  SELECT source, shard, pack_id,
+         CAST(SUM(n_tokens) AS BIGINT) AS fill, COUNT(*) AS n_docs
+  FROM packed GROUP BY 1, 2, 3
+)
+SELECT source,
+       COUNT(*) AS n_packs,
+       CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+       CAST(SUM(fill) AS BIGINT) AS n_tokens,
+       AVG(CAST(fill AS DOUBLE)) AS mean_fill,
+       AVG(CASE WHEN fill < {SEQ_LEN}
+                THEN CAST({SEQ_LEN} - fill AS DOUBLE) / {SEQ_LEN}
+                ELSE 0.0 END) AS padding_frac
+FROM per_pack GROUP BY 1
+"""
+
+
+QUERIES = {
+    "sequence_packing": sequence_packing,
+    "sequence_packing_greedy": sequence_packing_greedy,
+    "packing_efficiency": packing_efficiency,
+}
+
+ORACLE_SQL = {
+    "sequence_packing": SEQUENCE_PACKING_SQL,
+    "sequence_packing_greedy": SEQUENCE_PACKING_GREEDY_SQL,
+    "packing_efficiency": PACKING_EFFICIENCY_SQL,
+}
