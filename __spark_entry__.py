@@ -109,6 +109,8 @@ _PRIORITY = [
     "sequence_packing",
     "sequence_packing_greedy",
     "packing_efficiency",
+    "semantic_dedup",
+    "corpus_drift",
 ]
 
 

@@ -661,12 +661,107 @@ FROM assign2 a2 JOIN assign1 a1 USING (vec_id)
 """
 
 
+SEMDEDUP_CELLS = 8
+SEMDEDUP_THRESHOLD = 0.35
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023): block
+    the corpus by k-means cell, compare embeddings ONLY within a cell,
+    and keep the lowest-id member of every near-duplicate group.
+
+    Plan: the same exact-integer Voronoi quantizer as ann_ivf_topk
+    (first-K seeds, fixed-point distances, argmin with cell tiebreak)
+    assigns each vector a cell; a within-cell self-join (equi-join on
+    cell, never a cartesian) scores candidate pairs by exact cosine;
+    a vector is dropped iff some LOWER-id cell-mate clears the
+    threshold — `dup_of` names the smallest such keeper-side id.
+
+    The threshold is intentionally loose (0.35) for the synthetic
+    near-uniform test embeddings; production SemDeDup runs ~0.95+ on
+    trained encoders. Scale: the quadratic term is per-cell — cells
+    grow with corpus (√N-ish) so cell populations stay bounded, and the
+    pair join shuffles on cell only. Output is one row per vector
+    (keep flag + dup_of), the shape a downstream filter consumes."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    by_dim = emb.select("vec_id", F.posexplode("embedding").alias("d", "v")).select(
+        "vec_id",
+        "d",
+        F.floor(F.col("v").cast("double") * CENTROID_SCALE + 0.5).cast("long").alias("vs"),
+    )
+    seeds = by_dim.filter(F.col("vec_id") < SEMDEDUP_CELLS).select(
+        F.col("vec_id").alias("cell"), "d", F.col("vs").alias("ss")
+    )
+    sd = F.col("vs") - F.col("ss")
+    d2 = (
+        by_dim.join(F.broadcast(seeds), "d")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(sd * sd).alias("d2"))
+    )
+    aw = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    assign = (
+        d2.withColumn("arnk", F.row_number().over(aw))
+        .filter(F.col("arnk") == 1)
+        .select("vec_id", "cell")
+        .transform(cached)
+    )
+    withv = assign.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = withv.select(F.col("vec_id").alias("vec_a"), "cell", F.col("embedding").alias("qe"))
+    b = withv.select(F.col("vec_id").alias("vec_b"), "cell", F.col("embedding").alias("ne"))
+    dup = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(cosine("qe", "ne") >= SEMDEDUP_THRESHOLD)
+        .groupBy("vec_b")
+        .agg(F.min("vec_a").alias("dup_of"))
+    )
+    return (
+        assign.join(dup, assign.vec_id == dup.vec_b, "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.col("dup_of").isNull().alias("keep"),
+            "dup_of",
+        )
+    )
+
+
+SEMANTIC_DEDUP_SQL = f"""
+WITH by_dim AS (
+  SELECT vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
+), seeds AS (
+  SELECT vec_id AS cell, d, vs AS ss FROM by_dim WHERE vec_id < {SEMDEDUP_CELLS}
+), d2 AS (
+  SELECT v.vec_id, s.cell, CAST(SUM((v.vs - s.ss) * (v.vs - s.ss)) AS BIGINT) AS d2
+  FROM by_dim v JOIN seeds s ON s.d = v.d GROUP BY 1, 2
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS arnk FROM d2
+  ) t WHERE arnk = 1
+), dup AS (
+  SELECT b.vec_id AS vec_b, MIN(a.vec_id) AS dup_of
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE {_COSINE_SQL.replace('qe', 'ea.embedding').replace('ne', 'eb.embedding')} >= {SEMDEDUP_THRESHOLD}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cell, dup.dup_of IS NULL AS keep, dup.dup_of
+FROM assign s LEFT JOIN dup ON dup.vec_b = s.vec_id
+"""
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_brute_topk": ann_brute_topk,
     "ann_lsh_topk": ann_lsh_topk,
     "ann_ivf_topk": ann_ivf_topk,
     "embedding_pairs": embedding_pairs_threshold,
+    "semantic_dedup": semantic_dedup,
     "label_centroids": label_centroid_assignment,
     "embedding_quantize": embedding_quantize,
     "kmeans_lloyd": kmeans_lloyd,
@@ -678,6 +773,7 @@ ORACLE_SQL = {
     "ann_lsh_topk": ANN_LSH_TOPK_SQL,
     "ann_ivf_topk": ANN_IVF_TOPK_SQL,
     "embedding_pairs": EMBEDDING_PAIRS_THRESHOLD_SQL,
+    "semantic_dedup": SEMANTIC_DEDUP_SQL,
     "label_centroids": LABEL_CENTROIDS_SQL,
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "kmeans_lloyd": KMEANS_LLOYD_SQL,

@@ -462,6 +462,75 @@ FROM terms GROUP BY doc_id
 """
 
 
+def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distribution drift: KL(P_source ‖ P_corpus) over the
+    unigram token distributions — the mixing-QA number that tells you
+    which slice of the corpus no longer looks like the whole (new
+    boilerplate, a crawler gone wrong, a domain shift). KL in this
+    direction needs no smoothing: every source token exists globally,
+    so q > 0 by construction.
+
+    Numeric discipline (same as token_entropy): each term p·ln(p/q) is
+    snapped to DECIMAL(28,12) and summed exactly; only the final sum is
+    rounded. Plan: one (source, token) hash agg (map-side combine eats
+    the token skew), the global relations derived FROM that agg (vocab-
+    sized, never re-scanning raw tokens): per-token totals re-joined on
+    token, the corpus total as a 1-row broadcast cross join, per-source
+    totals via a window over the post-agg relation (bounded by
+    per-source vocab)."""
+    tok = _docs(spark, sf_dir).select("source", F.explode(tokenize("text")).alias("token"))
+    freq = tok.groupBy("source", "token").agg(F.count("*").alias("cnt"))
+    gfreq = freq.groupBy("token").agg(F.sum("cnt").alias("gcnt"))
+    gtot = freq.agg(F.sum("cnt").alias("gtot"))
+    stot = F.sum("cnt").over(Window.partitionBy("source"))
+    p = F.col("cnt").cast("double") / F.col("stot")
+    q = F.col("gcnt").cast("double") / F.col("gtot")
+    term = (p * F.log(p / q)).cast("decimal(28,12)")
+    return (
+        freq.withColumn("stot", stot)
+        .join(gfreq, "token")
+        .crossJoin(F.broadcast(gtot))
+        .select("source", "cnt", term.alias("term"))
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.count("*").alias("n_distinct"),
+            F.round(F.sum("term").cast("double"), 6).alias("kl_nats"),
+        )
+    )
+
+
+CORPUS_DRIFT_SQL = """
+WITH toks AS (
+  SELECT source,
+         UNNEST(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           t -> t <> '')) AS token
+  FROM documents
+), freq AS (
+  SELECT source, token, COUNT(*) AS cnt FROM toks GROUP BY 1, 2
+), gfreq AS (
+  SELECT token, CAST(SUM(cnt) AS BIGINT) AS gcnt FROM freq GROUP BY 1
+), gtot AS (
+  SELECT CAST(SUM(cnt) AS BIGINT) AS gtot FROM freq
+), terms AS (
+  SELECT f.source, f.cnt,
+         CAST(
+           (CAST(f.cnt AS DOUBLE) / f.stot)
+           * ln((CAST(f.cnt AS DOUBLE) / f.stot) / (CAST(g.gcnt AS DOUBLE) / t.gtot))
+           AS DECIMAL(28,12)) AS term
+  FROM (SELECT source, token, cnt,
+               CAST(SUM(cnt) OVER (PARTITION BY source) AS BIGINT) AS stot
+        FROM freq) f
+  JOIN gfreq g USING (token)
+  CROSS JOIN gtot t
+)
+SELECT source, CAST(SUM(cnt) AS BIGINT) AS n_tokens, COUNT(*) AS n_distinct,
+       ROUND(CAST(SUM(term) AS DOUBLE), 6) AS kl_nats
+FROM terms GROUP BY 1
+"""
+
+
 TOP_TOKENS_K = 3
 
 
@@ -520,6 +589,7 @@ QUERIES = {
     "repetition_ratio": repetition_ratio,
     "top_tokens_per_source": top_tokens_per_source,
     "token_entropy": token_entropy,
+    "corpus_drift": corpus_drift,
 }
 
 ORACLE_SQL = {
@@ -532,4 +602,5 @@ ORACLE_SQL = {
     "repetition_ratio": REPETITION_RATIO_SQL,
     "top_tokens_per_source": TOP_TOKENS_PER_SOURCE_SQL,
     "token_entropy": TOKEN_ENTROPY_SQL,
+    "corpus_drift": CORPUS_DRIFT_SQL,
 }

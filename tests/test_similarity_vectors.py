@@ -102,3 +102,53 @@ def test_ann_ivf_recall_vs_brute(spark):
     brute = [(r.query_id, r.neighbor_id) for r in ann_brute_topk(spark, sf).collect()]
     hits = sum(1 for q, n in brute if n in ivf.get(q, set()))
     assert hits >= 0.7 * len(brute), f"recall {hits}/{len(brute)}"
+
+
+def test_semantic_dedup_invariants(spark, sf_dir):
+    """Keepers and dups partition the corpus; dup_of is a lower-id
+    cell-mate whose cosine actually clears the threshold."""
+    from capstone_etl_spark.operators.similarity import (
+        SEMDEDUP_THRESHOLD,
+        semantic_dedup,
+    )
+    from capstone_etl_spark.sources.tables import load_table
+
+    out = semantic_dedup(spark, sf_dir).cache()
+    try:
+        n_vecs = load_table(spark, sf_dir, "embeddings").count()
+        assert out.count() == n_vecs
+        dups = out.filter(~F.col("keep"))
+        assert dups.filter(F.col("dup_of") >= F.col("vec_id")).count() == 0
+        assert out.filter(F.col("keep") & F.col("dup_of").isNotNull()).count() == 0
+        # dup_of shares the cell and clears the cosine threshold
+        cells = out.select("vec_id", "cell")
+        joined = (
+            dups.select("vec_id", "cell", "dup_of")
+            .join(
+                cells.select(F.col("vec_id").alias("dup_of"), F.col("cell").alias("cell_of")),
+                "dup_of",
+            )
+        )
+        assert joined.filter(F.col("cell") != F.col("cell_of")).count() == 0
+        emb = load_table(spark, sf_dir, "embeddings")
+        ea = emb.select(F.col("vec_id").alias("dup_of"), F.col("embedding").alias("qe"))
+        eb = emb.select(F.col("vec_id"), F.col("embedding").alias("ne"))
+        sims = dups.join(ea, "dup_of").join(eb, "vec_id")
+        assert sims.filter(cosine("qe", "ne") < SEMDEDUP_THRESHOLD).count() == 0
+    finally:
+        out.unpersist()
+
+
+def test_corpus_drift_nonnegative_and_complete(spark, sf_dir):
+    """KL(P_s ‖ P_corpus) ≥ 0 per source (Gibbs), one row per source,
+    token mass conserved."""
+    from capstone_etl_spark.operators.textstats import corpus_drift
+    from capstone_etl_spark.sources.tables import load_table
+
+    out = corpus_drift(spark, sf_dir).toPandas()
+    n_sources = (
+        load_table(spark, sf_dir, "documents").select("source").distinct().count()
+    )
+    assert len(out) == n_sources
+    assert (out["kl_nats"] >= 0).all()
+    assert (out["n_distinct"] > 0).all()
