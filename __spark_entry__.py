@@ -111,6 +111,7 @@ _PRIORITY = [
     "packing_efficiency",
     "semantic_dedup",
     "corpus_drift",
+    "bpe_merge_pairs",
 ]
 
 

@@ -462,6 +462,57 @@ FROM terms GROUP BY doc_id
 """
 
 
+BPE_TOP_K = 20
+
+
+def bpe_merge_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE-training decision: the top-K most frequent adjacent
+    character pairs across the corpus, weighted by token frequency —
+    rank 1 is the first merge a byte-pair-encoding tokenizer would
+    learn on this corpus.
+
+    Plan: pair extraction runs over the AGGREGATED vocabulary (token,
+    tf), never the raw token stream — the explode fan-out is bounded by
+    vocab size × token length, and the per-pair weight is the exact
+    occurrence count (a pair appearing twice inside one token counts
+    twice per token instance). Top-K via orderBy+limit
+    (TakeOrderedAndProject — distributed partial top-k); rank assigned
+    after the limit over exactly BPE_TOP_K rows (bounded_window_key)."""
+    tok = _docs(spark, sf_dir).select(F.explode(tokenize("text")).alias("token"))
+    tf = tok.groupBy("token").agg(F.count("*").alias("tf"))
+    pairs = tf.filter(F.length("token") >= 2).select(
+        "tf",
+        F.explode(
+            F.expr("transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))")
+        ).alias("pair"),
+    )
+    agg = pairs.groupBy("pair").agg(F.sum("tf").alias("cnt"))
+    top = agg.orderBy(F.desc("cnt"), "pair").limit(BPE_TOP_K)
+    # bound: ≤ BPE_TOP_K rows — the .limit() slice above is the window input
+    w = Window.partitionBy(bounded_window_key("pair")).orderBy(F.desc("cnt"), "pair")
+    return top.select("pair", "cnt", F.row_number().over(w).cast("long").alias("rnk"))
+
+
+BPE_MERGE_PAIRS_SQL = f"""
+WITH toks AS (
+  SELECT UNNEST(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           t -> t <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT token, COUNT(*) AS tf FROM toks GROUP BY 1
+), pairs AS (
+  SELECT substr(token, i, 2) AS pair, tf
+  FROM tf, LATERAL (SELECT unnest(range(1, length(token))) AS i) r
+  WHERE length(token) >= 2
+), agg AS (
+  SELECT pair, CAST(SUM(tf) AS BIGINT) AS cnt FROM pairs GROUP BY 1
+)
+SELECT pair, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, pair) AS rnk
+FROM agg ORDER BY cnt DESC, pair LIMIT {BPE_TOP_K}
+"""
+
+
 def corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source distribution drift: KL(P_source ‖ P_corpus) over the
     unigram token distributions — the mixing-QA number that tells you
@@ -590,6 +641,7 @@ QUERIES = {
     "top_tokens_per_source": top_tokens_per_source,
     "token_entropy": token_entropy,
     "corpus_drift": corpus_drift,
+    "bpe_merge_pairs": bpe_merge_pairs,
 }
 
 ORACLE_SQL = {
@@ -603,4 +655,5 @@ ORACLE_SQL = {
     "top_tokens_per_source": TOP_TOKENS_PER_SOURCE_SQL,
     "token_entropy": TOKEN_ENTROPY_SQL,
     "corpus_drift": CORPUS_DRIFT_SQL,
+    "bpe_merge_pairs": BPE_MERGE_PAIRS_SQL,
 }
