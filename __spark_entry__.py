@@ -59,18 +59,20 @@ _PRIORITY = [
     "stream_user_activity",
     "stream_click_attribution",
     "stream_tier_rollup",
-    # family canaries (driver-green in r3; keep the hard signal fresh)
+    # new in round 4 — no driver row exists yet; attest them this round
+    "sequence_packing",
+    "sequence_packing_greedy",
+    "packing_efficiency",
+    "semantic_dedup",
+    "corpus_drift",
+    "bpe_merge_pairs",
+    # family canaries (driver-green in r3; every family keeps ≥1 here)
     "corpus_pipeline",
     "dedup_clusters",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
-    "dedup_simhash",
     "decontamination",
-    "decontamination_spans",
     "ann_ivf_topk",
     "ann_lsh_topk",
-    "ann_brute_topk",
     "embedding_pairs",
     "kmeans_lloyd",
     "label_centroids",
@@ -78,8 +80,6 @@ _PRIORITY = [
     "multimodal_meta",
     "multimodal_frame_dedup",
     "wikibooks_docs",
-    "tokens_collection",
-    "token_vector_collection",
     "doc_chunks",
     "cluster_aware_splits",
     "source_mixing_weights",
@@ -88,6 +88,15 @@ _PRIORITY = [
     "doc_splits",
     "campaign_window_stats",
     "language_id",
+    # r2/r3-green queries displaced from the 50-window by the six new
+    # ones (their families stay represented above)
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "decontamination_spans",
+    "ann_brute_topk",
+    "tokens_collection",
+    "token_vector_collection",
     "vocab_coverage",
     "token_entropy",
     "doc_fingerprint",
@@ -105,13 +114,6 @@ _PRIORITY = [
     "multimodal_frames",
     "embedding_quantize",
     "embedding_norms",
-    # new in round 4 (no driver row yet — rotate forward in r5)
-    "sequence_packing",
-    "sequence_packing_greedy",
-    "packing_efficiency",
-    "semantic_dedup",
-    "corpus_drift",
-    "bpe_merge_pairs",
 ]
 
 
