@@ -75,6 +75,19 @@ def write_csv(
     df.write.mode(mode).option("header", str(header).lower()).csv(path)
 
 
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    max_records_per_file: int | None = None,
+    sort_within_partitions: list[str] | None = None,
+) -> None:
+    """ORC sink — same columnar contract as parquet (splittable,
+    predicate pushdown, nested types) for ORC-standardized lakes."""
+    _configure(df, mode, partition_by, max_records_per_file, sort_within_partitions).orc(path)
+
+
 def read_back(spark: SparkSession, path: str, fmt: str = "parquet") -> DataFrame:
     """Scan a sink's output (round-trip surface for tests/consumers)."""
     return spark.read.format(fmt).load(path)

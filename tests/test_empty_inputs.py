@@ -130,3 +130,58 @@ def test_gap_fill_single_event_user(spark, monkeypatch):
     monkeypatch.setattr(ev, "_events", lambda *_a, **_k: one)
     rows = ev.gap_fill_daily(spark, "unused").collect()
     assert len(rows) == 1 and rows[0].is_gap == 0
+
+
+def _write_docs_table(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    return str(tmp_path)
+
+
+def test_round4_ops_degenerate_documents(spark, tmp_path):
+    """Packing / drift / BPE on a table where only one doc has a real
+    token: exact expected outputs, no crash on empty-token docs."""
+    from capstone_etl_spark.operators import packing
+    from capstone_etl_spark.operators.textstats import bpe_merge_pairs, corpus_drift
+
+    sf = _write_docs_table(
+        spark,
+        tmp_path,
+        [
+            (0, "", "en", "a", 0),
+            (1, "   ", "en", "a", 3),
+            (2, "!!! ???", "en", "b", 7),
+            (3, "one two", "en", "b", 7),
+            (4, None, "en", "c", 0),
+        ],
+    )
+    packed = packing.sequence_packing(spark, sf).collect()
+    assert len(packed) == 1 and packed[0].n_tokens == 2 and packed[0].seq_id == 0
+    greedy = packing.sequence_packing_greedy(spark, sf).collect()
+    assert len(greedy) == 1 and greedy[0].pack_id == 0
+    eff = packing.packing_efficiency(spark, sf).collect()
+    assert len(eff) == 1 and eff[0].n_packs == 1 and eff[0].n_tokens == 2
+    # drift: only source b has tokens; its distribution IS the corpus → KL 0
+    drift = corpus_drift(spark, sf).collect()
+    assert len(drift) == 1 and drift[0].source == "b" and drift[0].kl_nats == 0.0
+    pairs = {r.pair: r.cnt for r in bpe_merge_pairs(spark, sf).collect()}
+    assert pairs == {"on": 1, "ne": 1, "tw": 1, "wo": 1}
+
+
+def test_round4_ops_empty_tables(spark, tmp_path):
+    from capstone_etl_spark.operators import packing
+    from capstone_etl_spark.operators.similarity import semantic_dedup
+    from capstone_etl_spark.operators.textstats import bpe_merge_pairs, corpus_drift
+
+    sf = _write_docs_table(spark, tmp_path, [])
+    spark.createDataFrame([], "vec_id long, embedding array<float>, label string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+    assert packing.sequence_packing(spark, sf).count() == 0
+    assert packing.sequence_packing_greedy(spark, sf).count() == 0
+    assert packing.packing_efficiency(spark, sf).count() == 0
+    assert corpus_drift(spark, sf).count() == 0
+    assert bpe_merge_pairs(spark, sf).count() == 0
+    assert semantic_dedup(spark, sf).count() == 0

@@ -7,7 +7,7 @@ from pyspark.sql import functions as F
 
 from capstone_etl_spark.functions.skew import salt_column, salted_join
 from capstone_etl_spark.sinks import write_csv, write_json
-from capstone_etl_spark.sources.files import read_csv, read_json
+from capstone_etl_spark.sources.files import read_csv, read_json, read_orc
 
 
 def _skewed_frames(spark):
@@ -91,6 +91,24 @@ def test_json_roundtrip_with_schema(spark, tmp_path):
     assert back.count() == 20
     row = back.filter(F.col("id") == 3).collect()[0]
     assert row.arr == [3, 6]
+
+
+
+
+def test_orc_roundtrip_nested(spark, tmp_path):
+    from capstone_etl_spark.sinks.writers import write_orc
+
+    src = spark.range(0, 30).select(
+        F.col("id"),
+        F.array(F.col("id"), F.col("id") * 3).alias("arr"),
+        F.concat(F.lit("s"), (F.col("id") % 4)).alias("source"),
+    )
+    path = str(tmp_path / "orc_out")
+    write_orc(src, path, partition_by=["source"])
+    back = read_orc(spark, path).select("id", "arr", "source")
+    assert sorted(r.id for r in back.collect()) == list(range(30))
+    row = back.filter(F.col("id") == 7).collect()[0]
+    assert row.arr == [7, 21] and row.source == "s3"
 
 
 def test_streaming_checkpoint_incremental_restart(spark, tmp_path):
