@@ -63,6 +63,7 @@ _PRIORITY = [
     "sequence_packing",
     "sequence_packing_greedy",
     "packing_efficiency",
+    "packed_sequences",
     "semantic_dedup",
     "corpus_drift",
     "bpe_merge_pairs",
@@ -87,9 +88,9 @@ _PRIORITY = [
     "text_quality",
     "doc_splits",
     "campaign_window_stats",
-    "language_id",
-    # r2/r3-green queries displaced from the 50-window by the six new
+    # r2/r3-green queries displaced from the 50-window by the seven new
     # ones (their families stay represented above)
+    "language_id",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_simhash",

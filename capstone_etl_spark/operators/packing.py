@@ -229,14 +229,59 @@ FROM per_pack GROUP BY 1
 """
 
 
+def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialize the greedy packs into actual training sequences: the
+    normalized token text of each pack's documents concatenated in
+    doc_id order — the artifact a trainer consumes. One join of the
+    pack assignment back to the (re-normalized) document text, one
+    (source, shard, pack_id) agg; text moves through exactly one
+    shuffle, bounded at ≤ SEQ_LEN tokens per output row (long docs sit
+    alone in their pack)."""
+    packed = sequence_packing_greedy(spark, sf_dir)
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.array_join(tokenize("text"), " ").alias("doc_text")
+    )
+    return (
+        packed.join(docs, "doc_id")
+        .groupBy("source", "shard", "pack_id")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("n_tokens"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("doc_id", "doc_text"))),
+                    lambda s: s.doc_text,
+                ),
+                " ",
+            ).alias("seq_text"),
+        )
+    )
+
+
+PACKED_SEQUENCES_SQL = f"""
+WITH packed AS ({SEQUENCE_PACKING_GREEDY_SQL}),
+texts AS (
+  SELECT doc_id, array_to_string({_TOKS_SQL}, ' ') AS doc_text FROM documents
+)
+SELECT p.source, p.shard, p.pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
+       string_agg(t.doc_text, ' ' ORDER BY p.doc_id) AS seq_text
+FROM packed p JOIN texts t USING (doc_id)
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "sequence_packing": sequence_packing,
     "sequence_packing_greedy": sequence_packing_greedy,
     "packing_efficiency": packing_efficiency,
+    "packed_sequences": packed_sequences,
 }
 
 ORACLE_SQL = {
     "sequence_packing": SEQUENCE_PACKING_SQL,
     "sequence_packing_greedy": SEQUENCE_PACKING_GREEDY_SQL,
     "packing_efficiency": PACKING_EFFICIENCY_SQL,
+    "packed_sequences": PACKED_SEQUENCES_SQL,
 }
