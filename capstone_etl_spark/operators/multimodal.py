@@ -8,13 +8,17 @@ never row-at-a-time), while everything computable from bytes without a
 codec (sizes, fingerprints, magic sniffing, chunking arithmetic) stays
 expression-native in whole-stage codegen.
 
-`decode_image` is REAL: PIL when installed (optional import), else a
-stdlib header parse that reads true dimensions from PNG/GIF/JPEG
-headers — no codec library needed. Payloads neither path recognizes
-(including the gate's synthetic magic+text payloads) fall back to a
-deterministic fake decode (`_fake_meta`) whose arithmetic the SQL
-oracle mirrors, so the pipeline is hash-checked end to end with or
-without PIL, and real image bytes get real metadata.
+Decode is REAL for all three media types: `decode_image` uses PIL when
+installed (optional import), else a stdlib header parse reading true
+dimensions from PNG/GIF/JPEG headers; `decode_audio` parses RIFF/WAV
+headers via the stdlib `wave` module (channels, sample rate, duration);
+`decode_video` walks ISO-BMFF (MP4/MOV) boxes to mvhd/tkhd for
+dimensions and duration. All are header-only — no sample data is
+decompressed. Payloads no path recognizes (including the gate's
+synthetic magic+text payloads) fall back to a deterministic fake decode
+(`_fake_meta`) whose arithmetic the SQL oracle mirrors, so the pipeline
+is hash-checked end to end with or without codecs, and real media bytes
+get real metadata.
 
 The test corpus has no binary column either: `with_binary_payload`
 synthesizes one deterministically (4-byte type magic + utf-8 text
@@ -214,6 +218,65 @@ def decode_image(payload: bytes) -> tuple[int, int]:
     return _header_dims(payload)
 
 
+def decode_audio(payload: bytes) -> tuple[int, int, int]:
+    """REAL audio header decode → (n_channels, sample_rate_hz,
+    duration_ms) for RIFF/WAV via the stdlib `wave` module — frame
+    count and rate live in the header, no sample data is read. Raises
+    NotImplementedError for anything that isn't a parseable WAV."""
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            rate = w.getframerate()
+            frames = w.getnframes()
+            if rate <= 0:
+                raise NotImplementedError("WAV with zero frame rate")
+            return w.getnchannels(), rate, int(frames * 1000 // rate)
+    except (wave.Error, EOFError, struct.error) as e:
+        raise NotImplementedError(f"unrecognized audio format: {e}") from e
+
+
+def _iter_boxes(data: bytes, start: int, end: int):
+    """Minimal ISO-BMFF (MP4) box walk: yields (type, body_start,
+    body_end) for each box in [start, end)."""
+    i = start
+    while i + 8 <= end:
+        size, btype = struct.unpack(">I4s", data[i : i + 8])
+        if size < 8:
+            break
+        yield btype, i + 8, min(i + size, end)
+        i += size
+
+
+def decode_video(payload: bytes) -> tuple[int, int, int]:
+    """REAL video header decode → (width, height, duration_ms) for
+    ISO-BMFF (MP4/MOV): walks top-level boxes to moov, reads mvhd
+    (timescale + duration) and the first tkhd (16.16 fixed-point
+    width/height). Header-only — never touches sample data. Raises
+    NotImplementedError for non-BMFF bytes."""
+    if len(payload) < 12 or payload[4:8] != b"ftyp":
+        raise NotImplementedError("unrecognized video format (no ftyp box)")
+    width = height = duration_ms = -1
+    for btype, bs, be in _iter_boxes(payload, 0, len(payload)):
+        if btype != b"moov":
+            continue
+        for ctype, cs, ce in _iter_boxes(payload, bs, be):
+            if ctype == b"mvhd" and ce - cs >= 20 and payload[cs] == 0:
+                timescale, dur = struct.unpack(">II", payload[cs + 12 : cs + 20])
+                if timescale > 0:
+                    duration_ms = int(dur * 1000 // timescale)
+            elif ctype == b"trak" and width < 0:
+                for ttype, ts, te in _iter_boxes(payload, cs, ce):
+                    if ttype == b"tkhd" and te - ts >= 84 and payload[ts] == 0:
+                        w_fp, h_fp = struct.unpack(">II", payload[ts + 76 : ts + 84])
+                        width, height = w_fp >> 16, h_fp >> 16
+                        break
+    if width < 0 or duration_ms < 0:
+        raise NotImplementedError("BMFF file without mvhd/tkhd headers")
+    return width, height, duration_ms
+
+
 def _fake_meta(payload: bytes, media_type: str) -> tuple[int, int, int]:
     """Deterministic stand-in for decode: (width, height, duration_ms)
     derived from the payload's md5 — same arithmetic the SQL oracle
@@ -226,14 +289,22 @@ def _fake_meta(payload: bytes, media_type: str) -> tuple[int, int, int]:
 
 
 def _meta(payload: bytes, media_type: str) -> tuple[int, int, int]:
-    """Real decode first for images; deterministic fake for synthetic /
-    unrecognized payloads and for the codec-less media types."""
-    if media_type == "image":
-        try:
+    """Real header decode first for every media type — images
+    (PIL/PNG/GIF/JPEG → width, height, 0), audio (WAV → channels,
+    sample_rate, duration_ms — the two spatial slots carry the audio
+    geometry), video (MP4 → width, height, duration_ms) — with the
+    deterministic fake for synthetic / unrecognized payloads (the
+    gate's magic+text payloads always take that oracle-mirrored path)."""
+    try:
+        if media_type == "image":
             w, h = decode_image(payload)
             return w, h, 0
-        except NotImplementedError:
-            pass
+        if media_type == "audio":
+            return decode_audio(payload)
+        if media_type == "video":
+            return decode_video(payload)
+    except NotImplementedError:
+        pass
     return _fake_meta(payload, media_type)
 
 

@@ -137,3 +137,60 @@ def test_real_png_decodes_through_pipeline(spark):
     h = hashlib.md5(b"IMG0junk").hexdigest()
     assert rows[2].width == 16 + int(h[:2], 16) % 240
     assert rows[2].height == 16 + int(h[2:4], 16) % 240
+
+
+def _tiny_wav(n_frames=4410, rate=44100, channels=2) -> bytes:
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * channels * n_frames)
+    return buf.getvalue()
+
+
+def _tiny_mp4(width=640, height=360, timescale=1000, duration=2500) -> bytes:
+    import struct as st
+
+    def box(btype: bytes, body: bytes) -> bytes:
+        return st.pack(">I", 8 + len(body)) + btype + body
+
+    mvhd = bytes(4) + st.pack(">III", 0, 0, timescale) + st.pack(">I", duration) + bytes(80)
+    tkhd = bytes(76) + st.pack(">II", width << 16, height << 16)
+    moov = box(b"moov", box(b"mvhd", mvhd) + box(b"trak", box(b"tkhd", tkhd)))
+    return box(b"ftyp", b"isom\x00\x00\x02\x00isomiso2") + moov
+
+
+def test_decode_audio_wav_header():
+    from capstone_etl_spark.operators.multimodal import decode_audio
+
+    ch, rate, dur = decode_audio(_tiny_wav())
+    assert (ch, rate, dur) == (2, 44100, 100)
+    with pytest.raises(NotImplementedError):
+        decode_audio(b"AUD0 not really audio")
+
+
+def test_decode_video_bmff_header():
+    from capstone_etl_spark.operators.multimodal import decode_video
+
+    w, h, dur = decode_video(_tiny_mp4())
+    assert (w, h, dur) == (640, 360, 2500)
+    with pytest.raises(NotImplementedError):
+        decode_video(b"VID0 not really video")
+
+
+def test_real_audio_video_decode_through_pipeline(spark):
+    """Real WAV/MP4 bytes through the SAME mapInPandas stage the
+    registered query runs — true header metadata comes out."""
+    from capstone_etl_spark.operators.multimodal import META_SCHEMA, extract_meta
+
+    df = spark.createDataFrame(
+        [(1, "audio", bytearray(_tiny_wav())), (2, "video", bytearray(_tiny_mp4()))],
+        "doc_id long, media_type string, payload binary",
+    )
+    rows = {r.doc_id: r for r in df.mapInPandas(extract_meta, META_SCHEMA).collect()}
+    assert (rows[1].width, rows[1].height, rows[1].duration_ms) == (2, 44100, 100)
+    assert (rows[2].width, rows[2].height, rows[2].duration_ms) == (640, 360, 2500)
