@@ -74,6 +74,41 @@ def events_stream(
     return reader.parquet(staging_dir)
 
 
+def parse_kafka_events(raw: DataFrame) -> DataFrame:
+    """Kafka's fixed wire schema (key/value binary + topic/partition/
+    offset/timestamp) → the events schema: JSON value parse against
+    EVENTS_DDL. Source-agnostic DataFrame transform, so it is provable
+    on a STATIC frame with the same shape (tests do exactly that —
+    no broker, no connector jar, same code path)."""
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), EVENTS_DDL).alias("e")
+    ).select("e.*")
+
+
+def kafka_events_source(
+    bootstrap_servers: str,
+    topic: str,
+    starting_offsets: str = "earliest",
+) -> Callable[[SparkSession], DataFrame]:
+    """Factory: a Kafka topic of JSON events → the events schema,
+    through the same `events_stream(source=...)` seam as every other
+    source. Requires the spark-sql-kafka connector on the classpath at
+    deployment (not shipped in this container); the value-parsing
+    stage is the tested `parse_kafka_events`."""
+
+    def make(spark: SparkSession) -> DataFrame:
+        raw = (
+            spark.readStream.format("kafka")
+            .option("kafka.bootstrap.servers", bootstrap_servers)
+            .option("subscribe", topic)
+            .option("startingOffsets", starting_offsets)
+            .load()
+        )
+        return parse_kafka_events(raw)
+
+    return make
+
+
 def rate_events_source(
     rows_per_batch: int = 100, start_ts: str = "2024-01-01 00:00:00"
 ) -> Callable[[SparkSession], DataFrame]:

@@ -225,3 +225,30 @@ def test_events_stream_requires_dir_or_factory(spark):
 
     with _pytest.raises(ValueError):
         events_stream(spark)
+
+
+def test_kafka_value_parser_roundtrip(spark):
+    """parse_kafka_events on a STATIC frame with Kafka's wire shape:
+    events → to_json → binary value column → parse → identical rows
+    (the connector jar is deployment-only; the parse stage is the
+    code under test)."""
+    from capstone_etl_spark.streaming.source import parse_kafka_events
+
+    events = spark.createDataFrame(
+        [
+            (1, "2024-01-01 00:00:01", 7, "view", 1.5, "{}"),
+            (2, "2024-01-01 00:00:02", 8, "purchase", 99.0, '{"k":1}'),
+        ],
+        "event_id long, ts string, user_id long, event_type string, value double, props string",
+    ).withColumn("ts", F.to_timestamp("ts"))
+    wire = events.select(
+        F.lit(None).cast("binary").alias("key"),
+        F.to_json(F.struct(*events.columns)).cast("binary").alias("value"),
+        F.lit("events").alias("topic"),
+        F.lit(0).alias("partition"),
+        F.monotonically_increasing_id().alias("offset"),
+        F.current_timestamp().alias("timestamp"),
+    )
+    parsed = parse_kafka_events(wire)
+    assert parsed.schema.simpleString() == events.schema.simpleString()
+    assert sorted(map(tuple, parsed.collect())) == sorted(map(tuple, events.collect()))
