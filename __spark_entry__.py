@@ -64,6 +64,7 @@ _PRIORITY = [
     "sequence_packing_greedy",
     "packing_efficiency",
     "packed_sequences",
+    "chunk_packing",
     "semantic_dedup",
     "corpus_drift",
     "bpe_merge_pairs",
@@ -76,7 +77,6 @@ _PRIORITY = [
     "ann_lsh_topk",
     "embedding_pairs",
     "kmeans_lloyd",
-    "label_centroids",
     "doc_similarity_topk",
     "multimodal_meta",
     "multimodal_frame_dedup",
@@ -91,6 +91,7 @@ _PRIORITY = [
     # r2/r3-green queries displaced from the 50-window by the seven new
     # ones (their families stay represented above)
     "language_id",
+    "label_centroids",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_simhash",

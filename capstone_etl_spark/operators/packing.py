@@ -134,17 +134,17 @@ FROM member
 """
 
 
-def sequence_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """First-fit-sequential packing, document boundaries respected: walk
-    each (source, shard) in doc_id order keeping a running fill; a doc
-    that would overflow SEQ_LEN starts the next pack (a doc longer than
-    SEQ_LEN sits alone in its own pack). The walk is inherently
-    sequential, so it runs as ONE Arrow batch per shard via
-    applyInPandas — O(1) state, counts-only input, shard-parallel."""
-    counted = _counted(spark, sf_dir)
+def _greedy_pack(counted: DataFrame, order_cols: list[str]) -> DataFrame:
+    """Shared first-fit-sequential kernel: one Arrow batch per
+    (source, shard) group, rows walked in order_cols order, O(1) state
+    (running fill). Output = input columns + pack_id."""
+    out_cols = ["source", "shard", *order_cols, "n_tokens", "pack_id"]
+    schema = ", ".join(
+        f"{c} {'string' if c == 'source' else 'bigint'}" for c in out_cols
+    )
 
     def _pack(pdf):
-        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        pdf = pdf.sort_values(order_cols).reset_index(drop=True)
         pack_ids = []
         fill = 0
         pack = 0
@@ -155,11 +155,19 @@ def sequence_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             fill += n
             pack_ids.append(pack)
         pdf["pack_id"] = pack_ids
-        return pdf[["source", "shard", "doc_id", "n_tokens", "pack_id"]]
+        return pdf[out_cols]
 
-    return counted.groupBy("source", "shard").applyInPandas(
-        _pack, "source string, shard bigint, doc_id bigint, n_tokens bigint, pack_id bigint"
-    )
+    return counted.groupBy("source", "shard").applyInPandas(_pack, schema)
+
+
+def sequence_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-fit-sequential packing, document boundaries respected: walk
+    each (source, shard) in doc_id order keeping a running fill; a doc
+    that would overflow SEQ_LEN starts the next pack (a doc longer than
+    SEQ_LEN sits alone in its own pack). The walk is inherently
+    sequential, so it runs as ONE Arrow batch per shard via
+    applyInPandas — O(1) state, counts-only input, shard-parallel."""
+    return _greedy_pack(_counted(spark, sf_dir), ["doc_id"])
 
 
 SEQUENCE_PACKING_GREEDY_SQL = f"""
@@ -229,6 +237,72 @@ FROM per_pack GROUP BY 1
 """
 
 
+def chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The realistic pipeline composition: CHUNK first (corpus.doc_chunks,
+    ≤ CHUNK_TOKENS-token pieces), then greedily pack the chunks into
+    SEQ_LEN-token sequences. Because every chunk is far below the
+    budget, packs fill tightly (padding waste bounded by
+    CHUNK_TOKENS/SEQ_LEN) while never splitting a chunk — the
+    chunk-then-pack trade every context-window pipeline makes. Shard
+    hash salts on (doc_id, chunk_id) so one long document's chunks
+    spread across shards; the greedy walk orders by (doc_id, chunk_id)
+    within a shard."""
+    from capstone_etl_spark.operators.corpus import doc_chunks
+
+    ch = doc_chunks(spark, sf_dir).select("doc_id", "chunk_id", "n_tokens")
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    shard = (
+        md5_hash60(
+            F.concat(
+                F.lit(PACK_SALT),
+                F.col("doc_id").cast("string"),
+                F.lit(":"),
+                F.col("chunk_id").cast("string"),
+            )
+        )
+        % PACK_SHARDS
+    )
+    counted = ch.join(src, "doc_id").select(
+        "source", shard.alias("shard"), "doc_id", "chunk_id", "n_tokens"
+    )
+    return _greedy_pack(counted, ["doc_id", "chunk_id"])
+
+
+def _chunk_packing_sql() -> str:
+    from capstone_etl_spark.operators.corpus import DOC_CHUNKS_SQL
+
+    shard_expr = md5_hash60_sql(
+        "'" + PACK_SALT + "' || CAST(c.doc_id AS VARCHAR) || ':' || CAST(c.chunk_id AS VARCHAR)"
+    )
+    return f"""
+WITH RECURSIVE counted AS (
+  SELECT d.source, ({shard_expr} % {PACK_SHARDS}) AS shard,
+         c.doc_id, c.chunk_id, c.n_tokens
+  FROM ({DOC_CHUNKS_SQL}) c JOIN documents d USING (doc_id)
+),
+ordered AS (
+  SELECT source, shard, doc_id, chunk_id, n_tokens,
+         ROW_NUMBER() OVER (PARTITION BY source, shard ORDER BY doc_id, chunk_id) AS rn
+  FROM counted
+),
+packed AS (
+  SELECT source, shard, doc_id, chunk_id, n_tokens, rn,
+         0::BIGINT AS pack_id, n_tokens AS fill
+  FROM ordered WHERE rn = 1
+  UNION ALL
+  SELECT o.source, o.shard, o.doc_id, o.chunk_id, o.n_tokens, o.rn,
+         CASE WHEN p.fill + o.n_tokens <= {SEQ_LEN} THEN p.pack_id ELSE p.pack_id + 1 END,
+         CASE WHEN p.fill + o.n_tokens <= {SEQ_LEN} THEN p.fill + o.n_tokens ELSE o.n_tokens END
+  FROM packed p
+  JOIN ordered o ON o.source = p.source AND o.shard = p.shard AND o.rn = p.rn + 1
+)
+SELECT source, shard, doc_id, chunk_id, n_tokens, pack_id FROM packed
+"""
+
+
+CHUNK_PACKING_SQL = _chunk_packing_sql()
+
+
 def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Materialize the greedy packs into actual training sequences: the
     normalized token text of each pack's documents concatenated in
@@ -277,6 +351,7 @@ QUERIES = {
     "sequence_packing_greedy": sequence_packing_greedy,
     "packing_efficiency": packing_efficiency,
     "packed_sequences": packed_sequences,
+    "chunk_packing": chunk_packing,
 }
 
 ORACLE_SQL = {
@@ -284,4 +359,5 @@ ORACLE_SQL = {
     "sequence_packing_greedy": SEQUENCE_PACKING_GREEDY_SQL,
     "packing_efficiency": PACKING_EFFICIENCY_SQL,
     "packed_sequences": PACKED_SEQUENCES_SQL,
+    "chunk_packing": CHUNK_PACKING_SQL,
 }

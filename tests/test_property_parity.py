@@ -98,3 +98,40 @@ def test_connected_components_matches_union_find(spark, pairs):
     )
     got = {r.doc_id: r.label for r in connected_components(edges).collect()}
     assert got == _model_components(pairs)
+
+
+COUNTS = st.lists(
+    st.tuples(st.integers(0, 3), st.integers(1, 400)),  # (shard, n_tokens)
+    min_size=1,
+    max_size=40,
+)
+
+
+def _model_greedy(ns: list[int], budget: int) -> list[int]:
+    """Pure-Python first-fit-sequential reference."""
+    out, fill, pack = [], 0, 0
+    for n in ns:
+        if out and fill + n > budget:
+            pack += 1
+            fill = 0
+        fill += n
+        out.append(pack)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(COUNTS)
+def test_greedy_pack_matches_python_model(spark, counts):
+    from capstone_etl_spark.operators.packing import SEQ_LEN, _greedy_pack
+
+    rows = [("s", shard, i, n) for i, (shard, n) in enumerate(counts)]
+    df = spark.createDataFrame(
+        rows, "source string, shard long, doc_id long, n_tokens long"
+    )
+    got = _greedy_pack(df, ["doc_id"]).collect()
+    by_shard: dict[int, list] = {}
+    for r in sorted(got, key=lambda r: r.doc_id):
+        by_shard.setdefault(r.shard, []).append(r)
+    for shard, rs in by_shard.items():
+        expected = _model_greedy([r.n_tokens for r in rs], SEQ_LEN)
+        assert [r.pack_id for r in rs] == expected, (shard, rs)
