@@ -65,6 +65,7 @@ _PRIORITY = [
     "packing_efficiency",
     "packed_sequences",
     "chunk_packing",
+    "winnowing_fingerprints",
     "semantic_dedup",
     "corpus_drift",
     "bpe_merge_pairs",
@@ -73,7 +74,6 @@ _PRIORITY = [
     "dedup_clusters",
     "dedup_minhash_lsh",
     "decontamination",
-    "ann_ivf_topk",
     "ann_lsh_topk",
     "embedding_pairs",
     "kmeans_lloyd",
@@ -92,6 +92,7 @@ _PRIORITY = [
     # ones (their families stay represented above)
     "language_id",
     "label_centroids",
+    "ann_ivf_topk",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_simhash",

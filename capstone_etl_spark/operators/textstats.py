@@ -11,7 +11,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from capstone_etl_spark.functions.hashing import MERSENNE_P, md5_hash60_sql
+from capstone_etl_spark.functions.hashing import MERSENNE_P, md5_hash60, md5_hash60_sql
 from capstone_etl_spark.functions.stopwords import STOPWORDS, stopwords_sql_in_list
 from capstone_etl_spark.functions.text import tokenize
 from capstone_etl_spark.functions.windows import bounded_window_key
@@ -462,6 +462,88 @@ FROM terms GROUP BY doc_id
 """
 
 
+WINNOW_K = 3   # tokens per k-gram
+WINNOW_W = 4   # hashes per winnowing window
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every positional token
+    k-gram, slide a w-hash window, keep each window's minimum; the
+    DISTINCT selected minima are the fingerprint set. Guarantees any
+    shared run of ≥ w+k−1 tokens contributes a shared fingerprint
+    (detection threshold) while sampling only ~2/(w+1) of the hashes —
+    the local-sampling trade that makes corpus-scale plagiarism /
+    near-copy detection cheap.
+
+    Plan: positional grams via posexplode (order-preserving, unlike the
+    dedup shingle set), the window min is partitioned by doc_id
+    (bounded by doc length), and docs shorter than w+k−1 tokens yield
+    zero fingerprints (full windows only — mirrored exactly in the
+    oracle). All hashes are the engine-portable md5-60 mod p."""
+    toks = _docs(spark, sf_dir).select("doc_id", tokenize("text").alias("toks"))
+    k, w = WINNOW_K, WINNOW_W
+    grams = toks.select(
+        "doc_id",
+        F.posexplode(
+            F.when(
+                F.size("toks") >= k,
+                F.transform(
+                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
+                    lambda i: F.array_join(F.slice("toks", i, k), " "),
+                ),
+            ).otherwise(F.array().cast("array<string>"))
+        ).alias("pos", "gram"),
+    )
+    hashed = grams.select(
+        "doc_id",
+        "pos",
+        (md5_hash60(F.col("gram")) % MERSENNE_P).alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)
+    return (
+        hashed.withColumn("wmin", F.min("h").over(win))
+        .filter(F.col("pos") >= w - 1)
+        .groupBy("doc_id")
+        .agg(
+            F.size(F.collect_set("wmin")).cast("long").alias("n_fingerprints"),
+            # driver-facing serialization (house rule: comma-joined string,
+            # not a raw array — the compare sorts/hashes scalar columns)
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_set("wmin")), lambda v: v.cast("string")
+                ),
+                ",",
+            ).alias("fingerprints"),
+        )
+    )
+
+
+WINNOWING_FINGERPRINTS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+                     t -> t <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         ({md5_hash60_sql(f"array_to_string(t[i:i + {WINNOW_K - 1}], ' ')")} % {MERSENNE_P}) AS h
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {WINNOW_K} + 2)) AS i) r
+  WHERE len(t) >= {WINNOW_K}
+), wins AS (
+  SELECT doc_id, pos,
+         MIN(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS wmin
+  FROM grams
+)
+SELECT doc_id,
+       CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fingerprints,
+       array_to_string(list_sort(list_distinct(list(wmin))), ',') AS fingerprints
+FROM wins WHERE pos >= {WINNOW_W - 1}
+GROUP BY doc_id
+"""
+
+
 BPE_TOP_K = 20
 
 
@@ -642,6 +724,7 @@ QUERIES = {
     "token_entropy": token_entropy,
     "corpus_drift": corpus_drift,
     "bpe_merge_pairs": bpe_merge_pairs,
+    "winnowing_fingerprints": winnowing_fingerprints,
 }
 
 ORACLE_SQL = {
@@ -656,4 +739,5 @@ ORACLE_SQL = {
     "token_entropy": TOKEN_ENTROPY_SQL,
     "corpus_drift": CORPUS_DRIFT_SQL,
     "bpe_merge_pairs": BPE_MERGE_PAIRS_SQL,
+    "winnowing_fingerprints": WINNOWING_FINGERPRINTS_SQL,
 }

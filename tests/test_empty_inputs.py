@@ -185,3 +185,31 @@ def test_round4_ops_empty_tables(spark, tmp_path):
     assert corpus_drift(spark, sf).count() == 0
     assert bpe_merge_pairs(spark, sf).count() == 0
     assert semantic_dedup(spark, sf).count() == 0
+
+
+def test_winnowing_detection_guarantee(spark, tmp_path):
+    """Schleimer et al.'s core property: two docs sharing a token run of
+    >= w + k - 1 tokens share at least one fingerprint; docs shorter
+    than w + k - 1 tokens yield none."""
+    from capstone_etl_spark.operators.textstats import (
+        WINNOW_K,
+        WINNOW_W,
+        winnowing_fingerprints,
+    )
+
+    shared = " ".join(f"common{i}" for i in range(WINNOW_W + WINNOW_K - 1))
+    sf = _write_docs_table(
+        spark,
+        tmp_path,
+        [
+            (1, "alpha beta gamma " + shared + " delta epsilon", "en", "a", 0),
+            (2, shared + " zeta eta theta iota kappa", "en", "b", 0),
+            (3, "tiny doc", "en", "c", 0),
+        ],
+    )
+    out = {r.doc_id: r for r in winnowing_fingerprints(spark, sf).collect()}
+    fp1 = set(out[1].fingerprints.split(","))
+    fp2 = set(out[2].fingerprints.split(","))
+    assert fp1 & fp2, "shared run must contribute a shared fingerprint"
+    assert 3 not in out  # below the full-window threshold -> no row
+    assert out[1].n_fingerprints == len(fp1)
