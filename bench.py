@@ -54,6 +54,10 @@ HEADLINE = [
     # 11 queries are unchanged — compare per-query across rounds.
     "dedup_minhash_lsh",
     "corpus_pipeline",
+    # r4+: packing and semantic dedup join the tracked set (first
+    # tracked round — no prior to compare; the gate skips them).
+    "sequence_packing_greedy",
+    "semantic_dedup",
 ]
 
 
