@@ -65,6 +65,7 @@ _PRIORITY = [
     "packing_efficiency",
     "packed_sequences",
     "chunk_packing",
+    "pack_attention_spans",
     "winnowing_fingerprints",
     "semantic_dedup",
     "corpus_drift",
@@ -84,7 +85,6 @@ _PRIORITY = [
     "doc_chunks",
     "cluster_aware_splits",
     "source_mixing_weights",
-    "corpus_summary",
     "text_quality",
     "doc_splits",
     "campaign_window_stats",
@@ -93,6 +93,7 @@ _PRIORITY = [
     "language_id",
     "label_centroids",
     "ann_ivf_topk",
+    "corpus_summary",
     "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_simhash",

@@ -346,12 +346,61 @@ GROUP BY 1, 2, 3
 """
 
 
+def pack_attention_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-pack document-boundary offsets — the metadata a trainer uses
+    to build block-diagonal attention masks (tokens attend only within
+    their own document) over packed sequences. Each doc's start offset
+    is the running token sum of its pack predecessors: a window
+    partitioned by (source, shard, pack_id) — bounded by pack
+    membership, ≤ SEQ_LEN docs — then one agg serializing the
+    `off:doc_id` boundary list in offset order."""
+    packed = sequence_packing_greedy(spark, sf_dir)
+    w = (
+        Window.partitionBy("source", "shard", "pack_id")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    with_off = packed.withColumn(
+        "off", F.coalesce(F.sum("n_tokens").over(w), F.lit(0)).cast("long")
+    )
+    return with_off.groupBy("source", "shard", "pack_id").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("off", "doc_id"))),
+                lambda s: F.concat_ws(":", s.off, s.doc_id),
+            ),
+            ",",
+        ).alias("spans"),
+    )
+
+
+PACK_ATTENTION_SPANS_SQL = f"""
+WITH packed AS ({SEQUENCE_PACKING_GREEDY_SQL}),
+with_off AS (
+  SELECT source, shard, pack_id, doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (
+           PARTITION BY source, shard, pack_id ORDER BY doc_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS off
+  FROM packed
+)
+SELECT source, shard, pack_id,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       string_agg(CAST(off AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR), ',' ORDER BY off) AS spans
+FROM with_off
+GROUP BY 1, 2, 3
+"""
+
+
 QUERIES = {
     "sequence_packing": sequence_packing,
     "sequence_packing_greedy": sequence_packing_greedy,
     "packing_efficiency": packing_efficiency,
     "packed_sequences": packed_sequences,
     "chunk_packing": chunk_packing,
+    "pack_attention_spans": pack_attention_spans,
 }
 
 ORACLE_SQL = {
@@ -360,4 +409,5 @@ ORACLE_SQL = {
     "packing_efficiency": PACKING_EFFICIENCY_SQL,
     "packed_sequences": PACKED_SEQUENCES_SQL,
     "chunk_packing": CHUNK_PACKING_SQL,
+    "pack_attention_spans": PACK_ATTENTION_SPANS_SQL,
 }

@@ -78,3 +78,21 @@ def test_packing_window_is_partitioned(spark, sf_dir):
     single-partition window here would serialize the whole corpus."""
     plan = packing.sequence_packing(spark, sf_dir)._jdf.queryExecution().executedPlan().toString()
     assert "WindowExec: No Partition Defined" not in plan
+
+
+def test_attention_spans_are_consistent(spark, sf_dir):
+    """First offset 0, offsets strictly increasing by predecessor
+    token counts, boundary count == n_docs, total == pack tokens."""
+    pdf = packing.pack_attention_spans(spark, sf_dir).toPandas()
+    assert len(pdf) > 0
+    packs = packing.sequence_packing_greedy(spark, sf_dir).toPandas()
+    sizes = packs.set_index(["source", "shard", "pack_id", "doc_id"])["n_tokens"]
+    for _, row in pdf.iterrows():
+        spans = [tuple(map(int, s.split(":"))) for s in row.spans.split(",")]
+        assert len(spans) == row.n_docs
+        assert spans[0][0] == 0
+        running = 0
+        for off, doc_id in spans:
+            assert off == running
+            running += sizes[(row.source, row.shard, row.pack_id, doc_id)]
+        assert running == row.n_tokens
