@@ -34,16 +34,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one table. Pushdown-friendly: callers select/filter
     on the returned frame and Catalyst prunes at the parquet reader.
 
-    events.ts is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; read it as a nanos LONG (legacy conf,
-    runtime-settable) and truncate to a micros TimestampType — matching
-    DuckDB's own nanos→micros truncation so oracles agree."""
+    events.ts normalizes to session-zone TimestampType whatever the
+    writer emitted, so downstream `ts.cast("long")` (epoch seconds)
+    always resolves and matches DuckDB's epoch(ts):
+    - TIMESTAMP(NANOS): Spark's vectorized reader rejects it — read as
+      a nanos LONG (legacy conf, runtime-settable) and truncate to
+      micros, matching DuckDB's own nanos→micros truncation.
+    - timestamp[us] with isAdjustedToUTC=false: Spark 4 infers
+      TIMESTAMP_NTZ (spark.sql.parquet.inferTimestampNTZ.enabled
+      defaults true), and NTZ→BIGINT is not a legal cast — convert to
+      TIMESTAMP, which interprets the wall-clock in the session zone
+      (pinned UTC in session.py), exactly how DuckDB treats the same
+      naive micros."""
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             # integer div keeps exactness (double division drifts at 1e18)
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
