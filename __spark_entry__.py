@@ -70,6 +70,9 @@ _PRIORITY = [
     "semantic_dedup",
     "corpus_drift",
     "bpe_merge_pairs",
+    "quality_filter_flags",
+    "quality_filter_funnel",
+    "unigram_logprob",
     # family canaries (driver-green in r3; every family keeps ≥1 here)
     "corpus_pipeline",
     "dedup_clusters",
@@ -130,6 +133,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         multimodal,
         outputs,
         packing,
+        quality,
         rangejoin,
         relational,
         sampling,
@@ -156,6 +160,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         sampling,
         corpus,
         packing,
+        quality,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE_SQL)

@@ -1,0 +1,260 @@
+"""Corpus quality gating: Gopher-style rule filters and a unigram-LM
+document score (the CCNet perplexity-filter shape).
+
+Extension layer — the reference has no quality gating (SURVEY.md §2
+"not present"); these are the filters every large-scale training-data
+pipeline runs between raw scrape and dedup:
+
+- `quality_filter_flags`: per-document pass/fail booleans for a fixed
+  rule stack (Rae et al. 2021 "Gopher" §A1.1 heuristics re-expressed
+  over this corpus' signals) plus the first failing rule. Pure per-row
+  column math — no shuffle at any scale, the gate runs at scan speed.
+- `quality_filter_funnel`: the audit every gated pipeline reports —
+  docs in, marginal rejects per rule applied IN ORDER, docs surviving.
+  One full-scan conditional aggregation (one 1-row shuffle), then the
+  funnel rows are unpacked from the single agg row with inline+explode.
+- `unigram_logprob`: mean per-token negative log-likelihood under the
+  corpus' own unigram LM — the cheap stand-in for the CCNet/KenLM
+  perplexity score used to bucket documents by "wikipedia-likeness"
+  (Wenzek et al. 2020). Two uniform-key shuffles (per-(doc,token) TF,
+  per-token corpus frequency) + one token-keyed join; the corpus total
+  rides the plan as a 1-row broadcast scalar, never a driver action.
+
+Rule thresholds are constants tuned so the synthetic corpus actually
+splits (sf0.01: each rule rejects a nonzero slice; ~60% survive the
+stack); on a real corpus they are the knobs the curator owns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from capstone_etl_spark.functions.text import tokenize
+from capstone_etl_spark.session import cached
+from capstone_etl_spark.sources.tables import load_table
+
+# Gopher §A1.1-shaped rule stack, in application order.
+MIN_TOKENS = 20            # too-short docs carry no training signal
+MAX_TOKENS = 100_000       # runaway concatenations
+MIN_MEAN_TOK_LEN = 4.2     # mean word length window (Gopher: [3, 10])
+MAX_MEAN_TOK_LEN = 10.0
+MIN_TTR = 0.35             # type-token ratio: repetition proxy
+MAX_DIGIT_RATIO = 0.20     # mostly-numeric docs
+MIN_STOPWORD_HITS = 2      # distinct hits from the 8-word English core
+# Gopher's "must contain ≥2 of" core function-word list. The synthetic
+# corpus' vocabulary carries exactly two English function words ("the",
+# "a"), so the list leads with those — the rule still splits the data
+# instead of vacuously rejecting everything; swap in the full 8-word
+# Gopher list ("the be to of and that have with") on a real corpus.
+CORE_STOPWORDS = ("the", "a", "of", "and", "to", "in", "is", "that")
+
+# (rule name, order) — the funnel reports marginal rejects in this order.
+RULES = ("min_tokens", "max_tokens", "mean_token_len", "ttr", "digit_ratio", "stopwords")
+
+
+def _rule_flags(docs: DataFrame) -> DataFrame:
+    """doc_id + one boolean per rule (True = passes) + n_tokens."""
+    toks = tokenize("text")
+    n_tok = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_len = tok_chars.cast("double") / F.greatest(n_tok, F.lit(1))
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.greatest(n_tok, F.lit(1))
+    text_len = F.length("text")
+    digit_len = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    digit_ratio = F.when(text_len > 0, digit_len.cast("double") / text_len).otherwise(F.lit(0.0))
+    stop_hits = F.size(F.array_intersect(F.array_distinct(toks), F.array(*[F.lit(s) for s in CORE_STOPWORDS])))
+    return docs.select(
+        "doc_id",
+        n_tok.cast("long").alias("n_tokens"),
+        (n_tok >= MIN_TOKENS).alias("pass_min_tokens"),
+        (n_tok <= MAX_TOKENS).alias("pass_max_tokens"),
+        ((mean_len >= MIN_MEAN_TOK_LEN) & (mean_len <= MAX_MEAN_TOK_LEN)).alias("pass_mean_token_len"),
+        (ttr >= MIN_TTR).alias("pass_ttr"),
+        (digit_ratio <= MAX_DIGIT_RATIO).alias("pass_digit_ratio"),
+        (stop_hits >= MIN_STOPWORD_HITS).alias("pass_stopwords"),
+    )
+
+
+def quality_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc rule verdicts + the first failing rule (NULL = keep).
+    Entirely per-row expressions: at 100 TB this is a map-only pass
+    fused into the parquet scan (one WholeStageCodegen, no exchange)."""
+    flags = _rule_flags(load_table(spark, sf_dir, "documents"))
+    first_fail = F.lit(None).cast("string")
+    for rule in reversed(RULES):
+        first_fail = F.when(~F.col(f"pass_{rule}"), F.lit(rule)).otherwise(first_fail)
+    keep = F.lit(True)
+    for rule in RULES:
+        keep = keep & F.col(f"pass_{rule}")
+    return flags.select(
+        "doc_id",
+        "n_tokens",
+        *[f"pass_{r}" for r in RULES],
+        keep.alias("keep"),
+        first_fail.alias("reject_reason"),
+    )
+
+
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage audit of the rule stack: for each rule, documents
+    entering that stage, rejected BY that stage (first-fail semantics),
+    and surviving. The whole funnel is ONE conditional aggregation over
+    the flags scan (a 1-row shuffle), then |RULES| rows are unpacked
+    from the agg row via inline(array(struct…)) — no second scan, no
+    per-rule jobs."""
+    flags = _rule_flags(load_table(spark, sf_dir, "documents"))
+    aggs = [F.count("*").alias("n_total")]
+    surv = F.lit(True)
+    for rule in RULES:
+        aggs.append(F.sum((surv & ~F.col(f"pass_{rule}")).cast("long")).alias(f"rej_{rule}"))
+        surv = surv & F.col(f"pass_{rule}")
+    one = flags.agg(*aggs)
+    stages = []
+    entering: Column = F.col("n_total")
+    for i, rule in enumerate(RULES):
+        rejected = F.col(f"rej_{rule}")
+        stages.append(
+            F.struct(
+                F.lit(i + 1).cast("int").alias("stage"),
+                F.lit(rule).alias("rule"),
+                entering.cast("long").alias("n_in"),
+                rejected.cast("long").alias("n_rejected"),
+                (entering - rejected).cast("long").alias("n_out"),
+            )
+        )
+        entering = entering - rejected
+    return one.select(F.inline(F.array(*stages)))
+
+
+def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean negative log-likelihood (nats/token) of each document under
+    the corpus unigram distribution, plus its token count — low nll =
+    head-token boilerplate, high nll = rare-token text; the buckets a
+    CCNet-style mixer samples from.
+
+    Plan: one tokenize pass → per-(doc,token) TF (cached: feeds both
+    the corpus frequency table and the per-doc score), token-keyed join
+    TF×freq, per-doc aggregation. The corpus token total enters as a
+    1-row broadcast cross join (no driver .count() — that would run the
+    lineage twice). Token keys are Zipf-skewed; the TF pre-aggregation
+    bounds any token's row count by |docs| and AQE skew-split handles
+    the head. Numeric discipline: ln() may drift an ulp across engines
+    and summation order differs under partial aggs, so each term
+    cnt·ln(p) snaps to DECIMAL(28,12), sums exactly, and only the final
+    per-token mean rounds to 6 decimals (token_entropy's recipe)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    tf = cached(tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt")))
+    freq = tf.groupBy("token").agg(F.sum("cnt").alias("tok_cnt"))
+    total = tf.agg(F.sum("cnt").cast("double").alias("_n_corpus"))
+    term = (
+        F.col("cnt") * F.log(F.col("tok_cnt").cast("double") / F.col("_n_corpus"))
+    ).cast("decimal(28,12)")
+    return (
+        tf.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", "cnt", term.alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").alias("n_tokens"),
+            F.round((-F.sum("term")).cast("double") / F.sum("cnt"), 6).alias("nll_nats"),
+        )
+    )
+
+
+_TOKS = """
+  list_filter(string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+              t -> t <> '')
+"""
+
+_CORE_STOP_SQL = ", ".join(f"'{s}'" for s in CORE_STOPWORDS)
+
+_FLAGS_SQL = f"""
+SELECT doc_id,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       len(toks) >= {MIN_TOKENS} AS pass_min_tokens,
+       len(toks) <= {MAX_TOKENS} AS pass_max_tokens,
+       (CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / greatest(len(toks), 1)
+          BETWEEN {MIN_MEAN_TOK_LEN} AND {MAX_MEAN_TOK_LEN}) AS pass_mean_token_len,
+       (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1)) >= {MIN_TTR} AS pass_ttr,
+       (CASE WHEN length(text) > 0
+             THEN CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text)
+             ELSE 0.0 END) <= {MAX_DIGIT_RATIO} AS pass_digit_ratio,
+       len(list_intersect(list_distinct(toks), [{_CORE_STOP_SQL}])) >= {MIN_STOPWORD_HITS} AS pass_stopwords
+FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents) b
+"""
+
+QUALITY_FILTER_FLAGS_SQL = f"""
+WITH flags AS ({_FLAGS_SQL})
+SELECT doc_id, n_tokens,
+       pass_min_tokens, pass_max_tokens, pass_mean_token_len,
+       pass_ttr, pass_digit_ratio, pass_stopwords,
+       (pass_min_tokens AND pass_max_tokens AND pass_mean_token_len
+        AND pass_ttr AND pass_digit_ratio AND pass_stopwords) AS keep,
+       CASE WHEN NOT pass_min_tokens THEN 'min_tokens'
+            WHEN NOT pass_max_tokens THEN 'max_tokens'
+            WHEN NOT pass_mean_token_len THEN 'mean_token_len'
+            WHEN NOT pass_ttr THEN 'ttr'
+            WHEN NOT pass_digit_ratio THEN 'digit_ratio'
+            WHEN NOT pass_stopwords THEN 'stopwords'
+       END AS reject_reason
+FROM flags
+"""
+
+QUALITY_FILTER_FUNNEL_SQL = f"""
+WITH flags AS ({_FLAGS_SQL}),
+agg AS (
+  SELECT COUNT(*) AS n_total,
+         CAST(SUM(CASE WHEN NOT pass_min_tokens THEN 1 ELSE 0 END) AS BIGINT) AS rej_min_tokens,
+         CAST(SUM(CASE WHEN pass_min_tokens AND NOT pass_max_tokens THEN 1 ELSE 0 END) AS BIGINT) AS rej_max_tokens,
+         CAST(SUM(CASE WHEN pass_min_tokens AND pass_max_tokens AND NOT pass_mean_token_len THEN 1 ELSE 0 END) AS BIGINT) AS rej_mean_token_len,
+         CAST(SUM(CASE WHEN pass_min_tokens AND pass_max_tokens AND pass_mean_token_len AND NOT pass_ttr THEN 1 ELSE 0 END) AS BIGINT) AS rej_ttr,
+         CAST(SUM(CASE WHEN pass_min_tokens AND pass_max_tokens AND pass_mean_token_len AND pass_ttr AND NOT pass_digit_ratio THEN 1 ELSE 0 END) AS BIGINT) AS rej_digit_ratio,
+         CAST(SUM(CASE WHEN pass_min_tokens AND pass_max_tokens AND pass_mean_token_len AND pass_ttr AND pass_digit_ratio AND NOT pass_stopwords THEN 1 ELSE 0 END) AS BIGINT) AS rej_stopwords
+  FROM flags
+)
+SELECT s.stage, s.rule, s.n_in, s.n_rejected, s.n_in - s.n_rejected AS n_out
+FROM agg, LATERAL (
+  VALUES
+    (1, 'min_tokens', n_total, rej_min_tokens),
+    (2, 'max_tokens', n_total - rej_min_tokens, rej_max_tokens),
+    (3, 'mean_token_len', n_total - rej_min_tokens - rej_max_tokens, rej_mean_token_len),
+    (4, 'ttr', n_total - rej_min_tokens - rej_max_tokens - rej_mean_token_len, rej_ttr),
+    (5, 'digit_ratio', n_total - rej_min_tokens - rej_max_tokens - rej_mean_token_len - rej_ttr, rej_digit_ratio),
+    (6, 'stopwords', n_total - rej_min_tokens - rej_max_tokens - rej_mean_token_len - rej_ttr - rej_digit_ratio, rej_stopwords)
+) AS s(stage, rule, n_in, n_rejected)
+"""
+
+UNIGRAM_LOGPROB_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST({_TOKS}) AS token FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+), freq AS (
+  SELECT token, CAST(SUM(cnt) AS BIGINT) AS tok_cnt FROM tf GROUP BY 1
+), total AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS n_corpus FROM tf
+), terms AS (
+  SELECT tf.doc_id, tf.cnt,
+         CAST(tf.cnt * ln(CAST(f.tok_cnt AS DOUBLE) / t.n_corpus) AS DECIMAL(28,12)) AS term
+  FROM tf JOIN freq f USING (token) CROSS JOIN total t
+)
+SELECT doc_id,
+       CAST(SUM(cnt) AS BIGINT) AS n_tokens,
+       ROUND(CAST(-SUM(term) AS DOUBLE) / SUM(cnt), 6) AS nll_nats
+FROM terms GROUP BY doc_id
+"""
+
+
+QUERIES = {
+    "quality_filter_flags": quality_filter_flags,
+    "quality_filter_funnel": quality_filter_funnel,
+    "unigram_logprob": unigram_logprob,
+}
+
+ORACLE_SQL = {
+    "quality_filter_flags": QUALITY_FILTER_FLAGS_SQL,
+    "quality_filter_funnel": QUALITY_FILTER_FUNNEL_SQL,
+    "unigram_logprob": UNIGRAM_LOGPROB_SQL,
+}

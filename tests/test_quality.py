@@ -1,0 +1,76 @@
+"""Quality gating operators: Gopher-rule flags/funnel + unigram-LM score."""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from capstone_etl_spark.operators import quality
+from capstone_etl_spark.plans import exchange_count, has_cartesian
+from capstone_etl_spark.session import release_caches
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    release_caches()
+
+
+def test_flags_reject_reason_consistent(spark):
+    rows = quality.quality_filter_flags(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        passes = [getattr(r, f"pass_{rule}") for rule in quality.RULES]
+        assert r.keep == all(passes)
+        if r.keep:
+            assert r.reject_reason is None
+        else:
+            # reject_reason is the FIRST failing rule in stack order
+            first = next(rule for rule, ok in zip(quality.RULES, passes) if not ok)
+            assert r.reject_reason == first
+
+
+def test_funnel_chains_and_matches_flags(spark):
+    flags = quality.quality_filter_flags(spark, SF_DIR).collect()
+    funnel = {r.rule: r for r in quality.quality_filter_funnel(spark, SF_DIR).collect()}
+    assert list(funnel) == list(quality.RULES)
+    assert funnel[quality.RULES[0]].n_in == len(flags)
+    # marginal rejects must equal first-fail counts from the flags table
+    for rule in quality.RULES:
+        expected = sum(1 for r in flags if r.reject_reason == rule)
+        assert funnel[rule].n_rejected == expected
+    # n_out chains into the next stage's n_in; final n_out = keepers
+    for a, b in zip(quality.RULES, quality.RULES[1:]):
+        assert funnel[a].n_out == funnel[b].n_in
+    assert funnel[quality.RULES[-1]].n_out == sum(1 for r in flags if r.keep)
+
+
+def test_flags_plan_is_map_only(spark):
+    # the whole rule stack must fuse into the scan: no exchange at any scale
+    df = quality.quality_filter_flags(spark, SF_DIR)
+    assert exchange_count(df) == 0
+    assert not has_cartesian(df)
+
+
+def test_unigram_logprob_matches_duckdb(spark):
+    got = {
+        r.doc_id: (r.n_tokens, r.nll_nats)
+        for r in quality.unigram_logprob(spark, SF_DIR).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = {
+        int(d): (int(n), float(v))
+        for d, n, v in con.execute(quality.UNIGRAM_LOGPROB_SQL).fetchall()
+    }
+    assert got == want
+
+
+def test_unigram_logprob_is_a_probability_mean(spark):
+    rows = quality.unigram_logprob(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        # mean -ln p(token) over a finite vocab: strictly positive, finite
+        assert 0.0 < r.nll_nats < 50.0
