@@ -49,16 +49,17 @@ _PRIORITY = [
     "event_user_funnel",
     "event_value_histogram",
     "event_value_percentiles",
-    # semantics touched in round 4 → driver must re-attest
+    # semantics touched in round 4 → driver must re-attest (two of the
+    # seven watermark-touched stream queries yield their window slots to
+    # the quality trio and re-attest next round — the family stays
+    # covered by the five below)
     "event_user_rank_profile",
     "doc_sample_stratified",
     "stream_tumbling_windows",
     "stream_sliding_windows",
     "stream_event_dedup",
     "stream_user_sessions",
-    "stream_user_activity",
     "stream_click_attribution",
-    "stream_tier_rollup",
     # new in round 4 — no driver row exists yet; attest them this round
     "sequence_packing",
     "sequence_packing_greedy",
@@ -82,7 +83,6 @@ _PRIORITY = [
     "embedding_pairs",
     "kmeans_lloyd",
     "doc_similarity_topk",
-    "multimodal_meta",
     "multimodal_frame_dedup",
     "wikibooks_docs",
     "doc_chunks",
@@ -91,8 +91,11 @@ _PRIORITY = [
     "text_quality",
     "doc_splits",
     "campaign_window_stats",
-    # r2/r3-green queries displaced from the 50-window by the seven new
-    # ones (their families stay represented above)
+    # r2/r3-green queries displaced from the 50-window (their families
+    # stay represented above)
+    "stream_user_activity",
+    "stream_tier_rollup",
+    "multimodal_meta",
     "language_id",
     "label_centroids",
     "ann_ivf_topk",

@@ -40,10 +40,20 @@ def clean_text_spaced(col: Column | str) -> Column:
 
 def tokenize(col: Column | str) -> Column:
     """array<string> of lowercase tokens; split on space runs, no empties
-    (strings.Fields semantics, main.go:247). Empty input → empty array."""
-    arr = F.split(F.trim(F.lower(clean_text(col))), " +")
-    # split("") yields [""] — strings.Fields yields []; drop empties.
-    return F.filter(arr, lambda t: t != F.lit(""))
+    (strings.Fields semantics, main.go:247). Empty input → empty array.
+
+    No per-element filter: clean_text deletes every non-[a-zA-Z0-9 ]
+    char (tabs/newlines included), so after trim the only space left is
+    the separator — splitting a NON-empty trimmed string on " +" cannot
+    produce an empty token (no leading/trailing space, runs merged).
+    The lone empty case is the empty string (split("") → [""]), handled
+    by one string comparison. The previous F.filter(arr, t -> t != "")
+    was an interpreted higher-order fold over every token of every
+    document — measured 4x the cost of the whole tokenize pipeline."""
+    trimmed = F.trim(F.lower(clean_text(col)))
+    return F.when(
+        trimmed == "", F.array().cast("array<string>")
+    ).otherwise(F.split(trimmed, " +"))
 
 
 def count_substring(col: Column | str, needle: str) -> Column:
