@@ -112,6 +112,10 @@ def _noted_regressions() -> set[str]:
 WARN_RATIO = 1.25
 FAIL_RATIO = 1.5
 MIN_PRIOR_SEC = 0.5
+# Absolute floor for FAILING (warns still print): per-query cold wall
+# includes ~1-2s of codegen compile + scheduling jitter regardless of
+# query size, so a ratio on a small delta is noise, not signal.
+MIN_FAIL_DELTA_SEC = 2.0
 
 
 def _regression_gate(timings: dict[str, float]) -> int:
@@ -134,7 +138,7 @@ def _regression_gate(timings: dict[str, float]) -> int:
         if not was or was < MIN_PRIOR_SEC:
             continue
         ratio = (now / was) / host
-        if ratio > FAIL_RATIO and name not in noted:
+        if ratio > FAIL_RATIO and (now - was) > MIN_FAIL_DELTA_SEC and name not in noted:
             print(
                 f"# REGRESSION {name}: {was:.3f}s -> {now:.3f}s ({ratio:.2f}x) "
                 f"— add a `regression-ok: {name}` note to PLANS.md if intended",

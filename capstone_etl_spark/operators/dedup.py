@@ -31,7 +31,7 @@ from capstone_etl_spark.functions.hashing import (
     minhash_expr_sql,
     minhash_params,
 )
-from capstone_etl_spark.functions.text import tokenize
+from capstone_etl_spark.functions.text import token_ngrams, tokenize
 from capstone_etl_spark.sources.tables import load_table
 from capstone_etl_spark.session import cached, checkpoint_truncate, release_checkpoint
 
@@ -78,22 +78,11 @@ def shingles(docs: DataFrame, n: int = NGRAM_N, max_df: int | None = MAX_SHINGLE
     full surface form). The df-cap drops non-discriminative shingles
     *before* any join (skew + volume control at scale)."""
     toks = docs.select("doc_id", tokenize("text").alias("toks"))
-    # Guard: F.sequence(1, size-(n-1)) DESCENDS through 0 when size < n
-    # (sequence(1, 0) = [1, 0]) and slice(toks, 0, n) throws
-    # INVALID_PARAMETER_VALUE.START — docs with < n tokens after cleaning
-    # (empty/punctuation-only text) must yield zero shingles, mirroring
-    # the oracle's len(t) >= n guard below.
+    # token_ngrams yields [] for docs with < n tokens after cleaning,
+    # mirroring the oracle's len(t) >= n guard below.
     grams = toks.select(
         "doc_id",
-        F.explode(
-            F.when(
-                F.size("toks") >= n,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-                    lambda i: F.array_join(F.slice("toks", i, n), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("shingle"),
+        F.explode(token_ngrams("toks", n)).alias("shingle"),
     )
     hashed = grams.select("doc_id", md5_hash60(F.col("shingle")).alias("sh")).distinct()
     if max_df is not None:
@@ -421,17 +410,14 @@ def decontamination_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         toks.filter(F.size("toks") >= n)
         .select(
             "doc_id",
-            F.explode(
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (n - 1)),
-                    lambda i: F.struct(
-                        i.cast("long").alias("pos"),
-                        F.array_join(F.slice("toks", i, n), " ").alias("gram"),
-                    ),
-                )
-            ).alias("g"),
+            F.posexplode(token_ngrams("toks", n)).alias("p", "gram"),
         )
-        .select("doc_id", F.col("g.pos").alias("pos"), md5_hash60(F.col("g.gram")).alias("sh"))
+        # posexplode is 0-based; the span positions are 1-based
+        .select(
+            "doc_id",
+            (F.col("p") + 1).cast("long").alias("pos"),
+            md5_hash60(F.col("gram")).alias("sh"),
+        )
     )
     df_ok = (
         grams.select("sh", "doc_id").distinct()

@@ -13,7 +13,7 @@ from pyspark.sql import functions as F
 
 from capstone_etl_spark.functions.hashing import MERSENNE_P, md5_hash60, md5_hash60_sql
 from capstone_etl_spark.functions.stopwords import STOPWORDS, stopwords_sql_in_list
-from capstone_etl_spark.functions.text import tokenize
+from capstone_etl_spark.functions.text import token_ngrams, tokenize
 from capstone_etl_spark.functions.windows import bounded_window_key
 from capstone_etl_spark.operators.vocab import with_dense_ids
 from capstone_etl_spark.sources.tables import load_table
@@ -219,18 +219,9 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     NULL (nothing to judge). Exact-integer ratio, rounded once."""
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", tokenize("text").alias("t"))
-    # sequence(1, size-2) descends when size < 3 — guard to empty.
     grams = toks.select(
         "doc_id",
-        F.explode(
-            F.when(
-                F.size("t") >= REP_N,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("t") - (REP_N - 1)),
-                    lambda i: F.array_join(F.slice("t", i, REP_N), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("g"),
+        F.explode(token_ngrams("t", REP_N)).alias("g"),
     )
     per_doc = grams.groupBy("doc_id").agg(
         F.count("*").alias("total_grams"),
@@ -485,15 +476,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     k, w = WINNOW_K, WINNOW_W
     grams = toks.select(
         "doc_id",
-        F.posexplode(
-            F.when(
-                F.size("toks") >= k,
-                F.transform(
-                    F.sequence(F.lit(1), F.size("toks") - (k - 1)),
-                    lambda i: F.array_join(F.slice("toks", i, k), " "),
-                ),
-            ).otherwise(F.array().cast("array<string>"))
-        ).alias("pos", "gram"),
+        F.posexplode(token_ngrams("toks", k)).alias("pos", "gram"),
     )
     hashed = grams.select(
         "doc_id",
