@@ -86,9 +86,19 @@ def shingles(docs: DataFrame, n: int = NGRAM_N, max_df: int | None = MAX_SHINGLE
     )
     hashed = grams.select("doc_id", md5_hash60(F.col("shingle")).alias("sh")).distinct()
     if max_df is not None:
-        df_counts = hashed.groupBy("sh").agg(F.count("*").alias("sdf"))
+        # df-cap as a count-over-sh window, not groupBy + semi-join:
+        # the join form consumes `hashed` twice, so the whole
+        # tokenize→gram→hash→distinct lineage runs TWICE per caller
+        # (measured 2x the stage). The window partitions on the uniform
+        # 60-bit hash — bounded by max observed shingle df, never a
+        # global window — and keeps the lineage single-pass.
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("sh")
         hashed = (
-            hashed.join(df_counts.filter(F.col("sdf") <= max_df), "sh", "left_semi")
+            hashed.withColumn("sdf", F.count("*").over(w))
+            .filter(F.col("sdf") <= max_df)
+            .select("doc_id", "sh")
         )
     return hashed
 
