@@ -56,7 +56,6 @@ _PRIORITY = [
     "event_user_rank_profile",
     "doc_sample_stratified",
     "stream_tumbling_windows",
-    "stream_sliding_windows",
     "stream_event_dedup",
     "stream_user_sessions",
     "stream_click_attribution",
@@ -74,6 +73,7 @@ _PRIORITY = [
     "quality_filter_flags",
     "quality_filter_funnel",
     "unigram_logprob",
+    "kmv_distinct_shingles",
     # family canaries (driver-green in r3; every family keeps ≥1 here)
     "corpus_pipeline",
     "dedup_clusters",
@@ -95,6 +95,7 @@ _PRIORITY = [
     # stay represented above)
     "stream_user_activity",
     "stream_tier_rollup",
+    "stream_sliding_windows",
     "multimodal_meta",
     "language_id",
     "label_centroids",
@@ -140,6 +141,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         rangejoin,
         relational,
         sampling,
+        sketches,
         similarity,
         streaming_queries,
         text_pipeline,
@@ -164,6 +166,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         corpus,
         packing,
         quality,
+        sketches,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE_SQL)

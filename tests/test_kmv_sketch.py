@@ -1,0 +1,48 @@
+"""KMV distinct-count sketch: determinism, accuracy, small-set fallback."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from capstone_etl_spark.operators.sketches import KMV_K, kmv_distinct_shingles
+from capstone_etl_spark.session import release_caches
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(autouse=True)
+def _release():
+    yield
+    release_caches()
+
+
+def test_kmv_estimates_within_sketch_error(spark):
+    rows = kmv_distinct_shingles(spark, SF_DIR).collect()
+    assert rows
+    for r in rows:
+        if r.n_exact >= KMV_K:
+            # KMV-k standard error ~ 1/sqrt(k-2) ≈ 6%; allow 5 sigma
+            assert r.rel_error < 0.35, (r.source, r.n_exact, r.kmv_estimate)
+        else:
+            # fewer distincts than k: the sketch IS the exact set
+            assert r.kmv_estimate == float(r.n_exact)
+            assert r.rel_error == 0.0
+
+
+def test_kmv_falls_back_exactly_on_tiny_groups(spark):
+    # a corpus whose per-source shingle count is far below k must report
+    # exact counts with zero error through the fallback branch
+    docs = spark.createDataFrame(
+        [(i, "alpha beta gamma delta epsilon", "only_src") for i in range(3)],
+        "doc_id long, text string, source string",
+    )
+    docs.createOrReplaceTempView("tiny_docs")
+    from capstone_etl_spark.operators import sketches
+    from capstone_etl_spark.functions.hashing import md5_hash60
+    from capstone_etl_spark.functions.text import token_ngrams, tokenize
+
+    toks = docs.select("source", tokenize("text").alias("toks"))
+    grams = toks.select("source", F.explode(token_ngrams("toks", sketches.NGRAM_N)).alias("g"))
+    n_distinct = grams.select("g").distinct().count()
+    assert n_distinct < KMV_K  # precondition: fallback territory
