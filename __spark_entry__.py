@@ -91,6 +91,9 @@ _PRIORITY = [
     "text_quality",
     "doc_splits",
     "campaign_window_stats",
+    # position 51+: first in line if the driver samples past 50
+    # (kmv_distinct_shingles carries the sketch family's driver row)
+    "kmv_source_overlap",
     # r2/r3-green queries displaced from the 50-window (their families
     # stay represented above)
     "stream_user_activity",

@@ -101,10 +101,123 @@ FROM est
 """
 
 
+def kmv_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap estimates from the bottom-k sketches
+    ALONE — the audit for shared n-gram space between corpus sources
+    (mirror sites, cross-posted content) without ever joining the full
+    shingle sets.
+
+    Soundness: any hash among the k smallest of A∪B that belongs to A
+    satisfies h ≤ h_k(A∪B) ≤ h_k(A), so it is necessarily inside A's
+    bottom-k sketch — the union's bottom-k and both membership flags
+    are fully derivable from the two k-row summaries. Estimators:
+    Ĵ = |{k smallest of A∪B} ∩ A ∩ B| / k', Û = (k'−1)·M/h_(k')
+    (exact union count when the union has < k hashes), Î = Ĵ·Û.
+
+    Scale: after the shared distinct pass, each source is reduced to k
+    rows; the pairwise stage touches |sources|²·k sketch rows — never
+    corpus data. All arithmetic is integer counts + double division on
+    identical ints, so the oracle reproduces every estimate exactly."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", tokenize("text").alias("toks"))
+    grams = toks.select("source", F.explode(token_ngrams("toks", NGRAM_N)).alias("shingle"))
+    hashed = grams.select("source", md5_hash60(F.col("shingle")).alias("h")).distinct()
+    w = Window.partitionBy("source").orderBy("h")
+    mins = cached(
+        hashed.withColumn("rnk", F.row_number().over(w)).filter(F.col("rnk") <= KMV_K).select("source", "h")
+    )
+    srcs = mins.select("source").distinct()
+    pairs = (
+        srcs.select(F.col("source").alias("src_a"))
+        .join(srcs.select(F.col("source").alias("src_b")), F.col("src_a") < F.col("src_b"))
+    )
+    ua = pairs.join(mins.withColumnRenamed("source", "src_a"), "src_a").select(
+        "src_a", "src_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    ub = pairs.join(mins.withColumnRenamed("source", "src_b"), "src_b").select(
+        "src_a", "src_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    union = (
+        ua.unionByName(ub)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    uw = Window.partitionBy("src_a", "src_b").orderBy("h")  # ≤ 2k rows per pair
+    ranked = union.withColumn("rnk", F.row_number().over(uw)).filter(F.col("rnk") <= KMV_K)
+    agg = ranked.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("kp"),                                  # k' = min(k, |union sketch|)
+        F.sum((F.col("in_a") * F.col("in_b"))).alias("n_both"),
+        F.max(F.when(F.col("rnk") == KMV_K, F.col("h"))).alias("hk"),
+    )
+    j_est = F.col("n_both").cast("double") / F.col("kp")
+    u_est = F.when(
+        F.col("hk").isNull(), F.col("kp").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) * F.lit(HASH_SPACE) / F.col("hk"))
+    return agg.select(
+        "src_a",
+        "src_b",
+        F.round(j_est, 6).alias("jaccard_est"),
+        F.round(u_est, 6).alias("union_est"),
+        F.round(j_est * u_est, 6).alias("intersection_est"),
+    )
+
+
+KMV_SOURCE_OVERLAP_SQL = f"""
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+                     t -> t <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT source, array_to_string(t[i : i + {NGRAM_N} - 1], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {NGRAM_N} + 2)) AS i) r
+  WHERE len(t) >= {NGRAM_N}
+), hashed AS (
+  SELECT DISTINCT source, {md5_hash60_sql('shingle')} AS h FROM grams
+), mins AS (
+  SELECT source, h FROM (
+    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rnk FROM hashed
+  ) t WHERE rnk <= {KMV_K}
+), srcs AS (SELECT DISTINCT source FROM mins),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+), unioned AS (
+  SELECT src_a, src_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+    SELECT p.src_a, p.src_b, m.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN mins m ON m.source = p.src_a
+    UNION ALL
+    SELECT p.src_a, p.src_b, m.h, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN mins m ON m.source = p.src_b
+  ) u GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rnk
+  FROM unioned
+), agg AS (
+  SELECT src_a, src_b,
+         COUNT(*) AS kp,
+         CAST(SUM(in_a * in_b) AS BIGINT) AS n_both,
+         MAX(CASE WHEN rnk = {KMV_K} THEN h END) AS hk
+  FROM ranked WHERE rnk <= {KMV_K}
+  GROUP BY 1, 2
+)
+SELECT src_a, src_b,
+       ROUND(CAST(n_both AS DOUBLE) / kp, 6) AS jaccard_est,
+       ROUND(CASE WHEN hk IS NULL THEN CAST(kp AS DOUBLE)
+                  ELSE CAST({float(KMV_K - 1)} AS DOUBLE) * CAST({HASH_SPACE!r} AS DOUBLE) / hk END, 6) AS union_est,
+       ROUND((CAST(n_both AS DOUBLE) / kp)
+             * (CASE WHEN hk IS NULL THEN CAST(kp AS DOUBLE)
+                     ELSE CAST({float(KMV_K - 1)} AS DOUBLE) * CAST({HASH_SPACE!r} AS DOUBLE) / hk END), 6) AS intersection_est
+FROM agg
+"""
+
+
 QUERIES = {
     "kmv_distinct_shingles": kmv_distinct_shingles,
+    "kmv_source_overlap": kmv_source_overlap,
 }
 
 ORACLE_SQL = {
     "kmv_distinct_shingles": KMV_DISTINCT_SHINGLES_SQL,
+    "kmv_source_overlap": KMV_SOURCE_OVERLAP_SQL,
 }

@@ -30,6 +30,37 @@ def test_kmv_estimates_within_sketch_error(spark):
             assert r.rel_error == 0.0
 
 
+def test_kmv_overlap_tracks_exact_jaccard(spark):
+    from capstone_etl_spark.functions.hashing import md5_hash60
+    from capstone_etl_spark.functions.text import token_ngrams, tokenize
+    from capstone_etl_spark.operators import sketches
+    from capstone_etl_spark.operators.sketches import kmv_source_overlap
+    from capstone_etl_spark.sources.tables import load_table
+
+    est = {
+        (r.src_a, r.src_b): r.jaccard_est
+        for r in kmv_source_overlap(spark, SF_DIR).collect()
+    }
+    assert est
+    # exact pairwise Jaccard over the full distinct shingle-hash sets
+    docs = load_table(spark, SF_DIR, "documents")
+    toks = docs.select("source", tokenize("text").alias("toks"))
+    hashed = (
+        toks.select("source", F.explode(token_ngrams("toks", sketches.NGRAM_N)).alias("g"))
+        .select("source", md5_hash60(F.col("g")).alias("h"))
+        .distinct()
+    )
+    sets: dict[str, set] = {}
+    for row in hashed.collect():
+        sets.setdefault(row.source, set()).add(row.h)
+    for (a, b), j_est in est.items():
+        inter = len(sets[a] & sets[b])
+        union = len(sets[a] | sets[b])
+        j_exact = inter / union
+        # KMV-256 jaccard standard error ~ sqrt(J(1-J)/k) ≈ 0.03; 5 sigma
+        assert abs(j_est - j_exact) < 0.2, (a, b, j_est, j_exact)
+
+
 def test_kmv_falls_back_exactly_on_tiny_groups(spark):
     # a corpus whose per-source shingle count is far below k must report
     # exact counts with zero error through the fallback branch
