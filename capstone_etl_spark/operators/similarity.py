@@ -406,34 +406,37 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmin with cell tiebreak), so both engines build the identical
     index, probe identical cells and rank identical candidates.
 
-    Scale notes: assignment is the standard O(N·cells) quantizer pass
-    over a broadcast seed table; the candidate join shuffles on cell;
-    rerank cost = probed fraction of brute force. Recall vs brute
-    force asserted in tests."""
+    Scale notes: assignment is the standard O(N·cells) quantizer pass —
+    quantized seed ARRAYS broadcast, one integer-distance fold per
+    (vector, seed), N×cells rows total (the posexplode form pushed
+    N×DIM×cells rows through a shuffle; see semantic_dedup); the
+    candidate join shuffles on cell; rerank cost = probed fraction of
+    brute force. Recall vs brute force asserted in tests."""
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    by_dim = emb.select("vec_id", F.posexplode("embedding").alias("d", "v"))
-    scaled = by_dim.select(
-        "vec_id",
-        "d",
-        F.floor(F.col("v").cast("double") * CENTROID_SCALE + 0.5).cast("long").alias("vs"),
+    quant = F.transform(
+        "embedding",
+        lambda v: F.floor(v.cast("double") * CENTROID_SCALE + 0.5).cast("long"),
     )
-    seeds = scaled.filter(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cell"), "d", F.col("vs").alias("ss")
+    emb_q = emb.select("vec_id", quant.alias("vq"))
+    seeds = emb_q.filter(F.col("vec_id") < IVF_CELLS).select(
+        F.col("vec_id").alias("cell"), F.col("vq").alias("sq")
     )
-    # quantizer pass: nearest seed per vector (exact integer distance)
-    sd = F.col("vs") - F.col("ss")
-    vec_seed_d2 = (
-        scaled.join(F.broadcast(seeds), "d")
-        .groupBy("vec_id", "cell")
-        .agg(F.sum(sd * sd).alias("d2"))
+    d2_col = F.aggregate(
+        F.zip_with("vq", "sq", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
     )
-    aw = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    # (vector, seed) exact integer distances — feeds BOTH the assignment
+    # argmin and the query probe ranking below
+    vec_seed_d2 = emb_q.join(F.broadcast(seeds), F.lit(True)).select(
+        "vec_id", "cell", d2_col.alias("d2")
+    )
     assign = (
-        vec_seed_d2.withColumn("arnk", F.row_number().over(aw))
-        .filter(F.col("arnk") == 1)
-        .select("vec_id", "cell")
+        vec_seed_d2.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
     )
     # probe: each query's IVF_PROBES nearest cells (same distance table)
     pw = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
