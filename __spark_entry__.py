@@ -56,7 +56,6 @@ _PRIORITY = [
     "event_user_rank_profile",
     "doc_sample_stratified",
     "stream_tumbling_windows",
-    "stream_event_dedup",
     "stream_user_sessions",
     "stream_click_attribution",
     # new in round 4 — no driver row exists yet; attest them this round
@@ -74,6 +73,7 @@ _PRIORITY = [
     "quality_filter_funnel",
     "unigram_logprob",
     "kmv_distinct_shingles",
+    "hierarchy_pagerank",
     # family canaries (driver-green in r3; every family keeps ≥1 here)
     "corpus_pipeline",
     "dedup_clusters",
@@ -92,8 +92,12 @@ _PRIORITY = [
     "doc_splits",
     "campaign_window_stats",
     # position 51+: first in line if the driver samples past 50
-    # (kmv_distinct_shingles carries the sketch family's driver row)
+    # (kmv_distinct_shingles carries the sketch family's driver row;
+    # stream_event_dedup's dropDuplicates path re-attests next round —
+    # the changed watermark/stateful code is covered by the three
+    # stream queries still in-window)
     "kmv_source_overlap",
+    "stream_event_dedup",
     # r2/r3-green queries displaced from the 50-window (their families
     # stay represented above)
     "stream_user_activity",

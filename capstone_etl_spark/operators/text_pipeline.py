@@ -431,6 +431,103 @@ FROM linked GROUP BY parent_page
 """
 
 
+PR_SCALE = 1_000_000_000_000   # 10^12 fixed-point rank units
+PR_ITERS = 5
+PR_DAMP_NUM, PR_DAMP_DEN = 85, 100   # d = 0.85 as exact integers
+
+
+def hierarchy_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank over the URL-derived page hierarchy — the repo's second
+    iterative distributed graph algorithm (dedup_clusters' connected
+    components being the first). Rank flows parent→child for PR_ITERS
+    rounds with damping 0.85; dangling mass is dropped (documented
+    variant — redistribution adds a global scalar join per round for no
+    extra operator coverage).
+
+    Exactness: ranks are int64 fixed-point (PR_SCALE units); every
+    divide is integer `div`, every transfer `(rank div outdeg)`, every
+    damp `(85·x) div 100` — both engines floor identically, and integer
+    sums are order-free, so after 5 rounds the ranks agree to the unit.
+    The oracle unrolls the loop as chained CTEs built by the same
+    Python constants.
+
+    Scale: per round = one edge join on src + one sum shuffle on dst +
+    a left join back to nodes — the textbook BSP step. Node count
+    enters as a 1-row broadcast (no driver .count()). Five fixed rounds
+    keep lineage linear; an open-ended variant would checkpoint like
+    the CC loop (dedup.py)."""
+    urls = hier_ops.synthetic_doc_urls(_docs(spark, sf_dir))
+    pages = hier_ops.derive_paths(urls, url_col="url").select(
+        "doc_id", "page_loc", "parent_path"
+    )
+    linked = hier_ops.link_hierarchy(pages, id_col="doc_id")
+    edges = (
+        linked.select(F.col("parent_page").alias("src"), pages["doc_id"].alias("dst"))
+        .filter(F.col("src").isNotNull())
+        .transform(cached)
+    )
+    nodes = pages.select("doc_id")
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    n_rel = nodes.agg(F.count("*").alias("n_nodes"))
+    base = F.expr(f"(({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_SCALE} div n_nodes)) div {PR_DAMP_DEN})")
+    ranks = nodes.crossJoin(F.broadcast(n_rel)).select(
+        "doc_id", "n_nodes", F.expr(f"{PR_SCALE} div n_nodes").alias("rank")
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(outdeg, "src")
+            .join(ranks.select(F.col("doc_id").alias("src"), "rank"), "src")
+            .select("dst", F.expr("rank div od").alias("c"))
+        )
+        incoming = contrib.groupBy("dst").agg(F.sum("c").alias("inc"))
+        ranks = (
+            nodes.crossJoin(F.broadcast(n_rel))
+            .join(incoming, nodes["doc_id"] == incoming["dst"], "left")
+            .select(
+                "doc_id",
+                "n_nodes",
+                (
+                    base
+                    + F.expr(f"({PR_DAMP_NUM} * coalesce(inc, 0)) div {PR_DAMP_DEN}")
+                ).alias("rank"),
+            )
+        )
+    return ranks.select("doc_id", "rank")
+
+
+def _pagerank_sql() -> str:
+    base = f"(({PR_DAMP_DEN - PR_DAMP_NUM} * ({PR_SCALE} // t.n_nodes)) // {PR_DAMP_DEN})"
+    iters = []
+    prev = "r0"
+    for i in range(1, PR_ITERS + 1):
+        iters.append(f"""
+r{i} AS (
+  SELECT n.doc_id, t.n_nodes,
+         {base} + ({PR_DAMP_NUM} * COALESCE(inc.s, 0)) // {PR_DAMP_DEN} AS rank
+  FROM nodes n CROSS JOIN total t
+  LEFT JOIN (
+    SELECT e.dst AS doc_id, CAST(SUM(r.rank // o.od) AS BIGINT) AS s
+    FROM edges e JOIN outdeg o ON o.src = e.src JOIN {prev} r ON r.doc_id = e.src
+    GROUP BY e.dst
+  ) inc ON inc.doc_id = n.doc_id
+)""")
+        prev = f"r{i}"
+    return f"""
+WITH {_URL_PAGES_CTE.strip()}
+, edges AS (
+  SELECT p.doc_id AS src, c.doc_id AS dst
+  FROM withp c JOIN withp p ON c.parent_path = p.page_loc
+), nodes AS (SELECT doc_id FROM withp),
+outdeg AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+total AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+r0 AS (
+  SELECT n.doc_id, t.n_nodes, {PR_SCALE} // t.n_nodes AS rank
+  FROM nodes n CROSS JOIN total t
+),{",".join(iters)}
+SELECT doc_id, rank FROM {prev}
+"""
+
+
 QUERIES = {
     "tf_per_doc": tf_per_doc,
     "doc_stats": doc_stats,
@@ -448,6 +545,7 @@ QUERIES = {
     "doc_dense_ids": doc_dense_ids,
     "parent_child": parent_child,
     "parent_child_agg": parent_child_agg,
+    "hierarchy_pagerank": hierarchy_pagerank,
 }
 
 ORACLE_SQL = {
@@ -467,4 +565,5 @@ ORACLE_SQL = {
     "doc_dense_ids": DOC_DENSE_IDS_SQL,
     "parent_child": PARENT_CHILD_SQL,
     "parent_child_agg": PARENT_CHILD_AGG_SQL,
+    "hierarchy_pagerank": _pagerank_sql(),
 }

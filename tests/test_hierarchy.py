@@ -32,3 +32,36 @@ def test_child_aggregates(spark):
     agg = {r.parent_page: r for r in child_aggregates(_linked(spark), id_col="page_id").collect()}
     assert agg[1].count_children == 1 and agg[1].child_pages == [2]
     assert agg[2].count_children == 1 and agg[2].child_pages == [3]
+
+
+def test_pagerank_fixed_point_invariants(spark):
+    from capstone_etl_spark.operators.text_pipeline import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+        hierarchy_pagerank,
+        parent_child,
+    )
+    from capstone_etl_spark.session import release_caches
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        ranks = {r.doc_id: r.rank for r in hierarchy_pagerank(spark, sf).collect()}
+        parents = {r.doc_id: r.parent_page for r in parent_child(spark, sf).collect()}
+    finally:
+        release_caches()
+    n = len(ranks)
+    base = ((PR_DAMP_DEN - PR_DAMP_NUM) * (PR_SCALE // n)) // PR_DAMP_DEN
+    assert set(parents) == set(ranks)
+    has_children = {p for p in parents.values() if p is not None}
+    for doc_id, rank in ranks.items():
+        if parents[doc_id] is None:
+            # no in-links (roots, off-wiki docs): rank is exactly the base
+            assert rank == base, (doc_id, rank, base)
+        else:
+            # every linked child received damped mass on top of the base
+            assert rank > base, (doc_id, rank, base)
+    # total mass never exceeds one SCALE unit of rank (dangling drop
+    # only removes mass; integer floors only remove mass)
+    assert sum(ranks.values()) <= PR_SCALE
+    assert has_children  # fixture sanity: the forest is non-trivial
