@@ -58,6 +58,11 @@ HEADLINE = [
     # tracked round — no prior to compare; the gate skips them).
     "sequence_packing_greedy",
     "semantic_dedup",
+    # r4 continuation: quality gating, the unigram-LM score, and the
+    # KMV sketch — the new families' perf tracked from day one.
+    "quality_filter_funnel",
+    "unigram_logprob",
+    "kmv_distinct_shingles",
 ]
 
 
