@@ -97,6 +97,7 @@ _PRIORITY = [
     # the changed watermark/stateful code is covered by the three
     # stream queries still in-window)
     "kmv_source_overlap",
+    "repeated_ngram_spans",
     "stream_event_dedup",
     # r2/r3-green queries displaced from the 50-window (their families
     # stay represented above)

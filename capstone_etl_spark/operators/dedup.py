@@ -527,6 +527,116 @@ GROUP BY h.doc_id
 """
 
 
+SPAN_N = 8   # repeated-substring span length in tokens
+
+
+def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train-internal repeated-substring audit (the substring-dedup
+    signal of Lee et al. 2022, "Deduplicating Training Data Makes
+    Language Models Better"): flag every token position covered by an
+    8-gram that occurs MORE THAN ONCE in the corpus (across or within
+    documents), merge overlapping flagged spans per document
+    (gaps-and-islands), and report per-doc span count, flagged-token
+    count and coverage ratio — the relation a scrubbing pass consumes.
+
+    Plan: positional 8-grams (one map-side pass via token_ngrams), the
+    repeat test as a count-over-gram-hash window (single-pass, same
+    discipline as the shingle df-cap), then one per-doc window for the
+    island merge — bounded by document length, never global. Two
+    uniform-key shuffles total. Exact integers throughout; the ratio is
+    one division of identical ints."""
+    from pyspark.sql import Window
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    grams = toks.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        F.posexplode(token_ngrams("toks", SPAN_N)).alias("p", "gram"),
+    ).select(
+        "doc_id",
+        "n_tokens",
+        (F.col("p") + 1).cast("long").alias("pos"),
+        md5_hash60(F.col("gram")).alias("sh"),
+    )
+    cw = Window.partitionBy("sh")
+    flagged = grams.withColumn("c", F.count("*").over(cw)).filter(F.col("c") > 1)
+    dw = Window.partitionBy("doc_id").orderBy("pos")
+    prev = F.lag("pos").over(dw)
+    # a new island starts when this gram's cover [pos, pos+N-1] cannot
+    # touch the previous cover: pos > prev + N
+    island_start = F.when(prev.isNull() | (F.col("pos") > prev + SPAN_N), 1).otherwise(0)
+    with_islands = flagged.withColumn(
+        "island", F.sum(island_start).over(dw.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    per_island = with_islands.groupBy("doc_id", "n_tokens", "island").agg(
+        (F.max("pos") - F.min("pos") + SPAN_N).alias("span_tokens")
+    )
+    per_doc = per_island.groupBy("doc_id", "n_tokens").agg(
+        F.count("*").alias("n_spans"),
+        F.sum("span_tokens").alias("n_flagged"),
+    )
+    base = docs.select("doc_id", F.size(tokenize("text")).cast("long").alias("n_tokens"))
+    return base.join(per_doc, ["doc_id", "n_tokens"], "left").select(
+        "doc_id",
+        "n_tokens",
+        F.coalesce(F.col("n_spans"), F.lit(0)).cast("long").alias("n_spans"),
+        F.coalesce(F.col("n_flagged"), F.lit(0)).cast("long").alias("n_flagged"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.coalesce(F.col("n_flagged"), F.lit(0)).cast("double") / F.col("n_tokens"),
+        ).otherwise(F.lit(None)).alias("flagged_ratio"),
+    )
+
+
+REPEATED_NGRAM_SPANS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+                     t -> t <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, i AS pos,
+         {md5_hash60_sql("array_to_string(t[i : i + " + str(SPAN_N) + " - 1], ' ')")} AS sh
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {SPAN_N} + 2)) AS i) r
+  WHERE len(t) >= {SPAN_N}
+), flagged AS (
+  SELECT * FROM (
+    SELECT g.*, COUNT(*) OVER (PARTITION BY sh) AS c FROM grams g
+  ) t WHERE c > 1
+), islands AS (
+  SELECT doc_id, n_tokens, pos,
+         SUM(CASE WHEN prev IS NULL OR pos > prev + {SPAN_N} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
+  FROM (
+    SELECT doc_id, n_tokens, pos,
+           LAG(pos) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+    FROM flagged
+  ) l
+), per_island AS (
+  SELECT doc_id, n_tokens, island,
+         MAX(pos) - MIN(pos) + {SPAN_N} AS span_tokens
+  FROM islands GROUP BY 1, 2, 3
+), per_doc AS (
+  SELECT doc_id, n_tokens,
+         COUNT(*) AS n_spans,
+         CAST(SUM(span_tokens) AS BIGINT) AS n_flagged
+  FROM per_island GROUP BY 1, 2
+), base AS (
+  SELECT doc_id, CAST(len(list_filter(
+    string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+    t -> t <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+)
+SELECT b.doc_id, b.n_tokens,
+       COALESCE(p.n_spans, 0) AS n_spans,
+       COALESCE(p.n_flagged, 0) AS n_flagged,
+       CASE WHEN b.n_tokens > 0
+            THEN CAST(COALESCE(p.n_flagged, 0) AS DOUBLE) / b.n_tokens END AS flagged_ratio
+FROM base b LEFT JOIN per_doc p ON p.doc_id = b.doc_id AND p.n_tokens = b.n_tokens
+"""
+
+
 # ------------------------------------------------------- MinHash + LSH
 
 def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
@@ -761,6 +871,7 @@ QUERIES = {
     "decontamination": benchmark_decontamination,
     "decontamination_spans": decontamination_spans,
     "gram_novelty": gram_novelty,
+    "repeated_ngram_spans": repeated_ngram_spans,
 }
 
 ORACLE_SQL = {
@@ -772,4 +883,5 @@ ORACLE_SQL = {
     "decontamination": DECONTAMINATION_SQL,
     "decontamination_spans": DECONTAMINATION_SPANS_SQL,
     "gram_novelty": GRAM_NOVELTY_SQL,
+    "repeated_ngram_spans": REPEATED_NGRAM_SPANS_SQL,
 }
