@@ -203,3 +203,20 @@ def test_bounded_window_key_is_not_constant_folded(spark):
     )
     # and it IS constant-valued: exactly one key, value 0
     assert [r.k for r in df.distinct().collect()] == [0]
+
+
+def test_vector_quantizers_have_no_explode_fanout(spark):
+    """The IVF/SemDeDup cell assignment must stay in ARRAY form (one
+    integer-distance fold per vector-seed pair): a Generate node in the
+    plan means the posexplode fan-out (N x dims x cells rows through a
+    shuffle) has crept back."""
+    from capstone_etl_spark.operators.similarity import ann_ivf_topk, semantic_dedup
+    from capstone_etl_spark.plans import formatted_plan
+    from capstone_etl_spark.session import release_caches
+
+    for q in (semantic_dedup, ann_ivf_topk):
+        spark.catalog.clearCache()
+        try:
+            assert "Generate" not in formatted_plan(q(spark, SF_DIR)), q.__name__
+        finally:
+            release_caches()
