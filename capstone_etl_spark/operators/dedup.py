@@ -527,7 +527,7 @@ GROUP BY h.doc_id
 """
 
 
-SPAN_N = 8   # repeated-substring span length in tokens
+REPEAT_SPAN_N = 8   # repeated-substring span length in tokens
 
 
 def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -552,7 +552,7 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     grams = toks.select(
         "doc_id",
         F.size("toks").cast("long").alias("n_tokens"),
-        F.posexplode(token_ngrams("toks", SPAN_N)).alias("p", "gram"),
+        F.posexplode(token_ngrams("toks", REPEAT_SPAN_N)).alias("p", "gram"),
     ).select(
         "doc_id",
         "n_tokens",
@@ -565,12 +565,12 @@ def repeated_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     prev = F.lag("pos").over(dw)
     # a new island starts when this gram's cover [pos, pos+N-1] cannot
     # touch the previous cover: pos > prev + N
-    island_start = F.when(prev.isNull() | (F.col("pos") > prev + SPAN_N), 1).otherwise(0)
+    island_start = F.when(prev.isNull() | (F.col("pos") > prev + REPEAT_SPAN_N), 1).otherwise(0)
     with_islands = flagged.withColumn(
         "island", F.sum(island_start).over(dw.rowsBetween(Window.unboundedPreceding, 0))
     )
     per_island = with_islands.groupBy("doc_id", "n_tokens", "island").agg(
-        (F.max("pos") - F.min("pos") + SPAN_N).alias("span_tokens")
+        (F.max("pos") - F.min("pos") + REPEAT_SPAN_N).alias("span_tokens")
     )
     per_doc = per_island.groupBy("doc_id", "n_tokens").agg(
         F.count("*").alias("n_spans"),
@@ -597,16 +597,16 @@ WITH toks AS (
   FROM documents
 ), grams AS (
   SELECT doc_id, CAST(len(t) AS BIGINT) AS n_tokens, i AS pos,
-         {md5_hash60_sql("array_to_string(t[i : i + " + str(SPAN_N) + " - 1], ' ')")} AS sh
-  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {SPAN_N} + 2)) AS i) r
-  WHERE len(t) >= {SPAN_N}
+         {md5_hash60_sql("array_to_string(t[i : i + " + str(REPEAT_SPAN_N) + " - 1], ' ')")} AS sh
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {REPEAT_SPAN_N} + 2)) AS i) r
+  WHERE len(t) >= {REPEAT_SPAN_N}
 ), flagged AS (
   SELECT * FROM (
     SELECT g.*, COUNT(*) OVER (PARTITION BY sh) AS c FROM grams g
   ) t WHERE c > 1
 ), islands AS (
   SELECT doc_id, n_tokens, pos,
-         SUM(CASE WHEN prev IS NULL OR pos > prev + {SPAN_N} THEN 1 ELSE 0 END)
+         SUM(CASE WHEN prev IS NULL OR pos > prev + {REPEAT_SPAN_N} THEN 1 ELSE 0 END)
            OVER (PARTITION BY doc_id ORDER BY pos ROWS UNBOUNDED PRECEDING) AS island
   FROM (
     SELECT doc_id, n_tokens, pos,
@@ -615,7 +615,7 @@ WITH toks AS (
   ) l
 ), per_island AS (
   SELECT doc_id, n_tokens, island,
-         MAX(pos) - MIN(pos) + {SPAN_N} AS span_tokens
+         MAX(pos) - MIN(pos) + {REPEAT_SPAN_N} AS span_tokens
   FROM islands GROUP BY 1, 2, 3
 ), per_doc AS (
   SELECT doc_id, n_tokens,

@@ -87,9 +87,9 @@ def test_decontamination_is_bipartite(spark):
 
 
 def test_repeated_ngram_spans_flags_planted_substring(spark, tmp_path):
-    from capstone_etl_spark.operators.dedup import SPAN_N, repeated_ngram_spans
+    from capstone_etl_spark.operators.dedup import REPEAT_SPAN_N, repeated_ngram_spans
 
-    shared = " ".join(f"w{i}" for i in range(SPAN_N + 4))   # 12-token shared run
+    shared = " ".join(f"w{i}" for i in range(REPEAT_SPAN_N + 4))   # 12-token shared run
     rows = [
         (0, shared + " alpha beta gamma delta epsilon zeta", "en", "s0", 0),
         (1, "one two three four five six seven " + shared, "en", "s0", 0),
@@ -101,6 +101,6 @@ def test_repeated_ngram_spans_flags_planted_substring(spark, tmp_path):
     # the shared 12-token run is covered by repeated 8-grams in docs 0+1
     for d in (0, 1):
         assert got[d].n_spans == 1
-        assert got[d].n_flagged == SPAN_N + 4
-        assert abs(got[d].flagged_ratio - (SPAN_N + 4) / got[d].n_tokens) < 1e-12
+        assert got[d].n_flagged == REPEAT_SPAN_N + 4
+        assert abs(got[d].flagged_ratio - (REPEAT_SPAN_N + 4) / got[d].n_tokens) < 1e-12
     assert got[2].n_spans == 0 and got[2].n_flagged == 0
