@@ -98,6 +98,8 @@ _PRIORITY = [
     # stream queries still in-window)
     "kmv_source_overlap",
     "repeated_ngram_spans",
+    "difficulty_deciles",
+    "mixing_allocation",
     "stream_event_dedup",
     # r2/r3-green queries displaced from the 50-window (their families
     # stay represented above)

@@ -347,11 +347,51 @@ CROSS JOIN (
 """
 
 
+MIX_TOKEN_BUDGET = 100_000   # target blend size in tokens (test scale)
+
+
+def mixing_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The actionable step after source_mixing_weights: turn the
+    √-temperature weights into a concrete per-source allocation for a
+    fixed token budget — allocated tokens, the salted-hash keep-rate a
+    downsampled source applies, and the epoch multiplier an upsampled
+    source repeats at (the two regimes of every data-mixing recipe).
+
+    Pure column math over the 1-row-per-source weights relation (the
+    corpus-scale work already happened inside source_mixing_weights);
+    floor() of identical doubles is identical, so the oracle matches
+    exactly."""
+    w = source_mixing_weights(spark, sf_dir)
+    alloc = F.floor(F.lit(float(MIX_TOKEN_BUDGET)) * F.col("mix_weight")).cast("long")
+    rate = alloc.cast("double") / F.col("n_tokens")
+    return w.select(
+        "source",
+        "n_tokens",
+        F.round("mix_weight", 6).alias("mix_weight"),
+        alloc.alias("alloc_tokens"),
+        F.round(F.least(F.lit(1.0), rate), 6).alias("keep_rate"),
+        F.round(rate, 6).alias("epochs"),
+    ).orderBy("source")
+
+
+MIXING_ALLOCATION_SQL = f"""
+WITH w AS ({SOURCE_MIXING_WEIGHTS_SQL})
+SELECT source, n_tokens,
+       ROUND(mix_weight, 6) AS mix_weight,
+       CAST(FLOOR({float(MIX_TOKEN_BUDGET)} * mix_weight) AS BIGINT) AS alloc_tokens,
+       ROUND(LEAST(1.0, CAST(FLOOR({float(MIX_TOKEN_BUDGET)} * mix_weight) AS DOUBLE) / n_tokens), 6) AS keep_rate,
+       ROUND(CAST(FLOOR({float(MIX_TOKEN_BUDGET)} * mix_weight) AS DOUBLE) / n_tokens, 6) AS epochs
+FROM w
+ORDER BY source
+"""
+
+
 QUERIES = {
     "corpus_pipeline": corpus_pipeline,
     "doc_chunks": doc_chunks,
     "doc_chunks_overlap": doc_chunks_overlap,
     "source_mixing_weights": source_mixing_weights,
+    "mixing_allocation": mixing_allocation,
     "cluster_aware_splits": cluster_aware_splits,
     "corpus_summary": corpus_summary,
 }
@@ -361,6 +401,7 @@ ORACLE_SQL = {
     "doc_chunks": DOC_CHUNKS_SQL,
     "doc_chunks_overlap": DOC_CHUNKS_OVERLAP_SQL,
     "source_mixing_weights": SOURCE_MIXING_WEIGHTS_SQL,
+    "mixing_allocation": MIXING_ALLOCATION_SQL,
     "cluster_aware_splits": _cluster_aware_splits_sql(),
     "corpus_summary": _corpus_summary_sql(),
 }

@@ -163,6 +163,34 @@ def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def difficulty_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum binning: every document placed in a global decile of
+    the unigram-LM difficulty score (low decile = head-token easy text,
+    high = rare-token hard text) — the table a curriculum sampler or
+    difficulty-stratified mixer consumes.
+
+    Global ranking WITHOUT a global window: `with_dense_ids` range-sorts
+    on (nll, doc_id) and assigns ids via per-partition ranks + a
+    broadcast offset table (the O2 machinery); decile = (rank·10) div N
+    with N entering as a 1-row broadcast. Integer div floors identically
+    in both engines, and the rank order is identical because the rounded
+    nll values already hash-match."""
+    from capstone_etl_spark.operators.vocab import with_dense_ids
+
+    nll = unigram_logprob(spark, sf_dir)
+    ranked = with_dense_ids(nll, [F.col("nll_nats"), F.col("doc_id")], id_name="_rid")
+    n_rel = ranked.agg(F.count("*").alias("_n_docs"))
+    return (
+        ranked.crossJoin(F.broadcast(n_rel))
+        .select(
+            "doc_id",
+            "n_tokens",
+            "nll_nats",
+            F.expr("(_rid * 10) div _n_docs").cast("long").alias("decile"),
+        )
+    )
+
+
 _TOKS = """
   list_filter(string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
               t -> t <> '')
@@ -247,14 +275,28 @@ FROM terms GROUP BY doc_id
 """
 
 
+DIFFICULTY_DECILES_SQL = f"""
+WITH u AS ({UNIGRAM_LOGPROB_SQL}),
+r AS (
+  SELECT doc_id, n_tokens, nll_nats,
+         ROW_NUMBER() OVER (ORDER BY nll_nats, doc_id) - 1 AS rid,
+         COUNT(*) OVER () AS n
+  FROM u
+)
+SELECT doc_id, n_tokens, nll_nats, (rid * 10) // n AS decile FROM r
+"""
+
+
 QUERIES = {
     "quality_filter_flags": quality_filter_flags,
     "quality_filter_funnel": quality_filter_funnel,
     "unigram_logprob": unigram_logprob,
+    "difficulty_deciles": difficulty_deciles,
 }
 
 ORACLE_SQL = {
     "quality_filter_flags": QUALITY_FILTER_FLAGS_SQL,
     "quality_filter_funnel": QUALITY_FILTER_FUNNEL_SQL,
     "unigram_logprob": UNIGRAM_LOGPROB_SQL,
+    "difficulty_deciles": DIFFICULTY_DECILES_SQL,
 }

@@ -74,3 +74,20 @@ def test_unigram_logprob_is_a_probability_mean(spark):
     for r in rows:
         # mean -ln p(token) over a finite vocab: strictly positive, finite
         assert 0.0 < r.nll_nats < 50.0
+
+
+def test_difficulty_deciles_are_balanced_and_ordered(spark):
+    rows = quality.difficulty_deciles(spark, SF_DIR).collect()
+    n = len(rows)
+    assert n > 0
+    from collections import Counter
+
+    per_decile = Counter(r.decile for r in rows)
+    assert set(per_decile) == set(range(10))
+    # (rid*10) div n puts either floor(n/10) or ceil(n/10) docs per bin
+    assert max(per_decile.values()) - min(per_decile.values()) <= 1
+    # decile order must follow the difficulty score
+    by_decile = sorted(rows, key=lambda r: (r.decile, r.nll_nats))
+    for a, b in zip(by_decile, by_decile[1:]):
+        if a.decile < b.decile:
+            assert a.nll_nats <= b.nll_nats
