@@ -100,6 +100,7 @@ _PRIORITY = [
     "repeated_ngram_spans",
     "difficulty_deciles",
     "mixing_allocation",
+    "stream_quality_funnel",
     "stream_event_dedup",
     # r2/r3-green queries displaced from the 50-window (their families
     # stay represented above)

@@ -96,20 +96,21 @@ def quality_filter_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stage-by-stage audit of the rule stack: for each rule, documents
-    entering that stage, rejected BY that stage (first-fail semantics),
-    and surviving. The whole funnel is ONE conditional aggregation over
-    the flags scan (a 1-row shuffle), then |RULES| rows are unpacked
-    from the agg row via inline(array(struct…)) — no second scan, no
-    per-rule jobs."""
-    flags = _rule_flags(load_table(spark, sf_dir, "documents"))
+def funnel_agg(flags: DataFrame) -> DataFrame:
+    """The funnel as ONE conditional aggregation (1-row result) —
+    stateless column math + a global agg, so the same expression runs
+    on a batch frame or a streaming frame (complete mode)."""
     aggs = [F.count("*").alias("n_total")]
     surv = F.lit(True)
     for rule in RULES:
         aggs.append(F.sum((surv & ~F.col(f"pass_{rule}")).cast("long")).alias(f"rej_{rule}"))
         surv = surv & F.col(f"pass_{rule}")
-    one = flags.agg(*aggs)
+    return flags.agg(*aggs)
+
+
+def funnel_unpack(one: DataFrame) -> DataFrame:
+    """|RULES| funnel rows unpacked from the single agg row via
+    inline(array(struct…)) — no second scan, no per-rule jobs."""
     stages = []
     entering: Column = F.col("n_total")
     for i, rule in enumerate(RULES):
@@ -125,6 +126,13 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         entering = entering - rejected
     return one.select(F.inline(F.array(*stages)))
+
+
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage audit of the rule stack: for each rule, documents
+    entering that stage, rejected BY that stage (first-fail semantics),
+    and surviving — one conditional aggregation + the inline unpack."""
+    return funnel_unpack(funnel_agg(_rule_flags(load_table(spark, sf_dir, "documents"))))
 
 
 def unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -258,6 +258,46 @@ GROUP BY COALESCE(tier, 'unknown'), event_type
 """
 
 
+def stream_quality_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality gate as a STREAMING job — batch/stream
+    unification for the document side: the identical rule stack
+    (quality.py `_rule_flags`, pure per-row expressions) and the
+    identical one-row conditional aggregation run over a documents
+    file stream in complete mode (no event time → no watermark), and
+    the funnel rows are unpacked from the memory sink's final row in
+    batch. Same oracle as the batch funnel — the streaming engine must
+    reproduce it exactly. This is the ingest-gate deployment shape: new
+    corpus shards stream in, the funnel audit updates per micro-batch."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.operators.quality import _rule_flags, funnel_agg, funnel_unpack
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_docs_")
+    try:
+        staging = f"{work}/staging"
+        load_table(spark, sf_dir, "documents").repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        one = run_to_memory(
+            funnel_agg(_rule_flags(stream)), f"{work}/checkpoint", output_mode="complete"
+        )
+        return funnel_unpack(one)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stream_quality_funnel_sql() -> str:
+    from capstone_etl_spark.operators.quality import QUALITY_FILTER_FUNNEL_SQL
+
+    return QUALITY_FILTER_FUNNEL_SQL
+
+
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
     "stream_sliding_windows": stream_sliding_windows,
@@ -266,6 +306,7 @@ QUERIES = {
     "stream_user_activity": stream_user_activity,
     "stream_click_attribution": stream_click_attribution,
     "stream_tier_rollup": stream_tier_rollup,
+    "stream_quality_funnel": stream_quality_funnel,
 }
 
 ORACLE_SQL = {
@@ -276,4 +317,5 @@ ORACLE_SQL = {
     "stream_user_activity": STREAM_USER_ACTIVITY_SQL,
     "stream_click_attribution": STREAM_CLICK_ATTRIBUTION_SQL,
     "stream_tier_rollup": STREAM_TIER_ROLLUP_SQL,
+    "stream_quality_funnel": _stream_quality_funnel_sql(),
 }
