@@ -101,6 +101,7 @@ _PRIORITY = [
     "difficulty_deciles",
     "mixing_allocation",
     "stream_quality_funnel",
+    "stream_kmv_sketch",
     "stream_event_dedup",
     # r2/r3-green queries displaced from the 50-window (their families
     # stay represented above)

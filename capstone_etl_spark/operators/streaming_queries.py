@@ -298,6 +298,88 @@ def _stream_quality_funnel_sql() -> str:
     return QUALITY_FILTER_FUNNEL_SQL
 
 
+def stream_kmv_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The KMV sketch as a STREAMING stateful operator — sketches are
+    the streaming-native cardinality tool precisely because their merge
+    is tiny and associative: per-source state is the bottom-k hash list
+    (k int64s, bounded forever), each micro-batch unions its distinct
+    shingle hashes into it, and the k-th minimum yields the same
+    deterministic estimate the batch operator computes. After draining,
+    the final state MUST equal the batch sketch exactly (bottom-k of a
+    union is order-free) — so the query shares the batch estimator's
+    arithmetic and is oracle-checked value-for-value, not approximately.
+    Update-mode emissions carry a per-key update counter; the final row
+    per source is selected by struct-max on it (stream_user_activity's
+    device)."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.functions.hashing import md5_hash60
+    from capstone_etl_spark.functions.text import token_ngrams, tokenize
+    from capstone_etl_spark.operators.sketches import NGRAM_N
+    from capstone_etl_spark.sources.tables import load_table
+    from capstone_etl_spark.streaming.stateful import kmv_bottom_k
+
+    work = tempfile.mkdtemp(prefix="spark_stream_kmv_")
+    try:
+        staging = f"{work}/staging"
+        load_table(spark, sf_dir, "documents").repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        toks = stream.select("source", tokenize("text").alias("toks"))
+        hashes = toks.select(
+            "source",
+            F.explode(token_ngrams("toks", NGRAM_N)).alias("g"),
+        ).select("source", md5_hash60(F.col("g")).alias("h"))
+        got = run_to_memory(
+            kmv_bottom_k(hashes), f"{work}/checkpoint", output_mode="update"
+        )
+        final = F.max(F.struct("upd", "kp", "hk", "kmv_estimate")).alias("s")
+        return (
+            got.groupBy("source")
+            .agg(final)
+            .select("source", F.col("s.kp").alias("kp"), F.col("s.hk").alias("hk"),
+                    F.round(F.col("s.kmv_estimate"), 6).alias("kmv_estimate"))
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stream_kmv_sketch_sql() -> str:
+    from capstone_etl_spark.operators.sketches import HASH_SPACE, KMV_K, NGRAM_N
+    from capstone_etl_spark.functions.hashing import md5_hash60_sql
+
+    return f"""
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+                     t -> t <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT source, array_to_string(t[i : i + {NGRAM_N} - 1], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {NGRAM_N} + 2)) AS i) r
+  WHERE len(t) >= {NGRAM_N}
+), hashed AS (
+  SELECT DISTINCT source, {md5_hash60_sql('shingle')} AS h FROM grams
+), ranked AS (
+  SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rnk FROM hashed
+), sk AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS kp,
+         MAX(CASE WHEN rnk = {KMV_K} THEN h END) AS hk
+  FROM ranked WHERE rnk <= {KMV_K} GROUP BY source
+)
+SELECT source, kp, hk,
+       ROUND(CASE WHEN kp < {KMV_K} THEN CAST(kp AS DOUBLE)
+                  ELSE CAST({float(KMV_K - 1)} AS DOUBLE) * CAST({HASH_SPACE!r} AS DOUBLE) / hk END, 6) AS kmv_estimate
+FROM sk
+"""
+
+
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
     "stream_sliding_windows": stream_sliding_windows,
@@ -307,6 +389,7 @@ QUERIES = {
     "stream_click_attribution": stream_click_attribution,
     "stream_tier_rollup": stream_tier_rollup,
     "stream_quality_funnel": stream_quality_funnel,
+    "stream_kmv_sketch": stream_kmv_sketch,
 }
 
 ORACLE_SQL = {
@@ -318,4 +401,5 @@ ORACLE_SQL = {
     "stream_click_attribution": STREAM_CLICK_ATTRIBUTION_SQL,
     "stream_tier_rollup": STREAM_TIER_ROLLUP_SQL,
     "stream_quality_funnel": _stream_quality_funnel_sql(),
+    "stream_kmv_sketch": _stream_kmv_sketch_sql(),
 }

@@ -97,3 +97,53 @@ def running_user_activity(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+KMV_OUTPUT_SCHEMA = "source string, upd long, kp long, hk long, kmv_estimate double"
+KMV_STATE_SCHEMA = "upd long, mins array<long>"
+_KMV_K = 256
+_HASH_SPACE = float(2**60)
+
+
+def _kmv_accumulate(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    # State = bottom-k of every hash seen for this source. The KMV
+    # merge is a set-union + re-take-k: exact integers, order-free, so
+    # the drained state equals the batch sketch regardless of how files
+    # were batched — which is what makes the estimate oracle-checkable.
+    upd, mins = state.get if state.exists else (0, [])
+    seen = set(int(m) for m in mins)
+    for pdf in pdfs:
+        if len(pdf):
+            seen.update(int(h) for h in pdf["h"].to_numpy())
+    mins = sorted(seen)[:_KMV_K]
+    upd += 1
+    state.update((upd, mins))
+    kp = len(mins)
+    hk = mins[-1] if kp == _KMV_K else None
+    # RAW estimate — rounding happens Spark-side at the final select
+    # (Python round() is banker's; the engines round HALF_UP)
+    est = float(kp) if kp < _KMV_K else float(_KMV_K - 1) * _HASH_SPACE / hk
+    yield pd.DataFrame(
+        {
+            "source": [key[0]],
+            "upd": [upd],
+            "kp": [kp],
+            "hk": pd.array([hk], dtype="Int64"),
+            "kmv_estimate": [est],
+        }
+    )
+
+
+def kmv_bottom_k(hashes: DataFrame) -> DataFrame:
+    """Per-source streaming KMV sketch over a (source, h) hash stream:
+    bounded bottom-k state per key, update-mode emissions tagged with a
+    per-key update counter for final-row selection."""
+    return hashes.groupBy("source").applyInPandasWithState(
+        _kmv_accumulate,
+        outputStructType=KMV_OUTPUT_SCHEMA,
+        stateStructType=KMV_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
