@@ -213,3 +213,97 @@ def test_winnowing_detection_guarantee(spark, tmp_path):
     assert fp1 & fp2, "shared run must contribute a shared fingerprint"
     assert 3 not in out  # below the full-window threshold -> no row
     assert out[1].n_fingerprints == len(fp1)
+
+
+def _tiny_corpus_dir(spark, tmp_path, rows):
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    df.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    return str(tmp_path)
+
+
+def test_quality_ops_on_degenerate_corpus(spark, tmp_path):
+    from capstone_etl_spark.operators.quality import (
+        quality_filter_flags,
+        quality_filter_funnel,
+        unigram_logprob,
+    )
+    from capstone_etl_spark.session import release_caches
+
+    sf = _tiny_corpus_dir(
+        spark,
+        tmp_path,
+        [(0, "", "en", "s0", 0), (1, "   ", "en", "s0", 3), (2, "one", "en", "s1", 3)],
+    )
+    try:
+        flags = {r.doc_id: r for r in quality_filter_flags(spark, sf).collect()}
+        assert len(flags) == 3
+        # empty/whitespace docs fail min_tokens, never crash
+        assert flags[0].reject_reason == "min_tokens"
+        assert flags[1].reject_reason == "min_tokens"
+        funnel = quality_filter_funnel(spark, sf).collect()
+        assert funnel[0].n_in == 3
+        # unigram_logprob: empty docs simply have no rows (no tokens)
+        nll = {r.doc_id: r for r in unigram_logprob(spark, sf).collect()}
+        assert set(nll) == {2}
+        assert nll[2].nll_nats == 0.0  # sole token: p = 1, -ln(1) = 0
+    finally:
+        release_caches()
+
+
+def test_kmv_ops_on_empty_corpus(spark, tmp_path):
+    from capstone_etl_spark.operators.sketches import kmv_distinct_shingles, kmv_source_overlap
+    from capstone_etl_spark.session import release_caches
+
+    sf = _tiny_corpus_dir(spark, tmp_path, [])
+    try:
+        assert kmv_distinct_shingles(spark, sf).count() == 0
+        assert kmv_source_overlap(spark, sf).count() == 0
+    finally:
+        release_caches()
+
+
+def test_pagerank_on_edgeless_forest(spark, tmp_path):
+    # off-wiki URLs only (doc_id % 97 == 3 yields external URLs, but a
+    # root-only corpus also has zero edges): every node must carry the
+    # base rank, no division by zero from empty outdegrees
+    from capstone_etl_spark.operators.text_pipeline import (
+        PR_DAMP_DEN,
+        PR_DAMP_NUM,
+        PR_SCALE,
+        hierarchy_pagerank,
+    )
+    from capstone_etl_spark.session import release_caches
+
+    sf = _tiny_corpus_dir(
+        spark,
+        tmp_path,
+        [(i, "a b c", "en", "s0", 5) for i in range(5)],  # ids 0-4 → all roots
+    )
+    try:
+        ranks = {r.doc_id: r.rank for r in hierarchy_pagerank(spark, sf).collect()}
+        n = len(ranks)
+        base = ((PR_DAMP_DEN - PR_DAMP_NUM) * (PR_SCALE // n)) // PR_DAMP_DEN
+        assert n == 5
+        assert set(ranks.values()) == {base}
+    finally:
+        release_caches()
+
+
+def test_repeated_spans_on_unrepeated_corpus(spark, tmp_path):
+    from capstone_etl_spark.operators.dedup import repeated_ngram_spans
+    from capstone_etl_spark.session import release_caches
+
+    sf = _tiny_corpus_dir(
+        spark,
+        tmp_path,
+        [(0, "entirely unique words in this document", "en", "s0", 10),
+         (1, "", "en", "s0", 0)],
+    )
+    try:
+        got = {r.doc_id: r for r in repeated_ngram_spans(spark, sf).collect()}
+        assert got[0].n_spans == 0 and got[0].n_flagged == 0
+        assert got[1].n_tokens == 0 and got[1].flagged_ratio is None
+    finally:
+        release_caches()
