@@ -77,3 +77,26 @@ def test_kmv_falls_back_exactly_on_tiny_groups(spark):
     grams = toks.select("source", F.explode(token_ngrams("toks", sketches.NGRAM_N)).alias("g"))
     n_distinct = grams.select("g").distinct().count()
     assert n_distinct < KMV_K  # precondition: fallback territory
+
+
+def test_kmv_sketch_merge_equals_full_sketch(spark):
+    """The mergeability property the streaming form relies on: bottom-k
+    of (bottom-k(A) ∪ bottom-k(B)) == bottom-k(A ∪ B) — so sketches of
+    shards merge into the corpus sketch without revisiting data."""
+    from capstone_etl_spark.functions.hashing import md5_hash60
+    from capstone_etl_spark.functions.text import token_ngrams, tokenize
+    from capstone_etl_spark.operators import sketches
+    from capstone_etl_spark.sources.tables import load_table
+
+    hashed = (
+        load_table(spark, SF_DIR, "documents")
+        .select("doc_id", tokenize("text").alias("toks"))
+        .select("doc_id", F.explode(token_ngrams("toks", sketches.NGRAM_N)).alias("g"))
+        .select("doc_id", md5_hash60(F.col("g")).alias("h"))
+    )
+    all_h = sorted({r.h for r in hashed.collect()})
+    half_a = sorted({r.h for r in hashed.filter(F.col("doc_id") % 2 == 0).collect()})
+    half_b = sorted({r.h for r in hashed.filter(F.col("doc_id") % 2 == 1).collect()})
+    k = KMV_K
+    merged = sorted(set(half_a[:k]) | set(half_b[:k]))[:k]
+    assert merged == all_h[:k]
