@@ -102,6 +102,7 @@ _PRIORITY = [
     "mixing_allocation",
     "stream_quality_funnel",
     "stream_kmv_sketch",
+    "ann_recall_eval",
     "stream_event_dedup",
     # r2/r3-green queries displaced from the 50-window (their families
     # stay represented above)

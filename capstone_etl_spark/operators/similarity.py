@@ -803,6 +803,60 @@ FROM assign s LEFT JOIN dup ON dup.vec_b = s.vec_id
 """
 
 
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of the two approximate ANN methods against the
+    brute-force ground truth — the evaluation table an index-tuning
+    loop consumes (more probes/planes → recall up, scan fraction up).
+    Per (method, query): |approx∩exact| / k as exact integer counts
+    over the two top-k relations; a LEFT join from the ground truth
+    keeps queries an approximate method missed entirely (recall 0).
+    Cost is the three ANN queries themselves; the comparison joins are
+    query-set-sized."""
+    exact = ann_brute_topk(spark, sf_dir).select("query_id", "neighbor_id")
+    rows = []
+    for method, fn in (("lsh", ann_lsh_topk), ("ivf", ann_ivf_topk)):
+        approx = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        hit = exact.join(approx, ["query_id", "neighbor_id"], "left_semi")
+        per_q = (
+            exact.groupBy("query_id").agg(F.count("*").alias("k"))
+            .join(hit.groupBy("query_id").agg(F.count("*").alias("n_hit")), "query_id", "left")
+        )
+        rows.append(
+            per_q.select(
+                F.lit(method).alias("method"),
+                "query_id",
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+                F.col("k").cast("long").alias("k"),
+                (F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("k")).alias("recall"),
+            )
+        )
+    out = rows[0].unionByName(rows[1])
+    return out
+
+
+ANN_RECALL_EVAL_SQL = f"""
+WITH exact AS ({ANN_BRUTE_TOPK_SQL.replace(';', '')}),
+lsh AS ({ANN_LSH_TOPK_SQL.replace(';', '')}),
+ivf AS ({ANN_IVF_TOPK_SQL.replace(';', '')}),
+ex AS (SELECT query_id, neighbor_id FROM exact)
+SELECT m.method, q.query_id,
+       CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+       q.k,
+       CAST(COALESCE(h.n_hit, 0) AS DOUBLE) / q.k AS recall
+FROM (VALUES ('lsh'), ('ivf')) m(method)
+CROSS JOIN (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS k FROM ex GROUP BY 1) q
+LEFT JOIN (
+  SELECT 'lsh' AS method, e.query_id, COUNT(*) AS n_hit
+  FROM ex e JOIN lsh a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+  UNION ALL
+  SELECT 'ivf', e.query_id, COUNT(*)
+  FROM ex e JOIN ivf a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+) h ON h.method = m.method AND h.query_id = q.query_id
+"""
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_brute_topk": ann_brute_topk,
@@ -813,6 +867,7 @@ QUERIES = {
     "label_centroids": label_centroid_assignment,
     "embedding_quantize": embedding_quantize,
     "kmeans_lloyd": kmeans_lloyd,
+    "ann_recall_eval": ann_recall_eval,
 }
 
 ORACLE_SQL = {
@@ -825,4 +880,5 @@ ORACLE_SQL = {
     "label_centroids": LABEL_CENTROIDS_SQL,
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "kmeans_lloyd": KMEANS_LLOYD_SQL,
+    "ann_recall_eval": ANN_RECALL_EVAL_SQL,
 }
