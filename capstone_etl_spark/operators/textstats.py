@@ -457,21 +457,10 @@ WINNOW_K = 3   # tokens per k-gram
 WINNOW_W = 4   # hashes per winnowing window
 
 
-def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
-    SIGMOD 2003 — the MOSS algorithm): hash every positional token
-    k-gram, slide a w-hash window, keep each window's minimum; the
-    DISTINCT selected minima are the fingerprint set. Guarantees any
-    shared run of ≥ w+k−1 tokens contributes a shared fingerprint
-    (detection threshold) while sampling only ~2/(w+1) of the hashes —
-    the local-sampling trade that makes corpus-scale plagiarism /
-    near-copy detection cheap.
-
-    Plan: positional grams via posexplode (order-preserving, unlike the
-    dedup shingle set), the window min is partitioned by doc_id
-    (bounded by doc length), and docs shorter than w+k−1 tokens yield
-    zero fingerprints (full windows only — mirrored exactly in the
-    oracle). All hashes are the engine-portable md5-60 mod p."""
+def _winnow_mins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, pos, wmin) — every full window's minimum k-gram hash
+    (the relation both the per-doc fingerprint rollup and the pairing
+    query consume)."""
     toks = _docs(spark, sf_dir).select("doc_id", tokenize("text").alias("toks"))
     k, w = WINNOW_K, WINNOW_W
     grams = toks.select(
@@ -487,6 +476,27 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         hashed.withColumn("wmin", F.min("h").over(win))
         .filter(F.col("pos") >= w - 1)
+        .select("doc_id", "pos", "wmin")
+    )
+
+
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson & Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every positional token
+    k-gram, slide a w-hash window, keep each window's minimum; the
+    DISTINCT selected minima are the fingerprint set. Guarantees any
+    shared run of ≥ w+k−1 tokens contributes a shared fingerprint
+    (detection threshold) while sampling only ~2/(w+1) of the hashes —
+    the local-sampling trade that makes corpus-scale plagiarism /
+    near-copy detection cheap.
+
+    Plan: positional grams via posexplode (order-preserving, unlike the
+    dedup shingle set), the window min is partitioned by doc_id
+    (bounded by doc length), and docs shorter than w+k−1 tokens yield
+    zero fingerprints (full windows only — mirrored exactly in the
+    oracle). All hashes are the engine-portable md5-60 mod p."""
+    return (
+        _winnow_mins(spark, sf_dir)
         .groupBy("doc_id")
         .agg(
             F.size(F.collect_set("wmin")).cast("long").alias("n_fingerprints"),
@@ -502,7 +512,7 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-WINNOWING_FINGERPRINTS_SQL = f"""
+_WINNOW_WINS_CTE = f"""
 WITH toks AS (
   SELECT doc_id,
          list_filter(string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
@@ -519,11 +529,77 @@ WITH toks AS (
                       ROWS BETWEEN {WINNOW_W - 1} PRECEDING AND CURRENT ROW) AS wmin
   FROM grams
 )
+"""
+
+WINNOWING_FINGERPRINTS_SQL = f"""{_WINNOW_WINS_CTE}
 SELECT doc_id,
        CAST(COUNT(DISTINCT wmin) AS BIGINT) AS n_fingerprints,
        array_to_string(list_sort(list_distinct(list(wmin))), ',') AS fingerprints
 FROM wins WHERE pos >= {WINNOW_W - 1}
 GROUP BY doc_id
+"""
+
+
+WINNOW_PAIR_MAX_DF = 50    # drop fingerprints shared by > this many docs
+WINNOW_PAIR_MIN_SHARED = 3  # report pairs sharing ≥ this many fingerprints
+
+
+def winnowing_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The detection half of MOSS: document pairs sharing ≥
+    WINNOW_PAIR_MIN_SHARED winnowing fingerprints, scored by the
+    overlap coefficient |A∩B| / min(|A|,|B|) — the near-copy report a
+    plagiarism/derivative-content pass emits. By the winnowing
+    guarantee, any shared token run of ≥ w+k−1 tokens forces ≥1 shared
+    fingerprint, so long copies cannot evade the candidate join.
+
+    Same scale discipline as the shingle family: the inverted
+    fingerprint index is the candidate generator (never all-pairs), a
+    document-frequency cap (count-over-hash window, single pass) drops
+    boilerplate fingerprints before the join, and the pair keys are
+    uniform hashes."""
+    fp = _winnow_mins(spark, sf_dir).select("doc_id", "wmin").distinct()
+    w = Window.partitionBy("wmin")
+    fp = cached(
+        fp.withColumn("_df", F.count("*").over(w))
+        .filter(F.col("_df") <= WINNOW_PAIR_MAX_DF)
+        .select("doc_id", "wmin")
+    )
+    sizes = fp.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = fp.alias("a"), fp.alias("b")
+    inter = (
+        a.join(b, (F.col("a.wmin") == F.col("b.wmin")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= WINNOW_PAIR_MIN_SHARED)
+    )
+    ov = F.col("n_shared") / F.least(F.col("sz_a"), F.col("sz_b"))
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a")), "doc_a")
+        .join(sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b")), "doc_b")
+        .select("doc_a", "doc_b", "n_shared", F.round(ov, 6).alias("overlap"))
+    )
+
+
+def _winnowing_pairs_sql() -> str:
+    return f"""{_WINNOW_WINS_CTE}
+, fp0 AS (
+  SELECT DISTINCT doc_id, wmin FROM wins WHERE pos >= {WINNOW_W - 1}
+), ok AS (
+  SELECT wmin FROM fp0 GROUP BY wmin HAVING COUNT(*) <= {WINNOW_PAIR_MAX_DF}
+), fp AS (
+  SELECT fp0.* FROM fp0 JOIN ok USING (wmin)
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS sz FROM fp GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_shared
+  FROM fp a JOIN fp b ON a.wmin = b.wmin AND a.doc_id < b.doc_id
+  GROUP BY 1, 2 HAVING COUNT(*) >= {WINNOW_PAIR_MIN_SHARED}
+)
+SELECT doc_a, doc_b, CAST(n_shared AS BIGINT) AS n_shared,
+       ROUND(CAST(n_shared AS DOUBLE) / LEAST(sa.sz, sb.sz), 6) AS overlap
+FROM inter
+JOIN sizes sa ON sa.doc_id = doc_a
+JOIN sizes sb ON sb.doc_id = doc_b
 """
 
 
@@ -708,6 +784,7 @@ QUERIES = {
     "corpus_drift": corpus_drift,
     "bpe_merge_pairs": bpe_merge_pairs,
     "winnowing_fingerprints": winnowing_fingerprints,
+    "winnowing_pairs": winnowing_pairs,
 }
 
 ORACLE_SQL = {
@@ -723,4 +800,5 @@ ORACLE_SQL = {
     "corpus_drift": CORPUS_DRIFT_SQL,
     "bpe_merge_pairs": BPE_MERGE_PAIRS_SQL,
     "winnowing_fingerprints": WINNOWING_FINGERPRINTS_SQL,
+    "winnowing_pairs": _winnowing_pairs_sql(),
 }
