@@ -104,6 +104,7 @@ _PRIORITY = [
     "stream_kmv_sketch",
     "ann_recall_eval",
     "winnowing_pairs",
+    "zipf_fit",
     "stream_event_dedup",
     # r2/r3-green queries displaced from the 50-window (their families
     # stay represented above)

@@ -603,6 +603,88 @@ JOIN sizes sb ON sb.doc_id = doc_b
 """
 
 
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares Zipf fit of the corpus vocabulary: slope and
+    intercept of ln(freq) ~ ln(rank), plus r² — the one-row corpus
+    health statistic (natural text sits near slope −1; a flat slope
+    means boilerplate-dominated token mass, a cliff means a degenerate
+    head). A REGRESSION expressed as aggregation: after the vocab
+    count, three shuffle-free sums.
+
+    Exactness: ranks come from the distributed dense-id machinery
+    (order: freq desc, token — identical both engines); each ln() is
+    snapped to DECIMAL(18,9) (identical to 9 places), products stay
+    exact in DECIMAL(37,18), the five sums are exact decimal sums, and
+    the slope/intercept/r² arithmetic runs in doubles ON those exact
+    sums — same operands, same IEEE ops, same result to the bit before
+    the final 6-decimal round."""
+    from capstone_etl_spark.operators.vocab import with_dense_ids
+
+    tok = _docs(spark, sf_dir).select(F.explode(tokenize("text")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("tf"))
+    ranked = with_dense_ids(freq, [F.col("tf").desc(), F.col("token")], id_name="_rid")
+    x = F.log((F.col("_rid") + 1).cast("double")).cast("decimal(18,9)")
+    y = F.log(F.col("tf").cast("double")).cast("decimal(18,9)")
+    sums = ranked.select(x.alias("x"), y.alias("y")).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"), F.col("sxx").cast("double"), F.col("syy").cast("double"),
+    )
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    return sums.select(
+        F.col("n").cast("long").alias("n_vocab"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round((sy - slope * sx) / n, 6).alias("zipf_intercept"),
+        F.round((cov_n * cov_n) / (var_x * var_y), 6).alias("r2"),
+    )
+
+
+ZIPF_FIT_SQL = """
+WITH tok AS (
+  SELECT UNNEST(list_filter(
+    string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+    t -> t <> '')) AS token
+  FROM documents
+), freq AS (
+  SELECT token, COUNT(*) AS tf FROM tok GROUP BY token
+), ranked AS (
+  SELECT tf, ROW_NUMBER() OVER (ORDER BY tf DESC, token) AS rnk FROM freq
+), xy AS (
+  SELECT CAST(ln(CAST(rnk AS DOUBLE)) AS DECIMAL(18,9)) AS x,
+         CAST(ln(CAST(tf AS DOUBLE)) AS DECIMAL(18,9)) AS y
+  FROM ranked
+), sums AS (
+  SELECT COUNT(*) AS n,
+         SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_vocab,
+       ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+             / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS zipf_slope,
+       ROUND((CAST(sy AS DOUBLE)
+              - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))) * CAST(sx AS DOUBLE))
+             / CAST(n AS DOUBLE), 6) AS zipf_intercept,
+       ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+              * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+             / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+FROM sums
+"""
+
+
 BPE_TOP_K = 20
 
 
@@ -785,6 +867,7 @@ QUERIES = {
     "bpe_merge_pairs": bpe_merge_pairs,
     "winnowing_fingerprints": winnowing_fingerprints,
     "winnowing_pairs": winnowing_pairs,
+    "zipf_fit": zipf_fit,
 }
 
 ORACLE_SQL = {
@@ -801,4 +884,5 @@ ORACLE_SQL = {
     "bpe_merge_pairs": BPE_MERGE_PAIRS_SQL,
     "winnowing_fingerprints": WINNOWING_FINGERPRINTS_SQL,
     "winnowing_pairs": _winnowing_pairs_sql(),
+    "zipf_fit": ZIPF_FIT_SQL,
 }
