@@ -105,6 +105,7 @@ _PRIORITY = [
     "ann_recall_eval",
     "winnowing_pairs",
     "zipf_fit",
+    "language_id_confusion",
     "stream_event_dedup",
     # r2/r3-green queries displaced from the 50-window (their families
     # stay represented above)

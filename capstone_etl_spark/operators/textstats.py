@@ -206,6 +206,40 @@ FROM scored
 """
 
 
+def language_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The accuracy readout language_id promises: the (labeled,
+    predicted) confusion matrix with per-cell counts and the cell's
+    share of its labeled row — the table a classifier-tuning loop
+    reads. Pure composition: one groupBy over the language_id relation
+    plus a labeled-row total via a label-keyed window (bounded by
+    |languages|²  cells). Exact int counts; one division."""
+    from pyspark.sql import Window
+
+    ids = language_id(spark, sf_dir)
+    cells = ids.groupBy("labeled_lang", "predicted_lang").agg(F.count("*").alias("n_docs"))
+    w = Window.partitionBy("labeled_lang")  # ≤ |languages| rows per partition post-agg
+    return cells.select(
+        "labeled_lang",
+        "predicted_lang",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(w), 6).alias("row_share"),
+        (F.col("labeled_lang") == F.col("predicted_lang")).alias("correct"),
+    )
+
+
+LANGUAGE_ID_CONFUSION_SQL = f"""
+WITH ids AS ({LANGUAGE_ID_SQL}),
+cells AS (
+  SELECT labeled_lang, predicted_lang, COUNT(*) AS n_docs
+  FROM ids GROUP BY 1, 2
+)
+SELECT labeled_lang, predicted_lang, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE) / SUM(n_docs) OVER (PARTITION BY labeled_lang), 6) AS row_share,
+       labeled_lang = predicted_lang AS correct
+FROM cells
+"""
+
+
 MIN_BIGRAM_COUNT = 5
 TOP_VOCAB_K = 100
 REP_N = 3
@@ -868,6 +902,7 @@ QUERIES = {
     "winnowing_fingerprints": winnowing_fingerprints,
     "winnowing_pairs": winnowing_pairs,
     "zipf_fit": zipf_fit,
+    "language_id_confusion": language_id_confusion,
 }
 
 ORACLE_SQL = {
@@ -885,4 +920,5 @@ ORACLE_SQL = {
     "winnowing_fingerprints": WINNOWING_FINGERPRINTS_SQL,
     "winnowing_pairs": _winnowing_pairs_sql(),
     "zipf_fit": ZIPF_FIT_SQL,
+    "language_id_confusion": LANGUAGE_ID_CONFUSION_SQL,
 }
