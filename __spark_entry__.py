@@ -106,6 +106,7 @@ _PRIORITY = [
     "winnowing_pairs",
     "zipf_fit",
     "language_id_confusion",
+    "dedup_agreement",
     "stream_event_dedup",
     # r2/r3-green queries displaced from the 50-window (their families
     # stay represented above)

@@ -862,11 +862,58 @@ FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= {SIMHASH_MAX_HAMMING}
 """
 
 
+def dedup_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Method-agreement matrix over the three near-dup families: every
+    pair flagged by n-gram Jaccard, MinHash-LSH, or SimHash, with one
+    boolean per method and the agreement count — the evaluation a
+    dedup-threshold tuning loop reads (MinHash should recover ~all of
+    Jaccard's pairs; SimHash answers a different similarity question
+    and diverges honestly). Pure composition: three full outer joins on
+    the pair key — candidate-set-sized, never corpus-sized."""
+    j = (
+        ngram_jaccard_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("by_jaccard", F.lit(True))
+    )
+    m = (
+        minhash_lsh_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("by_minhash", F.lit(True))
+    )
+    s = (
+        simhash_pairs(spark, sf_dir)
+        .select("doc_a", "doc_b")
+        .withColumn("by_simhash", F.lit(True))
+    )
+    out = j.join(m, ["doc_a", "doc_b"], "full").join(s, ["doc_a", "doc_b"], "full")
+    flags = [F.coalesce(F.col(c), F.lit(False)).alias(c) for c in ("by_jaccard", "by_minhash", "by_simhash")]
+    n = sum(F.coalesce(F.col(c), F.lit(False)).cast("int") for c in ("by_jaccard", "by_minhash", "by_simhash"))
+    return out.select("doc_a", "doc_b", *flags, n.cast("long").alias("n_methods"))
+
+
+DEDUP_AGREEMENT_SQL = f"""
+SELECT COALESCE(j.doc_a, m.doc_a, s.doc_a) AS doc_a,
+       COALESCE(j.doc_b, m.doc_b, s.doc_b) AS doc_b,
+       COALESCE(j.by_jaccard, FALSE) AS by_jaccard,
+       COALESCE(m.by_minhash, FALSE) AS by_minhash,
+       COALESCE(s.by_simhash, FALSE) AS by_simhash,
+       CAST(COALESCE(CAST(j.by_jaccard AS INT), 0)
+            + COALESCE(CAST(m.by_minhash AS INT), 0)
+            + COALESCE(CAST(s.by_simhash AS INT), 0) AS BIGINT) AS n_methods
+FROM (SELECT doc_a, doc_b, TRUE AS by_jaccard FROM ({NGRAM_JACCARD_PAIRS_SQL}) t) j
+FULL OUTER JOIN (SELECT doc_a, doc_b, TRUE AS by_minhash FROM ({MINHASH_LSH_PAIRS_SQL}) t) m
+  ON m.doc_a = j.doc_a AND m.doc_b = j.doc_b
+FULL OUTER JOIN (SELECT doc_a, doc_b, TRUE AS by_simhash FROM ({SIMHASH_PAIRS_SQL}) t) s
+  ON s.doc_a = COALESCE(j.doc_a, m.doc_a) AND s.doc_b = COALESCE(j.doc_b, m.doc_b)
+"""
+
+
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
     "dedup_minhash_lsh": minhash_lsh_pairs,
     "dedup_simhash": simhash_pairs,
+    "dedup_agreement": dedup_agreement,
     "dedup_clusters": dedup_clusters,
     "decontamination": benchmark_decontamination,
     "decontamination_spans": decontamination_spans,
@@ -879,6 +926,7 @@ ORACLE_SQL = {
     "dedup_ngram_jaccard": NGRAM_JACCARD_PAIRS_SQL,
     "dedup_minhash_lsh": MINHASH_LSH_PAIRS_SQL,
     "dedup_simhash": SIMHASH_PAIRS_SQL,
+    "dedup_agreement": DEDUP_AGREEMENT_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
     "decontamination": DECONTAMINATION_SQL,
     "decontamination_spans": DECONTAMINATION_SPANS_SQL,
