@@ -107,6 +107,7 @@ _PRIORITY = [
     "zipf_fit",
     "language_id_confusion",
     "dedup_agreement",
+    "event_anomaly_zscore",
     "stream_event_dedup",
     # r2/r3-green queries displaced from the 50-window (their families
     # stay represented above)

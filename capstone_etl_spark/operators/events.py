@@ -241,6 +241,70 @@ FROM events GROUP BY 1
 """
 
 
+def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily-volume anomaly score per event type: each (type, day)
+    count z-scored against that type's own distribution across days —
+    the monitoring table an alerting pass thresholds (|z| spikes =
+    traffic anomalies, instrumentation breaks, bot bursts).
+
+    Sample std from EXACT integer sums (counts are ints, so n, Σx, Σx²
+    are exact bigints on both engines); mean/std/z run in doubles on
+    those identical integers — deterministic with no decimal snapping
+    needed. The per-type moments come from a second small aggregation
+    broadcast-joined back (types × days rows), not a window over
+    unbounded days."""
+    daily = (
+        _events(spark, sf_dir)
+        .withColumn("day", F.date_format("ts", "yyyy-MM-dd"))
+        .groupBy("event_type", "day")
+        .agg(F.count("*").alias("n"))
+    )
+    stats = daily.groupBy("event_type").agg(
+        F.count("*").alias("n_days"),
+        F.sum("n").alias("sx"),
+        F.sum(F.col("n") * F.col("n")).alias("sxx"),
+    )
+    nd = F.col("n_days").cast("double")
+    sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
+    mean = sx / nd
+    var = (nd * sxx - sx * sx) / (nd * (nd - 1))
+    std = F.sqrt(var)
+    z = F.when(std > 0, (F.col("n").cast("double") - mean) / std)
+    return daily.join(F.broadcast(stats), "event_type").select(
+        "event_type",
+        "day",
+        "n",
+        F.round(mean, 6).alias("mean_daily"),
+        F.round(std, 6).alias("std_daily"),
+        F.round(z, 6).alias("zscore"),
+    )
+
+
+EVENT_ANOMALY_ZSCORE_SQL = """
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS day, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), stats AS (
+  SELECT event_type,
+         COUNT(*) AS n_days,
+         CAST(SUM(n) AS BIGINT) AS sx,
+         CAST(SUM(n * n) AS BIGINT) AS sxx
+  FROM daily GROUP BY 1
+)
+SELECT d.event_type, d.day, d.n,
+       ROUND(CAST(s.sx AS DOUBLE) / s.n_days, 6) AS mean_daily,
+       ROUND(SQRT((CAST(s.n_days AS DOUBLE) * s.sxx - CAST(s.sx AS DOUBLE) * s.sx)
+                  / (CAST(s.n_days AS DOUBLE) * (s.n_days - 1))), 6) AS std_daily,
+       ROUND(CASE WHEN SQRT((CAST(s.n_days AS DOUBLE) * s.sxx - CAST(s.sx AS DOUBLE) * s.sx)
+                            / (CAST(s.n_days AS DOUBLE) * (s.n_days - 1))) > 0
+                  THEN (CAST(d.n AS DOUBLE) - CAST(s.sx AS DOUBLE) / s.n_days)
+                       / SQRT((CAST(s.n_days AS DOUBLE) * s.sxx - CAST(s.sx AS DOUBLE) * s.sx)
+                              / (CAST(s.n_days AS DOUBLE) * (s.n_days - 1)))
+             END, 6) AS zscore
+FROM daily d JOIN stats s USING (event_type)
+"""
+
+
 def asof_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """AS-OF join: for every purchase, the most recent view AT OR BEFORE
     it by the same user. Implemented as the scale-correct window form —
@@ -932,6 +996,7 @@ QUERIES = {
     "event_user_rank": user_activity_rank,
     "event_dedup": event_dedup,
     "event_daily_matrix": daily_type_matrix,
+    "event_anomaly_zscore": event_anomaly_zscore,
     "event_asof_last_view": asof_last_view,
     "event_value_percentiles": value_percentiles,
     "event_daily_pivot": daily_type_pivot,
@@ -957,6 +1022,7 @@ ORACLE_SQL = {
     "event_user_rank": USER_ACTIVITY_RANK_SQL,
     "event_dedup": EVENT_DEDUP_SQL,
     "event_daily_matrix": DAILY_TYPE_MATRIX_SQL,
+    "event_anomaly_zscore": EVENT_ANOMALY_ZSCORE_SQL,
     "event_asof_last_view": ASOF_LAST_VIEW_SQL,
     "event_value_percentiles": VALUE_PERCENTILES_SQL,
     "event_daily_pivot": DAILY_TYPE_PIVOT_SQL,
