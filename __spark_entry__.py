@@ -27,61 +27,55 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness samples the FIRST ~50 registered
-# queries in registry order. Rounds 2+3 together attested 101/115
-# queries; the 14 events queries below never got a driver row
-# (VERDICT r3, item 1). Round-4 order: those 14 lead, then every
-# query whose semantics changed this round (so the driver re-attests
-# the new behavior), then one canary per family — families already
-# driver-green in r3 and still covered by the local full gate.
+# queries in registry order. Across rounds 2-4 the driver has attested
+# 130/142 queries; exactly 12 (all added in round 4) have never had a
+# driver CORRECTNESS row (VERDICT r4, item 1). Round-5 order: those 12
+# lead, then every query whose implementation round 5 touches (so the
+# driver re-attests the new behavior: the scale-derived quantizer cell
+# counts and the sharding-tagged greedy packs), then stream_event_dedup
+# (deferred re-attestation from r4's watermark changes), then one
+# canary per family — families already driver-green and still covered
+# by the local full gate (ATTEST_r5.json).
 _PRIORITY = [
-    # 14 events queries with no driver row in any round (VERDICT r3 #1)
-    "event_asof_last_view",
-    "event_daily_pivot",
-    "event_daily_unpivot",
-    "event_day_type_cube",
-    "event_gap_fill",
-    "event_gap_stats",
-    "event_props_redaction",
-    "event_retention_cohorts",
-    "event_trailing_value",
-    "event_transitions",
-    "event_user_deciles",
-    "event_user_funnel",
-    "event_value_histogram",
-    "event_value_percentiles",
-    # semantics touched in round 4 → driver must re-attest (two of the
-    # seven watermark-touched stream queries yield their window slots to
-    # the quality trio and re-attest next round — the family stays
-    # covered by the five below)
-    "event_user_rank_profile",
-    "doc_sample_stratified",
-    "stream_tumbling_windows",
-    "stream_user_sessions",
-    "stream_click_attribution",
-    # new in round 4 — no driver row exists yet; attest them this round
-    "sequence_packing",
+    # the 12 queries with no driver row in any round (VERDICT r4 #1)
+    "winnowing_pairs",
+    "zipf_fit",
+    "kmv_source_overlap",
+    "repeated_ngram_spans",
+    "difficulty_deciles",
+    "mixing_allocation",
+    "stream_quality_funnel",
+    "stream_kmv_sketch",
+    "ann_recall_eval",
+    "language_id_confusion",
+    "dedup_agreement",
+    "event_anomaly_zscore",
+    # semantics touched in round 5 → driver must attest the new code:
+    # scale-derived SEMDEDUP/IVF cell counts (VERDICT #2), pack-shard
+    # output contract (VERDICT #5), quality-oracle empty-doc guard
+    # (ADVICE #1)
+    "semantic_dedup",
+    "ann_ivf_topk",
+    "kmeans_lloyd",
+    "label_centroids",
     "sequence_packing_greedy",
-    "packing_efficiency",
     "packed_sequences",
     "chunk_packing",
     "pack_attention_spans",
-    "winnowing_fingerprints",
-    "semantic_dedup",
-    "corpus_drift",
-    "bpe_merge_pairs",
+    "packing_efficiency",
     "quality_filter_flags",
     "quality_filter_funnel",
-    "unigram_logprob",
-    "kmv_distinct_shingles",
-    "hierarchy_pagerank",
-    # family canaries (driver-green in r3; every family keeps ≥1 here)
+    # deferred re-attestation from r4 (watermark/stateful changes)
+    "stream_event_dedup",
+    # family canaries (driver-green in earlier rounds; every family
+    # keeps ≥1 inside the window)
     "corpus_pipeline",
     "dedup_clusters",
     "dedup_minhash_lsh",
+    "dedup_exact",
     "decontamination",
     "ann_lsh_topk",
     "embedding_pairs",
-    "kmeans_lloyd",
     "doc_similarity_topk",
     "multimodal_frame_dedup",
     "wikibooks_docs",
@@ -91,35 +85,41 @@ _PRIORITY = [
     "text_quality",
     "doc_splits",
     "campaign_window_stats",
-    # position 51+: first in line if the driver samples past 50
-    # (kmv_distinct_shingles carries the sketch family's driver row;
-    # stream_event_dedup's dropDuplicates path re-attests next round —
-    # the changed watermark/stateful code is covered by the three
-    # stream queries still in-window)
-    "kmv_source_overlap",
-    "repeated_ngram_spans",
-    "difficulty_deciles",
-    "mixing_allocation",
-    "stream_quality_funnel",
-    "stream_kmv_sketch",
-    "ann_recall_eval",
-    "winnowing_pairs",
-    "zipf_fit",
-    "language_id_confusion",
-    "dedup_agreement",
-    "event_anomaly_zscore",
-    "stream_event_dedup",
-    # r2/r3-green queries displaced from the 50-window (their families
-    # stay represented above)
+    "sequence_packing",
+    "winnowing_fingerprints",
+    "corpus_drift",
+    "bpe_merge_pairs",
+    "unigram_logprob",
+    "kmv_distinct_shingles",
+    "hierarchy_pagerank",
+    "event_asof_last_view",
+    "event_retention_cohorts",
+    "stream_tumbling_windows",
+    "stream_user_sessions",
+    # position 51+: first in line if the driver samples past 50 —
+    # every query below is driver-green in some round AND green on the
+    # committed local full gate (ATTEST_r5.json)
+    "stream_click_attribution",
+    "event_user_rank_profile",
+    "doc_sample_stratified",
+    "event_daily_pivot",
+    "event_daily_unpivot",
+    "event_day_type_cube",
+    "event_gap_fill",
+    "event_gap_stats",
+    "event_props_redaction",
+    "event_trailing_value",
+    "event_transitions",
+    "event_user_deciles",
+    "event_user_funnel",
+    "event_value_histogram",
+    "event_value_percentiles",
     "stream_user_activity",
     "stream_tier_rollup",
     "stream_sliding_windows",
     "multimodal_meta",
     "language_id",
-    "label_centroids",
-    "ann_ivf_topk",
     "corpus_summary",
-    "dedup_exact",
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "decontamination_spans",
@@ -129,7 +129,7 @@ _PRIORITY = [
     "vocab_coverage",
     "token_entropy",
     "doc_fingerprint",
-    # remaining r2/r3-green queries follow in module order
+    # remaining attested queries follow in module order
     "event_user_rank",
     "event_props_json",
     "event_daily_matrix",
