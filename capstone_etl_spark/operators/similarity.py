@@ -38,6 +38,7 @@ import hashlib
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from capstone_etl_spark.functions.hashing import md5_hash60, md5_hash60_sql
 from capstone_etl_spark.functions.vectors import cosine
 from capstone_etl_spark.sources.tables import load_table
 from capstone_etl_spark.session import cached
@@ -389,29 +390,85 @@ GROUP BY b.label, b.vec_id
 """
 
 
-IVF_CELLS = 8
-IVF_PROBES = 3
+# Minimum probe count; the effective count is derived in-plan as
+# max(IVF_PROBES_MIN, ceil(√cells)) — the classic nprobe ≈ √nlist
+# heuristic, so the scanned corpus fraction ≈ 1/√cells ≈ N^(-1/4)
+# SHRINKS as the corpus grows instead of being pinned by a constant.
+IVF_PROBES_MIN = 3
+
+# Hash-sampled quantizer seeding (shared by ann_ivf_topk and
+# semantic_dedup). A vector seeds a Voronoi cell iff its portable
+# 60-bit hash falls below 2^60/√N, so the seed count — and therefore
+# the cell count — is ≈√N and the EXPECTED cell population is ≈√N:
+# the within-cell quadratic term stays bounded as the corpus grows
+# (at 100× the data there are 10× the cells, not 100× the cell
+# population). The corpus-minimum (h, vec_id) is always a seed, so the
+# quantizer is total even when the hash draw is unlucky on a tiny
+# corpus. Selection depends only on the vec_id hash — not on data
+# order and not on a fixed constant. Engine-neutral: the same
+# md5-derived hash, 2^60 and √N exact in double, identical floor.
+HASH_SPACE_INT = 2**60
+
+
+def quantizer_seeds(emb_q: DataFrame) -> DataFrame:
+    """(cell, sq) — hash-sampled ≈√N seeds of a (vec_id, vq) relation;
+    cell = seed vec_id. The corpus count and min-hash fallback enter
+    the plan as a 1-row broadcast aggregate (no driver action)."""
+    h = md5_hash60(F.col("vec_id").cast("string"))
+    hashed = emb_q.select("vec_id", "vq", h.alias("h"))
+    stats = hashed.agg(
+        F.count("*").alias("n_vec"),
+        F.min(F.struct("h", "vec_id")).alias("mh"),
+    )
+    thresh = F.floor(
+        F.lit(float(HASH_SPACE_INT))
+        / F.sqrt(F.greatest(F.col("n_vec"), F.lit(1)).cast("double"))
+    ).cast("long")
+    return (
+        hashed.join(F.broadcast(stats), F.lit(True))
+        .filter((F.col("h") < thresh) | (F.col("vec_id") == F.col("mh.vec_id")))
+        .select(F.col("vec_id").alias("cell"), F.col("vq").alias("sq"))
+    )
+
+
+# Oracle mirror of quantizer_seeds: same hash, same threshold, same
+# min-hash fallback. Spliced into the IVF / SemDeDup WITH-chains.
+_SEED_IDS_SQL = f"""hseed AS (
+  SELECT vec_id, {md5_hash60_sql("CAST(vec_id AS VARCHAR)")} AS h FROM embeddings
+), seed_ids AS (
+  SELECT vec_id FROM hseed
+  WHERE h < CAST(floor(CAST({HASH_SPACE_INT} AS DOUBLE)
+                 / sqrt(GREATEST((SELECT COUNT(*) FROM embeddings), 1))) AS BIGINT)
+     OR vec_id = (SELECT vec_id FROM hseed ORDER BY h, vec_id LIMIT 1)
+)"""
 
 
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF two-stage ANN with a REAL geometric coarse quantizer:
-    Voronoi cells seeded by the first IVF_CELLS vectors (deterministic
-    first-K seeding — one k-means assignment step), each vector
-    assigned to its nearest seed; a query probes its IVF_PROBES nearest
-    cells and reranks only those cells' vectors by exact cosine. The
-    classic inverted-file trade: scan ~probes/cells of the corpus.
+    Voronoi cells seeded by ≈√N hash-sampled vectors (quantizer_seeds
+    above — one k-means assignment step), each vector assigned to its
+    nearest seed; a query probes its max(3, ⌈√cells⌉) nearest cells
+    (the nprobe ≈ √nlist heuristic, derived in-plan from the seed
+    count) and reranks only those cells' vectors by exact cosine. The
+    classic inverted-file trade: scan ~probes/cells ≈ N^(-1/4) of the
+    corpus — the scanned fraction SHRINKS as the corpus grows. Recall
+    depends on cluster structure: high when true neighbors concentrate
+    in nearby cells (real encoder embeddings; pinned on a clustered
+    fixture in tests), degrading toward the scan fraction on
+    structureless uniform-random vectors.
 
-    Exactness for the oracle: assignment and probe distances are pure
-    fixed-point integer algebra (quantized vectors, integer sums,
-    argmin with cell tiebreak), so both engines build the identical
-    index, probe identical cells and rank identical candidates.
+    Exactness for the oracle: seed selection and assignment are pure
+    fixed-point integer algebra (portable hash threshold, quantized
+    vectors, integer sums, argmin with cell tiebreak), so both engines
+    build the identical index, probe identical cells and rank identical
+    candidates.
 
-    Scale notes: assignment is the standard O(N·cells) quantizer pass —
-    quantized seed ARRAYS broadcast, one integer-distance fold per
-    (vector, seed), N×cells rows total (the posexplode form pushed
-    N×DIM×cells rows through a shuffle; see semantic_dedup); the
-    candidate join shuffles on cell; rerank cost = probed fraction of
-    brute force. Recall vs brute force asserted in tests."""
+    Scale notes: assignment is the standard O(N·√N) quantizer pass —
+    quantized seed ARRAYS broadcast (√N · DIM longs; ~50 MB at N=10^10,
+    the familiar IVF centroid table), one integer-distance fold per
+    (vector, seed); the candidate join shuffles on cell; rerank cost =
+    probed fraction of brute force. Recall vs brute force asserted in
+    tests; per-cell population cap asserted in test_quantizer_scaling."""
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -420,9 +477,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         lambda v: F.floor(v.cast("double") * CENTROID_SCALE + 0.5).cast("long"),
     )
     emb_q = emb.select("vec_id", quant.alias("vq"))
-    seeds = emb_q.filter(F.col("vec_id") < IVF_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("vq").alias("sq")
-    )
+    seeds = quantizer_seeds(emb_q)
     d2_col = F.aggregate(
         F.zip_with("vq", "sq", lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
@@ -438,12 +493,19 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("d2", "cell")).alias("m"))
         .select("vec_id", F.col("m.cell").alias("cell"))
     )
-    # probe: each query's IVF_PROBES nearest cells (same distance table)
+    # probe: each query's max(3, ⌈√cells⌉) nearest cells (same distance
+    # table); the probe count enters as a 1-row broadcast seed count
     pw = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    n_cells = seeds.agg(F.count("*").alias("n_cells"))
+    probe_k = F.greatest(
+        F.lit(IVF_PROBES_MIN).cast("long"),
+        F.ceil(F.sqrt(F.col("n_cells").cast("double"))),
+    )
     probes = (
         vec_seed_d2.filter(F.col("vec_id") < N_QUERIES)
         .withColumn("prnk", F.row_number().over(pw))
-        .filter(F.col("prnk") <= IVF_PROBES)
+        .join(F.broadcast(n_cells), F.lit(True))
+        .filter(F.col("prnk") <= probe_k)
         .select(F.col("vec_id").alias("query_id"), "cell")
     )
     cand = (
@@ -471,8 +533,9 @@ WITH by_dim AS (
   SELECT vec_id, d,
          CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
   FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
-), seeds AS (
-  SELECT vec_id AS cell, d, vs AS ss FROM by_dim WHERE vec_id < {IVF_CELLS}
+), {_SEED_IDS_SQL}, seeds AS (
+  SELECT b.vec_id AS cell, b.d, b.vs AS ss
+  FROM by_dim b JOIN seed_ids si ON si.vec_id = b.vec_id
 ), vec_seed_d2 AS (
   SELECT v.vec_id, s.cell, CAST(SUM((v.vs - s.ss) * (v.vs - s.ss)) AS BIGINT) AS d2
   FROM by_dim v JOIN seeds s ON s.d = v.d
@@ -486,7 +549,8 @@ WITH by_dim AS (
   SELECT vec_id AS query_id, cell FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS prnk
     FROM vec_seed_d2 WHERE vec_id < {N_QUERIES}
-  ) t WHERE prnk <= {IVF_PROBES}
+  ) t WHERE prnk <= GREATEST({IVF_PROBES_MIN},
+        CAST(ceil(sqrt((SELECT COUNT(*) FROM seed_ids))) AS BIGINT))
 ), cand AS (
   SELECT p.query_id, a.vec_id AS neighbor_id
   FROM probes p JOIN assign a ON a.cell = p.cell
@@ -678,7 +742,6 @@ FROM assign2 a2 JOIN assign1 a1 USING (vec_id)
 """
 
 
-SEMDEDUP_CELLS = 8
 SEMDEDUP_THRESHOLD = 0.35
 
 
@@ -688,18 +751,22 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     and keep the lowest-id member of every near-duplicate group.
 
     Plan: the same exact-integer Voronoi quantizer as ann_ivf_topk
-    (first-K seeds, fixed-point distances, argmin with cell tiebreak)
-    assigns each vector a cell; a within-cell self-join (equi-join on
-    cell, never a cartesian) scores candidate pairs by exact cosine;
-    a vector is dropped iff some LOWER-id cell-mate clears the
-    threshold — `dup_of` names the smallest such keeper-side id.
+    (hash-sampled ≈√N seeds via quantizer_seeds, fixed-point distances,
+    argmin with cell tiebreak) assigns each vector a cell; a
+    within-cell self-join (equi-join on cell, never an N×N cartesian —
+    the one small cartesian in this plan is the ≈√N-row seed broadcast)
+    scores candidate pairs by exact cosine; a vector is dropped iff
+    some LOWER-id cell-mate clears the threshold — `dup_of` names the
+    smallest such keeper-side id.
 
     The threshold is intentionally loose (0.35) for the synthetic
     near-uniform test embeddings; production SemDeDup runs ~0.95+ on
-    trained encoders. Scale: the quadratic term is per-cell — cells
-    grow with corpus (√N-ish) so cell populations stay bounded, and the
-    pair join shuffles on cell only. Output is one row per vector
-    (keep flag + dup_of), the shape a downstream filter consumes.
+    trained encoders. Scale: the quadratic term is per-cell — the cell
+    count is DERIVED from the corpus (≈√N hash-sampled seeds, so
+    expected cell population ≈√N stays bounded as the corpus grows;
+    cap asserted in test_quantizer_scaling), and the pair join shuffles
+    on cell only. Output is one row per vector (keep flag + dup_of),
+    the shape a downstream filter consumes.
 
     Per-pair cost discipline: the L2 norm is a pure per-VECTOR function,
     so it is computed once per vector before the pair join and carried
@@ -715,21 +782,19 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     # Quantizer pass in ARRAY form: quantize each vector once, broadcast
-    # the SEMDEDUP_CELLS quantized seed arrays, and fold the integer
-    # distance per (vector, seed) — N×cells rows total, vs the
-    # posexplode form's N×DIM×cells rows pushed through a shuffle
-    # (64x the volume at DIM=64). Distances are the same exact-integer
-    # sums (order-free), and min(struct(d2, cell)) is the same
-    # (d2, cell)-lexicographic argmin the oracle's ROW_NUMBER computes —
-    # no window, one groupBy of N×cells rows.
+    # the ≈√N quantized seed arrays, and fold the integer distance per
+    # (vector, seed) — N×cells rows total, vs the posexplode form's
+    # N×DIM×cells rows pushed through a shuffle (64x the volume at
+    # DIM=64). Distances are the same exact-integer sums (order-free),
+    # and min(struct(d2, cell)) is the same (d2, cell)-lexicographic
+    # argmin the oracle's ROW_NUMBER computes — no window, one groupBy
+    # of N×cells rows.
     quant = F.transform(
         "embedding",
         lambda v: F.floor(v.cast("double") * CENTROID_SCALE + 0.5).cast("long"),
     )
     emb_q = emb.select("vec_id", quant.alias("vq"))
-    seeds = emb_q.filter(F.col("vec_id") < SEMDEDUP_CELLS).select(
-        F.col("vec_id").alias("cell"), F.col("vq").alias("sq")
-    )
+    seeds = quantizer_seeds(emb_q)
     d2_col = F.aggregate(
         F.zip_with("vq", "sq", lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
@@ -781,8 +846,9 @@ WITH by_dim AS (
   SELECT vec_id, d,
          CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
   FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
-), seeds AS (
-  SELECT vec_id AS cell, d, vs AS ss FROM by_dim WHERE vec_id < {SEMDEDUP_CELLS}
+), {_SEED_IDS_SQL}, seeds AS (
+  SELECT b.vec_id AS cell, b.d, b.vs AS ss
+  FROM by_dim b JOIN seed_ids si ON si.vec_id = b.vec_id
 ), d2 AS (
   SELECT v.vec_id, s.cell, CAST(SUM((v.vs - s.ss) * (v.vs - s.ss)) AS BIGINT) AS d2
   FROM by_dim v JOIN seeds s ON s.d = v.d GROUP BY 1, 2

@@ -1,5 +1,9 @@
 """Plan-inspection helpers (explain / shuffle / broadcast assertions)."""
 
+from capstone_etl_spark.plans.contracts import (  # noqa: F401
+    ALLOWED_CARTESIAN,
+    HEADLINE,
+)
 from capstone_etl_spark.plans.inspect import (  # noqa: F401
     broadcast_hash_join_count,
     exchange_count,

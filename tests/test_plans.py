@@ -205,6 +205,30 @@ def test_bounded_window_key_is_not_constant_folded(spark):
     assert [r.k for r in df.distinct().collect()] == [0]
 
 
+def test_cartesian_allowlist(spark):
+    """The no-cartesian contract, enumerated (VERDICT r4 item 4): a
+    headline query's plan may contain a CartesianProduct /
+    BroadcastNestedLoopJoin ONLY if it is named in ALLOWED_CARTESIAN
+    (plans/contracts.py) with its bounded build side documented — the
+    1-row scalar broadcasts and the ≈√N quantizer-seed / sketch-sized
+    broadcasts. Any unlisted cartesian fails here instead of hiding in
+    PLANS.md free text."""
+    import __spark_entry__ as entrymod
+    from capstone_etl_spark.plans import ALLOWED_CARTESIAN, HEADLINE
+    from capstone_etl_spark.session import release_caches
+
+    spark.catalog.clearCache()
+    qs = entrymod.queries()
+    offenders = {}
+    try:
+        for name in HEADLINE:
+            if has_cartesian(qs[name](spark, SF_DIR)) and name not in ALLOWED_CARTESIAN:
+                offenders[name] = True
+    finally:
+        release_caches()
+    assert offenders == {}, f"unlisted cartesians: {sorted(offenders)}"
+
+
 def test_vector_quantizers_have_no_explode_fanout(spark):
     """The IVF/SemDeDup cell assignment must stay in ARRAY form (one
     integer-distance fold per vector-seed pair): a Generate node in the
