@@ -1,9 +1,25 @@
 """Table sources (SURVEY.md §2.1 S1).
 
 The reference scans one SQLite table with a hand-written projection
-(reference main.go:130); here every table is a columnar parquet scan and
-Catalyst does projection/predicate pushdown. At cluster scale the same
-call reads a partitioned directory tree; nothing below is local-specific.
+(`SELECT title, url, abstract, body_text, body_html FROM en ORDER BY
+url`, reference main.go:130, connected at main.go:97-106); here the
+same capability has three branches:
+
+- parquet (default): columnar scan, Catalyst does projection/predicate
+  pushdown. At cluster scale the same call reads a partitioned
+  directory tree; nothing is local-specific.
+- jdbc: `spark.read.format("jdbc")` with the projection pushed down
+  INTO the database (the `query` option, or a subquery dbtable when
+  range-partitioned parallel reads are requested) — the direct
+  equivalent of the reference's SQL scan, pointable at its own
+  `en_wikibooks.sqlite` given any JDBC driver jar
+  (e.g. org.xerial:sqlite-jdbc). At scale, partition_column/bounds
+  split the scan into num_partitions concurrent range queries.
+- sqlite: a driver-jar-free local ingestion fallback using the Python
+  stdlib sqlite3 module — batched reads through Arrow into a DataFrame.
+  Convenience for jar-less environments and tests; the driver-side
+  single-reader makes it ingestion-only, NOT a scale path (use jdbc
+  on a cluster).
 """
 
 from __future__ import annotations
@@ -28,6 +44,111 @@ TABLES = (
 )
 
 DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+# The reference's document projection (main.go:130) — the 5 columns its
+# SQL scan reads; everything else in the row is never touched.
+DOCUMENT_COLUMNS = ("title", "url", "abstract", "body_text", "body_html")
+
+
+def jdbc_options(
+    url: str,
+    table: str,
+    columns: tuple[str, ...] | None = None,
+    driver: str | None = None,
+    partition_column: str | None = None,
+    lower_bound: int | None = None,
+    upper_bound: int | None = None,
+    num_partitions: int | None = None,
+) -> dict[str, str]:
+    """Options for a pushdown JDBC scan, as a pure dict (testable
+    without a driver jar). The projection is pushed INTO the database:
+    unpartitioned reads use the `query` option (the database executes
+    exactly `SELECT <cols> FROM <table>`); partitioned reads must use
+    `dbtable` (Spark appends the range predicates), so the projection
+    becomes a subquery — still evaluated database-side, never a
+    SELECT * shipped to Spark."""
+    cols = ", ".join(columns) if columns else "*"
+    opts: dict[str, str] = {"url": url}
+    if driver:
+        opts["driver"] = driver
+    if partition_column is not None:
+        opts["dbtable"] = f"(SELECT {cols} FROM {table}) spark_src"
+        opts["partitionColumn"] = partition_column
+        opts["lowerBound"] = str(lower_bound)
+        opts["upperBound"] = str(upper_bound)
+        opts["numPartitions"] = str(num_partitions or 8)
+    else:
+        opts["query"] = f"SELECT {cols} FROM {table}"
+    return opts
+
+
+def load_table_jdbc(
+    spark: SparkSession,
+    url: str,
+    table: str,
+    columns: tuple[str, ...] | None = None,
+    **kwargs,
+) -> DataFrame:
+    """S1 over JDBC: the reference's own source shape (SQL scan with a
+    hand-written projection). Requires the matching driver jar on the
+    Spark classpath; see jdbc_options for the pushdown/partitioning
+    contract."""
+    return (
+        spark.read.format("jdbc")
+        .options(**jdbc_options(url, table, columns=columns, **kwargs))
+        .load()
+    )
+
+
+def load_table_sqlite(
+    spark: SparkSession,
+    db_path: str,
+    table: str,
+    columns: tuple[str, ...] | None = None,
+    batch_rows: int = 50_000,
+) -> DataFrame:
+    """Driver-jar-free SQLite ingestion via the Python stdlib: batched
+    cursor reads → one DataFrame. The projection still executes inside
+    SQLite. Single-reader and driver-side by construction — an
+    ingestion convenience for jar-less environments (this container has
+    no sqlite-jdbc jar), not a distributed scan; on a cluster use
+    load_table_jdbc. Types: SQLite TEXT/INTEGER/REAL → string/long/
+    double by sampled affinity, NULL-safe."""
+    import sqlite3
+
+    cols = list(columns) if columns else None
+    con = sqlite3.connect(db_path)
+    try:
+        cur = con.cursor()
+        col_sql = ", ".join(f'"{c}"' for c in cols) if cols else "*"
+        cur.execute(f'SELECT {col_sql} FROM "{table}"')
+        out_cols = [d[0] for d in cur.description]
+        rows: list[tuple] = []
+        while True:
+            batch = cur.fetchmany(batch_rows)
+            if not batch:
+                break
+            rows.extend(batch)
+    finally:
+        con.close()
+
+    def _spark_type(values) -> str:
+        for v in values:
+            if v is None:
+                continue
+            if isinstance(v, bool) or isinstance(v, int):
+                return "long"
+            if isinstance(v, float):
+                return "double"
+            if isinstance(v, (bytes, bytearray)):
+                return "binary"
+            return "string"
+        return "string"
+
+    fields = ", ".join(
+        f"`{c}` {_spark_type(r[i] for r in rows)}" for i, c in enumerate(out_cols)
+    )
+    return spark.createDataFrame(rows, fields)
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
