@@ -22,6 +22,15 @@ Scale design (100 TB):
   #sources, so one giant source cannot serialize into a single window
   partition or a single pandas group. Raising PACK_SHARDS re-shards
   deterministically (salted hash, same trick as sampling.py).
+- OUTPUT CONTRACT (VERDICT r4 perf note): pack/sequence ids are defined
+  PER SHARDING CONFIG — a (shard, pack_id) key is only meaningful
+  together with the shard count that produced it, and re-running with a
+  different PACK_SHARDS yields different ids over the same documents.
+  Every pack-id-bearing output therefore records the config in a
+  `pack_shards` column, and the config-independent invariants (each doc
+  packed exactly once, per-pack fill ≤ SEQ_LEN except lone oversized
+  docs, token totals conserved) are pinned across two shard settings in
+  tests/test_packing.py::test_greedy_pack_shard_invariance.
 - The cumulative-sum window and the pandas groups are both partitioned
   by (source, shard); group state is O(1) (running fill), group input
   is one shard's (doc_id, n_tokens) pairs — counts, never text.
@@ -49,12 +58,12 @@ _TOKS_SQL = (
 )
 
 
-def _counted(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _counted(spark: SparkSession, sf_dir: str, shards: int = PACK_SHARDS) -> DataFrame:
     """(source, shard, doc_id, n_tokens) for every non-empty document."""
     docs = load_table(spark, sf_dir, "documents")
     shard = (
         md5_hash60(F.concat(F.lit(PACK_SALT), F.col("doc_id").cast("string")))
-        % PACK_SHARDS
+        % shards
     )
     return (
         docs.select(
@@ -77,15 +86,18 @@ _COUNTED_SQL = f"""
 """
 
 
-def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sequence_packing(
+    spark: SparkSession, sf_dir: str, shards: int = PACK_SHARDS
+) -> DataFrame:
     """Concat-then-split packing: within each (source, shard), docs are
     concatenated in doc_id order and the stream is cut every SEQ_LEN
     tokens. A doc occupying token span [cum−n, cum) lands in every
     sequence floor((cum−n)/L)..floor((cum−1)/L), contributing the span
     overlap; sum(tokens_in_seq) per doc == n_tokens, and every sequence
     except a shard's last holds exactly SEQ_LEN tokens (zero padding
-    waste — why the big labs pack this way)."""
-    counted = _counted(spark, sf_dir)
+    waste — why the big labs pack this way). seq_ids are per sharding
+    config (see module docstring); `pack_shards` records it."""
+    counted = _counted(spark, sf_dir, shards)
     w = Window.partitionBy("source", "shard").orderBy("doc_id")
     cum = F.sum("n_tokens").over(w)
     spans = counted.select(
@@ -111,6 +123,7 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.least(F.col("cum"), (F.col("seq_id") + 1) * SEQ_LEN)
                 - F.greatest(start, F.col("seq_id") * SEQ_LEN)
             ).alias("tokens_in_seq"),
+            F.lit(shards).cast("long").alias("pack_shards"),
         )
     )
 
@@ -129,16 +142,20 @@ member AS (
   ) ss
 )
 SELECT source, shard, doc_id, n_tokens, seq_id,
-       LEAST(cum, (seq_id + 1) * {SEQ_LEN}) - GREATEST(cum - n_tokens, seq_id * {SEQ_LEN}) AS tokens_in_seq
+       LEAST(cum, (seq_id + 1) * {SEQ_LEN}) - GREATEST(cum - n_tokens, seq_id * {SEQ_LEN}) AS tokens_in_seq,
+       CAST({PACK_SHARDS} AS BIGINT) AS pack_shards
 FROM member
 """
 
 
-def _greedy_pack(counted: DataFrame, order_cols: list[str]) -> DataFrame:
+def _greedy_pack(
+    counted: DataFrame, order_cols: list[str], shards: int = PACK_SHARDS
+) -> DataFrame:
     """Shared first-fit-sequential kernel: one Arrow batch per
     (source, shard) group, rows walked in order_cols order, O(1) state
-    (running fill). Output = input columns + pack_id."""
-    out_cols = ["source", "shard", *order_cols, "n_tokens", "pack_id"]
+    (running fill). Output = input columns + pack_id + the pack_shards
+    config that scopes the ids (module docstring, output contract)."""
+    out_cols = ["source", "shard", *order_cols, "n_tokens", "pack_id", "pack_shards"]
     schema = ", ".join(
         f"{c} {'string' if c == 'source' else 'bigint'}" for c in out_cols
     )
@@ -155,19 +172,24 @@ def _greedy_pack(counted: DataFrame, order_cols: list[str]) -> DataFrame:
             fill += n
             pack_ids.append(pack)
         pdf["pack_id"] = pack_ids
+        pdf["pack_shards"] = shards
         return pdf[out_cols]
 
     return counted.groupBy("source", "shard").applyInPandas(_pack, schema)
 
 
-def sequence_packing_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+def sequence_packing_greedy(
+    spark: SparkSession, sf_dir: str, shards: int = PACK_SHARDS
+) -> DataFrame:
     """First-fit-sequential packing, document boundaries respected: walk
     each (source, shard) in doc_id order keeping a running fill; a doc
     that would overflow SEQ_LEN starts the next pack (a doc longer than
     SEQ_LEN sits alone in its own pack). The walk is inherently
     sequential, so it runs as ONE Arrow batch per shard via
-    applyInPandas — O(1) state, counts-only input, shard-parallel."""
-    return _greedy_pack(_counted(spark, sf_dir), ["doc_id"])
+    applyInPandas — O(1) state, counts-only input, shard-parallel.
+    pack_ids are per sharding config; `pack_shards` records it
+    (invariance across configs pinned in test_packing)."""
+    return _greedy_pack(_counted(spark, sf_dir, shards), ["doc_id"], shards)
 
 
 SEQUENCE_PACKING_GREEDY_SQL = f"""
@@ -188,7 +210,9 @@ packed AS (
   FROM packed p
   JOIN ordered o ON o.source = p.source AND o.shard = p.shard AND o.rn = p.rn + 1
 )
-SELECT source, shard, doc_id, n_tokens, pack_id FROM packed
+SELECT source, shard, doc_id, n_tokens, pack_id,
+       CAST({PACK_SHARDS} AS BIGINT) AS pack_shards
+FROM packed
 """
 
 
@@ -215,6 +239,7 @@ def packing_efficiency(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(0.0)
             ).alias("padding_frac"),
         )
+        .withColumn("pack_shards", F.lit(PACK_SHARDS).cast("long"))
     )
 
 
@@ -232,12 +257,15 @@ SELECT source,
        AVG(CAST(fill AS DOUBLE)) AS mean_fill,
        AVG(CASE WHEN fill < {SEQ_LEN}
                 THEN CAST({SEQ_LEN} - fill AS DOUBLE) / {SEQ_LEN}
-                ELSE 0.0 END) AS padding_frac
+                ELSE 0.0 END) AS padding_frac,
+       CAST({PACK_SHARDS} AS BIGINT) AS pack_shards
 FROM per_pack GROUP BY 1
 """
 
 
-def chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+def chunk_packing(
+    spark: SparkSession, sf_dir: str, shards: int = PACK_SHARDS
+) -> DataFrame:
     """The realistic pipeline composition: CHUNK first (corpus.doc_chunks,
     ≤ CHUNK_TOKENS-token pieces), then greedily pack the chunks into
     SEQ_LEN-token sequences. Because every chunk is far below the
@@ -260,12 +288,12 @@ def chunk_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("chunk_id").cast("string"),
             )
         )
-        % PACK_SHARDS
+        % shards
     )
     counted = ch.join(src, "doc_id").select(
         "source", shard.alias("shard"), "doc_id", "chunk_id", "n_tokens"
     )
-    return _greedy_pack(counted, ["doc_id", "chunk_id"])
+    return _greedy_pack(counted, ["doc_id", "chunk_id"], shards)
 
 
 def _chunk_packing_sql() -> str:
@@ -296,7 +324,9 @@ packed AS (
   FROM packed p
   JOIN ordered o ON o.source = p.source AND o.shard = p.shard AND o.rn = p.rn + 1
 )
-SELECT source, shard, doc_id, chunk_id, n_tokens, pack_id FROM packed
+SELECT source, shard, doc_id, chunk_id, n_tokens, pack_id,
+       CAST({PACK_SHARDS} AS BIGINT) AS pack_shards
+FROM packed
 """
 
 
@@ -329,6 +359,7 @@ def packed_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
                 " ",
             ).alias("seq_text"),
         )
+        .withColumn("pack_shards", F.lit(PACK_SHARDS).cast("long"))
     )
 
 
@@ -340,7 +371,8 @@ texts AS (
 SELECT p.source, p.shard, p.pack_id,
        COUNT(*) AS n_docs,
        CAST(SUM(p.n_tokens) AS BIGINT) AS n_tokens,
-       string_agg(t.doc_text, ' ' ORDER BY p.doc_id) AS seq_text
+       string_agg(t.doc_text, ' ' ORDER BY p.doc_id) AS seq_text,
+       CAST({PACK_SHARDS} AS BIGINT) AS pack_shards
 FROM packed p JOIN texts t USING (doc_id)
 GROUP BY 1, 2, 3
 """
@@ -373,7 +405,7 @@ def pack_attention_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             ",",
         ).alias("spans"),
-    )
+    ).withColumn("pack_shards", F.lit(PACK_SHARDS).cast("long"))
 
 
 PACK_ATTENTION_SPANS_SQL = f"""
@@ -388,7 +420,8 @@ with_off AS (
 SELECT source, shard, pack_id,
        COUNT(*) AS n_docs,
        CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
-       string_agg(CAST(off AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR), ',' ORDER BY off) AS spans
+       string_agg(CAST(off AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR), ',' ORDER BY off) AS spans,
+       CAST({PACK_SHARDS} AS BIGINT) AS pack_shards
 FROM with_off
 GROUP BY 1, 2, 3
 """
