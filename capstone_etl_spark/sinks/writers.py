@@ -114,6 +114,76 @@ def write_bucketed(
     w.saveAsTable(table)
 
 
+# The reference's three keyed MongoDB collections (main.go:92-94): each
+# §1.4 output relation with its upsert key — the contract a document
+# store needs to replace-on-key instead of blind-append (InsertMany into
+# a fresh collection ≙ overwrite; incremental maintenance ≙ upsert on
+# `_id`, which is what mongo-spark's idFieldList would receive).
+COLLECTION_KEYS: dict[str, list[str]] = {
+    "wikibooks": ["doc_id"],      # the page id (main.go:174 `_id`)
+    "tokens": ["_id"],            # dense vocab id (main.go:164)
+    "token_vector": ["_id"],      # dense doc id (main.go:238)
+}
+
+
+def write_collection(
+    df: DataFrame,
+    path: str,
+    fmt: str = "json",
+    mode: str = "overwrite",
+    options: dict[str, str] | None = None,
+) -> None:
+    """Connector-shaped document sink: a `write.format(fmt)` passthrough
+    so the same call targets the JSON-lines fallback (default — the
+    open document-store shape), parquet/ORC lakes, or a real connector
+    ('mongodb', 'org.elasticsearch.spark.sql', …) with its options
+    passed verbatim (e.g. {'connection.uri': ..., 'collection': ...}).
+    The engine never depends on a connector jar; formats resolve at
+    runtime through Spark's DataSource registry."""
+    w = df.write.format(fmt).mode(mode)
+    for k, v in (options or {}).items():
+        w = w.option(k, v)
+    w.save(path)
+
+
+def upsert_collection(
+    spark: SparkSession,
+    base_path: str,
+    delta: DataFrame,
+    keys: list[str],
+    fmt: str = "parquet",
+    out_path: str | None = None,
+    options: dict[str, str] | None = None,
+) -> str:
+    """Keyed upsert (last-write-wins merge) behind the same format
+    passthrough, for stores without transactional MERGE: survivors =
+    current rows LEFT-ANTI-joined on the delta's keys, unioned with all
+    delta rows, written to a NEW snapshot directory (write-audit-swap —
+    the caller repoints readers after validating; never rewrite a
+    dataset in place, a failed overwrite of the live path loses data).
+    Returns the snapshot path. Schema-carrying formats (parquet/ORC)
+    read back as-is; schemaless ones (JSON/CSV) read back with the
+    delta's schema — a collection's schema is fixed (§1.4), so the
+    delta is the contract.
+
+    Scale shape: one anti-join shuffling on the merge key (broadcast
+    when the delta is small — typical for incremental loads; AQE picks
+    that up from the delta's actual size) + one fully-parallel write.
+    This is the open-format equivalent of MERGE INTO; a transactional
+    format (Delta/Iceberg) or a connector with native upsert (mongo
+    replaceDocument on COLLECTION_KEYS) slots into the same seam for
+    concurrent writers."""
+    reader = spark.read.format(fmt)
+    if fmt not in ("parquet", "orc"):
+        reader = reader.schema(delta.schema)
+    current = reader.load(base_path)
+    survivors = current.join(delta.select(*keys).distinct(), keys, "left_anti")
+    merged = survivors.unionByName(delta)
+    target = out_path or base_path.rstrip("/") + ".next"
+    write_collection(merged, target, fmt=fmt, options=options)
+    return target
+
+
 def merge_upsert(
     spark: SparkSession,
     base_path: str,
@@ -121,25 +191,10 @@ def merge_upsert(
     keys: list[str],
     out_path: str | None = None,
 ) -> str:
-    """Keyed upsert (last-write-wins merge) into a parquet dataset
-    without a transactional table format: survivors = current rows
-    LEFT-ANTI-joined on the delta's keys, unioned with all delta rows,
-    written to a NEW snapshot directory (write-audit-swap — the caller
-    repoints readers after validating; never rewrite a dataset in
-    place, a failed overwrite of the live path loses data). Returns
-    the snapshot path.
-
-    Scale shape: one anti-join shuffling on the merge key (broadcast
-    when the delta is small — typical for incremental loads; AQE picks
-    that up from the delta's actual size) + one fully-parallel write.
-    This is the open-format equivalent of MERGE INTO; swap in a
-    transactional format (Delta/Iceberg) for concurrent writers."""
-    current = spark.read.parquet(base_path)
-    survivors = current.join(delta.select(*keys).distinct(), keys, "left_anti")
-    merged = survivors.unionByName(delta)
-    target = out_path or base_path.rstrip("/") + ".next"
-    merged.write.mode("overwrite").parquet(target)
-    return target
+    """Parquet upsert — upsert_collection pinned to the primary
+    columnar format (the incremental-ETL path used by the streaming
+    foreachBatch test)."""
+    return upsert_collection(spark, base_path, delta, keys, fmt="parquet", out_path=out_path)
 
 
 def write_outputs(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, str]:
@@ -157,6 +212,7 @@ def write_outputs(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, s
     for name, df in rels.items():
         pq = f"{out_dir}/{name}.parquet"
         write_parquet(df, pq, sort_within_partitions=[df.columns[0]])
-        write_json(df, f"{out_dir}/{name}.json")
+        # the document-store seam: same relations, connector-shaped sink
+        write_collection(df, f"{out_dir}/{name}.json", fmt="json")
         paths[name] = pq
     return paths

@@ -111,6 +111,54 @@ def test_bucketed_join_is_exchange_free(spark):
         spark.sql("DROP TABLE IF EXISTS b_orders")
 
 
+def test_document_store_seam_roundtrip_per_collection(spark, tmp_path):
+    """The connector-shaped sink seam (VERDICT r4 item 6): each of the
+    reference's three keyed collections (main.go:92-94) flows through
+    write_collection → upsert_collection with the JSON fallback format —
+    overwrite-style initial load, then a keyed delta that updates one
+    document and inserts one, read back with the collection's fixed
+    schema. Nested arrays/structs/maps survive the round trip."""
+    from capstone_etl_spark.operators import outputs as out_ops
+    from capstone_etl_spark.sinks.writers import (
+        COLLECTION_KEYS,
+        upsert_collection,
+        write_collection,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    rels = {
+        "wikibooks": out_ops.wikibooks_output(spark, sf),
+        "tokens": out_ops.tokens_output(spark, sf),
+        "token_vector": out_ops.token_vector_output(spark, sf),
+    }
+    for name, df in rels.items():
+        (key,) = COLLECTION_KEYS[name]
+        base = str(tmp_path / name)
+        full = df.limit(20).cache()
+        write_collection(full, base, fmt="json")
+
+        rows = full.collect()
+        assert len(rows) > 1, name
+        schema = full.schema
+        update = spark.createDataFrame([rows[0]], schema)
+        insert = spark.createDataFrame([rows[1]], schema).withColumn(
+            key, F.col(key) + 1_000_000
+        )
+        delta = update.unionByName(insert)
+        snap = upsert_collection(spark, base, delta, [key], fmt="json")
+
+        got = spark.read.format("json").schema(schema).load(snap)
+        assert got.count() == len(rows) + 1, name
+        # the updated key appears exactly once; the insert landed
+        assert got.filter(F.col(key) == rows[0][key]).count() == 1, name
+        assert got.filter(F.col(key) == rows[1][key] + 1_000_000).count() == 1, name
+        # base untouched (write-audit-swap)
+        assert (
+            spark.read.format("json").schema(schema).load(base).count() == len(rows)
+        ), name
+        full.unpersist()
+
+
 def test_merge_upsert_last_write_wins(spark, tmp_path):
     from capstone_etl_spark.sinks.writers import merge_upsert
 
