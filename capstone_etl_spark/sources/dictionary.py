@@ -9,9 +9,13 @@ the consumer broadcasts it into a left_semi join (P2/J2). The set never
 lives on the driver; the broadcast ships the deduplicated relation to
 executors once.
 
-The shipped fixture (resources/wordlist_en.txt, tools/gen_wordlist.py)
-stands in for the reference's `en` file: same shape (one word per line,
-mixed case, duplicates) at test size.
+The shipped fixtures (tools/gen_wordlist.py) stand in for the
+reference's `en` file: resources/wordlist_en_full.txt matches its
+EXACT line count (235,886, ~2.3 MB) so the scan→distinct→broadcast
+path runs at reference size — this is the default;
+resources/wordlist_en.txt is the same head at test size (8,108 lines)
+for fast unit fixtures. Both share the shape: one word per line, mixed
+case, duplicates, whitespace padding.
 """
 
 from __future__ import annotations
@@ -21,11 +25,11 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-DEFAULT_WORDLIST = os.path.join(
-    os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-    "resources",
-    "wordlist_en.txt",
+_RES = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "resources"
 )
+DEFAULT_WORDLIST = os.path.join(_RES, "wordlist_en_full.txt")
+SMALL_WORDLIST = os.path.join(_RES, "wordlist_en.txt")
 
 
 def load_dictionary(spark: SparkSession, path: str | None = None) -> DataFrame:

@@ -39,12 +39,21 @@ SYLLABLES_C = ["ate", "ine", "ous", "ism", "ory", "ance", "ment", "ship",
                "hood", "ness", "tion", "sion"]
 
 
-def main() -> None:
-    out = os.path.join(
-        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
-        "capstone_etl_spark", "resources", "wordlist_en.txt",
-    )
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+# The reference's `en` file is 235,886 lines (~2.4 MB). The full-size
+# fixture matches that LINE COUNT exactly so the S2 broadcast is
+# exercised at reference size (VERDICT r4 item 7). Filler words are
+# even-length CV-syllable concatenations — they can never collide with
+# the deliberately-excluded odd-length probes ('spark', 'vector',
+# 'merge', 'dup' all contain consonant clusters / odd lengths no CV
+# product emits).
+FULL_SIZE = 235_886
+
+_CONSONANTS = "bcdfghjklmnprstvwxyz"
+_VOWELS = "aeiou"
+_CV = [c + v for c in _CONSONANTS for v in _VOWELS]  # 100 syllables
+
+
+def _base_lines() -> list[str]:
     lines: list[str] = []
     for w in KEEP:
         lines.append(w)
@@ -53,9 +62,37 @@ def main() -> None:
         lines.append(f"  {w}  ")         # trim exercised
     for a, b, c in itertools.product(SYLLABLES_A, SYLLABLES_B, SYLLABLES_C):
         lines.append(a + b + c)
-    with open(out, "w", encoding="ascii") as f:
+    return lines
+
+
+def main() -> None:
+    res = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "capstone_etl_spark", "resources",
+    )
+    os.makedirs(res, exist_ok=True)
+
+    base = _base_lines()
+    small = os.path.join(res, "wordlist_en.txt")
+    with open(small, "w", encoding="ascii") as f:
+        f.write("\n".join(base) + "\n")
+    print(f"wrote {small}: {len(base)} lines, {os.path.getsize(small)} bytes")
+
+    # full-size: the small fixture + deterministic CV³ filler up to the
+    # reference's exact line count, duplicates skipped
+    seen = {ln.strip().lower() for ln in base}
+    lines = list(base)
+    for a, b, c in itertools.product(_CV, _CV, _CV):
+        if len(lines) >= FULL_SIZE:
+            break
+        w = a + b + c
+        if w not in seen:
+            seen.add(w)
+            lines.append(w)
+    full = os.path.join(res, "wordlist_en_full.txt")
+    with open(full, "w", encoding="ascii") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"wrote {out}: {len(lines)} lines, {os.path.getsize(out)} bytes")
+    print(f"wrote {full}: {len(lines)} lines, {os.path.getsize(full)} bytes")
 
 
 if __name__ == "__main__":
