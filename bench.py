@@ -110,20 +110,67 @@ def _noted_regressions() -> set[str]:
 # lands on, and a slower host moves every query by the same factor — raw
 # wall-clock compare would fail the whole round on a hardware change
 # (observed r3→r4: a uniform ~1.5x across pure scans and shuffles
-# alike). The median per-query ratio estimates that host factor (a
-# genuine single-query regression can't move the median of 10+
-# queries); each query is then judged on ratio/median — plan
-# regressions stick out, hardware drift cancels.
+# alike). The host factor is calibrated from a FIXED PROBE — a
+# spark.range workload of built-ins that never touches engine code, so
+# its round-over-round ratio measures the machine, not the engine
+# (ADVICE r4 #2: the previous median-of-ratios normalization would
+# absorb a uniform engine-wide regression into the 'host factor'; the
+# probe cannot). The probe time is emitted in the bench JSON
+# (probe_sec) so the next round can ratio against it. Fallback when
+# the prior round has no probe (≤ r4): median per-query ratio, CAPPED
+# at HOST_FACTOR_BOUND so even the fallback cannot silently absorb a
+# >2x uniform regression.
 WARN_RATIO = 1.25
 FAIL_RATIO = 1.5
 MIN_PRIOR_SEC = 0.5
+HOST_FACTOR_BOUND = 2.0
 # Absolute floor for FAILING (warns still print): per-query cold wall
 # includes ~1-2s of codegen compile + scheduling jitter regardless of
 # query size, so a ratio on a small delta is noise, not signal.
 MIN_FAIL_DELTA_SEC = 2.0
 
 
-def _regression_gate(timings: dict[str, float]) -> int:
+def _host_probe(spark) -> float:
+    """Fixed engine-independent workload (range → hash → groupBy →
+    sort): its wall-clock depends on the machine only, so the ratio to
+    the prior round's probe_sec IS the host factor. Min of two runs to
+    damp scheduling jitter."""
+    best = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        df = spark.range(2_000_000).select(
+            (F.col("id") % 1000).alias("k"),
+            F.md5(F.col("id").cast("string")).alias("s"),
+        )
+        df.groupBy("k").agg(
+            F.sum(F.xxhash64("s").cast("decimal(38,0)")).alias("h")
+        ).orderBy("k").collect()
+        best = min(best, time.perf_counter() - t0)
+    return round(best, 3)
+
+
+def _prior_probe_sec() -> float | None:
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    if not rounds:
+        return None
+    try:
+        with open(max(rounds)[1]) as f:
+            doc = json.load(f)
+        v = doc.get("parsed", doc).get("probe_sec")
+        return float(v) if v else None
+    except (OSError, ValueError, TypeError):
+        return None
+
+
+def _regression_gate(timings: dict[str, float], probe_sec: float) -> int:
     import statistics
 
     prior = _prior_round_timings()
@@ -133,10 +180,33 @@ def _regression_gate(timings: dict[str, float]) -> int:
         for name, now in timings.items()
         if prior.get(name) and prior[name] >= MIN_PRIOR_SEC
     }
-    host = statistics.median(raw.values()) if len(raw) >= 5 else 1.0
+    median = statistics.median(raw.values()) if len(raw) >= 5 else 1.0
+    prior_probe = _prior_probe_sec()
+    if prior_probe:
+        host = probe_sec / prior_probe
+        print(
+            f"# host factor {host:.2f}x (probe {prior_probe:.2f}s -> {probe_sec:.2f}s)",
+            file=sys.stderr,
+        )
+        if median > host * WARN_RATIO:
+            print(
+                f"# warn: median query ratio {median:.2f}x exceeds probe-derived "
+                f"host factor {host:.2f}x — engine-wide slowdown, not hardware",
+                file=sys.stderr,
+            )
+    else:
+        # ≤ r4 BENCH files carry no probe — median fallback, bounded so a
+        # uniform engine regression beyond 2x cannot pass as 'hardware'
+        host = min(median, HOST_FACTOR_BOUND)
+        if median > HOST_FACTOR_BOUND:
+            print(
+                f"# warn: median ratio {median:.2f}x exceeds HOST_FACTOR_BOUND "
+                f"{HOST_FACTOR_BOUND}x — treating the excess as a regression",
+                file=sys.stderr,
+            )
     host = max(host, 1.0)  # a faster host never excuses a regression
     if host > 1.0:
-        print(f"# host factor {host:.2f}x (median prior-round ratio)", file=sys.stderr)
+        print(f"# host factor {host:.2f}x applied", file=sys.stderr)
     failures = 0
     for name, now in timings.items():
         was = prior.get(name)
@@ -179,6 +249,9 @@ def main() -> None:
     n = spark.read.parquet(f"{sf_dir}/nation.parquet")
     n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey).count()
 
+    # the host-calibration probe runs warmed, before the timed queries
+    probe_sec = _host_probe(spark)
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
@@ -204,12 +277,13 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf,
+                "probe_sec": probe_sec,
             }
         )
     )
     # after the JSON line (driver contract kept): nonzero exit on an
     # unexplained per-query regression vs the prior round
-    failures = _regression_gate(timings)
+    failures = _regression_gate(timings, probe_sec)
     if failures and os.environ.get("SPARK_GRAFT_BENCH_GATE", "1") != "0":
         sys.exit(2)
 

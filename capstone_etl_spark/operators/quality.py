@@ -211,7 +211,7 @@ SELECT doc_id,
        CAST(len(toks) AS BIGINT) AS n_tokens,
        len(toks) >= {MIN_TOKENS} AS pass_min_tokens,
        len(toks) <= {MAX_TOKENS} AS pass_max_tokens,
-       (CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / greatest(len(toks), 1)
+       (CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE) / greatest(len(toks), 1)
           BETWEEN {MIN_MEAN_TOK_LEN} AND {MAX_MEAN_TOK_LEN}) AS pass_mean_token_len,
        (CAST(len(list_distinct(toks)) AS DOUBLE) / greatest(len(toks), 1)) >= {MIN_TTR} AS pass_ttr,
        (CASE WHEN length(text) > 0

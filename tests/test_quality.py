@@ -54,6 +54,39 @@ def test_flags_plan_is_map_only(spark):
     assert not has_cartesian(df)
 
 
+def test_flags_degenerate_docs_match_duckdb(spark, tmp_path):
+    """ADVICE r4 #1: zero-token documents (empty / whitespace-only /
+    punctuation-only text) must produce IDENTICAL flags in both
+    engines. DuckDB's list_sum over an empty list is NULL, so the
+    oracle's mean-token-length rule needs the COALESCE guard to match
+    Spark's 0-valued aggregate fold — without it the first degenerate
+    doc in a corpus fails the correctness gate."""
+    rows = [
+        (0, ""),
+        (1, "   "),
+        (2, "!!! ??? ..."),
+        (3, "12345 678"),
+        (4, "assorted plain normal document words appear here repeatedly " * 3),
+    ]
+    spark.createDataFrame(rows, "doc_id long, text string").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "documents.parquet"))
+    sf = str(tmp_path)
+    got = sorted(map(tuple, quality.quality_filter_flags(spark, sf).collect()))
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet/*.parquet'"
+    )
+    want = sorted(map(tuple, con.execute(quality.QUALITY_FILTER_FLAGS_SQL).fetchall()))
+    assert got == want
+    # the degenerate docs really exercise the empty-token path
+    assert any(t[1] == 0 for t in got)
+    # and the funnel oracle (same _FLAGS_SQL CTE) agrees too
+    got_f = sorted(map(tuple, quality.quality_filter_funnel(spark, sf).collect()))
+    want_f = sorted(map(tuple, con.execute(quality.QUALITY_FILTER_FUNNEL_SQL).fetchall()))
+    assert got_f == want_f
+
+
 def test_unigram_logprob_matches_duckdb(spark):
     got = {
         r.doc_id: (r.n_tokens, r.nll_nats)

@@ -5,11 +5,17 @@ oracle_sql() on DuckDB at the given sf dir, then compares row count,
 column names, and order-insensitive values (exact — floats included,
 since the engine is built to agree bit-for-bit via exact decimal sums).
 
-Usage: python tools/check_correctness.py [sf_dir] [query ...]
+Usage: python tools/check_correctness.py [--json OUT.json] [sf_dir] [query ...]
+
+--json writes per-query results to OUT.json — the in-repo attestation
+file for queries the driver's 50-query window defers (ADVICE r4 #3):
+oracle parity for every registered query is then evidenced in-repo
+(e.g. ATTEST_r5.json) instead of waiting for a future driver round.
 """
 
 from __future__ import annotations
 
+import json
 import sys
 
 import duckdb
@@ -51,8 +57,14 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
+    args = sys.argv[1:]
+    json_out = None
+    if "--json" in args:
+        i = args.index("--json")
+        json_out = args[i + 1]
+        args = args[:i] + args[i + 2 :]
+    sf_dir = args[0] if args else "/root/testdata/sf0.01"
+    only = set(args[1:])
 
     sys.path.insert(0, "/root/repo")
     import __spark_entry__ as entrymod
@@ -68,6 +80,7 @@ def main() -> int:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     failures = 0
+    results: dict[str, dict] = {}
     for name, fn in qs.items():
         if only and name not in only:
             continue
@@ -75,6 +88,7 @@ def main() -> int:
             spark_pdf = fn(spark, sf_dir).toPandas()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: spark error: {e}")
+            results[name] = {"pass": False, "err": f"spark: {e}"}
             failures += 1
             continue
         finally:
@@ -86,23 +100,42 @@ def main() -> int:
             release_caches()
         if name not in oracles:
             print(f"ok   {name}: rows-only ({len(spark_pdf)} rows, no oracle)")
+            results[name] = {"pass": True, "rows": len(spark_pdf), "rows_only": True}
             continue
         try:
             duck_pdf = con.execute(oracles[name]).df()
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: duckdb error: {e}")
+            results[name] = {"pass": False, "err": f"duckdb: {e}"}
             failures += 1
             continue
         problems = compare(name, spark_pdf, duck_pdf)
         if problems:
             failures += 1
             print(f"FAIL {name}: " + "; ".join(problems))
+            results[name] = {"pass": False, "err": "; ".join(problems)}
         else:
             print(f"PASS {name} ({len(spark_pdf)} rows)")
+            results[name] = {"pass": True, "rows": len(spark_pdf)}
     leaked = spark.sparkContext._jsc.getPersistentRDDs().size()
     if leaked:
         failures += 1
         print(f"FAIL cache-hygiene: {leaked} relations still persisted after release_caches()")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(
+                {
+                    "sf_dir": sf_dir,
+                    "n_queries": len(results),
+                    "n_failures": failures,
+                    "cache_hygiene_leaked": leaked,
+                    "results": results,
+                },
+                f,
+                indent=1,
+                sort_keys=True,
+            )
+        print(f"wrote {json_out} ({len(results)} queries)")
     print(f"\n{failures} failures")
     return 1 if failures else 0
 
