@@ -65,6 +65,12 @@ _PRIORITY = [
     "packing_efficiency",
     "quality_filter_flags",
     "quality_filter_funnel",
+    # NEW in round 5 — attest this round (also in ATTEST_r5.json)
+    "reservoir_sample",
+    "length_histogram",
+    "tokenizer_fertility",
+    "bigram_lm_perplexity",
+    "bpe_apply_merge",
     # deferred re-attestation from r4 (watermark/stateful changes)
     "stream_event_dedup",
     # family canaries (driver-green in earlier rounds; every family
@@ -91,14 +97,14 @@ _PRIORITY = [
     "bpe_merge_pairs",
     "unigram_logprob",
     "kmv_distinct_shingles",
+    # position 51+: first in line if the driver samples past 50 —
+    # every query below is driver-green in some round AND green on the
+    # committed local full gate (ATTEST_r5.json)
     "hierarchy_pagerank",
     "event_asof_last_view",
     "event_retention_cohorts",
     "stream_tumbling_windows",
     "stream_user_sessions",
-    # position 51+: first in line if the driver samples past 50 —
-    # every query below is driver-green in some round AND green on the
-    # committed local full gate (ATTEST_r5.json)
     "stream_click_attribution",
     "event_user_rank_profile",
     "doc_sample_stratified",

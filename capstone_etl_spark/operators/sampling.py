@@ -100,12 +100,55 @@ WHERE {_bucket_sql(SAMPLE_SALT, 'doc_id')} < (CASE {_RATE_CASE} ELSE {DEFAULT_ST
 """
 
 
+RESERVOIR_K = 50
+RESERVOIR_SALT = "reservoir:v1:"
+
+
+def reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-size-per-group sample: the K documents with the smallest
+    salted hash within each source — the distributed, deterministic
+    equivalent of reservoir sampling (uniform over the group, exactly
+    min(K, |group|) rows, stable under reruns/reorder/retry because
+    membership depends only on (salt, doc_id); a different salt redraws
+    the sample without touching the data).
+
+    Scale: bottom-K-by-hash per group is the KMV selection shape — at
+    true 100 TB the rank window drops to a per-partition bottom-K merge
+    (K rows per group per partition are all that ever cross the wire);
+    here the window partitions per source, sized for the test SFs
+    (same justification as sketches.kmv_distinct_shingles)."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_hash60(F.concat(F.lit(RESERVOIR_SALT), F.col("doc_id").cast("string")))
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.select("source", "doc_id", "lang", h.alias("h"))
+        .withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= RESERVOIR_K)
+        .select("source", "doc_id", "lang", "rnk")
+    )
+
+
+_RES_HASH = md5_hash60_sql(f"'{RESERVOIR_SALT}' || CAST(doc_id AS VARCHAR)")
+
+RESERVOIR_SAMPLE_SQL = f"""
+SELECT source, doc_id, lang, rnk FROM (
+  SELECT source, doc_id, lang,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY {_RES_HASH}, doc_id) AS rnk
+  FROM documents
+) t WHERE rnk <= {RESERVOIR_K}
+"""
+
+
 QUERIES = {
     "doc_splits": doc_splits,
     "doc_sample_stratified": doc_sample_stratified,
+    "reservoir_sample": reservoir_sample,
 }
 
 ORACLE_SQL = {
     "doc_splits": DOC_SPLITS_SQL,
     "doc_sample_stratified": DOC_SAMPLE_STRATIFIED_SQL,
+    "reservoir_sample": RESERVOIR_SAMPLE_SQL,
 }

@@ -887,6 +887,259 @@ ORDER BY source, rnk
 """
 
 
+# Shared filtered-tokens CTE for the round-5 additions (mirrors
+# functions.text.tokenize exactly — empty tokens dropped).
+_FTOKS_CTE = """
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+                     x -> x <> '') AS t
+  FROM documents
+)
+"""
+
+
+def length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source token-length histogram on power-of-two buckets
+    (bucket b holds docs with 2^b ≤ n_tokens < 2^(b+1)) — the curation
+    dashboard's length distribution, and the input to a truncation /
+    min-length policy decision. Pure aggregation; the bucket is
+    INTEGER-exact in both engines (length of the binary representation,
+    never a float log2 whose last ulp could flip a power-of-two
+    boundary)."""
+    docs = _docs(spark, sf_dir)
+    n_tok = F.size(tokenize("text"))
+    with_b = docs.select(
+        "source", n_tok.alias("n_tok")
+    ).filter(F.col("n_tok") >= 1).select(
+        "source",
+        "n_tok",
+        (F.length(F.expr("bin(n_tok)")) - 1).cast("long").alias("bucket"),
+    )
+    return with_b.groupBy("source", "bucket").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("n_tokens"),
+    ).select(
+        "source",
+        "bucket",
+        F.expr("CAST(power(2.0, bucket) AS BIGINT)").alias("bucket_lo"),
+        F.expr("CAST(power(2.0, bucket + 1) AS BIGINT) - 1").alias("bucket_hi"),
+        "n_docs",
+        "n_tokens",
+    )
+
+
+LENGTH_HISTOGRAM_SQL = _FTOKS_CTE + """
+, sized AS (
+  SELECT source, len(t) AS n_tok, CAST(length(bin(len(t))) - 1 AS BIGINT) AS bucket
+  FROM toks WHERE len(t) >= 1
+)
+SELECT source, bucket,
+       CAST(power(2.0, bucket) AS BIGINT) AS bucket_lo,
+       CAST(power(2.0, bucket + 1) AS BIGINT) - 1 AS bucket_hi,
+       COUNT(*) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+FROM sized GROUP BY 1, 2
+"""
+
+
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source tokenizer audit: documents, token volume, characters
+    per token, tokens per document, distinct-token count and
+    type-token ratio — the fertility numbers that decide whether a
+    tokenizer (or the cleaning stack in front of it) suits a source.
+    One tokenize pass, two aggregations (per-source scalars + a
+    per-source COUNT(DISTINCT) over the exploded tokens); divisions are
+    exact-int over exact-int doubles, engine-identical."""
+    docs = _docs(spark, sf_dir)
+    toks = cached(docs.select("source", tokenize("text").alias("t")))
+    per_src = toks.select(
+        "source",
+        F.size("t").alias("n_tok"),
+        F.aggregate("t", F.lit(0), lambda acc, x: acc + F.length(x)).alias("tok_chars"),
+    ).groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.sum("tok_chars").cast("long").alias("tok_chars"),
+    )
+    distinct = (
+        toks.select("source", F.explode("t").alias("w"))
+        .groupBy("source")
+        .agg(F.countDistinct("w").alias("n_types"))
+    )
+    return per_src.join(distinct, "source", "left").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        F.coalesce(F.col("n_types"), F.lit(0)).cast("long").alias("n_types"),
+        F.round(F.col("n_tokens").cast("double") / F.col("n_docs"), 6).alias("tokens_per_doc"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.col("tok_chars").cast("double") / F.col("n_tokens"), 6),
+        ).alias("chars_per_token"),
+        F.when(
+            F.col("n_tokens") > 0,
+            F.round(F.coalesce(F.col("n_types"), F.lit(0)).cast("double") / F.col("n_tokens"), 6),
+        ).alias("type_token_ratio"),
+    )
+
+
+TOKENIZER_FERTILITY_SQL = _FTOKS_CTE + """
+, per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(t)) AS BIGINT) AS n_tokens,
+         CAST(SUM(COALESCE(list_sum(list_transform(t, x -> length(x))), 0)) AS BIGINT) AS tok_chars
+  FROM toks GROUP BY 1
+), dst AS (
+  SELECT source, COUNT(DISTINCT w) AS n_types
+  FROM (SELECT source, unnest(t) AS w FROM toks) u GROUP BY 1
+)
+SELECT p.source, p.n_docs, p.n_tokens,
+       CAST(COALESCE(d.n_types, 0) AS BIGINT) AS n_types,
+       ROUND(CAST(p.n_tokens AS DOUBLE) / p.n_docs, 6) AS tokens_per_doc,
+       CASE WHEN p.n_tokens > 0
+            THEN ROUND(CAST(p.tok_chars AS DOUBLE) / p.n_tokens, 6) END AS chars_per_token,
+       CASE WHEN p.n_tokens > 0
+            THEN ROUND(CAST(COALESCE(d.n_types, 0) AS DOUBLE) / p.n_tokens, 6) END AS type_token_ratio
+FROM per_src p LEFT JOIN dst d USING (source)
+"""
+
+
+def bigram_lm_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean negative log-likelihood under the corpus
+    BIGRAM language model (MLE: p(w2|w1) = c(w1 w2)/c(w1·)) — the
+    context-aware upgrade of unigram_logprob: boilerplate that repeats
+    common transitions scores low, incoherent token soup scores high
+    even when its unigrams are common. No smoothing needed: every doc
+    bigram exists in the corpus by construction, so p > 0.
+
+    Plan: one tokenize → one bigram explode, cached for its three
+    consumers (per-doc counts, corpus bigram counts, context counts);
+    joins keyed on the bigram / its first token. Numeric discipline is
+    unigram_logprob's: each cnt·ln(p) term snaps to DECIMAL(28,12),
+    sums exactly, and only the final mean rounds to 6 dp. Docs with
+    fewer than 2 tokens have no bigrams and are absent by
+    construction."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    bigr = cached(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN "
+                    "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("bg"),
+        ).select("doc_id", "bg.w1", "bg.w2")
+    )
+    doc_bg = bigr.groupBy("doc_id", "w1", "w2").agg(F.count("*").alias("c_doc"))
+    corpus_bg = bigr.groupBy("w1", "w2").agg(F.count("*").alias("c12"))
+    ctx = bigr.groupBy("w1").agg(F.count("*").alias("c1"))
+    term = (
+        F.col("c_doc") * F.log(F.col("c12").cast("double") / F.col("c1"))
+    ).cast("decimal(28,12)")
+    return (
+        doc_bg.join(corpus_bg, ["w1", "w2"])
+        .join(ctx, "w1")
+        .select("doc_id", "c_doc", term.alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c_doc").alias("n_bigrams"),
+            F.round((-F.sum("term")).cast("double") / F.sum("c_doc"), 6).alias("nll_nats"),
+        )
+    )
+
+
+BIGRAM_LM_PERPLEXITY_SQL = _FTOKS_CTE + """
+, bigr AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+  WHERE len(t) >= 2
+), doc_bg AS (
+  SELECT doc_id, w1, w2, COUNT(*) AS c_doc FROM bigr GROUP BY 1, 2, 3
+), corpus_bg AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bigr GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, COUNT(*) AS c1 FROM bigr GROUP BY 1
+), terms AS (
+  SELECT d.doc_id, d.c_doc,
+         CAST(d.c_doc * LN(CAST(cb.c12 AS DOUBLE) / cx.c1) AS DECIMAL(28,12)) AS term
+  FROM doc_bg d
+  JOIN corpus_bg cb ON cb.w1 = d.w1 AND cb.w2 = d.w2
+  JOIN ctx cx ON cx.w1 = d.w1
+)
+SELECT doc_id,
+       CAST(SUM(c_doc) AS BIGINT) AS n_bigrams,
+       ROUND(CAST(-SUM(term) AS DOUBLE) / SUM(c_doc), 6) AS nll_nats
+FROM terms GROUP BY 1
+"""
+
+
+def bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The second half of the BPE step: APPLY the top-1 learned merge
+    (bpe_merge_pairs rank 1) to the vocabulary and report per-token
+    merge counts and symbol-sequence lengths — the compression readout
+    (Σ tf·n_merges tokens saved corpus-wide) that drives the
+    keep-merging decision in tokenizer training.
+
+    Plan: the winning pair is computed in-plan and enters as a 1-row
+    broadcast (never a driver-side collect); application is
+    `replace(token, pair, '_')` — greedy left-to-right non-overlapping
+    in both engines, exactly BPE's merge semantics — over the
+    AGGREGATED vocabulary, never the raw stream."""
+    tok = _docs(spark, sf_dir).select(F.explode(tokenize("text")).alias("token"))
+    tf = cached(tok.groupBy("token").agg(F.count("*").alias("tf")))
+    pairs = tf.filter(F.length("token") >= 2).select(
+        "tf",
+        F.explode(
+            F.expr("transform(sequence(1, length(token) - 1), i -> substring(token, i, 2))")
+        ).alias("pair"),
+    )
+    top1 = (
+        pairs.groupBy("pair")
+        .agg(F.sum("tf").alias("cnt"))
+        .orderBy(F.desc("cnt"), "pair")
+        .limit(1)
+        .select(F.col("pair").alias("merge_pair"))
+    )
+    merged_len = F.length(F.expr("replace(token, merge_pair, '_')"))
+    return tf.join(F.broadcast(top1), F.lit(True)).select(
+        "token",
+        "tf",
+        "merge_pair",
+        F.length("token").cast("long").alias("len_before"),
+        merged_len.cast("long").alias("len_after"),
+        (F.length("token") - merged_len).cast("long").alias("n_merges"),
+    )
+
+
+BPE_APPLY_MERGE_SQL = """
+WITH tokstream AS (
+  SELECT UNNEST(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           x -> x <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT token, COUNT(*) AS tf FROM tokstream GROUP BY 1
+), pairs AS (
+  SELECT substr(token, i, 2) AS pair, tf
+  FROM tf, LATERAL (SELECT unnest(range(1, length(token))) AS i) r
+  WHERE length(token) >= 2
+), top1 AS (
+  SELECT pair AS merge_pair FROM (
+    SELECT pair, CAST(SUM(tf) AS BIGINT) AS cnt FROM pairs GROUP BY 1
+  ) a ORDER BY cnt DESC, pair LIMIT 1
+)
+SELECT t.token, t.tf, o.merge_pair,
+       CAST(length(t.token) AS BIGINT) AS len_before,
+       CAST(length(replace(t.token, o.merge_pair, '_')) AS BIGINT) AS len_after,
+       CAST(length(t.token) - length(replace(t.token, o.merge_pair, '_')) AS BIGINT) AS n_merges
+FROM tf t CROSS JOIN top1 o
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "token_counts": token_counts,
@@ -903,6 +1156,10 @@ QUERIES = {
     "winnowing_pairs": winnowing_pairs,
     "zipf_fit": zipf_fit,
     "language_id_confusion": language_id_confusion,
+    "length_histogram": length_histogram,
+    "tokenizer_fertility": tokenizer_fertility,
+    "bigram_lm_perplexity": bigram_lm_perplexity,
+    "bpe_apply_merge": bpe_apply_merge,
 }
 
 ORACLE_SQL = {
@@ -921,4 +1178,8 @@ ORACLE_SQL = {
     "winnowing_pairs": _winnowing_pairs_sql(),
     "zipf_fit": ZIPF_FIT_SQL,
     "language_id_confusion": LANGUAGE_ID_CONFUSION_SQL,
+    "length_histogram": LENGTH_HISTOGRAM_SQL,
+    "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
+    "bigram_lm_perplexity": BIGRAM_LM_PERPLEXITY_SQL,
+    "bpe_apply_merge": BPE_APPLY_MERGE_SQL,
 }

@@ -77,6 +77,10 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "1-row corpus doc-count broadcast feeding the tf-idf weights "
         "(doc_similarity.py)"
     ),
+    "bpe_apply_merge": (
+        "1-row winning-merge-pair broadcast applied over the aggregated "
+        "vocabulary (textstats.py)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and

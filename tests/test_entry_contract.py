@@ -40,22 +40,33 @@ def test_first_fifty_span_every_family():
     window (VERDICT r2, item 1)."""
     first50 = list(entrymod.queries())[:50]
     families = {
-        "corpus": "corpus_pipeline",
-        "dedup": "dedup_minhash_lsh",
-        "decontamination": "decontamination",
-        "ann": "ann_lsh_topk",
-        "kmeans": "kmeans_lloyd",
-        "doc_similarity": "doc_similarity_topk",
-        "streaming": "stream_tumbling_windows",
-        "multimodal": "multimodal_frame_dedup",
-        "outputs": "wikibooks_docs",
-        "chunking": "doc_chunks",
-        "splits": "doc_splits",
-        "rangejoin": "campaign_window_stats",
-        "textstats": "text_quality",
-        "events": "event_user_rank_profile",
+        "corpus": ("corpus_pipeline", "source_mixing_weights", "mixing_allocation"),
+        "dedup": ("dedup_minhash_lsh", "dedup_clusters", "dedup_exact", "dedup_agreement"),
+        "decontamination": ("decontamination", "repeated_ngram_spans"),
+        "ann": ("ann_lsh_topk", "ann_ivf_topk", "ann_recall_eval"),
+        "kmeans": ("kmeans_lloyd", "label_centroids"),
+        "doc_similarity": ("doc_similarity_topk",),
+        "streaming": (
+            "stream_tumbling_windows", "stream_user_sessions",
+            "stream_quality_funnel", "stream_kmv_sketch", "stream_event_dedup",
+        ),
+        "multimodal": ("multimodal_frame_dedup", "multimodal_meta"),
+        "outputs": ("wikibooks_docs", "tokens_collection"),
+        "chunking": ("doc_chunks", "chunk_packing"),
+        "packing": ("sequence_packing", "sequence_packing_greedy"),
+        "splits": ("doc_splits", "cluster_aware_splits"),
+        "sampling": ("doc_sample_stratified", "reservoir_sample"),
+        "rangejoin": ("campaign_window_stats",),
+        "textstats": ("text_quality", "zipf_fit", "language_id_confusion"),
+        "quality": ("quality_filter_flags", "quality_filter_funnel", "difficulty_deciles"),
+        "sketches": ("kmv_distinct_shingles", "kmv_source_overlap"),
+        "events": ("event_anomaly_zscore", "event_user_rank_profile"),
     }
-    absent = {fam: q for fam, q in families.items() if q not in first50}
+    absent = {
+        fam: qlist
+        for fam, qlist in families.items()
+        if not any(q in first50 for q in qlist)
+    }
     assert absent == {}, f"families missing from the driver's 50-query window: {absent}"
 
 

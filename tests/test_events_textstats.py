@@ -44,3 +44,123 @@ def test_fingerprint_order_sensitive(spark):
     fps = {r.doc_id: r.fingerprint for r in doc_fingerprint_df(df).collect()}
     assert fps[0] == fps[1]      # same content+order → same fingerprint
     assert fps[0] != fps[2]      # reordered tokens → different fingerprint
+
+
+def test_reservoir_sample_sized_and_deterministic(spark, sf_dir):
+    """Exactly min(K, |source|) rows per source, ranks 1..k, identical
+    across two runs (hash membership, no RNG)."""
+    from capstone_etl_spark.operators.sampling import RESERVOIR_K, reservoir_sample
+    from capstone_etl_spark.sources.tables import load_table
+
+    out = reservoir_sample(spark, sf_dir).collect()
+    per_src_n = {}
+    for r in out:
+        per_src_n.setdefault(r.source, []).append(r.rnk)
+    src_sizes = {
+        r.source: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    for src, rnks in per_src_n.items():
+        assert sorted(rnks) == list(range(1, min(RESERVOIR_K, src_sizes[src]) + 1))
+    again = reservoir_sample(spark, sf_dir).collect()
+    assert sorted((r.source, r.doc_id, r.rnk) for r in again) == sorted(
+        (r.source, r.doc_id, r.rnk) for r in out
+    )
+
+
+def test_length_histogram_conserves_and_bounds(spark, sf_dir):
+    """Bucket bounds are powers of two, totals conserve the per-doc
+    token counts, every doc's n_tokens falls inside its bucket."""
+    from capstone_etl_spark.functions.text import tokenize
+    from capstone_etl_spark.operators.textstats import length_histogram
+    from capstone_etl_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    hist = length_histogram(spark, sf_dir).collect()
+    assert hist
+    for r in hist:
+        assert r.bucket_lo == 2**r.bucket
+        assert r.bucket_hi == 2 ** (r.bucket + 1) - 1
+        assert r.bucket_lo <= r.n_tokens / r.n_docs <= r.bucket_hi or r.n_docs > 1
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.size(tokenize("text")).alias("n")
+    )
+    total_docs = docs.filter(F.col("n") >= 1).count()
+    total_toks = docs.filter(F.col("n") >= 1).agg(F.sum("n")).collect()[0][0]
+    assert sum(r.n_docs for r in hist) == total_docs
+    assert sum(r.n_tokens for r in hist) == total_toks
+
+
+def test_tokenizer_fertility_matches_manual(spark, sf_dir):
+    from capstone_etl_spark.functions.text import tokenize
+    from capstone_etl_spark.operators.textstats import tokenizer_fertility
+    from capstone_etl_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    out = {r.source: r for r in tokenizer_fertility(spark, sf_dir).collect()}
+    docs = load_table(spark, sf_dir, "documents")
+    manual = (
+        docs.select("source", F.explode(tokenize("text")).alias("w"))
+        .groupBy("source")
+        .agg(F.count("*").alias("n_tokens"), F.countDistinct("w").alias("n_types"))
+        .collect()
+    )
+    for m in manual:
+        assert out[m.source].n_tokens == m.n_tokens
+        assert out[m.source].n_types == m.n_types
+        assert 0 < out[m.source].type_token_ratio <= 1.0
+        assert out[m.source].chars_per_token > 0
+
+
+def test_bigram_lm_nll_positive_and_complete(spark, sf_dir):
+    from capstone_etl_spark.functions.text import tokenize
+    from capstone_etl_spark.operators.textstats import bigram_lm_perplexity
+    from capstone_etl_spark.session import release_caches
+    from capstone_etl_spark.sources.tables import load_table
+
+    import pyspark.sql.functions as F
+
+    try:
+        rows = bigram_lm_perplexity(spark, sf_dir).collect()
+        docs_with_bigrams = (
+            load_table(spark, sf_dir, "documents")
+            .filter(F.size(tokenize("text")) >= 2)
+            .count()
+        )
+        assert len(rows) == docs_with_bigrams
+        for r in rows:
+            # MLE probabilities ≤ 1 → nll ≥ 0; 0 only if every transition
+            # is deterministic (possible for tiny docs, so allow equality)
+            assert r.nll_nats >= 0.0
+            assert r.n_bigrams >= 1
+    finally:
+        release_caches()
+
+
+def test_bpe_apply_merge_hand_checked(spark, tmp_path):
+    """On a corpus where 'ab' is the clear winner: greedy left-to-right
+    merge counts (overlaps consumed) and length bookkeeping."""
+    from capstone_etl_spark.operators.textstats import bpe_apply_merge
+    from capstone_etl_spark.session import release_caches
+
+    spark.createDataFrame(
+        [(0, "abab abab ababab xyz", "en", "s", 20)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    ).write.mode("overwrite").parquet(str(tmp_path / "documents.parquet"))
+    try:
+        out = {r.token: r for r in bpe_apply_merge(spark, str(tmp_path)).collect()}
+        # 'ab' occurs 2+2+3 (weighted by tf: abab tf=2 → 4, ababab tf=1 → 3)
+        assert out["abab"].merge_pair == "ab"
+        assert out["abab"].n_merges == 2 and out["abab"].len_after == 2
+        assert out["ababab"].n_merges == 3 and out["ababab"].len_after == 3
+        assert out["xyz"].n_merges == 0 and out["xyz"].len_after == 3
+        for r in out.values():
+            assert r.len_before - r.n_merges == r.len_after
+    finally:
+        release_caches()
