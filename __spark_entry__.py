@@ -71,14 +71,19 @@ _PRIORITY = [
     "tokenizer_fertility",
     "bigram_lm_perplexity",
     "bpe_apply_merge",
+    "min_cost_supplier",
+    "local_supplier_volume",
+    "important_parts",
+    "late_shipment_priority",
+    "supplier_count_by_part_class",
+    "dominant_bolt_suppliers",
+    "stream_reservoir_sample",
     # deferred re-attestation from r4 (watermark/stateful changes)
     "stream_event_dedup",
     # family canaries (driver-green in earlier rounds; every family
     # keeps ≥1 inside the window)
     "corpus_pipeline",
-    "dedup_clusters",
     "dedup_minhash_lsh",
-    "dedup_exact",
     "decontamination",
     "ann_lsh_topk",
     "embedding_pairs",
@@ -89,17 +94,19 @@ _PRIORITY = [
     "cluster_aware_splits",
     "source_mixing_weights",
     "text_quality",
-    "doc_splits",
     "campaign_window_stats",
+    # position 51+: first in line if the driver samples past 50 —
+    # every query below is driver-green in some round AND green on the
+    # committed local full gate (ATTEST_r5.json)
+    "doc_splits",
+    "dedup_clusters",
+    "dedup_exact",
     "sequence_packing",
     "winnowing_fingerprints",
     "corpus_drift",
     "bpe_merge_pairs",
     "unigram_logprob",
     "kmv_distinct_shingles",
-    # position 51+: first in line if the driver samples past 50 —
-    # every query below is driver-green in some round AND green on the
-    # committed local full gate (ATTEST_r5.json)
     "hierarchy_pagerank",
     "event_asof_last_view",
     "event_retention_cohorts",

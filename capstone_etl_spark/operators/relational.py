@@ -1235,6 +1235,350 @@ ORDER BY n1, n2
 """
 
 
+# ---------------------------------------------------------------- round-5
+# The six TPC-H shapes the schema previously left uncovered (Q2, Q5,
+# Q11, Q12, Q16, Q20), adapted to the driver's reduced star schema
+# (no partsupp / shipmode / comment columns): each keeps the defining
+# operator shape of its TPC-H original — the correlated-min supplier
+# lookup, the customer==supplier nation join, the global-fraction
+# HAVING, the conditional late-shipment counts, the anti-joined
+# distinct-supplier rollup, and the more-than-half-of-part-volume
+# semi-join chain.
+
+
+def min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 shape: for every EUROPE-supplied part of size ≤ 15,
+    the supplier(s) achieving the MINIMUM unit price, with the
+    correlated `cost = (SELECT MIN ...)` subquery decorrelated into a
+    per-part aggregate joined back.
+
+    Exactness: unit price = extendedprice·(1−discount)/quantity is a
+    PER-ROW double expression (identical operands → identical IEEE
+    result in both engines), and MIN is order-insensitive — so unlike
+    a summed measure there is no partial-agg drift and the equality
+    join on the min is safe. Ties survive, as in Q2's ORDER BY over
+    all matching suppliers."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    eu_supp = (
+        supp.join(
+            F.broadcast(
+                nation.join(
+                    F.broadcast(region.filter(F.col("r_name") == "EUROPE")),
+                    nation["n_regionkey"] == region["r_regionkey"],
+                ).select("n_nationkey", "n_name")
+            ),
+            supp["s_nationkey"] == F.col("n_nationkey"),
+        ).select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    small_parts = part.filter(F.col("p_size") <= 15).select(
+        "p_partkey", "p_name", "p_size"
+    )
+    unit = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    ) / F.col("l_quantity")
+    offers = (
+        li.join(F.broadcast(small_parts), li["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(eu_supp), li["l_suppkey"] == F.col("s_suppkey"))
+        .groupBy("p_partkey", "p_name", "s_suppkey", "s_name", "s_acctbal", "n_name")
+        .agg(F.min(unit).alias("unit_cost"))
+        .transform(cached)
+    )
+    best = offers.groupBy(F.col("p_partkey").alias("bp")).agg(
+        F.min("unit_cost").alias("best_cost")
+    )
+    return (
+        offers.join(
+            F.broadcast(best),
+            (offers["p_partkey"] == F.col("bp"))
+            & (offers["unit_cost"] == F.col("best_cost")),
+        )
+        .select(
+            "p_partkey",
+            "p_name",
+            "s_suppkey",
+            "s_name",
+            "s_acctbal",
+            F.col("n_name").alias("supp_nation"),
+            F.round("unit_cost", 6).alias("unit_cost"),
+        )
+        .orderBy("p_partkey", "s_suppkey")
+    )
+
+
+MIN_COST_SUPPLIER_SQL = """
+WITH eu_supp AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), offers AS (
+  SELECT l_partkey AS p_partkey, p.p_name, s.s_suppkey, s.s_name, s.s_acctbal, s.n_name,
+         MIN(l_extendedprice * (1 - l_discount) / l_quantity) AS unit_cost
+  FROM lineitem
+  JOIN part p ON l_partkey = p.p_partkey AND p.p_size <= 15
+  JOIN eu_supp s ON l_suppkey = s.s_suppkey
+  GROUP BY 1, 2, 3, 4, 5, 6
+)
+SELECT o.p_partkey, o.p_name, o.s_suppkey, o.s_name, o.s_acctbal,
+       o.n_name AS supp_nation, ROUND(o.unit_cost, 6) AS unit_cost
+FROM offers o
+JOIN (SELECT p_partkey, MIN(unit_cost) AS best_cost FROM offers GROUP BY 1) b
+  ON b.p_partkey = o.p_partkey AND o.unit_cost = b.best_cost
+ORDER BY o.p_partkey, o.s_suppkey
+"""
+
+
+def local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5: revenue per nation from 1997 orders where customer and
+    supplier share the nation, restricted to the ASIA region — the
+    six-table join whose defining predicate (c_nationkey ==
+    s_nationkey) is a join condition between two DIMENSION paths of the
+    same fact row. Dimensions broadcast; the only shuffle is
+    lineitem⋈orders on the orderkey."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region")
+    asia = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == "ASIA")),
+            nation["n_regionkey"] == region["r_regionkey"],
+        ).select("n_nationkey", "n_name")
+    )
+    rev = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,4)")
+    return (
+        li.join(
+            orders.filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            li["l_orderkey"] == F.col("o_orderkey"),
+        )
+        .join(F.broadcast(cust), F.col("o_custkey") == cust["c_custkey"])
+        .join(F.broadcast(supp), li["l_suppkey"] == supp["s_suppkey"])
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(asia), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(rev).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n_name,
+       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS DOUBLE) AS revenue
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE c_nationkey = s_nationkey
+  AND r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+"""
+
+
+def important_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 shape: per-part value shipped by NATION_3 suppliers,
+    keeping parts whose value exceeds a FRACTION of the nation's total
+    — the global-scalar HAVING. The total enters as a 1-row broadcast
+    (never a driver-side collect); value sums are exact decimal so the
+    threshold compare (2000·value > total, exact decimal arithmetic)
+    cannot flip on partial-agg order."""
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    n3_supp = (
+        supp.join(
+            F.broadcast(nation.filter(F.col("n_name") == "NATION_3")),
+            supp["s_nationkey"] == nation["n_nationkey"],
+        ).select("s_suppkey")
+    )
+    val = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(24,4)")
+    per_part = (
+        li.join(F.broadcast(n3_supp), li["l_suppkey"] == F.col("s_suppkey"), "left_semi")
+        .groupBy("l_partkey")
+        .agg(F.sum(val).alias("value"))
+        .transform(cached)
+    )
+    total = per_part.agg(F.sum("value").alias("total_value"))
+    return (
+        per_part.crossJoin(F.broadcast(total))
+        .filter(F.col("value") * 2000 > F.col("total_value"))
+        .select(
+            F.col("l_partkey").alias("p_partkey"),
+            F.col("value").cast("double").alias("value"),
+        )
+        .orderBy(F.desc("value"), "p_partkey")
+    )
+
+
+IMPORTANT_PARTS_SQL = """
+WITH per_part AS (
+  SELECT l_partkey,
+         SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(24,4))) AS value
+  FROM lineitem
+  WHERE l_suppkey IN (
+    SELECT s_suppkey FROM supplier JOIN nation ON s_nationkey = n_nationkey
+    WHERE n_name = 'NATION_3')
+  GROUP BY l_partkey
+)
+SELECT l_partkey AS p_partkey, CAST(value AS DOUBLE) AS value
+FROM per_part
+WHERE value * 2000 > (SELECT SUM(value) FROM per_part)
+ORDER BY value DESC, p_partkey
+"""
+
+
+def late_shipment_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 shape: lineitems shipped LATE (more than 75 days after
+    the order date), bucketed by return flag, counting high-priority
+    (1-URGENT / 2-HIGH) vs lower-priority orders — the conditional
+    CASE-count pair over a fact-fact join with a date-interval
+    predicate. Counts are exact longs."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li["l_orderkey"] == orders["o_orderkey"])
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 75 DAYS"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0)).cast("long").alias("high_priority_count"),
+            F.sum(F.when(high, 0).otherwise(1)).cast("long").alias("low_priority_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+LATE_SHIPMENT_PRIORITY_SQL = """
+SELECT l_returnflag,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END) AS BIGINT)
+         AS high_priority_count,
+       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END) AS BIGINT)
+         AS low_priority_count
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 75 DAY
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+"""
+
+
+def supplier_count_by_part_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 shape: how many DISTINCT suppliers ship each
+    (brand, type, size) part class, with negative predicates on the
+    class (not Brand#9, not PROMO, size in a fixed set) and an
+    ANTI-JOINED supplier exclusion list (suppliers in bad standing:
+    negative account balance — standing in for Q16's complaint-comment
+    NOT IN). Distinct-count after broadcast-pruning the fact."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    klass = part.filter(
+        (F.col("p_brand") != "Brand#9")
+        & (F.col("p_type") != "PROMO")
+        & F.col("p_size").isin(1, 4, 9, 14, 19, 24, 29, 34)
+    ).select("p_partkey", "p_brand", "p_type", "p_size")
+    excluded = supp.filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        li.join(F.broadcast(klass), li["l_partkey"] == F.col("p_partkey"))
+        .join(F.broadcast(excluded), li["l_suppkey"] == F.col("s_suppkey"), "left_anti")
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("l_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+SUPPLIER_COUNT_BY_PART_CLASS_SQL = """
+SELECT p_brand, p_type, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#9'
+  AND p_type <> 'PROMO'
+  AND p_size IN (1, 4, 9, 14, 19, 24, 29, 34)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY 1, 2, 3
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+"""
+
+
+def dominant_bolt_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 shape: suppliers who shipped MORE THAN HALF of some
+    bolt part's total 1997 volume — the nested semi-join chain
+    (supplier ← lineitem ← part-name filter) with the correlated
+    half-of-total threshold decorrelated into a per-part aggregate.
+    All quantity sums are exact decimal and the threshold is compared
+    as 2·supplier_qty > total_qty — no doubles anywhere, so the
+    boundary cannot flip across engines."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    bolts = part.filter(F.col("p_name").like("%bolt")).select("p_partkey")
+    li97 = (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(F.broadcast(bolts), li["l_partkey"] == F.col("p_partkey"), "left_semi")
+        .select("l_partkey", "l_suppkey", F.col("l_quantity").cast("decimal(18,2)").alias("qty"))
+        .transform(cached)
+    )
+    per_supp = li97.groupBy("l_partkey", "l_suppkey").agg(F.sum("qty").alias("s_qty"))
+    per_part = li97.groupBy(F.col("l_partkey").alias("tp")).agg(
+        F.sum("qty").alias("total_qty")
+    )
+    dominant = (
+        per_supp.join(F.broadcast(per_part), per_supp["l_partkey"] == F.col("tp"))
+        .filter(per_supp["s_qty"] * 2 > F.col("total_qty"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supp.join(dominant, supp["s_suppkey"] == dominant["l_suppkey"], "left_semi")
+        .join(
+            F.broadcast(nation.select("n_nationkey", "n_name")),
+            supp["s_nationkey"] == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name", F.col("n_name").alias("nation"))
+        .orderBy("s_suppkey")
+    )
+
+
+DOMINANT_BOLT_SUPPLIERS_SQL = """
+WITH li97 AS (
+  SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(18,2)) AS qty
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    AND l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt')
+), per_supp AS (
+  SELECT l_partkey, l_suppkey, SUM(qty) AS s_qty FROM li97 GROUP BY 1, 2
+), per_part AS (
+  SELECT l_partkey, SUM(qty) AS total_qty FROM li97 GROUP BY 1
+)
+SELECT s_suppkey, s_name, n_name AS nation
+FROM supplier
+JOIN nation ON s_nationkey = n_nationkey
+WHERE s_suppkey IN (
+  SELECT DISTINCT ps.l_suppkey
+  FROM per_supp ps JOIN per_part pp ON ps.l_partkey = pp.l_partkey
+  WHERE ps.s_qty * 2 > pp.total_qty)
+ORDER BY s_suppkey
+"""
+
+
 QUERIES = {
     "pricing_summary": pricing_summary,
     "top_customers": top_customers,
@@ -1263,6 +1607,12 @@ QUERIES = {
     "returned_item_losses": returned_item_losses,
     "customer_order_distribution": customer_order_distribution,
     "customer_yoy_revenue": customer_yoy_revenue,
+    "min_cost_supplier": min_cost_supplier,
+    "local_supplier_volume": local_supplier_volume,
+    "important_parts": important_parts,
+    "late_shipment_priority": late_shipment_priority,
+    "supplier_count_by_part_class": supplier_count_by_part_class,
+    "dominant_bolt_suppliers": dominant_bolt_suppliers,
     "part_cooccurrence": part_cooccurrence,
 }
 
@@ -1294,5 +1644,11 @@ ORACLE_SQL = {
     "returned_item_losses": RETURNED_ITEM_LOSSES_SQL,
     "customer_order_distribution": CUSTOMER_ORDER_DISTRIBUTION_SQL,
     "customer_yoy_revenue": CUSTOMER_YOY_REVENUE_SQL,
+    "min_cost_supplier": MIN_COST_SUPPLIER_SQL,
+    "local_supplier_volume": LOCAL_SUPPLIER_VOLUME_SQL,
+    "important_parts": IMPORTANT_PARTS_SQL,
+    "late_shipment_priority": LATE_SHIPMENT_PRIORITY_SQL,
+    "supplier_count_by_part_class": SUPPLIER_COUNT_BY_PART_CLASS_SQL,
+    "dominant_bolt_suppliers": DOMINANT_BOLT_SUPPLIERS_SQL,
     "part_cooccurrence": PART_COOCCURRENCE_SQL,
 }

@@ -380,6 +380,64 @@ FROM sk
 """
 
 
+def stream_reservoir_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deterministic reservoir sample as a STREAMING stateful
+    operator: per-source state is the K smallest (salted-hash, doc_id)
+    pairs — bounded forever, merged per micro-batch exactly like the
+    KMV sketch's bottom-k. Because bottom-K of a union is order-free,
+    the drained state equals the BATCH reservoir_sample row-for-row
+    (same salt, same hash), so the streaming query shares the batch
+    oracle verbatim — the streaming form of 'the sample is stable
+    under reruns' becomes 'the sample is independent of
+    micro-batching'. Final snapshot per source selected by the
+    update-counter max (stream_user_activity's device)."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.functions.hashing import md5_hash60
+    from capstone_etl_spark.operators.sampling import RESERVOIR_SALT
+    from capstone_etl_spark.sources.tables import load_table
+    from capstone_etl_spark.streaming.stateful import reservoir_bottom_k
+
+    work = tempfile.mkdtemp(prefix="spark_stream_reservoir_")
+    try:
+        staging = f"{work}/staging"
+        load_table(spark, sf_dir, "documents").repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        rows = stream.select(
+            "source",
+            "doc_id",
+            "lang",
+            md5_hash60(
+                F.concat(F.lit(RESERVOIR_SALT), F.col("doc_id").cast("string"))
+            ).alias("h"),
+        )
+        got = run_to_memory(
+            reservoir_bottom_k(rows), f"{work}/checkpoint", output_mode="update"
+        )
+        mx = got.groupBy(F.col("source").alias("msrc")).agg(F.max("upd").alias("mupd"))
+        return (
+            got.join(
+                F.broadcast(mx),
+                (got["source"] == F.col("msrc")) & (got["upd"] == F.col("mupd")),
+            )
+            .select("source", "doc_id", "lang", "rnk")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stream_reservoir_sample_sql() -> str:
+    from capstone_etl_spark.operators.sampling import RESERVOIR_SAMPLE_SQL
+
+    return RESERVOIR_SAMPLE_SQL
+
+
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
     "stream_sliding_windows": stream_sliding_windows,
@@ -390,6 +448,7 @@ QUERIES = {
     "stream_tier_rollup": stream_tier_rollup,
     "stream_quality_funnel": stream_quality_funnel,
     "stream_kmv_sketch": stream_kmv_sketch,
+    "stream_reservoir_sample": stream_reservoir_sample,
 }
 
 ORACLE_SQL = {
@@ -402,4 +461,5 @@ ORACLE_SQL = {
     "stream_tier_rollup": STREAM_TIER_ROLLUP_SQL,
     "stream_quality_funnel": _stream_quality_funnel_sql(),
     "stream_kmv_sketch": _stream_kmv_sketch_sql(),
+    "stream_reservoir_sample": _stream_reservoir_sample_sql(),
 }

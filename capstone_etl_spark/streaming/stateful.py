@@ -147,3 +147,57 @@ def kmv_bottom_k(hashes: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+RESERVOIR_OUTPUT_SCHEMA = "source string, upd long, doc_id long, lang string, rnk long"
+RESERVOIR_STATE_SCHEMA = "upd long, hs array<long>, ids array<long>, langs array<string>"
+_RESERVOIR_K = 50  # == operators.sampling.RESERVOIR_K (pinned by test)
+
+
+def _reservoir_accumulate(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    # State = the K smallest (salted-hash, doc_id) pairs seen for this
+    # source — the same bounded bottom-K shape as the KMV sketch, so
+    # the drained state is the BATCH reservoir_sample exactly (bottom-K
+    # of a union is order-free), whatever the micro-batching was.
+    upd, hs, ids, langs = state.get if state.exists else (0, [], [], [])
+    entries: dict[tuple[int, int], Any] = {
+        (int(h), int(i)): l for h, i, l in zip(hs, ids, langs)
+    }
+    for pdf in pdfs:
+        for h, i, l in zip(pdf["h"], pdf["doc_id"], pdf["lang"]):
+            entries[(int(h), int(i))] = None if l is None else str(l)
+    best = sorted(entries)[:_RESERVOIR_K]
+    upd += 1
+    state.update(
+        (
+            upd,
+            [h for h, _ in best],
+            [i for _, i in best],
+            [entries[k] for k in best],
+        )
+    )
+    yield pd.DataFrame(
+        {
+            "source": [key[0]] * len(best),
+            "upd": [upd] * len(best),
+            "doc_id": [i for _, i in best],
+            "lang": [entries[k] for k in best],
+            "rnk": list(range(1, len(best) + 1)),
+        }
+    )
+
+
+def reservoir_bottom_k(rows: DataFrame) -> DataFrame:
+    """Per-source streaming reservoir sample over a
+    (source, doc_id, lang, h) stream: bounded bottom-K-by-hash state
+    per key; after draining, the final emission per source equals the
+    batch reservoir_sample row-for-row."""
+    return rows.groupBy("source").applyInPandasWithState(
+        _reservoir_accumulate,
+        outputStructType=RESERVOIR_OUTPUT_SCHEMA,
+        stateStructType=RESERVOIR_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -252,3 +252,24 @@ def test_kafka_value_parser_roundtrip(spark):
     parsed = parse_kafka_events(wire)
     assert parsed.schema.simpleString() == events.schema.simpleString()
     assert sorted(map(tuple, parsed.collect())) == sorted(map(tuple, events.collect()))
+
+
+def test_stream_reservoir_equals_batch(spark):
+    """The streaming reservoir's drained state must equal the batch
+    reservoir_sample row-for-row (bottom-K of a union is order-free),
+    and the K constants must stay in lockstep."""
+    from capstone_etl_spark.operators.sampling import RESERVOIR_K, reservoir_sample
+    from capstone_etl_spark.operators.streaming_queries import stream_reservoir_sample
+    from capstone_etl_spark.streaming.stateful import _RESERVOIR_K
+
+    assert _RESERVOIR_K == RESERVOIR_K
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r.source, r.doc_id, r.lang, r.rnk)
+        for r in stream_reservoir_sample(spark, sf).collect()
+    )
+    want = sorted(
+        (r.source, r.doc_id, r.lang, r.rnk)
+        for r in reservoir_sample(spark, sf).collect()
+    )
+    assert got == want and len(got) > 0
