@@ -63,6 +63,10 @@ HEADLINE = [
     "quality_filter_funnel",
     "unigram_logprob",
     "kmv_distinct_shingles",
+    # r5: the bigram LM (heaviest new textstat) and the Q2 shape
+    # (heaviest new relational join) join the tracked set.
+    "bigram_lm_perplexity",
+    "min_cost_supplier",
 ]
 
 

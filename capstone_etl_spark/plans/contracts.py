@@ -81,6 +81,10 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "1-row winning-merge-pair broadcast applied over the aggregated "
         "vocabulary (textstats.py)"
     ),
+    "important_parts": (
+        "1-row nation-total broadcast for the Q11 global-fraction "
+        "HAVING (relational.py)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and
@@ -159,4 +163,16 @@ HEADLINE: list[str] = [
     "repeated_ngram_spans",
     "difficulty_deciles",
     "mixing_allocation",
+    # round-5 additions
+    "min_cost_supplier",
+    "local_supplier_volume",
+    "important_parts",
+    "late_shipment_priority",
+    "supplier_count_by_part_class",
+    "dominant_bolt_suppliers",
+    "reservoir_sample",
+    "length_histogram",
+    "tokenizer_fertility",
+    "bigram_lm_perplexity",
+    "bpe_apply_merge",
 ]
