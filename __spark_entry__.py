@@ -78,19 +78,21 @@ _PRIORITY = [
     "supplier_count_by_part_class",
     "dominant_bolt_suppliers",
     "stream_reservoir_sample",
+    # multimodal byte-semantics fix (r5 degenerate-corpus sweep):
+    # frame fingerprints + byte lengths redefined → re-attest all four
+    "multimodal_stats",
+    "multimodal_meta",
+    "multimodal_frames",
+    "multimodal_frame_dedup",
     # deferred re-attestation from r4 (watermark/stateful changes)
     "stream_event_dedup",
     # family canaries (driver-green in earlier rounds; every family
     # keeps ≥1 inside the window)
     "corpus_pipeline",
     "dedup_minhash_lsh",
-    "decontamination",
     "ann_lsh_topk",
-    "embedding_pairs",
     "doc_similarity_topk",
-    "multimodal_frame_dedup",
     "wikibooks_docs",
-    "doc_chunks",
     "cluster_aware_splits",
     "source_mixing_weights",
     "text_quality",
@@ -98,6 +100,9 @@ _PRIORITY = [
     # position 51+: first in line if the driver samples past 50 —
     # every query below is driver-green in some round AND green on the
     # committed local full gate (ATTEST_r5.json)
+    "decontamination",
+    "embedding_pairs",
+    "doc_chunks",
     "doc_splits",
     "dedup_clusters",
     "dedup_exact",

@@ -87,13 +87,17 @@ _PAYLOAD_SQL = """
   FROM documents
 """
 
+# Oracle byte discipline: the Spark payload is BINARY (utf-8 bytes), so
+# every size in the oracles is strlen() — DuckDB's BYTE length of a
+# VARCHAR — never length(), which counts CHARACTERS and diverges on the
+# first multibyte document (caught by the r5 degenerate-corpus sweep).
 BINARY_STATS_SQL = f"""
 WITH p AS ({_PAYLOAD_SQL})
 SELECT doc_id, media_type,
-       CAST(length(payload) AS BIGINT) AS n_bytes,
+       CAST(strlen(payload) AS BIGINT) AS n_bytes,
        md5(payload) AS fingerprint,
        upper(hex(substr(payload, 1, 4))) AS magic_hex,
-       CAST(ceil(length(payload) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames
+       CAST(ceil(strlen(payload) / {FRAME_BYTES}.0) AS BIGINT) AS n_frames
 FROM p
 """
 
@@ -109,14 +113,26 @@ def media_frame_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     map-side distinct aggregation."""
     b = with_binary_payload(_docs(spark, sf_dir))
     nf = F.ceil(F.length("payload") / F.lit(FRAME_BYTES)).cast("int")
+    # Frame fingerprint CONTRACT: md5 of the LOWER-HEX encoding of the
+    # byte frame — not of the raw bytes — because DuckDB's hash
+    # functions accept VARCHAR only, and slicing the hex string by
+    # 2·FRAME_BYTES chars IS byte-exact slicing for arbitrary (incl.
+    # multibyte) payloads. Same identity properties, engine-portable.
     frames = b.select(
+        "doc_id",
+        "media_type",
+        F.lower(F.hex("payload")).alias("hexp"),
+        nf.alias("nf"),
+    ).select(
         "doc_id",
         "media_type",
         F.explode(
             F.transform(
-                F.sequence(F.lit(1), nf),
+                F.sequence(F.lit(1), F.col("nf")),
                 lambda i: F.md5(
-                    F.col("payload").substr((i - 1) * F.lit(FRAME_BYTES) + 1, F.lit(FRAME_BYTES))
+                    F.col("hexp").substr(
+                        (i - 1) * F.lit(2 * FRAME_BYTES) + 1, F.lit(2 * FRAME_BYTES)
+                    )
                 ),
             )
         ).alias("frame_hash"),
@@ -140,9 +156,10 @@ MEDIA_FRAME_DEDUP_SQL = f"""
 WITH p AS ({_PAYLOAD_SQL}),
 frames AS (
   SELECT doc_id, media_type,
-         md5(substr(payload, CAST((i - 1) * {FRAME_BYTES} + 1 AS INT), {FRAME_BYTES})) AS frame_hash
+         md5(substr(lower(hex(payload)),
+                    CAST((i - 1) * {2 * FRAME_BYTES} + 1 AS INT), {2 * FRAME_BYTES})) AS frame_hash
   FROM p, LATERAL (
-    SELECT unnest(range(1, CAST(ceil(length(payload) / {FRAME_BYTES}.0) AS BIGINT) + 1)) AS i
+    SELECT unnest(range(1, CAST(ceil(strlen(payload) / {FRAME_BYTES}.0) AS BIGINT) + 1)) AS i
   ) r
 )
 SELECT media_type,
@@ -347,8 +364,8 @@ WITH p AS ({_PAYLOAD_SQL})
 SELECT doc_id, media_type,
        CAST(16 + ('0x' || substr(md5(payload), 1, 2))::BIGINT % 240 AS BIGINT) AS width,
        CAST(16 + ('0x' || substr(md5(payload), 3, 2))::BIGINT % 240 AS BIGINT) AS height,
-       CAST(CASE WHEN media_type = 'image' THEN 0 ELSE length(payload) * 8 END AS BIGINT) AS duration_ms,
-       CAST(length(payload) AS BIGINT) AS n_bytes
+       CAST(CASE WHEN media_type = 'image' THEN 0 ELSE strlen(payload) * 8 END AS BIGINT) AS duration_ms,
+       CAST(strlen(payload) AS BIGINT) AS n_bytes
 FROM p
 """
 
@@ -362,6 +379,11 @@ def frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     schema = "doc_id long, frame_idx long, frame_bytes long, frame_md5 string"
 
     def sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # frame_md5 follows the module's portable fingerprint contract:
+        # md5 of the LOWER-HEX encoding of the byte frame (bytes.hex()
+        # is lowercase), identical to the SQL side's hex-slice hash —
+        # DuckDB can only hash VARCHAR, and hex-string slicing is
+        # byte-exact for multibyte payloads.
         for pdf in batches:
             ids, idxs, sizes, digests = [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
@@ -371,7 +393,7 @@ def frame_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ids.append(doc_id)
                     idxs.append(i)
                     sizes.append(len(chunk))
-                    digests.append(hashlib.md5(chunk).hexdigest())
+                    digests.append(hashlib.md5(chunk.hex().encode()).hexdigest())
             yield pd.DataFrame(
                 {"doc_id": ids, "frame_idx": idxs, "frame_bytes": sizes, "frame_md5": digests}
             )
@@ -383,14 +405,14 @@ FRAME_SAMPLES_SQL = f"""
 WITH p AS ({_PAYLOAD_SQL}),
 frames AS (
   SELECT doc_id, i AS frame_idx,
-         substr(payload, (i * {FRAME_BYTES} + 1)::INT, {FRAME_BYTES}) AS chunk
+         substr(lower(hex(payload)), (i * {2 * FRAME_BYTES} + 1)::INT, {2 * FRAME_BYTES}) AS chunk_hex
   FROM p CROSS JOIN LATERAL (
-    SELECT unnest(range(0, CAST(ceil(length(payload) / {FRAME_BYTES}.0) AS BIGINT))) AS i
+    SELECT unnest(range(0, CAST(ceil(strlen(payload) / {FRAME_BYTES}.0) AS BIGINT))) AS i
   ) g
 )
 SELECT doc_id, frame_idx,
-       CAST(length(chunk) AS BIGINT) AS frame_bytes,
-       md5(chunk) AS frame_md5
+       CAST(length(chunk_hex) // 2 AS BIGINT) AS frame_bytes,
+       md5(chunk_hex) AS frame_md5
 FROM frames
 """
 

@@ -1,0 +1,88 @@
+"""Degenerate-corpus cross-engine sweep (the generalization of ADVICE
+r4 #1): every document-shaped query family is run Spark-vs-DuckDB on a
+corpus of pathological documents — empty text, whitespace-only,
+punctuation-only, single-token, Zipf-degenerate repetition, MULTIBYTE
+unicode, one huge token, digits-only, control characters. The r5 sweep
+of the full 154-query gate on this corpus caught the multimodal
+byte-vs-character length divergence (length() vs strlen(), char-sliced
+vs byte-sliced frames); this test pins the representative set so the
+classes of bug it found stay fixed."""
+
+from __future__ import annotations
+
+import sys
+
+import duckdb
+import pytest
+
+sys.path.insert(0, "/root/repo")
+import __spark_entry__ as entrymod
+from tools.check_correctness import compare
+
+ROWS = [
+    (0, "", "en", "web", 0),
+    (1, "   ", "en", "web", 3),
+    (2, "!!! ??? ...", "en", "web", 11),
+    (3, "a", "en", "books", 1),
+    (4, "the the the the", "en", "books", 15),
+    (5, "a perfectly ordinary document with several distinct words", "en", "web", 57),
+    (6, "café naïve 日本語 mixed unicode text", "fr", "web", 30),
+    (7, "x" * 5000, "en", "code", 5000),
+    (8, "123 456 789 0", "en", "code", 13),
+    (9, "\tTabs\nand\nnewlines\teverywhere\n", "en", "web", 30),
+]
+
+# One representative per document-query family (streaming excluded —
+# job-per-call; the full sweep runs via
+#   tools/check_correctness.py /tmp/<degenerate-dir>
+# ad hoc). multimodal_* are the queries the r5 sweep actually caught.
+NAMES = [
+    "multimodal_stats",
+    "multimodal_meta",
+    "multimodal_frames",
+    "multimodal_frame_dedup",
+    "text_quality",
+    "quality_filter_flags",
+    "token_counts",
+    "doc_fingerprint",
+    "length_histogram",
+    "tokenizer_fertility",
+    "doc_chunks",
+    "dedup_exact",
+    "sequence_packing",
+    "reservoir_sample",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_sf(tmp_path_factory):
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("degenerate")
+    pdf = pd.DataFrame(
+        ROWS, columns=["doc_id", "text", "lang", "source", "n_chars"]
+    ).astype({"doc_id": "int64", "n_chars": "int64"})
+    pdf.to_parquet(str(d / "documents.parquet"))
+    return str(d)
+
+
+@pytest.fixture(scope="module")
+def duck(degenerate_sf):
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW documents AS SELECT * FROM '{degenerate_sf}/documents.parquet'"
+    )
+    return con
+
+
+@pytest.mark.parametrize("name", NAMES)
+def test_degenerate_corpus_matches_oracle(spark, degenerate_sf, duck, name):
+    from capstone_etl_spark.session import release_caches
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    try:
+        spark_pdf = qs[name](spark, degenerate_sf).toPandas()
+    finally:
+        release_caches()
+    duck_pdf = duck.execute(oracles[name]).df()
+    assert compare(name, spark_pdf, duck_pdf) == []
