@@ -78,6 +78,11 @@ _PRIORITY = [
     "supplier_count_by_part_class",
     "dominant_bolt_suppliers",
     "stream_reservoir_sample",
+    "embedding_dim_stats",
+    "embedding_covariance",
+    "skipgram_pairs",
+    "mad_outliers",
+    "training_shuffle",
     # multimodal byte-semantics fix (r5 degenerate-corpus sweep):
     # frame fingerprints + byte lengths redefined → re-attest all four
     "multimodal_stats",

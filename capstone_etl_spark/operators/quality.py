@@ -295,11 +295,79 @@ SELECT doc_id, n_tokens, nll_nats, (rid * 10) // n AS decile FROM r
 """
 
 
+MAD_SIGMA = 1.4826   # consistency constant: MAD·1.4826 ≈ σ under normality
+MAD_K = 3.5          # robust-z cutoff (Iglewicz–Hoaglin's recommended 3.5)
+
+
+def mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust document-length outlier detection: flag docs whose token
+    count sits more than MAD_K robust standard deviations from the
+    corpus median, with σ estimated as MAD·1.4826 — the
+    median-absolute-deviation screen a curation pipeline runs instead
+    of mean/stddev (which the outliers themselves corrupt).
+
+    Exactness: token counts are integers; both engines' continuous
+    median interpolates the two middle values as (a+b)/2 — a dyadic
+    rational, exact in double — and |n−med| stays dyadic, so the second
+    median (the MAD) is exact too. robust_z divides by the fixed IEEE
+    product 1.4826·mad — deterministic given identical inputs — and
+    rounds to 6 dp. mad = 0 (half the corpus at one length) falls back
+    to flagging any deviation at all, never a divide-by-zero.
+
+    100 TB shape: one tokenize scan → per-row count (map-only, cached —
+    feeds both medians and the final flags); two exact-percentile
+    aggregations whose state is a value→count map BOUNDED by the
+    distinct token-count values (≤ MAX_TOKENS distinct keys no matter
+    the row count), each landing as a 1-row relation broadcast back;
+    final flags are per-row expressions. No windows, no data-sized
+    shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = cached(docs.select("doc_id", F.size(tokenize("text")).cast("long").alias("n_tok")))
+    med = counts.agg(F.percentile("n_tok", F.lit(0.5)).alias("_med"))
+    devs = counts.crossJoin(F.broadcast(med)).select(
+        "doc_id", "n_tok", "_med", F.abs(F.col("n_tok") - F.col("_med")).alias("_dev")
+    )
+    mad = devs.agg(F.percentile("_dev", F.lit(0.5)).alias("_mad"))
+    out = devs.crossJoin(F.broadcast(mad))
+    z = (F.col("n_tok") - F.col("_med")) / (F.lit(MAD_SIGMA) * F.col("_mad"))
+    return out.select(
+        "doc_id",
+        "n_tok",
+        F.round("_med", 6).alias("median_tok"),
+        F.round("_mad", 6).alias("mad_tok"),
+        F.when(F.col("_mad") > 0, F.round(z, 6)).alias("robust_z"),
+        F.when(F.col("_mad") > 0, F.abs(z) > MAD_K)
+        .otherwise(F.col("_dev") > 0)
+        .alias("is_outlier"),
+    )
+
+
+MAD_OUTLIERS_SQL = f"""
+WITH counts AS (
+  SELECT doc_id, CAST(len({_TOKS}) AS BIGINT) AS n_tok FROM documents
+), med AS (
+  SELECT quantile_cont(n_tok, 0.5) AS m FROM counts
+), devs AS (
+  SELECT doc_id, n_tok, m, abs(n_tok - m) AS dev FROM counts CROSS JOIN med
+), mad AS (
+  SELECT quantile_cont(dev, 0.5) AS md FROM devs
+)
+SELECT doc_id, n_tok,
+       ROUND(m, 6) AS median_tok,
+       ROUND(md, 6) AS mad_tok,
+       CASE WHEN md > 0 THEN ROUND((n_tok - m) / ({MAD_SIGMA} * md), 6) END AS robust_z,
+       CASE WHEN md > 0 THEN abs((n_tok - m) / ({MAD_SIGMA} * md)) > {MAD_K}
+            ELSE dev > 0 END AS is_outlier
+FROM devs CROSS JOIN mad
+"""
+
+
 QUERIES = {
     "quality_filter_flags": quality_filter_flags,
     "quality_filter_funnel": quality_filter_funnel,
     "unigram_logprob": unigram_logprob,
     "difficulty_deciles": difficulty_deciles,
+    "mad_outliers": mad_outliers,
 }
 
 ORACLE_SQL = {
@@ -307,4 +375,5 @@ ORACLE_SQL = {
     "quality_filter_funnel": QUALITY_FILTER_FUNNEL_SQL,
     "unigram_logprob": UNIGRAM_LOGPROB_SQL,
     "difficulty_deciles": DIFFICULTY_DECILES_SQL,
+    "mad_outliers": MAD_OUTLIERS_SQL,
 }

@@ -141,14 +141,66 @@ SELECT source, doc_id, lang, rnk FROM (
 """
 
 
+SHUFFLE_SALT = "shuffle:v1:"
+N_SHARDS = 16
+
+
+def training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle + shard assignment —
+    the step that turns a curated corpus into the epoch-stable read
+    order a trainer consumes: shard = h % N_SHARDS, position within
+    the shard (and globally) by ascending salted hash. Re-running on
+    any subset, any partitioning, any day yields the same order;
+    changing the salt is a fresh epoch permutation.
+
+    Scale: the hash and shard are per-row expressions; positions come
+    from the fully distributed dense-id machinery (vocab.with_dense_ids
+    — range sort + per-partition rank + broadcast offsets; no
+    single-partition window, SURVEY §7.5) over the total order
+    (shard, h, doc_id). Per-shard positions are then global_pos minus
+    the shard's first global_pos — an N_SHARDS-row aggregate broadcast
+    back, so shard_pos never needs its own window over a 1/N_SHARDS
+    slice of the corpus."""
+    from capstone_etl_spark.operators.vocab import with_dense_ids
+
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_hash60(F.concat(F.lit(SHUFFLE_SALT), F.col("doc_id").cast("string")))
+    base = docs.select("doc_id", h.alias("h"), (h % N_SHARDS).alias("shard"))
+    ids = with_dense_ids(base, ["shard", "h", "doc_id"], "global_pos")
+    offs = ids.groupBy("shard").agg(F.min("global_pos").alias("_s0"))
+    return ids.join(F.broadcast(offs), "shard").select(
+        "doc_id",
+        F.col("shard").cast("long").alias("shard"),
+        (F.col("global_pos") - F.col("_s0")).cast("long").alias("shard_pos"),
+        F.col("global_pos").cast("long").alias("global_pos"),
+    )
+
+
+_SHUF_HASH = md5_hash60_sql(f"'{SHUFFLE_SALT}' || CAST(doc_id AS VARCHAR)")
+
+TRAINING_SHUFFLE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, {_SHUF_HASH} AS h, {_SHUF_HASH} % {N_SHARDS} AS shard
+  FROM documents
+)
+SELECT doc_id,
+       CAST(shard AS BIGINT) AS shard,
+       CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY h, doc_id) - 1 AS BIGINT) AS shard_pos,
+       CAST(ROW_NUMBER() OVER (ORDER BY shard, h, doc_id) - 1 AS BIGINT) AS global_pos
+FROM base
+"""
+
+
 QUERIES = {
     "doc_splits": doc_splits,
     "doc_sample_stratified": doc_sample_stratified,
     "reservoir_sample": reservoir_sample,
+    "training_shuffle": training_shuffle,
 }
 
 ORACLE_SQL = {
     "doc_splits": DOC_SPLITS_SQL,
     "doc_sample_stratified": DOC_SAMPLE_STRATIFIED_SQL,
     "reservoir_sample": RESERVOIR_SAMPLE_SQL,
+    "training_shuffle": TRAINING_SHUFFLE_SQL,
 }

@@ -923,6 +923,145 @@ LEFT JOIN (
 """
 
 
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension calibration table (n, min, max, mean, variance) —
+    the audit a quantizer / whitening step reads before choosing scales
+    (completes the intent of embedding_quantize the way ann_recall_eval
+    completes the ANN family).
+
+    Exactness design (house fixed-point pattern, see
+    label_centroid_assignment): each component is scaled once via
+    floor(v·S + 0.5) → int64; Σs and Σs² are exact integer sums
+    (order-independent); mean = Σs/(n·S) and the population variance
+    (n·Σs² − (Σs)²)/(n·S)² are deterministic functions of those exact
+    integers, rounded to 6 dp. min/max of float are exact (no rounding
+    mode involved). Magnitudes: |s| ≤ ~6e3 ⇒ s² ≤ 3.6e7; n·Σs²
+    fits int64 up to n ≈ 10^5 — past that the same three exact sums
+    combine in double (documented in SCALE.md; the sums themselves
+    never overflow below n ≈ 2.5e11).
+
+    100 TB shape: posexplode is a map-side ×64 expand; the aggregation
+    has exactly DIM=64 groups, so partial (map-side) aggregation
+    collapses every partition to 64 rows before the single tiny
+    shuffle. No joins, no windows."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    by_dim = emb.select(F.posexplode("embedding").alias("d", "v")).select(
+        "d",
+        F.col("v").cast("double").alias("vd"),
+        F.floor(F.col("v").cast("double") * CENTROID_SCALE + 0.5).cast("long").alias("s"),
+    )
+    n = F.count("*")
+    ssum = F.sum("s")
+    ssq = F.sum(F.col("s") * F.col("s"))
+    scale = F.lit(float(CENTROID_SCALE))
+    return (
+        by_dim.groupBy("d")
+        .agg(
+            n.cast("long").alias("n"),
+            F.round(F.min("vd"), 6).alias("vmin"),
+            F.round(F.max("vd"), 6).alias("vmax"),
+            F.round(ssum.cast("double") / (n * scale), 6).alias("mean"),
+            F.round(
+                (n * ssq - ssum * ssum).cast("double")
+                / ((n * scale) * (n * scale)),
+                6,
+            ).alias("variance"),
+        )
+    )
+
+
+EMBEDDING_DIM_STATS_SQL = f"""
+WITH by_dim AS (
+  SELECT d,
+         CAST(embedding[d + 1] AS DOUBLE) AS vd,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS s
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
+)
+SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
+       ROUND(MIN(vd), 6) AS vmin,
+       ROUND(MAX(vd), 6) AS vmax,
+       ROUND(CAST(SUM(s) AS DOUBLE) / (COUNT(*) * {CENTROID_SCALE}.0), 6) AS mean,
+       ROUND(CAST(COUNT(*) * SUM(s * s) - SUM(s) * SUM(s) AS DOUBLE)
+             / ((COUNT(*) * {CENTROID_SCALE}.0) * (COUNT(*) * {CENTROID_SCALE}.0)), 6) AS variance
+FROM by_dim
+GROUP BY d
+"""
+
+
+def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Upper-triangle covariance matrix of the embedding dimensions —
+    the input to PCA / whitening / decorrelation in an embedding
+    pipeline. cov(i,j) = E[v_i v_j] − E[v_i]E[v_j] over all vectors.
+
+    Exactness: components are fixed-pointed once (floor(v·S+0.5) →
+    int64, shared transform); Σs_i, Σs_j and Σ(s_i·s_j) are exact
+    integer sums (products ≤ 3.6e7, times n=10^9 rows still < 2^63).
+    The final combine runs in double as
+    (Σs_is_j/n − (Σs_i/n)·(Σs_j/n)) / S² — a fixed IEEE expression of
+    three exact integers, identical in both engines, rounded to 6 dp.
+    (Unlike the n·Σ form this never overflows at large n.)
+
+    100 TB shape: the expand is a MAP-ONLY double posexplode over the
+    scaled array (×DIM² per row — no self-join, no shuffle to build
+    pairs), filtered to i ≤ j (2080 cells at DIM=64); the aggregation
+    has exactly 2080 groups, so map-side partial aggregation collapses
+    each partition to ≤2080 rows before one tiny shuffle. The count n
+    enters as a 1-row aggregate cross-joined in (house rule: never a
+    driver-side count)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    scaled = emb.select(
+        F.expr(
+            f"transform(embedding, v -> cast(floor(cast(v as double) * {CENTROID_SCALE} + 0.5) as bigint))"
+        ).alias("sv")
+    )
+    pairs = (
+        scaled.select(F.posexplode("sv").alias("i", "si"), "sv")
+        .select("i", "si", F.posexplode("sv").alias("j", "sj"))
+        .filter(F.col("j") >= F.col("i"))
+    )
+    sums = pairs.groupBy("i", "j").agg(
+        F.sum(F.col("si") * F.col("sj")).alias("sij"),
+        F.sum("si").alias("ssi"),
+        F.sum("sj").alias("ssj"),
+        F.count("*").alias("n"),
+    )
+    nd = F.col("n").cast("double")
+    s2 = F.lit(float(CENTROID_SCALE)) * F.lit(float(CENTROID_SCALE))
+    return sums.select(
+        "i",
+        "j",
+        F.round(
+            (
+                F.col("sij").cast("double") / nd
+                - (F.col("ssi").cast("double") / nd) * (F.col("ssj").cast("double") / nd)
+            )
+            / s2,
+            6,
+        ).alias("cov"),
+    )
+
+
+EMBEDDING_COVARIANCE_SQL = f"""
+WITH scaled AS (
+  SELECT list_transform(embedding,
+                        v -> CAST(floor(CAST(v AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT)) AS sv
+  FROM embeddings
+), pairs AS (
+  SELECT i, j, sv[i + 1] AS si, sv[j + 1] AS sj
+  FROM scaled
+  CROSS JOIN (SELECT unnest(range(0, {DIM})) AS i) di
+  CROSS JOIN (SELECT unnest(range(0, {DIM})) AS j) dj
+  WHERE j >= i
+)
+SELECT i, j,
+       ROUND((CAST(SUM(si * sj) AS DOUBLE) / COUNT(*)
+              - (CAST(SUM(si) AS DOUBLE) / COUNT(*)) * (CAST(SUM(sj) AS DOUBLE) / COUNT(*)))
+             / ({CENTROID_SCALE}.0 * {CENTROID_SCALE}.0), 6) AS cov
+FROM pairs
+GROUP BY i, j
+"""
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_brute_topk": ann_brute_topk,
@@ -934,6 +1073,8 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "kmeans_lloyd": kmeans_lloyd,
     "ann_recall_eval": ann_recall_eval,
+    "embedding_dim_stats": embedding_dim_stats,
+    "embedding_covariance": embedding_covariance,
 }
 
 ORACLE_SQL = {
@@ -947,4 +1088,6 @@ ORACLE_SQL = {
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "kmeans_lloyd": KMEANS_LLOYD_SQL,
     "ann_recall_eval": ANN_RECALL_EVAL_SQL,
+    "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
+    "embedding_covariance": EMBEDDING_COVARIANCE_SQL,
 }

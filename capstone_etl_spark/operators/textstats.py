@@ -1140,6 +1140,71 @@ FROM tf t CROSS JOIN top1 o
 """
 
 
+SKIPGRAM_WINDOW = 2       # context offsets 1..W (directional)
+SKIPGRAM_MIN_COUNT = 3    # exact-integer floor bounds the output set
+
+
+def skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word2vec-style training-pair extraction: directional
+    (center, context) co-occurrence counts for context offsets
+    1..SKIPGRAM_WINDOW, floored at SKIPGRAM_MIN_COUNT — the table a
+    skip-gram embedding trainer (or a collocation miner wider than
+    bigram_pmi's adjacent-only window) consumes.
+
+    Plan shape (the token_ngrams trick, functions/text.py:59): the
+    offset-w pair stream is arrays_zip(slice(t,1,n−w), slice(t,1+w,n−w))
+    — one column-level slice per OFFSET, not an interpreted per-token
+    lambda — then one explode per offset, unioned. Map-only expansion
+    (~W tokens-worth of rows per doc), one hash aggregation on
+    (center, context, dist) with map-side partial agg; the count floor
+    is an exact-integer HAVING, so the output set is deterministic and
+    vocabulary²-bounded rather than corpus-sized. No joins, no windows:
+    at 100 TB this is scan → project → explode → partial agg → one
+    shuffle on uniformly-hashed token pairs (stopwords already removed
+    from nothing here — the raw Zipf head is present, but the group
+    count is bounded by distinct pairs, and AQE splits any skewed
+    reducer; the heaviest possible key is still one (pair) cell)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(tokenize("text").alias("t"))
+    per_offset = []
+    for w in range(1, SKIPGRAM_WINDOW + 1):
+        m = F.size("t") - w
+        zipped = F.arrays_zip(
+            F.slice("t", 1, m).alias("center"), F.slice("t", 1 + w, m).alias("context")
+        )
+        per_offset.append(
+            toks.filter(F.size("t") > w)
+            .select(F.explode(zipped).alias("p"))
+            .select("p.center", "p.context", F.lit(w).alias("dist"))
+        )
+    pairs = per_offset[0]
+    for extra in per_offset[1:]:
+        pairs = pairs.unionByName(extra)
+    return (
+        pairs.groupBy("center", "context", "dist")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= SKIPGRAM_MIN_COUNT)
+    )
+
+
+SKIPGRAM_PAIRS_SQL = (
+    _TOKS_CTE
+    + f""",
+pos AS (
+  SELECT doc_id, t, unnest(range(1, len(t) + 1)) AS i FROM toks
+), pairs AS (
+  SELECT t[i] AS center, t[i + 1] AS context, 1 AS dist FROM pos WHERE i + 1 <= len(t)
+  UNION ALL
+  SELECT t[i] AS center, t[i + 2] AS context, 2 AS dist FROM pos WHERE i + 2 <= len(t)
+)
+SELECT center, context, dist, CAST(COUNT(*) AS BIGINT) AS cnt
+FROM pairs
+GROUP BY center, context, dist
+HAVING COUNT(*) >= {SKIPGRAM_MIN_COUNT}
+"""
+)
+
+
 QUERIES = {
     "text_quality": text_quality,
     "token_counts": token_counts,
@@ -1160,6 +1225,7 @@ QUERIES = {
     "tokenizer_fertility": tokenizer_fertility,
     "bigram_lm_perplexity": bigram_lm_perplexity,
     "bpe_apply_merge": bpe_apply_merge,
+    "skipgram_pairs": skipgram_pairs,
 }
 
 ORACLE_SQL = {
@@ -1182,4 +1248,5 @@ ORACLE_SQL = {
     "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
     "bigram_lm_perplexity": BIGRAM_LM_PERPLEXITY_SQL,
     "bpe_apply_merge": BPE_APPLY_MERGE_SQL,
+    "skipgram_pairs": SKIPGRAM_PAIRS_SQL,
 }

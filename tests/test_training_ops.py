@@ -1,0 +1,144 @@
+"""Round-5 training-pipeline additions: embedding calibration stats /
+covariance, skip-gram pair extraction, robust MAD outliers, and the
+deterministic training shuffle. Invariant tests; the DuckDB value
+parity is covered by the correctness gate (tools/check_correctness.py).
+"""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from capstone_etl_spark.operators.quality import MAD_K, MAD_SIGMA, mad_outliers
+from capstone_etl_spark.operators.sampling import N_SHARDS, training_shuffle
+from capstone_etl_spark.operators.similarity import (
+    DIM,
+    embedding_covariance,
+    embedding_dim_stats,
+)
+from capstone_etl_spark.operators.textstats import (
+    SKIPGRAM_MIN_COUNT,
+    SKIPGRAM_WINDOW,
+    skipgram_pairs,
+)
+
+
+def test_embedding_dim_stats_shape_and_bounds(spark, sf_dir):
+    rows = embedding_dim_stats(spark, sf_dir).collect()
+    assert len(rows) == DIM
+    assert sorted(r.d for r in rows) == list(range(DIM))
+    for r in rows:
+        assert r.vmin <= r.mean <= r.vmax
+        assert r.variance >= 0.0
+        # variance can't exceed the square of the half-range
+        half = (r.vmax - r.vmin) / 2
+        assert r.variance <= half * half + 1e-9
+
+
+def test_embedding_covariance_diag_matches_dim_stats(spark, sf_dir):
+    """cov(i,i) must equal the per-dimension variance (same exact
+    integer sums combined by the same double expression)."""
+    stats = {r.d: r.variance for r in embedding_dim_stats(spark, sf_dir).collect()}
+    cov = embedding_covariance(spark, sf_dir).collect()
+    assert len(cov) == DIM * (DIM + 1) // 2
+    for r in cov:
+        assert r.i <= r.j
+        if r.i == r.j:
+            assert math.isclose(r.cov, stats[r.i], abs_tol=1e-6)
+    # Cauchy-Schwarz: |cov(i,j)| <= sqrt(var_i * var_j) (rounding slack)
+    for r in cov:
+        bound = math.sqrt(max(stats[r.i], 0) * max(stats[r.j], 0))
+        assert abs(r.cov) <= bound + 1e-5
+
+
+def test_skipgram_pairs_invariants(spark, sf_dir):
+    rows = skipgram_pairs(spark, sf_dir).collect()
+    assert rows, "sf0.001 corpus must produce frequent pairs"
+    assert all(r.cnt >= SKIPGRAM_MIN_COUNT for r in rows)
+    assert {r.dist for r in rows} <= set(range(1, SKIPGRAM_WINDOW + 1))
+    # adjacent (dist=1) mass must dominate or equal dist=2 row count is
+    # not guaranteed, but every dist=1 pair of a 3+-token doc implies
+    # tokens exist; sanity: no empty tokens ever appear
+    assert all(r.center != "" and r.context != "" for r in rows)
+
+
+def test_skipgram_window_offsets_exact(spark):
+    """One known doc → exact directional pair set."""
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id long, text string")
+    from capstone_etl_spark.functions.text import tokenize
+
+    got = (
+        df.select(tokenize("text").alias("t"))
+        .select(
+            F.explode(
+                F.arrays_zip(
+                    F.slice("t", 1, F.size("t") - 1).alias("c"),
+                    F.slice("t", 2, F.size("t") - 1).alias("x"),
+                )
+            ).alias("p")
+        )
+        .select("p.c", "p.x")
+        .collect()
+    )
+    assert {(r.c, r.x) for r in got} == {("a", "b"), ("b", "c"), ("c", "d")}
+
+
+def test_mad_outliers_flags_planted_outlier(spark, tmp_path):
+    """A corpus of uniform-length docs plus one monster doc: exactly the
+    monster is flagged; mad==0 fallback path also exercised."""
+    uniform = [(i, "tok " * 10) for i in range(20)]
+    docs = uniform + [(99, "tok " * 500)]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    out_dir = str(tmp_path / "docs")
+    df.write.parquet(out_dir + "/documents.parquet")
+    rows = mad_outliers(spark, str(out_dir)).collect()
+    flagged = {r.doc_id for r in rows if r.is_outlier}
+    # every uniform doc has dev 0; mad == 0 → fallback flags any dev > 0
+    assert flagged == {99}
+    by_id = {r.doc_id: r for r in rows}
+    assert by_id[0].median_tok == 10.0 and by_id[0].mad_tok == 0.0
+    assert by_id[99].robust_z is None  # mad==0 → no z, flag via fallback
+
+
+def test_mad_outliers_robust_z_sanity(spark, sf_dir):
+    rows = mad_outliers(spark, sf_dir).collect()
+    by_flag = [r for r in rows if r.is_outlier]
+    for r in rows:
+        if r.robust_z is not None and r.mad_tok > 0:
+            expect = (r.n_tok - r.median_tok) / (MAD_SIGMA * r.mad_tok)
+            assert math.isclose(r.robust_z, expect, abs_tol=1e-5)
+            assert r.is_outlier == (abs(expect) > MAD_K)
+    # flags are a subset, never the whole corpus
+    assert len(by_flag) < len(rows)
+
+
+def test_training_shuffle_is_a_permutation(spark, sf_dir):
+    rows = training_shuffle(spark, sf_dir).collect()
+    n = len(rows)
+    # global positions are exactly 0..n-1
+    assert sorted(r.global_pos for r in rows) == list(range(n))
+    # per-shard positions are exactly 0..count-1 within each shard
+    by_shard: dict[int, list[int]] = {}
+    for r in rows:
+        assert 0 <= r.shard < N_SHARDS
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(len(poss)))
+    # global order is shard-major: all of shard s precedes shard s+1
+    max_by_shard = {s: max(p) for s, p in by_shard.items()}
+    ordered = sorted(rows, key=lambda r: r.global_pos)
+    seen_shards = [r.shard for r in ordered]
+    assert seen_shards == sorted(seen_shards)
+
+
+def test_training_shuffle_deterministic_across_partitionings(spark, sf_dir):
+    a = {r.doc_id: (r.shard, r.shard_pos, r.global_pos) for r in training_shuffle(spark, sf_dir).collect()}
+    # rerun with a different shuffle-partition setting: same assignment
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        b = {r.doc_id: (r.shard, r.shard_pos, r.global_pos) for r in training_shuffle(spark, sf_dir).collect()}
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert a == b
