@@ -935,10 +935,13 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     (order-independent); mean = Σs/(n·S) and the population variance
     (n·Σs² − (Σs)²)/(n·S)² are deterministic functions of those exact
     integers, rounded to 6 dp. min/max of float are exact (no rounding
-    mode involved). Magnitudes: |s| ≤ ~6e3 ⇒ s² ≤ 3.6e7; n·Σs²
-    fits int64 up to n ≈ 10^5 — past that the same three exact sums
-    combine in double (documented in SCALE.md; the sums themselves
-    never overflow below n ≈ 2.5e11).
+    mode involved). Magnitudes: |s| ≤ ~6e3 ⇒ s² ≤ 3.6e7, so the
+    integer sums stay inside int64 up to n ≈ 2.5e11 vectors; the
+    variance combine is the n-FREE double form
+    (Σs²/n − (Σs/n)²)/S² — the n·Σs² integer form would overflow past
+    n ≈ 10^5 — written identically in both engines (and identically in
+    embedding_covariance, so the covariance diagonal equals this
+    variance bit-for-bit).
 
     100 TB shape: posexplode is a map-side ×64 expand; the aggregation
     has exactly DIM=64 groups, so partial (map-side) aggregation
@@ -962,8 +965,12 @@ def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("vd"), 6).alias("vmax"),
             F.round(ssum.cast("double") / (n * scale), 6).alias("mean"),
             F.round(
-                (n * ssq - ssum * ssum).cast("double")
-                / ((n * scale) * (n * scale)),
+                (
+                    ssq.cast("double") / n.cast("double")
+                    - (ssum.cast("double") / n.cast("double"))
+                    * (ssum.cast("double") / n.cast("double"))
+                )
+                / (scale * scale),
                 6,
             ).alias("variance"),
         )
@@ -981,8 +988,9 @@ SELECT d, CAST(COUNT(*) AS BIGINT) AS n,
        ROUND(MIN(vd), 6) AS vmin,
        ROUND(MAX(vd), 6) AS vmax,
        ROUND(CAST(SUM(s) AS DOUBLE) / (COUNT(*) * {CENTROID_SCALE}.0), 6) AS mean,
-       ROUND(CAST(COUNT(*) * SUM(s * s) - SUM(s) * SUM(s) AS DOUBLE)
-             / ((COUNT(*) * {CENTROID_SCALE}.0) * (COUNT(*) * {CENTROID_SCALE}.0)), 6) AS variance
+       ROUND((CAST(SUM(s * s) AS DOUBLE) / COUNT(*)
+              - (CAST(SUM(s) AS DOUBLE) / COUNT(*)) * (CAST(SUM(s) AS DOUBLE) / COUNT(*)))
+             / ({CENTROID_SCALE}.0 * {CENTROID_SCALE}.0), 6) AS variance
 FROM by_dim
 GROUP BY d
 """
@@ -1005,9 +1013,9 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     scaled array (×DIM² per row — no self-join, no shuffle to build
     pairs), filtered to i ≤ j (2080 cells at DIM=64); the aggregation
     has exactly 2080 groups, so map-side partial aggregation collapses
-    each partition to ≤2080 rows before one tiny shuffle. The count n
-    enters as a 1-row aggregate cross-joined in (house rule: never a
-    driver-side count)."""
+    each partition to ≤2080 rows before one tiny shuffle; the vector
+    count n is carried per-cell by the same aggregation (no separate
+    count pass, no driver-side action)."""
     emb = load_table(spark, sf_dir, "embeddings")
     scaled = emb.select(
         F.expr(

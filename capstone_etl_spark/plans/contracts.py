@@ -85,6 +85,10 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "1-row nation-total broadcast for the Q11 global-fraction "
         "HAVING (relational.py)"
     ),
+    "mad_outliers": (
+        "1-row corpus-median + 1-row MAD broadcasts back over the "
+        "per-doc counts (quality.py)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and
@@ -175,4 +179,9 @@ HEADLINE: list[str] = [
     "tokenizer_fertility",
     "bigram_lm_perplexity",
     "bpe_apply_merge",
+    "embedding_dim_stats",
+    "embedding_covariance",
+    "skipgram_pairs",
+    "mad_outliers",
+    "training_shuffle",
 ]
