@@ -83,6 +83,9 @@ _PRIORITY = [
     "skipgram_pairs",
     "mad_outliers",
     "training_shuffle",
+    "pca_power_iteration",
+    "feature_hashing_vectors",
+    "dedup_source_matrix",
     # multimodal byte-semantics fix (r5 degenerate-corpus sweep):
     # frame fingerprints + byte lengths redefined → re-attest all four
     "multimodal_stats",

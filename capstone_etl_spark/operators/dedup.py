@@ -908,6 +908,58 @@ FULL OUTER JOIN (SELECT doc_a, doc_b, TRUE AS by_simhash FROM ({SIMHASH_PAIRS_SQ
 """
 
 
+def dedup_source_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source near-duplication matrix: verified MinHash-LSH pair
+    counts and mean Jaccard per unordered (source_a, source_b) — the
+    curation readout that answers "which sources mirror each other"
+    (mirror sites, re-crawls, dataset overlap) and feeds the mixing
+    stage's de-weighting decisions.
+
+    Composition: the verified pair relation (candidate-set-sized,
+    never corpus-sized) joined to the per-doc source label twice on
+    uniform doc_id keys, folded to unordered source pairs via
+    least/greatest. Exactness: jaccard is already 6-dp-rounded, so the
+    DECIMAL(18,6) cast is lossless and the sum is exact
+    (order-independent); one double division at the end, rounded 6 dp.
+    At 100 TB the matrix is |sources|²-bounded — map-side combine
+    collapses partitions to that long before the final shuffle."""
+    pairs = minhash_lsh_pairs(spark, sf_dir)
+    docs = _docs(spark, sf_dir).select("doc_id", "source")
+    labeled = (
+        pairs.join(
+            docs.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa")), "doc_a"
+        )
+        .join(docs.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb")), "doc_b")
+        .select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+            F.col("jaccard").cast("decimal(18,6)").alias("jd"),
+        )
+    )
+    return labeled.groupBy("source_a", "source_b").agg(
+        F.count("*").cast("long").alias("n_pairs"),
+        F.round(F.sum("jd").cast("double") / F.count("*"), 6).alias("mean_jaccard"),
+    )
+
+
+DEDUP_SOURCE_MATRIX_SQL = f"""
+WITH pairs AS ({MINHASH_LSH_PAIRS_SQL}),
+lab AS (
+  SELECT least(da.source, db.source) AS source_a,
+         greatest(da.source, db.source) AS source_b,
+         CAST(p.jaccard AS DECIMAL(18,6)) AS jd
+  FROM pairs p
+  JOIN documents da ON da.doc_id = p.doc_a
+  JOIN documents db ON db.doc_id = p.doc_b
+)
+SELECT source_a, source_b,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       ROUND(CAST(SUM(jd) AS DOUBLE) / COUNT(*), 6) AS mean_jaccard
+FROM lab
+GROUP BY source_a, source_b
+"""
+
+
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
@@ -919,6 +971,7 @@ QUERIES = {
     "decontamination_spans": decontamination_spans,
     "gram_novelty": gram_novelty,
     "repeated_ngram_spans": repeated_ngram_spans,
+    "dedup_source_matrix": dedup_source_matrix,
 }
 
 ORACLE_SQL = {
@@ -932,4 +985,5 @@ ORACLE_SQL = {
     "decontamination_spans": DECONTAMINATION_SPANS_SQL,
     "gram_novelty": GRAM_NOVELTY_SQL,
     "repeated_ngram_spans": REPEATED_NGRAM_SPANS_SQL,
+    "dedup_source_matrix": DEDUP_SOURCE_MATRIX_SQL,
 }

@@ -41,7 +41,7 @@ from pyspark.sql import functions as F
 from capstone_etl_spark.functions.hashing import md5_hash60, md5_hash60_sql
 from capstone_etl_spark.functions.vectors import cosine
 from capstone_etl_spark.sources.tables import load_table
-from capstone_etl_spark.session import cached
+from capstone_etl_spark.session import cached, checkpoint_truncate
 
 DIM = 64
 N_QUERIES = 10          # query set = vec_id < 10
@@ -1070,6 +1070,150 @@ GROUP BY i, j
 """
 
 
+PCA_ITERS = 10
+PCA_SCALE = 1_000_000  # fixed-point scale for matrix cells AND vector
+
+
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding space by PCA_ITERS
+    unrolled power iterations over the covariance matrix — the third
+    iterative algorithm in the repo (after connected components and
+    pagerank), this one linear algebra: v ← normalize(A·v), λ by the
+    Rayleigh quotient of the final vector. The direction a whitening /
+    de-biasing / outlier-projection step needs.
+
+    Exactness: covariance cells snap to int64 (floor(cov·S + 0.5) — cov
+    is already 6-dp-rounded so the snap is lossless); the vector lives
+    in int64 S-units with max-abs normalization each round. The
+    matrix-vector product Σ_j ac_ij·v_j is an exact integer sum
+    (|ac| ≤ 1e5·, |v| ≤ S ⇒ terms ≤ 1e11, DIM of them — never
+    overflows); renormalization floor(w·S / wmax + 0.5) runs in double
+    on int64 inputs — deterministic IEEE ops on identical operands in
+    both engines, with floor(+0.5) rather than any round-half mode.
+    The oracle unrolls the identical recurrence as chained CTEs from
+    the same constants (hierarchy_pagerank's recipe).
+
+    100 TB shape: A is DIM²=4096 rows REGARDLESS of corpus size —
+    everything after the covariance aggregation is constant-size work
+    (the expensive part is embedding_covariance's one scan, see its
+    docstring); v is a 64-row broadcast per iteration and wmax a 1-row
+    broadcast (allowlisted cartesian). Six fixed rounds keep lineage
+    linear."""
+    cov = embedding_covariance(spark, sf_dir)
+    upper = cov.select(
+        "i", "j", F.floor(F.col("cov") * PCA_SCALE + 0.5).cast("long").alias("ac")
+    )
+    amat = upper.unionByName(
+        upper.filter(F.col("i") != F.col("j")).select(
+            F.col("j").alias("i"), F.col("i").alias("j"), "ac"
+        )
+    ).transform(cached)
+    v = amat.select("i").distinct().select("i", F.lit(PCA_SCALE).cast("long").alias("v"))
+    wmax = None
+    for _ in range(PCA_ITERS):
+        # truncated: w feeds BOTH wmax and the renormalized v, so each
+        # unrolled round embeds the previous plan twice — 2^ITERS plan
+        # growth without the cut (caching keeps the full lineage; see
+        # session.checkpoint_truncate / the CC loop's identical move).
+        # The checkpointed relation is DIM rows — the eager job is trivial.
+        w = checkpoint_truncate(
+            amat.join(F.broadcast(v.select(F.col("i").alias("j"), "v")), "j")
+            .groupBy("i")
+            .agg(F.sum(F.col("ac") * F.col("v")).alias("w"))
+        )
+        wmax = w.agg(F.max(F.abs(F.col("w"))).alias("wm"))
+        v = w.crossJoin(F.broadcast(wmax)).select(
+            "i",
+            F.floor(
+                F.col("w").cast("double") * PCA_SCALE / F.col("wm").cast("double") + 0.5
+            )
+            .cast("long")
+            .alias("v"),
+        )
+    # λ by Rayleigh quotient vᵀAv / vᵀv — error O(gap^2k) vs the max-norm
+    # estimate's O(gap^k), which matters on a spectrum with a small
+    # eigengap. One extra matrix-vector product; vᵀ(A·S)v can reach
+    # ~4e20 so the numerator sums in DECIMAL(38,0) (exact, order-free);
+    # the denominator Σv² fits int64. λ = num/den/S in double, 6 dp.
+    wf = (
+        amat.join(F.broadcast(v.select(F.col("i").alias("j"), "v")), "j")
+        .groupBy("i")
+        .agg(F.sum(F.col("ac") * F.col("v")).alias("w"))
+    )
+    ray = (
+        wf.join(v, "i")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(38,0)") * F.col("w")).cast("double")
+                / F.sum(F.col("v") * F.col("v")).cast("double")
+                / PCA_SCALE
+            ).alias("lam")
+        )
+    )
+    return (
+        v.crossJoin(F.broadcast(ray))
+        .select(
+            F.col("i").alias("d"),
+            F.round(F.col("v").cast("double") / PCA_SCALE, 6).alias("component"),
+            F.round(F.col("lam"), 6).alias("eigenvalue"),
+        )
+    )
+
+
+def _pca_power_sql() -> str:
+    iters = []
+    prev = "r0"
+    for k in range(1, PCA_ITERS + 1):
+        # MATERIALIZED: each round references the previous round twice
+        # (the product and its max) — inlined, the oracle's plan would
+        # grow 2^ITERS like the un-truncated Spark lineage did.
+        iters.append(
+            f"""
+w{k} AS MATERIALIZED (
+  SELECT a.i, CAST(SUM(a.ac * r.v) AS BIGINT) AS w
+  FROM amat a JOIN {prev} r ON r.i = a.j
+  GROUP BY a.i
+), m{k} AS MATERIALIZED (SELECT MAX(ABS(w)) AS wm FROM w{k}),
+r{k} AS MATERIALIZED (
+  SELECT i, CAST(floor(CAST(w AS DOUBLE) * {PCA_SCALE} / CAST(wm AS DOUBLE) + 0.5) AS BIGINT) AS v
+  FROM w{k} CROSS JOIN m{k}
+)"""
+        )
+        prev = f"r{k}"
+    iters.append(
+        f"""
+wf AS MATERIALIZED (
+  SELECT a.i, CAST(SUM(a.ac * r.v) AS BIGINT) AS w
+  FROM amat a JOIN {prev} r ON r.i = a.j
+  GROUP BY a.i
+), ray AS MATERIALIZED (
+  SELECT CAST(SUM(CAST(r.v AS HUGEINT) * w.w) AS DOUBLE)
+         / CAST(SUM(r.v * r.v) AS DOUBLE)
+         / {PCA_SCALE} AS lam
+  FROM {prev} r JOIN wf w ON w.i = r.i
+)"""
+    )
+    return f"""
+WITH cov AS MATERIALIZED ({EMBEDDING_COVARIANCE_SQL}),
+upper_m AS MATERIALIZED (
+  SELECT i, j, CAST(floor(cov * {PCA_SCALE} + 0.5) AS BIGINT) AS ac FROM cov
+),
+amat AS MATERIALIZED (
+  SELECT i, j, ac FROM upper_m
+  UNION ALL
+  SELECT j AS i, i AS j, ac FROM upper_m WHERE i <> j
+),
+r0 AS MATERIALIZED (SELECT DISTINCT i, CAST({PCA_SCALE} AS BIGINT) AS v FROM amat),{",".join(iters)}
+SELECT r.i AS d,
+       ROUND(CAST(r.v AS DOUBLE) / {PCA_SCALE}, 6) AS component,
+       ROUND(y.lam, 6) AS eigenvalue
+FROM {prev} r CROSS JOIN ray y
+"""
+
+
+PCA_POWER_ITERATION_SQL = _pca_power_sql()
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_brute_topk": ann_brute_topk,
@@ -1083,6 +1227,7 @@ QUERIES = {
     "ann_recall_eval": ann_recall_eval,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_covariance": embedding_covariance,
+    "pca_power_iteration": pca_power_iteration,
 }
 
 ORACLE_SQL = {
@@ -1098,4 +1243,5 @@ ORACLE_SQL = {
     "ann_recall_eval": ANN_RECALL_EVAL_SQL,
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
     "embedding_covariance": EMBEDDING_COVARIANCE_SQL,
+    "pca_power_iteration": PCA_POWER_ITERATION_SQL,
 }

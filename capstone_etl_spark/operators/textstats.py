@@ -1205,6 +1205,61 @@ HAVING COUNT(*) >= {SKIPGRAM_MIN_COUNT}
 )
 
 
+FH_DIM = 256          # feature-hashing target dimensionality
+FH_SIGN_SALT = "fh-sign:"
+
+
+def feature_hashing_vectors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Feature-hashing (hashing-trick) vectorizer: each document's TF
+    counts folded into a fixed FH_DIM-dimensional sparse vector with
+    dim = h(token) mod D and a ±1 sign from an independent hash bit
+    (Weinberger et al. 2009 — the signed construction keeps collision
+    noise zero-mean). This is the vocabulary-free alternative to the
+    dense-id sparse vectors (index.py): no vocabulary pass, no id
+    assignment, bounded dimensionality no matter the corpus — the
+    vectorizer a streaming or sharded trainer uses when a global vocab
+    is not affordable.
+
+    Output: (doc_id, dim, val) for val ≠ 0 — collisions cancel exactly
+    when signs oppose, and that cancellation is part of the contract.
+
+    100 TB shape: tokenize → per-(doc, token) TF (uniform hash keys) →
+    per-(doc, dim) integer sum — two aggregations, both map-side
+    combinable; dims and signs are per-row md5 expressions (portable
+    across engines, functions/hashing.py). No vocabulary join at all —
+    compare sparse_vectors, which pays the dense-id machinery; this is
+    the scale-out escape hatch."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt"))
+    dim = (md5_hash60("token") % FH_DIM).alias("dim")
+    sign = (md5_hash60(F.concat(F.lit(FH_SIGN_SALT), F.col("token"))) % 2 * 2 - 1).alias("sign")
+    return (
+        tf.select("doc_id", dim, (F.col("cnt") * sign).alias("sv"))
+        .groupBy("doc_id", "dim")
+        .agg(F.sum("sv").cast("long").alias("val"))
+        .filter(F.col("val") != 0)
+    )
+
+
+FEATURE_HASHING_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(list_filter(
+    string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+    t -> t <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+)
+SELECT doc_id,
+       {md5_hash60_sql('token')} % {FH_DIM} AS dim,
+       CAST(SUM(cnt * ({md5_hash60_sql(f"'{FH_SIGN_SALT}' || token")} % 2 * 2 - 1)) AS BIGINT) AS val
+FROM tf
+GROUP BY doc_id, dim
+HAVING CAST(SUM(cnt * ({md5_hash60_sql(f"'{FH_SIGN_SALT}' || token")} % 2 * 2 - 1)) AS BIGINT) <> 0
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "token_counts": token_counts,
@@ -1226,6 +1281,7 @@ QUERIES = {
     "bigram_lm_perplexity": bigram_lm_perplexity,
     "bpe_apply_merge": bpe_apply_merge,
     "skipgram_pairs": skipgram_pairs,
+    "feature_hashing_vectors": feature_hashing_vectors,
 }
 
 ORACLE_SQL = {
@@ -1249,4 +1305,5 @@ ORACLE_SQL = {
     "bigram_lm_perplexity": BIGRAM_LM_PERPLEXITY_SQL,
     "bpe_apply_merge": BPE_APPLY_MERGE_SQL,
     "skipgram_pairs": SKIPGRAM_PAIRS_SQL,
+    "feature_hashing_vectors": FEATURE_HASHING_SQL,
 }

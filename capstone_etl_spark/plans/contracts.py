@@ -89,6 +89,10 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "1-row corpus-median + 1-row MAD broadcasts back over the "
         "per-doc counts (quality.py)"
     ),
+    "pca_power_iteration": (
+        "1-row max-|w| normalization broadcast per unrolled iteration "
+        "over the DIM^2-row matrix relation (similarity.py)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and
@@ -184,4 +188,7 @@ HEADLINE: list[str] = [
     "skipgram_pairs",
     "mad_outliers",
     "training_shuffle",
+    "pca_power_iteration",
+    "feature_hashing_vectors",
+    "dedup_source_matrix",
 ]

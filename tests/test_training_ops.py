@@ -113,6 +113,78 @@ def test_mad_outliers_robust_z_sanity(spark, sf_dir):
     assert len(by_flag) < len(rows)
 
 
+def test_pca_power_iteration_eigen_pair(spark, sf_dir):
+    """The returned (vector, eigenvalue) must approximately satisfy
+    A·v = λ·v for the actual covariance matrix, and λ must be the
+    dominant eigenvalue (>= every diagonal variance)."""
+    import numpy as np
+
+    from capstone_etl_spark.operators.similarity import pca_power_iteration
+
+    cov_rows = embedding_covariance(spark, sf_dir).collect()
+    A = np.zeros((DIM, DIM))
+    for r in cov_rows:
+        A[r.i][r.j] = r.cov
+        A[r.j][r.i] = r.cov
+    out = pca_power_iteration(spark, sf_dir).collect()
+    assert len(out) == DIM
+    v = np.zeros(DIM)
+    lam = out[0].eigenvalue
+    for r in out:
+        v[r.d] = r.component
+        assert r.eigenvalue == lam  # one eigenvalue, replicated per row
+    assert abs(max(v.max(), -v.min()) - 1.0) < 1e-5  # max-abs normalized
+    # the estimate must bracket the true dominant eigenvalue: never
+    # above it (power iteration approaches lambda_1 from below through
+    # the spectrum), and within 10% after PCA_ITERS rounds even with
+    # this corpus' small eigengap
+    true_top = float(np.linalg.eigvalsh(A).max())
+    assert lam <= true_top + 1e-4
+    assert lam >= 0.9 * true_top
+    # eigen-equation residual bounded relative to the spectrum spread
+    resid = np.abs(A @ v - lam * v).max()
+    assert resid < 0.1 * true_top
+    # dominant: at least as large as any single-dimension variance
+    assert lam >= max(A[d][d] for d in range(DIM)) - 1e-6
+
+
+def test_feature_hashing_cancellation_and_bounds(spark, sf_dir):
+    from capstone_etl_spark.operators.textstats import FH_DIM, feature_hashing_vectors
+
+    rows = feature_hashing_vectors(spark, sf_dir).collect()
+    assert rows
+    assert all(0 <= r.dim < FH_DIM for r in rows)
+    assert all(r.val != 0 for r in rows)  # exact-zero collisions dropped
+    # L1 mass per doc is bounded by the doc's token count
+    from capstone_etl_spark.functions.text import tokenize
+    from capstone_etl_spark.sources.tables import load_table
+
+    n_tok = {
+        r.doc_id: r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select("doc_id", F.size(tokenize("text")).alias("n"))
+        .collect()
+    }
+    mass: dict[int, int] = {}
+    for r in rows:
+        mass[r.doc_id] = mass.get(r.doc_id, 0) + abs(r.val)
+    assert all(m <= n_tok[d] for d, m in mass.items())
+
+
+def test_dedup_source_matrix_consistent_with_pairs(spark, sf_dir):
+    from capstone_etl_spark.operators.dedup import (
+        dedup_source_matrix,
+        minhash_lsh_pairs,
+    )
+
+    mat = dedup_source_matrix(spark, sf_dir).collect()
+    n_pairs = sum(r.n_pairs for r in mat)
+    assert n_pairs == minhash_lsh_pairs(spark, sf_dir).count()
+    for r in mat:
+        assert r.source_a <= r.source_b
+        assert 0.0 < r.mean_jaccard <= 1.0
+
+
 def test_training_shuffle_is_a_permutation(spark, sf_dir):
     rows = training_shuffle(spark, sf_dir).collect()
     n = len(rows)
