@@ -67,6 +67,12 @@ HEADLINE = [
     # (heaviest new relational join) join the tracked set.
     "bigram_lm_perplexity",
     "min_cost_supplier",
+    # r5 training-pipeline batch: the iterative linear algebra, the
+    # vocabulary-free vectorizer, and the epoch shuffle (dense-id
+    # machinery under a second consumer) — tracked from day one.
+    "pca_power_iteration",
+    "feature_hashing_vectors",
+    "training_shuffle",
 ]
 
 
