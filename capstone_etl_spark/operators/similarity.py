@@ -1214,6 +1214,51 @@ FROM {prev} r CROSS JOIN ray y
 PCA_POWER_ITERATION_SQL = _pca_power_sql()
 
 
+def embedding_whitening(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply the calibration: per-dimension standardization
+    z = (v − mean)/√variance using embedding_dim_stats' table — the
+    diagonal-whitening step that makes dimensions comparable before
+    quantization, cosine search, or outlier screens (the apply half of
+    the calibrate→apply loop; embedding_quantize is the other
+    consumer).
+
+    Determinism: mean and variance arrive ALREADY 6-dp-rounded from
+    dim stats (exact decimals in double), v is float32-exact in
+    double; z is one fixed IEEE expression of those, rounded to 6 dp.
+    Zero-variance dimensions emit NULL (no information to whiten), by
+    the same guard both engines spell identically.
+
+    100 TB shape: the stats relation is DIM=64 rows broadcast; the
+    apply is a map-side ×64 posexplode + broadcast hash join — no
+    data-sized shuffle anywhere (the stats aggregation itself is
+    embedding_dim_stats' one tiny-reduce pass)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = embedding_dim_stats(spark, sf_dir).select("d", "mean", "variance")
+    by_dim = emb.select("vec_id", F.posexplode("embedding").alias("d", "v"))
+    z = (F.col("v").cast("double") - F.col("mean")) / F.sqrt(F.col("variance"))
+    return (
+        by_dim.join(F.broadcast(stats), "d")
+        .select(
+            "vec_id",
+            "d",
+            F.when(F.col("variance") > 0, F.round(z, 6)).alias("z"),
+        )
+    )
+
+
+EMBEDDING_WHITENING_SQL = f"""
+WITH stats AS ({EMBEDDING_DIM_STATS_SQL}),
+by_dim AS (
+  SELECT vec_id, d, CAST(embedding[d + 1] AS DOUBLE) AS v
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
+)
+SELECT b.vec_id, b.d,
+       CASE WHEN s.variance > 0
+            THEN ROUND((b.v - s.mean) / sqrt(s.variance), 6) END AS z
+FROM by_dim b JOIN stats s ON s.d = b.d
+"""
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_brute_topk": ann_brute_topk,
@@ -1228,6 +1273,7 @@ QUERIES = {
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_covariance": embedding_covariance,
     "pca_power_iteration": pca_power_iteration,
+    "embedding_whitening": embedding_whitening,
 }
 
 ORACLE_SQL = {
@@ -1244,4 +1290,5 @@ ORACLE_SQL = {
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
     "embedding_covariance": EMBEDDING_COVARIANCE_SQL,
     "pca_power_iteration": PCA_POWER_ITERATION_SQL,
+    "embedding_whitening": EMBEDDING_WHITENING_SQL,
 }

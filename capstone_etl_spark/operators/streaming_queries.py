@@ -438,6 +438,75 @@ def _stream_reservoir_sample_sql() -> str:
     return RESERVOIR_SAMPLE_SQL
 
 
+def stream_mixing_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mixing-weight accounting as a STREAMING job: per-source doc
+    count, token mass and char mass accumulate incrementally over the
+    documents file stream (complete-mode agg, no event time → no
+    watermark), and the √-temperature weight normalization runs in
+    batch on the final snapshot — exactly how a live ingest keeps the
+    training-blend dashboard current while shards land. The streaming
+    aggregation state is |sources|-bounded. countDistinct (the batch
+    dup_rate input) is not streamable, so the streaming form carries
+    the additive aggregates only; the weight arithmetic is shared with
+    source_mixing_weights (same √ snap to DECIMAL(28,10), same one
+    double division), and the oracle is the batch SQL minus the
+    dup-rate column — the streaming engine must reproduce it exactly."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from capstone_etl_spark.functions.text import tokenize
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_mix_")
+    try:
+        staging = f"{work}/staging"
+        load_table(spark, sf_dir, "documents").repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        ws = F.size(tokenize("text")).cast("long")
+        agg = stream.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.sum(ws).alias("n_tokens"),
+            F.sum(F.length("text").cast("long")).alias("n_chars_sum"),
+        )
+        snap = run_to_memory(agg, f"{work}/checkpoint", output_mode="complete")
+        sq = F.sqrt(F.col("n_tokens").cast("double")).cast("decimal(28,10)")
+        w_all = Window.partitionBy()
+        return snap.select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            (F.col("n_chars_sum").cast("double") / F.col("n_docs")).alias("mean_chars"),
+            (sq.cast("double") / F.sum(sq).over(w_all).cast("double")).alias("mix_weight"),
+        ).orderBy("source")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+STREAM_MIXING_WEIGHTS_SQL = """
+WITH per_src AS (
+  SELECT source, COUNT(*) AS n_docs,
+         CAST(SUM(len(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           t -> t <> ''))) AS BIGINT) AS n_tokens,
+         CAST(SUM(length(text)) AS BIGINT) AS n_chars_sum
+  FROM documents GROUP BY source
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_chars_sum AS DOUBLE) / n_docs AS mean_chars,
+       CAST(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,10)) AS DOUBLE)
+         / CAST(SUM(CAST(sqrt(CAST(n_tokens AS DOUBLE)) AS DECIMAL(28,10))) OVER () AS DOUBLE) AS mix_weight
+FROM per_src
+ORDER BY source
+"""
+
+
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
     "stream_sliding_windows": stream_sliding_windows,
@@ -449,6 +518,7 @@ QUERIES = {
     "stream_quality_funnel": stream_quality_funnel,
     "stream_kmv_sketch": stream_kmv_sketch,
     "stream_reservoir_sample": stream_reservoir_sample,
+    "stream_mixing_weights": stream_mixing_weights,
 }
 
 ORACLE_SQL = {
@@ -462,4 +532,5 @@ ORACLE_SQL = {
     "stream_quality_funnel": _stream_quality_funnel_sql(),
     "stream_kmv_sketch": _stream_kmv_sketch_sql(),
     "stream_reservoir_sample": _stream_reservoir_sample_sql(),
+    "stream_mixing_weights": STREAM_MIXING_WEIGHTS_SQL,
 }

@@ -1260,6 +1260,72 @@ HAVING CAST(SUM(cnt * ({md5_hash60_sql(f"'{FH_SIGN_SALT}' || token")} % 2 * 2 - 
 """
 
 
+KEYWORDS_K = 5
+
+
+def doc_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document keyword extraction: the top-KEYWORDS_K tokens by
+    TF-IDF — the salience table a tagging / retrieval / summarization
+    step consumes (and the per-doc completion of the corpus-level
+    top_tokens_per_source).
+
+    Determinism across engines: the score qty·ln(N/df) is a fixed IEEE
+    expression of exact integers (tf_idf's recipe) ROUNDED to 6 dp
+    BEFORE ranking, so any cross-engine last-ulp ln drift collapses to
+    an exact tie, and ties break on the token string — the rank is a
+    total order both engines agree on. The corpus document count rides
+    the plan as a 1-row broadcast (allowlisted cartesian, house rule).
+
+    100 TB shape: TF + df are the standard uniform-key aggregations;
+    the rank window partitions by doc_id — per-doc row counts are
+    document-sized (bounded by MAX_TOKENS distinct tokens), never
+    corpus-sized."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokenize("text")).alias("token"))
+    tf = cached(tok.groupBy("doc_id", "token").agg(F.count("*").alias("qty")))
+    dfreq = tf.groupBy("token").agg(F.count("*").alias("df"))
+    n_rel = tf.agg(F.countDistinct("doc_id").cast("double").alias("_n_docs"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n_rel))
+        .select(
+            "doc_id",
+            "token",
+            "qty",
+            F.round(F.col("qty") * F.log(F.col("_n_docs") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "token")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= KEYWORDS_K)
+        .select("doc_id", "rnk", "token", "qty", "tfidf")
+    )
+
+
+DOC_KEYWORDS_SQL = (
+    _TOKS_CTE
+    + f""",
+tok AS (SELECT doc_id, UNNEST(t) AS token FROM toks),
+tf AS (SELECT doc_id, token, COUNT(*) AS qty FROM tok WHERE token <> '' GROUP BY 1, 2),
+dfreq AS (SELECT token, COUNT(*) AS df FROM tf GROUP BY token),
+n AS (SELECT CAST(COUNT(DISTINCT doc_id) AS DOUBLE) AS n_docs FROM tf),
+scored AS (
+  SELECT doc_id, token, qty,
+         ROUND(qty * LN(n_docs / df), 6) AS tfidf
+  FROM tf JOIN dfreq USING (token) CROSS JOIN n
+)
+SELECT doc_id, rnk, token, qty, tfidf FROM (
+  SELECT doc_id, token, qty, tfidf,
+         CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, token) AS BIGINT) AS rnk
+  FROM scored
+) r WHERE rnk <= {KEYWORDS_K}
+"""
+)
+
+
 QUERIES = {
     "text_quality": text_quality,
     "token_counts": token_counts,
@@ -1282,6 +1348,7 @@ QUERIES = {
     "bpe_apply_merge": bpe_apply_merge,
     "skipgram_pairs": skipgram_pairs,
     "feature_hashing_vectors": feature_hashing_vectors,
+    "doc_keywords": doc_keywords,
 }
 
 ORACLE_SQL = {
@@ -1306,4 +1373,5 @@ ORACLE_SQL = {
     "bpe_apply_merge": BPE_APPLY_MERGE_SQL,
     "skipgram_pairs": SKIPGRAM_PAIRS_SQL,
     "feature_hashing_vectors": FEATURE_HASHING_SQL,
+    "doc_keywords": DOC_KEYWORDS_SQL,
 }

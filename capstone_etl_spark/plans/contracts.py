@@ -93,6 +93,10 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "1-row max-|w| normalization broadcast per unrolled iteration "
         "over the DIM^2-row matrix relation (similarity.py)"
     ),
+    "doc_keywords": (
+        "1-row corpus document-count broadcast feeding the tf-idf "
+        "scores (textstats.py — tf_idf's shape)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and
@@ -191,4 +195,6 @@ HEADLINE: list[str] = [
     "pca_power_iteration",
     "feature_hashing_vectors",
     "dedup_source_matrix",
+    "doc_keywords",
+    "embedding_whitening",
 ]

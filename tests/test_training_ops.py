@@ -185,6 +185,42 @@ def test_dedup_source_matrix_consistent_with_pairs(spark, sf_dir):
         assert 0.0 < r.mean_jaccard <= 1.0
 
 
+def test_embedding_whitening_standardizes(spark, sf_dir):
+    """Whitened dimensions must have ~zero mean and ~unit variance
+    (up to the 6-dp rounding of the stats and outputs)."""
+    from capstone_etl_spark.operators.similarity import embedding_whitening
+
+    rows = embedding_whitening(spark, sf_dir).collect()
+    by_dim: dict[int, list[float]] = {}
+    for r in rows:
+        if r.z is not None:
+            by_dim.setdefault(r.d, []).append(r.z)
+    assert len(by_dim) == DIM
+    for d, zs in by_dim.items():
+        n = len(zs)
+        mean = sum(zs) / n
+        var = sum(z * z for z in zs) / n - mean * mean
+        assert abs(mean) < 1e-3
+        assert abs(var - 1.0) < 1e-2
+
+
+def test_doc_keywords_topk_contract(spark, sf_dir):
+    from capstone_etl_spark.operators.textstats import KEYWORDS_K, doc_keywords
+
+    rows = doc_keywords(spark, sf_dir).collect()
+    by_doc: dict[int, list] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        ranks = sorted(r.rnk for r in rs)
+        assert ranks == list(range(1, len(rs) + 1))
+        assert len(rs) <= KEYWORDS_K
+        # scores are non-increasing in rank
+        ordered = sorted(rs, key=lambda r: r.rnk)
+        for a, b in zip(ordered, ordered[1:]):
+            assert a.tfidf >= b.tfidf
+
+
 def test_training_shuffle_is_a_permutation(spark, sf_dir):
     rows = training_shuffle(spark, sf_dir).collect()
     n = len(rows)
