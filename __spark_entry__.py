@@ -58,7 +58,6 @@ _PRIORITY = [
     "ann_ivf_topk",
     "kmeans_lloyd",
     "sequence_packing_greedy",
-    "packing_efficiency",
     "quality_filter_flags",
     "quality_filter_funnel",
     # NEW in round 5 — attest this round (also in ATTEST_r5.json)
@@ -85,6 +84,8 @@ _PRIORITY = [
     "doc_keywords",
     "embedding_whitening",
     "stream_mixing_weights",
+    "count_min_error",
+    "bpe_learn_merges",
     # multimodal byte-semantics fix (r5 degenerate-corpus sweep):
     # frame_dedup covers the redefined fingerprints/byte lengths
     # inside the window; stats/meta/frames follow at 51+ (attested
@@ -95,7 +96,6 @@ _PRIORITY = [
     # family canaries (driver-green in earlier rounds; every family
     # keeps ≥1 inside the window — tests/test_entry_contract.py
     # enforces the span)
-    "corpus_pipeline",
     "doc_similarity_topk",
     "wikibooks_docs",
     "cluster_aware_splits",
@@ -104,9 +104,12 @@ _PRIORITY = [
     # position 51+: first in line if the driver samples past 50 —
     # every query below is driver-green in some round AND green on the
     # committed local full gate (ATTEST_r5.json). dedup_minhash_lsh /
-    # ann_lsh_topk moved here: their families stay in-window via
-    # dedup_agreement + dedup_source_matrix and ann_ivf_topk +
-    # ann_recall_eval.
+    # ann_lsh_topk / corpus_pipeline / packing_efficiency moved here:
+    # their families stay in-window via dedup_agreement +
+    # dedup_source_matrix, ann_ivf_topk + ann_recall_eval,
+    # mixing_allocation, and sequence_packing_greedy.
+    "corpus_pipeline",
+    "packing_efficiency",
     "dedup_minhash_lsh",
     "ann_lsh_topk",
     "multimodal_stats",

@@ -212,12 +212,97 @@ FROM agg
 """
 
 
+CM_W = 128          # count-min width (buckets per row)
+CM_D = 4            # count-min depth (independent hash rows)
+CM_MIN_COUNT = 50   # probe set: tokens with true count >= this
+
+
+def count_min_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch (Cormode & Muthukrishnan 2005) built over the
+    corpus token stream, evaluated against truth on the heavy tokens —
+    the mergeable frequency sketch a streaming/sharded pipeline uses
+    for heavy-hitter queries without a per-token exact count. Like the
+    KMV family, the sketch uses the portable md5 hash, so both engines
+    build the IDENTICAL D×W counter table and the estimate is checked
+    value-for-value — an approximate structure under an exact test.
+    Output per heavy token: true count, CM estimate (min over D rows),
+    and the overestimate (≥ 0 always — CM never undercounts).
+
+    100 TB shape: the exact TF pre-aggregation is the only corpus-scale
+    shuffle (uniform token keys); the counter build expands the
+    VOCABULARY-bounded TF relation ×D and partial-aggregates to exactly
+    D·W = 512 cells; the probe joins heavy tokens against the 512-row
+    counter table broadcast. Merging shards = adding counter tables
+    cell-wise (the sketch's defining property)."""
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokenize("text")).alias("token"))
+    tf = cached(tok.groupBy("token").agg(F.count("*").alias("cnt")))
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (md5_hash60(F.concat(F.lit(f"cm{d}:"), F.col("token"))) % CM_W).alias("bucket"),
+            )
+            for d in range(CM_D)
+        ]
+    )
+    expanded = tf.select("token", "cnt", F.explode(buckets).alias("b")).select(
+        "token", "cnt", "b.d", "b.bucket"
+    )
+    cm = expanded.groupBy("d", "bucket").agg(F.sum("cnt").alias("c"))
+    probes = expanded.filter(F.col("cnt") >= CM_MIN_COUNT)
+    return (
+        probes.join(F.broadcast(cm), ["d", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.max("cnt").cast("long").alias("true_cnt"),
+            F.min("c").cast("long").alias("est_cnt"),
+        )
+        .select(
+            "token",
+            "true_cnt",
+            "est_cnt",
+            (F.col("est_cnt") - F.col("true_cnt")).alias("overestimate"),
+        )
+    )
+
+
+def _cm_bucket_sql(d: int) -> str:
+    salted = "'cm" + str(d) + ":' || token"
+    return f"({md5_hash60_sql(salted)} % {CM_W})"
+
+
+COUNT_MIN_ERROR_SQL = f"""
+WITH tok AS (
+  SELECT UNNEST(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           x -> x <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1
+), expanded AS (
+  {" UNION ALL ".join(f"SELECT token, cnt, {d} AS d, {_cm_bucket_sql(d)} AS bucket FROM tf" for d in range(CM_D))}
+), cm AS (
+  SELECT d, bucket, CAST(SUM(cnt) AS BIGINT) AS c FROM expanded GROUP BY 1, 2
+)
+SELECT p.token,
+       CAST(MAX(p.cnt) AS BIGINT) AS true_cnt,
+       CAST(MIN(m.c) AS BIGINT) AS est_cnt,
+       CAST(MIN(m.c) - MAX(p.cnt) AS BIGINT) AS overestimate
+FROM expanded p JOIN cm m ON m.d = p.d AND m.bucket = p.bucket
+WHERE p.cnt >= {CM_MIN_COUNT}
+GROUP BY p.token
+"""
+
+
 QUERIES = {
     "kmv_distinct_shingles": kmv_distinct_shingles,
     "kmv_source_overlap": kmv_source_overlap,
+    "count_min_error": count_min_error,
 }
 
 ORACLE_SQL = {
     "kmv_distinct_shingles": KMV_DISTINCT_SHINGLES_SQL,
     "kmv_source_overlap": KMV_SOURCE_OVERLAP_SQL,
+    "count_min_error": COUNT_MIN_ERROR_SQL,
 }

@@ -17,7 +17,7 @@ from capstone_etl_spark.functions.text import token_ngrams, tokenize
 from capstone_etl_spark.functions.windows import bounded_window_key
 from capstone_etl_spark.operators.vocab import with_dense_ids
 from capstone_etl_spark.sources.tables import load_table
-from capstone_etl_spark.session import cached
+from capstone_etl_spark.session import cached, checkpoint_truncate
 
 FP_BASE = 1_000_003  # rolling-hash base; acc·B + h stays < 2^52 (exact)
 
@@ -1326,6 +1326,115 @@ SELECT doc_id, rnk, token, qty, tfidf FROM (
 )
 
 
+BPE_MERGES = 4  # learned merge rounds; merged symbols 'A','B',... never
+                # collide with the [a-z0-9] token alphabet (tokenize lowercases)
+
+
+def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ITERATIVE BPE training — the actual tokenizer-training loop that
+    bpe_merge_pairs (one decision) and bpe_apply_merge (one
+    application) bracket: BPE_MERGES rounds of count-pairs → pick
+    argmax → rewrite the vocabulary, each merged pair collapsing to a
+    fresh single-char symbol ('A','B',…) that participates in later
+    merges exactly like BPE's grown alphabet. Output is the learned
+    merge TABLE (round, pair, symbol, weighted count) — the artifact a
+    tokenizer ships. Fourth iterative algorithm in the repo (CC,
+    pagerank, PCA power iteration).
+
+    Determinism: counts are exact integer sums; the argmax orders by
+    (cnt DESC, pair) — a total order both engines agree on; rewriting
+    is replace(repr, pair, symbol) — greedy left-to-right
+    non-overlapping in both engines (bpe_apply_merge's pinned
+    semantics). Pair counting counts overlapping occurrences ('aaa' →
+    'aa' twice) while replace merges non-overlapping — the standard
+    counting approximation, identical on both sides. Per-round lineage
+    is checkpoint-truncated (house rule for iterative loops; the
+    vocabulary relation being checkpointed is Heaps-law-bounded, not
+    corpus-bounded) and the oracle materializes each round's CTEs.
+
+    100 TB shape: ONE corpus-scale shuffle (the TF aggregation);
+    every round after that runs on the aggregated vocabulary — pair
+    expansion is ~mean-token-length rows per vocab entry, the argmax
+    is a 1-row limit, the rewrite map-only."""
+    tok = _docs(spark, sf_dir).select(F.explode(tokenize("text")).alias("token"))
+    tf = cached(tok.groupBy("token").agg(F.count("*").alias("tf")))
+    reprs = tf.select("token", "tf", F.col("token").alias("repr"))
+    merge_rows = []
+    for k in range(BPE_MERGES):
+        sym = chr(ord("A") + k)
+        pairs = reprs.filter(F.length("repr") >= 2).select(
+            "tf",
+            F.explode(
+                F.expr("transform(sequence(1, length(repr) - 1), i -> substring(repr, i, 2))")
+            ).alias("pair"),
+        )
+        top1 = cached(
+            pairs.groupBy("pair")
+            .agg(F.sum("tf").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pair")
+            .limit(1)
+        )
+        merge_rows.append(
+            top1.select(
+                F.lit(k + 1).cast("long").alias("round"),
+                F.col("pair").alias("merge_pair"),
+                F.lit(sym).alias("merged_symbol"),
+                F.col("cnt").cast("long").alias("cnt"),
+            )
+        )
+        reprs = checkpoint_truncate(
+            reprs.join(F.broadcast(top1.select("pair")), F.lit(True)).select(
+                "token",
+                "tf",
+                F.expr(f"replace(repr, pair, '{sym}')").alias("repr"),
+            )
+        )
+    out = merge_rows[0]
+    for extra in merge_rows[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+def _bpe_learn_merges_sql() -> str:
+    rounds = []
+    prev = "r0"
+    selects = []
+    for k in range(BPE_MERGES):
+        sym = chr(ord("A") + k)
+        rounds.append(
+            f"""
+p{k + 1} AS MATERIALIZED (
+  SELECT substr(repr, i, 2) AS pair, tf
+  FROM {prev}, LATERAL (SELECT unnest(range(1, length(repr))) AS i) r
+  WHERE length(repr) >= 2
+), t{k + 1} AS MATERIALIZED (
+  SELECT pair, CAST(SUM(tf) AS BIGINT) AS cnt FROM p{k + 1} GROUP BY 1
+  ORDER BY cnt DESC, pair LIMIT 1
+), r{k + 1} AS MATERIALIZED (
+  SELECT token, tf, replace(repr, (SELECT pair FROM t{k + 1}), '{sym}') AS repr FROM {prev}
+)"""
+        )
+        selects.append(
+            f"SELECT CAST({k + 1} AS BIGINT) AS round, pair AS merge_pair, "
+            f"'{sym}' AS merged_symbol, cnt FROM t{k + 1}"
+        )
+        prev = f"r{k + 1}"
+    return f"""
+WITH tokstream AS (
+  SELECT UNNEST(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           x -> x <> '')) AS token
+  FROM documents
+), tf AS MATERIALIZED (
+  SELECT token, COUNT(*) AS tf FROM tokstream GROUP BY 1
+), r0 AS MATERIALIZED (SELECT token, tf, token AS repr FROM tf),{",".join(rounds)}
+{" UNION ALL ".join(selects)}
+"""
+
+
+BPE_LEARN_MERGES_SQL = _bpe_learn_merges_sql()
+
+
 QUERIES = {
     "text_quality": text_quality,
     "token_counts": token_counts,
@@ -1349,6 +1458,7 @@ QUERIES = {
     "skipgram_pairs": skipgram_pairs,
     "feature_hashing_vectors": feature_hashing_vectors,
     "doc_keywords": doc_keywords,
+    "bpe_learn_merges": bpe_learn_merges,
 }
 
 ORACLE_SQL = {
@@ -1374,4 +1484,5 @@ ORACLE_SQL = {
     "skipgram_pairs": SKIPGRAM_PAIRS_SQL,
     "feature_hashing_vectors": FEATURE_HASHING_SQL,
     "doc_keywords": DOC_KEYWORDS_SQL,
+    "bpe_learn_merges": BPE_LEARN_MERGES_SQL,
 }

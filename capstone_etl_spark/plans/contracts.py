@@ -97,6 +97,11 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "1-row corpus document-count broadcast feeding the tf-idf "
         "scores (textstats.py — tf_idf's shape)"
     ),
+    "bpe_learn_merges": (
+        "1-row winning-pair broadcast applied to the aggregated "
+        "vocabulary per learned round (textstats.py — "
+        "bpe_apply_merge's shape, iterated)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and
@@ -197,4 +202,6 @@ HEADLINE: list[str] = [
     "dedup_source_matrix",
     "doc_keywords",
     "embedding_whitening",
+    "count_min_error",
+    "bpe_learn_merges",
 ]

@@ -221,6 +221,34 @@ def test_doc_keywords_topk_contract(spark, sf_dir):
             assert a.tfidf >= b.tfidf
 
 
+def test_count_min_never_undercounts(spark, sf_dir):
+    from capstone_etl_spark.operators.sketches import CM_MIN_COUNT, count_min_error
+
+    rows = count_min_error(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.true_cnt >= CM_MIN_COUNT
+        assert r.est_cnt >= r.true_cnt          # the CM guarantee
+        assert r.overestimate == r.est_cnt - r.true_cnt
+
+
+def test_bpe_learn_merges_table(spark, sf_dir):
+    from capstone_etl_spark.operators.textstats import (
+        BPE_MERGES,
+        bpe_apply_merge,
+        bpe_learn_merges,
+    )
+
+    rows = sorted(bpe_learn_merges(spark, sf_dir).collect(), key=lambda r: r.round)
+    assert [r.round for r in rows] == list(range(1, BPE_MERGES + 1))
+    assert [r.merged_symbol for r in rows] == ["A", "B", "C", "D"][:BPE_MERGES]
+    assert all(r.cnt > 0 for r in rows)
+    assert len({r.merge_pair for r in rows}) == BPE_MERGES  # no pair learned twice
+    # round 1 must agree with the single-step operator on the same data
+    one = bpe_apply_merge(spark, sf_dir).select("merge_pair").first()
+    assert rows[0].merge_pair == one.merge_pair
+
+
 def test_training_shuffle_is_a_permutation(spark, sf_dir):
     rows = training_shuffle(spark, sf_dir).collect()
     n = len(rows)
