@@ -54,11 +54,13 @@ _PRIORITY = [
     # scale-derived SEMDEDUP/IVF cell counts (VERDICT #2), pack-shard
     # output contract (VERDICT #5), quality-oracle empty-doc guard
     # (ADVICE #1)
+    # ann_ivf_topk runs INSIDE ann_recall_eval (position 9), so the
+    # quantizer re-attestation still lands; quality_filter_funnel
+    # shares _rule_flags with quality_filter_flags, so the empty-doc
+    # oracle fix is re-attested by the funnel row.
     "semantic_dedup",
-    "ann_ivf_topk",
     "kmeans_lloyd",
     "sequence_packing_greedy",
-    "quality_filter_flags",
     "quality_filter_funnel",
     # NEW in round 5 — attest this round (also in ATTEST_r5.json)
     "reservoir_sample",
@@ -86,6 +88,8 @@ _PRIORITY = [
     "stream_mixing_weights",
     "count_min_error",
     "bpe_learn_merges",
+    "stream_count_min",
+    "length_quartiles_per_source",
     # multimodal byte-semantics fix (r5 degenerate-corpus sweep):
     # frame_dedup covers the redefined fingerprints/byte lengths
     # inside the window; stats/meta/frames follow at 51+ (attested
@@ -110,6 +114,8 @@ _PRIORITY = [
     # mixing_allocation, and sequence_packing_greedy.
     "corpus_pipeline",
     "packing_efficiency",
+    "quality_filter_flags",
+    "ann_ivf_topk",
     "dedup_minhash_lsh",
     "ann_lsh_topk",
     "multimodal_stats",

@@ -507,6 +507,70 @@ ORDER BY source
 """
 
 
+def stream_count_min(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Count-Min counter table built INCREMENTALLY over the
+    documents stream — the sketch is streaming-native by construction:
+    state is exactly D×W integer cells (bounded forever), each
+    micro-batch adds its token counts cell-wise, and cell-wise
+    addition is associative — so the drained counter table equals the
+    batch sketch EXACTLY and shares its oracle arithmetic. Complete-
+    mode aggregation on (d, bucket): |state| = CM_D·CM_W keys no
+    matter how many shards stream in."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.functions.hashing import md5_hash60
+    from capstone_etl_spark.functions.text import tokenize
+    from capstone_etl_spark.operators.sketches import CM_D, CM_W
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_cm_")
+    try:
+        staging = f"{work}/staging"
+        load_table(spark, sf_dir, "documents").repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        tok = stream.select(F.explode(tokenize("text")).alias("token"))
+        buckets = F.array(
+            *[
+                F.struct(
+                    F.lit(d).alias("d"),
+                    (md5_hash60(F.concat(F.lit(f"cm{d}:"), F.col("token"))) % CM_W).alias(
+                        "bucket"
+                    ),
+                )
+                for d in range(CM_D)
+            ]
+        )
+        cells = tok.select(F.explode(buckets).alias("b")).select("b.d", "b.bucket")
+        agg = cells.groupBy("d", "bucket").agg(F.count("*").cast("long").alias("c"))
+        return run_to_memory(agg, f"{work}/checkpoint", output_mode="complete")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stream_count_min_sql() -> str:
+    from capstone_etl_spark.operators.sketches import CM_D, _cm_bucket_sql
+
+    per_d = " UNION ALL ".join(
+        f"SELECT {d} AS d, {_cm_bucket_sql(d)} AS bucket FROM tok" for d in range(CM_D)
+    )
+    return f"""
+WITH tok AS (
+  SELECT UNNEST(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           x -> x <> '')) AS token
+  FROM documents
+), cells AS ({per_d})
+SELECT d, bucket, CAST(COUNT(*) AS BIGINT) AS c
+FROM cells GROUP BY d, bucket
+"""
+
+
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
     "stream_sliding_windows": stream_sliding_windows,
@@ -519,6 +583,7 @@ QUERIES = {
     "stream_kmv_sketch": stream_kmv_sketch,
     "stream_reservoir_sample": stream_reservoir_sample,
     "stream_mixing_weights": stream_mixing_weights,
+    "stream_count_min": stream_count_min,
 }
 
 ORACLE_SQL = {
@@ -533,4 +598,5 @@ ORACLE_SQL = {
     "stream_kmv_sketch": _stream_kmv_sketch_sql(),
     "stream_reservoir_sample": _stream_reservoir_sample_sql(),
     "stream_mixing_weights": STREAM_MIXING_WEIGHTS_SQL,
+    "stream_count_min": _stream_count_min_sql(),
 }

@@ -1435,6 +1435,50 @@ WITH tokstream AS (
 BPE_LEARN_MERGES_SQL = _bpe_learn_merges_sql()
 
 
+def length_quartiles_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source document-length quartiles (exact, interpolated) + IQR
+    — the per-source spread readout that complements length_histogram's
+    global buckets and mad_outliers' corpus-level screen; the table a
+    per-source truncation/packing policy is tuned against.
+
+    Exactness: token counts are integers and both engines' continuous
+    quantile interpolates lower + (upper−lower)·frac with frac ∈
+    {.25, .5, .75} — dyadic arithmetic, exact in double, identical
+    results (mad_outliers' argument per-group). 100 TB: one tokenize
+    scan, one groupBy(source) whose exact-percentile state is bounded
+    by DISTINCT counts per source (≤ MAX_TOKENS keys), never row
+    count."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.select("source", F.size(tokenize("text")).cast("long").alias("n_tok"))
+    return counts.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.percentile("n_tok", F.lit(0.25)), 6).alias("q25"),
+        F.round(F.percentile("n_tok", F.lit(0.5)), 6).alias("q50"),
+        F.round(F.percentile("n_tok", F.lit(0.75)), 6).alias("q75"),
+        F.round(
+            F.percentile("n_tok", F.lit(0.75)) - F.percentile("n_tok", F.lit(0.25)), 6
+        ).alias("iqr"),
+    )
+
+
+LENGTH_QUARTILES_SQL = (
+    _TOKS_CTE
+    + """
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(quantile_cont(n_tok, 0.25), 6) AS q25,
+       ROUND(quantile_cont(n_tok, 0.5), 6) AS q50,
+       ROUND(quantile_cont(n_tok, 0.75), 6) AS q75,
+       ROUND(quantile_cont(n_tok, 0.75) - quantile_cont(n_tok, 0.25), 6) AS iqr
+FROM (
+  SELECT d.source, CAST(len(list_filter(t.t, x -> x <> '')) AS BIGINT) AS n_tok
+  FROM toks t JOIN documents d USING (doc_id)
+) c
+GROUP BY source
+"""
+)
+
+
 QUERIES = {
     "text_quality": text_quality,
     "token_counts": token_counts,
@@ -1459,6 +1503,7 @@ QUERIES = {
     "feature_hashing_vectors": feature_hashing_vectors,
     "doc_keywords": doc_keywords,
     "bpe_learn_merges": bpe_learn_merges,
+    "length_quartiles_per_source": length_quartiles_per_source,
 }
 
 ORACLE_SQL = {
@@ -1485,4 +1530,5 @@ ORACLE_SQL = {
     "feature_hashing_vectors": FEATURE_HASHING_SQL,
     "doc_keywords": DOC_KEYWORDS_SQL,
     "bpe_learn_merges": BPE_LEARN_MERGES_SQL,
+    "length_quartiles_per_source": LENGTH_QUARTILES_SQL,
 }

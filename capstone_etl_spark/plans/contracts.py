@@ -204,4 +204,5 @@ HEADLINE: list[str] = [
     "embedding_whitening",
     "count_min_error",
     "bpe_learn_merges",
+    "length_quartiles_per_source",
 ]

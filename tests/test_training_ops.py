@@ -249,6 +249,50 @@ def test_bpe_learn_merges_table(spark, sf_dir):
     assert rows[0].merge_pair == one.merge_pair
 
 
+def test_length_quartiles_ordering(spark, sf_dir):
+    from capstone_etl_spark.operators.textstats import length_quartiles_per_source
+
+    rows = length_quartiles_per_source(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.q25 <= r.q50 <= r.q75
+        assert abs(r.iqr - (r.q75 - r.q25)) < 1e-9
+        assert r.n_docs > 0
+
+
+def test_stream_count_min_equals_batch_counters(spark, sf_dir):
+    """The drained streaming counter table must equal the batch-built
+    Count-Min counters cell-for-cell (cell-wise addition is
+    associative — micro-batching cannot change the sums)."""
+    from capstone_etl_spark.functions.hashing import md5_hash60
+    from capstone_etl_spark.functions.text import tokenize
+    from capstone_etl_spark.operators.sketches import CM_D, CM_W
+    from capstone_etl_spark.operators.streaming_queries import stream_count_min
+    from capstone_etl_spark.sources.tables import load_table
+
+    got = {(r.d, r.bucket): r.c for r in stream_count_min(spark, sf_dir).collect()}
+    tok = load_table(spark, sf_dir, "documents").select(
+        F.explode(tokenize("text")).alias("token")
+    )
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (md5_hash60(F.concat(F.lit(f"cm{d}:"), F.col("token"))) % CM_W).alias("bucket"),
+            )
+            for d in range(CM_D)
+        ]
+    )
+    want = {
+        (r.d, r.bucket): r.c
+        for r in tok.select(F.explode(buckets).alias("b"))
+        .groupBy("b.d", "b.bucket")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    }
+    assert got == want
+
+
 def test_training_shuffle_is_a_permutation(spark, sf_dir):
     rows = training_shuffle(spark, sf_dir).collect()
     n = len(rows)
