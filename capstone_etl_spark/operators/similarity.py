@@ -1115,19 +1115,28 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         # unrolled round embeds the previous plan twice — 2^ITERS plan
         # growth without the cut (caching keeps the full lineage; see
         # session.checkpoint_truncate / the CC loop's identical move).
-        # The checkpointed relation is DIM rows — the eager job is trivial.
+        # The checkpointed relation is DIM rows — the eager job is
+        # trivial. (Cutting every second round was measured: the 4×
+        # uncut plan costs Catalyst more than the saved jobs return.)
         w = checkpoint_truncate(
             amat.join(F.broadcast(v.select(F.col("i").alias("j"), "v")), "j")
             .groupBy("i")
             .agg(F.sum(F.col("ac") * F.col("v")).alias("w"))
         )
         wmax = w.agg(F.max(F.abs(F.col("w"))).alias("wm"))
+        # wm = 0 (zero covariance matrix — e.g. all-identical vectors)
+        # would make the normalization 0/0 → NaN → engine-divergent
+        # casts; keep the zero vector instead, same guard both engines.
         v = w.crossJoin(F.broadcast(wmax)).select(
             "i",
-            F.floor(
-                F.col("w").cast("double") * PCA_SCALE / F.col("wm").cast("double") + 0.5
+            F.when(
+                F.col("wm") > 0,
+                F.floor(
+                    F.col("w").cast("double") * PCA_SCALE / F.col("wm").cast("double")
+                    + 0.5
+                ).cast("long"),
             )
-            .cast("long")
+            .otherwise(F.lit(0).cast("long"))
             .alias("v"),
         )
     # λ by Rayleigh quotient vᵀAv / vᵀv — error O(gap^2k) vs the max-norm
@@ -1140,13 +1149,15 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i")
         .agg(F.sum(F.col("ac") * F.col("v")).alias("w"))
     )
+    den = F.sum(F.col("v") * F.col("v"))
     ray = (
         wf.join(v, "i")
         .agg(
-            (
+            F.when(
+                den > 0,
                 F.sum(F.col("v").cast("decimal(38,0)") * F.col("w")).cast("double")
-                / F.sum(F.col("v") * F.col("v")).cast("double")
-                / PCA_SCALE
+                / den.cast("double")
+                / PCA_SCALE,
             ).alias("lam")
         )
     )
@@ -1175,7 +1186,9 @@ w{k} AS MATERIALIZED (
   GROUP BY a.i
 ), m{k} AS MATERIALIZED (SELECT MAX(ABS(w)) AS wm FROM w{k}),
 r{k} AS MATERIALIZED (
-  SELECT i, CAST(floor(CAST(w AS DOUBLE) * {PCA_SCALE} / CAST(wm AS DOUBLE) + 0.5) AS BIGINT) AS v
+  SELECT i, CASE WHEN wm > 0
+                 THEN CAST(floor(CAST(w AS DOUBLE) * {PCA_SCALE} / CAST(wm AS DOUBLE) + 0.5) AS BIGINT)
+                 ELSE CAST(0 AS BIGINT) END AS v
   FROM w{k} CROSS JOIN m{k}
 )"""
         )
@@ -1187,9 +1200,10 @@ wf AS MATERIALIZED (
   FROM amat a JOIN {prev} r ON r.i = a.j
   GROUP BY a.i
 ), ray AS MATERIALIZED (
-  SELECT CAST(SUM(CAST(r.v AS HUGEINT) * w.w) AS DOUBLE)
-         / CAST(SUM(r.v * r.v) AS DOUBLE)
-         / {PCA_SCALE} AS lam
+  SELECT CASE WHEN SUM(r.v * r.v) > 0
+              THEN CAST(SUM(CAST(r.v AS HUGEINT) * w.w) AS DOUBLE)
+                   / CAST(SUM(r.v * r.v) AS DOUBLE)
+                   / {PCA_SCALE} END AS lam
   FROM {prev} r JOIN wf w ON w.i = r.i
 )"""
     )

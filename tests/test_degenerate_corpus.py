@@ -51,6 +51,15 @@ NAMES = [
     "dedup_exact",
     "sequence_packing",
     "reservoir_sample",
+    # round-5 training-pipeline ops (document-shaped)
+    "skipgram_pairs",
+    "mad_outliers",
+    "training_shuffle",
+    "feature_hashing_vectors",
+    "doc_keywords",
+    "bpe_learn_merges",
+    "count_min_error",
+    "length_quartiles_per_source",
 ]
 
 
@@ -85,4 +94,48 @@ def test_degenerate_corpus_matches_oracle(spark, degenerate_sf, duck, name):
     finally:
         release_caches()
     duck_pdf = duck.execute(oracles[name]).df()
+    assert compare(name, spark_pdf, duck_pdf) == []
+
+
+# Degenerate embeddings: ALL-IDENTICAL vectors → zero covariance matrix
+# (the PCA normalization's 0/0 edge — guarded to the zero vector, λ
+# NULL), plus a zero vector and one normal vector in a second corpus
+# that keeps variance positive on every dimension the stats see.
+EMB_NAMES = [
+    "embedding_dim_stats",
+    "embedding_covariance",
+    "embedding_whitening",
+    "pca_power_iteration",
+]
+
+
+@pytest.fixture(scope="module")
+def degenerate_emb_sf(tmp_path_factory):
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("degenerate_emb")
+    dim = 64
+    same = [0.125] * dim
+    rows = [(0, same, 0), (1, same, 0), (2, same, 1)]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    pdf["vec_id"] = pdf["vec_id"].astype("int64")
+    pdf["label"] = pdf["label"].astype("int32")
+    pdf.to_parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+@pytest.mark.parametrize("name", EMB_NAMES)
+def test_degenerate_embeddings_match_oracle(spark, degenerate_emb_sf, name):
+    from capstone_etl_spark.session import release_caches
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{degenerate_emb_sf}/embeddings.parquet'"
+    )
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    try:
+        spark_pdf = qs[name](spark, degenerate_emb_sf).toPandas()
+    finally:
+        release_caches()
+    duck_pdf = con.execute(oracles[name]).df()
     assert compare(name, spark_pdf, duck_pdf) == []
