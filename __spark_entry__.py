@@ -62,6 +62,9 @@ _PRIORITY = [
     "kmeans_lloyd",
     "sequence_packing_greedy",
     "quality_filter_funnel",
+    # stream_event_dedup's deferred r4 re-attestation yields its slot
+    # to curation_verdict (streaming family keeps five in-window rows;
+    # event dedup is twice-green on the committed local gate)
     # NEW in round 5 — attest this round (also in ATTEST_r5.json)
     "reservoir_sample",
     "length_histogram",
@@ -90,13 +93,12 @@ _PRIORITY = [
     "bpe_learn_merges",
     "stream_count_min",
     "length_quartiles_per_source",
+    "curation_verdict",
     # multimodal byte-semantics fix (r5 degenerate-corpus sweep):
     # frame_dedup covers the redefined fingerprints/byte lengths
     # inside the window; stats/meta/frames follow at 51+ (attested
     # in ATTEST_r5.json)
     "multimodal_frame_dedup",
-    # deferred re-attestation from r4 (watermark/stateful changes)
-    "stream_event_dedup",
     # family canaries (driver-green in earlier rounds; every family
     # keeps ≥1 inside the window — tests/test_entry_contract.py
     # enforces the span)
@@ -113,6 +115,7 @@ _PRIORITY = [
     # dedup_source_matrix, ann_ivf_topk + ann_recall_eval,
     # mixing_allocation, and sequence_packing_greedy.
     "corpus_pipeline",
+    "stream_event_dedup",
     "packing_efficiency",
     "quality_filter_flags",
     "ann_ivf_topk",

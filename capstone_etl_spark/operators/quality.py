@@ -362,12 +362,59 @@ FROM devs CROSS JOIN mad
 """
 
 
+def curation_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed per-document curation decision — the single table a
+    corpus curator actually acts on: the Gopher rule verdict, the
+    unigram-LM quality score, and the robust length-outlier flag
+    joined per doc_id, with the final keep = rules pass AND not a
+    length outlier. Composition only — each input is its own
+    oracle-checked operator; this query pins that the three screens
+    agree on doc identity and that the join logic (LEFT join for the
+    LM score — zero-token docs have no LM rows) is engine-identical.
+
+    100 TB shape: three per-doc relations joined on the uniform doc_id
+    key; the flags and outlier inputs are map-only over the same scan,
+    the LM score is unigram_logprob's audited plan."""
+    flags = quality_filter_flags(spark, sf_dir).select("doc_id", "keep", "reject_reason")
+    nll = unigram_logprob(spark, sf_dir).select("doc_id", "n_tokens", "nll_nats")
+    out = mad_outliers(spark, sf_dir).select("doc_id", "robust_z", "is_outlier")
+    return (
+        flags.join(nll, "doc_id", "left")
+        .join(out, "doc_id")
+        .select(
+            "doc_id",
+            "keep",
+            "reject_reason",
+            "n_tokens",
+            "nll_nats",
+            "robust_z",
+            "is_outlier",
+            (F.col("keep") & ~F.col("is_outlier")).alias("keep_final"),
+        )
+    )
+
+
+CURATION_VERDICT_SQL = f"""
+WITH flags AS ({QUALITY_FILTER_FLAGS_SQL}),
+nll AS ({UNIGRAM_LOGPROB_SQL}),
+outl AS ({MAD_OUTLIERS_SQL})
+SELECT f.doc_id, f.keep, f.reject_reason,
+       n.n_tokens, n.nll_nats,
+       o.robust_z, o.is_outlier,
+       (f.keep AND NOT o.is_outlier) AS keep_final
+FROM flags f
+LEFT JOIN nll n USING (doc_id)
+JOIN outl o USING (doc_id)
+"""
+
+
 QUERIES = {
     "quality_filter_flags": quality_filter_flags,
     "quality_filter_funnel": quality_filter_funnel,
     "unigram_logprob": unigram_logprob,
     "difficulty_deciles": difficulty_deciles,
     "mad_outliers": mad_outliers,
+    "curation_verdict": curation_verdict,
 }
 
 ORACLE_SQL = {
@@ -376,4 +423,5 @@ ORACLE_SQL = {
     "unigram_logprob": UNIGRAM_LOGPROB_SQL,
     "difficulty_deciles": DIFFICULTY_DECILES_SQL,
     "mad_outliers": MAD_OUTLIERS_SQL,
+    "curation_verdict": CURATION_VERDICT_SQL,
 }

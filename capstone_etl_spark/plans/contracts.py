@@ -102,6 +102,10 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "vocabulary per learned round (textstats.py — "
         "bpe_apply_merge's shape, iterated)"
     ),
+    "curation_verdict": (
+        "composes unigram_logprob + mad_outliers — inherits their "
+        "1-row corpus-total / median / MAD broadcasts (quality.py)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and
@@ -205,4 +209,5 @@ HEADLINE: list[str] = [
     "count_min_error",
     "bpe_learn_merges",
     "length_quartiles_per_source",
+    "curation_verdict",
 ]

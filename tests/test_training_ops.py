@@ -293,6 +293,23 @@ def test_stream_count_min_equals_batch_counters(spark, sf_dir):
     assert got == want
 
 
+def test_curation_verdict_composition(spark, sf_dir):
+    """keep_final must equal keep AND NOT is_outlier row-for-row, and
+    every document appears exactly once."""
+    from capstone_etl_spark.operators.quality import curation_verdict
+    from capstone_etl_spark.sources.tables import load_table
+
+    rows = curation_verdict(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert len(rows) == n_docs
+    assert len({r.doc_id for r in rows}) == n_docs
+    for r in rows:
+        assert r.keep_final == (r.keep and not r.is_outlier)
+        # zero-token docs carry no LM row (left join) — others must
+        if r.n_tokens is not None:
+            assert r.nll_nats is not None
+
+
 def test_training_shuffle_is_a_permutation(spark, sf_dir):
     rows = training_shuffle(spark, sf_dir).collect()
     n = len(rows)
