@@ -58,10 +58,11 @@ _PRIORITY = [
     # quantizer re-attestation still lands; quality_filter_funnel
     # shares _rule_flags with quality_filter_flags, so the empty-doc
     # oracle fix is re-attested by the funnel row.
+    # quality_filter_funnel's oracle-fix re-attestation is carried by
+    # curation_verdict (same _rule_flags CTE composed in-window)
     "semantic_dedup",
     "kmeans_lloyd",
     "sequence_packing_greedy",
-    "quality_filter_funnel",
     # stream_event_dedup's deferred r4 re-attestation yields its slot
     # to curation_verdict (streaming family keeps five in-window rows;
     # event dedup is twice-green on the committed local gate)
@@ -94,6 +95,7 @@ _PRIORITY = [
     "stream_count_min",
     "length_quartiles_per_source",
     "curation_verdict",
+    "source_quality_summary",
     # multimodal byte-semantics fix (r5 degenerate-corpus sweep):
     # frame_dedup covers the redefined fingerprints/byte lengths
     # inside the window; stats/meta/frames follow at 51+ (attested
@@ -117,6 +119,7 @@ _PRIORITY = [
     "corpus_pipeline",
     "stream_event_dedup",
     "packing_efficiency",
+    "quality_filter_funnel",
     "quality_filter_flags",
     "ann_ivf_topk",
     "dedup_minhash_lsh",

@@ -408,6 +408,53 @@ JOIN outl o USING (doc_id)
 """
 
 
+def source_quality_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source rollup of the curation verdict — the 20-row dashboard
+    that says WHERE the rejected mass lives: docs, rule-keeps, length
+    outliers, final keeps, keep rate, and the mean LM score of the
+    kept documents per source. Feeds the mixing stage (a source with a
+    low keep rate needs its raw weight re-examined).
+
+    Exactness: counts are exact; nll_nats values arrive 6-dp-rounded so
+    the DECIMAL(18,6) cast is lossless and the sum order-free; one
+    double division each for the rate and the mean, rounded 6 dp.
+    100 TB: curation_verdict's audited plan + one |sources|-bounded
+    aggregation."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    v = curation_verdict(spark, sf_dir).join(docs, "doc_id")
+    kept_nll = F.when(F.col("keep_final"), F.col("nll_nats").cast("decimal(18,6)"))
+    return v.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(F.col("keep").cast("long")).cast("long").alias("n_keep_rules"),
+        F.sum(F.col("is_outlier").cast("long")).cast("long").alias("n_outliers"),
+        F.sum(F.col("keep_final").cast("long")).cast("long").alias("n_keep_final"),
+        F.round(
+            F.sum(F.col("keep_final").cast("long")).cast("double") / F.count("*"), 6
+        ).alias("keep_rate"),
+        F.round(
+            F.sum(kept_nll).cast("double")
+            / F.sum(F.col("keep_final").cast("long")),
+            6,
+        ).alias("mean_nll_kept"),
+    )
+
+
+SOURCE_QUALITY_SUMMARY_SQL = f"""
+WITH v AS ({CURATION_VERDICT_SQL}),
+j AS (SELECT v.*, d.source FROM v JOIN documents d USING (doc_id))
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_rules,
+       CAST(SUM(CASE WHEN is_outlier THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+       CAST(SUM(CASE WHEN keep_final THEN 1 ELSE 0 END) AS BIGINT) AS n_keep_final,
+       ROUND(CAST(SUM(CASE WHEN keep_final THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*), 6) AS keep_rate,
+       ROUND(CAST(SUM(CASE WHEN keep_final THEN CAST(nll_nats AS DECIMAL(18,6)) END) AS DOUBLE)
+             / SUM(CASE WHEN keep_final THEN 1 ELSE 0 END), 6) AS mean_nll_kept
+FROM j
+GROUP BY source
+"""
+
+
 QUERIES = {
     "quality_filter_flags": quality_filter_flags,
     "quality_filter_funnel": quality_filter_funnel,
@@ -415,6 +462,7 @@ QUERIES = {
     "difficulty_deciles": difficulty_deciles,
     "mad_outliers": mad_outliers,
     "curation_verdict": curation_verdict,
+    "source_quality_summary": source_quality_summary,
 }
 
 ORACLE_SQL = {
@@ -424,4 +472,5 @@ ORACLE_SQL = {
     "difficulty_deciles": DIFFICULTY_DECILES_SQL,
     "mad_outliers": MAD_OUTLIERS_SQL,
     "curation_verdict": CURATION_VERDICT_SQL,
+    "source_quality_summary": SOURCE_QUALITY_SUMMARY_SQL,
 }

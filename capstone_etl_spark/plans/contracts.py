@@ -106,6 +106,10 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "composes unigram_logprob + mad_outliers — inherits their "
         "1-row corpus-total / median / MAD broadcasts (quality.py)"
     ),
+    "source_quality_summary": (
+        "composes curation_verdict — inherits the same 1-row "
+        "broadcasts (quality.py)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and
@@ -210,4 +214,5 @@ HEADLINE: list[str] = [
     "bpe_learn_merges",
     "length_quartiles_per_source",
     "curation_verdict",
+    "source_quality_summary",
 ]

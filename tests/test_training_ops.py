@@ -310,6 +310,22 @@ def test_curation_verdict_composition(spark, sf_dir):
             assert r.nll_nats is not None
 
 
+def test_source_quality_summary_consistent(spark, sf_dir):
+    from capstone_etl_spark.operators.quality import (
+        curation_verdict,
+        source_quality_summary,
+    )
+
+    rows = source_quality_summary(spark, sf_dir).collect()
+    total = sum(r.n_docs for r in rows)
+    v = curation_verdict(spark, sf_dir).collect()
+    assert total == len(v)
+    assert sum(r.n_keep_final for r in rows) == sum(1 for x in v if x.keep_final)
+    for r in rows:
+        assert 0 <= r.n_keep_final <= r.n_keep_rules <= r.n_docs
+        assert abs(r.keep_rate - r.n_keep_final / r.n_docs) < 1e-6
+
+
 def test_training_shuffle_is_a_permutation(spark, sf_dir):
     rows = training_shuffle(spark, sf_dir).collect()
     n = len(rows)
