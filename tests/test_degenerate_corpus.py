@@ -60,6 +60,8 @@ NAMES = [
     "bpe_learn_merges",
     "count_min_error",
     "length_quartiles_per_source",
+    "curation_verdict",
+    "source_quality_summary",
 ]
 
 
