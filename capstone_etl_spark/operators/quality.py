@@ -27,9 +27,10 @@ stack); on a real corpus they are the knobs the curator owns.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from capstone_etl_spark.functions.hashing import md5_hash60, md5_hash60_sql
 from capstone_etl_spark.functions.text import tokenize
 from capstone_etl_spark.session import cached
 from capstone_etl_spark.sources.tables import load_table
@@ -455,6 +456,209 @@ GROUP BY source
 """
 
 
+# --- DSIR importance weights ------------------------------------------------
+#
+# Hashed-bigram importance resampling weights (Xie et al. 2023, "Data
+# Selection for Language Models via Importance Resampling"): score every
+# raw document by how much more likely its hashed n-gram features are
+# under a TARGET distribution than under the RAW corpus distribution.
+# The target here is the corpus' own rule-passing subset (the
+# quality_filter_flags keep set) — self-contained, and exactly the DSIR
+# recipe with "target = trusted high-quality text".
+DSIR_BUCKETS = 512
+
+
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document DSIR log importance weight log p_target(x) −
+    log p_raw(x) under hashed-bigram bag-of-features models with add-1
+    smoothing over DSIR_BUCKETS buckets. Positive = looks more like the
+    quality-gated target than the raw corpus; the resampler draws docs
+    with probability ∝ exp(weight). Docs with < 2 tokens have no
+    features and are absent (they carry no evidence either way).
+
+    Plan: one tokenize → bigram explode → portable md5 bucket (the
+    Count-Min recipe, sketches.py) → per-(doc,bucket) counts (cached:
+    feeds both models and the per-doc score). Both feature models are
+    DSIR_BUCKETS-row relations joined back BROADCAST; feature-mass
+    totals enter as 1-row broadcasts — no driver actions, no windows,
+    and the only data-sized shuffle is the (doc,bucket) count. At
+    100 TB the bucket tables stay 512 rows regardless of corpus size —
+    that boundedness is the whole point of hashed DSIR.
+
+    Exactness: each cnt·ln(ratio) term snaps to DECIMAL(28,12) and sums
+    exactly (unigram_logprob's recipe); final weight rounds to 6 dp."""
+    docs = load_table(spark, sf_dir, "documents")
+    keep_expr = F.lit(True)
+    for rule in RULES:
+        keep_expr = keep_expr & F.col(f"pass_{rule}")
+    keep_ids = cached(_rule_flags(docs).select("doc_id", keep_expr.alias("is_target")))
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), i -> concat(t[i-1], ' ', t[i])) "
+                "ELSE array() END"
+            )
+        ).alias("gram"),
+    )
+    tfb = cached(
+        grams.select("doc_id", (md5_hash60(F.col("gram")) % DSIR_BUCKETS).alias("bucket"))
+        .groupBy("doc_id", "bucket")
+        .agg(F.count("*").alias("cnt"))
+    )
+    tgt = tfb.join(keep_ids.filter("is_target").select("doc_id"), "doc_id", "left_semi")
+    tcnt = tgt.groupBy("bucket").agg(F.sum("cnt").alias("t_cnt"))
+    rcnt = tfb.groupBy("bucket").agg(F.sum("cnt").alias("r_cnt"))
+    ttot = tgt.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("double").alias("t_tot"))
+    rtot = tfb.agg(F.coalesce(F.sum("cnt"), F.lit(0)).cast("double").alias("r_tot"))
+    term = (
+        F.col("cnt")
+        * F.log(
+            ((F.col("t_cnt") + F.lit(1.0)) / (F.col("t_tot") + F.lit(float(DSIR_BUCKETS))))
+            / ((F.col("r_cnt") + F.lit(1.0)) / (F.col("r_tot") + F.lit(float(DSIR_BUCKETS))))
+        )
+    ).cast("decimal(28,12)")
+    scored = (
+        tfb.join(F.broadcast(rcnt), "bucket")
+        .join(F.broadcast(tcnt), "bucket", "left")
+        .na.fill({"t_cnt": 0})
+        .crossJoin(F.broadcast(ttot))
+        .crossJoin(F.broadcast(rtot))
+        .select("doc_id", "cnt", term.alias("term"))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_feats"),
+            F.round(F.sum("term").cast("double"), 6).alias("dsir_logweight"),
+        )
+    )
+    return scored.join(keep_ids, "doc_id").select(
+        "doc_id", "n_feats", "is_target", "dsir_logweight"
+    )
+
+
+_KEEP_PRED = " AND ".join(f"pass_{r}" for r in RULES)
+
+DSIR_IMPORTANCE_SQL = f"""
+WITH flags AS ({_FLAGS_SQL}),
+keep AS (SELECT doc_id, ({_KEEP_PRED}) AS is_target FROM flags),
+toks AS (SELECT doc_id, {_TOKS} AS t FROM documents),
+grams AS (
+  SELECT doc_id, t[i] || ' ' || t[i+1] AS gram
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+  WHERE len(t) >= 2
+),
+tfb AS (
+  SELECT doc_id, {md5_hash60_sql('gram')} % {DSIR_BUCKETS} AS bucket, COUNT(*) AS cnt
+  FROM grams GROUP BY 1, 2
+),
+tgt AS (SELECT f.* FROM tfb f JOIN keep k USING (doc_id) WHERE k.is_target),
+tcnt AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS t_cnt FROM tgt GROUP BY 1),
+rcnt AS (SELECT bucket, CAST(SUM(cnt) AS BIGINT) AS r_cnt FROM tfb GROUP BY 1),
+ttot AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS DOUBLE) AS t_tot FROM tgt),
+rtot AS (SELECT CAST(COALESCE(SUM(cnt), 0) AS DOUBLE) AS r_tot FROM tfb),
+terms AS (
+  SELECT f.doc_id, f.cnt,
+         CAST(f.cnt * LN(((COALESCE(tc.t_cnt, 0) + 1.0) / (ttot.t_tot + {DSIR_BUCKETS}.0))
+                         / ((rc.r_cnt + 1.0) / (rtot.r_tot + {DSIR_BUCKETS}.0)))
+              AS DECIMAL(28,12)) AS term
+  FROM tfb f
+  JOIN rcnt rc USING (bucket)
+  LEFT JOIN tcnt tc USING (bucket)
+  CROSS JOIN ttot CROSS JOIN rtot
+),
+scored AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_feats,
+         ROUND(CAST(SUM(term) AS DOUBLE), 6) AS dsir_logweight
+  FROM terms GROUP BY 1
+)
+SELECT s.doc_id, s.n_feats, k.is_target, s.dsir_logweight
+FROM scored s JOIN keep k USING (doc_id)
+"""
+
+
+# --- token-budget corpus selection ------------------------------------------
+#
+# Every pretraining run has a token budget per source; the curator takes
+# the BEST documents first (lowest unigram-LM nll = cleanest text) until
+# the budget is spent. The greedy prefix of a sorted order is exactly a
+# cumulative sum — computed here fully distributed.
+BUDGET_PCT = 60  # select until 60% of each source's token mass is spent
+
+
+def token_budget_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy per-source selection under a token budget: docs ordered by
+    (nll_nats, doc_id) within each source accumulate their token counts;
+    a doc is selected iff it STARTS before the source's budget
+    (BUDGET_PCT% of the source's total tokens) is exhausted — so exactly
+    one doc may straddle the boundary, and the selection is the maximal
+    quality-first prefix.
+
+    The ordered per-source running sum is the distributed prefix-sum
+    generalization of vocab.with_dense_ids: range-sort on (source, nll,
+    doc_id) → per-partition local running sums (window partitioned by
+    (partition id, source) — bounded by partition size) → per-(partition,
+    source) totals (≤ partitions × sources rows) → running offsets per
+    source over that driver-sized relation → broadcast join back. No
+    single-partition window over data-sized input at any scale; budgets
+    are a |sources|-row broadcast. Integer token counts make every sum
+    exact; the budget is integer percent arithmetic (`div`), floored
+    identically in both engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    d = unigram_logprob(spark, sf_dir).join(docs, "doc_id")
+    local_w = Window.partitionBy("_pid", "source").orderBy("nll_nats", "doc_id")
+    ranked = cached(
+        d.orderBy("source", "nll_nats", "doc_id")
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lcum", F.sum("n_tokens").over(local_w))
+    )
+    off_w = (
+        Window.partitionBy("source")
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranked.groupBy("_pid", "source")
+        .agg(F.sum("n_tokens").alias("_psum"))
+        .select(
+            "_pid", "source", F.coalesce(F.sum("_psum").over(off_w), F.lit(0)).alias("_off")
+        )
+    )
+    budgets = d.groupBy("source").agg(
+        F.expr(f"(sum(n_tokens) * {BUDGET_PCT}) div 100").cast("long").alias("budget")
+    )
+    cum = (F.col("_off") + F.col("_lcum")).cast("long")
+    return (
+        ranked.join(F.broadcast(offsets), ["_pid", "source"])
+        .join(F.broadcast(budgets), "source")
+        .select(
+            "doc_id",
+            "source",
+            "n_tokens",
+            "nll_nats",
+            cum.alias("cum_tokens"),
+            "budget",
+            ((cum - F.col("n_tokens")) < F.col("budget")).alias("selected"),
+        )
+    )
+
+
+TOKEN_BUDGET_SELECTION_SQL = f"""
+WITH u AS ({UNIGRAM_LOGPROB_SQL}),
+d AS (SELECT u.*, doc.source FROM u JOIN documents doc USING (doc_id)),
+c AS (
+  SELECT *,
+         CAST(SUM(n_tokens) OVER (PARTITION BY source ORDER BY nll_nats, doc_id) AS BIGINT) AS cum_tokens
+  FROM d
+),
+b AS (SELECT source, CAST((SUM(n_tokens) * {BUDGET_PCT}) // 100 AS BIGINT) AS budget FROM d GROUP BY 1)
+SELECT c.doc_id, c.source, c.n_tokens, c.nll_nats, c.cum_tokens, b.budget,
+       (c.cum_tokens - c.n_tokens) < b.budget AS selected
+FROM c JOIN b USING (source)
+"""
+
+
 QUERIES = {
     "quality_filter_flags": quality_filter_flags,
     "quality_filter_funnel": quality_filter_funnel,
@@ -463,6 +667,8 @@ QUERIES = {
     "mad_outliers": mad_outliers,
     "curation_verdict": curation_verdict,
     "source_quality_summary": source_quality_summary,
+    "dsir_importance": dsir_importance,
+    "token_budget_selection": token_budget_selection,
 }
 
 ORACLE_SQL = {
@@ -473,4 +679,6 @@ ORACLE_SQL = {
     "mad_outliers": MAD_OUTLIERS_SQL,
     "curation_verdict": CURATION_VERDICT_SQL,
     "source_quality_summary": SOURCE_QUALITY_SUMMARY_SQL,
+    "dsir_importance": DSIR_IMPORTANCE_SQL,
+    "token_budget_selection": TOKEN_BUDGET_SELECTION_SQL,
 }

@@ -528,6 +528,88 @@ SELECT doc_id, rank FROM {prev}
 """
 
 
+# --- hierarchy_rollup: subtree aggregation by pointer doubling -------------
+#
+# The K-ary tree is deterministic over doc_id (parent = (id-1) div K,
+# root = 0) so the DuckDB oracle can mirror it with WITH RECURSIVE —
+# the repo's first recursive-CTE oracle. ROLLUP_ROUNDS doubling rounds
+# cover any tree of depth < 2**ROLLUP_ROUNDS = 32; a K-ary corpus needs
+# depth ~ log_K(N), so 32 covers N up to 7**31 — far past 100 TB.
+ROLLUP_ARITY = 7
+ROLLUP_ROUNDS = 5
+
+
+def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subtree rollup over the synthetic K-ary doc tree: for every node,
+    its depth, descendant count (incl. self) and total descendant chars
+    — the "hypertable rollup" shape (aggregate a measure up a hierarchy)
+    the reference's flat parent/child join (main.go:197-204) cannot
+    express beyond one level.
+
+    Distributed design: ancestor pairs built by POINTER DOUBLING, not
+    per-level walking — round r extends every node's ancestor set
+    through its 2^r-distance jump pointer, so a depth-d tree closes in
+    ceil(log2 d) rounds of uniform-key equi-joins (same O(log) discipline
+    as dedup_clusters' connected components). The pair relation is the
+    honest output size (sum of node depths ~ N·log_K N); each round is
+    cached so lineage stays linear. No windows, no driver actions.
+
+    Oracle: WITH RECURSIVE ancestor walk + the same two aggregations."""
+    nodes = cached(_docs(spark, sf_dir).select("doc_id", "n_chars"))
+    jump = cached(
+        nodes.filter(F.col("doc_id") >= 1).select(
+            "doc_id", F.expr(f"(doc_id - 1) div {ROLLUP_ARITY}").alias("j")
+        )
+    )
+    # pairs: (node, anc) for every ancestor at distance < 2^r (self at 0)
+    pairs = nodes.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("anc"))
+    for _ in range(ROLLUP_ROUNDS):
+        ext = (
+            jump.join(pairs, jump["j"] == pairs["node"])
+            .select(jump["doc_id"].alias("node"), pairs["anc"].alias("anc"))
+        )
+        pairs = cached(pairs.unionByName(ext))
+        jmp2 = (
+            jump.alias("a")
+            .join(jump.alias("b"), F.col("a.j") == F.col("b.doc_id"))
+            .select(F.col("a.doc_id").alias("doc_id"), F.col("b.j").alias("j"))
+        )
+        jump = cached(jmp2)
+    sub = (
+        pairs.join(nodes.select(F.col("doc_id").alias("node"), "n_chars"), "node")
+        .groupBy("anc")
+        .agg(
+            F.count("*").alias("subtree_docs"),
+            F.sum("n_chars").cast("long").alias("subtree_chars"),
+        )
+    )
+    dep = pairs.groupBy("node").agg((F.count("*") - F.lit(1)).cast("long").alias("depth"))
+    return (
+        nodes.select("doc_id")
+        .join(dep.withColumnRenamed("node", "doc_id"), "doc_id")
+        .join(sub.withColumnRenamed("anc", "doc_id"), "doc_id")
+        .select("doc_id", "depth", "subtree_docs", "subtree_chars")
+    )
+
+
+HIERARCHY_ROLLUP_SQL = f"""
+WITH RECURSIVE anc AS (
+  SELECT doc_id AS node, doc_id AS anc FROM documents
+  UNION ALL
+  SELECT node, (anc - 1) // {ROLLUP_ARITY} FROM anc WHERE anc >= 1
+),
+nodes AS (SELECT doc_id, n_chars FROM documents),
+sub AS (
+  SELECT a.anc AS doc_id, COUNT(*) AS subtree_docs,
+         CAST(SUM(n.n_chars) AS BIGINT) AS subtree_chars
+  FROM anc a JOIN nodes n ON n.doc_id = a.node GROUP BY a.anc
+),
+dep AS (SELECT node AS doc_id, CAST(COUNT(*) - 1 AS BIGINT) AS depth FROM anc GROUP BY node)
+SELECT n.doc_id, dep.depth, sub.subtree_docs, sub.subtree_chars
+FROM nodes n JOIN dep USING (doc_id) JOIN sub USING (doc_id)
+"""
+
+
 QUERIES = {
     "tf_per_doc": tf_per_doc,
     "doc_stats": doc_stats,
@@ -546,6 +628,7 @@ QUERIES = {
     "parent_child": parent_child,
     "parent_child_agg": parent_child_agg,
     "hierarchy_pagerank": hierarchy_pagerank,
+    "hierarchy_rollup": hierarchy_rollup,
 }
 
 ORACLE_SQL = {
@@ -566,4 +649,5 @@ ORACLE_SQL = {
     "parent_child": PARENT_CHILD_SQL,
     "parent_child_agg": PARENT_CHILD_AGG_SQL,
     "hierarchy_pagerank": _pagerank_sql(),
+    "hierarchy_rollup": HIERARCHY_ROLLUP_SQL,
 }

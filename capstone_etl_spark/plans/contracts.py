@@ -110,6 +110,15 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "composes curation_verdict — inherits the same 1-row "
         "broadcasts (quality.py)"
     ),
+    "dsir_importance": (
+        "two 1-row feature-mass totals (target/raw) broadcast over the "
+        "per-(doc,bucket) counts; the DSIR_BUCKETS-row models join "
+        "broadcast on the bucket key, not cartesian (quality.py)"
+    ),
+    "token_budget_selection": (
+        "composes unigram_logprob — inherits its 1-row corpus LM-total "
+        "broadcast; budgets/offsets are bounded equi-joins (quality.py)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and
@@ -215,4 +224,8 @@ HEADLINE: list[str] = [
     "length_quartiles_per_source",
     "curation_verdict",
     "source_quality_summary",
+    # round-5 session-2 additions
+    "hierarchy_rollup",
+    "dsir_importance",
+    "token_budget_selection",
 ]

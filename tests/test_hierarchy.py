@@ -65,3 +65,38 @@ def test_pagerank_fixed_point_invariants(spark):
     # only removes mass; integer floors only remove mass)
     assert sum(ranks.values()) <= PR_SCALE
     assert has_children  # fixture sanity: the forest is non-trivial
+
+
+def test_hierarchy_rollup_matches_duckdb_and_invariants(spark):
+    import duckdb
+
+    from capstone_etl_spark.operators.text_pipeline import (
+        HIERARCHY_ROLLUP_SQL,
+        ROLLUP_ARITY,
+        hierarchy_rollup,
+    )
+    from capstone_etl_spark.session import release_caches
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        rows = hierarchy_rollup(spark, sf).collect()
+    finally:
+        release_caches()
+    got = {r.doc_id: (r.depth, r.subtree_docs, r.subtree_chars) for r in rows}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = {int(a): (int(b), int(c), int(d)) for a, b, c, d in con.execute(HIERARCHY_ROLLUP_SQL).fetchall()}
+    assert got == want
+    n = len(got)
+    # root subsumes the whole corpus; its depth is 0
+    assert got[0][0] == 0 and got[0][1] == n
+    # leaves (no node claims them as parent) hold exactly themselves
+    parents = {(d - 1) // ROLLUP_ARITY for d in got if d >= 1}
+    leaves = [d for d in got if d not in parents]
+    assert leaves and all(got[d][1] == 1 for d in leaves)
+    # a node's subtree is strictly inside its parent's
+    for d in got:
+        if d >= 1:
+            p = (d - 1) // ROLLUP_ARITY
+            assert got[d][1] < got[p][1]
+            assert got[d][0] == got[p][0] + 1

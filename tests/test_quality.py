@@ -124,3 +124,64 @@ def test_difficulty_deciles_are_balanced_and_ordered(spark):
     for a, b in zip(by_decile, by_decile[1:]):
         if a.decile < b.decile:
             assert a.nll_nats <= b.nll_nats
+
+
+def test_dsir_importance_matches_duckdb_and_separates(spark):
+    from capstone_etl_spark.session import release_caches
+
+    try:
+        rows = quality.dsir_importance(spark, SF_DIR).collect()
+    finally:
+        release_caches()
+    got = {r.doc_id: (r.n_feats, r.is_target, r.dsir_logweight) for r in rows}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = {
+        int(a): (int(b), bool(c), float(d))
+        for a, b, c, d in con.execute(quality.DSIR_IMPORTANCE_SQL).fetchall()
+    }
+    assert got == want
+    # the discriminator discriminates: target docs average a higher
+    # importance weight than the raw-only remainder
+    tgt = [w for _, t, w in got.values() if t]
+    raw = [w for _, t, w in got.values() if not t]
+    assert tgt and raw
+    assert sum(tgt) / len(tgt) > sum(raw) / len(raw)
+
+
+def test_token_budget_selection_matches_duckdb_and_is_prefix(spark):
+    from capstone_etl_spark.session import release_caches
+
+    try:
+        rows = quality.token_budget_selection(spark, SF_DIR).collect()
+    finally:
+        release_caches()
+    got = {
+        r.doc_id: (r.source, r.n_tokens, r.nll_nats, r.cum_tokens, r.budget, r.selected)
+        for r in rows
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{SF_DIR}/documents.parquet'")
+    want = {
+        int(a): (b, int(c), float(d), int(e), int(f), bool(g))
+        for a, b, c, d, e, f, g in con.execute(quality.TOKEN_BUDGET_SELECTION_SQL).fetchall()
+    }
+    assert got == want
+    # per source: the selection is a quality-first PREFIX of the order,
+    # and the selected token mass covers the budget without overshooting
+    # by more than the straddling doc
+    from collections import defaultdict
+
+    by_src = defaultdict(list)
+    for v in got.values():
+        by_src[v[0]].append(v)
+    for src, docs in by_src.items():
+        docs.sort(key=lambda v: (v[2], v[3]))  # (nll, cum) order
+        flags = [v[5] for v in docs]
+        assert flags == sorted(flags, reverse=True), src  # prefix property
+        sel_tokens = sum(v[1] for v in docs if v[5])
+        budget = docs[0][4]
+        assert sel_tokens >= min(budget, sum(v[1] for v in docs))
+        if any(not f for f in flags):
+            last_sel = max(i for i, f in enumerate(flags) if f)
+            assert sel_tokens - docs[last_sel][1] < budget
