@@ -101,6 +101,9 @@ _PRIORITY = [
     "hierarchy_rollup",
     "dsir_importance",
     "token_budget_selection",
+    # BM25 retrieval (new) takes the doc_similarity family's window
+    # slot; doc_similarity_topk (driver-green r4) moves to 51+
+    "bm25_topk",
     # multimodal byte-semantics fix (r5 degenerate-corpus sweep):
     # frame_dedup covers the redefined fingerprints/byte lengths
     # inside the window; stats/meta/frames follow at 51+ (attested
@@ -109,7 +112,6 @@ _PRIORITY = [
     # family canaries (driver-green in earlier rounds; every family
     # keeps ≥1 inside the window — tests/test_entry_contract.py
     # enforces the span)
-    "doc_similarity_topk",
     "wikibooks_docs",
     "cluster_aware_splits",
     "chunk_packing",
@@ -120,6 +122,8 @@ _PRIORITY = [
     "late_shipment_priority",
     "supplier_count_by_part_class",
     "dominant_bolt_suppliers",
+    "embedding_pq",
+    "doc_similarity_topk",
     # every query below is driver-green in some round AND green on the
     # committed local full gate (ATTEST_r5.json). dedup_minhash_lsh /
     # ann_lsh_topk / corpus_pipeline / packing_efficiency moved here:

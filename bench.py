@@ -73,6 +73,10 @@ HEADLINE = [
     "pca_power_iteration",
     "feature_hashing_vectors",
     "training_shuffle",
+    # r5 session 2: the pointer-doubling rollup (heaviest new join
+    # chain) and the DSIR scorer — tracked from day one.
+    "hierarchy_rollup",
+    "dsir_importance",
 ]
 
 

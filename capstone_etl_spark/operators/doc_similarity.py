@@ -114,5 +114,114 @@ SELECT query_doc, neighbor_doc, cos, rnk FROM (
 """
 
 
-QUERIES = {"doc_similarity_topk": doc_similarity_topk}
-ORACLE_SQL = {"doc_similarity_topk": DOC_SIMILARITY_TOPK_SQL}
+# --- BM25 retrieval ---------------------------------------------------------
+#
+# Okapi BM25 (Robertson/Spärck Jones) over the same TF relation: the
+# classic keyword-retrieval scorer the reference's inverted index exists
+# to serve but never does. Query set is a fixed literal table (the same
+# eval-set convention as ann_*'s N_QUERIES).
+BM25_K1 = 1.2
+BM25_B = 0.75
+BM25_TOP_K = 10
+BM25_QUERIES: tuple[tuple[int, tuple[str, ...]], ...] = (
+    (0, ("table", "join", "key")),
+    (1, ("window", "sort")),
+    (2, ("customer", "order", "value")),
+    (3, ("stream", "batch", "spark")),
+    (4, ("hash", "merge", "scan")),
+)
+
+
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k documents per query under Okapi BM25 with k1=1.2, b=0.75.
+
+    Plan: the candidate set is the tf relation semi-joined to the query
+    terms — at ANY corpus size only the postings of the query's terms
+    move, never the corpus (the whole point of an inverted index). The
+    per-term document frequencies are a |query-vocab|-row broadcast;
+    corpus doc count and mean doc length ride as a 1-row broadcast. The
+    per-query ranking window's input is the candidate posting union —
+    bounded by the query terms' document frequencies, not the corpus.
+
+    Exactness: every per-(query,doc,term) BM25 contribution is one
+    fixed IEEE expression over exact ints + two broadcast doubles,
+    snapped to DECIMAL(28,12) so the per-doc sum is order-free; the
+    final score rounds to 6 dp and ranking orders by (rounded score,
+    doc_id) — engine-identical."""
+    tf = cached(term_frequencies(load_table(spark, sf_dir, "documents")))
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
+        "query_id long, token string",
+    )
+    dl = tf.groupBy("doc_id").agg(F.sum("qty").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    dfq = (
+        tf.join(F.broadcast(qterms.select("token").distinct()), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    idf = F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    num = F.col("qty") * (1.0 + BM25_K1)
+    den = F.col("qty") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term = (idf * num / den).cast("decimal(28,12)")
+    scores = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(dfq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", term.alias("term"))
+        .groupBy("query_id", "doc_id")
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("bm25"), F.asc("doc_id"))
+    return (
+        scores.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= BM25_TOP_K)
+        .select("query_id", "doc_id", "bm25", "rnk")
+    )
+
+
+_BM25_VALUES = ", ".join(
+    f"({qid}, '{t}')" for qid, ts in BM25_QUERIES for t in ts
+)
+
+BM25_TOPK_SQL = _TF_CTE + f"""
+, q(query_id, token) AS (VALUES {_BM25_VALUES}),
+dl AS (SELECT doc_id, CAST(SUM(qty) AS BIGINT) AS dl FROM tf GROUP BY 1),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs, AVG(dl) AS avgdl FROM dl),
+dfq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+  WHERE token IN (SELECT token FROM q) GROUP BY 1
+),
+terms AS (
+  SELECT q.query_id, t.doc_id,
+         CAST(LN((s.n_docs - d.df + 0.5) / (d.df + 0.5) + 1.0)
+              * (t.qty * (1.0 + {BM25_K1}))
+              / (t.qty + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+              AS DECIMAL(28,12)) AS term
+  FROM tf t
+  JOIN q ON q.token = t.token
+  JOIN dfq d ON d.token = t.token
+  JOIN dl ON dl.doc_id = t.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, doc_id, ROUND(CAST(SUM(term) AS DOUBLE), 6) AS bm25
+  FROM terms GROUP BY 1, 2
+)
+SELECT query_id, doc_id, bm25, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY bm25 DESC, doc_id) AS rnk
+  FROM scores
+) z WHERE rnk <= {BM25_TOP_K}
+"""
+
+
+QUERIES = {"doc_similarity_topk": doc_similarity_topk, "bm25_topk": bm25_topk}
+ORACLE_SQL = {
+    "doc_similarity_topk": DOC_SIMILARITY_TOPK_SQL,
+    "bm25_topk": BM25_TOPK_SQL,
+}

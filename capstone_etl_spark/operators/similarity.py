@@ -626,6 +626,94 @@ FROM q
 """
 
 
+# --- product quantization ---------------------------------------------------
+PQ_M = 4                 # subspaces
+PQ_SUBDIM = DIM // PQ_M  # dims per subspace codeword
+
+
+def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization encode (Jégou et al. 2011): the vector is
+    split into PQ_M subvectors and each is replaced by the id of its
+    nearest per-subspace codeword — the compression that stores a
+    100 TB ANN corpus as N·M·log2(K) bits instead of N·DIM floats.
+    Codebooks reuse the hash-sampled ≈√N seed set (quantizer_seeds)
+    sliced per subspace, so the index is derived from the corpus with
+    no training loop. Output: the M-part code (canonical 'c0,c1,…'
+    string) and the reconstruction error ‖v − concat(codewords)‖.
+
+    Exactness: fixed-point int64 subvector distances (the IVF recipe),
+    argmin with (d2, cell) tiebreak, one double sqrt at the end.
+    Scale: codebooks broadcast (≈√N·DIM longs — the PQ codebook table);
+    one integer fold per (vector, seed, subspace); the per-(vec,m)
+    argmin is a uniform-key aggregation. No corpus self-join."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        "embedding", lambda v: F.floor(v.cast("double") * CENTROID_SCALE + 0.5).cast("long")
+    )
+    emb_q = emb.select("vec_id", quant.alias("vq"))
+    seeds = quantizer_seeds(emb_q)
+    vec_sub = emb_q.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("vq", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)])
+        ).alias("m", "sub"),
+    )
+    seed_sub = seeds.select(
+        "cell",
+        F.posexplode(
+            F.array(*[F.slice("sq", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)])
+        ).alias("m", "ssub"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("sub", "ssub", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dists = vec_sub.join(F.broadcast(seed_sub), "m").select(
+        "vec_id", "m", "cell", d2.alias("d2")
+    )
+    best = dists.groupBy("vec_id", "m").agg(F.min(F.struct("d2", "cell")).alias("b"))
+    code = F.array_join(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("m", F.col("b.cell").alias("cell")))),
+            lambda r: r["cell"].cast("string"),
+        ),
+        ",",
+    )
+    return best.groupBy("vec_id").agg(
+        code.alias("pq_code"),
+        F.round(
+            F.sqrt(F.sum("b.d2").cast("double")) / F.lit(float(CENTROID_SCALE)), 6
+        ).alias("recon_err"),
+    )
+
+
+EMBEDDING_PQ_SQL = f"""
+WITH by_dim AS (
+  SELECT vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
+), {_SEED_IDS_SQL}, seeds AS (
+  SELECT b.vec_id AS cell, b.d, b.vs AS ss
+  FROM by_dim b JOIN seed_ids si ON si.vec_id = b.vec_id
+), dists AS (
+  SELECT v.vec_id, v.d // {PQ_SUBDIM} AS m, s.cell,
+         CAST(SUM((v.vs - s.ss) * (v.vs - s.ss)) AS BIGINT) AS d2
+  FROM by_dim v JOIN seeds s ON s.d = v.d
+  GROUP BY v.vec_id, v.d // {PQ_SUBDIM}, s.cell
+), best AS (
+  SELECT vec_id, m, cell, d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) AS r
+    FROM dists
+  ) t WHERE r = 1
+)
+SELECT vec_id,
+       string_agg(CAST(cell AS VARCHAR), ',' ORDER BY m) AS pq_code,
+       ROUND(sqrt(CAST(SUM(d2) AS DOUBLE)) / {CENTROID_SCALE}.0, 6) AS recon_err
+FROM best GROUP BY vec_id
+"""
+
+
 KMEANS_CELLS = 8
 
 
@@ -1288,6 +1376,7 @@ QUERIES = {
     "embedding_covariance": embedding_covariance,
     "pca_power_iteration": pca_power_iteration,
     "embedding_whitening": embedding_whitening,
+    "embedding_pq": embedding_pq,
 }
 
 ORACLE_SQL = {
@@ -1305,4 +1394,5 @@ ORACLE_SQL = {
     "embedding_covariance": EMBEDDING_COVARIANCE_SQL,
     "pca_power_iteration": PCA_POWER_ITERATION_SQL,
     "embedding_whitening": EMBEDDING_WHITENING_SQL,
+    "embedding_pq": EMBEDDING_PQ_SQL,
 }

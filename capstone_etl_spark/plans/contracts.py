@@ -119,6 +119,15 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "composes unigram_logprob — inherits its 1-row corpus LM-total "
         "broadcast; budgets/offsets are bounded equi-joins (quality.py)"
     ),
+    "bm25_topk": (
+        "1-row corpus doc-count/avgdl broadcast over the query-term "
+        "candidate postings (doc_similarity.py)"
+    ),
+    "embedding_pq": (
+        "the hash-sampled ~sqrt(N) quantizer-seed broadcast "
+        "(similarity.quantizer_seeds' 1-row stats join), sliced per "
+        "subspace (similarity.py)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and
@@ -228,4 +237,6 @@ HEADLINE: list[str] = [
     "hierarchy_rollup",
     "dsir_importance",
     "token_budget_selection",
+    "bm25_topk",
+    "embedding_pq",
 ]

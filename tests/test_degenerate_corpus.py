@@ -62,6 +62,13 @@ NAMES = [
     "length_quartiles_per_source",
     "curation_verdict",
     "source_quality_summary",
+    # round-5 session-2 ops: empty target set (dsir), sub-2-token docs
+    # absent (budget selection, bm25 candidates), deep-tree rollup on a
+    # 10-doc corpus
+    "hierarchy_rollup",
+    "dsir_importance",
+    "token_budget_selection",
+    "bm25_topk",
 ]
 
 
@@ -108,6 +115,9 @@ EMB_NAMES = [
     "embedding_covariance",
     "embedding_whitening",
     "pca_power_iteration",
+    # identical vectors → tied distances; PQ argmin must tiebreak
+    # identically in both engines
+    "embedding_pq",
 ]
 
 

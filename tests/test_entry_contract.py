@@ -45,7 +45,7 @@ def test_first_fifty_span_every_family():
         "decontamination": ("decontamination", "repeated_ngram_spans"),
         "ann": ("ann_lsh_topk", "ann_ivf_topk", "ann_recall_eval"),
         "kmeans": ("kmeans_lloyd", "label_centroids"),
-        "doc_similarity": ("doc_similarity_topk",),
+        "doc_similarity": ("doc_similarity_topk", "bm25_topk"),
         "streaming": (
             "stream_tumbling_windows", "stream_user_sessions",
             "stream_quality_funnel", "stream_kmv_sketch", "stream_event_dedup",

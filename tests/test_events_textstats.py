@@ -164,3 +164,37 @@ def test_bpe_apply_merge_hand_checked(spark, tmp_path):
             assert r.len_before - r.n_merges == r.len_after
     finally:
         release_caches()
+
+
+def test_bm25_topk_matches_duckdb_and_ranks(spark):
+    import duckdb
+
+    from capstone_etl_spark.operators.doc_similarity import (
+        BM25_QUERIES,
+        BM25_TOP_K,
+        BM25_TOPK_SQL,
+        bm25_topk,
+    )
+    from capstone_etl_spark.session import release_caches
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        rows = bm25_topk(spark, sf).collect()
+    finally:
+        release_caches()
+    got = {(r.query_id, r.rnk): (r.doc_id, r.bm25) for r in rows}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    want = {
+        (int(q), int(k)): (int(d), float(s))
+        for q, d, s, k in con.execute(BM25_TOPK_SQL).fetchall()
+    }
+    assert got == want
+    # every query returns a full ranking (corpus-common terms), scores
+    # are positive and non-increasing in rank
+    qids = {q for q, _ in got}
+    assert qids == {qid for qid, _ in BM25_QUERIES}
+    for q in qids:
+        scores = [got[(q, k)][1] for k in range(1, BM25_TOP_K + 1) if (q, k) in got]
+        assert scores and all(s > 0 for s in scores)
+        assert scores == sorted(scores, reverse=True)

@@ -185,3 +185,27 @@ def test_token_budget_selection_matches_duckdb_and_is_prefix(spark):
         if any(not f for f in flags):
             last_sel = max(i for i, f in enumerate(flags) if f)
             assert sel_tokens - docs[last_sel][1] < budget
+
+
+def test_token_budget_selection_invariant_under_partitioning(spark):
+    """The distributed ordered prefix sum (partition-local running sums
+    + per-(partition, source) offsets) must produce the IDENTICAL
+    selection whatever the shuffle layout — the property that makes it
+    safe to re-shard at cluster scale."""
+    from capstone_etl_spark.session import release_caches
+
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    results = []
+    try:
+        for n in ("3", "17"):
+            spark.conf.set("spark.sql.shuffle.partitions", n)
+            try:
+                rows = quality.token_budget_selection(spark, SF_DIR).collect()
+            finally:
+                release_caches()
+            results.append(
+                sorted((r.doc_id, r.cum_tokens, r.budget, r.selected) for r in rows)
+            )
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
+    assert results[0] == results[1]
