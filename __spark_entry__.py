@@ -123,6 +123,9 @@ _PRIORITY = [
     "supplier_count_by_part_class",
     "dominant_bolt_suppliers",
     "embedding_pq",
+    "ann_pq_topk",
+    "cooccurrence_triangles",
+    "stream_decontamination",
     "doc_similarity_topk",
     # every query below is driver-green in some round AND green on the
     # committed local full gate (ATTEST_r5.json). dedup_minhash_lsh /

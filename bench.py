@@ -74,9 +74,11 @@ HEADLINE = [
     "feature_hashing_vectors",
     "training_shuffle",
     # r5 session 2: the pointer-doubling rollup (heaviest new join
-    # chain) and the DSIR scorer — tracked from day one.
+    # chain), the DSIR scorer, and the wedge-closing triangle join —
+    # tracked from day one.
     "hierarchy_rollup",
     "dsir_importance",
+    "cooccurrence_triangles",
 ]
 
 

@@ -1191,6 +1191,111 @@ LIMIT {COOCCURRENCE_TOP_K}
 """
 
 
+TRI_MIN_SUPPORT = 2  # co-order support for a graph edge
+
+
+def cooccurrence_triangles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle enumeration over the part co-occurrence graph (parts as
+    nodes, an edge when ≥ TRI_MIN_SUPPORT orders contain both) — the
+    graph-analytics primitive behind clustering coefficients and
+    community seeds, and the repo's first wedge-closing algorithm.
+
+    DEGREE ORIENTATION, the distributed-triangle textbook trick
+    (Suri & Vassilvitskii 2011): every edge is directed from its
+    lower-(degree, id) endpoint to the higher one, so wedges are only
+    generated at a node's OUT-neighbors — out-degree is O(√m) on any
+    graph, bounding wedge volume by O(m^1.5) regardless of skew (a
+    celebrity node with degree d generates ZERO wedges at itself once
+    oriented away). The closing check is one equi-join of wedges
+    against oriented edges. Orientation compares (deg, id) structs —
+    deterministic and engine-identical; output triples are re-sorted by
+    part id so the relation is canonical."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p1"))
+    b = op.select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("p2"))
+    und = cached(
+        a.join(b, "ok")
+        .filter(F.col("p1") < F.col("p2"))
+        .groupBy("p1", "p2")
+        .agg(F.count("*").alias("support"))
+        .filter(F.col("support") >= TRI_MIN_SUPPORT)
+        .select("p1", "p2")
+    )
+    deg = (
+        und.select(F.col("p1").alias("p"))
+        .unionByName(und.select(F.col("p2").alias("p")))
+        .groupBy("p")
+        .agg(F.count("*").alias("deg"))
+    )
+    e = (
+        und.join(deg.select(F.col("p").alias("p1"), F.col("deg").alias("d1")), "p1")
+        .join(deg.select(F.col("p").alias("p2"), F.col("deg").alias("d2")), "p2")
+    )
+    fwd = F.struct(F.col("d1"), F.col("p1")) < F.struct(F.col("d2"), F.col("p2"))
+    oriented = cached(
+        e.select(
+            F.when(fwd, F.col("p1")).otherwise(F.col("p2")).alias("src"),
+            F.when(fwd, F.col("p2")).otherwise(F.col("p1")).alias("dst"),
+            F.when(fwd, F.col("d2")).otherwise(F.col("d1")).alias("ddst"),
+        )
+    )
+    o1 = oriented.select("src", F.col("dst").alias("v"), F.col("ddst").alias("dv"))
+    o2 = oriented.select("src", F.col("dst").alias("w"), F.col("ddst").alias("dw"))
+    wedges = o1.join(o2, "src").filter(
+        F.struct(F.col("dv"), F.col("v")) < F.struct(F.col("dw"), F.col("w"))
+    )
+    closed = wedges.join(
+        oriented.select(F.col("src").alias("v"), F.col("dst").alias("w")),
+        ["v", "w"],
+        "left_semi",
+    )
+    tri = F.array_sort(F.array("src", "v", "w"))
+    return closed.select(
+        tri[0].alias("pa"), tri[1].alias("pb"), tri[2].alias("pc")
+    )
+
+
+COOCCURRENCE_TRIANGLES_SQL = f"""
+WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+und AS (
+  SELECT a.l_partkey AS p1, b.l_partkey AS p2
+  FROM op a JOIN op b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= {TRI_MIN_SUPPORT}
+),
+deg AS (
+  SELECT p, COUNT(*) AS deg FROM (
+    SELECT p1 AS p FROM und UNION ALL SELECT p2 AS p FROM und
+  ) GROUP BY p
+),
+oriented AS (
+  SELECT CASE WHEN (da.deg, u.p1) < (db.deg, u.p2) THEN u.p1 ELSE u.p2 END AS src,
+         CASE WHEN (da.deg, u.p1) < (db.deg, u.p2) THEN u.p2 ELSE u.p1 END AS dst,
+         CASE WHEN (da.deg, u.p1) < (db.deg, u.p2) THEN db.deg ELSE da.deg END AS ddst
+  FROM und u
+  JOIN deg da ON da.p = u.p1
+  JOIN deg db ON db.p = u.p2
+),
+wedges AS (
+  SELECT o1.src, o1.dst AS v, o2.dst AS w
+  FROM oriented o1 JOIN oriented o2 ON o1.src = o2.src
+  WHERE (o1.ddst, o1.dst) < (o2.ddst, o2.dst)
+),
+closed AS (
+  SELECT wg.src, wg.v, wg.w
+  FROM wedges wg
+  WHERE EXISTS (SELECT 1 FROM oriented o WHERE o.src = wg.v AND o.dst = wg.w)
+)
+SELECT least(src, v, w) AS pa,
+       CASE WHEN src NOT IN (least(src, v, w), greatest(src, v, w)) THEN src
+            WHEN v NOT IN (least(src, v, w), greatest(src, v, w)) THEN v
+            ELSE w END AS pb,
+       greatest(src, v, w) AS pc
+FROM closed
+"""
+
+
 FUZZY_MAX_DIST = 2
 
 
@@ -1614,6 +1719,7 @@ QUERIES = {
     "supplier_count_by_part_class": supplier_count_by_part_class,
     "dominant_bolt_suppliers": dominant_bolt_suppliers,
     "part_cooccurrence": part_cooccurrence,
+    "cooccurrence_triangles": cooccurrence_triangles,
 }
 
 ORACLE_SQL = {
@@ -1651,4 +1757,5 @@ ORACLE_SQL = {
     "supplier_count_by_part_class": SUPPLIER_COUNT_BY_PART_CLASS_SQL,
     "dominant_bolt_suppliers": DOMINANT_BOLT_SUPPLIERS_SQL,
     "part_cooccurrence": PART_COOCCURRENCE_SQL,
+    "cooccurrence_triangles": COOCCURRENCE_TRIANGLES_SQL,
 }

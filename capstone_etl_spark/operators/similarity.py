@@ -631,6 +631,33 @@ PQ_M = 4                 # subspaces
 PQ_SUBDIM = DIM // PQ_M  # dims per subspace codeword
 
 
+def _pq_subspace_dists(emb_q: DataFrame, seeds: DataFrame) -> DataFrame:
+    """(vec_id, m, cell, d2): exact int64 distance from every vector's
+    m-th subvector to every codeword of subspace m. Shared by the PQ
+    encoder (argmin per (vec, m)) and the ADC search (query-side
+    distance tables)."""
+    vec_sub = emb_q.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("vq", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)])
+        ).alias("m", "sub"),
+    )
+    seed_sub = seeds.select(
+        "cell",
+        F.posexplode(
+            F.array(*[F.slice("sq", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)])
+        ).alias("m", "ssub"),
+    )
+    d2 = F.aggregate(
+        F.zip_with("sub", "ssub", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    return vec_sub.join(F.broadcast(seed_sub), "m").select(
+        "vec_id", "m", "cell", d2.alias("d2")
+    )
+
+
 def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Product-quantization encode (Jégou et al. 2011): the vector is
     split into PQ_M subvectors and each is replaced by the id of its
@@ -652,26 +679,7 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb_q = emb.select("vec_id", quant.alias("vq"))
     seeds = quantizer_seeds(emb_q)
-    vec_sub = emb_q.select(
-        "vec_id",
-        F.posexplode(
-            F.array(*[F.slice("vq", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)])
-        ).alias("m", "sub"),
-    )
-    seed_sub = seeds.select(
-        "cell",
-        F.posexplode(
-            F.array(*[F.slice("sq", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)])
-        ).alias("m", "ssub"),
-    )
-    d2 = F.aggregate(
-        F.zip_with("sub", "ssub", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    dists = vec_sub.join(F.broadcast(seed_sub), "m").select(
-        "vec_id", "m", "cell", d2.alias("d2")
-    )
+    dists = _pq_subspace_dists(emb_q, seeds)
     best = dists.groupBy("vec_id", "m").agg(F.min(F.struct("d2", "cell")).alias("b"))
     code = F.array_join(
         F.transform(
@@ -711,6 +719,94 @@ SELECT vec_id,
        string_agg(CAST(cell AS VARCHAR), ',' ORDER BY m) AS pq_code,
        ROUND(sqrt(CAST(SUM(d2) AS DOUBLE)) / {CENTROID_SCALE}.0, 6) AS recon_err
 FROM best GROUP BY vec_id
+"""
+
+
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADC (asymmetric distance computation) top-k over the PQ codes —
+    the search half of product quantization: each query builds an
+    M × |codebook| distance table against the codebooks ONCE, then any
+    candidate's approximate distance is M table lookups summed — the
+    corpus's raw vectors are never touched at query time, which is the
+    entire point of searching compressed codes.
+
+    Plan: the subspace-distance relation is computed once (cached) and
+    consumed twice — argmin per (vector, subspace) gives the corpus
+    codes; the query rows (vec_id < N_QUERIES) ARE the distance
+    tables, broadcast at (queries × M × ≈√N) rows. The lookup is a
+    broadcast equi-join on (subspace, codeword); per-(query, candidate)
+    sums have exactly M exact-int64 terms, so ranking is
+    engine-identical with the (distance, neighbor) tiebreak."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        "embedding", lambda v: F.floor(v.cast("double") * CENTROID_SCALE + 0.5).cast("long")
+    )
+    emb_q = emb.select("vec_id", quant.alias("vq"))
+    seeds = quantizer_seeds(emb_q)
+    dists = cached(_pq_subspace_dists(emb_q, seeds))
+    codes = (
+        dists.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "cell")).alias("b"))
+        .select(F.col("vec_id").alias("neighbor_id"), "m", F.col("b.cell").alias("cell"))
+    )
+    qtab = dists.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", "cell", F.col("d2").alias("qd2")
+    )
+    adc = (
+        codes.join(F.broadcast(qtab), ["m", "cell"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd2").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.sqrt(F.col("adc").cast("double")) / F.lit(float(CENTROID_SCALE)), 6
+            ).alias("adc_dist"),
+            "rnk",
+        )
+    )
+
+
+ANN_PQ_TOPK_SQL = f"""
+WITH by_dim AS (
+  SELECT vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
+), {_SEED_IDS_SQL}, seeds AS (
+  SELECT b.vec_id AS cell, b.d, b.vs AS ss
+  FROM by_dim b JOIN seed_ids si ON si.vec_id = b.vec_id
+), dists AS (
+  SELECT v.vec_id, v.d // {PQ_SUBDIM} AS m, s.cell,
+         CAST(SUM((v.vs - s.ss) * (v.vs - s.ss)) AS BIGINT) AS d2
+  FROM by_dim v JOIN seeds s ON s.d = v.d
+  GROUP BY v.vec_id, v.d // {PQ_SUBDIM}, s.cell
+), codes AS (
+  SELECT vec_id AS neighbor_id, m, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) AS r
+    FROM dists
+  ) t WHERE r = 1
+), qtab AS (
+  SELECT vec_id AS query_id, m, cell, d2 AS qd2 FROM dists WHERE vec_id < {N_QUERIES}
+), adc AS (
+  SELECT q.query_id, c.neighbor_id, CAST(SUM(q.qd2) AS BIGINT) AS adc
+  FROM codes c JOIN qtab q ON q.m = c.m AND q.cell = c.cell
+  WHERE c.neighbor_id <> q.query_id
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id,
+       ROUND(sqrt(CAST(adc AS DOUBLE)) / {CENTROID_SCALE}.0, 6) AS adc_dist, rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk
+  FROM adc
+) t WHERE rnk <= {TOP_K}
 """
 
 
@@ -1377,6 +1473,7 @@ QUERIES = {
     "pca_power_iteration": pca_power_iteration,
     "embedding_whitening": embedding_whitening,
     "embedding_pq": embedding_pq,
+    "ann_pq_topk": ann_pq_topk,
 }
 
 ORACLE_SQL = {
@@ -1395,4 +1492,5 @@ ORACLE_SQL = {
     "pca_power_iteration": PCA_POWER_ITERATION_SQL,
     "embedding_whitening": EMBEDDING_WHITENING_SQL,
     "embedding_pq": EMBEDDING_PQ_SQL,
+    "ann_pq_topk": ANN_PQ_TOPK_SQL,
 }

@@ -571,6 +571,117 @@ FROM cells GROUP BY d, bucket
 """
 
 
+def stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decontamination at INGEST — the thirteenth streaming query and
+    the deployment shape every training pipeline actually wants: the
+    benchmark shingle index is a STATIC relation (built batch, cached —
+    in production a precomputed artifact), training documents stream
+    in, their shingles stream-static join the index, and the
+    per-(train, bench) overlap aggregates in complete mode. Flags use
+    the IDENTICAL Jaccard/containment thresholds as the batch pass, so
+    the oracle is the batch DECONTAMINATION_SQL verbatim.
+
+    Mechanics of exactness: the df-cap and the allowed-shingle set are
+    corpus-global, so they live on the static side (shingles() over the
+    full corpus — exactly the batch relation). The train doc's
+    post-cap shingle count (sz_c) is recovered from the SAME pair-grain
+    aggregation via a per-shingle first-posting marker: the static side
+    ranks each shingle's bench postings (pos), shingles without bench
+    postings carry one NULL-bench row with pos=1, and Σ n_first over a
+    train doc's groups = its matched allowed-shingle count. One
+    streaming aggregation, state bounded by cross-cut candidate pairs
+    (+ one NULL-bench row per train doc)."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from capstone_etl_spark.functions.hashing import md5_hash60
+    from capstone_etl_spark.functions.text import token_ngrams, tokenize
+    from capstone_etl_spark.operators.dedup import (
+        BENCH_MOD,
+        CONTAINMENT_THRESHOLD,
+        JACCARD_THRESHOLD,
+        NGRAM_N,
+        shingles,
+    )
+    from capstone_etl_spark.session import cached
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_decon_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        sh = shingles(docs)
+        bench = sh.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+            "sh", F.col("doc_id").alias("bench_doc")
+        )
+        sz_b = bench.groupBy("bench_doc").agg(F.count("*").alias("sz_b"))
+        pw = Window.partitionBy("sh").orderBy("bench_doc")
+        posts = bench.withColumn("pos", F.row_number().over(pw))
+        static = cached(
+            sh.select("sh")
+            .distinct()
+            .join(posts, "sh", "left")
+            .select("sh", "bench_doc", F.coalesce("pos", F.lit(1)).alias("pos"))
+        )
+
+        staging = f"{work}/staging"
+        docs.repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        toks = stream.filter(F.col("doc_id") % BENCH_MOD != 0).select(
+            F.col("doc_id").alias("train_doc"), tokenize("text").alias("toks")
+        )
+        stream_sh = toks.select(
+            "train_doc",
+            F.explode(
+                F.array_distinct(
+                    F.transform(token_ngrams("toks", NGRAM_N), md5_hash60)
+                )
+            ).alias("sh"),
+        )
+        agg = (
+            stream_sh.join(static, "sh")
+            .groupBy("train_doc", "bench_doc")
+            .agg(
+                F.count("*").alias("n_inter"),
+                F.sum((F.col("pos") == 1).cast("long")).alias("n_first"),
+            )
+        )
+        got = run_to_memory(agg, f"{work}/checkpoint", output_mode="complete")
+        # sz_c via a per-train window over the drained pair table (its
+        # input is bounded by a doc's candidate-pair count) — a sink
+        # self-join would carry conflicting references
+        with_sz = got.withColumn(
+            "sz_c", F.sum("n_first").over(Window.partitionBy("train_doc"))
+        )
+        jac = F.col("n_inter") / (F.col("sz_c") + F.col("sz_b") - F.col("n_inter"))
+        cont = F.col("n_inter") / F.col("sz_b")
+        return (
+            with_sz.filter(F.col("bench_doc").isNotNull())
+            .join(sz_b, "bench_doc")
+            .filter((jac >= JACCARD_THRESHOLD) | (cont >= CONTAINMENT_THRESHOLD))
+            .select(
+                "train_doc",
+                "bench_doc",
+                F.round(jac, 6).alias("jaccard"),
+                F.round(cont, 6).alias("containment"),
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stream_decontamination_sql() -> str:
+    from capstone_etl_spark.operators.dedup import DECONTAMINATION_SQL
+
+    return DECONTAMINATION_SQL
+
+
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
     "stream_sliding_windows": stream_sliding_windows,
@@ -584,6 +695,7 @@ QUERIES = {
     "stream_reservoir_sample": stream_reservoir_sample,
     "stream_mixing_weights": stream_mixing_weights,
     "stream_count_min": stream_count_min,
+    "stream_decontamination": stream_decontamination,
 }
 
 ORACLE_SQL = {
@@ -599,4 +711,5 @@ ORACLE_SQL = {
     "stream_reservoir_sample": _stream_reservoir_sample_sql(),
     "stream_mixing_weights": STREAM_MIXING_WEIGHTS_SQL,
     "stream_count_min": _stream_count_min_sql(),
+    "stream_decontamination": _stream_decontamination_sql(),
 }

@@ -128,6 +128,11 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "(similarity.quantizer_seeds' 1-row stats join), sliced per "
         "subspace (similarity.py)"
     ),
+    "ann_pq_topk": (
+        "inherits embedding_pq's quantizer-seed broadcast; the ADC "
+        "distance tables are a (queries x M x ~sqrt(N))-row broadcast "
+        "equi-join, not cartesian (similarity.py)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and
@@ -239,4 +244,6 @@ HEADLINE: list[str] = [
     "token_budget_selection",
     "bm25_topk",
     "embedding_pq",
+    "ann_pq_topk",
+    "cooccurrence_triangles",
 ]

@@ -307,3 +307,39 @@ def test_repeated_spans_on_unrepeated_corpus(spark, tmp_path):
         assert got[1].n_tokens == 0 and got[1].flagged_ratio is None
     finally:
         release_caches()
+
+
+def test_session2_ops_empty_tables(spark, tmp_path):
+    """The r5 session-2 operators degrade to empty relations (no
+    divide-by-zero, no null explosions) when every input table is
+    empty."""
+    from capstone_etl_spark.operators.doc_similarity import bm25_topk
+    from capstone_etl_spark.operators.quality import (
+        dsir_importance,
+        token_budget_selection,
+    )
+    from capstone_etl_spark.operators.relational import cooccurrence_triangles
+    from capstone_etl_spark.operators.similarity import embedding_pq
+    from capstone_etl_spark.operators.text_pipeline import hierarchy_rollup
+    from capstone_etl_spark.session import release_caches
+
+    sf = _write_docs_table(spark, tmp_path, [])
+    spark.createDataFrame([], "vec_id long, embedding array<float>, label int").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "embeddings.parquet"))
+    spark.createDataFrame([], "l_orderkey long, l_partkey long").write.mode(
+        "overwrite"
+    ).parquet(str(tmp_path / "lineitem.parquet"))
+    ops = (
+        hierarchy_rollup,
+        dsir_importance,
+        token_budget_selection,
+        bm25_topk,
+        embedding_pq,
+        cooccurrence_triangles,
+    )
+    try:
+        for fn in ops:
+            assert fn(spark, sf).count() == 0, fn.__name__
+    finally:
+        release_caches()

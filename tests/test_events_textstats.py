@@ -198,3 +198,46 @@ def test_bm25_topk_matches_duckdb_and_ranks(spark):
         scores = [got[(q, k)][1] for k in range(1, BM25_TOP_K + 1) if (q, k) in got]
         assert scores and all(s > 0 for s in scores)
         assert scores == sorted(scores, reverse=True)
+
+
+def test_cooccurrence_triangles_match_bruteforce(spark):
+    """Degree-oriented wedge closing must enumerate exactly the brute
+    -force triangle set of the support-thresholded edge list."""
+    from itertools import combinations
+
+    from capstone_etl_spark.operators.relational import (
+        TRI_MIN_SUPPORT,
+        cooccurrence_triangles,
+    )
+    from capstone_etl_spark.session import release_caches
+    from capstone_etl_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        got = sorted(
+            (r.pa, r.pb, r.pc) for r in cooccurrence_triangles(spark, sf).collect()
+        )
+        li = load_table(spark, sf, "lineitem").select("l_orderkey", "l_partkey").distinct()
+        rows = [(r.l_orderkey, r.l_partkey) for r in li.collect()]
+    finally:
+        release_caches()
+    from collections import Counter, defaultdict
+
+    by_order = defaultdict(set)
+    for ok, pk in rows:
+        by_order[ok].add(pk)
+    support = Counter()
+    for parts in by_order.values():
+        for p1, p2 in combinations(sorted(parts), 2):
+            support[(p1, p2)] += 1
+    edges = {e for e, s in support.items() if s >= TRI_MIN_SUPPORT}
+    adj = defaultdict(set)
+    for p1, p2 in edges:
+        adj[p1].add(p2)
+    want = sorted(
+        (a, b, c)
+        for (a, b) in edges
+        for c in adj[b]
+        if c in adj[a]
+    )
+    assert got == want and len(got) > 0

@@ -280,3 +280,38 @@ def test_embedding_pq_matches_duckdb_and_compresses(spark):
     # quantizer is not degenerate)
     errs = sorted(e for _, e in got.values())
     assert errs[0] < errs[-1]
+
+
+def test_ann_pq_topk_matches_duckdb_and_orders(spark):
+    import duckdb
+
+    from capstone_etl_spark.operators.similarity import (
+        ANN_PQ_TOPK_SQL,
+        N_QUERIES,
+        TOP_K,
+        ann_pq_topk,
+    )
+    from capstone_etl_spark.session import release_caches
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        rows = ann_pq_topk(spark, sf).collect()
+    finally:
+        release_caches()
+    got = {(r.query_id, r.rnk): (r.neighbor_id, r.adc_dist) for r in rows}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    want = {
+        (int(q), int(k)): (int(n), float(d))
+        for q, n, d, k in con.execute(ANN_PQ_TOPK_SQL).fetchall()
+    }
+    assert got == want
+    # full result: every query gets TOP_K neighbors, never itself, and
+    # ADC distance is non-decreasing in rank
+    qids = {q for q, _ in got}
+    assert qids == set(range(N_QUERIES))
+    for q in qids:
+        ds = [got[(q, k)][1] for k in range(1, TOP_K + 1)]
+        assert len(ds) == TOP_K
+        assert ds == sorted(ds)
+        assert all(got[(q, k)][0] != q for k in range(1, TOP_K + 1))

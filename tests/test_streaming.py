@@ -273,3 +273,25 @@ def test_stream_reservoir_equals_batch(spark):
         for r in reservoir_sample(spark, sf).collect()
     )
     assert got == want and len(got) > 0
+
+
+def test_stream_decontamination_equals_batch(spark):
+    """The streamed ingest-decontamination must reproduce the batch
+    pass row-for-row — same thresholds, same df-cap, same scores."""
+    from capstone_etl_spark.operators.dedup import benchmark_decontamination
+    from capstone_etl_spark.operators.streaming_queries import stream_decontamination
+    from capstone_etl_spark.session import release_caches
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        got = sorted(
+            (r.train_doc, r.bench_doc, r.jaccard, r.containment)
+            for r in stream_decontamination(spark, sf).collect()
+        )
+        want = sorted(
+            (r.train_doc, r.bench_doc, r.jaccard, r.containment)
+            for r in benchmark_decontamination(spark, sf).collect()
+        )
+    finally:
+        release_caches()
+    assert got == want and len(got) > 0
