@@ -126,6 +126,7 @@ _PRIORITY = [
     "ann_pq_topk",
     "cooccurrence_triangles",
     "stream_decontamination",
+    "hybrid_retrieval_rrf",
     "doc_similarity_topk",
     # every query below is driver-green in some round AND green on the
     # committed local full gate (ATTEST_r5.json). dedup_minhash_lsh /

@@ -220,8 +220,84 @@ SELECT query_id, doc_id, bm25, rnk FROM (
 """
 
 
-QUERIES = {"doc_similarity_topk": doc_similarity_topk, "bm25_topk": bm25_topk}
+# --- hybrid retrieval (RRF) -------------------------------------------------
+#
+# Reciprocal-rank fusion (Cormack et al. 2009): the standard production
+# recipe for combining a lexical ranking (BM25) with a vector ranking
+# (here the PQ-ADC list) without score calibration — fuse on RANKS,
+# score = Σ 1/(K + rank). Query alignment: BM25 query q fuses with the
+# ANN ranking of query vector vec_id = q (the fixture's embeddings are
+# keyed like documents; a production deployment would embed the query
+# text — the fusion mechanics are identical).
+RRF_K = 60
+RRF_TOP_K = 10
+
+
+def hybrid_retrieval_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k per query under reciprocal-rank fusion of bm25_topk and
+    ann_pq_topk. Pure rank arithmetic over the two top-k lists (a
+    full outer join on (query, doc) — each input is already tiny), so
+    at any corpus size the fusion itself is free; the cost lives in the
+    two retrievers, each audited separately. Exactness: the score is a
+    fixed two-term IEEE expression of integer ranks, rounded 6 dp, with
+    the doc-id tiebreak."""
+    from capstone_etl_spark.operators.similarity import ann_pq_topk
+
+    n_q = len(BM25_QUERIES)
+    lex = bm25_topk(spark, sf_dir).select(
+        "query_id", F.col("doc_id").alias("doc"), F.col("rnk").alias("r_lex")
+    )
+    vec = (
+        ann_pq_topk(spark, sf_dir)
+        .filter(F.col("query_id") < n_q)
+        .select("query_id", F.col("neighbor_id").alias("doc"), F.col("rnk").alias("r_vec"))
+    )
+    score = F.round(
+        F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_lex")), F.lit(0.0))
+        + F.coalesce(1.0 / (F.lit(RRF_K) + F.col("r_vec")), F.lit(0.0)),
+        6,
+    )
+    fused = lex.join(vec, ["query_id", "doc"], "full").select(
+        "query_id", "doc", "r_lex", "r_vec", score.alias("rrf")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("rrf"), F.asc("doc"))
+    return (
+        fused.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= RRF_TOP_K)
+        .select("query_id", "doc", "r_lex", "r_vec", "rrf", "rnk")
+    )
+
+
+def _hybrid_retrieval_rrf_sql() -> str:
+    from capstone_etl_spark.operators.similarity import ANN_PQ_TOPK_SQL
+
+    n_q = len(BM25_QUERIES)
+    return f"""
+WITH lex AS (SELECT query_id, doc_id AS doc, rnk AS r_lex FROM ({BM25_TOPK_SQL}) b),
+vec AS (SELECT query_id, neighbor_id AS doc, rnk AS r_vec
+        FROM ({ANN_PQ_TOPK_SQL}) a WHERE query_id < {n_q}),
+fused AS (
+  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         COALESCE(l.doc, v.doc) AS doc,
+         l.r_lex, v.r_vec,
+         ROUND(COALESCE(1.0 / ({RRF_K} + l.r_lex), 0.0)
+               + COALESCE(1.0 / ({RRF_K} + v.r_vec), 0.0), 6) AS rrf
+  FROM lex l FULL OUTER JOIN vec v ON l.query_id = v.query_id AND l.doc = v.doc
+)
+SELECT query_id, doc, r_lex, r_vec, rrf, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc) AS rnk
+  FROM fused
+) t WHERE rnk <= {RRF_TOP_K}
+"""
+
+
+QUERIES = {
+    "doc_similarity_topk": doc_similarity_topk,
+    "bm25_topk": bm25_topk,
+    "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
+}
 ORACLE_SQL = {
     "doc_similarity_topk": DOC_SIMILARITY_TOPK_SQL,
     "bm25_topk": BM25_TOPK_SQL,
+    "hybrid_retrieval_rrf": _hybrid_retrieval_rrf_sql(),
 }

@@ -556,14 +556,25 @@ def hierarchy_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: WITH RECURSIVE ancestor walk + the same two aggregations."""
     nodes = cached(_docs(spark, sf_dir).select("doc_id", "n_chars"))
-    jump = cached(
-        nodes.filter(F.col("doc_id") >= 1).select(
-            "doc_id", F.expr(f"(doc_id - 1) div {ROLLUP_ARITY}").alias("j")
-        )
+    jump = nodes.filter(F.col("doc_id") >= 1).select(
+        "doc_id", F.expr(f"(doc_id - 1) div {ROLLUP_ARITY}").alias("j")
     )
+    return subtree_rollup(nodes, jump)
+
+
+def subtree_rollup(
+    nodes: DataFrame, parents: DataFrame, rounds: int = ROLLUP_ROUNDS
+) -> DataFrame:
+    """Pointer-doubling subtree rollup over an arbitrary forest.
+
+    nodes: (doc_id, n_chars); parents: (doc_id, j) — j the parent id,
+    roots absent. `rounds` doubling rounds cover any tree of depth
+    < 2**rounds; callers with deeper trees raise it (cost is two
+    uniform-key joins per extra round)."""
+    jump = cached(parents)
     # pairs: (node, anc) for every ancestor at distance < 2^r (self at 0)
     pairs = nodes.select(F.col("doc_id").alias("node"), F.col("doc_id").alias("anc"))
-    for _ in range(ROLLUP_ROUNDS):
+    for _ in range(rounds):
         ext = (
             jump.join(pairs, jump["j"] == pairs["node"])
             .select(jump["doc_id"].alias("node"), pairs["anc"].alias("anc"))

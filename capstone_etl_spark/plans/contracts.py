@@ -133,6 +133,10 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "distance tables are a (queries x M x ~sqrt(N))-row broadcast "
         "equi-join, not cartesian (similarity.py)"
     ),
+    "hybrid_retrieval_rrf": (
+        "composes bm25_topk + ann_pq_topk — inherits their 1-row "
+        "corpus-stats and quantizer-seed broadcasts (doc_similarity.py)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and
@@ -246,4 +250,5 @@ HEADLINE: list[str] = [
     "embedding_pq",
     "ann_pq_topk",
     "cooccurrence_triangles",
+    "hybrid_retrieval_rrf",
 ]

@@ -241,3 +241,39 @@ def test_cooccurrence_triangles_match_bruteforce(spark):
         if c in adj[a]
     )
     assert got == want and len(got) > 0
+
+
+def test_hybrid_rrf_matches_duckdb_and_fuses(spark):
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from capstone_etl_spark.operators.doc_similarity import RRF_K, hybrid_retrieval_rrf
+    from capstone_etl_spark.session import release_caches
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        rows = hybrid_retrieval_rrf(spark, sf).collect()
+    finally:
+        release_caches()
+    got = {(r.query_id, r.rnk): (r.doc, r.r_lex, r.r_vec, r.rrf) for r in rows}
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{sf}/documents.parquet'")
+    con.execute(f"CREATE VIEW embeddings AS SELECT * FROM '{sf}/embeddings.parquet'")
+    sql = entrymod.oracle_sql()["hybrid_retrieval_rrf"]
+    want = {
+        (int(q), int(k)): (
+            int(d),
+            None if rl is None else int(rl),
+            None if rv is None else int(rv),
+            float(s),
+        )
+        for q, d, rl, rv, s, k in con.execute(sql).fetchall()
+    }
+    assert got == want
+    # a doc present in BOTH lists outranks the same-rank single-list
+    # doc: score of (r, r) is 2/(K+r) > 1/(K+r)
+    for (q, k), (doc, rl, rv, s) in got.items():
+        terms = sum(1 for r in (rl, rv) if r is not None)
+        assert terms >= 1
+        expect = sum(1.0 / (RRF_K + r) for r in (rl, rv) if r is not None)
+        assert abs(s - round(expect, 6)) < 1e-9

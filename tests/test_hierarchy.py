@@ -100,3 +100,34 @@ def test_hierarchy_rollup_matches_duckdb_and_invariants(spark):
             p = (d - 1) // ROLLUP_ARITY
             assert got[d][1] < got[p][1]
             assert got[d][0] == got[p][0] + 1
+
+
+def test_subtree_rollup_deep_chain(spark):
+    """Pointer doubling must close a CHAIN of depth 30 in the default 5
+    rounds (2^5 = 32 > 30) — the fixture's K-ary tree only reaches
+    depth ~4, so this pins the deep-path coverage the round constant
+    promises."""
+    from capstone_etl_spark.operators.text_pipeline import subtree_rollup
+    from capstone_etl_spark.session import release_caches
+    from pyspark.sql import functions as F
+
+    n = 31  # chain 0 <- 1 <- ... <- 30
+    nodes = spark.range(n).select(
+        F.col("id").alias("doc_id"), (F.col("id") + 100).alias("n_chars")
+    )
+    parents = spark.range(1, n).select(
+        F.col("id").alias("doc_id"), (F.col("id") - 1).alias("j")
+    )
+    try:
+        got = {
+            r.doc_id: (r.depth, r.subtree_docs, r.subtree_chars)
+            for r in subtree_rollup(nodes, parents).collect()
+        }
+    finally:
+        release_caches()
+    assert len(got) == n
+    for i in range(n):
+        depth, docs, chars = got[i]
+        assert depth == i
+        assert docs == n - i
+        assert chars == sum(j + 100 for j in range(i, n))

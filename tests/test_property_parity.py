@@ -135,3 +135,69 @@ def test_greedy_pack_matches_python_model(spark, counts):
     for shard, rs in by_shard.items():
         expected = _model_greedy([r.n_tokens for r in rs], SEQ_LEN)
         assert [r.pack_id for r in rs] == expected, (shard, rs)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    st.lists(st.integers(min_value=0, max_value=10**6), min_size=1, max_size=60).flatmap(
+        lambda chars: st.tuples(
+            st.just(chars),
+            st.lists(
+                st.integers(min_value=0, max_value=max(len(chars) - 2, 0)),
+                min_size=max(len(chars) - 1, 0),
+                max_size=max(len(chars) - 1, 0),
+            ),
+        )
+    )
+)
+def test_subtree_rollup_matches_python_model(spark, data):
+    """Pointer doubling on RANDOM forests: node i's parent is any node
+    < i (guaranteeing a forest of arbitrary shape/depth up to 59), and
+    the result must equal the straightforward Python ancestor walk."""
+    chars, raw_parents = data
+    n = len(chars)
+    parents = {i + 1: min(p, i) for i, p in enumerate(raw_parents)}
+
+    from pyspark.sql import functions as F
+
+    from capstone_etl_spark.operators.text_pipeline import subtree_rollup
+    from capstone_etl_spark.session import release_caches
+
+    nodes = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(chars)], "doc_id long, n_chars long"
+    )
+    pdf = spark.createDataFrame(
+        [(c, p) for c, p in parents.items()] or [(None, None)],
+        "doc_id long, j long",
+    ).filter(F.col("doc_id").isNotNull())
+    rounds = 6  # depth < 64 ≥ any 60-node tree
+    try:
+        got = {
+            r.doc_id: (r.depth, r.subtree_docs, r.subtree_chars)
+            for r in subtree_rollup(nodes, pdf, rounds=rounds).collect()
+        }
+    finally:
+        release_caches()
+
+    # python model
+    import collections
+
+    depth = {}
+    for i in range(n):
+        d, cur = 0, i
+        while cur in parents:
+            cur = parents[cur]
+            d += 1
+        depth[i] = d
+    sub_docs = collections.Counter()
+    sub_chars = collections.Counter()
+    for i in range(n):
+        cur = i
+        sub_docs[cur] += 1
+        sub_chars[cur] += chars[i]
+        while cur in parents:
+            cur = parents[cur]
+            sub_docs[cur] += 1
+            sub_chars[cur] += chars[i]
+    want = {i: (depth[i], sub_docs[i], sub_chars[i]) for i in range(n)}
+    assert got == want
