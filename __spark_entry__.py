@@ -127,6 +127,7 @@ _PRIORITY = [
     "cooccurrence_triangles",
     "stream_decontamination",
     "hybrid_retrieval_rrf",
+    "event_grouping_sets",
     "doc_similarity_topk",
     # every query below is driver-green in some round AND green on the
     # committed local full gate (ATTEST_r5.json). dedup_minhash_lsh /

@@ -587,6 +587,40 @@ GROUP BY CUBE (strftime(ts, '%Y-%m-%d'), event_type)
 """
 
 
+def grouping_sets_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit GROUP BY GROUPING SETS ((day, type), (day), (type)) —
+    the à-la-carte multi-grain aggregation CUBE/ROLLUP can't express
+    (here: cells plus both one-dimensional subtotals, but NO grand
+    total). Spark expands the sets before ONE hash aggregation (one
+    shuffle for all three grains); grouping_id disambiguates subtotal
+    rows from genuine NULL keys, same convention as day_type_cube."""
+    ev = _events(spark, sf_dir)
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    return (
+        ev.select(day, "event_type", "value")
+        .groupingSets(
+            [["day", "event_type"], ["day"], ["event_type"]], "day", "event_type"
+        )
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").alias("n_events"),
+            _dsum(F.col("value")).alias("total_value"),
+        )
+        .select("day", "event_type", "gid", "n_events", "total_value")
+    )
+
+
+GROUPING_SETS_REPORT_SQL = """
+SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+       CAST(GROUPING(strftime(ts, '%Y-%m-%d'), event_type) AS BIGINT) AS gid,
+       COUNT(*) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY GROUPING SETS ((strftime(ts, '%Y-%m-%d'), event_type),
+                        (strftime(ts, '%Y-%m-%d')), (event_type))
+"""
+
+
 TRAIL_SEC = 3600
 
 
@@ -1003,6 +1037,7 @@ QUERIES = {
     "event_user_funnel": user_funnel,
     "event_trailing_value": trailing_user_value,
     "event_day_type_cube": day_type_cube,
+    "event_grouping_sets": grouping_sets_report,
     "event_gap_stats": event_gap_stats,
     "event_user_deciles": user_value_deciles,
     "event_gap_fill": gap_fill_daily,
@@ -1029,6 +1064,7 @@ ORACLE_SQL = {
     "event_user_funnel": USER_FUNNEL_SQL,
     "event_trailing_value": TRAILING_USER_VALUE_SQL,
     "event_day_type_cube": DAY_TYPE_CUBE_SQL,
+    "event_grouping_sets": GROUPING_SETS_REPORT_SQL,
     "event_gap_stats": EVENT_GAP_STATS_SQL,
     "event_user_deciles": USER_VALUE_DECILES_SQL,
     "event_gap_fill": GAP_FILL_DAILY_SQL,
