@@ -71,7 +71,6 @@ _PRIORITY = [
     "length_histogram",
     "tokenizer_fertility",
     "bigram_lm_perplexity",
-    "bpe_apply_merge",
     # (3 of the 6 new TPC-H shapes attest the shared relational layer
     # in-window; the other three lead the 51+ block — green in
     # ATTEST_r5.json, driver row next round)
@@ -79,7 +78,6 @@ _PRIORITY = [
     "local_supplier_volume",
     "important_parts",
     "stream_reservoir_sample",
-    "embedding_dim_stats",
     "embedding_covariance",
     "skipgram_pairs",
     "mad_outliers",
@@ -89,11 +87,8 @@ _PRIORITY = [
     "dedup_source_matrix",
     "doc_keywords",
     "embedding_whitening",
-    "stream_mixing_weights",
-    "count_min_error",
     "bpe_learn_merges",
     "stream_count_min",
-    "length_quartiles_per_source",
     "curation_verdict",
     "source_quality_summary",
     # NEW this session — recursive-CTE-oracled subtree rollup, DSIR
@@ -104,6 +99,14 @@ _PRIORITY = [
     # BM25 retrieval (new) takes the doc_similarity family's window
     # slot; doc_similarity_topk (driver-green r4) moves to 51+
     "bm25_topk",
+    # NEW in round-5 session 3 — scale-audit + sampling/retrieval eval:
+    # attest the audit trio, the A-ES weighted sample, and the MRR eval
+    # the round they ship (also in the committed local full gate)
+    "key_skew_audit",
+    "output_file_plan",
+    "ivf_cell_balance",
+    "weighted_sample",
+    "retrieval_mrr",
     # multimodal byte-semantics fix (r5 degenerate-corpus sweep):
     # frame_dedup covers the redefined fingerprints/byte lengths
     # inside the window; stats/meta/frames follow at 51+ (attested
@@ -117,8 +120,20 @@ _PRIORITY = [
     "chunk_packing",
     "campaign_window_stats",
     # position 51+: first in line if the driver samples past 50 —
-    # the three deferred TPC-H shapes lead (locally attested, no
-    # driver row yet), then queries driver-green in some round.
+    # round-5 queries that yielded their window slot to the session-3
+    # additions lead (each one's family machinery keeps an in-window
+    # member: dim_stats ⊂ covariance diag, count_min_error ⊂
+    # stream_count_min, bpe_apply_merge ⊂ bpe_learn_merges,
+    # length_quartiles ~ length_histogram, stream_mixing_weights ~
+    # source_mixing_weights + the in-window streaming rows), then the
+    # three deferred TPC-H shapes (locally attested, no driver row
+    # yet), then queries driver-green in some round. All are green in
+    # the committed local full gate (ATTEST_r5.json).
+    "embedding_dim_stats",
+    "count_min_error",
+    "bpe_apply_merge",
+    "length_quartiles_per_source",
+    "stream_mixing_weights",
     "late_shipment_priority",
     "supplier_count_by_part_class",
     "dominant_bolt_suppliers",
@@ -229,6 +244,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         rangejoin,
         relational,
         sampling,
+        scaleaudit,
         sketches,
         similarity,
         streaming_queries,
@@ -251,6 +267,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         doc_similarity,
         rangejoin,
         sampling,
+        scaleaudit,
         corpus,
         packing,
         quality,

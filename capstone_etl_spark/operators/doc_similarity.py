@@ -291,13 +291,105 @@ SELECT query_id, doc, r_lex, r_vec, rrf, rnk FROM (
 """
 
 
+# --- retrieval quality eval (MRR / hits@k) ---------------------------------
+#
+# The eval half of the retrieval stack: relevance is term containment
+# (a document is relevant to a query iff it contains EVERY query term),
+# the deterministic stand-in for human judgments that every retrieval
+# pipeline needs before it has labeled data. MRR is the first-relevant
+# reciprocal rank; hits@k counts relevant docs inside the BM25 top-k.
+
+
+def retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, n_rel, hits_at_k, first_rel_rank, rr) — one row per
+    BM25 eval query; first_rel_rank is 0 when no relevant doc reaches
+    the top-k (rr 0.0 likewise).
+
+    Plan: the relevance set is the tf relation semi-joined to the query
+    terms (only the query terms' postings move) aggregated to docs
+    containing all terms; the metric join is top-k-list sized (queries
+    × k rows) against that set — both sides bounded by query-term
+    document frequencies, never the corpus."""
+    tf = cached(term_frequencies(load_table(spark, sf_dir, "documents")))
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
+        "query_id long, token string",
+    )
+    n_terms = qterms.groupBy("query_id").agg(
+        F.countDistinct("token").alias("n_terms")
+    )
+    rel = (
+        tf.join(F.broadcast(qterms), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("token").alias("nh"))
+        .join(F.broadcast(n_terms), "query_id")
+        .filter(F.col("nh") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    n_rel = rel.groupBy("query_id").agg(F.count("*").cast("long").alias("n_rel"))
+    topk = bm25_topk(spark, sf_dir)
+    hit = rel.withColumn("is_rel", F.lit(1))
+    agg = (
+        topk.join(hit, ["query_id", "doc_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("is_rel"), F.lit(0))).cast("long").alias("hits_at_k"),
+            F.coalesce(
+                F.min(F.when(F.col("is_rel") == 1, F.col("rnk"))), F.lit(0)
+            ).cast("long").alias("first_rel_rank"),
+        )
+    )
+    rr = F.round(
+        F.when(F.col("first_rel_rank") > 0, 1.0 / F.col("first_rel_rank")).otherwise(
+            0.0
+        ),
+        6,
+    )
+    return (
+        agg.join(F.broadcast(n_rel), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_rel"), F.lit(0).cast("long")).alias("n_rel"),
+            "hits_at_k",
+            "first_rel_rank",
+            rr.alias("rr"),
+        )
+    )
+
+
+RETRIEVAL_MRR_SQL = _TF_CTE + f"""
+, q(query_id, token) AS (VALUES {_BM25_VALUES}),
+nt AS (SELECT query_id, COUNT(DISTINCT token) AS n_terms FROM q GROUP BY 1),
+rel AS (
+  SELECT r.query_id, r.doc_id FROM (
+    SELECT q.query_id, t.doc_id, COUNT(DISTINCT t.token) AS nh
+    FROM tf t JOIN q ON q.token = t.token GROUP BY 1, 2
+  ) r JOIN nt ON nt.query_id = r.query_id WHERE r.nh = nt.n_terms
+),
+nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1),
+topk AS (SELECT * FROM ({{BM25}}) b),
+agg AS (
+  SELECT t.query_id,
+         CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k,
+         CAST(COALESCE(MIN(CASE WHEN r.doc_id IS NOT NULL THEN t.rnk END), 0) AS BIGINT) AS first_rel_rank
+  FROM topk t LEFT JOIN rel r ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+  GROUP BY 1
+)
+SELECT a.query_id, COALESCE(n.n_rel, 0) AS n_rel, a.hits_at_k, a.first_rel_rank,
+       ROUND(CASE WHEN a.first_rel_rank > 0 THEN 1.0 / a.first_rel_rank ELSE 0.0 END, 6) AS rr
+FROM agg a LEFT JOIN nrel n ON n.query_id = a.query_id
+""".replace("{BM25}", BM25_TOPK_SQL)
+
+
 QUERIES = {
     "doc_similarity_topk": doc_similarity_topk,
     "bm25_topk": bm25_topk,
     "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
+    "retrieval_mrr": retrieval_mrr,
 }
 ORACLE_SQL = {
     "doc_similarity_topk": DOC_SIMILARITY_TOPK_SQL,
     "bm25_topk": BM25_TOPK_SQL,
     "hybrid_retrieval_rrf": _hybrid_retrieval_rrf_sql(),
+    "retrieval_mrr": RETRIEVAL_MRR_SQL,
 }

@@ -191,11 +191,59 @@ FROM base
 """
 
 
+WEIGHTED_K = 100
+WEIGHTED_SALT = "wsample:v1:"
+
+
+def weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic weighted sampling without replacement — the
+    Efraimidis–Spirakis A-ES scheme: draw u_i ~ Uniform(0,1] per row,
+    keep the K rows with the SMALLEST -ln(u_i)/w_i (an Exp(w_i) draw,
+    so inclusion probability is proportional to weight). Here the
+    weight is n_chars — the "sample by token mass, not by document
+    count" move that keeps a length-weighted eval slice honest.
+
+    Determinism: u_i = (h_i + 1)/2^60 from the salted portable hash,
+    so the draw depends only on (salt, doc_id) — rerun/reorder/retry
+    stable, and a new salt redraws. The sort key snaps to
+    DECIMAL(28,12) with a doc_id tiebreak, so both engines select the
+    identical K.
+
+    Scale: the key is a per-row expression; global bottom-K is
+    Spark's distributed TakeOrdered (per-partition top-K, K rows per
+    partition merge at the driver) — no global window, no shuffle of
+    the corpus."""
+    docs = load_table(spark, sf_dir, "documents")
+    h = md5_hash60(F.concat(F.lit(WEIGHTED_SALT), F.col("doc_id").cast("string")))
+    u = (h + F.lit(1)).cast("double") / F.lit(float(2**60))
+    w = F.greatest(F.col("n_chars"), F.lit(1)).cast("double")
+    key = (-F.log(u) / w).cast("decimal(28,12)")
+    return (
+        docs.select("doc_id", "lang", "n_chars", key.alias("skey"))
+        .orderBy(F.asc("skey"), F.asc("doc_id"))
+        .limit(WEIGHTED_K)
+        .select("doc_id", "lang", "n_chars", F.round(F.col("skey").cast("double"), 9).alias("skey"))
+    )
+
+
+_WS_HASH = md5_hash60_sql(f"'{WEIGHTED_SALT}' || CAST(doc_id AS VARCHAR)")
+
+WEIGHTED_SAMPLE_SQL = f"""
+SELECT doc_id, lang, n_chars, ROUND(CAST(skey AS DOUBLE), 9) AS skey FROM (
+  SELECT doc_id, lang, n_chars,
+         CAST(-ln(({_WS_HASH} + 1) / CAST({2**60} AS DOUBLE))
+              / GREATEST(n_chars, 1) AS DECIMAL(28,12)) AS skey
+  FROM documents
+) t ORDER BY skey, doc_id LIMIT {WEIGHTED_K}
+"""
+
+
 QUERIES = {
     "doc_splits": doc_splits,
     "doc_sample_stratified": doc_sample_stratified,
     "reservoir_sample": reservoir_sample,
     "training_shuffle": training_shuffle,
+    "weighted_sample": weighted_sample,
 }
 
 ORACLE_SQL = {
@@ -203,4 +251,5 @@ ORACLE_SQL = {
     "doc_sample_stratified": DOC_SAMPLE_STRATIFIED_SQL,
     "reservoir_sample": RESERVOIR_SAMPLE_SQL,
     "training_shuffle": TRAINING_SHUFFLE_SQL,
+    "weighted_sample": WEIGHTED_SAMPLE_SQL,
 }

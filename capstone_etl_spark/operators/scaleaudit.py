@@ -1,0 +1,261 @@
+"""Operational scale-audit operators — the queries an engineer runs
+BEFORE pointing the engine at 100 TB.
+
+The engine's scale story (SCALE.md) rests on assumptions that are
+data-dependent: join keys are roughly uniform, output files land near
+the target size, and the ANN quantizer's Voronoi cells stay ≈√N.
+These operators turn each assumption into a first-class, oracle-checked
+query so the audit itself is part of the engine, not a notebook
+someone ran once:
+
+- key_skew_audit      — per join-key family: cardinality, hot-key mass,
+                        and the max/avg skew ratio that decides whether
+                        a join needs salting (functions/skew.py) or AQE
+                        skew splitting.
+- output_file_plan    — per (source, split) byte totals → the file
+                        count a writer should coalesce to so the lake
+                        never accumulates the small-files problem.
+- ivf_cell_balance    — per-cell population of the hash-sampled √N
+                        quantizer (similarity.quantizer_seeds), with
+                        the per-cell cap the scale tests assert. This
+                        is VERDICT r4 #2's concern made continuously
+                        observable.
+
+All three are pure aggregations — scan-shaped, map-side combinable,
+no window over anything bigger than a group — so the audit itself is
+cheap at any corpus size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from capstone_etl_spark.operators.sampling import split_column, split_sql_case
+from capstone_etl_spark.sources.tables import load_table
+
+# --- key skew audit ---------------------------------------------------------
+#
+# One row per join-key family the engine actually shuffles on. The skew
+# ratio is max-key count over mean-key count: ~1 means uniform (hash
+# partitioning balances), >> 1 means one reducer owns the hot key and
+# the join wants salting. hot_key is the argmax (smallest key on ties)
+# so the operator names the offender, not just the symptom.
+KEYSPACES: tuple[tuple[str, str, str], ...] = (
+    ("lineitem.l_partkey", "lineitem", "l_partkey"),
+    ("lineitem.l_suppkey", "lineitem", "l_suppkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("events.user_id", "events", "user_id"),
+)
+
+
+def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(keyspace, n_keys, n_rows, max_cnt, hot_key, skew_ratio) — one
+    row per audited join-key family.
+
+    Plan: each family is groupBy(key).count() (partial-aggregated
+    map-side) followed by a 1-row aggregate over the per-key counts;
+    the four 1-row results union. Nothing here is ever larger than the
+    key cardinality, and the final frame is 4 rows — scale-free."""
+    parts = []
+    for name, table, col in KEYSPACES:
+        cnt = (
+            load_table(spark, sf_dir, table)
+            .groupBy(F.col(col).cast("long").alias("k"))
+            .agg(F.count("*").alias("cnt"))
+        )
+        parts.append(
+            cnt.agg(
+                F.lit(name).alias("keyspace"),
+                F.count("*").cast("long").alias("n_keys"),
+                F.sum("cnt").cast("long").alias("n_rows"),
+                F.max("cnt").cast("long").alias("max_cnt"),
+                F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("k").alias("k")))[
+                    "k"
+                ].alias("hot_key"),
+                F.round(
+                    F.max("cnt") * F.count("*") / F.sum("cnt").cast("double"), 6
+                ).alias("skew_ratio"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _skew_sql_one(name: str, table: str, col: str) -> str:
+    return f"""
+SELECT '{name}' AS keyspace,
+       CAST(COUNT(*) AS BIGINT) AS n_keys,
+       CAST(SUM(cnt) AS BIGINT) AS n_rows,
+       CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+       (SELECT k FROM (SELECT CAST({col} AS BIGINT) AS k, COUNT(*) AS cnt
+                       FROM {table} GROUP BY 1) h
+        ORDER BY cnt DESC, k LIMIT 1) AS hot_key,
+       ROUND(MAX(cnt) * COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 6) AS skew_ratio
+FROM (SELECT CAST({col} AS BIGINT) AS k, COUNT(*) AS cnt FROM {table} GROUP BY 1) c
+"""
+
+
+KEY_SKEW_AUDIT_SQL = "\nUNION ALL\n".join(
+    _skew_sql_one(name, table, col) for name, table, col in KEYSPACES
+)
+
+
+# --- output file planning ---------------------------------------------------
+#
+# The writer-side answer to the small-files problem: how many files
+# should each (source, split) partition coalesce to so files land near
+# the target size? In production the target is 128-512 MB (one HDFS/S3
+# block, one task per file on re-read); the fixture constant is small
+# so the arithmetic exercises multi-file plans at test scale. n_chars
+# is the byte proxy the synthetic corpus carries; a production run
+# would use the encoded on-disk estimate instead.
+FILE_TARGET_BYTES = 4096
+
+
+def output_file_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, split, n_docs, total_bytes, target_files, docs_per_file)
+    — the repartition plan a partitioned writer (sinks/writers.py
+    partition_by=["source","split"]) should apply before writing.
+
+    Plan: split is the salted-hash per-row expression (sampling.py —
+    no shuffle to assign), then ONE groupBy(source, split) aggregate;
+    the ceil arithmetic is per-group scalar math on the 40-row result."""
+    docs = load_table(spark, sf_dir, "documents")
+    agg = (
+        docs.select("source", split_column(F.col("doc_id")).alias("split"), "n_chars")
+        .groupBy("source", "split")
+        .agg(F.count("*").cast("long").alias("n_docs"), F.sum("n_chars").cast("long").alias("total_bytes"))
+    )
+    target = F.greatest(
+        F.lit(1).cast("long"),
+        F.ceil(F.col("total_bytes") / F.lit(FILE_TARGET_BYTES).cast("double")),
+    )
+    return agg.select(
+        "source",
+        "split",
+        "n_docs",
+        "total_bytes",
+        target.alias("target_files"),
+        F.ceil(F.col("n_docs") / target.cast("double")).cast("long").alias("docs_per_file"),
+    )
+
+
+OUTPUT_FILE_PLAN_SQL = f"""
+WITH agg AS (
+  SELECT source, {split_sql_case('doc_id')} AS split,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars) AS BIGINT) AS total_bytes
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, split, n_docs, total_bytes,
+       GREATEST(1, CAST(ceil(total_bytes / {FILE_TARGET_BYTES}.0) AS BIGINT)) AS target_files,
+       CAST(ceil(n_docs / CAST(GREATEST(1, CAST(ceil(total_bytes / {FILE_TARGET_BYTES}.0) AS BIGINT)) AS DOUBLE)) AS BIGINT) AS docs_per_file
+FROM agg
+"""
+
+
+# --- IVF / SemDeDup cell balance -------------------------------------------
+#
+# The quantized-blocking family (ann_ivf_topk, semantic_dedup) is
+# quadratic WITHIN a cell, so its 100 TB viability is exactly "no cell
+# grows past a small multiple of √N" (VERDICT r4 #2; the hash-sampled
+# seed fix). test_quantizer_scaling asserts the cap on fixtures; this
+# operator reports the live distribution on the real corpus, with the
+# same 4·√N cap the test uses surfaced as a boolean per cell.
+CELL_CAP_FACTOR = 4
+
+
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, pop, share, over_cap) — population of every Voronoi cell
+    of the hash-sampled quantizer over the embeddings corpus.
+
+    Plan: identical quantize → seed-sample → nearest-seed assignment
+    as ann_ivf_topk (the seeds travel as one broadcast array), then
+    groupBy(cell).count() and a 1-row corpus total broadcast back for
+    the share/cap columns. The output is ≈√N rows."""
+    from capstone_etl_spark.operators.similarity import (
+        CENTROID_SCALE,
+        quantizer_seeds,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        "embedding",
+        lambda v: F.floor(v.cast("double") * CENTROID_SCALE + 0.5).cast("long"),
+    )
+    emb_q = emb.select("vec_id", quant.alias("vq"))
+    seeds = quantizer_seeds(emb_q)
+    d2_col = F.aggregate(
+        F.zip_with("vq", "sq", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assign = (
+        emb_q.join(F.broadcast(seeds), F.lit(True))
+        .select("vec_id", "cell", d2_col.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
+    )
+    pops = assign.groupBy("cell").agg(F.count("*").cast("long").alias("pop"))
+    total = pops.agg(F.sum("pop").cast("double").alias("n_vec"))
+    cap = F.ceil(F.lit(CELL_CAP_FACTOR) * F.sqrt(F.col("n_vec"))).cast("long")
+    return (
+        pops.join(F.broadcast(total), F.lit(True))
+        .select(
+            "cell",
+            "pop",
+            F.round(F.col("pop") / F.col("n_vec"), 6).alias("share"),
+            (F.col("pop") > cap).alias("over_cap"),
+        )
+    )
+
+
+def _ivf_cell_balance_sql() -> str:
+    from capstone_etl_spark.operators.similarity import (
+        _SEED_IDS_SQL,
+        CENTROID_SCALE,
+        DIM,
+    )
+
+    return f"""
+WITH by_dim AS (
+  SELECT vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
+), {_SEED_IDS_SQL}, seeds AS (
+  SELECT b.vec_id AS cell, b.d, b.vs AS ss
+  FROM by_dim b JOIN seed_ids si ON si.vec_id = b.vec_id
+), vec_seed_d2 AS (
+  SELECT v.vec_id, s.cell, CAST(SUM((v.vs - s.ss) * (v.vs - s.ss)) AS BIGINT) AS d2
+  FROM by_dim v JOIN seeds s ON s.d = v.d
+  GROUP BY v.vec_id, s.cell
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS arnk
+    FROM vec_seed_d2
+  ) t WHERE arnk = 1
+), pops AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS pop FROM assign GROUP BY 1
+), total AS (SELECT CAST(SUM(pop) AS DOUBLE) AS n_vec FROM pops)
+SELECT cell, pop,
+       ROUND(pop / t.n_vec, 6) AS share,
+       pop > CAST(ceil({CELL_CAP_FACTOR} * sqrt(t.n_vec)) AS BIGINT) AS over_cap
+FROM pops CROSS JOIN total t
+"""
+
+
+QUERIES = {
+    "key_skew_audit": key_skew_audit,
+    "output_file_plan": output_file_plan,
+    "ivf_cell_balance": ivf_cell_balance,
+}
+
+ORACLE_SQL = {
+    "key_skew_audit": KEY_SKEW_AUDIT_SQL,
+    "output_file_plan": OUTPUT_FILE_PLAN_SQL,
+    "ivf_cell_balance": _ivf_cell_balance_sql(),
+}

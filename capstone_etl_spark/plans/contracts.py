@@ -137,6 +137,16 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "composes bm25_topk + ann_pq_topk — inherits their 1-row "
         "corpus-stats and quantizer-seed broadcasts (doc_similarity.py)"
     ),
+    "ivf_cell_balance": (
+        "the hash-sampled ~sqrt(N) quantizer-seed broadcast "
+        "(similarity.quantizer_seeds' 1-row stats join) + a 1-row "
+        "corpus-total broadcast for the share/cap columns "
+        "(scaleaudit.py)"
+    ),
+    "retrieval_mrr": (
+        "composes bm25_topk — inherits its 1-row corpus "
+        "doc-count/avgdl broadcast (doc_similarity.py)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and
@@ -251,4 +261,10 @@ HEADLINE: list[str] = [
     "ann_pq_topk",
     "cooccurrence_triangles",
     "hybrid_retrieval_rrf",
+    # round-5 session-3 additions
+    "key_skew_audit",
+    "output_file_plan",
+    "ivf_cell_balance",
+    "weighted_sample",
+    "retrieval_mrr",
 ]

@@ -69,6 +69,12 @@ NAMES = [
     "dsir_importance",
     "token_budget_selection",
     "bm25_topk",
+    # round-5 session-3 ops: empty/whitespace docs weight-floor to 1
+    # (weighted_sample), zero-byte files still plan ≥1 file
+    # (output_file_plan), queries with zero relevant docs (retrieval_mrr)
+    "output_file_plan",
+    "weighted_sample",
+    "retrieval_mrr",
 ]
 
 
@@ -118,6 +124,9 @@ EMB_NAMES = [
     # identical vectors → tied distances; PQ argmin must tiebreak
     # identically in both engines
     "embedding_pq",
+    # identical vectors → every seed at distance 0 from every vector;
+    # the cell-balance assignment must tiebreak to the same cell
+    "ivf_cell_balance",
 ]
 
 
