@@ -90,7 +90,9 @@ _PRIORITY = [
     "bpe_learn_merges",
     "stream_count_min",
     "curation_verdict",
-    "source_quality_summary",
+    # source_quality_summary yields its window slot to dedup_incremental
+    # (it composes curation_verdict, whose in-window row attests the
+    # shared machinery); it re-joins at 51+.
     # NEW this session — recursive-CTE-oracled subtree rollup, DSIR
     # importance weights, budget-prefix selection
     "hierarchy_rollup",
@@ -107,6 +109,7 @@ _PRIORITY = [
     "ivf_cell_balance",
     "weighted_sample",
     "retrieval_mrr",
+    "dedup_incremental",
     # multimodal byte-semantics fix (r5 degenerate-corpus sweep):
     # frame_dedup covers the redefined fingerprints/byte lengths
     # inside the window; stats/meta/frames follow at 51+ (attested
@@ -134,6 +137,7 @@ _PRIORITY = [
     "bpe_apply_merge",
     "length_quartiles_per_source",
     "stream_mixing_weights",
+    "source_quality_summary",
     "late_shipment_priority",
     "supplier_count_by_part_class",
     "dominant_bolt_suppliers",

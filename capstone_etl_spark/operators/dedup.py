@@ -960,6 +960,121 @@ GROUP BY source_a, source_b
 """
 
 
+# ------------------------------------------------- incremental dedup
+#
+# The production shape batch dedup papers call "online" or "index"
+# dedup: the corpus is already deduplicated (the BASE); a new crawl
+# increment (the DELTA) arrives and each delta document must be
+# admitted or rejected against base ∪ earlier-delta — WITHOUT ever
+# re-comparing base×base. Cost is delta-driven: the only pairs that
+# exist are (delta, base) and (delta, earlier-delta), so a 1% daily
+# increment of a 100 TB corpus costs ~1% of a full-dedup run, not a
+# fresh quadratic pass. The fixture's delta is a salted-hash bucket of
+# doc_ids (deterministic stand-in for "today's arrivals").
+DELTA_SALT = "delta:v1:"
+DELTA_PCT = 10
+
+
+def _is_delta(doc_id_col):
+    b = md5_hash60(F.concat(F.lit(DELTA_SALT), doc_id_col.cast("string"))) % 100
+    return b < DELTA_PCT
+
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, is_dup, dup_of, n_dups, best_jaccard) — the admission
+    verdict for every DELTA document: is_dup when some base or
+    earlier-delta document matches at n-gram Jaccard ≥ threshold;
+    dup_of is the smallest matching partner id (the canonical survivor
+    — itself when new); best_jaccard that partner's score.
+
+    Plan: one shingle pass over the corpus (shared relation, df-cap
+    applied before any join); the candidate join PROBES the inverted
+    shingle index with only the delta side — the base×base quadrant is
+    excluded by predicate, so candidate volume scales with |delta|·df,
+    never |base|². Verdict assembly is two left joins on the
+    delta-sized key. The delta membership is a pure doc_id expression
+    (no join to tag rows)."""
+    docs = _docs(spark, sf_dir)
+    sh = shingles(docs).transform(cached)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a = sh.filter(_is_delta(F.col("doc_id"))).alias("a")
+    b = sh.alias("b")
+    # partner is admissible iff it is base, or an earlier delta doc
+    partner_ok = (~_is_delta(F.col("b.doc_id"))) | (
+        F.col("b.doc_id") < F.col("a.doc_id")
+    )
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .filter(partner_ok)
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+    pairs = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .filter(jac >= JACCARD_THRESHOLD)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+    best = pairs.groupBy("doc_a").agg(
+        F.min(F.struct("doc_b", "jaccard")).alias("m"),
+        F.count("*").cast("long").alias("n_dups"),
+    )
+    delta_docs = docs.select("doc_id").filter(_is_delta(F.col("doc_id")))
+    return (
+        delta_docs.join(best.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("m").isNotNull().alias("is_dup"),
+            F.coalesce(F.col("m.doc_b"), F.col("doc_id")).alias("dup_of"),
+            F.coalesce(F.col("n_dups"), F.lit(0).cast("long")).alias("n_dups"),
+            F.coalesce(F.col("m.jaccard"), F.lit(0.0)).alias("best_jaccard"),
+        )
+    )
+
+
+def _delta_pred_sql(id_expr: str) -> str:
+    """DuckDB mirror of _is_delta for a doc-id expression."""
+    inner = f"'{DELTA_SALT}' || CAST({id_expr} AS VARCHAR)"
+    return f"(({md5_hash60_sql(inner)} % 100) < {DELTA_PCT})"
+
+
+DEDUP_INCREMENTAL_SQL = _SHINGLES_CTE + f"""
+, sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY 1),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a
+  JOIN shingles b ON b.sh = a.sh AND b.doc_id <> a.doc_id
+  WHERE {_delta_pred_sql('a.doc_id')}
+    AND (NOT {_delta_pred_sql('b.doc_id')} OR b.doc_id < a.doc_id)
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT doc_a, doc_b,
+         ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+  FROM inter
+  JOIN sizes sa ON sa.doc_id = doc_a
+  JOIN sizes sb ON sb.doc_id = doc_b
+  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {JACCARD_THRESHOLD}
+), best AS (
+  SELECT doc_a, MIN(doc_b) AS dup_of, CAST(COUNT(*) AS BIGINT) AS n_dups
+  FROM pairs GROUP BY 1
+), bj AS (
+  SELECT p.doc_a, p.jaccard FROM pairs p JOIN best b ON b.doc_a = p.doc_a AND b.dup_of = p.doc_b
+)
+SELECT d.doc_id,
+       (b.doc_a IS NOT NULL) AS is_dup,
+       COALESCE(b.dup_of, d.doc_id) AS dup_of,
+       COALESCE(b.n_dups, 0) AS n_dups,
+       COALESCE(bj.jaccard, 0.0) AS best_jaccard
+FROM documents d
+LEFT JOIN best b ON b.doc_a = d.doc_id
+LEFT JOIN bj ON bj.doc_a = d.doc_id
+WHERE {_delta_pred_sql('d.doc_id')}
+"""
+
+
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
@@ -972,6 +1087,7 @@ QUERIES = {
     "gram_novelty": gram_novelty,
     "repeated_ngram_spans": repeated_ngram_spans,
     "dedup_source_matrix": dedup_source_matrix,
+    "dedup_incremental": dedup_incremental,
 }
 
 ORACLE_SQL = {
@@ -986,4 +1102,5 @@ ORACLE_SQL = {
     "gram_novelty": GRAM_NOVELTY_SQL,
     "repeated_ngram_spans": REPEATED_NGRAM_SPANS_SQL,
     "dedup_source_matrix": DEDUP_SOURCE_MATRIX_SQL,
+    "dedup_incremental": DEDUP_INCREMENTAL_SQL,
 }

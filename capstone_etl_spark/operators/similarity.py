@@ -1287,11 +1287,21 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
     upper = cov.select(
         "i", "j", F.floor(F.col("cov") * PCA_SCALE + 0.5).cast("long").alias("ac")
     )
-    amat = upper.unionByName(
-        upper.filter(F.col("i") != F.col("j")).select(
-            F.col("j").alias("i"), F.col("i").alias("j"), "ac"
+    # The matrix is DIM² = 4,096 rows REGARDLESS of corpus size, and
+    # every downstream iteration relation is ≤ DIM rows — single-
+    # partition them so the 10 unrolled rounds run one task apiece
+    # instead of paying 32-partition shuffle/task overhead per round
+    # (measured ~40% of the query's wall time at sf0.1; the corpus-
+    # scale work all happens upstream in embedding_covariance).
+    amat = (
+        upper.unionByName(
+            upper.filter(F.col("i") != F.col("j")).select(
+                F.col("j").alias("i"), F.col("i").alias("j"), "ac"
+            )
         )
-    ).transform(cached)
+        .coalesce(1)
+        .transform(cached)
+    )
     v = amat.select("i").distinct().select("i", F.lit(PCA_SCALE).cast("long").alias("v"))
     wmax = None
     for _ in range(PCA_ITERS):

@@ -267,4 +267,5 @@ HEADLINE: list[str] = [
     "ivf_cell_balance",
     "weighted_sample",
     "retrieval_mrr",
+    "dedup_incremental",
 ]

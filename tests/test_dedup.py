@@ -104,3 +104,68 @@ def test_repeated_ngram_spans_flags_planted_substring(spark, tmp_path):
         assert got[d].n_flagged == REPEAT_SPAN_N + 4
         assert abs(got[d].flagged_ratio - (REPEAT_SPAN_N + 4) / got[d].n_tokens) < 1e-12
     assert got[2].n_spans == 0 and got[2].n_flagged == 0
+
+
+def test_dedup_incremental_agrees_with_batch_pairs(spark, sf_dir):
+    """Every delta doc flagged is_dup must appear in the full batch
+    pair relation with an admissible partner (base or earlier delta),
+    and every delta doc with such a batch pair must be flagged — the
+    incremental path finds exactly the batch answer restricted to the
+    delta quadrants."""
+    from capstone_etl_spark.operators.dedup import (
+        _is_delta,
+        dedup_incremental,
+        ngram_jaccard_pairs,
+    )
+
+    verdicts = {r.doc_id: r for r in dedup_incremental(spark, sf_dir).collect()}
+    pairs = ngram_jaccard_pairs(spark, sf_dir).collect()
+    docs = spark.createDataFrame(
+        [(d,) for d in verdicts], "doc_id long"
+    ).select("doc_id", _is_delta(F.col("doc_id")).alias("d"))
+    assert all(r.d for r in docs.collect())  # the verdict set IS the delta
+
+    delta = set(verdicts)
+    expect_dup: dict[int, set[int]] = {}
+    for p in pairs:  # doc_a < doc_b in the batch relation
+        if p.doc_b in delta:
+            expect_dup.setdefault(p.doc_b, set()).add(p.doc_a)
+        if p.doc_a in delta and p.doc_b not in delta:
+            expect_dup.setdefault(p.doc_a, set()).add(p.doc_b)
+    for doc_id, r in verdicts.items():
+        partners = expect_dup.get(doc_id, set())
+        assert r.is_dup == bool(partners), (doc_id, partners)
+        if partners:
+            assert r.dup_of == min(partners)
+            assert r.n_dups == len(partners)
+        else:
+            assert r.dup_of == doc_id and r.n_dups == 0 and r.best_jaccard == 0.0
+
+
+def test_dedup_incremental_never_probes_base_base(spark):
+    """Structural contract: a base-only corpus yields ZERO verdict rows
+    (no delta, no work) — the base×base quadrant is never compared."""
+    from capstone_etl_spark.operators.dedup import _is_delta, dedup_incremental
+    import pandas as pd
+
+    # build a corpus whose every doc_id is OUTSIDE the delta bucket
+    ids = (
+        spark.range(0, 2000)
+        .select(F.col("id").alias("doc_id"))
+        .filter(~_is_delta(F.col("doc_id")))
+        .limit(20)
+        .collect()
+    )
+    import tempfile, os
+    d = tempfile.mkdtemp()
+    pdf = pd.DataFrame(
+        {
+            "doc_id": [r.doc_id for r in ids],
+            "text": [BASE for _ in ids],
+            "lang": ["en"] * len(ids),
+            "source": ["web"] * len(ids),
+            "n_chars": [len(BASE)] * len(ids),
+        }
+    )
+    pdf.to_parquet(os.path.join(d, "documents.parquet"))
+    assert dedup_incremental(spark, d).count() == 0

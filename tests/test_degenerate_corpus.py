@@ -75,6 +75,8 @@ NAMES = [
     "output_file_plan",
     "weighted_sample",
     "retrieval_mrr",
+    # delta docs with no shingles (empty/short text) must verdict as new
+    "dedup_incremental",
 ]
 
 
