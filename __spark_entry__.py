@@ -132,6 +132,9 @@ _PRIORITY = [
     # three deferred TPC-H shapes (locally attested, no driver row
     # yet), then queries driver-green in some round. All are green in
     # the committed local full gate (ATTEST_r5.json).
+    "ann_ivf_pq_topk",
+    "zorder_file_layout",
+    "event_scd_intervals",
     "embedding_dim_stats",
     "count_min_error",
     "bpe_apply_merge",

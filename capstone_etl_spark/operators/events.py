@@ -1022,7 +1022,71 @@ ORDER BY from_type, to_type
 """
 
 
+def scd_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 slowly-changing-dimension history from the event stream:
+    consecutive same-type runs per user collapse into validity
+    intervals [valid_from, valid_to) with is_current on the open one —
+    the standard warehouse shape for "what was this user's state at
+    time T" (point-in-time joins read it with BETWEEN).
+
+    Plan: gaps-and-islands — two row_numbers per user (their
+    difference is constant within a run), one aggregate per island,
+    one LEAD for the closing edge. All three windows partition on
+    user_id (uniform key, bounded by a user's own history); nothing is
+    corpus-global. Exactness: interval edges are the event timestamps
+    themselves (cast to long seconds; no float anywhere)."""
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir).select(
+        "user_id", "event_type", F.col("ts").cast("long").alias("ts_sec"), "event_id"
+    )
+    w_all = Window.partitionBy("user_id").orderBy("ts_sec", "event_id")
+    w_typ = Window.partitionBy("user_id", "event_type").orderBy("ts_sec", "event_id")
+    islands = ev.select(
+        "user_id",
+        "event_type",
+        "ts_sec",
+        (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
+    )
+    runs = islands.groupBy("user_id", "event_type", "grp").agg(
+        F.min("ts_sec").alias("valid_from"),
+        F.count("*").cast("long").alias("n_events"),
+    )
+    w_run = Window.partitionBy("user_id").orderBy("valid_from")
+    return runs.select(
+        "user_id",
+        "event_type",
+        "valid_from",
+        F.lead("valid_from").over(w_run).alias("valid_to"),
+        F.lead("valid_from").over(w_run).isNull().alias("is_current"),
+        "n_events",
+    )
+
+
+EVENT_SCD_INTERVALS_SQL = """
+WITH ev AS (
+  SELECT user_id, event_type, FLOOR(epoch(ts))::BIGINT AS ts_sec, event_id
+  FROM events
+), islands AS (
+  SELECT user_id, event_type, ts_sec,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_sec, event_id)
+         - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts_sec, event_id) AS grp
+  FROM ev
+), runs AS (
+  SELECT user_id, event_type, MIN(ts_sec) AS valid_from,
+         CAST(COUNT(*) AS BIGINT) AS n_events
+  FROM islands GROUP BY user_id, event_type, grp
+)
+SELECT user_id, event_type, valid_from,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current,
+       n_events
+FROM runs
+"""
+
+
 QUERIES = {
+    "event_scd_intervals": scd_intervals,
     "event_tumbling_windows": tumbling_windows,
     "event_sliding_windows": sliding_windows,
     "event_sessions": sessionize,
@@ -1050,6 +1114,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "event_scd_intervals": EVENT_SCD_INTERVALS_SQL,
     "event_tumbling_windows": TUMBLING_WINDOWS_SQL,
     "event_sliding_windows": SLIDING_WINDOWS_SQL,
     "event_sessions": SESSIONIZE_SQL,

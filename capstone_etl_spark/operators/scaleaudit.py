@@ -248,14 +248,100 @@ FROM pops CROSS JOIN total t
 """
 
 
+# --- z-order layout ---------------------------------------------------------
+#
+# Multi-dimensional data clustering (the lakehouse OPTIMIZE ZORDER BY
+# move): interleave the bits of two filter dimensions so that sorting
+# by the interleaved key co-locates rows that are close in EITHER
+# dimension — min/max file statistics then prune most files for
+# point/range predicates on either column, where a single-column sort
+# only serves one. This operator computes the z-key for the events
+# table over (user bucket, day bucket) and reports the resulting
+# per-file locality: how narrow each file's user-span and day-span
+# would be under a z-ordered rewrite.
+Z_BITS = 8          # bits per dimension → 16-bit z-space
+Z_FILES = 64        # target files over the z-space
+Z_EPOCH = "1970-01-01"
+
+
+def _zkey(ub, db):  # Column, Column -> Column (bit interleave)
+    z = F.lit(0).cast("long")
+    for i in range(Z_BITS):
+        z = (
+            z
+            + F.shiftleft(F.shiftright(ub, i).bitwiseAND(F.lit(1)), 2 * i)
+            + F.shiftleft(F.shiftright(db, i).bitwiseAND(F.lit(1)), 2 * i + 1)
+        )
+    return z
+
+
+def _zkey_sql(ub: str, db: str) -> str:
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({ub} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({db} >> {i}) & 1) << {2 * i + 1})")
+    return "(" + " + ".join(terms) + ")"
+
+
+def zorder_file_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(file_id, n_rows, n_users, user_span, day_span) — the locality
+    a z-ordered rewrite of events on (user, day) achieves per target
+    file: both spans stay narrow simultaneously, which is the property
+    min/max pruning needs and a one-column sort cannot give.
+
+    Plan: the z-key is a per-row bit expression (no shuffle to
+    assign); file_id = zkey / (z-space / Z_FILES) is per-row too; one
+    groupBy(file_id) aggregation ends it. At any corpus size the
+    output is Z_FILES rows; a real rewrite would repartitionByRange on
+    the same key expression."""
+    ev = load_table(spark, sf_dir, "events")
+    ub = (F.col("user_id") % (1 << Z_BITS)).cast("long")
+    db = (F.datediff(F.col("ts").cast("date"), F.lit(Z_EPOCH).cast("date")) % (1 << Z_BITS)).cast("long")
+    z = _zkey(ub, db)
+    per_file = F.lit((1 << (2 * Z_BITS)) // Z_FILES).cast("long")
+    rows = ev.select(
+        (z / per_file).cast("long").alias("file_id"),
+        ub.alias("ub"),
+        db.alias("db"),
+        "user_id",
+    )
+    return rows.groupBy("file_id").agg(
+        F.count("*").cast("long").alias("n_rows"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+        (F.max("ub") - F.min("ub")).cast("long").alias("user_span"),
+        (F.max("db") - F.min("db")).cast("long").alias("day_span"),
+    )
+
+
+_Z_UB = f"(user_id % {1 << Z_BITS})"
+_Z_DB = f"(datediff('day', DATE '{Z_EPOCH}', CAST(ts AS DATE)) % {1 << Z_BITS})"
+
+ZORDER_FILE_LAYOUT_SQL = f"""
+WITH rows_z AS (
+  SELECT CAST({_zkey_sql(_Z_UB, _Z_DB)} // {(1 << (2 * Z_BITS)) // Z_FILES} AS BIGINT) AS file_id,
+         {_Z_UB} AS ub, {_Z_DB} AS db, user_id
+  FROM events
+)
+SELECT file_id,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(MAX(ub) - MIN(ub) AS BIGINT) AS user_span,
+       CAST(MAX(db) - MIN(db) AS BIGINT) AS day_span
+FROM rows_z
+GROUP BY file_id
+"""
+
+
 QUERIES = {
     "key_skew_audit": key_skew_audit,
     "output_file_plan": output_file_plan,
     "ivf_cell_balance": ivf_cell_balance,
+    "zorder_file_layout": zorder_file_layout,
 }
 
 ORACLE_SQL = {
     "key_skew_audit": KEY_SKEW_AUDIT_SQL,
     "output_file_plan": OUTPUT_FILE_PLAN_SQL,
     "ivf_cell_balance": _ivf_cell_balance_sql(),
+    "zorder_file_layout": ZORDER_FILE_LAYOUT_SQL,
 }

@@ -810,6 +810,146 @@ FROM (
 """
 
 
+def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ top-k — the production ANN index shape (FAISS IVFPQ,
+    non-residual variant): the coarse √N-cell quantizer prunes the
+    corpus to a query's probed cells (ann_ivf_topk's first stage), and
+    ranking inside the candidate set runs over COMPRESSED codes via
+    ADC table lookups (ann_pq_topk's second stage) — raw vectors are
+    touched by neither stage at query time. This is the configuration
+    that serves 100 TB: the inverted file bounds the scan to
+    ~probes/cells ≈ N^(-1/4) of the corpus, and each candidate costs
+    M table lookups instead of a DIM-float cosine.
+
+    Shared work: the per-(vector, subspace, seed) distance relation is
+    computed ONCE — the coarse full-dim distance is its per-(vector,
+    seed) sum (Σ_m d2_m = d2_full exactly, same integer grid), so the
+    coarse assignment, the query probes, the corpus codes and the
+    query ADC tables all fold out of one cached relation.
+
+    Exactness: every quantity is exact int64 arithmetic until the one
+    final sqrt (the IVF recipe); ranking tiebreaks on neighbor_id.
+    Scale: coarse+code state per vector is M codewords; the ADC join
+    is a broadcast equi-join on (query, subspace, codeword) at
+    (queries × M × ≈√N) rows; the candidate join shuffles on the
+    uniform cell key. No corpus self-join, no explode fan-out."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = F.transform(
+        "embedding", lambda v: F.floor(v.cast("double") * CENTROID_SCALE + 0.5).cast("long")
+    )
+    emb_q = emb.select("vec_id", quant.alias("vq"))
+    seeds = quantizer_seeds(emb_q)
+    dists = cached(_pq_subspace_dists(emb_q, seeds))
+    # coarse: full-dim distance = sum of the M subspace distances
+    full = dists.groupBy("vec_id", "cell").agg(F.sum("d2").alias("d2f"))
+    assign = (
+        full.groupBy("vec_id")
+        .agg(F.min(F.struct("d2f", "cell")).alias("a"))
+        .select("vec_id", F.col("a.cell").alias("cell"))
+    )
+    n_cells = seeds.agg(F.count("*").alias("n_cells"))
+    probe_k = F.greatest(
+        F.lit(IVF_PROBES_MIN).cast("long"),
+        F.ceil(F.sqrt(F.col("n_cells").cast("double"))),
+    )
+    pw = Window.partitionBy("vec_id").orderBy(F.asc("d2f"), F.asc("cell"))
+    probes = (
+        full.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("prnk", F.row_number().over(pw))
+        .join(F.broadcast(n_cells), F.lit(True))
+        .filter(F.col("prnk") <= probe_k)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    # fine: PQ codes for the corpus, ADC tables for the queries
+    codes = (
+        dists.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "cell")).alias("b"))
+        .select(F.col("vec_id").alias("neighbor_id"), "m", F.col("b.cell").alias("cw"))
+    )
+    qtab = dists.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("cell").alias("cw"), F.col("d2").alias("qd2")
+    )
+    cand = (
+        probes.join(assign.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(qtab), ["query_id", "m", "cw"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd2").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.sqrt(F.col("adc").cast("double")) / F.lit(float(CENTROID_SCALE)), 6
+            ).alias("adc_dist"),
+            "rnk",
+        )
+    )
+
+
+ANN_IVF_PQ_TOPK_SQL = f"""
+WITH by_dim AS (
+  SELECT vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
+), {_SEED_IDS_SQL}, seeds AS (
+  SELECT b.vec_id AS cell, b.d, b.vs AS ss
+  FROM by_dim b JOIN seed_ids si ON si.vec_id = b.vec_id
+), dists AS (
+  SELECT v.vec_id, v.d // {PQ_SUBDIM} AS m, s.cell,
+         CAST(SUM((v.vs - s.ss) * (v.vs - s.ss)) AS BIGINT) AS d2
+  FROM by_dim v JOIN seeds s ON s.d = v.d
+  GROUP BY v.vec_id, v.d // {PQ_SUBDIM}, s.cell
+), coarse AS (
+  SELECT vec_id, cell, CAST(SUM(d2) AS BIGINT) AS d2f FROM dists GROUP BY 1, 2
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2f, cell) AS arnk
+    FROM coarse
+  ) t WHERE arnk = 1
+), probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2f, cell) AS prnk
+    FROM coarse WHERE vec_id < {N_QUERIES}
+  ) t WHERE prnk <= GREATEST({IVF_PROBES_MIN},
+        CAST(ceil(sqrt((SELECT COUNT(*) FROM seed_ids))) AS BIGINT))
+), codes AS (
+  SELECT vec_id AS neighbor_id, m, cell AS cw FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) AS r
+    FROM dists
+  ) t WHERE r = 1
+), qtab AS (
+  SELECT vec_id AS query_id, m, cell AS cw, d2 AS qd2 FROM dists WHERE vec_id < {N_QUERIES}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+), adc AS (
+  SELECT c.query_id, c.neighbor_id, CAST(SUM(q.qd2) AS BIGINT) AS adc
+  FROM cand c
+  JOIN codes k ON k.neighbor_id = c.neighbor_id
+  JOIN qtab q ON q.query_id = c.query_id AND q.m = k.m AND q.cw = k.cw
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id,
+       ROUND(sqrt(CAST(adc AS DOUBLE)) / {CENTROID_SCALE}.0, 6) AS adc_dist, rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk
+  FROM adc
+) t WHERE rnk <= {TOP_K}
+"""
+
+
 KMEANS_CELLS = 8
 
 
@@ -1484,6 +1624,7 @@ QUERIES = {
     "embedding_whitening": embedding_whitening,
     "embedding_pq": embedding_pq,
     "ann_pq_topk": ann_pq_topk,
+    "ann_ivf_pq_topk": ann_ivf_pq_topk,
 }
 
 ORACLE_SQL = {
@@ -1503,4 +1644,5 @@ ORACLE_SQL = {
     "embedding_whitening": EMBEDDING_WHITENING_SQL,
     "embedding_pq": EMBEDDING_PQ_SQL,
     "ann_pq_topk": ANN_PQ_TOPK_SQL,
+    "ann_ivf_pq_topk": ANN_IVF_PQ_TOPK_SQL,
 }

@@ -133,6 +133,11 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "distance tables are a (queries x M x ~sqrt(N))-row broadcast "
         "equi-join, not cartesian (similarity.py)"
     ),
+    "ann_ivf_pq_topk": (
+        "composes the IVF probe and the PQ ADC rank — inherits the "
+        "~sqrt(N) quantizer-seed broadcast and the 1-row probe-count "
+        "broadcast (similarity.py)"
+    ),
     "hybrid_retrieval_rrf": (
         "composes bm25_topk + ann_pq_topk — inherits their 1-row "
         "corpus-stats and quantizer-seed broadcasts (doc_similarity.py)"
@@ -268,4 +273,7 @@ HEADLINE: list[str] = [
     "weighted_sample",
     "retrieval_mrr",
     "dedup_incremental",
+    "ann_ivf_pq_topk",
+    "zorder_file_layout",
+    "event_scd_intervals",
 ]

@@ -129,6 +129,9 @@ EMB_NAMES = [
     # identical vectors → every seed at distance 0 from every vector;
     # the cell-balance assignment must tiebreak to the same cell
     "ivf_cell_balance",
+    # tied coarse probes AND tied ADC codes — both stages must
+    # tiebreak identically in both engines
+    "ann_ivf_pq_topk",
 ]
 
 

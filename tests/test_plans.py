@@ -145,6 +145,7 @@ def test_no_unpartitioned_windows_in_registered_queries(spark):
         "token_vector_collection", "order_date_rollup",
         "orders_per_customer_rank", "customer_yoy_revenue", "top_supplier",
         "sparse_vectors", "sparse_vector_strings", "doc_similarity_topk",
+        "event_scd_intervals",
     ]
     bad = {}
     for name in names:

@@ -127,3 +127,54 @@ def test_retrieval_mrr_relevance_is_term_containment(spark, sf_dir):
             t.doc_id for t in topk if t.query_id == qid and t.rnk == r.first_rel_rank
         )
         assert set(terms[qid]) <= docs[hit]
+
+
+def test_zorder_layout_covers_and_localizes(spark, sf_dir):
+    from capstone_etl_spark.operators.scaleaudit import (
+        Z_BITS,
+        Z_FILES,
+        zorder_file_layout,
+    )
+
+    rows = zorder_file_layout(spark, sf_dir).collect()
+    ev_n = load_table(spark, sf_dir, "events").count()
+    assert sum(r.n_rows for r in rows) == ev_n            # every event filed
+    assert all(0 <= r.file_id < Z_FILES for r in rows)
+    side = 1 << Z_BITS
+    for r in rows:
+        assert 0 <= r.user_span < side and 0 <= r.day_span < side
+    # THE z-order property: each file covers a narrow band of BOTH
+    # dimensions simultaneously — a file's z-range of size 2^16/Z_FILES
+    # spans at most ~sqrt(range) per dimension (here 32 of 256 values,
+    # plus one boundary step).
+    max_side = (1 << (2 * Z_BITS)) // Z_FILES
+    import math
+
+    bound = 2 * int(math.sqrt(max_side))
+    assert all(r.user_span <= bound and r.day_span <= bound for r in rows), [
+        (r.file_id, r.user_span, r.day_span) for r in rows
+    ]
+
+
+def test_event_scd_intervals_tile_history(spark, sf_dir):
+    """Intervals per user must tile: ordered, non-overlapping,
+    valid_to = next valid_from, exactly one open (is_current) interval
+    per user, and n_events must sum to the user's event count."""
+    from capstone_etl_spark.operators.events import scd_intervals
+
+    per_user: dict[int, list] = {}
+    for r in scd_intervals(spark, sf_dir).collect():
+        per_user.setdefault(r.user_id, []).append(r)
+    ev = load_table(spark, sf_dir, "events")
+    counts = {r.user_id: r.cnt for r in ev.groupBy("user_id").agg(F.count("*").alias("cnt")).collect()}
+    assert set(per_user) == set(counts)
+    for uid, rs in per_user.items():
+        rs.sort(key=lambda r: r.valid_from)
+        assert sum(r.n_events for r in rs) == counts[uid]
+        assert sum(1 for r in rs if r.is_current) == 1
+        assert rs[-1].is_current and rs[-1].valid_to is None
+        for a, b in zip(rs, rs[1:]):
+            assert a.valid_to == b.valid_from            # tiling, no gaps
+            # consecutive runs always change type — same-type neighbors
+            # would have been one island
+            assert a.event_type != b.event_type

