@@ -135,6 +135,9 @@ _PRIORITY = [
     "ann_ivf_pq_topk",
     "zorder_file_layout",
     "event_scd_intervals",
+    "pii_scan",
+    "pii_redaction",
+    "boilerplate_lines",
     "embedding_dim_stats",
     "count_min_error",
     "bpe_apply_merge",
@@ -247,6 +250,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         multimodal,
         outputs,
         packing,
+        privacy,
         quality,
         rangejoin,
         relational,
@@ -278,6 +282,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         corpus,
         packing,
         quality,
+        privacy,
         sketches,
     ):
         queries.update(mod.QUERIES)

@@ -1,0 +1,243 @@
+"""PII scanning/redaction and CCNet-style line-level boilerplate
+removal.
+
+Extension layer — the reference has no privacy stage (SURVEY.md §2
+"not present"); these are the two scrub passes a large-scale
+training-data pipeline runs before anything else touches the text:
+
+- `pii_scan`: the compliance dashboard — per-source counts of each
+  PII class (emails, IPv4s, phone shapes, long id-like digit runs)
+  plus how many documents carry any. Per-row regexp counts (whole-
+  stage codegen, no UDF) into one uniform-key groupBy(source) — scan
+  speed at any corpus size.
+- `pii_redaction`: per-document masked text. Classes are applied in a
+  FIXED order (email → ipv4 → phone → id) so a digit-bearing email
+  is consumed by the email mask before the id pattern can split it;
+  the oracle applies the identical order. Counts are taken stepwise
+  on each intermediate (what each pass actually masked), summing to
+  the audit column. Pure per-row column math, zero shuffles.
+- `boilerplate_lines`: CCNet-style line-level dedup audit (Wenzek et
+  al. 2020 dedup paragraphs by hash across shards before anything
+  else). Lines are normalized (whitespace-collapsed, trimmed,
+  lowered), hashed portably (md5-60), counted by DISTINCT document
+  frequency, and every occurrence of a line seen in ≥ BOILERPLATE_MIN_DF
+  documents is flagged. Output is the per-document audit: lines in,
+  boilerplate flagged, kept ratio. Shuffles only on the 60-bit line
+  hash (uniform) and doc_id (uniform); the df relation is
+  |distinct lines| ≤ |line occurrences|, never a self-join.
+
+Regexes stay inside the Java∩RE2 common subset (char classes,
+bounded repeats, \\b word boundaries; no lookaround) so Spark and the
+DuckDB oracle match byte-for-byte.
+
+100 TB: all three are scan-shaped. pii_scan reduces to |sources|
+rows; pii_redaction is map-only; boilerplate_lines' widest relation
+is one row per (doc, line) — the df side aggregates it by hash before
+the join back, and the join key is the uniform md5-60 hash, so no
+skew. (A real corpus' top boilerplate line — the empty string — is
+dropped by normalization before it can become a hot key.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from capstone_etl_spark.functions.hashing import md5_hash60, md5_hash60_sql
+from capstone_etl_spark.sources.tables import load_table
+
+# PII patterns, applied (and counted) in this order.
+PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IPV4 = r"\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"
+PII_PHONE = r"\b[0-9]{3}[-. ][0-9]{3}[-. ][0-9]{4}\b"
+PII_ID = r"\b[0-9]{9,}\b"
+PII_CLASSES = (
+    ("email", PII_EMAIL, "<email>"),
+    ("ipv4", PII_IPV4, "<ipv4>"),
+    ("phone", PII_PHONE, "<phone>"),
+    ("idnum", PII_ID, "<idnum>"),
+)
+
+# A normalized line present in at least this many DISTINCT documents
+# is boilerplate (CCNet drops exact-duplicate paragraphs across
+# shards; 2 is the strictest setting and the knob a curator owns).
+BOILERPLATE_MIN_DF = 2
+
+
+def _count(col, pattern: str):
+    return F.size(F.regexp_extract_all(col, F.lit(pattern), 0)).cast("long")
+
+
+def pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, docs_with_pii, emails, ipv4s, phones, idnums)
+    — each class counted independently on the RAW text (scan counts
+    answer "how much is out there", not "what would the sequential
+    redactor mask"; the stepwise numbers live in pii_redaction)."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = F.col("text")
+    per_doc = docs.select(
+        "source",
+        _count(t, PII_EMAIL).alias("e"),
+        _count(t, PII_IPV4).alias("i"),
+        _count(t, PII_PHONE).alias("p"),
+        _count(t, PII_ID).alias("d"),
+    )
+    return per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum(
+            ((F.col("e") + F.col("i") + F.col("p") + F.col("d")) > 0).cast("long")
+        ).cast("long").alias("docs_with_pii"),
+        F.sum("e").cast("long").alias("emails"),
+        F.sum("i").cast("long").alias("ipv4s"),
+        F.sum("p").cast("long").alias("phones"),
+        F.sum("d").cast("long").alias("idnums"),
+    )
+
+
+PII_SCAN_SQL = f"""
+WITH per_doc AS (
+  SELECT source,
+         len(regexp_extract_all(text, '{PII_EMAIL}')) AS e,
+         len(regexp_extract_all(text, '{PII_IPV4}')) AS i,
+         len(regexp_extract_all(text, '{PII_PHONE}')) AS p,
+         len(regexp_extract_all(text, '{PII_ID}')) AS d
+  FROM documents
+)
+SELECT source,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(CASE WHEN e + i + p + d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_pii,
+       CAST(SUM(e) AS BIGINT) AS emails,
+       CAST(SUM(i) AS BIGINT) AS ipv4s,
+       CAST(SUM(p) AS BIGINT) AS phones,
+       CAST(SUM(d) AS BIGINT) AS idnums
+FROM per_doc
+GROUP BY source
+"""
+
+
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, text_redacted, n_redacted, redacted_hash) — stepwise
+    sequential masking; n_redacted is the sum of what each pass
+    actually masked on its own input, and the hash keys
+    dedup-after-redaction."""
+    docs = load_table(spark, sf_dir, "documents")
+    cur = F.col("text")
+    n = F.lit(0).cast("long")
+    for _name, pat, mask in PII_CLASSES:
+        n = n + _count(cur, pat)
+        cur = F.regexp_replace(cur, pat, mask)
+    return docs.select(
+        "doc_id",
+        cur.alias("text_redacted"),
+        n.alias("n_redacted"),
+        F.md5(cur).alias("redacted_hash"),
+    )
+
+
+def _redaction_sql_steps() -> tuple[str, str]:
+    """(redacted_expr, count_expr) applying PII_CLASSES in order."""
+    cur = "text"
+    counts = []
+    for _name, pat, mask in PII_CLASSES:
+        counts.append(f"len(regexp_extract_all({cur}, '{pat}'))")
+        cur = f"regexp_replace({cur}, '{pat}', '{mask}', 'g')"
+    return cur, " + ".join(counts)
+
+
+_RED_EXPR, _RED_COUNT = _redaction_sql_steps()
+
+PII_REDACTION_SQL = f"""
+SELECT doc_id,
+       {_RED_EXPR} AS text_redacted,
+       CAST({_RED_COUNT} AS BIGINT) AS n_redacted,
+       md5({_RED_EXPR}) AS redacted_hash
+FROM documents
+"""
+
+
+def _doc_lines(docs: DataFrame) -> DataFrame:
+    """One row per non-empty normalized line occurrence: (doc_id, h)."""
+    norm = lambda l: F.lower(F.trim(F.regexp_replace(l, "[ \t\r\f]+", " ")))  # noqa: E731
+    lines = F.filter(
+        F.transform(F.split(F.col("text"), "\n"), norm), lambda l: l != ""
+    )
+    return docs.select("doc_id", F.explode(lines).alias("line")).select(
+        "doc_id", md5_hash60("line").alias("h")
+    )
+
+
+def boilerplate_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_lines, n_boilerplate, kept_ratio) — every line
+    occurrence whose normalized form appears in ≥ BOILERPLATE_MIN_DF
+    distinct documents counts as boilerplate; kept_ratio divides two
+    exact counts (bit-identical across engines); line-less documents
+    (empty / whitespace-only) keep ratio 1.0 — nothing to drop."""
+    docs = load_table(spark, sf_dir, "documents")
+    occ = _doc_lines(docs)
+    df_rel = occ.distinct().groupBy("h").agg(F.count("*").cast("long").alias("df"))
+    per_doc = (
+        occ.join(df_rel, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("long").alias("n_lines"),
+            F.sum((F.col("df") >= BOILERPLATE_MIN_DF).cast("long"))
+            .cast("long")
+            .alias("n_boilerplate"),
+        )
+    )
+    return docs.select("doc_id").join(per_doc, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce("n_lines", F.lit(0).cast("long")).alias("n_lines"),
+        F.coalesce("n_boilerplate", F.lit(0).cast("long")).alias("n_boilerplate"),
+        F.when(
+            F.coalesce("n_lines", F.lit(0)) > 0,
+            (F.col("n_lines") - F.col("n_boilerplate")).cast("double")
+            / F.col("n_lines"),
+        )
+        .otherwise(F.lit(1.0))
+        .alias("kept_ratio"),
+    )
+
+
+BOILERPLATE_LINES_SQL = f"""
+WITH occ AS (
+  SELECT doc_id, {md5_hash60_sql("line")} AS h
+  FROM (
+    SELECT doc_id,
+           lower(trim(regexp_replace(l, '[ \t\r\f]+', ' ', 'g'))) AS line
+    FROM documents, UNNEST(string_split(text, chr(10))) AS t(l)
+  )
+  WHERE line <> ''
+), df_rel AS (
+  SELECT h, CAST(COUNT(*) AS BIGINT) AS df
+  FROM (SELECT DISTINCT doc_id, h FROM occ)
+  GROUP BY h
+), per_doc AS (
+  SELECT o.doc_id,
+         CAST(COUNT(*) AS BIGINT) AS n_lines,
+         CAST(SUM(CASE WHEN f.df >= {BOILERPLATE_MIN_DF} THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_boilerplate
+  FROM occ o JOIN df_rel f USING (h)
+  GROUP BY o.doc_id
+)
+SELECT d.doc_id,
+       COALESCE(p.n_lines, 0) AS n_lines,
+       COALESCE(p.n_boilerplate, 0) AS n_boilerplate,
+       CASE WHEN COALESCE(p.n_lines, 0) > 0
+            THEN CAST(p.n_lines - p.n_boilerplate AS DOUBLE) / p.n_lines
+            ELSE 1.0 END AS kept_ratio
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+"""
+
+
+QUERIES = {
+    "pii_scan": pii_scan,
+    "pii_redaction": pii_redaction,
+    "boilerplate_lines": boilerplate_lines,
+}
+
+ORACLE_SQL = {
+    "pii_scan": PII_SCAN_SQL,
+    "pii_redaction": PII_REDACTION_SQL,
+    "boilerplate_lines": BOILERPLATE_LINES_SQL,
+}

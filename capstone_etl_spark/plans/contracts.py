@@ -276,4 +276,7 @@ HEADLINE: list[str] = [
     "ann_ivf_pq_topk",
     "zorder_file_layout",
     "event_scd_intervals",
+    "pii_scan",
+    "pii_redaction",
+    "boilerplate_lines",
 ]

@@ -77,6 +77,11 @@ NAMES = [
     "retrieval_mrr",
     # delta docs with no shingles (empty/short text) must verdict as new
     "dedup_incremental",
+    # privacy ops: digit-heavy / control-char / huge-token docs through
+    # the regex stack; empty + whitespace docs through line splitting
+    "pii_scan",
+    "pii_redaction",
+    "boilerplate_lines",
 ]
 
 
