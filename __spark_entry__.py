@@ -138,6 +138,11 @@ _PRIORITY = [
     "pii_scan",
     "pii_redaction",
     "boilerplate_lines",
+    "hard_negative_mining",
+    "event_ewma_daily",
+    "signal_correlations",
+    "stream_pii_scan",
+    "salted_hot_key_join",
     "embedding_dim_stats",
     "count_min_error",
     "bpe_apply_merge",

@@ -662,6 +662,82 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts_sec
 """
 
 
+EWMA_W = 7  # trailing observations in the smoothing frame
+
+
+def ewma_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average of daily value per event
+    type (α = 1/2, truncated to the trailing EWMA_W observations) —
+    the trend-smoothing readout a monitoring pipeline layers over the
+    daily aggregates, with exact cross-engine arithmetic.
+
+    Exactness: the daily total is an exact DECIMAL sum converted to
+    integer cents; the frame is unrolled into EWMA_W LAG columns with
+    power-of-two integer weights (64, 32, …, 1), so numerator and
+    denominator are exact int64 on both engines and the single final
+    division is deterministic IEEE. A float running recurrence would
+    drift between engines; a window-sum of weighted doubles would too.
+
+    Scale: the window partitions on event_type — LOW cardinality, but
+    it runs over the already-aggregated (day × type) relation, whose
+    size is bounded by the calendar, not the corpus: at 100 TB the
+    input to this window is still |days|·|types| rows. The heavy
+    lifting (the daily aggregate) shuffles on the uniform (day, type)
+    key."""
+    ev = _events(spark, sf_dir)
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    daily = ev.groupBy(day, "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("dv")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    v_cents = (F.col("dv") * 100).cast("long")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    n_obs = F.lit(0).cast("long")
+    for k in range(EWMA_W):
+        lg = F.lag(v_cents, k).over(w)
+        wt = 1 << (EWMA_W - 1 - k)
+        num = num + F.coalesce(lg, F.lit(0)) * wt
+        den = den + F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+        n_obs = n_obs + F.when(lg.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    return daily.select(
+        "event_type",
+        "day",
+        F.col("dv").cast("double").alias("daily_value"),
+        n_obs.cast("long").alias("n_obs"),
+        F.round(num / den / F.lit(100), 6).alias("ewma"),
+    )
+
+
+def _ewma_sql() -> str:
+    num_terms, den_terms, obs_terms = [], [], []
+    for k in range(EWMA_W):
+        lg = f"LAG(v_cents, {k}) OVER w"
+        wt = 1 << (EWMA_W - 1 - k)
+        num_terms.append(f"COALESCE({lg}, 0) * {wt}")
+        den_terms.append(f"CASE WHEN {lg} IS NOT NULL THEN {wt} ELSE 0 END")
+        obs_terms.append(f"CASE WHEN {lg} IS NOT NULL THEN 1 ELSE 0 END")
+    num = " + ".join(num_terms)
+    den = " + ".join(den_terms)
+    obs = " + ".join(obs_terms)
+    return f"""
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+         SUM(CAST(value AS DECIMAL(18,2))) AS dv
+  FROM events GROUP BY 1, 2
+)
+SELECT event_type, day,
+       CAST(dv AS DOUBLE) AS daily_value,
+       CAST({obs} AS BIGINT) AS n_obs,
+       ROUND(CAST({num} AS BIGINT) / CAST({den} AS BIGINT) / 100, 6) AS ewma
+FROM (SELECT event_type, day, dv, CAST(dv * 100 AS BIGINT) AS v_cents FROM daily)
+WINDOW w AS (PARTITION BY event_type ORDER BY day)
+"""
+
+
+EWMA_DAILY_SQL = _ewma_sql()
+
+
 def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + forward fill: regularize each user's
     event stream onto a dense daily grid (observability/feature-store
@@ -1086,6 +1162,7 @@ FROM runs
 
 
 QUERIES = {
+    "event_ewma_daily": ewma_daily,
     "event_scd_intervals": scd_intervals,
     "event_tumbling_windows": tumbling_windows,
     "event_sliding_windows": sliding_windows,
@@ -1114,6 +1191,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "event_ewma_daily": EWMA_DAILY_SQL,
     "event_scd_intervals": EVENT_SCD_INTERVALS_SQL,
     "event_tumbling_windows": TUMBLING_WINDOWS_SQL,
     "event_sliding_windows": SLIDING_WINDOWS_SQL,

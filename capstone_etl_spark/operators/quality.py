@@ -659,6 +659,136 @@ FROM c JOIN b USING (source)
 """
 
 
+# --- signal correlations ----------------------------------------------------
+
+SIGNALS = ("n_tokens", "mean_tok_len", "ttr", "digit_ratio")
+SIGNAL_PAIRS = [
+    (SIGNALS[i], SIGNALS[j])
+    for i in range(len(SIGNALS))
+    for j in range(i + 1, len(SIGNALS))
+]
+
+
+def signal_correlations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pearson correlation between every pair of per-document quality
+    signals — the diagnostic a curator reads before trusting any one
+    signal as a filter (two rules that correlate at 0.9 are one rule
+    applied twice; a threshold on either rejects the same mass).
+
+    Exactness: each per-doc signal snaps to DECIMAL(12,6); all five
+    sufficient statistics per pair (n, Sx, Sy, Sxx, Syy, Sxy) are
+    EXACT decimal sums, so both engines feed bit-identical doubles
+    into one deterministic final expression
+    (n·Sxy − Sx·Sy) / (√(n·Sxx − Sx²)·√(n·Syy − Sy²)), rounded to 6.
+    Zero-variance signals (degenerate corpora) yield r = NULL.
+
+    Scale: ONE full-scan aggregation producing a single row of
+    sufficient statistics; the pair table is unpacked from that row
+    with inline/explode. Nothing downstream of the scan depends on
+    corpus size."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    n_tok = F.size(toks)
+    tok_chars = F.aggregate(toks, F.lit(0), lambda acc, t: acc + F.length(t))
+    mean_len = tok_chars.cast("double") / F.greatest(n_tok, F.lit(1))
+    ttr = F.size(F.array_distinct(toks)).cast("double") / F.greatest(n_tok, F.lit(1))
+    text_len = F.length("text")
+    digit_len = F.length(F.regexp_replace("text", "[^0-9]", ""))
+    digit_ratio = F.when(text_len > 0, digit_len.cast("double") / text_len).otherwise(
+        F.lit(0.0)
+    )
+    sig = {
+        "n_tokens": n_tok.cast("decimal(12,6)"),
+        "mean_tok_len": mean_len.cast("decimal(12,6)"),
+        "ttr": ttr.cast("decimal(12,6)"),
+        "digit_ratio": digit_ratio.cast("decimal(12,6)"),
+    }
+    per_doc = docs.select(*[c.alias(k) for k, c in sig.items()])
+    aggs = [F.count("*").cast("long").alias("n")]
+    for s in SIGNALS:
+        aggs.append(F.sum(F.col(s)).cast("double").alias(f"s_{s}"))
+        aggs.append(F.sum(F.col(s) * F.col(s)).cast("double").alias(f"p_{s}_{s}"))
+    for x, y in SIGNAL_PAIRS:
+        aggs.append(F.sum(F.col(x) * F.col(y)).cast("double").alias(f"p_{x}_{y}"))
+    stats = per_doc.agg(*aggs)
+
+    nn = F.col("n").cast("double")
+    structs = []
+    for x, y in SIGNAL_PAIRS:
+        vx = nn * F.col(f"p_{x}_{x}") - F.col(f"s_{x}") * F.col(f"s_{x}")
+        vy = nn * F.col(f"p_{y}_{y}") - F.col(f"s_{y}") * F.col(f"s_{y}")
+        cov = nn * F.col(f"p_{x}_{y}") - F.col(f"s_{x}") * F.col(f"s_{y}")
+        r = F.when(
+            (vx > 0) & (vy > 0), F.round(cov / (F.sqrt(vx) * F.sqrt(vy)), 6)
+        ).otherwise(F.lit(None).cast("double"))
+        structs.append(
+            F.struct(
+                F.lit(x).alias("sig_x"),
+                F.lit(y).alias("sig_y"),
+                F.col("n").alias("n_docs"),
+                r.alias("r"),
+            )
+        )
+    return stats.select(F.inline(F.array(*structs)))
+
+
+def _signal_correlations_sql() -> str:
+    sig_sql = {
+        "n_tokens": "CAST(len(toks) AS DECIMAL(12,6))",
+        "mean_tok_len": (
+            "CAST(CAST(COALESCE(list_sum(list_transform(toks, t -> length(t))), 0) AS DOUBLE)"
+            " / greatest(len(toks), 1) AS DECIMAL(12,6))"
+        ),
+        "ttr": (
+            "CAST(CAST(len(list_distinct(toks)) AS DOUBLE)"
+            " / greatest(len(toks), 1) AS DECIMAL(12,6))"
+        ),
+        "digit_ratio": (
+            "CAST(CASE WHEN length(text) > 0 THEN "
+            "CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / length(text) "
+            "ELSE 0.0 END AS DECIMAL(12,6))"
+        ),
+    }
+    per_doc = ",\n         ".join(f"{sql} AS {name}" for name, sql in sig_sql.items())
+    aggs = ["CAST(COUNT(*) AS BIGINT) AS n"]
+    for s in SIGNALS:
+        aggs.append(f"CAST(SUM({s}) AS DOUBLE) AS s_{s}")
+        # one side widened past 18 digits: DuckDB then multiplies in
+        # INT128 (a (12,6)x(12,6) product overflows its INT64 path)
+        aggs.append(
+            f"CAST(SUM(CAST({s} AS DECIMAL(19,6)) * {s}) AS DOUBLE) AS p_{s}_{s}"
+        )
+    for x, y in SIGNAL_PAIRS:
+        aggs.append(
+            f"CAST(SUM(CAST({x} AS DECIMAL(19,6)) * {y}) AS DOUBLE) AS p_{x}_{y}"
+        )
+    selects = []
+    for x, y in SIGNAL_PAIRS:
+        vx = f"(CAST(n AS DOUBLE) * p_{x}_{x} - s_{x} * s_{x})"
+        vy = f"(CAST(n AS DOUBLE) * p_{y}_{y} - s_{y} * s_{y})"
+        cov = f"(CAST(n AS DOUBLE) * p_{x}_{y} - s_{x} * s_{y})"
+        selects.append(
+            f"SELECT '{x}' AS sig_x, '{y}' AS sig_y, n AS n_docs,\n"
+            f"       CASE WHEN {vx} > 0 AND {vy} > 0\n"
+            f"            THEN ROUND({cov} / (sqrt({vx}) * sqrt({vy})), 6)\n"
+            f"            ELSE NULL END AS r\n"
+            f"FROM stats"
+        )
+    union = "\nUNION ALL\n".join(selects)
+    return f"""
+WITH per_doc AS (
+  SELECT {per_doc}
+  FROM (SELECT doc_id, text, {_TOKS} AS toks FROM documents) b
+), stats AS (
+  SELECT {', '.join(aggs)} FROM per_doc
+)
+{union}
+"""
+
+
+SIGNAL_CORRELATIONS_SQL = _signal_correlations_sql()
+
+
 QUERIES = {
     "quality_filter_flags": quality_filter_flags,
     "quality_filter_funnel": quality_filter_funnel,
@@ -669,6 +799,7 @@ QUERIES = {
     "source_quality_summary": source_quality_summary,
     "dsir_importance": dsir_importance,
     "token_budget_selection": token_budget_selection,
+    "signal_correlations": signal_correlations,
 }
 
 ORACLE_SQL = {
@@ -681,4 +812,5 @@ ORACLE_SQL = {
     "source_quality_summary": SOURCE_QUALITY_SUMMARY_SQL,
     "dsir_importance": DSIR_IMPORTANCE_SQL,
     "token_budget_selection": TOKEN_BUDGET_SELECTION_SQL,
+    "signal_correlations": SIGNAL_CORRELATIONS_SQL,
 }

@@ -1607,6 +1607,93 @@ FROM by_dim b JOIN stats s ON s.d = b.d
 """
 
 
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contrastive hard negatives: for each query vector, the top-k
+    most-similar vectors with a DIFFERENT label — the mining pass a
+    contrastive/metric-learning pipeline runs per epoch (easy
+    negatives teach nothing; the hard ones sit just across the
+    boundary). Candidates come from the SAME LSH bucket machinery as
+    ann_lsh_topk (the scale path — similarity is what makes a
+    negative hard, so the ANN index is the right candidate generator);
+    the label filter and cosine rerank run on candidates only, never
+    corpus × corpus.
+
+    One extra uniform vec_id equi-join per side attaches labels; the
+    label filter drops same-class candidates BEFORE the rerank join
+    touches the vectors. Ranking keys on the rounded similarity with a
+    neighbor_id tiebreak, same determinism contract as the ANN family."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    labels = emb.select("vec_id", "label")
+    buckets = lsh_buckets(emb).transform(cached)
+    qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
+    cand = (
+        qb.join(buckets.withColumnRenamed("vec_id", "neighbor_id"), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+        .join(
+            F.broadcast(labels.select(F.col("vec_id").alias("query_id"), F.col("label").alias("query_label"))),
+            "query_id",
+        )
+        .join(
+            labels.select(F.col("vec_id").alias("neighbor_id"), F.col("label").alias("neighbor_label")),
+            "neighbor_id",
+        )
+        .filter(F.col("query_label") != F.col("neighbor_label"))
+    )
+    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            F.round(cosine("qe", "ne"), 6).alias("sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "query_label", "neighbor_id", "neighbor_label", "sim", "rnk")
+    )
+
+
+HARD_NEGATIVE_MINING_SQL = f"""
+WITH buckets AS (
+  {_BUCKETS_SQL}
+), cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+  FROM buckets qb
+  JOIN buckets nb ON qb.tbl = nb.tbl AND qb.bucket = nb.bucket AND qb.vec_id <> nb.vec_id
+  WHERE qb.vec_id < {N_QUERIES}
+), labeled AS (
+  SELECT c.query_id, ql.label AS query_label, c.neighbor_id, nl.label AS neighbor_label
+  FROM cand c
+  JOIN embeddings ql ON ql.vec_id = c.query_id
+  JOIN embeddings nl ON nl.vec_id = c.neighbor_id
+  WHERE ql.label <> nl.label
+), scored AS (
+  SELECT c.query_id, c.query_label, c.neighbor_id, c.neighbor_label,
+         ROUND({_COSINE_SQL.replace('qe', 'q.embedding').replace('ne', 'n.embedding')}, 6) AS sim
+  FROM labeled c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM scored
+) t WHERE rnk <= {TOP_K}
+"""
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_brute_topk": ann_brute_topk,
@@ -1625,6 +1712,7 @@ QUERIES = {
     "embedding_pq": embedding_pq,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
+    "hard_negative_mining": hard_negative_mining,
 }
 
 ORACLE_SQL = {
@@ -1645,4 +1733,5 @@ ORACLE_SQL = {
     "embedding_pq": EMBEDDING_PQ_SQL,
     "ann_pq_topk": ANN_PQ_TOPK_SQL,
     "ann_ivf_pq_topk": ANN_IVF_PQ_TOPK_SQL,
+    "hard_negative_mining": HARD_NEGATIVE_MINING_SQL,
 }

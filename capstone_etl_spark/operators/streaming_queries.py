@@ -18,6 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from capstone_etl_spark.operators.privacy import PII_SCAN_SQL
 from capstone_etl_spark.operators.events import (
     EVENT_DEDUP_SQL,
     SLIDING_WINDOWS_SQL,
@@ -682,6 +683,60 @@ def _stream_decontamination_sql() -> str:
     return DECONTAMINATION_SQL
 
 
+def stream_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PII compliance dashboard kept current over a live document
+    stream: the per-class regexp counts are per-row map work on each
+    micro-batch and the per-source sums are additive, so the streaming
+    aggregation state is |sources| × 6 integers — bounded forever —
+    and the drained snapshot equals the batch `pii_scan` EXACTLY
+    (shared oracle). Complete-mode agg, no event time → no watermark;
+    this is the scrub-audit a 100 TB ingest runs while shards land,
+    before anything downstream touches the text."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.operators.privacy import (
+        PII_EMAIL,
+        PII_ID,
+        PII_IPV4,
+        PII_PHONE,
+        _count,
+    )
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_pii_")
+    try:
+        staging = f"{work}/staging"
+        load_table(spark, sf_dir, "documents").repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        t = F.col("text")
+        per_doc = stream.select(
+            "source",
+            _count(t, PII_EMAIL).alias("e"),
+            _count(t, PII_IPV4).alias("i"),
+            _count(t, PII_PHONE).alias("p"),
+            _count(t, PII_ID).alias("d"),
+        )
+        agg = per_doc.groupBy("source").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(
+                ((F.col("e") + F.col("i") + F.col("p") + F.col("d")) > 0).cast("long")
+            ).cast("long").alias("docs_with_pii"),
+            F.sum("e").cast("long").alias("emails"),
+            F.sum("i").cast("long").alias("ipv4s"),
+            F.sum("p").cast("long").alias("phones"),
+            F.sum("d").cast("long").alias("idnums"),
+        )
+        return run_to_memory(agg, f"{work}/checkpoint", output_mode="complete")
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
     "stream_sliding_windows": stream_sliding_windows,
@@ -696,6 +751,7 @@ QUERIES = {
     "stream_mixing_weights": stream_mixing_weights,
     "stream_count_min": stream_count_min,
     "stream_decontamination": stream_decontamination,
+    "stream_pii_scan": stream_pii_scan,
 }
 
 ORACLE_SQL = {
@@ -712,4 +768,5 @@ ORACLE_SQL = {
     "stream_mixing_weights": STREAM_MIXING_WEIGHTS_SQL,
     "stream_count_min": _stream_count_min_sql(),
     "stream_decontamination": _stream_decontamination_sql(),
+    "stream_pii_scan": PII_SCAN_SQL,
 }

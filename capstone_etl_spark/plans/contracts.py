@@ -279,4 +279,8 @@ HEADLINE: list[str] = [
     "pii_scan",
     "pii_redaction",
     "boilerplate_lines",
+    "hard_negative_mining",
+    "event_ewma_daily",
+    "signal_correlations",
+    "salted_hot_key_join",
 ]

@@ -82,6 +82,9 @@ NAMES = [
     "pii_scan",
     "pii_redaction",
     "boilerplate_lines",
+    # zero/near-zero variance signals must NULL the correlation, not
+    # divide by zero or drift
+    "signal_correlations",
 ]
 
 

@@ -4,6 +4,8 @@ from __future__ import annotations
 
 import datetime as dt
 
+import pytest
+
 from capstone_etl_spark.operators.textstats import doc_fingerprint_df
 from capstone_etl_spark.operators.events import SESSION_GAP_SEC
 
@@ -277,3 +279,23 @@ def test_hybrid_rrf_matches_duckdb_and_fuses(spark):
         assert terms >= 1
         expect = sum(1.0 / (RRF_K + r) for r in (rl, rv) if r is not None)
         assert abs(s - round(expect, 6)) < 1e-9
+
+
+def test_ewma_daily_invariants(spark, sf_dir):
+    """First observation's EWMA equals its daily value; every EWMA lies
+    inside [min, max] of its trailing frame (convex weights); n_obs
+    counts the frame and caps at EWMA_W."""
+    from capstone_etl_spark.operators.events import EWMA_W, ewma_daily
+
+    per_type: dict[str, list] = {}
+    for r in ewma_daily(spark, sf_dir).collect():
+        per_type.setdefault(r.event_type, []).append(r)
+    assert per_type
+    for rows in per_type.values():
+        rows.sort(key=lambda r: r.day)
+        assert rows[0].n_obs == 1
+        assert rows[0].ewma == pytest.approx(rows[0].daily_value, abs=1e-6)
+        for i, r in enumerate(rows):
+            frame = [x.daily_value for x in rows[max(0, i - EWMA_W + 1) : i + 1]]
+            assert r.n_obs == len(frame) and r.n_obs <= EWMA_W
+            assert min(frame) - 1e-6 <= r.ewma <= max(frame) + 1e-6

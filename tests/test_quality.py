@@ -209,3 +209,21 @@ def test_token_budget_selection_invariant_under_partitioning(spark):
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
     assert results[0] == results[1]
+
+
+def test_signal_correlations_bounds_and_pairs(spark, sf_dir):
+    """Six unordered signal pairs, every r in [-1, 1] (or NULL on a
+    zero-variance signal), and n_docs equals the corpus size."""
+    from capstone_etl_spark.operators.quality import (
+        SIGNAL_PAIRS,
+        signal_correlations,
+    )
+    from capstone_etl_spark.sources.tables import load_table
+
+    rows = signal_correlations(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "documents").count()
+    assert {(r.sig_x, r.sig_y) for r in rows} == set(SIGNAL_PAIRS)
+    for r in rows:
+        assert r.n_docs == n
+        if r.r is not None:
+            assert -1.0 <= r.r <= 1.0

@@ -357,3 +357,46 @@ def test_ann_ivf_pq_composes_its_parents(spark):
     for r in ivfpq:
         if (r.query_id, r.neighbor_id) in pq_d:
             assert abs(pq_d[(r.query_id, r.neighbor_id)] - r.adc_dist) < 1e-9
+
+
+def test_hard_negatives_cross_label_and_bucket_pruned(spark):
+    """Every mined negative has a label different from its query, comes
+    from the query's LSH candidate universe, and the per-query ranking
+    is a contiguous descending-sim prefix of at most TOP_K rows."""
+    from capstone_etl_spark.operators.similarity import (
+        N_QUERIES,
+        TOP_K,
+        hard_negative_mining,
+        lsh_buckets,
+    )
+    from capstone_etl_spark.session import release_caches
+    from capstone_etl_spark.sources.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        mined = hard_negative_mining(spark, sf).collect()
+        emb = load_table(spark, sf, "embeddings")
+        buckets = lsh_buckets(emb).collect()
+    finally:
+        release_caches()
+    labels = {
+        r.vec_id: r.label
+        for r in load_table(spark, sf, "embeddings").select("vec_id", "label").collect()
+    }
+    by_vec: dict[int, set] = {}
+    for b in buckets:
+        by_vec.setdefault(b.vec_id, set()).add((b.tbl, b.bucket))
+    per_q: dict[int, list] = {}
+    for r in mined:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert r.query_label == labels[r.query_id]
+        assert r.neighbor_label == labels[r.neighbor_id]
+        assert r.query_label != r.neighbor_label
+        assert by_vec[r.query_id] & by_vec[r.neighbor_id]  # shared bucket
+    assert set(per_q) <= set(range(N_QUERIES))
+    for q, rows in per_q.items():
+        rows.sort(key=lambda r: r.rnk)
+        assert [r.rnk for r in rows] == list(range(1, len(rows) + 1))
+        assert len(rows) <= TOP_K
+        sims = [r.sim for r in rows]
+        assert sims == sorted(sims, reverse=True)

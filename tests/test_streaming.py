@@ -295,3 +295,15 @@ def test_stream_decontamination_equals_batch(spark):
     finally:
         release_caches()
     assert got == want and len(got) > 0
+
+
+def test_stream_pii_scan_equals_batch(spark):
+    """The drained streaming snapshot must equal the batch pii_scan
+    row-for-row — additive counts make the stream exact."""
+    from capstone_etl_spark.operators.privacy import pii_scan
+    from capstone_etl_spark.operators.streaming_queries import stream_pii_scan
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.source: r.asDict() for r in stream_pii_scan(spark, sf).collect()}
+    want = {r.source: r.asDict() for r in pii_scan(spark, sf).collect()}
+    assert got == want
