@@ -143,6 +143,8 @@ _PRIORITY = [
     "signal_correlations",
     "stream_pii_scan",
     "salted_hot_key_join",
+    "bloom_membership",
+    "multimodal_resize",
     "embedding_dim_stats",
     "count_min_error",
     "bpe_apply_merge",

@@ -417,11 +417,98 @@ FROM frames
 """
 
 
+RESIZE_MAX = 64  # longest-side target for the thumbnail stage
+
+
+def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESIZE stage of an image/video preprocessing pipeline,
+    plumbing-real: decode dims (same `_meta` path as multimodal_meta —
+    real headers when recognized, oracle-mirrored fake otherwise),
+    compute the aspect-preserving thumbnail geometry in pure integer
+    arithmetic (target = dim·RESIZE_MAX // max(w, h), floored, min 1),
+    and emit a deterministic content hash of (payload, target dims) —
+    the identity a downstream cache/dedup keys resized artifacts by.
+    Audio rows are excluded (their two geometry slots carry
+    channels/sample-rate; resampling is a different op).
+
+    The actual pixel resample is STUBBED by design: this container has
+    no codec, and a hash over resampled bytes could never be
+    oracle-checked. A production deployment swaps ONE line — the
+    fingerprint source — for PIL's `img.resize((tw, th))` bytes inside
+    the same mapInPandas batch loop; schema, partitioning, batch shape
+    and geometry arithmetic are exactly what ships here.
+
+    Scale: map-only (mapInPandas, one Arrow batch per partition), no
+    shuffle, output one row per image/video payload."""
+    b = with_binary_payload(_docs(spark, sf_dir)).filter(
+        F.col("media_type") != "audio"
+    )
+    schema = (
+        "doc_id long, media_type string, width long, height long, "
+        "target_w long, target_h long, resized_md5 string"
+    )
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, mt, payload in zip(
+                pdf["doc_id"], pdf["media_type"], pdf["payload"]
+            ):
+                raw = bytes(payload)
+                w, h, _dur = _meta(raw, mt)
+                mx = max(w, h)
+                if mx <= RESIZE_MAX:
+                    tw, th = w, h
+                else:
+                    tw = max(1, w * RESIZE_MAX // mx)
+                    th = max(1, h * RESIZE_MAX // mx)
+                digest = hashlib.md5(raw + f":{tw}:{th}".encode()).hexdigest()
+                out.append((int(doc_id), mt, w, h, tw, th, digest))
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "media_type",
+                    "width",
+                    "height",
+                    "target_w",
+                    "target_h",
+                    "resized_md5",
+                ],
+            )
+
+    return b.mapInPandas(resize, schema)
+
+
+MEDIA_RESIZE_SQL = f"""
+WITH p AS ({_PAYLOAD_SQL}),
+meta AS (
+  SELECT doc_id, media_type, payload,
+         CAST(16 + ('0x' || substr(md5(payload), 1, 2))::BIGINT % 240 AS BIGINT) AS width,
+         CAST(16 + ('0x' || substr(md5(payload), 3, 2))::BIGINT % 240 AS BIGINT) AS height
+  FROM p WHERE media_type <> 'audio'
+), geo AS (
+  SELECT doc_id, media_type, payload, width, height,
+         CASE WHEN greatest(width, height) <= {RESIZE_MAX} THEN width
+              ELSE greatest(1, width * {RESIZE_MAX} // greatest(width, height)) END AS target_w,
+         CASE WHEN greatest(width, height) <= {RESIZE_MAX} THEN height
+              ELSE greatest(1, height * {RESIZE_MAX} // greatest(width, height)) END AS target_h
+  FROM meta
+)
+SELECT doc_id, media_type, width, height,
+       CAST(target_w AS BIGINT) AS target_w,
+       CAST(target_h AS BIGINT) AS target_h,
+       md5(payload || ':' || target_w::VARCHAR || ':' || target_h::VARCHAR) AS resized_md5
+FROM geo
+"""
+
+
 QUERIES = {
     "multimodal_stats": binary_stats,
     "multimodal_meta": media_metadata,
     "multimodal_frames": frame_samples,
     "multimodal_frame_dedup": media_frame_dedup,
+    "multimodal_resize": media_resize,
 }
 
 ORACLE_SQL = {
@@ -429,4 +516,5 @@ ORACLE_SQL = {
     "multimodal_meta": MEDIA_METADATA_SQL,
     "multimodal_frames": FRAME_SAMPLES_SQL,
     "multimodal_frame_dedup": MEDIA_FRAME_DEDUP_SQL,
+    "multimodal_resize": MEDIA_RESIZE_SQL,
 }

@@ -295,14 +295,160 @@ GROUP BY p.token
 """
 
 
+# --- Bloom filter membership -------------------------------------------------
+#
+# The fourth sketch (after KMV, HLL, Count-Min): set membership with no
+# false negatives — the pre-filter a 100 TB join prunes with before
+# shuffling (Spark's own runtime bloom-filter pushdown is this trick;
+# building it as an operator makes the mechanism oracle-checkable).
+# The filter is BLOOM_BITS bits packed into BLOOM_BITS/32 words (32 live bits per int64 — bit 63 would overflow DuckDB's checked signed shift) —
+# the whole structure is a ≤(BLOOM_BITS/32)-row relation that
+# broadcasts anywhere, and building it is one bit_or aggregation.
+# Probe positions come from the portable md5-60 hash, so both engines
+# build the identical filter and flag the identical probes. BLOOM_BITS
+# is deliberately small for the fixture vocabulary so false positives
+# actually occur and the measured rate is a real readout; production
+# sizing is m ≈ n·k/ln2 bits for the target rate.
+BLOOM_BITS = 128
+BLOOM_K = 3
+NEG_PER_WORD = 10  # negative probes per vocab word ('w#j' — '#' never tokenizes)
+
+
+def _bloom_pos(col, i: int):
+    return F.pmod(md5_hash60(F.concat(F.lit(f"{i}:"), col)), F.lit(BLOOM_BITS))
+
+
+def bloom_membership(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(probe_set, n_probes, n_flagged, flag_rate) — the corpus
+    vocabulary builds the filter, then two probe sets query it: the
+    vocabulary itself (every probe MUST flag — no false negatives) and
+    NEG_PER_WORD derived strings guaranteed absent (the measured
+    false-positive rate).
+
+    Plan: build = explode k positions per distinct token → one bit_or
+    groupBy over ≤BLOOM_BITS/32 word indexes; probe = equi-join on the
+    word index against the broadcast filter relation, AND across the k
+    bits per probe, one final per-set aggregation. No corpus-sized
+    state anywhere: the filter is 4 rows here, fixed by BLOOM_BITS."""
+    docs = load_table(spark, sf_dir, "documents")
+    vocab = (
+        docs.select(F.explode(tokenize("text")).alias("w"))
+        .distinct()
+        .transform(cached)
+    )
+    bits = vocab.select(
+        F.explode(F.array(*[_bloom_pos(F.col("w"), i) for i in range(BLOOM_K)])).alias(
+            "pos"
+        )
+    )
+    mask_expr = "shiftleft(CAST(1 AS BIGINT), CAST(pmod(pos, 32) AS INT))"
+    bloom = (
+        bits.select(
+            F.shiftright("pos", 5).alias("widx"),
+            F.expr(mask_expr).alias("mask"),
+        )
+        .groupBy("widx")
+        .agg(F.bit_or("mask").alias("word"))
+    )
+    positives = vocab.select(F.lit("positive").alias("probe_set"), F.col("w").alias("probe"))
+    negatives = vocab.select(
+        F.lit("negative").alias("probe_set"),
+        F.explode(
+            F.array(*[F.concat(F.col("w"), F.lit(f"#{j}")) for j in range(NEG_PER_WORD)])
+        ).alias("probe"),
+    )
+    probes = positives.unionByName(negatives)
+    pp = probes.select(
+        "probe_set",
+        "probe",
+        F.explode(F.array(*[_bloom_pos(F.col("probe"), i) for i in range(BLOOM_K)])).alias("pos"),
+    ).select(
+        "probe_set",
+        "probe",
+        F.shiftright("pos", 5).alias("widx"),
+        F.expr(mask_expr).alias("mask"),
+    )
+    hit = pp.join(F.broadcast(bloom), "widx", "left").select(
+        "probe_set",
+        "probe",
+        (
+            F.coalesce(F.col("word"), F.lit(0).cast("long")).bitwiseAND(F.col("mask"))
+            == F.col("mask")
+        ).alias("bit_set"),
+    )
+    per_probe = hit.groupBy("probe_set", "probe").agg(
+        F.min(F.col("bit_set").cast("int")).alias("flagged")
+    )
+    return per_probe.groupBy("probe_set").agg(
+        F.count("*").cast("long").alias("n_probes"),
+        F.sum("flagged").cast("long").alias("n_flagged"),
+        F.round(F.sum("flagged").cast("double") / F.count("*"), 6).alias("flag_rate"),
+    )
+
+
+def _bloom_sql() -> str:
+    def pos(expr: str, i: int) -> str:
+        salted = "'" + str(i) + ":' || " + expr
+        return f"({md5_hash60_sql(salted)} % {BLOOM_BITS})"
+
+    build_positions = " UNION ALL ".join(
+        f"SELECT {pos('w', i)} AS pos FROM vocab" for i in range(BLOOM_K)
+    )
+    probe_positions = " UNION ALL ".join(
+        f"SELECT probe_set, probe, {pos('probe', i)} AS pos FROM probes"
+        for i in range(BLOOM_K)
+    )
+    neg_probes = " UNION ALL ".join(
+        f"SELECT 'negative' AS probe_set, w || '#{j}' AS probe FROM vocab"
+        for j in range(NEG_PER_WORD)
+    )
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+                     t -> t <> '') AS t
+  FROM documents
+), vocab AS (
+  SELECT DISTINCT tok AS w FROM toks, UNNEST(t) AS u(tok)
+), bpos AS ({build_positions}),
+bloom AS (
+  SELECT pos // 32 AS widx, bit_or(1::BIGINT << CAST(pos % 32 AS INT)) AS word
+  FROM bpos GROUP BY pos // 32
+), probes AS (
+  SELECT 'positive' AS probe_set, w AS probe FROM vocab
+  UNION ALL {neg_probes}
+), ppos AS ({probe_positions}),
+hits AS (
+  SELECT p.probe_set, p.probe,
+         CASE WHEN (COALESCE(b.word, 0) & (1::BIGINT << CAST(p.pos % 32 AS INT)))
+                   = (1::BIGINT << CAST(p.pos % 32 AS INT))
+              THEN 1 ELSE 0 END AS bit_set
+  FROM ppos p LEFT JOIN bloom b ON b.widx = p.pos // 32
+), per_probe AS (
+  SELECT probe_set, probe, MIN(bit_set) AS flagged
+  FROM hits GROUP BY probe_set, probe
+)
+SELECT probe_set,
+       CAST(COUNT(*) AS BIGINT) AS n_probes,
+       CAST(SUM(flagged) AS BIGINT) AS n_flagged,
+       ROUND(CAST(SUM(flagged) AS DOUBLE) / COUNT(*), 6) AS flag_rate
+FROM per_probe
+GROUP BY probe_set
+"""
+
+
+BLOOM_MEMBERSHIP_SQL = _bloom_sql()
+
+
 QUERIES = {
     "kmv_distinct_shingles": kmv_distinct_shingles,
     "kmv_source_overlap": kmv_source_overlap,
     "count_min_error": count_min_error,
+    "bloom_membership": bloom_membership,
 }
 
 ORACLE_SQL = {
     "kmv_distinct_shingles": KMV_DISTINCT_SHINGLES_SQL,
     "kmv_source_overlap": KMV_SOURCE_OVERLAP_SQL,
     "count_min_error": COUNT_MIN_ERROR_SQL,
+    "bloom_membership": BLOOM_MEMBERSHIP_SQL,
 }

@@ -283,4 +283,6 @@ HEADLINE: list[str] = [
     "event_ewma_daily",
     "signal_correlations",
     "salted_hot_key_join",
+    "bloom_membership",
+    "multimodal_resize",
 ]

@@ -85,6 +85,10 @@ NAMES = [
     # zero/near-zero variance signals must NULL the correlation, not
     # divide by zero or drift
     "signal_correlations",
+    # tiny/degenerate vocabularies through the bit-packed filter
+    "bloom_membership",
+    # multibyte/huge/empty payloads through the resize geometry
+    "multimodal_resize",
 ]
 
 

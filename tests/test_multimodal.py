@@ -194,3 +194,24 @@ def test_real_audio_video_decode_through_pipeline(spark):
     rows = {r.doc_id: r for r in df.mapInPandas(extract_meta, META_SCHEMA).collect()}
     assert (rows[1].width, rows[1].height, rows[1].duration_ms) == (2, 44100, 100)
     assert (rows[2].width, rows[2].height, rows[2].duration_ms) == (640, 360, 2500)
+
+
+def test_resize_geometry_preserves_aspect_and_caps(spark, sf_dir):
+    """Thumbnail dims never exceed RESIZE_MAX, small media pass through
+    unscaled, aspect ratio survives within integer-floor tolerance, and
+    audio rows are excluded."""
+    from capstone_etl_spark.operators.multimodal import RESIZE_MAX, media_resize
+
+    rows = media_resize(spark, sf_dir).collect()
+    assert rows and all(r.media_type in ("image", "video") for r in rows)
+    for r in rows:
+        assert 1 <= r.target_w <= max(r.width, RESIZE_MAX)
+        assert 1 <= r.target_h <= max(r.height, RESIZE_MAX)
+        if max(r.width, r.height) <= RESIZE_MAX:
+            assert (r.target_w, r.target_h) == (r.width, r.height)
+        else:
+            assert max(r.target_w, r.target_h) <= RESIZE_MAX
+            # integer-floor aspect: tw/th within one floor step of w/h
+            assert abs(r.target_w * r.height - r.target_h * r.width) <= max(
+                r.width, r.height
+            )

@@ -73,3 +73,25 @@ def test_hll_sketch_agg_merge_equals_direct(spark):
         .d
     )
     assert whole == merged
+
+
+def test_bloom_membership_no_false_negatives_and_sane_fp(spark, sf_dir):
+    """Positives all flag (defining Bloom property); the negative-probe
+    flag rate sits in the ballpark of the theoretical
+    (1 - e^(-kn/m))^k for the measured vocabulary size."""
+    import math
+
+    from capstone_etl_spark.operators.sketches import (
+        BLOOM_BITS,
+        BLOOM_K,
+        bloom_membership,
+    )
+
+    rows = {r.probe_set: r for r in bloom_membership(spark, sf_dir).collect()}
+    pos, neg = rows["positive"], rows["negative"]
+    assert pos.n_flagged == pos.n_probes and pos.flag_rate == 1.0
+    n = pos.n_probes
+    theo = (1 - math.exp(-BLOOM_K * n / BLOOM_BITS)) ** BLOOM_K
+    assert neg.n_probes == n * 10
+    # generous band: the filter is tiny, so variance is real
+    assert 0.0 <= neg.flag_rate <= min(1.0, 4 * theo + 0.05)
