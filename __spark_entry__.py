@@ -145,6 +145,7 @@ _PRIORITY = [
     "salted_hot_key_join",
     "bloom_membership",
     "multimodal_resize",
+    "zorder_pruning_gain",
     "embedding_dim_stats",
     "count_min_error",
     "bpe_apply_merge",

@@ -79,6 +79,14 @@ HEADLINE = [
     "hierarchy_rollup",
     "dsir_importance",
     "cooccurrence_triangles",
+    # r5 session 4: the privacy scrub passes (scan-speed canaries —
+    # pii_redaction is the zero-exchange map-only specimen), the CCNet
+    # line-dedup audit, the IVF-PQ composition (heaviest new ANN), and
+    # the SCD gaps-and-islands chain — tracked from day one.
+    "pii_redaction",
+    "boilerplate_lines",
+    "ann_ivf_pq_topk",
+    "event_scd_intervals",
 ]
 
 

@@ -339,6 +339,121 @@ GROUP BY file_id
 """
 
 
+# Probe points for the pruning measurement: 16 evenly spaced bucket
+# values per dimension. Point predicates are the strictest test of
+# min/max pruning; a range predicate only does better.
+Z_PROBES = tuple(range(8, 256, 16))
+
+
+def zorder_pruning_gain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(layout, probe_dim, n_files, n_probes, files_touched,
+    prune_fraction) — the MEASURED min/max file-pruning benefit of the
+    z-ordered layout versus a linear (user, day) sort, on this corpus:
+    for each probe predicate `dim = v`, a file is touched when v falls
+    inside its [min, max] span for that dimension. Linear sort prunes
+    the leading dimension only (day probes touch ~every file); the
+    z-order keeps both spans narrow, so both probe classes prune. This
+    turns SCALE.md's z-order claim into an oracle-checked number
+    instead of an assertion.
+
+    Plan: per-row layout keys (no shuffle to assign) → ONE
+    groupBy(layout, file) min/max aggregate (≤ 2·Z_FILES rows) → the
+    16-row literal probe table joins against those file stats (a
+    deliberate tiny cross join, allowlisted) → one final aggregate.
+    Nothing downstream of the first aggregate depends on corpus size."""
+    ev = load_table(spark, sf_dir, "events")
+    ub = (F.col("user_id") % (1 << Z_BITS)).cast("long")
+    db = (
+        F.datediff(F.col("ts").cast("date"), F.lit(Z_EPOCH).cast("date"))
+        % (1 << Z_BITS)
+    ).cast("long")
+    per_file_rows = (1 << (2 * Z_BITS)) // Z_FILES
+    z_fid = (_zkey(ub, db) / F.lit(per_file_rows)).cast("long")
+    lin_fid = ((ub * (1 << Z_BITS) + db) / F.lit(per_file_rows)).cast("long")
+    keyed = ev.select(ub.alias("ub"), db.alias("db"), z_fid.alias("zf"), lin_fid.alias("lf"))
+    stats = (
+        keyed.select(F.lit("zorder").alias("layout"), F.col("zf").alias("fid"), "ub", "db")
+        .unionByName(
+            keyed.select(F.lit("linear").alias("layout"), F.col("lf").alias("fid"), "ub", "db")
+        )
+        .groupBy("layout", "fid")
+        .agg(
+            F.min("ub").alias("ub_min"),
+            F.max("ub").alias("ub_max"),
+            F.min("db").alias("db_min"),
+            F.max("db").alias("db_max"),
+        )
+    )
+    probes = spark.createDataFrame([(int(v),) for v in Z_PROBES], "v long")
+    hit_user = (F.col("v") >= F.col("ub_min")) & (F.col("v") <= F.col("ub_max"))
+    hit_day = (F.col("v") >= F.col("db_min")) & (F.col("v") <= F.col("db_max"))
+    crossed = stats.join(F.broadcast(probes), F.lit(True))
+    per_dim = crossed.select(
+        "layout",
+        "fid",
+        "v",
+        hit_user.cast("long").alias("user"),
+        hit_day.cast("long").alias("day"),
+    )
+    long_form = per_dim.selectExpr(
+        "layout", "fid", "v", "stack(2, 'user', user, 'day', day) AS (probe_dim, hit)"
+    )
+    return long_form.groupBy("layout", "probe_dim").agg(
+        F.countDistinct("fid").cast("long").alias("n_files"),
+        F.countDistinct("v").cast("long").alias("n_probes"),
+        F.sum("hit").cast("long").alias("files_touched"),
+        F.round(
+            F.lit(1.0)
+            - F.sum("hit").cast("double")
+            / (F.countDistinct("fid") * F.countDistinct("v")),
+            6,
+        ).alias("prune_fraction"),
+    )
+
+
+def _zorder_pruning_sql() -> str:
+    probes = ", ".join(f"({v})" for v in Z_PROBES)
+    per_file_rows = (1 << (2 * Z_BITS)) // Z_FILES
+    return f"""
+WITH keyed AS (
+  SELECT {_Z_UB} AS ub, {_Z_DB} AS db,
+         CAST({_zkey_sql(_Z_UB, _Z_DB)} // {per_file_rows} AS BIGINT) AS zf,
+         CAST(({_Z_UB} * {1 << Z_BITS} + {_Z_DB}) // {per_file_rows} AS BIGINT) AS lf
+  FROM events
+), tagged AS (
+  SELECT 'zorder' AS layout, zf AS fid, ub, db FROM keyed
+  UNION ALL
+  SELECT 'linear' AS layout, lf AS fid, ub, db FROM keyed
+), stats AS (
+  SELECT layout, fid,
+         MIN(ub) AS ub_min, MAX(ub) AS ub_max,
+         MIN(db) AS db_min, MAX(db) AS db_max
+  FROM tagged GROUP BY layout, fid
+), probes AS (SELECT * FROM (VALUES {probes}) p(v)),
+per_dim AS (
+  SELECT s.layout, s.fid, p.v,
+         CASE WHEN p.v BETWEEN s.ub_min AND s.ub_max THEN 1 ELSE 0 END AS hit_user,
+         CASE WHEN p.v BETWEEN s.db_min AND s.db_max THEN 1 ELSE 0 END AS hit_day
+  FROM stats s CROSS JOIN probes p
+), long_form AS (
+  SELECT layout, fid, v, 'user' AS probe_dim, hit_user AS hit FROM per_dim
+  UNION ALL
+  SELECT layout, fid, v, 'day', hit_day FROM per_dim
+)
+SELECT layout, probe_dim,
+       CAST(COUNT(DISTINCT fid) AS BIGINT) AS n_files,
+       CAST(COUNT(DISTINCT v) AS BIGINT) AS n_probes,
+       CAST(SUM(hit) AS BIGINT) AS files_touched,
+       ROUND(1.0 - CAST(SUM(hit) AS DOUBLE)
+             / (COUNT(DISTINCT fid) * COUNT(DISTINCT v)), 6) AS prune_fraction
+FROM long_form
+GROUP BY layout, probe_dim
+"""
+
+
+ZORDER_PRUNING_GAIN_SQL = _zorder_pruning_sql()
+
+
 N_SALT = 8
 
 
@@ -398,6 +513,7 @@ QUERIES = {
     "ivf_cell_balance": ivf_cell_balance,
     "zorder_file_layout": zorder_file_layout,
     "salted_hot_key_join": salted_hot_key_join,
+    "zorder_pruning_gain": zorder_pruning_gain,
 }
 
 ORACLE_SQL = {
@@ -406,4 +522,5 @@ ORACLE_SQL = {
     "ivf_cell_balance": _ivf_cell_balance_sql(),
     "zorder_file_layout": ZORDER_FILE_LAYOUT_SQL,
     "salted_hot_key_join": SALTED_HOT_KEY_JOIN_SQL,
+    "zorder_pruning_gain": ZORDER_PRUNING_GAIN_SQL,
 }

@@ -142,6 +142,11 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "composes bm25_topk + ann_pq_topk — inherits their 1-row "
         "corpus-stats and quantizer-seed broadcasts (doc_similarity.py)"
     ),
+    "zorder_pruning_gain": (
+        "16-row literal probe table broadcast against the ≤2·Z_FILES-row "
+        "per-file min/max stats — both sides corpus-size-free "
+        "(scaleaudit.py)"
+    ),
     "ivf_cell_balance": (
         "the hash-sampled ~sqrt(N) quantizer-seed broadcast "
         "(similarity.quantizer_seeds' 1-row stats join) + a 1-row "
@@ -285,4 +290,5 @@ HEADLINE: list[str] = [
     "salted_hot_key_join",
     "bloom_membership",
     "multimodal_resize",
+    "zorder_pruning_gain",
 ]

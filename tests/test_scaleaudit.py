@@ -178,3 +178,20 @@ def test_event_scd_intervals_tile_history(spark, sf_dir):
             # consecutive runs always change type — same-type neighbors
             # would have been one island
             assert a.event_type != b.event_type
+
+
+def test_zorder_pruning_beats_linear_off_axis(spark, sf_dir):
+    """The measured claim: under linear (user, day) sort, day probes
+    barely prune (every file spans most days); under z-order BOTH
+    dimensions prune, and total touched files drop."""
+    from capstone_etl_spark.operators.scaleaudit import zorder_pruning_gain
+
+    rows = {(r.layout, r.probe_dim): r for r in zorder_pruning_gain(spark, sf_dir).collect()}
+    assert set(rows) == {("linear", "user"), ("linear", "day"), ("zorder", "user"), ("zorder", "day")}
+    for r in rows.values():
+        assert 0.0 <= r.prune_fraction <= 1.0
+        assert r.files_touched <= r.n_files * r.n_probes
+    # z-order's worst dimension must beat linear's worst dimension
+    z_worst = min(rows[("zorder", "user")].prune_fraction, rows[("zorder", "day")].prune_fraction)
+    lin_worst = min(rows[("linear", "user")].prune_fraction, rows[("linear", "day")].prune_fraction)
+    assert z_worst > lin_worst
