@@ -267,7 +267,11 @@ def event_anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.col("n_days").cast("double")
     sx, sxx = F.col("sx").cast("double"), F.col("sxx").cast("double")
     mean = sx / nd
-    var = (nd * sxx - sx * sx) / (nd * (nd - 1))
+    # sample variance needs >= 2 days; a type seen on ONE day has no
+    # distribution to score against — std/z are NULL, not a 0/0 (ANSI
+    # Spark raises DIVIDE_BY_ZERO where DuckDB's IEEE division glides
+    # into NaN; caught by the degenerate-events sweep)
+    var = F.when(nd > 1, (nd * sxx - sx * sx) / (nd * (nd - 1)))
     std = F.sqrt(var)
     z = F.when(std > 0, (F.col("n").cast("double") - mean) / std)
     return daily.join(F.broadcast(stats), "event_type").select(
@@ -291,17 +295,22 @@ WITH daily AS (
          CAST(SUM(n * n) AS BIGINT) AS sxx
   FROM daily GROUP BY 1
 )
+, mom AS (
+  SELECT event_type,
+         CAST(sx AS DOUBLE) / n_days AS mean,
+         CASE WHEN n_days > 1
+              THEN SQRT((CAST(n_days AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+                        / (CAST(n_days AS DOUBLE) * (n_days - 1)))
+         END AS std
+  FROM stats
+)
 SELECT d.event_type, d.day, d.n,
-       ROUND(CAST(s.sx AS DOUBLE) / s.n_days, 6) AS mean_daily,
-       ROUND(SQRT((CAST(s.n_days AS DOUBLE) * s.sxx - CAST(s.sx AS DOUBLE) * s.sx)
-                  / (CAST(s.n_days AS DOUBLE) * (s.n_days - 1))), 6) AS std_daily,
-       ROUND(CASE WHEN SQRT((CAST(s.n_days AS DOUBLE) * s.sxx - CAST(s.sx AS DOUBLE) * s.sx)
-                            / (CAST(s.n_days AS DOUBLE) * (s.n_days - 1))) > 0
-                  THEN (CAST(d.n AS DOUBLE) - CAST(s.sx AS DOUBLE) / s.n_days)
-                       / SQRT((CAST(s.n_days AS DOUBLE) * s.sxx - CAST(s.sx AS DOUBLE) * s.sx)
-                              / (CAST(s.n_days AS DOUBLE) * (s.n_days - 1)))
+       ROUND(m.mean, 6) AS mean_daily,
+       ROUND(m.std, 6) AS std_daily,
+       ROUND(CASE WHEN m.std > 0
+                  THEN (CAST(d.n AS DOUBLE) - m.mean) / m.std
              END, 6) AS zscore
-FROM daily d JOIN stats s USING (event_type)
+FROM daily d JOIN mom m USING (event_type)
 """
 
 
@@ -1122,13 +1131,20 @@ def scd_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "event_type",
         "ts_sec",
+        "event_id",
         (F.row_number().over(w_all) - F.row_number().over(w_typ)).alias("grp"),
     )
     runs = islands.groupBy("user_id", "event_type", "grp").agg(
         F.min("ts_sec").alias("valid_from"),
+        F.min("event_id").alias("eid0"),
         F.count("*").cast("long").alias("n_events"),
     )
-    w_run = Window.partitionBy("user_id").orderBy("valid_from")
+    # two runs share valid_from when events of different types tie at
+    # the same second — LEAD over that tie is order-nondeterministic,
+    # so the run sequence tiebreaks on the run's first event_id (the
+    # same total order the island row_numbers used; degenerate-events
+    # sweep)
+    w_run = Window.partitionBy("user_id").orderBy("valid_from", "eid0")
     return runs.select(
         "user_id",
         "event_type",
@@ -1144,18 +1160,19 @@ WITH ev AS (
   SELECT user_id, event_type, FLOOR(epoch(ts))::BIGINT AS ts_sec, event_id
   FROM events
 ), islands AS (
-  SELECT user_id, event_type, ts_sec,
+  SELECT user_id, event_type, ts_sec, event_id,
          ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_sec, event_id)
          - ROW_NUMBER() OVER (PARTITION BY user_id, event_type ORDER BY ts_sec, event_id) AS grp
   FROM ev
 ), runs AS (
   SELECT user_id, event_type, MIN(ts_sec) AS valid_from,
+         MIN(event_id) AS eid0,
          CAST(COUNT(*) AS BIGINT) AS n_events
   FROM islands GROUP BY user_id, event_type, grp
 )
 SELECT user_id, event_type, valid_from,
-       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) AS valid_to,
-       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from) IS NULL AS is_current,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, eid0) AS valid_to,
+       LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, eid0) IS NULL AS is_current,
        n_events
 FROM runs
 """
