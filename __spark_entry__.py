@@ -37,52 +37,86 @@ def entry(spark: SparkSession) -> DataFrame:
 # canary per family — families already driver-green and still covered
 # by the local full gate (ATTEST_r5.json).
 _PRIORITY = [
-    # the 12 queries with no driver row in any round (VERDICT r4 #1)
-    "winnowing_pairs",
-    "zipf_fit",
-    "kmv_source_overlap",
-    "repeated_ngram_spans",
-    "difficulty_deciles",
+    # ---- driver window (first ~50) -----------------------------------
+    # Block 1: the 29 queries with no driver CORRECTNESS row in any
+    # round r1-r5 (all green in ATTEST_r5.json / the local full gate).
+    # Grouped by family for readability.
+    "late_shipment_priority",
+    "supplier_count_by_part_class",
+    "dominant_bolt_suppliers",
+    "event_ewma_daily",
+    "event_scd_intervals",
+    "event_grouping_sets",
+    "signal_correlations",
+    "salted_hot_key_join",
+    "pii_scan",
+    "pii_redaction",
+    "stream_pii_scan",
+    "stream_decontamination",
+    "stream_mixing_weights",
+    "boilerplate_lines",
+    "cooccurrence_triangles",
+    "source_quality_summary",
+    "length_quartiles_per_source",
+    "bpe_apply_merge",
+    "bloom_membership",
+    "count_min_error",
+    "embedding_dim_stats",
+    "embedding_pq",
+    "ann_pq_topk",
+    "ann_ivf_pq_topk",
+    "hard_negative_mining",
+    "hybrid_retrieval_rrf",
+    "multimodal_resize",
+    "zorder_file_layout",
+    "zorder_pruning_gain",
+    # Block 2: semantics touched in round 6 -> driver must re-attest the
+    # new code: embedding_covariance's 6-dp snap changed from round()
+    # to floor-snap (+0.0) to kill a -0.0 hash mismatch (the one red
+    # row in CORRECTNESS_r05); pca_power_iteration consumes it;
+    # key_skew_audit's skew_ratio multiply moved to double.
+    "embedding_covariance",
+    "pca_power_iteration",
+    "key_skew_audit",
+    # Block 3: family canaries - every operator family keeps >=1 row in
+    # the window (tests/test_entry_contract.py enforces the span); each
+    # is driver-green in r4/r5.
     "mixing_allocation",
-    "stream_quality_funnel",
-    "stream_kmv_sketch",
-    "ann_recall_eval",
-    "language_id_confusion",
     "dedup_agreement",
-    "event_anomaly_zscore",
-    # semantics touched in round 5 → driver must attest the new code:
-    # scale-derived SEMDEDUP/IVF cell counts (VERDICT #2), pack-shard
-    # output contract (VERDICT #5), quality-oracle empty-doc guard
-    # (ADVICE #1)
-    # ann_ivf_topk runs INSIDE ann_recall_eval (position 9), so the
-    # quantizer re-attestation still lands; quality_filter_funnel
-    # shares _rule_flags with quality_filter_flags, so the empty-doc
-    # oracle fix is re-attested by the funnel row.
-    # quality_filter_funnel's oracle-fix re-attestation is carried by
-    # curation_verdict (same _rule_flags CTE composed in-window)
-    "semantic_dedup",
+    "repeated_ngram_spans",
+    "ann_recall_eval",
     "kmeans_lloyd",
+    "bm25_topk",
+    "stream_quality_funnel",
+    "multimodal_frame_dedup",
+    "wikibooks_docs",
+    "chunk_packing",
     "sequence_packing_greedy",
-    # stream_event_dedup's deferred r4 re-attestation yields its slot
-    # to curation_verdict (streaming family keeps five in-window rows;
-    # event dedup is twice-green on the committed local gate)
-    # NEW in round 5 — attest this round (also in ATTEST_r5.json)
+    "cluster_aware_splits",
     "reservoir_sample",
+    "campaign_window_stats",
+    "zipf_fit",
+    "difficulty_deciles",
+    "kmv_source_overlap",
+    "event_anomaly_zscore",
+    # ---- position 51+: every query below is driver-green in some
+    # round AND green on the committed local full gate; ordered
+    # least-recently-attested first so any extra driver sampling adds
+    # the stalest signal. Unlisted queries follow in module order.
+    "winnowing_pairs",
+    "stream_kmv_sketch",
+    "language_id_confusion",
+    "semantic_dedup",
     "length_histogram",
     "tokenizer_fertility",
     "bigram_lm_perplexity",
-    # (3 of the 6 new TPC-H shapes attest the shared relational layer
-    # in-window; the other three lead the 51+ block — green in
-    # ATTEST_r5.json, driver row next round)
     "min_cost_supplier",
     "local_supplier_volume",
     "important_parts",
     "stream_reservoir_sample",
-    "embedding_covariance",
     "skipgram_pairs",
     "mad_outliers",
     "training_shuffle",
-    "pca_power_iteration",
     "feature_hashing_vectors",
     "dedup_source_matrix",
     "doc_keywords",
@@ -90,84 +124,15 @@ _PRIORITY = [
     "bpe_learn_merges",
     "stream_count_min",
     "curation_verdict",
-    # source_quality_summary yields its window slot to dedup_incremental
-    # (it composes curation_verdict, whose in-window row attests the
-    # shared machinery); it re-joins at 51+.
-    # NEW this session — recursive-CTE-oracled subtree rollup, DSIR
-    # importance weights, budget-prefix selection
     "hierarchy_rollup",
     "dsir_importance",
     "token_budget_selection",
-    # BM25 retrieval (new) takes the doc_similarity family's window
-    # slot; doc_similarity_topk (driver-green r4) moves to 51+
-    "bm25_topk",
-    # NEW in round-5 session 3 — scale-audit + sampling/retrieval eval:
-    # attest the audit trio, the A-ES weighted sample, and the MRR eval
-    # the round they ship (also in the committed local full gate)
-    "key_skew_audit",
     "output_file_plan",
     "ivf_cell_balance",
     "weighted_sample",
     "retrieval_mrr",
     "dedup_incremental",
-    # multimodal byte-semantics fix (r5 degenerate-corpus sweep):
-    # frame_dedup covers the redefined fingerprints/byte lengths
-    # inside the window; stats/meta/frames follow at 51+ (attested
-    # in ATTEST_r5.json)
-    "multimodal_frame_dedup",
-    # family canaries (driver-green in earlier rounds; every family
-    # keeps ≥1 inside the window — tests/test_entry_contract.py
-    # enforces the span)
-    "wikibooks_docs",
-    "cluster_aware_splits",
-    "chunk_packing",
-    "campaign_window_stats",
-    # position 51+: first in line if the driver samples past 50 —
-    # round-5 queries that yielded their window slot to the session-3
-    # additions lead (each one's family machinery keeps an in-window
-    # member: dim_stats ⊂ covariance diag, count_min_error ⊂
-    # stream_count_min, bpe_apply_merge ⊂ bpe_learn_merges,
-    # length_quartiles ~ length_histogram, stream_mixing_weights ~
-    # source_mixing_weights + the in-window streaming rows), then the
-    # three deferred TPC-H shapes (locally attested, no driver row
-    # yet), then queries driver-green in some round. All are green in
-    # the committed local full gate (ATTEST_r5.json).
-    "ann_ivf_pq_topk",
-    "zorder_file_layout",
-    "event_scd_intervals",
-    "pii_scan",
-    "pii_redaction",
-    "boilerplate_lines",
-    "hard_negative_mining",
-    "event_ewma_daily",
-    "signal_correlations",
-    "stream_pii_scan",
-    "salted_hot_key_join",
-    "bloom_membership",
-    "multimodal_resize",
-    "zorder_pruning_gain",
-    "embedding_dim_stats",
-    "count_min_error",
-    "bpe_apply_merge",
-    "length_quartiles_per_source",
-    "stream_mixing_weights",
-    "source_quality_summary",
-    "late_shipment_priority",
-    "supplier_count_by_part_class",
-    "dominant_bolt_suppliers",
-    "embedding_pq",
-    "ann_pq_topk",
-    "cooccurrence_triangles",
-    "stream_decontamination",
-    "hybrid_retrieval_rrf",
-    "event_grouping_sets",
     "doc_similarity_topk",
-    # every query below is driver-green in some round AND green on the
-    # committed local full gate (ATTEST_r5.json). dedup_minhash_lsh /
-    # ann_lsh_topk / corpus_pipeline / packing_efficiency moved here:
-    # their families stay in-window via dedup_agreement +
-    # dedup_source_matrix, ann_ivf_topk + ann_recall_eval,
-    # mixing_allocation, and sequence_packing_greedy.
     "corpus_pipeline",
     "stream_event_dedup",
     "packing_efficiency",
@@ -181,7 +146,6 @@ _PRIORITY = [
     "text_quality",
     "label_centroids",
     "packed_sequences",
-    "chunk_packing",
     "pack_attention_spans",
     "multimodal_meta",
     "multimodal_frames",
@@ -220,7 +184,6 @@ _PRIORITY = [
     "stream_user_activity",
     "stream_tier_rollup",
     "stream_sliding_windows",
-    "multimodal_meta",
     "language_id",
     "corpus_summary",
     "dedup_ngram_jaccard",
@@ -232,7 +195,6 @@ _PRIORITY = [
     "vocab_coverage",
     "token_entropy",
     "doc_fingerprint",
-    # remaining attested queries follow in module order
     "event_user_rank",
     "event_props_json",
     "event_daily_matrix",
@@ -242,8 +204,6 @@ _PRIORITY = [
     "bigram_pmi",
     "repetition_ratio",
     "top_tokens_per_source",
-    "multimodal_stats",
-    "multimodal_frames",
     "embedding_quantize",
     "embedding_norms",
 ]

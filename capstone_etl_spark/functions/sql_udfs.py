@@ -55,8 +55,11 @@ _FUNCTIONS: tuple[tuple[str, str, str, str], ...] = (
         "(t STRING, needle STRING)",
         "BIGINT",
         # literal-substring count via the same split(-1) identity as
-        # count_substring; the needle is regex-quoted with \Q...\E
-        r"CAST(size(split(t, concat('\\Q', needle, '\\E'), -1)) - 1 AS BIGINT)",
+        # count_substring; the needle is regex-quoted with \Q...\E.
+        # A needle containing the literal \E is split-and-rejoined
+        # (Pattern.quote's recipe, matching count_substring); an empty
+        # needle yields length-based counts — pinned engine semantics.
+        r"CAST(size(split(t, concat('\\Q', replace(needle, '\\E', '\\E\\\\E\\Q'), '\\E'), -1)) - 1 AS BIGINT)",
     ),
     (
         "engine_page_loc",

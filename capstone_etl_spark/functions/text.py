@@ -76,9 +76,17 @@ def token_ngrams(toks: Column | str, n: int) -> Column:
 
 def count_substring(col: Column | str, needle: str) -> Column:
     """Number of occurrences of a literal substring (main.go:192).
-    split with -1 limit keeps trailing empties so counts are exact."""
-    # F.split takes a regex — quote the needle so it is literal.
-    quoted = "\\Q" + needle + "\\E"
+    split with -1 limit keeps trailing empties so counts are exact.
+
+    The needle is regex-quoted with \\Q...\\E; a needle CONTAINING the
+    literal sequence \\E would break out of the quoting, so it is
+    split-and-rejoined first (java.util.regex.Pattern.quote's exact
+    recipe: \\E → \\E\\\\E\\Q — close the quote, match a literal
+    backslash-E, reopen). An EMPTY needle splits on the empty pattern
+    and yields length-based counts rather than an error — documented
+    engine semantics, mirrored by engine_count_substring (ADVICE r5
+    #3)."""
+    quoted = "\\Q" + needle.replace("\\E", "\\E\\\\E\\Q") + "\\E"
     return (F.size(F.split(col, quoted, -1)) - F.lit(1)).alias("count")
 
 

@@ -80,8 +80,13 @@ def key_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min(F.struct((-F.col("cnt")).alias("neg"), F.col("k").alias("k")))[
                     "k"
                 ].alias("hot_key"),
+                # max_cnt is cast to double BEFORE the multiply: on an
+                # extremely skewed high-cardinality keyspace,
+                # max_cnt × n_keys in int64 can exceed 2^63 — exactly
+                # the regime this audit diagnoses (ADVICE r5 #2)
                 F.round(
-                    F.max("cnt") * F.count("*") / F.sum("cnt").cast("double"), 6
+                    F.max("cnt").cast("double") * F.count("*") / F.sum("cnt").cast("double"),
+                    6,
                 ).alias("skew_ratio"),
             )
         )
@@ -100,7 +105,7 @@ SELECT '{name}' AS keyspace,
        (SELECT k FROM (SELECT CAST({col} AS BIGINT) AS k, COUNT(*) AS cnt
                        FROM {table} GROUP BY 1) h
         ORDER BY cnt DESC, k LIMIT 1) AS hot_key,
-       ROUND(MAX(cnt) * COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 6) AS skew_ratio
+       ROUND(CAST(MAX(cnt) AS DOUBLE) * COUNT(*) / CAST(SUM(cnt) AS DOUBLE), 6) AS skew_ratio
 FROM (SELECT CAST({col} AS BIGINT) AS k, COUNT(*) AS cnt FROM {table} GROUP BY 1) c
 """
 

@@ -216,7 +216,13 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
     )
-    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    # filter BEFORE the broadcast hint: query_id is already bounded by
+    # N_QUERIES upstream (join key restricts rows either way), but
+    # broadcasting the unfiltered corpus-sized relation would OOM the
+    # driver at scale (ADVICE r5 #1)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
     n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
     scored = (
         cand.join(F.broadcast(q), "query_id")
@@ -513,7 +519,13 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
     )
-    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    # filter BEFORE the broadcast hint: query_id is already bounded by
+    # N_QUERIES upstream (join key restricts rows either way), but
+    # broadcasting the unfiltered corpus-sized relation would OOM the
+    # driver at scale (ADVICE r5 #1)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
     n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
     scored = (
         cand.join(F.broadcast(q), "query_id")
@@ -1339,7 +1351,17 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     has exactly 2080 groups, so map-side partial aggregation collapses
     each partition to ≤2080 rows before one tiny shuffle; the vector
     count n is carried per-cell by the same aggregation (no separate
-    count pass, no driver-side action)."""
+    count pass, no driver-side action).
+
+    Snap discipline (r5 driver hash-mismatch fix): the final 6-dp snap
+    is floor(x·1e6 + 0.5)/1e6 + 0.0 — NOT the engines' round().
+    Spark's round(double) is exact-decimal HALF_UP while DuckDB's is a
+    float-multiply trick, so they can disagree at half boundaries; and
+    DuckDB's round preserves the sign of a tiny negative (→ -0.0)
+    while Spark's does not, which hashes differently even though
+    -0.0 == 0.0 compares equal. floor on identical IEEE inputs is
+    bit-identical in both engines, and + 0.0 maps -0.0 → 0.0 (a no-op
+    on every other value)."""
     emb = load_table(spark, sf_dir, "embeddings")
     scaled = emb.select(
         F.expr(
@@ -1359,17 +1381,16 @@ def embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nd = F.col("n").cast("double")
     s2 = F.lit(float(CENTROID_SCALE)) * F.lit(float(CENTROID_SCALE))
+    raw = (
+        F.col("sij").cast("double") / nd
+        - (F.col("ssi").cast("double") / nd) * (F.col("ssj").cast("double") / nd)
+    ) / s2
     return sums.select(
         "i",
         "j",
-        F.round(
-            (
-                F.col("sij").cast("double") / nd
-                - (F.col("ssi").cast("double") / nd) * (F.col("ssj").cast("double") / nd)
-            )
-            / s2,
-            6,
-        ).alias("cov"),
+        (F.floor(raw * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0) + F.lit(0.0)).alias(
+            "cov"
+        ),
     )
 
 
@@ -1386,9 +1407,10 @@ WITH scaled AS (
   WHERE j >= i
 )
 SELECT i, j,
-       ROUND((CAST(SUM(si * sj) AS DOUBLE) / COUNT(*)
+       floor((CAST(SUM(si * sj) AS DOUBLE) / COUNT(*)
               - (CAST(SUM(si) AS DOUBLE) / COUNT(*)) * (CAST(SUM(sj) AS DOUBLE) / COUNT(*)))
-             / ({CENTROID_SCALE}.0 * {CENTROID_SCALE}.0), 6) AS cov
+             / ({CENTROID_SCALE}.0 * {CENTROID_SCALE}.0) * 1000000.0 + 0.5)
+       / 1000000.0 + 0.0 AS cov
 FROM pairs
 GROUP BY i, j
 """
@@ -1636,7 +1658,11 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("query_id", "neighbor_id")
         .distinct()
         .join(
-            F.broadcast(labels.select(F.col("vec_id").alias("query_id"), F.col("label").alias("query_label"))),
+            F.broadcast(
+                labels.filter(F.col("vec_id") < N_QUERIES).select(
+                    F.col("vec_id").alias("query_id"), F.col("label").alias("query_label")
+                )
+            ),
             "query_id",
         )
         .join(
@@ -1645,7 +1671,13 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("query_label") != F.col("neighbor_label"))
     )
-    q = emb.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe"))
+    # filter BEFORE the broadcast hint: query_id is already bounded by
+    # N_QUERIES upstream (join key restricts rows either way), but
+    # broadcasting the unfiltered corpus-sized relation would OOM the
+    # driver at scale (ADVICE r5 #1)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
     n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
     scored = (
         cand.join(F.broadcast(q), "query_id")

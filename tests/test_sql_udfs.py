@@ -77,6 +77,36 @@ def test_edge_semantics_match_builders(spark):
     assert gm == wm
 
 
+def test_count_substring_regex_metachar_needles(spark):
+    """Needles that are regex-hostile must count as LITERAL substrings
+    in both surfaces — including the quoting-breaker \\E (a raw
+    needle containing \\E would terminate the \\Q...\\E quote and the
+    tail would be interpreted as regex; ADVICE r5 #3)."""
+    register_sql_functions(spark)
+    rows = [
+        ("x\\Ey x\\Ey z", "x\\Ey", 2),  # embedded \E — the breakout case
+        ("a.c abc a.c", "a.c", 2),  # dot must not match 'b'
+        ("q\\Qr q\\Qr", "q\\Qr", 2),  # embedded \Q is inert inside quote
+        ("[a] [a]", "[a]", 2),  # char-class metachars
+        ("back\\slash back\\slash", "back\\slash", 2),
+    ]
+    df = spark.createDataFrame([(t, n) for t, n, _ in rows], "t string, needle string")
+    df.createOrReplaceTempView("needle_v")
+    got = {
+        (r.t, r.needle): r.n
+        for r in spark.sql(
+            "SELECT t, needle, engine_count_substring(t, needle) AS n FROM needle_v"
+        ).collect()
+    }
+    for t, needle, expect in rows:
+        assert got[(t, needle)] == expect, (t, needle, got[(t, needle)])
+        # python builder parity (needle is a plan-time literal there)
+        one = spark.createDataFrame([(t,)], "t string").select(
+            count_substring("t", needle).cast("long").alias("n")
+        )
+        assert one.collect()[0].n == expect, (t, needle, "builder")
+
+
 def test_sql_udfs_stay_expression_inlined(spark):
     """The SQL function must inline to Catalyst expressions — a
     BatchEvalPython / ArrowEvalPython node would mean the slow path."""

@@ -43,6 +43,21 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
                 if neq.any():
                     md = (sv[neq] - dv[neq]).abs().max()
                     problems.append(f"col {col}: {int(neq.sum())} diffs, max abs {md}")
+                # the driver hashes stringified values, under which
+                # -0.0 != 0.0 even though they compare == above (bit
+                # the r5 driver on embedding_covariance) — check the
+                # sign bit of zeros explicitly
+                import numpy as np
+
+                zsign = (
+                    (sv.values == 0)
+                    & (dv.values == 0)
+                    & (np.signbit(sv.values) != np.signbit(dv.values))
+                )
+                if zsign.any():
+                    problems.append(
+                        f"col {col}: {int(zsign.sum())} zero-sign (-0.0 vs 0.0) diffs"
+                    )
             else:
                 sv2, dv2 = sv.astype(str), dv.astype(str)
                 neq = sv2 != dv2
