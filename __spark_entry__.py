@@ -99,7 +99,14 @@ _PRIORITY = [
     "difficulty_deciles",
     "kmv_source_overlap",
     "event_anomaly_zscore",
-    # ---- position 51+: every query below is driver-green in some
+    # ---- position 51+: NEW in round 6 (green in ATTEST_r6.json; they
+    # rotate into the window next round) ----
+    "bt_source_ratings",
+    "template_extraction",
+    "embedding_coverage_audit",
+    "bucketed_batching",
+    "matryoshka_recall",
+    # ---- every query below is driver-green in some
     # round AND green on the committed local full gate; ordered
     # least-recently-attested first so any extra driver sampling adds
     # the stalest signal. Unlisted queries follow in module order.
@@ -218,6 +225,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         multimodal,
         outputs,
         packing,
+        preference,
         privacy,
         quality,
         rangejoin,
@@ -252,6 +260,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         quality,
         privacy,
         sketches,
+        preference,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE_SQL)

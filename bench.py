@@ -87,6 +87,13 @@ HEADLINE = [
     "boilerplate_lines",
     "ann_ivf_pq_topk",
     "event_scd_intervals",
+    # r6: the BT preference fit (iterative MM over bucket-champion
+    # duels — the checkpoint-per-round loop's cost canary), the
+    # structural template miner (map + one groupBy specimen), and the
+    # double-brute Matryoshka eval — tracked from day one.
+    "bt_source_ratings",
+    "template_extraction",
+    "matryoshka_recall",
 ]
 
 

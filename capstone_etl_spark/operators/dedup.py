@@ -1075,6 +1075,96 @@ WHERE {_delta_pred_sql('d.doc_id')}
 """
 
 
+# --- template extraction (structural near-dup) ------------------------------
+#
+# Drain/CCNet-style TEMPLATE detection: collapse the parts of a doc
+# that vary and exact-group the structural skeleton that remains. Two
+# masking stages, both map-only:
+#   1. content mask — lowercase, digit runs -> '#', whitespace runs ->
+#      one space (the classic log-template mask: "Page 3 of 71" and
+#      "Page 8 of 12" collide);
+#   2. shape reduction — the word-LENGTH sequence of the opening
+#      TEMPLATE_SHAPE_TOKENS tokens ("error code # at line #" ->
+#      5-4-1-2-4-1), the cheap structural fingerprint template miners
+#      key their parse trees on when content still varies.
+# Docs sharing the skeleton are structurally identical machine
+# generations (listings, error pages, form letters) — the near-dup
+# class exact hashing misses and MinHash wastes candidates on.
+TEMPLATE_MIN_DOCS = 2
+TEMPLATE_SHAPE_TOKENS = 8
+
+
+def template_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(template_hash, n_docs, n_sources, example_doc_id,
+    template_shape) — one row per structural template shared by ≥
+    TEMPLATE_MIN_DOCS docs.
+
+    100 TB shape: both masking stages are per-row expressions inside
+    one projection; the groupBy keys on the skeleton's md5 (uniform
+    128-bit) plus the ≤ 4·TEMPLATE_SHAPE_TOKENS-char shape string —
+    shuffle rows never carry document bodies. One shuffle total, no
+    joins, no windows, no Python."""
+    docs = _docs(spark, sf_dir)
+    masked = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "#"), "\\s+", " "
+        )
+    )
+    shape = F.array_join(
+        F.transform(
+            F.slice(tokenize(masked), 1, TEMPLATE_SHAPE_TOKENS),
+            lambda x: F.length(x).cast("string"),
+        ),
+        "-",
+    )
+    return (
+        docs.select("doc_id", "source", shape.alias("template_shape"))
+        .groupBy("template_shape")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("source").alias("n_sources"),
+            F.min("doc_id").alias("example_doc_id"),
+        )
+        .filter(F.col("n_docs") >= TEMPLATE_MIN_DOCS)
+        .select(
+            F.md5("template_shape").alias("template_hash"),
+            "n_docs",
+            "n_sources",
+            "example_doc_id",
+            "template_shape",
+        )
+    )
+
+
+TEMPLATE_EXTRACTION_SQL = f"""
+WITH masked AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '#', 'g'),
+                             '\\s+', ' ', 'g')) AS m
+  FROM documents
+), shaped AS (
+  -- COALESCE: DuckDB array_to_string([]) is NULL, Spark array_join([])
+  -- is '' — empty docs must share the '' shape in both engines
+  SELECT doc_id, source,
+         COALESCE(array_to_string(
+           list_transform(
+             list_filter(string_split_regex(trim(lower(regexp_replace(m, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+                         t -> t <> '')[1:{TEMPLATE_SHAPE_TOKENS}],
+             x -> CAST(length(x) AS VARCHAR)),
+           '-'), '') AS template_shape
+  FROM masked
+)
+SELECT md5(template_shape) AS template_hash,
+       COUNT(*) AS n_docs,
+       COUNT(DISTINCT source) AS n_sources,
+       MIN(doc_id) AS example_doc_id,
+       template_shape
+FROM shaped
+GROUP BY template_shape
+HAVING COUNT(*) >= {TEMPLATE_MIN_DOCS}
+"""
+
+
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
@@ -1088,6 +1178,7 @@ QUERIES = {
     "repeated_ngram_spans": repeated_ngram_spans,
     "dedup_source_matrix": dedup_source_matrix,
     "dedup_incremental": dedup_incremental,
+    "template_extraction": template_extraction,
 }
 
 ORACLE_SQL = {
@@ -1103,4 +1194,5 @@ ORACLE_SQL = {
     "repeated_ngram_spans": REPEATED_NGRAM_SPANS_SQL,
     "dedup_source_matrix": DEDUP_SOURCE_MATRIX_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    "template_extraction": TEMPLATE_EXTRACTION_SQL,
 }

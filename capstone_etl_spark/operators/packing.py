@@ -427,6 +427,102 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- length-bucketed batching ------------------------------------------------
+#
+# The alternative to packing when docs must stay one-per-row (reward
+# models, rankers, encoders): pad each doc to its length bucket and
+# batch within the bucket. The planner below answers "how many batches
+# and how much padding does each (source, bucket) cost" — the batch
+# size per bucket is the token budget divided by the bucket length
+# (longer sequences -> smaller batches, constant activation memory).
+BATCH_TOKEN_BUDGET = 4096
+BATCH_BUCKETS = (16, 32, 64, 128, 256, 512, 1024)
+
+
+def _bucket_case_expr():
+    c = F.col("n_tokens")
+    expr = F.lit(BATCH_BUCKETS[-1])  # oversized docs clamp to the top
+    for b in reversed(BATCH_BUCKETS):
+        expr = F.when(c <= b, F.lit(b)).otherwise(expr)
+    return expr
+
+
+def _bucket_case_sql() -> str:
+    clauses = " ".join(f"WHEN n_tokens <= {b} THEN {b}" for b in BATCH_BUCKETS)
+    return f"CASE {clauses} ELSE {BATCH_BUCKETS[-1]} END"
+
+
+def bucketed_batching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, bucket_len, n_docs, n_batches, total_tokens, pad_waste,
+    efficiency) — the per-(source, length-bucket) batch plan.
+
+    bucket_len = smallest power-of-two bucket ≥ n_tokens (a fixed CASE
+    ladder — no float log2, so both engines bucket identically; docs
+    longer than the top bucket clamp to it and would truncate);
+    batch_size = BATCH_TOKEN_BUDGET div bucket_len;
+    n_batches = ceil(n_docs / batch_size) in integer arithmetic;
+    pad_waste = n_docs·bucket_len − Σ min(n_tokens, bucket_len);
+    efficiency = payload / padded, floor-snapped to 6 dp.
+
+    100 TB shape: map-only bucket assignment + ONE groupBy((source,
+    bucket)) with ≤ |sources|·|buckets| output rows — the same
+    aggregation-collapse shape as length_histogram. No joins, no
+    windows, no Python."""
+    counted = _counted(spark, sf_dir).select("source", "doc_id", "n_tokens")
+    payload = F.least(F.col("n_tokens"), F.col("bucket_len"))
+    per = (
+        counted.select("source", "n_tokens", _bucket_case_expr().alias("bucket_len"))
+        .groupBy("source", "bucket_len")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(payload).cast("long").alias("total_tokens"),
+        )
+    )
+    padded = F.col("n_docs") * F.col("bucket_len")
+    return per.select(
+        "source",
+        "bucket_len",
+        "n_docs",
+        F.expr(f"(n_docs + ({BATCH_TOKEN_BUDGET} div bucket_len) - 1) div ({BATCH_TOKEN_BUDGET} div bucket_len)")
+        .cast("long")
+        .alias("n_batches"),
+        "total_tokens",
+        (padded - F.col("total_tokens")).cast("long").alias("pad_waste"),
+        (
+            F.floor(
+                F.col("total_tokens").cast("double") / padded.cast("double") * F.lit(1_000_000.0)
+                + F.lit(0.5)
+            )
+            / F.lit(1_000_000.0)
+            + F.lit(0.0)
+        ).alias("efficiency"),
+    )
+
+
+BUCKETED_BATCHING_SQL = f"""
+WITH counted AS ({_COUNTED_SQL}),
+bucketed AS (
+  SELECT source, n_tokens, {_bucket_case_sql()} AS bucket_len
+  FROM counted
+),
+per AS (
+  SELECT source, bucket_len,
+         COUNT(*) AS n_docs,
+         CAST(SUM(LEAST(n_tokens, bucket_len)) AS BIGINT) AS total_tokens
+  FROM bucketed
+  GROUP BY 1, 2
+)
+SELECT source, bucket_len, n_docs,
+       CAST((n_docs + ({BATCH_TOKEN_BUDGET} // bucket_len) - 1)
+            // ({BATCH_TOKEN_BUDGET} // bucket_len) AS BIGINT) AS n_batches,
+       total_tokens,
+       CAST(n_docs * bucket_len - total_tokens AS BIGINT) AS pad_waste,
+       floor(CAST(total_tokens AS DOUBLE) / (n_docs * bucket_len) * 1000000.0 + 0.5)
+         / 1000000.0 + 0.0 AS efficiency
+FROM per
+"""
+
+
 QUERIES = {
     "sequence_packing": sequence_packing,
     "sequence_packing_greedy": sequence_packing_greedy,
@@ -434,6 +530,7 @@ QUERIES = {
     "packed_sequences": packed_sequences,
     "chunk_packing": chunk_packing,
     "pack_attention_spans": pack_attention_spans,
+    "bucketed_batching": bucketed_batching,
 }
 
 ORACLE_SQL = {
@@ -443,4 +540,5 @@ ORACLE_SQL = {
     "packed_sequences": PACKED_SEQUENCES_SQL,
     "chunk_packing": CHUNK_PACKING_SQL,
     "pack_attention_spans": PACK_ATTENTION_SPANS_SQL,
+    "bucketed_batching": BUCKETED_BATCHING_SQL,
 }

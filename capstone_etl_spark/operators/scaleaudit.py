@@ -512,6 +512,102 @@ GROUP BY e.event_type
 """
 
 
+# --- cross-table coverage audit ----------------------------------------------
+#
+# A multimodal training pipeline joins documents to their embeddings
+# (and images/audio) by id; silent coverage gaps — docs that never got
+# embedded, embeddings whose doc was filtered upstream — skew every
+# downstream mixture. This is the referential-integrity sweep run
+# before training: per-source doc→embedding coverage plus the global
+# orphaned-embedding rate, all from two left joins (no windows, no
+# driver actions; keys are unique ids so the joins stay 1:1).
+
+
+def embedding_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(scope, n_rows, n_matched, pct_matched) — one row per document
+    source (docs:<source>, matched = has an embedding with
+    vec_id == doc_id) plus one 'embeddings:all' row (matched = its doc
+    exists). pct snaps via floor(x·1e6+0.5)/1e6 + 0.0 (the engine's
+    cross-engine rounding discipline — embedding_covariance's note)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    matched = F.sum(F.when(F.col("vec_id").isNotNull(), 1).otherwise(0)).cast("long")
+    pct = (
+        F.floor(
+            matched.cast("double") / F.count("*").cast("double") * F.lit(100_000_000.0)
+            + F.lit(0.5)
+        )
+        / F.lit(1_000_000.0)
+        + F.lit(0.0)
+    )
+    per_source = (
+        docs.join(emb, docs["doc_id"] == emb["vec_id"], "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_rows"),
+            matched.alias("n_matched"),
+            pct.alias("pct_matched"),
+        )
+        .select(
+            F.concat(F.lit("docs:"), F.col("source")).alias("scope"),
+            "n_rows",
+            "n_matched",
+            "pct_matched",
+        )
+    )
+    emb_side = (
+        emb.join(docs.select("doc_id"), emb["vec_id"] == docs["doc_id"], "left")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.sum(F.when(F.col("doc_id").isNotNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_matched"),
+        )
+        .select(
+            F.lit("embeddings:all").alias("scope"),
+            "n_rows",
+            "n_matched",
+            (
+                F.floor(
+                    F.col("n_matched").cast("double")
+                    / F.col("n_rows").cast("double")
+                    * F.lit(100_000_000.0)
+                    + F.lit(0.5)
+                )
+                / F.lit(1_000_000.0)
+                + F.lit(0.0)
+            ).alias("pct_matched"),
+        )
+    )
+    return per_source.unionByName(emb_side)
+
+
+EMBEDDING_COVERAGE_AUDIT_SQL = """
+WITH d AS (
+  SELECT doc_id, source FROM documents
+), e AS (
+  SELECT vec_id FROM embeddings
+), per_source AS (
+  SELECT 'docs:' || d.source AS scope,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN e.vec_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+  FROM d LEFT JOIN e ON e.vec_id = d.doc_id
+  GROUP BY d.source
+), emb_side AS (
+  SELECT 'embeddings:all' AS scope,
+         COUNT(*) AS n_rows,
+         CAST(SUM(CASE WHEN d2.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_matched
+  FROM e LEFT JOIN d d2 ON d2.doc_id = e.vec_id
+), unioned AS (
+  SELECT * FROM per_source UNION ALL SELECT * FROM emb_side
+)
+SELECT scope, n_rows, n_matched,
+       floor(CAST(n_matched AS DOUBLE) / n_rows * 100000000.0 + 0.5) / 1000000.0 + 0.0
+         AS pct_matched
+FROM unioned
+"""
+
+
 QUERIES = {
     "key_skew_audit": key_skew_audit,
     "output_file_plan": output_file_plan,
@@ -519,6 +615,7 @@ QUERIES = {
     "zorder_file_layout": zorder_file_layout,
     "salted_hot_key_join": salted_hot_key_join,
     "zorder_pruning_gain": zorder_pruning_gain,
+    "embedding_coverage_audit": embedding_coverage_audit,
 }
 
 ORACLE_SQL = {
@@ -528,4 +625,5 @@ ORACLE_SQL = {
     "zorder_file_layout": ZORDER_FILE_LAYOUT_SQL,
     "salted_hot_key_join": SALTED_HOT_KEY_JOIN_SQL,
     "zorder_pruning_gain": ZORDER_PRUNING_GAIN_SQL,
+    "embedding_coverage_audit": EMBEDDING_COVERAGE_AUDIT_SQL,
 }

@@ -1259,6 +1259,105 @@ LEFT JOIN (
 """
 
 
+TRUNC_DIM = 16  # Matryoshka prefix length under evaluation
+
+
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@k of TRUNCATED-prefix cosine against full-dim cosine —
+    the fidelity table a Matryoshka/MRL deployment reads before
+    serving a shorter embedding prefix (cheaper index, same model):
+    how many of the true top-k survive when similarity uses only the
+    first TRUNC_DIM of DIM dimensions?
+
+    Both rankings are the brute kernel bounded by the N_QUERIES query
+    set (eval-only, ann_recall_eval's scale contract): broadcast query
+    set × one corpus scan per ranking, rounded-sim + neighbor-id
+    ranking keys (the ANN family's determinism contract). The overlap
+    join is top-k-sized. A production variant would rank the truncated
+    side with the LSH/IVF index; the brute form is the ground-truth
+    harness."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def _topk(qe_col, ne_col):
+        q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), qe_col.alias("qe")
+        )
+        n = emb.select(F.col("vec_id").alias("neighbor_id"), ne_col.alias("ne"))
+        w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        return (
+            F.broadcast(q)
+            .crossJoin(n)
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .select("query_id", "neighbor_id", F.round(cosine("qe", "ne"), 6).alias("sim"))
+            .withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = _topk(F.col("embedding"), F.col("embedding"))
+    trunc = _topk(
+        F.slice("embedding", 1, TRUNC_DIM), F.slice("embedding", 1, TRUNC_DIM)
+    )
+    hit = full.join(trunc, ["query_id", "neighbor_id"], "left_semi")
+    return (
+        full.groupBy("query_id")
+        .agg(F.count("*").alias("k"))
+        .join(hit.groupBy("query_id").agg(F.count("*").alias("n_hit")), "query_id", "left")
+        .select(
+            "query_id",
+            F.col("k").cast("long").alias("k"),
+            F.coalesce(F.col("n_hit"), F.lit(0)).cast("long").alias("n_hit"),
+            (
+                F.coalesce(F.col("n_hit"), F.lit(0)).cast("double") / F.col("k")
+            ).alias("recall"),
+        )
+    )
+
+
+_COSINE_TRUNC_SQL = (
+    "list_sum(list_transform(range({td}), d -> CAST(qe[d+1] AS DOUBLE) * CAST(ne[d+1] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform(range({td}), d -> CAST(qe[d+1] AS DOUBLE) * CAST(qe[d+1] AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform(range({td}), d -> CAST(ne[d+1] AS DOUBLE) * CAST(ne[d+1] AS DOUBLE)))))"
+).format(td=TRUNC_DIM)
+
+MATRYOSHKA_RECALL_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored_full AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({_COSINE_SQL.replace('ne', 'e.embedding')}, 6) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+), full_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM scored_full
+  ) t WHERE rnk <= {TOP_K}
+), scored_trunc AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND({_COSINE_TRUNC_SQL.replace('ne', 'e.embedding')}, 6) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+), trunc_topk AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM scored_trunc
+  ) t WHERE rnk <= {TOP_K}
+)
+SELECT f.query_id,
+       CAST(COUNT(*) AS BIGINT) AS k,
+       CAST(COALESCE(SUM(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_hit,
+       CAST(COALESCE(SUM(CASE WHEN tr.neighbor_id IS NOT NULL THEN 1 ELSE 0 END), 0) AS DOUBLE)
+         / COUNT(*) AS recall
+FROM full_topk f
+LEFT JOIN trunc_topk tr
+  ON tr.query_id = f.query_id AND tr.neighbor_id = f.neighbor_id
+GROUP BY f.query_id
+"""
+
+
 def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-dimension calibration table (n, min, max, mean, variance) —
     the audit a quantizer / whitening step reads before choosing scales
@@ -1737,6 +1836,7 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "kmeans_lloyd": kmeans_lloyd,
     "ann_recall_eval": ann_recall_eval,
+    "matryoshka_recall": matryoshka_recall,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_covariance": embedding_covariance,
     "pca_power_iteration": pca_power_iteration,
@@ -1758,6 +1858,7 @@ ORACLE_SQL = {
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "kmeans_lloyd": KMEANS_LLOYD_SQL,
     "ann_recall_eval": ANN_RECALL_EVAL_SQL,
+    "matryoshka_recall": MATRYOSHKA_RECALL_SQL,
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
     "embedding_covariance": EMBEDDING_COVARIANCE_SQL,
     "pca_power_iteration": PCA_POWER_ITERATION_SQL,

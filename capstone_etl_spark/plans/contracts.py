@@ -157,6 +157,15 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "composes bm25_topk — inherits its 1-row corpus "
         "doc-count/avgdl broadcast (doc_similarity.py)"
     ),
+    "bt_source_ratings": (
+        "1-row max-rating anchor broadcast per unrolled MM iteration "
+        "over the |sources|-row rating relation (preference.py)"
+    ),
+    "matryoshka_recall": (
+        "broadcast query set x corpus scan, twice (full-dim and "
+        "truncated rankings) - ann_brute_topk's documented eval-only "
+        "shape (similarity.py)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and
@@ -291,4 +300,10 @@ HEADLINE: list[str] = [
     "bloom_membership",
     "multimodal_resize",
     "zorder_pruning_gain",
+    # round-6 additions
+    "bt_source_ratings",
+    "template_extraction",
+    "embedding_coverage_audit",
+    "bucketed_batching",
+    "matryoshka_recall",
 ]

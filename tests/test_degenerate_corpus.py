@@ -89,6 +89,14 @@ NAMES = [
     "bloom_membership",
     # multibyte/huge/empty payloads through the resize geometry
     "multimodal_resize",
+    # round-6 ops: empty/whitespace docs share the '' template shape
+    # (template_extraction), every doc duels in some bucket with ties
+    # on identical n_chars (bt_source_ratings), zero-token docs are
+    # absent from the batch plan while the 5000-char doc clamps to the
+    # top bucket (bucketed_batching)
+    "template_extraction",
+    "bt_source_ratings",
+    "bucketed_batching",
 ]
 
 

@@ -1,0 +1,142 @@
+"""Invariant tests for the round-6 operators: Bradley-Terry source
+ratings, structural template extraction, embedding coverage audit,
+length-bucketed batching, and Matryoshka truncation recall. Oracle
+parity runs in the full gate (tools/check_correctness.py); these pin
+the semantic invariants oracle hashing can't express."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+from capstone_etl_spark.operators.dedup import TEMPLATE_MIN_DOCS, template_extraction
+from capstone_etl_spark.operators.packing import (
+    BATCH_BUCKETS,
+    BATCH_TOKEN_BUDGET,
+    bucketed_batching,
+)
+from capstone_etl_spark.operators.preference import (
+    BT_SCALE,
+    bt_source_ratings,
+)
+from capstone_etl_spark.operators.scaleaudit import embedding_coverage_audit
+from capstone_etl_spark.operators.similarity import (
+    TOP_K,
+    ann_brute_topk,
+    matryoshka_recall,
+)
+
+
+def test_bt_ratings_invariants(spark, sf_dir):
+    rows = bt_source_ratings(spark, sf_dir).collect()
+    assert rows, "every sf fixture has bucket collisions across sources"
+    # each duel contributes 1 game to both players and exactly 1 win
+    assert sum(r.n_wins for r in rows) * 2 == sum(r.n_games for r in rows)
+    for r in rows:
+        assert 0 <= r.n_wins <= r.n_games
+        assert 0.0 <= r.bt_rating <= 1.0
+    # the max-anchor normalization pins the best source to exactly 1.0
+    assert max(r.bt_rating for r in rows) == 1.0
+
+
+def test_bt_ratings_order_follows_strength(spark):
+    """A synthetic corpus where source 'big' always out-sizes 'small'
+    must rate big > small (BT strength is monotone in wins)."""
+    rows = [(i, "word " * 50, "en", "big", 250) for i in range(0, 40)] + [
+        (i, "word " * 5, "en", "small", 25) for i in range(40, 80)
+    ]
+    import pandas as pd
+
+    d = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = {r.source: r for r in bt_source_ratings(spark, tmp).collect()}
+    if "big" in got and "small" in got:  # needs >=1 shared bucket
+        assert got["big"].bt_rating == 1.0
+        assert got["small"].bt_rating < got["big"].bt_rating
+        assert got["small"].n_wins == 0
+
+
+def test_template_extraction_groups(spark, sf_dir):
+    df = template_extraction(spark, sf_dir)
+    rows = df.collect()
+    for r in rows:
+        assert r.n_docs >= TEMPLATE_MIN_DOCS
+        assert 1 <= r.n_sources <= r.n_docs
+        assert len(r.template_hash) == 32
+    # shapes are unique per row (it is the group key)
+    shapes = [r.template_shape for r in rows]
+    assert len(shapes) == len(set(shapes))
+
+
+def test_template_extraction_masks_digits_and_case(spark):
+    """'Page 3 of 71' and 'PAGE 8 OF 12' must land in one template."""
+    import pandas as pd
+
+    rows = [
+        (0, "Page 3 of 71", "en", "a", 12),
+        (1, "PAGE 8 OF 12", "en", "b", 12),
+        (2, "an entirely different looking document body here", "en", "a", 48),
+    ]
+    d = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = template_extraction(spark, tmp).collect()
+    assert len(got) == 1
+    assert got[0].n_docs == 2 and got[0].n_sources == 2
+    assert got[0].example_doc_id == 0
+
+
+def test_embedding_coverage_audit_bounds(spark, sf_dir):
+    rows = embedding_coverage_audit(spark, sf_dir).collect()
+    scopes = {r.scope for r in rows}
+    assert "embeddings:all" in scopes
+    assert any(s.startswith("docs:") for s in scopes)
+    for r in rows:
+        assert 0 <= r.n_matched <= r.n_rows
+        assert 0.0 <= r.pct_matched <= 100.0
+
+
+def test_bucketed_batching_plan(spark, sf_dir):
+    rows = bucketed_batching(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r.bucket_len in BATCH_BUCKETS
+        assert r.pad_waste >= 0
+        assert 0.0 < r.efficiency <= 1.0
+        bs = max(1, BATCH_TOKEN_BUDGET // r.bucket_len)
+        assert r.n_batches == -(-r.n_docs // bs)  # ceil
+        # payload never exceeds the padded envelope
+        assert r.total_tokens <= r.n_docs * r.bucket_len
+
+
+def test_matryoshka_recall_bounds_and_ground_truth(spark, sf_dir):
+    rows = matryoshka_recall(spark, sf_dir).collect()
+    n_q = ann_brute_topk(spark, sf_dir).select("query_id").distinct().count()
+    assert len(rows) == n_q  # zero-overlap queries must still appear
+    for r in rows:
+        assert r.k == TOP_K
+        assert 0 <= r.n_hit <= r.k
+        assert abs(r.recall - r.n_hit / r.k) < 1e-12
+
+
+def test_matryoshka_full_dim_is_perfect_recall(spark, sf_dir):
+    """Sanity: truncating to the FULL dimension must give recall 1.0
+    (the truncated ranking degenerates to the exact ranking)."""
+    import capstone_etl_spark.operators.similarity as sim
+
+    old = sim.TRUNC_DIM
+    sim.TRUNC_DIM = sim.DIM
+    try:
+        rows = sim.matryoshka_recall(spark, "/root/testdata/sf0.001").collect()
+    finally:
+        sim.TRUNC_DIM = old
+    assert rows and all(r.recall == 1.0 for r in rows)
