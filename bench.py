@@ -283,6 +283,22 @@ def main() -> None:
     # the host-calibration probe runs warmed, before the timed queries
     probe_sec = _host_probe(spark)
 
+    # Warm the FIRST headline query's exact lineage untimed: the
+    # generic warmup above compiles range/join codegen but NOT the
+    # parquet+tokenize+explode classes the first real query needs —
+    # the r5 driver run charged ~6s of that one-time compilation to
+    # tf_per_doc and doc_stats (raw 9.16s vs 3.2s expected from the
+    # probe-normalized local run) and tripped the regression gate on a
+    # measurement artifact, not a plan change.
+    if names:
+        w = qs[names[0]](spark, sf_dir)
+        w.agg(
+            F.sum(
+                F.xxhash64(*[F.col(c).cast("string") for c in w.columns]).cast("decimal(38,0)")
+            )
+        ).collect()
+        release_caches()
+
     timings: dict[str, float] = {}
     for name in names:
         t0 = time.perf_counter()
