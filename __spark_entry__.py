@@ -106,6 +106,9 @@ _PRIORITY = [
     "embedding_coverage_audit",
     "bucketed_batching",
     "matryoshka_recall",
+    "dedup_containment",
+    "embedding_outliers",
+    "retrieval_ndcg",
     # ---- every query below is driver-green in some
     # round AND green on the committed local full gate; ordered
     # least-recently-attested first so any extra driver sampling adds

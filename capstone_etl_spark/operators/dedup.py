@@ -1075,6 +1075,94 @@ WHERE {_delta_pred_sql('d.doc_id')}
 """
 
 
+# --- asymmetric containment pairs --------------------------------------------
+#
+# Jaccard misses the PARTIAL-COPY class: a 100-shingle doc fully
+# embedded in a 5000-shingle doc has Jaccard 0.02 but containment 1.0.
+# Containment C(src in dst) = |src ∩ dst| / |src| is the asymmetric
+# measure quote/subset/expansion detection needs (Broder's original
+# resemblance-vs-containment split) — a training pipeline uses it to
+# drop documents that are substrings of kept documents without losing
+# the supersets.
+CONTAIN_THRESHOLD = 0.8
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_doc, dst_doc, n_inter, containment, jaccard) — one DIRECTED
+    row per (src, dst) with C(src in dst) ≥ CONTAIN_THRESHOLD. The
+    jaccard column shows why this operator exists: true partial copies
+    surface here with jaccard far below the near-dup threshold.
+
+    100 TB shape: identical to the Jaccard path (inverted df-capped
+    shingle index generates candidates; never all-pairs); the directed
+    expansion doubles only the CANDIDATE-pair relation, nothing
+    corpus-sized. Division happens once on identical int64 operands in
+    both engines; the threshold compares the raw double."""
+    sh = shingles(_docs(spark, sf_dir)).transform(cached)
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+    undirected = inter.join(sa, "doc_a").join(sb, "doc_b")
+    directed = undirected.select(
+        F.col("doc_a").alias("src_doc"),
+        F.col("doc_b").alias("dst_doc"),
+        "n_inter",
+        F.col("sz_a").alias("sz_src"),
+        F.col("sz_b").alias("sz_dst"),
+    ).unionByName(
+        undirected.select(
+            F.col("doc_b").alias("src_doc"),
+            F.col("doc_a").alias("dst_doc"),
+            "n_inter",
+            F.col("sz_b").alias("sz_src"),
+            F.col("sz_a").alias("sz_dst"),
+        )
+    )
+    cont = F.col("n_inter") / F.col("sz_src")
+    jac = F.col("n_inter") / (F.col("sz_src") + F.col("sz_dst") - F.col("n_inter"))
+    return directed.filter(cont >= CONTAIN_THRESHOLD).select(
+        "src_doc",
+        "dst_doc",
+        "n_inter",
+        F.round(cont, 6).alias("containment"),
+        F.round(jac, 6).alias("jaccard"),
+    )
+
+
+DEDUP_CONTAINMENT_SQL = (
+    _SHINGLES_CTE
+    + f"""
+, sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+  FROM shingles a JOIN shingles b ON a.sh = b.sh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), undirected AS (
+  SELECT i.doc_a, i.doc_b, i.n_inter, sa.sz AS sz_a, sb.sz AS sz_b
+  FROM inter i
+  JOIN sizes sa ON sa.doc_id = i.doc_a
+  JOIN sizes sb ON sb.doc_id = i.doc_b
+), directed AS (
+  SELECT doc_a AS src_doc, doc_b AS dst_doc, n_inter, sz_a AS sz_src, sz_b AS sz_dst
+  FROM undirected
+  UNION ALL
+  SELECT doc_b, doc_a, n_inter, sz_b, sz_a FROM undirected
+)
+SELECT src_doc, dst_doc, n_inter,
+       ROUND(CAST(n_inter AS DOUBLE) / sz_src, 6) AS containment,
+       ROUND(CAST(n_inter AS DOUBLE) / (sz_src + sz_dst - n_inter), 6) AS jaccard
+FROM directed
+WHERE CAST(n_inter AS DOUBLE) / sz_src >= {CONTAIN_THRESHOLD}
+"""
+)
+
+
 # --- template extraction (structural near-dup) ------------------------------
 #
 # Drain/CCNet-style TEMPLATE detection: collapse the parts of a doc
@@ -1179,6 +1267,7 @@ QUERIES = {
     "dedup_source_matrix": dedup_source_matrix,
     "dedup_incremental": dedup_incremental,
     "template_extraction": template_extraction,
+    "dedup_containment": dedup_containment,
 }
 
 ORACLE_SQL = {
@@ -1195,4 +1284,5 @@ ORACLE_SQL = {
     "dedup_source_matrix": DEDUP_SOURCE_MATRIX_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "template_extraction": TEMPLATE_EXTRACTION_SQL,
+    "dedup_containment": DEDUP_CONTAINMENT_SQL,
 }

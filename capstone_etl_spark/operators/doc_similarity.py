@@ -381,15 +381,143 @@ FROM agg a LEFT JOIN nrel n ON n.query_id = a.query_id
 """.replace("{BM25}", BM25_TOPK_SQL)
 
 
+# --- NDCG@k ------------------------------------------------------------------
+#
+# The position-weighted cousin of retrieval_mrr: hits near the top of
+# the ranking count more (gain 1/log2(rank+1)), normalized by the best
+# achievable ordering (IDCG) so scores compare across queries with
+# different relevant-set sizes. Binary relevance reuses the MRR
+# convention (doc contains ALL query terms).
+#
+# Numeric discipline: log2 is NOT bit-guaranteed across engines, so
+# the per-rank gains are PRECOMPUTED 12-dp literals (the same decimal
+# strings embedded in the Spark plan and the DuckDB SQL), summed as
+# exact DECIMAL — order-free; the ideal prefix sums are likewise
+# Python-computed literals of those same decimals. Only the final
+# DCG/IDCG ratio runs in double, floor-snapped to 6 dp.
+import math as _math
+from decimal import Decimal as _Dec
+
+_NDCG_GAINS: tuple[str, ...] = tuple(
+    str(round(1.0 / _math.log2(i + 1), 12)) for i in range(1, BM25_TOP_K + 1)
+)
+_NDCG_PREFIX: tuple[str, ...] = tuple(
+    str(sum(_Dec(g) for g in _NDCG_GAINS[: m + 1])) for m in range(BM25_TOP_K)
+)
+
+_GAIN_CASE = " ".join(
+    f"WHEN rnk = {i + 1} THEN CAST({g} AS DECIMAL(18,12))"
+    for i, g in enumerate(_NDCG_GAINS)
+)
+_IDEAL_CASE = " ".join(
+    f"WHEN m = {i + 1} THEN CAST({p} AS DECIMAL(18,12))"
+    for i, p in enumerate(_NDCG_PREFIX)
+)
+
+
+def retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, n_rel, hits_at_k, dcg, ndcg) — one row per BM25 eval
+    query; ndcg 0.0 when no doc is relevant.
+
+    Plan shape: identical to retrieval_mrr (relevance set bounded by
+    the query terms' postings; metric join is top-k-list sized); the
+    gain lookup is a per-row CASE on rnk, no extra relation."""
+    tf = cached(term_frequencies(load_table(spark, sf_dir, "documents")))
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
+        "query_id long, token string",
+    )
+    n_terms = qterms.groupBy("query_id").agg(F.countDistinct("token").alias("n_terms"))
+    rel = (
+        tf.join(F.broadcast(qterms), "token")
+        .groupBy("query_id", "doc_id")
+        .agg(F.countDistinct("token").alias("nh"))
+        .join(F.broadcast(n_terms), "query_id")
+        .filter(F.col("nh") == F.col("n_terms"))
+        .select("query_id", "doc_id")
+    )
+    n_rel = rel.groupBy("query_id").agg(F.count("*").cast("long").alias("n_rel"))
+    topk = bm25_topk(spark, sf_dir)
+    gain = F.expr(f"CASE {_GAIN_CASE} END")
+    agg = (
+        topk.join(rel.withColumn("is_rel", F.lit(1)), ["query_id", "doc_id"], "left")
+        .groupBy("query_id")
+        .agg(
+            F.sum(F.coalesce(F.col("is_rel"), F.lit(0))).cast("long").alias("hits_at_k"),
+            F.sum(
+                F.when(F.col("is_rel") == 1, gain).otherwise(
+                    F.expr("CAST(0 AS DECIMAL(18,12))")
+                )
+            ).alias("dcg_dec"),
+        )
+    )
+    joined = agg.join(F.broadcast(n_rel), "query_id", "left").select(
+        "query_id",
+        F.coalesce(F.col("n_rel"), F.lit(0).cast("long")).alias("n_rel"),
+        "hits_at_k",
+        "dcg_dec",
+        F.least(F.coalesce(F.col("n_rel"), F.lit(0)), F.lit(BM25_TOP_K)).alias("m"),
+    )
+    idcg = F.expr(f"CASE {_IDEAL_CASE} END")
+    dcg_d = F.col("dcg_dec").cast("double")
+    ndcg_raw = F.when(F.col("m") >= 1, dcg_d / idcg.cast("double")).otherwise(F.lit(0.0))
+    snap6 = lambda c: F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0) + F.lit(0.0)  # noqa: E731
+    return joined.select(
+        "query_id",
+        "n_rel",
+        "hits_at_k",
+        snap6(dcg_d).alias("dcg"),
+        snap6(ndcg_raw).alias("ndcg"),
+    )
+
+
+RETRIEVAL_NDCG_SQL = _TF_CTE + f"""
+, q(query_id, token) AS (VALUES {_BM25_VALUES}),
+nt AS (SELECT query_id, COUNT(DISTINCT token) AS n_terms FROM q GROUP BY 1),
+rel AS (
+  SELECT r.query_id, r.doc_id FROM (
+    SELECT q.query_id, t.doc_id, COUNT(DISTINCT t.token) AS nh
+    FROM tf t JOIN q ON q.token = t.token GROUP BY 1, 2
+  ) r JOIN nt ON nt.query_id = r.query_id WHERE r.nh = nt.n_terms
+),
+nrel AS (SELECT query_id, CAST(COUNT(*) AS BIGINT) AS n_rel FROM rel GROUP BY 1),
+topk AS ({{BM25}}),
+agg AS (
+  SELECT t.query_id,
+         CAST(SUM(CASE WHEN r.doc_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS hits_at_k,
+         SUM(CASE WHEN r.doc_id IS NOT NULL THEN (CASE {_GAIN_CASE} END)
+                  ELSE CAST(0 AS DECIMAL(18,12)) END) AS dcg_dec
+  FROM topk t LEFT JOIN rel r ON r.query_id = t.query_id AND r.doc_id = t.doc_id
+  GROUP BY 1
+),
+meas AS (
+  SELECT a.query_id,
+         COALESCE(n.n_rel, 0) AS n_rel,
+         a.hits_at_k,
+         CAST(a.dcg_dec AS DOUBLE) AS dcg_d,
+         LEAST(COALESCE(n.n_rel, 0), {BM25_TOP_K}) AS m
+  FROM agg a LEFT JOIN nrel n ON n.query_id = a.query_id
+)
+SELECT query_id, n_rel, hits_at_k,
+       floor(dcg_d * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS dcg,
+       floor((CASE WHEN m >= 1
+                   THEN dcg_d / CAST((CASE {_IDEAL_CASE} END) AS DOUBLE)
+                   ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS ndcg
+FROM meas
+""".replace("{BM25}", BM25_TOPK_SQL)
+
+
 QUERIES = {
     "doc_similarity_topk": doc_similarity_topk,
     "bm25_topk": bm25_topk,
     "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
     "retrieval_mrr": retrieval_mrr,
+    "retrieval_ndcg": retrieval_ndcg,
 }
 ORACLE_SQL = {
     "doc_similarity_topk": DOC_SIMILARITY_TOPK_SQL,
     "bm25_topk": BM25_TOPK_SQL,
     "hybrid_retrieval_rrf": _hybrid_retrieval_rrf_sql(),
     "retrieval_mrr": RETRIEVAL_MRR_SQL,
+    "retrieval_ndcg": RETRIEVAL_NDCG_SQL,
 }

@@ -1259,6 +1259,42 @@ LEFT JOIN (
 """
 
 
+OUTLIER_TOP = 5  # flagged vectors per label
+
+
+def embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, vec_id, dist_to_centroid, rnk) — the OUTLIER_TOP vectors
+    farthest from their own label centroid, per label: the mislabeled /
+    noisy-embedding candidates a curation pass sends to review (the
+    embedding-space cousin of mad_outliers).
+
+    Composes label_centroid_assignment (exact fixed-point distances,
+    see its docstring) and ranks on the ROUNDED distance with a vec_id
+    tiebreak, so cross-engine last-ulp drift cannot reorder. The window
+    partitions on label — bounded per-label population, never a global
+    window."""
+    from pyspark.sql import Window
+
+    d = label_centroid_assignment(spark, sf_dir)
+    w = Window.partitionBy("label").orderBy(F.desc("dist_to_centroid"), F.asc("vec_id"))
+    return (
+        d.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= OUTLIER_TOP)
+        .select("label", "vec_id", "dist_to_centroid", "rnk")
+    )
+
+
+EMBEDDING_OUTLIERS_SQL = f"""
+WITH dists AS MATERIALIZED ({LABEL_CENTROIDS_SQL})
+SELECT label, vec_id, dist_to_centroid, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (
+    PARTITION BY label ORDER BY dist_to_centroid DESC, vec_id
+  ) AS rnk
+  FROM dists
+) t WHERE rnk <= {OUTLIER_TOP}
+"""
+
+
 TRUNC_DIM = 16  # Matryoshka prefix length under evaluation
 
 
@@ -1837,6 +1873,7 @@ QUERIES = {
     "kmeans_lloyd": kmeans_lloyd,
     "ann_recall_eval": ann_recall_eval,
     "matryoshka_recall": matryoshka_recall,
+    "embedding_outliers": embedding_outliers,
     "embedding_dim_stats": embedding_dim_stats,
     "embedding_covariance": embedding_covariance,
     "pca_power_iteration": pca_power_iteration,
@@ -1859,6 +1896,7 @@ ORACLE_SQL = {
     "kmeans_lloyd": KMEANS_LLOYD_SQL,
     "ann_recall_eval": ANN_RECALL_EVAL_SQL,
     "matryoshka_recall": MATRYOSHKA_RECALL_SQL,
+    "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,
     "embedding_covariance": EMBEDDING_COVARIANCE_SQL,
     "pca_power_iteration": PCA_POWER_ITERATION_SQL,

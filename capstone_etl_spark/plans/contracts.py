@@ -166,6 +166,11 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "truncated rankings) - ann_brute_topk's documented eval-only "
         "shape (similarity.py)"
     ),
+    "retrieval_ndcg": (
+        "composes bm25_topk — inherits its 1-row corpus "
+        "doc-count/avgdl broadcast (doc_similarity.py, retrieval_mrr's "
+        "shape)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and
@@ -306,4 +311,7 @@ HEADLINE: list[str] = [
     "embedding_coverage_audit",
     "bucketed_batching",
     "matryoshka_recall",
+    "dedup_containment",
+    "embedding_outliers",
+    "retrieval_ndcg",
 ]

@@ -97,6 +97,10 @@ NAMES = [
     "template_extraction",
     "bt_source_ratings",
     "bucketed_batching",
+    # short/empty docs have no shingles -> absent from containment;
+    # ndcg queries with zero relevant docs must score 0.0, not NULL
+    "dedup_containment",
+    "retrieval_ndcg",
 ]
 
 

@@ -128,6 +128,81 @@ def test_matryoshka_recall_bounds_and_ground_truth(spark, sf_dir):
         assert abs(r.recall - r.n_hit / r.k) < 1e-12
 
 
+def test_containment_bounds_and_asymmetry(spark, sf_dir):
+    from capstone_etl_spark.operators.dedup import (
+        CONTAIN_THRESHOLD,
+        dedup_containment,
+        jaccard_pairs,
+        _docs,
+    )
+
+    rows = dedup_containment(spark, sf_dir).collect()
+    for r in rows:
+        assert r.containment >= CONTAIN_THRESHOLD
+        assert 0.0 < r.containment <= 1.0
+        # jaccard never exceeds either containment direction
+        assert r.jaccard <= r.containment + 1e-9
+        assert r.src_doc != r.dst_doc
+
+
+def test_containment_catches_partial_copy(spark):
+    """A doc fully embedded in a 10x larger doc: containment 1.0,
+    jaccard far below the near-dup threshold — the class this operator
+    exists for."""
+    import pandas as pd
+    import tempfile
+
+    small = " ".join(f"tok{i}" for i in range(40))
+    big = small + " " + " ".join(f"other{i}" for i in range(400))
+    rows = [(0, small, "en", "a", len(small)), (1, big, "en", "b", len(big))]
+    d = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    )
+    from capstone_etl_spark.operators.dedup import dedup_containment
+
+    with tempfile.TemporaryDirectory() as tmp:
+        d.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = {(r.src_doc, r.dst_doc): r for r in dedup_containment(spark, tmp).collect()}
+    assert (0, 1) in got, "small-in-big direction must be flagged"
+    assert got[(0, 1)].containment == 1.0
+    assert got[(0, 1)].jaccard < 0.2
+    assert (1, 0) not in got  # big is NOT contained in small
+
+
+def test_embedding_outliers_ranks(spark, sf_dir):
+    from capstone_etl_spark.operators.similarity import OUTLIER_TOP, embedding_outliers
+
+    rows = embedding_outliers(spark, sf_dir).collect()
+    assert rows
+    by_label = {}
+    for r in rows:
+        by_label.setdefault(r.label, []).append(r)
+        assert 1 <= r.rnk <= OUTLIER_TOP
+        assert r.dist_to_centroid >= 0.0
+    for label, rs in by_label.items():
+        rs.sort(key=lambda r: r.rnk)
+        dists = [r.dist_to_centroid for r in rs]
+        assert dists == sorted(dists, reverse=True), f"label {label} not ranked desc"
+
+
+def test_retrieval_ndcg_bounds_vs_mrr(spark, sf_dir):
+    from capstone_etl_spark.operators.doc_similarity import retrieval_mrr, retrieval_ndcg
+
+    ndcg = {r.query_id: r for r in retrieval_ndcg(spark, sf_dir).collect()}
+    mrr = {r.query_id: r for r in retrieval_mrr(spark, sf_dir).collect()}
+    assert set(ndcg) == set(mrr)
+    for qid, r in ndcg.items():
+        assert 0.0 <= r.ndcg <= 1.0 + 1e-9
+        assert r.hits_at_k == mrr[qid].hits_at_k
+        assert r.n_rel == mrr[qid].n_rel
+        # zero relevant -> zero score in both metrics; a first-rank hit
+        # with all relevant docs retrieved -> ndcg 1.0
+        if r.n_rel == 0:
+            assert r.ndcg == 0.0 and mrr[qid].rr == 0.0
+        if r.hits_at_k > 0:
+            assert r.ndcg > 0.0
+
+
 def test_matryoshka_full_dim_is_perfect_recall(spark, sf_dir):
     """Sanity: truncating to the FULL dimension must give recall 1.0
     (the truncated ranking degenerates to the exact ranking)."""
