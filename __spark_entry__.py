@@ -109,6 +109,7 @@ _PRIORITY = [
     "dedup_containment",
     "embedding_outliers",
     "retrieval_ndcg",
+    "stream_template_extraction",
     # ---- every query below is driver-green in some
     # round AND green on the committed local full gate; ordered
     # least-recently-attested first so any extra driver sampling adds

@@ -1182,6 +1182,25 @@ TEMPLATE_MIN_DOCS = 2
 TEMPLATE_SHAPE_TOKENS = 8
 
 
+def template_shape(text_col: Column | str = "text") -> Column:
+    """The two-stage structural skeleton of a document (see module
+    comment above): content mask, then the word-length sequence of the
+    opening TEMPLATE_SHAPE_TOKENS tokens, '-'-joined ('' for empty
+    docs). Pure per-row expression — shared by the batch and streaming
+    template miners."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    masked = F.trim(
+        F.regexp_replace(F.regexp_replace(F.lower(c), "[0-9]+", "#"), "\\s+", " ")
+    )
+    return F.array_join(
+        F.transform(
+            F.slice(tokenize(masked), 1, TEMPLATE_SHAPE_TOKENS),
+            lambda x: F.length(x).cast("string"),
+        ),
+        "-",
+    )
+
+
 def template_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(template_hash, n_docs, n_sources, example_doc_id,
     template_shape) — one row per structural template shared by ≥
@@ -1193,20 +1212,8 @@ def template_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle rows never carry document bodies. One shuffle total, no
     joins, no windows, no Python."""
     docs = _docs(spark, sf_dir)
-    masked = F.trim(
-        F.regexp_replace(
-            F.regexp_replace(F.lower(F.col("text")), "[0-9]+", "#"), "\\s+", " "
-        )
-    )
-    shape = F.array_join(
-        F.transform(
-            F.slice(tokenize(masked), 1, TEMPLATE_SHAPE_TOKENS),
-            lambda x: F.length(x).cast("string"),
-        ),
-        "-",
-    )
     return (
-        docs.select("doc_id", "source", shape.alias("template_shape"))
+        docs.select("doc_id", "source", template_shape("text").alias("template_shape"))
         .groupBy("template_shape")
         .agg(
             F.count("*").alias("n_docs"),

@@ -737,6 +737,67 @@ def stream_pii_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stream_template_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structural template mining AT INGEST — batch/stream unification
+    for dedup.template_extraction: the identical per-row skeleton
+    expression (dedup.template_shape) feeds a complete-mode streaming
+    aggregation, so the template census updates per micro-batch as new
+    corpus shards land. COUNT(DISTINCT) is not a supported streaming
+    aggregate, so the per-template source set streams as collect_set
+    (bounded by |sources|) and collapses to n_sources in the final
+    batch projection — the drained result must equal the batch miner
+    row-for-row (same oracle)."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.operators.dedup import (
+        TEMPLATE_MIN_DOCS,
+        template_shape,
+    )
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_docs_")
+    try:
+        staging = f"{work}/staging"
+        load_table(spark, sf_dir, "documents").repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        agg = (
+            stream.select(
+                "doc_id", "source", template_shape("text").alias("template_shape")
+            )
+            .groupBy("template_shape")
+            .agg(
+                F.count("*").alias("n_docs"),
+                F.collect_set("source").alias("srcs"),
+                F.min("doc_id").alias("example_doc_id"),
+            )
+        )
+        snap = run_to_memory(agg, f"{work}/checkpoint", output_mode="complete")
+        return (
+            snap.filter(F.col("n_docs") >= TEMPLATE_MIN_DOCS)
+            .select(
+                F.md5("template_shape").alias("template_hash"),
+                "n_docs",
+                F.size("srcs").cast("long").alias("n_sources"),
+                "example_doc_id",
+                "template_shape",
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stream_template_extraction_sql() -> str:
+    from capstone_etl_spark.operators.dedup import TEMPLATE_EXTRACTION_SQL
+
+    return TEMPLATE_EXTRACTION_SQL
+
+
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
     "stream_sliding_windows": stream_sliding_windows,
@@ -752,6 +813,7 @@ QUERIES = {
     "stream_count_min": stream_count_min,
     "stream_decontamination": stream_decontamination,
     "stream_pii_scan": stream_pii_scan,
+    "stream_template_extraction": stream_template_extraction,
 }
 
 ORACLE_SQL = {
@@ -769,4 +831,5 @@ ORACLE_SQL = {
     "stream_count_min": _stream_count_min_sql(),
     "stream_decontamination": _stream_decontamination_sql(),
     "stream_pii_scan": PII_SCAN_SQL,
+    "stream_template_extraction": _stream_template_extraction_sql(),
 }

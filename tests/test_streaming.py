@@ -307,3 +307,18 @@ def test_stream_pii_scan_equals_batch(spark):
     got = {r.source: r.asDict() for r in stream_pii_scan(spark, sf).collect()}
     want = {r.source: r.asDict() for r in pii_scan(spark, sf).collect()}
     assert got == want
+
+
+def test_stream_template_extraction_equals_batch(spark):
+    """The drained streaming template census must equal the batch
+    miner row-for-row — count/min are additive and the collect_set
+    source set collapses to the same n_sources."""
+    from capstone_etl_spark.operators.dedup import template_extraction
+    from capstone_etl_spark.operators.streaming_queries import (
+        stream_template_extraction,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.template_hash: r.asDict() for r in stream_template_extraction(spark, sf).collect()}
+    want = {r.template_hash: r.asDict() for r in template_extraction(spark, sf).collect()}
+    assert got == want
