@@ -1109,21 +1109,29 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
     undirected = inter.join(sa, "doc_a").join(sb, "doc_b")
+    # both directions EXPLODED from one pass — a union of two
+    # projections would embed the whole inter+sizes subtree twice in
+    # the plan (measured: 38 exchanges vs 20)
     directed = undirected.select(
-        F.col("doc_a").alias("src_doc"),
-        F.col("doc_b").alias("dst_doc"),
-        "n_inter",
-        F.col("sz_a").alias("sz_src"),
-        F.col("sz_b").alias("sz_dst"),
-    ).unionByName(
-        undirected.select(
-            F.col("doc_b").alias("src_doc"),
-            F.col("doc_a").alias("dst_doc"),
-            "n_inter",
-            F.col("sz_b").alias("sz_src"),
-            F.col("sz_a").alias("sz_dst"),
-        )
-    )
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_a").alias("src_doc"),
+                    F.col("doc_b").alias("dst_doc"),
+                    F.col("n_inter").alias("n_inter"),
+                    F.col("sz_a").alias("sz_src"),
+                    F.col("sz_b").alias("sz_dst"),
+                ),
+                F.struct(
+                    F.col("doc_b").alias("src_doc"),
+                    F.col("doc_a").alias("dst_doc"),
+                    F.col("n_inter").alias("n_inter"),
+                    F.col("sz_b").alias("sz_src"),
+                    F.col("sz_a").alias("sz_dst"),
+                ),
+            )
+        ).alias("e")
+    ).select("e.*")
     cont = F.col("n_inter") / F.col("sz_src")
     jac = F.col("n_inter") / (F.col("sz_src") + F.col("sz_dst") - F.col("n_inter"))
     return directed.filter(cont >= CONTAIN_THRESHOLD).select(

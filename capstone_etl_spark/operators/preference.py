@@ -126,9 +126,19 @@ def bt_source_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("t"),
             )
         )
+        # both roles exploded from one pass — a union of two selects
+        # would embed t's join subtree twice per round (the
+        # dedup_containment plan lesson)
         d = (
-            t.select(F.col("s_a").alias("source"), "t")
-            .unionByName(t.select(F.col("s_b").alias("source"), "t"))
+            t.select(
+                F.explode(
+                    F.array(
+                        F.struct(F.col("s_a").alias("source"), F.col("t").alias("t")),
+                        F.struct(F.col("s_b").alias("source"), F.col("t").alias("t")),
+                    )
+                ).alias("e")
+            )
+            .select("e.*")
             .groupBy("source")
             .agg(F.sum("t").alias("d"))
         )

@@ -156,6 +156,12 @@ EMB_NAMES = [
     # tied coarse probes AND tied ADC codes — both stages must
     # tiebreak identically in both engines
     "ann_ivf_pq_topk",
+    # round 6: identical vectors → every distance-to-centroid 0.0,
+    # ranking must tiebreak on vec_id identically in both engines
+    "embedding_outliers",
+    # identical vectors → full and truncated rankings tie everywhere;
+    # recall must still be exactly 1.0 via the shared vec_id tiebreak
+    "matryoshka_recall",
 ]
 
 
