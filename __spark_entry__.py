@@ -110,6 +110,8 @@ _PRIORITY = [
     "embedding_outliers",
     "retrieval_ndcg",
     "stream_template_extraction",
+    "dedup_keep_best",
+    "stopword_discovery",
     # ---- every query below is driver-green in some
     # round AND green on the committed local full gate; ordered
     # least-recently-attested first so any extra driver sampling adds

@@ -1075,6 +1075,57 @@ WHERE {_delta_pred_sql('d.doc_id')}
 """
 
 
+# --- keep-best cluster representatives ---------------------------------------
+
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id, n_members, kept_doc_id, is_kept) — near-dup
+    clusters with CCNet's keep-BEST semantics: the representative is
+    the LONGEST member (most complete version of the duplicated
+    content), ties to the smallest doc_id — not dedup_clusters'
+    keep-min-id. The two operators share the clustering; only the
+    representative rule differs, which is exactly how production dedup
+    is configured (cluster once, choose by policy).
+
+    The argmax is min(struct(-n_chars, doc_id)) over each cluster —
+    one aggregation over the cluster-labeled relation, no windows."""
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "cluster_id", "n_members")
+    sized = clusters.join(
+        _docs(spark, sf_dir).select("doc_id", "n_chars"), "doc_id"
+    )
+    best = (
+        sized.groupBy("cluster_id")
+        .agg(F.min(F.struct((-F.col("n_chars")).alias("neg"), F.col("doc_id").alias("doc_id")))["doc_id"].alias("kept_doc_id"))
+    )
+    return sized.join(best, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_members",
+        "kept_doc_id",
+        (F.col("doc_id") == F.col("kept_doc_id")).cast("int").alias("is_kept"),
+    )
+
+
+def _dedup_keep_best_sql() -> str:
+    return f"""
+WITH clusters AS MATERIALIZED ({DEDUP_CLUSTERS_SQL}),
+sized AS (
+  SELECT c.doc_id, c.cluster_id, c.n_members, d.n_chars
+  FROM clusters c JOIN documents d USING (doc_id)
+),
+best AS (
+  SELECT cluster_id, doc_id AS kept_doc_id FROM (
+    SELECT cluster_id, doc_id,
+           ROW_NUMBER() OVER (PARTITION BY cluster_id ORDER BY n_chars DESC, doc_id) AS rn
+    FROM sized
+  ) WHERE rn = 1
+)
+SELECT s.doc_id, s.cluster_id, s.n_members, b.kept_doc_id,
+       CAST(s.doc_id = b.kept_doc_id AS INT) AS is_kept
+FROM sized s JOIN best b USING (cluster_id)
+"""
+
+
 # --- asymmetric containment pairs --------------------------------------------
 #
 # Jaccard misses the PARTIAL-COPY class: a 100-shingle doc fully
@@ -1283,6 +1334,7 @@ QUERIES = {
     "dedup_incremental": dedup_incremental,
     "template_extraction": template_extraction,
     "dedup_containment": dedup_containment,
+    "dedup_keep_best": dedup_keep_best,
 }
 
 ORACLE_SQL = {
@@ -1300,4 +1352,5 @@ ORACLE_SQL = {
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
     "template_extraction": TEMPLATE_EXTRACTION_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
+    "dedup_keep_best": _dedup_keep_best_sql(),
 }

@@ -842,6 +842,85 @@ FROM terms GROUP BY 1
 TOP_TOKENS_K = 3
 
 
+# --- stopword discovery ------------------------------------------------------
+#
+# How the reference's 667-entry compiled-in stopword table
+# (main.go:301-969) would be DERIVED for a new language/domain: a
+# stopword is a token that appears in most documents (high document
+# frequency) and is not concentrated in any one source (flat
+# cross-source distribution — a domain term spikes in its home
+# source). Both signals fall out of one token aggregation.
+STOPWORD_MIN_DOC_FRAC = 0.30   # token must appear in ≥30% of docs
+STOPWORD_MAX_SRC_SHARE = 0.30  # ... with no source holding >30% of its mass
+
+
+def stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, df, doc_frac, n_sources, top_source_share) — corpus-
+    derived stopword candidates, the data-driven replacement for the
+    reference's hand-maintained literal table.
+
+    Plan: explode → (token, source) distinct-doc counts (map-side
+    combine absorbs token skew) → one token-level aggregation; the
+    corpus doc count enters as a 1-row broadcast (allowlisted
+    cartesian — tf_idf's shape). Ratios divide identical int64 pairs
+    in both engines; emitted values floor-snap to 6 dp."""
+    docs = _docs(spark, sf_dir)
+    n_docs = docs.agg(F.count("*").alias("n_docs"))
+    per_src = (
+        docs.select("doc_id", "source", F.explode(tokenize("text")).alias("token"))
+        .groupBy("token", "source")
+        .agg(F.countDistinct("doc_id").alias("src_df"))
+    )
+    tok = per_src.groupBy("token").agg(
+        F.sum("src_df").cast("long").alias("df"),
+        F.count("*").cast("long").alias("n_sources"),
+        F.max("src_df").cast("long").alias("max_src_df"),
+    )
+    snap6 = lambda c: F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0) + F.lit(0.0)  # noqa: E731
+    doc_frac = F.col("df").cast("double") / F.col("n_docs").cast("double")
+    share = F.col("max_src_df").cast("double") / F.col("df").cast("double")
+    return (
+        tok.crossJoin(F.broadcast(n_docs))
+        .filter(
+            (doc_frac >= STOPWORD_MIN_DOC_FRAC) & (share <= STOPWORD_MAX_SRC_SHARE)
+        )
+        .select(
+            "token",
+            "df",
+            snap6(doc_frac).alias("doc_frac"),
+            "n_sources",
+            snap6(share).alias("top_source_share"),
+        )
+    )
+
+
+STOPWORD_DISCOVERY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         UNNEST(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           t -> t <> '')) AS token
+  FROM documents
+), per_src AS (
+  SELECT token, source, COUNT(DISTINCT doc_id) AS src_df
+  FROM toks GROUP BY 1, 2
+), tok AS (
+  SELECT token,
+         CAST(SUM(src_df) AS BIGINT) AS df,
+         CAST(COUNT(*) AS BIGINT) AS n_sources,
+         CAST(MAX(src_df) AS BIGINT) AS max_src_df
+  FROM per_src GROUP BY token
+), nd AS (SELECT COUNT(*) AS n_docs FROM documents)
+SELECT token, df,
+       floor(CAST(df AS DOUBLE) / nd.n_docs * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS doc_frac,
+       n_sources,
+       floor(CAST(max_src_df AS DOUBLE) / df * 1000000.0 + 0.5) / 1000000.0 + 0.0 AS top_source_share
+FROM tok CROSS JOIN nd
+WHERE CAST(df AS DOUBLE) / nd.n_docs >= {STOPWORD_MIN_DOC_FRAC}
+  AND CAST(max_src_df AS DOUBLE) / df <= {STOPWORD_MAX_SRC_SHARE}
+"""
+
+
 def top_tokens_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-group heavy hitters, exact: the K most frequent tokens of
     every source (corpus drift / boilerplate monitoring per slice).
@@ -1488,6 +1567,7 @@ QUERIES = {
     "vocab_coverage": vocab_coverage,
     "repetition_ratio": repetition_ratio,
     "top_tokens_per_source": top_tokens_per_source,
+    "stopword_discovery": stopword_discovery,
     "token_entropy": token_entropy,
     "corpus_drift": corpus_drift,
     "bpe_merge_pairs": bpe_merge_pairs,
@@ -1515,6 +1595,7 @@ ORACLE_SQL = {
     "vocab_coverage": VOCAB_COVERAGE_SQL,
     "repetition_ratio": REPETITION_RATIO_SQL,
     "top_tokens_per_source": TOP_TOKENS_PER_SOURCE_SQL,
+    "stopword_discovery": STOPWORD_DISCOVERY_SQL,
     "token_entropy": TOKEN_ENTROPY_SQL,
     "corpus_drift": CORPUS_DRIFT_SQL,
     "bpe_merge_pairs": BPE_MERGE_PAIRS_SQL,

@@ -171,6 +171,10 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "doc-count/avgdl broadcast (doc_similarity.py, retrieval_mrr's "
         "shape)"
     ),
+    "stopword_discovery": (
+        "1-row corpus doc-count broadcast over the token-level "
+        "aggregates (textstats.py — tf_idf's shape)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and
@@ -314,4 +318,6 @@ HEADLINE: list[str] = [
     "dedup_containment",
     "embedding_outliers",
     "retrieval_ndcg",
+    "dedup_keep_best",
+    "stopword_discovery",
 ]

@@ -101,6 +101,10 @@ NAMES = [
     # ndcg queries with zero relevant docs must score 0.0, not NULL
     "dedup_containment",
     "retrieval_ndcg",
+    # keep-best ties (equal n_chars) must pick the same doc in both
+    # engines; 'the'-only corpus makes every token a stopword candidate
+    "dedup_keep_best",
+    "stopword_discovery",
 ]
 
 

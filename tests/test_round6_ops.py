@@ -203,6 +203,52 @@ def test_retrieval_ndcg_bounds_vs_mrr(spark, sf_dir):
             assert r.ndcg > 0.0
 
 
+def test_dedup_keep_best_picks_longest(spark, sf_dir):
+    from capstone_etl_spark.operators.dedup import dedup_clusters, dedup_keep_best
+
+    best = dedup_keep_best(spark, sf_dir).collect()
+    assert best
+    by_cluster = {}
+    chars = {
+        r.doc_id: r.n_chars
+        for r in spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select("doc_id", "n_chars")
+        .collect()
+    }
+    for r in best:
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        kept = [r for r in members if r.is_kept == 1]
+        assert len(kept) == 1, f"cluster {cid}: exactly one kept member"
+        k = kept[0]
+        assert all(r.kept_doc_id == k.doc_id for r in members)
+        # the kept member is the longest (ties -> smallest doc_id)
+        for r in members:
+            assert (chars[k.doc_id], -k.doc_id) >= (chars[r.doc_id], -r.doc_id) or (
+                chars[k.doc_id] == chars[r.doc_id] and k.doc_id <= r.doc_id
+            )
+    # same clustering as dedup_clusters, different representative rule
+    cl = {r.doc_id: r.cluster_id for r in dedup_clusters(spark, sf_dir).collect()}
+    assert all(cl[r.doc_id] == r.cluster_id for r in best)
+
+
+def test_stopword_discovery_finds_function_words(spark, sf_dir):
+    from capstone_etl_spark.operators.textstats import (
+        STOPWORD_MAX_SRC_SHARE,
+        STOPWORD_MIN_DOC_FRAC,
+        stopword_discovery,
+    )
+
+    rows = stopword_discovery(spark, sf_dir).collect()
+    assert rows, "the synthetic corpus has corpus-wide function words"
+    toks = {r.token for r in rows}
+    assert "the" in toks or "a" in toks  # classic function words surface
+    for r in rows:
+        assert r.doc_frac >= STOPWORD_MIN_DOC_FRAC
+        assert r.top_source_share <= STOPWORD_MAX_SRC_SHARE + 1e-9
+        assert r.n_sources >= 1 and r.df >= 1
+
+
 def test_matryoshka_full_dim_is_perfect_recall(spark, sf_dir):
     """Sanity: truncating to the FULL dimension must give recall 1.0
     (the truncated ranking degenerates to the exact ranking)."""
