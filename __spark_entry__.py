@@ -112,6 +112,7 @@ _PRIORITY = [
     "stream_template_extraction",
     "dedup_keep_best",
     "stopword_discovery",
+    "unicode_audit",
     # ---- every query below is driver-green in some
     # round AND green on the committed local full gate; ordered
     # least-recently-attested first so any extra driver sampling adds

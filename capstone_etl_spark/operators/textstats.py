@@ -842,6 +842,80 @@ FROM terms GROUP BY 1
 TOP_TOKENS_K = 3
 
 
+# --- unicode / encoding audit ------------------------------------------------
+
+
+def unicode_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, total_chars, non_ascii_chars, non_ascii_ratio,
+    n_docs_mostly_non_ascii) — the encoding-health sweep a crawl
+    pipeline runs per source: a spike in the non-ASCII ratio of a
+    nominally-English source is mojibake / double-encoding / binary
+    contamination; a doc that is MOSTLY non-ASCII in such a source is
+    a mislabeled-language candidate.
+
+    Map-only per-row character counts (length before/after stripping
+    the ASCII range — character semantics in both engines) into one
+    per-source aggregation; ratios floor-snap to 6 dp."""
+    docs = _docs(spark, sf_dir)
+    total = F.length("text").cast("long")
+    ascii_n = F.length(F.regexp_replace(F.col("text"), "[\\x00-\\x7F]", "")).cast("long")
+    # ascii_n above counts the NON-ascii remainder (ASCII chars removed)
+    per_doc = docs.select(
+        "source",
+        total.alias("n_chars_doc"),
+        ascii_n.alias("non_ascii_doc"),
+    )
+    mostly = F.when(
+        (F.col("n_chars_doc") > 0)
+        & (F.col("non_ascii_doc") * 2 > F.col("n_chars_doc")),
+        1,
+    ).otherwise(0)
+    snap6 = lambda c: F.floor(c * F.lit(1_000_000.0) + F.lit(0.5)) / F.lit(1_000_000.0) + F.lit(0.0)  # noqa: E731
+    agg = per_doc.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_chars_doc").cast("long").alias("total_chars"),
+        F.sum("non_ascii_doc").cast("long").alias("non_ascii_chars"),
+        F.sum(mostly).cast("long").alias("n_docs_mostly_non_ascii"),
+    )
+    ratio = F.when(
+        F.col("total_chars") > 0,
+        snap6(F.col("non_ascii_chars").cast("double") / F.col("total_chars").cast("double")),
+    ).otherwise(F.lit(0.0))
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_chars",
+        "non_ascii_chars",
+        ratio.alias("non_ascii_ratio"),
+        "n_docs_mostly_non_ascii",
+    )
+
+
+UNICODE_AUDIT_SQL = r"""
+WITH per_doc AS (
+  SELECT source,
+         length(text) AS n_chars_doc,
+         length(regexp_replace(text, '[\x00-\x7F]', '', 'g')) AS non_ascii_doc
+  FROM documents
+), agg AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_chars_doc) AS BIGINT) AS total_chars,
+         CAST(SUM(non_ascii_doc) AS BIGINT) AS non_ascii_chars,
+         CAST(SUM(CASE WHEN n_chars_doc > 0 AND non_ascii_doc * 2 > n_chars_doc
+                       THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_mostly_non_ascii
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_docs, total_chars, non_ascii_chars,
+       CASE WHEN total_chars > 0
+            THEN floor(CAST(non_ascii_chars AS DOUBLE) / total_chars * 1000000.0 + 0.5)
+                 / 1000000.0 + 0.0
+            ELSE 0.0 END AS non_ascii_ratio,
+       n_docs_mostly_non_ascii
+FROM agg
+"""
+
+
 # --- stopword discovery ------------------------------------------------------
 #
 # How the reference's 667-entry compiled-in stopword table
@@ -1568,6 +1642,7 @@ QUERIES = {
     "repetition_ratio": repetition_ratio,
     "top_tokens_per_source": top_tokens_per_source,
     "stopword_discovery": stopword_discovery,
+    "unicode_audit": unicode_audit,
     "token_entropy": token_entropy,
     "corpus_drift": corpus_drift,
     "bpe_merge_pairs": bpe_merge_pairs,
@@ -1596,6 +1671,7 @@ ORACLE_SQL = {
     "repetition_ratio": REPETITION_RATIO_SQL,
     "top_tokens_per_source": TOP_TOKENS_PER_SOURCE_SQL,
     "stopword_discovery": STOPWORD_DISCOVERY_SQL,
+    "unicode_audit": UNICODE_AUDIT_SQL,
     "token_entropy": TOKEN_ENTROPY_SQL,
     "corpus_drift": CORPUS_DRIFT_SQL,
     "bpe_merge_pairs": BPE_MERGE_PAIRS_SQL,

@@ -320,4 +320,5 @@ HEADLINE: list[str] = [
     "retrieval_ndcg",
     "dedup_keep_best",
     "stopword_discovery",
+    "unicode_audit",
 ]

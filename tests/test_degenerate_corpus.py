@@ -105,6 +105,9 @@ NAMES = [
     # engines; 'the'-only corpus makes every token a stopword candidate
     "dedup_keep_best",
     "stopword_discovery",
+    # multibyte unicode doc + control chars + empty docs through the
+    # char-class counts; 0/0 ratio must be 0.0 in both engines
+    "unicode_audit",
 ]
 
 

@@ -249,6 +249,33 @@ def test_stopword_discovery_finds_function_words(spark, sf_dir):
         assert r.n_sources >= 1 and r.df >= 1
 
 
+def test_unicode_audit_counts(spark):
+    """Hand-checkable counts: 'café 日本語' has 4 non-ASCII chars of 8."""
+    import pandas as pd
+    import tempfile
+
+    from capstone_etl_spark.operators.textstats import unicode_audit
+
+    rows = [
+        (0, "café 日本語", "fr", "a", 8),
+        (1, "plain ascii", "en", "a", 11),
+        (2, "", "en", "b", 0),
+        (3, "日本語のテキスト", "ja", "b", 8),
+    ]
+    d = spark.createDataFrame(
+        pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    )
+    with tempfile.TemporaryDirectory() as tmp:
+        d.write.mode("overwrite").parquet(f"{tmp}/documents.parquet")
+        got = {r.source: r for r in unicode_audit(spark, tmp).collect()}
+    a, b = got["a"], got["b"]
+    assert a.total_chars == 19 and a.non_ascii_chars == 4
+    assert a.n_docs_mostly_non_ascii == 0
+    assert b.total_chars == 8 and b.non_ascii_chars == 8
+    assert b.n_docs_mostly_non_ascii == 1  # the all-Japanese doc
+    assert b.non_ascii_ratio == 1.0
+
+
 def test_matryoshka_full_dim_is_perfect_recall(spark, sf_dir):
     """Sanity: truncating to the FULL dimension must give recall 1.0
     (the truncated ranking degenerates to the exact ranking)."""
