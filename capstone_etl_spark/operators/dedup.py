@@ -1248,8 +1248,14 @@ def template_shape(text_col: Column | str = "text") -> Column:
     docs). Pure per-row expression — shared by the batch and streaming
     template miners."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
+    # explicit whitespace class, NOT \s: Java's \s includes vertical
+    # tab (\x0B) while RE2's (DuckDB) does not — a VT between words
+    # would split tokens in Spark but merge them in the oracle. The
+    # class below IS Java's \s, spelled portably.
     masked = F.trim(
-        F.regexp_replace(F.regexp_replace(F.lower(c), "[0-9]+", "#"), "\\s+", " ")
+        F.regexp_replace(
+            F.regexp_replace(F.lower(c), "[0-9]+", "#"), "[ \\t\\n\\r\\f\\x0B]+", " "
+        )
     )
     return F.array_join(
         F.transform(
@@ -1292,9 +1298,10 @@ def template_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 TEMPLATE_EXTRACTION_SQL = f"""
 WITH masked AS (
+  -- explicit class == Java \\s (RE2's \\s lacks \\x0B; see template_shape)
   SELECT doc_id, source,
          trim(regexp_replace(regexp_replace(lower(text), '[0-9]+', '#', 'g'),
-                             '\\s+', ' ', 'g')) AS m
+                             '[ \\t\\n\\r\\f\\x0B]+', ' ', 'g')) AS m
   FROM documents
 ), shaped AS (
   -- COALESCE: DuckDB array_to_string([]) is NULL, Spark array_join([])

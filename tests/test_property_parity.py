@@ -201,3 +201,59 @@ def test_subtree_rollup_matches_python_model(spark, data):
             sub_chars[cur] += chars[i]
     want = {i: (depth[i], sub_docs[i], sub_chars[i]) for i in range(n)}
     assert got == want
+
+
+# --- round-6: template_shape invariances ------------------------------------
+#
+# The structural-template skeleton must be INVARIANT to exactly the
+# variance it claims to mask: digit-run values, letter case, and
+# whitespace shape. A Python model mirrors the two-stage definition.
+
+
+def _model_shape(s: str, k: int = 8) -> str:
+    """dedup.template_shape's semantics in pure Python: content mask
+    (lower, digit runs -> '#', ASCII-ws runs -> ' '), then tokenize
+    (delete non-[a-zA-Z0-9 ], split) and join the first k token
+    lengths. The ws class is EXPLICIT (Java's \\s) — Python's \\s is
+    Unicode-wide (\\xa0 etc.) and would diverge from both engines."""
+    masked = re.sub(r"[ \t\n\r\f\x0b]+", " ", re.sub(r"[0-9]+", "#", s.lower())).strip(" ")
+    cleaned = re.sub(r"[^a-zA-Z0-9 ]", "", masked).strip(" ")
+    toks = [t for t in re.split(r" +", cleaned) if t]
+    return "-".join(str(len(t)) for t in toks[:k])
+
+
+@settings(max_examples=10, deadline=None)
+@given(TEXTS)
+def test_template_shape_matches_python_model(spark, texts):
+    from capstone_etl_spark.operators.dedup import template_shape
+
+    df = spark.createDataFrame([(i, t) for i, t in enumerate(texts)], "i long, s string")
+    got = {r.i: r.shape for r in df.select("i", template_shape("s").alias("shape")).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == _model_shape(t), repr(t)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.text(alphabet="abcdefgh ", min_size=1, max_size=40), min_size=1, max_size=8
+    ),
+    st.integers(min_value=0, max_value=10**9),
+)
+def test_template_shape_invariant_to_digits_case_ws(spark, texts, num):
+    """Replacing any digit run's VALUE, flipping case, or reshaping
+    whitespace must not change the skeleton."""
+    from capstone_etl_spark.operators.dedup import template_shape
+
+    variants = []
+    for i, t in enumerate(texts):
+        base = f"page {num} of 99 {t}"
+        variants.append((i, 0, base))
+        variants.append((i, 1, f"PAGE {num + 1} OF 5 {t.upper()}"))
+        variants.append((i, 2, f"  page\t{num * 7 + 1}   of  123456 {t} "))
+    df = spark.createDataFrame(variants, "i long, v long, s string")
+    got = {}
+    for r in df.select("i", "v", template_shape("s").alias("shape")).collect():
+        got.setdefault(r.i, set()).add(r.shape)
+    for i, shapes in got.items():
+        assert len(shapes) == 1, (texts[i], shapes)
