@@ -1232,8 +1232,11 @@ WHERE CAST(n_inter AS DOUBLE) / sz_src >= {CONTAIN_THRESHOLD}
 #      "Page 8 of 12" collide);
 #   2. shape reduction — the word-LENGTH sequence of the opening
 #      TEMPLATE_SHAPE_TOKENS tokens ("error code # at line #" ->
-#      5-4-1-2-4-1), the cheap structural fingerprint template miners
-#      key their parse trees on when content still varies.
+#      5-4-2-4: tokenize's clean step DELETES the '#' placeholders
+#      along with all other non-[a-zA-Z0-9 ] chars, so masked digit
+#      runs vanish rather than surviving as length-1 tokens), the
+#      cheap structural fingerprint template miners key their parse
+#      trees on when content still varies.
 # Docs sharing the skeleton are structurally identical machine
 # generations (listings, error pages, form letters) — the near-dup
 # class exact hashing misses and MinHash wastes candidates on.

@@ -142,14 +142,20 @@ def bt_source_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("source")
             .agg(F.sum("t").alias("d"))
         )
+        # clamp to >= 1 fixed-point unit: a winless source's MM update
+        # floors to 0, and a 0 rating can reach the (r_a + r_b) divisor
+        # next round — Spark double /0 yields NULL where DuckDB (IEEE)
+        # yields inf, a silent cross-engine divergence instead of a
+        # loud failure (ADVICE r6). GREATEST mirror in the oracle.
         u = totals.join(d, "source").select(
             "source",
-            F.floor(
-                F.col("n_wins").cast("double") * F.lit(_S2) / F.col("d").cast("double")
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("r"),
+            F.greatest(
+                F.floor(
+                    F.col("n_wins").cast("double") * F.lit(_S2) / F.col("d").cast("double")
+                    + F.lit(0.5)
+                ).cast("long"),
+                F.lit(1).cast("long"),
+            ).alias("r"),
         )
         # cut lineage BEFORE u is referenced twice (once by the max
         # anchor, once by the rescale): each MM round otherwise embeds
@@ -159,12 +165,13 @@ def bt_source_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
         mx = u.agg(F.max("r").alias("m"))
         r = u.crossJoin(F.broadcast(mx)).select(
             "source",
-            F.floor(
-                F.col("r").cast("double") * F.lit(float(BT_SCALE)) / F.col("m").cast("double")
-                + F.lit(0.5)
-            )
-            .cast("long")
-            .alias("r"),
+            F.greatest(
+                F.floor(
+                    F.col("r").cast("double") * F.lit(float(BT_SCALE)) / F.col("m").cast("double")
+                    + F.lit(0.5)
+                ).cast("long"),
+                F.lit(1).cast("long"),
+            ).alias("r"),
         )
     return totals.join(r, "source").select(
         "source",
@@ -199,12 +206,12 @@ d{i} AS MATERIALIZED (
 ),
 u{i} AS MATERIALIZED (
   SELECT tt.source,
-         CAST(floor(tt.n_wins * {_S2} / d.d + 0.5) AS BIGINT) AS r
+         GREATEST(CAST(floor(tt.n_wins * {_S2} / d.d + 0.5) AS BIGINT), 1) AS r
   FROM totals tt JOIN d{i} d USING (source)
 ),
 b{i} AS MATERIALIZED (
   SELECT u.source,
-         CAST(floor(u.r * {float(BT_SCALE)} / m.m + 0.5) AS BIGINT) AS r
+         GREATEST(CAST(floor(u.r * {float(BT_SCALE)} / m.m + 0.5) AS BIGINT), 1) AS r
   FROM u{i} u CROSS JOIN (SELECT MAX(r) AS m FROM u{i}) m
 )"""
         )

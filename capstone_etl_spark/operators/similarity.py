@@ -1298,12 +1298,14 @@ SELECT label, vec_id, dist_to_centroid, rnk FROM (
 TRUNC_DIM = 16  # Matryoshka prefix length under evaluation
 
 
-def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+def matryoshka_recall(
+    spark: SparkSession, sf_dir: str, trunc_dim: int | None = None
+) -> DataFrame:
     """Recall@k of TRUNCATED-prefix cosine against full-dim cosine —
     the fidelity table a Matryoshka/MRL deployment reads before
     serving a shorter embedding prefix (cheaper index, same model):
     how many of the true top-k survive when similarity uses only the
-    first TRUNC_DIM of DIM dimensions?
+    first `trunc_dim` (default TRUNC_DIM) of DIM dimensions?
 
     Both rankings are the brute kernel bounded by the N_QUERIES query
     set (eval-only, ann_recall_eval's scale contract): broadcast query
@@ -1311,9 +1313,15 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranking keys (the ANN family's determinism contract). The overlap
     join is top-k-sized. A production variant would rank the truncated
     side with the LSH/IVF index; the brute form is the ground-truth
-    harness."""
+    harness.
+
+    Zero-norm guard (ADVICE r6): full-dim norms are nonzero by fixture
+    construction but a TRUNC_DIM-prefix can be all zeros, and Spark's
+    /0 is NULL where DuckDB's is inf/NaN — both engines therefore pin
+    zero-norm similarity to 0.0 (coalesce here, CASE in the oracle)."""
     from pyspark.sql import Window
 
+    td = TRUNC_DIM if trunc_dim is None else trunc_dim
     emb = load_table(spark, sf_dir, "embeddings")
 
     def _topk(qe_col, ne_col):
@@ -1326,16 +1334,18 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.broadcast(q)
             .crossJoin(n)
             .filter(F.col("query_id") != F.col("neighbor_id"))
-            .select("query_id", "neighbor_id", F.round(cosine("qe", "ne"), 6).alias("sim"))
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(F.coalesce(cosine("qe", "ne"), F.lit(0.0)), 6).alias("sim"),
+            )
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= TOP_K)
             .select("query_id", "neighbor_id")
         )
 
     full = _topk(F.col("embedding"), F.col("embedding"))
-    trunc = _topk(
-        F.slice("embedding", 1, TRUNC_DIM), F.slice("embedding", 1, TRUNC_DIM)
-    )
+    trunc = _topk(F.slice("embedding", 1, td), F.slice("embedding", 1, td))
     hit = full.join(trunc, ["query_id", "neighbor_id"], "left_semi")
     return (
         full.groupBy("query_id")
@@ -1352,10 +1362,17 @@ def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# zero-norm guard mirrors the Spark coalesce: an all-zero prefix
+# pins sim to 0.0 instead of DuckDB's IEEE inf/NaN (ADVICE r6)
 _COSINE_TRUNC_SQL = (
-    "list_sum(list_transform(range({td}), d -> CAST(qe[d+1] AS DOUBLE) * CAST(ne[d+1] AS DOUBLE)))"
+    "CASE WHEN"
+    " list_sum(list_transform(range({td}), d -> CAST(qe[d+1] AS DOUBLE) * CAST(qe[d+1] AS DOUBLE))) > 0"
+    " AND list_sum(list_transform(range({td}), d -> CAST(ne[d+1] AS DOUBLE) * CAST(ne[d+1] AS DOUBLE))) > 0"
+    " THEN"
+    " list_sum(list_transform(range({td}), d -> CAST(qe[d+1] AS DOUBLE) * CAST(ne[d+1] AS DOUBLE)))"
     " / (sqrt(list_sum(list_transform(range({td}), d -> CAST(qe[d+1] AS DOUBLE) * CAST(qe[d+1] AS DOUBLE))))"
     " * sqrt(list_sum(list_transform(range({td}), d -> CAST(ne[d+1] AS DOUBLE) * CAST(ne[d+1] AS DOUBLE)))))"
+    " ELSE 0.0 END"
 ).format(td=TRUNC_DIM)
 
 MATRYOSHKA_RECALL_SQL = f"""

@@ -281,10 +281,5 @@ def test_matryoshka_full_dim_is_perfect_recall(spark, sf_dir):
     (the truncated ranking degenerates to the exact ranking)."""
     import capstone_etl_spark.operators.similarity as sim
 
-    old = sim.TRUNC_DIM
-    sim.TRUNC_DIM = sim.DIM
-    try:
-        rows = sim.matryoshka_recall(spark, "/root/testdata/sf0.001").collect()
-    finally:
-        sim.TRUNC_DIM = old
+    rows = sim.matryoshka_recall(spark, sf_dir, trunc_dim=sim.DIM).collect()
     assert rows and all(r.recall == 1.0 for r in rows)
