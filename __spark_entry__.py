@@ -27,20 +27,81 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness samples the FIRST ~50 registered
-# queries in registry order. Across rounds 2-4 the driver has attested
-# 130/142 queries; exactly 12 (all added in round 4) have never had a
-# driver CORRECTNESS row (VERDICT r4, item 1). Round-5 order: those 12
-# lead, then every query whose implementation round 5 touches (so the
-# driver re-attests the new behavior: the scale-derived quantizer cell
-# counts and the sharding-tagged greedy packs), then stream_event_dedup
-# (deferred re-attestation from r4's watermark changes), then one
-# canary per family — families already driver-green and still covered
-# by the local full gate (ATTEST_r5.json).
+# queries in registry order. Lifetime driver attestation after r6:
+# 201/213 — exactly the 12 round-6 additions have never had a driver
+# CORRECTNESS row (VERDICT r6, item 1). Round-7 order: those 12 lead
+# (two of them — bt_source_ratings, matryoshka_recall — also carry
+# round-7 semantic changes, the rating floor and the zero-norm guard,
+# so their rows double as re-attestation), then the round-7 additions,
+# then one canary per family (tests/test_entry_contract.py enforces
+# the span), then least-recently-attested queries fill the window so
+# the stalest driver signal refreshes first.
 _PRIORITY = [
     # ---- driver window (first ~50) -----------------------------------
-    # Block 1: the 29 queries with no driver CORRECTNESS row in any
-    # round r1-r5 (all green in ATTEST_r5.json / the local full gate).
-    # Grouped by family for readability.
+    # Block 1: the 12 round-6 queries with no driver CORRECTNESS row
+    # in any round (all green in ATTEST_r6.json and the r6 judge's
+    # independent 213/213 gate).
+    "bt_source_ratings",
+    "template_extraction",
+    "embedding_coverage_audit",
+    "bucketed_batching",
+    "matryoshka_recall",
+    "dedup_containment",
+    "embedding_outliers",
+    "retrieval_ndcg",
+    "stream_template_extraction",
+    "dedup_keep_best",
+    "stopword_discovery",
+    "unicode_audit",
+    # Block 2: NEW in round 7 — first driver attestation.
+    "bpe_encode",
+    "stream_dedup_incremental",
+    # Block 3: family canaries - every operator family keeps >=1 row in
+    # the window (tests/test_entry_contract.py enforces the span); each
+    # is driver-green in r4-r6.
+    "mixing_allocation",
+    "dedup_agreement",
+    "repeated_ngram_spans",
+    "ann_recall_eval",
+    "kmeans_lloyd",
+    "bm25_topk",
+    "stream_quality_funnel",
+    "multimodal_frame_dedup",
+    "wikibooks_docs",
+    "chunk_packing",
+    "sequence_packing_greedy",
+    "cluster_aware_splits",
+    "reservoir_sample",
+    "campaign_window_stats",
+    "zipf_fit",
+    "difficulty_deciles",
+    "kmv_source_overlap",
+    "event_anomaly_zscore",
+    # Block 4: least-recently-attested (r2/r3 rows only) — the driver's
+    # extra sampling refreshes the stalest signal first.
+    "winnowing_pairs",
+    "stream_kmv_sketch",
+    "language_id_confusion",
+    "semantic_dedup",
+    "length_histogram",
+    "tokenizer_fertility",
+    "bigram_lm_perplexity",
+    "min_cost_supplier",
+    "local_supplier_volume",
+    "important_parts",
+    "stream_reservoir_sample",
+    "skipgram_pairs",
+    "mad_outliers",
+    "training_shuffle",
+    "feature_hashing_vectors",
+    "dedup_source_matrix",
+    "doc_keywords",
+    "embedding_whitening",
+    # ---- position 51+: every query below is driver-green in some
+    # round AND green on the committed local full gate (the r6 window's
+    # 32 rows are the freshest); ordered least-recently-attested first
+    # so any extra driver sampling adds the stalest signal. Unlisted
+    # queries follow in module order.
     "late_shipment_priority",
     "supplier_count_by_part_class",
     "dominant_bolt_suppliers",
@@ -70,71 +131,9 @@ _PRIORITY = [
     "multimodal_resize",
     "zorder_file_layout",
     "zorder_pruning_gain",
-    # Block 2: semantics touched in round 6 -> driver must re-attest the
-    # new code: embedding_covariance's 6-dp snap changed from round()
-    # to floor-snap (+0.0) to kill a -0.0 hash mismatch (the one red
-    # row in CORRECTNESS_r05); pca_power_iteration consumes it;
-    # key_skew_audit's skew_ratio multiply moved to double.
     "embedding_covariance",
     "pca_power_iteration",
     "key_skew_audit",
-    # Block 3: family canaries - every operator family keeps >=1 row in
-    # the window (tests/test_entry_contract.py enforces the span); each
-    # is driver-green in r4/r5.
-    "mixing_allocation",
-    "dedup_agreement",
-    "repeated_ngram_spans",
-    "ann_recall_eval",
-    "kmeans_lloyd",
-    "bm25_topk",
-    "stream_quality_funnel",
-    "multimodal_frame_dedup",
-    "wikibooks_docs",
-    "chunk_packing",
-    "sequence_packing_greedy",
-    "cluster_aware_splits",
-    "reservoir_sample",
-    "campaign_window_stats",
-    "zipf_fit",
-    "difficulty_deciles",
-    "kmv_source_overlap",
-    "event_anomaly_zscore",
-    # ---- position 51+: NEW in round 6 (green in ATTEST_r6.json; they
-    # rotate into the window next round) ----
-    "bt_source_ratings",
-    "template_extraction",
-    "embedding_coverage_audit",
-    "bucketed_batching",
-    "matryoshka_recall",
-    "dedup_containment",
-    "embedding_outliers",
-    "retrieval_ndcg",
-    "stream_template_extraction",
-    "dedup_keep_best",
-    "stopword_discovery",
-    "unicode_audit",
-    # ---- every query below is driver-green in some
-    # round AND green on the committed local full gate; ordered
-    # least-recently-attested first so any extra driver sampling adds
-    # the stalest signal. Unlisted queries follow in module order.
-    "winnowing_pairs",
-    "stream_kmv_sketch",
-    "language_id_confusion",
-    "semantic_dedup",
-    "length_histogram",
-    "tokenizer_fertility",
-    "bigram_lm_perplexity",
-    "min_cost_supplier",
-    "local_supplier_volume",
-    "important_parts",
-    "stream_reservoir_sample",
-    "skipgram_pairs",
-    "mad_outliers",
-    "training_shuffle",
-    "feature_hashing_vectors",
-    "dedup_source_matrix",
-    "doc_keywords",
-    "embedding_whitening",
     "bpe_learn_merges",
     "stream_count_min",
     "curation_verdict",

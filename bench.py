@@ -94,6 +94,9 @@ HEADLINE = [
     "bt_source_ratings",
     "template_extraction",
     "matryoshka_recall",
+    # r7: the full BPE learn->encode arc (corpus-shuffle + iterative
+    # vocab loop + encode join) — tracked from day one.
+    "bpe_encode",
 ]
 
 

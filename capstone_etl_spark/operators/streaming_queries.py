@@ -798,6 +798,109 @@ def _stream_template_extraction_sql() -> str:
     return TEMPLATE_EXTRACTION_SQL
 
 
+def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup ADMISSION at INGEST — dedup.dedup_incremental's
+    delta-vs-base verdicts as a stream, the shape a 100 TB pipeline
+    actually consumes that operator in: the df-capped corpus shingle
+    index is a STATIC relation (in production a published artifact of
+    the accepted corpus), arriving delta documents stream in, their
+    shingles stream-static join the index under the batch pass's exact
+    partner rule (partner is base, or an earlier delta id), and the
+    per-(arrival, partner) overlap aggregates in complete mode. The
+    drained pair table goes through the IDENTICAL Jaccard-threshold /
+    min-struct verdict assembly as the batch operator, so the oracle
+    is DEDUP_INCREMENTAL_SQL verbatim.
+
+    Cap consistency: the stream side explodes the arriving doc's RAW
+    distinct shingles and the static side carries only post-cap
+    postings, so the joined intersection is capped∩capped — exactly
+    batch n_inter; both partner sizes come from the static size table
+    at verdict time. State is bounded by cross-delta candidate pairs
+    (df-capped), never |base|²."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.functions.hashing import md5_hash60
+    from capstone_etl_spark.functions.text import token_ngrams, tokenize
+    from capstone_etl_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        NGRAM_N,
+        _is_delta,
+        shingles,
+    )
+    from capstone_etl_spark.session import cached
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_docs_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        sh = cached(shingles(docs))
+        sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        index = sh.select("sh", F.col("doc_id").alias("doc_b"))
+
+        staging = f"{work}/staging"
+        docs.repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        arriving = stream.filter(_is_delta(F.col("doc_id"))).select(
+            F.col("doc_id").alias("doc_a"), tokenize("text").alias("toks")
+        )
+        stream_sh = arriving.select(
+            "doc_a",
+            F.explode(
+                F.array_distinct(
+                    F.transform(token_ngrams("toks", NGRAM_N), md5_hash60)
+                )
+            ).alias("sh"),
+        )
+        partner_ok = (~_is_delta(F.col("doc_b"))) | (F.col("doc_b") < F.col("doc_a"))
+        agg = (
+            stream_sh.join(index, "sh")
+            .filter((F.col("doc_b") != F.col("doc_a")) & partner_ok)
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count("*").alias("n_inter"))
+        )
+        pairs_raw = run_to_memory(agg, f"{work}/checkpoint", output_mode="complete")
+
+        # batch verdict assembly over the drained pair table
+        sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("sz").alias("sz_a"))
+        sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("sz").alias("sz_b"))
+        jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
+        pairs = (
+            pairs_raw.join(sa, "doc_a")
+            .join(sb, "doc_b")
+            .filter(jac >= JACCARD_THRESHOLD)
+            .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+        )
+        best = pairs.groupBy("doc_a").agg(
+            F.min(F.struct("doc_b", "jaccard")).alias("m"),
+            F.count("*").cast("long").alias("n_dups"),
+        )
+        delta_docs = docs.select("doc_id").filter(_is_delta(F.col("doc_id")))
+        return (
+            delta_docs.join(best.withColumnRenamed("doc_a", "doc_id"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.col("m").isNotNull().alias("is_dup"),
+                F.coalesce(F.col("m.doc_b"), F.col("doc_id")).alias("dup_of"),
+                F.coalesce(F.col("n_dups"), F.lit(0).cast("long")).alias("n_dups"),
+                F.coalesce(F.col("m.jaccard"), F.lit(0.0)).alias("best_jaccard"),
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stream_dedup_incremental_sql() -> str:
+    from capstone_etl_spark.operators.dedup import DEDUP_INCREMENTAL_SQL
+
+    return DEDUP_INCREMENTAL_SQL
+
+
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
     "stream_sliding_windows": stream_sliding_windows,
@@ -814,6 +917,7 @@ QUERIES = {
     "stream_decontamination": stream_decontamination,
     "stream_pii_scan": stream_pii_scan,
     "stream_template_extraction": stream_template_extraction,
+    "stream_dedup_incremental": stream_dedup_incremental,
 }
 
 ORACLE_SQL = {
@@ -832,4 +936,5 @@ ORACLE_SQL = {
     "stream_decontamination": _stream_decontamination_sql(),
     "stream_pii_scan": PII_SCAN_SQL,
     "stream_template_extraction": _stream_template_extraction_sql(),
+    "stream_dedup_incremental": _stream_dedup_incremental_sql(),
 }

@@ -1588,6 +1588,133 @@ WITH tokstream AS (
 BPE_LEARN_MERGES_SQL = _bpe_learn_merges_sql()
 
 
+def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trainer-facing ENCODE pass that completes the BPE arc:
+    bpe_merge_pairs picks one merge, bpe_apply_merge applies one,
+    bpe_learn_merges learns the table — this operator tokenizes the
+    whole corpus with the COMPLETE learned merge table (all BPE_MERGES
+    rounds, applied in learned order) and reports the per-source
+    readout a training pipeline ships: encoded-token counts, fertility
+    (BPE tokens per word), and compression (chars per BPE token) vs
+    the character baseline. Generalizes the reference's tokenize loop
+    (main.go:245-283) from whitespace words to learned subwords.
+
+    Semantics: the merge table is re-derived in-plan with exactly
+    bpe_learn_merges' loop (same pair counting, same (cnt DESC, pair)
+    argmax, same greedy non-overlapping replace, each merged pair
+    collapsing to a fresh symbol that participates in later merges),
+    so a token's final repr IS its BPE symbol sequence and
+    length(repr) its encoded token count. Encoding then happens on the
+    AGGREGATED per-(source, token) relation — each distinct word is
+    encoded once per source, never once per occurrence; the global tf
+    used for learning is the rollup of the same relation, so both
+    engines learn from identical counts.
+
+    Exactness: all sums are exact integer sums of tf·length products;
+    fertility/compression are double divisions of exact ints, rounded
+    to 6 dp on both sides.
+
+    100 TB shape: ONE corpus-scale shuffle (the (source, token)
+    aggregation — partial map-side combine, uniformly hashed keys);
+    the learn loop then runs on the Heaps-law-bounded vocabulary with
+    checkpoint-truncated lineage per round (the iterative-loop house
+    rule); the final encode join is vocab-sized on the token key and
+    the output is |sources| rows via a second tiny agg."""
+    docs = _docs(spark, sf_dir)
+    stf = cached(
+        docs.select("source", F.explode(tokenize("text")).alias("token"))
+        .groupBy("source", "token")
+        .agg(F.count("*").alias("tf_s"))
+    )
+    tf = stf.groupBy("token").agg(F.sum("tf_s").alias("tf"))
+    reprs = tf.select("token", "tf", F.col("token").alias("repr"))
+    for k in range(BPE_MERGES):
+        sym = chr(ord("A") + k)
+        pairs = reprs.filter(F.length("repr") >= 2).select(
+            "tf",
+            F.explode(
+                F.expr("transform(sequence(1, length(repr) - 1), i -> substring(repr, i, 2))")
+            ).alias("pair"),
+        )
+        top1 = (
+            pairs.groupBy("pair")
+            .agg(F.sum("tf").alias("cnt"))
+            .orderBy(F.desc("cnt"), "pair")
+            .limit(1)
+            .select("pair")
+        )
+        reprs = checkpoint_truncate(
+            reprs.join(F.broadcast(top1), F.lit(True)).select(
+                "token",
+                "tf",
+                F.expr(f"replace(repr, pair, '{sym}')").alias("repr"),
+            )
+        )
+    enc = stf.join(reprs.select("token", "repr"), "token")
+    return enc.groupBy("source").agg(
+        F.sum("tf_s").cast("long").alias("n_words"),
+        F.sum(F.col("tf_s") * F.length("token")).cast("long").alias("n_chars"),
+        F.sum(F.col("tf_s") * F.length("repr")).cast("long").alias("n_bpe_tokens"),
+        F.round(
+            F.sum(F.col("tf_s") * F.length("repr")).cast("double") / F.sum("tf_s"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum(F.col("tf_s") * F.length("token")).cast("double")
+            / F.sum(F.col("tf_s") * F.length("repr")),
+            6,
+        ).alias("chars_per_bpe_token"),
+    )
+
+
+def _bpe_encode_sql() -> str:
+    # identical round CTEs to _bpe_learn_merges_sql (tf derived from
+    # the per-source rollup so both engines learn from the same
+    # counts), then the encode join + per-source aggregation
+    rounds = []
+    prev = "r0"
+    for k in range(BPE_MERGES):
+        sym = chr(ord("A") + k)
+        rounds.append(
+            f"""
+p{k + 1} AS MATERIALIZED (
+  SELECT substr(repr, i, 2) AS pair, tf
+  FROM {prev}, LATERAL (SELECT unnest(range(1, length(repr))) AS i) r
+  WHERE length(repr) >= 2
+), t{k + 1} AS MATERIALIZED (
+  SELECT pair, CAST(SUM(tf) AS BIGINT) AS cnt FROM p{k + 1} GROUP BY 1
+  ORDER BY cnt DESC, pair LIMIT 1
+), r{k + 1} AS MATERIALIZED (
+  SELECT token, tf, replace(repr, (SELECT pair FROM t{k + 1}), '{sym}') AS repr FROM {prev}
+)"""
+        )
+        prev = f"r{k + 1}"
+    return f"""
+WITH tokstream AS (
+  SELECT source,
+         UNNEST(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           x -> x <> '')) AS token
+  FROM documents
+), stf AS MATERIALIZED (
+  SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf_s FROM tokstream GROUP BY 1, 2
+), tf AS MATERIALIZED (
+  SELECT token, CAST(SUM(tf_s) AS BIGINT) AS tf FROM stf GROUP BY 1
+), r0 AS MATERIALIZED (SELECT token, tf, token AS repr FROM tf),{",".join(rounds)}
+SELECT s.source,
+       CAST(SUM(s.tf_s) AS BIGINT) AS n_words,
+       CAST(SUM(s.tf_s * length(s.token)) AS BIGINT) AS n_chars,
+       CAST(SUM(s.tf_s * length(f.repr)) AS BIGINT) AS n_bpe_tokens,
+       ROUND(CAST(SUM(s.tf_s * length(f.repr)) AS DOUBLE) / SUM(s.tf_s), 6) AS fertility,
+       ROUND(CAST(SUM(s.tf_s * length(s.token)) AS DOUBLE)
+               / SUM(s.tf_s * length(f.repr)), 6) AS chars_per_bpe_token
+FROM stf s JOIN {prev} f ON f.token = s.token
+GROUP BY 1
+"""
+
+
+BPE_ENCODE_SQL = _bpe_encode_sql()
+
+
 def length_quartiles_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length quartiles (exact, interpolated) + IQR
     — the per-source spread readout that complements length_histogram's
@@ -1658,6 +1785,7 @@ QUERIES = {
     "feature_hashing_vectors": feature_hashing_vectors,
     "doc_keywords": doc_keywords,
     "bpe_learn_merges": bpe_learn_merges,
+    "bpe_encode": bpe_encode,
     "length_quartiles_per_source": length_quartiles_per_source,
 }
 
@@ -1687,5 +1815,6 @@ ORACLE_SQL = {
     "feature_hashing_vectors": FEATURE_HASHING_SQL,
     "doc_keywords": DOC_KEYWORDS_SQL,
     "bpe_learn_merges": BPE_LEARN_MERGES_SQL,
+    "bpe_encode": BPE_ENCODE_SQL,
     "length_quartiles_per_source": LENGTH_QUARTILES_SQL,
 }

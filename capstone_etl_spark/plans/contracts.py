@@ -102,6 +102,11 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "vocabulary per learned round (textstats.py — "
         "bpe_apply_merge's shape, iterated)"
     ),
+    "bpe_encode": (
+        "1-row winning-pair broadcast per learned round "
+        "(textstats.py — bpe_learn_merges' loop; the encode join "
+        "itself is a vocab-sized equi-join)"
+    ),
     "curation_verdict": (
         "composes unigram_logprob + mad_outliers — inherits their "
         "1-row corpus-total / median / MAD broadcasts (quality.py)"
@@ -321,4 +326,6 @@ HEADLINE: list[str] = [
     "dedup_keep_best",
     "stopword_discovery",
     "unicode_audit",
+    # round-7 additions
+    "bpe_encode",
 ]

@@ -108,6 +108,11 @@ NAMES = [
     # multibyte unicode doc + control chars + empty docs through the
     # char-class counts; 0/0 ratio must be 0.0 in both engines
     "unicode_audit",
+    # round-7: the full learn->encode arc on a corpus where merge
+    # candidates are scarce (single-char tokens, digit runs, one huge
+    # 'xxxx...' token that dominates every pair count) — the encode
+    # join must still cover every source and fertility stays finite
+    "bpe_encode",
 ]
 
 
