@@ -420,7 +420,29 @@ FROM frames
 RESIZE_MAX = 64  # longest-side target for the thumbnail stage
 
 
-def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+def pil_resize_digest(payload: bytes, tw: int, th: int) -> str | None:
+    """The REAL pixel path (used by media_resize(real_pixels=True)):
+    fully decode the payload with PIL, resample to (tw, th), and
+    fingerprint the resized RGBA pixel buffer. Returns None when PIL
+    is absent or cannot FULLY load the bytes (header-only synthetic
+    payloads, junk) — callers fall back to the deterministic
+    (payload, geometry) fingerprint so a batch never fails on
+    undecodable bytes. Pixel-buffer md5, not re-encoded-file md5:
+    encoder settings vary across PIL builds, raw RGBA does not."""
+    if _PIL_Image is None:
+        return None
+    import io
+
+    try:
+        with _PIL_Image.open(io.BytesIO(payload)) as im:
+            im.load()  # force full pixel decode, not just the header
+            resized = im.resize((tw, th))
+            return hashlib.md5(resized.convert("RGBA").tobytes()).hexdigest()
+    except Exception:
+        return None
+
+
+def media_resize(spark: SparkSession, sf_dir: str, real_pixels: bool = False) -> DataFrame:
     """The RESIZE stage of an image/video preprocessing pipeline,
     plumbing-real: decode dims (same `_meta` path as multimodal_meta —
     real headers when recognized, oracle-mirrored fake otherwise),
@@ -431,15 +453,25 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     Audio rows are excluded (their two geometry slots carry
     channels/sample-rate; resampling is a different op).
 
-    The actual pixel resample is STUBBED by design: this container has
-    no codec, and a hash over resampled bytes could never be
-    oracle-checked. A production deployment swaps ONE line — the
-    fingerprint source — for PIL's `img.resize((tw, th))` bytes inside
-    the same mapInPandas batch loop; schema, partitioning, batch shape
-    and geometry arithmetic are exactly what ships here.
+    The DEFAULT pixel resample is the deterministic stub (a hash over
+    truly resampled bytes could never be oracle-checked, and the
+    registered query must stay oracle-exact with or without codecs
+    installed). `real_pixels=True` switches the fingerprint source to
+    the REAL PIL resample (pil_resize_digest: full decode →
+    im.resize((tw, th)) → RGBA-buffer md5) inside the same mapInPandas
+    batch loop, falling back per-payload to the deterministic
+    fingerprint for bytes PIL cannot fully load — schema, partitioning,
+    batch shape and geometry arithmetic are identical on both paths
+    (tests/test_multimodal.py pins the real path's geometry contract
+    when PIL is installed and the loud ImportError when not).
 
     Scale: map-only (mapInPandas, one Arrow batch per partition), no
     shuffle, output one row per image/video payload."""
+    if real_pixels and _PIL_Image is None:
+        raise ImportError(
+            "media_resize(real_pixels=True) needs PIL installed; "
+            "the default fingerprint path runs without it"
+        )
     b = with_binary_payload(_docs(spark, sf_dir)).filter(
         F.col("media_type") != "audio"
     )
@@ -462,7 +494,11 @@ def media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
                 else:
                     tw = max(1, w * RESIZE_MAX // mx)
                     th = max(1, h * RESIZE_MAX // mx)
-                digest = hashlib.md5(raw + f":{tw}:{th}".encode()).hexdigest()
+                digest = None
+                if real_pixels:
+                    digest = pil_resize_digest(raw, tw, th)
+                if digest is None:
+                    digest = hashlib.md5(raw + f":{tw}:{th}".encode()).hexdigest()
                 out.append((int(doc_id), mt, w, h, tw, th, digest))
             yield pd.DataFrame(
                 out,

@@ -215,3 +215,84 @@ def test_resize_geometry_preserves_aspect_and_caps(spark, sf_dir):
             assert abs(r.target_w * r.height - r.target_h * r.width) <= max(
                 r.width, r.height
             )
+
+
+def test_real_pixels_requires_pil_or_runs():
+    """The real-resample path is LOUD about a missing codec: with PIL
+    absent, media_resize(real_pixels=True) raises ImportError at call
+    time (never a silent fingerprint-only run); with PIL present the
+    same call must work (covered by the geometry test below)."""
+    import capstone_etl_spark.operators.multimodal as mm
+
+    if mm._PIL_Image is not None:
+        pytest.skip("PIL installed — the raise branch is unreachable")
+    with pytest.raises(ImportError):
+        # the guard fires before any Spark work, so no session needed
+        mm.media_resize(None, SF_DIR, real_pixels=True)
+
+
+def test_pil_resize_digest_geometry_contract():
+    """skip-if-PIL-absent: the REAL resample path decodes a spec-valid
+    PNG, resamples to the requested geometry, and fingerprints the
+    resized RGBA buffer — the digest must equal an independently
+    computed PIL resize of the same bytes, proving the claimed
+    'one-line swap' actually executes and honors (tw, th)."""
+    PIL = pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from capstone_etl_spark.operators.multimodal import pil_resize_digest
+
+    png = make_png(100, 50)
+    digest = pil_resize_digest(png, 64, 32)
+    assert digest is not None
+    with Image.open(io.BytesIO(png)) as im:
+        expected = im.resize((64, 32))
+        assert expected.size == (64, 32)
+        assert digest == hashlib.md5(expected.convert("RGBA").tobytes()).hexdigest()
+    # junk bytes: the real path declines and the caller falls back
+    assert pil_resize_digest(b"IMG0junk", 4, 4) is None
+
+
+def test_pil_resize_real_path_through_query(spark, sf_dir):
+    """skip-if-PIL-absent: real_pixels=True through the registered
+    mapInPandas stage — geometry columns are identical to the default
+    path (the swap changes only the fingerprint source), and synthetic
+    non-loadable payloads fall back to the bit-identical deterministic
+    digest."""
+    pytest.importorskip("PIL")
+    from capstone_etl_spark.operators.multimodal import media_resize
+
+    fake = {r.doc_id: r for r in media_resize(spark, sf_dir).collect()}
+    real = {r.doc_id: r for r in media_resize(spark, sf_dir, real_pixels=True).collect()}
+    assert set(fake) == set(real)
+    for doc_id, f in fake.items():
+        r = real[doc_id]
+        assert (r.media_type, r.width, r.height, r.target_w, r.target_h) == (
+            f.media_type, f.width, f.height, f.target_w, f.target_h,
+        )
+
+
+def test_default_resize_path_is_pil_independent(spark, sf_dir):
+    """The REGISTERED query (real_pixels=False) must be bit-identical
+    with or without PIL installed — its digest reads only (payload,
+    geometry), never a codec. Pinned by recomputing every row's digest
+    from the payload locally (the exact expression the oracle uses)."""
+    from capstone_etl_spark.operators.multimodal import media_resize
+
+    got = {r.doc_id: r for r in media_resize(spark, sf_dir).collect()}
+    payloads = {
+        r.doc_id: (bytes(r.payload), r.media_type)
+        for r in with_binary_payload(
+            spark.read.parquet(f"{sf_dir}/documents.parquet")
+        ).collect()
+        if r.media_type != "audio"
+    }
+    assert set(got) == set(payloads)
+    for doc_id, row in got.items():
+        raw, _mt = payloads[doc_id]
+        expect = hashlib.md5(
+            raw + f":{row.target_w}:{row.target_h}".encode()
+        ).hexdigest()
+        assert row.resized_md5 == expect
