@@ -56,6 +56,7 @@ _PRIORITY = [
     # Block 2: NEW in round 7 — first driver attestation.
     "bpe_encode",
     "stream_dedup_incremental",
+    "unigram_tokenizer",
     # Block 3: family canaries - every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span); each
     # is driver-green in r4-r6.

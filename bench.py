@@ -95,8 +95,10 @@ HEADLINE = [
     "template_extraction",
     "matryoshka_recall",
     # r7: the full BPE learn->encode arc (corpus-shuffle + iterative
-    # vocab loop + encode join) — tracked from day one.
+    # vocab loop + encode join) and the unigram-LM Viterbi DP —
+    # tracked from day one.
     "bpe_encode",
+    "unigram_tokenizer",
 ]
 
 

@@ -1715,6 +1715,195 @@ GROUP BY 1
 BPE_ENCODE_SQL = _bpe_encode_sql()
 
 
+# --- unigram-LM (SentencePiece-style) Viterbi segmentation -------------------
+#
+# The OTHER tokenizer family a training pipeline evaluates against BPE:
+# score candidate pieces by corpus frequency, then segment every word
+# by Viterbi under the unigram LM (min total -ln p). This is dynamic
+# programming AS COLUMN MATH: the per-word DP runs inside one
+# whole-stage-codegen'd `aggregate` higher-order function over a
+# per-word span-cost map — no join, no shuffle, no Python per DP step.
+UNI_MAX_WORD_LEN = 12   # words longer than this are out of model (documented)
+UNI_MAX_PIECE_LEN = 4   # candidate pieces are substrings of length 1..4
+UNI_MIN_PIECE_FREQ = 4  # multi-char pieces need >= this weighted freq
+UNI_SCALE = 1_000_000   # -ln p in 1e-6 fixed point
+
+
+def unigram_tokenizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(word_len, n_pieces, n_words, sum_tf, min_cost_fp, max_cost_fp,
+    weighted_cost) — the Viterbi-segmentation census of the vocabulary
+    under a frequency-initialized unigram LM (SentencePiece's model
+    family, the E-step of its EM loop): every word of length ≤
+    UNI_MAX_WORD_LEN is segmented into candidate pieces (all
+    substrings of length 1..UNI_MAX_PIECE_LEN; multi-char pieces kept
+    at weighted freq ≥ UNI_MIN_PIECE_FREQ, single chars kept
+    unconditionally so segmentation always completes — the no-UNK
+    guarantee), minimizing Σ -ln(freq/total) over the pieces. Fifth
+    DP/iterative specimen (CC, pagerank, PCA, BPE learn); completes
+    the tokenizer family: BPE merges bottom-up, unigram segments
+    top-down.
+
+    Exactness design: piece costs are snapped ONCE to 1e-6 fixed point
+    (floor(ln·1e6 + .5) — the tf_idf house pattern for transcendental
+    values), then the entire DP is exact int64 arithmetic. Cost and
+    piece count ride ONE integer — v = cost_fp·64 + n_pieces, additive
+    per piece since n_pieces ≤ 12 < 64 — so min(v) IS the
+    lexicographic (cost, fewer-pieces) argmin, a total order both
+    engines agree on with no double comparisons anywhere in the DP.
+
+    Plan shape (100 TB): the only corpus-scale shuffle is the word TF
+    aggregation; spans/pieces/costs are Heaps-law-vocabulary-sized
+    (pieces further bounded by alphabet^UNI_MAX_PIECE_LEN); the
+    normalizer enters as a 1-row broadcast; the DP is map-only column
+    math over a per-word span map built by one vocab-scale groupBy;
+    the output aggregation has ≤ MAX_WORD_LEN² cells, map-side
+    combined. Oracle: identical relations, DP unrolled as
+    UNI_MAX_WORD_LEN chained materialized CTEs."""
+    docs = _docs(spark, sf_dir)
+    words = cached(
+        docs.select(F.explode(tokenize("text")).alias("token"))
+        .filter(F.length("token") <= UNI_MAX_WORD_LEN)
+        .groupBy("token")
+        .agg(F.count("*").alias("tf"))
+    )
+    spans = words.select(
+        "token",
+        "tf",
+        F.explode(
+            F.expr(
+                f"""flatten(transform(sequence(1, length(token)), i ->
+                      transform(sequence(1, least({UNI_MAX_PIECE_LEN}, length(token) - i + 1)), l ->
+                        struct(i AS i, l AS l, substring(token, i, l) AS piece))))"""
+            )
+        ).alias("s"),
+    ).select("token", "tf", "s.i", "s.l", "s.piece")
+    pieces = cached(
+        spans.groupBy("piece")
+        .agg(F.sum("tf").alias("freq"))
+        .filter((F.length("piece") == 1) | (F.col("freq") >= UNI_MIN_PIECE_FREQ))
+    )
+    total = pieces.agg(F.sum("freq").alias("total_freq"))
+    costs = pieces.crossJoin(F.broadcast(total)).select(
+        "piece",
+        F.floor(
+            F.log(F.col("total_freq").cast("double") / F.col("freq").cast("double"))
+            * F.lit(UNI_SCALE)
+            + F.lit(0.5)
+        )
+        .cast("long")
+        .alias("cost_fp"),
+    )
+    # span key packs (start, end) injectively: end <= 12 < 16
+    wspans = spans.join(costs, "piece").select(
+        "token",
+        ((F.col("i") - 1) * 16 + (F.col("i") - 1 + F.col("l"))).alias("k"),
+        (F.col("cost_fp") * 64 + 1).alias("w"),
+    )
+    smap = wspans.groupBy("token").agg(
+        F.map_from_entries(F.collect_list(F.struct("k", "w"))).alias("m")
+    )
+    dp = F.aggregate(
+        F.sequence(F.lit(1), F.length("token")),
+        F.array(F.lit(0).cast("long")),
+        lambda acc, j: F.concat(
+            acc,
+            F.array(
+                F.array_min(
+                    F.transform(
+                        F.sequence(F.lit(0), j - 1),
+                        lambda i: F.element_at(acc, i + 1)
+                        + F.element_at(F.col("m"), i * 16 + j),
+                    )
+                )
+            ),
+        ),
+    )
+    per = (
+        words.join(smap, "token")
+        .select(
+            "tf",
+            F.length("token").alias("word_len"),
+            F.element_at(dp, F.length("token") + 1).alias("v"),
+        )
+        .select(
+            "tf",
+            "word_len",
+            F.col("v").bitwiseAND(F.lit(63)).cast("long").alias("n_pieces"),
+            F.shiftright(F.col("v"), 6).cast("long").alias("cost_fp"),
+        )
+    )
+    return per.groupBy("word_len", "n_pieces").agg(
+        F.count("*").cast("long").alias("n_words"),
+        F.sum("tf").cast("long").alias("sum_tf"),
+        F.min("cost_fp").alias("min_cost_fp"),
+        F.max("cost_fp").alias("max_cost_fp"),
+        (F.sum(F.col("tf") * F.col("cost_fp")).cast("double") / F.lit(float(UNI_SCALE))).alias(
+            "weighted_cost"
+        ),
+    )
+
+
+def _unigram_tokenizer_sql() -> str:
+    dps = []
+    for k in range(1, UNI_MAX_WORD_LEN + 1):
+        prev = f"d{k - 1}"
+        dps.append(
+            f"""
+d{k} AS MATERIALIZED (
+  SELECT * FROM {prev}
+  UNION ALL
+  SELECT w.token, {k} AS j, MIN(d.v + w.w) AS v
+  FROM wspans w JOIN {prev} d ON d.token = w.token AND d.j = w.i0
+  WHERE w.j = {k} GROUP BY w.token
+)"""
+        )
+    return f"""
+WITH tokstream AS (
+  SELECT UNNEST(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           x -> x <> '')) AS token
+  FROM documents
+), words AS MATERIALIZED (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS tf FROM tokstream
+  WHERE length(token) <= {UNI_MAX_WORD_LEN} GROUP BY 1
+), spans AS MATERIALIZED (
+  SELECT token, tf, i, l, substr(token, i, l) AS piece
+  FROM words,
+       LATERAL (SELECT unnest(range(1, length(token) + 1)) AS i) a,
+       LATERAL (SELECT unnest(range(1, least({UNI_MAX_PIECE_LEN}, length(token) - i + 1) + 1)) AS l) b
+), pieces AS MATERIALIZED (
+  SELECT piece, CAST(SUM(tf) AS BIGINT) AS freq FROM spans GROUP BY 1
+  HAVING length(piece) = 1 OR CAST(SUM(tf) AS BIGINT) >= {UNI_MIN_PIECE_FREQ}
+), total AS (SELECT CAST(SUM(freq) AS BIGINT) AS total_freq FROM pieces),
+costs AS MATERIALIZED (
+  SELECT piece,
+         CAST(floor(ln(CAST(t.total_freq AS DOUBLE) / CAST(freq AS DOUBLE)) * {UNI_SCALE} + 0.5) AS BIGINT) AS cost_fp
+  FROM pieces CROSS JOIN total t
+), wspans AS MATERIALIZED (
+  SELECT s.token, s.i - 1 AS i0, s.i - 1 + s.l AS j, c.cost_fp * 64 + 1 AS w
+  FROM spans s JOIN costs c USING (piece)
+),
+d0 AS MATERIALIZED (SELECT token, 0 AS j, CAST(0 AS BIGINT) AS v FROM words),{",".join(dps)},
+per AS (
+  SELECT w.tf, length(w.token) AS word_len,
+         CAST(d.v & 63 AS BIGINT) AS n_pieces,
+         CAST(d.v >> 6 AS BIGINT) AS cost_fp
+  FROM words w JOIN d{UNI_MAX_WORD_LEN} d
+    ON d.token = w.token AND d.j = length(w.token)
+)
+SELECT word_len, n_pieces,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(tf) AS BIGINT) AS sum_tf,
+       MIN(cost_fp) AS min_cost_fp,
+       MAX(cost_fp) AS max_cost_fp,
+       CAST(SUM(tf * cost_fp) AS DOUBLE) / {float(UNI_SCALE)} AS weighted_cost
+FROM per GROUP BY 1, 2
+"""
+
+
+UNIGRAM_TOKENIZER_SQL = _unigram_tokenizer_sql()
+
+
 def length_quartiles_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source document-length quartiles (exact, interpolated) + IQR
     — the per-source spread readout that complements length_histogram's
@@ -1786,6 +1975,7 @@ QUERIES = {
     "doc_keywords": doc_keywords,
     "bpe_learn_merges": bpe_learn_merges,
     "bpe_encode": bpe_encode,
+    "unigram_tokenizer": unigram_tokenizer,
     "length_quartiles_per_source": length_quartiles_per_source,
 }
 
@@ -1816,5 +2006,6 @@ ORACLE_SQL = {
     "doc_keywords": DOC_KEYWORDS_SQL,
     "bpe_learn_merges": BPE_LEARN_MERGES_SQL,
     "bpe_encode": BPE_ENCODE_SQL,
+    "unigram_tokenizer": UNIGRAM_TOKENIZER_SQL,
     "length_quartiles_per_source": LENGTH_QUARTILES_SQL,
 }

@@ -107,6 +107,11 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "(textstats.py — bpe_learn_merges' loop; the encode join "
         "itself is a vocab-sized equi-join)"
     ),
+    "unigram_tokenizer": (
+        "1-row piece-mass normalizer broadcast over the bounded piece "
+        "inventory (textstats.py — the Viterbi DP itself is map-only "
+        "column math)"
+    ),
     "curation_verdict": (
         "composes unigram_logprob + mad_outliers — inherits their "
         "1-row corpus-total / median / MAD broadcasts (quality.py)"
@@ -328,4 +333,5 @@ HEADLINE: list[str] = [
     "unicode_audit",
     # round-7 additions
     "bpe_encode",
+    "unigram_tokenizer",
 ]

@@ -113,6 +113,10 @@ NAMES = [
     # 'xxxx...' token that dominates every pair count) — the encode
     # join must still cover every source and fertility stays finite
     "bpe_encode",
+    # the 5000-char token is out of model (> UNI_MAX_WORD_LEN), empty
+    # docs contribute no words, digit runs segment over digit pieces —
+    # the DP must stay total on whatever vocabulary remains
+    "unigram_tokenizer",
 ]
 
 

@@ -56,3 +56,64 @@ def test_stream_dedup_incremental_equals_batch(spark, sf_dir):
             b.n_dups,
             b.best_jaccard,
         ), f"stream/batch verdict mismatch for doc {doc_id}"
+
+
+def test_unigram_tokenizer_invariants(spark, sf_dir):
+    from capstone_etl_spark.operators.textstats import (
+        UNI_MAX_WORD_LEN,
+        unigram_tokenizer,
+    )
+
+    rows = unigram_tokenizer(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r.n_pieces <= r.word_len <= UNI_MAX_WORD_LEN
+        assert 0 < r.min_cost_fp <= r.max_cost_fp
+        assert r.weighted_cost > 0.0
+
+
+def test_unigram_tokenizer_no_unk(spark, sf_dir):
+    """Every in-model word (length <= UNI_MAX_WORD_LEN) must segment:
+    single-char pieces are kept unconditionally, so the DP is total."""
+    from pyspark.sql import functions as F
+
+    from capstone_etl_spark.functions.text import tokenize
+    from capstone_etl_spark.operators.textstats import (
+        UNI_MAX_WORD_LEN,
+        unigram_tokenizer,
+    )
+
+    vocab = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .select(F.explode(tokenize("text")).alias("t"))
+        .filter(F.length("t") <= UNI_MAX_WORD_LEN)
+        .select("t")
+        .distinct()
+        .count()
+    )
+    got = unigram_tokenizer(spark, sf_dir).groupBy().sum("n_words").first()[0]
+    assert got == vocab
+
+
+def test_unigram_tokenizer_picks_learned_piece(spark, tmp_path):
+    """Hand-checkable Viterbi: corpus 'ab ab ab ab abab' keeps pieces
+    {a, b, ab} (equal cost ln 3 each) — 'ab' must segment as ONE piece
+    (the multi-char piece beats a+b) and 'abab' as TWO 'ab' pieces."""
+    import pandas as pd
+
+    from capstone_etl_spark.operators.textstats import unigram_tokenizer
+
+    d = tmp_path / "uni"
+    d.mkdir()
+    pd.DataFrame(
+        [(0, "ab ab ab ab abab", "en", "web", 16)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).astype({"doc_id": "int64", "n_chars": "int64"}).to_parquet(
+        str(d / "documents.parquet")
+    )
+    rows = {(r.word_len, r.n_pieces): r for r in unigram_tokenizer(spark, str(d)).collect()}
+    assert set(rows) == {(2, 1), (4, 2)}
+    assert rows[(2, 1)].sum_tf == 4 and rows[(4, 2)].sum_tf == 1
+    # all three kept pieces have identical freq 6 of total 18: cost ln 3
+    assert rows[(2, 1)].min_cost_fp == 1098612
+    assert rows[(4, 2)].min_cost_fp == 2 * 1098612
