@@ -57,6 +57,7 @@ _PRIORITY = [
     "bpe_encode",
     "stream_dedup_incremental",
     "unigram_tokenizer",
+    "training_manifest",
     # Block 3: family canaries - every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span); each
     # is driver-green in r4-r6.

@@ -99,6 +99,9 @@ HEADLINE = [
     # tracked from day one.
     "bpe_encode",
     "unigram_tokenizer",
+    # r7: the composed admission chain (corpus_pipeline + benchmark
+    # screen + shard manifest) — the heaviest new composition.
+    "training_manifest",
 ]
 
 

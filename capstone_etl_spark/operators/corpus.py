@@ -386,8 +386,104 @@ ORDER BY source
 """
 
 
+N_SHARDS = 8  # training shards per split (hash-assigned, stable)
+
+
+def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split, shard_id, n_docs, n_tokens, min_doc_id, max_doc_id) —
+    the SHARD MANIFEST a trainer's data loader reads: the corpus after
+    every gate the pipeline runs, rolled up into per-(split, shard)
+    inventory. Extends corpus_pipeline's composition with the two
+    remaining admission steps a production corpus build ships:
+
+        quality gate → near-dup keep-one → split assignment
+          (= corpus_pipeline)
+        → benchmark screen: the bench docs themselves leave (they're
+          the eval set), and every survivor flagged by the
+          decontamination pass (Jaccard OR containment over the
+          df-capped shingle index) leaves with them — note a bench
+          doc CAN be a cluster's keep-one survivor, in which case the
+          whole near-dup cluster is correctly gone
+        → deterministic shard assignment (salted hash of doc_id mod
+          N_SHARDS within each split) + exact token accounting.
+
+    100 TB shape: inherits corpus_pipeline's candidate-bounded dedup
+    and decontamination's index join; the additional work is one
+    anti-join on the survivor-sized key set, one tokenize scan, and a
+    ≤ 3·N_SHARDS-row aggregation with map-side combine. The manifest
+    is what makes the output RESUMABLE at scale — a loader addresses
+    (split, shard) without listing files."""
+    from capstone_etl_spark.functions.hashing import md5_hash60
+    from capstone_etl_spark.functions.text import tokenize
+    from capstone_etl_spark.operators.dedup import BENCH_MOD, benchmark_decontamination
+
+    surv = corpus_pipeline(spark, sf_dir)
+    contaminated = (
+        benchmark_decontamination(spark, sf_dir)
+        .select(F.col("train_doc").alias("doc_id"))
+        .distinct()
+    )
+    clean = (
+        surv.filter(F.col("doc_id") % BENCH_MOD != 0)
+        .join(contaminated, "doc_id", "left_anti")
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    ntok = docs.select("doc_id", F.size(tokenize("text")).cast("long").alias("n_tokens"))
+    tagged = clean.join(ntok, "doc_id").select(
+        "doc_id",
+        "split",
+        "n_tokens",
+        (
+            md5_hash60(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+            % N_SHARDS
+        ).cast("long").alias("shard_id"),
+    )
+    return tagged.groupBy("split", "shard_id").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tokens").cast("long").alias("n_tokens"),
+        F.min("doc_id").cast("long").alias("min_doc_id"),
+        F.max("doc_id").cast("long").alias("max_doc_id"),
+    )
+
+
+def _training_manifest_sql() -> str:
+    from capstone_etl_spark.functions.hashing import md5_hash60_sql
+    from capstone_etl_spark.operators.dedup import BENCH_MOD, DECONTAMINATION_SQL
+
+    shard_hash = md5_hash60_sql("'shard:' || CAST(doc_id AS VARCHAR)")
+    shard = f"{shard_hash} % {N_SHARDS}"
+    return f"""
+WITH surv AS MATERIALIZED (
+{CORPUS_PIPELINE_SQL}
+), cont AS MATERIALIZED (
+  SELECT DISTINCT train_doc AS doc_id FROM (
+{DECONTAMINATION_SQL}
+  )
+), ntok AS MATERIALIZED (
+  SELECT doc_id,
+         CAST(len(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           x -> x <> '')) AS BIGINT) AS n_tokens
+  FROM documents
+), tagged AS (
+  SELECT s.doc_id, s.split, n.n_tokens, CAST({shard} AS BIGINT) AS shard_id
+  FROM surv s
+  JOIN ntok n USING (doc_id)
+  LEFT JOIN cont c USING (doc_id)
+  WHERE s.doc_id % {BENCH_MOD} <> 0 AND c.doc_id IS NULL
+)
+SELECT split, shard_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       MIN(doc_id) AS min_doc_id,
+       MAX(doc_id) AS max_doc_id
+FROM tagged GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "corpus_pipeline": corpus_pipeline,
+    "training_manifest": training_manifest,
     "doc_chunks": doc_chunks,
     "doc_chunks_overlap": doc_chunks_overlap,
     "source_mixing_weights": source_mixing_weights,
@@ -398,6 +494,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "corpus_pipeline": CORPUS_PIPELINE_SQL,
+    "training_manifest": _training_manifest_sql(),
     "doc_chunks": DOC_CHUNKS_SQL,
     "doc_chunks_overlap": DOC_CHUNKS_OVERLAP_SQL,
     "source_mixing_weights": SOURCE_MIXING_WEIGHTS_SQL,

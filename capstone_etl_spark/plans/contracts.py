@@ -334,4 +334,5 @@ HEADLINE: list[str] = [
     # round-7 additions
     "bpe_encode",
     "unigram_tokenizer",
+    "training_manifest",
 ]

@@ -117,6 +117,11 @@ NAMES = [
     # docs contribute no words, digit runs segment over digit pieces —
     # the DP must stay total on whatever vocabulary remains
     "unigram_tokenizer",
+    # the composed manifest on a corpus where most docs fail the
+    # quality gate and doc_id 0 is both bench (0 % 50 == 0) and the
+    # natural min survivor — the screen must still leave a coherent
+    # (possibly empty) shard table
+    "training_manifest",
 ]
 
 

@@ -117,3 +117,22 @@ def test_unigram_tokenizer_picks_learned_piece(spark, tmp_path):
     # all three kept pieces have identical freq 6 of total 18: cost ln 3
     assert rows[(2, 1)].min_cost_fp == 1098612
     assert rows[(4, 2)].min_cost_fp == 2 * 1098612
+
+
+def test_training_manifest_invariants(spark, sf_dir):
+    from capstone_etl_spark.operators.corpus import N_SHARDS, corpus_pipeline, training_manifest
+    from capstone_etl_spark.operators.dedup import BENCH_MOD
+
+    rows = training_manifest(spark, sf_dir).collect()
+    assert rows
+    total_docs = 0
+    for r in rows:
+        assert r.split in ("train", "val", "test")
+        assert 0 <= r.shard_id < N_SHARDS
+        assert r.n_docs > 0 and r.n_tokens > 0
+        assert r.min_doc_id <= r.max_doc_id
+        assert r.min_doc_id % BENCH_MOD != 0 and r.max_doc_id % BENCH_MOD != 0
+        total_docs += r.n_docs
+    # the screen only removes docs from the survivor set
+    survivors = corpus_pipeline(spark, sf_dir).count()
+    assert 0 < total_docs <= survivors
