@@ -1535,11 +1535,17 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("cnt").cast("long").alias("cnt"),
             )
         )
+        # LEFT join: on a pair-less round (every repr already length 1)
+        # top1 is EMPTY and an inner join-on-true would silently wipe
+        # the vocabulary; the left form keeps reprs unchanged instead
+        # (oracle mirror: CASE WHEN the scalar subquery IS NULL)
         reprs = checkpoint_truncate(
-            reprs.join(F.broadcast(top1.select("pair")), F.lit(True)).select(
+            reprs.join(F.broadcast(top1.select("pair")), F.lit(True), "left").select(
                 "token",
                 "tf",
-                F.expr(f"replace(repr, pair, '{sym}')").alias("repr"),
+                F.when(F.col("pair").isNull(), F.col("repr"))
+                .otherwise(F.expr(f"replace(repr, pair, '{sym}')"))
+                .alias("repr"),
             )
         )
     out = merge_rows[0]
@@ -1564,7 +1570,10 @@ p{k + 1} AS MATERIALIZED (
   SELECT pair, CAST(SUM(tf) AS BIGINT) AS cnt FROM p{k + 1} GROUP BY 1
   ORDER BY cnt DESC, pair LIMIT 1
 ), r{k + 1} AS MATERIALIZED (
-  SELECT token, tf, replace(repr, (SELECT pair FROM t{k + 1}), '{sym}') AS repr FROM {prev}
+  SELECT token, tf,
+         CASE WHEN (SELECT pair FROM t{k + 1}) IS NULL THEN repr
+              ELSE replace(repr, (SELECT pair FROM t{k + 1}), '{sym}') END AS repr
+  FROM {prev}
 )"""
         )
         selects.append(
@@ -1643,11 +1652,15 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
             .limit(1)
             .select("pair")
         )
+        # LEFT join + null guard: a pair-less round must keep reprs
+        # unchanged, not wipe the vocabulary (see bpe_learn_merges)
         reprs = checkpoint_truncate(
-            reprs.join(F.broadcast(top1), F.lit(True)).select(
+            reprs.join(F.broadcast(top1), F.lit(True), "left").select(
                 "token",
                 "tf",
-                F.expr(f"replace(repr, pair, '{sym}')").alias("repr"),
+                F.when(F.col("pair").isNull(), F.col("repr"))
+                .otherwise(F.expr(f"replace(repr, pair, '{sym}')"))
+                .alias("repr"),
             )
         )
     enc = stf.join(reprs.select("token", "repr"), "token")
@@ -1684,7 +1697,10 @@ p{k + 1} AS MATERIALIZED (
   SELECT pair, CAST(SUM(tf) AS BIGINT) AS cnt FROM p{k + 1} GROUP BY 1
   ORDER BY cnt DESC, pair LIMIT 1
 ), r{k + 1} AS MATERIALIZED (
-  SELECT token, tf, replace(repr, (SELECT pair FROM t{k + 1}), '{sym}') AS repr FROM {prev}
+  SELECT token, tf,
+         CASE WHEN (SELECT pair FROM t{k + 1}) IS NULL THEN repr
+              ELSE replace(repr, (SELECT pair FROM t{k + 1}), '{sym}') END AS repr
+  FROM {prev}
 )"""
         )
         prev = f"r{k + 1}"

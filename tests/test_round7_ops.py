@@ -136,3 +136,35 @@ def test_training_manifest_invariants(spark, sf_dir):
     # the screen only removes docs from the survivor set
     survivors = corpus_pipeline(spark, sf_dir).count()
     assert 0 < total_docs <= survivors
+
+
+def test_bpe_pairless_round_keeps_vocabulary(spark, tmp_path):
+    """An all-single-char corpus has no pair to merge in ANY round:
+    top1 is empty and the rewrite must keep reprs unchanged (the inner
+    join-on-true wiped the vocabulary before the left-join guard) —
+    pinned cross-engine, since the oracle's scalar subquery NULLed the
+    reprs on the same input."""
+    import duckdb
+    import pandas as pd
+
+    import __spark_entry__ as entrymod
+    from tools.check_correctness import compare
+
+    d = tmp_path / "pairless"
+    d.mkdir()
+    pd.DataFrame(
+        [(0, "a b a b b", "en", "web", 9), (1, "b a", "en", "books", 3)],
+        columns=["doc_id", "text", "lang", "source", "n_chars"],
+    ).astype({"doc_id": "int64", "n_chars": "int64"}).to_parquet(
+        str(d / "documents.parquet")
+    )
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM '{d}/documents.parquet'")
+    for name in ("bpe_encode", "bpe_learn_merges"):
+        spdf = qs[name](spark, str(d)).toPandas()
+        assert compare(name, spdf, con.execute(oracles[name]).df()) == []
+    # every word survives encoding with repr == itself (fertility 1)
+    enc = {r.source: r for r in qs["bpe_encode"](spark, str(d)).collect()}
+    assert enc["web"].n_words == 5 and enc["web"].n_bpe_tokens == 5
+    assert enc["books"].fertility == 1.0
