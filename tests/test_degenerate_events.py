@@ -86,3 +86,30 @@ def test_degenerate_events_match_oracle(spark, degen_events_sf, duck, name):
         release_caches()
     duck_pdf = duck.execute(oracles[name]).df()
     assert compare(name, spark_pdf, duck_pdf) == []
+
+
+# The streaming twins on the SAME pathological stream: the three whose
+# semantics are subtlest under ties and boundaries — session windows
+# (the exact-gap event must MERGE, a strictly-greater gap must split),
+# watermarked dedup, and the stream-stream interval join (clicks and
+# the in-window purchase can land in different micro-batch files).
+# Job-per-call, so only these three are pinned; the full 217-query
+# degenerate-events sweep runs ad hoc via tools/check_correctness.py.
+STREAM_NAMES = [
+    "stream_user_sessions",
+    "stream_event_dedup",
+    "stream_click_attribution",
+]
+
+
+@pytest.mark.parametrize("name", STREAM_NAMES)
+def test_degenerate_events_streaming_match_oracle(spark, degen_events_sf, duck, name):
+    from capstone_etl_spark.session import release_caches
+
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    try:
+        spark_pdf = qs[name](spark, degen_events_sf).toPandas()
+    finally:
+        release_caches()
+    duck_pdf = duck.execute(oracles[name]).df()
+    assert compare(name, spark_pdf, duck_pdf) == []
