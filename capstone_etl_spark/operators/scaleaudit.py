@@ -608,8 +608,151 @@ FROM unioned
 """
 
 
+LSH_S_GRID_STEPS = 19  # similarity grid s = i/20 for i in 1..19
+
+
+def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(s, p_candidate, n_candidates, n_verified, n_true, precision,
+    recall) — the MinHash-LSH TUNING readout: the theoretical S-curve
+    P(candidate | jaccard = s) = 1 − (1 − s^r)^b for the configured
+    b = LSH_BANDS × r = LSH_ROWS banding, against what the corpus
+    actually measured — candidate-pair volume from the band join,
+    survivors of exact-Jaccard verification, ground-truth pair count
+    from the df-capped inverted shingle index, and the derived
+    precision (verified/candidates) and recall (verified/true; the
+    verifier applies the same threshold to the same shingle sets, so
+    verified ⊆ true). This is the table an engineer reads before
+    changing the banding at 100 TB: the curve says where the
+    probability knee sits vs JACCARD_THRESHOLD, the measured columns
+    say what the knee costs on THIS corpus (scaleaudit's
+    assumption→query discipline, key_skew_audit's argument for joins).
+
+    Plan: reuses minhash_lsh_pairs' band join and jaccard_pairs'
+    index-based exact pass on one shared shingle relation; all three
+    measurements collapse to 1-row aggregates broadcast onto the
+    19-row similarity grid (ALLOWED_CARTESIAN). pow() is
+    transcendental → emitted at 6 dp (house rule); the measured
+    columns are exact integers and exact-integer ratios."""
+    from capstone_etl_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        LSH_BANDS,
+        LSH_ROWS,
+        _docs,
+        jaccard_pairs,
+        minhash_signatures,
+        shingles,
+    )
+    from capstone_etl_spark.session import cached
+
+    docs = _docs(spark, sf_dir)
+    sh = cached(shingles(docs))
+    sig = minhash_signatures(docs, sh=sh)
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.concat_ws(
+                            ",", *[F.col(f"h{bi * LSH_ROWS + r}") for r in range(LSH_ROWS)]
+                        ).alias("key"),
+                    )
+                    for bi in range(LSH_BANDS)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    truep = cached(jaccard_pairs(docs).select("doc_a", "doc_b"))
+    n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
+    # verified = candidates surviving exact-Jaccard = cand ∩ true
+    # (identical shingle sets, identical threshold — the relation
+    # minhash_lsh_pairs emits, derived without a second LSH pass)
+    n_ver = cand.join(truep, ["doc_a", "doc_b"]).agg(
+        F.count("*").cast("long").alias("n_verified")
+    )
+    n_true = truep.agg(F.count("*").cast("long").alias("n_true"))
+    grid = spark.range(1, LSH_S_GRID_STEPS + 1).select(
+        (F.col("id").cast("double") / F.lit(20.0)).alias("s")
+    )
+    p = 1.0 - F.pow(1.0 - F.pow(F.col("s"), F.lit(float(LSH_ROWS))), F.lit(float(LSH_BANDS)))
+    return (
+        grid.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_ver))
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            "s",
+            F.round(p, 6).alias("p_candidate"),
+            "n_candidates",
+            "n_verified",
+            "n_true",
+            F.when(
+                F.col("n_candidates") > 0,
+                F.round(F.col("n_verified").cast("double") / F.col("n_candidates"), 6),
+            ).otherwise(F.lit(0.0)).alias("precision"),
+            F.when(
+                F.col("n_true") > 0,
+                F.round(F.col("n_verified").cast("double") / F.col("n_true"), 6),
+            ).otherwise(F.lit(0.0)).alias("recall"),
+        )
+    )
+
+
+def _lsh_tuning_curve_sql() -> str:
+    from capstone_etl_spark.operators.dedup import (
+        _JACCARD_PAIRS_CTE,
+        _SHINGLES_CTE,
+        _band_key_sql,
+        _minhash_sql_min_exprs,
+        LSH_BANDS,
+        LSH_ROWS,
+    )
+
+    return (
+        _SHINGLES_CTE
+        + _JACCARD_PAIRS_CTE
+        + f"""
+, sig AS MATERIALIZED (
+  SELECT doc_id,
+         {_minhash_sql_min_exprs()}
+  FROM shingles GROUP BY doc_id
+), bands AS MATERIALIZED (
+  {" UNION ALL ".join(_band_key_sql(bi) for bi in range(LSH_BANDS))}
+), cand AS MATERIALIZED (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+), ncand AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates FROM cand),
+nver AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_verified
+  FROM cand c JOIN pairs p ON p.doc_a = c.doc_a AND p.doc_b = c.doc_b
+), ntrue AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_true FROM pairs),
+grid AS (SELECT CAST(i AS DOUBLE) / 20.0 AS s FROM (SELECT unnest(range(1, {LSH_S_GRID_STEPS + 1})) AS i))
+SELECT g.s,
+       ROUND(1.0 - POW(1.0 - POW(g.s, {float(LSH_ROWS)}), {float(LSH_BANDS)}), 6) AS p_candidate,
+       c.n_candidates, v.n_verified, t.n_true,
+       CASE WHEN c.n_candidates > 0
+            THEN ROUND(CAST(v.n_verified AS DOUBLE) / c.n_candidates, 6) ELSE 0.0 END AS precision,
+       CASE WHEN t.n_true > 0
+            THEN ROUND(CAST(v.n_verified AS DOUBLE) / t.n_true, 6) ELSE 0.0 END AS recall
+FROM grid g CROSS JOIN ncand c CROSS JOIN nver v CROSS JOIN ntrue t
+"""
+    )
+
+
 QUERIES = {
     "key_skew_audit": key_skew_audit,
+    "lsh_tuning_curve": lsh_tuning_curve,
     "output_file_plan": output_file_plan,
     "ivf_cell_balance": ivf_cell_balance,
     "zorder_file_layout": zorder_file_layout,
@@ -620,6 +763,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "key_skew_audit": KEY_SKEW_AUDIT_SQL,
+    "lsh_tuning_curve": _lsh_tuning_curve_sql(),
     "output_file_plan": OUTPUT_FILE_PLAN_SQL,
     "ivf_cell_balance": _ivf_cell_balance_sql(),
     "zorder_file_layout": ZORDER_FILE_LAYOUT_SQL,

@@ -112,6 +112,11 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "inventory (textstats.py — the Viterbi DP itself is map-only "
         "column math)"
     ),
+    "lsh_tuning_curve": (
+        "three 1-row measurement aggregates (candidate / verified / "
+        "true pair counts) broadcast onto the 19-row S-curve grid "
+        "(scaleaudit.py)"
+    ),
     "curation_verdict": (
         "composes unigram_logprob + mad_outliers — inherits their "
         "1-row corpus-total / median / MAD broadcasts (quality.py)"
@@ -335,4 +340,5 @@ HEADLINE: list[str] = [
     "bpe_encode",
     "unigram_tokenizer",
     "training_manifest",
+    "lsh_tuning_curve",
 ]

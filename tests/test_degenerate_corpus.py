@@ -122,6 +122,10 @@ NAMES = [
     # natural min survivor — the screen must still leave a coherent
     # (possibly empty) shard table
     "training_manifest",
+    # a corpus whose only near-dup signal is the repeated 'the' doc:
+    # the curve's measured columns must stay coherent (verified <=
+    # candidates, verified <= true) even when counts are 0 or tiny
+    "lsh_tuning_curve",
 ]
 
 

@@ -168,3 +168,22 @@ def test_bpe_pairless_round_keeps_vocabulary(spark, tmp_path):
     enc = {r.source: r for r in qs["bpe_encode"](spark, str(d)).collect()}
     assert enc["web"].n_words == 5 and enc["web"].n_bpe_tokens == 5
     assert enc["books"].fertility == 1.0
+
+
+def test_lsh_tuning_curve_invariants(spark, sf_dir):
+    from capstone_etl_spark.operators.scaleaudit import lsh_tuning_curve
+
+    rows = sorted(lsh_tuning_curve(spark, sf_dir).collect(), key=lambda r: r.s)
+    assert len(rows) == 19
+    prev_p = 0.0
+    for r in rows:
+        # the S-curve is monotone nondecreasing in s and a probability
+        assert 0.0 <= r.p_candidate <= 1.0
+        assert r.p_candidate >= prev_p - 1e-9
+        prev_p = r.p_candidate
+        # measured columns are grid-constant and coherent
+        assert 0 <= r.n_verified <= r.n_candidates
+        assert r.n_verified <= r.n_true
+        assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
+    # near s=1 the configured banding must almost surely catch a dup
+    assert rows[-1].p_candidate > 0.99
