@@ -901,6 +901,143 @@ def _stream_dedup_incremental_sql() -> str:
     return DEDUP_INCREMENTAL_SQL
 
 
+def stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN SERVING at ingest — the batch/stream twin for the IVF index
+    (similarity.ann_ivf_topk): the quantizer seeds, the cell-assigned
+    corpus, and the raw embeddings are STATIC relations (in production
+    the published index artifacts); query vectors stream in, and each
+    arriving row picks its probe cells, joins the inverted lists, and
+    reranks by exact cosine — the lookup path an online retrieval tier
+    runs against the batch-built index.
+
+    The streaming trick: the batch probe selection is a row_number
+    window over (d2, cell) — windows don't exist on streams, so probe
+    selection here is PER-ROW column math instead: the ≈√N seed table
+    rides in as a 1-row collect_list broadcast, each arriving vector
+    computes all seed distances with one zip_with fold, array_sort on
+    (d2, cell) structs reproduces the window's exact ordering, and
+    slice(…, probe_k) takes the probe set — no state at all. The
+    scored candidates flow through append-mode stream-static joins;
+    the TOP_K ranking runs on the drained candidate table (bounded by
+    queries × probed cells' population). Oracle: the batch
+    ANN_IVF_TOPK_SQL verbatim."""
+    import shutil
+    import tempfile
+
+    from pyspark.sql import Window
+
+    from capstone_etl_spark.functions.vectors import cosine
+    from capstone_etl_spark.operators.similarity import (
+        CENTROID_SCALE,
+        IVF_PROBES_MIN,
+        N_QUERIES,
+        TOP_K,
+        quantizer_seeds,
+    )
+    from capstone_etl_spark.session import cached
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_emb_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        quant = F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * CENTROID_SCALE + 0.5).cast("long"),
+        )
+        emb_q = emb.select("vec_id", quant.alias("vq"))
+        seeds = quantizer_seeds(emb_q)
+        d2_col = F.aggregate(
+            F.zip_with("vq", "sq", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        assign = cached(
+            emb_q.join(F.broadcast(seeds), F.lit(True))
+            .select("vec_id", "cell", d2_col.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cell")).alias("m"))
+            .select(F.col("vec_id").alias("neighbor_id"), F.col("m.cell").alias("cell"))
+        )
+        neigh = emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+        )
+        seed_row = cached(
+            seeds.agg(
+                F.collect_list(F.struct("cell", "sq")).alias("seeds"),
+                F.count("*").alias("n_cells"),
+            )
+        )
+
+        staging = f"{work}/staging"
+        emb.repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        arriving = stream.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            quant.alias("vq"),
+        )
+        dists = F.array_sort(
+            F.transform(
+                "seeds",
+                lambda s: F.struct(
+                    F.aggregate(
+                        F.zip_with("vq", s["sq"], lambda x, y: (x - y) * (x - y)),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    s["cell"].alias("cell"),
+                ),
+            )
+        )
+        probes = (
+            arriving.join(F.broadcast(seed_row), F.lit(True))
+            .withColumn(
+                "pk",
+                F.greatest(
+                    F.lit(IVF_PROBES_MIN).cast("long"),
+                    F.ceil(F.sqrt(F.col("n_cells").cast("double"))),
+                ),
+            )
+            .withColumn("ds", dists)
+            .select(
+                "query_id",
+                "qe",
+                F.explode(F.expr("slice(ds, 1, pk)")).alias("p"),
+            )
+            .select("query_id", "qe", F.col("p.cell").alias("cell"))
+        )
+        scored = (
+            probes.join(assign, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .join(neigh, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine("qe", "ne"), 6).alias("sim"),
+            )
+        )
+        got = run_to_memory(scored, f"{work}/checkpoint", output_mode="append")
+        w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        return (
+            got.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id", "sim", "rnk")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stream_ann_topk_sql() -> str:
+    from capstone_etl_spark.operators.similarity import ANN_IVF_TOPK_SQL
+
+    return ANN_IVF_TOPK_SQL
+
+
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
     "stream_sliding_windows": stream_sliding_windows,
@@ -918,6 +1055,7 @@ QUERIES = {
     "stream_pii_scan": stream_pii_scan,
     "stream_template_extraction": stream_template_extraction,
     "stream_dedup_incremental": stream_dedup_incremental,
+    "stream_ann_topk": stream_ann_topk,
 }
 
 ORACLE_SQL = {
@@ -937,4 +1075,5 @@ ORACLE_SQL = {
     "stream_pii_scan": PII_SCAN_SQL,
     "stream_template_extraction": _stream_template_extraction_sql(),
     "stream_dedup_incremental": _stream_dedup_incremental_sql(),
+    "stream_ann_topk": _stream_ann_topk_sql(),
 }

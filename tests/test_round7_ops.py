@@ -187,3 +187,18 @@ def test_lsh_tuning_curve_invariants(spark, sf_dir):
         assert 0.0 <= r.precision <= 1.0 and 0.0 <= r.recall <= 1.0
     # near s=1 the configured banding must almost surely catch a dup
     assert rows[-1].p_candidate > 0.99
+
+
+def test_stream_ann_topk_equals_batch(spark, sf_dir):
+    """The serving stream must rank exactly as the batch index lookup:
+    same probe cells (array_sort reproduces the window's (d2, cell)
+    order), same candidates, same cosine, same top-k."""
+    from capstone_etl_spark.operators.similarity import ann_ivf_topk
+    from capstone_etl_spark.operators.streaming_queries import stream_ann_topk
+
+    batch = {(r.query_id, r.rnk): r for r in ann_ivf_topk(spark, sf_dir).collect()}
+    streamed = {(r.query_id, r.rnk): r for r in stream_ann_topk(spark, sf_dir).collect()}
+    assert set(batch) == set(streamed)
+    for key, b in batch.items():
+        s = streamed[key]
+        assert (s.neighbor_id, s.sim) == (b.neighbor_id, b.sim), key
