@@ -246,7 +246,9 @@ def _host_factor(timings: dict[str, float], probe_sec: float, emit: bool = True)
     return max(host, 1.0)  # a faster host never excuses a regression
 
 
-def _fail_candidates(timings: dict[str, float], probe_sec: float) -> list[str]:
+def _fail_candidates(
+    timings: dict[str, float], probe_sec: float, host: float | None = None
+) -> list[str]:
     """Queries whose timing would trip the FAIL gate. Run BEFORE the
     JSON line is printed, so main() can re-measure each candidate once
     and keep the min — a one-off host stall (GC pause, page-cache
@@ -254,10 +256,15 @@ def _fail_candidates(timings: dict[str, float], probe_sec: float) -> list[str]:
     query, so a transient cannot strike the same query twice, while a
     genuine plan regression reproduces on the immediate re-run
     (VERDICT r6: a mid-sequence stall timed revenue_by_nation at 8.64s
-    vs a clean 1.44s and failed the whole round)."""
+    vs a clean 1.44s and failed the whole round). `host` lets main()
+    pin ONE host-factor snapshot across the screen and the final gate
+    — on the no-probe median fallback, retiming shifts the median, and
+    a gate recomputing host post-retime could fail a query the screen
+    never offered a re-measure."""
     prior = _prior_round_timings()
     noted = _noted_regressions()
-    host = _host_factor(timings, probe_sec, emit=False)
+    if host is None:
+        host = _host_factor(timings, probe_sec, emit=False)
     out = []
     for name, now in timings.items():
         was = prior.get(name)
@@ -269,10 +276,13 @@ def _fail_candidates(timings: dict[str, float], probe_sec: float) -> list[str]:
     return out
 
 
-def _regression_gate(timings: dict[str, float], probe_sec: float) -> int:
+def _regression_gate(
+    timings: dict[str, float], probe_sec: float, host: float | None = None
+) -> int:
     prior = _prior_round_timings()
     noted = _noted_regressions()
-    host = _host_factor(timings, probe_sec, emit=True)
+    if host is None:
+        host = _host_factor(timings, probe_sec, emit=True)
     if host > 1.0:
         print(f"# host factor {host:.2f}x applied", file=sys.stderr)
     failures = 0
@@ -362,8 +372,13 @@ def main() -> None:
     # transient lands on one observation and won't strike the same
     # query twice; a real plan regression reproduces immediately. Runs
     # BEFORE the JSON line so the recorded timings are the screened
-    # ones (next round's gate compares against honest numbers).
-    for name in _fail_candidates(timings, probe_sec):
+    # ones (next round's gate compares against honest numbers). The
+    # host factor is pinned from the PRE-retime snapshot and reused by
+    # the final gate: on the no-probe median fallback, retiming moves
+    # the median, and a recomputed host could fail a query the screen
+    # never offered its re-measure.
+    host = _host_factor(timings, probe_sec, emit=True)
+    for name in _fail_candidates(timings, probe_sec, host=host):
         resec, _ = _time_query(name)
         print(
             f"# retime {name}: {timings[name]:.3f}s -> {resec:.3f}s (min kept)",
@@ -385,7 +400,7 @@ def main() -> None:
     )
     # after the JSON line (driver contract kept): nonzero exit on an
     # unexplained per-query regression vs the prior round
-    failures = _regression_gate(timings, probe_sec)
+    failures = _regression_gate(timings, probe_sec, host=host)
     if failures and os.environ.get("SPARK_GRAFT_BENCH_GATE", "1") != "0":
         sys.exit(2)
 

@@ -130,12 +130,15 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_docs(spark, sf_dir))
 
 
-def jaccard_pairs(docs: DataFrame) -> DataFrame:
+def jaccard_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard ≥ threshold over any docs
     relation (doc_id, text). Candidates come from the inverted shingle
     index (docs sharing ≥1 surviving shingle); |A∩B| falls out of the
-    same join; |A∪B| = |A|+|B|−|A∩B|."""
-    sh = shingles(docs).transform(cached)
+    same join; |A∪B| = |A|+|B|−|A∩B|. Pass a precomputed (cached)
+    shingle relation via `sh` to share one tokenize pass with sibling
+    consumers (minhash_signatures' pattern)."""
+    if sh is None:
+        sh = shingles(docs).transform(cached)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -653,20 +656,13 @@ def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFram
     return sh.groupBy("doc_id").agg(*aggs)
 
 
-def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """MinHash-LSH candidate pairs verified by exact Jaccard.
-
-    Banding: k=32 minima → 8 bands × 4 rows; docs sharing any full band
-    collide. The band key is a single string — the self-join keys on
-    (band_idx, key), uniform by construction. Verification joins the
-    shingle sets only for candidate pairs (tiny vs corpus).
-    Deterministic end-to-end ⇒ exact oracle parity, and at threshold
-    0.5 with these params LSH recall on planted dups is effectively 1."""
-    docs = _docs(spark, sf_dir)
-    # One shingle pass shared by the signature and verification stages
-    # (the cache materializes on first action; both subtrees reuse it).
-    sh = shingles(docs).transform(cached)
-    sig = minhash_signatures(docs, sh=sh)
+def lsh_band_candidates(sig: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) distinct candidate pairs from the banded MinHash
+    signature: docs colliding on any full (band, key). THE banding —
+    shared by minhash_lsh_pairs (the production dedup) and
+    scaleaudit.lsh_tuning_curve (the audit of that same banding), so a
+    banding change cannot silently leave the audit measuring a
+    different index than the one deployed."""
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -684,7 +680,7 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bk"),
     ).select("doc_id", "bk.band", "bk.key")
     a, b = bands.alias("a"), bands.alias("b")
-    cand = (
+    return (
         a.join(
             b,
             (F.col("a.band") == F.col("b.band"))
@@ -694,6 +690,23 @@ def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .distinct()
     )
+
+
+def minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate pairs verified by exact Jaccard.
+
+    Banding: k=32 minima → 8 bands × 4 rows; docs sharing any full band
+    collide. The band key is a single string — the self-join keys on
+    (band_idx, key), uniform by construction. Verification joins the
+    shingle sets only for candidate pairs (tiny vs corpus).
+    Deterministic end-to-end ⇒ exact oracle parity, and at threshold
+    0.5 with these params LSH recall on planted dups is effectively 1."""
+    docs = _docs(spark, sf_dir)
+    # One shingle pass shared by the signature and verification stages
+    # (the cache materializes on first action; both subtrees reuse it).
+    sh = shingles(docs).transform(cached)
+    sig = minhash_signatures(docs, sh=sh)
+    cand = lsh_band_candidates(sig)
     # exact-Jaccard verification on candidates only (reuses cached sh)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
     sa_sh = sh.select(F.col("doc_id").alias("doc_a"), "sh")

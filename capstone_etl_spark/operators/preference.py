@@ -144,9 +144,11 @@ def bt_source_ratings(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # clamp to >= 1 fixed-point unit: a winless source's MM update
         # floors to 0, and a 0 rating can reach the (r_a + r_b) divisor
-        # next round — Spark double /0 yields NULL where DuckDB (IEEE)
-        # yields inf, a silent cross-engine divergence instead of a
-        # loud failure (ADVICE r6). GREATEST mirror in the oracle.
+        # next round — under this session's ANSI mode Spark's x/0
+        # throws DIVIDE_BY_ZERO mid-job where DuckDB (IEEE) quietly
+        # yields inf, i.e. one engine crashes and the other silently
+        # diverges (ADVICE r6). The clamp makes the divisor provably
+        # positive on both. GREATEST mirror in the oracle.
         u = totals.join(d, "source").select(
             "source",
             F.greatest(

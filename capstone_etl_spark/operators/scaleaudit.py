@@ -627,18 +627,20 @@ def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     say what the knee costs on THIS corpus (scaleaudit's
     assumption→query discipline, key_skew_audit's argument for joins).
 
-    Plan: reuses minhash_lsh_pairs' band join and jaccard_pairs'
-    index-based exact pass on one shared shingle relation; all three
-    measurements collapse to 1-row aggregates broadcast onto the
-    19-row similarity grid (ALLOWED_CARTESIAN). pow() is
-    transcendental → emitted at 6 dp (house rule); the measured
-    columns are exact integers and exact-integer ratios."""
+    Plan: ONE shared shingle relation feeds the signature path, the
+    band join (dedup.lsh_band_candidates — the same code path the
+    production dedup runs, so the audit cannot drift from the deployed
+    banding), and the index-based exact pass (jaccard_pairs' sh=
+    seam); all three measurements collapse to 1-row aggregates
+    broadcast onto the 19-row similarity grid (ALLOWED_CARTESIAN).
+    pow() is transcendental → emitted at 6 dp (house rule); the
+    measured columns are exact integers and exact-integer ratios."""
     from capstone_etl_spark.operators.dedup import (
-        JACCARD_THRESHOLD,
         LSH_BANDS,
         LSH_ROWS,
         _docs,
         jaccard_pairs,
+        lsh_band_candidates,
         minhash_signatures,
         shingles,
     )
@@ -647,34 +649,8 @@ def lsh_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     sh = cached(shingles(docs))
     sig = minhash_signatures(docs, sh=sh)
-    bands = sig.select(
-        "doc_id",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(bi).alias("band"),
-                        F.concat_ws(
-                            ",", *[F.col(f"h{bi * LSH_ROWS + r}") for r in range(LSH_ROWS)]
-                        ).alias("key"),
-                    )
-                    for bi in range(LSH_BANDS)
-                ]
-            )
-        ).alias("bk"),
-    ).select("doc_id", "bk.band", "bk.key")
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .distinct()
-    )
-    truep = cached(jaccard_pairs(docs).select("doc_a", "doc_b"))
+    cand = lsh_band_candidates(sig)
+    truep = cached(jaccard_pairs(docs, sh=sh).select("doc_a", "doc_b"))
     n_cand = cand.agg(F.count("*").cast("long").alias("n_candidates"))
     # verified = candidates surviving exact-Jaccard = cand ∩ true
     # (identical shingle sets, identical threshold — the relation

@@ -1316,9 +1316,12 @@ def matryoshka_recall(
     harness.
 
     Zero-norm guard (ADVICE r6): full-dim norms are nonzero by fixture
-    construction but a TRUNC_DIM-prefix can be all zeros, and Spark's
-    /0 is NULL where DuckDB's is inf/NaN — both engines therefore pin
-    zero-norm similarity to 0.0 (coalesce here, CASE in the oracle)."""
+    construction but a TRUNC_DIM-prefix can be all zeros. cosine()
+    when-guards its division, returning NULL on a zero norm (an
+    unguarded double /0 would THROW under this session's ANSI mode,
+    while DuckDB's IEEE division yields inf/NaN) — both engines
+    therefore pin zero-norm similarity to 0.0 (coalesce over the
+    guarded cosine here, CASE in the oracle)."""
     from pyspark.sql import Window
 
     td = TRUNC_DIM if trunc_dim is None else trunc_dim

@@ -1511,6 +1511,20 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     is a 1-row limit, the rewrite map-only."""
     tok = _docs(spark, sf_dir).select(F.explode(tokenize("text")).alias("token"))
     tf = cached(tok.groupBy("token").agg(F.count("*").alias("tf")))
+    _reprs, merge_rows = _bpe_learn_rounds(tf)
+    out = merge_rows[0]
+    for extra in merge_rows[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+def _bpe_learn_rounds(tf: DataFrame) -> tuple[DataFrame, list[DataFrame]]:
+    """THE BPE learn loop — BPE_MERGES rounds of count-pairs → argmax
+    → rewrite over an aggregated (token, tf) vocabulary. Returns
+    (final reprs, per-round merge-table rows). Shared by
+    bpe_learn_merges (ships the merge table) and bpe_encode (ships
+    the final reprs), so the learned table and the encode pass cannot
+    drift semantically — one loop, two consumers."""
     reprs = tf.select("token", "tf", F.col("token").alias("repr"))
     merge_rows = []
     for k in range(BPE_MERGES):
@@ -1548,16 +1562,15 @@ def bpe_learn_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("repr"),
             )
         )
-    out = merge_rows[0]
-    for extra in merge_rows[1:]:
-        out = out.unionByName(extra)
-    return out
+    return reprs, merge_rows
 
 
-def _bpe_learn_merges_sql() -> str:
+def _bpe_rounds_sql(prev: str = "r0") -> tuple[str, str]:
+    """THE oracle mirror of _bpe_learn_rounds: the p/t/r CTE chain for
+    all BPE_MERGES rounds over a `{prev}` relation of (token, tf,
+    repr). Returns (rounds_sql, final_relation_name). Shared by both
+    BPE oracle builders."""
     rounds = []
-    prev = "r0"
-    selects = []
     for k in range(BPE_MERGES):
         sym = chr(ord("A") + k)
         rounds.append(
@@ -1576,11 +1589,17 @@ p{k + 1} AS MATERIALIZED (
   FROM {prev}
 )"""
         )
-        selects.append(
-            f"SELECT CAST({k + 1} AS BIGINT) AS round, pair AS merge_pair, "
-            f"'{sym}' AS merged_symbol, cnt FROM t{k + 1}"
-        )
         prev = f"r{k + 1}"
+    return ",".join(rounds), prev
+
+
+def _bpe_learn_merges_sql() -> str:
+    rounds, _final = _bpe_rounds_sql()
+    selects = [
+        f"SELECT CAST({k + 1} AS BIGINT) AS round, pair AS merge_pair, "
+        f"'{chr(ord('A') + k)}' AS merged_symbol, cnt FROM t{k + 1}"
+        for k in range(BPE_MERGES)
+    ]
     return f"""
 WITH tokstream AS (
   SELECT UNNEST(list_filter(
@@ -1589,7 +1608,7 @@ WITH tokstream AS (
   FROM documents
 ), tf AS MATERIALIZED (
   SELECT token, COUNT(*) AS tf FROM tokstream GROUP BY 1
-), r0 AS MATERIALIZED (SELECT token, tf, token AS repr FROM tf),{",".join(rounds)}
+), r0 AS MATERIALIZED (SELECT token, tf, token AS repr FROM tf),{rounds}
 {" UNION ALL ".join(selects)}
 """
 
@@ -1636,33 +1655,7 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("tf_s"))
     )
     tf = stf.groupBy("token").agg(F.sum("tf_s").alias("tf"))
-    reprs = tf.select("token", "tf", F.col("token").alias("repr"))
-    for k in range(BPE_MERGES):
-        sym = chr(ord("A") + k)
-        pairs = reprs.filter(F.length("repr") >= 2).select(
-            "tf",
-            F.explode(
-                F.expr("transform(sequence(1, length(repr) - 1), i -> substring(repr, i, 2))")
-            ).alias("pair"),
-        )
-        top1 = (
-            pairs.groupBy("pair")
-            .agg(F.sum("tf").alias("cnt"))
-            .orderBy(F.desc("cnt"), "pair")
-            .limit(1)
-            .select("pair")
-        )
-        # LEFT join + null guard: a pair-less round must keep reprs
-        # unchanged, not wipe the vocabulary (see bpe_learn_merges)
-        reprs = checkpoint_truncate(
-            reprs.join(F.broadcast(top1), F.lit(True), "left").select(
-                "token",
-                "tf",
-                F.when(F.col("pair").isNull(), F.col("repr"))
-                .otherwise(F.expr(f"replace(repr, pair, '{sym}')"))
-                .alias("repr"),
-            )
-        )
+    reprs, _merge_rows = _bpe_learn_rounds(tf)
     enc = stf.join(reprs.select("token", "repr"), "token")
     return enc.groupBy("source").agg(
         F.sum("tf_s").cast("long").alias("n_words"),
@@ -1680,30 +1673,11 @@ def bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_encode_sql() -> str:
-    # identical round CTEs to _bpe_learn_merges_sql (tf derived from
-    # the per-source rollup so both engines learn from the same
-    # counts), then the encode join + per-source aggregation
-    rounds = []
-    prev = "r0"
-    for k in range(BPE_MERGES):
-        sym = chr(ord("A") + k)
-        rounds.append(
-            f"""
-p{k + 1} AS MATERIALIZED (
-  SELECT substr(repr, i, 2) AS pair, tf
-  FROM {prev}, LATERAL (SELECT unnest(range(1, length(repr))) AS i) r
-  WHERE length(repr) >= 2
-), t{k + 1} AS MATERIALIZED (
-  SELECT pair, CAST(SUM(tf) AS BIGINT) AS cnt FROM p{k + 1} GROUP BY 1
-  ORDER BY cnt DESC, pair LIMIT 1
-), r{k + 1} AS MATERIALIZED (
-  SELECT token, tf,
-         CASE WHEN (SELECT pair FROM t{k + 1}) IS NULL THEN repr
-              ELSE replace(repr, (SELECT pair FROM t{k + 1}), '{sym}') END AS repr
-  FROM {prev}
-)"""
-        )
-        prev = f"r{k + 1}"
+    # the SHARED round CTEs (_bpe_rounds_sql — the same builder
+    # bpe_learn_merges' oracle uses; tf derived from the per-source
+    # rollup so both engines learn from identical counts), then the
+    # encode join + per-source aggregation
+    rounds, prev = _bpe_rounds_sql()
     return f"""
 WITH tokstream AS (
   SELECT source,
@@ -1715,7 +1689,7 @@ WITH tokstream AS (
   SELECT source, token, CAST(COUNT(*) AS BIGINT) AS tf_s FROM tokstream GROUP BY 1, 2
 ), tf AS MATERIALIZED (
   SELECT token, CAST(SUM(tf_s) AS BIGINT) AS tf FROM stf GROUP BY 1
-), r0 AS MATERIALIZED (SELECT token, tf, token AS repr FROM tf),{",".join(rounds)}
+), r0 AS MATERIALIZED (SELECT token, tf, token AS repr FROM tf),{rounds}
 SELECT s.source,
        CAST(SUM(s.tf_s) AS BIGINT) AS n_words,
        CAST(SUM(s.tf_s * length(s.token)) AS BIGINT) AS n_chars,

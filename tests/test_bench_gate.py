@@ -89,3 +89,28 @@ def test_noted_regression_excluded(monkeypatch):
     now = _steady(q_big=25.0)
     assert bench._fail_candidates(now, probe_sec=1.0) == []
     assert bench._regression_gate(now, probe_sec=1.0) == 0
+
+
+def test_host_snapshot_pinned_across_screen_and_gate(monkeypatch):
+    """No-probe median fallback: retiming a transient shifts the
+    median, so a gate recomputing the host factor post-retime could
+    FAIL a query the screen never offered a re-measure. main() pins
+    ONE pre-retime host snapshot for both stages — with it, the
+    unscreened 2.0x query passes (it was inside the pre-retime host)
+    and only the reproducing regression fails."""
+    monkeypatch.setattr(bench, "_prior_probe_sec", lambda: None)
+    monkeypatch.setattr(
+        bench, "_prior_round_timings",
+        lambda: {"q1": 5.0, "q2": 5.0, "q3": 5.0, "q4": 5.0, "q5": 5.0},
+    )
+    now = {"q1": 25.0, "q2": 16.0, "q3": 10.0, "q4": 5.0, "q5": 5.0}
+    host = bench._host_factor(now, probe_sec=1.0, emit=False)
+    assert host == 2.0  # median of [5, 3.2, 2, 1, 1]
+    flagged = bench._fail_candidates(now, probe_sec=1.0, host=host)
+    assert flagged == ["q1", "q2"]  # q3 is inside the pinned host
+    now["q1"] = 5.0   # transient: clean on re-measure
+    now["q2"] = 16.0  # genuine: reproduces
+    # pinned host -> only q2 fails; the buggy recompute (host drops to
+    # 1.0 post-retime) would also fail the never-screened q3
+    assert bench._regression_gate(now, probe_sec=1.0, host=host) == 1
+    assert bench._regression_gate(now, probe_sec=1.0) == 2  # the hazard, pinned

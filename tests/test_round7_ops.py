@@ -25,9 +25,15 @@ def test_bpe_encode_invariants(spark, sf_dir):
 
 
 def test_bpe_encode_consistent_with_learned_merges(spark, sf_dir):
-    """Σ tf·len(repr) under the complete merge table must equal the
-    char total minus one char per merge occurrence — i.e. applying k
-    merges to a word shortens its repr by exactly k."""
+    """Corpus-level sanity: the learned merges strictly compressed the
+    encoded stream below the char baseline (n_bpe < n_chars with both
+    positive). The EXACT cross-check — per-source totals equal a pure-
+    Python reimplementation of the learn+encode semantics, including
+    merge order and the pair-less-round guard — lives in
+    tests/test_property_round7.py::test_bpe_encode_matches_python_model
+    (the learn table's own cnt counts overlapping pair occurrences, so
+    n_chars − n_bpe == Σcnt does NOT hold as an identity and is
+    deliberately not asserted here)."""
     from capstone_etl_spark.operators.textstats import bpe_encode
 
     agg = bpe_encode(spark, sf_dir).groupBy().sum("n_chars", "n_bpe_tokens").first()
