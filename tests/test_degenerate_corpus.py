@@ -220,3 +220,47 @@ def test_degenerate_embeddings_match_oracle(spark, degenerate_emb_sf, name):
         release_caches()
     duck_pdf = con.execute(oracles[name]).df()
     assert compare(name, spark_pdf, duck_pdf) == []
+
+
+@pytest.fixture(scope="module")
+def zero_prefix_emb_sf(tmp_path_factory):
+    """Embeddings where vector 0's first TRUNC_DIM components are ALL
+    ZERO (nonzero tail keeps the full-dim norm positive): the prefix
+    cosine's 0-norm case the r6 advice flagged — Spark's guarded
+    division returns NULL (coalesced to 0.0) where DuckDB's raw IEEE
+    division would yield inf/NaN; the CASE guard must make the oracle
+    agree. Values are deterministic arithmetic, no RNG."""
+    import pandas as pd
+
+    d = tmp_path_factory.mktemp("zero_prefix_emb")
+    dim, n = 64, 12
+    rows = []
+    for vid in range(n):
+        v = [((vid * 31 + k) % 7 - 3) * 0.25 for k in range(dim)]
+        if vid == 0:
+            v[:16] = [0.0] * 16
+        rows.append((vid, v, vid % 3))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    pdf["vec_id"] = pdf["vec_id"].astype("int64")
+    pdf["label"] = pdf["label"].astype("int32")
+    pdf.to_parquet(str(d / "embeddings.parquet"))
+    return str(d)
+
+
+def test_matryoshka_zero_prefix_norm_matches_oracle(spark, zero_prefix_emb_sf):
+    from capstone_etl_spark.session import release_caches
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW embeddings AS SELECT * FROM '{zero_prefix_emb_sf}/embeddings.parquet'"
+    )
+    qs, oracles = entrymod.queries(), entrymod.oracle_sql()
+    try:
+        spark_pdf = qs["matryoshka_recall"](spark, zero_prefix_emb_sf).toPandas()
+    finally:
+        release_caches()
+    duck_pdf = con.execute(oracles["matryoshka_recall"]).df()
+    assert compare("matryoshka_recall", spark_pdf, duck_pdf) == []
+    # the zero-prefix query still ranks (sim pinned to 0.0, not an
+    # error): query 0 must appear with a full result row
+    assert 0 in set(spark_pdf["query_id"])
