@@ -60,6 +60,7 @@ _PRIORITY = [
     "training_manifest",
     "lsh_tuning_curve",
     "stream_ann_topk",
+    "multimodal_audio_resample",
     # Block 3: family canaries - every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span); each
     # is driver-green in r4-r6.

@@ -539,12 +539,138 @@ FROM geo
 """
 
 
+RESAMPLE_RATE_HZ = 16000  # target rate for the audio-ingest stage
+
+try:  # stdlib PCM resampler — present through 3.12, removed in 3.13
+    import audioop as _audioop  # noqa: N813
+except ImportError:  # pragma: no cover - future interpreters
+    _audioop = None
+
+
+def wav_resample_digest(payload: bytes, target_rate: int) -> str | None:
+    """The REAL sample path (audio_resample(real_samples=True)): fully
+    read a WAV's PCM frames with the stdlib `wave` module, rate-convert
+    with audioop.ratecv (linear interpolation, stateless single call),
+    and fingerprint the resampled PCM buffer. Returns None when the
+    bytes aren't a fully-readable PCM WAV or the resampler is absent —
+    callers fall back to the deterministic (payload, rate) fingerprint
+    so a batch never fails on undecodable bytes. PCM-buffer md5, not
+    re-encoded-file md5 (the resize-path discipline: container
+    encoders vary, raw buffers do not)."""
+    if _audioop is None:
+        return None
+    import io
+    import wave
+
+    try:
+        with wave.open(io.BytesIO(payload)) as w:
+            rate = w.getframerate()
+            if rate <= 0:
+                return None
+            frames = w.readframes(w.getnframes())
+            converted, _state = _audioop.ratecv(
+                frames, w.getsampwidth(), w.getnchannels(), rate, target_rate, None
+            )
+            return hashlib.md5(converted).hexdigest()
+    except Exception:
+        return None
+
+
+def audio_resample(spark: SparkSession, sf_dir: str, real_samples: bool = False) -> DataFrame:
+    """The RESAMPLE stage of an audio preprocessing pipeline — the
+    audio twin of media_resize: decode the audio geometry (real WAV
+    headers when recognized, the oracle-mirrored fake otherwise —
+    same `_meta` path as multimodal_meta, whose two spatial slots
+    carry channels / sample rate for audio), derive the exact-integer
+    sample accounting at the RESAMPLE_RATE_HZ target
+    (est_samples = rate · duration_ms // 1000), and emit the
+    deterministic content identity a downstream cache/dedup keys
+    resampled artifacts by. Image/video rows are excluded (their
+    geometry slots carry pixels; resizing is media_resize's job).
+
+    The DEFAULT fingerprint is the deterministic (payload, target
+    rate) hash so the registered query stays oracle-exact on any
+    corpus. `real_samples=True` swaps the fingerprint source for the
+    REAL stdlib resample (wav_resample_digest: wave read →
+    audioop.ratecv → PCM-buffer md5) inside the same mapInPandas batch
+    loop, falling back per-payload for bytes that aren't fully-readable
+    PCM WAV — unlike the PIL image path, this real path is
+    stdlib-only, so the suite exercises it unconditionally
+    (tests/test_multimodal.py).
+
+    Scale: map-only (mapInPandas, one Arrow batch per partition), no
+    shuffle, one row per audio payload."""
+    if real_samples and _audioop is None:
+        raise ImportError(
+            "audio_resample(real_samples=True) needs the stdlib audioop "
+            "module (removed in Python 3.13); the default fingerprint "
+            "path runs without it"
+        )
+    b = with_binary_payload(_docs(spark, sf_dir)).filter(
+        F.col("media_type") == "audio"
+    )
+    schema = (
+        "doc_id long, n_channels long, sample_rate_hz long, duration_ms long, "
+        "target_rate_hz long, est_samples_in long, est_samples_out long, "
+        "resampled_md5 string"
+    )
+
+    def resample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                raw = bytes(payload)
+                ch, rate, dur = _meta(raw, "audio")
+                s_in = rate * dur // 1000
+                s_out = RESAMPLE_RATE_HZ * dur // 1000
+                digest = None
+                if real_samples:
+                    digest = wav_resample_digest(raw, RESAMPLE_RATE_HZ)
+                if digest is None:
+                    digest = hashlib.md5(
+                        raw + f":{RESAMPLE_RATE_HZ}".encode()
+                    ).hexdigest()
+                out.append(
+                    (int(doc_id), ch, rate, dur, RESAMPLE_RATE_HZ, s_in, s_out, digest)
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id",
+                    "n_channels",
+                    "sample_rate_hz",
+                    "duration_ms",
+                    "target_rate_hz",
+                    "est_samples_in",
+                    "est_samples_out",
+                    "resampled_md5",
+                ],
+            )
+
+    return b.mapInPandas(resample, schema)
+
+
+AUDIO_RESAMPLE_SQL = f"""
+WITH p AS ({_PAYLOAD_SQL})
+SELECT doc_id,
+       CAST(16 + ('0x' || substr(md5(payload), 1, 2))::BIGINT % 240 AS BIGINT) AS n_channels,
+       CAST(16 + ('0x' || substr(md5(payload), 3, 2))::BIGINT % 240 AS BIGINT) AS sample_rate_hz,
+       CAST(strlen(payload) * 8 AS BIGINT) AS duration_ms,
+       CAST({RESAMPLE_RATE_HZ} AS BIGINT) AS target_rate_hz,
+       CAST((16 + ('0x' || substr(md5(payload), 3, 2))::BIGINT % 240) * (strlen(payload) * 8) // 1000 AS BIGINT) AS est_samples_in,
+       CAST({RESAMPLE_RATE_HZ} * (strlen(payload) * 8) // 1000 AS BIGINT) AS est_samples_out,
+       md5(payload || ':{RESAMPLE_RATE_HZ}') AS resampled_md5
+FROM p WHERE media_type = 'audio'
+"""
+
+
 QUERIES = {
     "multimodal_stats": binary_stats,
     "multimodal_meta": media_metadata,
     "multimodal_frames": frame_samples,
     "multimodal_frame_dedup": media_frame_dedup,
     "multimodal_resize": media_resize,
+    "multimodal_audio_resample": audio_resample,
 }
 
 ORACLE_SQL = {
@@ -553,4 +679,5 @@ ORACLE_SQL = {
     "multimodal_frames": FRAME_SAMPLES_SQL,
     "multimodal_frame_dedup": MEDIA_FRAME_DEDUP_SQL,
     "multimodal_resize": MEDIA_RESIZE_SQL,
+    "multimodal_audio_resample": AUDIO_RESAMPLE_SQL,
 }

@@ -341,4 +341,5 @@ HEADLINE: list[str] = [
     "unigram_tokenizer",
     "training_manifest",
     "lsh_tuning_curve",
+    "multimodal_audio_resample",
 ]

@@ -126,6 +126,9 @@ NAMES = [
     # the curve's measured columns must stay coherent (verified <=
     # candidates, verified <= true) even when counts are 0 or tiny
     "lsh_tuning_curve",
+    # empty/multibyte/huge payloads through the audio geometry + the
+    # exact-integer sample accounting (rate*dur//1000 both engines)
+    "multimodal_audio_resample",
 ]
 
 

@@ -296,3 +296,73 @@ def test_default_resize_path_is_pil_independent(spark, sf_dir):
             raw + f":{row.target_w}:{row.target_h}".encode()
         ).hexdigest()
         assert row.resized_md5 == expect
+
+
+def make_wav(rate: int, n_frames: int, channels: int = 1) -> bytes:
+    """A real PCM WAV from the stdlib alone (16-bit mono ramp)."""
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(
+            b"".join(
+                struct.pack("<h", (i * 37) % 8000 - 4000)
+                for i in range(n_frames * channels)
+            )
+        )
+    return buf.getvalue()
+
+
+def test_wav_resample_digest_real_path():
+    """The stdlib real path runs unconditionally (wave + audioop are
+    in this interpreter): digest equals an independent ratecv of the
+    same frames, and the converted buffer has ~rate-ratio frames."""
+    import io
+    import wave
+
+    audioop = pytest.importorskip("audioop")
+    from capstone_etl_spark.operators.multimodal import (
+        RESAMPLE_RATE_HZ,
+        wav_resample_digest,
+    )
+
+    wav = make_wav(rate=8000, n_frames=800)
+    digest = wav_resample_digest(wav, RESAMPLE_RATE_HZ)
+    assert digest is not None
+    with wave.open(io.BytesIO(wav)) as w:
+        frames = w.readframes(w.getnframes())
+        converted, _ = audioop.ratecv(frames, 2, 1, 8000, RESAMPLE_RATE_HZ, None)
+    assert digest == hashlib.md5(converted).hexdigest()
+    # 8 kHz -> 16 kHz ~doubles the frame count (16-bit mono: 2 bytes
+    # per frame; ratecv's linear interpolation may hold back one
+    # boundary frame, so allow one frame of slack)
+    assert abs(len(converted) - 2 * len(frames)) <= 2
+    # junk bytes: the real path declines and the caller falls back
+    assert wav_resample_digest(b"AUD0junk", RESAMPLE_RATE_HZ) is None
+
+
+def test_audio_resample_real_path_through_query(spark, sf_dir):
+    """real_samples=True through the registered mapInPandas stage: the
+    synthetic payloads aren't readable WAV, so every row falls back to
+    the deterministic fingerprint — bit-identical to the default path
+    (geometry columns and digests both)."""
+    from capstone_etl_spark.operators.multimodal import audio_resample
+
+    fake = {r.doc_id: r for r in audio_resample(spark, sf_dir).collect()}
+    real = {r.doc_id: r for r in audio_resample(spark, sf_dir, real_samples=True).collect()}
+    assert fake.keys() == real.keys() and len(fake) > 0
+    for doc_id, f in fake.items():
+        assert tuple(real[doc_id]) == tuple(f)
+
+
+def test_audio_resample_sample_accounting(spark, sf_dir):
+    from capstone_etl_spark.operators.multimodal import RESAMPLE_RATE_HZ, audio_resample
+
+    for r in audio_resample(spark, sf_dir).collect():
+        assert r.target_rate_hz == RESAMPLE_RATE_HZ
+        assert r.est_samples_in == r.sample_rate_hz * r.duration_ms // 1000
+        assert r.est_samples_out == RESAMPLE_RATE_HZ * r.duration_ms // 1000
