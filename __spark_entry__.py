@@ -61,6 +61,13 @@ _PRIORITY = [
     "lsh_tuning_curve",
     "stream_ann_topk",
     "multimodal_audio_resample",
+    # Block 2b: NEW in round-7 session 2 — first driver attestation.
+    "cms_join_size",
+    "histogram_quantiles",
+    "k_anonymity_audit",
+    "kmeans_silhouette",
+    "event_changelog_apply",
+    "stream_changelog_apply",
     # Block 3: family canaries - every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span); each
     # is driver-green in r4-r6.

@@ -1178,9 +1178,82 @@ FROM runs
 """
 
 
+# CDC tombstone type: an 'error' event is read as a DELETE of the
+# user's record; every other type is an UPSERT carrying `value`.
+CDC_DELETE_TYPE = "error"
+
+
+def changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The lakehouse MERGE / CDC-apply semantics as a query: read the
+    event stream as a changelog keyed by user_id (each event upserts
+    the user's record; CDC_DELETE_TYPE is a tombstone) and materialize
+    the last-writer-wins snapshot — one row per user whose LATEST
+    change is not a delete, carrying that change's fields plus the
+    change-history audit counts.
+
+    The argmax is one max(struct(ts_sec, event_id, …)) per user — the
+    keep-best discipline, no windows; (ts_sec, event_id) is a total
+    order because event_id is unique, so both engines pick the same
+    winner on timestamp ties (the degenerate-events fixture has
+    same-second writes). 100 TB: a changelog apply is ONE shuffle on
+    the record key regardless of history depth, and at scale the same
+    aggregate runs incrementally (per-shard partial argmax merges by
+    max — the structure is associative)."""
+    ev = _events(spark, sf_dir).select(
+        "user_id",
+        F.col("ts").cast("long").alias("ts_sec"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    last = ev.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.col("ts_sec").alias("ts_sec"),
+                F.col("event_id").alias("event_id"),
+                F.col("event_type").alias("event_type"),
+                F.col("value").alias("value"),
+            )
+        ).alias("w"),
+        F.count("*").cast("long").alias("n_changes"),
+        F.sum((F.col("event_type") == CDC_DELETE_TYPE).cast("long")).alias("n_deletes"),
+    )
+    return last.filter(F.col("w.event_type") != CDC_DELETE_TYPE).select(
+        "user_id",
+        F.col("w.ts_sec").alias("last_ts"),
+        F.col("w.event_id").alias("last_event_id"),
+        F.col("w.event_type").alias("last_type"),
+        F.col("w.value").alias("last_value"),
+        "n_changes",
+        "n_deletes",
+    )
+
+
+CHANGELOG_APPLY_SQL = f"""
+WITH ev AS (
+  SELECT user_id, FLOOR(epoch(ts))::BIGINT AS ts_sec, event_id, event_type, value
+  FROM events
+), ranked AS (
+  SELECT user_id, ts_sec, event_id, event_type, value,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts_sec DESC, event_id DESC) AS rn
+  FROM ev
+), counts AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_changes,
+         CAST(SUM(CASE WHEN event_type = '{CDC_DELETE_TYPE}' THEN 1 ELSE 0 END) AS BIGINT) AS n_deletes
+  FROM ev GROUP BY 1
+)
+SELECT r.user_id, r.ts_sec AS last_ts, r.event_id AS last_event_id,
+       r.event_type AS last_type, r.value AS last_value,
+       c.n_changes, c.n_deletes
+FROM ranked r JOIN counts c USING (user_id)
+WHERE r.rn = 1 AND r.event_type <> '{CDC_DELETE_TYPE}'
+"""
+
+
 QUERIES = {
     "event_ewma_daily": ewma_daily,
     "event_scd_intervals": scd_intervals,
+    "event_changelog_apply": changelog_apply,
     "event_tumbling_windows": tumbling_windows,
     "event_sliding_windows": sliding_windows,
     "event_sessions": sessionize,
@@ -1210,6 +1283,7 @@ QUERIES = {
 ORACLE_SQL = {
     "event_ewma_daily": EWMA_DAILY_SQL,
     "event_scd_intervals": EVENT_SCD_INTERVALS_SQL,
+    "event_changelog_apply": CHANGELOG_APPLY_SQL,
     "event_tumbling_windows": TUMBLING_WINDOWS_SQL,
     "event_sliding_windows": SLIDING_WINDOWS_SQL,
     "event_sessions": SESSIONIZE_SQL,

@@ -230,14 +230,112 @@ FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
 """
 
 
+# --- k-anonymity audit ---------------------------------------------------------
+#
+# The release-gate readout for structured data (Sweeney 2002): group
+# the table by its quasi-identifier tuple and report, for each policy
+# threshold k, how many rows sit in groups smaller than k — the rows a
+# k-anonymous release would have to generalize or suppress. The QI
+# tuple here is customer (nation, market segment, account-balance
+# band): the classic "harmless" demographic columns whose JOINT
+# distribution re-identifies.
+K_ANON_THRESHOLDS = (2, 5, 10)
+K_ANON_BAND = 1000  # acctbal generalization band width
+
+
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per policy threshold k: total groups/rows under the QI
+    grouping, the groups smaller than k, the rows they contain, and
+    the at-risk row fraction.
+
+    Plan: ONE groupBy over the QI tuple (uniform keys — nation ×
+    segment × band), then a second aggregation over the
+    |QI-domain|-bounded group-size relation with one conditional sum
+    per threshold, unpivoted to the per-k audit rows. Nothing after
+    the first shuffle scales with table row count — at 100 TB this is
+    a scan plus a domain-sized reduce, and the audit is re-runnable
+    per release candidate."""
+    cust = load_table(spark, sf_dir, "customer")
+    groups = cust.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / K_ANON_BAND).alias("bal_band"),
+    ).agg(F.count("*").alias("g"))
+    sums = groups.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("g").alias("n_rows"),
+        *[
+            agg
+            for k in K_ANON_THRESHOLDS
+            for agg in (
+                F.sum((F.col("g") < k).cast("long")).alias(f"gb_{k}"),
+                F.sum(F.when(F.col("g") < k, F.col("g")).otherwise(0)).alias(f"rb_{k}"),
+            )
+        ],
+    )
+    stack = ", ".join(
+        f"{k}, gb_{k}, rb_{k}" for k in K_ANON_THRESHOLDS
+    )
+    return sums.select(
+        F.expr(
+            f"stack({len(K_ANON_THRESHOLDS)}, {stack}) AS (k, groups_below, rows_below)"
+        ),
+        "n_groups",
+        "n_rows",
+    ).select(
+        "k",
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("groups_below").cast("long").alias("groups_below"),
+        F.col("rows_below").cast("long").alias("rows_below"),
+        F.round(
+            F.col("rows_below").cast("double") / F.col("n_rows").cast("double"), 6
+        ).alias("pct_rows_below"),
+    )
+
+
+def _k_anon_sql() -> str:
+    per_k = " UNION ALL ".join(
+        f"""SELECT {k} AS k, n_groups, n_rows,
+           gb_{k} AS groups_below, rb_{k} AS rows_below,
+           ROUND(CAST(rb_{k} AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS pct_rows_below
+    FROM sums"""
+        for k in K_ANON_THRESHOLDS
+    )
+    cond_sums = ", ".join(
+        f"CAST(SUM(CASE WHEN g < {k} THEN 1 ELSE 0 END) AS BIGINT) AS gb_{k}, "
+        f"CAST(SUM(CASE WHEN g < {k} THEN g ELSE 0 END) AS BIGINT) AS rb_{k}"
+        for k in K_ANON_THRESHOLDS
+    )
+    return f"""
+WITH groups AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(floor(c_acctbal / {K_ANON_BAND}) AS BIGINT) AS bal_band,
+         COUNT(*) AS g
+  FROM customer GROUP BY 1, 2, 3
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(g) AS BIGINT) AS n_rows,
+         {cond_sums}
+  FROM groups
+)
+{per_k}
+"""
+
+
+K_ANONYMITY_AUDIT_SQL = _k_anon_sql()
+
+
 QUERIES = {
     "pii_scan": pii_scan,
     "pii_redaction": pii_redaction,
     "boilerplate_lines": boilerplate_lines,
+    "k_anonymity_audit": k_anonymity_audit,
 }
 
 ORACLE_SQL = {
     "pii_scan": PII_SCAN_SQL,
     "pii_redaction": PII_REDACTION_SQL,
     "boilerplate_lines": BOILERPLATE_LINES_SQL,
+    "k_anonymity_audit": K_ANONYMITY_AUDIT_SQL,
 }

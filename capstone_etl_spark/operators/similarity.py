@@ -965,6 +965,61 @@ FROM (
 KMEANS_CELLS = 8
 
 
+def _lloyd_argmin(dists: DataFrame) -> DataFrame:
+    """Nearest cell per vector — deterministic (dist, cell) tiebreak."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("vec_id").orderBy("dist_sq", "cell")
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("vec_id", "cell", "dist_sq")
+    )
+
+
+def _lloyd_two_rounds(spark: SparkSession, sf_dir: str):
+    """Shared two-round Lloyd core (see kmeans_lloyd for the exactness
+    design): returns (assign1, dists2) — the round-1 assignment and the
+    FULL (vec_id, cell, dist_sq) relation against the round-1-updated
+    centroids. kmeans_lloyd takes dists2's argmin; kmeans_silhouette
+    reads its first AND second minima."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    by_dim = (
+        emb.select("vec_id", F.posexplode("embedding").alias("d", "v"))
+        .select(
+            "vec_id",
+            "d",
+            F.floor(F.col("v").cast("double") * CENTROID_SCALE + 0.5).cast("long").alias("vs"),
+        )
+        .transform(cached)
+    )
+    seeds = by_dim.filter(F.col("vec_id") < KMEANS_CELLS).select(
+        F.col("vec_id").cast("int").alias("cell"), "d", F.col("vs").alias("qc")
+    )
+
+    def dists(cent: DataFrame) -> DataFrame:
+        diff = F.col("vs") - F.col("qc")
+        return (
+            by_dim.join(F.broadcast(cent), "d")
+            .groupBy("vec_id", "cell")
+            .agg(F.sum(diff * diff).alias("dist_sq"))
+        )
+
+    assign1 = _lloyd_argmin(dists(seeds)).transform(cached)
+    sums = (
+        assign1.join(by_dim, "vec_id")
+        .groupBy("cell", "d")
+        .agg(F.sum("vs").alias("s"), F.count("*").alias("n"))
+    )
+    requant = F.floor(F.col("s").cast("double") / F.col("n") + 0.5).cast("long")
+    cent1 = (
+        seeds.select("cell", "d", F.col("qc").alias("qc0"))
+        .join(sums, ["cell", "d"], "left")
+        .select("cell", "d", F.coalesce(requant, F.col("qc0")).alias("qc"))
+    )
+    return assign1, dists(cent1)
+
+
 def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TWO full Lloyd's k-means iterations (assign → recompute →
     re-assign), exactly oracle-checkable — the iterative-refinement
@@ -986,49 +1041,8 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     iterations the loop would checkpoint per round exactly like
     connected components (dedup._truncate_lineage); at 2 iterations
     the plan stays comfortably bounded and fully lazy."""
-    from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    by_dim = (
-        emb.select("vec_id", F.posexplode("embedding").alias("d", "v"))
-        .select(
-            "vec_id",
-            "d",
-            F.floor(F.col("v").cast("double") * CENTROID_SCALE + 0.5).cast("long").alias("vs"),
-        )
-        .transform(cached)
-    )
-    seeds = by_dim.filter(F.col("vec_id") < KMEANS_CELLS).select(
-        F.col("vec_id").cast("int").alias("cell"), "d", F.col("vs").alias("qc")
-    )
-
-    def assign(cent: DataFrame) -> DataFrame:
-        diff = F.col("vs") - F.col("qc")
-        dists = (
-            by_dim.join(F.broadcast(cent), "d")
-            .groupBy("vec_id", "cell")
-            .agg(F.sum(diff * diff).alias("dist_sq"))
-        )
-        w = Window.partitionBy("vec_id").orderBy("dist_sq", "cell")
-        return (
-            dists.withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .select("vec_id", "cell", "dist_sq")
-        )
-
-    assign1 = assign(seeds).transform(cached)
-    sums = (
-        assign1.join(by_dim, "vec_id")
-        .groupBy("cell", "d")
-        .agg(F.sum("vs").alias("s"), F.count("*").alias("n"))
-    )
-    requant = F.floor(F.col("s").cast("double") / F.col("n") + 0.5).cast("long")
-    cent1 = (
-        seeds.select("cell", "d", F.col("qc").alias("qc0"))
-        .join(sums, ["cell", "d"], "left")
-        .select("cell", "d", F.coalesce(requant, F.col("qc0")).alias("qc"))
-    )
-    assign2 = assign(cent1)
+    assign1, dists2 = _lloyd_two_rounds(spark, sf_dir)
+    assign2 = _lloyd_argmin(dists2)
     return (
         assign2.alias("a2")
         .join(assign1.select("vec_id", F.col("cell").alias("cell1")), "vec_id")
@@ -1041,7 +1055,10 @@ def kmeans_lloyd(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-KMEANS_LLOYD_SQL = f"""
+# Shared two-round Lloyd CTE chain (by_dim … dist2) — the oracle twin
+# of _lloyd_two_rounds, reused by KMEANS_LLOYD_SQL and
+# KMEANS_SILHOUETTE_SQL so the two queries can never drift apart.
+_LLOYD_CORE_SQL = f"""
 WITH by_dim AS (
   SELECT vec_id, d,
          CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
@@ -1066,7 +1083,11 @@ WITH by_dim AS (
 ), dist2 AS (
   SELECT b.vec_id, c.cell, CAST(SUM((b.vs - c.qc) * (b.vs - c.qc)) AS BIGINT) AS dist_sq
   FROM by_dim b JOIN cent1 c USING (d) GROUP BY 1, 2
-), assign2 AS (
+)"""
+
+
+KMEANS_LLOYD_SQL = _LLOYD_CORE_SQL + """
+, assign2 AS (
   SELECT vec_id, cell, dist_sq FROM (
     SELECT vec_id, cell, dist_sq,
            ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_sq, cell) AS rn
@@ -1075,6 +1096,81 @@ WITH by_dim AS (
 SELECT a2.vec_id, a2.cell, a2.dist_sq AS dist_sq_fp,
        CAST(a1.cell <> a2.cell AS INT) AS moved
 FROM assign2 a2 JOIN assign1 a1 USING (vec_id)
+"""
+
+
+def kmeans_silhouette(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cell clustering-quality readout: the simplified silhouette
+    (Hruschka et al. 2004 — centroid distances instead of all-pairs,
+    the only formulation that scales: O(N·K), never O(N²)) over the
+    same two-round Lloyd state as kmeans_lloyd. For each vector,
+    a = distance to its own (nearest) centroid, b = distance to the
+    runner-up centroid, s = (b − a) / max(a, b) = (√b̂ − √â)/√b̂ since
+    b ≥ a by construction; s = 0 when both distances are 0 (the
+    degenerate tie, sklearn's convention). Output per cell: member
+    count, mean/min/max silhouette.
+
+    Exactness: distances are the core's exact int64 fixed-point sums;
+    √ is correctly rounded IEEE on identical integers; per-point s is
+    snapped once to 1e-6 fixed point so the per-cell MEAN is an exact
+    integer sum in both engines (summation-order-proof — the same
+    trick as the covariance snap). 100 TB: adds one window over the
+    K-bounded per-vector distance rows and one groupBy(cell) on top of
+    the Lloyd core's cost."""
+    from pyspark.sql import Window
+
+    _, dists2 = _lloyd_two_rounds(spark, sf_dir)
+    w = Window.partitionBy("vec_id").orderBy("dist_sq", "cell")
+    ranked = dists2.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 2)
+    per_vec = ranked.groupBy("vec_id").agg(
+        F.max(F.when(F.col("rn") == 1, F.col("cell"))).alias("cell"),
+        F.max(F.when(F.col("rn") == 1, F.col("dist_sq"))).alias("a_sq"),
+        F.max(F.when(F.col("rn") == 2, F.col("dist_sq"))).alias("b_sq"),
+    )
+    sqrt_a = F.sqrt(F.col("a_sq").cast("double"))
+    sqrt_b = F.sqrt(F.col("b_sq").cast("double"))
+    s = F.when(
+        F.col("b_sq").isNull() | (F.col("b_sq") == 0), F.lit(0.0)
+    ).otherwise((sqrt_b - sqrt_a) / sqrt_b)
+    scored = per_vec.select(
+        "cell", F.floor(s * 1000000.0 + 0.5).cast("long").alias("s_fp")
+    )
+    return scored.groupBy("cell").agg(
+        F.count("*").cast("long").alias("n_vecs"),
+        F.round(
+            F.sum("s_fp").cast("double") / (F.count("*").cast("double") * 1000000.0), 6
+        ).alias("mean_sil"),
+        F.round(F.min("s_fp").cast("double") / 1000000.0, 6).alias("min_sil"),
+        F.round(F.max("s_fp").cast("double") / 1000000.0, 6).alias("max_sil"),
+    )
+
+
+KMEANS_SILHOUETTE_SQL = _LLOYD_CORE_SQL + """
+, ranked AS (
+  SELECT vec_id, cell, dist_sq,
+         ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist_sq, cell) AS rn
+  FROM dist2
+), per_vec AS (
+  SELECT vec_id,
+         MAX(CASE WHEN rn = 1 THEN cell END) AS cell,
+         MAX(CASE WHEN rn = 1 THEN dist_sq END) AS a_sq,
+         MAX(CASE WHEN rn = 2 THEN dist_sq END) AS b_sq
+  FROM ranked WHERE rn <= 2 GROUP BY 1
+), scored AS (
+  SELECT cell,
+         CAST(floor(
+           (CASE WHEN b_sq IS NULL OR b_sq = 0 THEN 0.0
+                 ELSE (sqrt(CAST(b_sq AS DOUBLE)) - sqrt(CAST(a_sq AS DOUBLE)))
+                      / sqrt(CAST(b_sq AS DOUBLE)) END) * 1000000.0 + 0.5
+         ) AS BIGINT) AS s_fp
+  FROM per_vec
+)
+SELECT cell,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       ROUND(CAST(SUM(s_fp) AS DOUBLE) / (CAST(COUNT(*) AS DOUBLE) * 1000000.0), 6) AS mean_sil,
+       ROUND(CAST(MIN(s_fp) AS DOUBLE) / 1000000.0, 6) AS min_sil,
+       ROUND(CAST(MAX(s_fp) AS DOUBLE) / 1000000.0, 6) AS max_sil
+FROM scored GROUP BY cell
 """
 
 
@@ -1891,6 +1987,7 @@ QUERIES = {
     "label_centroids": label_centroid_assignment,
     "embedding_quantize": embedding_quantize,
     "kmeans_lloyd": kmeans_lloyd,
+    "kmeans_silhouette": kmeans_silhouette,
     "ann_recall_eval": ann_recall_eval,
     "matryoshka_recall": matryoshka_recall,
     "embedding_outliers": embedding_outliers,
@@ -1914,6 +2011,7 @@ ORACLE_SQL = {
     "label_centroids": LABEL_CENTROIDS_SQL,
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "kmeans_lloyd": KMEANS_LLOYD_SQL,
+    "kmeans_silhouette": KMEANS_SILHOUETTE_SQL,
     "ann_recall_eval": ANN_RECALL_EVAL_SQL,
     "matryoshka_recall": MATRYOSHKA_RECALL_SQL,
     "embedding_outliers": EMBEDDING_OUTLIERS_SQL,

@@ -439,14 +439,280 @@ GROUP BY probe_set
 BLOOM_MEMBERSHIP_SQL = _bloom_sql()
 
 
+# --- Count-Min join-size estimation -------------------------------------------
+#
+# The fifth sketch application: estimating |A ⋈ B| from two Count-Min
+# tables WITHOUT running the join (Cormode & Muthukrishnan 2005 §4.2 /
+# the AMS inner-product estimator). This is the optimizer statistic a
+# 100 TB planner wants before committing to a shuffle: each side's
+# sketch is built map-side (D×W cells, mergeable cell-wise across
+# shards), and the estimate is the inner product of matching rows —
+# min over D depths, and NEVER an underestimate (colliding keys only
+# add positive mass to both factors). Exact truth = Σ_k cA(k)·cB(k),
+# which this query also computes as the audit column — at production
+# scale you'd skip it; here it makes the estimator oracle-checkable.
+JS_W = 64   # width: 150 distinct user keys into 64 buckets → real collisions
+JS_D = 4    # independent hash rows; estimate = min over rows
+
+
+def _js_buckets(prefix: str):
+    return F.array(
+        *[
+            F.struct(
+                F.lit(d).alias("d"),
+                (
+                    md5_hash60(
+                        F.concat(F.lit(f"{prefix}{d}:"), F.col("user_id").cast("string"))
+                    )
+                    % JS_W
+                ).alias("bucket"),
+            )
+            for d in range(JS_D)
+        ]
+    )
+
+
+def cms_join_size(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One audit row for the click ⋈ view join on user_id: exact output
+    cardinality, the Count-Min inner-product estimate, the (always ≥ 0)
+    overestimate, and relative error.
+
+    Plan: each side pre-aggregates to per-key counts (the only
+    key-space shuffles; uniform user_id keys), expands ×D into the
+    fixed D×W counter table, and the estimate is a (D·W)-row equi-join
+    + one 4-row min. The two 1-row results (exact, estimate) combine
+    via a broadcast cross join of a single row. At 100 TB the exact
+    branch is dropped and the per-key pre-agg becomes a map-side
+    partial into D·W cells — no shuffle at all, the sketch's point."""
+    ev = load_table(spark, sf_dir, "events")
+
+    def side(event_type: str) -> DataFrame:
+        return cached(
+            ev.filter(F.col("event_type") == event_type)
+            .groupBy("user_id")
+            .agg(F.count("*").alias("cnt"))
+        )
+
+    ca, cb = side("click"), side("view")
+    exact = (
+        ca.select("user_id", F.col("cnt").alias("cnt_a"))
+        .join(cb.select("user_id", F.col("cnt").alias("cnt_b")), "user_id")
+        .agg(F.sum(F.col("cnt_a") * F.col("cnt_b")).cast("long").alias("exact_size"))
+    )
+
+    def cm(side_df: DataFrame) -> DataFrame:
+        return (
+            side_df.select("cnt", F.explode(_js_buckets("jsz")).alias("b"))
+            .groupBy("b.d", "b.bucket")
+            .agg(F.sum("cnt").alias("c"))
+        )
+
+    cma = cm(ca).select("d", "bucket", F.col("c").alias("c_a"))
+    cmb = cm(cb).select("d", "bucket", F.col("c").alias("c_b"))
+    per_depth = (
+        cma.join(cmb, ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("c_a") * F.col("c_b")).alias("s"))
+    )
+    est = per_depth.agg(F.min("s").cast("long").alias("cms_estimate"))
+    return exact.join(F.broadcast(est), F.lit(True)).select(
+        "exact_size",
+        "cms_estimate",
+        (F.col("cms_estimate") - F.col("exact_size")).alias("overestimate"),
+        F.round(
+            (F.col("cms_estimate") - F.col("exact_size")).cast("double")
+            / F.col("exact_size"),
+            6,
+        ).alias("rel_error"),
+    )
+
+
+def _js_bucket_sql(prefix: str, d: int) -> str:
+    salted = "'" + prefix + str(d) + ":' || CAST(user_id AS VARCHAR)"
+    return f"({md5_hash60_sql(salted)} % {JS_W})"
+
+
+def _cms_join_size_sql() -> str:
+    def expand(side: str) -> str:
+        return " UNION ALL ".join(
+            f"SELECT {d} AS d, {_js_bucket_sql('jsz', d)} AS bucket, cnt FROM {side}"
+            for d in range(JS_D)
+        )
+
+    return f"""
+WITH ca AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events WHERE event_type = 'click' GROUP BY 1
+), cb AS (
+  SELECT user_id, COUNT(*) AS cnt FROM events WHERE event_type = 'view' GROUP BY 1
+), exact AS (
+  SELECT CAST(SUM(a.cnt * b.cnt) AS BIGINT) AS exact_size
+  FROM ca a JOIN cb b USING (user_id)
+), ea AS (
+  SELECT d, bucket, SUM(cnt) AS c FROM ({expand('ca')}) GROUP BY 1, 2
+), eb AS (
+  SELECT d, bucket, SUM(cnt) AS c FROM ({expand('cb')}) GROUP BY 1, 2
+), est AS (
+  SELECT CAST(MIN(s) AS BIGINT) AS cms_estimate FROM (
+    SELECT a.d, SUM(a.c * b.c) AS s
+    FROM ea a JOIN eb b ON b.d = a.d AND b.bucket = a.bucket
+    GROUP BY a.d) t
+)
+SELECT exact_size, cms_estimate,
+       cms_estimate - exact_size AS overestimate,
+       ROUND(CAST(cms_estimate - exact_size AS DOUBLE) / exact_size, 6) AS rel_error
+FROM exact CROSS JOIN est
+"""
+
+
+CMS_JOIN_SIZE_SQL = _cms_join_size_sql()
+
+
+# --- Histogram quantile sketch -------------------------------------------------
+#
+# The mergeable quantile structure behind every engine's equi-depth
+# optimizer histogram: a W-bin equi-width histogram (per-partition
+# counts, merged by cell-wise addition) answers any quantile to within
+# one bin width. Built over documents.n_chars, whose DISTINCT domain is
+# bounded by document length policy — so the exact-truth branch (a
+# cumulative rank over distinct values, like length_quartiles' exact
+# percentile state) never scales with corpus row count.
+HQ_W = 32
+HQ_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per requested quantile q: the target rank ⌈q·N⌉, the histogram
+    estimate (bin lower edge + linear interpolation inside the bin),
+    the exact discrete quantile (min value whose cumulative count
+    reaches the rank), and the absolute error — which the W-bin width
+    bounds a priori.
+
+    Exactness: the bin index is pure int64 arithmetic
+    ((v−mn)·W div (mx−mn+1)), bin edges and the interpolation are the
+    identical double expressions in both engines, and every window runs
+    over a domain-bounded relation (≤W histogram rows; distinct
+    n_chars values). 100 TB: the histogram build is one map-side
+    partial agg to ≤W cells after a 1-row (min,max,count) broadcast —
+    two scans, no key-space shuffle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select(F.col("n_chars").alias("v"))
+    stats = vals.agg(
+        F.min("v").alias("mn"), F.max("v").alias("mx"), F.count("*").alias("n")
+    )
+    qcfg = stats.select(
+        F.explode(F.array(*[F.lit(q) for q in HQ_QS])).alias("q"), "mn", "mx", "n"
+    ).select(
+        "q",
+        "mn",
+        "mx",
+        F.ceil(F.col("q") * F.col("n").cast("double")).cast("long").alias("r"),
+        ((F.col("mx") - F.col("mn") + 1).cast("double") / HQ_W).alias("bw"),
+    )
+    binned = vals.join(F.broadcast(stats), F.lit(True)).select(
+        F.expr(f"((v - mn) * {HQ_W}) div (mx - mn + 1)").alias("bin")
+    )
+    w_bin = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    hist = (
+        binned.groupBy("bin")
+        .agg(F.count("*").alias("cnt"))
+        .select("bin", "cnt", F.sum("cnt").over(w_bin).alias("cum"))
+    )
+    est = (
+        qcfg.join(F.broadcast(hist), F.col("cum") >= F.col("r"))
+        .groupBy("q")
+        .agg(
+            F.min(F.struct("bin", "cnt", "cum", "mn", "r", "bw")).alias("s")
+        )
+        .select(
+            "q",
+            F.col("s.r").alias("target_rank"),
+            F.round(
+                F.col("s.mn").cast("double")
+                + F.col("s.bin").cast("double") * F.col("s.bw")
+                + F.col("s.bw")
+                * (
+                    (F.col("s.r") - (F.col("s.cum") - F.col("s.cnt"))).cast("double")
+                    / F.col("s.cnt").cast("double")
+                ),
+                6,
+            ).alias("est_quantile"),
+        )
+    )
+    w_val = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    val_cum = (
+        vals.groupBy("v")
+        .agg(F.count("*").alias("cnt"))
+        .select("v", F.sum("cnt").over(w_val).alias("cum"))
+    )
+    exact = (
+        qcfg.select("q", "r")
+        .join(F.broadcast(val_cum), F.col("cum") >= F.col("r"))
+        .groupBy("q")
+        .agg(F.min("v").cast("double").alias("exact_quantile"))
+    )
+    return est.join(exact, "q").select(
+        "q",
+        "target_rank",
+        "est_quantile",
+        "exact_quantile",
+        F.round(F.abs(F.col("est_quantile") - F.col("exact_quantile")), 6).alias(
+            "abs_error"
+        ),
+    )
+
+
+HISTOGRAM_QUANTILES_SQL = f"""
+WITH stats AS (
+  SELECT MIN(n_chars) AS mn, MAX(n_chars) AS mx, COUNT(*) AS n FROM documents
+), qcfg AS (
+  SELECT CAST(q AS DOUBLE) AS q, mn, mx,
+         CAST(ceil(CAST(q AS DOUBLE) * CAST(n AS DOUBLE)) AS BIGINT) AS r,
+         CAST(mx - mn + 1 AS DOUBLE) / {HQ_W} AS bw
+  FROM stats CROSS JOIN (SELECT UNNEST({list(HQ_QS)}) AS q) qs
+), binned AS (
+  SELECT ((d.n_chars - s.mn) * {HQ_W}) // (s.mx - s.mn + 1) AS bin
+  FROM documents d CROSS JOIN stats s
+), hist AS (
+  SELECT bin, cnt, SUM(cnt) OVER (ORDER BY bin) AS cum FROM (
+    SELECT bin, COUNT(*) AS cnt FROM binned GROUP BY 1) t
+), est AS (
+  SELECT q, r AS target_rank,
+         ROUND(CAST(mn AS DOUBLE) + CAST(bin AS DOUBLE) * bw
+               + bw * (CAST(r - (cum - cnt) AS DOUBLE) / CAST(cnt AS DOUBLE)),
+               6) AS est_quantile
+  FROM (
+    SELECT c.q, c.r, c.mn, c.bw, h.bin, h.cnt, h.cum,
+           ROW_NUMBER() OVER (PARTITION BY c.q ORDER BY h.bin) AS rn
+    FROM qcfg c JOIN hist h ON h.cum >= c.r) t
+  WHERE rn = 1
+), val_cum AS (
+  SELECT v, SUM(cnt) OVER (ORDER BY v) AS cum FROM (
+    SELECT n_chars AS v, COUNT(*) AS cnt FROM documents GROUP BY 1) t
+), exact AS (
+  SELECT c.q, CAST(MIN(vc.v) AS DOUBLE) AS exact_quantile
+  FROM (SELECT q, r FROM qcfg) c JOIN val_cum vc ON vc.cum >= c.r
+  GROUP BY c.q
+)
+SELECT e.q, e.target_rank, e.est_quantile, x.exact_quantile,
+       ROUND(ABS(e.est_quantile - x.exact_quantile), 6) AS abs_error
+FROM est e JOIN exact x USING (q)
+"""
+
+
 QUERIES = {
     "kmv_distinct_shingles": kmv_distinct_shingles,
     "kmv_source_overlap": kmv_source_overlap,
     "count_min_error": count_min_error,
     "bloom_membership": bloom_membership,
+    "cms_join_size": cms_join_size,
+    "histogram_quantiles": histogram_quantiles,
 }
 
 ORACLE_SQL = {
+    "cms_join_size": CMS_JOIN_SIZE_SQL,
+    "histogram_quantiles": HISTOGRAM_QUANTILES_SQL,
     "kmv_distinct_shingles": KMV_DISTINCT_SHINGLES_SQL,
     "kmv_source_overlap": KMV_SOURCE_OVERLAP_SQL,
     "count_min_error": COUNT_MIN_ERROR_SQL,

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from capstone_etl_spark.operators.privacy import PII_SCAN_SQL
 from capstone_etl_spark.operators.events import (
+    CHANGELOG_APPLY_SQL,
     EVENT_DEDUP_SQL,
     SLIDING_WINDOWS_SQL,
     TUMBLING_WINDOWS_SQL,
@@ -1038,6 +1039,53 @@ def _stream_ann_topk_sql() -> str:
     return ANN_IVF_TOPK_SQL
 
 
+def stream_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC apply AT INGEST — the streaming form of
+    events.changelog_apply: change records arrive as a stream, the
+    per-key last-writer-wins state is ONE max(struct) + two counters
+    per user evolved across micro-batches (max/count/sum are all
+    associative, so the complete-mode state merges per batch exactly
+    like per-shard partial argmaxes would at 100 TB), and the drained
+    snapshot — tombstones filtered in the final projection — must
+    equal the batch apply row-for-row (same oracle; also pinned
+    Spark-vs-Spark in tests)."""
+    from capstone_etl_spark.operators.events import CDC_DELETE_TYPE
+
+    def transform(s: DataFrame, wm: str) -> DataFrame:
+        ev = s.withWatermark("ts", wm).select(
+            "user_id",
+            F.col("ts").cast("long").alias("ts_sec"),
+            "event_id",
+            "event_type",
+            "value",
+        )
+        return ev.groupBy("user_id").agg(
+            F.max(
+                F.struct(
+                    F.col("ts_sec").alias("ts_sec"),
+                    F.col("event_id").alias("event_id"),
+                    F.col("event_type").alias("event_type"),
+                    F.col("value").alias("value"),
+                )
+            ).alias("w"),
+            F.count("*").cast("long").alias("n_changes"),
+            F.sum((F.col("event_type") == CDC_DELETE_TYPE).cast("long")).alias(
+                "n_deletes"
+            ),
+        )
+
+    snap = _run(spark, sf_dir, transform, "complete")
+    return snap.filter(F.col("w.event_type") != CDC_DELETE_TYPE).select(
+        "user_id",
+        F.col("w.ts_sec").alias("last_ts"),
+        F.col("w.event_id").alias("last_event_id"),
+        F.col("w.event_type").alias("last_type"),
+        F.col("w.value").alias("last_value"),
+        "n_changes",
+        "n_deletes",
+    )
+
+
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
     "stream_sliding_windows": stream_sliding_windows,
@@ -1056,6 +1104,7 @@ QUERIES = {
     "stream_template_extraction": stream_template_extraction,
     "stream_dedup_incremental": stream_dedup_incremental,
     "stream_ann_topk": stream_ann_topk,
+    "stream_changelog_apply": stream_changelog_apply,
 }
 
 ORACLE_SQL = {
@@ -1076,4 +1125,5 @@ ORACLE_SQL = {
     "stream_template_extraction": _stream_template_extraction_sql(),
     "stream_dedup_incremental": _stream_dedup_incremental_sql(),
     "stream_ann_topk": _stream_ann_topk_sql(),
+    "stream_changelog_apply": CHANGELOG_APPLY_SQL,
 }

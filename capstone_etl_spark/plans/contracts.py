@@ -190,6 +190,15 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "1-row corpus doc-count broadcast over the token-level "
         "aggregates (textstats.py — tf_idf's shape)"
     ),
+    "cms_join_size": (
+        "1-row exact-size x 1-row sketch-estimate combine (sketches.py) "
+        "— both sides are single-row aggregates"
+    ),
+    "histogram_quantiles": (
+        "1-row (min,max,count) stats broadcast into the bin map, plus "
+        "rank-range probes against the <=W-row histogram and the "
+        "value-domain-bounded cumulative relation (sketches.py)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and
@@ -342,4 +351,10 @@ HEADLINE: list[str] = [
     "training_manifest",
     "lsh_tuning_curve",
     "multimodal_audio_resample",
+    # round-7 session-2 additions
+    "cms_join_size",
+    "histogram_quantiles",
+    "k_anonymity_audit",
+    "kmeans_silhouette",
+    "event_changelog_apply",
 ]

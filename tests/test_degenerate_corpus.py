@@ -129,6 +129,10 @@ NAMES = [
     # empty/multibyte/huge payloads through the audio geometry + the
     # exact-integer sample accounting (rate*dur//1000 both engines)
     "multimodal_audio_resample",
+    # round-7 session 2: n_chars ties put several quantile ranks in the
+    # SAME histogram bin and the same exact value; the interpolation
+    # and the discrete-rank pick must agree engine-for-engine
+    "histogram_quantiles",
 ]
 
 
@@ -190,6 +194,10 @@ EMB_NAMES = [
     # identical vectors → full and truncated rankings tie everywhere;
     # recall must still be exactly 1.0 via the shared vec_id tiebreak
     "matryoshka_recall",
+    # identical vectors → a = b = 0 for every point: the silhouette
+    # 0/0 guard must pin s to 0.0 in both engines, and all points
+    # land in cell 0 via the shared (dist, cell) tiebreak
+    "kmeans_silhouette",
 ]
 
 

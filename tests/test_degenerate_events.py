@@ -52,6 +52,10 @@ NAMES = sorted(
     for n in entrymod.queries()
     if n.startswith("event_") and not n.startswith("event_stream")
 )
+# events-shaped sketch audit: the click/view sides here are tiny and
+# collision-free, so the CMS inner product must equal the exact join
+# size (overestimate 0) in both engines
+NAMES.append("cms_join_size")
 
 
 @pytest.fixture(scope="module")
@@ -99,6 +103,11 @@ STREAM_NAMES = [
     "stream_user_sessions",
     "stream_event_dedup",
     "stream_click_attribution",
+    # CDC apply: the same-second writes (users 1 and 3) force the
+    # (ts, event_id) argmax tiebreak through the streaming max(struct)
+    # state, and user 4's final 'error' write must tombstone the user
+    # out of the drained snapshot
+    "stream_changelog_apply",
 ]
 
 

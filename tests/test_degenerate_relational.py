@@ -66,6 +66,10 @@ NAMES = sorted(n for n in relational.QUERIES if n != "cooccurrence_triangles")
 # cooccurrence_triangles included separately: it is the heaviest (cached
 # iterative graph build) but still runs in seconds on 8 rows.
 NAMES.append("cooccurrence_triangles")
+# customer-shaped privacy audit: the NEGATIVE acctbal must floor to a
+# negative balance band identically in both engines, and with 4 rows
+# every QI group is below every k threshold
+NAMES.append("k_anonymity_audit")
 
 
 @pytest.fixture(scope="module")

@@ -1,0 +1,144 @@
+"""Invariant tests for the round-7 session-2 operators: CMS join-size
+estimation, histogram quantile sketch, k-anonymity audit, and the
+simplified k-means silhouette."""
+
+from __future__ import annotations
+
+import sys
+
+sys.path.insert(0, "/root/repo")
+
+
+def test_cms_join_size_never_underestimates(spark, sf_dir):
+    """The CMS inner product is a provable overestimate: colliding keys
+    only add positive mass to both factors. And the exact column must
+    equal the join size computed the straightforward way."""
+    from pyspark.sql import functions as F
+
+    from capstone_etl_spark.operators.sketches import cms_join_size
+    from capstone_etl_spark.sources.tables import load_table
+
+    row = cms_join_size(spark, sf_dir).first()
+    assert row.overestimate >= 0
+    assert row.cms_estimate == row.exact_size + row.overestimate
+
+    ev = load_table(spark, sf_dir, "events")
+    truth = (
+        ev.filter(F.col("event_type") == "click")
+        .select("user_id")
+        .join(ev.filter(F.col("event_type") == "view").select("user_id"), "user_id")
+        .count()
+    )
+    assert row.exact_size == truth
+
+
+def test_histogram_quantiles_error_bounded_by_bin_width(spark, sf_dir):
+    """The whole point of the sketch: any quantile is answered to
+    within one bin width, and both estimate and truth stay inside the
+    value range."""
+    from pyspark.sql import functions as F
+
+    from capstone_etl_spark.operators.sketches import HQ_W, histogram_quantiles
+    from capstone_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    mn, mx = docs.agg(F.min("n_chars"), F.max("n_chars")).first()
+    bw = (mx - mn + 1) / HQ_W
+
+    rows = histogram_quantiles(spark, sf_dir).orderBy("q").collect()
+    assert [r.q for r in rows] == [0.25, 0.5, 0.75, 0.9, 0.99]
+    prev_exact = float("-inf")
+    for r in rows:
+        assert r.abs_error <= bw + 1e-9
+        assert mn <= r.exact_quantile <= mx
+        assert mn <= r.est_quantile <= mx + bw
+        # the discrete quantile is nondecreasing in q
+        assert r.exact_quantile >= prev_exact
+        prev_exact = r.exact_quantile
+
+
+def test_k_anonymity_audit_monotone_in_k(spark, sf_dir):
+    """Raising k can only put MORE groups (and rows) below the bar, and
+    the totals must tie out to the table itself."""
+    from capstone_etl_spark.operators.privacy import k_anonymity_audit
+    from capstone_etl_spark.sources.tables import load_table
+
+    rows = k_anonymity_audit(spark, sf_dir).orderBy("k").collect()
+    assert [r.k for r in rows] == [2, 5, 10]
+    n_customers = load_table(spark, sf_dir, "customer").count()
+    prev_g, prev_r = -1, -1
+    for r in rows:
+        assert r.n_rows == n_customers
+        assert 0 <= r.groups_below <= r.n_groups
+        assert 0 <= r.rows_below <= r.n_rows
+        assert r.groups_below >= prev_g and r.rows_below >= prev_r
+        # a group below k has at most k-1 rows, and singletons dominate
+        # the bound from the other side
+        assert r.groups_below <= r.rows_below <= r.groups_below * (r.k - 1)
+        assert abs(r.pct_rows_below - r.rows_below / r.n_rows) < 1e-6
+        prev_g, prev_r = r.groups_below, r.rows_below
+
+
+def test_kmeans_silhouette_range_and_coverage(spark, sf_dir):
+    """The simplified silhouette with b = runner-up centroid distance
+    is confined to [0, 1] by construction (b >= a >= 0); every vector
+    lands in exactly one cell."""
+    from capstone_etl_spark.operators.similarity import kmeans_silhouette
+    from capstone_etl_spark.sources.tables import load_table
+
+    rows = kmeans_silhouette(spark, sf_dir).collect()
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n_vecs
+    for r in rows:
+        assert 0.0 <= r.min_sil <= r.mean_sil <= r.max_sil <= 1.0
+
+
+def test_stream_changelog_apply_equals_batch(spark, sf_dir):
+    """The drained CDC snapshot must equal the batch apply row-for-row
+    (same oracle, but pinned Spark-vs-Spark too: the streaming
+    max(struct) state evolved across micro-batches is a different
+    physical path than the batch one-shot aggregation)."""
+    from capstone_etl_spark.operators.events import changelog_apply
+    from capstone_etl_spark.operators.streaming_queries import stream_changelog_apply
+
+    batch = {r.user_id: r.asDict() for r in changelog_apply(spark, sf_dir).collect()}
+    streamed = {
+        r.user_id: r.asDict() for r in stream_changelog_apply(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+    # the delete semantics did something: at least one user is absent
+    from capstone_etl_spark.sources.tables import load_table
+
+    n_users = (
+        load_table(spark, sf_dir, "events").select("user_id").distinct().count()
+    )
+    assert len(batch) < n_users
+
+
+def test_kmeans_silhouette_runner_up_wiring(spark, tmp_path):
+    """Six DISTINCT vectors, all under the seed count: every vector is
+    its own cell with a = 0 and b = the distance to its nearest OTHER
+    centroid > 0, so every silhouette must be exactly 1.0. This pins
+    two wirings at once: b really is the runner-up (own-cell distance
+    would give 0.0) and the 0/0 guard does not misfire when only a is
+    zero."""
+    import pandas as pd
+
+    from capstone_etl_spark.operators.similarity import kmeans_silhouette
+
+    dim = 64
+    rows = []
+    for i in range(6):
+        base = 0.0 if i % 2 == 0 else 10.0
+        rows.append((i, [base + 0.25 * i] * dim, i % 2))
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    pdf["vec_id"] = pdf["vec_id"].astype("int64")
+    pdf["label"] = pdf["label"].astype("int32")
+    pdf.to_parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = kmeans_silhouette(spark, str(tmp_path)).collect()
+    assert sum(r.n_vecs for r in out) == 6
+    assert len(out) == 6
+    for r in out:
+        assert r.n_vecs == 1
+        assert r.mean_sil == r.min_sil == r.max_sil == 1.0
