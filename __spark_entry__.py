@@ -68,6 +68,9 @@ _PRIORITY = [
     "kmeans_silhouette",
     "event_changelog_apply",
     "stream_changelog_apply",
+    "quality_agreement_matrix",
+    "dedup_threshold_sweep",
+    "tokenizer_comparison",
     # Block 3: family canaries - every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span); each
     # is driver-green in r4-r6.

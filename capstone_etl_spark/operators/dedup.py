@@ -130,13 +130,20 @@ def ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return jaccard_pairs(_docs(spark, sf_dir))
 
 
-def jaccard_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
+def jaccard_pairs(
+    docs: DataFrame,
+    sh: DataFrame | None = None,
+    threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard ≥ threshold over any docs
     relation (doc_id, text). Candidates come from the inverted shingle
     index (docs sharing ≥1 surviving shingle); |A∩B| falls out of the
     same join; |A∪B| = |A|+|B|−|A∩B|. Pass a precomputed (cached)
     shingle relation via `sh` to share one tokenize pass with sibling
-    consumers (minhash_signatures' pattern)."""
+    consumers (minhash_signatures' pattern). `threshold=0.0` keeps the
+    WHOLE candidate relation (every candidate shares ≥1 shingle, so
+    jaccard > 0) — the plan cost is identical either way, the filter
+    is post-join (scaleaudit.dedup_threshold_sweep's seam)."""
     if sh is None:
         sh = shingles(docs).transform(cached)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -154,14 +161,23 @@ def jaccard_pairs(docs: DataFrame, sh: DataFrame | None = None) -> DataFrame:
     return (
         inter.join(sa, "doc_a")
         .join(sb, "doc_b")
-        .filter(jac >= JACCARD_THRESHOLD)
+        .filter(jac >= threshold)
         .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
     )
 
 
-# sizes/inter/pairs CTE block shared by the pair query and the
-# connected-components clustering oracle.
-_JACCARD_PAIRS_CTE = f"""
+# sizes/inter/pairs CTE block shared by the pair query, the
+# connected-components clustering oracle, and (unthresholded) the
+# threshold-sweep audit.
+def jaccard_pairs_cte(threshold: float | None = JACCARD_THRESHOLD) -> str:
+    """The oracle twin of jaccard_pairs' threshold parameter: None
+    keeps the whole candidate relation (filter dropped)."""
+    where = (
+        f"WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {threshold}"
+        if threshold is not None
+        else ""
+    )
+    return f"""
 , sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY doc_id),
 inter AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -173,9 +189,12 @@ inter AS (
   FROM inter
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b
-  WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {JACCARD_THRESHOLD}
+  {where}
 )
 """
+
+
+_JACCARD_PAIRS_CTE = jaccard_pairs_cte()
 
 NGRAM_JACCARD_PAIRS_SQL = (
     _SHINGLES_CTE + _JACCARD_PAIRS_CTE + "SELECT doc_a, doc_b, jaccard FROM pairs"

@@ -789,6 +789,135 @@ WITH per_doc AS (
 SIGNAL_CORRELATIONS_SQL = _signal_correlations_sql()
 
 
+# The three screens compared pairwise by quality_agreement_matrix.
+# "gopher" = the rule gate (quality_filter_flags.keep), "lm" = the
+# unigram-LM screen (per-token NLL at or below the corpus mean —
+# derived, not hand-tuned), "length" = NOT mad_outliers.is_outlier.
+QA_SCREENS = ("gopher", "lm", "length")
+QA_PAIRS = (("gopher", "lm"), ("gopher", "length"), ("lm", "length"))
+
+
+def quality_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise agreement between the three independent quality screens
+    — dedup_agreement's analogue for the curation family: before
+    composing filters (curation_verdict) a curator wants to know
+    whether they fire on the SAME documents (redundant — drop one) or
+    complementary ones (each earns its scan). One row per screen pair:
+    both-keep / both-drop / only-one counts and the agreement rate.
+
+    The LM screen's threshold is the corpus mean per-token NLL — a
+    1-row broadcast derived from order-free DECIMAL sums (nll_nats
+    arrives 6-dp-rounded, so the DECIMAL(18,6) cast is lossless —
+    source_quality_summary's argument); docs with no LM row
+    (zero-token) fail the LM screen explicitly via COALESCE, the same
+    rule in both engines. 100 TB: three map-only per-doc verdict
+    relations joined on uniform doc_id, one 1-row threshold broadcast,
+    one global conditional-sum aggregate unpivoted to 3 rows."""
+    flags = quality_filter_flags(spark, sf_dir).select("doc_id", F.col("keep").alias("g"))
+    nll = unigram_logprob(spark, sf_dir).select("doc_id", "n_tokens", "nll_nats")
+    out = mad_outliers(spark, sf_dir).select(
+        "doc_id", (~F.col("is_outlier")).alias("m")
+    )
+    thr = nll.agg(
+        (
+            F.sum(F.col("nll_nats").cast("decimal(18,6)")).cast("double")
+            / F.sum("n_tokens").cast("double")
+        ).alias("thr")
+    )
+    per_doc = (
+        flags.join(nll, "doc_id", "left")
+        .join(out, "doc_id")
+        .join(F.broadcast(thr), F.lit(True))
+        .select(
+            "g",
+            "m",
+            F.coalesce(
+                F.col("nll_nats") / F.col("n_tokens") <= F.col("thr"), F.lit(False)
+            ).alias("l"),
+        )
+    )
+    col = {"gopher": "g", "lm": "l", "length": "m"}
+    aggs = [F.count("*").cast("long").alias("n_docs")]
+    for i, (pa, pb) in enumerate(QA_PAIRS):
+        a, b = F.col(col[pa]), F.col(col[pb])
+        aggs += [
+            F.sum((a & b).cast("long")).alias(f"bk_{i}"),
+            F.sum((~a & ~b).cast("long")).alias(f"bd_{i}"),
+            F.sum((a & ~b).cast("long")).alias(f"oa_{i}"),
+            F.sum((~a & b).cast("long")).alias(f"ob_{i}"),
+        ]
+    sums = per_doc.agg(*aggs)
+    stack = ", ".join(
+        f"'{pa}~{pb}', bk_{i}, bd_{i}, oa_{i}, ob_{i}"
+        for i, (pa, pb) in enumerate(QA_PAIRS)
+    )
+    return sums.select(
+        F.expr(
+            f"stack({len(QA_PAIRS)}, {stack}) "
+            "AS (pair, n_both_keep, n_both_drop, n_only_a, n_only_b)"
+        ),
+        "n_docs",
+    ).select(
+        "pair",
+        "n_docs",
+        "n_both_keep",
+        "n_both_drop",
+        "n_only_a",
+        "n_only_b",
+        F.round(
+            (F.col("n_both_keep") + F.col("n_both_drop")).cast("double")
+            / F.col("n_docs").cast("double"),
+            6,
+        ).alias("agreement"),
+    )
+
+
+def _quality_agreement_sql() -> str:
+    col = {"gopher": "g", "lm": "l", "length": "m"}
+    cond = []
+    for i, (pa, pb) in enumerate(QA_PAIRS):
+        a, b = col[pa], col[pb]
+        cond += [
+            f"CAST(SUM(CASE WHEN {a} AND {b} THEN 1 ELSE 0 END) AS BIGINT) AS bk_{i}",
+            f"CAST(SUM(CASE WHEN NOT {a} AND NOT {b} THEN 1 ELSE 0 END) AS BIGINT) AS bd_{i}",
+            f"CAST(SUM(CASE WHEN {a} AND NOT {b} THEN 1 ELSE 0 END) AS BIGINT) AS oa_{i}",
+            f"CAST(SUM(CASE WHEN NOT {a} AND {b} THEN 1 ELSE 0 END) AS BIGINT) AS ob_{i}",
+        ]
+    per_pair = " UNION ALL ".join(
+        f"""SELECT '{pa}~{pb}' AS pair, n_docs,
+           bk_{i} AS n_both_keep, bd_{i} AS n_both_drop,
+           oa_{i} AS n_only_a, ob_{i} AS n_only_b,
+           ROUND(CAST(bk_{i} + bd_{i} AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS agreement
+    FROM sums"""
+        for i, (pa, pb) in enumerate(QA_PAIRS)
+    )
+    return f"""
+WITH flags AS ({QUALITY_FILTER_FLAGS_SQL}),
+nll AS ({UNIGRAM_LOGPROB_SQL}),
+outl AS ({MAD_OUTLIERS_SQL}),
+thr AS (
+  SELECT CAST(SUM(CAST(nll_nats AS DECIMAL(18,6))) AS DOUBLE)
+         / CAST(SUM(n_tokens) AS DOUBLE) AS thr
+  FROM nll
+), per_doc AS (
+  SELECT f.keep AS g,
+         COALESCE(n.nll_nats / n.n_tokens <= t.thr, FALSE) AS l,
+         NOT o.is_outlier AS m
+  FROM flags f
+  LEFT JOIN nll n USING (doc_id)
+  JOIN outl o USING (doc_id)
+  CROSS JOIN thr t
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs, {", ".join(cond)}
+  FROM per_doc
+)
+{per_pair}
+"""
+
+
+QUALITY_AGREEMENT_MATRIX_SQL = _quality_agreement_sql()
+
+
 QUERIES = {
     "quality_filter_flags": quality_filter_flags,
     "quality_filter_funnel": quality_filter_funnel,
@@ -800,6 +929,7 @@ QUERIES = {
     "dsir_importance": dsir_importance,
     "token_budget_selection": token_budget_selection,
     "signal_correlations": signal_correlations,
+    "quality_agreement_matrix": quality_agreement_matrix,
 }
 
 ORACLE_SQL = {
@@ -813,4 +943,5 @@ ORACLE_SQL = {
     "dsir_importance": DSIR_IMPORTANCE_SQL,
     "token_budget_selection": TOKEN_BUDGET_SELECTION_SQL,
     "signal_correlations": SIGNAL_CORRELATIONS_SQL,
+    "quality_agreement_matrix": QUALITY_AGREEMENT_MATRIX_SQL,
 }

@@ -726,6 +726,85 @@ FROM grid g CROSS JOIN ncand c CROSS JOIN nver v CROSS JOIN ntrue t
     )
 
 
+SWEEP_STEPS = 9  # thresholds t = i/10 for i in 1..9
+
+
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(threshold, n_pairs, n_docs) — JACCARD_THRESHOLD's tuning table,
+    lsh_tuning_curve's sibling: the curve says where the BANDING knee
+    sits; this sweep says what each VERIFY threshold would actually
+    remove on this corpus — how many near-dup pairs survive t and how
+    many documents they touch, for t = 0.1 … 0.9. The number an
+    engineer reads before moving the production threshold.
+
+    Plan: ONE unthresholded candidate-pair pass (identical cost to the
+    production pair join — the threshold filter is post-join, so the
+    sweep is free beyond it), then a 9-row grid broadcast expands each
+    pair to its qualifying thresholds (bounded: df-capped candidates ×
+    9) and two grid-keyed aggregations count pairs and distinct
+    touched docs. The LEFT join from the grid keeps zero-pair
+    thresholds as explicit 0 rows."""
+    from capstone_etl_spark.operators.dedup import _docs, jaccard_pairs
+    from capstone_etl_spark.session import cached
+
+    pairs = cached(jaccard_pairs(_docs(spark, sf_dir), threshold=0.0))
+    grid = spark.range(1, SWEEP_STEPS + 1).select(
+        (F.col("id").cast("double") / 10.0).alias("threshold")
+    )
+    qual = pairs.join(
+        F.broadcast(grid), F.col("jaccard") >= F.col("threshold")
+    ).transform(cached)
+    n_pairs = qual.groupBy("threshold").agg(F.count("*").cast("long").alias("n_pairs"))
+    n_docs = (
+        qual.select(
+            "threshold", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
+        )
+        .groupBy("threshold")
+        .agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
+    )
+    return (
+        grid.join(n_pairs, "threshold", "left")
+        .join(n_docs, "threshold", "left")
+        .select(
+            "threshold",
+            F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias("n_pairs"),
+            F.coalesce(F.col("n_docs"), F.lit(0).cast("long")).alias("n_docs"),
+        )
+    )
+
+
+def _dedup_threshold_sweep_sql() -> str:
+    from capstone_etl_spark.operators.dedup import _SHINGLES_CTE, jaccard_pairs_cte
+
+    return (
+        _SHINGLES_CTE
+        + jaccard_pairs_cte(None)
+        + f"""
+, grid AS (
+  SELECT CAST(i AS DOUBLE) / 10.0 AS threshold
+  FROM (SELECT UNNEST(range(1, {SWEEP_STEPS + 1})) AS i)
+), qual AS (
+  SELECT g.threshold, p.doc_a, p.doc_b
+  FROM pairs p JOIN grid g ON p.jaccard >= g.threshold
+), np AS (
+  SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM qual GROUP BY 1
+), nd AS (
+  SELECT threshold, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM (
+    SELECT threshold, doc_a AS doc_id FROM qual
+    UNION ALL
+    SELECT threshold, doc_b AS doc_id FROM qual) t
+  GROUP BY 1
+)
+SELECT g.threshold,
+       COALESCE(np.n_pairs, 0) AS n_pairs,
+       COALESCE(nd.n_docs, 0) AS n_docs
+FROM grid g
+LEFT JOIN np USING (threshold)
+LEFT JOIN nd USING (threshold)
+"""
+    )
+
+
 QUERIES = {
     "key_skew_audit": key_skew_audit,
     "lsh_tuning_curve": lsh_tuning_curve,
@@ -735,9 +814,11 @@ QUERIES = {
     "salted_hot_key_join": salted_hot_key_join,
     "zorder_pruning_gain": zorder_pruning_gain,
     "embedding_coverage_audit": embedding_coverage_audit,
+    "dedup_threshold_sweep": dedup_threshold_sweep,
 }
 
 ORACLE_SQL = {
+    "dedup_threshold_sweep": _dedup_threshold_sweep_sql(),
     "key_skew_audit": KEY_SKEW_AUDIT_SQL,
     "lsh_tuning_curve": _lsh_tuning_curve_sql(),
     "output_file_plan": OUTPUT_FILE_PLAN_SQL,

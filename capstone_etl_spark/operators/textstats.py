@@ -1938,6 +1938,75 @@ GROUP BY source
 )
 
 
+def tokenizer_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(tokenizer, n_words, n_tokens, fertility) — the decision table
+    the tokenizer family exists to produce: corpus-level fertility of
+    the two LEARNED tokenizers (BPE bottom-up merges, unigram-LM
+    top-down Viterbi) against the two trivial baselines (whitespace =
+    1 token/word, char = the ceiling), each rolled up from its own
+    oracle-checked operator. Composition only — the readout that says
+    which tokenizer to ship.
+
+    Coverage caveat carried in the numbers: the unigram row counts the
+    OCCURRENCE-WEIGHTED words its model covers (words ≤
+    UNI_MAX_WORD_LEN; out-of-model words are absent from its census),
+    so its n_words differs from BPE's by exactly the out-of-model
+    occurrence mass — comparable via the shared n_words column, not
+    hidden. 100 TB: both inputs end |sources|- or census-bounded; the
+    rollups here are 1-row aggregates unioned to 4 rows."""
+    b = bpe_encode(spark, sf_dir).agg(
+        F.sum("n_words").cast("long").alias("w"),
+        F.sum("n_chars").cast("long").alias("c"),
+        F.sum("n_bpe_tokens").cast("long").alias("t"),
+    )
+    u = unigram_tokenizer(spark, sf_dir).agg(
+        F.sum(F.col("n_pieces") * F.col("sum_tf")).cast("long").alias("t"),
+        F.sum("sum_tf").cast("long").alias("w"),
+    )
+
+    def row(df, name, w_col, t_col):
+        return df.select(
+            F.lit(name).alias("tokenizer"),
+            F.col(w_col).alias("n_words"),
+            F.col(t_col).alias("n_tokens"),
+            F.round(F.col(t_col).cast("double") / F.col(w_col).cast("double"), 6).alias(
+                "fertility"
+            ),
+        )
+
+    ws = b.select("w", F.col("w").alias("t2"))
+    return (
+        row(ws, "whitespace", "w", "t2")
+        .unionByName(row(b, "char", "w", "c"))
+        .unionByName(row(b, "bpe", "w", "t"))
+        .unionByName(row(u, "unigram", "w", "t"))
+    )
+
+
+TOKENIZER_COMPARISON_SQL = f"""
+WITH b AS ({BPE_ENCODE_SQL}),
+u AS ({UNIGRAM_TOKENIZER_SQL}),
+bs AS (
+  SELECT CAST(SUM(n_words) AS BIGINT) AS w,
+         CAST(SUM(n_chars) AS BIGINT) AS c,
+         CAST(SUM(n_bpe_tokens) AS BIGINT) AS t
+  FROM b
+), us AS (
+  SELECT CAST(SUM(n_pieces * sum_tf) AS BIGINT) AS t,
+         CAST(SUM(sum_tf) AS BIGINT) AS w
+  FROM u
+)
+SELECT 'whitespace' AS tokenizer, w AS n_words, w AS n_tokens,
+       ROUND(CAST(w AS DOUBLE) / CAST(w AS DOUBLE), 6) AS fertility FROM bs
+UNION ALL
+SELECT 'char', w, c, ROUND(CAST(c AS DOUBLE) / CAST(w AS DOUBLE), 6) FROM bs
+UNION ALL
+SELECT 'bpe', w, t, ROUND(CAST(t AS DOUBLE) / CAST(w AS DOUBLE), 6) FROM bs
+UNION ALL
+SELECT 'unigram', w, t, ROUND(CAST(t AS DOUBLE) / CAST(w AS DOUBLE), 6) FROM us
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "token_counts": token_counts,
@@ -1967,6 +2036,7 @@ QUERIES = {
     "bpe_encode": bpe_encode,
     "unigram_tokenizer": unigram_tokenizer,
     "length_quartiles_per_source": length_quartiles_per_source,
+    "tokenizer_comparison": tokenizer_comparison,
 }
 
 ORACLE_SQL = {
@@ -1998,4 +2068,5 @@ ORACLE_SQL = {
     "bpe_encode": BPE_ENCODE_SQL,
     "unigram_tokenizer": UNIGRAM_TOKENIZER_SQL,
     "length_quartiles_per_source": LENGTH_QUARTILES_SQL,
+    "tokenizer_comparison": TOKENIZER_COMPARISON_SQL,
 }

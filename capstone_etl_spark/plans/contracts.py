@@ -194,6 +194,18 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "1-row exact-size x 1-row sketch-estimate combine (sketches.py) "
         "— both sides are single-row aggregates"
     ),
+    "quality_agreement_matrix": (
+        "1-row LM-threshold (corpus mean per-token NLL) broadcast over "
+        "the per-doc verdict relation (quality.py)"
+    ),
+    "dedup_threshold_sweep": (
+        "9-row threshold-grid broadcast expanded over the df-capped "
+        "candidate-pair relation via a range predicate (scaleaudit.py)"
+    ),
+    "tokenizer_comparison": (
+        "composes bpe_encode (inherits its 1-row winning-pair broadcast "
+        "per learned round) + four 1-row rollups unioned (textstats.py)"
+    ),
     "histogram_quantiles": (
         "1-row (min,max,count) stats broadcast into the bin map, plus "
         "rank-range probes against the <=W-row histogram and the "
@@ -357,4 +369,7 @@ HEADLINE: list[str] = [
     "k_anonymity_audit",
     "kmeans_silhouette",
     "event_changelog_apply",
+    "quality_agreement_matrix",
+    "dedup_threshold_sweep",
+    "tokenizer_comparison",
 ]

@@ -133,6 +133,15 @@ NAMES = [
     # SAME histogram bin and the same exact value; the interpolation
     # and the discrete-rank pick must agree engine-for-engine
     "histogram_quantiles",
+    # zero-token docs have no LM row: the COALESCE(FALSE) rule must
+    # verdict them identically on both engines in every pair cell
+    "quality_agreement_matrix",
+    # only the repeated-'the' pair survives any threshold: the sweep's
+    # LEFT join must keep the empty thresholds as explicit 0 rows
+    "dedup_threshold_sweep",
+    # scarce merges + out-of-model huge token: the unigram coverage
+    # mass must differ from BPE's by exactly the out-of-model words
+    "tokenizer_comparison",
 ]
 
 

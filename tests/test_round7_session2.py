@@ -93,6 +93,64 @@ def test_kmeans_silhouette_range_and_coverage(spark, sf_dir):
         assert 0.0 <= r.min_sil <= r.mean_sil <= r.max_sil <= 1.0
 
 
+def test_quality_agreement_matrix_counts_tie_out(spark, sf_dir):
+    """Each pair's four cells must partition the corpus, agreement is
+    their keep+drop share, and every pair row sees the same n_docs."""
+    from capstone_etl_spark.operators.quality import quality_agreement_matrix
+
+    rows = quality_agreement_matrix(spark, sf_dir).collect()
+    assert sorted(r.pair for r in rows) == ["gopher~length", "gopher~lm", "lm~length"]
+    n_docs = {r.n_docs for r in rows}
+    assert len(n_docs) == 1 and n_docs.pop() > 0
+    for r in rows:
+        assert r.n_both_keep + r.n_both_drop + r.n_only_a + r.n_only_b == r.n_docs
+        assert abs(r.agreement - (r.n_both_keep + r.n_both_drop) / r.n_docs) < 1e-6
+
+
+def test_dedup_threshold_sweep_monotone(spark, sf_dir):
+    """Raising the threshold can only shrink the surviving pair set and
+    the touched-document set; the production threshold's row must agree
+    with the deployed pair query's count."""
+    from capstone_etl_spark.operators.dedup import (
+        JACCARD_THRESHOLD,
+        ngram_jaccard_pairs,
+    )
+    from capstone_etl_spark.operators.scaleaudit import dedup_threshold_sweep
+
+    rows = dedup_threshold_sweep(spark, sf_dir).orderBy("threshold").collect()
+    assert [round(r.threshold, 1) for r in rows] == [
+        round(0.1 * i, 1) for i in range(1, 10)
+    ]
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_pairs <= prev.n_pairs
+        assert cur.n_docs <= prev.n_docs
+    for r in rows:
+        # every surviving pair touches 2 docs, shared docs only shrink it
+        assert r.n_docs <= 2 * r.n_pairs or r.n_pairs == 0
+
+    prod = ngram_jaccard_pairs(spark, sf_dir).count()
+    at_prod = [r for r in rows if abs(r.threshold - JACCARD_THRESHOLD) < 1e-9]
+    if at_prod:  # only when the production threshold sits on the grid
+        assert at_prod[0].n_pairs == prod
+
+
+def test_tokenizer_comparison_orders_sanely(spark, sf_dir):
+    """Whitespace fertility is exactly 1, learned tokenizers sit
+    between whitespace and the char ceiling, and every row's fertility
+    is its own ratio."""
+    from capstone_etl_spark.operators.textstats import tokenizer_comparison
+
+    rows = {r.tokenizer: r for r in tokenizer_comparison(spark, sf_dir).collect()}
+    assert set(rows) == {"whitespace", "char", "bpe", "unigram"}
+    for r in rows.values():
+        assert abs(r.fertility - r.n_tokens / r.n_words) < 1e-6
+    assert rows["whitespace"].fertility == 1.0
+    assert 1.0 <= rows["bpe"].fertility <= rows["char"].fertility
+    assert 1.0 <= rows["unigram"].fertility
+    # BPE merges strictly compressed below the char baseline
+    assert rows["bpe"].n_tokens < rows["char"].n_tokens
+
+
 def test_stream_changelog_apply_equals_batch(spark, sf_dir):
     """The drained CDC snapshot must equal the batch apply row-for-row
     (same oracle, but pinned Spark-vs-Spark too: the streaming
