@@ -71,6 +71,8 @@ _PRIORITY = [
     "quality_agreement_matrix",
     "dedup_threshold_sweep",
     "tokenizer_comparison",
+    "ann_radius_search",
+    "label_separability",
     # Block 3: family canaries - every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span); each
     # is driver-green in r4-r6.

@@ -379,6 +379,112 @@ def label_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(label, n_vecs, within_ss, between_ss, separability) — the
+    Fisher-style class-scatter readout over the labeled embeddings:
+    within-class sum of squares (members to their label centroid) vs
+    between-class (label centroid to the global centroid, weighted by
+    class size). High ratio = the encoder separates this label; the
+    table an embedding-quality dashboard shows next to
+    kmeans_silhouette (which scores UNSUPERVISED structure — this
+    scores the labels).
+
+    Exactness: vectors fixed-pointed once; both centroids are
+    RE-QUANTIZED to the grid (floor(sum/n + 0.5) — kmeans_lloyd's
+    argument: the int/int division is exact-rounded identically below
+    2^53), so every scatter term is exact int64 and the single double
+    division happens at the end, 0-pinned when within_ss = 0 (identical
+    vectors). 100 TB: one posexplode scan, two (label,d)- and
+    d-keyed aggs (K·dim and dim rows), one broadcast join back — the
+    same shape as the Lloyd update step, no per-pair work anywhere."""
+    scaled = cached(
+        load_table(spark, sf_dir, "embeddings").select(
+            "label",
+            "vec_id",
+            F.posexplode("embedding").alias("d", "v"),
+        ).select(
+            "label",
+            "vec_id",
+            "d",
+            F.floor(F.col("v").cast("double") * CENTROID_SCALE + 0.5)
+            .cast("long")
+            .alias("vs"),
+        )
+    )
+    requant = F.floor(F.col("s").cast("double") / F.col("n") + 0.5).cast("long")
+    lcent = (
+        scaled.groupBy("label", "d")
+        .agg(F.sum("vs").alias("s"), F.count("*").alias("n"))
+        .select("label", "d", requant.alias("qc"), F.col("n").alias("n_vecs"))
+    )
+    gcent = (
+        scaled.groupBy("d")
+        .agg(F.sum("vs").alias("s"), F.count("*").alias("n"))
+        .select("d", requant.alias("gq"))
+    )
+    wdiff = F.col("vs") - F.col("qc")
+    within = (
+        scaled.join(F.broadcast(lcent.select("label", "d", "qc")), ["label", "d"])
+        .groupBy("label")
+        .agg(F.sum(wdiff * wdiff).cast("long").alias("within_ss"))
+    )
+    bdiff = F.col("qc") - F.col("gq")
+    between = (
+        lcent.join(F.broadcast(gcent), "d")
+        .groupBy("label")
+        .agg(
+            F.max("n_vecs").cast("long").alias("n_vecs"),
+            (F.max("n_vecs") * F.sum(bdiff * bdiff)).cast("long").alias("between_ss"),
+        )
+    )
+    return within.join(between, "label").select(
+        "label",
+        "n_vecs",
+        "within_ss",
+        "between_ss",
+        F.when(F.col("within_ss") == 0, F.lit(0.0))
+        .otherwise(
+            F.round(
+                F.col("between_ss").cast("double") / F.col("within_ss").cast("double"),
+                6,
+            )
+        )
+        .alias("separability"),
+    )
+
+
+LABEL_SEPARABILITY_SQL = f"""
+WITH scaled AS (
+  SELECT label, vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
+), lcent AS (
+  SELECT label, d,
+         CAST(floor(CAST(SUM(vs) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS qc,
+         COUNT(*) AS n_vecs
+  FROM scaled GROUP BY 1, 2
+), gcent AS (
+  SELECT d, CAST(floor(CAST(SUM(vs) AS DOUBLE) / COUNT(*) + 0.5) AS BIGINT) AS gq
+  FROM scaled GROUP BY 1
+), within AS (
+  SELECT s.label, CAST(SUM((s.vs - c.qc) * (s.vs - c.qc)) AS BIGINT) AS within_ss
+  FROM scaled s JOIN lcent c ON c.label = s.label AND c.d = s.d
+  GROUP BY 1
+), between_ AS (
+  SELECT l.label,
+         CAST(MAX(l.n_vecs) AS BIGINT) AS n_vecs,
+         CAST(MAX(l.n_vecs) * SUM((l.qc - g.gq) * (l.qc - g.gq)) AS BIGINT) AS between_ss
+  FROM lcent l JOIN gcent g USING (d)
+  GROUP BY 1
+)
+SELECT w.label, b.n_vecs, w.within_ss, b.between_ss,
+       CASE WHEN w.within_ss = 0 THEN 0.0
+            ELSE ROUND(CAST(b.between_ss AS DOUBLE) / CAST(w.within_ss AS DOUBLE), 6)
+       END AS separability
+FROM within w JOIN between_ b USING (label)
+"""
+
+
 LABEL_CENTROIDS_SQL = f"""
 WITH by_dim AS (
   SELECT label, vec_id, d,
@@ -477,6 +583,22 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     tests; per-cell population cap asserted in test_quantizer_scaling."""
     from pyspark.sql import Window
 
+    scored = _ivf_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared IVF candidate pipeline (quantize → seed → assign →
+    probe → exact-cosine score) up to the scored candidate relation —
+    ann_ivf_topk takes its per-query top-k; ann_radius_search filters
+    it by similarity threshold."""
+    from pyspark.sql import Window
+
     emb = load_table(spark, sf_dir, "embeddings")
     quant = F.transform(
         "embedding",
@@ -527,20 +649,36 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
-    scored = (
+    return (
         cand.join(F.broadcast(q), "query_id")
         .join(n, "neighbor_id")
         .select("query_id", "neighbor_id", F.round(cosine("qe", "ne"), 6).alias("sim"))
     )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "neighbor_id", "sim", "rnk")
-    )
 
 
-ANN_IVF_TOPK_SQL = f"""
+# cosine threshold for the radius (range) search — chosen so the
+# near-zero-centered synthetic embeddings yield a non-trivial but
+# bounded in-radius set (99th-percentile pair cosine ≈ 0.30); a real
+# encoder runs this at ~0.8+.
+ANN_RADIUS_SIM = 0.25
+
+
+def ann_radius_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range search — the vector-store query shape top-k cannot answer
+    ("everything within similarity r", the dedup/recall-sweep
+    primitive): the SAME IVF candidate pipeline as ann_ivf_topk, but
+    the final operator is a similarity-threshold FILTER instead of a
+    per-query window, so the result size is data-dependent (possibly
+    zero rows per query) rather than fixed-k. The filter keys on the
+    ROUNDED similarity (house rule: last-ulp drift cannot flip a
+    threshold compare). Scale: identical to ann_ivf_topk through the
+    probe/rerank stages; the radius filter is map-only on the scored
+    relation — strictly cheaper than the top-k window (no per-query
+    sort at all)."""
+    return _ivf_scored(spark, sf_dir).filter(F.col("sim") >= ANN_RADIUS_SIM)
+
+
+_IVF_SCORED_SQL = f"""
 WITH by_dim AS (
   SELECT vec_id, d,
          CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
@@ -573,12 +711,26 @@ WITH by_dim AS (
   FROM cand c
   JOIN embeddings q ON q.vec_id = c.query_id
   JOIN embeddings n ON n.vec_id = c.neighbor_id
-)
+)"""
+
+
+ANN_IVF_TOPK_SQL = (
+    _IVF_SCORED_SQL
+    + f"""
 SELECT query_id, neighbor_id, sim, rnk FROM (
   SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
   FROM scored
 ) t WHERE rnk <= {TOP_K}
 """
+)
+
+
+ANN_RADIUS_SEARCH_SQL = (
+    _IVF_SCORED_SQL
+    + f"""
+SELECT query_id, neighbor_id, sim FROM scored WHERE sim >= {ANN_RADIUS_SIM}
+"""
+)
 
 
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1988,6 +2140,8 @@ QUERIES = {
     "embedding_quantize": embedding_quantize,
     "kmeans_lloyd": kmeans_lloyd,
     "kmeans_silhouette": kmeans_silhouette,
+    "ann_radius_search": ann_radius_search,
+    "label_separability": label_separability,
     "ann_recall_eval": ann_recall_eval,
     "matryoshka_recall": matryoshka_recall,
     "embedding_outliers": embedding_outliers,
@@ -2012,6 +2166,8 @@ ORACLE_SQL = {
     "embedding_quantize": EMBEDDING_QUANTIZE_SQL,
     "kmeans_lloyd": KMEANS_LLOYD_SQL,
     "kmeans_silhouette": KMEANS_SILHOUETTE_SQL,
+    "ann_radius_search": ANN_RADIUS_SEARCH_SQL,
+    "label_separability": LABEL_SEPARABILITY_SQL,
     "ann_recall_eval": ANN_RECALL_EVAL_SQL,
     "matryoshka_recall": MATRYOSHKA_RECALL_SQL,
     "embedding_outliers": EMBEDDING_OUTLIERS_SQL,

@@ -48,6 +48,10 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "1-row corpus-stats + 1-row probe-count broadcasts + the "
         "~sqrt(N) quantizer-seed broadcast (similarity.quantizer_seeds)"
     ),
+    "ann_radius_search": (
+        "composes ann_ivf_topk's candidate pipeline (_ivf_scored) - "
+        "inherits its seed/probe-count broadcasts (similarity.py)"
+    ),
     # not in the headline list but registered queries with the same
     # deliberate shapes (documented here so the allowlist is complete
     # for any future headline additions):
@@ -372,4 +376,6 @@ HEADLINE: list[str] = [
     "quality_agreement_matrix",
     "dedup_threshold_sweep",
     "tokenizer_comparison",
+    "ann_radius_search",
+    "label_separability",
 ]

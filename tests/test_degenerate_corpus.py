@@ -207,6 +207,13 @@ EMB_NAMES = [
     # 0/0 guard must pin s to 0.0 in both engines, and all points
     # land in cell 0 via the shared (dist, cell) tiebreak
     "kmeans_silhouette",
+    # identical vectors → every candidate pair has cosine exactly 1:
+    # all pairs are in-radius and the probe/assign tiebreaks must
+    # produce the identical candidate set in both engines
+    "ann_radius_search",
+    # identical vectors → within_ss = 0 for both labels: the 0-pin
+    # (not NULL, not inf) must fire identically in both engines
+    "label_separability",
 ]
 
 

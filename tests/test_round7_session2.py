@@ -93,6 +93,45 @@ def test_kmeans_silhouette_range_and_coverage(spark, sf_dir):
         assert 0.0 <= r.min_sil <= r.mean_sil <= r.max_sil <= 1.0
 
 
+def test_ann_radius_consistent_with_topk(spark, sf_dir):
+    """Radius search and IVF top-k read the SAME scored candidate
+    relation, so every top-k row at or above the radius must appear in
+    the radius result, and every radius row must clear the radius."""
+    from capstone_etl_spark.operators.similarity import (
+        ANN_RADIUS_SIM,
+        ann_ivf_topk,
+        ann_radius_search,
+    )
+
+    radius = {
+        (r.query_id, r.neighbor_id): r.sim
+        for r in ann_radius_search(spark, sf_dir).collect()
+    }
+    assert radius, "the corpus must have some in-radius pair"
+    assert all(s >= ANN_RADIUS_SIM for s in radius.values())
+    topk = ann_ivf_topk(spark, sf_dir).collect()
+    for r in topk:
+        if r.sim >= ANN_RADIUS_SIM:
+            assert radius[(r.query_id, r.neighbor_id)] == r.sim
+
+
+def test_label_separability_tie_out(spark, sf_dir):
+    """Every labeled vector lands in exactly one class row; scatter
+    sums are nonnegative and the ratio is the emitted division."""
+    from capstone_etl_spark.operators.similarity import label_separability
+    from capstone_etl_spark.sources.tables import load_table
+
+    rows = label_separability(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vecs for r in rows) == n
+    for r in rows:
+        assert r.within_ss >= 0 and r.between_ss >= 0
+        if r.within_ss > 0:
+            assert abs(r.separability - r.between_ss / r.within_ss) < 1e-6
+        else:
+            assert r.separability == 0.0
+
+
 def test_quality_agreement_matrix_counts_tie_out(spark, sf_dir):
     """Each pair's four cells must partition the corpus, agreement is
     their keep+drop share, and every pair row sees the same n_docs."""
