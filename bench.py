@@ -102,6 +102,14 @@ HEADLINE = [
     # r7: the composed admission chain (corpus_pipeline + benchmark
     # screen + shard manifest) — the heaviest new composition.
     "training_manifest",
+    # r7 session 2: the CDC argmax apply (one-shuffle MERGE canary),
+    # the unthresholded candidate sweep (the production pair join's
+    # cost, measured without its filter), and the shared-Lloyd
+    # silhouette (two assignment rounds + runner-up window) — tracked
+    # from day one.
+    "event_changelog_apply",
+    "dedup_threshold_sweep",
+    "kmeans_silhouette",
 ]
 
 
