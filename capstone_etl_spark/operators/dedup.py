@@ -134,6 +134,7 @@ def jaccard_pairs(
     docs: DataFrame,
     sh: DataFrame | None = None,
     threshold: float = JACCARD_THRESHOLD,
+    with_raw: bool = False,
 ) -> DataFrame:
     """Near-dup pairs by n-gram Jaccard ≥ threshold over any docs
     relation (doc_id, text). Candidates come from the inverted shingle
@@ -143,7 +144,10 @@ def jaccard_pairs(
     consumers (minhash_signatures' pattern). `threshold=0.0` keeps the
     WHOLE candidate relation (every candidate shares ≥1 shingle, so
     jaccard > 0) — the plan cost is identical either way, the filter
-    is post-join (scaleaudit.dedup_threshold_sweep's seam)."""
+    is post-join; `with_raw=True` additionally emits the UNROUNDED
+    jaccard so a downstream threshold compare matches this function's
+    own raw-value filter semantics exactly
+    (scaleaudit.dedup_threshold_sweep's seam)."""
     if sh is None:
         sh = shingles(docs).transform(cached)
     sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
@@ -158,23 +162,29 @@ def jaccard_pairs(
     # filter on the RAW jaccard (identical doubles both engines — one
     # division of identical ints); round only the emitted value
     jac = F.col("n_inter") / (F.col("sz_a") + F.col("sz_b") - F.col("n_inter"))
-    return (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .filter(jac >= threshold)
-        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
-    )
+    cols = ["doc_a", "doc_b", F.round(jac, 6).alias("jaccard")]
+    if with_raw:
+        cols.append(jac.alias("jaccard_raw"))
+    return inter.join(sa, "doc_a").join(sb, "doc_b").filter(jac >= threshold).select(*cols)
 
 
 # sizes/inter/pairs CTE block shared by the pair query, the
 # connected-components clustering oracle, and (unthresholded) the
 # threshold-sweep audit.
-def jaccard_pairs_cte(threshold: float | None = JACCARD_THRESHOLD) -> str:
-    """The oracle twin of jaccard_pairs' threshold parameter: None
-    keeps the whole candidate relation (filter dropped)."""
+def jaccard_pairs_cte(
+    threshold: float | None = JACCARD_THRESHOLD, with_raw: bool = False
+) -> str:
+    """The oracle twin of jaccard_pairs' threshold/with_raw parameters:
+    threshold=None keeps the whole candidate relation (filter
+    dropped); with_raw adds the unrounded jaccard column."""
     where = (
         f"WHERE CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) >= {threshold}"
         if threshold is not None
+        else ""
+    )
+    raw = (
+        ",\n         CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter) AS jaccard_raw"
+        if with_raw
         else ""
     )
     return f"""
@@ -185,7 +195,7 @@ inter AS (
   GROUP BY 1, 2
 ), pairs AS (
   SELECT doc_a, doc_b,
-         ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard
+         ROUND(CAST(n_inter AS DOUBLE) / (sa.sz + sb.sz - n_inter), 6) AS jaccard{raw}
   FROM inter
   JOIN sizes sa ON sa.doc_id = doc_a
   JOIN sizes sb ON sb.doc_id = doc_b

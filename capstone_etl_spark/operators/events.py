@@ -1183,6 +1183,47 @@ FROM runs
 CDC_DELETE_TYPE = "error"
 
 
+def changelog_state(ev: DataFrame) -> DataFrame:
+    """The shared CDC aggregation over a raw events relation (batch
+    table or watermarked stream): per-user max(struct) last-writer
+    state + change counters — every aggregate is associative, so
+    per-shard/per-micro-batch partials merge exactly."""
+    ev = ev.select(
+        "user_id",
+        F.col("ts").cast("long").alias("ts_sec"),
+        "event_id",
+        "event_type",
+        "value",
+    )
+    return ev.groupBy("user_id").agg(
+        F.max(
+            F.struct(
+                F.col("ts_sec").alias("ts_sec"),
+                F.col("event_id").alias("event_id"),
+                F.col("event_type").alias("event_type"),
+                F.col("value").alias("value"),
+            )
+        ).alias("w"),
+        F.count("*").cast("long").alias("n_changes"),
+        F.sum((F.col("event_type") == CDC_DELETE_TYPE).cast("long")).alias("n_deletes"),
+    )
+
+
+def changelog_snapshot(state: DataFrame) -> DataFrame:
+    """Tombstone filter + projection over changelog_state's output —
+    shared by the batch apply and the drained streaming snapshot so
+    the two can never drift."""
+    return state.filter(F.col("w.event_type") != CDC_DELETE_TYPE).select(
+        "user_id",
+        F.col("w.ts_sec").alias("last_ts"),
+        F.col("w.event_id").alias("last_event_id"),
+        F.col("w.event_type").alias("last_type"),
+        F.col("w.value").alias("last_value"),
+        "n_changes",
+        "n_deletes",
+    )
+
+
 def changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The lakehouse MERGE / CDC-apply semantics as a query: read the
     event stream as a changelog keyed by user_id (each event upserts
@@ -1197,36 +1238,9 @@ def changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     winner on timestamp ties (the degenerate-events fixture has
     same-second writes). 100 TB: a changelog apply is ONE shuffle on
     the record key regardless of history depth, and at scale the same
-    aggregate runs incrementally (per-shard partial argmax merges by
-    max — the structure is associative)."""
-    ev = _events(spark, sf_dir).select(
-        "user_id",
-        F.col("ts").cast("long").alias("ts_sec"),
-        "event_id",
-        "event_type",
-        "value",
-    )
-    last = ev.groupBy("user_id").agg(
-        F.max(
-            F.struct(
-                F.col("ts_sec").alias("ts_sec"),
-                F.col("event_id").alias("event_id"),
-                F.col("event_type").alias("event_type"),
-                F.col("value").alias("value"),
-            )
-        ).alias("w"),
-        F.count("*").cast("long").alias("n_changes"),
-        F.sum((F.col("event_type") == CDC_DELETE_TYPE).cast("long")).alias("n_deletes"),
-    )
-    return last.filter(F.col("w.event_type") != CDC_DELETE_TYPE).select(
-        "user_id",
-        F.col("w.ts_sec").alias("last_ts"),
-        F.col("w.event_id").alias("last_event_id"),
-        F.col("w.event_type").alias("last_type"),
-        F.col("w.value").alias("last_value"),
-        "n_changes",
-        "n_deletes",
-    )
+    aggregate runs incrementally (changelog_state's partial argmax
+    merges by max — the structure is associative)."""
+    return changelog_snapshot(changelog_state(_events(spark, sf_dir)))
 
 
 CHANGELOG_APPLY_SQL = f"""

@@ -791,7 +791,8 @@ SIGNAL_CORRELATIONS_SQL = _signal_correlations_sql()
 
 # The three screens compared pairwise by quality_agreement_matrix.
 # "gopher" = the rule gate (quality_filter_flags.keep), "lm" = the
-# unigram-LM screen (per-token NLL at or below the corpus mean —
+# unigram-LM screen (the doc's per-token NLL — nll_nats is already
+# nats/token — at or below the occurrence-weighted corpus mean;
 # derived, not hand-tuned), "length" = NOT mad_outliers.is_outlier.
 QA_SCREENS = ("gopher", "lm", "length")
 QA_PAIRS = (("gopher", "lm"), ("gopher", "length"), ("lm", "length"))
@@ -805,14 +806,19 @@ def quality_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     complementary ones (each earns its scan). One row per screen pair:
     both-keep / both-drop / only-one counts and the agreement rate.
 
-    The LM screen's threshold is the corpus mean per-token NLL — a
-    1-row broadcast derived from order-free DECIMAL sums (nll_nats
-    arrives 6-dp-rounded, so the DECIMAL(18,6) cast is lossless —
-    source_quality_summary's argument); docs with no LM row
-    (zero-token) fail the LM screen explicitly via COALESCE, the same
-    rule in both engines. 100 TB: three map-only per-doc verdict
-    relations joined on uniform doc_id, one 1-row threshold broadcast,
-    one global conditional-sum aggregate unpivoted to 3 rows."""
+    The LM screen's threshold is the occurrence-weighted corpus mean
+    per-token NLL, Σ(nll·n_tokens)/Σ(n_tokens) — a 1-row broadcast
+    derived from order-free DECIMAL sums (nll_nats arrives
+    6-dp-rounded so the DECIMAL(19,6) cast is lossless, and the
+    ×DECIMAL(10,0) token-count product stays exact; 19 digits on one
+    side because a p≤18 DuckDB decimal MULTIPLICATION overflows in
+    int64 instead of widening to int128);
+    each doc's nll_nats — already nats/token — compares directly
+    against it. Docs with no LM row (zero-token) fail the LM screen
+    explicitly via COALESCE, the same rule in both engines. 100 TB:
+    three map-only per-doc verdict relations joined on uniform doc_id,
+    one 1-row threshold broadcast, one global conditional-sum
+    aggregate unpivoted to 3 rows."""
     flags = quality_filter_flags(spark, sf_dir).select("doc_id", F.col("keep").alias("g"))
     nll = unigram_logprob(spark, sf_dir).select("doc_id", "n_tokens", "nll_nats")
     out = mad_outliers(spark, sf_dir).select(
@@ -820,7 +826,11 @@ def quality_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     thr = nll.agg(
         (
-            F.sum(F.col("nll_nats").cast("decimal(18,6)")).cast("double")
+            F.sum(
+                F.col("nll_nats").cast("decimal(19,6)")
+                * F.col("n_tokens").cast("decimal(10,0)")
+            )
+            .cast("double")
             / F.sum("n_tokens").cast("double")
         ).alias("thr")
     )
@@ -831,9 +841,7 @@ def quality_agreement_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "g",
             "m",
-            F.coalesce(
-                F.col("nll_nats") / F.col("n_tokens") <= F.col("thr"), F.lit(False)
-            ).alias("l"),
+            F.coalesce(F.col("nll_nats") <= F.col("thr"), F.lit(False)).alias("l"),
         )
     )
     col = {"gopher": "g", "lm": "l", "length": "m"}
@@ -896,12 +904,12 @@ WITH flags AS ({QUALITY_FILTER_FLAGS_SQL}),
 nll AS ({UNIGRAM_LOGPROB_SQL}),
 outl AS ({MAD_OUTLIERS_SQL}),
 thr AS (
-  SELECT CAST(SUM(CAST(nll_nats AS DECIMAL(18,6))) AS DOUBLE)
+  SELECT CAST(SUM(CAST(nll_nats AS DECIMAL(19,6)) * CAST(n_tokens AS DECIMAL(10,0))) AS DOUBLE)
          / CAST(SUM(n_tokens) AS DOUBLE) AS thr
   FROM nll
 ), per_doc AS (
   SELECT f.keep AS g,
-         COALESCE(n.nll_nats / n.n_tokens <= t.thr, FALSE) AS l,
+         COALESCE(n.nll_nats <= t.thr, FALSE) AS l,
          NOT o.is_outlier AS m
   FROM flags f
   LEFT JOIN nll n USING (doc_id)

@@ -743,16 +743,20 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     pair to its qualifying thresholds (bounded: df-capped candidates ×
     9) and two grid-keyed aggregations count pairs and distinct
     touched docs. The LEFT join from the grid keeps zero-pair
-    thresholds as explicit 0 rows."""
+    thresholds as explicit 0 rows. The grid compares the RAW jaccard
+    (with_raw seam) — the same value the production filter tests — so
+    the row at JACCARD_THRESHOLD equals the deployed pair count by
+    construction (a 6dp-rounded compare could count a pair the
+    production filter drops)."""
     from capstone_etl_spark.operators.dedup import _docs, jaccard_pairs
     from capstone_etl_spark.session import cached
 
-    pairs = cached(jaccard_pairs(_docs(spark, sf_dir), threshold=0.0))
+    pairs = cached(jaccard_pairs(_docs(spark, sf_dir), threshold=0.0, with_raw=True))
     grid = spark.range(1, SWEEP_STEPS + 1).select(
         (F.col("id").cast("double") / 10.0).alias("threshold")
     )
     qual = pairs.join(
-        F.broadcast(grid), F.col("jaccard") >= F.col("threshold")
+        F.broadcast(grid), F.col("jaccard_raw") >= F.col("threshold")
     ).transform(cached)
     n_pairs = qual.groupBy("threshold").agg(F.count("*").cast("long").alias("n_pairs"))
     n_docs = (
@@ -778,14 +782,14 @@ def _dedup_threshold_sweep_sql() -> str:
 
     return (
         _SHINGLES_CTE
-        + jaccard_pairs_cte(None)
+        + jaccard_pairs_cte(None, with_raw=True)
         + f"""
 , grid AS (
   SELECT CAST(i AS DOUBLE) / 10.0 AS threshold
   FROM (SELECT UNNEST(range(1, {SWEEP_STEPS + 1})) AS i)
 ), qual AS (
   SELECT g.threshold, p.doc_a, p.doc_b
-  FROM pairs p JOIN grid g ON p.jaccard >= g.threshold
+  FROM pairs p JOIN grid g ON p.jaccard_raw >= g.threshold
 ), np AS (
   SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM qual GROUP BY 1
 ), nd AS (

@@ -393,8 +393,13 @@ def label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
     RE-QUANTIZED to the grid (floor(sum/n + 0.5) — kmeans_lloyd's
     argument: the int/int division is exact-rounded identically below
     2^53), so every scatter term is exact int64 and the single double
-    division happens at the end, 0-pinned when within_ss = 0 (identical
-    vectors). 100 TB: one posexplode scan, two (label,d)- and
+    division happens at the end. within_ss = 0 splits by meaning:
+    between_ss = 0 too → 0.0 (fully degenerate — every vector
+    identical, nothing separates), between_ss > 0 → NULL (UNBOUNDED
+    separation: the class collapsed to a point away from the global
+    centroid — the best case, which a 0-pin would rank WORST; NULL
+    sorts apart from every finite ratio and both engines emit it
+    identically). 100 TB: one posexplode scan, two (label,d)- and
     d-keyed aggs (K·dim and dim rows), one broadcast join back — the
     same shape as the Lloyd update step, no per-pair work anywhere."""
     scaled = cached(
@@ -442,7 +447,10 @@ def label_separability(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_vecs",
         "within_ss",
         "between_ss",
-        F.when(F.col("within_ss") == 0, F.lit(0.0))
+        F.when(
+            (F.col("within_ss") == 0) & (F.col("between_ss") == 0), F.lit(0.0)
+        )
+        .when(F.col("within_ss") == 0, F.lit(None).cast("double"))
         .otherwise(
             F.round(
                 F.col("between_ss").cast("double") / F.col("within_ss").cast("double"),
@@ -478,7 +486,8 @@ WITH scaled AS (
   GROUP BY 1
 )
 SELECT w.label, b.n_vecs, w.within_ss, b.between_ss,
-       CASE WHEN w.within_ss = 0 THEN 0.0
+       CASE WHEN w.within_ss = 0 AND b.between_ss = 0 THEN 0.0
+            WHEN w.within_ss = 0 THEN NULL
             ELSE ROUND(CAST(b.between_ss AS DOUBLE) / CAST(w.within_ss AS DOUBLE), 6)
        END AS separability
 FROM within w JOIN between_ b USING (label)

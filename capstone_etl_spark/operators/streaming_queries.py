@@ -1041,49 +1041,25 @@ def _stream_ann_topk_sql() -> str:
 
 def stream_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC apply AT INGEST — the streaming form of
-    events.changelog_apply: change records arrive as a stream, the
-    per-key last-writer-wins state is ONE max(struct) + two counters
-    per user evolved across micro-batches (max/count/sum are all
-    associative, so the complete-mode state merges per batch exactly
-    like per-shard partial argmaxes would at 100 TB), and the drained
-    snapshot — tombstones filtered in the final projection — must
-    equal the batch apply row-for-row (same oracle; also pinned
+    events.changelog_apply, built from the SAME changelog_state /
+    changelog_snapshot pair so the two forms cannot drift: change
+    records arrive as a stream, the per-key last-writer-wins state is
+    ONE max(struct) + two counters per user evolved across
+    micro-batches (every aggregate is associative, so the
+    complete-mode state merges per batch exactly like per-shard
+    partial argmaxes would at 100 TB), and the drained snapshot —
+    tombstones filtered in the shared final projection — must equal
+    the batch apply row-for-row (same oracle; also pinned
     Spark-vs-Spark in tests)."""
-    from capstone_etl_spark.operators.events import CDC_DELETE_TYPE
+    from capstone_etl_spark.operators.events import changelog_snapshot, changelog_state
 
-    def transform(s: DataFrame, wm: str) -> DataFrame:
-        ev = s.withWatermark("ts", wm).select(
-            "user_id",
-            F.col("ts").cast("long").alias("ts_sec"),
-            "event_id",
-            "event_type",
-            "value",
-        )
-        return ev.groupBy("user_id").agg(
-            F.max(
-                F.struct(
-                    F.col("ts_sec").alias("ts_sec"),
-                    F.col("event_id").alias("event_id"),
-                    F.col("event_type").alias("event_type"),
-                    F.col("value").alias("value"),
-                )
-            ).alias("w"),
-            F.count("*").cast("long").alias("n_changes"),
-            F.sum((F.col("event_type") == CDC_DELETE_TYPE).cast("long")).alias(
-                "n_deletes"
-            ),
-        )
-
-    snap = _run(spark, sf_dir, transform, "complete")
-    return snap.filter(F.col("w.event_type") != CDC_DELETE_TYPE).select(
-        "user_id",
-        F.col("w.ts_sec").alias("last_ts"),
-        F.col("w.event_id").alias("last_event_id"),
-        F.col("w.event_type").alias("last_type"),
-        F.col("w.value").alias("last_value"),
-        "n_changes",
-        "n_deletes",
+    snap = _run(
+        spark,
+        sf_dir,
+        lambda s, wm: changelog_state(s.withWatermark("ts", wm)),
+        "complete",
     )
+    return changelog_snapshot(snap)
 
 
 QUERIES = {

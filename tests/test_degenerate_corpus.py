@@ -211,8 +211,9 @@ EMB_NAMES = [
     # all pairs are in-radius and the probe/assign tiebreaks must
     # produce the identical candidate set in both engines
     "ann_radius_search",
-    # identical vectors → within_ss = 0 for both labels: the 0-pin
-    # (not NULL, not inf) must fire identically in both engines
+    # identical vectors → within_ss = between_ss = 0 for both labels:
+    # the fully-degenerate 0.0 branch (not NULL, not inf) must fire
+    # identically in both engines
     "label_separability",
 ]
 

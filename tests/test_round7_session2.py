@@ -128,8 +128,33 @@ def test_label_separability_tie_out(spark, sf_dir):
         assert r.within_ss >= 0 and r.between_ss >= 0
         if r.within_ss > 0:
             assert abs(r.separability - r.between_ss / r.within_ss) < 1e-6
+        elif r.between_ss == 0:
+            assert r.separability == 0.0  # fully degenerate class
         else:
-            assert r.separability == 0.0
+            assert r.separability is None  # unbounded (perfect) separation
+
+
+def test_label_separability_perfect_separation_is_null(spark, tmp_path):
+    """Each label collapsed to its own point away from the global
+    centroid: within_ss = 0 with between_ss > 0 must yield NULL (the
+    unbounded-separation sentinel), never 0.0 — a 0-pin would rank the
+    best case worst."""
+    import pandas as pd
+
+    from capstone_etl_spark.operators.similarity import label_separability
+
+    dim = 64
+    rows = [(i, [0.1 if i % 2 == 0 else 0.5] * dim, i % 2) for i in range(6)]
+    pdf = pd.DataFrame(rows, columns=["vec_id", "embedding", "label"])
+    pdf["vec_id"] = pdf["vec_id"].astype("int64")
+    pdf["label"] = pdf["label"].astype("int32")
+    pdf.to_parquet(str(tmp_path / "embeddings.parquet"))
+
+    out = {r.label: r for r in label_separability(spark, str(tmp_path)).collect()}
+    for lbl in (0, 1):
+        assert out[lbl].within_ss == 0
+        assert out[lbl].between_ss > 0
+        assert out[lbl].separability is None
 
 
 def test_quality_agreement_matrix_counts_tie_out(spark, sf_dir):
