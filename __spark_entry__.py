@@ -73,6 +73,8 @@ _PRIORITY = [
     "tokenizer_comparison",
     "ann_radius_search",
     "label_separability",
+    "dedup_aware_weights",
+    "stream_ivf_assign",
     # Block 3: family canaries - every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span); each
     # is driver-green in r4-r6.

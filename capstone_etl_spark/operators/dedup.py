@@ -1371,6 +1371,48 @@ HAVING COUNT(*) >= {TEMPLATE_MIN_DOCS}
 """
 
 
+def dedup_aware_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, cluster_size, n_docs, weight_each) — repetition-aware
+    sampling weights, the SOFT alternative to keep-one dedup: instead
+    of hard-dropping near-dup copies, every member of a size-k cluster
+    samples at weight 1/k, so each duplicated content unit contributes
+    exactly one effective document to the training mix (the
+    deduplicate-by-downweighting recipe). Emitted per (source,
+    cluster_size) so no cross-size floating sum ever happens inside
+    the query — counts are exact ints, the weight is one division per
+    row, and the consumer (the mixing stage) does its own weighted
+    draw. 100 TB: dedup_clusters' audited CC plan plus one uniform
+    (source, size)-keyed aggregation; singletons ride through as
+    cluster_size 1, weight 1.0."""
+    clusters = dedup_clusters(spark, sf_dir).select("doc_id", "n_members")
+    src = _docs(spark, sf_dir).select("doc_id", "source")
+    return (
+        clusters.join(src, "doc_id")
+        .groupBy("source", F.col("n_members").alias("cluster_size"))
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .select(
+            "source",
+            "cluster_size",
+            "n_docs",
+            F.round(
+                F.lit(1.0) / F.col("cluster_size").cast("double"), 6
+            ).alias("weight_each"),
+        )
+    )
+
+
+def _dedup_aware_weights_sql() -> str:
+    return f"""
+WITH clusters AS MATERIALIZED ({DEDUP_CLUSTERS_SQL})
+SELECT d.source,
+       c.n_members AS cluster_size,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       ROUND(CAST(1 AS DOUBLE) / CAST(c.n_members AS DOUBLE), 6) AS weight_each
+FROM clusters c JOIN documents d USING (doc_id)
+GROUP BY 1, 2
+"""
+
+
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
@@ -1378,6 +1420,7 @@ QUERIES = {
     "dedup_simhash": simhash_pairs,
     "dedup_agreement": dedup_agreement,
     "dedup_clusters": dedup_clusters,
+    "dedup_aware_weights": dedup_aware_weights,
     "decontamination": benchmark_decontamination,
     "decontamination_spans": decontamination_spans,
     "gram_novelty": gram_novelty,
@@ -1396,6 +1439,7 @@ ORACLE_SQL = {
     "dedup_simhash": SIMHASH_PAIRS_SQL,
     "dedup_agreement": DEDUP_AGREEMENT_SQL,
     "dedup_clusters": DEDUP_CLUSTERS_SQL,
+    "dedup_aware_weights": _dedup_aware_weights_sql(),
     "decontamination": DECONTAMINATION_SQL,
     "decontamination_spans": DECONTAMINATION_SPANS_SQL,
     "gram_novelty": GRAM_NOVELTY_SQL,

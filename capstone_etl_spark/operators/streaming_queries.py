@@ -1062,6 +1062,88 @@ def stream_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     return changelog_snapshot(snap)
 
 
+def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX MAINTENANCE at ingest — the corpus-side twin of
+    stream_ann_topk (which streams the QUERY side against a static
+    index): vectors arrive as a stream, each one picks its Voronoi
+    cell against the static quantizer seeds, and the complete-mode
+    per-cell population table is the live index balance dashboard —
+    drained, it must equal the batch ivf_cell_balance (same oracle,
+    ANN_IVF's cell semantics).
+
+    Streaming shape: the argmin is PER-ROW column math (no window, no
+    state beyond the cell counters): the ≈√N seed table rides in as a
+    1-row collect_list broadcast, each arriving vector folds one
+    integer distance per seed, and array_min over (d2, cell) structs
+    reproduces the batch argmin's exact tiebreak order-independently
+    (collect_list order is nondeterministic — array_min doesn't
+    care). The share/cap columns attach in the final batch projection
+    over the drained ≈√N-row table."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.operators.scaleaudit import CELL_CAP_FACTOR
+    from capstone_etl_spark.operators.similarity import (
+        CENTROID_SCALE,
+        quantizer_seeds,
+    )
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_emb_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        quant = F.transform(
+            "embedding",
+            lambda v: F.floor(v.cast("double") * CENTROID_SCALE + 0.5).cast("long"),
+        )
+        seeds = quantizer_seeds(emb.select("vec_id", quant.alias("vq")))
+        seed_row = seeds.agg(
+            F.collect_list(F.struct("cell", "sq")).alias("seedlist")
+        )
+        staging = f"{work}/staging"
+        emb.repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        d2_structs = F.transform(
+            F.col("seedlist"),
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("vq"), s["sq"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                s["cell"].alias("cell"),
+            ),
+        )
+        assigned = (
+            stream.select(quant.alias("vq"))
+            .join(F.broadcast(seed_row), F.lit(True))
+            .select(F.array_min(d2_structs)["cell"].alias("cell"))
+        )
+        agg = assigned.groupBy("cell").agg(F.count("*").cast("long").alias("pop"))
+        snap = run_to_memory(agg, f"{work}/checkpoint", output_mode="complete")
+        total = snap.agg(F.sum("pop").cast("double").alias("n_vec"))
+        cap = F.ceil(F.lit(CELL_CAP_FACTOR) * F.sqrt(F.col("n_vec"))).cast("long")
+        return snap.join(F.broadcast(total), F.lit(True)).select(
+            "cell",
+            "pop",
+            F.round(F.col("pop") / F.col("n_vec"), 6).alias("share"),
+            (F.col("pop") > cap).alias("over_cap"),
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stream_ivf_assign_sql() -> str:
+    from capstone_etl_spark.operators.scaleaudit import _ivf_cell_balance_sql
+
+    return _ivf_cell_balance_sql()
+
+
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
     "stream_sliding_windows": stream_sliding_windows,
@@ -1081,6 +1163,7 @@ QUERIES = {
     "stream_dedup_incremental": stream_dedup_incremental,
     "stream_ann_topk": stream_ann_topk,
     "stream_changelog_apply": stream_changelog_apply,
+    "stream_ivf_assign": stream_ivf_assign,
 }
 
 ORACLE_SQL = {
@@ -1102,4 +1185,5 @@ ORACLE_SQL = {
     "stream_dedup_incremental": _stream_dedup_incremental_sql(),
     "stream_ann_topk": _stream_ann_topk_sql(),
     "stream_changelog_apply": CHANGELOG_APPLY_SQL,
+    "stream_ivf_assign": _stream_ivf_assign_sql(),
 }

@@ -378,4 +378,5 @@ HEADLINE: list[str] = [
     "tokenizer_comparison",
     "ann_radius_search",
     "label_separability",
+    "dedup_aware_weights",
 ]

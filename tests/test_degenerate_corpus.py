@@ -142,6 +142,9 @@ NAMES = [
     # scarce merges + out-of-model huge token: the unigram coverage
     # mass must differ from BPE's by exactly the out-of-model words
     "tokenizer_comparison",
+    # the repeated-'the' docs form the only real cluster; every other
+    # doc must ride through as a singleton at weight exactly 1.0
+    "dedup_aware_weights",
 ]
 
 

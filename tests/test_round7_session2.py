@@ -134,6 +134,41 @@ def test_label_separability_tie_out(spark, sf_dir):
             assert r.separability is None  # unbounded (perfect) separation
 
 
+def test_dedup_aware_weights_conserves_docs(spark, sf_dir):
+    """Every document appears in exactly one (source, cluster_size)
+    cell, the weight is exactly 1/size, and the effective-document
+    mass never exceeds the raw count."""
+    from capstone_etl_spark.operators.dedup import dedup_aware_weights
+    from capstone_etl_spark.sources.tables import load_table
+
+    rows = dedup_aware_weights(spark, sf_dir).collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r.n_docs for r in rows) == n_docs
+    effective = 0.0
+    for r in rows:
+        assert r.cluster_size >= 1
+        assert abs(r.weight_each - round(1.0 / r.cluster_size, 6)) < 1e-9
+        effective += r.n_docs * (1.0 / r.cluster_size)
+    assert effective <= n_docs
+    assert any(r.cluster_size == 1 and r.weight_each == 1.0 for r in rows)
+
+
+def test_stream_ivf_assign_equals_batch(spark, sf_dir):
+    """The drained streaming cell-population table must equal the
+    batch ivf_cell_balance row-for-row (same oracle, but pinned
+    Spark-vs-Spark too: per-row array_min assignment across
+    micro-batches vs the batch groupBy argmin)."""
+    from capstone_etl_spark.operators.scaleaudit import ivf_cell_balance
+    from capstone_etl_spark.operators.streaming_queries import stream_ivf_assign
+
+    batch = {r.cell: (r.pop, r.share, r.over_cap) for r in ivf_cell_balance(spark, sf_dir).collect()}
+    streamed = {
+        r.cell: (r.pop, r.share, r.over_cap)
+        for r in stream_ivf_assign(spark, sf_dir).collect()
+    }
+    assert streamed == batch
+
+
 def test_label_separability_perfect_separation_is_null(spark, tmp_path):
     """Each label collapsed to its own point away from the global
     centroid: within_ss = 0 with between_ss > 0 must yield NULL (the
