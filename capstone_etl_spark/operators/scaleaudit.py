@@ -741,9 +741,11 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     production pair join — the threshold filter is post-join, so the
     sweep is free beyond it), then a 9-row grid broadcast expands each
     pair to its qualifying thresholds (bounded: df-capped candidates ×
-    9) and two grid-keyed aggregations count pairs and distinct
-    touched docs. The LEFT join from the grid keeps zero-pair
-    thresholds as explicit 0 rows. The grid compares the RAW jaccard
+    9), and ONE grid-keyed aggregation over the exploded (threshold,
+    doc) rows yields both counts — every pair contributes exactly two
+    rows, so n_pairs = rows div 2 while n_docs is the distinct count;
+    one consumer, no cache, no second scan. The LEFT join from the
+    grid keeps zero-pair thresholds as explicit 0 rows. The grid compares the RAW jaccard
     (with_raw seam) — the same value the production filter tests — so
     the row at JACCARD_THRESHOLD equals the deployed pair count by
     construction (a 6dp-rounded compare could count a pair the
@@ -751,29 +753,23 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     from capstone_etl_spark.operators.dedup import _docs, jaccard_pairs
     from capstone_etl_spark.session import cached
 
-    pairs = cached(jaccard_pairs(_docs(spark, sf_dir), threshold=0.0, with_raw=True))
+    pairs = jaccard_pairs(_docs(spark, sf_dir), threshold=0.0, with_raw=True)
     grid = spark.range(1, SWEEP_STEPS + 1).select(
         (F.col("id").cast("double") / 10.0).alias("threshold")
     )
-    qual = pairs.join(
-        F.broadcast(grid), F.col("jaccard_raw") >= F.col("threshold")
-    ).transform(cached)
-    n_pairs = qual.groupBy("threshold").agg(F.count("*").cast("long").alias("n_pairs"))
-    n_docs = (
-        qual.select(
-            "threshold", F.explode(F.array("doc_a", "doc_b")).alias("doc_id")
-        )
+    stats = (
+        pairs.join(F.broadcast(grid), F.col("jaccard_raw") >= F.col("threshold"))
+        .select("threshold", F.explode(F.array("doc_a", "doc_b")).alias("doc_id"))
         .groupBy("threshold")
-        .agg(F.count_distinct("doc_id").cast("long").alias("n_docs"))
-    )
-    return (
-        grid.join(n_pairs, "threshold", "left")
-        .join(n_docs, "threshold", "left")
-        .select(
-            "threshold",
-            F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias("n_pairs"),
-            F.coalesce(F.col("n_docs"), F.lit(0).cast("long")).alias("n_docs"),
+        .agg(
+            F.expr("count(1) div 2").alias("n_pairs"),
+            F.count_distinct("doc_id").cast("long").alias("n_docs"),
         )
+    )
+    return grid.join(stats, "threshold", "left").select(
+        "threshold",
+        F.coalesce(F.col("n_pairs"), F.lit(0).cast("long")).alias("n_pairs"),
+        F.coalesce(F.col("n_docs"), F.lit(0).cast("long")).alias("n_docs"),
     )
 
 
@@ -787,24 +783,23 @@ def _dedup_threshold_sweep_sql() -> str:
 , grid AS (
   SELECT CAST(i AS DOUBLE) / 10.0 AS threshold
   FROM (SELECT UNNEST(range(1, {SWEEP_STEPS + 1})) AS i)
-), qual AS (
-  SELECT g.threshold, p.doc_a, p.doc_b
-  FROM pairs p JOIN grid g ON p.jaccard_raw >= g.threshold
-), np AS (
-  SELECT threshold, CAST(COUNT(*) AS BIGINT) AS n_pairs FROM qual GROUP BY 1
-), nd AS (
-  SELECT threshold, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs FROM (
-    SELECT threshold, doc_a AS doc_id FROM qual
+), stats AS (
+  SELECT threshold,
+         CAST(COUNT(*) // 2 AS BIGINT) AS n_pairs,
+         CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM (
+    SELECT g.threshold, p.doc_a AS doc_id
+    FROM pairs p JOIN grid g ON p.jaccard_raw >= g.threshold
     UNION ALL
-    SELECT threshold, doc_b AS doc_id FROM qual) t
+    SELECT g.threshold, p.doc_b AS doc_id
+    FROM pairs p JOIN grid g ON p.jaccard_raw >= g.threshold) t
   GROUP BY 1
 )
 SELECT g.threshold,
-       COALESCE(np.n_pairs, 0) AS n_pairs,
-       COALESCE(nd.n_docs, 0) AS n_docs
+       COALESCE(s.n_pairs, 0) AS n_pairs,
+       COALESCE(s.n_docs, 0) AS n_docs
 FROM grid g
-LEFT JOIN np USING (threshold)
-LEFT JOIN nd USING (threshold)
+LEFT JOIN stats s USING (threshold)
 """
     )
 
