@@ -75,6 +75,7 @@ _PRIORITY = [
     "label_separability",
     "dedup_aware_weights",
     "stream_ivf_assign",
+    "hll_distinct_sketch",
     # Block 3: family canaries - every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span); each
     # is driver-green in r4-r6.

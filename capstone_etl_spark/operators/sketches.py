@@ -439,6 +439,126 @@ GROUP BY probe_set
 BLOOM_MEMBERSHIP_SQL = _bloom_sql()
 
 
+# --- Deterministic HyperLogLog ------------------------------------------------
+#
+# The register-based distinct sketch (Flajolet et al. 2007) made
+# oracle-checkable: Spark's native approx_count_distinct is HLL++ with
+# engine-private hashing (tested for accuracy in test_sketches.py but
+# never value-comparable), so this operator builds CLASSIC HLL from
+# the portable md5-60 hash — top 6 bits pick one of m=64 registers,
+# the remaining 54 bits' leading-zero count (+1) is the rank, and the
+# harmonic sum is computed as Σ 2^(55−reg) in EXACT int64 (max 64
+# terms ≤ 2^55 each), so both engines derive the identical estimate.
+# Small-range correction (linear counting on empty registers) is
+# branch-mirrored; the large-range correction is omitted — irrelevant
+# below ~2^50 distinct values in a 60-bit hash space. Register state
+# is m integers per group, merged by element-wise MAX — the
+# defining mergeability that lets 100 TB shards union for free.
+HLL_M = 64          # registers (top 6 hash bits)
+HLL_W_BITS = 54     # rank window; rho = 55 - bit_length(w), w=0 -> 55
+# alpha_64 * m^2 * 2^55 precomputed so both engines divide the same literal
+HLL_NUMER = 0.709 * (HLL_M * HLL_M) * float(2**55)
+
+
+def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source distinct-token cardinality: exact count, the
+    deterministic-HLL estimate, empty-register count, which estimator
+    branch fired, and the relative error — kmv_distinct_shingles'
+    register-based sibling (same audit row, different sketch family;
+    KMV keeps k order statistics, HLL keeps m maxima).
+
+    Plan: one tokenize pass → distinct (source, token) (the only
+    corpus-scale shuffle, shared by the exact count and the register
+    build), then a ≤(sources × 64)-row register relation and one
+    per-source fold. The rank uses bit_length via length(bin(w)) —
+    integer-exact in both engines (length_histogram's trick)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = cached(
+        docs.select("source", F.explode(tokenize("text")).alias("token")).distinct()
+    )
+    exact = toks.groupBy("source").agg(F.count("*").cast("long").alias("n_exact"))
+    h = md5_hash60(F.concat(F.lit("hll:"), F.col("token")))
+    hashed = toks.select(
+        "source",
+        F.shiftright(h, HLL_W_BITS).alias("bucket"),
+        h.bitwiseAND(F.lit(2**HLL_W_BITS - 1)).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.expr("bin(w)"))
+    )
+    regs = (
+        hashed.select("source", "bucket", rho.alias("rho"))
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_W_BITS + 1} - reg AS INT))")
+    per_src = regs.groupBy("source").agg(
+        F.sum(term).alias("s_present"),
+        F.count("*").alias("n_present"),
+    )
+    v = F.lit(HLL_M) - F.col("n_present")
+    s = F.col("s_present") + v * F.lit(2**(HLL_W_BITS + 1)).cast("long")
+    e_raw = F.lit(HLL_NUMER) / s.cast("double")
+    lc = (e_raw <= 2.5 * HLL_M) & (v > 0)
+    e = F.when(lc, F.lit(float(HLL_M)) * F.log(F.lit(float(HLL_M)) / v.cast("double"))).otherwise(e_raw)
+    return (
+        exact.join(per_src, "source")
+        .select(
+            "source",
+            "n_exact",
+            v.cast("long").alias("n_zero_registers"),
+            lc.alias("linear_counting"),
+            F.round(e, 6).alias("hll_estimate"),
+            F.round(F.abs(e - F.col("n_exact")) / F.col("n_exact"), 6).alias("rel_error"),
+        )
+    )
+
+
+HLL_DISTINCT_SKETCH_SQL = f"""
+WITH toks AS (
+  SELECT DISTINCT source, tok AS token FROM (
+    SELECT source,
+           UNNEST(list_filter(
+             string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+             x -> x <> '')) AS tok
+    FROM documents) t
+), exact AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_exact FROM toks GROUP BY 1
+), hashed AS (
+  SELECT source,
+         {md5_hash60_sql("'hll:' || token")} >> {HLL_W_BITS} AS bucket,
+         {md5_hash60_sql("'hll:' || token")} & {2**HLL_W_BITS - 1} AS w
+  FROM toks
+), regs AS (
+  SELECT source, bucket,
+         MAX(CASE WHEN w = 0 THEN {HLL_W_BITS + 1}
+                  ELSE {HLL_W_BITS + 1} - length(bin(w)) END) AS reg
+  FROM hashed GROUP BY 1, 2
+), per_src AS (
+  SELECT source,
+         CAST(SUM(1::BIGINT << CAST({HLL_W_BITS + 1} - reg AS INT)) AS BIGINT) AS s_present,
+         CAST(COUNT(*) AS BIGINT) AS n_present
+  FROM regs GROUP BY 1
+), scored AS (
+  SELECT e.source, e.n_exact,
+         CAST({HLL_M} - p.n_present AS BIGINT) AS n_zero_registers,
+         {HLL_NUMER!r} / CAST(p.s_present + ({HLL_M} - p.n_present) * {2**(HLL_W_BITS + 1)} AS DOUBLE) AS e_raw
+  FROM exact e JOIN per_src p USING (source)
+), est AS (
+  SELECT source, n_exact, n_zero_registers,
+         (e_raw <= {2.5 * HLL_M!r} AND n_zero_registers > 0) AS linear_counting,
+         CASE WHEN e_raw <= {2.5 * HLL_M!r} AND n_zero_registers > 0
+              THEN {float(HLL_M)!r} * ln({float(HLL_M)!r} / CAST(n_zero_registers AS DOUBLE))
+              ELSE e_raw END AS e
+  FROM scored
+)
+SELECT source, n_exact, n_zero_registers, linear_counting,
+       ROUND(e, 6) AS hll_estimate,
+       ROUND(ABS(e - n_exact) / n_exact, 6) AS rel_error
+FROM est
+"""
+
+
 # --- Count-Min join-size estimation -------------------------------------------
 #
 # The fifth sketch application: estimating |A ⋈ B| from two Count-Min
@@ -708,11 +828,13 @@ QUERIES = {
     "bloom_membership": bloom_membership,
     "cms_join_size": cms_join_size,
     "histogram_quantiles": histogram_quantiles,
+    "hll_distinct_sketch": hll_distinct_sketch,
 }
 
 ORACLE_SQL = {
     "cms_join_size": CMS_JOIN_SIZE_SQL,
     "histogram_quantiles": HISTOGRAM_QUANTILES_SQL,
+    "hll_distinct_sketch": HLL_DISTINCT_SKETCH_SQL,
     "kmv_distinct_shingles": KMV_DISTINCT_SHINGLES_SQL,
     "kmv_source_overlap": KMV_SOURCE_OVERLAP_SQL,
     "count_min_error": COUNT_MIN_ERROR_SQL,

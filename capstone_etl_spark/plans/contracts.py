@@ -379,4 +379,5 @@ HEADLINE: list[str] = [
     "ann_radius_search",
     "label_separability",
     "dedup_aware_weights",
+    "hll_distinct_sketch",
 ]

@@ -145,6 +145,10 @@ NAMES = [
     # the repeated-'the' docs form the only real cluster; every other
     # doc must ride through as a singleton at weight exactly 1.0
     "dedup_aware_weights",
+    # near-empty vocabularies leave almost every register empty: the
+    # linear-counting branch (with its cross-engine ln) must fire
+    # identically in both engines
+    "hll_distinct_sketch",
 ]
 
 

@@ -60,7 +60,13 @@ def test_first_fifty_span_every_family():
         "textstats": ("text_quality", "zipf_fit", "language_id_confusion"),
         "quality": ("quality_filter_flags", "quality_filter_funnel", "difficulty_deciles"),
         "sketches": ("kmv_distinct_shingles", "kmv_source_overlap"),
-        "events": ("event_anomaly_zscore", "event_user_rank_profile"),
+        # event_changelog_apply joined the family in round-7 session 2
+        # and sits in the new-query head block, covering the window
+        "events": (
+            "event_anomaly_zscore",
+            "event_user_rank_profile",
+            "event_changelog_apply",
+        ),
     }
     absent = {
         fam: qlist

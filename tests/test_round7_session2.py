@@ -134,6 +134,64 @@ def test_label_separability_tie_out(spark, sf_dir):
             assert r.separability is None  # unbounded (perfect) separation
 
 
+def test_hll_sketch_accuracy_and_branching(spark, sf_dir):
+    """m=64 classic HLL carries ~1.04/√64 ≈ 13% standard error; assert
+    a loose 3-sigma bound per source, plus the structural invariants:
+    the zero-register count fits the register file, and the
+    linear-counting branch fires exactly when it should."""
+    from capstone_etl_spark.operators.sketches import HLL_M, hll_distinct_sketch
+
+    rows = hll_distinct_sketch(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_zero_registers <= HLL_M
+        assert r.hll_estimate > 0
+        assert r.rel_error <= 0.45  # 3-sigma-ish for m=64
+        if r.linear_counting:
+            assert r.n_zero_registers > 0
+
+
+def test_hll_registers_merge_by_max(spark, sf_dir):
+    """The sketch's defining property: element-wise MAX of per-source
+    register files equals the register file of the unioned stream —
+    verified by deriving the whole-corpus registers both ways."""
+    from pyspark.sql import functions as F
+
+    from capstone_etl_spark.functions.hashing import md5_hash60
+    from capstone_etl_spark.functions.text import tokenize
+    from capstone_etl_spark.operators.sketches import HLL_W_BITS
+    from capstone_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", F.explode(tokenize("text")).alias("token")).distinct()
+    h = md5_hash60(F.concat(F.lit("hll:"), F.col("token")))
+    hashed = toks.select(
+        "source",
+        F.shiftright(h, HLL_W_BITS).alias("bucket"),
+        h.bitwiseAND(F.lit(2**HLL_W_BITS - 1)).alias("w"),
+    )
+    rho = F.when(F.col("w") == 0, F.lit(HLL_W_BITS + 1)).otherwise(
+        F.lit(HLL_W_BITS + 1) - F.length(F.expr("bin(w)"))
+    )
+    per_source = (
+        hashed.select("source", "bucket", rho.alias("rho"))
+        .groupBy("source", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    merged = {
+        (r.bucket,): r.m
+        for r in per_source.groupBy("bucket").agg(F.max("reg").alias("m")).collect()
+    }
+    direct = {
+        (r.bucket,): r.m
+        for r in hashed.select("bucket", rho.alias("rho"))
+        .groupBy("bucket")
+        .agg(F.max("rho").alias("m"))
+        .collect()
+    }
+    assert merged == direct
+
+
 def test_dedup_aware_weights_conserves_docs(spark, sf_dir):
     """Every document appears in exactly one (source, cluster_size)
     cell, the weight is exactly 1/size, and the effective-document
