@@ -76,6 +76,7 @@ _PRIORITY = [
     "dedup_aware_weights",
     "stream_ivf_assign",
     "hll_distinct_sketch",
+    "stream_hll_sketch",
     # Block 3: family canaries - every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span); each
     # is driver-green in r4-r6.

@@ -477,6 +477,17 @@ def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", F.explode(tokenize("text")).alias("token")).distinct()
     )
     exact = toks.groupBy("source").agg(F.count("*").cast("long").alias("n_exact"))
+    regs = hll_rho_rows(toks).groupBy("source", "bucket").agg(
+        F.max("rho").alias("reg")
+    )
+    return hll_finalize(regs, exact)
+
+
+def hll_rho_rows(toks: DataFrame) -> DataFrame:
+    """(source, bucket, rho) per input token row — pure per-row column
+    math shared by the batch sketch and the streaming twin. Input need
+    NOT be distinct: HLL insertion is idempotent (a duplicate token
+    re-proposes the same rho to the same register's max)."""
     h = md5_hash60(F.concat(F.lit("hll:"), F.col("token")))
     hashed = toks.select(
         "source",
@@ -486,11 +497,13 @@ def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     rho = F.when(F.col("w") == 0, F.lit(HLL_W_BITS + 1)).otherwise(
         F.lit(HLL_W_BITS + 1) - F.length(F.expr("bin(w)"))
     )
-    regs = (
-        hashed.select("source", "bucket", rho.alias("rho"))
-        .groupBy("source", "bucket")
-        .agg(F.max("rho").alias("reg"))
-    )
+    return hashed.select("source", "bucket", rho.alias("rho"))
+
+
+def hll_finalize(regs: DataFrame, exact: DataFrame) -> DataFrame:
+    """The estimator tail over a (source, bucket, reg) register file +
+    (source, n_exact) truth — shared by batch and streaming forms so
+    the arithmetic cannot drift."""
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST({HLL_W_BITS + 1} - reg AS INT))")
     per_src = regs.groupBy("source").agg(
         F.sum(term).alias("s_present"),

@@ -1138,10 +1138,60 @@ def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stream_hll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The HLL register file built AT INGEST — the sketch family's
+    cleanest streaming twin because HLL insertion is IDEMPOTENT (a
+    duplicate token re-proposes the same rank to the same register's
+    max), so the stream needs NO dropDuplicates and no custom state:
+    one complete-mode groupBy-MAX over (source, bucket) is the whole
+    operator, and re-delivered rows cannot corrupt it. Drained, the
+    register file equals the batch sketch's exactly; the shared
+    hll_finalize tail (estimator arithmetic) and the static exact
+    counts produce the identical audit row — batch oracle verbatim."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.functions.text import tokenize
+    from capstone_etl_spark.operators.sketches import hll_finalize, hll_rho_rows
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_hll_")
+    try:
+        staging = f"{work}/staging"
+        docs = load_table(spark, sf_dir, "documents")
+        docs.repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        toks = stream.select("source", F.explode(tokenize("text")).alias("token"))
+        agg = hll_rho_rows(toks).groupBy("source", "bucket").agg(
+            F.max("rho").alias("reg")
+        )
+        snap = run_to_memory(agg, f"{work}/checkpoint", output_mode="complete")
+        exact = (
+            docs.select("source", F.explode(tokenize("text")).alias("token"))
+            .distinct()
+            .groupBy("source")
+            .agg(F.count("*").cast("long").alias("n_exact"))
+        )
+        return hll_finalize(snap, exact)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def _stream_ivf_assign_sql() -> str:
     from capstone_etl_spark.operators.scaleaudit import _ivf_cell_balance_sql
 
     return _ivf_cell_balance_sql()
+
+
+def _stream_hll_sketch_sql() -> str:
+    from capstone_etl_spark.operators.sketches import HLL_DISTINCT_SKETCH_SQL
+
+    return HLL_DISTINCT_SKETCH_SQL
 
 
 QUERIES = {
@@ -1164,6 +1214,7 @@ QUERIES = {
     "stream_ann_topk": stream_ann_topk,
     "stream_changelog_apply": stream_changelog_apply,
     "stream_ivf_assign": stream_ivf_assign,
+    "stream_hll_sketch": stream_hll_sketch,
 }
 
 ORACLE_SQL = {
@@ -1186,4 +1237,5 @@ ORACLE_SQL = {
     "stream_ann_topk": _stream_ann_topk_sql(),
     "stream_changelog_apply": CHANGELOG_APPLY_SQL,
     "stream_ivf_assign": _stream_ivf_assign_sql(),
+    "stream_hll_sketch": _stream_hll_sketch_sql(),
 }

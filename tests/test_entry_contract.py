@@ -59,7 +59,15 @@ def test_first_fifty_span_every_family():
         "rangejoin": ("campaign_window_stats",),
         "textstats": ("text_quality", "zipf_fit", "language_id_confusion"),
         "quality": ("quality_filter_flags", "quality_filter_funnel", "difficulty_deciles"),
-        "sketches": ("kmv_distinct_shingles", "kmv_source_overlap"),
+        # the round-7 session-2 sketches sit in the new-query head
+        # block, covering the window alongside the KMV canaries
+        "sketches": (
+            "kmv_distinct_shingles",
+            "kmv_source_overlap",
+            "cms_join_size",
+            "histogram_quantiles",
+            "hll_distinct_sketch",
+        ),
         # event_changelog_apply joined the family in round-7 session 2
         # and sits in the new-query head block, covering the window
         "events": (
