@@ -78,13 +78,15 @@ _PRIORITY = [
     "hll_distinct_sketch",
     "stream_hll_sketch",
     # Block 3: family canaries - every operator family keeps >=1 row in
-    # the window (tests/test_entry_contract.py enforces the span); each
-    # is driver-green in r4-r6.
+    # the window (tests/test_entry_contract.py enforces the span,
+    # counting the session-2 head-block members of each family); each
+    # is driver-green in r4-r6. ann_recall_eval and kmeans_lloyd moved
+    # to Block 4: their families are already covered in-window by the
+    # head block (ann_radius_search, kmeans_silhouette), which frees
+    # the last two slots for kmv_source_overlap / event_anomaly_zscore.
     "mixing_allocation",
     "dedup_agreement",
     "repeated_ngram_spans",
-    "ann_recall_eval",
-    "kmeans_lloyd",
     "bm25_topk",
     "stream_quality_funnel",
     "multimodal_frame_dedup",
@@ -100,6 +102,8 @@ _PRIORITY = [
     "event_anomaly_zscore",
     # Block 4: least-recently-attested (r2/r3 rows only) — the driver's
     # extra sampling refreshes the stalest signal first.
+    "ann_recall_eval",
+    "kmeans_lloyd",
     "winnowing_pairs",
     "stream_kmv_sketch",
     "language_id_confusion",

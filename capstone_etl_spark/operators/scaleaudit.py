@@ -188,17 +188,10 @@ def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     as ann_ivf_topk (the seeds travel as one broadcast array), then
     groupBy(cell).count() and a 1-row corpus total broadcast back for
     the share/cap columns. The output is ≈√N rows."""
-    from capstone_etl_spark.operators.similarity import (
-        CENTROID_SCALE,
-        quantizer_seeds,
-    )
+    from capstone_etl_spark.operators.similarity import quantize_fp, quantizer_seeds
 
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.transform(
-        "embedding",
-        lambda v: F.floor(v.cast("double") * CENTROID_SCALE + 0.5).cast("long"),
-    )
-    emb_q = emb.select("vec_id", quant.alias("vq"))
+    emb_q = emb.select("vec_id", quantize_fp().alias("vq"))
     seeds = quantizer_seeds(emb_q)
     d2_col = F.aggregate(
         F.zip_with("vq", "sq", lambda x, y: (x - y) * (x - y)),
@@ -213,6 +206,13 @@ def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("m.cell").alias("cell"))
     )
     pops = assign.groupBy("cell").agg(F.count("*").cast("long").alias("pop"))
+    return _cell_balance_tail(pops)
+
+
+def _cell_balance_tail(pops: DataFrame) -> DataFrame:
+    """share/over_cap projection over a (cell, pop) relation — shared
+    by the batch balance audit and stream_ivf_assign's drained table
+    so the cap rule cannot drift between the two forms."""
     total = pops.agg(F.sum("pop").cast("double").alias("n_vec"))
     cap = F.ceil(F.lit(CELL_CAP_FACTOR) * F.sqrt(F.col("n_vec"))).cast("long")
     return (

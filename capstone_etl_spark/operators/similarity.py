@@ -340,6 +340,17 @@ WHERE {_COSINE_SQL.replace('qe', 'ea.embedding').replace('ne', 'eb.embedding')} 
 CENTROID_SCALE = 10_000  # fixed-point scale for exact accumulation
 
 
+def quantize_fp(col: str = "embedding"):
+    """floor(v·S + 0.5) over an embedding array — THE fixed-point grid
+    every integer-exact distance in the ANN/k-means family derives
+    from. One definition (8 call sites across similarity/scaleaudit/
+    streaming) so the quantization rule cannot drift between the batch
+    operators and their streaming twins."""
+    return F.transform(
+        col, lambda v: F.floor(v.cast("double") * CENTROID_SCALE + 0.5).cast("long")
+    )
+
+
 def label_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF building block: per-label centroid (coarse quantizer), then
     each vector's distance-to-own-centroid. (IVF probe = same pattern
@@ -609,10 +620,7 @@ def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.transform(
-        "embedding",
-        lambda v: F.floor(v.cast("double") * CENTROID_SCALE + 0.5).cast("long"),
-    )
+    quant = quantize_fp()
     emb_q = emb.select("vec_id", quant.alias("vq"))
     seeds = quantizer_seeds(emb_q)
     d2_col = F.aggregate(
@@ -847,9 +855,7 @@ def embedding_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     one integer fold per (vector, seed, subspace); the per-(vec,m)
     argmin is a uniform-key aggregation. No corpus self-join."""
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.transform(
-        "embedding", lambda v: F.floor(v.cast("double") * CENTROID_SCALE + 0.5).cast("long")
-    )
+    quant = quantize_fp()
     emb_q = emb.select("vec_id", quant.alias("vq"))
     seeds = quantizer_seeds(emb_q)
     dists = _pq_subspace_dists(emb_q, seeds)
@@ -913,9 +919,7 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.transform(
-        "embedding", lambda v: F.floor(v.cast("double") * CENTROID_SCALE + 0.5).cast("long")
-    )
+    quant = quantize_fp()
     emb_q = emb.select("vec_id", quant.alias("vq"))
     seeds = quantizer_seeds(emb_q)
     dists = cached(_pq_subspace_dists(emb_q, seeds))
@@ -1009,9 +1013,7 @@ def ann_ivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     emb = load_table(spark, sf_dir, "embeddings")
-    quant = F.transform(
-        "embedding", lambda v: F.floor(v.cast("double") * CENTROID_SCALE + 0.5).cast("long")
-    )
+    quant = quantize_fp()
     emb_q = emb.select("vec_id", quant.alias("vq"))
     seeds = quantizer_seeds(emb_q)
     dists = cached(_pq_subspace_dists(emb_q, seeds))
@@ -1382,10 +1384,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and min(struct(d2, cell)) is the same (d2, cell)-lexicographic
     # argmin the oracle's ROW_NUMBER computes — no window, one groupBy
     # of N×cells rows.
-    quant = F.transform(
-        "embedding",
-        lambda v: F.floor(v.cast("double") * CENTROID_SCALE + 0.5).cast("long"),
-    )
+    quant = quantize_fp()
     emb_q = emb.select("vec_id", quant.alias("vq"))
     seeds = quantizer_seeds(emb_q)
     d2_col = F.aggregate(

@@ -929,10 +929,10 @@ def stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from capstone_etl_spark.functions.vectors import cosine
     from capstone_etl_spark.operators.similarity import (
-        CENTROID_SCALE,
         IVF_PROBES_MIN,
         N_QUERIES,
         TOP_K,
+        quantize_fp,
         quantizer_seeds,
     )
     from capstone_etl_spark.session import cached
@@ -941,10 +941,7 @@ def stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="spark_stream_emb_")
     try:
         emb = load_table(spark, sf_dir, "embeddings")
-        quant = F.transform(
-            "embedding",
-            lambda v: F.floor(v.cast("double") * CENTROID_SCALE + 0.5).cast("long"),
-        )
+        quant = quantize_fp()
         emb_q = emb.select("vec_id", quant.alias("vq"))
         seeds = quantizer_seeds(emb_q)
         d2_col = F.aggregate(
@@ -1082,23 +1079,22 @@ def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from capstone_etl_spark.operators.scaleaudit import CELL_CAP_FACTOR
-    from capstone_etl_spark.operators.similarity import (
-        CENTROID_SCALE,
-        quantizer_seeds,
-    )
+    from capstone_etl_spark.operators.scaleaudit import _cell_balance_tail
+    from capstone_etl_spark.operators.similarity import quantize_fp, quantizer_seeds
+    from capstone_etl_spark.session import cached
     from capstone_etl_spark.sources.tables import load_table
 
     work = tempfile.mkdtemp(prefix="spark_stream_emb_")
     try:
         emb = load_table(spark, sf_dir, "embeddings")
-        quant = F.transform(
-            "embedding",
-            lambda v: F.floor(v.cast("double") * CENTROID_SCALE + 0.5).cast("long"),
-        )
+        quant = quantize_fp()
         seeds = quantizer_seeds(emb.select("vec_id", quant.alias("vq")))
-        seed_row = seeds.agg(
-            F.collect_list(F.struct("cell", "sq")).alias("seedlist")
+        # cached: the stream-static join re-evaluates the static side
+        # EVERY micro-batch — without this the full embeddings scan +
+        # hash + collect_list subtree runs once per trigger
+        # (stream_ann_topk's discipline)
+        seed_row = cached(
+            seeds.agg(F.collect_list(F.struct("cell", "sq")).alias("seedlist"))
         )
         staging = f"{work}/staging"
         emb.repartition(4).write.parquet(staging)
@@ -1126,14 +1122,7 @@ def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         agg = assigned.groupBy("cell").agg(F.count("*").cast("long").alias("pop"))
         snap = run_to_memory(agg, f"{work}/checkpoint", output_mode="complete")
-        total = snap.agg(F.sum("pop").cast("double").alias("n_vec"))
-        cap = F.ceil(F.lit(CELL_CAP_FACTOR) * F.sqrt(F.col("n_vec"))).cast("long")
-        return snap.join(F.broadcast(total), F.lit(True)).select(
-            "cell",
-            "pop",
-            F.round(F.col("pop") / F.col("n_vec"), 6).alias("share"),
-            (F.col("pop") > cap).alias("over_cap"),
-        )
+        return _cell_balance_tail(snap)
     finally:
         shutil.rmtree(work, ignore_errors=True)
 

@@ -43,8 +43,11 @@ def test_first_fifty_span_every_family():
         "corpus": ("corpus_pipeline", "source_mixing_weights", "mixing_allocation"),
         "dedup": ("dedup_minhash_lsh", "dedup_clusters", "dedup_exact", "dedup_agreement"),
         "decontamination": ("decontamination", "repeated_ngram_spans"),
-        "ann": ("ann_lsh_topk", "ann_ivf_topk", "ann_recall_eval"),
-        "kmeans": ("kmeans_lloyd", "label_centroids"),
+        # ann_radius_search / kmeans_silhouette joined their families
+        # in round-7 session 2 and sit in the head block, covering the
+        # window for the demoted r4-green canaries
+        "ann": ("ann_lsh_topk", "ann_ivf_topk", "ann_recall_eval", "ann_radius_search"),
+        "kmeans": ("kmeans_lloyd", "label_centroids", "kmeans_silhouette"),
         "doc_similarity": ("doc_similarity_topk", "bm25_topk"),
         "streaming": (
             "stream_tumbling_windows", "stream_user_sessions",

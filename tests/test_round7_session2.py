@@ -157,37 +157,21 @@ def test_hll_registers_merge_by_max(spark, sf_dir):
     verified by deriving the whole-corpus registers both ways."""
     from pyspark.sql import functions as F
 
-    from capstone_etl_spark.functions.hashing import md5_hash60
     from capstone_etl_spark.functions.text import tokenize
-    from capstone_etl_spark.operators.sketches import HLL_W_BITS
+    from capstone_etl_spark.operators.sketches import hll_rho_rows
     from capstone_etl_spark.sources.tables import load_table
 
     docs = load_table(spark, sf_dir, "documents")
     toks = docs.select("source", F.explode(tokenize("text")).alias("token")).distinct()
-    h = md5_hash60(F.concat(F.lit("hll:"), F.col("token")))
-    hashed = toks.select(
-        "source",
-        F.shiftright(h, HLL_W_BITS).alias("bucket"),
-        h.bitwiseAND(F.lit(2**HLL_W_BITS - 1)).alias("w"),
-    )
-    rho = F.when(F.col("w") == 0, F.lit(HLL_W_BITS + 1)).otherwise(
-        F.lit(HLL_W_BITS + 1) - F.length(F.expr("bin(w)"))
-    )
-    per_source = (
-        hashed.select("source", "bucket", rho.alias("rho"))
-        .groupBy("source", "bucket")
-        .agg(F.max("rho").alias("reg"))
-    )
+    rho_rows = hll_rho_rows(toks)  # the PRODUCTION pipeline, not a copy
+    per_source = rho_rows.groupBy("source", "bucket").agg(F.max("rho").alias("reg"))
     merged = {
-        (r.bucket,): r.m
+        r.bucket: r.m
         for r in per_source.groupBy("bucket").agg(F.max("reg").alias("m")).collect()
     }
     direct = {
-        (r.bucket,): r.m
-        for r in hashed.select("bucket", rho.alias("rho"))
-        .groupBy("bucket")
-        .agg(F.max("rho").alias("m"))
-        .collect()
+        r.bucket: r.m
+        for r in rho_rows.groupBy("bucket").agg(F.max("rho").alias("m")).collect()
     }
     assert merged == direct
 
