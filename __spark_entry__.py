@@ -77,6 +77,8 @@ _PRIORITY = [
     "stream_ivf_assign",
     "hll_distinct_sketch",
     "stream_hll_sketch",
+    "corpus_cube",
+    "multimodal_phash_dedup",
     # Block 3: family canaries - every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span,
     # counting the session-2 head-block members of each family); each
@@ -88,8 +90,10 @@ _PRIORITY = [
     "dedup_agreement",
     "repeated_ngram_spans",
     "bm25_topk",
-    "stream_quality_funnel",
-    "multimodal_frame_dedup",
+    # stream_quality_funnel / multimodal_frame_dedup demoted to Block 4
+    # alongside ann_recall_eval / kmeans_lloyd: their families are
+    # covered in-window by six head-block stream_* queries and by
+    # multimodal_audio_resample + multimodal_phash_dedup.
     "wikibooks_docs",
     "chunk_packing",
     "sequence_packing_greedy",
@@ -104,6 +108,8 @@ _PRIORITY = [
     # extra sampling refreshes the stalest signal first.
     "ann_recall_eval",
     "kmeans_lloyd",
+    "stream_quality_funnel",
+    "multimodal_frame_dedup",
     "winnowing_pairs",
     "stream_kmv_sketch",
     "language_id_confusion",

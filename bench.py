@@ -110,6 +110,11 @@ HEADLINE = [
     "event_changelog_apply",
     "dedup_threshold_sweep",
     "kmeans_silhouette",
+    # r7 session 3: the multi-grain CUBE inventory (grouping-sets
+    # shuffle specimen) and the perceptual-hash image dedup (per-byte
+    # explode + pigeonhole block join) — tracked from day one.
+    "corpus_cube",
+    "multimodal_phash_dedup",
 ]
 
 

@@ -481,6 +481,53 @@ FROM tagged GROUP BY 1, 2
 """
 
 
+def corpus_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY CUBE (source, lang) over the corpus — the curation
+    dashboard's multi-grain inventory (per-cell, per-source, per-lang
+    subtotals, grand total) in ONE pass: documents, token mass, mean
+    document length. The documents-side sibling of
+    events.day_type_cube; grouping_id separates subtotal rows from
+    genuine NULL keys. 100 TB: Spark expands the four grouping sets
+    before the hash aggregate — one scan, one shuffle on low-
+    cardinality keys; token counts are exact int64 so the mean's
+    single division is engine-identical."""
+    from capstone_etl_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source", "lang", F.size(tokenize("text")).cast("long").alias("n_tok")
+    )
+    return (
+        docs.cube("source", "lang")
+        .agg(
+            F.grouping_id().alias("gid"),
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("n_tokens"),
+            F.round(
+                F.sum("n_tok").cast("double") / F.count("*").cast("double"), 6
+            ).alias("mean_doc_tokens"),
+        )
+        .select("source", "lang", "gid", "n_docs", "n_tokens", "mean_doc_tokens")
+    )
+
+
+CORPUS_CUBE_SQL = """
+WITH toks AS (
+  SELECT source, lang,
+         CAST(len(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           x -> x <> '')) AS BIGINT) AS n_tok
+  FROM documents
+)
+SELECT source, lang,
+       CAST(GROUPING(source, lang) AS BIGINT) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       ROUND(CAST(SUM(n_tok) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE), 6) AS mean_doc_tokens
+FROM toks
+GROUP BY CUBE (source, lang)
+"""
+
+
 QUERIES = {
     "corpus_pipeline": corpus_pipeline,
     "training_manifest": training_manifest,
@@ -490,6 +537,7 @@ QUERIES = {
     "mixing_allocation": mixing_allocation,
     "cluster_aware_splits": cluster_aware_splits,
     "corpus_summary": corpus_summary,
+    "corpus_cube": corpus_cube,
 }
 
 ORACLE_SQL = {
@@ -501,4 +549,5 @@ ORACLE_SQL = {
     "mixing_allocation": MIXING_ALLOCATION_SQL,
     "cluster_aware_splits": _cluster_aware_splits_sql(),
     "corpus_summary": _corpus_summary_sql(),
+    "corpus_cube": CORPUS_CUBE_SQL,
 }

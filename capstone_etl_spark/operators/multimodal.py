@@ -37,6 +37,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from capstone_etl_spark.session import cached
 from capstone_etl_spark.sources.tables import load_table
 
 MEDIA_TYPES = ("image", "audio", "video")
@@ -664,6 +665,161 @@ FROM p WHERE media_type = 'audio'
 """
 
 
+PHASH_CELLS = 64     # aHash grid: 64 cells -> 64-bit fingerprint
+PHASH_HAM_MAX = 3    # <= 3 flipped bits: pigeonhole over 4 blocks is EXACT
+
+
+def media_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash near-duplicate pairs for image payloads — the
+    classic average-hash (aHash) image-dedup primitive, plumbing-real
+    over the deterministic fake decode (payload bytes AS the grayscale
+    pixel stream, the multimodal house doctrine: a real decoder drops
+    into the byte-value expression without touching the pipeline):
+    each payload's bytes partition into 64 equal cells, a cell's bit
+    is 1 iff its mean byte value ≥ the payload mean — compared by
+    exact integer cross-multiplication (cell_sum·n ≥ tot·cell_cnt),
+    never a float division — packed 32 bits per word (DuckDB's checked
+    shift, bloom_membership's rule). Candidate pairs come from a
+    16-bit-block pigeonhole equi-join (simhash's blocking): with 4
+    blocks, any pair within PHASH_HAM_MAX=3 bits shares ≥1 untouched
+    block, so recall at the threshold is EXACT, not probabilistic.
+
+    100 TB: the fingerprint build is map-shaped (per-byte explode →
+    two bounded aggs keyed on doc_id); the only pair work is the
+    block-bucket equi-join — never all-pairs — and the verify is two
+    xor+popcounts per candidate."""
+    b = with_binary_payload(_docs(spark, sf_dir)).filter(
+        F.col("media_type") == "image"
+    )
+    hexed = b.select(
+        "doc_id",
+        F.lower(F.hex("payload")).alias("hexp"),
+        F.length("payload").cast("long").alias("n"),
+    )
+    positions = hexed.select(
+        "doc_id",
+        "n",
+        "hexp",
+        F.explode(F.sequence(F.lit(0).cast("long"), F.col("n") - 1)).alias("pos"),
+    )
+    byteval = F.expr(
+        "CAST(conv(substring(hexp, CAST(pos * 2 + 1 AS INT), 2), 16, 10) AS BIGINT)"
+    )
+    cells = (
+        positions.select(
+            "doc_id",
+            F.expr(f"(pos * {PHASH_CELLS}) div n").alias("cell"),
+            byteval.alias("v"),
+        )
+        .groupBy("doc_id", "cell")
+        .agg(F.sum("v").alias("cell_sum"), F.count("*").alias("cell_cnt"))
+    )
+    totals = cells.groupBy("doc_id").agg(
+        F.sum("cell_sum").alias("tot"), F.sum("cell_cnt").alias("nb")
+    )
+    bits = cells.join(totals, "doc_id").select(
+        "doc_id",
+        "cell",
+        (F.col("cell_sum") * F.col("nb") >= F.col("tot") * F.col("cell_cnt"))
+        .cast("long")
+        .alias("bit"),
+    )
+    words = cached(
+        bits.groupBy("doc_id").agg(
+            F.sum(
+                F.when(F.col("cell") < 32, F.expr("shiftleft(bit, CAST(cell AS INT))"))
+                .otherwise(F.lit(0).cast("long"))
+            ).cast("long").alias("w0"),
+            F.sum(
+                F.when(
+                    F.col("cell") >= 32,
+                    F.expr("shiftleft(bit, CAST(cell - 32 AS INT))"),
+                ).otherwise(F.lit(0).cast("long"))
+            ).cast("long").alias("w1"),
+        )
+    )
+    blk = words.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                F.struct(F.lit(0).alias("bi"), (F.col("w0") % 65536).alias("bv")),
+                F.struct(F.lit(1).alias("bi"), F.shiftright("w0", 16).alias("bv")),
+                F.struct(F.lit(2).alias("bi"), (F.col("w1") % 65536).alias("bv")),
+                F.struct(F.lit(3).alias("bi"), F.shiftright("w1", 16).alias("bv")),
+            )
+        ).alias("b"),
+    ).select("doc_id", "b.bi", "b.bv")
+    cand = (
+        blk.alias("a")
+        .join(
+            blk.alias("c"),
+            (F.col("a.bi") == F.col("c.bi"))
+            & (F.col("a.bv") == F.col("c.bv"))
+            & (F.col("a.doc_id") < F.col("c.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("c.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    wa = words.select(
+        F.col("doc_id").alias("doc_a"), F.col("w0").alias("w0a"), F.col("w1").alias("w1a")
+    )
+    wb = words.select(
+        F.col("doc_id").alias("doc_b"), F.col("w0").alias("w0b"), F.col("w1").alias("w1b")
+    )
+    ham = (
+        F.bit_count(F.col("w0a").bitwiseXOR(F.col("w0b")))
+        + F.bit_count(F.col("w1a").bitwiseXOR(F.col("w1b")))
+    ).cast("long")
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select("doc_a", "doc_b", ham.alias("hamming"))
+        .filter(F.col("hamming") <= PHASH_HAM_MAX)
+    )
+
+
+MEDIA_PHASH_DEDUP_SQL = f"""
+WITH p AS ({_PAYLOAD_SQL}),
+img AS (
+  SELECT doc_id, lower(hex(payload)) AS hexp, CAST(strlen(payload) AS BIGINT) AS n
+  FROM p WHERE media_type = 'image'
+), bytes AS (
+  SELECT doc_id, (pos * {PHASH_CELLS}) // n AS cell,
+         ('0x' || substr(hexp, CAST(pos * 2 + 1 AS INT), 2))::BIGINT AS v
+  FROM img, LATERAL (SELECT unnest(range(0, n)) AS pos) r
+), cells AS (
+  SELECT doc_id, cell, SUM(v) AS cell_sum, COUNT(*) AS cell_cnt
+  FROM bytes GROUP BY 1, 2
+), totals AS (
+  SELECT doc_id, SUM(cell_sum) AS tot, SUM(cell_cnt) AS nb FROM cells GROUP BY 1
+), bits AS (
+  SELECT c.doc_id, c.cell,
+         CASE WHEN c.cell_sum * t.nb >= t.tot * c.cell_cnt
+              THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+  FROM cells c JOIN totals t USING (doc_id)
+), words AS (
+  SELECT doc_id,
+         CAST(SUM(CASE WHEN cell < 32 THEN bit << CAST(cell AS INT) ELSE 0 END) AS BIGINT) AS w0,
+         CAST(SUM(CASE WHEN cell >= 32 THEN bit << CAST(cell - 32 AS INT) ELSE 0 END) AS BIGINT) AS w1
+  FROM bits GROUP BY 1
+), blk AS (
+  SELECT doc_id, 0 AS bi, w0 % 65536 AS bv FROM words
+  UNION ALL SELECT doc_id, 1, w0 >> 16 FROM words
+  UNION ALL SELECT doc_id, 2, w1 % 65536 FROM words
+  UNION ALL SELECT doc_id, 3, w1 >> 16 FROM words
+), cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, c.doc_id AS doc_b
+  FROM blk a JOIN blk c ON c.bi = a.bi AND c.bv = a.bv AND a.doc_id < c.doc_id
+)
+SELECT k.doc_a, k.doc_b,
+       CAST(bit_count(xor(wa.w0, wb.w0)) + bit_count(xor(wa.w1, wb.w1)) AS BIGINT) AS hamming
+FROM cand k
+JOIN words wa ON wa.doc_id = k.doc_a
+JOIN words wb ON wb.doc_id = k.doc_b
+WHERE bit_count(xor(wa.w0, wb.w0)) + bit_count(xor(wa.w1, wb.w1)) <= {PHASH_HAM_MAX}
+"""
+
+
 QUERIES = {
     "multimodal_stats": binary_stats,
     "multimodal_meta": media_metadata,
@@ -671,6 +827,7 @@ QUERIES = {
     "multimodal_frame_dedup": media_frame_dedup,
     "multimodal_resize": media_resize,
     "multimodal_audio_resample": audio_resample,
+    "multimodal_phash_dedup": media_phash_dedup,
 }
 
 ORACLE_SQL = {
@@ -680,4 +837,5 @@ ORACLE_SQL = {
     "multimodal_frame_dedup": MEDIA_FRAME_DEDUP_SQL,
     "multimodal_resize": MEDIA_RESIZE_SQL,
     "multimodal_audio_resample": AUDIO_RESAMPLE_SQL,
+    "multimodal_phash_dedup": MEDIA_PHASH_DEDUP_SQL,
 }

@@ -380,4 +380,6 @@ HEADLINE: list[str] = [
     "label_separability",
     "dedup_aware_weights",
     "hll_distinct_sketch",
+    "corpus_cube",
+    "multimodal_phash_dedup",
 ]

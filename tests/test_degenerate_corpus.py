@@ -149,6 +149,13 @@ NAMES = [
     # linear-counting branch (with its cross-engine ln) must fire
     # identically in both engines
     "hll_distinct_sketch",
+    # NULL-lang / empty docs must land in the right CUBE cells with
+    # grouping_id separating subtotals from genuine NULL keys
+    "corpus_cube",
+    # repeated and near-empty payloads through the per-byte cell
+    # grid: tiny payloads (< 64 bytes) leave cells absent and the
+    # identical-doc pair must fingerprint to hamming 0 in both engines
+    "multimodal_phash_dedup",
 ]
 
 

@@ -49,11 +49,19 @@ def test_first_fifty_span_every_family():
         "ann": ("ann_lsh_topk", "ann_ivf_topk", "ann_recall_eval", "ann_radius_search"),
         "kmeans": ("kmeans_lloyd", "label_centroids", "kmeans_silhouette"),
         "doc_similarity": ("doc_similarity_topk", "bm25_topk"),
+        # the round-7 streaming/multimodal head-block queries cover the
+        # window for the demoted multi-round-green canaries
         "streaming": (
             "stream_tumbling_windows", "stream_user_sessions",
             "stream_quality_funnel", "stream_kmv_sketch", "stream_event_dedup",
+            "stream_changelog_apply", "stream_ivf_assign", "stream_hll_sketch",
         ),
-        "multimodal": ("multimodal_frame_dedup", "multimodal_meta"),
+        "multimodal": (
+            "multimodal_frame_dedup",
+            "multimodal_meta",
+            "multimodal_audio_resample",
+            "multimodal_phash_dedup",
+        ),
         "outputs": ("wikibooks_docs", "tokens_collection"),
         "chunking": ("doc_chunks", "chunk_packing"),
         "packing": ("sequence_packing", "sequence_packing_greedy"),

@@ -134,6 +134,39 @@ def test_label_separability_tie_out(spark, sf_dir):
             assert r.separability is None  # unbounded (perfect) separation
 
 
+def test_phash_finds_byte_level_near_dups(spark, tmp_path):
+    """The sf0.01 corpus has no in-radius image pairs (the gate's
+    0-row agreement is real but weak), so construct them: doc_ids 0
+    and 3 are both image payloads (doc_id % 3) with IDENTICAL text →
+    identical fingerprints → a hamming-0 pair; doc 6 perturbs one
+    character → at most a few cell means move, and any emitted pair
+    must clear the pigeonhole-exact threshold."""
+    import pandas as pd
+
+    from capstone_etl_spark.operators.multimodal import (
+        PHASH_HAM_MAX,
+        media_phash_dedup,
+    )
+
+    base = ("the quick brown fox jumps over the lazy dog " * 5).strip()
+    rows = [
+        (0, base, "en", "web", len(base)),
+        (3, base, "en", "web", len(base)),
+        (6, base.replace("quick", "quack", 1), "en", "web", len(base)),
+        (9, "a completely different document about spark physical plans and shuffles", "en", "web", 72),
+    ]
+    pdf = pd.DataFrame(rows, columns=["doc_id", "text", "lang", "source", "n_chars"])
+    pdf = pdf.astype({"doc_id": "int64", "n_chars": "int64"})
+    pdf.to_parquet(str(tmp_path / "documents.parquet"))
+
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in media_phash_dedup(spark, str(tmp_path)).collect()
+    }
+    assert pairs[(0, 3)] == 0  # identical payloads MUST pair at hamming 0
+    assert all(h <= PHASH_HAM_MAX for h in pairs.values())
+
+
 def test_hll_sketch_accuracy_and_branching(spark, sf_dir):
     """m=64 classic HLL carries ~1.04/√64 ≈ 13% standard error; assert
     a loose 3-sigma bound per source, plus the structural invariants:
