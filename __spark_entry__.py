@@ -79,6 +79,16 @@ _PRIORITY = [
     "stream_hll_sketch",
     "corpus_cube",
     "multimodal_phash_dedup",
+    # Block 2c: NEW in round-7 session 3 — first driver attestation.
+    # Their families stay window-covered: dedup_sorted_neighborhood
+    # covers dedup (for the demoted dedup_agreement),
+    # split_leakage_audit covers decontamination (for
+    # repeated_ngram_spans), code_detection covers quality (for
+    # difficulty_deciles); all three demoted canaries are
+    # multi-round driver-green and move to the head of Block 4.
+    "dedup_sorted_neighborhood",
+    "split_leakage_audit",
+    "code_detection",
     # Block 3: family canaries - every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span,
     # counting the session-2 head-block members of each family); each
@@ -87,8 +97,6 @@ _PRIORITY = [
     # head block (ann_radius_search, kmeans_silhouette), which frees
     # the last two slots for kmv_source_overlap / event_anomaly_zscore.
     "mixing_allocation",
-    "dedup_agreement",
-    "repeated_ngram_spans",
     "bm25_topk",
     # stream_quality_funnel / multimodal_frame_dedup demoted to Block 4
     # alongside ann_recall_eval / kmeans_lloyd: their families are
@@ -101,11 +109,14 @@ _PRIORITY = [
     "reservoir_sample",
     "campaign_window_stats",
     "zipf_fit",
-    "difficulty_deciles",
     "kmv_source_overlap",
     "event_anomaly_zscore",
     # Block 4: least-recently-attested (r2/r3 rows only) — the driver's
-    # extra sampling refreshes the stalest signal first.
+    # extra sampling refreshes the stalest signal first. The three
+    # canaries demoted for the session-3 additions lead.
+    "dedup_agreement",
+    "repeated_ngram_spans",
+    "difficulty_deciles",
     "ann_recall_eval",
     "kmeans_lloyd",
     "stream_quality_funnel",

@@ -115,6 +115,10 @@ HEADLINE = [
     # explode + pigeonhole block join) — tracked from day one.
     "corpus_cube",
     "multimodal_phash_dedup",
+    # r7 session 3: sorted-neighborhood blocking (global range sort +
+    # rank-window expansion + candidate-bounded verify — the linear-
+    # candidate dedup specimen) — tracked from day one.
+    "dedup_sorted_neighborhood",
 ]
 
 

@@ -1413,6 +1413,206 @@ GROUP BY 1, 2
 """
 
 
+# -------------------------------------------- sorted-neighborhood blocking
+
+# Sorted-neighborhood method (Hernández & Stolfo 1995, "The merge/purge
+# problem"): derive a compact blocking key per record, totally order the
+# corpus by it, and compare each record only to its next SNM_WINDOW - 1
+# neighbors in that order. The blocking family's third strategy next to
+# LSH banding (hash-bucket blocking) and SimHash pigeonhole (bit-block
+# blocking): SNM trades their probabilistic guarantees for a hard
+# O(N × window) candidate bound and ZERO reliance on hash collisions —
+# the knob a curator reaches for when near-dups share prefixes
+# (crawl re-fetches, versioned docs) rather than global token overlap.
+SNM_KEY_TOKENS = 4    # blocking key = first 4 tokens of the cleaned text
+SNM_WINDOW = 5        # each doc is compared to the next 4 in key order
+
+
+def dedup_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sorted-neighborhood near-dup audit: every candidate pair the
+    sliding window generates, verified with exact 3-gram-shingle
+    Jaccard — (doc_a, doc_b, rank_gap, n_inter, jaccard, is_dup).
+
+    Scale plan (100 TB): the global key order comes from
+    `with_dense_ids` (range-partitioned sort + partition-offset rank —
+    no single-partition window at any size); the window expands as a
+    (SNM_WINDOW - 1)-way explode equi-joined back on the unique rank
+    (uniform key, no skew possible); verification is an equi-join of
+    the candidate pairs against the per-doc shingle relation, bounded
+    by N × (SNM_WINDOW - 1) pairs by construction — the one dedup
+    family member whose candidate count is provably linear in the
+    corpus, whatever the data looks like."""
+    from capstone_etl_spark.operators.vocab import with_dense_ids
+
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", tokenize("text").alias("toks"))
+    keyed = toks.select(
+        "doc_id",
+        F.array_join(F.slice("toks", 1, SNM_KEY_TOKENS), " ").alias("snm_key"),
+    )
+    ranked = with_dense_ids(keyed, ["snm_key", "doc_id"], "rnk").select("doc_id", "rnk")
+    ranked = cached(ranked)
+    probes = ranked.select(
+        F.col("doc_id").alias("doc_a"),
+        F.explode(
+            F.sequence(F.col("rnk") + 1, F.col("rnk") + (SNM_WINDOW - 1))
+        ).alias("rnk"),
+        F.col("rnk").alias("a_rnk"),
+    )
+    pairs = probes.join(
+        ranked.select(F.col("doc_id").alias("doc_b"), "rnk"), "rnk"
+    ).select("doc_a", "doc_b", (F.col("rnk") - F.col("a_rnk")).alias("rank_gap"))
+    # exact verification on distinct 3-gram shingles (no df-cap: the
+    # candidate set is already linear-bounded, and the cap would bias
+    # the Jaccard estimate the verdict is based on)
+    sh = cached(shingles(docs, max_df=None))
+    sizes = sh.groupBy("doc_id").agg(F.count("*").alias("n_sh"))
+    inter = (
+        pairs.join(sh.select(F.col("doc_id").alias("doc_a"), "sh"), "doc_a")
+        .join(sh.select(F.col("doc_id").alias("doc_b"), "sh"), ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("n_inter"))
+    )
+    na, nb = F.coalesce("sa.n_sh", F.lit(0)), F.coalesce("sb.n_sh", F.lit(0))
+    ni = F.coalesce("i.n_inter", F.lit(0)).cast("long")
+    union = na + nb - ni
+    jacc = F.when(union > 0, ni.cast("double") / union.cast("double")).otherwise(
+        F.lit(1.0)  # two shingle-free docs (< NGRAM_N tokens) are identical
+    )
+    return (
+        pairs.alias("p")
+        .join(inter.alias("i"), ["doc_a", "doc_b"], "left")
+        .join(sizes.alias("sa"), F.col("p.doc_a") == F.col("sa.doc_id"), "left")
+        .join(sizes.alias("sb"), F.col("p.doc_b") == F.col("sb.doc_id"), "left")
+        .select(
+            "doc_a",
+            "doc_b",
+            "rank_gap",
+            ni.alias("n_inter"),
+            F.round(jacc, 6).alias("jaccard"),
+            (jacc >= JACCARD_THRESHOLD).alias("is_dup"),
+        )
+    )
+
+
+DEDUP_SORTED_NEIGHBORHOOD_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+                     t -> t <> '') AS t
+  FROM documents
+), ranked AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (
+           -- array_to_string of an EMPTY list is NULL in DuckDB (sorts
+           -- last) where Spark's array_join gives '' (sorts first) —
+           -- pin the token-free docs to '' on both engines
+           ORDER BY COALESCE(array_to_string(t[1 : {SNM_KEY_TOKENS}], ' '), ''), doc_id
+         ) - 1 AS rnk
+  FROM toks
+), pairs AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, b.rnk - a.rnk AS rank_gap
+  FROM ranked a JOIN ranked b
+    ON b.rnk > a.rnk AND b.rnk <= a.rnk + {SNM_WINDOW - 1}
+), grams AS (
+  SELECT doc_id, array_to_string(t[i : i + {NGRAM_N} - 1], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {NGRAM_N} + 2)) AS i) r
+  WHERE len(t) >= {NGRAM_N}
+), sh AS (
+  SELECT DISTINCT doc_id, {md5_hash60_sql('shingle')} AS sh FROM grams
+), sizes AS (
+  SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT p.doc_a, p.doc_b, COUNT(*) AS n_inter
+  FROM pairs p
+  JOIN sh x ON x.doc_id = p.doc_a
+  JOIN sh y ON y.doc_id = p.doc_b AND y.sh = x.sh
+  GROUP BY p.doc_a, p.doc_b
+)
+SELECT p.doc_a, p.doc_b, p.rank_gap,
+       CAST(COALESCE(i.n_inter, 0) AS BIGINT) AS n_inter,
+       ROUND(CASE WHEN COALESCE(sa.n_sh, 0) + COALESCE(sb.n_sh, 0) - COALESCE(i.n_inter, 0) > 0
+             THEN CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                  / CAST(COALESCE(sa.n_sh, 0) + COALESCE(sb.n_sh, 0) - COALESCE(i.n_inter, 0) AS DOUBLE)
+             ELSE 1.0 END, 6) AS jaccard,
+       (CASE WHEN COALESCE(sa.n_sh, 0) + COALESCE(sb.n_sh, 0) - COALESCE(i.n_inter, 0) > 0
+             THEN CAST(COALESCE(i.n_inter, 0) AS DOUBLE)
+                  / CAST(COALESCE(sa.n_sh, 0) + COALESCE(sb.n_sh, 0) - COALESCE(i.n_inter, 0) AS DOUBLE)
+             ELSE 1.0 END) >= {JACCARD_THRESHOLD} AS is_dup
+FROM pairs p
+LEFT JOIN inter i ON i.doc_a = p.doc_a AND i.doc_b = p.doc_b
+LEFT JOIN sizes sa ON sa.doc_id = p.doc_a
+LEFT JOIN sizes sb ON sb.doc_id = p.doc_b
+"""
+
+
+# ------------------------------------------------- split leakage audit
+
+LEAK_N = 8            # exact n-gram length for the cross-split overlap
+LEAK_MIN_SHARED = 3   # an eval doc sharing >= this many grams leaks
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train→eval leakage audit over the pipeline's OWN split
+    assignment (sampling.split_column): for every val/test document
+    sharing >= LEAK_MIN_SHARED exact LEAK_N-grams with any train
+    document, report how many train partners it touches and how many
+    distinct grams leak — the relation a release checklist consumes
+    before a validation loss is trusted. Same exact-substring family
+    as decontamination (there the eval side is an external benchmark;
+    here it is the pipeline's own held-out cut).
+
+    Scale: the df-cap drops boilerplate grams before the bipartite
+    hash join (the decontamination discipline); the split predicate is
+    a per-row salted hash, so the two sides partition the SAME gram
+    relation — one tokenize pass, cached, both consumers."""
+    docs = _docs(spark, sf_dir)
+    g = shingles(docs, n=LEAK_N, max_df=MAX_SHINGLE_DF)
+    from capstone_etl_spark.operators.sampling import split_column
+
+    g = cached(g.withColumn("split", split_column(F.col("doc_id"))))
+    t = g.filter(F.col("split") == "train").alias("t")
+    e = g.filter(F.col("split") != "train").alias("e")
+    return (
+        t.join(e, F.col("t.sh") == F.col("e.sh"))
+        .groupBy(F.col("e.split").alias("split"), F.col("e.doc_id").alias("eval_doc"))
+        .agg(
+            F.countDistinct("t.doc_id").alias("n_train_partners"),
+            F.countDistinct("t.sh").alias("n_shared_grams"),
+        )
+        .filter(F.col("n_shared_grams") >= LEAK_MIN_SHARED)
+    )
+
+
+from capstone_etl_spark.operators.sampling import split_sql_case as _split_sql_case
+
+SPLIT_LEAKAGE_AUDIT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +') AS t
+  FROM documents
+), grams AS (
+  SELECT doc_id, array_to_string(t[i : i + {LEAK_N} - 1], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {LEAK_N} + 2)) AS i) r
+  WHERE len(t) >= {LEAK_N}
+), hashed AS (
+  SELECT DISTINCT doc_id, {md5_hash60_sql('shingle')} AS sh FROM grams
+), df AS (
+  SELECT sh FROM hashed GROUP BY sh HAVING COUNT(*) <= {MAX_SHINGLE_DF}
+), g AS (
+  SELECT h.doc_id, h.sh, {_split_sql_case('h.doc_id')} AS split
+  FROM hashed h JOIN df USING (sh)
+)
+SELECT e.split, e.doc_id AS eval_doc,
+       COUNT(DISTINCT t.doc_id) AS n_train_partners,
+       COUNT(DISTINCT t.sh) AS n_shared_grams
+FROM g t JOIN g e ON t.sh = e.sh
+WHERE t.split = 'train' AND e.split <> 'train'
+GROUP BY e.split, e.doc_id
+HAVING COUNT(DISTINCT t.sh) >= {LEAK_MIN_SHARED}
+"""
+
+
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
@@ -1430,6 +1630,8 @@ QUERIES = {
     "template_extraction": template_extraction,
     "dedup_containment": dedup_containment,
     "dedup_keep_best": dedup_keep_best,
+    "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
+    "split_leakage_audit": split_leakage_audit,
 }
 
 ORACLE_SQL = {
@@ -1449,4 +1651,6 @@ ORACLE_SQL = {
     "template_extraction": TEMPLATE_EXTRACTION_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_keep_best": _dedup_keep_best_sql(),
+    "dedup_sorted_neighborhood": DEDUP_SORTED_NEIGHBORHOOD_SQL,
+    "split_leakage_audit": SPLIT_LEAKAGE_AUDIT_SQL,
 }

@@ -926,6 +926,91 @@ thr AS (
 QUALITY_AGREEMENT_MATRIX_SQL = _quality_agreement_sql()
 
 
+# ------------------------------------------------------ code detection
+
+# Domain tagging: separate code-like documents from prose BEFORE mixing
+# (code and prose get different mixing weights, dedup thresholds, and
+# tokenizers in every large-scale recipe). Heuristic, no model: a
+# marker-keyword ratio (the operator/keyword surface of code and query
+# logs) plus a repetition ratio (code repeats identifiers far more than
+# prose repeats words — the inverse of the type-token ratio quality.py
+# already gates on). Both features are exact integer ratios, so the
+# verdict threshold is oracle-portable. On a real corpus the marker
+# list extends with `def/return/import/::/;`-class tokens; the synthetic
+# vocabulary's relational-operator words play that role here.
+CODE_MARKERS = (
+    "agg", "filter", "group", "hash", "join",
+    "merge", "query", "scan", "sort", "window",
+)
+CODE_REP_WEIGHT = 0.5   # repetition contributes at half the keyword weight
+CODE_TAU = 0.6          # score >= tau → code (median-split on the corpus)
+
+
+def code_detection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc code-likeness: (doc_id, source, n_tokens, kw_hits,
+    distinct_tokens, kw_ratio, rep_ratio, code_score, is_code).
+
+    score = kw_hits/n + CODE_REP_WEIGHT * (1 - distinct/n); empty docs
+    score 0.0 and are never code. Map-only scan shape (zero shuffles —
+    the expressions fuse into the parquet scan's codegen stage), so at
+    100 TB this runs at I/O speed alongside the other per-doc audits."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokenize("text")
+    staged = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).cast("long").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin(list(CODE_MARKERS))))
+        .cast("long")
+        .alias("kw_hits"),
+        F.size(F.array_distinct(toks)).cast("long").alias("distinct_tokens"),
+    )
+    n = F.col("n_tokens").cast("double")
+    kw_ratio = F.col("kw_hits").cast("double") / n
+    rep_ratio = F.lit(1.0) - F.col("distinct_tokens").cast("double") / n
+    score = kw_ratio + F.lit(CODE_REP_WEIGHT) * rep_ratio
+    nonempty = F.col("n_tokens") > 0
+    return staged.select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "kw_hits",
+        "distinct_tokens",
+        F.round(F.when(nonempty, kw_ratio).otherwise(0.0), 6).alias("kw_ratio"),
+        F.round(F.when(nonempty, rep_ratio).otherwise(0.0), 6).alias("rep_ratio"),
+        F.round(F.when(nonempty, score).otherwise(0.0), 6).alias("code_score"),
+        (nonempty & (score >= F.lit(CODE_TAU))).alias("is_code"),
+    )
+
+
+_CODE_MARKERS_SQL = ", ".join(f"'{m}'" for m in CODE_MARKERS)
+_CODE_SCORE_SQL = (
+    "CAST(kw AS DOUBLE) / CAST(n AS DOUBLE) + "
+    f"{CODE_REP_WEIGHT} * (1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE))"
+)
+
+CODE_DETECTION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+                     t -> t <> '') AS t
+  FROM documents
+), f AS (
+  SELECT doc_id, source,
+         CAST(len(t) AS BIGINT) AS n,
+         CAST(len(list_filter(t, x -> x IN ({_CODE_MARKERS_SQL}))) AS BIGINT) AS kw,
+         CAST(len(list_distinct(t)) AS BIGINT) AS d
+  FROM toks
+)
+SELECT doc_id, source, n AS n_tokens, kw AS kw_hits, d AS distinct_tokens,
+       ROUND(CASE WHEN n > 0 THEN CAST(kw AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END, 6) AS kw_ratio,
+       ROUND(CASE WHEN n > 0 THEN 1.0 - CAST(d AS DOUBLE) / CAST(n AS DOUBLE) ELSE 0.0 END, 6) AS rep_ratio,
+       ROUND(CASE WHEN n > 0 THEN {_CODE_SCORE_SQL} ELSE 0.0 END, 6) AS code_score,
+       (n > 0 AND {_CODE_SCORE_SQL} >= {CODE_TAU}) AS is_code
+FROM f
+"""
+
+
 QUERIES = {
     "quality_filter_flags": quality_filter_flags,
     "quality_filter_funnel": quality_filter_funnel,
@@ -938,6 +1023,7 @@ QUERIES = {
     "token_budget_selection": token_budget_selection,
     "signal_correlations": signal_correlations,
     "quality_agreement_matrix": quality_agreement_matrix,
+    "code_detection": code_detection,
 }
 
 ORACLE_SQL = {
@@ -952,4 +1038,5 @@ ORACLE_SQL = {
     "token_budget_selection": TOKEN_BUDGET_SELECTION_SQL,
     "signal_correlations": SIGNAL_CORRELATIONS_SQL,
     "quality_agreement_matrix": QUALITY_AGREEMENT_MATRIX_SQL,
+    "code_detection": CODE_DETECTION_SQL,
 }

@@ -382,4 +382,8 @@ HEADLINE: list[str] = [
     "hll_distinct_sketch",
     "corpus_cube",
     "multimodal_phash_dedup",
+    # round-7 session-3 additions
+    "dedup_sorted_neighborhood",
+    "split_leakage_audit",
+    "code_detection",
 ]

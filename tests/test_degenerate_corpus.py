@@ -156,6 +156,19 @@ NAMES = [
     # grid: tiny payloads (< 64 bytes) leave cells absent and the
     # identical-doc pair must fingerprint to hamming 0 in both engines
     "multimodal_phash_dedup",
+    # round-7 session 3: the three shingle-free docs (empty /
+    # whitespace / punctuation-only) share blocking key '' and become
+    # window-adjacent — their pairwise union is 0, so the 1.0
+    # both-empty Jaccard branch must fire identically in both engines
+    "dedup_sorted_neighborhood",
+    # a 10-doc corpus rarely crosses the split cut with >= 3 shared
+    # capped 8-grams: the audit must return the same (possibly empty)
+    # relation on both engines
+    "split_leakage_audit",
+    # empty docs score 0.0/false; the single-5000-char-token doc has
+    # rep_ratio exactly 0; digits-only docs hit no markers — the
+    # verdict threshold must agree engine-for-engine on every edge
+    "code_detection",
 ]
 
 

@@ -41,8 +41,16 @@ def test_first_fifty_span_every_family():
     first50 = list(entrymod.queries())[:50]
     families = {
         "corpus": ("corpus_pipeline", "source_mixing_weights", "mixing_allocation"),
-        "dedup": ("dedup_minhash_lsh", "dedup_clusters", "dedup_exact", "dedup_agreement"),
-        "decontamination": ("decontamination", "repeated_ngram_spans"),
+        # dedup_sorted_neighborhood / split_leakage_audit joined their
+        # families in round-7 session 3 and sit in the head block,
+        # covering the window for the demoted canaries
+        "dedup": (
+            "dedup_minhash_lsh", "dedup_clusters", "dedup_exact",
+            "dedup_agreement", "dedup_sorted_neighborhood",
+        ),
+        "decontamination": (
+            "decontamination", "repeated_ngram_spans", "split_leakage_audit",
+        ),
         # ann_radius_search / kmeans_silhouette joined their families
         # in round-7 session 2 and sit in the head block, covering the
         # window for the demoted r4-green canaries
@@ -69,7 +77,11 @@ def test_first_fifty_span_every_family():
         "sampling": ("doc_sample_stratified", "reservoir_sample"),
         "rangejoin": ("campaign_window_stats",),
         "textstats": ("text_quality", "zipf_fit", "language_id_confusion"),
-        "quality": ("quality_filter_flags", "quality_filter_funnel", "difficulty_deciles"),
+        # code_detection joined the family in round-7 session 3
+        "quality": (
+            "quality_filter_flags", "quality_filter_funnel",
+            "difficulty_deciles", "code_detection",
+        ),
         # the round-7 session-2 sketches sit in the new-query head
         # block, covering the window alongside the KMV canaries
         "sketches": (
