@@ -89,6 +89,21 @@ _PRIORITY = [
     "dedup_sorted_neighborhood",
     "split_leakage_audit",
     "code_detection",
+    # Block 2d: NEW in round-7 session 4 — first driver attestation.
+    # Window bookkeeping: semantic_decontamination joins the
+    # decontamination family (covered alongside split_leakage_audit),
+    # curriculum_schedule joins quality (covered alongside
+    # code_detection), dp_source_histogram joins the privacy family
+    # (k_anonymity_audit is in Block 2b). The three slots come from
+    # kmv_source_overlap (sketches covered by four Block-2b members),
+    # event_anomaly_zscore (events covered by event_changelog_apply),
+    # and cluster_aware_splits (the splits family's salted-hash
+    # assignment is exercised in-window by split_leakage_audit); all
+    # three demoted canaries are multi-round driver-green and lead
+    # Block 4.
+    "semantic_decontamination",
+    "curriculum_schedule",
+    "dp_source_histogram",
     # Block 3: family canaries - every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span,
     # counting the session-2 head-block members of each family); each
@@ -105,15 +120,15 @@ _PRIORITY = [
     "wikibooks_docs",
     "chunk_packing",
     "sequence_packing_greedy",
-    "cluster_aware_splits",
     "reservoir_sample",
     "campaign_window_stats",
     "zipf_fit",
+    # Block 4: least-recently-attested (r2/r3 rows only) — the driver's
+    # extra sampling refreshes the stalest signal first. The six
+    # canaries demoted for the session-3/4 additions lead.
+    "cluster_aware_splits",
     "kmv_source_overlap",
     "event_anomaly_zscore",
-    # Block 4: least-recently-attested (r2/r3 rows only) — the driver's
-    # extra sampling refreshes the stalest signal first. The three
-    # canaries demoted for the session-3 additions lead.
     "dedup_agreement",
     "repeated_ngram_spans",
     "difficulty_deciles",

@@ -119,6 +119,12 @@ HEADLINE = [
     # rank-window expansion + candidate-bounded verify — the linear-
     # candidate dedup specimen) — tracked from day one.
     "dedup_sorted_neighborhood",
+    # r7 session 4: bipartite LSH decontamination (bucket join across
+    # the train/bench cut + cosine verify + argmax rollup) and the
+    # curriculum order (difficulty deciles → dense-id global sort +
+    # 10-row offset recovery) — tracked from day one.
+    "semantic_decontamination",
+    "curriculum_schedule",
 ]
 
 

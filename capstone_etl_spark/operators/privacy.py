@@ -326,11 +326,85 @@ WITH groups AS (
 K_ANONYMITY_AUDIT_SQL = _k_anon_sql()
 
 
+# -------------------------------------- differentially private release
+
+# The k-anonymity audit above DECIDES whether a grouping is safe to
+# release; this operator is the release mechanism itself: per-source
+# document counts with Laplace(1/ε) noise — the ε-DP histogram a data
+# card or public corpus report publishes instead of exact counts.
+# Determinism/oracle strategy: the noise draw is the inverse-CDF
+# transform of a SALTED-HASH uniform (u = (h(salt||source) mod 10^6 +
+# 0.5) / 10^6 ∈ (0,1)), so both engines draw the IDENTICAL noise and
+# the release is hash-checkable AND reproducible per (salt, source) —
+# the half-step keeps u strictly inside (0,1), so log(1-2|u-1/2|) is
+# finite by construction. A production release would rotate the salt
+# per release epoch; the mechanism is unchanged.
+DP_SALT = "dp:v1:"
+DP_EPSILON = 1.0
+_DP_GRID = 1_000_000
+
+
+def dp_source_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, epsilon, noise, dp_count): the ε-DP noisy
+    per-source histogram, with the exact count retained for the audit
+    trail (the public artifact would project it away).
+
+    Scale: one groupBy on source (|sources|-bounded result); the noise
+    transform is per-row arithmetic on the aggregated relation — the
+    whole release costs exactly one corpus-wide count shuffle at any
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    u = (
+        md5_hash60(F.concat(F.lit(DP_SALT), F.col("source"))) % _DP_GRID
+    ).cast("double") / F.lit(float(_DP_GRID)) + F.lit(0.5 / _DP_GRID)
+    centered = u - F.lit(0.5)
+    noise = (
+        F.lit(-1.0 / DP_EPSILON)
+        * F.signum(centered)
+        * F.log(F.lit(1.0) - F.lit(2.0) * F.abs(centered))
+    )
+    return counts.select(
+        "source",
+        "n_docs",
+        F.lit(float(DP_EPSILON)).alias("epsilon"),
+        F.round(noise, 6).alias("noise"),
+        F.greatest(
+            F.lit(0).cast("long"),
+            F.round(F.col("n_docs") + noise, 0).cast("long"),
+        ).alias("dp_count"),
+    )
+
+
+_DP_HASH_SQL = md5_hash60_sql(f"'{DP_SALT}' || source")
+_DP_U_SQL = (
+    f"(CAST(({_DP_HASH_SQL} % {_DP_GRID}) AS DOUBLE)"
+    f" / {float(_DP_GRID)} + {0.5 / _DP_GRID})"
+)
+_DP_NOISE_SQL = (
+    f"((-1.0 / {float(DP_EPSILON)}) * sign({_DP_U_SQL} - 0.5)"
+    f" * ln(1.0 - 2.0 * abs({_DP_U_SQL} - 0.5)))"
+)
+
+DP_SOURCE_HISTOGRAM_SQL = f"""
+WITH counts AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents GROUP BY source
+)
+SELECT source, n_docs,
+       CAST({float(DP_EPSILON)} AS DOUBLE) AS epsilon,
+       ROUND({_DP_NOISE_SQL}, 6) AS noise,
+       GREATEST(CAST(0 AS BIGINT),
+                CAST(ROUND(CAST(n_docs AS DOUBLE) + {_DP_NOISE_SQL}) AS BIGINT)) AS dp_count
+FROM counts
+"""
+
+
 QUERIES = {
     "pii_scan": pii_scan,
     "pii_redaction": pii_redaction,
     "boilerplate_lines": boilerplate_lines,
     "k_anonymity_audit": k_anonymity_audit,
+    "dp_source_histogram": dp_source_histogram,
 }
 
 ORACLE_SQL = {
@@ -338,4 +412,5 @@ ORACLE_SQL = {
     "pii_redaction": PII_REDACTION_SQL,
     "boilerplate_lines": BOILERPLATE_LINES_SQL,
     "k_anonymity_audit": K_ANONYMITY_AUDIT_SQL,
+    "dp_source_histogram": DP_SOURCE_HISTOGRAM_SQL,
 }

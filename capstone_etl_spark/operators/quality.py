@@ -296,6 +296,95 @@ SELECT doc_id, n_tokens, nll_nats, (rid * 10) // n AS decile FROM r
 """
 
 
+# --------------------------------------------------- curriculum schedule
+
+# Difficulty-aware training ORDER, the consumer of difficulty_deciles:
+# two schedules a trainer actually compares —
+#   curriculum_pos:  easy deciles first, salted-shuffle within each
+#                    decile (classic curriculum: difficulty anneals
+#                    over the epoch, no intra-bin length/source bias);
+#   interleave_pos:  round-robin across deciles with the same
+#                    within-bin shuffle (stratified mixing: every
+#                    training window sees the full difficulty range —
+#                    the IID-but-balanced baseline the curriculum is
+#                    ablated against).
+# Both orders derive from one salted hash, so the schedule is fully
+# reproducible from doc ids alone (restart-safe, no RNG state).
+CURRICULUM_SALT = "curriculum:v1:"
+
+
+def curriculum_schedule(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, decile, within_rank, curriculum_pos, interleave_pos).
+
+    Scale plan (100 TB): the global order comes from `with_dense_ids`
+    on (decile, salted_hash, doc_id) — one range-partitioned sort, no
+    single-partition window; within-decile ranks are recovered by
+    subtracting a 10-row running-sum offset table (broadcast), NEVER a
+    Window.partitionBy(decile) (10 partitions would serialize the
+    corpus through 10 tasks). interleave_pos is pure per-row
+    arithmetic on top."""
+    from capstone_etl_spark.functions.windows import bounded_window_key
+    from capstone_etl_spark.operators.vocab import with_dense_ids
+
+    d = difficulty_deciles(spark, sf_dir).select("doc_id", "decile")
+    s = d.withColumn(
+        "_shk",
+        md5_hash60(F.concat(F.lit(CURRICULUM_SALT), F.col("doc_id").cast("string"))),
+    )
+    g = with_dense_ids(
+        s, [F.col("decile"), F.col("_shk"), F.col("doc_id")], id_name="curriculum_pos"
+    )
+    off_w = (
+        # bound: ≤ 10 rows (one per decile) at any corpus size
+        Window.partitionBy(bounded_window_key("decile"))
+        .orderBy("decile")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        g.groupBy("decile")
+        .agg(F.count("*").alias("_cnt"))
+        .select("decile", F.coalesce(F.sum("_cnt").over(off_w), F.lit(0)).alias("_off"))
+    )
+    within = (F.col("curriculum_pos") - F.col("_off")).cast("long")
+    return (
+        g.join(F.broadcast(offsets), "decile")
+        .select(
+            "doc_id",
+            "decile",
+            within.alias("within_rank"),
+            "curriculum_pos",
+            (within * 10 + F.col("decile")).cast("long").alias("interleave_pos"),
+        )
+    )
+
+
+CURRICULUM_SCHEDULE_SQL = f"""
+WITH u AS ({UNIGRAM_LOGPROB_SQL}),
+r AS (
+  SELECT doc_id,
+         ROW_NUMBER() OVER (ORDER BY nll_nats, doc_id) - 1 AS rid,
+         COUNT(*) OVER () AS n
+  FROM u
+), d AS (
+  SELECT doc_id, (rid * 10) // n AS decile FROM r
+), s AS (
+  SELECT doc_id, decile,
+         {md5_hash60_sql(f"'{CURRICULUM_SALT}' || CAST(doc_id AS VARCHAR)")} AS shk
+  FROM d
+), g AS (
+  SELECT doc_id, decile,
+         ROW_NUMBER() OVER (ORDER BY decile, shk, doc_id) - 1 AS curriculum_pos,
+         ROW_NUMBER() OVER (PARTITION BY decile ORDER BY shk, doc_id) - 1 AS within_rank
+  FROM s
+)
+SELECT doc_id, CAST(decile AS BIGINT) AS decile,
+       CAST(within_rank AS BIGINT) AS within_rank,
+       CAST(curriculum_pos AS BIGINT) AS curriculum_pos,
+       CAST(within_rank * 10 + decile AS BIGINT) AS interleave_pos
+FROM g
+"""
+
+
 MAD_SIGMA = 1.4826   # consistency constant: MAD·1.4826 ≈ σ under normality
 MAD_K = 3.5          # robust-z cutoff (Iglewicz–Hoaglin's recommended 3.5)
 
@@ -1024,6 +1113,7 @@ QUERIES = {
     "signal_correlations": signal_correlations,
     "quality_agreement_matrix": quality_agreement_matrix,
     "code_detection": code_detection,
+    "curriculum_schedule": curriculum_schedule,
 }
 
 ORACLE_SQL = {
@@ -1039,4 +1129,5 @@ ORACLE_SQL = {
     "signal_correlations": SIGNAL_CORRELATIONS_SQL,
     "quality_agreement_matrix": QUALITY_AGREEMENT_MATRIX_SQL,
     "code_detection": CODE_DETECTION_SQL,
+    "curriculum_schedule": CURRICULUM_SCHEDULE_SQL,
 }

@@ -2137,6 +2137,122 @@ SELECT query_id, query_label, neighbor_id, neighbor_label, sim, rnk FROM (
 """
 
 
+# ------------------------------------------ semantic decontamination
+
+# Embedding-space decontamination: the n-gram pass (dedup.py
+# benchmark_decontamination, reference-analogous exact-overlap family)
+# misses PARAPHRASED benchmark leakage — same meaning, different
+# surface tokens. The embedding analogue closes that hole: a training
+# vector whose cosine to any benchmark vector clears the threshold is
+# flagged, however the text was reworded. Same stand-in eval-set
+# convention as the n-gram pass (id % 50 == 0) so the two audits are
+# directly joinable per document.
+SEM_BENCH_MOD = 50            # mirrors dedup.BENCH_MOD
+# Looser than PAIR_THRESHOLD (near-dup): paraphrase leakage lives below
+# the near-identical band, so the decontamination τ casts a wider net
+# and the verdict relation is reviewed, not auto-dropped.
+SEM_DECON_THRESHOLD = 0.3     # cosine >= τ → semantic leak
+
+
+def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-training-vector semantic-leak verdict: (train_vec,
+    n_bench_hits, max_cos, worst_bench) for every non-benchmark vector
+    whose cosine to >=1 benchmark vector is >= SEM_DECON_THRESHOLD;
+    worst_bench is the argmax benchmark (ties to the smaller vec_id).
+
+    Scale plan (100 TB): candidates come from the deterministic
+    hyperplane-LSH bucket join — BIPARTITE (train side x bench side),
+    so cost scales with cross-cut bucket co-occupancy, never
+    |corpus| x |bench|; the bench side of the join is the small
+    relation (benchmarks are ~10^5 rows at any corpus size) and
+    broadcastable by AQE. Verification computes one cosine per
+    candidate with per-vector norms precomputed (the
+    embedding_pairs_threshold discipline); the verdict is one groupBy
+    on train_vec whose argmax is a min(struct) aggregation, no
+    windows over corpus-sized relations."""
+    from capstone_etl_spark.functions.vectors import dot, norm2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = lsh_buckets(emb, planes=_PAIR_PLANES).transform(cached)
+    is_bench = F.col("vec_id") % SEM_BENCH_MOD == 0
+    cand = (
+        buckets.filter(~is_bench).alias("t")
+        .join(
+            buckets.filter(is_bench).alias("b"),
+            (F.col("t.tbl") == F.col("b.tbl"))
+            & (F.col("t.bucket") == F.col("b.bucket")),
+        )
+        .select(
+            F.col("t.vec_id").alias("train_vec"),
+            F.col("b.vec_id").alias("bench_vec"),
+        )
+        .distinct()
+    )
+    et = emb.select(
+        F.col("vec_id").alias("train_vec"), F.col("embedding").alias("qe"),
+        norm2("embedding").alias("nt"),
+    )
+    eb = emb.select(
+        F.col("vec_id").alias("bench_vec"), F.col("embedding").alias("ne"),
+        norm2("embedding").alias("nb"),
+    )
+    sim = F.when(
+        (F.col("nt") > 0) & (F.col("nb") > 0),
+        dot("qe", "ne") / (F.col("nt") * F.col("nb")),
+    ).otherwise(F.lit(None))
+    hits = (
+        cand.join(et, "train_vec")
+        .join(eb, "bench_vec")
+        .filter(sim >= SEM_DECON_THRESHOLD)
+        .select("train_vec", "bench_vec", F.round(sim, 6).alias("simr"))
+    )
+    return hits.groupBy("train_vec").agg(
+        F.count("*").alias("n_bench_hits"),
+        F.max("simr").alias("max_cos"),
+        F.min(
+            F.struct((-F.col("simr")).alias("ns"), F.col("bench_vec").alias("bv"))
+        )["bv"].alias("worst_bench"),
+    )
+
+
+# zero-norm guard mirrors the Spark side's NULL (matryoshka discipline):
+# DuckDB's raw IEEE division would yield inf/NaN instead of dropping the row
+_SEM_NORM = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+_SEM_DECON_COS = (
+    f"(CASE WHEN {_SEM_NORM.format(v='ea.embedding')} > 0"
+    f" AND {_SEM_NORM.format(v='eb.embedding')} > 0 THEN "
+    + _COSINE_SQL.replace("qe", "ea.embedding").replace("ne", "eb.embedding")
+    + " ELSE NULL END)"
+)
+
+SEMANTIC_DECONTAMINATION_SQL = f"""
+WITH buckets AS (
+  {_PAIR_BUCKETS_SQL}
+), cand AS (
+  SELECT DISTINCT t.vec_id AS train_vec, b.vec_id AS bench_vec
+  FROM buckets t JOIN buckets b
+    ON t.tbl = b.tbl AND t.bucket = b.bucket
+  WHERE t.vec_id % {SEM_BENCH_MOD} <> 0 AND b.vec_id % {SEM_BENCH_MOD} = 0
+), hits AS (
+  SELECT c.train_vec, c.bench_vec, ROUND({_SEM_DECON_COS}, 6) AS simr
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.train_vec
+  JOIN embeddings eb ON eb.vec_id = c.bench_vec
+  WHERE {_SEM_DECON_COS} >= {SEM_DECON_THRESHOLD}
+), worst AS (
+  SELECT train_vec, bench_vec AS worst_bench FROM (
+    SELECT train_vec, bench_vec,
+           ROW_NUMBER() OVER (PARTITION BY train_vec ORDER BY simr DESC, bench_vec) AS rn
+    FROM hits
+  ) r WHERE rn = 1
+)
+SELECT h.train_vec, CAST(COUNT(*) AS BIGINT) AS n_bench_hits,
+       MAX(h.simr) AS max_cos, MAX(w.worst_bench) AS worst_bench
+FROM hits h JOIN worst w USING (train_vec)
+GROUP BY h.train_vec
+"""
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_brute_topk": ann_brute_topk,
@@ -2161,6 +2277,7 @@ QUERIES = {
     "ann_pq_topk": ann_pq_topk,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "hard_negative_mining": hard_negative_mining,
+    "semantic_decontamination": semantic_decontamination,
 }
 
 ORACLE_SQL = {
@@ -2187,4 +2304,5 @@ ORACLE_SQL = {
     "ann_pq_topk": ANN_PQ_TOPK_SQL,
     "ann_ivf_pq_topk": ANN_IVF_PQ_TOPK_SQL,
     "hard_negative_mining": HARD_NEGATIVE_MINING_SQL,
+    "semantic_decontamination": SEMANTIC_DECONTAMINATION_SQL,
 }

@@ -40,6 +40,10 @@ ALLOWED_CARTESIAN: dict[str, str] = {
     "difficulty_deciles": (
         "1-row corpus-count broadcast for decile boundaries (quality.py)"
     ),
+    "curriculum_schedule": (
+        "inherits difficulty_deciles' 1-row corpus-count broadcast; its "
+        "own decile-offset join is a bounded 10-row broadcast (quality.py)"
+    ),
     "semantic_dedup": (
         "1-row corpus-stats broadcast + the hash-sampled ~sqrt(N) "
         "quantizer-seed broadcast (similarity.quantizer_seeds)"
@@ -386,4 +390,8 @@ HEADLINE: list[str] = [
     "dedup_sorted_neighborhood",
     "split_leakage_audit",
     "code_detection",
+    # round-7 session-4 additions
+    "semantic_decontamination",
+    "curriculum_schedule",
+    "dp_source_histogram",
 ]

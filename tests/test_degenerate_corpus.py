@@ -169,6 +169,14 @@ NAMES = [
     # rep_ratio exactly 0; digits-only docs hit no markers — the
     # verdict threshold must agree engine-for-engine on every edge
     "code_detection",
+    # round-7 session 4: a 10-doc corpus puts ~1 doc per difficulty
+    # decile and several docs tie at nll 0 (empty/OOV-only token
+    # lists) — the (nll, doc_id) and (decile, hash, doc_id) orders
+    # must tiebreak identically in both engines
+    "curriculum_schedule",
+    # tiny per-source counts (1-3 docs) + noise can push the released
+    # count negative: the max(0, ·) clamp must fire identically
+    "dp_source_histogram",
 ]
 
 
@@ -242,6 +250,10 @@ EMB_NAMES = [
     # the fully-degenerate 0.0 branch (not NULL, not inf) must fire
     # identically in both engines
     "label_separability",
+    # round-7 session 4: identical vectors → the single bench vector
+    # (vec_id 0) hits both train vectors at cosine exactly 1.0; the
+    # bipartite bucket join and the argmax must agree in both engines
+    "semantic_decontamination",
 ]
 
 

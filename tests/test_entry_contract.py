@@ -48,8 +48,11 @@ def test_first_fifty_span_every_family():
             "dedup_minhash_lsh", "dedup_clusters", "dedup_exact",
             "dedup_agreement", "dedup_sorted_neighborhood",
         ),
+        # semantic_decontamination (embedding-space leakage) joined the
+        # family in round-7 session 4
         "decontamination": (
             "decontamination", "repeated_ngram_spans", "split_leakage_audit",
+            "semantic_decontamination",
         ),
         # ann_radius_search / kmeans_silhouette joined their families
         # in round-7 session 2 and sit in the head block, covering the
@@ -73,14 +76,24 @@ def test_first_fifty_span_every_family():
         "outputs": ("wikibooks_docs", "tokens_collection"),
         "chunking": ("doc_chunks", "chunk_packing"),
         "packing": ("sequence_packing", "sequence_packing_greedy"),
-        "splits": ("doc_splits", "cluster_aware_splits"),
+        # split_leakage_audit exercises the family's salted-hash split
+        # assignment (sampling.split_column) from the head block
+        "splits": ("doc_splits", "cluster_aware_splits", "split_leakage_audit"),
         "sampling": ("doc_sample_stratified", "reservoir_sample"),
         "rangejoin": ("campaign_window_stats",),
         "textstats": ("text_quality", "zipf_fit", "language_id_confusion"),
-        # code_detection joined the family in round-7 session 3
+        # code_detection joined the family in round-7 session 3,
+        # curriculum_schedule in session 4
         "quality": (
             "quality_filter_flags", "quality_filter_funnel",
-            "difficulty_deciles", "code_detection",
+            "difficulty_deciles", "code_detection", "curriculum_schedule",
+        ),
+        # privacy family added in round-7 session 4 (k_anonymity_audit
+        # sits in the session-2 head block, dp_source_histogram in the
+        # session-4 head block)
+        "privacy": (
+            "pii_scan", "pii_redaction", "boilerplate_lines",
+            "k_anonymity_audit", "dp_source_histogram",
         ),
         # the round-7 session-2 sketches sit in the new-query head
         # block, covering the window alongside the KMV canaries
