@@ -104,15 +104,26 @@ _PRIORITY = [
     "semantic_decontamination",
     "curriculum_schedule",
     "dp_source_histogram",
+    # Block 2e: NEW in round-7 session 5 — first driver attestation.
+    # Window bookkeeping: source_loso_influence joins the corpus/mixing
+    # family (its slot comes from mixing_allocation, demoted to lead
+    # Block 4 — family stays covered by the new head entry), and
+    # rendezvous_sharding joins the scale-audit family (covered
+    # in-window by lsh_tuning_curve / cms_join_size; its slot comes
+    # from bm25_topk, whose doc_similarity family stays covered by
+    # retrieval_ndcg in Block 1). The session's third query,
+    # ivf_cell_medoids, sits at position 51 — the ann family is
+    # already double-covered in-window (ann_radius_search,
+    # kmeans_silhouette) so it cedes the window seat and rides the
+    # committed ATTEST gate instead.
+    "source_loso_influence",
+    "rendezvous_sharding",
     # Block 3: family canaries - every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span,
     # counting the session-2 head-block members of each family); each
     # is driver-green in r4-r6. ann_recall_eval and kmeans_lloyd moved
     # to Block 4: their families are already covered in-window by the
-    # head block (ann_radius_search, kmeans_silhouette), which frees
-    # the last two slots for kmv_source_overlap / event_anomaly_zscore.
-    "mixing_allocation",
-    "bm25_topk",
+    # head block (ann_radius_search, kmeans_silhouette).
     # stream_quality_funnel / multimodal_frame_dedup demoted to Block 4
     # alongside ann_recall_eval / kmeans_lloyd: their families are
     # covered in-window by six head-block stream_* queries and by
@@ -123,9 +134,22 @@ _PRIORITY = [
     "reservoir_sample",
     "campaign_window_stats",
     "zipf_fit",
-    # Block 4: least-recently-attested (r2/r3 rows only) — the driver's
-    # extra sampling refreshes the stalest signal first. The six
-    # canaries demoted for the session-3/4 additions lead.
+    # ---- position 51+: the session-5 additions without window seats
+    # (families covered in-window: ann by ann_radius_search /
+    # kmeans_silhouette, textstats by zipf_fit, privacy by
+    # k_anonymity_audit + dp_source_histogram); they ride the
+    # committed ATTEST gate.
+    "ivf_cell_medoids",
+    "heaps_law_fit",
+    "l_diversity_audit",
+    "ab_test_analysis",
+    "hubness_audit",
+    "event_tail_index",
+    # Block 4: least-recently-attested — the driver's extra sampling
+    # refreshes the stalest signal first. The canaries demoted for the
+    # session-3/4/5 additions lead (all multi-round driver-green).
+    "mixing_allocation",
+    "bm25_topk",
     "cluster_aware_splits",
     "kmv_source_overlap",
     "event_anomaly_zscore",

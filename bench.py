@@ -125,6 +125,16 @@ HEADLINE = [
     # 10-row offset recovery) — tracked from day one.
     "semantic_decontamination",
     "curriculum_schedule",
+    # r7 session 5: the LOSO data-valuation pass (two token-keyed
+    # shuffles + leave-one-out column math on the source×token spine),
+    # the cell-medoid coreset (quantizer assignment + Σpop² bounded
+    # within-cell pairwise), and the Heaps'-law growth fit (first-seen
+    # trick: cumulative distinct counts from ONE groupBy + a 10-row
+    # checkpoint join, never a rescan per prefix) — tracked from day
+    # one.
+    "source_loso_influence",
+    "ivf_cell_medoids",
+    "heaps_law_fit",
 ]
 
 

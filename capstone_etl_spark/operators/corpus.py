@@ -528,6 +528,115 @@ GROUP BY CUBE (source, lang)
 """
 
 
+# --- leave-one-source-out influence (data valuation) ------------------------
+#
+# Which source does the rest of the corpus fail to model? For each
+# source s, score s's own tokens under TWO add-α unigram LMs: one
+# trained on the full corpus (nll_self) and one trained on the corpus
+# MINUS s (nll_holdout — the leave-one-group-out estimate, computed
+# algebraically as C(t)−c_s(t) / N−N_s, no second pass). The gap
+# `novelty` is the per-token information the corpus loses by dropping
+# the source: ≈0 for redundant sources, large for sources whose
+# vocabulary nothing else covers — the cheap group-level cousin of
+# influence-function / Shapley data valuation, and the table a mixing
+# curator reads next to source_mixing_weights before re-weighting.
+LOSO_ALPHA = 0.5   # add-α smoothing over the FULL-corpus vocabulary
+
+
+def source_loso_influence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, nll_self, nll_holdout, novelty), one row per
+    source; novelty = nll_holdout − nll_self ≥ 0.
+
+    Scale plan: one tokenize pass → per-(source,token) counts (the
+    cached spine: ≤ |sources|·|vocab| rows, feeds all four consumers),
+    per-token totals ride a second small token-keyed shuffle, the
+    per-source totals and the 1-row (N, V) aggregate come back as
+    broadcasts. The leave-one-out subtraction is column math on the
+    spine — the whole valuation costs two uniform-key shuffles at any
+    corpus size, never one LM fit per source. Numeric discipline:
+    each cnt·ln(p) term snaps to DECIMAL(28,12) (summation-order
+    exactness, unigram_logprob's recipe); novelty is the difference of
+    the two ROUNDED nll columns so both engines subtract identical
+    doubles."""
+    from capstone_etl_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokenize("text")).alias("token"))
+    cst = cached(tok.groupBy("source", "token").agg(F.count("*").alias("c_st")))
+    ct = cst.groupBy("token").agg(F.sum("c_st").alias("c_t"))
+    ns = cst.groupBy(F.col("source").alias("_src")).agg(F.sum("c_st").alias("n_s"))
+    glob = cst.agg(
+        F.sum("c_st").cast("double").alias("n_corpus"),
+        F.countDistinct("token").cast("double").alias("v_corpus"),
+    )
+    a = F.lit(LOSO_ALPHA)
+    p_self = (F.col("c_t") + a) / (F.col("n_corpus") + a * F.col("v_corpus"))
+    p_held = (F.col("c_t") - F.col("c_st") + a) / (
+        F.col("n_corpus") - F.col("n_s") + a * F.col("v_corpus")
+    )
+    terms = (
+        cst.join(ct, "token")
+        .join(F.broadcast(ns), F.col("source") == F.col("_src"))
+        .crossJoin(F.broadcast(glob))
+        .select(
+            "source",
+            "c_st",
+            (F.col("c_st") * F.log(p_self)).cast("decimal(28,12)").alias("term_self"),
+            (F.col("c_st") * F.log(p_held)).cast("decimal(28,12)").alias("term_held"),
+        )
+    )
+    agg = terms.groupBy("source").agg(
+        F.sum("c_st").alias("n_tokens"),
+        F.round((-F.sum("term_self")).cast("double") / F.sum("c_st"), 6).alias("nll_self"),
+        F.round((-F.sum("term_held")).cast("double") / F.sum("c_st"), 6).alias("nll_holdout"),
+    )
+    return agg.select(
+        "source",
+        "n_tokens",
+        "nll_self",
+        "nll_holdout",
+        F.round(F.col("nll_holdout") - F.col("nll_self"), 6).alias("novelty"),
+    )
+
+
+_LOSO_TOKS = """
+  list_filter(string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+              t -> t <> '')
+"""
+
+SOURCE_LOSO_INFLUENCE_SQL = f"""
+WITH tok AS (
+  SELECT source, UNNEST({_LOSO_TOKS}) AS token FROM documents
+), cst AS (
+  SELECT source, token, COUNT(*) AS c_st FROM tok GROUP BY 1, 2
+), ct AS (
+  SELECT token, CAST(SUM(c_st) AS BIGINT) AS c_t FROM cst GROUP BY 1
+), ns AS (
+  SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_s FROM cst GROUP BY 1
+), gtot AS (
+  SELECT CAST(SUM(c_st) AS DOUBLE) AS n_corpus,
+         CAST(COUNT(DISTINCT token) AS DOUBLE) AS v_corpus
+  FROM cst
+), terms AS (
+  SELECT c.source, c.c_st,
+         CAST(c.c_st * ln((t.c_t + {LOSO_ALPHA}) / (g.n_corpus + {LOSO_ALPHA} * g.v_corpus))
+              AS DECIMAL(28,12)) AS term_self,
+         CAST(c.c_st * ln((t.c_t - c.c_st + {LOSO_ALPHA})
+                          / (g.n_corpus - s.n_s + {LOSO_ALPHA} * g.v_corpus))
+              AS DECIMAL(28,12)) AS term_held
+  FROM cst c JOIN ct t USING (token) JOIN ns s USING (source) CROSS JOIN gtot g
+), agg AS (
+  SELECT source, CAST(SUM(c_st) AS BIGINT) AS n_tokens,
+         ROUND(CAST(-SUM(term_self) AS DOUBLE) / SUM(c_st), 6) AS nll_self,
+         ROUND(CAST(-SUM(term_held) AS DOUBLE) / SUM(c_st), 6) AS nll_holdout
+  FROM terms GROUP BY source
+)
+SELECT source, n_tokens, nll_self, nll_holdout,
+       ROUND(nll_holdout - nll_self, 6) AS novelty
+FROM agg
+"""
+
+
 QUERIES = {
     "corpus_pipeline": corpus_pipeline,
     "training_manifest": training_manifest,
@@ -538,6 +647,7 @@ QUERIES = {
     "cluster_aware_splits": cluster_aware_splits,
     "corpus_summary": corpus_summary,
     "corpus_cube": corpus_cube,
+    "source_loso_influence": source_loso_influence,
 }
 
 ORACLE_SQL = {
@@ -550,4 +660,5 @@ ORACLE_SQL = {
     "cluster_aware_splits": _cluster_aware_splits_sql(),
     "corpus_summary": _corpus_summary_sql(),
     "corpus_cube": CORPUS_CUBE_SQL,
+    "source_loso_influence": SOURCE_LOSO_INFLUENCE_SQL,
 }

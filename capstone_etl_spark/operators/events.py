@@ -22,6 +22,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from capstone_etl_spark.functions.hashing import md5_hash60
 from capstone_etl_spark.functions.windows import bounded_window_key
 from capstone_etl_spark.operators.vocab import with_dense_ids
 from capstone_etl_spark.sources.tables import load_table
@@ -1264,6 +1265,214 @@ WHERE r.rn = 1 AND r.event_type <> '{CDC_DELETE_TYPE}'
 """
 
 
+# ------------------------------------------------------ A/B experiment
+#
+# End-to-end experiment readout over the event stream. Assignment is
+# how production experiment frameworks actually do it — a salted hash
+# of the unit id (user), so it is stable across sessions, uniform
+# across variants, and reproducible from the id alone (no assignment
+# table to join). Exposure = the user's first 'view'; conversion = a
+# 'purchase' strictly after that exposure (post-exposure discipline:
+# pre-experiment purchases cannot count). The readout is the standard
+# two-proportion z-test on conversion rates.
+AB_SALT = "ab:v1:"
+AB_VARIANTS = 2
+AB_EXPOSE_TYPE = "view"
+AB_CONVERT_TYPE = "purchase"
+
+
+def ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(variant, n_exposed, n_converted, conv_rate, abs_lift,
+    rel_lift, z_score) — one row per variant; the three cross-variant
+    columns (treatment minus/over control, pooled-variance z) repeat on
+    both rows so the table is self-contained.
+
+    Scale plan: one groupBy(user) for first-exposure timestamps, one
+    semi-join-shaped conversion pass (conversions join the exposed-user
+    relation on user, filter ts > first view, distinct), one ≤2-row
+    variant rollup — two user-keyed shuffles regardless of event count.
+    The z/lift scalars ride back over the 2-row relation as a 1-row
+    pivot broadcast (allowlisted). Exactness: counts are exact int64;
+    rates/z divide identical doubles and round once."""
+    ev = load_table(spark, sf_dir, "events")
+    variant = (
+        md5_hash60(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string")))
+        % AB_VARIANTS
+    ).cast("long")
+    exposed = cached(
+        ev.filter(F.col("event_type") == AB_EXPOSE_TYPE)
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_view"))
+        .select("user_id", "first_view", variant.alias("variant"))
+    )
+    converted = (
+        ev.filter(F.col("event_type") == AB_CONVERT_TYPE)
+        .join(exposed.select("user_id", "first_view"), "user_id")
+        .filter(F.col("ts") > F.col("first_view"))
+        .select("user_id")
+        .distinct()
+        .withColumn("conv", F.lit(1).cast("long"))
+    )
+    per_variant = (
+        exposed.join(converted, "user_id", "left")
+        .groupBy("variant")
+        .agg(
+            F.count("*").cast("long").alias("n_exposed"),
+            F.sum(F.coalesce(F.col("conv"), F.lit(0))).cast("long").alias("n_converted"),
+        )
+    )
+    pivot = per_variant.agg(
+        F.sum(F.when(F.col("variant") == 0, F.col("n_exposed"))).alias("n0"),
+        F.sum(F.when(F.col("variant") == 0, F.col("n_converted"))).alias("c0"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n_exposed"))).alias("n1"),
+        F.sum(F.when(F.col("variant") == 1, F.col("n_converted"))).alias("c1"),
+    )
+    n0, c0 = F.col("n0").cast("double"), F.col("c0").cast("double")
+    n1, c1 = F.col("n1").cast("double"), F.col("c1").cast("double")
+    p0, p1 = c0 / n0, c1 / n1
+    pooled = (c0 + c1) / (n0 + n1)
+    se = F.sqrt(pooled * (1 - pooled) * (1 / n0 + 1 / n1))
+    # guards: a zero-conversion control (p0 = 0) or an all-or-nothing
+    # pooled rate (se = 0) yields NULL — Spark ANSI would throw on /0
+    # and DuckDB would emit inf; NULL is the cross-engine agreement
+    stats = pivot.select(
+        F.round(p1 - p0, 6).alias("abs_lift"),
+        F.when(p0 > 0, F.round((p1 - p0) / p0, 6)).alias("rel_lift"),
+        F.when(se > 0, F.round((p1 - p0) / se, 6)).alias("z_score"),
+    )
+    return per_variant.join(F.broadcast(stats), F.lit(True)).select(
+        "variant",
+        "n_exposed",
+        "n_converted",
+        F.round(F.col("n_converted").cast("double") / F.col("n_exposed"), 6).alias("conv_rate"),
+        "abs_lift",
+        "rel_lift",
+        "z_score",
+    )
+
+
+def _ab_test_sql() -> str:
+    from capstone_etl_spark.functions.hashing import md5_hash60_sql
+
+    v = md5_hash60_sql(f"'{AB_SALT}' || CAST(user_id AS VARCHAR)")
+    return f"""
+WITH exposed AS (
+  SELECT user_id, MIN(ts) AS first_view, ({v}) % {AB_VARIANTS} AS variant
+  FROM events WHERE event_type = '{AB_EXPOSE_TYPE}' GROUP BY user_id
+), converted AS (
+  SELECT DISTINCT e.user_id
+  FROM events e JOIN exposed x ON e.user_id = x.user_id
+  WHERE e.event_type = '{AB_CONVERT_TYPE}' AND e.ts > x.first_view
+), per_variant AS (
+  SELECT x.variant,
+         CAST(COUNT(*) AS BIGINT) AS n_exposed,
+         CAST(SUM(CASE WHEN c.user_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_converted
+  FROM exposed x LEFT JOIN converted c ON x.user_id = c.user_id
+  GROUP BY 1
+), piv AS (
+  SELECT CAST(SUM(CASE WHEN variant = 0 THEN n_exposed END) AS DOUBLE) AS n0,
+         CAST(SUM(CASE WHEN variant = 0 THEN n_converted END) AS DOUBLE) AS c0,
+         CAST(SUM(CASE WHEN variant = 1 THEN n_exposed END) AS DOUBLE) AS n1,
+         CAST(SUM(CASE WHEN variant = 1 THEN n_converted END) AS DOUBLE) AS c1
+  FROM per_variant
+), stats AS (
+  SELECT ROUND(c1 / n1 - c0 / n0, 6) AS abs_lift,
+         CASE WHEN c0 / n0 > 0
+              THEN ROUND((c1 / n1 - c0 / n0) / (c0 / n0), 6)
+         END AS rel_lift,
+         CASE WHEN sqrt(((c0 + c1) / (n0 + n1)) * (1 - (c0 + c1) / (n0 + n1)) * (1 / n0 + 1 / n1)) > 0
+              THEN ROUND((c1 / n1 - c0 / n0)
+                         / sqrt(((c0 + c1) / (n0 + n1)) * (1 - (c0 + c1) / (n0 + n1)) * (1 / n0 + 1 / n1)), 6)
+         END AS z_score
+  FROM piv
+)
+SELECT variant, n_exposed, n_converted,
+       ROUND(CAST(n_converted AS DOUBLE) / n_exposed, 6) AS conv_rate,
+       abs_lift, rel_lift, z_score
+FROM per_variant CROSS JOIN stats
+"""
+
+
+AB_TEST_ANALYSIS_SQL = _ab_test_sql()
+
+
+# ---------------------------------------------------- heavy-tail index
+#
+# Hill estimator of the value distribution's tail exponent: with the
+# top-(k+1) order statistics x(1) ≥ … ≥ x(k+1),
+#     ξ = (1/k) Σ_{i≤k} ln(x(i) / x(k+1)),   α = 1/ξ.
+# α ≈ 1-2 means a catastrophically heavy tail (means barely exist —
+# cap/winsorize before aggregating; the skew-join salting threshold
+# cares too); α > 3 means near-Gaussian tails and plain aggregation is
+# safe. The events.value column is the revenue-like quantity every
+# pipeline eventually aggregates, so the tail audit belongs next to
+# the percentile/histogram operators.
+HILL_K = 100
+
+
+def event_tail_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (k_used, x_threshold, hill_xi, tail_alpha) — empty if
+    fewer than 2 positive values exist.
+
+    Scale plan: the only corpus-wide step is a distributed top-(k+1)
+    (TakeOrderedAndProject — per-partition partial top-k, no global
+    sort); the estimator is one aggregation over those ≤ k+1 rows with
+    the threshold entering as a 1-row broadcast. Exactness: each
+    ln(x) snaps to DECIMAL(28,12) before the order-independent sum;
+    ties at the selection boundary are harmless because tied rows have
+    equal value, so the top multiset is deterministic."""
+    ev = load_table(spark, sf_dir, "events")
+    top = cached(
+        ev.filter(F.col("value") > 0)
+        .select("value", "event_id")
+        .orderBy(F.desc("value"), "event_id")
+        .limit(HILL_K + 1)
+    )
+    thresh = top.agg(F.min("value").alias("x_thresh"))
+    terms = top.join(F.broadcast(thresh), F.lit(True)).select(
+        (F.log(F.col("value")) - F.log(F.col("x_thresh")))
+        .cast("decimal(28,12)")
+        .alias("term"),
+        "x_thresh",
+    )
+    agg = terms.groupBy("x_thresh").agg(
+        F.count("*").alias("n"),
+        F.sum("term").alias("s"),
+    )
+    xi = F.col("s").cast("double") / (F.col("n") - 1).cast("double")
+    return (
+        agg.filter(F.col("n") >= 2)
+        .select(
+            (F.col("n") - 1).cast("long").alias("k_used"),
+            F.round(F.col("x_thresh"), 6).alias("x_threshold"),
+            F.round(xi, 6).alias("hill_xi"),
+            F.when(xi > 0, F.round(F.lit(1.0) / xi, 6)).alias("tail_alpha"),
+        )
+    )
+
+
+EVENT_TAIL_INDEX_SQL = f"""
+WITH top AS (
+  SELECT value FROM events WHERE value > 0
+  ORDER BY value DESC, event_id LIMIT {HILL_K + 1}
+), thresh AS (
+  SELECT MIN(value) AS x_thresh FROM top
+), terms AS (
+  SELECT CAST(ln(value) - ln(t.x_thresh) AS DECIMAL(28,12)) AS term, t.x_thresh
+  FROM top CROSS JOIN thresh t
+), agg AS (
+  SELECT x_thresh, COUNT(*) AS n, SUM(term) AS s FROM terms GROUP BY 1
+)
+SELECT CAST(n - 1 AS BIGINT) AS k_used,
+       ROUND(x_thresh, 6) AS x_threshold,
+       ROUND(CAST(s AS DOUBLE) / (n - 1), 6) AS hill_xi,
+       CASE WHEN CAST(s AS DOUBLE) / (n - 1) > 0
+            THEN ROUND(1.0 / (CAST(s AS DOUBLE) / (n - 1)), 6)
+       END AS tail_alpha
+FROM agg WHERE n >= 2
+"""
+
+
 QUERIES = {
     "event_ewma_daily": ewma_daily,
     "event_scd_intervals": scd_intervals,
@@ -1292,6 +1501,8 @@ QUERIES = {
     "event_user_rank_profile": user_value_rank_profile,
     "event_daily_unpivot": daily_type_unpivot,
     "event_transitions": event_transitions,
+    "ab_test_analysis": ab_test_analysis,
+    "event_tail_index": event_tail_index,
 }
 
 ORACLE_SQL = {
@@ -1322,4 +1533,6 @@ ORACLE_SQL = {
     "event_user_rank_profile": USER_VALUE_RANK_PROFILE_SQL,
     "event_daily_unpivot": DAILY_TYPE_UNPIVOT_SQL,
     "event_transitions": EVENT_TRANSITIONS_SQL,
+    "ab_test_analysis": AB_TEST_ANALYSIS_SQL,
+    "event_tail_index": EVENT_TAIL_INDEX_SQL,
 }

@@ -326,6 +326,105 @@ WITH groups AS (
 K_ANONYMITY_AUDIT_SQL = _k_anon_sql()
 
 
+# --------------------------------------------------- l-diversity audit
+#
+# k-anonymity's known hole: a group can be large (k-safe) yet carry a
+# SINGLE sensitive value, so membership alone discloses it (the
+# homogeneity attack, Machanavajjhala et al. 2007). l-diversity closes
+# it: every quasi-identifier group must contain ≥ l distinct sensitive
+# values. Here the QI is (nation, segment) and the sensitive attribute
+# is the account-balance band the k-audit generalizes on — the two
+# audits compose: k_anonymity_audit sizes the groups, this one checks
+# what the groups reveal.
+L_DIV_THRESHOLDS = (2, 3, 5)
+
+
+def l_diversity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row per policy threshold l: QI groups, their rows, the
+    groups with fewer than l distinct sensitive values, the rows those
+    groups expose, and the exposed-row fraction.
+
+    Plan: one groupBy over (QI, sensitive) — the finest relation, with
+    map-side combine — then a second aggregation to QI level carrying
+    (distinct-sensitive count, row count), then one conditional sum
+    per threshold over the |QI-domain|-bounded relation, unpivoted via
+    stack. Same 100 TB shape as the k-audit: a scan plus two
+    domain-sized reduces."""
+    cust = load_table(spark, sf_dir, "customer")
+    fine = cust.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.floor(F.col("c_acctbal") / K_ANON_BAND).alias("bal_band"),
+    ).agg(F.count("*").alias("g"))
+    qi = fine.groupBy("nation", "segment").agg(
+        F.count("*").alias("l_div"),
+        F.sum("g").alias("g_rows"),
+    )
+    sums = qi.agg(
+        F.count("*").alias("n_groups"),
+        F.sum("g_rows").alias("n_rows"),
+        *[
+            agg
+            for l in L_DIV_THRESHOLDS
+            for agg in (
+                F.sum((F.col("l_div") < l).cast("long")).alias(f"gb_{l}"),
+                F.sum(F.when(F.col("l_div") < l, F.col("g_rows")).otherwise(0)).alias(f"rb_{l}"),
+            )
+        ],
+    )
+    stack = ", ".join(f"{l}, gb_{l}, rb_{l}" for l in L_DIV_THRESHOLDS)
+    return sums.select(
+        F.expr(
+            f"stack({len(L_DIV_THRESHOLDS)}, {stack}) AS (l, groups_below, rows_below)"
+        ),
+        "n_groups",
+        "n_rows",
+    ).select(
+        "l",
+        F.col("n_groups").cast("long").alias("n_groups"),
+        F.col("n_rows").cast("long").alias("n_rows"),
+        F.col("groups_below").cast("long").alias("groups_below"),
+        F.col("rows_below").cast("long").alias("rows_below"),
+        F.round(
+            F.col("rows_below").cast("double") / F.col("n_rows").cast("double"), 6
+        ).alias("pct_rows_below"),
+    )
+
+
+def _l_div_sql() -> str:
+    per_l = " UNION ALL ".join(
+        f"""SELECT {l} AS l, n_groups, n_rows,
+           gb_{l} AS groups_below, rb_{l} AS rows_below,
+           ROUND(CAST(rb_{l} AS DOUBLE) / CAST(n_rows AS DOUBLE), 6) AS pct_rows_below
+    FROM sums"""
+        for l in L_DIV_THRESHOLDS
+    )
+    cond_sums = ", ".join(
+        f"CAST(SUM(CASE WHEN l_div < {l} THEN 1 ELSE 0 END) AS BIGINT) AS gb_{l}, "
+        f"CAST(SUM(CASE WHEN l_div < {l} THEN g_rows ELSE 0 END) AS BIGINT) AS rb_{l}"
+        for l in L_DIV_THRESHOLDS
+    )
+    return f"""
+WITH fine AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(floor(c_acctbal / {K_ANON_BAND}) AS BIGINT) AS bal_band,
+         COUNT(*) AS g
+  FROM customer GROUP BY 1, 2, 3
+), qi AS (
+  SELECT nation, segment, COUNT(*) AS l_div, SUM(g) AS g_rows FROM fine GROUP BY 1, 2
+), sums AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+         CAST(SUM(g_rows) AS BIGINT) AS n_rows,
+         {cond_sums}
+  FROM qi
+)
+{per_l}
+"""
+
+
+L_DIVERSITY_AUDIT_SQL = _l_div_sql()
+
+
 # -------------------------------------- differentially private release
 
 # The k-anonymity audit above DECIDES whether a grouping is safe to
@@ -405,6 +504,7 @@ QUERIES = {
     "boilerplate_lines": boilerplate_lines,
     "k_anonymity_audit": k_anonymity_audit,
     "dp_source_histogram": dp_source_histogram,
+    "l_diversity_audit": l_diversity_audit,
 }
 
 ORACLE_SQL = {
@@ -413,4 +513,5 @@ ORACLE_SQL = {
     "boilerplate_lines": BOILERPLATE_LINES_SQL,
     "k_anonymity_audit": K_ANONYMITY_AUDIT_SQL,
     "dp_source_histogram": DP_SOURCE_HISTOGRAM_SQL,
+    "l_diversity_audit": L_DIVERSITY_AUDIT_SQL,
 }

@@ -38,6 +38,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from capstone_etl_spark.functions.hashing import md5_hash60, md5_hash60_sql
 from capstone_etl_spark.operators.sampling import split_column, split_sql_case
 from capstone_etl_spark.sources.tables import load_table
 
@@ -804,6 +805,126 @@ LEFT JOIN stats s USING (threshold)
     )
 
 
+# --- rendezvous (HRW) sharding ----------------------------------------------
+#
+# Shard-assignment strategy audit. The engine's hash-mod sharding
+# (corpus.N_SHARDS, output_file_plan) reassigns ~(S-1)/S of all
+# documents when the shard count changes — a full-corpus rewrite.
+# Highest-random-weight (rendezvous) hashing assigns each document to
+# argmax_s h(doc, s); growing S→S+1 moves ONLY the documents whose new
+# shard wins the argmax, an expected 1/(S+1) of the corpus, and never
+# moves a document between two pre-existing shards. This operator
+# computes both assignments (S and S+1 shards) in one pass and reports
+# the per-shard migration ledger, making the minimal-churn property an
+# oracle-checked invariant instead of a design note.
+HRW_SALT = "hrw:v1:"
+HRW_SHARDS = 8                 # before
+HRW_SHARDS_AFTER = 9           # after one expansion
+
+
+def _hrw_owner(n_shards: int) -> F.Column:
+    """argmax_s md5(salt||s||doc_id) over s in [0,n_shards) — ties (a
+    60-bit-hash collision) break to the SMALLER shard id, mirrored by
+    the oracle's first-match CASE chain. Pure per-row column math:
+    min(struct(-h, s)) over an inline array, no explode, no shuffle."""
+    scores = [
+        F.struct(
+            (
+                -md5_hash60(
+                    F.concat(F.lit(f"{HRW_SALT}{s}:"), F.col("doc_id").cast("string"))
+                )
+            ).alias("nh"),
+            F.lit(s).alias("s"),
+        )
+        for s in range(n_shards)
+    ]
+    return F.array_min(F.array(*scores))["s"].cast("long")
+
+
+def rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(shard, n_before, n_after, n_in, n_out) for every shard of the
+    expanded layout — the HRW migration ledger for growing
+    HRW_SHARDS → HRW_SHARDS_AFTER.
+
+    Scale plan: the double assignment is per-row arithmetic at scan
+    speed (2S+1 hashes per document, no shuffle); the only shuffle is
+    the groupBy on (owner_before, owner_after) — map-side combinable to
+    ≤ S·(S+1) rows at any corpus size. The per-shard ledger is derived
+    from that tiny cached matrix; the shard spine is a range() literal
+    so empty shards still report zeros."""
+    from capstone_etl_spark.session import cached
+
+    docs = load_table(spark, sf_dir, "documents")
+    moves = cached(
+        docs.select(
+            _hrw_owner(HRW_SHARDS).alias("b"), _hrw_owner(HRW_SHARDS_AFTER).alias("a")
+        )
+        .groupBy("b", "a")
+        .agg(F.count("*").alias("n"))
+    )
+    spine = spark.range(HRW_SHARDS_AFTER).select(F.col("id").alias("shard"))
+    # distinct grouping aliases: the four ledgers share the cached
+    # `moves` lineage, so re-used b/a names would be ambiguous self-joins
+    n_before = moves.groupBy(F.col("b").alias("sb")).agg(F.sum("n").alias("n_before"))
+    n_after = moves.groupBy(F.col("a").alias("sa")).agg(F.sum("n").alias("n_after"))
+    moved = moves.filter(F.col("a") != F.col("b"))
+    n_in = moved.groupBy(F.col("a").alias("si")).agg(F.sum("n").alias("n_in"))
+    n_out = moved.groupBy(F.col("b").alias("so")).agg(F.sum("n").alias("n_out"))
+    zero = F.lit(0).cast("long")
+    return (
+        spine.join(n_before, F.col("shard") == F.col("sb"), "left")
+        .join(n_after, F.col("shard") == F.col("sa"), "left")
+        .join(n_in, F.col("shard") == F.col("si"), "left")
+        .join(n_out, F.col("shard") == F.col("so"), "left")
+        .select(
+            "shard",
+            F.coalesce("n_before", zero).alias("n_before"),
+            F.coalesce("n_after", zero).alias("n_after"),
+            F.coalesce("n_in", zero).alias("n_in"),
+            F.coalesce("n_out", zero).alias("n_out"),
+        )
+    )
+
+
+def _hrw_owner_sql(n_shards: int, alias: str) -> tuple[str, str]:
+    """First-match CASE over GREATEST(h_0..h_{S-1}) — smallest shard id
+    wins ties, matching the Spark min(struct(-h, s)) tiebreak."""
+    hs = [
+        md5_hash60_sql(f"'{HRW_SALT}{s}:' || CAST(doc_id AS VARCHAR)")
+        for s in range(n_shards)
+    ]
+    mx = "GREATEST(" + ", ".join(hs) + ")"
+    whens = "\n         ".join(
+        f"WHEN {h} = _mx{alias} THEN {s}" for s, h in enumerate(hs[:-1])
+    )
+    return (
+        f"CASE {whens}\n         ELSE {n_shards - 1} END",
+        f"{mx} AS _mx{alias}",
+    )
+
+
+def _rendezvous_sharding_sql() -> str:
+    case_b, mx_b = _hrw_owner_sql(HRW_SHARDS, "b")
+    case_a, mx_a = _hrw_owner_sql(HRW_SHARDS_AFTER, "a")
+    return f"""
+WITH hashed AS (
+  SELECT doc_id, {mx_b}, {mx_a} FROM documents
+), owners AS (
+  SELECT {case_b} AS b, {case_a} AS a FROM hashed
+), moves AS (
+  SELECT b, a, COUNT(*) AS n FROM owners GROUP BY 1, 2
+), spine AS (
+  SELECT CAST(UNNEST(range(0, {HRW_SHARDS_AFTER})) AS BIGINT) AS shard
+)
+SELECT s.shard,
+       CAST(COALESCE((SELECT SUM(n) FROM moves m WHERE m.b = s.shard), 0) AS BIGINT) AS n_before,
+       CAST(COALESCE((SELECT SUM(n) FROM moves m WHERE m.a = s.shard), 0) AS BIGINT) AS n_after,
+       CAST(COALESCE((SELECT SUM(n) FROM moves m WHERE m.a = s.shard AND m.b <> m.a), 0) AS BIGINT) AS n_in,
+       CAST(COALESCE((SELECT SUM(n) FROM moves m WHERE m.b = s.shard AND m.b <> m.a), 0) AS BIGINT) AS n_out
+FROM spine s
+"""
+
+
 QUERIES = {
     "key_skew_audit": key_skew_audit,
     "lsh_tuning_curve": lsh_tuning_curve,
@@ -814,6 +935,7 @@ QUERIES = {
     "zorder_pruning_gain": zorder_pruning_gain,
     "embedding_coverage_audit": embedding_coverage_audit,
     "dedup_threshold_sweep": dedup_threshold_sweep,
+    "rendezvous_sharding": rendezvous_sharding,
 }
 
 ORACLE_SQL = {
@@ -826,4 +948,5 @@ ORACLE_SQL = {
     "salted_hot_key_join": SALTED_HOT_KEY_JOIN_SQL,
     "zorder_pruning_gain": ZORDER_PRUNING_GAIN_SQL,
     "embedding_coverage_audit": EMBEDDING_COVERAGE_AUDIT_SQL,
+    "rendezvous_sharding": _rendezvous_sharding_sql(),
 }

@@ -2253,6 +2253,174 @@ GROUP BY h.train_vec
 """
 
 
+# ------------------------------------------------- cell medoid prototypes
+#
+# Coreset / prototype selection: one REPRESENTATIVE vector per Voronoi
+# cell of the hash-sampled quantizer — the medoid (the member
+# minimizing summed squared distance to its cellmates), not the
+# centroid, because a prototype must be an actual corpus member (it has
+# a doc, a text, a provenance; a mean vector has none). This is the
+# table a curation UI shows per cluster, the seed set a distillation /
+# active-learning loop starts from, and the compressed stand-in corpus
+# for expensive per-cluster evaluations.
+
+
+def ivf_cell_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, medoid, pop, mean_d2): the medoid vec_id of every
+    quantizer cell, the cell population, and the medoid's mean squared
+    distance to the cell (its tightness — large = diffuse cell).
+
+    Exactness: distances are integer sums over the fixed-point
+    quantized vectors (the IVF discipline), so both engines pick the
+    identical argmin with the identical (tot_d2, vec_id) tiebreak; the
+    only float is the final mean, rounded once.
+
+    Scale plan: assignment is the standard O(N·√N) quantizer pass with
+    the seed array broadcast; the pairwise stage joins the cell-keyed
+    relation to itself, so its cost is Σ pop² — bounded by the per-cell
+    cap that ivf_cell_balance audits (≈√N per cell → O(N) pairs per
+    cell, O(N^1.5) total, the same budget kmeans_silhouette spends).
+    At 100 TB the medoid would run on the PQ codes instead of raw
+    vectors — same plan shape, 64× less data moved."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_q = emb.select("vec_id", quantize_fp().alias("vq"))
+    seeds = quantizer_seeds(emb_q)
+    d2_seed = F.aggregate(
+        F.zip_with("vq", "sq", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assign = cached(
+        emb_q.join(F.broadcast(seeds), F.lit(True))
+        .select("vec_id", "vq", "cell", d2_seed.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell", "vq")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"), F.col("m.vq").alias("vq"))
+    )
+    d2_pair = F.aggregate(
+        F.zip_with("vqa", "vqb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    tot = (
+        assign.select("cell", F.col("vec_id").alias("va"), F.col("vq").alias("vqa"))
+        .join(
+            assign.select(
+                F.col("cell").alias("cellb"),
+                F.col("vec_id").alias("vb"),
+                F.col("vq").alias("vqb"),
+            ),
+            F.col("cell") == F.col("cellb"),
+        )
+        .select("cell", "va", d2_pair.alias("d2"))
+        .groupBy("cell", "va")
+        .agg(F.sum("d2").alias("tot_d2"))
+    )
+    return tot.groupBy("cell").agg(
+        F.min(F.struct("tot_d2", "va")).alias("m"),
+        F.count("*").cast("long").alias("pop"),
+    ).select(
+        "cell",
+        F.col("m.va").alias("medoid"),
+        "pop",
+        F.round(F.col("m.tot_d2").cast("double") / F.col("pop"), 6).alias("mean_d2"),
+    )
+
+
+IVF_CELL_MEDOIDS_SQL = f"""
+WITH by_dim AS (
+  SELECT vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
+), {_SEED_IDS_SQL}, seeds AS (
+  SELECT b.vec_id AS cell, b.d, b.vs AS ss
+  FROM by_dim b JOIN seed_ids si ON si.vec_id = b.vec_id
+), vec_seed_d2 AS (
+  SELECT v.vec_id, s.cell, CAST(SUM((v.vs - s.ss) * (v.vs - s.ss)) AS BIGINT) AS d2
+  FROM by_dim v JOIN seeds s ON s.d = v.d
+  GROUP BY v.vec_id, s.cell
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS arnk
+    FROM vec_seed_d2
+  ) t WHERE arnk = 1
+), pd AS (
+  SELECT aa.cell, aa.vec_id AS va, bb.vec_id AS vb,
+         CAST(SUM((x.vs - y.vs) * (x.vs - y.vs)) AS BIGINT) AS d2
+  FROM assign aa
+  JOIN assign bb ON aa.cell = bb.cell
+  JOIN by_dim x ON x.vec_id = aa.vec_id
+  JOIN by_dim y ON y.vec_id = bb.vec_id AND y.d = x.d
+  GROUP BY 1, 2, 3
+), tot AS (
+  SELECT cell, va, CAST(SUM(d2) AS BIGINT) AS tot_d2, COUNT(*) AS pop
+  FROM pd GROUP BY 1, 2
+)
+SELECT cell, va AS medoid, CAST(pop AS BIGINT) AS pop,
+       ROUND(CAST(tot_d2 AS DOUBLE) / pop, 6) AS mean_d2
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY tot_d2, va) AS rn
+  FROM tot
+) m WHERE rn = 1
+"""
+
+
+# --------------------------------------------------------- hubness audit
+#
+# High-dimensional kNN pathology: a few "hub" vectors appear in a
+# disproportionate share of neighbor lists while antihubs appear in
+# none (Radovanović et al. 2010) — hubs degrade retrieval diversity and
+# are a known symptom of un-normalized or anisotropic embedding spaces
+# (the condition embedding_whitening corrects). This audit takes the
+# SERVED neighbor lists (the IVF index's own top-k answers) and reports
+# the in-degree distribution, so index-quality drift shows up as a
+# shifting histogram rather than an anecdote.
+
+
+def hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(in_degree, n_neighbors, n_results, n_distinct) — for every
+    observed in-degree, how many corpus vectors appear that many times
+    across all query neighbor lists; the two constant columns give the
+    totals (n_results = Σ degree·count = queries × k) so hub
+    concentration (max degree vs n_distinct) reads off the table.
+
+    Scale plan: composes ann_ivf_topk's candidate pipeline (inherits
+    its seed/probe-count broadcasts), then two tiny aggregations —
+    groupBy(neighbor) over the queries×k result rows and groupBy(degree)
+    over the ≤ n_distinct rows; the totals ride back as a 1-row
+    broadcast."""
+    topk = ann_ivf_topk(spark, sf_dir)
+    deg = cached(topk.groupBy("neighbor_id").agg(F.count("*").alias("in_degree")))
+    hist = deg.groupBy("in_degree").agg(F.count("*").cast("long").alias("n_neighbors"))
+    totals = deg.agg(
+        F.sum("in_degree").cast("long").alias("n_results"),
+        F.count("*").cast("long").alias("n_distinct"),
+    )
+    return hist.join(F.broadcast(totals), F.lit(True)).select(
+        F.col("in_degree").cast("long").alias("in_degree"),
+        "n_neighbors",
+        "n_results",
+        "n_distinct",
+    )
+
+
+HUBNESS_AUDIT_SQL = f"""
+WITH base AS (
+{ANN_IVF_TOPK_SQL}
+), deg AS (
+  SELECT neighbor_id, CAST(COUNT(*) AS BIGINT) AS in_degree FROM base GROUP BY 1
+), totals AS (
+  SELECT CAST(SUM(in_degree) AS BIGINT) AS n_results,
+         CAST(COUNT(*) AS BIGINT) AS n_distinct
+  FROM deg
+)
+SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_neighbors,
+       t.n_results, t.n_distinct
+FROM deg CROSS JOIN totals t
+GROUP BY in_degree, t.n_results, t.n_distinct
+"""
+
+
 QUERIES = {
     "embedding_norms": embedding_norms,
     "ann_brute_topk": ann_brute_topk,
@@ -2278,6 +2446,8 @@ QUERIES = {
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "hard_negative_mining": hard_negative_mining,
     "semantic_decontamination": semantic_decontamination,
+    "ivf_cell_medoids": ivf_cell_medoids,
+    "hubness_audit": hubness_audit,
 }
 
 ORACLE_SQL = {
@@ -2305,4 +2475,6 @@ ORACLE_SQL = {
     "ann_ivf_pq_topk": ANN_IVF_PQ_TOPK_SQL,
     "hard_negative_mining": HARD_NEGATIVE_MINING_SQL,
     "semantic_decontamination": SEMANTIC_DECONTAMINATION_SQL,
+    "ivf_cell_medoids": IVF_CELL_MEDOIDS_SQL,
+    "hubness_audit": HUBNESS_AUDIT_SQL,
 }

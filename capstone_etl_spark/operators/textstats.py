@@ -719,6 +719,163 @@ FROM sums
 """
 
 
+# --------------------------------------------------- Heaps' law fit
+#
+# zipf_fit's companion statistic: vocabulary GROWTH. Heaps' law says
+# V(N) ≈ K·N^β (β ≈ 0.4-0.6 for natural text); the fitted β tells a
+# curator whether more data keeps buying new vocabulary (β high — keep
+# scraping) or the corpus has saturated (β low — more of the same).
+# The curve itself is emitted alongside the fit: one row per corpus
+# prefix checkpoint with its cumulative token count and distinct
+# vocabulary, plus the (K, β, r²) of ln V ~ ln N over the checkpoints.
+HEAPS_CHECKPOINTS = 10
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(k, cutoff_doc, cum_tokens, vocab, heaps_beta, heaps_k, r2) —
+    one row per doc_id-prefix checkpoint; the three fit columns are
+    the corpus-level constants repeated on every row so the table is
+    self-contained.
+
+    Scale plan: prefix-cumulative distinct counting WITHOUT rescans —
+    each token contributes its FIRST doc_id (one groupBy), so
+    V(cutoff) is a count over first_doc ≤ cutoff, and N(cutoff) a sum
+    over per-doc counts: both are one inequality join against the
+    broadcast 10-row checkpoint grid (fan-out ≤ 10×, the allowlisted
+    bounded nested-loop), never one distinct-count per prefix. The
+    (doc, token) spine is cached once and feeds both consumers; the
+    OLS runs zipf_fit's exact-decimal recipe over the 10-row curve.
+    Degenerate guards: zero-token checkpoints drop (ln 0), and a
+    zero-variance fit yields NULL fit columns in BOTH engines instead
+    of Spark-NULL-vs-DuckDB-inf."""
+    tok = _docs(spark, sf_dir).select("doc_id", F.explode(tokenize("text")).alias("token"))
+    tf = cached(tok.groupBy("doc_id", "token").agg(F.count("*").alias("cnt")))
+    first_seen = tf.groupBy("token").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = tf.groupBy("doc_id").agg(F.sum("cnt").alias("n_tok"))
+    max_doc = per_doc.agg(F.max("doc_id").alias("max_doc"))
+    grid = (
+        spark.range(1, HEAPS_CHECKPOINTS + 1)
+        .select(F.col("id").alias("k"))
+        .join(F.broadcast(max_doc), F.lit(True))
+        .select(
+            "k",
+            F.floor(F.col("max_doc") * F.col("k") / HEAPS_CHECKPOINTS)
+            .cast("long")
+            .alias("cutoff_doc"),
+        )
+    )
+    n_k = (
+        per_doc.join(F.broadcast(grid), F.col("doc_id") <= F.col("cutoff_doc"))
+        .groupBy("k", "cutoff_doc")
+        .agg(F.sum("n_tok").cast("long").alias("cum_tokens"))
+    )
+    v_k = (
+        first_seen.join(
+            F.broadcast(grid.select(F.col("k").alias("_k"), F.col("cutoff_doc").alias("_c"))),
+            F.col("first_doc") <= F.col("_c"),
+        )
+        .groupBy("_k")
+        .agg(F.count("*").cast("long").alias("vocab"))
+    )
+    pts = cached(
+        n_k.join(v_k, F.col("k") == F.col("_k"))
+        .filter((F.col("cum_tokens") >= 1) & (F.col("vocab") >= 1))
+        .select("k", "cutoff_doc", "cum_tokens", "vocab")
+    )
+    x = F.log(F.col("cum_tokens").cast("double")).cast("decimal(18,9)")
+    y = F.log(F.col("vocab").cast("double")).cast("decimal(18,9)")
+    sums = pts.select(x.alias("x"), y.alias("y")).agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (
+        F.col("sxy").cast("double"), F.col("sxx").cast("double"), F.col("syy").cast("double"),
+    )
+    cov_n = n * sxy - sx * sy
+    var_x = n * sxx - sx * sx
+    var_y = n * syy - sy * sy
+    slope = cov_n / var_x
+    fit = sums.select(
+        F.when(var_x > 0, F.round(slope, 6)).alias("heaps_beta"),
+        F.when(var_x > 0, F.round(F.exp((sy - slope * sx) / n), 6)).alias("heaps_k"),
+        F.when((var_x > 0) & (var_y > 0), F.round((cov_n * cov_n) / (var_x * var_y), 6)).alias("r2"),
+    )
+    return pts.join(F.broadcast(fit), F.lit(True)).select(
+        "k", "cutoff_doc", "cum_tokens", "vocab", "heaps_beta", "heaps_k", "r2"
+    )
+
+
+HEAPS_LAW_FIT_SQL = f"""
+WITH tok AS (
+  SELECT doc_id, UNNEST(list_filter(
+    string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+    t -> t <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+), first_seen AS (
+  SELECT token, MIN(doc_id) AS first_doc FROM tf GROUP BY 1
+), per_doc AS (
+  SELECT doc_id, CAST(SUM(cnt) AS BIGINT) AS n_tok FROM tf GROUP BY 1
+), grid AS (
+  SELECT CAST(UNNEST(range(1, {HEAPS_CHECKPOINTS + 1})) AS BIGINT) AS k
+), cuts AS (
+  SELECT k,
+         CAST(floor((SELECT MAX(doc_id) FROM per_doc) * k / {HEAPS_CHECKPOINTS}.0) AS BIGINT) AS cutoff_doc
+  FROM grid
+), n_k AS (
+  SELECT c.k, c.cutoff_doc, CAST(SUM(p.n_tok) AS BIGINT) AS cum_tokens
+  FROM per_doc p JOIN cuts c ON p.doc_id <= c.cutoff_doc
+  GROUP BY 1, 2
+), v_k AS (
+  SELECT c.k, CAST(COUNT(*) AS BIGINT) AS vocab
+  FROM first_seen f JOIN cuts c ON f.first_doc <= c.cutoff_doc
+  GROUP BY 1
+), pts AS (
+  SELECT n_k.k, cutoff_doc, cum_tokens, vocab
+  FROM n_k JOIN v_k ON n_k.k = v_k.k
+  WHERE cum_tokens >= 1 AND vocab >= 1
+), xy AS (
+  SELECT CAST(ln(CAST(cum_tokens AS DOUBLE)) AS DECIMAL(18,9)) AS x,
+         CAST(ln(CAST(vocab AS DOUBLE)) AS DECIMAL(18,9)) AS y
+  FROM pts
+), sums AS (
+  SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+         SUM(x * y) AS sxy, SUM(x * x) AS sxx, SUM(y * y) AS syy
+  FROM xy
+), fit AS (
+  SELECT
+    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+         THEN ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6)
+    END AS heaps_beta,
+    CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0
+         THEN ROUND(exp((CAST(sy AS DOUBLE)
+                    - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                       / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+                      * CAST(sx AS DOUBLE))
+                    / CAST(n AS DOUBLE)), 6)
+    END AS heaps_k,
+    CASE WHEN (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0)
+          AND (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0)
+         THEN ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                     * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+                    / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                       * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
+    END AS r2
+  FROM sums
+)
+SELECT k, cutoff_doc, cum_tokens, vocab, heaps_beta, heaps_k, r2
+FROM pts CROSS JOIN fit
+"""
+
+
 BPE_TOP_K = 20
 
 
@@ -2037,6 +2194,7 @@ QUERIES = {
     "unigram_tokenizer": unigram_tokenizer,
     "length_quartiles_per_source": length_quartiles_per_source,
     "tokenizer_comparison": tokenizer_comparison,
+    "heaps_law_fit": heaps_law_fit,
 }
 
 ORACLE_SQL = {
@@ -2056,6 +2214,7 @@ ORACLE_SQL = {
     "winnowing_fingerprints": WINNOWING_FINGERPRINTS_SQL,
     "winnowing_pairs": _winnowing_pairs_sql(),
     "zipf_fit": ZIPF_FIT_SQL,
+    "heaps_law_fit": HEAPS_LAW_FIT_SQL,
     "language_id_confusion": LANGUAGE_ID_CONFUSION_SQL,
     "length_histogram": LENGTH_HISTOGRAM_SQL,
     "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,

@@ -48,6 +48,32 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "1-row corpus-stats broadcast + the hash-sampled ~sqrt(N) "
         "quantizer-seed broadcast (similarity.quantizer_seeds)"
     ),
+    "source_loso_influence": (
+        "1-row corpus (N, V) broadcast over the source-token spine "
+        "(corpus.py)"
+    ),
+    "heaps_law_fit": (
+        "1-row max-doc broadcast + the 10-row checkpoint-grid "
+        "inequality join (bounded nested loop) + the 1-row fit "
+        "broadcast back over the 10-row curve (textstats.py)"
+    ),
+    "ab_test_analysis": (
+        "1-row lift/z stats broadcast back over the 2-row variant "
+        "relation (events.py)"
+    ),
+    "hubness_audit": (
+        "composes ann_ivf_topk's candidate pipeline — inherits its "
+        "seed/probe-count broadcasts; adds a 1-row totals broadcast "
+        "over the degree histogram (similarity.py)"
+    ),
+    "event_tail_index": (
+        "1-row threshold broadcast over the ≤ k+1 top-order-statistic "
+        "rows (events.py)"
+    ),
+    "ivf_cell_medoids": (
+        "1-row corpus-stats broadcast + the hash-sampled ~sqrt(N) "
+        "quantizer-seed broadcast (similarity.quantizer_seeds)"
+    ),
     "ann_ivf_topk": (
         "1-row corpus-stats + 1-row probe-count broadcasts + the "
         "~sqrt(N) quantizer-seed broadcast (similarity.quantizer_seeds)"
@@ -394,4 +420,13 @@ HEADLINE: list[str] = [
     "semantic_decontamination",
     "curriculum_schedule",
     "dp_source_histogram",
+    # round-7 session-5 additions
+    "source_loso_influence",
+    "ivf_cell_medoids",
+    "rendezvous_sharding",
+    "heaps_law_fit",
+    "l_diversity_audit",
+    "ab_test_analysis",
+    "hubness_audit",
+    "event_tail_index",
 ]

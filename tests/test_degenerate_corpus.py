@@ -177,6 +177,18 @@ NAMES = [
     # tiny per-source counts (1-3 docs) + noise can push the released
     # count negative: the max(0, ·) clamp must fire identically
     "dp_source_histogram",
+    # round-7 session 5: a 10-doc corpus leaves most of the 9 shards
+    # empty — the spine's zero-fill and the first-match CASE argmax
+    # must agree with Spark's min(struct) tiebreak on every doc
+    "rendezvous_sharding",
+    # empty/whitespace docs contribute zero tokens: their source's
+    # leave-one-out denominator subtraction and the add-α smoothing
+    # must agree engine-for-engine (sources: web/books/code → 3 rows)
+    "source_loso_influence",
+    # a 10-doc corpus puts several checkpoints before the first
+    # token-bearing doc: the zero-token row drop and the tiny-N OLS
+    # (possibly NULL fit) must agree engine-for-engine
+    "heaps_law_fit",
 ]
 
 
@@ -254,6 +266,14 @@ EMB_NAMES = [
     # (vec_id 0) hits both train vectors at cosine exactly 1.0; the
     # bipartite bucket join and the argmax must agree in both engines
     "semantic_decontamination",
+    # round-7 session 5: identical vectors → one cell, every member at
+    # total distance 0 — the medoid argmin must tiebreak to the same
+    # vec_id in both engines and mean_d2 must be exactly 0.0
+    "ivf_cell_medoids",
+    # identical vectors → every neighbor list ties completely; the
+    # shared rnk tiebreak must give both engines the identical degree
+    # histogram
+    "hubness_audit",
 ]
 
 

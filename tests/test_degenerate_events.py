@@ -56,6 +56,11 @@ NAMES = sorted(
 # collision-free, so the CMS inner product must equal the exact join
 # size (overestimate 0) in both engines
 NAMES.append("cms_join_size")
+# round-7 session 5: 4 users → a variant can have ZERO exposed users;
+# the NULL-propagating lift/z columns must agree engine-for-engine,
+# and the post-exposure rule must exclude user 2 (purchase, never
+# exposed) and user 4 (purchase before any view)
+NAMES.append("ab_test_analysis")
 
 
 @pytest.fixture(scope="module")

@@ -40,7 +40,13 @@ def test_first_fifty_span_every_family():
     window (VERDICT r2, item 1)."""
     first50 = list(entrymod.queries())[:50]
     families = {
-        "corpus": ("corpus_pipeline", "source_mixing_weights", "mixing_allocation"),
+        # source_loso_influence (leave-one-source-out valuation) joined
+        # the family in round-7 session 5 and sits in the head block,
+        # covering the window for the demoted mixing_allocation
+        "corpus": (
+            "corpus_pipeline", "source_mixing_weights", "mixing_allocation",
+            "source_loso_influence",
+        ),
         # dedup_sorted_neighborhood / split_leakage_audit joined their
         # families in round-7 session 3 and sit in the head block,
         # covering the window for the demoted canaries
@@ -59,7 +65,9 @@ def test_first_fifty_span_every_family():
         # window for the demoted r4-green canaries
         "ann": ("ann_lsh_topk", "ann_ivf_topk", "ann_recall_eval", "ann_radius_search"),
         "kmeans": ("kmeans_lloyd", "label_centroids", "kmeans_silhouette"),
-        "doc_similarity": ("doc_similarity_topk", "bm25_topk"),
+        # retrieval_ndcg (same module, Block-1 window seat) covers the
+        # family for the demoted bm25_topk from round-7 session 5 on
+        "doc_similarity": ("doc_similarity_topk", "bm25_topk", "retrieval_ndcg"),
         # the round-7 streaming/multimodal head-block queries cover the
         # window for the demoted multi-round-green canaries
         "streaming": (
