@@ -35,6 +35,8 @@ from __future__ import annotations
 
 import hashlib
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -80,13 +82,20 @@ PAIR_LSH_BITS = 4
 _PAIR_PLANES = _hyperplane_bits(PAIR_LSH_TABLES, PAIR_LSH_BITS)
 
 
-def _signed_dot_expr(vec_col: str, bits: str) -> str:
-    """SQL (Spark dialect) for Σ_d v[d]·(±1 from bits[d]) as a sequential
-    fold — matches DuckDB list_sum(list_transform(...)) exactly."""
-    return (
-        f"aggregate(sequence(0, {DIM - 1}), cast(0.0 as double), (acc, d) -> acc + "
-        f"CAST(element_at({vec_col}, d + 1) AS DOUBLE) * "
-        f"(CASE WHEN substring('{bits}', d + 1, 1) = '1' THEN 1.0 ELSE -1.0 END))"
+def _signed_dot_col(vec_col: str, bits: str) -> Column:
+    """Σ_d v[d]·(±1 from bits[d]) as a sequential left fold over the
+    zip_with product array — the summation ORDER (and therefore every
+    IEEE intermediate) is identical to the oracle's
+    list_sum(list_transform(...)), while the per-element work is one
+    multiply against a ±1.0 array literal instead of the interpreted
+    substring-CASE the first implementation paid 64×64 times per
+    vector (the lsh_buckets hot loop: this fold runs tables×bits times
+    per row)."""
+    signs = F.array(*[F.lit(1.0 if b == "1" else -1.0) for b in bits])
+    return F.aggregate(
+        F.zip_with(F.col(vec_col), signs, lambda x, s: x.cast("double") * s),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
     )
 
 
@@ -98,19 +107,53 @@ def _signed_dot_sql(vec_expr: str, bits: str) -> str:
     )
 
 
+def _bucket_udf_for(planes: list[list[str]]):
+    """Arrow-batched signature pass — the ONE sanctioned Python hot
+    path in the ANN family, with the §2.9 justification written down:
+    the hyperplane signature computes tables×bits (=64) signed dot
+    products per vector; as Catalyst higher-order folds those lambdas
+    are interpreted (~0.45 µs per element step → the signature pass
+    dominated every LSH query's runtime), while one numpy batch does
+    the identical flops vectorized. EXACTNESS IS PRESERVED BIT-FOR-BIT:
+    the accumulation loops over dimensions in ascending order with a
+    float64 accumulator, so every row sees the same IEEE sequence
+    (((0+p₀)+p₁)+…) as the previous Catalyst fold and the oracle's
+    DuckDB list_sum — the sign comparison that picks the bucket cannot
+    diverge. (A BLAS matmul would NOT guarantee this: pairwise
+    summation can flip near-zero dots.)"""
+    sign_rows = [
+        [np.array([1.0 if c == "1" else -1.0 for c in bits]) for bits in row]
+        for row in planes
+    ]
+
+    @F.pandas_udf("array<bigint>")
+    def buckets_of(emb: pd.Series) -> pd.Series:
+        v = np.array([np.asarray(e, dtype=np.float64) for e in emb], dtype=np.float64)
+        if v.size == 0:
+            return pd.Series([], dtype=object)
+        out = np.zeros((v.shape[0], len(sign_rows)), dtype=np.int64)
+        for t, row in enumerate(sign_rows):
+            packed = np.zeros(v.shape[0], dtype=np.int64)
+            for j, s in enumerate(row):
+                acc = np.zeros(v.shape[0], dtype=np.float64)
+                for d in range(v.shape[1]):  # ascending d = the fold order
+                    acc = acc + v[:, d] * s[d]
+                packed |= (acc > 0).astype(np.int64) << j
+            out[:, t] = packed
+        return pd.Series(list(out))
+
+    return buckets_of
+
+
 def lsh_buckets(
     emb: DataFrame, vec_col: str = "embedding", planes: list[list[str]] | None = None
 ) -> DataFrame:
-    """(vec_id, table, bucket) — one packed sign-bit bucket per table."""
-    out_cols = []
-    for t, row in enumerate(planes if planes is not None else _PLANES):
-        bucket = None
-        for j, bits in enumerate(row):
-            bit = F.when(F.expr(_signed_dot_expr(vec_col, bits)) > 0, F.lit(1 << j)).otherwise(F.lit(0))
-            bucket = bit if bucket is None else bucket + bit
-        out_cols.append(F.struct(F.lit(t).alias("tbl"), bucket.cast("long").alias("bucket")))
-    return emb.select("vec_id", F.explode(F.array(*out_cols)).alias("tb")).select(
-        "vec_id", "tb.tbl", "tb.bucket"
+    """(vec_id, table, bucket) — one packed sign-bit bucket per table.
+    Signatures via the Arrow-batched pass above; the posexplode index
+    IS the table id (plane rows are emitted in order)."""
+    udf = _bucket_udf_for(planes if planes is not None else _PLANES)
+    return emb.select("vec_id", F.posexplode(udf(vec_col)).alias("tbl", "bucket")).select(
+        "vec_id", F.col("tbl").cast("int").alias("tbl"), "bucket"
     )
 
 
@@ -2200,11 +2243,16 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("nt") > 0) & (F.col("nb") > 0),
         dot("qe", "ne") / (F.col("nt") * F.col("nb")),
     ).otherwise(F.lit(None))
+    # project the raw cosine BEFORE filtering so the 64-dim fold runs
+    # once per candidate — a filter+select pair would evaluate it twice
+    # (no cross-operator subexpression elimination); the threshold still
+    # compares the RAW value, mirroring the oracle's WHERE
     hits = (
         cand.join(et, "train_vec")
         .join(eb, "bench_vec")
-        .filter(sim >= SEM_DECON_THRESHOLD)
-        .select("train_vec", "bench_vec", F.round(sim, 6).alias("simr"))
+        .select("train_vec", "bench_vec", sim.alias("_sim"))
+        .filter(F.col("_sim") >= SEM_DECON_THRESHOLD)
+        .select("train_vec", "bench_vec", F.round("_sim", 6).alias("simr"))
     )
     return hits.groupBy("train_vec").agg(
         F.count("*").alias("n_bench_hits"),
