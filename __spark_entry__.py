@@ -145,6 +145,7 @@ _PRIORITY = [
     "ab_test_analysis",
     "hubness_audit",
     "event_tail_index",
+    "stream_ab_test",
     # Block 4: least-recently-attested — the driver's extra sampling
     # refreshes the stalest signal first. The canaries demoted for the
     # session-3/4/5 additions lead (all multi-round driver-green).

@@ -1295,15 +1295,11 @@ def ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     pivot broadcast (allowlisted). Exactness: counts are exact int64;
     rates/z divide identical doubles and round once."""
     ev = load_table(spark, sf_dir, "events")
-    variant = (
-        md5_hash60(F.concat(F.lit(AB_SALT), F.col("user_id").cast("string")))
-        % AB_VARIANTS
-    ).cast("long")
     exposed = cached(
         ev.filter(F.col("event_type") == AB_EXPOSE_TYPE)
         .groupBy("user_id")
         .agg(F.min("ts").alias("first_view"))
-        .select("user_id", "first_view", variant.alias("variant"))
+        .select("user_id", "first_view", ab_variant_col().alias("variant"))
     )
     converted = (
         ev.filter(F.col("event_type") == AB_CONVERT_TYPE)
@@ -1313,13 +1309,30 @@ def ab_test_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         .withColumn("conv", F.lit(1).cast("long"))
     )
-    per_variant = (
-        exposed.join(converted, "user_id", "left")
-        .groupBy("variant")
-        .agg(
-            F.count("*").cast("long").alias("n_exposed"),
-            F.sum(F.coalesce(F.col("conv"), F.lit(0))).cast("long").alias("n_converted"),
-        )
+    per_user = exposed.join(converted, "user_id", "left").select(
+        "variant", F.coalesce(F.col("conv"), F.lit(0)).cast("long").alias("conv")
+    )
+    return ab_readout(per_user)
+
+
+def ab_variant_col(user_col: str = "user_id") -> Column:
+    """The deterministic experiment assignment — shared by the batch
+    readout and the streaming twin so the two can never split users
+    differently."""
+    return (
+        md5_hash60(F.concat(F.lit(AB_SALT), F.col(user_col).cast("string")))
+        % AB_VARIANTS
+    ).cast("long")
+
+
+def ab_readout(per_user: DataFrame) -> DataFrame:
+    """(variant, conv 0/1) exposed-user rows → the 2-row experiment
+    readout. Shared tail of ab_test_analysis and stream_ab_test: the
+    variant rollup, the lift columns, and the pooled z live here
+    once."""
+    per_variant = per_user.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_exposed"),
+        F.sum("conv").cast("long").alias("n_converted"),
     )
     pivot = per_variant.agg(
         F.sum(F.when(F.col("variant") == 0, F.col("n_exposed"))).alias("n0"),

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from capstone_etl_spark.operators.privacy import PII_SCAN_SQL
 from capstone_etl_spark.operators.events import (
+    AB_TEST_ANALYSIS_SQL,
     CHANGELOG_APPLY_SQL,
     EVENT_DEDUP_SQL,
     SLIDING_WINDOWS_SQL,
@@ -1183,6 +1184,36 @@ def _stream_hll_sketch_sql() -> str:
     return HLL_DISTINCT_SKETCH_SQL
 
 
+def stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The experiment readout computed DURING ingest: per-user
+    exposure/conversion state evolved across micro-batches
+    (applyInPandasWithState — O(1) state per user: first-view min,
+    last-purchase max in exact microseconds; min/max merges are
+    replay-order free, so a purchase arriving batches before its
+    preceding view still classifies correctly), then the SAME shared
+    variant-rollup/lift/z tail as the batch query (events.ab_readout)
+    over the drained per-user table. Oracle: the batch readout SQL —
+    streaming and batch experiments agree row-for-row."""
+    from capstone_etl_spark.operators.events import ab_readout, ab_variant_col
+    from capstone_etl_spark.streaming.stateful import _AB_NO_VIEW, running_ab_exposure
+
+    got = _run(spark, sf_dir, lambda s, wm: running_ab_exposure(s), "update")
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max(F.struct("upd", "min_view_us", "max_purchase_us")).alias("s"))
+        .select(
+            "user_id",
+            F.col("s.min_view_us").alias("mn"),
+            F.col("s.max_purchase_us").alias("mx"),
+        )
+    )
+    per_user = final.filter(F.col("mn") < _AB_NO_VIEW).select(
+        ab_variant_col().alias("variant"),
+        (F.col("mx") > F.col("mn")).cast("long").alias("conv"),
+    )
+    return ab_readout(per_user)
+
+
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
     "stream_sliding_windows": stream_sliding_windows,
@@ -1204,6 +1235,7 @@ QUERIES = {
     "stream_changelog_apply": stream_changelog_apply,
     "stream_ivf_assign": stream_ivf_assign,
     "stream_hll_sketch": stream_hll_sketch,
+    "stream_ab_test": stream_ab_test,
 }
 
 ORACLE_SQL = {
@@ -1227,4 +1259,7 @@ ORACLE_SQL = {
     "stream_changelog_apply": CHANGELOG_APPLY_SQL,
     "stream_ivf_assign": _stream_ivf_assign_sql(),
     "stream_hll_sketch": _stream_hll_sketch_sql(),
+    # the batch readout SQL verbatim: the streaming form must reproduce
+    # the batch experiment statistics exactly
+    "stream_ab_test": AB_TEST_ANALYSIS_SQL,
 }

@@ -201,3 +201,68 @@ def reservoir_bottom_k(rows: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+AB_OUTPUT_SCHEMA = "user_id long, upd long, min_view_us long, max_purchase_us long"
+AB_STATE_SCHEMA = "upd long, min_view_us long, max_purchase_us long"
+# sentinels (state structs reject NULLs cleanly): "no view yet" sorts
+# above any real timestamp, "no purchase yet" below — so min/max merges
+# need no branches and the final predicate max_purchase > min_view is
+# False until both sides exist.
+_AB_NO_VIEW = 1 << 62
+_AB_NO_PURCHASE = -1
+
+
+def _ab_accumulate(
+    key: tuple[Any, ...], pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    # State = (min view ts, max purchase ts) in EXACT microseconds —
+    # min/max are order-free merges, so the drained state is identical
+    # however the replay batches the files (a purchase can arrive
+    # micro-batches BEFORE the view that precedes it in event time; the
+    # min/max pair still decides post-exposure conversion correctly:
+    # ∃ purchase after first view ⟺ max(purchase) > min(view)).
+    upd, mn, mx = state.get if state.exists else (0, _AB_NO_VIEW, _AB_NO_PURCHASE)
+    for pdf in pdfs:
+        if not len(pdf):
+            continue
+        views = pdf.loc[~pdf["is_purchase"], "ts_us"]
+        purchases = pdf.loc[pdf["is_purchase"], "ts_us"]
+        if len(views):
+            mn = min(mn, int(views.min()))
+        if len(purchases):
+            mx = max(mx, int(purchases.max()))
+    upd += 1
+    state.update((upd, mn, mx))
+    yield pd.DataFrame(
+        {
+            "user_id": [key[0]],
+            "upd": [upd],
+            "min_view_us": [mn],
+            "max_purchase_us": [mx],
+        }
+    )
+
+
+def running_ab_exposure(events: DataFrame) -> DataFrame:
+    """Per-user streaming exposure/conversion tracker: O(1) state per
+    user (first-view min, last-purchase max in exact microseconds);
+    the drained table feeds the shared batch readout
+    (events.ab_readout) so streaming and batch experiments can never
+    disagree on the statistics."""
+    from capstone_etl_spark.operators.events import AB_CONVERT_TYPE, AB_EXPOSE_TYPE
+
+    prepared = events.filter(
+        F.col("event_type").isin(AB_EXPOSE_TYPE, AB_CONVERT_TYPE)
+    ).select(
+        "user_id",
+        (F.col("event_type") == AB_CONVERT_TYPE).alias("is_purchase"),
+        F.unix_micros("ts").alias("ts_us"),
+    )
+    return prepared.groupBy("user_id").applyInPandasWithState(
+        _ab_accumulate,
+        outputStructType=AB_OUTPUT_SCHEMA,
+        stateStructType=AB_STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

@@ -322,3 +322,16 @@ def test_stream_template_extraction_equals_batch(spark):
     got = {r.template_hash: r.asDict() for r in stream_template_extraction(spark, sf).collect()}
     want = {r.template_hash: r.asDict() for r in template_extraction(spark, sf).collect()}
     assert got == want
+
+
+def test_stream_ab_test_equals_batch(spark):
+    """The streaming experiment readout must equal the batch one
+    row-for-row: the per-user (min view, max purchase) state pair is
+    replay-order free, and both forms share events.ab_readout."""
+    from capstone_etl_spark.operators.events import ab_test_analysis
+    from capstone_etl_spark.operators.streaming_queries import stream_ab_test
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.variant: r.asDict() for r in stream_ab_test(spark, sf).collect()}
+    want = {r.variant: r.asDict() for r in ab_test_analysis(spark, sf).collect()}
+    assert got == want
