@@ -146,6 +146,8 @@ _PRIORITY = [
     "hubness_audit",
     "event_tail_index",
     "stream_ab_test",
+    "negative_sampling_table",
+    "stream_dp_histogram",
     # Block 4: least-recently-attested — the driver's extra sampling
     # refreshes the stalest signal first. The canaries demoted for the
     # session-3/4/5 additions lead (all multi-round driver-green).

@@ -443,17 +443,10 @@ DP_EPSILON = 1.0
 _DP_GRID = 1_000_000
 
 
-def dp_source_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(source, n_docs, epsilon, noise, dp_count): the ε-DP noisy
-    per-source histogram, with the exact count retained for the audit
-    trail (the public artifact would project it away).
-
-    Scale: one groupBy on source (|sources|-bounded result); the noise
-    transform is per-row arithmetic on the aggregated relation — the
-    whole release costs exactly one corpus-wide count shuffle at any
-    scale."""
-    docs = load_table(spark, sf_dir, "documents")
-    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+def dp_release(counts: DataFrame) -> DataFrame:
+    """(source, n_docs) → the released table. The mechanism tail shared
+    by the batch histogram and stream_dp_histogram so the two releases
+    cannot drift: same salted draw, same clamp."""
     u = (
         md5_hash60(F.concat(F.lit(DP_SALT), F.col("source"))) % _DP_GRID
     ).cast("double") / F.lit(float(_DP_GRID)) + F.lit(0.5 / _DP_GRID)
@@ -473,6 +466,19 @@ def dp_source_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_docs") + noise, 0).cast("long"),
         ).alias("dp_count"),
     )
+
+
+def dp_source_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, epsilon, noise, dp_count): the ε-DP noisy
+    per-source histogram, with the exact count retained for the audit
+    trail (the public artifact would project it away).
+
+    Scale: one groupBy on source (|sources|-bounded result); the noise
+    transform is per-row arithmetic on the aggregated relation — the
+    whole release costs exactly one corpus-wide count shuffle at any
+    scale."""
+    docs = load_table(spark, sf_dir, "documents")
+    return dp_release(docs.groupBy("source").agg(F.count("*").alias("n_docs")))
 
 
 _DP_HASH_SQL = md5_hash60_sql(f"'{DP_SALT}' || source")

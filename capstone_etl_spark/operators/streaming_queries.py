@@ -18,7 +18,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from capstone_etl_spark.operators.privacy import PII_SCAN_SQL
+from capstone_etl_spark.operators.privacy import DP_SOURCE_HISTOGRAM_SQL, PII_SCAN_SQL
 from capstone_etl_spark.operators.events import (
     AB_TEST_ANALYSIS_SQL,
     CHANGELOG_APPLY_SQL,
@@ -1214,6 +1214,39 @@ def stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_readout(per_user)
 
 
+def stream_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ε-DP per-source release kept current DURING ingest: exact
+    counts accumulate in a complete-mode streaming aggregation
+    (|sources|-bounded state), and the Laplace mechanism — the same
+    salted-hash inverse-CDF draw as the batch release — applies to the
+    drained snapshot, so every micro-batch could publish a fresh
+    noisy histogram without ever re-scanning landed shards. Oracle:
+    the batch release SQL verbatim (the noise is a deterministic
+    function of (salt, source), so stream and batch releases agree
+    exactly)."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.operators.privacy import dp_release
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_dp_")
+    try:
+        staging = f"{work}/staging"
+        load_table(spark, sf_dir, "documents").repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        agg = stream.groupBy("source").agg(F.count("*").alias("n_docs"))
+        snap = run_to_memory(agg, f"{work}/checkpoint", output_mode="complete")
+        return dp_release(snap)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
     "stream_sliding_windows": stream_sliding_windows,
@@ -1236,6 +1269,7 @@ QUERIES = {
     "stream_ivf_assign": stream_ivf_assign,
     "stream_hll_sketch": stream_hll_sketch,
     "stream_ab_test": stream_ab_test,
+    "stream_dp_histogram": stream_dp_histogram,
 }
 
 ORACLE_SQL = {
@@ -1262,4 +1296,7 @@ ORACLE_SQL = {
     # the batch readout SQL verbatim: the streaming form must reproduce
     # the batch experiment statistics exactly
     "stream_ab_test": AB_TEST_ANALYSIS_SQL,
+    # the batch release SQL verbatim: deterministic noise per (salt,
+    # source) makes the streaming release reproduce the batch one
+    "stream_dp_histogram": DP_SOURCE_HISTOGRAM_SQL,
 }

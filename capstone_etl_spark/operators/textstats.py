@@ -876,6 +876,102 @@ FROM pts CROSS JOIN fit
 """
 
 
+# ------------------------------------------- negative-sampling table
+#
+# word2vec's unigram^α noise distribution (Mikolov et al. 2013,
+# α = 3/4) materialized as the sampler's lookup table: every token gets
+# a probability ∝ tf^0.75 and a half-open SLOT range in a fixed 2^20
+# grid — a trainer draws a uniform int and binary-searches the ranges.
+# Cross-engine exactness for the α: pow() is not correctly rounded
+# (libm vs JVM may differ an ulp), but tf^0.75 = √tf · √√tf is two
+# IEEE-correctly-rounded roots and one multiply — bit-identical in
+# both engines (the same trick source_mixing_weights pins at α = 0.5).
+NEG_TABLE_SLOTS = 1 << 20
+
+
+def negative_sampling_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(token, tf, prob, slot_lo, slot_hi): slot ranges partition
+    [0, NEG_TABLE_SLOTS) in (tf desc, token) order; rare tokens may
+    get an empty range (slot_lo = slot_hi), exactly as word2vec's
+    integer table drops them.
+
+    Scale plan: the cumulative weight is the distributed ordered
+    prefix sum (token_budget_selection's machinery — range sort on
+    (tf desc, token), per-partition local cumsum, partition-offset
+    broadcast), never a single-partition window over the vocabulary;
+    weights snap to DECIMAL(28,10) so the prefix sums are EXACT and
+    partitioning-independent. The grand total rides each row from the
+    offsets relation; slot arithmetic is identical double ops."""
+    tok = _docs(spark, sf_dir).select(F.explode(tokenize("text")).alias("token"))
+    freq = tok.groupBy("token").agg(F.count("*").alias("tf"))
+    tfd = F.col("tf").cast("double")
+    w = (F.sqrt(tfd) * F.sqrt(F.sqrt(tfd))).cast("decimal(28,10)")
+    local_w = Window.partitionBy("_pid").orderBy(F.desc("tf"), "token")
+    ranked = cached(
+        freq.select("token", "tf", w.alias("w"))
+        .orderBy(F.desc("tf"), "token")
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_lcum", F.sum("w").over(local_w))
+    )
+    # bounded: ≤ numPartitions rows
+    off_w = (
+        Window.partitionBy(bounded_window_key("_pid"))
+        .orderBy("_pid")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = (
+        ranked.groupBy("_pid")
+        .agg(F.sum("w").alias("_psum"))
+        .select(
+            "_pid",
+            F.coalesce(F.sum("_psum").over(off_w), F.lit(0).cast("decimal(28,10)")).alias("_off"),
+            F.sum("_psum").over(Window.partitionBy(bounded_window_key("_pid"))).alias("_tot"),
+        )
+    )
+    # cast the operands DOWN before adding: both window sums carry
+    # decimal(38,10), and (38,10)+(38,10) exceeds Spark's precision-38
+    # cap, which silently drops the scale to 9 — the lost 10th digit
+    # made cum_lo of the very first token -1e-10 instead of 0
+    d28 = lambda c: c.cast("decimal(28,10)")  # noqa: E731
+    cum_hi = (d28(F.col("_off")) + d28(F.col("_lcum"))).cast("decimal(28,10)")
+    cum_lo = (cum_hi - F.col("w")).cast("decimal(28,10)")
+    tot = F.col("_tot").cast("double")
+    slots = F.lit(float(NEG_TABLE_SLOTS))
+    return ranked.join(F.broadcast(offsets), "_pid").select(
+        "token",
+        "tf",
+        F.round(F.col("w").cast("double") / tot, 6).alias("prob"),
+        F.floor(cum_lo.cast("double") / tot * slots).cast("long").alias("slot_lo"),
+        F.floor(cum_hi.cast("double") / tot * slots).cast("long").alias("slot_hi"),
+    )
+
+
+NEGATIVE_SAMPLING_TABLE_SQL = f"""
+WITH tok AS (
+  SELECT UNNEST(list_filter(
+    string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+    t -> t <> '')) AS token
+  FROM documents
+), freq AS (
+  SELECT token, COUNT(*) AS tf FROM tok GROUP BY 1
+), w AS (
+  SELECT token, tf,
+         CAST(sqrt(CAST(tf AS DOUBLE)) * sqrt(sqrt(CAST(tf AS DOUBLE))) AS DECIMAL(28,10)) AS w
+  FROM freq
+), c AS (
+  SELECT token, tf, w,
+         SUM(w) OVER (ORDER BY tf DESC, token ROWS UNBOUNDED PRECEDING) AS cum,
+         SUM(w) OVER () AS tot
+  FROM w
+)
+SELECT token, CAST(tf AS BIGINT) AS tf,
+       ROUND(CAST(w AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS prob,
+       CAST(FLOOR(CAST(CAST(cum - w AS DECIMAL(28,10)) AS DOUBLE) / CAST(tot AS DOUBLE) * {float(NEG_TABLE_SLOTS)}) AS BIGINT) AS slot_lo,
+       CAST(FLOOR(CAST(cum AS DOUBLE) / CAST(tot AS DOUBLE) * {float(NEG_TABLE_SLOTS)}) AS BIGINT) AS slot_hi
+FROM c
+"""
+
+
 BPE_TOP_K = 20
 
 
@@ -2195,6 +2291,7 @@ QUERIES = {
     "length_quartiles_per_source": length_quartiles_per_source,
     "tokenizer_comparison": tokenizer_comparison,
     "heaps_law_fit": heaps_law_fit,
+    "negative_sampling_table": negative_sampling_table,
 }
 
 ORACLE_SQL = {
@@ -2215,6 +2312,7 @@ ORACLE_SQL = {
     "winnowing_pairs": _winnowing_pairs_sql(),
     "zipf_fit": ZIPF_FIT_SQL,
     "heaps_law_fit": HEAPS_LAW_FIT_SQL,
+    "negative_sampling_table": NEGATIVE_SAMPLING_TABLE_SQL,
     "language_id_confusion": LANGUAGE_ID_CONFUSION_SQL,
     "length_histogram": LENGTH_HISTOGRAM_SQL,
     "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,

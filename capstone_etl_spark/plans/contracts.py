@@ -429,4 +429,5 @@ HEADLINE: list[str] = [
     "ab_test_analysis",
     "hubness_audit",
     "event_tail_index",
+    "negative_sampling_table",
 ]

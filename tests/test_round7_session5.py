@@ -416,3 +416,32 @@ def test_medoids_partition_the_corpus(spark):
     for r in rows:
         if r.pop == 1:
             assert r.mean_d2 == 0.0
+
+
+# ------------------------------------------- negative-sampling table
+
+
+def test_negative_sampling_slots_partition_the_grid(spark, sf_dir):
+    """Slot ranges tile [0, NEG_TABLE_SLOTS) contiguously in
+    (tf desc, token) order: each row starts where the previous ended,
+    the first starts at 0, the last ends exactly at the grid size, and
+    probabilities sum to 1."""
+    from capstone_etl_spark.operators.textstats import (
+        NEG_TABLE_SLOTS,
+        negative_sampling_table,
+    )
+
+    rows = sorted(
+        negative_sampling_table(spark, SF_01).collect(),
+        key=lambda r: (-r.tf, r.token),
+    )
+    assert rows[0].slot_lo == 0
+    assert rows[-1].slot_hi == NEG_TABLE_SLOTS
+    for a, b in zip(rows, rows[1:]):
+        assert a.slot_hi == b.slot_lo
+        assert a.slot_lo <= a.slot_hi
+    assert abs(sum(r.prob for r in rows) - 1.0) < 1e-4
+    # unigram^0.75 flattens the head: top token's slot share must be
+    # strictly below its raw frequency share
+    total_tf = sum(r.tf for r in rows)
+    assert (rows[0].slot_hi - rows[0].slot_lo) / NEG_TABLE_SLOTS < rows[0].tf / total_tf

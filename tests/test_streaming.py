@@ -335,3 +335,16 @@ def test_stream_ab_test_equals_batch(spark):
     got = {r.variant: r.asDict() for r in stream_ab_test(spark, sf).collect()}
     want = {r.variant: r.asDict() for r in ab_test_analysis(spark, sf).collect()}
     assert got == want
+
+
+def test_stream_dp_histogram_equals_batch(spark):
+    """The streaming DP release must equal the batch release
+    row-for-row: counts are additive and the Laplace draw is a
+    deterministic function of (salt, source)."""
+    from capstone_etl_spark.operators.privacy import dp_source_histogram
+    from capstone_etl_spark.operators.streaming_queries import stream_dp_histogram
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.source: r.asDict() for r in stream_dp_histogram(spark, sf).collect()}
+    want = {r.source: r.asDict() for r in dp_source_histogram(spark, sf).collect()}
+    assert got == want
