@@ -1486,6 +1486,113 @@ FROM agg WHERE n >= 2
 """
 
 
+# ------------------------------------------------- distribution drift
+#
+# Population Stability Index — the monitoring metric a pipeline uses to
+# decide whether a feature's distribution drifted enough to retrain or
+# re-calibrate: split the stream at its time midpoint, bin the value
+# distribution on a fixed grid derived from the REFERENCE half, and
+# sum (p_cur − p_ref)·ln(p_cur/p_ref) per event type. Rule of thumb:
+# < 0.1 stable, 0.1–0.25 drifting, > 0.25 shifted.
+PSI_BINS = 10
+PSI_ALPHA = 0.5   # add-α on bin counts: empty bins stay finite
+
+
+def event_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_ref, n_cur, psi) — one row per event type.
+
+    Scale plan: two corpus aggregations only — a 1-row (t_mid, v_lo,
+    v_hi) broadcast from the reference half's min/max, then one
+    groupBy (event_type, half, bin) with map-side combine to a
+    ≤ |types|·2·(bins+2) relation; the PSI arithmetic runs on that
+    tiny relation. Numeric discipline: bin ids are floor() of
+    identical doubles; each PSI term snaps to DECIMAL(28,12) before
+    the order-free sum; one final 6-dp round."""
+    ev = load_table(spark, sf_dir, "events")
+    bounds = ev.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2).alias("t_mid"),
+    )
+    halves = ev.join(F.broadcast(bounds), F.lit(True)).select(
+        "event_type",
+        "value",
+        (F.unix_micros("ts") <= F.col("t_mid")).alias("is_ref"),
+    )
+    vb = halves.filter(F.col("is_ref")).agg(
+        F.min("value").alias("v_lo"), F.max("value").alias("v_hi")
+    )
+    # bin on the reference grid; clamp both halves into [0, bins-1] so
+    # out-of-range current values land in the edge bins
+    width = (F.col("v_hi") - F.col("v_lo")) / PSI_BINS
+    bin_raw = F.floor((F.col("value") - F.col("v_lo")) / width)
+    bin_id = F.when(width > 0, F.greatest(F.lit(0), F.least(F.lit(PSI_BINS - 1), bin_raw))).otherwise(F.lit(0))
+    binned = (
+        halves.join(F.broadcast(vb), F.lit(True))
+        .groupBy("event_type", "is_ref", bin_id.cast("long").alias("bin"))
+        .agg(F.count("*").alias("n"))
+    )
+    per_half = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.when(F.col("is_ref"), F.col("n")).otherwise(0)).alias("n_ref_bin"),
+        F.sum(F.when(~F.col("is_ref"), F.col("n")).otherwise(0)).alias("n_cur_bin"),
+    )
+    totals = per_half.groupBy(F.col("event_type").alias("_et")).agg(
+        F.sum("n_ref_bin").alias("n_ref"), F.sum("n_cur_bin").alias("n_cur")
+    )
+    a = F.lit(PSI_ALPHA)
+    k = F.lit(float(PSI_BINS))
+    p_ref = (F.col("n_ref_bin") + a) / (F.col("n_ref") + a * k)
+    p_cur = (F.col("n_cur_bin") + a) / (F.col("n_cur") + a * k)
+    term = ((p_cur - p_ref) * F.log(p_cur / p_ref)).cast("decimal(28,12)")
+    return (
+        per_half.join(F.broadcast(totals), F.col("event_type") == F.col("_et"))
+        .groupBy("event_type")
+        .agg(
+            F.max("n_ref").cast("long").alias("n_ref"),
+            F.max("n_cur").cast("long").alias("n_cur"),
+            F.round(F.sum(term).cast("double"), 6).alias("psi"),
+        )
+    )
+
+
+EVENT_PSI_DRIFT_SQL = f"""
+WITH bounds AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) / 2.0 AS t_mid FROM events
+), halves AS (
+  SELECT event_type, value, epoch_us(ts) <= b.t_mid AS is_ref
+  FROM events CROSS JOIN bounds b
+), vb AS (
+  SELECT MIN(value) AS v_lo, MAX(value) AS v_hi FROM halves WHERE is_ref
+), binned AS (
+  SELECT event_type, is_ref,
+         CAST(CASE WHEN (v.v_hi - v.v_lo) / {PSI_BINS} > 0
+              THEN GREATEST(0, LEAST({PSI_BINS - 1},
+                   FLOOR((value - v.v_lo) / ((v.v_hi - v.v_lo) / {PSI_BINS}))))
+              ELSE 0 END AS BIGINT) AS bin,
+         COUNT(*) AS n
+  FROM halves CROSS JOIN vb v
+  GROUP BY 1, 2, 3
+), per_half AS (
+  SELECT event_type, bin,
+         SUM(CASE WHEN is_ref THEN n ELSE 0 END) AS n_ref_bin,
+         SUM(CASE WHEN NOT is_ref THEN n ELSE 0 END) AS n_cur_bin
+  FROM binned GROUP BY 1, 2
+), totals AS (
+  SELECT event_type, SUM(n_ref_bin) AS n_ref, SUM(n_cur_bin) AS n_cur
+  FROM per_half GROUP BY 1
+)
+SELECT p.event_type,
+       CAST(MAX(t.n_ref) AS BIGINT) AS n_ref,
+       CAST(MAX(t.n_cur) AS BIGINT) AS n_cur,
+       ROUND(CAST(SUM(CAST(
+         ((p.n_cur_bin + {PSI_ALPHA}) / (t.n_cur + {PSI_ALPHA} * {float(PSI_BINS)})
+          - (p.n_ref_bin + {PSI_ALPHA}) / (t.n_ref + {PSI_ALPHA} * {float(PSI_BINS)}))
+         * ln(((p.n_cur_bin + {PSI_ALPHA}) / (t.n_cur + {PSI_ALPHA} * {float(PSI_BINS)}))
+              / ((p.n_ref_bin + {PSI_ALPHA}) / (t.n_ref + {PSI_ALPHA} * {float(PSI_BINS)})))
+       AS DECIMAL(28,12))) AS DOUBLE), 6) AS psi
+FROM per_half p JOIN totals t USING (event_type)
+GROUP BY 1
+"""
+
+
 QUERIES = {
     "event_ewma_daily": ewma_daily,
     "event_scd_intervals": scd_intervals,
@@ -1516,6 +1623,7 @@ QUERIES = {
     "event_transitions": event_transitions,
     "ab_test_analysis": ab_test_analysis,
     "event_tail_index": event_tail_index,
+    "event_psi_drift": event_psi_drift,
 }
 
 ORACLE_SQL = {
@@ -1548,4 +1656,5 @@ ORACLE_SQL = {
     "event_transitions": EVENT_TRANSITIONS_SQL,
     "ab_test_analysis": AB_TEST_ANALYSIS_SQL,
     "event_tail_index": EVENT_TAIL_INDEX_SQL,
+    "event_psi_drift": EVENT_PSI_DRIFT_SQL,
 }

@@ -70,6 +70,10 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "1-row threshold broadcast over the ≤ k+1 top-order-statistic "
         "rows (events.py)"
     ),
+    "event_psi_drift": (
+        "1-row time-midpoint + 1-row reference-range broadcasts over "
+        "the scan (events.py)"
+    ),
     "ivf_cell_medoids": (
         "1-row corpus-stats broadcast + the hash-sampled ~sqrt(N) "
         "quantizer-seed broadcast (similarity.quantizer_seeds)"
@@ -430,4 +434,5 @@ HEADLINE: list[str] = [
     "hubness_audit",
     "event_tail_index",
     "negative_sampling_table",
+    "event_psi_drift",
 ]

@@ -445,3 +445,51 @@ def test_negative_sampling_slots_partition_the_grid(spark, sf_dir):
     # strictly below its raw frequency share
     total_tf = sum(r.tf for r in rows)
     assert (rows[0].slot_hi - rows[0].slot_lo) / NEG_TABLE_SLOTS < rows[0].tf / total_tf
+
+
+# ------------------------------------------------------- PSI drift
+
+
+def test_psi_is_nonnegative_and_matches_python(spark, sf_dir):
+    """PSI terms (p_cur−p_ref)·ln(p_cur/p_ref) are individually ≥ 0,
+    so psi ≥ 0 for every type; a full python recomputation at sf0.001
+    reproduces every row."""
+    from capstone_etl_spark.operators.events import (
+        PSI_ALPHA,
+        PSI_BINS,
+        event_psi_drift,
+    )
+    from capstone_etl_spark.sources.tables import load_table
+
+    rows = {r.event_type: r for r in event_psi_drift(spark, sf_dir).collect()}
+    assert rows and all(r.psi >= 0.0 for r in rows.values())
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value", "ts").collect()
+    us = [int(r.ts.timestamp() * 1_000_000) for r in ev]
+    t_mid = (min(us) + max(us)) / 2.0
+    ref = [(r, u) for r, u in zip(ev, us) if u <= t_mid]
+    v_lo = min(r.value for r, _ in ref)
+    v_hi = max(r.value for r, _ in ref)
+    width = (v_hi - v_lo) / PSI_BINS
+
+    def bin_of(v: float) -> int:
+        if width <= 0:
+            return 0
+        return int(max(0, min(PSI_BINS - 1, math.floor((v - v_lo) / width))))
+
+    per: dict[str, list] = {}
+    for r, u in zip(ev, us):
+        h = per.setdefault(r.event_type, [[0] * PSI_BINS, [0] * PSI_BINS])
+        h[0 if u <= t_mid else 1][bin_of(r.value)] += 1
+    for et, (rb, cb) in per.items():
+        n_ref, n_cur = sum(rb), sum(cb)
+        psi = 0.0
+        for b in range(PSI_BINS):
+            # the engines only emit bins observed in EITHER half
+            if rb[b] == 0 and cb[b] == 0:
+                continue
+            p_r = (rb[b] + PSI_ALPHA) / (n_ref + PSI_ALPHA * PSI_BINS)
+            p_c = (cb[b] + PSI_ALPHA) / (n_cur + PSI_ALPHA * PSI_BINS)
+            psi += (p_c - p_r) * math.log(p_c / p_r)
+        assert rows[et].n_ref == n_ref and rows[et].n_cur == n_cur
+        assert abs(rows[et].psi - psi) < 1e-4
