@@ -1330,9 +1330,13 @@ def ab_readout(per_user: DataFrame) -> DataFrame:
     readout. Shared tail of ab_test_analysis and stream_ab_test: the
     variant rollup, the lift columns, and the pooled z live here
     once."""
-    per_variant = per_user.groupBy("variant").agg(
-        F.count("*").cast("long").alias("n_exposed"),
-        F.sum("conv").cast("long").alias("n_converted"),
+    # cached: the 2-row rollup feeds BOTH the stats pivot and the output
+    # rows — uncached, the conversion join over events would run twice
+    per_variant = cached(
+        per_user.groupBy("variant").agg(
+            F.count("*").cast("long").alias("n_exposed"),
+            F.sum("conv").cast("long").alias("n_converted"),
+        )
     )
     pivot = per_variant.agg(
         F.sum(F.when(F.col("variant") == 0, F.col("n_exposed"))).alias("n0"),
@@ -1530,9 +1534,14 @@ def event_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "is_ref", bin_id.cast("long").alias("bin"))
         .agg(F.count("*").alias("n"))
     )
-    per_half = binned.groupBy("event_type", "bin").agg(
-        F.sum(F.when(F.col("is_ref"), F.col("n")).otherwise(0)).alias("n_ref_bin"),
-        F.sum(F.when(~F.col("is_ref"), F.col("n")).otherwise(0)).alias("n_cur_bin"),
+    # cached: the bounded (type, bin) relation feeds BOTH the totals
+    # broadcast and the final join — uncached, the corpus-wide binning
+    # shuffle would execute once per consumer
+    per_half = cached(
+        binned.groupBy("event_type", "bin").agg(
+            F.sum(F.when(F.col("is_ref"), F.col("n")).otherwise(0)).alias("n_ref_bin"),
+            F.sum(F.when(~F.col("is_ref"), F.col("n")).otherwise(0)).alias("n_cur_bin"),
+        )
     )
     totals = per_half.groupBy(F.col("event_type").alias("_et")).agg(
         F.sum("n_ref_bin").alias("n_ref"), F.sum("n_cur_bin").alias("n_cur")

@@ -82,23 +82,6 @@ PAIR_LSH_BITS = 4
 _PAIR_PLANES = _hyperplane_bits(PAIR_LSH_TABLES, PAIR_LSH_BITS)
 
 
-def _signed_dot_col(vec_col: str, bits: str) -> Column:
-    """Σ_d v[d]·(±1 from bits[d]) as a sequential left fold over the
-    zip_with product array — the summation ORDER (and therefore every
-    IEEE intermediate) is identical to the oracle's
-    list_sum(list_transform(...)), while the per-element work is one
-    multiply against a ±1.0 array literal instead of the interpreted
-    substring-CASE the first implementation paid 64×64 times per
-    vector (the lsh_buckets hot loop: this fold runs tables×bits times
-    per row)."""
-    signs = F.array(*[F.lit(1.0 if b == "1" else -1.0) for b in bits])
-    return F.aggregate(
-        F.zip_with(F.col(vec_col), signs, lambda x, s: x.cast("double") * s),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-
-
 def _signed_dot_sql(vec_expr: str, bits: str) -> str:
     return (
         f"list_sum(list_transform(range({DIM}), d -> "

@@ -206,11 +206,13 @@ def reservoir_bottom_k(rows: DataFrame) -> DataFrame:
 AB_OUTPUT_SCHEMA = "user_id long, upd long, min_view_us long, max_purchase_us long"
 AB_STATE_SCHEMA = "upd long, min_view_us long, max_purchase_us long"
 # sentinels (state structs reject NULLs cleanly): "no view yet" sorts
-# above any real timestamp, "no purchase yet" below — so min/max merges
-# need no branches and the final predicate max_purchase > min_view is
-# False until both sides exist.
+# above any real timestamp, "no purchase yet" below EVERY representable
+# one — including pre-1970 negatives, so a pre-epoch purchase can never
+# be conflated with the absent-purchase state; min/max merges need no
+# branches and the final predicate max_purchase > min_view is False
+# until both sides exist.
 _AB_NO_VIEW = 1 << 62
-_AB_NO_PURCHASE = -1
+_AB_NO_PURCHASE = -(1 << 62)
 
 
 def _ab_accumulate(

@@ -9,7 +9,7 @@ import sys
 
 sys.path.insert(0, "/root/repo")
 
-SF_001 = "/root/testdata/sf0.01"
+SF_01 = "/root/testdata/sf0.01"
 
 
 def test_semantic_decon_sides_and_bounds(spark, sf_dir):
@@ -25,9 +25,9 @@ def test_semantic_decon_sides_and_bounds(spark, sf_dir):
     )
     from capstone_etl_spark.sources.tables import load_table
 
-    out = semantic_decontamination(spark, SF_001)
+    out = semantic_decontamination(spark, SF_01)
     n_bench = (
-        load_table(spark, SF_001, "embeddings")
+        load_table(spark, SF_01, "embeddings")
         .filter(F.col("vec_id") % SEM_BENCH_MOD == 0)
         .count()
     )
@@ -53,8 +53,8 @@ def test_semantic_decon_argmax_matches_direct_cosine(spark):
     from capstone_etl_spark.operators.similarity import semantic_decontamination
     from capstone_etl_spark.sources.tables import load_table
 
-    out = semantic_decontamination(spark, SF_001)
-    emb = load_table(spark, SF_001, "embeddings")
+    out = semantic_decontamination(spark, SF_01)
+    emb = load_table(spark, SF_01, "embeddings")
     joined = (
         out.join(
             emb.select(F.col("vec_id").alias("train_vec"), F.col("embedding").alias("qe")),
