@@ -149,6 +149,7 @@ _PRIORITY = [
     "negative_sampling_table",
     "stream_dp_histogram",
     "event_psi_drift",
+    "split_perplexity_gap",
     # Block 4: least-recently-attested — the driver's extra sampling
     # refreshes the stalest signal first. The canaries demoted for the
     # session-3/4/5 additions lead (all multi-round driver-green).

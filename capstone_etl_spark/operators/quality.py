@@ -385,6 +385,109 @@ FROM g
 """
 
 
+# --------------------------------------------- split perplexity gap
+#
+# The overfit/leakage canary: fit the add-α unigram LM on the TRAIN
+# split only and score every split under it. val/test should sit a
+# healthy margin ABOVE train (unseen text is harder); a gap near zero
+# means the splits are not independent — near-duplicates straddling
+# the cut, or a split keyed on something correlated with content —
+# exactly the failure split_leakage_audit hunts pair-by-pair, read
+# here as one corpus-level statistic.
+GAP_ALPHA = 0.5   # add-α over the TRAIN vocabulary (+1 OOV class)
+
+
+def split_perplexity_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(split, n_tokens, nll, gap): mean per-token NLL of each split
+    under the train-split unigram LM, and gap = nll − nll_train
+    (0 for train by construction; healthy val/test gaps are positive).
+
+    Scale plan: one tokenize pass → per-(split, token) counts (the
+    cached spine), the train LM rides back as a token-keyed left join
+    (OOV → α numerator), and the (N_train, V_train) scalars enter as a
+    1-row broadcast; the per-split aggregation is 3 rows. The gap
+    column joins the 1-row train-nll relation back over the 3-row
+    result — nothing after the token shuffles scales with the corpus.
+    Numeric discipline: cnt·ln(p) snaps to DECIMAL(28,12), one final
+    6-dp round, gap computed from the two ROUNDED nll values."""
+    from capstone_etl_spark.operators.sampling import split_column
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        split_column(F.col("doc_id")).alias("split"),
+        F.explode(tokenize("text")).alias("token"),
+    )
+    cst = cached(tok.groupBy("split", "token").agg(F.count("*").alias("cnt")))
+    train = cst.filter(F.col("split") == "train").select(
+        F.col("token").alias("_tok"), F.col("cnt").alias("c_train")
+    )
+    stats = train.agg(
+        F.sum("c_train").cast("double").alias("n_train"),
+        F.count("*").cast("double").alias("v_train"),
+    )
+    a = F.lit(GAP_ALPHA)
+    # +1 smoothing class for OOV mass so unseen tokens get α/(N+α(V+1))
+    p = (F.coalesce(F.col("c_train"), F.lit(0)) + a) / (
+        F.col("n_train") + a * (F.col("v_train") + 1)
+    )
+    per_split = (
+        cst.join(train, F.col("token") == F.col("_tok"), "left")
+        .crossJoin(F.broadcast(stats))
+        .select("split", "cnt", (F.col("cnt") * F.log(p)).cast("decimal(28,12)").alias("term"))
+        .groupBy("split")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.round((-F.sum("term")).cast("double") / F.sum("cnt"), 6).alias("nll"),
+        )
+    )
+    base = per_split.filter(F.col("split") == "train").select(
+        F.col("nll").alias("_nll_train")
+    )
+    # LEFT join: an empty train split must yield NULL gaps (DuckDB's
+    # scalar subquery semantics), not drop the surviving split rows
+    return per_split.join(F.broadcast(base), F.lit(True), "left").select(
+        "split",
+        "n_tokens",
+        "nll",
+        F.round(F.col("nll") - F.col("_nll_train"), 6).alias("gap"),
+    )
+
+
+def _split_gap_sql() -> str:
+    from capstone_etl_spark.operators.sampling import split_sql_case
+
+    return f"""
+WITH tok AS (
+  SELECT {split_sql_case("doc_id")} AS split,
+         UNNEST(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           t -> t <> '')) AS token
+  FROM documents
+), cst AS (
+  SELECT split, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+), train AS (
+  SELECT token AS tok, cnt AS c_train FROM cst WHERE split = 'train'
+), stats AS (
+  SELECT CAST(SUM(c_train) AS DOUBLE) AS n_train,
+         CAST(COUNT(*) AS DOUBLE) AS v_train
+  FROM train
+), per_split AS (
+  SELECT c.split, CAST(SUM(c.cnt) AS BIGINT) AS n_tokens,
+         ROUND(CAST(-SUM(CAST(c.cnt * ln((COALESCE(t.c_train, 0) + {GAP_ALPHA})
+                                          / (s.n_train + {GAP_ALPHA} * (s.v_train + 1)))
+                          AS DECIMAL(28,12))) AS DOUBLE) / SUM(c.cnt), 6) AS nll
+  FROM cst c LEFT JOIN train t ON c.token = t.tok CROSS JOIN stats s
+  GROUP BY 1
+)
+SELECT split, n_tokens, nll,
+       ROUND(nll - (SELECT nll FROM per_split WHERE split = 'train'), 6) AS gap
+FROM per_split
+"""
+
+
+SPLIT_PERPLEXITY_GAP_SQL = _split_gap_sql()
+
+
 MAD_SIGMA = 1.4826   # consistency constant: MAD·1.4826 ≈ σ under normality
 MAD_K = 3.5          # robust-z cutoff (Iglewicz–Hoaglin's recommended 3.5)
 
@@ -1114,6 +1217,7 @@ QUERIES = {
     "quality_agreement_matrix": quality_agreement_matrix,
     "code_detection": code_detection,
     "curriculum_schedule": curriculum_schedule,
+    "split_perplexity_gap": split_perplexity_gap,
 }
 
 ORACLE_SQL = {
@@ -1130,4 +1234,5 @@ ORACLE_SQL = {
     "quality_agreement_matrix": QUALITY_AGREEMENT_MATRIX_SQL,
     "code_detection": CODE_DETECTION_SQL,
     "curriculum_schedule": CURRICULUM_SCHEDULE_SQL,
+    "split_perplexity_gap": SPLIT_PERPLEXITY_GAP_SQL,
 }

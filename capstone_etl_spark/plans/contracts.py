@@ -74,6 +74,11 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "1-row time-midpoint + 1-row reference-range broadcasts over "
         "the scan (events.py)"
     ),
+    "split_perplexity_gap": (
+        "1-row train-LM (N, V) broadcast over the split-token spine + "
+        "the 1-row train-nll broadcast over the 3-row result "
+        "(quality.py)"
+    ),
     "ivf_cell_medoids": (
         "1-row corpus-stats broadcast + the hash-sampled ~sqrt(N) "
         "quantizer-seed broadcast (similarity.quantizer_seeds)"
@@ -435,4 +440,5 @@ HEADLINE: list[str] = [
     "event_tail_index",
     "negative_sampling_table",
     "event_psi_drift",
+    "split_perplexity_gap",
 ]

@@ -189,6 +189,10 @@ NAMES = [
     # token-bearing doc: the zero-token row drop and the tiny-N OLS
     # (possibly NULL fit) must agree engine-for-engine
     "heaps_law_fit",
+    # a 10-doc corpus can leave a split empty (or tokenless): the
+    # OOV-α scoring, the empty-split row drop, and the possibly-NULL
+    # train baseline must agree engine-for-engine
+    "split_perplexity_gap",
 ]
 
 

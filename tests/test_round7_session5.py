@@ -493,3 +493,49 @@ def test_psi_is_nonnegative_and_matches_python(spark, sf_dir):
             psi += (p_c - p_r) * math.log(p_c / p_r)
         assert rows[et].n_ref == n_ref and rows[et].n_cur == n_cur
         assert abs(rows[et].psi - psi) < 1e-4
+
+
+# -------------------------------------------- split perplexity gap
+
+
+def test_split_gap_matches_python_lm(spark, sf_dir):
+    """Full python recomputation at sf0.001: salted-hash splits, add-α
+    train LM with a +1 OOV class, per-split mean NLL, gap vs train.
+    Train's gap is exactly 0."""
+    from collections import Counter
+
+    from pyspark.sql import functions as F
+
+    from capstone_etl_spark.functions.text import tokenize
+    from capstone_etl_spark.operators.quality import GAP_ALPHA, split_perplexity_gap
+    from capstone_etl_spark.operators.sampling import split_column
+    from capstone_etl_spark.sources.tables import load_table
+
+    rows = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            split_column(F.col("doc_id")).alias("split"),
+            F.explode(tokenize("text")).alias("token"),
+        )
+        .collect()
+    )
+    cst: dict[str, Counter] = {}
+    for r in rows:
+        cst.setdefault(r.split, Counter())[r.token] += 1
+    train = cst.get("train", Counter())
+    n_t, v_t, a = sum(train.values()), len(train), GAP_ALPHA
+    want = {}
+    for split, c in cst.items():
+        n_s = sum(c.values())
+        nll = -sum(
+            k * math.log((train.get(t, 0) + a) / (n_t + a * (v_t + 1)))
+            for t, k in c.items()
+        ) / n_s
+        want[split] = (n_s, nll)
+    got = {r.split: r for r in split_perplexity_gap(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for split, (n_s, nll) in want.items():
+        assert got[split].n_tokens == n_s
+        assert abs(got[split].nll - nll) < 1e-4
+        assert abs(got[split].gap - (nll - want["train"][1])) < 1e-4
+    assert got["train"].gap == 0.0
