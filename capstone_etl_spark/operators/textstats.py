@@ -876,6 +876,124 @@ FROM pts CROSS JOIN fit
 """
 
 
+# ----------------------------------------------- association rules
+#
+# Market-basket mining over (document, token) baskets: which tokens
+# IMPLY each other beyond chance? For a rule a→b, support = P(a,b),
+# confidence = P(b|a), lift = P(a,b)/(P(a)P(b)) — the co-occurrence
+# counterpart of bigram_pmi (which only sees ADJACENT tokens). The
+# rules a curator reads to spot template vocabularies (lift ≫ 1
+# cliques) and accidental anti-correlations (lift ≪ 1).
+AR_TOP_TOKENS = 64   # pair space bounded to the top-64 df tokens
+AR_TOP_RULES = 20
+
+
+def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(antecedent, consequent, n_ab, support, confidence, lift, rnk)
+    — the top-AR_TOP_RULES rules by (lift desc, confidence desc,
+    antecedent, consequent), both directions of each co-occurring
+    pair.
+
+    Scale plan: the classic frequent-pair explosion is bounded BEFORE
+    the self-join — only the AR_TOP_TOKENS highest-df tokens (a
+    distributed top-k, broadcast back) enter the per-doc pair join, so
+    the pair relation is ≤ |docs|·C(64,2) whatever the vocabulary, and
+    the pair aggregation is ≤ C(64,2) keys with map-side combine. The
+    doc total and per-token dfs ride the tiny frequent-token broadcast;
+    ranking windows on a ≤ 2·C(64,2)-row relation. Exactness: counts
+    are exact int64; support/confidence/lift divide identical doubles
+    and round once."""
+    docs = _docs(spark, sf_dir)
+    n_docs_rel = docs.agg(F.count("*").alias("n_docs"))
+    baskets = docs.select("doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("token"))
+    freq = cached(
+        baskets.groupBy("token")
+        .agg(F.count("*").alias("df"))
+        .orderBy(F.desc("df"), "token")
+        .limit(AR_TOP_TOKENS)
+    )
+    fb = baskets.join(F.broadcast(freq), "token").select("doc_id", "token", "df")
+    pairs = (
+        fb.alias("a")
+        .join(fb.alias("b"), (F.col("a.doc_id") == F.col("b.doc_id")) & (F.col("a.token") < F.col("b.token")))
+        .groupBy(
+            F.col("a.token").alias("tok_a"),
+            F.col("b.token").alias("tok_b"),
+            F.col("a.df").alias("df_a"),
+            F.col("b.df").alias("df_b"),
+        )
+        .agg(F.count("*").alias("n_ab"))
+    )
+    rules = pairs.select(
+        F.col("tok_a").alias("antecedent"), F.col("tok_b").alias("consequent"),
+        "n_ab", F.col("df_a").alias("df_ant"), F.col("df_b").alias("df_con"),
+    ).union(
+        pairs.select(
+            F.col("tok_b").alias("antecedent"), F.col("tok_a").alias("consequent"),
+            "n_ab", F.col("df_b").alias("df_ant"), F.col("df_a").alias("df_con"),
+        )
+    )
+    nd = F.col("n_docs").cast("double")
+    lift = F.col("n_ab") * nd / (F.col("df_ant") * F.col("df_con"))
+    scored = rules.crossJoin(F.broadcast(n_docs_rel)).select(
+        "antecedent",
+        "consequent",
+        F.col("n_ab").cast("long").alias("n_ab"),
+        F.round(F.col("n_ab") / nd, 6).alias("support"),
+        F.round(F.col("n_ab").cast("double") / F.col("df_ant"), 6).alias("confidence"),
+        F.round(lift, 6).alias("lift"),
+        lift.alias("_lift_raw"),
+        (F.col("n_ab").cast("double") / F.col("df_ant")).alias("_conf_raw"),
+    )
+    w = Window.partitionBy(bounded_window_key("antecedent")).orderBy(
+        F.desc("_lift_raw"), F.desc("_conf_raw"), "antecedent", "consequent"
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= AR_TOP_RULES)
+        .drop("_lift_raw", "_conf_raw")
+    )
+
+
+ASSOCIATION_RULES_SQL = f"""
+WITH exploded AS (
+  SELECT doc_id, UNNEST(list_filter(
+    string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+    t -> t <> '')) AS token
+  FROM documents
+), baskets AS (
+  SELECT DISTINCT doc_id, token FROM exploded
+), freq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM baskets GROUP BY 1
+  ORDER BY df DESC, token LIMIT {AR_TOP_TOKENS}
+), fb AS (
+  SELECT b.doc_id, b.token, f.df FROM baskets b JOIN freq f USING (token)
+), pairs AS (
+  SELECT a.token AS tok_a, b.token AS tok_b, a.df AS df_a, b.df AS df_b,
+         CAST(COUNT(*) AS BIGINT) AS n_ab
+  FROM fb a JOIN fb b ON a.doc_id = b.doc_id AND a.token < b.token
+  GROUP BY 1, 2, 3, 4
+), rules AS (
+  SELECT tok_a AS antecedent, tok_b AS consequent, n_ab, df_a AS df_ant, df_b AS df_con FROM pairs
+  UNION ALL
+  SELECT tok_b, tok_a, n_ab, df_b, df_a FROM pairs
+), nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_docs FROM documents)
+SELECT antecedent, consequent, n_ab,
+       ROUND(n_ab / d.n_docs, 6) AS support,
+       ROUND(CAST(n_ab AS DOUBLE) / df_ant, 6) AS confidence,
+       ROUND(n_ab * d.n_docs / (df_ant * df_con), 6) AS lift,
+       rnk
+FROM (
+  SELECT r.*, d2.n_docs,
+         ROW_NUMBER() OVER (ORDER BY r.n_ab * d2.n_docs / (r.df_ant * r.df_con) DESC,
+                            CAST(r.n_ab AS DOUBLE) / r.df_ant DESC,
+                            r.antecedent, r.consequent) AS rnk
+  FROM rules r CROSS JOIN nd d2
+) r CROSS JOIN nd d
+WHERE rnk <= {AR_TOP_RULES}
+"""
+
+
 # ------------------------------------------- negative-sampling table
 #
 # word2vec's unigram^α noise distribution (Mikolov et al. 2013,
@@ -2292,6 +2410,7 @@ QUERIES = {
     "tokenizer_comparison": tokenizer_comparison,
     "heaps_law_fit": heaps_law_fit,
     "negative_sampling_table": negative_sampling_table,
+    "association_rules": association_rules,
 }
 
 ORACLE_SQL = {
@@ -2313,6 +2432,7 @@ ORACLE_SQL = {
     "zipf_fit": ZIPF_FIT_SQL,
     "heaps_law_fit": HEAPS_LAW_FIT_SQL,
     "negative_sampling_table": NEGATIVE_SAMPLING_TABLE_SQL,
+    "association_rules": ASSOCIATION_RULES_SQL,
     "language_id_confusion": LANGUAGE_ID_CONFUSION_SQL,
     "length_histogram": LENGTH_HISTOGRAM_SQL,
     "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,

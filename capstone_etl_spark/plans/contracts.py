@@ -79,6 +79,10 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "the 1-row train-nll broadcast over the 3-row result "
         "(quality.py)"
     ),
+    "association_rules": (
+        "1-row doc-count broadcast over the bounded <= 2*C(64,2)-row "
+        "rule relation (textstats.py)"
+    ),
     "ivf_cell_medoids": (
         "1-row corpus-stats broadcast + the hash-sampled ~sqrt(N) "
         "quantizer-seed broadcast (similarity.quantizer_seeds)"
@@ -441,4 +445,5 @@ HEADLINE: list[str] = [
     "negative_sampling_table",
     "event_psi_drift",
     "split_perplexity_gap",
+    "association_rules",
 ]

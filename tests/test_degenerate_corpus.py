@@ -193,6 +193,10 @@ NAMES = [
     # OOV-α scoring, the empty-split row drop, and the possibly-NULL
     # train baseline must agree engine-for-engine
     "split_perplexity_gap",
+    # tiny vocab → massive lift/confidence TIES: the top-k boundary
+    # (df desc, token) and the rule ranking tiebreaks must agree
+    # engine-for-engine
+    "association_rules",
 ]
 
 

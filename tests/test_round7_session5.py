@@ -539,3 +539,56 @@ def test_split_gap_matches_python_lm(spark, sf_dir):
         assert abs(got[split].nll - nll) < 1e-4
         assert abs(got[split].gap - (nll - want["train"][1])) < 1e-4
     assert got["train"].gap == 0.0
+
+
+# ------------------------------------------------ association rules
+
+
+def test_association_rules_match_python_model(spark, sf_dir):
+    """Full python recomputation at sf0.001: distinct baskets, top-64
+    df tokens, pair counts, both rule directions, (lift desc,
+    confidence desc, antecedent, consequent) ranking."""
+    from collections import Counter
+    from itertools import combinations
+
+    from pyspark.sql import functions as F
+
+    from capstone_etl_spark.functions.text import tokenize
+    from capstone_etl_spark.operators.textstats import (
+        AR_TOP_RULES,
+        AR_TOP_TOKENS,
+        association_rules,
+    )
+    from capstone_etl_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents")
+    n_docs = docs.count()
+    rows = docs.select("doc_id", F.array_distinct(tokenize("text")).alias("toks")).collect()
+    df = Counter(t for r in rows for t in r.toks)
+    top = set(
+        t for t, _ in sorted(df.items(), key=lambda kv: (-kv[1], kv[0]))[:AR_TOP_TOKENS]
+    )
+    n_ab = Counter()
+    for r in rows:
+        for a, b in combinations(sorted(t for t in r.toks if t in top), 2):
+            n_ab[(a, b)] += 1
+    rules = []
+    for (a, b), n in n_ab.items():
+        for ant, con in ((a, b), (b, a)):
+            lift = n * float(n_docs) / (df[ant] * df[con])
+            conf = n / df[ant]
+            rules.append((-lift, -conf, ant, con, n))
+    rules.sort()
+    want = {
+        (ant, con): (n, rnk + 1, round(-nl, 6), round(-nc, 6))
+        for rnk, (nl, nc, ant, con, n) in enumerate(rules[:AR_TOP_RULES])
+    }
+    got = {
+        (r.antecedent, r.consequent): (r.n_ab, r.rnk, r.lift, r.confidence)
+        for r in association_rules(spark, sf_dir).collect()
+    }
+    assert set(got) == set(want)
+    for k, (n, rnk, lift, conf) in want.items():
+        gn, grnk, glift, gconf = got[k]
+        assert gn == n and grnk == rnk
+        assert abs(glift - lift) < 1e-5 and abs(gconf - conf) < 1e-5
