@@ -1613,6 +1613,104 @@ HAVING COUNT(DISTINCT t.sh) >= {LEAK_MIN_SHARED}
 """
 
 
+# ------------------------------------------------ label propagation
+#
+# Community detection on the near-dup graph — the MODE-based fixpoint
+# (Raghavan et al. 2007), a genuinely different algorithm from
+# connected_components' min-propagation: each node adopts the MOST
+# COMMON label among its neighbors (ties to the smaller label), so
+# weakly-bridged cliques can keep separate communities where CC glues
+# everything reachable into one. Fixed LP_ROUNDS synchronous rounds —
+# deterministic and oracle-expressible as unrolled SQL, unlike the
+# classic randomized-order variant.
+LP_ROUNDS = 3
+
+
+def label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, community, n_members) for EVERY document (isolated
+    docs are their own singleton community).
+
+    Scale plan: per round, one edge⋈labels join (shuffle on the
+    uniform src key), one (node, label) vote count with map-side
+    combine, one argmax via min(struct) — no windows over anything
+    unbounded; labels are lineage-truncated per round (the CC loop's
+    discipline, 4^rounds plan growth otherwise) and the edge relation
+    is cached once and re-scanned each round. Rounds are FIXED, so
+    cost is LP_ROUNDS × (two joins + two aggregates) at any scale."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").transform(cached)
+    edges = cached(
+        pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+            pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+        )
+    )
+    labels = _truncate_lineage(docs.select("doc_id", F.col("doc_id").alias("label")))
+    for _ in range(LP_ROUNDS):
+        votes = (
+            edges.join(
+                labels.select(F.col("doc_id").alias("src"), F.col("label").alias("nl")),
+                "src",
+            )
+            .groupBy(F.col("dst").alias("doc_id"), F.col("nl").alias("vlabel"))
+            .agg(F.count("*").alias("n"))
+        )
+        mode = (
+            votes.groupBy("doc_id")
+            .agg(F.min(F.struct((-F.col("n")).alias("nn"), F.col("vlabel").alias("vl"))).alias("m"))
+            .select("doc_id", F.col("m.vl").alias("new_label"))
+        )
+        labels = _truncate_lineage(
+            labels.join(mode, "doc_id", "left").select(
+                "doc_id", F.coalesce("new_label", "label").alias("label")
+            )
+        )
+    sizes = labels.groupBy(F.col("label").alias("_lbl")).agg(
+        F.count("*").cast("long").alias("n_members")
+    )
+    return labels.join(sizes, F.col("label") == F.col("_lbl")).select(
+        "doc_id", F.col("label").alias("community"), "n_members"
+    )
+
+
+def _label_propagation_sql() -> str:
+    rounds = []
+    for i in range(1, LP_ROUNDS + 1):
+        rounds.append(f"""
+, v{i} AS (
+  SELECT e.dst AS doc_id, l.label AS vlabel, COUNT(*) AS n
+  FROM edges e JOIN l{i - 1} l ON l.doc_id = e.src
+  GROUP BY 1, 2
+), m{i} AS (
+  SELECT doc_id, vlabel FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY n DESC, vlabel) AS rn
+    FROM v{i}
+  ) t WHERE rn = 1
+), l{i} AS (
+  SELECT l.doc_id, COALESCE(m.vlabel, l.label) AS label
+  FROM l{i - 1} l LEFT JOIN m{i} m USING (doc_id)
+)""")
+    return (
+        _SHINGLES_CTE
+        + _JACCARD_PAIRS_CTE
+        + """
+, edges AS (
+  SELECT doc_a AS src, doc_b AS dst FROM pairs
+  UNION ALL
+  SELECT doc_b, doc_a FROM pairs
+), l0 AS (
+  SELECT doc_id, doc_id AS label FROM documents
+)"""
+        + "".join(rounds)
+        + f"""
+SELECT l.doc_id, l.label AS community, s.n_members
+FROM l{LP_ROUNDS} l
+JOIN (SELECT label, CAST(COUNT(*) AS BIGINT) AS n_members
+      FROM l{LP_ROUNDS} GROUP BY 1) s
+  ON s.label = l.label
+"""
+    )
+
+
 QUERIES = {
     "dedup_exact": exact_dedup,
     "dedup_ngram_jaccard": ngram_jaccard_pairs,
@@ -1632,6 +1730,7 @@ QUERIES = {
     "dedup_keep_best": dedup_keep_best,
     "dedup_sorted_neighborhood": dedup_sorted_neighborhood,
     "split_leakage_audit": split_leakage_audit,
+    "label_propagation": label_propagation,
 }
 
 ORACLE_SQL = {
@@ -1653,4 +1752,5 @@ ORACLE_SQL = {
     "dedup_keep_best": _dedup_keep_best_sql(),
     "dedup_sorted_neighborhood": DEDUP_SORTED_NEIGHBORHOOD_SQL,
     "split_leakage_audit": SPLIT_LEAKAGE_AUDIT_SQL,
+    "label_propagation": _label_propagation_sql(),
 }

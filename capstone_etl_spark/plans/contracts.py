@@ -446,4 +446,5 @@ HEADLINE: list[str] = [
     "event_psi_drift",
     "split_perplexity_gap",
     "association_rules",
+    "label_propagation",
 ]

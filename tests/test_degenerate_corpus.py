@@ -197,6 +197,9 @@ NAMES = [
     # (df desc, token) and the rule ranking tiebreaks must agree
     # engine-for-engine
     "association_rules",
+    # a pair-less near-dup graph (no doc shares a shingle) must leave
+    # every doc a singleton community through all LP rounds
+    "label_propagation",
 ]
 
 

@@ -592,3 +592,39 @@ def test_association_rules_match_python_model(spark, sf_dir):
         gn, grnk, glift, gconf = got[k]
         assert gn == n and grnk == rnk
         assert abs(glift - lift) < 1e-5 and abs(gconf - conf) < 1e-5
+
+
+# ------------------------------------------------ label propagation
+
+
+def test_label_propagation_matches_python_model(spark, sf_dir):
+    """Python recomputation of LP_ROUNDS synchronous mode-propagation
+    rounds from the engine's own near-dup pair relation; singleton and
+    community-size bookkeeping included."""
+    from collections import Counter
+
+    from capstone_etl_spark.operators.dedup import (
+        LP_ROUNDS,
+        label_propagation,
+        ngram_jaccard_pairs,
+    )
+    from capstone_etl_spark.sources.tables import load_table
+
+    pairs = [(r.doc_a, r.doc_b) for r in ngram_jaccard_pairs(spark, sf_dir).collect()]
+    nodes = [r.doc_id for r in load_table(spark, sf_dir, "documents").collect()]
+    nbrs: dict[int, list[int]] = {}
+    for a, b in pairs:
+        nbrs.setdefault(a, []).append(b)
+        nbrs.setdefault(b, []).append(a)
+    label = {u: u for u in nodes}
+    for _ in range(LP_ROUNDS):
+        new = dict(label)
+        for u in nodes:
+            if u in nbrs:
+                votes = Counter(label[v] for v in nbrs[u])
+                best = min((-n, l) for l, n in votes.items())[1]
+                new[u] = best
+        label = new
+    sizes = Counter(label.values())
+    got = {r.doc_id: (r.community, r.n_members) for r in label_propagation(spark, sf_dir).collect()}
+    assert got == {u: (label[u], sizes[label[u]]) for u in nodes}
