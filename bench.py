@@ -135,6 +135,13 @@ HEADLINE = [
     "source_loso_influence",
     "ivf_cell_medoids",
     "heaps_law_fit",
+    # r7 session 5 (cont.): the train-LM split scoring (token-shuffle
+    # bound), the bounded-pair basket miner, and the fixed-round LP
+    # community loop (the iterative-graph specimen alongside
+    # hierarchy_rollup) — tracked from day one.
+    "split_perplexity_gap",
+    "association_rules",
+    "label_propagation",
 ]
 
 
