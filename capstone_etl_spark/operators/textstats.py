@@ -905,7 +905,11 @@ def association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     and round once."""
     docs = _docs(spark, sf_dir)
     n_docs_rel = docs.agg(F.count("*").alias("n_docs"))
-    baskets = docs.select("doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("token"))
+    # cached: the basket spine feeds the df top-k AND both sides of the
+    # pair self-join — uncached, the corpus tokenize pass runs 3x
+    baskets = cached(
+        docs.select("doc_id", F.explode(F.array_distinct(tokenize("text"))).alias("token"))
+    )
     freq = cached(
         baskets.groupBy("token")
         .agg(F.count("*").alias("df"))
