@@ -876,6 +876,79 @@ FROM pts CROSS JOIN fit
 """
 
 
+# ------------------------------------------------- token-mass Gini
+#
+# Corpus concentration in one number: the Gini coefficient of per-doc
+# token mass, G = (2·Σ i·xᵢ)/(n·Σx) − (n+1)/n over ascending xᵢ —
+# 0 = every document contributes equally, →1 = a few giant documents
+# carry the corpus. The number a curator watches when deciding whether
+# doc-level sampling weights or length-capped chunking is needed
+# before token-level budgets mean anything. Ties in x are
+# order-insensitive (equal values commute in Σ i·xᵢ), so the dense-id
+# tiebreak affects nothing — but stays deterministic anyway.
+
+
+def token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One row: (n_docs, total_tokens, mean_tokens, gini).
+
+    Scale plan: per-doc token counts (one shuffle), ascending ranks
+    from the distributed dense-id machinery (range sort + offset
+    broadcast — never a single-partition window), then ONE aggregation
+    of exact int128-free products: i·xᵢ stays < 2^63 for any corpus
+    this engine addresses (rank ≤ 10^10 · tokens-per-doc ≤ 10^6 needs
+    DECIMAL — so the product is summed as DECIMAL(38,0), exact). The
+    final ratio is identical double arithmetic, rounded once."""
+    from capstone_etl_spark.operators.vocab import with_dense_ids
+
+    docs = _docs(spark, sf_dir)
+    per_doc = docs.select(
+        "doc_id", F.size(tokenize("text")).cast("long").alias("n_tok")
+    )
+    ranked = with_dense_ids(per_doc, [F.col("n_tok"), F.col("doc_id")], id_name="_rid")
+    prod = ((F.col("_rid") + 1).cast("decimal(19,0)") * F.col("n_tok").cast("decimal(19,0)")).cast(
+        "decimal(38,0)"
+    )
+    agg = ranked.agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tok").alias("total_tokens"),
+        F.sum(prod).alias("s_iw"),
+    )
+    n = F.col("n_docs").cast("double")
+    tot = F.col("total_tokens").cast("double")
+    gini = (F.lit(2.0) * F.col("s_iw").cast("double")) / (n * tot) - (n + 1) / n
+    return agg.select(
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("total_tokens").cast("long").alias("total_tokens"),
+        F.round(tot / n, 6).alias("mean_tokens"),
+        F.when(tot > 0, F.round(gini, 6)).alias("gini"),
+    )
+
+
+TOKEN_GINI_SQL = """
+WITH per_doc AS (
+  SELECT doc_id,
+         CAST(len(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           t -> t <> '')) AS BIGINT) AS n_tok
+  FROM documents
+), ranked AS (
+  SELECT n_tok, ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) AS rid FROM per_doc
+), agg AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS total_tokens,
+         SUM(CAST(rid AS DECIMAL(19,0)) * CAST(n_tok AS DECIMAL(19,0))) AS s_iw
+  FROM ranked
+)
+SELECT n_docs, total_tokens,
+       ROUND(CAST(total_tokens AS DOUBLE) / CAST(n_docs AS DOUBLE), 6) AS mean_tokens,
+       CASE WHEN total_tokens > 0 THEN
+         ROUND((2.0 * CAST(s_iw AS DOUBLE)) / (CAST(n_docs AS DOUBLE) * CAST(total_tokens AS DOUBLE))
+               - (CAST(n_docs AS DOUBLE) + 1) / CAST(n_docs AS DOUBLE), 6)
+       END AS gini
+FROM agg
+"""
+
+
 # ----------------------------------------------- association rules
 #
 # Market-basket mining over (document, token) baskets: which tokens
@@ -2415,6 +2488,7 @@ QUERIES = {
     "heaps_law_fit": heaps_law_fit,
     "negative_sampling_table": negative_sampling_table,
     "association_rules": association_rules,
+    "token_gini": token_gini,
 }
 
 ORACLE_SQL = {
@@ -2437,6 +2511,7 @@ ORACLE_SQL = {
     "heaps_law_fit": HEAPS_LAW_FIT_SQL,
     "negative_sampling_table": NEGATIVE_SAMPLING_TABLE_SQL,
     "association_rules": ASSOCIATION_RULES_SQL,
+    "token_gini": TOKEN_GINI_SQL,
     "language_id_confusion": LANGUAGE_ID_CONFUSION_SQL,
     "length_histogram": LENGTH_HISTOGRAM_SQL,
     "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,

@@ -447,4 +447,5 @@ HEADLINE: list[str] = [
     "split_perplexity_gap",
     "association_rules",
     "label_propagation",
+    "token_gini",
 ]

@@ -200,6 +200,9 @@ NAMES = [
     # a pair-less near-dup graph (no doc shares a shingle) must leave
     # every doc a singleton community through all LP rounds
     "label_propagation",
+    # several zero-token docs → rank ties at x=0 and a possibly-zero
+    # token total: the NULL-gini guard must fire identically
+    "token_gini",
 ]
 
 

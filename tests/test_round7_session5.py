@@ -628,3 +628,29 @@ def test_label_propagation_matches_python_model(spark, sf_dir):
     sizes = Counter(label.values())
     got = {r.doc_id: (r.community, r.n_members) for r in label_propagation(spark, sf_dir).collect()}
     assert got == {u: (label[u], sizes[label[u]]) for u in nodes}
+
+
+# --------------------------------------------------------- token Gini
+
+
+def test_token_gini_matches_python_and_bounds(spark, sf_dir):
+    """Gini from the ascending-order formula recomputed in python;
+    value in [0, 1); all-equal corpora give (n-1)/n-free ≈ 0."""
+    from pyspark.sql import functions as F
+
+    from capstone_etl_spark.functions.text import tokenize
+    from capstone_etl_spark.operators.textstats import token_gini
+    from capstone_etl_spark.sources.tables import load_table
+
+    xs = sorted(
+        r.n
+        for r in load_table(spark, sf_dir, "documents")
+        .select(F.size(tokenize("text")).alias("n"))
+        .collect()
+    )
+    n, tot = len(xs), sum(xs)
+    want = (2.0 * sum((i + 1) * x for i, x in enumerate(xs))) / (n * tot) - (n + 1) / n
+    row = token_gini(spark, sf_dir).collect()[0]
+    assert row.n_docs == n and row.total_tokens == tot
+    assert abs(row.gini - want) < 1e-6
+    assert 0.0 <= row.gini < 1.0
