@@ -153,6 +153,7 @@ _PRIORITY = [
     "association_rules",
     "label_propagation",
     "token_gini",
+    "conversion_survival",
     # Block 4: least-recently-attested — the driver's extra sampling
     # refreshes the stalest signal first. The canaries demoted for the
     # session-3/4/5 additions lead (all multi-round driver-green).

@@ -1490,6 +1490,148 @@ FROM agg WHERE n >= 2
 """
 
 
+# --------------------------------------------- conversion survival
+#
+# Kaplan–Meier estimator of time-to-conversion: for each exposed user
+# (first 'view'), the duration to the first post-exposure 'purchase',
+# or right-censoring at the user's last observed event. S(t) steps
+# down by (1 − d_i/n_i) at every duration with d_i conversions among
+# n_i still-at-risk users — the curve a growth team reads to separate
+# "converts eventually" from "converts in the first minute", censoring
+# handled properly (a user who simply left early is not a zero).
+# Durations bucket to whole minutes so the curve relation is bounded
+# by the stream horizon in minutes at any user count.
+KM_BUCKET_US = 60_000_000   # 1 minute
+
+
+def conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(dur_min, n_risk, n_conv, n_censored, survival) — one row per
+    distinct observed duration; survival includes this row's step.
+
+    Scale plan: two user-keyed shuffles build the per-user
+    (duration, converted) table (the ab_test_analysis discipline),
+    one groupBy on the minute bucket collapses it to the bounded
+    curve relation, and the KM product runs as exp(Σ ln(1−d/n)) with
+    cumulative windows over that bounded relation only
+    (bounded_window_key — never a corpus-sized single partition).
+    Exactness: risk sets are exact int64 (total minus an exact
+    cumulative count); each ln snaps to DECIMAL(28,12); the d=n
+    absorbing state (survival exactly 0) rides a cumulative max flag
+    so neither engine evaluates ln(0)."""
+    ev = load_table(spark, sf_dir, "events")
+    u = cached(
+        ev.groupBy("user_id").agg(
+            F.min(
+                F.when(F.col("event_type") == AB_EXPOSE_TYPE, F.unix_micros("ts"))
+            ).alias("fv"),
+            F.max(F.unix_micros("ts")).alias("last_us"),
+        ).filter(F.col("fv").isNotNull())
+    )
+    conv = (
+        ev.filter(F.col("event_type") == AB_CONVERT_TYPE)
+        .select("user_id", F.unix_micros("ts").alias("ct"))
+        .join(u.select("user_id", "fv"), "user_id")
+        .filter(F.col("ct") > F.col("fv"))
+        .groupBy("user_id")
+        .agg(F.min("ct").alias("conv_us"))
+    )
+    per_user = (
+        u.join(conv, "user_id", "left")
+        .select(
+            F.floor(
+                (F.coalesce(F.col("conv_us"), F.col("last_us")) - F.col("fv"))
+                / KM_BUCKET_US
+            ).cast("long").alias("dur_min"),
+            F.col("conv_us").isNotNull().cast("long").alias("is_conv"),
+        )
+    )
+    curve = cached(
+        per_user.groupBy("dur_min").agg(
+            F.sum("is_conv").cast("long").alias("n_conv"),
+            F.sum(F.lit(1) - F.col("is_conv")).cast("long").alias("n_censored"),
+        )
+    )
+    total = curve.agg(F.sum(F.col("n_conv") + F.col("n_censored")).alias("n_total"))
+    # bounded: the curve has one row per observed minute bucket
+    w_prior = (
+        Window.partitionBy(bounded_window_key("dur_min"))
+        .orderBy("dur_min")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    w_upto = (
+        Window.partitionBy(bounded_window_key("dur_min"))
+        .orderBy("dur_min")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    with_risk = curve.join(F.broadcast(total), F.lit(True)).select(
+        "dur_min",
+        "n_conv",
+        "n_censored",
+        (
+            F.col("n_total")
+            - F.coalesce(F.sum(F.col("n_conv") + F.col("n_censored")).over(w_prior), F.lit(0))
+        ).cast("long").alias("n_risk"),
+    )
+    absorbed = F.max((F.col("n_conv") == F.col("n_risk")).cast("int")).over(w_upto)
+    ln_term = F.when(
+        (F.col("n_conv") > 0) & (F.col("n_conv") < F.col("n_risk")),
+        F.log(F.lit(1.0) - F.col("n_conv").cast("double") / F.col("n_risk")),
+    ).otherwise(F.lit(0.0)).cast("decimal(28,12)")
+    survival = F.when(absorbed == 1, F.lit(0.0)).otherwise(
+        F.exp(F.sum(ln_term).over(w_upto).cast("double"))
+    )
+    return with_risk.select(
+        "dur_min",
+        "n_risk",
+        "n_conv",
+        "n_censored",
+        F.round(survival, 6).alias("survival"),
+    )
+
+
+CONVERSION_SURVIVAL_SQL = f"""
+WITH u AS (
+  SELECT user_id,
+         MIN(CASE WHEN event_type = '{AB_EXPOSE_TYPE}' THEN epoch_us(ts) END) AS fv,
+         MAX(epoch_us(ts)) AS last_us
+  FROM events GROUP BY user_id
+  HAVING MIN(CASE WHEN event_type = '{AB_EXPOSE_TYPE}' THEN epoch_us(ts) END) IS NOT NULL
+), conv AS (
+  SELECT e.user_id, MIN(epoch_us(e.ts)) AS conv_us
+  FROM events e JOIN u ON e.user_id = u.user_id
+  WHERE e.event_type = '{AB_CONVERT_TYPE}' AND epoch_us(e.ts) > u.fv
+  GROUP BY e.user_id
+), per_user AS (
+  SELECT CAST(FLOOR((COALESCE(c.conv_us, u.last_us) - u.fv) / {KM_BUCKET_US}.0) AS BIGINT) AS dur_min,
+         CASE WHEN c.conv_us IS NOT NULL THEN 1 ELSE 0 END AS is_conv
+  FROM u LEFT JOIN conv c ON u.user_id = c.user_id
+), curve AS (
+  SELECT dur_min, CAST(SUM(is_conv) AS BIGINT) AS n_conv,
+         CAST(SUM(1 - is_conv) AS BIGINT) AS n_censored
+  FROM per_user GROUP BY dur_min
+), with_risk AS (
+  SELECT dur_min, n_conv, n_censored,
+         CAST((SELECT SUM(n_conv + n_censored) FROM curve)
+              - COALESCE(SUM(n_conv + n_censored) OVER
+                  (ORDER BY dur_min ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS n_risk
+  FROM curve
+), stepped AS (
+  SELECT *,
+         MAX(CASE WHEN n_conv = n_risk THEN 1 ELSE 0 END) OVER
+           (ORDER BY dur_min ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS absorbed,
+         SUM(CAST(CASE WHEN n_conv > 0 AND n_conv < n_risk
+                  THEN ln(1.0 - CAST(n_conv AS DOUBLE) / n_risk) ELSE 0.0 END
+              AS DECIMAL(28,12))) OVER
+           (ORDER BY dur_min ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ln_sum
+  FROM with_risk
+)
+SELECT dur_min, n_risk, n_conv, n_censored,
+       ROUND(CASE WHEN absorbed = 1 THEN 0.0 ELSE exp(CAST(ln_sum AS DOUBLE)) END, 6) AS survival
+FROM stepped
+"""
+
+
 # ------------------------------------------------- distribution drift
 #
 # Population Stability Index — the monitoring metric a pipeline uses to
@@ -1633,6 +1775,7 @@ QUERIES = {
     "ab_test_analysis": ab_test_analysis,
     "event_tail_index": event_tail_index,
     "event_psi_drift": event_psi_drift,
+    "conversion_survival": conversion_survival,
 }
 
 ORACLE_SQL = {
@@ -1666,4 +1809,5 @@ ORACLE_SQL = {
     "ab_test_analysis": AB_TEST_ANALYSIS_SQL,
     "event_tail_index": EVENT_TAIL_INDEX_SQL,
     "event_psi_drift": EVENT_PSI_DRIFT_SQL,
+    "conversion_survival": CONVERSION_SURVIVAL_SQL,
 }

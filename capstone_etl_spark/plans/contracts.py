@@ -83,6 +83,10 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "1-row doc-count broadcast over the bounded <= 2*C(64,2)-row "
         "rule relation (textstats.py)"
     ),
+    "conversion_survival": (
+        "1-row at-risk-total broadcast over the minute-bounded KM "
+        "curve relation (events.py)"
+    ),
     "ivf_cell_medoids": (
         "1-row corpus-stats broadcast + the hash-sampled ~sqrt(N) "
         "quantizer-seed broadcast (similarity.quantizer_seeds)"
@@ -448,4 +452,5 @@ HEADLINE: list[str] = [
     "association_rules",
     "label_propagation",
     "token_gini",
+    "conversion_survival",
 ]

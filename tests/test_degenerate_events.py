@@ -61,6 +61,10 @@ NAMES.append("cms_join_size")
 # and the post-exposure rule must exclude user 2 (purchase, never
 # exposed) and user 4 (purchase before any view)
 NAMES.append("ab_test_analysis")
+# KM edges on the tiny fixture: a user whose only event IS the view
+# (censored at duration 0), the last at-risk user converting (n_conv =
+# n_risk → the absorbing survival-0 state), pre-exposure purchases
+NAMES.append("conversion_survival")
 
 
 @pytest.fixture(scope="module")

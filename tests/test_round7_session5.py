@@ -654,3 +654,63 @@ def test_token_gini_matches_python_and_bounds(spark, sf_dir):
     assert row.n_docs == n and row.total_tokens == tot
     assert abs(row.gini - want) < 1e-6
     assert 0.0 <= row.gini < 1.0
+
+
+# --------------------------------------------- conversion survival
+
+
+def test_conversion_survival_matches_python_km(spark, sf_dir):
+    """Python Kaplan–Meier recomputation at sf0.001: per-user duration
+    (first post-exposure purchase, else censor at last event), minute
+    buckets, risk sets, stepwise product. Survival is nonincreasing
+    and starts ≤ 1."""
+    from collections import Counter
+
+    from capstone_etl_spark.operators.events import (
+        KM_BUCKET_US,
+        conversion_survival,
+    )
+    from capstone_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").collect()
+
+    def us(ts):
+        return int(ts.timestamp() * 1_000_000)
+
+    fv: dict[int, int] = {}
+    last: dict[int, int] = {}
+    for r in ev:
+        t = us(r.ts)
+        last[r.user_id] = max(last.get(r.user_id, t), t)
+        if r.event_type == "view":
+            fv[r.user_id] = min(fv.get(r.user_id, t), t)
+    conv: dict[int, int] = {}
+    for r in ev:
+        t = us(r.ts)
+        if r.event_type == "purchase" and r.user_id in fv and t > fv[r.user_id]:
+            conv[r.user_id] = min(conv.get(r.user_id, t), t)
+    d, c = Counter(), Counter()
+    for uid, f in fv.items():
+        end = conv.get(uid, last[uid])
+        bucket = (end - f) // KM_BUCKET_US
+        (d if uid in conv else c)[bucket] += 1
+    total = len(fv)
+    rows = sorted(conversion_survival(spark, sf_dir).collect(), key=lambda r: r.dur_min)
+    assert [r.dur_min for r in rows] == sorted(set(d) | set(c))
+    s, seen, absorbed = 1.0, 0, False
+    prev_s = 1.0
+    for r in rows:
+        n_risk = total - seen
+        assert r.n_risk == n_risk
+        assert r.n_conv == d.get(r.dur_min, 0)
+        assert r.n_censored == c.get(r.dur_min, 0)
+        if r.n_conv == n_risk:
+            absorbed = True
+        if absorbed:
+            s = 0.0
+        elif r.n_conv:
+            s *= 1.0 - r.n_conv / n_risk
+        assert abs(r.survival - s) < 1e-6
+        assert r.survival <= prev_s + 1e-9
+        prev_s = r.survival
+        seen += r.n_conv + r.n_censored
