@@ -221,3 +221,72 @@ def test_psi_nonnegative_on_random_streams(spark, tmp_path_factory, events):
     for r in rows:
         assert r.psi >= 0.0
         assert r.n_ref + r.n_cur >= 1
+
+
+# --- Kaplan-Meier conversion survival -------------------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(st.lists(EVENT, min_size=1, max_size=25))
+def test_conversion_survival_matches_python_km(spark, tmp_path_factory, events):
+    from capstone_etl_spark.operators.events import (
+        KM_BUCKET_US,
+        conversion_survival,
+    )
+
+    sf = _write_events(tmp_path_factory, events)
+    us = lambda off: off * 1_000_000  # noqa: E731
+    fv: dict[int, int] = {}
+    last: dict[int, int] = {}
+    for u, t, off, _ in events:
+        last[u] = max(last.get(u, us(off)), us(off))
+        if t == "view":
+            fv[u] = min(fv.get(u, us(off)), us(off))
+    conv: dict[int, int] = {}
+    for u, t, off, _ in events:
+        if t == "purchase" and u in fv and us(off) > fv[u]:
+            conv[u] = min(conv.get(u, us(off)), us(off))
+    d, c = Counter(), Counter()
+    for u, f in fv.items():
+        end = conv.get(u, last[u])
+        (d if u in conv else c)[(end - f) // KM_BUCKET_US] += 1
+    rows = sorted(conversion_survival(spark, sf).collect(), key=lambda r: r.dur_min)
+    if not fv:
+        assert rows == []
+        return
+    assert [r.dur_min for r in rows] == sorted(set(d) | set(c))
+    total, seen, s, absorbed = len(fv), 0, 1.0, False
+    for r in rows:
+        n_risk = total - seen
+        assert (r.n_risk, r.n_conv, r.n_censored) == (
+            n_risk, d.get(r.dur_min, 0), c.get(r.dur_min, 0)
+        )
+        if r.n_conv == n_risk:
+            absorbed = True
+        if absorbed:
+            s = 0.0
+        elif r.n_conv:
+            s *= 1.0 - r.n_conv / n_risk
+        assert abs(r.survival - s) < 1e-6
+        seen += r.n_conv + r.n_censored
+
+
+# --- token Gini -----------------------------------------------------------------
+
+
+@settings(max_examples=5, deadline=None)
+@given(TEXTS)
+def test_token_gini_matches_python_on_random_corpora(spark, tmp_path_factory, texts):
+    from capstone_etl_spark.operators.textstats import token_gini
+
+    sf = _write_docs(tmp_path_factory, texts, ["web"] * len(texts))
+    xs = sorted(len([w for w in t.split() if w]) for t in texts)
+    n, tot = len(xs), sum(xs)
+    row = token_gini(spark, sf).collect()[0]
+    assert row.n_docs == n and row.total_tokens == tot
+    if tot == 0:
+        assert row.gini is None
+        return
+    want = (2.0 * sum((i + 1) * x for i, x in enumerate(xs))) / (n * tot) - (n + 1) / n
+    assert abs(row.gini - want) < 1e-6
+    assert 0.0 <= row.gini < 1.0
