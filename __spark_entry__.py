@@ -154,6 +154,7 @@ _PRIORITY = [
     "label_propagation",
     "token_gini",
     "conversion_survival",
+    "event_seasonality",
     # Block 4: least-recently-attested — the driver's extra sampling
     # refreshes the stalest signal first. The canaries demoted for the
     # session-3/4/5 additions lead (all multi-round driver-green).

@@ -1490,6 +1490,86 @@ FROM agg WHERE n >= 2
 """
 
 
+# ----------------------------------------------------- seasonality
+#
+# Hour-of-day activity profile per event type plus the chi-square
+# uniformity statistic — the load-shape table a capacity planner (and
+# the synthetic-data auditor: flat χ² ≈ 0 exposes a generator with no
+# diurnal structure) reads before sizing ingestion. One groupBy to a
+# ≤ |types|·24 relation; everything after is arithmetic on it.
+
+
+def event_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, hour, n, share, chi2) — one row per (type, hour)
+    with observed counts; chi2 (vs the uniform 24-bin expectation,
+    computed over ALL 24 bins including empty ones) repeats on the
+    type's rows.
+
+    Scale plan: one map-side-combinable groupBy to ≤ |types|·24 rows;
+    the per-type total and χ² ride a ≤ |types|-row broadcast back.
+    χ² over all 24 bins from observed rows only: Σ(o−e)²/e over
+    observed + e·(24−k) for the k-missing empty bins — exact identity,
+    no bin spine needed. Each term snaps to DECIMAL(28,12)."""
+    ev = load_table(spark, sf_dir, "events")
+    hourly = cached(
+        ev.groupBy("event_type", F.hour("ts").cast("long").alias("hour")).agg(
+            F.count("*").alias("n")
+        )
+    )
+    e = F.col("n_type").cast("double") / 24.0
+    term = (
+        ((F.col("n") - e) * (F.col("n") - e) / e).cast("decimal(28,12)")
+    )
+    totals = hourly.groupBy(F.col("event_type").alias("_et")).agg(
+        F.sum("n").alias("n_type"), F.count("*").alias("k_obs")
+    )
+    joined = hourly.join(F.broadcast(totals), F.col("event_type") == F.col("_et"))
+    chi2_obs = joined.groupBy("event_type").agg(
+        F.sum(term).alias("s_obs"),
+        F.max("n_type").alias("n_type"),
+        F.max("k_obs").alias("k_obs"),
+    )
+    # empty bins each contribute (0−e)²/e = e
+    chi2 = (
+        F.col("s_obs").cast("double")
+        + (F.lit(24) - F.col("k_obs")) * (F.col("n_type").cast("double") / 24.0)
+    )
+    stats = chi2_obs.select(
+        F.col("event_type").alias("_et2"),
+        F.col("n_type").cast("long").alias("_nt"),
+        F.round(chi2, 6).alias("_chi2"),
+    )
+    return hourly.join(F.broadcast(stats), F.col("event_type") == F.col("_et2")).select(
+        "event_type",
+        "hour",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("_nt"), 6).alias("share"),
+        F.col("_chi2").alias("chi2"),
+    )
+
+
+EVENT_SEASONALITY_SQL = """
+WITH hourly AS (
+  SELECT event_type, CAST(EXTRACT(hour FROM ts) AS BIGINT) AS hour, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+), totals AS (
+  SELECT event_type, CAST(SUM(n) AS BIGINT) AS n_type, COUNT(*) AS k_obs
+  FROM hourly GROUP BY 1
+), chi AS (
+  SELECT h.event_type,
+         SUM(CAST((h.n - t.n_type / 24.0) * (h.n - t.n_type / 24.0)
+                  / (t.n_type / 24.0) AS DECIMAL(28,12))) AS s_obs,
+         MAX(t.n_type) AS n_type, MAX(t.k_obs) AS k_obs
+  FROM hourly h JOIN totals t USING (event_type)
+  GROUP BY 1
+)
+SELECT h.event_type, h.hour, CAST(h.n AS BIGINT) AS n,
+       ROUND(CAST(h.n AS DOUBLE) / c.n_type, 6) AS share,
+       ROUND(CAST(c.s_obs AS DOUBLE) + (24 - c.k_obs) * (CAST(c.n_type AS DOUBLE) / 24.0), 6) AS chi2
+FROM hourly h JOIN chi c USING (event_type)
+"""
+
+
 # --------------------------------------------- conversion survival
 #
 # Kaplan–Meier estimator of time-to-conversion: for each exposed user
@@ -1776,6 +1856,7 @@ QUERIES = {
     "event_tail_index": event_tail_index,
     "event_psi_drift": event_psi_drift,
     "conversion_survival": conversion_survival,
+    "event_seasonality": event_seasonality,
 }
 
 ORACLE_SQL = {
@@ -1810,4 +1891,5 @@ ORACLE_SQL = {
     "event_tail_index": EVENT_TAIL_INDEX_SQL,
     "event_psi_drift": EVENT_PSI_DRIFT_SQL,
     "conversion_survival": CONVERSION_SURVIVAL_SQL,
+    "event_seasonality": EVENT_SEASONALITY_SQL,
 }

@@ -453,4 +453,5 @@ HEADLINE: list[str] = [
     "label_propagation",
     "token_gini",
     "conversion_survival",
+    "event_seasonality",
 ]

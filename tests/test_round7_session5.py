@@ -714,3 +714,33 @@ def test_conversion_survival_matches_python_km(spark, sf_dir):
         assert r.survival <= prev_s + 1e-9
         prev_s = r.survival
         seen += r.n_conv + r.n_censored
+
+
+# ------------------------------------------------------- seasonality
+
+
+def test_seasonality_shares_and_chi2(spark, sf_dir):
+    """Shares sum to 1 per type; chi2 equals the python 24-bin
+    recomputation (empty bins contribute their expectation)."""
+    from collections import Counter
+
+    from capstone_etl_spark.operators.events import event_seasonality
+    from capstone_etl_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").collect()
+    obs: dict[str, Counter] = {}
+    for r in ev:
+        obs.setdefault(r.event_type, Counter())[r.ts.hour] += 1
+    rows = event_seasonality(spark, sf_dir).collect()
+    by_type: dict[str, list] = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    assert set(by_type) == set(obs)
+    for et, rs in by_type.items():
+        c = obs[et]
+        n = sum(c.values())
+        assert {r.hour: r.n for r in rs} == dict(c)
+        assert abs(sum(r.share for r in rs) - 1.0) < 1e-4
+        e = n / 24.0
+        chi2 = sum((c.get(h, 0) - e) ** 2 / e for h in range(24))
+        assert all(abs(r.chi2 - chi2) < 1e-4 for r in rs)
