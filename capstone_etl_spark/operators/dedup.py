@@ -1083,6 +1083,88 @@ def _delta_pred_sql(id_expr: str) -> str:
     return f"(({md5_hash60_sql(inner)} % 100) < {DELTA_PCT})"
 
 
+def _both_ways(pairs: DataFrame) -> DataFrame:
+    """(doc_a, doc_b) pair relation → symmetric (src, dst) edge list —
+    the shape connected_components requires."""
+    return pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
+        pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
+    )
+
+
+def dedup_clusters_incremental(
+    spark: SparkSession, sf_dir: str, base_labels: DataFrame | None = None
+) -> DataFrame:
+    """(doc_id, cluster_id, n_members, is_kept) for EVERY document —
+    identical output to the batch `dedup_clusters` rebuild, produced by
+    MAINTAINING the committed cluster labels instead of recomputing
+    them: the iterative CC merge pass runs only on the CONTRACTED
+    component graph the delta edges touch, never the full corpus graph.
+
+    Plan: split the near-dup pair relation at the delta predicate (a
+    pure doc_id expression — no join to tag rows). The base×base pairs
+    yield the committed label relation (or are skipped entirely when a
+    precomputed `base_labels` is passed — the 100 TB shape, where
+    labels live in a committed table and only the delta probe runs).
+    Each delta edge (u, v) is CONTRACTED to its endpoints' committed
+    labels (two broadcast-sized joins against the label relation);
+    distinct contracted edges with label_u ≠ label_v are the only
+    merges the delta can cause, so connected_components runs on a
+    graph of ≤ 2·|delta pairs| nodes — O(|delta|), not O(|corpus|).
+    Labels only merge downward: a base component's label is its min
+    doc_id, a delta doc enters as its own id, so the contracted
+    component min IS the full-graph component min and the merged
+    labeling equals the batch rebuild exactly (pinned by
+    tests/test_dedup.py::test_incremental_clusters_equal_rebuild).
+
+    Reference parity: extends the §2 dedup family (SURVEY.md §2.7);
+    the reference has no incremental form — at 100 TB the near-dup
+    graph is maintained, not rebuilt (VERDICT r7, item 5)."""
+    docs = _docs(spark, sf_dir).select("doc_id")
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b").transform(cached)
+    if base_labels is None:
+        base_pairs = pairs.filter(
+            (~_is_delta(F.col("doc_a"))) & (~_is_delta(F.col("doc_b")))
+        )
+        base_labels = connected_components(cached(_both_ways(base_pairs)))
+    # committed label for every doc: base component min, else own id
+    # (delta docs and base singletons). Cached — it feeds the two
+    # contraction joins AND the final relabel.
+    lab0 = cached(
+        docs.join(base_labels, "doc_id", "left").select(
+            "doc_id", F.coalesce("label", "doc_id").alias("label0")
+        )
+    )
+    delta_pairs = pairs.filter(
+        _is_delta(F.col("doc_a")) | _is_delta(F.col("doc_b"))
+    )
+    contracted = (
+        delta_pairs.join(
+            lab0.select(F.col("doc_id").alias("doc_a"), F.col("label0").alias("la")),
+            "doc_a",
+        )
+        .join(
+            lab0.select(F.col("doc_id").alias("doc_b"), F.col("label0").alias("lb")),
+            "doc_b",
+        )
+        .filter(F.col("la") != F.col("lb"))
+        .select(F.col("la").alias("doc_a"), F.col("lb").alias("doc_b"))
+        .distinct()
+    )
+    merged = connected_components(cached(_both_ways(contracted))).select(
+        F.col("doc_id").alias("label0"), F.col("label").alias("mlabel")
+    )
+    comp = lab0.join(merged, "label0", "left").select(
+        "doc_id", F.coalesce("mlabel", "label0").alias("cluster_id")
+    )
+    sizes = comp.groupBy("cluster_id").agg(F.count("*").alias("n_members"))
+    return comp.join(sizes, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        "n_members",
+        (F.col("doc_id") == F.col("cluster_id")).cast("int").alias("is_kept"),
+    )
+
+
 DEDUP_INCREMENTAL_SQL = _SHINGLES_CTE + f"""
 , sizes AS (SELECT doc_id, COUNT(*) AS sz FROM shingles GROUP BY 1),
 inter AS (
@@ -1725,6 +1807,7 @@ QUERIES = {
     "repeated_ngram_spans": repeated_ngram_spans,
     "dedup_source_matrix": dedup_source_matrix,
     "dedup_incremental": dedup_incremental,
+    "dedup_clusters_incremental": dedup_clusters_incremental,
     "template_extraction": template_extraction,
     "dedup_containment": dedup_containment,
     "dedup_keep_best": dedup_keep_best,
@@ -1747,6 +1830,9 @@ ORACLE_SQL = {
     "repeated_ngram_spans": REPEATED_NGRAM_SPANS_SQL,
     "dedup_source_matrix": DEDUP_SOURCE_MATRIX_SQL,
     "dedup_incremental": DEDUP_INCREMENTAL_SQL,
+    # the BATCH rebuild SQL verbatim: the incremental label-merge must
+    # reproduce the from-scratch clustering exactly
+    "dedup_clusters_incremental": DEDUP_CLUSTERS_SQL,
     "template_extraction": TEMPLATE_EXTRACTION_SQL,
     "dedup_containment": DEDUP_CONTAINMENT_SQL,
     "dedup_keep_best": _dedup_keep_best_sql(),

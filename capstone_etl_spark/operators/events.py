@@ -1625,6 +1625,16 @@ def conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("conv_us").isNotNull().cast("long").alias("is_conv"),
         )
     )
+    return km_curve(per_user)
+
+
+def km_curve(per_user: DataFrame) -> DataFrame:
+    """The Kaplan-Meier tail shared by the batch and streaming
+    conversion-survival queries: (dur_min, is_conv) per subject →
+    (dur_min, n_risk, n_conv, n_censored, survival). One groupBy
+    collapses the subjects to the bounded per-bucket curve relation;
+    everything after runs on that bounded relation only (see
+    conversion_survival's scale/exactness notes)."""
     curve = cached(
         per_user.groupBy("dur_min").agg(
             F.sum("is_conv").cast("long").alias("n_conv"),

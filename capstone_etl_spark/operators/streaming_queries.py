@@ -22,6 +22,7 @@ from capstone_etl_spark.operators.privacy import DP_SOURCE_HISTOGRAM_SQL, PII_SC
 from capstone_etl_spark.operators.events import (
     AB_TEST_ANALYSIS_SQL,
     CHANGELOG_APPLY_SQL,
+    CONVERSION_SURVIVAL_SQL,
     EVENT_DEDUP_SQL,
     SLIDING_WINDOWS_SQL,
     TUMBLING_WINDOWS_SQL,
@@ -1214,6 +1215,50 @@ def stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_readout(per_user)
 
 
+def stream_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Kaplan-Meier time-to-conversion curve computed DURING
+    ingest: per-user (first-exposure, last-event, first-qualifying-
+    conversion) state evolved across micro-batches
+    (applyInPandasWithState — order-free exact merges, so a conversion
+    replayed batches before its exposure still classifies correctly;
+    see streaming/stateful.py running_km_exposure for the pre-exposure
+    pending-set argument), then the SAME shared KM tail as the batch
+    query (events.km_curve) over the drained per-user table — the
+    curve is a bounded complete-mode relation (one row per observed
+    minute bucket). Oracle: the batch KM SQL verbatim — the streaming
+    and batch survival curves agree row-for-row."""
+    from capstone_etl_spark.operators.events import KM_BUCKET_US, km_curve
+    from capstone_etl_spark.streaming.stateful import (
+        _KM_NO_CONV,
+        _KM_NO_EXPOSE,
+        running_km_exposure,
+    )
+
+    got = _run(spark, sf_dir, lambda s, wm: running_km_exposure(s), "update")
+    final = (
+        got.groupBy("user_id")
+        .agg(F.max(F.struct("upd", "fv", "last_us", "cand")).alias("s"))
+        .select(
+            F.col("s.fv").alias("fv"),
+            F.col("s.last_us").alias("last_us"),
+            F.col("s.cand").alias("cand"),
+        )
+    )
+    per_user = final.filter(F.col("fv") < _KM_NO_EXPOSE).select(
+        F.floor(
+            (
+                F.when(F.col("cand") < _KM_NO_CONV, F.col("cand")).otherwise(
+                    F.col("last_us")
+                )
+                - F.col("fv")
+            )
+            / KM_BUCKET_US
+        ).cast("long").alias("dur_min"),
+        (F.col("cand") < _KM_NO_CONV).cast("long").alias("is_conv"),
+    )
+    return km_curve(per_user)
+
+
 def stream_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The ε-DP per-source release kept current DURING ingest: exact
     counts accumulate in a complete-mode streaming aggregation
@@ -1270,6 +1315,7 @@ QUERIES = {
     "stream_hll_sketch": stream_hll_sketch,
     "stream_ab_test": stream_ab_test,
     "stream_dp_histogram": stream_dp_histogram,
+    "stream_conversion_survival": stream_conversion_survival,
 }
 
 ORACLE_SQL = {
@@ -1299,4 +1345,7 @@ ORACLE_SQL = {
     # the batch release SQL verbatim: deterministic noise per (salt,
     # source) makes the streaming release reproduce the batch one
     "stream_dp_histogram": DP_SOURCE_HISTOGRAM_SQL,
+    # the batch KM SQL verbatim: the streaming survival curve must
+    # reproduce the batch one row-for-row
+    "stream_conversion_survival": CONVERSION_SURVIVAL_SQL,
 }

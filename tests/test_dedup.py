@@ -169,3 +169,47 @@ def test_dedup_incremental_never_probes_base_base(spark):
     )
     pdf.to_parquet(os.path.join(d, "documents.parquet"))
     assert dedup_incremental(spark, d).count() == 0
+
+
+def test_incremental_clusters_equal_rebuild(spark, sf_dir):
+    """The incremental label-merge (committed base labels + contracted
+    delta-edge CC) must reproduce the from-scratch batch clustering
+    row-for-row — the invariant that lets a 100 TB pipeline maintain
+    the near-dup graph instead of rebuilding it."""
+    from capstone_etl_spark.operators.dedup import (
+        dedup_clusters,
+        dedup_clusters_incremental,
+    )
+
+    got = {r.doc_id: r.asDict() for r in dedup_clusters_incremental(spark, sf_dir).collect()}
+    want = {r.doc_id: r.asDict() for r in dedup_clusters(spark, sf_dir).collect()}
+    assert got == want
+
+
+def test_incremental_clusters_accept_precomputed_labels(spark, sf_dir):
+    """The base_labels seam: passing the committed label relation in
+    (the production shape — labels read from a table, base CC never
+    re-run) yields the same answer as the self-contained form."""
+    from capstone_etl_spark.operators.dedup import (
+        _both_ways,
+        _is_delta,
+        cached,
+        connected_components,
+        dedup_clusters_incremental,
+        ngram_jaccard_pairs,
+    )
+
+    pairs = ngram_jaccard_pairs(spark, sf_dir).select("doc_a", "doc_b")
+    base_pairs = pairs.filter(
+        (~_is_delta(F.col("doc_a"))) & (~_is_delta(F.col("doc_b")))
+    )
+    committed = connected_components(cached(_both_ways(base_pairs)))
+    got = {
+        r.doc_id: r.asDict()
+        for r in dedup_clusters_incremental(spark, sf_dir, base_labels=committed).collect()
+    }
+    want = {
+        r.doc_id: r.asDict()
+        for r in dedup_clusters_incremental(spark, sf_dir).collect()
+    }
+    assert got == want

@@ -63,7 +63,12 @@ def test_first_fifty_span_every_family():
         # ann_radius_search / kmeans_silhouette joined their families
         # in round-7 session 2 and sit in the head block, covering the
         # window for the demoted r4-green canaries
-        "ann": ("ann_lsh_topk", "ann_ivf_topk", "ann_recall_eval", "ann_radius_search"),
+        # ivf_cell_medoids / hubness_audit joined the family in round-7
+        # session 5 and lead the round-8 window
+        "ann": (
+            "ann_lsh_topk", "ann_ivf_topk", "ann_recall_eval",
+            "ann_radius_search", "ivf_cell_medoids", "hubness_audit",
+        ),
         "kmeans": ("kmeans_lloyd", "label_centroids", "kmeans_silhouette"),
         # retrieval_ndcg (same module, Block-1 window seat) covers the
         # family for the demoted bm25_topk from round-7 session 5 on
@@ -89,7 +94,12 @@ def test_first_fifty_span_every_family():
         "splits": ("doc_splits", "cluster_aware_splits", "split_leakage_audit"),
         "sampling": ("doc_sample_stratified", "reservoir_sample"),
         "rangejoin": ("campaign_window_stats",),
-        "textstats": ("text_quality", "zipf_fit", "language_id_confusion"),
+        # heaps_law_fit / token_gini joined in round-7 session 5 and
+        # lead the round-8 window
+        "textstats": (
+            "text_quality", "zipf_fit", "language_id_confusion",
+            "heaps_law_fit", "token_gini",
+        ),
         # code_detection joined the family in round-7 session 3,
         # curriculum_schedule in session 4
         "quality": (
@@ -99,9 +109,12 @@ def test_first_fifty_span_every_family():
         # privacy family added in round-7 session 4 (k_anonymity_audit
         # sits in the session-2 head block, dp_source_histogram in the
         # session-4 head block)
+        # l_diversity_audit / stream_dp_histogram joined in round-7
+        # session 5 and lead the round-8 window
         "privacy": (
             "pii_scan", "pii_redaction", "boilerplate_lines",
             "k_anonymity_audit", "dp_source_histogram",
+            "l_diversity_audit", "stream_dp_histogram",
         ),
         # the round-7 session-2 sketches sit in the new-query head
         # block, covering the window alongside the KMV canaries
@@ -114,10 +127,16 @@ def test_first_fifty_span_every_family():
         ),
         # event_changelog_apply joined the family in round-7 session 2
         # and sits in the new-query head block, covering the window
+        # the round-7 session-5 event analytics lead the round-8 window
         "events": (
             "event_anomaly_zscore",
             "event_user_rank_profile",
             "event_changelog_apply",
+            "ab_test_analysis",
+            "event_tail_index",
+            "event_psi_drift",
+            "conversion_survival",
+            "event_seasonality",
         ),
     }
     absent = {

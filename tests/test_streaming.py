@@ -348,3 +348,66 @@ def test_stream_dp_histogram_equals_batch(spark):
     got = {r.source: r.asDict() for r in stream_dp_histogram(spark, sf).collect()}
     want = {r.source: r.asDict() for r in dp_source_histogram(spark, sf).collect()}
     assert got == want
+
+
+def test_stream_conversion_survival_equals_batch(spark):
+    """The streaming KM curve must equal the batch one row-for-row:
+    the per-user (first-exposure, last-event, first-qualifying-
+    conversion) state merges are replay-order free (including the
+    pre-exposure pending-conversion set), and both forms share
+    events.km_curve."""
+    from capstone_etl_spark.operators.events import conversion_survival
+    from capstone_etl_spark.operators.streaming_queries import (
+        stream_conversion_survival,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.dur_min: r.asDict() for r in stream_conversion_survival(spark, sf).collect()}
+    want = {r.dur_min: r.asDict() for r in conversion_survival(spark, sf).collect()}
+    assert got == want
+
+
+def test_km_state_pending_preexposure_conversion():
+    """Unit-level replay-order proof for the subtle KM state case: a
+    conversion that arrives BEFORE the exposure that precedes it in
+    event time must be held in the pending set and promoted once a
+    smaller exposure lands — never dropped, never wrongly counted."""
+    import pandas as pd
+
+    from capstone_etl_spark.streaming.stateful import (
+        _KM_NO_CONV,
+        _KM_NO_EXPOSE,
+        _km_accumulate,
+    )
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = tuple(v)
+            self.exists = True
+
+    st = FakeState()
+    # batch 1: conversion at t=50 arrives first — no exposure yet
+    list(_km_accumulate((1,), iter([pd.DataFrame({"kind": [1], "ts_us": [50]})]), st))
+    upd, fv, last, cand, pend = st._v
+    assert fv == _KM_NO_EXPOSE and cand == _KM_NO_CONV and list(pend) == [50]
+    # batch 2: exposure at t=100 — the t=50 conversion is PRE-exposure,
+    # stays pending (batch semantics: conversion must be > exposure)
+    list(_km_accumulate((1,), iter([pd.DataFrame({"kind": [0], "ts_us": [100]})]), st))
+    upd, fv, last, cand, pend = st._v
+    assert fv == 100 and cand == _KM_NO_CONV and list(pend) == [50]
+    # batch 3: an EARLIER exposure at t=10 lands — t=50 now qualifies
+    list(_km_accumulate((1,), iter([pd.DataFrame({"kind": [0], "ts_us": [10]})]), st))
+    upd, fv, last, cand, pend = st._v
+    assert fv == 10 and cand == 50 and list(pend) == []
+    # batch 4: a larger conversion never displaces the min qualifier
+    list(_km_accumulate((1,), iter([pd.DataFrame({"kind": [1], "ts_us": [70]})]), st))
+    upd, fv, last, cand, pend = st._v
+    assert cand == 50 and list(pend) == [] and last == 100
