@@ -142,6 +142,27 @@ HEADLINE = [
     "split_perplexity_gap",
     "association_rules",
     "label_propagation",
+    # r8: the remaining session-5 operators join the tracked set so the
+    # per-query regression gate covers every round-7 family (VERDICT r7
+    # item 4): corpus concentration (token_gini), the KM curve
+    # (conversion_survival), the chi-square load shape
+    # (event_seasonality), the contrastive sampling table, the
+    # rendezvous shard assignment, and the l-diversity audit.
+    "token_gini",
+    "conversion_survival",
+    "event_seasonality",
+    "negative_sampling_table",
+    "rendezvous_sharding",
+    "l_diversity_audit",
+    # r8: first streaming queries in the tracked set — each runs a real
+    # Structured Streaming job (stage → replay → drain), so their
+    # seconds measure the ingest-time path end-to-end, not a batch
+    # plan; PLANS.md carries no plan dump for them (streaming sinks
+    # have no stable batch plan to record).
+    "stream_ab_test",
+    # r8 additions — tracked from day one.
+    "dedup_clusters_incremental",
+    "stream_conversion_survival",
 ]
 
 

@@ -32,12 +32,16 @@ from capstone_etl_spark.session import cached
 MIN_CHARS = 20
 
 
-def corpus_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+def corpus_pipeline(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """One row per doc that survives the full pipeline: quality gate,
-    near-dup canonicalization, split assignment."""
+    near-dup canonicalization, split assignment. Pass the KEPT-scoped
+    capped shingle relation via `sh` to share one tokenize pass with
+    sibling consumers (training_manifest)."""
     docs = load_table(spark, sf_dir, "documents")
     kept = docs.filter(F.col("n_chars") >= MIN_CHARS).select("doc_id", "lang", "n_chars", "text")
-    pairs = jaccard_pairs(kept).select("doc_a", "doc_b").transform(cached)
+    pairs = jaccard_pairs(kept, sh=sh).select("doc_a", "doc_b").transform(cached)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")).union(
         pairs.select(F.col("doc_b").alias("src"), F.col("doc_a").alias("dst"))
     )
@@ -409,17 +413,49 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     100 TB shape: inherits corpus_pipeline's candidate-bounded dedup
     and decontamination's index join; the additional work is one
-    anti-join on the survivor-sized key set, one tokenize scan, and a
-    ≤ 3·N_SHARDS-row aggregation with map-side combine. The manifest
-    is what makes the output RESUMABLE at scale — a loader addresses
-    (split, shard) without listing files."""
-    from capstone_etl_spark.functions.hashing import md5_hash60
-    from capstone_etl_spark.functions.text import tokenize
-    from capstone_etl_spark.operators.dedup import BENCH_MOD, benchmark_decontamination
+    anti-join on the survivor-sized key set and a ≤ 3·N_SHARDS-row
+    aggregation with map-side combine. The manifest is what makes the
+    output RESUMABLE at scale — a loader addresses (split, shard)
+    without listing files.
 
-    surv = corpus_pipeline(spark, sf_dir)
+    ONE tokenize subtree (VERDICT r7, item 3): all three legs derive
+    from a single cached token relation — the n_tokens accounting
+    reads it directly, and one cached UNCAPPED hashed-shingle relation
+    built from it feeds both df-cap domains (the decontamination leg
+    caps over the full corpus, the dedup leg over the quality-kept
+    subset — the cap domain is part of each leg's semantics, so only
+    the caps re-run, never the tokenize→gram→hash→distinct pass)."""
+    from capstone_etl_spark.functions.hashing import md5_hash60
+    from capstone_etl_spark.functions.text import token_ngrams, tokenize
+    from capstone_etl_spark.operators.dedup import (
+        BENCH_MOD,
+        NGRAM_N,
+        benchmark_decontamination,
+        shingle_df_cap,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = cached(
+        docs.select("doc_id", "n_chars", tokenize("text").alias("toks"))
+    )
+    # `kept` rides along as a flag (functional on doc_id — distinct is
+    # unaffected) so the kept-scoped cap needs no join back to docs
+    uncapped = cached(
+        toks.select(
+            "doc_id",
+            (F.col("n_chars") >= MIN_CHARS).alias("kept"),
+            F.explode(token_ngrams("toks", NGRAM_N)).alias("shingle"),
+        )
+        .select("doc_id", "kept", md5_hash60(F.col("shingle")).alias("sh"))
+        .distinct()
+    )
+    # each capped relation has 3 consumers (sizes + both sides of the
+    # candidate self-join) — cached so the cap window runs once per leg
+    kept_sh = cached(shingle_df_cap(uncapped.filter(F.col("kept")).select("doc_id", "sh")))
+    full_sh = cached(shingle_df_cap(uncapped.select("doc_id", "sh")))
+    surv = corpus_pipeline(spark, sf_dir, sh=kept_sh)
     contaminated = (
-        benchmark_decontamination(spark, sf_dir)
+        benchmark_decontamination(spark, sf_dir, sh=full_sh)
         .select(F.col("train_doc").alias("doc_id"))
         .distinct()
     )
@@ -427,8 +463,7 @@ def training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         surv.filter(F.col("doc_id") % BENCH_MOD != 0)
         .join(contaminated, "doc_id", "left_anti")
     )
-    docs = load_table(spark, sf_dir, "documents")
-    ntok = docs.select("doc_id", F.size(tokenize("text")).cast("long").alias("n_tokens"))
+    ntok = toks.select("doc_id", F.size("toks").cast("long").alias("n_tokens"))
     tagged = clean.join(ntok, "doc_id").select(
         "doc_id",
         "split",

@@ -72,6 +72,30 @@ FROM documents GROUP BY md5(text)
 
 # ------------------------------------------------------ shingles (shared)
 
+def shingle_df_cap(hashed: DataFrame, max_df: int = MAX_SHINGLE_DF) -> DataFrame:
+    """Apply the df-cap to an uncapped (doc_id, sh) relation.
+
+    Implemented as a count-over-sh window, not groupBy + semi-join:
+    the join form consumes `hashed` twice, so the whole
+    tokenize→gram→hash→distinct lineage runs TWICE per caller
+    (measured 2x the stage). The window partitions on the uniform
+    60-bit hash — bounded by max observed shingle df, never a
+    global window — and keeps the lineage single-pass.
+
+    Split out of shingles() so composed pipelines (training_manifest)
+    can derive differently-scoped capped relations — the cap's df
+    DOMAIN is whatever relation is passed in — from ONE shared
+    uncapped base instead of re-tokenizing per leg."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("sh")
+    return (
+        hashed.withColumn("sdf", F.count("*").over(w))
+        .filter(F.col("sdf") <= max_df)
+        .select("doc_id", "sh")
+    )
+
+
 def shingles(docs: DataFrame, n: int = NGRAM_N, max_df: int | None = MAX_SHINGLE_DF) -> DataFrame:
     """(doc_id, shingle_hash) distinct — token n-grams hashed to 60 bits.
     Tokenization is the raw pipeline (no stopword gate: dedup wants the
@@ -86,20 +110,7 @@ def shingles(docs: DataFrame, n: int = NGRAM_N, max_df: int | None = MAX_SHINGLE
     )
     hashed = grams.select("doc_id", md5_hash60(F.col("shingle")).alias("sh")).distinct()
     if max_df is not None:
-        # df-cap as a count-over-sh window, not groupBy + semi-join:
-        # the join form consumes `hashed` twice, so the whole
-        # tokenize→gram→hash→distinct lineage runs TWICE per caller
-        # (measured 2x the stage). The window partitions on the uniform
-        # 60-bit hash — bounded by max observed shingle df, never a
-        # global window — and keeps the lineage single-pass.
-        from pyspark.sql import Window
-
-        w = Window.partitionBy("sh")
-        hashed = (
-            hashed.withColumn("sdf", F.count("*").over(w))
-            .filter(F.col("sdf") <= max_df)
-            .select("doc_id", "sh")
-        )
+        hashed = shingle_df_cap(hashed, max_df)
     return hashed
 
 
@@ -368,7 +379,9 @@ BENCH_MOD = 50   # stand-in eval set: doc_id % 50 == 0
 CONTAINMENT_THRESHOLD = 0.8
 
 
-def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+def benchmark_decontamination(
+    spark: SparkSession, sf_dir: str, sh: DataFrame | None = None
+) -> DataFrame:
     """Cross-corpus near-dup detection: flag training docs that leak
     benchmark/eval content — the decontamination pass every serious
     training pipeline runs. A pair is flagged on EITHER metric:
@@ -378,9 +391,12 @@ def benchmark_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     Same inverted-shingle candidate machinery as within-corpus dedup,
     but the pair join is BIPARTITE (corpus side × bench side), so cost
     scales with shared-shingle pairs across the cut, not |corpus|².
-    One shingle pass (cached) is split by set membership."""
+    One shingle pass (cached) is split by set membership. Pass a
+    precomputed full-corpus CAPPED shingle relation via `sh` to share
+    the tokenize pass with sibling consumers (training_manifest)."""
     docs = _docs(spark, sf_dir)
-    sh = shingles(docs).transform(cached)
+    if sh is None:
+        sh = shingles(docs).transform(cached)
     is_bench = F.col("doc_id") % BENCH_MOD == 0
     shb = sh.filter(is_bench)
     shc = sh.filter(~is_bench)

@@ -454,4 +454,6 @@ HEADLINE: list[str] = [
     "token_gini",
     "conversion_survival",
     "event_seasonality",
+    # round-8 additions
+    "dedup_clusters_incremental",
 ]
