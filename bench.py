@@ -189,6 +189,29 @@ def _prior_round_timings() -> dict[str, float]:
         return {}
 
 
+def _prior_round_sf() -> float | None:
+    """The sf the most recent BENCH_r*.json was taken at (None when no
+    prior round exists or it carries no sf)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds = []
+    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
+        m = re.search(r"BENCH_r(\d+)\.json$", path)
+        if m:
+            rounds.append((int(m.group(1)), path))
+    if not rounds:
+        return None
+    try:
+        with open(max(rounds)[1]) as f:
+            doc = json.load(f)
+        v = doc.get("parsed", doc).get("sf")
+        return float(v) if v is not None else None
+    except (OSError, ValueError, TypeError):
+        return None
+
+
 def _noted_regressions() -> set[str]:
     """Queries PLANS.md explicitly allows to regress (lines of the form
     `regression-ok: <query> — reason`)."""
@@ -438,14 +461,21 @@ def main() -> None:
     # the final gate: on the no-probe median fallback, retiming moves
     # the median, and a recomputed host could fail a query the screen
     # never offered its re-measure.
-    host = _host_factor(timings, probe_sec, emit=True)
-    for name in _fail_candidates(timings, probe_sec, host=host):
-        resec, _ = _time_query(name)
-        print(
-            f"# retime {name}: {timings[name]:.3f}s -> {resec:.3f}s (min kept)",
-            file=sys.stderr,
-        )
-        timings[name] = min(timings[name], resec)
+    # the regression gate compares like with like: when this run's sf
+    # differs from the prior round's (a scale-point run against a
+    # generated 10× corpus — tools/gen_scale_corpus.py), the prior
+    # timings are not a baseline and the retime/gate machinery is
+    # skipped entirely.
+    same_sf = _prior_round_sf() in (None, sf)
+    host = _host_factor(timings, probe_sec, emit=same_sf) if same_sf else 1.0
+    if same_sf:
+        for name in _fail_candidates(timings, probe_sec, host=host):
+            resec, _ = _time_query(name)
+            print(
+                f"# retime {name}: {timings[name]:.3f}s -> {resec:.3f}s (min kept)",
+                file=sys.stderr,
+            )
+            timings[name] = min(timings[name], resec)
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -461,7 +491,7 @@ def main() -> None:
     )
     # after the JSON line (driver contract kept): nonzero exit on an
     # unexplained per-query regression vs the prior round
-    failures = _regression_gate(timings, probe_sec, host=host)
+    failures = _regression_gate(timings, probe_sec, host=host) if same_sf else 0
     if failures and os.environ.get("SPARK_GRAFT_BENCH_GATE", "1") != "0":
         sys.exit(2)
 
