@@ -60,6 +60,20 @@ _PRIORITY = [
     # Block 2: NEW in round 8 — first driver attestation.
     "dedup_clusters_incremental",
     "stream_conversion_survival",
+    # Block 2b: NEW in round-8 session 2 — first driver attestation.
+    # Families: events (event_frequent_sequences, next_event_examples),
+    # corpus (span_corruption_masks, dataset_card), textstats
+    # (kneser_ney_bigram), privacy (dp_quantile_release), streaming
+    # (stream_quantile_sketch). The seven window seats come from the
+    # tail of Block 4 (all multi-round driver-green; their families
+    # stay covered by Block-1/3 members).
+    "event_frequent_sequences",
+    "next_event_examples",
+    "span_corruption_masks",
+    "kneser_ney_bigram",
+    "dataset_card",
+    "dp_quantile_release",
+    "stream_quantile_sketch",
     # Block 3: family canaries — every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span). The
     # Block-1 members cover ann (ivf_cell_medoids, hubness_audit),
@@ -100,6 +114,11 @@ _PRIORITY = [
     "tokenizer_fertility",
     "bigram_lm_perplexity",
     "min_cost_supplier",
+    # ---- position 51+: every query below is driver-green in some
+    # round AND green on the committed local full gate; ordered
+    # least-recently-attested first so any extra driver sampling adds
+    # the stalest signal. The round-7 window (all r7-green) rides the
+    # committed ATTEST gate this round.
     "local_supplier_volume",
     "important_parts",
     "stream_reservoir_sample",
@@ -107,11 +126,6 @@ _PRIORITY = [
     "mad_outliers",
     "training_shuffle",
     "feature_hashing_vectors",
-    # ---- position 51+: every query below is driver-green in some
-    # round AND green on the committed local full gate; ordered
-    # least-recently-attested first so any extra driver sampling adds
-    # the stalest signal. The round-7 window (all r7-green) rides the
-    # committed ATTEST gate this round.
     "dedup_source_matrix",
     "doc_keywords",
     "embedding_whitening",

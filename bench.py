@@ -163,6 +163,17 @@ HEADLINE = [
     # r8 additions — tracked from day one.
     "dedup_clusters_incremental",
     "stream_conversion_survival",
+    # r8 session 2 — tracked from day one: the sequential-pattern
+    # census, the sessionized next-event examples, the T5 span masks,
+    # the KN-smoothed LM, the per-source datasheet, the DP median, and
+    # the streaming quantile sketch.
+    "event_frequent_sequences",
+    "next_event_examples",
+    "span_corruption_masks",
+    "kneser_ney_bigram",
+    "dataset_card",
+    "dp_quantile_release",
+    "stream_quantile_sketch",
 ]
 
 

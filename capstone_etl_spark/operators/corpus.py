@@ -16,7 +16,7 @@ against a single recursive-CTE oracle.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from capstone_etl_spark.operators.dedup import (
@@ -672,6 +672,195 @@ FROM agg
 """
 
 
+# ------------------------------------- span-corruption mask generation
+
+MASK_PCT = 15          # per-position corruption rate (T5 uses 15%)
+MASK_SALT = "spanmask:v1:"
+
+
+def span_corruption_masks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, span_id, span_start, span_len) — T5-style span-
+    corruption masks: each token position is independently marked at
+    MASK_PCT% by a deterministic salted hash, and runs of consecutive
+    marked positions collapse to spans (gaps-and-islands), numbered
+    left-to-right per document. The denoising-objective prep step a
+    seq2seq training pipeline runs over every document; deterministic,
+    so the same corpus always yields the same masks and a re-run
+    never changes a training example.
+
+    Scale plan: tokenize → posexplode is per-row expression work; the
+    mask flag is pure hash arithmetic (no shuffle); islands come from
+    one window over (doc_id) ordered by position — per-document
+    partitions, bounded by the document length policy, never a global
+    window. One final (doc_id, grp) hash agg. Output ~ MASK_PCT% of
+    corpus token mass in span rows."""
+    from capstone_etl_spark.functions.hashing import md5_hash60
+    from capstone_etl_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.posexplode(tokenize("text")).alias("pos", "token"))
+    masked = toks.filter(
+        md5_hash60(
+            F.concat(F.lit(MASK_SALT), F.col("doc_id").cast("string"), F.lit(":"), F.col("pos").cast("string"))
+        ) % 100
+        < MASK_PCT
+    ).select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    islands = masked.select(
+        "doc_id", "pos", (F.col("pos") - F.row_number().over(w)).alias("grp")
+    )
+    spans = islands.groupBy("doc_id", "grp").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        F.count("*").cast("long").alias("span_len"),
+    )
+    wd = Window.partitionBy("doc_id").orderBy("span_start")
+    return spans.select(
+        "doc_id",
+        F.row_number().over(wd).cast("long").alias("span_id"),
+        "span_start",
+        "span_len",
+    )
+
+
+def _span_corruption_sql() -> str:
+    from capstone_etl_spark.functions.hashing import md5_hash60_sql
+
+    h = md5_hash60_sql(f"'{MASK_SALT}' || CAST(doc_id AS VARCHAR) || ':' || CAST(pos AS VARCHAR)")
+    return f"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, i - 1 AS pos, t[i] AS token
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r
+  WHERE len(t) >= 1
+), masked AS (
+  SELECT doc_id, pos FROM pos
+  WHERE token <> '' AND ({h} % 100) < {MASK_PCT}
+), islands AS (
+  SELECT doc_id, pos,
+         pos - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+  FROM masked
+), spans AS (
+  SELECT doc_id, grp, CAST(MIN(pos) AS BIGINT) AS span_start,
+         CAST(COUNT(*) AS BIGINT) AS span_len
+  FROM islands GROUP BY 1, 2
+)
+SELECT doc_id,
+       CAST(ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY span_start) AS BIGINT) AS span_id,
+       span_start, span_len
+FROM spans
+"""
+
+
+# ------------------------------------------------- per-source datasheet
+
+
+def dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, n_tokens, p50_chars, p95_chars, n_langs,
+    top_lang, top_lang_share, exact_dup_rate, quality_pass_rate) —
+    the per-source DATASHEET a corpus release ships (the 'dataset
+    card' table): inventory, length distribution, language mix,
+    exact-duplicate rate, and the quality-gate pass rate, one row per
+    source. corpus_summary is the global twin; this is the per-source
+    accountability artifact curation reviews read.
+
+    Scale plan: ONE tokenize scan feeds a single groupBy(source) hash
+    agg (counts, token mass, exact percentiles over the length-policy-
+    bounded n_chars domain, distinct text-hash count for the dup
+    rate); the language argmax is a second |source|×|lang|-bounded agg
+    joined back — nothing after the first shuffle scales with rows.
+    Rates are exact-int divisions; one 6-dp round each."""
+    from capstone_etl_spark.functions.hashing import md5_hash60
+    from capstone_etl_spark.functions.text import tokenize
+
+    docs = load_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "source",
+        "lang",
+        "n_chars",
+        F.size(tokenize("text")).cast("long").alias("n_tok"),
+        md5_hash60(F.col("text")).alias("th"),
+        (F.col("n_chars") >= MIN_CHARS).cast("long").alias("q_ok"),
+    )
+    card = base.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("p50_chars"),
+        F.round(F.percentile("n_chars", F.lit(0.95)), 6).alias("p95_chars"),
+        F.countDistinct("lang").cast("long").alias("n_langs"),
+        F.countDistinct("th").cast("long").alias("n_distinct_texts"),
+        F.sum("q_ok").cast("long").alias("n_quality_ok"),
+    )
+    langs = (
+        base.groupBy("source", "lang")
+        .agg(F.count("*").alias("nl"))
+        .groupBy("source")
+        .agg(
+            F.min(F.struct((-F.col("nl")).alias("neg"), F.col("lang").alias("lg"))).alias("m")
+        )
+        .select(
+            "source", F.col("m.lg").alias("top_lang"), (-F.col("m.neg")).alias("n_top_lang")
+        )
+    )
+    return card.join(langs, "source").select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        "p50_chars",
+        "p95_chars",
+        "n_langs",
+        "top_lang",
+        F.round(F.col("n_top_lang").cast("double") / F.col("n_docs"), 6).alias("top_lang_share"),
+        F.round(
+            F.lit(1.0) - F.col("n_distinct_texts").cast("double") / F.col("n_docs"), 6
+        ).alias("exact_dup_rate"),
+        F.round(F.col("n_quality_ok").cast("double") / F.col("n_docs"), 6).alias(
+            "quality_pass_rate"
+        ),
+    )
+
+
+def _dataset_card_sql() -> str:
+    from capstone_etl_spark.functions.hashing import md5_hash60_sql
+
+    th = md5_hash60_sql("text")
+    return f"""
+WITH base AS (
+  SELECT source, lang, n_chars,
+         CAST(len(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           x -> x <> '')) AS BIGINT) AS n_tok,
+         {th} AS th,
+         CASE WHEN n_chars >= {MIN_CHARS} THEN 1 ELSE 0 END AS q_ok
+  FROM documents
+), card AS (
+  SELECT source,
+         CAST(COUNT(*) AS BIGINT) AS n_docs,
+         CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+         ROUND(quantile_cont(n_chars, 0.5), 6) AS p50_chars,
+         ROUND(quantile_cont(n_chars, 0.95), 6) AS p95_chars,
+         CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+         CAST(COUNT(DISTINCT th) AS BIGINT) AS n_distinct_texts,
+         CAST(SUM(q_ok) AS BIGINT) AS n_quality_ok
+  FROM base GROUP BY 1
+), langs AS (
+  SELECT source, lang AS top_lang, nl AS n_top_lang FROM (
+    SELECT source, lang, COUNT(*) AS nl,
+           ROW_NUMBER() OVER (PARTITION BY source ORDER BY COUNT(*) DESC, lang) AS rn
+    FROM base GROUP BY 1, 2
+  ) t WHERE rn = 1
+)
+SELECT c.source, c.n_docs, c.n_tokens, c.p50_chars, c.p95_chars, c.n_langs,
+       l.top_lang,
+       ROUND(CAST(l.n_top_lang AS DOUBLE) / c.n_docs, 6) AS top_lang_share,
+       ROUND(1.0 - CAST(c.n_distinct_texts AS DOUBLE) / c.n_docs, 6) AS exact_dup_rate,
+       ROUND(CAST(c.n_quality_ok AS DOUBLE) / c.n_docs, 6) AS quality_pass_rate
+FROM card c JOIN langs l USING (source)
+"""
+
+
 QUERIES = {
     "corpus_pipeline": corpus_pipeline,
     "training_manifest": training_manifest,
@@ -683,6 +872,8 @@ QUERIES = {
     "corpus_summary": corpus_summary,
     "corpus_cube": corpus_cube,
     "source_loso_influence": source_loso_influence,
+    "span_corruption_masks": span_corruption_masks,
+    "dataset_card": dataset_card,
 }
 
 ORACLE_SQL = {
@@ -696,4 +887,6 @@ ORACLE_SQL = {
     "corpus_summary": _corpus_summary_sql(),
     "corpus_cube": CORPUS_CUBE_SQL,
     "source_loso_influence": SOURCE_LOSO_INFLUENCE_SQL,
+    "span_corruption_masks": _span_corruption_sql(),
+    "dataset_card": _dataset_card_sql(),
 }

@@ -1834,6 +1834,150 @@ GROUP BY 1
 """
 
 
+# ------------------------------------------- sequential pattern mining
+
+SEQ_N = 3  # pattern length: consecutive event-type triples
+
+
+def event_frequent_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(t1, t2, t3, n, n_users, share) — support counts for every
+    length-3 consecutive event-type sequence (the PrefixSpan-lite
+    sequential-pattern census behind journey mining; event_transitions
+    is its first-order marginal).
+
+    Scale plan: two LAGs on the per-user window (hash-distributed on
+    user_id, no global window), one hash agg on the (t1,t2,t3) key —
+    a ≤ |types|³-row relation; n_users rides the same agg as a
+    count-distinct. The share denominator is a window total over that
+    bounded relation (bounded_window_key — no corpus-sized partition,
+    no cartesian)."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.lag("event_type", 2).over(w).alias("t1"),
+        F.lag("event_type", 1).over(w).alias("t2"),
+        F.col("event_type").alias("t3"),
+    ).filter(F.col("t1").isNotNull())
+    counts = seq.groupBy("t1", "t2", "t3").agg(
+        F.count("*").cast("long").alias("n"),
+        F.countDistinct("user_id").cast("long").alias("n_users"),
+    )
+    wtot = Window.partitionBy(bounded_window_key("t1"))
+    return counts.select(
+        "t1",
+        "t2",
+        "t3",
+        "n",
+        "n_users",
+        F.round(F.col("n").cast("double") / F.sum("n").over(wtot), 6).alias("share"),
+    )
+
+
+EVENT_FREQUENT_SEQUENCES_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         LAG(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+         LAG(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+         event_type AS t3
+  FROM events
+), counts AS (
+  SELECT t1, t2, t3, CAST(COUNT(*) AS BIGINT) AS n,
+         CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+  FROM seq WHERE t1 IS NOT NULL
+  GROUP BY 1, 2, 3
+)
+SELECT t1, t2, t3, n, n_users,
+       ROUND(CAST(n AS DOUBLE) / SUM(n) OVER (), 6) AS share
+FROM counts
+"""
+
+
+# ----------------------------------- next-event training examples
+
+EXAMPLE_CONTEXT = 3  # context length for next-event prediction
+
+
+def next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, session_seq, ts_sec, context, target) — the
+    supervised training examples a next-event model consumes: for
+    every event with at least one predecessor in its session, the up
+    to EXAMPLE_CONTEXT preceding event types joined oldest-first
+    ('view>click>view') and the event to predict. Sessionization is
+    the engine's standard strict->gap rule (a touching boundary
+    merges), so examples never cross a session break — the leakage
+    discipline sequence models need.
+
+    Scale plan: everything is windows over the user_id hash
+    partitioning (session flag cumsum, then LAGs keyed by the derived
+    (user, session) pair) — two window passes, no shuffle beyond the
+    user key, output ~ corpus rows. concat_ws drops NULL lags in both
+    engines, so short contexts need no branches."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    flagged = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        sec.alias("ts_sec"),
+        "event_type",
+        F.when(
+            sec - F.lag(sec).over(wu) > SESSION_GAP_SEC, F.lit(1)
+        ).otherwise(F.lit(0)).alias("new_session"),
+    )
+    with_sid = flagged.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "ts_sec",
+        "event_type",
+        F.sum("new_session").over(
+            wu.rowsBetween(Window.unboundedPreceding, 0)
+        ).alias("session_seq"),
+    )
+    ws = Window.partitionBy("user_id", "session_seq").orderBy("ts", "event_id")
+    return with_sid.select(
+        "user_id",
+        F.col("session_seq").cast("long").alias("session_seq"),
+        "ts_sec",
+        F.concat_ws(
+            ">",
+            F.lag("event_type", EXAMPLE_CONTEXT).over(ws),
+            F.lag("event_type", 2).over(ws),
+            F.lag("event_type", 1).over(ws),
+        ).alias("context"),
+        F.col("event_type").alias("target"),
+    ).filter(F.col("context") != "")
+
+
+NEXT_EVENT_EXAMPLES_SQL = f"""
+WITH flagged AS (
+  SELECT user_id, event_id, ts, FLOOR(epoch(ts))::BIGINT AS ts_sec, event_type,
+         CASE WHEN FLOOR(epoch(ts))::BIGINT
+                   - LAG(FLOOR(epoch(ts))::BIGINT) OVER
+                       (PARTITION BY user_id ORDER BY ts, event_id)
+                   > {SESSION_GAP_SEC}
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+), with_sid AS (
+  SELECT user_id, event_id, ts, ts_sec, event_type,
+         CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+  FROM flagged
+)
+SELECT user_id, session_seq, ts_sec,
+       concat_ws('>',
+         LAG(event_type, {EXAMPLE_CONTEXT}) OVER w,
+         LAG(event_type, 2) OVER w,
+         LAG(event_type, 1) OVER w) AS context,
+       event_type AS target
+FROM with_sid
+WINDOW w AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id)
+QUALIFY context <> ''
+"""
+
+
 QUERIES = {
     "event_ewma_daily": ewma_daily,
     "event_scd_intervals": scd_intervals,
@@ -1867,6 +2011,8 @@ QUERIES = {
     "event_psi_drift": event_psi_drift,
     "conversion_survival": conversion_survival,
     "event_seasonality": event_seasonality,
+    "event_frequent_sequences": event_frequent_sequences,
+    "next_event_examples": next_event_examples,
 }
 
 ORACLE_SQL = {
@@ -1902,4 +2048,6 @@ ORACLE_SQL = {
     "event_psi_drift": EVENT_PSI_DRIFT_SQL,
     "conversion_survival": CONVERSION_SURVIVAL_SQL,
     "event_seasonality": EVENT_SEASONALITY_SQL,
+    "event_frequent_sequences": EVENT_FREQUENT_SEQUENCES_SQL,
+    "next_event_examples": NEXT_EVENT_EXAMPLES_SQL,
 }

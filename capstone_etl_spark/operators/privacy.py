@@ -504,6 +504,113 @@ FROM counts
 """
 
 
+# -------------------- ε-DP median release (exponential mechanism)
+
+DPQ_SALT = "dpq:v1:"
+DPQ_BAND = 100  # candidate outputs = n_chars bands of this width
+
+
+def dp_quantile_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, true_median, dp_median, epsilon) — a per-source
+    ε-DP MEDIAN of document length via the exponential mechanism:
+    candidate outputs are the occupied DPQ_BAND-wide length bands,
+    utility u(b) = −|rank(b) − n/2| (rank sensitivity 1), and the
+    selection is the Gumbel-max trick — argmax of ε·u/2 + Gumbel —
+    with the Gumbel drawn from the same salted-hash inverse-CDF
+    discipline as the Laplace release (deterministic per
+    (salt, source, band): re-runs release the same value, a new salt
+    redraws). Completes the DP family: dp_source_histogram releases
+    counts (Laplace), this releases a non-additive statistic the
+    Laplace mechanism can't touch.
+
+    Scale plan: one groupBy(source, band) with map-side combine to a
+    ≤ |sources|·|bands| relation (bands bounded by the length policy,
+    never rows); ranks are a cumulative window over that bounded
+    relation partitioned by source; the argmax is one more bounded
+    agg. The exact median rides the same first aggregation for the
+    audit column. Nothing after the first shuffle scales with corpus
+    size."""
+    docs = load_table(spark, sf_dir, "documents")
+    banded = docs.select(
+        "source", "n_chars", F.floor(F.col("n_chars") / DPQ_BAND).cast("long").alias("band")
+    )
+    cells = banded.groupBy("source", "band").agg(F.count("*").alias("nb"))
+    per_src = banded.groupBy("source").agg(
+        F.count("*").cast("long").alias("n_docs"),
+        F.round(F.percentile("n_chars", F.lit(0.5)), 6).alias("true_median"),
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("source").orderBy("band")
+    ranked = cells.select(
+        "source",
+        "band",
+        F.sum("nb").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+    )
+    u01 = (
+        md5_hash60(
+            F.concat(F.lit(DPQ_SALT), F.col("source"), F.lit(":"), F.col("band").cast("string"))
+        )
+        % 1_000_000
+    ).cast("double") / F.lit(1_000_000.0) + F.lit(0.5 / 1_000_000.0)
+    gumbel = -F.log(-F.log(u01))
+    scored = ranked.join(per_src.select("source", "n_docs"), "source").select(
+        "source",
+        "band",
+        (
+            F.lit(DP_EPSILON / 2.0)
+            * (-F.abs(F.col("cum").cast("double") - F.col("n_docs") / F.lit(2.0)))
+            + gumbel
+        ).alias("score"),
+    )
+    chosen = scored.groupBy("source").agg(
+        F.min(F.struct((-F.col("score")).alias("ns"), F.col("band").alias("b"))).alias("m")
+    )
+    return per_src.join(chosen, "source").select(
+        "source",
+        "n_docs",
+        "true_median",
+        (F.col("m.b") * DPQ_BAND + DPQ_BAND // 2).cast("long").alias("dp_median"),
+        F.lit(float(DP_EPSILON)).alias("epsilon"),
+    )
+
+
+def _dp_quantile_sql() -> str:
+    h = md5_hash60_sql(f"'{DPQ_SALT}' || source || ':' || CAST(band AS VARCHAR)")
+    u01 = f"(CAST(({h} % 1000000) AS DOUBLE) / 1000000.0 + {0.5 / 1_000_000})"
+    return f"""
+WITH banded AS (
+  SELECT source, n_chars, CAST(FLOOR(n_chars / {DPQ_BAND}.0) AS BIGINT) AS band
+  FROM documents
+), cells AS (
+  SELECT source, band, COUNT(*) AS nb FROM banded GROUP BY 1, 2
+), per_src AS (
+  SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+         ROUND(quantile_cont(n_chars, 0.5), 6) AS true_median
+  FROM banded GROUP BY 1
+), ranked AS (
+  SELECT source, band,
+         SUM(nb) OVER (PARTITION BY source ORDER BY band
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+  FROM cells
+), scored AS (
+  SELECT r.source, r.band,
+         ({DP_EPSILON / 2.0} * (-ABS(CAST(r.cum AS DOUBLE) - p.n_docs / 2.0))
+          + (-LN(-LN({u01})))) AS score
+  FROM ranked r JOIN per_src p USING (source)
+), chosen AS (
+  SELECT source, band FROM (
+    SELECT source, band, ROW_NUMBER() OVER (PARTITION BY source ORDER BY score DESC, band) AS rn
+    FROM scored
+  ) t WHERE rn = 1
+)
+SELECT p.source, p.n_docs, p.true_median,
+       CAST(c.band * {DPQ_BAND} + {DPQ_BAND // 2} AS BIGINT) AS dp_median,
+       CAST({float(DP_EPSILON)} AS DOUBLE) AS epsilon
+FROM per_src p JOIN chosen c USING (source)
+"""
+
+
 QUERIES = {
     "pii_scan": pii_scan,
     "pii_redaction": pii_redaction,
@@ -511,6 +618,7 @@ QUERIES = {
     "k_anonymity_audit": k_anonymity_audit,
     "dp_source_histogram": dp_source_histogram,
     "l_diversity_audit": l_diversity_audit,
+    "dp_quantile_release": dp_quantile_release,
 }
 
 ORACLE_SQL = {
@@ -520,4 +628,5 @@ ORACLE_SQL = {
     "k_anonymity_audit": K_ANONYMITY_AUDIT_SQL,
     "dp_source_histogram": DP_SOURCE_HISTOGRAM_SQL,
     "l_diversity_audit": L_DIVERSITY_AUDIT_SQL,
+    "dp_quantile_release": _dp_quantile_sql(),
 }

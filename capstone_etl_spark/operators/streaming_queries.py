@@ -15,7 +15,7 @@ import math
 import shutil
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from capstone_etl_spark.operators.privacy import DP_SOURCE_HISTOGRAM_SQL, PII_SCAN_SQL
@@ -1215,6 +1215,117 @@ def stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ab_readout(per_user)
 
 
+# fixed equi-width grid for the streaming quantile sketch: streaming
+# state can't wait for a min/max pass, so the grid is a POLICY constant
+# (value domain is bounded by the event schema's value semantics);
+# out-of-range values clamp into the edge bins.
+SQH_W = 5.0
+SQH_BINS = 100
+SQH_QS = ((50, 0.5), (95, 0.95), (99, 0.99))
+
+
+def stream_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, pct, target_rank, est) — per-type streaming
+    quantile estimates (p50/p95/p99 of value) from a fixed-grid
+    equi-width histogram maintained DURING ingest: a complete-mode
+    (event_type, bin) counting aggregation — ≤ |types|·SQH_BINS rows
+    of state, merged by addition across micro-batches — and the
+    rank-interpolation tail runs on the drained bounded snapshot, so
+    any micro-batch could publish fresh quantiles without rescanning
+    landed data. The answer is within one bin width of truth a
+    priori (the histogram_quantiles bound, kept current online).
+    Oracle: the identical grid + interpolation computed from the raw
+    events in SQL — sketch and oracle agree exactly because both
+    sides interpolate the same exact integer cell counts."""
+    bin_col = F.least(
+        F.lit(SQH_BINS - 1),
+        F.greatest(F.lit(0), F.floor(F.col("value") / SQH_W)),
+    ).cast("long")
+
+    def transform(stream, wm):
+        return stream.groupBy(
+            "event_type", bin_col.alias("bin")
+        ).agg(F.count("*").alias("nb"))
+
+    snap = _run(spark, sf_dir, transform, "complete")
+    # cumulative + per-type total in ONE window pass over the bounded
+    # snapshot (no self-join back to the drained table), then every
+    # cell row expands into the 3-quantile grid and the one bracketing
+    # cell per (type, quantile) survives the filter.
+    w = Window.partitionBy("event_type").orderBy("bin")
+    wt = Window.partitionBy("event_type")
+    cum = snap.select(
+        "event_type",
+        "bin",
+        "nb",
+        F.sum("nb").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cum"),
+        F.coalesce(
+            F.sum("nb").over(w.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+        ).alias("cum_prev"),
+        F.sum("nb").over(wt).alias("n"),
+    )
+    expanded = cum.select(
+        "event_type",
+        "bin",
+        "nb",
+        "cum",
+        "cum_prev",
+        "n",
+        F.explode(
+            F.array(*[F.struct(F.lit(p).alias("pct"), F.lit(q).alias("q")) for p, q in SQH_QS])
+        ).alias("g"),
+    ).select(
+        "event_type",
+        "bin",
+        "nb",
+        "cum",
+        "cum_prev",
+        F.col("g.pct").alias("pct"),
+        (F.col("g.q") * F.col("n")).alias("target"),
+    )
+    return expanded.filter(
+        (F.col("cum_prev") < F.col("target")) & (F.col("target") <= F.col("cum"))
+    ).select(
+        "event_type",
+        "pct",
+        F.round(F.col("target"), 6).alias("target_rank"),
+        F.round(
+            F.col("bin") * SQH_W
+            + (F.col("target") - F.col("cum_prev")) / F.col("nb") * F.lit(SQH_W),
+            6,
+        ).alias("est"),
+    )
+
+
+def _stream_quantile_sketch_sql() -> str:
+    qs_rows = ", ".join(f"({p}, {q})" for p, q in SQH_QS)
+    return f"""
+WITH cells AS (
+  SELECT event_type,
+         CAST(LEAST({SQH_BINS - 1}, GREATEST(0, FLOOR(value / {SQH_W}))) AS BIGINT) AS bin,
+         COUNT(*) AS nb
+  FROM events GROUP BY 1, 2
+), cum AS (
+  SELECT event_type, bin, nb,
+         SUM(nb) OVER (PARTITION BY event_type ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         COALESCE(SUM(nb) OVER (PARTITION BY event_type ORDER BY bin
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_prev
+  FROM cells
+), totals AS (
+  SELECT event_type, CAST(SUM(nb) AS BIGINT) AS n FROM cells GROUP BY 1
+), grid AS (
+  SELECT t.event_type, g.pct, g.q * t.n AS target
+  FROM totals t, (SELECT * FROM (VALUES {qs_rows}) v(pct, q)) g
+)
+SELECT c.event_type, g.pct,
+       ROUND(g.target, 6) AS target_rank,
+       ROUND(c.bin * {SQH_W} + (g.target - c.cum_prev) / c.nb * {SQH_W}, 6) AS est
+FROM grid g JOIN cum c USING (event_type)
+WHERE c.cum_prev < g.target AND g.target <= c.cum
+"""
+
+
 def stream_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Kaplan-Meier time-to-conversion curve computed DURING
     ingest: per-user (first-exposure, last-event, first-qualifying-
@@ -1316,6 +1427,7 @@ QUERIES = {
     "stream_ab_test": stream_ab_test,
     "stream_dp_histogram": stream_dp_histogram,
     "stream_conversion_survival": stream_conversion_survival,
+    "stream_quantile_sketch": stream_quantile_sketch,
 }
 
 ORACLE_SQL = {
@@ -1348,4 +1460,5 @@ ORACLE_SQL = {
     # the batch KM SQL verbatim: the streaming survival curve must
     # reproduce the batch one row-for-row
     "stream_conversion_survival": CONVERSION_SURVIVAL_SQL,
+    "stream_quantile_sketch": _stream_quantile_sketch_sql(),
 }

@@ -1678,6 +1678,98 @@ FROM terms GROUP BY 1
 """
 
 
+# ------------------------- Kneser-Ney smoothed bigram probabilities
+
+KN_D = 0.75      # absolute discount (the standard KN setting)
+KN_TOPK = 100
+
+
+def kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(w1, w2, c12, c1, mle_prob, kn_prob) for the KN_TOPK most
+    frequent corpus bigrams — interpolated Kneser-Ney with absolute
+    discount D: P_KN(w2|w1) = (c12−D)/c1 + (D·N1+(w1·)/c1)·P_cont(w2),
+    where the continuation probability P_cont(w2) = N1+(·w2)/N1+(··)
+    counts bigram TYPES, not tokens — the smoothing every production
+    n-gram LM ships (bigram_lm_perplexity is its unsmoothed MLE twin;
+    'san francisco' makes 'francisco' common but NOT a good
+    continuation elsewhere, which is exactly what type-counting fixes).
+    Observed bigrams have c12 ≥ 1 > D, so the discounted term needs no
+    max(·,0) clamp.
+
+    Scale plan: one tokenize → bigram explode; all statistics are hash
+    aggs over the bigram TYPE relation (Heaps-bounded, ≪ corpus): c1
+    and the distinct-successor count ride one w1-keyed agg, the
+    distinct-predecessor count one w2-keyed agg over types, and the
+    global type total enters as a 1-row broadcast (never a driver
+    count). Top-K is distributed TakeOrdered with a (w1,w2) tiebreak —
+    no global window. The probability expression is the identical
+    IEEE-double tree in both engines; one 6-dp round at the end."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", tokenize("text").alias("t"))
+    bigr = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    cb = cached(bigr.groupBy("w1", "w2").agg(F.count("*").alias("c12")))
+    ctx = bigr.groupBy("w1").agg(
+        F.count("*").alias("c1"), F.countDistinct("w2").alias("n1p_fwd")
+    )
+    cont = cb.groupBy("w2").agg(F.count("*").alias("n1p_back"))
+    tot = cb.agg(F.count("*").alias("n1p_total"))
+    top = cb.orderBy(F.desc("c12"), "w1", "w2").limit(KN_TOPK)
+    kn = (
+        (F.col("c12") - F.lit(KN_D)) / F.col("c1")
+        + (F.lit(KN_D) * F.col("n1p_fwd") / F.col("c1"))
+        * (F.col("n1p_back") / F.col("n1p_total"))
+    )
+    return (
+        top.join(ctx, "w1")
+        .join(cont, "w2")
+        .join(F.broadcast(tot), F.lit(True))
+        .select(
+            "w1",
+            "w2",
+            "c12",
+            "c1",
+            F.round(F.col("c12").cast("double") / F.col("c1"), 6).alias("mle_prob"),
+            F.round(kn, 6).alias("kn_prob"),
+        )
+    )
+
+
+KNESER_NEY_BIGRAM_SQL = _FTOKS_CTE + f"""
+, bigr AS (
+  SELECT doc_id, t[i] AS w1, t[i+1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+  WHERE len(t) >= 2
+), cb AS (
+  SELECT w1, w2, COUNT(*) AS c12 FROM bigr GROUP BY 1, 2
+), ctx AS (
+  SELECT w1, COUNT(*) AS c1, COUNT(DISTINCT w2) AS n1p_fwd FROM bigr GROUP BY 1
+), cont AS (
+  SELECT w2, COUNT(*) AS n1p_back FROM cb GROUP BY 1
+), tot AS (
+  SELECT COUNT(*) AS n1p_total FROM cb
+), top AS (
+  SELECT w1, w2, c12 FROM cb ORDER BY c12 DESC, w1, w2 LIMIT {KN_TOPK}
+)
+SELECT t.w1, t.w2, t.c12, cx.c1,
+       ROUND(CAST(t.c12 AS DOUBLE) / cx.c1, 6) AS mle_prob,
+       ROUND((t.c12 - {KN_D}) / cx.c1
+             + ({KN_D} * cx.n1p_fwd / cx.c1) * (CAST(cn.n1p_back AS DOUBLE) / tt.n1p_total),
+             6) AS kn_prob
+FROM top t
+JOIN ctx cx ON cx.w1 = t.w1
+JOIN cont cn ON cn.w2 = t.w2
+CROSS JOIN tot tt
+"""
+
+
 def bpe_apply_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The second half of the BPE step: APPLY the top-1 learned merge
     (bpe_merge_pairs rank 1) to the vocabulary and report per-token
@@ -2476,6 +2568,7 @@ QUERIES = {
     "length_histogram": length_histogram,
     "tokenizer_fertility": tokenizer_fertility,
     "bigram_lm_perplexity": bigram_lm_perplexity,
+    "kneser_ney_bigram": kneser_ney_bigram,
     "bpe_apply_merge": bpe_apply_merge,
     "skipgram_pairs": skipgram_pairs,
     "feature_hashing_vectors": feature_hashing_vectors,
@@ -2516,6 +2609,7 @@ ORACLE_SQL = {
     "length_histogram": LENGTH_HISTOGRAM_SQL,
     "tokenizer_fertility": TOKENIZER_FERTILITY_SQL,
     "bigram_lm_perplexity": BIGRAM_LM_PERPLEXITY_SQL,
+    "kneser_ney_bigram": KNESER_NEY_BIGRAM_SQL,
     "bpe_apply_merge": BPE_APPLY_MERGE_SQL,
     "skipgram_pairs": SKIPGRAM_PAIRS_SQL,
     "feature_hashing_vectors": FEATURE_HASHING_SQL,

@@ -262,6 +262,10 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "rank-range probes against the <=W-row histogram and the "
         "value-domain-bounded cumulative relation (sketches.py)"
     ),
+    "kneser_ney_bigram": (
+        "1-row bigram-type-total broadcast (the continuation-probability "
+        "denominator) over the KN_TOPK-row relation (textstats.py)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and
@@ -456,4 +460,11 @@ HEADLINE: list[str] = [
     "event_seasonality",
     # round-8 additions
     "dedup_clusters_incremental",
+    # round-8 session-2 additions
+    "event_frequent_sequences",
+    "next_event_examples",
+    "span_corruption_masks",
+    "kneser_ney_bigram",
+    "dataset_card",
+    "dp_quantile_release",
 ]
