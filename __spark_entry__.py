@@ -74,6 +74,18 @@ _PRIORITY = [
     "dataset_card",
     "dp_quantile_release",
     "stream_quantile_sketch",
+    # Block 2c: NEW in round-8 session 3 — first driver attestation.
+    # Families: ann (ivf_probe_recall_curve), sketches
+    # (kmv_set_difference), streaming (stream_psi_drift), quality/
+    # mixing (group_dro_weights), doc_similarity (rag_chunk_retrieval).
+    # The six seats come from the Block-4 tail (all multi-round
+    # driver-green; textstats stays covered by heaps_law_fit /
+    # token_gini in Block 1, dedup by Block-1/3 members).
+    "ivf_probe_recall_curve",
+    "kmv_set_difference",
+    "stream_psi_drift",
+    "group_dro_weights",
+    "rag_chunk_retrieval",
     # Block 3: family canaries — every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span). The
     # Block-1 members cover ann (ivf_cell_medoids, hubness_audit),
@@ -109,16 +121,16 @@ _PRIORITY = [
     "winnowing_pairs",
     "stream_kmv_sketch",
     "language_id_confusion",
-    "semantic_dedup",
-    "length_histogram",
-    "tokenizer_fertility",
-    "bigram_lm_perplexity",
-    "min_cost_supplier",
     # ---- position 51+: every query below is driver-green in some
     # round AND green on the committed local full gate; ordered
     # least-recently-attested first so any extra driver sampling adds
     # the stalest signal. The round-7 window (all r7-green) rides the
     # committed ATTEST gate this round.
+    "semantic_dedup",
+    "length_histogram",
+    "tokenizer_fertility",
+    "bigram_lm_perplexity",
+    "min_cost_supplier",
     "local_supplier_volume",
     "important_parts",
     "stream_reservoir_sample",

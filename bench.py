@@ -174,6 +174,14 @@ HEADLINE = [
     "dataset_card",
     "dp_quantile_release",
     "stream_quantile_sketch",
+    # r8 session 3 — tracked from day one: the IVF probe sweep, the
+    # sketch set-difference, the streaming PSI monitor, the Group-DRO
+    # mixer, and chunk-level BM25 retrieval.
+    "ivf_probe_recall_curve",
+    "kmv_set_difference",
+    "stream_psi_drift",
+    "group_dro_weights",
+    "rag_chunk_retrieval",
 ]
 
 

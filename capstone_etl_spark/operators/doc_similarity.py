@@ -507,12 +507,129 @@ FROM meas
 """.replace("{BM25}", BM25_TOPK_SQL)
 
 
+# -------------------------------- chunk-level retrieval (RAG shape)
+
+RAG_TOP_K = 10
+
+
+def rag_chunk_retrieval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(query_id, doc_id, chunk_id, bm25, rnk) — BM25 retrieval at
+    PASSAGE granularity: the corpus is the fixed-size token chunks a
+    context window actually receives (doc_chunks' 50-token units), so
+    a long document with one relevant passage ranks by that passage,
+    not its diluted whole-document statistics — the retrieval shape a
+    RAG pipeline serves. Same Okapi scoring and exact-decimal
+    discipline as bm25_topk; the retrieval UNIT key is
+    (doc_id, chunk_id) and document frequency counts chunks.
+
+    Scale plan: identical to bm25_topk's — only the query terms'
+    chunk postings move (semi-join against the query vocabulary), df
+    and corpus stats are 1-row/|query-vocab|-row broadcasts, and the
+    per-query ranking window sees the candidate postings only. Chunk
+    boundaries are pure offset arithmetic (doc_chunks' plan)."""
+    from capstone_etl_spark.functions.text import tokenize
+    from capstone_etl_spark.operators.corpus import CHUNK_TOKENS
+
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.posexplode(tokenize("text")).alias("pos", "token"))
+    tf = cached(
+        toks.withColumn("chunk_id", F.floor(F.col("pos") / CHUNK_TOKENS))
+        .groupBy("doc_id", "chunk_id", "token")
+        .agg(F.count("*").alias("qty"))
+    )
+    qterms = spark.createDataFrame(
+        [(qid, t) for qid, ts in BM25_QUERIES for t in ts],
+        "query_id long, token string",
+    )
+    dl = tf.groupBy("doc_id", "chunk_id").agg(F.sum("qty").cast("long").alias("dl"))
+    stats = dl.agg(
+        F.count("*").cast("double").alias("n_chunks"), F.avg("dl").alias("avgdl")
+    )
+    dfq = (
+        tf.join(F.broadcast(qterms.select("token").distinct()), "token", "left_semi")
+        .groupBy("token")
+        .agg(F.count("*").cast("long").alias("df"))
+    )
+    idf = F.log((F.col("n_chunks") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+    num = F.col("qty") * (1.0 + BM25_K1)
+    den = F.col("qty") + BM25_K1 * (
+        1.0 - BM25_B + BM25_B * F.col("dl") / F.col("avgdl")
+    )
+    term = (idf * num / den).cast("decimal(28,12)")
+    scores = (
+        tf.join(F.broadcast(qterms), "token")
+        .join(F.broadcast(dfq), "token")
+        .join(dl, ["doc_id", "chunk_id"])
+        .crossJoin(F.broadcast(stats))
+        .select("query_id", "doc_id", "chunk_id", term.alias("term"))
+        .groupBy("query_id", "doc_id", "chunk_id")
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("bm25"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("bm25"), F.asc("doc_id"), F.asc("chunk_id")
+    )
+    return (
+        scores.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= RAG_TOP_K)
+        .select("query_id", "doc_id", "chunk_id", "bm25", "rnk")
+    )
+
+
+def _rag_chunk_retrieval_sql() -> str:
+    from capstone_etl_spark.operators.corpus import CHUNK_TOKENS
+
+    return f"""
+WITH ctoks AS (
+  SELECT doc_id,
+         string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +') AS t
+  FROM documents
+), pos AS (
+  SELECT doc_id, t[i] AS token, i - 1 AS pos
+  FROM ctoks, LATERAL (SELECT unnest(range(1, len(t) + 1)) AS i) r
+  WHERE len(t) >= 1
+), tf AS (
+  SELECT doc_id, pos // {CHUNK_TOKENS} AS chunk_id, token, COUNT(*) AS qty
+  FROM pos WHERE token <> ''
+  GROUP BY 1, 2, 3
+), q(query_id, token) AS (VALUES {_BM25_VALUES}),
+dl AS (SELECT doc_id, chunk_id, CAST(SUM(qty) AS BIGINT) AS dl FROM tf GROUP BY 1, 2),
+stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n_chunks, AVG(dl) AS avgdl FROM dl),
+dfq AS (
+  SELECT token, CAST(COUNT(*) AS BIGINT) AS df FROM tf
+  WHERE token IN (SELECT token FROM q) GROUP BY 1
+),
+terms AS (
+  SELECT q.query_id, t.doc_id, t.chunk_id,
+         CAST(LN((s.n_chunks - d.df + 0.5) / (d.df + 0.5) + 1.0)
+              * (t.qty * (1.0 + {BM25_K1}))
+              / (t.qty + {BM25_K1} * (1.0 - {BM25_B} + {BM25_B} * dl.dl / s.avgdl))
+              AS DECIMAL(28,12)) AS term
+  FROM tf t
+  JOIN q ON q.token = t.token
+  JOIN dfq d ON d.token = t.token
+  JOIN dl ON dl.doc_id = t.doc_id AND dl.chunk_id = t.chunk_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, doc_id, chunk_id,
+         ROUND(CAST(SUM(term) AS DOUBLE), 6) AS bm25
+  FROM terms GROUP BY 1, 2, 3
+)
+SELECT query_id, doc_id, chunk_id, bm25, rnk FROM (
+  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+              ORDER BY bm25 DESC, doc_id, chunk_id) AS BIGINT) AS rnk
+  FROM scores
+) z WHERE rnk <= {RAG_TOP_K}
+"""
+
+
 QUERIES = {
     "doc_similarity_topk": doc_similarity_topk,
     "bm25_topk": bm25_topk,
     "hybrid_retrieval_rrf": hybrid_retrieval_rrf,
     "retrieval_mrr": retrieval_mrr,
     "retrieval_ndcg": retrieval_ndcg,
+    "rag_chunk_retrieval": rag_chunk_retrieval,
 }
 ORACLE_SQL = {
     "doc_similarity_topk": DOC_SIMILARITY_TOPK_SQL,
@@ -520,4 +637,5 @@ ORACLE_SQL = {
     "hybrid_retrieval_rrf": _hybrid_retrieval_rrf_sql(),
     "retrieval_mrr": RETRIEVAL_MRR_SQL,
     "retrieval_ndcg": RETRIEVAL_NDCG_SQL,
+    "rag_chunk_retrieval": _rag_chunk_retrieval_sql(),
 }

@@ -1766,6 +1766,14 @@ def event_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type", "is_ref", bin_id.cast("long").alias("bin"))
         .agg(F.count("*").alias("n"))
     )
+    return psi_release(binned)
+
+
+def psi_release(binned: DataFrame) -> DataFrame:
+    """The PSI tail shared by the batch and streaming drift monitors:
+    (event_type, is_ref, bin, n) cell counts → the per-type PSI table.
+    Runs entirely on the ≤ |types|·2·bins bounded relation (see
+    event_psi_drift's scale/exactness notes)."""
     # cached: the bounded (type, bin) relation feeds BOTH the totals
     # broadcast and the final join — uncached, the corpus-wide binning
     # shuffle would execute once per consumer

@@ -1203,6 +1203,87 @@ FROM f
 """
 
 
+# --------------------- Group-DRO style worst-group mixing weights
+
+GDRO_ETA = 1.0
+
+
+def group_dro_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_tokens, loss_nats, weight) — Group-DRO-style mixing
+    weights: each source's loss is its token-mass-weighted mean NLL
+    under the corpus unigram LM (unigram_logprob's statistic, rolled
+    up per source), and the sampler weight is the exponentiated-loss
+    softmax w_s ∝ exp(η·loss_s) — upweight the worst-scoring groups,
+    the robust-optimization counter to proportional mixing
+    (source_mixing_weights is the heuristic twin).
+
+    Scale plan: one tokenize → (source, token) TF with map-side
+    combine; token-keyed join against the Heaps-bounded frequency
+    table; one |sources|-row rollup. The corpus token total enters as
+    a 1-row broadcast (unigram_logprob's shape). Numeric discipline:
+    NLL terms snap to DECIMAL(28,12) before the order-free sum, the
+    per-source loss rounds to 6 dp BEFORE exp (both engines
+    exponentiate identical doubles), each exp snaps to decimal before
+    the softmax denominator sum, one final 6-dp round."""
+    from capstone_etl_spark.functions.windows import bounded_window_key
+
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select("source", F.explode(tokenize("text")).alias("token"))
+    tf = cached(tok.groupBy("source", "token").agg(F.count("*").alias("cnt")))
+    freq = tf.groupBy("token").agg(F.sum("cnt").alias("tok_cnt"))
+    total = tf.agg(F.sum("cnt").cast("double").alias("_n_corpus"))
+    term = (
+        F.col("cnt") * F.log(F.col("tok_cnt").cast("double") / F.col("_n_corpus"))
+    ).cast("decimal(28,12)")
+    per_src = (
+        tf.join(freq, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("source")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_tokens"),
+            F.round((-F.sum(term)).cast("double") / F.sum("cnt"), 6).alias("loss_nats"),
+        )
+    )
+    e = F.exp(F.lit(GDRO_ETA) * F.col("loss_nats")).cast("decimal(28,12)")
+    w = Window.partitionBy(bounded_window_key("source"))
+    return per_src.select(
+        "source",
+        "n_tokens",
+        "loss_nats",
+        F.round(
+            e.cast("double") / F.sum(e).over(w).cast("double"), 6
+        ).alias("weight"),
+    )
+
+
+GROUP_DRO_WEIGHTS_SQL = f"""
+WITH tok AS (
+  SELECT source, unnest(list_filter(
+    string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+    x -> x <> '')) AS token
+  FROM documents
+), tf AS (
+  SELECT source, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2
+), freq AS (
+  SELECT token, SUM(cnt) AS tok_cnt FROM tf GROUP BY 1
+), total AS (
+  SELECT CAST(SUM(cnt) AS DOUBLE) AS n_corpus FROM tf
+), per_src AS (
+  SELECT tf.source,
+         CAST(SUM(tf.cnt) AS BIGINT) AS n_tokens,
+         ROUND(CAST(-SUM(CAST(tf.cnt * LN(CAST(f.tok_cnt AS DOUBLE) / t.n_corpus)
+                              AS DECIMAL(28,12))) AS DOUBLE) / SUM(tf.cnt), 6) AS loss_nats
+  FROM tf JOIN freq f USING (token) CROSS JOIN total t
+  GROUP BY 1
+)
+SELECT source, n_tokens, loss_nats,
+       ROUND(CAST(CAST(EXP({GDRO_ETA} * loss_nats) AS DECIMAL(28,12)) AS DOUBLE)
+             / CAST(SUM(CAST(EXP({GDRO_ETA} * loss_nats) AS DECIMAL(28,12))) OVER () AS DOUBLE),
+             6) AS weight
+FROM per_src
+"""
+
+
 QUERIES = {
     "quality_filter_flags": quality_filter_flags,
     "quality_filter_funnel": quality_filter_funnel,
@@ -1218,6 +1299,7 @@ QUERIES = {
     "code_detection": code_detection,
     "curriculum_schedule": curriculum_schedule,
     "split_perplexity_gap": split_perplexity_gap,
+    "group_dro_weights": group_dro_weights,
 }
 
 ORACLE_SQL = {
@@ -1235,4 +1317,5 @@ ORACLE_SQL = {
     "code_detection": CODE_DETECTION_SQL,
     "curriculum_schedule": CURRICULUM_SCHEDULE_SQL,
     "split_perplexity_gap": SPLIT_PERPLEXITY_GAP_SQL,
+    "group_dro_weights": GROUP_DRO_WEIGHTS_SQL,
 }

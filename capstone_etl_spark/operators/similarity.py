@@ -776,6 +776,145 @@ SELECT query_id, neighbor_id, sim FROM scored WHERE sim >= {ANN_RADIUS_SIM}
 )
 
 
+# -------------------------------------------- IVF probe-count sweep
+
+IVF_PROBE_GRID = (1, 2, 4, 8)
+
+
+def ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(n_probes, n_queries, n_candidates, n_hits, recall) — the
+    recall-vs-probes tuning curve for the IVF index: rerun the probe
+    stage at each grid value and measure recall@k against the
+    brute-force ground truth, plus the candidate volume each setting
+    scans. The lsh_tuning_curve twin for IVF — the table that decides
+    the probe count BEFORE committing a serving configuration.
+
+    Scale plan: the quantizer/assignment pipeline runs ONCE (shared
+    distance table); the probe grid expands only the ≤ N_QUERIES·cells
+    ranked-probe relation (explode of a 4-value literal), so candidate
+    volume is the only thing that scales with the grid. Recall counts
+    are exact int sums over the (grid × query) top-k relations —
+    TOP_K is constant per query, so macro recall = Σhits / (q·k)
+    exactly, no double accumulation."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = quantize_fp()
+    emb_q = emb.select("vec_id", quant.alias("vq"))
+    seeds = quantizer_seeds(emb_q)
+    d2_col = F.aggregate(
+        F.zip_with("vq", "sq", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    vec_seed_d2 = emb_q.join(F.broadcast(seeds), F.lit(True)).select(
+        "vec_id", "cell", d2_col.alias("d2")
+    )
+    assign = (
+        vec_seed_d2.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell")).alias("m"))
+        .select(F.col("vec_id").alias("neighbor_id"), F.col("m.cell").alias("cell"))
+    )
+    pw = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    ranked = (
+        vec_seed_d2.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("prnk", F.row_number().over(pw))
+    )
+    probes_g = ranked.select(
+        F.col("vec_id").alias("query_id"),
+        "cell",
+        "prnk",
+        F.explode(F.array(*[F.lit(p) for p in IVF_PROBE_GRID])).alias("n_probes"),
+    ).filter(F.col("prnk") <= F.col("n_probes"))
+    cand = (
+        probes_g.join(assign, "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("n_probes", "query_id", "neighbor_id")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .select("n_probes", "query_id", "neighbor_id", F.round(cosine("qe", "ne"), 6).alias("sim"))
+    )
+    tw = Window.partitionBy("n_probes", "query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    topk = scored.withColumn("rnk", F.row_number().over(tw)).filter(F.col("rnk") <= TOP_K)
+    exact = cached(ann_brute_topk(spark, sf_dir).select("query_id", "neighbor_id"))
+    hits = topk.join(exact, ["query_id", "neighbor_id"], "left_semi")
+    # query count enters as a 1-row broadcast, never a driver count
+    nq = exact.agg(F.countDistinct("query_id").cast("long").alias("n_q"))
+    cand_counts = cand.groupBy("n_probes").agg(F.count("*").alias("n_candidates"))
+    hit_counts = hits.groupBy("n_probes").agg(F.count("*").alias("n_hits"))
+    return (
+        cand_counts.join(hit_counts, "n_probes", "left")
+        .join(F.broadcast(nq), F.lit(True))
+        .select(
+            F.col("n_probes").cast("long").alias("n_probes"),
+            F.col("n_q").alias("n_queries"),
+            F.col("n_candidates").cast("long").alias("n_candidates"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("long").alias("n_hits"),
+            F.round(
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("double")
+                / (F.col("n_q") * TOP_K),
+                6,
+            ).alias("recall"),
+        )
+    )
+
+
+def _ivf_probe_curve_sql() -> str:
+    grid_rows = ", ".join(f"({p})" for p in IVF_PROBE_GRID)
+    scored_body = _IVF_SCORED_SQL.split("probes AS (")[0]
+    return (
+        scored_body
+        + f"""ranked AS (
+  SELECT vec_id AS query_id, cell, prnk FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS prnk
+    FROM vec_seed_d2 WHERE vec_id < {N_QUERIES}
+  ) t
+), cand AS (
+  SELECT g.n_probes, r.query_id, a.vec_id AS neighbor_id
+  FROM ranked r
+  JOIN (SELECT * FROM (VALUES {grid_rows}) v(n_probes)) g ON r.prnk <= g.n_probes
+  JOIN assign a ON a.cell = r.cell
+  WHERE a.vec_id <> r.query_id
+), scored AS (
+  SELECT c.n_probes, c.query_id, c.neighbor_id,
+         ROUND({_COSINE_SQL.replace('qe', 'q.embedding').replace('ne', 'n.embedding')}, 6) AS sim
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+), topk AS (
+  SELECT n_probes, query_id, neighbor_id FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY n_probes, query_id
+                                 ORDER BY sim DESC, neighbor_id) AS rnk
+    FROM scored
+  ) t WHERE rnk <= {TOP_K}
+), exact AS ({ANN_BRUTE_TOPK_SQL}),
+hits AS (
+  SELECT t.n_probes, COUNT(*) AS n_hits
+  FROM topk t JOIN exact e ON e.query_id = t.query_id AND e.neighbor_id = t.neighbor_id
+  GROUP BY 1
+), cc AS (
+  SELECT n_probes, COUNT(*) AS n_candidates FROM cand GROUP BY 1
+), nq AS (
+  SELECT COUNT(DISTINCT query_id) AS n_q FROM exact
+)
+SELECT CAST(c.n_probes AS BIGINT) AS n_probes,
+       CAST(nq.n_q AS BIGINT) AS n_queries,
+       CAST(c.n_candidates AS BIGINT) AS n_candidates,
+       CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+       ROUND(CAST(COALESCE(h.n_hits, 0) AS DOUBLE) / (nq.n_q * {TOP_K}), 6) AS recall
+FROM cc c
+LEFT JOIN hits h USING (n_probes)
+CROSS JOIN nq
+"""
+    )
+
+
 def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-vector int8 scalar quantization (the ANN memory-compression
     step: 4 bytes/dim float → 1 byte/dim level): level_i =
@@ -2466,6 +2605,7 @@ QUERIES = {
     "ann_radius_search": ann_radius_search,
     "label_separability": label_separability,
     "ann_recall_eval": ann_recall_eval,
+    "ivf_probe_recall_curve": ivf_probe_recall_curve,
     "matryoshka_recall": matryoshka_recall,
     "embedding_outliers": embedding_outliers,
     "embedding_dim_stats": embedding_dim_stats,
@@ -2495,6 +2635,7 @@ ORACLE_SQL = {
     "ann_radius_search": ANN_RADIUS_SEARCH_SQL,
     "label_separability": LABEL_SEPARABILITY_SQL,
     "ann_recall_eval": ANN_RECALL_EVAL_SQL,
+    "ivf_probe_recall_curve": _ivf_probe_curve_sql(),
     "matryoshka_recall": MATRYOSHKA_RECALL_SQL,
     "embedding_outliers": EMBEDDING_OUTLIERS_SQL,
     "embedding_dim_stats": EMBEDDING_DIM_STATS_SQL,

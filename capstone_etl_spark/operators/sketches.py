@@ -212,6 +212,160 @@ FROM agg
 """
 
 
+# ------------------------- theta-style set-difference estimation
+
+
+def kmv_set_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_a, src_b, a_only_exact, a_only_est, b_only_exact,
+    b_only_est) — A\\B and B\\A distinct-shingle cardinalities per
+    source pair, estimated from the bottom-k sketches ALONE (the Theta
+    sketch a-not-b operation: the union's bottom-k' is an unbiased
+    hash-sample of A∪B, so the fraction of it carrying in_a ∧ ¬in_b,
+    scaled by the union estimate, estimates |A\\B|) — the audit that
+    answers 'how much of source A is NOT covered by B' without joining
+    full shingle sets. Complements kmv_source_overlap (∩/∪/J) with the
+    difference operation that completes the sketch set algebra.
+
+    The EXACT columns exist to make the estimator oracle-checkable
+    (count_min_error's discipline) — production keeps only the k-row
+    sketches. Scale: the sketch stage touches |sources|²·k rows; the
+    exact branch is one h-keyed self-join over the distinct
+    (source, h) relation (uniform 60-bit key) plus per-source counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("source", tokenize("text").alias("toks"))
+    grams = toks.select("source", F.explode(token_ngrams("toks", NGRAM_N)).alias("shingle"))
+    hashed = cached(grams.select("source", md5_hash60(F.col("shingle")).alias("h")).distinct())
+    w = Window.partitionBy("source").orderBy("h")
+    mins = cached(
+        hashed.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= KMV_K)
+        .select("source", "h")
+    )
+    srcs = mins.select("source").distinct()
+    pairs = srcs.select(F.col("source").alias("src_a")).join(
+        srcs.select(F.col("source").alias("src_b")), F.col("src_a") < F.col("src_b")
+    )
+    ua = pairs.join(mins.withColumnRenamed("source", "src_a"), "src_a").select(
+        "src_a", "src_b", "h", F.lit(1).alias("in_a"), F.lit(0).alias("in_b")
+    )
+    ub = pairs.join(mins.withColumnRenamed("source", "src_b"), "src_b").select(
+        "src_a", "src_b", "h", F.lit(0).alias("in_a"), F.lit(1).alias("in_b")
+    )
+    union = (
+        ua.unionByName(ub)
+        .groupBy("src_a", "src_b", "h")
+        .agg(F.max("in_a").alias("in_a"), F.max("in_b").alias("in_b"))
+    )
+    uw = Window.partitionBy("src_a", "src_b").orderBy("h")
+    ranked = union.withColumn("rnk", F.row_number().over(uw)).filter(F.col("rnk") <= KMV_K)
+    agg = ranked.groupBy("src_a", "src_b").agg(
+        F.count("*").alias("kp"),
+        F.sum(F.col("in_a") * (1 - F.col("in_b"))).alias("n_a_only"),
+        F.sum(F.col("in_b") * (1 - F.col("in_a"))).alias("n_b_only"),
+        F.max(F.when(F.col("rnk") == KMV_K, F.col("h"))).alias("hk"),
+    )
+    u_est = F.when(
+        F.col("hk").isNull(), F.col("kp").cast("double")
+    ).otherwise(F.lit(float(KMV_K - 1)) * F.lit(HASH_SPACE) / F.col("hk"))
+    # exact branch: per-source sizes + h-keyed pair intersection
+    sizes = hashed.groupBy("source").agg(F.count("*").alias("sz"))
+    inter = (
+        hashed.alias("x")
+        .join(
+            hashed.alias("y"),
+            (F.col("x.h") == F.col("y.h")) & (F.col("x.source") < F.col("y.source")),
+        )
+        .groupBy(F.col("x.source").alias("src_a"), F.col("y.source").alias("src_b"))
+        .agg(F.count("*").alias("n_inter"))
+    )
+    exact = (
+        pairs.join(sizes.select(F.col("source").alias("src_a"), F.col("sz").alias("sz_a")), "src_a")
+        .join(sizes.select(F.col("source").alias("src_b"), F.col("sz").alias("sz_b")), "src_b")
+        .join(inter, ["src_a", "src_b"], "left")
+        .select(
+            "src_a",
+            "src_b",
+            (F.col("sz_a") - F.coalesce(F.col("n_inter"), F.lit(0))).cast("long").alias("a_only_exact"),
+            (F.col("sz_b") - F.coalesce(F.col("n_inter"), F.lit(0))).cast("long").alias("b_only_exact"),
+        )
+    )
+    return exact.join(agg, ["src_a", "src_b"]).select(
+        "src_a",
+        "src_b",
+        "a_only_exact",
+        F.round(F.col("n_a_only").cast("double") / F.col("kp") * u_est, 6).alias("a_only_est"),
+        "b_only_exact",
+        F.round(F.col("n_b_only").cast("double") / F.col("kp") * u_est, 6).alias("b_only_est"),
+    )
+
+
+_KMV_DIFF_UEST_SQL = (
+    f"(CASE WHEN hk IS NULL THEN CAST(kp AS DOUBLE) "
+    f"ELSE CAST({float(KMV_K - 1)} AS DOUBLE) * CAST({HASH_SPACE!r} AS DOUBLE) / hk END)"
+)
+
+KMV_SET_DIFFERENCE_SQL = f"""
+WITH toks AS (
+  SELECT source,
+         list_filter(string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+                     t -> t <> '') AS t
+  FROM documents
+), grams AS (
+  SELECT source, array_to_string(t[i : i + {NGRAM_N} - 1], ' ') AS shingle
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t) - {NGRAM_N} + 2)) AS i) r
+  WHERE len(t) >= {NGRAM_N}
+), hashed AS (
+  SELECT DISTINCT source, {md5_hash60_sql('shingle')} AS h FROM grams
+), mins AS (
+  SELECT source, h FROM (
+    SELECT source, h, ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rnk FROM hashed
+  ) t WHERE rnk <= {KMV_K}
+), srcs AS (SELECT DISTINCT source FROM mins),
+pairs AS (
+  SELECT a.source AS src_a, b.source AS src_b
+  FROM srcs a JOIN srcs b ON a.source < b.source
+), unioned AS (
+  SELECT src_a, src_b, h, MAX(in_a) AS in_a, MAX(in_b) AS in_b FROM (
+    SELECT p.src_a, p.src_b, m.h, 1 AS in_a, 0 AS in_b
+    FROM pairs p JOIN mins m ON m.source = p.src_a
+    UNION ALL
+    SELECT p.src_a, p.src_b, m.h, 0 AS in_a, 1 AS in_b
+    FROM pairs p JOIN mins m ON m.source = p.src_b
+  ) u GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY src_a, src_b ORDER BY h) AS rnk
+  FROM unioned
+), agg AS (
+  SELECT src_a, src_b,
+         COUNT(*) AS kp,
+         CAST(SUM(in_a * (1 - in_b)) AS BIGINT) AS n_a_only,
+         CAST(SUM(in_b * (1 - in_a)) AS BIGINT) AS n_b_only,
+         MAX(CASE WHEN rnk = {KMV_K} THEN h END) AS hk
+  FROM ranked WHERE rnk <= {KMV_K}
+  GROUP BY 1, 2
+), sizes AS (
+  SELECT source, COUNT(*) AS sz FROM hashed GROUP BY 1
+), inter AS (
+  SELECT x.source AS src_a, y.source AS src_b, COUNT(*) AS n_inter
+  FROM hashed x JOIN hashed y ON x.h = y.h AND x.source < y.source
+  GROUP BY 1, 2
+), exact AS (
+  SELECT p.src_a, p.src_b,
+         CAST(sa.sz - COALESCE(i.n_inter, 0) AS BIGINT) AS a_only_exact,
+         CAST(sb.sz - COALESCE(i.n_inter, 0) AS BIGINT) AS b_only_exact
+  FROM pairs p
+  JOIN sizes sa ON sa.source = p.src_a
+  JOIN sizes sb ON sb.source = p.src_b
+  LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+)
+SELECT e.src_a, e.src_b, e.a_only_exact,
+       ROUND(CAST(n_a_only AS DOUBLE) / kp * {_KMV_DIFF_UEST_SQL}, 6) AS a_only_est,
+       e.b_only_exact,
+       ROUND(CAST(n_b_only AS DOUBLE) / kp * {_KMV_DIFF_UEST_SQL}, 6) AS b_only_est
+FROM exact e JOIN agg USING (src_a, src_b)
+"""
+
+
 CM_W = 128          # count-min width (buckets per row)
 CM_D = 4            # count-min depth (independent hash rows)
 CM_MIN_COUNT = 50   # probe set: tokens with true count >= this
@@ -837,6 +991,7 @@ FROM est e JOIN exact x USING (q)
 QUERIES = {
     "kmv_distinct_shingles": kmv_distinct_shingles,
     "kmv_source_overlap": kmv_source_overlap,
+    "kmv_set_difference": kmv_set_difference,
     "count_min_error": count_min_error,
     "bloom_membership": bloom_membership,
     "cms_join_size": cms_join_size,
@@ -850,6 +1005,7 @@ ORACLE_SQL = {
     "hll_distinct_sketch": HLL_DISTINCT_SKETCH_SQL,
     "kmv_distinct_shingles": KMV_DISTINCT_SHINGLES_SQL,
     "kmv_source_overlap": KMV_SOURCE_OVERLAP_SQL,
+    "kmv_set_difference": KMV_SET_DIFFERENCE_SQL,
     "count_min_error": COUNT_MIN_ERROR_SQL,
     "bloom_membership": BLOOM_MEMBERSHIP_SQL,
 }

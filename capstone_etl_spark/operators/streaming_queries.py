@@ -24,6 +24,7 @@ from capstone_etl_spark.operators.events import (
     CHANGELOG_APPLY_SQL,
     CONVERSION_SURVIVAL_SQL,
     EVENT_DEDUP_SQL,
+    EVENT_PSI_DRIFT_SQL,
     SLIDING_WINDOWS_SQL,
     TUMBLING_WINDOWS_SQL,
 )
@@ -1326,6 +1327,50 @@ WHERE c.cum_prev < g.target AND g.target <= c.cum
 """
 
 
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PSI drift monitor kept current DURING ingest: the reference
+    window's (t_mid, v_lo, v_hi) grid is fixed at deploy time from the
+    landed reference data (two column-stats scans of the staging copy
+    — the watermark-derivation discipline), the (type, half, bin)
+    cell counts accumulate in a complete-mode streaming aggregation
+    (≤ |types|·2·bins state, merged by addition), and the shared PSI
+    tail (events.psi_release) runs on the drained snapshot — every
+    micro-batch could publish a fresh drift table without rescanning
+    landed events. Oracle: the batch PSI SQL verbatim (the grid
+    literals are computed by the same expressions the batch plan
+    evaluates, so the releases agree exactly)."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.operators.events import PSI_BINS, psi_release
+
+    work = tempfile.mkdtemp(prefix="spark_stream_psi_")
+    try:
+        staged = stage_events(spark, sf_dir, f"{work}/staging", n_files=4)
+        t_mid = staged.agg(
+            ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2).alias("m")
+        ).first()[0]
+        v_lo, v_hi = staged.filter(F.unix_micros("ts") <= t_mid).agg(
+            F.min("value"), F.max("value")
+        ).first()
+        width = (F.lit(v_hi) - F.lit(v_lo)) / PSI_BINS
+        bin_raw = F.floor((F.col("value") - F.lit(v_lo)) / width)
+        bin_id = F.when(
+            width > 0,
+            F.greatest(F.lit(0), F.least(F.lit(PSI_BINS - 1), bin_raw)),
+        ).otherwise(F.lit(0))
+        stream = events_stream(spark, f"{work}/staging", max_files_per_trigger=2)
+        agg = stream.groupBy(
+            "event_type",
+            (F.unix_micros("ts") <= F.lit(t_mid)).alias("is_ref"),
+            bin_id.cast("long").alias("bin"),
+        ).agg(F.count("*").alias("n"))
+        snap = run_to_memory(agg, f"{work}/checkpoint", output_mode="complete")
+        return psi_release(snap)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def stream_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Kaplan-Meier time-to-conversion curve computed DURING
     ingest: per-user (first-exposure, last-event, first-qualifying-
@@ -1428,6 +1473,7 @@ QUERIES = {
     "stream_dp_histogram": stream_dp_histogram,
     "stream_conversion_survival": stream_conversion_survival,
     "stream_quantile_sketch": stream_quantile_sketch,
+    "stream_psi_drift": stream_psi_drift,
 }
 
 ORACLE_SQL = {
@@ -1461,4 +1507,7 @@ ORACLE_SQL = {
     # reproduce the batch one row-for-row
     "stream_conversion_survival": CONVERSION_SURVIVAL_SQL,
     "stream_quantile_sketch": _stream_quantile_sketch_sql(),
+    # the batch PSI SQL verbatim: the deploy-time grid literals are
+    # computed by the same expressions the batch plan evaluates
+    "stream_psi_drift": EVENT_PSI_DRIFT_SQL,
 }

@@ -266,6 +266,26 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "1-row bigram-type-total broadcast (the continuation-probability "
         "denominator) over the KN_TOPK-row relation (textstats.py)"
     ),
+    "ivf_probe_recall_curve": (
+        "composes the IVF probe pipeline + ann_brute_topk ground truth "
+        "— inherits the ~sqrt(N) seed broadcast and the eval-only "
+        "brute query x corpus scan; adds a 1-row query-count broadcast "
+        "(similarity.py)"
+    ),
+    "kmv_set_difference": (
+        "sketch x sketch pairwise join bounded by |sources|^2 * k "
+        "sketch rows (kmv_source_overlap's shape) - never corpus data "
+        "(sketches.py)"
+    ),
+    "group_dro_weights": (
+        "1-row corpus token-total broadcast (unigram_logprob's shape) "
+        "over the |sources|-row loss relation (quality.py)"
+    ),
+    "rag_chunk_retrieval": (
+        "1-row chunk-count/avgdl stats broadcast over the query-term "
+        "candidate postings (doc_similarity.py - bm25_topk's shape at "
+        "chunk granularity)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and
@@ -467,4 +487,9 @@ HEADLINE: list[str] = [
     "kneser_ney_bigram",
     "dataset_card",
     "dp_quantile_release",
+    # round-8 session-3 additions
+    "ivf_probe_recall_curve",
+    "kmv_set_difference",
+    "group_dro_weights",
+    "rag_chunk_retrieval",
 ]
