@@ -86,6 +86,12 @@ _PRIORITY = [
     "stream_psi_drift",
     "group_dro_weights",
     "rag_chunk_retrieval",
+    # Block 2d: NEW in round-8 session 4 — first driver attestation.
+    # multimodal_caption_pairs joins the multimodal family (covered
+    # alongside multimodal_frame_dedup in Block 3); stream_group_dro
+    # joins streaming (covered by three stream_* head entries).
+    "multimodal_caption_pairs",
+    "stream_group_dro",
     # Block 3: family canaries — every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span). The
     # Block-1 members cover ann (ivf_cell_medoids, hubness_audit),
@@ -119,13 +125,13 @@ _PRIORITY = [
     "ann_recall_eval",
     "stream_quality_funnel",
     "winnowing_pairs",
-    "stream_kmv_sketch",
-    "language_id_confusion",
     # ---- position 51+: every query below is driver-green in some
     # round AND green on the committed local full gate; ordered
     # least-recently-attested first so any extra driver sampling adds
     # the stalest signal. The round-7 window (all r7-green) rides the
     # committed ATTEST gate this round.
+    "stream_kmv_sketch",
+    "language_id_confusion",
     "semantic_dedup",
     "length_histogram",
     "tokenizer_fertility",

@@ -182,6 +182,10 @@ HEADLINE = [
     "stream_psi_drift",
     "group_dro_weights",
     "rag_chunk_retrieval",
+    # r8 session 4 — tracked from day one: the CLIP-style pair
+    # admission filter and the ingest-time Group-DRO mixer.
+    "multimodal_caption_pairs",
+    "stream_group_dro",
 ]
 
 

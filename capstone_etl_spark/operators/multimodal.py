@@ -820,6 +820,88 @@ WHERE bit_count(xor(wa.w0, wb.w0)) + bit_count(xor(wa.w1, wb.w1)) <= {PHASH_HAM_
 """
 
 
+# -------------------- image-caption pair admission (CLIP/LAION shape)
+
+CAP_MIN_TOK = 5
+CAP_MAX_TOK = 77          # CLIP text-encoder context
+CAP_MIN_DIM = 32
+CAP_MAX_ASPECT = 3.0
+
+
+def multimodal_caption_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, width, height, n_caption_tokens, lang, keep_caption,
+    keep_image, keep) — the image-text PAIR admission filter a
+    CLIP-style multimodal training build runs (the LAION recipe):
+    caption gates (5–77 tokens — the text-encoder context bound) and
+    image gates (min dimension ≥ 32, aspect ratio ≤ 3) over every
+    image-typed record, with its caption taken from the paired text.
+
+    Scale plan: the payload relation is FILTERED to the image third
+    BEFORE the mapInPandas decode (scan fraction 1/3, decode cost only
+    on rows that need it); caption statistics are JVM-side expression
+    work on the documents scan; one uniform doc_id join marries the
+    two sides. Real image bytes get true header dimensions, the
+    gate's synthetic payloads take the oracle-mirrored fake path
+    (media_metadata's discipline)."""
+    from capstone_etl_spark.functions.text import tokenize
+
+    docs = _docs(spark, sf_dir)
+    meta = (
+        with_binary_payload(docs)
+        .filter(F.col("media_type") == "image")
+        .mapInPandas(extract_meta, META_SCHEMA)
+    )
+    caps = docs.select(
+        "doc_id", "lang", F.size(tokenize("text")).cast("long").alias("n_caption_tokens")
+    )
+    j = meta.join(caps, "doc_id")
+    keep_caption = (F.col("n_caption_tokens") >= CAP_MIN_TOK) & (
+        F.col("n_caption_tokens") <= CAP_MAX_TOK
+    )
+    keep_image = (F.least("width", "height") >= CAP_MIN_DIM) & (
+        F.greatest("width", "height").cast("double")
+        / F.least("width", "height")
+        <= CAP_MAX_ASPECT
+    )
+    return j.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_caption_tokens",
+        "lang",
+        keep_caption.cast("int").alias("keep_caption"),
+        keep_image.cast("int").alias("keep_image"),
+        (keep_caption & keep_image).cast("int").alias("keep"),
+    )
+
+
+MULTIMODAL_CAPTION_PAIRS_SQL = f"""
+WITH p AS ({_PAYLOAD_SQL}),
+meta AS (
+  SELECT doc_id,
+         CAST(16 + ('0x' || substr(md5(payload), 1, 2))::BIGINT % 240 AS BIGINT) AS width,
+         CAST(16 + ('0x' || substr(md5(payload), 3, 2))::BIGINT % 240 AS BIGINT) AS height
+  FROM p WHERE media_type = 'image'
+), caps AS (
+  SELECT doc_id, lang,
+         CAST(len(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           x -> x <> '')) AS BIGINT) AS n_caption_tokens
+  FROM documents
+)
+SELECT m.doc_id, m.width, m.height, c.n_caption_tokens, c.lang,
+       CAST(c.n_caption_tokens BETWEEN {CAP_MIN_TOK} AND {CAP_MAX_TOK} AS INT) AS keep_caption,
+       CAST(LEAST(m.width, m.height) >= {CAP_MIN_DIM}
+            AND CAST(GREATEST(m.width, m.height) AS DOUBLE) / LEAST(m.width, m.height)
+                <= {CAP_MAX_ASPECT} AS INT) AS keep_image,
+       CAST((c.n_caption_tokens BETWEEN {CAP_MIN_TOK} AND {CAP_MAX_TOK})
+            AND LEAST(m.width, m.height) >= {CAP_MIN_DIM}
+            AND CAST(GREATEST(m.width, m.height) AS DOUBLE) / LEAST(m.width, m.height)
+                <= {CAP_MAX_ASPECT} AS INT) AS keep
+FROM meta m JOIN caps c USING (doc_id)
+"""
+
+
 QUERIES = {
     "multimodal_stats": binary_stats,
     "multimodal_meta": media_metadata,
@@ -828,6 +910,7 @@ QUERIES = {
     "multimodal_resize": media_resize,
     "multimodal_audio_resample": audio_resample,
     "multimodal_phash_dedup": media_phash_dedup,
+    "multimodal_caption_pairs": multimodal_caption_pairs,
 }
 
 ORACLE_SQL = {
@@ -838,4 +921,5 @@ ORACLE_SQL = {
     "multimodal_resize": MEDIA_RESIZE_SQL,
     "multimodal_audio_resample": AUDIO_RESAMPLE_SQL,
     "multimodal_phash_dedup": MEDIA_PHASH_DEDUP_SQL,
+    "multimodal_caption_pairs": MULTIMODAL_CAPTION_PAIRS_SQL,
 }

@@ -1225,24 +1225,38 @@ def group_dro_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-source loss rounds to 6 dp BEFORE exp (both engines
     exponentiate identical doubles), each exp snaps to decimal before
     the softmax denominator sum, one final 6-dp round."""
-    from capstone_etl_spark.functions.windows import bounded_window_key
-
     docs = load_table(spark, sf_dir, "documents")
     tok = docs.select("source", F.explode(tokenize("text")).alias("token"))
     tf = cached(tok.groupBy("source", "token").agg(F.count("*").alias("cnt")))
-    freq = tf.groupBy("token").agg(F.sum("cnt").alias("tok_cnt"))
-    total = tf.agg(F.sum("cnt").cast("double").alias("_n_corpus"))
+    return dro_release(tf)
+
+
+def dro_release(tf: DataFrame) -> DataFrame:
+    """The Group-DRO tail shared by the batch and streaming mixers:
+    (source, token, cnt) term frequencies → the weighted loss table.
+    Everything here runs on the Heaps-bounded TF relation (see
+    group_dro_weights' scale/exactness notes). Windows instead of
+    tf⋈freq self-joins: the token partitions are |sources|-bounded
+    and the corpus total's window input is the whole (Heaps-bounded)
+    TF relation — and a drained streaming snapshot can feed this tail
+    without the conflicting-reference self-join a memory-sink table
+    cannot express."""
+    from capstone_etl_spark.functions.windows import bounded_window_key
+
+    wt = Window.partitionBy("token")
+    wall = Window.partitionBy(bounded_window_key("source"))
+    enriched = tf.select(
+        "source",
+        "cnt",
+        F.sum("cnt").over(wt).alias("tok_cnt"),
+        F.sum("cnt").over(wall).cast("double").alias("_n_corpus"),
+    )
     term = (
         F.col("cnt") * F.log(F.col("tok_cnt").cast("double") / F.col("_n_corpus"))
     ).cast("decimal(28,12)")
-    per_src = (
-        tf.join(freq, "token")
-        .crossJoin(F.broadcast(total))
-        .groupBy("source")
-        .agg(
-            F.sum("cnt").cast("long").alias("n_tokens"),
-            F.round((-F.sum(term)).cast("double") / F.sum("cnt"), 6).alias("loss_nats"),
-        )
+    per_src = enriched.groupBy("source").agg(
+        F.sum("cnt").cast("long").alias("n_tokens"),
+        F.round((-F.sum(term)).cast("double") / F.sum("cnt"), 6).alias("loss_nats"),
     )
     e = F.exp(F.lit(GDRO_ETA) * F.col("loss_nats")).cast("decimal(28,12)")
     w = Window.partitionBy(bounded_window_key("source"))

@@ -1327,6 +1327,47 @@ WHERE c.cum_prev < g.target AND g.target <= c.cum
 """
 
 
+def _stream_group_dro_sql() -> str:
+    from capstone_etl_spark.operators.quality import GROUP_DRO_WEIGHTS_SQL
+
+    return GROUP_DRO_WEIGHTS_SQL
+
+
+def stream_group_dro(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Group-DRO mixing weights kept current DURING ingest: the
+    (source, token) term-frequency cells accumulate in a complete-mode
+    streaming aggregation — state is the Heaps-bounded vocabulary ×
+    |sources|, merged by addition, so arriving shards only touch their
+    own cells — and the shared loss/softmax tail (quality.dro_release)
+    runs on the drained snapshot: every micro-batch could re-weight
+    the mixer without rescanning landed text. Oracle: the batch DRO
+    SQL verbatim."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.functions.text import tokenize
+    from capstone_etl_spark.operators.quality import dro_release
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_dro_")
+    try:
+        staging = f"{work}/staging"
+        load_table(spark, sf_dir, "documents").repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        tf = stream.select(
+            "source", F.explode(tokenize("text")).alias("token")
+        ).groupBy("source", "token").agg(F.count("*").alias("cnt"))
+        snap = run_to_memory(tf, f"{work}/checkpoint", output_mode="complete")
+        return dro_release(snap)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PSI drift monitor kept current DURING ingest: the reference
     window's (t_mid, v_lo, v_hi) grid is fixed at deploy time from the
@@ -1474,6 +1515,7 @@ QUERIES = {
     "stream_conversion_survival": stream_conversion_survival,
     "stream_quantile_sketch": stream_quantile_sketch,
     "stream_psi_drift": stream_psi_drift,
+    "stream_group_dro": stream_group_dro,
 }
 
 ORACLE_SQL = {
@@ -1510,4 +1552,7 @@ ORACLE_SQL = {
     # the batch PSI SQL verbatim: the deploy-time grid literals are
     # computed by the same expressions the batch plan evaluates
     "stream_psi_drift": EVENT_PSI_DRIFT_SQL,
+    # the batch DRO SQL verbatim: TF cells merge by addition, so the
+    # drained snapshot equals the batch TF relation exactly
+    "stream_group_dro": _stream_group_dro_sql(),
 }

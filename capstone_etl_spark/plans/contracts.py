@@ -492,4 +492,6 @@ HEADLINE: list[str] = [
     "kmv_set_difference",
     "group_dro_weights",
     "rag_chunk_retrieval",
+    # round-8 session-4 additions
+    "multimodal_caption_pairs",
 ]
