@@ -92,6 +92,13 @@ _PRIORITY = [
     # joins streaming (covered by three stream_* head entries).
     "multimodal_caption_pairs",
     "stream_group_dro",
+    # Block 2e: NEW in round-8 session 5 — first driver attestation.
+    # All three join the events family (covered by five Block-1
+    # members); logistic_conversion_model is the first supervised-
+    # learning iterative loop in the window.
+    "event_attribution_credit",
+    "event_bot_score",
+    "logistic_conversion_model",
     # Block 3: family canaries — every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span). The
     # Block-1 members cover ann (ivf_cell_medoids, hubness_audit),

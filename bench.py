@@ -186,6 +186,14 @@ HEADLINE = [
     # admission filter and the ingest-time Group-DRO mixer.
     "multimodal_caption_pairs",
     "stream_group_dro",
+    # r8 session 5 — tracked from day one: the U-shaped attribution
+    # rollup (two user-window passes), the bot-regularity screen (one
+    # LAG window + user agg), and the in-engine logistic GD trainer
+    # (LOGIT_ROUNDS scalar aggregates over one cached feature pass —
+    # the per-round-driver-work cost canary for supervised loops).
+    "event_attribution_credit",
+    "event_bot_score",
+    "logistic_conversion_model",
 ]
 
 

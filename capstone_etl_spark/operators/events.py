@@ -1986,6 +1986,331 @@ QUALIFY context <> ''
 """
 
 
+# --------------------------------- multi-touch attribution credit
+
+ATTR_FIRST = 0.4   # U-shaped (position-based) credit split
+ATTR_LAST = 0.4
+
+
+def event_attribution_credit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_touches, credit) — U-shaped multi-touch
+    attribution: for every converting user, the touches STRICTLY
+    before the first purchase share the conversion credit 40% first /
+    40% last / 20% split across the middle (100% and 50/50 for 1- and
+    2-touch journeys), rolled up per channel (event_type). The
+    credit model behind marketing-mix tables; stream_click_attribution
+    is its last-touch special case.
+
+    Scale plan: first-purchase and touch ranks are windows over the
+    user_id hash partitioning (two passes); the rollup is one hash agg
+    on |types| keys. Credit fractions are exact dyadic/short decimals
+    combined in one fixed expression; each per-touch credit snaps to
+    DECIMAL(28,12) so the per-channel sum is order-free."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id")
+    conv = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "event_type",
+        F.min(
+            F.when(F.col("event_type") == AB_CONVERT_TYPE, F.unix_micros("ts"))
+        ).over(wu).alias("conv_us"),
+    ).filter(
+        F.col("conv_us").isNotNull() & (F.unix_micros("ts") < F.col("conv_us"))
+    )
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    touches = conv.select(
+        "user_id",
+        "event_type",
+        F.row_number().over(wt).alias("pos"),
+        F.count("*").over(wn).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, F.lit(1.0))
+        .when(F.col("n") == 2, F.lit(0.5))
+        .when(F.col("pos") == 1, F.lit(ATTR_FIRST))
+        .when(F.col("pos") == F.col("n"), F.lit(ATTR_LAST))
+        .otherwise(
+            (F.lit(1.0) - ATTR_FIRST - ATTR_LAST) / (F.col("n") - 2)
+        )
+    ).cast("decimal(28,12)")
+    return touches.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_touches"),
+        F.round(F.sum(credit).cast("double"), 6).alias("credit"),
+    )
+
+
+EVENT_ATTRIBUTION_CREDIT_SQL = f"""
+WITH conv AS (
+  SELECT user_id, event_id, ts, event_type,
+         MIN(CASE WHEN event_type = '{AB_CONVERT_TYPE}' THEN epoch_us(ts) END)
+           OVER (PARTITION BY user_id) AS conv_us
+  FROM events
+), touches AS (
+  SELECT user_id, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS pos,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM conv
+  WHERE conv_us IS NOT NULL AND epoch_us(ts) < conv_us
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_touches,
+       ROUND(CAST(SUM(CAST(
+         CASE WHEN n = 1 THEN 1.0
+              WHEN n = 2 THEN 0.5
+              WHEN pos = 1 THEN {ATTR_FIRST}
+              WHEN pos = n THEN {ATTR_LAST}
+              ELSE (1.0 - {ATTR_FIRST} - {ATTR_LAST}) / (n - 2) END
+         AS DECIMAL(28,12))) AS DOUBLE), 6) AS credit
+FROM touches GROUP BY 1
+"""
+
+
+# ------------------------------------------- bot-traffic screening
+
+BOT_MIN_EVENTS = 20
+BOT_CV_MAX = 0.3   # metronome regularity: gap cv below this is bot-like
+
+
+def event_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, n_events, mean_gap_sec, gap_cv, is_bot) — heuristic
+    automated-traffic screening per user: a human's inter-event gaps
+    are bursty (high coefficient of variation), a scripted client's
+    are metronomic (cv → 0). Flag users with ≥ BOT_MIN_EVENTS events
+    whose gap cv < BOT_CV_MAX — the traffic scrub an events-derived
+    training corpus runs before any behavioral statistic is trusted.
+
+    Scale plan: one LAG window per user (hash-partitioned), one
+    user-keyed agg. Exactness: gaps are integer seconds; Σg and Σg²
+    are exact int64 sums, so cv = √(n·Σg² − (Σg)²)/Σg runs identical
+    IEEE ops on identical integers in both engines (population
+    variance; n here counts gaps)."""
+    ev = _events(spark, sf_dir)
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    sec = F.col("ts").cast("long")
+    gaps = ev.select(
+        "user_id",
+        (sec - F.lag(sec).over(wu)).alias("g"),
+    )
+    agg = gaps.groupBy("user_id").agg(
+        (F.count("*")).cast("long").alias("n_events"),
+        F.count("g").cast("long").alias("ng"),
+        F.sum("g").cast("long").alias("sg"),
+        F.sum(F.col("g") * F.col("g")).cast("long").alias("sg2"),
+    )
+    cv = F.when(
+        (F.col("ng") > 0) & (F.col("sg") > 0),
+        F.sqrt((F.col("ng") * F.col("sg2") - F.col("sg") * F.col("sg")).cast("double"))
+        / F.col("sg"),
+    )
+    return agg.select(
+        "user_id",
+        "n_events",
+        F.when(F.col("ng") > 0, F.round(F.col("sg").cast("double") / F.col("ng"), 6)).alias(
+            "mean_gap_sec"
+        ),
+        F.round(cv, 6).alias("gap_cv"),
+        (
+            (F.col("n_events") >= BOT_MIN_EVENTS)
+            & cv.isNotNull()
+            & (F.coalesce(cv, F.lit(1e18)) < BOT_CV_MAX)
+        ).cast("int").alias("is_bot"),
+    )
+
+
+EVENT_BOT_SCORE_SQL = f"""
+WITH gaps AS (
+  SELECT user_id,
+         FLOOR(epoch(ts))::BIGINT
+           - LAG(FLOOR(epoch(ts))::BIGINT) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS g
+  FROM events
+), agg AS (
+  SELECT user_id,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         CAST(COUNT(g) AS BIGINT) AS ng,
+         CAST(SUM(g) AS BIGINT) AS sg,
+         CAST(SUM(g * g) AS BIGINT) AS sg2
+  FROM gaps GROUP BY 1
+)
+SELECT user_id, n_events,
+       CASE WHEN ng > 0 THEN ROUND(CAST(sg AS DOUBLE) / ng, 6) END AS mean_gap_sec,
+       ROUND(CASE WHEN ng > 0 AND sg > 0
+                  THEN SQRT(CAST(ng * sg2 - sg * sg AS DOUBLE)) / sg END, 6) AS gap_cv,
+       CAST(n_events >= {BOT_MIN_EVENTS}
+            AND COALESCE(CASE WHEN ng > 0 AND sg > 0
+                      THEN SQRT(CAST(ng * sg2 - sg * sg AS DOUBLE)) / sg END, 1e18)
+                < {BOT_CV_MAX}
+            AS INT) AS is_bot
+FROM agg
+"""
+
+
+# ------------------- logistic conversion model (unrolled GD)
+
+LOGIT_LR = 1.0
+LOGIT_ROUNDS = 15
+_LOGIT_TERMS = ("bias", "ln_events", "ln_value", "n_types", "ln_span")
+
+
+def _logit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, y, x1..x4): per-user behavioral features + the
+    converted label. All features derive from exact integer/decimal
+    aggregates (value through the DECIMAL(18,2) cents sum), so both
+    engines feed the GD identical doubles."""
+    ev = _events(spark, sf_dir)
+    agg = ev.groupBy("user_id").agg(
+        F.count("*").cast("long").alias("n_events"),
+        _dsum(F.col("value")).alias("v"),
+        F.countDistinct("event_type").cast("long").alias("n_types"),
+        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("span"),
+        F.max((F.col("event_type") == AB_CONVERT_TYPE).cast("int")).alias("y"),
+    )
+    return agg.select(
+        "user_id",
+        F.col("y").cast("double").alias("y"),
+        F.log(F.lit(1.0) + F.col("n_events")).alias("x1"),
+        F.log(F.lit(1.0) + F.col("v")).alias("x2"),
+        F.col("n_types").cast("double").alias("x3"),
+        F.log(F.lit(1.0) + F.col("span")).alias("x4"),
+    )
+
+
+def logistic_conversion_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(term, value) — a logistic conversion model TRAINED inside the
+    engine: LOGIT_ROUNDS rounds of full-batch gradient descent on
+    P(converted | ln events, ln value spend, type diversity, ln span),
+    entirely as DataFrame aggregations — the fourth iterative
+    algorithm family (after CC, PageRank, power iteration), this one
+    supervised learning. Output: the five learned weights plus the
+    final training log-loss, accuracy, and cohort size — the
+    propensity model a growth pipeline ships.
+
+    Scale plan: features are ONE user-keyed aggregation (cached);
+    each GD round is one scalar (1-row) aggregate over it — the CC
+    loop's per-round-driver-work discipline — with the 5 weights
+    re-entering as literals, so lineage stays constant-depth and
+    nothing per-round scales with users. Exactness: every gradient /
+    loss term snaps to DECIMAL(28,12) before the order-free sum (the
+    1e-12 quantization absorbs cross-engine exp/ln ulp drift — the
+    repo-wide ln discipline), divisions and weight updates are
+    identical IEEE expressions, so the oracle's chained per-round CTEs
+    reproduce the exact weight trajectory."""
+    feats = cached(_logit_features(spark, sf_dir))
+    w = [0.0] * 5
+    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3"), F.col("x4")]
+    for _ in range(LOGIT_ROUNDS):
+        z = sum((F.lit(wj) * xj for wj, xj in zip(w, xs)), F.lit(0.0))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        grads = feats.agg(
+            F.count("*").alias("n"),
+            *[
+                F.sum(((p - F.col("y")) * xj).cast("decimal(28,12)")).alias(f"g{j}")
+                for j, xj in enumerate(xs)
+            ],
+        ).first()
+        n = grads["n"]
+        w = [
+            wj - LOGIT_LR * float(grads[f"g{j}"]) / n
+            for j, wj in enumerate(w)
+        ]
+    z = sum((F.lit(wj) * xj for wj, xj in zip(w, xs)), F.lit(0.0))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    # clamp the loss probabilities: a saturated p (exactly 0.0/1.0 in
+    # double) would make the off-label term 0·ln(0) = NaN
+    pc = F.least(F.greatest(p, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+    ll_term = (
+        -(F.col("y") * F.log(pc) + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pc))
+    ).cast("decimal(28,12)")
+    fin = feats.agg(
+        F.count("*").alias("n"),
+        F.sum(ll_term).alias("lls"),
+        F.sum(((p >= 0.5).cast("int") == F.col("y").cast("int")).cast("long")).alias("nc"),
+    )
+    rows = [F.struct(F.lit(t).alias("term"), F.round(F.lit(wj), 6).alias("value"))
+            for t, wj in zip(_LOGIT_TERMS, w)]
+    return fin.select(
+        F.explode(
+            F.array(
+                *rows,
+                F.struct(
+                    F.lit("logloss").alias("term"),
+                    F.round(F.col("lls").cast("double") / F.col("n"), 6).alias("value"),
+                ),
+                F.struct(
+                    F.lit("accuracy").alias("term"),
+                    F.round(F.col("nc").cast("double") / F.col("n"), 6).alias("value"),
+                ),
+                F.struct(
+                    F.lit("n_users").alias("term"),
+                    F.col("n").cast("double").alias("value"),
+                ),
+            )
+        ).alias("r")
+    ).select(F.col("r.term").alias("term"), F.col("r.value").alias("value"))
+
+
+def _logistic_sql() -> str:
+    feat = f"""
+feat AS MATERIALIZED (
+  SELECT user_id,
+         CAST(CASE WHEN MAX(CASE WHEN event_type = '{AB_CONVERT_TYPE}' THEN 1 ELSE 0 END) = 1
+              THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
+         LN(1.0 + COUNT(*)) AS x1,
+         LN(1.0 + CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) AS x2,
+         CAST(COUNT(DISTINCT event_type) AS DOUBLE) AS x3,
+         LN(1.0 + (MAX(FLOOR(epoch(ts))::BIGINT) - MIN(FLOOR(epoch(ts))::BIGINT))) AS x4
+  FROM events GROUP BY user_id
+)"""
+    z = "(w.b0 * 1.0 + w.b1 * f.x1 + w.b2 * f.x2 + w.b3 * f.x3 + w.b4 * f.x4)"
+    p = f"(1.0 / (1.0 + EXP(-{z})))"
+    rounds = []
+    for r in range(1, LOGIT_ROUNDS + 1):
+        gsel = ", ".join(
+            f"SUM(CAST(({p} - f.y) * {x} AS DECIMAL(28,12))) AS g{j}"
+            for j, x in enumerate(("1.0", "f.x1", "f.x2", "f.x3", "f.x4"))
+        )
+        wsel = ", ".join(
+            f"w.b{j} - {LOGIT_LR} * CAST(g.g{j} AS DOUBLE) / g.n AS b{j}"
+            for j in range(5)
+        )
+        # MATERIALIZED is load-bearing: w{r} is referenced twice
+        # downstream (g{r+1} and w{r+1}); DuckDB inlines plain CTEs,
+        # which doubles the expression tree per round -> 2^ROUNDS
+        # blow-up. Materializing pins each round to one 1-row scan.
+        rounds.append(f"""
+, g{r} AS MATERIALIZED (
+  SELECT COUNT(*) AS n, {gsel} FROM feat f, w{r - 1} w
+), w{r} AS MATERIALIZED (
+  SELECT {wsel} FROM w{r - 1} w, g{r} g
+)""")
+    pf = f"LEAST(GREATEST({p}, 1e-12), 1.0 - 1e-12)"
+    llt = f"CAST(-(f.y * LN({pf}) + (1.0 - f.y) * LN(1.0 - {pf})) AS DECIMAL(28,12))"
+    return (
+        "WITH "
+        + feat.strip()
+        + ", w0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3, 0.0 AS b4)"
+        + "".join(rounds)
+        + f"""
+, fin AS (
+  SELECT COUNT(*) AS n,
+         SUM({llt}) AS lls,
+         SUM(CASE WHEN CAST({pf} >= 0.5 AS INT) = CAST(f.y AS INT) THEN 1 ELSE 0 END) AS nc
+  FROM feat f, w{LOGIT_ROUNDS} w
+)
+SELECT 'bias' AS term, ROUND(b0, 6) AS value FROM w{LOGIT_ROUNDS}
+UNION ALL SELECT 'ln_events', ROUND(b1, 6) FROM w{LOGIT_ROUNDS}
+UNION ALL SELECT 'ln_value', ROUND(b2, 6) FROM w{LOGIT_ROUNDS}
+UNION ALL SELECT 'n_types', ROUND(b3, 6) FROM w{LOGIT_ROUNDS}
+UNION ALL SELECT 'ln_span', ROUND(b4, 6) FROM w{LOGIT_ROUNDS}
+UNION ALL SELECT 'logloss', ROUND(CAST(lls AS DOUBLE) / n, 6) FROM fin
+UNION ALL SELECT 'accuracy', ROUND(CAST(nc AS DOUBLE) / n, 6) FROM fin
+UNION ALL SELECT 'n_users', CAST(n AS DOUBLE) FROM fin
+"""
+    )
+
+
 QUERIES = {
     "event_ewma_daily": ewma_daily,
     "event_scd_intervals": scd_intervals,
@@ -2021,6 +2346,9 @@ QUERIES = {
     "event_seasonality": event_seasonality,
     "event_frequent_sequences": event_frequent_sequences,
     "next_event_examples": next_event_examples,
+    "event_attribution_credit": event_attribution_credit,
+    "event_bot_score": event_bot_score,
+    "logistic_conversion_model": logistic_conversion_model,
 }
 
 ORACLE_SQL = {
@@ -2058,4 +2386,7 @@ ORACLE_SQL = {
     "event_seasonality": EVENT_SEASONALITY_SQL,
     "event_frequent_sequences": EVENT_FREQUENT_SEQUENCES_SQL,
     "next_event_examples": NEXT_EVENT_EXAMPLES_SQL,
+    "event_attribution_credit": EVENT_ATTRIBUTION_CREDIT_SQL,
+    "event_bot_score": EVENT_BOT_SCORE_SQL,
+    "logistic_conversion_model": _logistic_sql(),
 }

@@ -494,4 +494,10 @@ HEADLINE: list[str] = [
     "rag_chunk_retrieval",
     # round-8 session-4 additions
     "multimodal_caption_pairs",
+    # round-8 session-5 additions (logistic_conversion_model is
+    # excluded: its plan embeds the 15 learned-weight literals, so the
+    # dump would churn on every data change; its per-round discipline
+    # is pinned by tests/test_round8_session5.py instead)
+    "event_attribution_credit",
+    "event_bot_score",
 ]

@@ -75,10 +75,16 @@ def test_first_fifty_span_every_family():
         "doc_similarity": ("doc_similarity_topk", "bm25_topk", "retrieval_ndcg"),
         # the round-7 streaming/multimodal head-block queries cover the
         # window for the demoted multi-round-green canaries
+        # the round-8 streaming additions (KM survival, quantile
+        # sketch, PSI drift, Group-DRO, A/B monitor) joined the family
+        # across sessions 1-4 and sit in the head block, covering the
+        # window for the demoted multi-round-green canaries
         "streaming": (
             "stream_tumbling_windows", "stream_user_sessions",
             "stream_quality_funnel", "stream_kmv_sketch", "stream_event_dedup",
             "stream_changelog_apply", "stream_ivf_assign", "stream_hll_sketch",
+            "stream_conversion_survival", "stream_quantile_sketch",
+            "stream_psi_drift", "stream_group_dro", "stream_ab_test",
         ),
         "multimodal": (
             "multimodal_frame_dedup",
@@ -137,6 +143,10 @@ def test_first_fifty_span_every_family():
             "event_psi_drift",
             "conversion_survival",
             "event_seasonality",
+            # round-8 session 5: attribution, bot screen, logistic GD
+            "event_attribution_credit",
+            "event_bot_score",
+            "logistic_conversion_model",
         ),
     }
     absent = {

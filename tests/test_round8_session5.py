@@ -1,0 +1,153 @@
+"""Round-8 session-5 operator tests: U-shaped multi-touch
+attribution, the bot-traffic gap-regularity screen, and the in-engine
+logistic conversion model — each checked against an independent pure
+python model over the sf0.001 events."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+
+def _py_events(sf_dir):
+    import duckdb
+
+    return duckdb.sql(
+        f"""SELECT user_id, event_id, epoch_us(ts) AS us,
+                   FLOOR(epoch(ts))::BIGINT AS sec, event_type, value
+            FROM '{sf_dir}/events.parquet'
+            ORDER BY user_id, us, event_id"""
+    ).fetchall()
+
+
+def test_attribution_credit_matches_python(spark, sf_dir):
+    """Per-channel credit equals a pure-python U-shaped model, and the
+    total credit equals one unit per converting user with >=1 prior
+    touch (credit is conserved)."""
+    from capstone_etl_spark.operators.events import (
+        AB_CONVERT_TYPE,
+        ATTR_FIRST,
+        ATTR_LAST,
+        event_attribution_credit,
+    )
+
+    by_user: dict[int, list] = {}
+    for u, eid, us, _sec, et, _v in _py_events(sf_dir):
+        by_user.setdefault(u, []).append((us, eid, et))
+    want: dict[str, list[float]] = {}
+    n_convert_users = 0
+    for rows in by_user.values():
+        conv = [us for us, _, et in rows if et == AB_CONVERT_TYPE]
+        if not conv:
+            continue
+        touches = [et for us, _, et in rows if us < min(conv)]
+        if not touches:
+            continue
+        n_convert_users += 1
+        n = len(touches)
+        for pos, et in enumerate(touches, start=1):
+            if n == 1:
+                c = 1.0
+            elif n == 2:
+                c = 0.5
+            elif pos == 1:
+                c = ATTR_FIRST
+            elif pos == n:
+                c = ATTR_LAST
+            else:
+                c = (1.0 - ATTR_FIRST - ATTR_LAST) / (n - 2)
+            want.setdefault(et, []).append(c)
+    got = {r.event_type: r for r in event_attribution_credit(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for et, cs in want.items():
+        assert got[et].n_touches == len(cs)
+        assert got[et].credit == pytest.approx(sum(cs), abs=2e-6)
+    total = sum(float(r.credit) for r in got.values())
+    assert total == pytest.approx(n_convert_users, abs=1e-4)
+
+
+def test_bot_score_matches_python(spark, sf_dir):
+    """Per-user gap cv and the bot flag equal a pure-python recompute
+    on integer-second gaps."""
+    from capstone_etl_spark.operators.events import (
+        BOT_CV_MAX,
+        BOT_MIN_EVENTS,
+        event_bot_score,
+    )
+
+    by_user: dict[int, list] = {}
+    for u, eid, us, sec, _et, _v in _py_events(sf_dir):
+        by_user.setdefault(u, []).append(sec)
+    got = {r.user_id: r for r in event_bot_score(spark, sf_dir).collect()}
+    assert set(got) == set(by_user)
+    for u, secs in by_user.items():
+        g = [b - a for a, b in zip(secs, secs[1:])]
+        r = got[u]
+        assert r.n_events == len(secs)
+        if not g:
+            assert r.mean_gap_sec is None and r.gap_cv is None and r.is_bot == 0
+            continue
+        assert r.mean_gap_sec == pytest.approx(sum(g) / len(g), abs=1e-6)
+        sg, sg2, ng = sum(g), sum(x * x for x in g), len(g)
+        if sg > 0:
+            cv = math.sqrt(ng * sg2 - sg * sg) / sg
+            assert r.gap_cv == pytest.approx(cv, abs=1e-6)
+            assert r.is_bot == int(len(secs) >= BOT_MIN_EVENTS and cv < BOT_CV_MAX)
+        else:
+            assert r.gap_cv is None and r.is_bot == 0
+
+
+def test_logistic_model_matches_python_gd(spark, sf_dir):
+    """The learned weights, log-loss, and accuracy equal an
+    independent full-batch GD implementation (float sums — the
+    engine's 1e-12 decimal snapping is below the tolerance), and the
+    loss actually went down from the w=0 start."""
+    from capstone_etl_spark.operators.events import (
+        AB_CONVERT_TYPE,
+        LOGIT_LR,
+        LOGIT_ROUNDS,
+        logistic_conversion_model,
+    )
+
+    by_user: dict[int, list] = {}
+    for u, _eid, _us, sec, et, v in _py_events(sf_dir):
+        by_user.setdefault(u, []).append((sec, et, v))
+    feats = []
+    for rows in by_user.values():
+        secs = [s for s, _, _ in rows]
+        cents = sum(round(v * 100) for _, _, v in rows)
+        y = 1.0 if any(et == AB_CONVERT_TYPE for _, et, _ in rows) else 0.0
+        feats.append(
+            (
+                y,
+                math.log(1.0 + len(rows)),
+                math.log(1.0 + cents / 100.0),
+                float(len({et for _, et, _ in rows})),
+                math.log(1.0 + (max(secs) - min(secs))),
+            )
+        )
+    w = [0.0] * 5
+    n = len(feats)
+    for _ in range(LOGIT_ROUNDS):
+        grads = [0.0] * 5
+        for y, *x in feats:
+            xs = [1.0] + x
+            p = 1.0 / (1.0 + math.exp(-sum(wj * xj for wj, xj in zip(w, xs))))
+            for j in range(5):
+                grads[j] += (p - y) * xs[j]
+        w = [wj - LOGIT_LR * gj / n for wj, gj in zip(w, grads)]
+    lls = ncorrect = 0.0
+    for y, *x in feats:
+        xs = [1.0] + x
+        p = 1.0 / (1.0 + math.exp(-sum(wj * xj for wj, xj in zip(w, xs))))
+        pc = min(max(p, 1e-12), 1.0 - 1e-12)
+        lls += -(y * math.log(pc) + (1.0 - y) * math.log(1.0 - pc))
+        ncorrect += float(int(p >= 0.5) == int(y))
+    got = {r.term: r.value for r in logistic_conversion_model(spark, sf_dir).collect()}
+    for term, wj in zip(("bias", "ln_events", "ln_value", "n_types", "ln_span"), w):
+        assert got[term] == pytest.approx(wj, abs=1e-5)
+    assert got["logloss"] == pytest.approx(lls / n, abs=1e-5)
+    assert got["accuracy"] == pytest.approx(ncorrect / n, abs=1e-9)
+    assert got["n_users"] == n
+    assert got["logloss"] < math.log(2.0)  # better than the w=0 start
