@@ -194,6 +194,10 @@ HEADLINE = [
     "event_attribution_credit",
     "event_bot_score",
     "logistic_conversion_model",
+    # r8 session 5 (cont.): the in-engine Naive Bayes source
+    # classifier — two token-keyed shuffles + an argmax window, the
+    # learned-classifier cost canary next to the heuristic language_id.
+    "naive_bayes_source_model",
 ]
 
 

@@ -2547,6 +2547,192 @@ SELECT 'unigram', w, t, ROUND(CAST(t AS DOUBLE) / CAST(w AS DOUBLE), 6) FROM us
 """
 
 
+# ------------------- multinomial Naive Bayes source classifier
+
+def naive_bayes_source_model(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(true_source, predicted_source, n_docs, row_share, correct) —
+    a multinomial Naive Bayes text classifier TRAINED in-engine:
+    Laplace-smoothed per-source token likelihoods fit on the salted-
+    hash 'train' split (sampling.split_column — doc_id parity is
+    CORRELATED with source in this corpus, so a modulus split would
+    put every train source out of the eval set), evaluated as a
+    confusion matrix over the val+test docs
+    (language_id_confusion's readout shape, but for a LEARNED model —
+    the provenance classifier a curation pipeline uses to spot
+    mislabeled or style-outlier sources).
+
+    The factored score avoids the V×|sources| likelihood grid:
+        score(d,s) = ln(nd_s/N) + Σ_t n_dt·ln(c_st+1) − m_d·ln(C_s+V)
+    so only OBSERVED (token, source) train cells join the test tokens
+    (zero cells contribute n·ln(1) = 0), and the per-source constants
+    ride in as a broadcast of |sources| rows.
+
+    Scale plan: one tokenize pass feeds both legs; train cells and the
+    test join are token-keyed shuffles (the tf×vocab shape, J4); the
+    per-(doc, source) aggregation is bounded by test tokens ×
+    |sources-sharing-a-token|; the argmax window partitions by doc_id.
+    V is Heaps-bounded, |sources| is small. Numeric discipline: every
+    n·ln term snaps to DECIMAL(28,12) (split_perplexity_gap's
+    convention) so scores are exact decimals and the argmax — ties
+    broken by source name — is identical cross-engine."""
+    from capstone_etl_spark.operators.sampling import split_column
+
+    docs = _docs(spark, sf_dir).withColumn(
+        "_is_train", split_column(F.col("doc_id")) == "train"
+    )
+    tok = docs.select(
+        "doc_id", "source", "_is_train", F.explode(tokenize("text")).alias("token")
+    )
+    cst = cached(
+        tok.filter(F.col("_is_train"))
+        .groupBy("token", "source")
+        .agg(F.count("*").alias("c"))
+    )
+    v_rel = cst.select("token").distinct().agg(F.count("*").alias("v"))
+    tr_docs = docs.filter(F.col("_is_train"))
+    n_rel = tr_docs.agg(F.count("*").alias("n_tr"))
+    src = (
+        tr_docs.groupBy("source")
+        .agg(F.count("*").alias("nd"))
+        .join(cst.groupBy("source").agg(F.sum("c").alias("c_s")), "source", "left")
+        .crossJoin(F.broadcast(v_rel))
+        .crossJoin(F.broadcast(n_rel))
+        .select(
+            F.col("source").alias("cand"),
+            F.log(F.col("nd") / F.col("n_tr")).cast("decimal(28,12)").alias("prior"),
+            F.log(F.coalesce(F.col("c_s"), F.lit(0)) + F.col("v")).alias("lden"),
+        )
+    )
+    dt = cached(
+        tok.filter(~F.col("_is_train"))
+        .join(cst.select("token").distinct(), "token", "semi")
+        .groupBy("doc_id", "token")
+        .agg(F.count("*").alias("n"))
+    )
+    p1 = (
+        dt.join(cst, "token")
+        .select(
+            "doc_id",
+            F.col("source").alias("cand"),
+            (F.col("n") * F.log(F.col("c") + 1)).cast("decimal(28,12)").alias("term"),
+        )
+        .groupBy("doc_id", "cand")
+        .agg(F.sum("term").alias("p1"))
+    )
+    md = dt.groupBy("doc_id").agg(F.sum("n").alias("m"))
+    scored = (
+        docs.filter(~F.col("_is_train"))
+        .select("doc_id", F.col("source").alias("true_source"))
+        .join(md, "doc_id", "left")
+        .crossJoin(F.broadcast(src))
+        .join(p1, ["doc_id", "cand"], "left")
+        .select(
+            "doc_id",
+            "true_source",
+            "cand",
+            (
+                F.col("prior")
+                + F.coalesce(F.col("p1"), F.lit(0).cast("decimal(28,12)"))
+                - (F.coalesce(F.col("m"), F.lit(0)) * F.col("lden")).cast(
+                    "decimal(28,12)"
+                )
+            ).alias("score"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("cand").asc())
+    pred = (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .select("true_source", F.col("cand").alias("predicted_source"))
+    )
+    cells = pred.groupBy("true_source", "predicted_source").agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    wr = Window.partitionBy("true_source")  # ≤ |sources| rows per key post-agg
+    return cells.select(
+        "true_source",
+        "predicted_source",
+        "n_docs",
+        F.round(F.col("n_docs").cast("double") / F.sum("n_docs").over(wr), 6).alias(
+            "row_share"
+        ),
+        (F.col("true_source") == F.col("predicted_source")).alias("correct"),
+    )
+
+
+def _naive_bayes_sql() -> str:
+    from capstone_etl_spark.operators.sampling import split_sql_case
+
+    is_train = f"({split_sql_case('doc_id')}) = 'train'"
+    # scored joins three doc_id-bearing relations; qualify the split's
+    # id reference there or the binder sees an ambiguous column
+    is_train_d = f"({split_sql_case('d.doc_id')}) = 'train'"
+    return f"""
+WITH tok AS (
+  SELECT doc_id, source, {is_train} AS is_train,
+         UNNEST(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           t -> t <> '')) AS token
+  FROM documents
+), cst AS (
+  SELECT token, source, COUNT(*) AS c
+  FROM tok WHERE is_train GROUP BY 1, 2
+), v AS (
+  SELECT COUNT(DISTINCT token) AS v FROM cst
+), n AS (
+  SELECT COUNT(*) AS n_tr FROM documents WHERE {is_train}
+), src AS (
+  SELECT d.source AS cand,
+         CAST(LN(CAST(COUNT(*) AS DOUBLE) / n.n_tr) AS DECIMAL(28,12)) AS prior,
+         LN(COALESCE(cs.c_s, 0) + v.v) AS lden
+  FROM documents d
+  LEFT JOIN (SELECT source, SUM(c) AS c_s FROM cst GROUP BY 1) cs ON d.source = cs.source
+  CROSS JOIN v CROSS JOIN n
+  WHERE {is_train}
+  GROUP BY d.source, cs.c_s, v.v, n.n_tr
+), dt AS (
+  SELECT doc_id, token, COUNT(*) AS n
+  FROM tok
+  WHERE NOT is_train
+    AND token IN (SELECT DISTINCT token FROM cst)
+  GROUP BY 1, 2
+), p1 AS (
+  SELECT dt.doc_id, cst.source AS cand,
+         SUM(CAST(dt.n * LN(cst.c + 1) AS DECIMAL(28,12))) AS p1
+  FROM dt JOIN cst ON dt.token = cst.token
+  GROUP BY 1, 2
+), md AS (
+  SELECT doc_id, SUM(n) AS m FROM dt GROUP BY 1
+), scored AS (
+  SELECT d.doc_id, d.source AS true_source, s.cand,
+         s.prior + COALESCE(p1.p1, CAST(0 AS DECIMAL(28,12)))
+           - CAST(COALESCE(md.m, 0) * s.lden AS DECIMAL(28,12)) AS score
+  FROM documents d
+  LEFT JOIN md ON d.doc_id = md.doc_id
+  CROSS JOIN src s
+  LEFT JOIN p1 ON p1.doc_id = d.doc_id AND p1.cand = s.cand
+  WHERE NOT ({is_train_d})
+), pred AS (
+  SELECT true_source, cand AS predicted_source
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                     ORDER BY score DESC, cand ASC) AS rn
+        FROM scored)
+  WHERE rn = 1
+), cells AS (
+  SELECT true_source, predicted_source, CAST(COUNT(*) AS BIGINT) AS n_docs
+  FROM pred GROUP BY 1, 2
+)
+SELECT true_source, predicted_source, n_docs,
+       ROUND(CAST(n_docs AS DOUBLE)
+             / SUM(n_docs) OVER (PARTITION BY true_source), 6) AS row_share,
+       true_source = predicted_source AS correct
+FROM cells
+"""
+
+
+NAIVE_BAYES_SOURCE_MODEL_SQL = _naive_bayes_sql()
+
+
 QUERIES = {
     "text_quality": text_quality,
     "token_counts": token_counts,
@@ -2582,6 +2768,7 @@ QUERIES = {
     "negative_sampling_table": negative_sampling_table,
     "association_rules": association_rules,
     "token_gini": token_gini,
+    "naive_bayes_source_model": naive_bayes_source_model,
 }
 
 ORACLE_SQL = {
@@ -2619,4 +2806,5 @@ ORACLE_SQL = {
     "unigram_tokenizer": UNIGRAM_TOKENIZER_SQL,
     "length_quartiles_per_source": LENGTH_QUARTILES_SQL,
     "tokenizer_comparison": TOKENIZER_COMPARISON_SQL,
+    "naive_bayes_source_model": NAIVE_BAYES_SOURCE_MODEL_SQL,
 }

@@ -286,6 +286,11 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "candidate postings (doc_similarity.py - bm25_topk's shape at "
         "chunk granularity)"
     ),
+    "naive_bayes_source_model": (
+        "1-row vocab-size/train-count scalars and the |sources|-row "
+        "per-class constant relation broadcast over the test-doc spine "
+        "(textstats.py - the factored NB score's class grid)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and
@@ -494,6 +499,7 @@ HEADLINE: list[str] = [
     "rag_chunk_retrieval",
     # round-8 session-4 additions
     "multimodal_caption_pairs",
+    "naive_bayes_source_model",
     # round-8 session-5 additions (logistic_conversion_model is
     # excluded: its plan embeds the 15 learned-weight literals, so the
     # dump would churn on every data change; its per-round discipline

