@@ -198,6 +198,10 @@ HEADLINE = [
     # classifier — two token-keyed shuffles + an argmax window, the
     # learned-classifier cost canary next to the heuristic language_id.
     "naive_bayes_source_model",
+    # r8 session 5 (cont.): the two-sample KS drift audit — the
+    # distinct-length-domain window specimen (one hash agg + a
+    # |sources|-row grid broadcast, never an N-row window).
+    "ks_source_drift",
 ]
 
 

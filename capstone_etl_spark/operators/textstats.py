@@ -2733,6 +2733,119 @@ FROM cells
 NAIVE_BAYES_SOURCE_MODEL_SQL = _naive_bayes_sql()
 
 
+# ------------- two-sample Kolmogorov-Smirnov source drift
+
+KS_CRIT_COEF = 1.358  # sqrt(-ln(0.05/2)/2): the alpha=0.05 two-sample factor
+
+
+def ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, n_docs, ks_stat, ks_crit, drifted) — the two-sample
+    Kolmogorov-Smirnov test of each source's document-length (n_chars)
+    distribution against the REST of the corpus: D = max_x |F_s(x) −
+    F_rest(x)|, with the α=0.05 critical value c(α)·√((n+m)/(n·m)) and
+    its reject flag. The distribution-shape drift audit that catches
+    what a mean/stddev screen can't (corpus_drift's KL is the token
+    twin; this is the length-shape one — PSI needs bins, KS doesn't).
+
+    Scale plan: lengths collapse to per-(source, length) counts first
+    (one hash agg), so every window below runs over the DISTINCT
+    length domain — bounded by max doc length, not N. The |sources| ×
+    |lengths| evaluation grid comes from a broadcast of the
+    |sources|-row list; both ECDFs are running sums over that grid
+    (absent lengths contribute 0 — no fill-forward needed). Exactness:
+    D is maximized as the INTEGER |cum_s·m − cum_rest·n| (products
+    ≤ N², inside int64 up to ~3e9 docs), divided once at the end."""
+    docs = _docs(spark, sf_dir)
+    sl = docs.groupBy("source", F.col("n_chars").alias("len")).agg(
+        F.count("*").alias("cs")
+    )
+    g = sl.groupBy("len").agg(F.sum("cs").alias("cg"))
+    wg = Window.partitionBy(bounded_window_key("len")).orderBy("len")
+    gc = g.select("len", F.sum("cg").over(wg).alias("cum_g"))
+    srcs = sl.groupBy("source").agg(F.sum("cs").cast("long").alias("n_docs"))
+    n_rel = srcs.agg(F.sum("n_docs").alias("n_all"))
+    grid = (
+        g.select("len")
+        .crossJoin(F.broadcast(srcs.select("source")))
+        .join(sl, ["source", "len"], "left")
+    )
+    ws = Window.partitionBy("source").orderBy("len")
+    cum = grid.select(
+        "source",
+        "len",
+        F.sum(F.coalesce(F.col("cs"), F.lit(0))).over(ws).alias("cum_s"),
+    ).join(gc, "len")
+    num = F.abs(
+        F.col("cum_s") * (F.col("n_all") - F.col("n_docs"))
+        - (F.col("cum_g") - F.col("cum_s")) * F.col("n_docs")
+    )
+    d = (
+        cum.join(srcs, "source")
+        .crossJoin(F.broadcast(n_rel))
+        .groupBy("source", "n_docs", "n_all")
+        .agg(F.max(num).alias("d_num"))
+    )
+    m = F.col("n_all") - F.col("n_docs")
+    return d.select(
+        "source",
+        "n_docs",
+        F.when(
+            m > 0, F.round(F.col("d_num") / (F.col("n_docs") * m).cast("double"), 6)
+        ).alias("ks_stat"),
+        F.when(
+            m > 0,
+            F.round(
+                F.lit(KS_CRIT_COEF) * F.sqrt(F.col("n_all") / (F.col("n_docs") * m).cast("double")),
+                6,
+            ),
+        ).alias("ks_crit"),
+        F.when(
+            m > 0,
+            F.col("d_num") / (F.col("n_docs") * m).cast("double")
+            > F.lit(KS_CRIT_COEF) * F.sqrt(F.col("n_all") / (F.col("n_docs") * m).cast("double")),
+        ).alias("drifted"),
+    )
+
+
+KS_SOURCE_DRIFT_SQL = f"""
+WITH sl AS (
+  SELECT source, n_chars AS len, COUNT(*) AS cs
+  FROM documents GROUP BY 1, 2
+), g AS (
+  SELECT len, SUM(cs) AS cg FROM sl GROUP BY 1
+), gc AS (
+  SELECT len, SUM(cg) OVER (ORDER BY len) AS cum_g FROM g
+), srcs AS (
+  SELECT source, CAST(SUM(cs) AS BIGINT) AS n_docs FROM sl GROUP BY 1
+), n AS (
+  SELECT SUM(n_docs) AS n_all FROM srcs
+), cum AS (
+  SELECT grid.source, grid.len,
+         SUM(COALESCE(sl.cs, 0)) OVER (PARTITION BY grid.source ORDER BY grid.len) AS cum_s
+  FROM (SELECT s.source, g.len FROM (SELECT source FROM srcs) s CROSS JOIN g) grid
+  LEFT JOIN sl ON sl.source = grid.source AND sl.len = grid.len
+), d AS (
+  SELECT c.source, s.n_docs, n.n_all,
+         MAX(ABS(c.cum_s * (n.n_all - s.n_docs)
+                 - (gc.cum_g - c.cum_s) * s.n_docs)) AS d_num
+  FROM cum c
+  JOIN gc ON c.len = gc.len
+  JOIN srcs s ON c.source = s.source
+  CROSS JOIN n
+  GROUP BY 1, 2, 3
+)
+SELECT source, n_docs,
+       CASE WHEN n_all - n_docs > 0
+            THEN ROUND(d_num / CAST(n_docs * (n_all - n_docs) AS DOUBLE), 6) END AS ks_stat,
+       CASE WHEN n_all - n_docs > 0
+            THEN ROUND({KS_CRIT_COEF} * SQRT(n_all / CAST(n_docs * (n_all - n_docs) AS DOUBLE)), 6) END AS ks_crit,
+       CASE WHEN n_all - n_docs > 0
+            THEN d_num / CAST(n_docs * (n_all - n_docs) AS DOUBLE)
+                 > {KS_CRIT_COEF} * SQRT(n_all / CAST(n_docs * (n_all - n_docs) AS DOUBLE)) END AS drifted
+FROM d
+"""
+
+
 QUERIES = {
     "text_quality": text_quality,
     "token_counts": token_counts,
@@ -2769,6 +2882,7 @@ QUERIES = {
     "association_rules": association_rules,
     "token_gini": token_gini,
     "naive_bayes_source_model": naive_bayes_source_model,
+    "ks_source_drift": ks_source_drift,
 }
 
 ORACLE_SQL = {
@@ -2807,4 +2921,5 @@ ORACLE_SQL = {
     "length_quartiles_per_source": LENGTH_QUARTILES_SQL,
     "tokenizer_comparison": TOKENIZER_COMPARISON_SQL,
     "naive_bayes_source_model": NAIVE_BAYES_SOURCE_MODEL_SQL,
+    "ks_source_drift": KS_SOURCE_DRIFT_SQL,
 }

@@ -291,6 +291,11 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "per-class constant relation broadcast over the test-doc spine "
         "(textstats.py - the factored NB score's class grid)"
     ),
+    "ks_source_drift": (
+        "the |sources|-row source list broadcast over the distinct "
+        "length domain (the ECDF evaluation grid) + the 1-row corpus "
+        "doc-count broadcast (textstats.py)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and
@@ -500,6 +505,7 @@ HEADLINE: list[str] = [
     # round-8 session-4 additions
     "multimodal_caption_pairs",
     "naive_bayes_source_model",
+    "ks_source_drift",
     # round-8 session-5 additions (logistic_conversion_model is
     # excluded: its plan embeds the 15 learned-weight literals, so the
     # dump would churn on every data change; its per-round discipline

@@ -50,9 +50,13 @@ def test_first_fifty_span_every_family():
         # dedup_sorted_neighborhood / split_leakage_audit joined their
         # families in round-7 session 3 and sit in the head block,
         # covering the window for the demoted canaries
+        # dedup_clusters_incremental (round-8 cluster maintenance)
+        # joined the family and sits in the head block, covering the
+        # window for the demoted dedup_agreement
         "dedup": (
             "dedup_minhash_lsh", "dedup_clusters", "dedup_exact",
             "dedup_agreement", "dedup_sorted_neighborhood",
+            "dedup_clusters_incremental",
         ),
         # semantic_decontamination (embedding-space leakage) joined the
         # family in round-7 session 4
@@ -104,7 +108,8 @@ def test_first_fifty_span_every_family():
         # lead the round-8 window
         "textstats": (
             "text_quality", "zipf_fit", "language_id_confusion",
-            "heaps_law_fit", "token_gini",
+            "heaps_law_fit", "token_gini", "naive_bayes_source_model",
+            "ks_source_drift",
         ),
         # code_detection joined the family in round-7 session 3,
         # curriculum_schedule in session 4

@@ -211,3 +211,37 @@ def test_naive_bayes_matches_python(spark, sf_dir):
     for (t, _p), r in got.items():
         row_total = sum(n for (tt, _), n in want.items() if tt == t)
         assert r.row_share == pytest.approx(r.n_docs / row_total, abs=1e-6)
+
+
+def test_ks_source_drift_matches_python(spark, sf_dir):
+    """Per-source KS statistic equals the classic merged-ECDF
+    two-sample D computed in python over (source vs rest) n_chars."""
+    import duckdb
+
+    from capstone_etl_spark.operators.textstats import KS_CRIT_COEF, ks_source_drift
+
+    rows = duckdb.sql(
+        f"SELECT source, n_chars FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    by_src: dict[str, list[int]] = {}
+    for src, L in rows:
+        by_src.setdefault(src, []).append(L)
+    all_lens = sorted({L for _s, L in rows})
+    n_all = len(rows)
+    got = {r.source: r for r in ks_source_drift(spark, sf_dir).collect()}
+    assert set(got) == set(by_src)
+    for src, lens in by_src.items():
+        n = len(lens)
+        m = n_all - n
+        rest = [L for s2, L in rows if s2 != src]
+        d = 0.0
+        for x in all_lens:
+            fs = sum(1 for v in lens if v <= x) / n
+            fr = sum(1 for v in rest if v <= x) / m
+            d = max(d, abs(fs - fr))
+        r = got[src]
+        assert r.n_docs == n
+        assert r.ks_stat == pytest.approx(d, abs=1e-6)
+        crit = KS_CRIT_COEF * math.sqrt(n_all / (n * m))
+        assert r.ks_crit == pytest.approx(crit, abs=1e-6)
+        assert r.drifted == (d > crit)
