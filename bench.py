@@ -202,6 +202,9 @@ HEADLINE = [
     # distinct-length-domain window specimen (one hash agg + a
     # |sources|-row grid broadcast, never an N-row window).
     "ks_source_drift",
+    # r8 session 5 (cont.): the KS audit at ingest — bounded
+    # (source, length-domain) streaming state + the shared ECDF tail.
+    "stream_ks_drift",
 ]
 
 

@@ -1327,6 +1327,12 @@ WHERE c.cum_prev < g.target AND g.target <= c.cum
 """
 
 
+def _stream_ks_drift_sql() -> str:
+    from capstone_etl_spark.operators.textstats import KS_SOURCE_DRIFT_SQL
+
+    return KS_SOURCE_DRIFT_SQL
+
+
 def _stream_group_dro_sql() -> str:
     from capstone_etl_spark.operators.quality import GROUP_DRO_WEIGHTS_SQL
 
@@ -1364,6 +1370,45 @@ def stream_group_dro(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).groupBy("source", "token").agg(F.count("*").alias("cnt"))
         snap = run_to_memory(tf, f"{work}/checkpoint", output_mode="complete")
         return dro_release(snap)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-sample KS length-drift audit kept current DURING
+    ingest: (source, n_chars) cell counts accumulate in a complete-mode
+    streaming aggregation — state is bounded by |sources| × the
+    distinct length domain (max doc length, not N), merged by addition
+    — and the shared ECDF/max tail (textstats.ks_release) runs on the
+    drained snapshot, so every micro-batch could re-publish the drift
+    table without rescanning landed shards. Oracle: the batch KS SQL
+    verbatim."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.operators.textstats import ks_release
+    from capstone_etl_spark.session import checkpoint_truncate
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_ks_")
+    try:
+        staging = f"{work}/staging"
+        load_table(spark, sf_dir, "documents").repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        sl = stream.groupBy(
+            "source", F.col("n_chars").alias("len")
+        ).agg(F.count("*").alias("cs"))
+        snap = run_to_memory(sl, f"{work}/checkpoint", output_mode="complete")
+        # the KS tail references the count relation three times (grid
+        # spine, per-length totals, per-source totals); a memory-sink
+        # table self-joined that way carries conflicting references —
+        # truncate to a plain (bounded, release-tracked) scan first
+        return ks_release(checkpoint_truncate(snap))
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1516,6 +1561,7 @@ QUERIES = {
     "stream_quantile_sketch": stream_quantile_sketch,
     "stream_psi_drift": stream_psi_drift,
     "stream_group_dro": stream_group_dro,
+    "stream_ks_drift": stream_ks_drift,
 }
 
 ORACLE_SQL = {
@@ -1555,4 +1601,7 @@ ORACLE_SQL = {
     # the batch DRO SQL verbatim: TF cells merge by addition, so the
     # drained snapshot equals the batch TF relation exactly
     "stream_group_dro": _stream_group_dro_sql(),
+    # the batch KS SQL verbatim: (source, len) cells merge by addition,
+    # so the drained snapshot equals the batch count relation exactly
+    "stream_ks_drift": _stream_ks_drift_sql(),
 }

@@ -2759,6 +2759,13 @@ def ks_source_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     sl = docs.groupBy("source", F.col("n_chars").alias("len")).agg(
         F.count("*").alias("cs")
     )
+    return ks_release(sl)
+
+
+def ks_release(sl: DataFrame) -> DataFrame:
+    """The KS tail over a (source, len, cs) count relation — shared by
+    the batch query above and stream_ks_drift (which accumulates the
+    same counts as bounded complete-mode streaming state)."""
     g = sl.groupBy("len").agg(F.sum("cs").alias("cg"))
     wg = Window.partitionBy(bounded_window_key("len")).orderBy("len")
     gc = g.select("len", F.sum("cg").over(wg).alias("cum_g"))

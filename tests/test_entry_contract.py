@@ -89,6 +89,7 @@ def test_first_fifty_span_every_family():
             "stream_changelog_apply", "stream_ivf_assign", "stream_hll_sketch",
             "stream_conversion_survival", "stream_quantile_sketch",
             "stream_psi_drift", "stream_group_dro", "stream_ab_test",
+            "stream_ks_drift",
         ),
         "multimodal": (
             "multimodal_frame_dedup",
@@ -101,7 +102,13 @@ def test_first_fifty_span_every_family():
         "packing": ("sequence_packing", "sequence_packing_greedy"),
         # split_leakage_audit exercises the family's salted-hash split
         # assignment (sampling.split_column) from the head block
-        "splits": ("doc_splits", "cluster_aware_splits", "split_leakage_audit"),
+        # split_perplexity_gap (train-LM split scoring over the same
+        # salted-hash split assignment) sits in the Block-1 head,
+        # covering the window for the demoted cluster_aware_splits
+        "splits": (
+            "doc_splits", "cluster_aware_splits", "split_leakage_audit",
+            "split_perplexity_gap",
+        ),
         "sampling": ("doc_sample_stratified", "reservoir_sample"),
         "rangejoin": ("campaign_window_stats",),
         # heaps_law_fit / token_gini joined in round-7 session 5 and

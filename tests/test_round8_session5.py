@@ -245,3 +245,16 @@ def test_ks_source_drift_matches_python(spark, sf_dir):
         crit = KS_CRIT_COEF * math.sqrt(n_all / (n * m))
         assert r.ks_crit == pytest.approx(crit, abs=1e-6)
         assert r.drifted == (d > crit)
+
+
+def test_stream_ks_drift_equals_batch(spark):
+    """The ingest-time KS table must equal the batch one row-for-row:
+    (source, len) cells merge by addition and both forms share
+    textstats.ks_release."""
+    from capstone_etl_spark.operators.streaming_queries import stream_ks_drift
+    from capstone_etl_spark.operators.textstats import ks_source_drift
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.source: r.asDict() for r in stream_ks_drift(spark, sf).collect()}
+    want = {r.source: r.asDict() for r in ks_source_drift(spark, sf).collect()}
+    assert got == want
