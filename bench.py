@@ -205,6 +205,9 @@ HEADLINE = [
     # r8 session 5 (cont.): the KS audit at ingest — bounded
     # (source, length-domain) streaming state + the shared ECDF tail.
     "stream_ks_drift",
+    # r8 session 5 (cont.): the WoE/IV feature screen — shares the
+    # logistic trainer's cached feature pass; one 4*B-key hash agg.
+    "woe_feature_bins",
 ]
 
 

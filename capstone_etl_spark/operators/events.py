@@ -19,6 +19,8 @@ partitions (distributes on user hash; no global window anywhere).
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -2154,22 +2156,37 @@ LOGIT_ROUNDS = 15
 _LOGIT_TERMS = ("bias", "ln_events", "ln_value", "n_types", "ln_span")
 
 
+LOGIT_FAST_SEC = 24 * 3600  # fast-conversion label horizon
+
+
 def _logit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """(user_id, y, x1..x4): per-user behavioral features + the
-    converted label. All features derive from exact integer/decimal
-    aggregates (value through the DECIMAL(18,2) cents sum), so both
-    engines feed the GD identical doubles."""
+    """(user_id, y, x1..x4): per-user behavioral features + the FAST-
+    conversion label — y = 1 iff the first purchase lands within
+    LOGIT_FAST_SEC of the user's first event ("ever purchased" is
+    degenerate here: every user converts eventually, so the horizon
+    is what carries the signal — median time-to-first-purchase sits
+    near the 24 h mark, splitting the cohort roughly in half). All
+    features derive from exact integer/decimal aggregates (value
+    through the DECIMAL(18,2) cents sum), so both engines feed the GD
+    identical doubles."""
     ev = _events(spark, sf_dir)
+    sec = F.col("ts").cast("long")
     agg = ev.groupBy("user_id").agg(
         F.count("*").cast("long").alias("n_events"),
         _dsum(F.col("value")).alias("v"),
         F.countDistinct("event_type").cast("long").alias("n_types"),
-        (F.max(F.col("ts").cast("long")) - F.min(F.col("ts").cast("long"))).alias("span"),
-        F.max((F.col("event_type") == AB_CONVERT_TYPE).cast("int")).alias("y"),
+        (F.max(sec) - F.min(sec)).alias("span"),
+        F.min(F.when(F.col("event_type") == AB_CONVERT_TYPE, sec)).alias("fp"),
+        F.min(sec).alias("fe"),
     )
     return agg.select(
         "user_id",
-        F.col("y").cast("double").alias("y"),
+        F.when(
+            F.col("fp").isNotNull() & (F.col("fp") - F.col("fe") < LOGIT_FAST_SEC),
+            F.lit(1.0),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("y"),
         F.log(F.lit(1.0) + F.col("n_events")).alias("x1"),
         F.log(F.lit(1.0) + F.col("v")).alias("x2"),
         F.col("n_types").cast("double").alias("x3"),
@@ -2180,7 +2197,8 @@ def _logit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 def logistic_conversion_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(term, value) — a logistic conversion model TRAINED inside the
     engine: LOGIT_ROUNDS rounds of full-batch gradient descent on
-    P(converted | ln events, ln value spend, type diversity, ln span),
+    P(fast conversion — first purchase within LOGIT_FAST_SEC of first
+    activity | ln events, ln value spend, type diversity, ln span),
     entirely as DataFrame aggregations — the fourth iterative
     algorithm family (after CC, PageRank, power iteration), this one
     supervised learning. Output: the five learned weights plus the
@@ -2196,10 +2214,40 @@ def logistic_conversion_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     1e-12 quantization absorbs cross-engine exp/ln ulp drift — the
     repo-wide ln discipline), divisions and weight updates are
     identical IEEE expressions, so the oracle's chained per-round CTEs
-    reproduce the exact weight trajectory."""
+    reproduce the exact weight trajectory. Features are z-scored
+    in-engine first (one extra 1-row stats aggregate): full-batch GD
+    at LOGIT_LR on the RAW ln-scale features diverges — standardized,
+    the same 15 rounds converge — and the stats come from
+    DECIMAL(28,12)-snapped Σx / Σx² sums, so both engines derive
+    bit-identical means and stds."""
     feats = cached(_logit_features(spark, sf_dir))
+    st = feats.agg(
+        F.count("*").alias("n"),
+        *[
+            a
+            for j in range(1, 5)
+            for a in (
+                F.sum(F.col(f"x{j}").cast("decimal(28,12)")).alias(f"s{j}"),
+                F.sum(
+                    (F.col(f"x{j}") * F.col(f"x{j}")).cast("decimal(28,12)")
+                ).alias(f"q{j}"),
+            )
+        ],
+    ).first()
+    n_st = st["n"]
+    means, stds = [], []
+    for j in range(1, 5):
+        mj = float(st[f"s{j}"]) / n_st
+        var = float(st[f"q{j}"]) / n_st - (float(st[f"s{j}"]) / n_st) * (
+            float(st[f"s{j}"]) / n_st
+        )
+        means.append(mj)
+        stds.append(math.sqrt(var) if var > 0 else 1.0)
     w = [0.0] * 5
-    xs = [F.lit(1.0), F.col("x1"), F.col("x2"), F.col("x3"), F.col("x4")]
+    xs = [F.lit(1.0)] + [
+        (F.col(f"x{j}") - F.lit(means[j - 1])) / F.lit(stds[j - 1])
+        for j in range(1, 5)
+    ]
     for _ in range(LOGIT_ROUNDS):
         z = sum((F.lit(wj) * xj for wj, xj in zip(w, xs)), F.lit(0.0))
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
@@ -2251,11 +2299,15 @@ def logistic_conversion_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("r.term").alias("term"), F.col("r.value").alias("value"))
 
 
-def _logistic_sql() -> str:
-    feat = f"""
+def _logit_feat_sql() -> str:
+    """The per-user behavioral feature CTE — shared by the logistic
+    trainer's oracle and the WoE binning oracle."""
+    return f"""
 feat AS MATERIALIZED (
   SELECT user_id,
-         CAST(CASE WHEN MAX(CASE WHEN event_type = '{AB_CONVERT_TYPE}' THEN 1 ELSE 0 END) = 1
+         CAST(CASE WHEN MIN(CASE WHEN event_type = '{AB_CONVERT_TYPE}'
+                                 THEN FLOOR(epoch(ts))::BIGINT END)
+                   - MIN(FLOOR(epoch(ts))::BIGINT) < {LOGIT_FAST_SEC}
               THEN 1.0 ELSE 0.0 END AS DOUBLE) AS y,
          LN(1.0 + COUNT(*)) AS x1,
          LN(1.0 + CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)) AS x2,
@@ -2263,6 +2315,33 @@ feat AS MATERIALIZED (
          LN(1.0 + (MAX(FLOOR(epoch(ts))::BIGINT) - MIN(FLOOR(epoch(ts))::BIGINT))) AS x4
   FROM events GROUP BY user_id
 )"""
+
+
+def _logistic_sql() -> str:
+    feat = _logit_feat_sql()
+    stats = """
+st AS MATERIALIZED (
+  SELECT COUNT(*) AS n,
+         """ + ",\n         ".join(
+        f"SUM(CAST(x{j} AS DECIMAL(28,12))) AS s{j}, "
+        f"SUM(CAST(x{j} * x{j} AS DECIMAL(28,12))) AS q{j}"
+        for j in range(1, 5)
+    ) + """
+  FROM feat
+)"""
+    def _std(j: int) -> str:
+        mean = f"(CAST(st.s{j} AS DOUBLE) / st.n)"
+        var = f"(CAST(st.q{j} AS DOUBLE) / st.n - {mean} * {mean})"
+        return f"(CASE WHEN {var} > 0 THEN SQRT({var}) ELSE 1.0 END)"
+
+    zfeat = (
+        "zfeat AS MATERIALIZED (\n  SELECT f.user_id, f.y,\n         "
+        + ",\n         ".join(
+            f"(f.x{j} - (CAST(st.s{j} AS DOUBLE) / st.n)) / {_std(j)} AS x{j}"
+            for j in range(1, 5)
+        )
+        + "\n  FROM feat f CROSS JOIN st\n)"
+    )
     z = "(w.b0 * 1.0 + w.b1 * f.x1 + w.b2 * f.x2 + w.b3 * f.x3 + w.b4 * f.x4)"
     p = f"(1.0 / (1.0 + EXP(-{z})))"
     rounds = []
@@ -2281,7 +2360,7 @@ feat AS MATERIALIZED (
         # blow-up. Materializing pins each round to one 1-row scan.
         rounds.append(f"""
 , g{r} AS MATERIALIZED (
-  SELECT COUNT(*) AS n, {gsel} FROM feat f, w{r - 1} w
+  SELECT COUNT(*) AS n, {gsel} FROM zfeat f, w{r - 1} w
 ), w{r} AS MATERIALIZED (
   SELECT {wsel} FROM w{r - 1} w, g{r} g
 )""")
@@ -2290,6 +2369,10 @@ feat AS MATERIALIZED (
     return (
         "WITH "
         + feat.strip()
+        + ", "
+        + stats.strip()
+        + ", "
+        + zfeat.strip()
         + ", w0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3, 0.0 AS b4)"
         + "".join(rounds)
         + f"""
@@ -2297,7 +2380,7 @@ feat AS MATERIALIZED (
   SELECT COUNT(*) AS n,
          SUM({llt}) AS lls,
          SUM(CASE WHEN CAST({pf} >= 0.5 AS INT) = CAST(f.y AS INT) THEN 1 ELSE 0 END) AS nc
-  FROM feat f, w{LOGIT_ROUNDS} w
+  FROM zfeat f, w{LOGIT_ROUNDS} w
 )
 SELECT 'bias' AS term, ROUND(b0, 6) AS value FROM w{LOGIT_ROUNDS}
 UNION ALL SELECT 'ln_events', ROUND(b1, 6) FROM w{LOGIT_ROUNDS}
@@ -2309,6 +2392,113 @@ UNION ALL SELECT 'accuracy', ROUND(CAST(nc AS DOUBLE) / n, 6) FROM fin
 UNION ALL SELECT 'n_users', CAST(n AS DOUBLE) FROM fin
 """
     )
+
+
+# ---------------- weight-of-evidence feature binning
+
+WOE_BINS = 8  # equal-width bins over each feature's observed range
+
+
+def woe_feature_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(feature, bin, n_users, n_pos, woe, iv) — weight-of-evidence
+    binning of the four behavioral features against the conversion
+    label: woe = ln(((pos+0.5)/POS)/((neg+0.5)/NEG)) per equal-width
+    bin (+0.5 Laplace so empty-side bins stay finite), and IV — the
+    feature-level information value Σ(pct_pos − pct_neg)·woe over the
+    occupied bins — repeated per row. The feature-screening table a
+    credit/propensity modeler reads BEFORE training; shares
+    _logit_features with logistic_conversion_model, so the two tell
+    one story.
+
+    Scale plan: features are the same one user-keyed agg (cached);
+    the unpivot is a 4× map; per-feature (lo, hi) is a 4-row
+    broadcast equi-join; the bin rollup is one hash agg on ≤ 4·B keys;
+    the POS/NEG totals enter as a 1-row broadcast; the IV window
+    partitions by feature over ≤ B rows. Exactness: bin indices come
+    from identical IEEE expressions on identical doubles; woe/iv
+    terms snap to DECIMAL(28,12) before the order-free sums."""
+    feats = cached(_logit_features(spark, sf_dir))
+    long = feats.select(
+        "user_id",
+        "y",
+        F.expr(
+            "stack(4, 'ln_events', x1, 'ln_value', x2, 'n_types', x3, 'ln_span', x4)"
+        ).alias("feature", "x"),
+    )
+    rng = long.groupBy("feature").agg(F.min("x").alias("lo"), F.max("x").alias("hi"))
+    binned = long.join(F.broadcast(rng), "feature").select(
+        "feature",
+        "y",
+        F.when(
+            F.col("hi") > F.col("lo"),
+            F.least(
+                F.lit(WOE_BINS - 1),
+                F.floor((F.col("x") - F.col("lo")) * WOE_BINS / (F.col("hi") - F.col("lo"))),
+            ),
+        )
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("bin"),
+    )
+    cells = binned.groupBy("feature", "bin").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("y").cast("long").alias("n_pos"),
+    )
+    tot = feats.agg(
+        F.sum("y").cast("long").alias("pos_t"),
+        (F.count("*") - F.sum("y")).cast("long").alias("neg_t"),
+    )
+    pp = (F.col("n_pos") + 0.5) / F.col("pos_t")
+    pn = (F.col("n_users") - F.col("n_pos") + 0.5) / F.col("neg_t")
+    woe = F.log(pp / pn)
+    wf = Window.partitionBy("feature")  # ≤ WOE_BINS rows per key post-agg
+    return (
+        cells.crossJoin(F.broadcast(tot))
+        .withColumn("_iv_term", ((pp - pn) * woe).cast("decimal(28,12)"))
+        .select(
+            "feature",
+            "bin",
+            "n_users",
+            "n_pos",
+            F.round(woe, 6).alias("woe"),
+            F.round(F.sum("_iv_term").over(wf).cast("double"), 6).alias("iv"),
+        )
+    )
+
+
+def _woe_sql() -> str:
+    b = WOE_BINS
+    return f"""
+WITH {_logit_feat_sql().strip()}
+, long AS (
+  SELECT user_id, y, 'ln_events' AS feature, x1 AS x FROM feat
+  UNION ALL SELECT user_id, y, 'ln_value', x2 FROM feat
+  UNION ALL SELECT user_id, y, 'n_types', x3 FROM feat
+  UNION ALL SELECT user_id, y, 'ln_span', x4 FROM feat
+), rng AS (
+  SELECT feature, MIN(x) AS lo, MAX(x) AS hi FROM long GROUP BY 1
+), binned AS (
+  SELECT l.feature, l.y,
+         CAST(CASE WHEN r.hi > r.lo
+                   THEN LEAST({b - 1}, FLOOR((l.x - r.lo) * {b} / (r.hi - r.lo)))
+                   ELSE 0 END AS BIGINT) AS bin
+  FROM long l JOIN rng r ON l.feature = r.feature
+), cells AS (
+  SELECT feature, bin, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(y) AS BIGINT) AS n_pos
+  FROM binned GROUP BY 1, 2
+), tot AS (
+  SELECT CAST(SUM(y) AS BIGINT) AS pos_t,
+         CAST(COUNT(*) - SUM(y) AS BIGINT) AS neg_t
+  FROM feat
+)
+SELECT feature, bin, n_users, n_pos,
+       ROUND(LN(((n_pos + 0.5) / pos_t) / ((n_users - n_pos + 0.5) / neg_t)), 6) AS woe,
+       ROUND(CAST(SUM(CAST((((n_pos + 0.5) / pos_t) - ((n_users - n_pos + 0.5) / neg_t))
+                           * LN(((n_pos + 0.5) / pos_t) / ((n_users - n_pos + 0.5) / neg_t))
+                      AS DECIMAL(28,12))) OVER (PARTITION BY feature) AS DOUBLE), 6) AS iv
+FROM cells CROSS JOIN tot
+"""
 
 
 QUERIES = {
@@ -2349,6 +2539,7 @@ QUERIES = {
     "event_attribution_credit": event_attribution_credit,
     "event_bot_score": event_bot_score,
     "logistic_conversion_model": logistic_conversion_model,
+    "woe_feature_bins": woe_feature_bins,
 }
 
 ORACLE_SQL = {
@@ -2389,4 +2580,5 @@ ORACLE_SQL = {
     "event_attribution_credit": EVENT_ATTRIBUTION_CREDIT_SQL,
     "event_bot_score": EVENT_BOT_SCORE_SQL,
     "logistic_conversion_model": _logistic_sql(),
+    "woe_feature_bins": _woe_sql(),
 }

@@ -296,6 +296,10 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "length domain (the ECDF evaluation grid) + the 1-row corpus "
         "doc-count broadcast (textstats.py)"
     ),
+    "woe_feature_bins": (
+        "1-row POS/NEG label-total broadcast over the <= 4*WOE_BINS "
+        "bin cells (events.py)"
+    ),
 }
 
 # The queries whose plans PLANS.md records (tools/dump_plans.py) and
@@ -506,6 +510,7 @@ HEADLINE: list[str] = [
     "multimodal_caption_pairs",
     "naive_bayes_source_model",
     "ks_source_drift",
+    "woe_feature_bins",
     # round-8 session-5 additions (logistic_conversion_model is
     # excluded: its plan embeds the 15 learned-weight literals, so the
     # dump would churn on every data change; its per-round discipline

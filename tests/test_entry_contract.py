@@ -136,12 +136,16 @@ def test_first_fifty_span_every_family():
         ),
         # the round-7 session-2 sketches sit in the new-query head
         # block, covering the window alongside the KMV canaries
+        # kmv_set_difference (round-8 Theta-sketch a-not-b) joined the
+        # family and sits in the head block, covering the window for
+        # the demoted kmv_source_overlap
         "sketches": (
             "kmv_distinct_shingles",
             "kmv_source_overlap",
             "cms_join_size",
             "histogram_quantiles",
             "hll_distinct_sketch",
+            "kmv_set_difference",
         ),
         # event_changelog_apply joined the family in round-7 session 2
         # and sits in the new-query head block, covering the window
@@ -155,10 +159,12 @@ def test_first_fifty_span_every_family():
             "event_psi_drift",
             "conversion_survival",
             "event_seasonality",
-            # round-8 session 5: attribution, bot screen, logistic GD
+            # round-8 session 5: attribution, bot screen, logistic GD,
+            # WoE feature screen
             "event_attribution_credit",
             "event_bot_score",
             "logistic_conversion_model",
+            "woe_feature_bins",
         ),
     }
     absent = {

@@ -105,6 +105,7 @@ def test_logistic_model_matches_python_gd(spark, sf_dir):
     loss actually went down from the w=0 start."""
     from capstone_etl_spark.operators.events import (
         AB_CONVERT_TYPE,
+        LOGIT_FAST_SEC,
         LOGIT_LR,
         LOGIT_ROUNDS,
         logistic_conversion_model,
@@ -117,7 +118,8 @@ def test_logistic_model_matches_python_gd(spark, sf_dir):
     for rows in by_user.values():
         secs = [s for s, _, _ in rows]
         cents = sum(round(v * 100) for _, _, v in rows)
-        y = 1.0 if any(et == AB_CONVERT_TYPE for _, et, _ in rows) else 0.0
+        fp = min((s for s, et, _ in rows if et == AB_CONVERT_TYPE), default=None)
+        y = 1.0 if fp is not None and fp - min(secs) < LOGIT_FAST_SEC else 0.0
         feats.append(
             (
                 y,
@@ -127,8 +129,20 @@ def test_logistic_model_matches_python_gd(spark, sf_dir):
                 math.log(1.0 + (max(secs) - min(secs))),
             )
         )
-    w = [0.0] * 5
     n = len(feats)
+    # z-score each feature exactly as the engine does
+    zcols = []
+    for j in range(1, 5):
+        xs = [f[j] for f in feats]
+        m = sum(xs) / n
+        var = sum(x * x for x in xs) / n - m * m
+        sd = math.sqrt(var) if var > 0 else 1.0
+        zcols.append([(x - m) / sd for x in xs])
+    feats = [
+        (f[0], zcols[0][i], zcols[1][i], zcols[2][i], zcols[3][i])
+        for i, f in enumerate(feats)
+    ]
+    w = [0.0] * 5
     for _ in range(LOGIT_ROUNDS):
         grads = [0.0] * 5
         for y, *x in feats:
@@ -148,9 +162,10 @@ def test_logistic_model_matches_python_gd(spark, sf_dir):
     for term, wj in zip(("bias", "ln_events", "ln_value", "n_types", "ln_span"), w):
         assert got[term] == pytest.approx(wj, abs=1e-5)
     assert got["logloss"] == pytest.approx(lls / n, abs=1e-5)
-    assert got["accuracy"] == pytest.approx(ncorrect / n, abs=1e-9)
+    assert got["accuracy"] == pytest.approx(ncorrect / n, abs=1e-6)
     assert got["n_users"] == n
     assert got["logloss"] < math.log(2.0)  # better than the w=0 start
+    assert 0.0 < sum(y for y, *_x in feats) / n < 1.0  # label has variance
 
 
 def test_naive_bayes_matches_python(spark, sf_dir):
@@ -258,3 +273,53 @@ def test_stream_ks_drift_equals_batch(spark):
     got = {r.source: r.asDict() for r in stream_ks_drift(spark, sf).collect()}
     want = {r.source: r.asDict() for r in ks_source_drift(spark, sf).collect()}
     assert got == want
+
+
+def test_woe_feature_bins_matches_python(spark, sf_dir):
+    """Per-bin WoE and the feature-level IV equal a pure-python
+    recompute over the same fast-conversion features, and bins
+    partition each feature's user set."""
+    import duckdb
+
+    from capstone_etl_spark.operators.events import (
+        _logit_feat_sql,
+        WOE_BINS,
+        woe_feature_bins,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW events AS SELECT * FROM '{sf_dir}/events.parquet'"
+    )
+    feats = con.execute(
+        "WITH " + _logit_feat_sql().strip() + " SELECT y, x1, x2, x3, x4 FROM feat"
+    ).fetchall()
+    cols = {"ln_events": 1, "ln_value": 2, "n_types": 3, "ln_span": 4}
+    got = {
+        (r.feature, r.bin): r for r in woe_feature_bins(spark, sf_dir).collect()
+    }
+    pos_t = sum(y for y, *_ in feats)
+    neg_t = len(feats) - pos_t
+    assert 0 < pos_t < len(feats)
+    for feature, ix in cols.items():
+        xs = [row[ix] for row in feats]
+        lo, hi = min(xs), max(xs)
+        cells: dict[int, list[int]] = {}
+        for row in feats:
+            b = min(WOE_BINS - 1, int((row[ix] - lo) * WOE_BINS / (hi - lo))) if hi > lo else 0
+            cells.setdefault(b, [0, 0])
+            cells[b][0] += 1
+            cells[b][1] += int(row[0])
+        iv = sum(
+            ((np + 0.5) / pos_t - (nu - np + 0.5) / neg_t)
+            * math.log(((np + 0.5) / pos_t) / ((nu - np + 0.5) / neg_t))
+            for nu, np in cells.values()
+        )
+        assert sum(nu for nu, _ in cells.values()) == len(feats)
+        for b, (nu, np) in cells.items():
+            r = got[(feature, b)]
+            assert (r.n_users, r.n_pos) == (nu, np)
+            woe = math.log(((np + 0.5) / pos_t) / ((nu - np + 0.5) / neg_t))
+            assert r.woe == pytest.approx(woe, abs=1e-6)
+            assert r.iv == pytest.approx(iv, abs=1e-6)
+    assert len(got) == sum(1 for _ in got)  # no duplicate (feature, bin)
