@@ -103,6 +103,7 @@ _PRIORITY = [
     "ks_source_drift",
     "stream_ks_drift",
     "woe_feature_bins",
+    "conversion_model_calibration",
     # Block 3: family canaries — every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span). The
     # Block-1 members cover ann (ivf_cell_medoids, hubness_audit),

@@ -208,6 +208,10 @@ HEADLINE = [
     # r8 session 5 (cont.): the WoE/IV feature screen — shares the
     # logistic trainer's cached feature pass; one 4*B-key hash agg.
     "woe_feature_bins",
+    # r8 session 5 (cont.): the reliability readout — _fit_logit's
+    # full 15-round trainer plus one CAL_BINS-key hash agg, so the
+    # trained-model arc's cost is tracked end-to-end.
+    "conversion_model_calibration",
 ]
 
 

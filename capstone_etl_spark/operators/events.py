@@ -2220,6 +2220,48 @@ def logistic_conversion_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     the same 15 rounds converge — and the stats come from
     DECIMAL(28,12)-snapped Σx / Σx² sums, so both engines derive
     bit-identical means and stds."""
+    feats, xs, w = _fit_logit(spark, sf_dir)
+    z = sum((F.lit(wj) * xj for wj, xj in zip(w, xs)), F.lit(0.0))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    # clamp the loss probabilities: a saturated p (exactly 0.0/1.0 in
+    # double) would make the off-label term 0·ln(0) = NaN
+    pc = F.least(F.greatest(p, F.lit(1e-12)), F.lit(1.0 - 1e-12))
+    ll_term = (
+        -(F.col("y") * F.log(pc) + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pc))
+    ).cast("decimal(28,12)")
+    fin = feats.agg(
+        F.count("*").alias("n"),
+        F.sum(ll_term).alias("lls"),
+        F.sum(((p >= 0.5).cast("int") == F.col("y").cast("int")).cast("long")).alias("nc"),
+    )
+    rows = [F.struct(F.lit(t).alias("term"), F.round(F.lit(wj), 6).alias("value"))
+            for t, wj in zip(_LOGIT_TERMS, w)]
+    return fin.select(
+        F.explode(
+            F.array(
+                *rows,
+                F.struct(
+                    F.lit("logloss").alias("term"),
+                    F.round(F.col("lls").cast("double") / F.col("n"), 6).alias("value"),
+                ),
+                F.struct(
+                    F.lit("accuracy").alias("term"),
+                    F.round(F.col("nc").cast("double") / F.col("n"), 6).alias("value"),
+                ),
+                F.struct(
+                    F.lit("n_users").alias("term"),
+                    F.col("n").cast("double").alias("value"),
+                ),
+            )
+        ).alias("r")
+    ).select(F.col("r.term").alias("term"), F.col("r.value").alias("value"))
+
+
+def _fit_logit(spark: SparkSession, sf_dir: str):
+    """Train the standardized logistic model; returns (cached feature
+    relation, z-scored feature Column list [1, z1..z4], learned
+    weights). Shared by logistic_conversion_model and the calibration
+    readout so both tell one story about one model."""
     feats = cached(_logit_features(spark, sf_dir))
     st = feats.agg(
         F.count("*").alias("n"),
@@ -2263,40 +2305,7 @@ def logistic_conversion_model(spark: SparkSession, sf_dir: str) -> DataFrame:
             wj - LOGIT_LR * float(grads[f"g{j}"]) / n
             for j, wj in enumerate(w)
         ]
-    z = sum((F.lit(wj) * xj for wj, xj in zip(w, xs)), F.lit(0.0))
-    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-    # clamp the loss probabilities: a saturated p (exactly 0.0/1.0 in
-    # double) would make the off-label term 0·ln(0) = NaN
-    pc = F.least(F.greatest(p, F.lit(1e-12)), F.lit(1.0 - 1e-12))
-    ll_term = (
-        -(F.col("y") * F.log(pc) + (F.lit(1.0) - F.col("y")) * F.log(F.lit(1.0) - pc))
-    ).cast("decimal(28,12)")
-    fin = feats.agg(
-        F.count("*").alias("n"),
-        F.sum(ll_term).alias("lls"),
-        F.sum(((p >= 0.5).cast("int") == F.col("y").cast("int")).cast("long")).alias("nc"),
-    )
-    rows = [F.struct(F.lit(t).alias("term"), F.round(F.lit(wj), 6).alias("value"))
-            for t, wj in zip(_LOGIT_TERMS, w)]
-    return fin.select(
-        F.explode(
-            F.array(
-                *rows,
-                F.struct(
-                    F.lit("logloss").alias("term"),
-                    F.round(F.col("lls").cast("double") / F.col("n"), 6).alias("value"),
-                ),
-                F.struct(
-                    F.lit("accuracy").alias("term"),
-                    F.round(F.col("nc").cast("double") / F.col("n"), 6).alias("value"),
-                ),
-                F.struct(
-                    F.lit("n_users").alias("term"),
-                    F.col("n").cast("double").alias("value"),
-                ),
-            )
-        ).alias("r")
-    ).select(F.col("r.term").alias("term"), F.col("r.value").alias("value"))
+    return feats, xs, w
 
 
 def _logit_feat_sql() -> str:
@@ -2317,7 +2326,10 @@ feat AS MATERIALIZED (
 )"""
 
 
-def _logistic_sql() -> str:
+def _logit_chain_sql() -> tuple[str, str]:
+    """(WITH-prefix through w{LOGIT_ROUNDS}, the p(f, w) expression) —
+    the trained-model chain shared by the logistic oracle and the
+    calibration oracle."""
     feat = _logit_feat_sql()
     stats = """
 st AS MATERIALIZED (
@@ -2364,9 +2376,7 @@ st AS MATERIALIZED (
 ), w{r} AS MATERIALIZED (
   SELECT {wsel} FROM w{r - 1} w, g{r} g
 )""")
-    pf = f"LEAST(GREATEST({p}, 1e-12), 1.0 - 1e-12)"
-    llt = f"CAST(-(f.y * LN({pf}) + (1.0 - f.y) * LN(1.0 - {pf})) AS DECIMAL(28,12))"
-    return (
+    prefix = (
         "WITH "
         + feat.strip()
         + ", "
@@ -2375,6 +2385,16 @@ st AS MATERIALIZED (
         + zfeat.strip()
         + ", w0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2, 0.0 AS b3, 0.0 AS b4)"
         + "".join(rounds)
+    )
+    return prefix, p
+
+
+def _logistic_sql() -> str:
+    prefix, p = _logit_chain_sql()
+    pf = f"LEAST(GREATEST({p}, 1e-12), 1.0 - 1e-12)"
+    llt = f"CAST(-(f.y * LN({pf}) + (1.0 - f.y) * LN(1.0 - {pf})) AS DECIMAL(28,12))"
+    return (
+        prefix
         + f"""
 , fin AS (
   SELECT COUNT(*) AS n,
@@ -2390,6 +2410,74 @@ UNION ALL SELECT 'ln_span', ROUND(b4, 6) FROM w{LOGIT_ROUNDS}
 UNION ALL SELECT 'logloss', ROUND(CAST(lls AS DOUBLE) / n, 6) FROM fin
 UNION ALL SELECT 'accuracy', ROUND(CAST(nc AS DOUBLE) / n, 6) FROM fin
 UNION ALL SELECT 'n_users', CAST(n AS DOUBLE) FROM fin
+"""
+    )
+
+
+# ------------- calibration readout for the logistic model
+
+CAL_BINS = 10  # reliability-diagram resolution
+
+
+def conversion_model_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(bin, n_users, n_conv, mean_p, frac_conv, gap) — the
+    reliability table for the in-engine logistic model: users bucketed
+    by predicted probability (equal-width CAL_BINS over [0,1]),
+    per-bucket mean prediction vs observed conversion rate, and the
+    calibration gap. The readout that decides whether the propensity
+    scores can be consumed as probabilities or need recalibration.
+
+    Scale plan: shares _fit_logit (one cached feature pass +
+    LOGIT_ROUNDS scalar aggregates); the readout itself is ONE hash
+    agg on ≤ CAL_BINS keys. Exactness: p is the same IEEE expression
+    on the same snapped-trajectory weights in both engines, the bin
+    index floors identically, and Σp snaps to DECIMAL(28,12)."""
+    feats, xs, w = _fit_logit(spark, sf_dir)
+    z = sum((F.lit(wj) * xj for wj, xj in zip(w, xs)), F.lit(0.0))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    b = F.least(F.lit(CAL_BINS - 1), F.floor(p * CAL_BINS)).cast("long")
+    return (
+        feats.groupBy(b.alias("bin"))
+        .agg(
+            F.count("*").cast("long").alias("n_users"),
+            F.sum("y").cast("long").alias("n_conv"),
+            F.sum(p.cast("decimal(28,12)")).alias("sp"),
+        )
+        .select(
+            "bin",
+            "n_users",
+            "n_conv",
+            F.round(F.col("sp").cast("double") / F.col("n_users"), 6).alias("mean_p"),
+            F.round(F.col("n_conv").cast("double") / F.col("n_users"), 6).alias(
+                "frac_conv"
+            ),
+            F.round(
+                F.col("sp").cast("double") / F.col("n_users")
+                - F.col("n_conv").cast("double") / F.col("n_users"),
+                6,
+            ).alias("gap"),
+        )
+    )
+
+
+def _calibration_sql() -> str:
+    prefix, p = _logit_chain_sql()
+    pb = f"LEAST({CAL_BINS - 1}, FLOOR({p} * {CAL_BINS}))"
+    return (
+        prefix
+        + f"""
+, cal AS (
+  SELECT CAST({pb} AS BIGINT) AS bin,
+         COUNT(*) AS n, SUM(f.y) AS nc,
+         SUM(CAST({p} AS DECIMAL(28,12))) AS sp
+  FROM zfeat f, w{LOGIT_ROUNDS} w
+  GROUP BY 1
+)
+SELECT bin, CAST(n AS BIGINT) AS n_users, CAST(nc AS BIGINT) AS n_conv,
+       ROUND(CAST(sp AS DOUBLE) / n, 6) AS mean_p,
+       ROUND(CAST(nc AS DOUBLE) / n, 6) AS frac_conv,
+       ROUND(CAST(sp AS DOUBLE) / n - CAST(nc AS DOUBLE) / n, 6) AS gap
+FROM cal
 """
     )
 
@@ -2540,6 +2628,7 @@ QUERIES = {
     "event_bot_score": event_bot_score,
     "logistic_conversion_model": logistic_conversion_model,
     "woe_feature_bins": woe_feature_bins,
+    "conversion_model_calibration": conversion_model_calibration,
 }
 
 ORACLE_SQL = {
@@ -2581,4 +2670,5 @@ ORACLE_SQL = {
     "event_bot_score": EVENT_BOT_SCORE_SQL,
     "logistic_conversion_model": _logistic_sql(),
     "woe_feature_bins": _woe_sql(),
+    "conversion_model_calibration": _calibration_sql(),
 }

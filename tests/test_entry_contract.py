@@ -120,9 +120,13 @@ def test_first_fifty_span_every_family():
         ),
         # code_detection joined the family in round-7 session 3,
         # curriculum_schedule in session 4
+        # group_dro_weights (quality.py's worst-group mixer) joined
+        # the family in round-8 session 3 and sits in the head block,
+        # covering the window for the demoted difficulty_deciles
         "quality": (
             "quality_filter_flags", "quality_filter_funnel",
             "difficulty_deciles", "code_detection", "curriculum_schedule",
+            "group_dro_weights",
         ),
         # privacy family added in round-7 session 4 (k_anonymity_audit
         # sits in the session-2 head block, dp_source_histogram in the
@@ -165,6 +169,7 @@ def test_first_fifty_span_every_family():
             "event_bot_score",
             "logistic_conversion_model",
             "woe_feature_bins",
+            "conversion_model_calibration",
         ),
     }
     absent = {

@@ -323,3 +323,74 @@ def test_woe_feature_bins_matches_python(spark, sf_dir):
             assert r.woe == pytest.approx(woe, abs=1e-6)
             assert r.iv == pytest.approx(iv, abs=1e-6)
     assert len(got) == sum(1 for _ in got)  # no duplicate (feature, bin)
+
+
+def test_calibration_matches_python(spark, sf_dir):
+    """The reliability table equals the python GD model's binned
+    predictions, and bucket counts conserve the cohort."""
+    from capstone_etl_spark.operators.events import (
+        AB_CONVERT_TYPE,
+        CAL_BINS,
+        LOGIT_FAST_SEC,
+        LOGIT_LR,
+        LOGIT_ROUNDS,
+        conversion_model_calibration,
+    )
+
+    by_user: dict[int, list] = {}
+    for u, _eid, _us, sec, et, v in _py_events(sf_dir):
+        by_user.setdefault(u, []).append((sec, et, v))
+    feats = []
+    for rows in by_user.values():
+        secs = [s for s, _, _ in rows]
+        cents = sum(round(v * 100) for _, _, v in rows)
+        fp = min((s for s, et, _ in rows if et == AB_CONVERT_TYPE), default=None)
+        y = 1.0 if fp is not None and fp - min(secs) < LOGIT_FAST_SEC else 0.0
+        feats.append(
+            (
+                y,
+                math.log(1.0 + len(rows)),
+                math.log(1.0 + cents / 100.0),
+                float(len({et for _, et, _ in rows})),
+                math.log(1.0 + (max(secs) - min(secs))),
+            )
+        )
+    n = len(feats)
+    zcols = []
+    for j in range(1, 5):
+        xs = [f[j] for f in feats]
+        m = sum(xs) / n
+        var = sum(x * x for x in xs) / n - m * m
+        sd = math.sqrt(var) if var > 0 else 1.0
+        zcols.append([(x - m) / sd for x in xs])
+    zfeats = [
+        (f[0], zcols[0][i], zcols[1][i], zcols[2][i], zcols[3][i])
+        for i, f in enumerate(feats)
+    ]
+    w = [0.0] * 5
+    for _ in range(LOGIT_ROUNDS):
+        grads = [0.0] * 5
+        for y, *x in zfeats:
+            xs = [1.0] + x
+            p = 1.0 / (1.0 + math.exp(-sum(wj * xj for wj, xj in zip(w, xs))))
+            for j in range(5):
+                grads[j] += (p - y) * xs[j]
+        w = [wj - LOGIT_LR * gj / n for wj, gj in zip(w, grads)]
+    cells: dict[int, list[float]] = {}
+    for y, *x in zfeats:
+        xs = [1.0] + x
+        p = 1.0 / (1.0 + math.exp(-sum(wj * xj for wj, xj in zip(w, xs))))
+        b = min(CAL_BINS - 1, int(p * CAL_BINS))
+        c = cells.setdefault(b, [0, 0, 0.0])
+        c[0] += 1
+        c[1] += int(y)
+        c[2] += p
+    got = {r.bin: r for r in conversion_model_calibration(spark, sf_dir).collect()}
+    assert set(got) == set(cells)
+    assert sum(r.n_users for r in got.values()) == n
+    for b, (nu, nc, sp) in cells.items():
+        r = got[b]
+        assert (r.n_users, r.n_conv) == (nu, nc)
+        assert r.mean_p == pytest.approx(sp / nu, abs=1e-5)
+        assert r.frac_conv == pytest.approx(nc / nu, abs=1e-6)
+        assert r.gap == pytest.approx(sp / nu - nc / nu, abs=1e-5)
