@@ -104,6 +104,7 @@ _PRIORITY = [
     "stream_ks_drift",
     "woe_feature_bins",
     "conversion_model_calibration",
+    "quantile_normalization",
     # Block 3: family canaries — every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span). The
     # Block-1 members cover ann (ivf_cell_medoids, hubness_audit),
@@ -117,7 +118,6 @@ _PRIORITY = [
     # and least-recently-attested within its family (most carry r5/r6
     # rows — the freshest r7 rows rest this round).
     "wikibooks_docs",
-    "mixing_allocation",
     "repeated_ngram_spans",
     "kmeans_lloyd",
     "bm25_topk",
@@ -141,7 +141,10 @@ _PRIORITY = [
     # round AND green on the committed local full gate; ordered
     # least-recently-attested first so any extra driver sampling adds
     # the stalest signal. The round-7 window (all r7-green) rides the
-    # committed ATTEST gate this round.
+    # committed ATTEST gate this round. (mixing_allocation demoted
+    # here in session 5: its corpus-family window seat is covered by
+    # source_loso_influence in Block 1.)
+    "mixing_allocation",
     "stream_kmv_sketch",
     "language_id_confusion",
     "semantic_dedup",

@@ -212,6 +212,10 @@ HEADLINE = [
     # full 15-round trainer plus one CAL_BINS-key hash agg, so the
     # trained-model arc's cost is tracked end-to-end.
     "conversion_model_calibration",
+    # r8 session 5 (cont.): cross-source quantile calibration — the
+    # dense-id global ranking under a third consumer plus a rank-keyed
+    # equi-join.
+    "quantile_normalization",
 ]
 
 

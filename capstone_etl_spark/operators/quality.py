@@ -1298,6 +1298,86 @@ FROM per_src
 """
 
 
+# --------------- cross-source quantile normalization
+
+def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, source, raw_len, norm_len) — quantile-normalize each
+    document's length score onto the GLOBAL length distribution: a doc
+    at within-source quantile p is assigned the global distribution's
+    value at the same quantile. The cross-source score calibration a
+    mixed-corpus curation pass runs before thresholding — a fixed
+    cutoff on raw scores penalizes sources whose raw scale differs
+    (transcripts vs papers) even when their shape is healthy.
+
+    Exact integer rank arithmetic: within-source rank r0 (0-based,
+    ties broken by doc_id) maps to global rank
+    t = (r0·(N−1)) div (n_s−1) (midpoint for singleton sources), and
+    norm_len is the length AT global rank t — no interpolation
+    floats, so both engines agree bit-for-bit.
+
+    Scale plan: the global ranking is `with_dense_ids` (range-sort +
+    per-partition rank + broadcast offsets — the O2 machinery, no
+    global window); the within-source window partitions by source; the
+    quantile lookup is an equi-join on the integer rank key; N enters
+    as a 1-row broadcast."""
+    from capstone_etl_spark.operators.vocab import with_dense_ids
+
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    g = with_dense_ids(d, [F.col("n_chars"), F.col("doc_id")], id_name="_gid").select(
+        F.col("_gid").alias("gid"), F.col("n_chars").alias("norm_len")
+    )
+    n_rel = d.agg(F.count("*").alias("n_all"))
+    ws = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wn = Window.partitionBy("source")
+    ranked = (
+        d.select(
+            "doc_id",
+            "source",
+            F.col("n_chars").alias("raw_len"),
+            (F.row_number().over(ws) - 1).alias("r0"),
+            F.count("*").over(wn).alias("ns"),
+        )
+        .crossJoin(F.broadcast(n_rel))
+        .select(
+            "doc_id",
+            "source",
+            "raw_len",
+            F.when(
+                F.col("ns") > 1,
+                F.expr("(r0 * (n_all - 1)) div (ns - 1)"),
+            )
+            .otherwise(F.expr("(n_all - 1) div 2"))
+            .cast("long")
+            .alias("t"),
+        )
+    )
+    return ranked.join(g, ranked["t"] == g["gid"]).select(
+        "doc_id", "source", "raw_len", "norm_len"
+    )
+
+
+QUANTILE_NORMALIZATION_SQL = """
+WITH d AS (
+  SELECT doc_id, source, n_chars FROM documents
+), g AS (
+  SELECT n_chars AS norm_len,
+         ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) - 1 AS gid
+  FROM d
+), n AS (
+  SELECT COUNT(*) AS n_all FROM d
+), s AS (
+  SELECT doc_id, source, n_chars AS raw_len,
+         ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_chars, doc_id) - 1 AS r0,
+         COUNT(*) OVER (PARTITION BY source) AS ns
+  FROM d
+)
+SELECT s.doc_id, s.source, s.raw_len, g.norm_len
+FROM s CROSS JOIN n
+JOIN g ON g.gid = CASE WHEN s.ns > 1 THEN (s.r0 * (n.n_all - 1)) // (s.ns - 1)
+                       ELSE (n.n_all - 1) // 2 END
+"""
+
+
 QUERIES = {
     "quality_filter_flags": quality_filter_flags,
     "quality_filter_funnel": quality_filter_funnel,
@@ -1314,6 +1394,7 @@ QUERIES = {
     "curriculum_schedule": curriculum_schedule,
     "split_perplexity_gap": split_perplexity_gap,
     "group_dro_weights": group_dro_weights,
+    "quantile_normalization": quantile_normalization,
 }
 
 ORACLE_SQL = {
@@ -1332,4 +1413,5 @@ ORACLE_SQL = {
     "curriculum_schedule": CURRICULUM_SCHEDULE_SQL,
     "split_perplexity_gap": SPLIT_PERPLEXITY_GAP_SQL,
     "group_dro_weights": GROUP_DRO_WEIGHTS_SQL,
+    "quantile_normalization": QUANTILE_NORMALIZATION_SQL,
 }

@@ -300,6 +300,10 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "1-row POS/NEG label-total broadcast over the <= 4*WOE_BINS "
         "bin cells (events.py)"
     ),
+    "quantile_normalization": (
+        "1-row corpus doc-count broadcast for the rank mapping "
+        "(quality.py; the global order itself is with_dense_ids)"
+    ),
 }
 
 # NOTE: conversion_model_calibration and logistic_conversion_model are
@@ -517,6 +521,7 @@ HEADLINE: list[str] = [
     "naive_bayes_source_model",
     "ks_source_drift",
     "woe_feature_bins",
+    "quantile_normalization",
     # round-8 session-5 additions (logistic_conversion_model is
     # excluded: its plan embeds the 15 learned-weight literals, so the
     # dump would churn on every data change; its per-round discipline

@@ -43,9 +43,12 @@ def test_first_fifty_span_every_family():
         # source_loso_influence (leave-one-source-out valuation) joined
         # the family in round-7 session 5 and sits in the head block,
         # covering the window for the demoted mixing_allocation
+        # dataset_card / span_corruption_masks (corpus.py, round-8
+        # session 2) sit in the head block, covering the window for
+        # the demoted mixing_allocation
         "corpus": (
             "corpus_pipeline", "source_mixing_weights", "mixing_allocation",
-            "source_loso_influence",
+            "source_loso_influence", "dataset_card", "span_corruption_masks",
         ),
         # dedup_sorted_neighborhood / split_leakage_audit joined their
         # families in round-7 session 3 and sit in the head block,
@@ -126,7 +129,7 @@ def test_first_fifty_span_every_family():
         "quality": (
             "quality_filter_flags", "quality_filter_funnel",
             "difficulty_deciles", "code_detection", "curriculum_schedule",
-            "group_dro_weights",
+            "group_dro_weights", "quantile_normalization",
         ),
         # privacy family added in round-7 session 4 (k_anonymity_audit
         # sits in the session-2 head block, dp_source_histogram in the

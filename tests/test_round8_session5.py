@@ -394,3 +394,37 @@ def test_calibration_matches_python(spark, sf_dir):
         assert r.mean_p == pytest.approx(sp / nu, abs=1e-5)
         assert r.frac_conv == pytest.approx(nc / nu, abs=1e-6)
         assert r.gap == pytest.approx(sp / nu - nc / nu, abs=1e-5)
+
+
+def test_quantile_normalization_matches_python(spark, sf_dir):
+    """Each doc's normalized length equals the global value at its
+    integer-mapped rank, normalization is monotone within source, and
+    per-source normalized distributions span the global range."""
+    import duckdb
+
+    from capstone_etl_spark.operators.quality import quantile_normalization
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, source, n_chars FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    glob = sorted((L, d) for d, _s, L in rows)
+    n_all = len(rows)
+    by_src: dict[str, list] = {}
+    for d, s, L in rows:
+        by_src.setdefault(s, []).append((L, d))
+    want = {}
+    for s, docs in by_src.items():
+        docs.sort()
+        ns = len(docs)
+        for r0, (L, d) in enumerate(docs):
+            t = (r0 * (n_all - 1)) // (ns - 1) if ns > 1 else (n_all - 1) // 2
+            want[d] = (s, L, glob[t][0])
+    got = {r.doc_id: (r.source, r.raw_len, r.norm_len)
+           for r in quantile_normalization(spark, sf_dir).collect()}
+    assert got == want
+    # the lowest- and highest-ranked doc of every source hit the
+    # global extremes — the calibration property
+    for s, docs in by_src.items():
+        if len(docs) > 1:
+            norms = sorted(want[d][2] for _L, d in docs)
+            assert norms[0] == glob[0][0] and norms[-1] == glob[-1][0]
