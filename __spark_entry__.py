@@ -105,6 +105,7 @@ _PRIORITY = [
     "woe_feature_bins",
     "conversion_model_calibration",
     "quantile_normalization",
+    "markov_next_accuracy",
     # Block 3: family canaries — every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span). The
     # Block-1 members cover ann (ivf_cell_medoids, hubness_audit),
@@ -120,8 +121,6 @@ _PRIORITY = [
     "wikibooks_docs",
     "repeated_ngram_spans",
     "kmeans_lloyd",
-    "bm25_topk",
-    "multimodal_frame_dedup",
     "chunk_packing",
     "sequence_packing_greedy",
     "reservoir_sample",
@@ -141,10 +140,14 @@ _PRIORITY = [
     # round AND green on the committed local full gate; ordered
     # least-recently-attested first so any extra driver sampling adds
     # the stalest signal. The round-7 window (all r7-green) rides the
-    # committed ATTEST gate this round. (mixing_allocation demoted
-    # here in session 5: its corpus-family window seat is covered by
-    # source_loso_influence in Block 1.)
+    # committed ATTEST gate this round. (mixing_allocation, bm25_topk,
+    # and multimodal_frame_dedup demoted here in session 5: their
+    # family window seats are covered by head-block members —
+    # dataset_card/span_corruption_masks, rag_chunk_retrieval, and
+    # multimodal_caption_pairs respectively.)
     "mixing_allocation",
+    "bm25_topk",
+    "multimodal_frame_dedup",
     "stream_kmv_sketch",
     "language_id_confusion",
     "semantic_dedup",

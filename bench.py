@@ -216,6 +216,9 @@ HEADLINE = [
     # dense-id global ranking under a third consumer plus a rank-keyed
     # equi-join.
     "quantile_normalization",
+    # r8 session 5 (cont.): the Markov next-event baseline eval — one
+    # lag+rank window pass + a |types|-row broadcast eval join.
+    "markov_next_accuracy",
 ]
 
 

@@ -2414,6 +2414,96 @@ UNION ALL SELECT 'n_users', CAST(n AS DOUBLE) FROM fin
     )
 
 
+# ---------- next-event Markov predictor with held-out accuracy
+
+def markov_next_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(from_type, predicted, n_pairs, n_correct, accuracy) — the
+    sequence-model baseline EVALUATED: a first-order Markov next-event
+    predictor (argmax transition) is fit on each user's first half and
+    scored on their second half — the top-1 accuracy floor any
+    sequence model must beat before it earns a slot in the serving
+    path. Eval pairs are the consecutive pairs whose SECOND event
+    falls in the held-out half, so the boundary transition is scored
+    too (prediction context may be a train event; the LABEL never is).
+
+    Scale plan: one lag+rank window pass per user (hash-partitioned),
+    one (from, to) hash agg for the train matrix, an argmax window
+    bounded by |types| rows per key, and the eval join keys on
+    from_type — a broadcast-sized |types|-row build side. Exact int
+    counts; one division; argmax ties break lexicographically."""
+    ev = _events(spark, sf_dir)
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wn = Window.partitionBy("user_id")
+    seq = ev.select(
+        "user_id",
+        F.lag("event_type").over(w).alias("from_type"),
+        F.col("event_type").alias("to_type"),
+        F.row_number().over(w).alias("r"),
+        F.count("*").over(wn).alias("n"),
+    ).filter(F.col("from_type").isNotNull())
+    train = seq.filter(F.col("r") <= F.col("n") / 2)
+    ev_pairs = seq.filter(F.col("r") > F.col("n") / 2)
+    tm = train.groupBy("from_type", "to_type").agg(F.count("*").alias("c"))
+    wa = Window.partitionBy("from_type").orderBy(
+        F.col("c").desc(), F.col("to_type").asc()
+    )  # ≤ |types| rows per key post-agg
+    best = (
+        tm.withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") == 1)
+        .select("from_type", F.col("to_type").alias("predicted"))
+    )
+    return (
+        ev_pairs.join(F.broadcast(best), "from_type")
+        .groupBy("from_type", "predicted")
+        .agg(
+            F.count("*").cast("long").alias("n_pairs"),
+            F.sum((F.col("to_type") == F.col("predicted")).cast("long")).alias(
+                "n_correct"
+            ),
+        )
+        .select(
+            "from_type",
+            "predicted",
+            "n_pairs",
+            "n_correct",
+            F.round(F.col("n_correct").cast("double") / F.col("n_pairs"), 6).alias(
+                "accuracy"
+            ),
+        )
+    )
+
+
+MARKOV_NEXT_ACCURACY_SQL = """
+WITH seq AS (
+  SELECT user_id,
+         LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS from_type,
+         event_type AS to_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS r,
+         COUNT(*) OVER (PARTITION BY user_id) AS n
+  FROM events
+), pairs AS (
+  SELECT * FROM seq WHERE from_type IS NOT NULL
+), tm AS (
+  SELECT from_type, to_type, COUNT(*) AS c
+  FROM pairs WHERE r <= n / 2 GROUP BY 1, 2
+), best AS (
+  SELECT from_type, to_type AS predicted
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY from_type
+                                     ORDER BY c DESC, to_type ASC) AS rn
+        FROM tm)
+  WHERE rn = 1
+)
+SELECT p.from_type, b.predicted,
+       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       CAST(SUM(CASE WHEN p.to_type = b.predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       ROUND(CAST(SUM(CASE WHEN p.to_type = b.predicted THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*), 6) AS accuracy
+FROM pairs p JOIN best b ON p.from_type = b.from_type
+WHERE p.r > p.n / 2
+GROUP BY 1, 2
+"""
+
+
 # ------------- calibration readout for the logistic model
 
 CAL_BINS = 10  # reliability-diagram resolution
@@ -2629,6 +2719,7 @@ QUERIES = {
     "logistic_conversion_model": logistic_conversion_model,
     "woe_feature_bins": woe_feature_bins,
     "conversion_model_calibration": conversion_model_calibration,
+    "markov_next_accuracy": markov_next_accuracy,
 }
 
 ORACLE_SQL = {
@@ -2671,4 +2762,5 @@ ORACLE_SQL = {
     "logistic_conversion_model": _logistic_sql(),
     "woe_feature_bins": _woe_sql(),
     "conversion_model_calibration": _calibration_sql(),
+    "markov_next_accuracy": MARKOV_NEXT_ACCURACY_SQL,
 }

@@ -522,6 +522,7 @@ HEADLINE: list[str] = [
     "ks_source_drift",
     "woe_feature_bins",
     "quantile_normalization",
+    "markov_next_accuracy",
     # round-8 session-5 additions (logistic_conversion_model is
     # excluded: its plan embeds the 15 learned-weight literals, so the
     # dump would churn on every data change; its per-round discipline

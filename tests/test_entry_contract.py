@@ -77,9 +77,12 @@ def test_first_fifty_span_every_family():
             "ann_radius_search", "ivf_cell_medoids", "hubness_audit",
         ),
         "kmeans": ("kmeans_lloyd", "label_centroids", "kmeans_silhouette"),
-        # retrieval_ndcg (same module, Block-1 window seat) covers the
-        # family for the demoted bm25_topk from round-7 session 5 on
-        "doc_similarity": ("doc_similarity_topk", "bm25_topk", "retrieval_ndcg"),
+        # rag_chunk_retrieval (round-8 chunk-level BM25, head block)
+        # covers the window for the demoted bm25_topk
+        "doc_similarity": (
+            "doc_similarity_topk", "bm25_topk", "retrieval_ndcg",
+            "rag_chunk_retrieval",
+        ),
         # the round-7 streaming/multimodal head-block queries cover the
         # window for the demoted multi-round-green canaries
         # the round-8 streaming additions (KM survival, quantile
@@ -94,11 +97,14 @@ def test_first_fifty_span_every_family():
             "stream_psi_drift", "stream_group_dro", "stream_ab_test",
             "stream_ks_drift",
         ),
+        # multimodal_caption_pairs (round-8 pair admission, head
+        # block) covers the window for the demoted frame dedup
         "multimodal": (
             "multimodal_frame_dedup",
             "multimodal_meta",
             "multimodal_audio_resample",
             "multimodal_phash_dedup",
+            "multimodal_caption_pairs",
         ),
         "outputs": ("wikibooks_docs", "tokens_collection"),
         "chunking": ("doc_chunks", "chunk_packing"),
@@ -170,6 +176,7 @@ def test_first_fifty_span_every_family():
             # WoE feature screen
             "event_attribution_credit",
             "event_bot_score",
+            "markov_next_accuracy",
             "logistic_conversion_model",
             "woe_feature_bins",
             "conversion_model_calibration",

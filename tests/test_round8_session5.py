@@ -428,3 +428,40 @@ def test_quantile_normalization_matches_python(spark, sf_dir):
         if len(docs) > 1:
             norms = sorted(want[d][2] for _L, d in docs)
             assert norms[0] == glob[0][0] and norms[-1] == glob[-1][0]
+
+
+def test_markov_next_accuracy_matches_python(spark, sf_dir):
+    """The confusion rollup equals a pure-python first/second-half
+    Markov fit, and every held-out pair is scored exactly once."""
+    from capstone_etl_spark.operators.events import markov_next_accuracy
+
+    by_user: dict[int, list] = {}
+    for u, eid, us, _sec, et, _v in _py_events(sf_dir):
+        by_user.setdefault(u, []).append(et)
+    train: dict[str, dict[str, int]] = {}
+    ev_pairs = []
+    for types in by_user.values():
+        n = len(types)
+        for i in range(1, n):
+            r = i + 1  # 1-based rank of the pair's second event
+            if r <= n / 2:
+                train.setdefault(types[i - 1], {}).setdefault(types[i], 0)
+                train[types[i - 1]][types[i]] += 1
+            else:
+                ev_pairs.append((types[i - 1], types[i]))
+    best = {
+        ft: min(cs, key=lambda t: (-cs[t], t)) for ft, cs in train.items()
+    }
+    want: dict[str, list[int]] = {}
+    for ft, tt in ev_pairs:
+        if ft not in best:
+            continue
+        c = want.setdefault(ft, [0, 0])
+        c[0] += 1
+        c[1] += int(tt == best[ft])
+    got = {r.from_type: r for r in markov_next_accuracy(spark, sf_dir).collect()}
+    assert set(got) == set(want)
+    for ft, (np_, nc) in want.items():
+        r = got[ft]
+        assert (r.predicted, r.n_pairs, r.n_correct) == (best[ft], np_, nc)
+        assert r.accuracy == pytest.approx(nc / np_, abs=1e-6)
