@@ -106,6 +106,7 @@ _PRIORITY = [
     "conversion_model_calibration",
     "quantile_normalization",
     "markov_next_accuracy",
+    "lm_greedy_decode",
     # Block 3: family canaries — every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span). The
     # Block-1 members cover ann (ivf_cell_medoids, hubness_audit),

@@ -219,6 +219,9 @@ HEADLINE = [
     # r8 session 5 (cont.): the Markov next-event baseline eval — one
     # lag+rank window pass + a |types|-row broadcast eval join.
     "markov_next_accuracy",
+    # r8 session 5 (cont.): greedy LM inference in-engine — one shared
+    # tokenize pass + DECODE_STEPS 1-row probe joins.
+    "lm_greedy_decode",
 ]
 
 

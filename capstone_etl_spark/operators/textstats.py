@@ -2733,6 +2733,101 @@ FROM cells
 NAIVE_BAYES_SOURCE_MODEL_SQL = _naive_bayes_sql()
 
 
+# ------------------ greedy decode from the corpus bigram LM
+
+DECODE_STEPS = 10
+
+
+def lm_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(step, token) — greedy generation from the corpus bigram LM:
+    start at the globally most frequent token, then DECODE_STEPS times
+    follow the argmax transition (count desc, token asc on ties). The
+    smoke test a trained LM artifact gets — inference run inside the
+    engine, so the check needs no model export. The chain truncates
+    early if a token has no outgoing bigram (it only ever ends
+    documents); loops are expected and fine (greedy decode cycles).
+
+    Scale plan: ONE tokenize pass feeds bigram and unigram counts
+    (cached arrays); the argmax-next relation is one bounded window
+    over the post-agg bigram table; the seed is a 1-row aggregate; the
+    chain is DECODE_STEPS joins each with a 1-row probe side against
+    the cached argmax relation — constant-depth, nothing per-step
+    scales with the corpus."""
+    toks = _docs(spark, sf_dir).select(tokenize("text").alias("t")).transform(cached)
+    bigr = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN "
+                "transform(sequence(1, size(t) - 1), i -> struct(t[i-1] AS w1, t[i] AS w2)) "
+                "ELSE array() END"
+            )
+        ).alias("bg")
+    ).select("bg.w1", "bg.w2")
+    bc = bigr.groupBy("w1", "w2").agg(F.count("*").alias("c"))
+    wa = Window.partitionBy("w1").orderBy(F.col("c").desc(), F.col("w2").asc())
+    best = cached(
+        bc.withColumn("_rn", F.row_number().over(wa))
+        .filter(F.col("_rn") == 1)
+        .select("w1", F.col("w2").alias("nxt"))
+    )
+    uni = (
+        toks.select(F.explode("t").alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("c"))
+    )
+    cur = uni.agg(
+        F.min(
+            F.struct((-F.col("c")).alias("nc"), F.col("w").alias("tok"))
+        ).alias("s")
+    ).select(F.lit(0).cast("long").alias("step"), F.col("s.tok").alias("token"))
+    out = cur
+    for k in range(1, DECODE_STEPS + 1):
+        cur = cur.join(best, cur["token"] == best["w1"]).select(
+            F.lit(k).cast("long").alias("step"), F.col("nxt").alias("token")
+        )
+        out = out.unionByName(cur)
+    return out
+
+
+def _lm_greedy_decode_sql() -> str:
+    steps = []
+    for k in range(1, DECODE_STEPS + 1):
+        steps.append(
+            f""", s{k} AS MATERIALIZED (
+  SELECT {k} AS step, b.nxt AS token
+  FROM s{k - 1} s JOIN best b ON s.token = b.w1
+)"""
+        )
+    union = "\nUNION ALL ".join(
+        f"SELECT CAST(step AS BIGINT) AS step, token FROM s{k}"
+        for k in range(DECODE_STEPS + 1)
+    )
+    return (
+        _TOKS_CTE
+        + f"""
+, bigr AS (
+  SELECT t[i] AS w1, t[i+1] AS w2
+  FROM toks, LATERAL (SELECT unnest(range(1, len(t))) AS i) r
+  WHERE len(t) >= 2
+), bc AS (
+  SELECT w1, w2, COUNT(*) AS c FROM bigr GROUP BY 1, 2
+), best AS (
+  SELECT w1, w2 AS nxt
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY w1
+                                     ORDER BY c DESC, w2 ASC) AS rn FROM bc)
+  WHERE rn = 1
+), uni AS (
+  SELECT w, COUNT(*) AS c FROM (SELECT unnest(t) AS w FROM toks) u
+  WHERE w <> '' GROUP BY w
+), s0 AS MATERIALIZED (
+  SELECT 0 AS step, w AS token FROM uni ORDER BY c DESC, w ASC LIMIT 1
+)"""
+        + "".join(steps)
+        + "\n"
+        + union
+    )
+
+
 # ------------- two-sample Kolmogorov-Smirnov source drift
 
 KS_CRIT_COEF = 1.358  # sqrt(-ln(0.05/2)/2): the alpha=0.05 two-sample factor
@@ -2890,6 +2985,7 @@ QUERIES = {
     "token_gini": token_gini,
     "naive_bayes_source_model": naive_bayes_source_model,
     "ks_source_drift": ks_source_drift,
+    "lm_greedy_decode": lm_greedy_decode,
 }
 
 ORACLE_SQL = {
@@ -2929,4 +3025,5 @@ ORACLE_SQL = {
     "tokenizer_comparison": TOKENIZER_COMPARISON_SQL,
     "naive_bayes_source_model": NAIVE_BAYES_SOURCE_MODEL_SQL,
     "ks_source_drift": KS_SOURCE_DRIFT_SQL,
+    "lm_greedy_decode": _lm_greedy_decode_sql(),
 }

@@ -304,6 +304,10 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "1-row corpus doc-count broadcast for the rank mapping "
         "(quality.py; the global order itself is with_dense_ids)"
     ),
+    "lm_greedy_decode": (
+        "DECODE_STEPS 1-row probe-side joins against the cached argmax "
+        "relation + the 1-row seed aggregate (textstats.py)"
+    ),
 }
 
 # NOTE: conversion_model_calibration and logistic_conversion_model are
@@ -523,6 +527,7 @@ HEADLINE: list[str] = [
     "woe_feature_bins",
     "quantile_normalization",
     "markov_next_accuracy",
+    "lm_greedy_decode",
     # round-8 session-5 additions (logistic_conversion_model is
     # excluded: its plan embeds the 15 learned-weight literals, so the
     # dump would churn on every data change; its per-round discipline

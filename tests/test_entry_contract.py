@@ -125,7 +125,7 @@ def test_first_fifty_span_every_family():
         "textstats": (
             "text_quality", "zipf_fit", "language_id_confusion",
             "heaps_law_fit", "token_gini", "naive_bayes_source_model",
-            "ks_source_drift",
+            "ks_source_drift", "lm_greedy_decode",
         ),
         # code_detection joined the family in round-7 session 3,
         # curriculum_schedule in session 4

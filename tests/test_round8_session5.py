@@ -465,3 +465,37 @@ def test_markov_next_accuracy_matches_python(spark, sf_dir):
         r = got[ft]
         assert (r.predicted, r.n_pairs, r.n_correct) == (best[ft], np_, nc)
         assert r.accuracy == pytest.approx(nc / np_, abs=1e-6)
+
+
+def test_lm_greedy_decode_matches_python(spark, sf_dir):
+    """The decoded chain equals a pure-python greedy walk over the
+    same bigram argmax table, starting at the most frequent token."""
+    import re
+    from collections import Counter
+
+    import duckdb
+
+    from capstone_etl_spark.operators.textstats import DECODE_STEPS, lm_greedy_decode
+
+    texts = [
+        t
+        for (t,) in duckdb.sql(
+            f"SELECT text FROM '{sf_dir}/documents.parquet'"
+        ).fetchall()
+    ]
+    uni: Counter = Counter()
+    bi: dict[str, Counter] = {}
+    for text in texts:
+        ws = [w for w in re.sub(r"[^a-zA-Z0-9 ]", "", text).lower().split() if w]
+        uni.update(ws)
+        for a, b in zip(ws, ws[1:]):
+            bi.setdefault(a, Counter())[b] += 1
+    cur = min(uni, key=lambda w: (-uni[w], w))
+    want = [(0, cur)]
+    for k in range(1, DECODE_STEPS + 1):
+        if cur not in bi:
+            break
+        cur = min(bi[cur], key=lambda w: (-bi[cur][w], w))
+        want.append((k, cur))
+    got = sorted((r.step, r.token) for r in lm_greedy_decode(spark, sf_dir).collect())
+    assert got == want
