@@ -107,6 +107,7 @@ _PRIORITY = [
     "quantile_normalization",
     "markov_next_accuracy",
     "lm_greedy_decode",
+    "pq_distortion_audit",
     # Block 3: family canaries — every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span). The
     # Block-1 members cover ann (ivf_cell_medoids, hubness_audit),
@@ -124,12 +125,7 @@ _PRIORITY = [
     "kmeans_lloyd",
     "chunk_packing",
     "sequence_packing_greedy",
-    "reservoir_sample",
     "campaign_window_stats",
-    "difficulty_deciles",
-    "kmv_source_overlap",
-    "cluster_aware_splits",
-    "dedup_agreement",
     # Block 4: least-recently-attested fillers — the driver's remaining
     # window slots refresh the stalest driver signal first (none of
     # these has a row newer than r5).
@@ -149,6 +145,17 @@ _PRIORITY = [
     "mixing_allocation",
     "bm25_topk",
     "multimodal_frame_dedup",
+    # (difficulty_deciles, kmv_source_overlap, cluster_aware_splits,
+    # and dedup_agreement demoted late in session 5 for the same
+    # reason: quality/sketches/splits/dedup all keep head-block
+    # members — group_dro_weights + quantile_normalization,
+    # kmv_set_difference, split_perplexity_gap, and
+    # dedup_clusters_incremental respectively.)
+    "reservoir_sample",
+    "difficulty_deciles",
+    "kmv_source_overlap",
+    "cluster_aware_splits",
+    "dedup_agreement",
     "stream_kmv_sketch",
     "language_id_confusion",
     "semantic_dedup",

@@ -222,6 +222,9 @@ HEADLINE = [
     # r8 session 5 (cont.): greedy LM inference in-engine — one shared
     # tokenize pass + DECODE_STEPS 1-row probe joins.
     "lm_greedy_decode",
+    # r8 session 5 (cont.): the PQ codebook health audit — reuses the
+    # subspace-distance fold; one PQ_M-key hash agg on top.
+    "pq_distortion_audit",
 ]
 
 

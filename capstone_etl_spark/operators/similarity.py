@@ -1066,6 +1066,97 @@ FROM best GROUP BY vec_id
 """
 
 
+def pq_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(m, n_vectors, n_cells_used, utilization, mse, err_share) — the
+    per-subspace health check of the PQ codebook: mean squared
+    quantization error per subspace (which subspace is starving for
+    codewords), the share of total distortion it contributes, and
+    codeword utilization (distinct codewords actually chosen / seed
+    count — dead codewords waste code space). The audit that decides
+    whether PQ_M / the seed budget are allocated where the variance
+    is, read BEFORE shipping the embedding_pq codes.
+
+    Scale plan: reuses _pq_subspace_dists (codebooks broadcast at ≈√N
+    rows; one exact-int64 fold per (vector, seed, subspace)) and the
+    same per-(vec, m) argmin; the audit itself is ONE hash agg on PQ_M
+    keys, with the seed count and the distortion total entering as
+    1-row broadcasts. Exact int d2 sums; two divisions at the end."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    quant = quantize_fp()
+    emb_q = emb.select("vec_id", quant.alias("vq"))
+    seeds = quantizer_seeds(emb_q)
+    dists = _pq_subspace_dists(emb_q, seeds)
+    best = (
+        dists.groupBy("vec_id", "m")
+        .agg(F.min(F.struct("d2", "cell")).alias("b"))
+        .select("m", F.col("b.cell").alias("cell"), F.col("b.d2").alias("d2"))
+    )
+    per_m = best.groupBy("m").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.countDistinct("cell").cast("long").alias("n_cells_used"),
+        F.sum("d2").cast("long").alias("td2"),
+    )
+    n_seeds = seeds.agg(F.count("*").alias("n_cells"))
+    tot = per_m.agg(F.sum("td2").alias("all_d2"))
+    scale2 = float(CENTROID_SCALE) * float(CENTROID_SCALE)
+    return (
+        per_m.crossJoin(F.broadcast(n_seeds))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "m",
+            "n_vectors",
+            "n_cells_used",
+            F.round(F.col("n_cells_used").cast("double") / F.col("n_cells"), 6).alias(
+                "utilization"
+            ),
+            F.round(
+                F.col("td2").cast("double") / F.col("n_vectors") / F.lit(scale2), 6
+            ).alias("mse"),
+            F.when(
+                F.col("all_d2") > 0,
+                F.round(F.col("td2").cast("double") / F.col("all_d2"), 6),
+            ).alias("err_share"),
+        )
+    )
+
+
+PQ_DISTORTION_AUDIT_SQL = f"""
+WITH by_dim AS (
+  SELECT vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
+), {_SEED_IDS_SQL}, seeds AS (
+  SELECT b.vec_id AS cell, b.d, b.vs AS ss
+  FROM by_dim b JOIN seed_ids si ON si.vec_id = b.vec_id
+), dists AS (
+  SELECT v.vec_id, v.d // {PQ_SUBDIM} AS m, s.cell,
+         CAST(SUM((v.vs - s.ss) * (v.vs - s.ss)) AS BIGINT) AS d2
+  FROM by_dim v JOIN seeds s ON s.d = v.d
+  GROUP BY v.vec_id, v.d // {PQ_SUBDIM}, s.cell
+), best AS (
+  SELECT m, cell, d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) AS r
+    FROM dists
+  ) t WHERE r = 1
+), per_m AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells_used,
+         CAST(SUM(d2) AS BIGINT) AS td2
+  FROM best GROUP BY 1
+), ns AS (
+  SELECT COUNT(*) AS n_cells FROM seed_ids
+), tot AS (
+  SELECT SUM(td2) AS all_d2 FROM per_m
+)
+SELECT m, n_vectors, n_cells_used,
+       ROUND(CAST(n_cells_used AS DOUBLE) / n_cells, 6) AS utilization,
+       ROUND(CAST(td2 AS DOUBLE) / n_vectors / {CENTROID_SCALE}.0 / {CENTROID_SCALE}.0, 6) AS mse,
+       CASE WHEN all_d2 > 0
+            THEN ROUND(CAST(td2 AS DOUBLE) / all_d2, 6) END AS err_share
+FROM per_m CROSS JOIN ns CROSS JOIN tot
+"""
+
+
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC (asymmetric distance computation) top-k over the PQ codes —
     the search half of product quantization: each query builds an
@@ -2613,6 +2704,7 @@ QUERIES = {
     "pca_power_iteration": pca_power_iteration,
     "embedding_whitening": embedding_whitening,
     "embedding_pq": embedding_pq,
+    "pq_distortion_audit": pq_distortion_audit,
     "ann_pq_topk": ann_pq_topk,
     "ann_ivf_pq_topk": ann_ivf_pq_topk,
     "hard_negative_mining": hard_negative_mining,
@@ -2643,6 +2735,7 @@ ORACLE_SQL = {
     "pca_power_iteration": PCA_POWER_ITERATION_SQL,
     "embedding_whitening": EMBEDDING_WHITENING_SQL,
     "embedding_pq": EMBEDDING_PQ_SQL,
+    "pq_distortion_audit": PQ_DISTORTION_AUDIT_SQL,
     "ann_pq_topk": ANN_PQ_TOPK_SQL,
     "ann_ivf_pq_topk": ANN_IVF_PQ_TOPK_SQL,
     "hard_negative_mining": HARD_NEGATIVE_MINING_SQL,

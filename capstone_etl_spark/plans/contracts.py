@@ -308,6 +308,11 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "DECODE_STEPS 1-row probe-side joins against the cached argmax "
         "relation + the 1-row seed aggregate (textstats.py)"
     ),
+    "pq_distortion_audit": (
+        "inherits embedding_pq's ~sqrt(N) codebook broadcast; adds the "
+        "1-row seed-count and distortion-total broadcasts over the "
+        "PQ_M-row audit (similarity.py)"
+    ),
 }
 
 # NOTE: conversion_model_calibration and logistic_conversion_model are
@@ -528,6 +533,7 @@ HEADLINE: list[str] = [
     "quantile_normalization",
     "markov_next_accuracy",
     "lm_greedy_decode",
+    "pq_distortion_audit",
     # round-8 session-5 additions (logistic_conversion_model is
     # excluded: its plan embeds the 15 learned-weight literals, so the
     # dump would churn on every data change; its per-round discipline

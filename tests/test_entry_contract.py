@@ -72,9 +72,12 @@ def test_first_fifty_span_every_family():
         # window for the demoted r4-green canaries
         # ivf_cell_medoids / hubness_audit joined the family in round-7
         # session 5 and lead the round-8 window
+        # pq_distortion_audit / ivf_probe_recall_curve (round 8) sit
+        # in the head block alongside the Block-1 members
         "ann": (
             "ann_lsh_topk", "ann_ivf_topk", "ann_recall_eval",
             "ann_radius_search", "ivf_cell_medoids", "hubness_audit",
+            "ivf_probe_recall_curve", "pq_distortion_audit",
         ),
         "kmeans": ("kmeans_lloyd", "label_centroids", "kmeans_silhouette"),
         # rag_chunk_retrieval (round-8 chunk-level BM25, head block)
@@ -118,7 +121,13 @@ def test_first_fifty_span_every_family():
             "doc_splits", "cluster_aware_splits", "split_leakage_audit",
             "split_perplexity_gap",
         ),
-        "sampling": ("doc_sample_stratified", "reservoir_sample"),
+        # negative_sampling_table (frequency-smoothed contrastive
+        # negatives, Block-1 head seat) covers the window for the
+        # demoted reservoir_sample
+        "sampling": (
+            "doc_sample_stratified", "reservoir_sample",
+            "negative_sampling_table",
+        ),
         "rangejoin": ("campaign_window_stats",),
         # heaps_law_fit / token_gini joined in round-7 session 5 and
         # lead the round-8 window

@@ -499,3 +499,31 @@ def test_lm_greedy_decode_matches_python(spark, sf_dir):
         want.append((k, cur))
     got = sorted((r.step, r.token) for r in lm_greedy_decode(spark, sf_dir).collect())
     assert got == want
+
+
+def test_pq_distortion_audit_consistent_with_pq(spark, sf_dir):
+    """The audit's totals reconcile with embedding_pq: per-subspace
+    MSE sums (scaled back) equal the per-vector reconstruction
+    errors' squared sum, every vector appears in every subspace, and
+    shares sum to 1."""
+    from capstone_etl_spark.operators.similarity import (
+        CENTROID_SCALE,
+        PQ_M,
+        embedding_pq,
+        pq_distortion_audit,
+    )
+
+    audit = {r.m: r for r in pq_distortion_audit(spark, sf_dir).collect()}
+    pq = embedding_pq(spark, sf_dir).collect()
+    assert set(audit) == set(range(PQ_M))
+    n_vec = len(pq)
+    for r in audit.values():
+        assert r.n_vectors == n_vec
+        assert 0 < r.n_cells_used
+        assert 0.0 < r.utilization <= 1.0
+    shares = [r.err_share for r in audit.values() if r.err_share is not None]
+    assert sum(shares) == pytest.approx(1.0, abs=5e-6)
+    # total distortion reconciles with the per-vector recon errors
+    total_mse = sum(r.mse * r.n_vectors for r in audit.values())
+    total_err2 = sum(r.recon_err**2 for r in pq)
+    assert total_mse == pytest.approx(total_err2, rel=1e-3)
