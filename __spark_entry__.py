@@ -108,6 +108,7 @@ _PRIORITY = [
     "markov_next_accuracy",
     "lm_greedy_decode",
     "pq_distortion_audit",
+    "rfm_segments",
     # Block 3: family canaries — every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span). The
     # Block-1 members cover ann (ivf_cell_medoids, hubness_audit),
@@ -123,7 +124,6 @@ _PRIORITY = [
     "wikibooks_docs",
     "repeated_ngram_spans",
     "kmeans_lloyd",
-    "chunk_packing",
     "sequence_packing_greedy",
     "campaign_window_stats",
     # Block 4: least-recently-attested fillers — the driver's remaining
@@ -151,6 +151,7 @@ _PRIORITY = [
     # members — group_dro_weights + quantile_normalization,
     # kmv_set_difference, split_perplexity_gap, and
     # dedup_clusters_incremental respectively.)
+    "chunk_packing",
     "reservoir_sample",
     "difficulty_deciles",
     "kmv_source_overlap",

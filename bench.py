@@ -225,6 +225,9 @@ HEADLINE = [
     # r8 session 5 (cont.): the PQ codebook health audit — reuses the
     # subspace-distance fold; one PQ_M-key hash agg on top.
     "pq_distortion_audit",
+    # r8 session 5 (cont.): RFM cohorting — three with_dense_ids
+    # global rankings over the user relation + three user-keyed joins.
+    "rfm_segments",
 ]
 
 

@@ -2414,6 +2414,119 @@ UNION ALL SELECT 'n_users', CAST(n AS DOUBLE) FROM fin
     )
 
 
+# ----------------------- RFM user segmentation
+
+RFM_BUCKETS = 4
+
+
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(user_id, recency_sec, n_events, monetary, r_score, f_score,
+    m_score, segment) — classic RFM cohorting: each user scored 1-4 on
+    Recency (4 = most recent), Frequency, and Monetary (4 = highest),
+    segment = the concatenated code ('444' = best customers). The
+    growth-marketing segmentation table; user_value_deciles is its
+    monetary-only cousin.
+
+    Scale plan: ONE user-keyed aggregation, then three distributed
+    global rankings via `with_dense_ids` (range-sort + per-partition
+    rank — never an unpartitioned window; the per-user relation is
+    10⁷-10⁸ rows at 100 TB), each score derived arithmetically as
+    (rank·B) div n with the count entering as a 1-row broadcast, and
+    three user-keyed equi-joins reassemble the row. Exact int ranks;
+    ties broken by user_id."""
+    ev = _events(spark, sf_dir)
+    sec = F.col("ts").cast("long")
+    users = cached(
+        ev.groupBy("user_id").agg(
+            F.max(sec).alias("last_sec"),
+            F.count("*").cast("long").alias("n_events"),
+            _dsum(F.col("value")).alias("monetary"),
+        )
+    )
+    mx = users.agg(F.max("last_sec").alias("mx"))
+    base = users.crossJoin(F.broadcast(mx)).select(
+        "user_id",
+        (F.col("mx") - F.col("last_sec")).alias("recency_sec"),
+        "n_events",
+        "monetary",
+    )
+    n_rel = users.agg(F.count("*").alias("n_u"))
+
+    def score(df, order_cols, asc_is_best: bool, name: str):
+        ranked = with_dense_ids(df, order_cols, id_name="_rid")
+        b = F.expr(f"(_rid * {RFM_BUCKETS}) div n_u")
+        sc = (
+            F.lit(RFM_BUCKETS) - b if asc_is_best else F.lit(1) + b
+        )
+        return ranked.crossJoin(F.broadcast(n_rel)).select(
+            "user_id", sc.cast("int").alias(name)
+        )
+
+    r = score(
+        base.select("user_id", "recency_sec"),
+        [F.col("recency_sec"), F.col("user_id")],
+        True,
+        "r_score",
+    )
+    f = score(
+        base.select("user_id", "n_events"),
+        [F.col("n_events"), F.col("user_id")],
+        False,
+        "f_score",
+    )
+    m = score(
+        base.select("user_id", "monetary"),
+        [F.col("monetary"), F.col("user_id")],
+        False,
+        "m_score",
+    )
+    return (
+        base.join(r, "user_id")
+        .join(f, "user_id")
+        .join(m, "user_id")
+        .select(
+            "user_id",
+            "recency_sec",
+            "n_events",
+            F.col("monetary").cast("double").alias("monetary"),
+            "r_score",
+            "f_score",
+            "m_score",
+            F.concat_ws(
+                "", F.col("r_score"), F.col("f_score"), F.col("m_score")
+            ).alias("segment"),
+        )
+    )
+
+
+RFM_SEGMENTS_SQL = f"""
+WITH users AS (
+  SELECT user_id,
+         MAX(FLOOR(epoch(ts))::BIGINT) AS last_sec,
+         CAST(COUNT(*) AS BIGINT) AS n_events,
+         SUM(CAST(value AS DECIMAL(18,2))) AS monetary
+  FROM events GROUP BY 1
+), n AS (
+  SELECT COUNT(*) AS n_u, MAX(last_sec) AS mx FROM users
+), base AS (
+  SELECT u.user_id, n.mx - u.last_sec AS recency_sec, u.n_events, u.monetary,
+         (ROW_NUMBER() OVER (ORDER BY n.mx - u.last_sec, u.user_id) - 1) AS r_rank,
+         (ROW_NUMBER() OVER (ORDER BY u.n_events, u.user_id) - 1) AS f_rank,
+         (ROW_NUMBER() OVER (ORDER BY u.monetary, u.user_id) - 1) AS m_rank,
+         n.n_u
+  FROM users u CROSS JOIN n
+)
+SELECT user_id, recency_sec, n_events, CAST(monetary AS DOUBLE) AS monetary,
+       CAST({RFM_BUCKETS} - (r_rank * {RFM_BUCKETS}) // n_u AS INT) AS r_score,
+       CAST(1 + (f_rank * {RFM_BUCKETS}) // n_u AS INT) AS f_score,
+       CAST(1 + (m_rank * {RFM_BUCKETS}) // n_u AS INT) AS m_score,
+       CAST({RFM_BUCKETS} - (r_rank * {RFM_BUCKETS}) // n_u AS VARCHAR)
+         || CAST(1 + (f_rank * {RFM_BUCKETS}) // n_u AS VARCHAR)
+         || CAST(1 + (m_rank * {RFM_BUCKETS}) // n_u AS VARCHAR) AS segment
+FROM base
+"""
+
+
 # ---------- next-event Markov predictor with held-out accuracy
 
 def markov_next_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2720,6 +2833,7 @@ QUERIES = {
     "woe_feature_bins": woe_feature_bins,
     "conversion_model_calibration": conversion_model_calibration,
     "markov_next_accuracy": markov_next_accuracy,
+    "rfm_segments": rfm_segments,
 }
 
 ORACLE_SQL = {
@@ -2763,4 +2877,5 @@ ORACLE_SQL = {
     "woe_feature_bins": _woe_sql(),
     "conversion_model_calibration": _calibration_sql(),
     "markov_next_accuracy": MARKOV_NEXT_ACCURACY_SQL,
+    "rfm_segments": RFM_SEGMENTS_SQL,
 }

@@ -313,6 +313,11 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "1-row seed-count and distortion-total broadcasts over the "
         "PQ_M-row audit (similarity.py)"
     ),
+    "rfm_segments": (
+        "1-row max-ts and user-count broadcasts over the per-user "
+        "relation; the rankings themselves are with_dense_ids "
+        "(events.py)"
+    ),
 }
 
 # NOTE: conversion_model_calibration and logistic_conversion_model are
@@ -534,6 +539,7 @@ HEADLINE: list[str] = [
     "markov_next_accuracy",
     "lm_greedy_decode",
     "pq_distortion_audit",
+    "rfm_segments",
     # round-8 session-5 additions (logistic_conversion_model is
     # excluded: its plan embeds the 15 learned-weight literals, so the
     # dump would churn on every data change; its per-round discipline

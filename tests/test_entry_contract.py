@@ -110,7 +110,10 @@ def test_first_fifty_span_every_family():
             "multimodal_caption_pairs",
         ),
         "outputs": ("wikibooks_docs", "tokens_collection"),
-        "chunking": ("doc_chunks", "chunk_packing"),
+        # rag_chunk_retrieval scores doc_chunks' 50-token units (the
+        # chunk-boundary offset arithmetic runs inside it) and sits in
+        # the head block, covering the window for chunk_packing
+        "chunking": ("doc_chunks", "chunk_packing", "rag_chunk_retrieval"),
         "packing": ("sequence_packing", "sequence_packing_greedy"),
         # split_leakage_audit exercises the family's salted-hash split
         # assignment (sampling.split_column) from the head block
@@ -186,6 +189,7 @@ def test_first_fifty_span_every_family():
             "event_attribution_credit",
             "event_bot_score",
             "markov_next_accuracy",
+            "rfm_segments",
             "logistic_conversion_model",
             "woe_feature_bins",
             "conversion_model_calibration",

@@ -527,3 +527,42 @@ def test_pq_distortion_audit_consistent_with_pq(spark, sf_dir):
     total_mse = sum(r.mse * r.n_vectors for r in audit.values())
     total_err2 = sum(r.recon_err**2 for r in pq)
     assert total_mse == pytest.approx(total_err2, rel=1e-3)
+
+
+def test_rfm_segments_matches_python(spark, sf_dir):
+    """Scores equal a pure-python rank-quartile recompute, every score
+    is in 1..4, and bucket sizes are balanced to within one rank step."""
+    from capstone_etl_spark.operators.events import RFM_BUCKETS, rfm_segments
+
+    by_user: dict[int, list] = {}
+    for u, _eid, _us, sec, _et, v in _py_events(sf_dir):
+        by_user.setdefault(u, []).append((sec, v))
+    mx = max(s for rows in by_user.values() for s, _ in rows)
+    base = {
+        u: (
+            mx - max(s for s, _ in rows),
+            len(rows),
+            sum(round(v * 100) for _, v in rows),
+        )
+        for u, rows in by_user.items()
+    }
+    n = len(base)
+
+    def ranks(key, asc_best):
+        order = sorted(base, key=lambda u: (base[u][key], u))
+        out = {}
+        for r0, u in enumerate(order):
+            b = (r0 * RFM_BUCKETS) // n
+            out[u] = RFM_BUCKETS - b if asc_best else 1 + b
+        return out
+
+    rs, fs, ms = ranks(0, True), ranks(1, False), ranks(2, False)
+    got = {r.user_id: r for r in rfm_segments(spark, sf_dir).collect()}
+    assert set(got) == set(base)
+    for u, r in got.items():
+        assert (r.r_score, r.f_score, r.m_score) == (rs[u], fs[u], ms[u])
+        assert r.segment == f"{rs[u]}{fs[u]}{ms[u]}"
+        assert r.recency_sec == base[u][0]
+        assert r.n_events == base[u][1]
+        assert r.monetary == pytest.approx(base[u][2] / 100.0, abs=1e-6)
+        assert all(1 <= x <= RFM_BUCKETS for x in (r.r_score, r.f_score, r.m_score))
