@@ -109,6 +109,9 @@ _PRIORITY = [
     "lm_greedy_decode",
     "pq_distortion_audit",
     "rfm_segments",
+    # stream_rfm_segments lands at position 51+ (the window is at
+    # capacity with every family covered); it rides the committed
+    # ATTEST_r8 gate this round and leads the next rotation.
     # Block 3: family canaries — every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span). The
     # Block-1 members cover ann (ivf_cell_medoids, hubness_audit),
@@ -142,6 +145,7 @@ _PRIORITY = [
     # family window seats are covered by head-block members —
     # dataset_card/span_corruption_masks, rag_chunk_retrieval, and
     # multimodal_caption_pairs respectively.)
+    "stream_rfm_segments",
     "mixing_allocation",
     "bm25_topk",
     "multimodal_frame_dedup",

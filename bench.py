@@ -228,6 +228,9 @@ HEADLINE = [
     # r8 session 5 (cont.): RFM cohorting — three with_dense_ids
     # global rankings over the user relation + three user-keyed joins.
     "rfm_segments",
+    # r8 session 5 (cont.): RFM at ingest — order-free per-user state
+    # + the shared ranking tail on the drained snapshot.
+    "stream_rfm_segments",
 ]
 
 

@@ -2443,6 +2443,14 @@ def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             _dsum(F.col("value")).alias("monetary"),
         )
     )
+    return rfm_release(users)
+
+
+def rfm_release(users: DataFrame) -> DataFrame:
+    """The RFM scoring tail over a (user_id, last_sec, n_events,
+    monetary) relation — shared by the batch query above and
+    stream_rfm_segments (whose per-user state merges order-free:
+    max / count / decimal-sum)."""
     mx = users.agg(F.max("last_sec").alias("mx"))
     base = users.crossJoin(F.broadcast(mx)).select(
         "user_id",

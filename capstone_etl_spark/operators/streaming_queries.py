@@ -1327,6 +1327,12 @@ WHERE c.cum_prev < g.target AND g.target <= c.cum
 """
 
 
+def _stream_rfm_sql() -> str:
+    from capstone_etl_spark.operators.events import RFM_SEGMENTS_SQL
+
+    return RFM_SEGMENTS_SQL
+
+
 def _stream_ks_drift_sql() -> str:
     from capstone_etl_spark.operators.textstats import KS_SOURCE_DRIFT_SQL
 
@@ -1409,6 +1415,42 @@ def stream_ks_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         # table self-joined that way carries conflicting references —
         # truncate to a plain (bounded, release-tracked) scan first
         return ks_release(checkpoint_truncate(snap))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def stream_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RFM segmentation kept current DURING ingest: per-user
+    (last-seen, event-count, decimal spend) state accumulates in a
+    complete-mode streaming aggregation — one bounded row per user,
+    merged order-free (max / count / exact decimal sum, so replay
+    order can't move a score) — and the shared ranking tail
+    (events.rfm_release: three with_dense_ids global rankings) runs on
+    the drained snapshot. Oracle: the batch RFM SQL verbatim.
+
+    The snapshot passes through checkpoint_truncate: the tail
+    references the user relation five times (three rankings + the
+    base row + totals), and a memory-sink table self-joined that way
+    carries conflicting references."""
+    from capstone_etl_spark.operators.events import rfm_release
+    from capstone_etl_spark.session import checkpoint_truncate
+    from capstone_etl_spark.streaming import stage_events, events_stream
+
+    work = tempfile.mkdtemp(prefix="spark_stream_rfm_")
+    try:
+        stage_events(spark, sf_dir, f"{work}/staging", n_files=4)
+        stream = events_stream(spark, f"{work}/staging", max_files_per_trigger=2)
+        users = stream.groupBy("user_id").agg(
+            F.max(F.col("ts").cast("long")).alias("last_sec"),
+            F.count("*").cast("long").alias("n_events"),
+            # matches the batch _dsum shape exactly: exact decimal sum
+            # (order-free across micro-batches), ONE cast to double
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias(
+                "monetary"
+            ),
+        )
+        snap = run_to_memory(users, f"{work}/checkpoint", output_mode="complete")
+        return rfm_release(checkpoint_truncate(snap))
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1562,6 +1604,7 @@ QUERIES = {
     "stream_psi_drift": stream_psi_drift,
     "stream_group_dro": stream_group_dro,
     "stream_ks_drift": stream_ks_drift,
+    "stream_rfm_segments": stream_rfm_segments,
 }
 
 ORACLE_SQL = {
@@ -1604,4 +1647,8 @@ ORACLE_SQL = {
     # the batch KS SQL verbatim: (source, len) cells merge by addition,
     # so the drained snapshot equals the batch count relation exactly
     "stream_ks_drift": _stream_ks_drift_sql(),
+    # the batch RFM SQL verbatim: per-user state merges order-free
+    # (max / count / exact decimal sum), so the drained snapshot
+    # equals the batch user relation exactly
+    "stream_rfm_segments": _stream_rfm_sql(),
 }

@@ -318,6 +318,11 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "relation; the rankings themselves are with_dense_ids "
         "(events.py)"
     ),
+    "stream_rfm_segments": (
+        "shares rfm_release — the same 1-row max-ts / user-count "
+        "broadcasts over the drained per-user snapshot "
+        "(streaming_queries.py)"
+    ),
 }
 
 # NOTE: conversion_model_calibration and logistic_conversion_model are

@@ -566,3 +566,16 @@ def test_rfm_segments_matches_python(spark, sf_dir):
         assert r.n_events == base[u][1]
         assert r.monetary == pytest.approx(base[u][2] / 100.0, abs=1e-6)
         assert all(1 <= x <= RFM_BUCKETS for x in (r.r_score, r.f_score, r.m_score))
+
+
+def test_stream_rfm_equals_batch(spark):
+    """The ingest-time RFM table must equal the batch one row-for-row:
+    per-user state merges order-free and both forms share
+    events.rfm_release."""
+    from capstone_etl_spark.operators.events import rfm_segments
+    from capstone_etl_spark.operators.streaming_queries import stream_rfm_segments
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.user_id: r.asDict() for r in stream_rfm_segments(spark, sf).collect()}
+    want = {r.user_id: r.asDict() for r in rfm_segments(spark, sf).collect()}
+    assert got == want
