@@ -146,6 +146,7 @@ _PRIORITY = [
     # dataset_card/span_corruption_masks, rag_chunk_retrieval, and
     # multimodal_caption_pairs respectively.)
     "stream_rfm_segments",
+    "stream_naive_bayes",
     "mixing_allocation",
     "bm25_topk",
     "multimodal_frame_dedup",

@@ -231,6 +231,10 @@ HEADLINE = [
     # r8 session 5 (cont.): RFM at ingest — order-free per-user state
     # + the shared ranking tail on the drained snapshot.
     "stream_rfm_segments",
+    # r8 session 5 (cont.): the classifier trained at ingest —
+    # Heaps-bounded (token, source) streaming state + the shared
+    # nb_release scoring tail against the static held-out docs.
+    "stream_naive_bayes",
 ]
 
 

@@ -1327,6 +1327,12 @@ WHERE c.cum_prev < g.target AND g.target <= c.cum
 """
 
 
+def _stream_nb_sql() -> str:
+    from capstone_etl_spark.operators.textstats import NAIVE_BAYES_SOURCE_MODEL_SQL
+
+    return NAIVE_BAYES_SOURCE_MODEL_SQL
+
+
 def _stream_rfm_sql() -> str:
     from capstone_etl_spark.operators.events import RFM_SEGMENTS_SQL
 
@@ -1451,6 +1457,51 @@ def stream_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         snap = run_to_memory(users, f"{work}/checkpoint", output_mode="complete")
         return rfm_release(checkpoint_truncate(snap))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def stream_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Naive Bayes provenance classifier TRAINED at ingest: the
+    train-split (token, source) likelihood cells accumulate in a
+    complete-mode streaming aggregation — state is the train
+    vocabulary × |sources|, Heaps-bounded, merged by addition, and the
+    salted-hash split is computed per row at ingest so arrival order
+    is irrelevant — then the shared scoring tail
+    (textstats.nb_release) evaluates the drained model on the static
+    held-out docs. Every micro-batch could re-ship a fresh classifier
+    without rescanning landed text. Oracle: the batch NB SQL verbatim.
+
+    The snapshot passes through checkpoint_truncate (the tail
+    references the cell relation three times: vocab, per-source
+    totals, the score join)."""
+    from capstone_etl_spark.functions.text import tokenize
+    from capstone_etl_spark.operators.sampling import split_column
+    from capstone_etl_spark.operators.textstats import nb_release
+    from capstone_etl_spark.session import checkpoint_truncate
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_nb_")
+    try:
+        staging = f"{work}/staging"
+        load_table(spark, sf_dir, "documents").repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        cells = (
+            stream.filter(split_column(F.col("doc_id")) == "train")
+            .select("source", F.explode(tokenize("text")).alias("token"))
+            .groupBy("token", "source")
+            .agg(F.count("*").alias("c"))
+        )
+        snap = run_to_memory(cells, f"{work}/checkpoint", output_mode="complete")
+        docs = load_table(spark, sf_dir, "documents").withColumn(
+            "_is_train", split_column(F.col("doc_id")) == "train"
+        )
+        return nb_release(docs, checkpoint_truncate(snap))
     finally:
         shutil.rmtree(work, ignore_errors=True)
 
@@ -1605,6 +1656,7 @@ QUERIES = {
     "stream_group_dro": stream_group_dro,
     "stream_ks_drift": stream_ks_drift,
     "stream_rfm_segments": stream_rfm_segments,
+    "stream_naive_bayes": stream_naive_bayes,
 }
 
 ORACLE_SQL = {
@@ -1651,4 +1703,8 @@ ORACLE_SQL = {
     # (max / count / exact decimal sum), so the drained snapshot
     # equals the batch user relation exactly
     "stream_rfm_segments": _stream_rfm_sql(),
+    # the batch NB SQL verbatim: train cells merge by addition and the
+    # split is a per-row salted hash, so the drained model equals the
+    # batch one exactly
+    "stream_naive_bayes": _stream_nb_sql(),
 }

@@ -2588,6 +2588,17 @@ def naive_bayes_source_model(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token", "source")
         .agg(F.count("*").alias("c"))
     )
+    return nb_release(docs, cst)
+
+
+def nb_release(docs: DataFrame, cst: DataFrame) -> DataFrame:
+    """The NB scoring tail over a labeled doc relation (with
+    `_is_train`) and a (token, source, c) train-cell relation — shared
+    by the batch query above and stream_naive_bayes (whose cells merge
+    by addition during ingest)."""
+    tok = docs.select(
+        "doc_id", "source", "_is_train", F.explode(tokenize("text")).alias("token")
+    )
     v_rel = cst.select("token").distinct().agg(F.count("*").alias("v"))
     tr_docs = docs.filter(F.col("_is_train"))
     n_rel = tr_docs.agg(F.count("*").alias("n_tr"))

@@ -579,3 +579,17 @@ def test_stream_rfm_equals_batch(spark):
     got = {r.user_id: r.asDict() for r in stream_rfm_segments(spark, sf).collect()}
     want = {r.user_id: r.asDict() for r in rfm_segments(spark, sf).collect()}
     assert got == want
+
+
+def test_stream_naive_bayes_equals_batch(spark):
+    """The ingest-trained classifier must equal the batch one
+    row-for-row: train cells merge by addition and both forms share
+    textstats.nb_release."""
+    from capstone_etl_spark.operators.streaming_queries import stream_naive_bayes
+    from capstone_etl_spark.operators.textstats import naive_bayes_source_model
+
+    sf = "/root/testdata/sf0.001"
+    key = lambda r: (r.true_source, r.predicted_source)  # noqa: E731
+    got = {key(r): r.asDict() for r in stream_naive_bayes(spark, sf).collect()}
+    want = {key(r): r.asDict() for r in naive_bayes_source_model(spark, sf).collect()}
+    assert got == want
