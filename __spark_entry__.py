@@ -147,6 +147,7 @@ _PRIORITY = [
     # multimodal_caption_pairs respectively.)
     "stream_rfm_segments",
     "stream_naive_bayes",
+    "bootstrap_ci",
     "mixing_allocation",
     "bm25_topk",
     "multimodal_frame_dedup",

@@ -235,6 +235,9 @@ HEADLINE = [
     # Heaps-bounded (token, source) streaming state + the shared
     # nb_release scoring tail against the static held-out docs.
     "stream_naive_bayes",
+    # r8 session 5 (cont.): the Poisson bootstrap — xBOOT_B map-side
+    # explode + one B-key agg; the scale-out resampling shape.
+    "bootstrap_ci",
 ]
 
 

@@ -24,7 +24,7 @@ import math
 from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from capstone_etl_spark.functions.hashing import md5_hash60
+from capstone_etl_spark.functions.hashing import md5_hash60, md5_hash60_sql
 from capstone_etl_spark.functions.windows import bounded_window_key
 from capstone_etl_spark.operators.vocab import with_dense_ids
 from capstone_etl_spark.sources.tables import load_table
@@ -2414,6 +2414,119 @@ UNION ALL SELECT 'n_users', CAST(n AS DOUBLE) FROM fin
     )
 
 
+# ------------- Poisson-bootstrap confidence interval
+
+BOOT_B = 200          # bootstrap replicates
+BOOT_SALT = "boot:v1"
+BOOT_UM = 1 << 30     # uniform-draw modulus
+# Poisson(1) inverse-CDF ladder: cumulative e^-1 * sum 1/k!; capped at 8.
+_POIS_CUM = []
+_acc, _term = 0.0, 2.718281828459045 ** -1
+for _k in range(8):
+    _acc += _term
+    _POIS_CUM.append(_acc)
+    _term /= _k + 1
+
+
+def bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(metric, point, lo95, hi95, n_replicates) — a 95 % Poisson-
+    bootstrap confidence interval for the fast-conversion rate: each
+    of BOOT_B replicates reweights every user by a deterministic
+    Poisson(1) draw (inverse-CDF on a salted md5 uniform — the
+    standard scale-out bootstrap: no resample shuffle, each row knows
+    its own weight in every replicate). The error bar a metrics
+    dashboard attaches to the headline rate.
+
+    Scale plan: ONE user-keyed aggregation, a ×BOOT_B map-side explode
+    (no shuffle — the replicate id is generated per row), one
+    BOOT_B-key hash agg, and the percentile readout is a window over
+    the BOOT_B-row replicate relation (bounded by construction).
+    Exactness: draws come from identical md5 arithmetic, the ladder
+    thresholds are identical literals, weighted sums are exact int64,
+    and the 2.5 %/97.5 % cut is an integer rank — no interpolation."""
+    users = _logit_features(spark, sf_dir).select("user_id", "y")
+    rep = users.select(
+        "user_id",
+        "y",
+        F.explode(F.sequence(F.lit(0), F.lit(BOOT_B - 1))).alias("r"),
+    )
+    u = (
+        md5_hash60(F.concat_ws(":", F.lit(BOOT_SALT), F.col("user_id"), F.col("r")))
+        % BOOT_UM
+    ).cast("double") / F.lit(float(BOOT_UM))
+    w = F.lit(8)
+    for k in range(7, -1, -1):
+        w = F.when(u < F.lit(_POIS_CUM[k]), F.lit(k)).otherwise(w)
+    stats = rep.select("r", "y", w.alias("w")).groupBy("r").agg(
+        F.sum("w").cast("long").alias("nw"),
+        F.sum(F.col("w") * F.col("y").cast("long")).cast("long").alias("cw"),
+    )
+    rate = F.when(
+        F.col("nw") > 0, F.col("cw").cast("double") / F.col("nw")
+    ).otherwise(F.lit(0.0))
+    wq = Window.partitionBy(bounded_window_key("r")).orderBy(rate, "r")
+    ranked = stats.select(
+        rate.alias("rate"), F.row_number().over(wq).alias("rk")
+    )
+    lo_rk = int(0.025 * (BOOT_B - 1)) + 1
+    hi_rk = int(0.975 * (BOOT_B - 1)) + 1
+    point = users.agg(
+        F.round(F.sum("y") / F.count("*"), 6).alias("point")
+    )
+    return (
+        ranked.filter(F.col("rk").isin(lo_rk, hi_rk))
+        .agg(
+            F.round(F.min("rate"), 6).alias("lo95"),
+            F.round(F.max("rate"), 6).alias("hi95"),
+        )
+        .crossJoin(F.broadcast(point))
+        .select(
+            F.lit("fast_conversion_rate").alias("metric"),
+            "point",
+            "lo95",
+            "hi95",
+            F.lit(BOOT_B).cast("long").alias("n_replicates"),
+        )
+    )
+
+
+def _bootstrap_sql() -> str:
+    u = (
+        "(CAST(" + md5_hash60_sql(f"'{BOOT_SALT}:' || user_id || ':' || r")
+        + f" % {BOOT_UM} AS DOUBLE) / {BOOT_UM}.0)"
+    )
+    ladder = "CASE "
+    for k in range(8):
+        ladder += f"WHEN {u} < {_POIS_CUM[k]!r} THEN {k} "
+    ladder += "ELSE 8 END"
+    lo_rk = int(0.025 * (BOOT_B - 1)) + 1
+    hi_rk = int(0.975 * (BOOT_B - 1)) + 1
+    return f"""
+WITH {_logit_feat_sql().strip()}
+, rep AS (
+  SELECT f.user_id, f.y, r.r, {ladder} AS w
+  FROM feat f CROSS JOIN (SELECT unnest(range(0, {BOOT_B})) AS r) r
+), stats AS (
+  SELECT r, CAST(SUM(w) AS BIGINT) AS nw,
+         CAST(SUM(w * CAST(y AS BIGINT)) AS BIGINT) AS cw
+  FROM rep GROUP BY 1
+), ranked AS (
+  SELECT CASE WHEN nw > 0 THEN CAST(cw AS DOUBLE) / nw ELSE 0.0 END AS rate,
+         ROW_NUMBER() OVER (ORDER BY CASE WHEN nw > 0 THEN CAST(cw AS DOUBLE) / nw
+                                          ELSE 0.0 END, r) AS rk
+  FROM stats
+), point AS (
+  SELECT ROUND(SUM(y) / COUNT(*), 6) AS point FROM feat
+)
+SELECT 'fast_conversion_rate' AS metric, point,
+       ROUND(MIN(rate), 6) AS lo95, ROUND(MAX(rate), 6) AS hi95,
+       CAST({BOOT_B} AS BIGINT) AS n_replicates
+FROM ranked CROSS JOIN point
+WHERE rk IN ({lo_rk}, {hi_rk})
+GROUP BY 1, 2
+"""
+
+
 # ----------------------- RFM user segmentation
 
 RFM_BUCKETS = 4
@@ -2842,6 +2955,7 @@ QUERIES = {
     "conversion_model_calibration": conversion_model_calibration,
     "markov_next_accuracy": markov_next_accuracy,
     "rfm_segments": rfm_segments,
+    "bootstrap_ci": bootstrap_ci,
 }
 
 ORACLE_SQL = {
@@ -2886,4 +3000,5 @@ ORACLE_SQL = {
     "conversion_model_calibration": _calibration_sql(),
     "markov_next_accuracy": MARKOV_NEXT_ACCURACY_SQL,
     "rfm_segments": RFM_SEGMENTS_SQL,
+    "bootstrap_ci": _bootstrap_sql(),
 }

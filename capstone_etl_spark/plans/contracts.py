@@ -323,6 +323,11 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "broadcasts over the drained per-user snapshot "
         "(streaming_queries.py)"
     ),
+    "bootstrap_ci": (
+        "1-row point-estimate broadcast over the 2-row percentile "
+        "readout; the replicate relation is BOOT_B rows by "
+        "construction (events.py)"
+    ),
 }
 
 # NOTE: conversion_model_calibration and logistic_conversion_model are
@@ -551,4 +556,5 @@ HEADLINE: list[str] = [
     # is pinned by tests/test_round8_session5.py instead)
     "event_attribution_credit",
     "event_bot_score",
+    "bootstrap_ci",
 ]

@@ -593,3 +593,54 @@ def test_stream_naive_bayes_equals_batch(spark):
     got = {key(r): r.asDict() for r in stream_naive_bayes(spark, sf).collect()}
     want = {key(r): r.asDict() for r in naive_bayes_source_model(spark, sf).collect()}
     assert got == want
+
+
+def test_bootstrap_ci_matches_python(spark, sf_dir):
+    """The CI bounds equal a pure-python Poisson bootstrap with the
+    same salted draws, and the interval brackets the point estimate."""
+    import hashlib
+
+    from capstone_etl_spark.operators.events import (
+        _POIS_CUM,
+        AB_CONVERT_TYPE,
+        BOOT_B,
+        BOOT_SALT,
+        BOOT_UM,
+        LOGIT_FAST_SEC,
+        bootstrap_ci,
+    )
+
+    by_user: dict[int, list] = {}
+    for u, _eid, _us, sec, et, _v in _py_events(sf_dir):
+        by_user.setdefault(u, []).append((sec, et))
+    ys = {}
+    for u, rows in by_user.items():
+        fp = min((s for s, et in rows if et == AB_CONVERT_TYPE), default=None)
+        ys[u] = 1 if fp is not None and fp - min(s for s, _ in rows) < LOGIT_FAST_SEC else 0
+
+    def draw(u, r):
+        h = int(hashlib.md5(f"{BOOT_SALT}:{u}:{r}".encode()).hexdigest()[:15], 16)
+        x = (h % BOOT_UM) / BOOT_UM
+        for k, c in enumerate(_POIS_CUM):
+            if x < c:
+                return k
+        return 8
+
+    rates = []
+    for r in range(BOOT_B):
+        nw = cw = 0
+        for u, y in ys.items():
+            w = draw(u, r)
+            nw += w
+            cw += w * y
+        rates.append(cw / nw if nw else 0.0)
+    rates.sort()
+    lo = rates[int(0.025 * (BOOT_B - 1))]
+    hi = rates[int(0.975 * (BOOT_B - 1))]
+    row = bootstrap_ci(spark, sf_dir).collect()[0]
+    assert row.n_replicates == BOOT_B
+    assert row.lo95 == pytest.approx(lo, abs=1e-6)
+    assert row.hi95 == pytest.approx(hi, abs=1e-6)
+    assert row.point == pytest.approx(sum(ys.values()) / len(ys), abs=1e-6)
+    assert row.lo95 <= row.point <= row.hi95
+    assert row.lo95 < row.hi95  # a real interval, not degenerate
