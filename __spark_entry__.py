@@ -148,6 +148,7 @@ _PRIORITY = [
     "stream_rfm_segments",
     "stream_naive_bayes",
     "bootstrap_ci",
+    "conformal_coverage",
     "mixing_allocation",
     "bm25_topk",
     "multimodal_frame_dedup",

@@ -238,6 +238,9 @@ HEADLINE = [
     # r8 session 5 (cont.): the Poisson bootstrap — xBOOT_B map-side
     # explode + one B-key agg; the scale-out resampling shape.
     "bootstrap_ci",
+    # r8 session 5 (cont.): split-conformal prediction — the train-only
+    # chain + one dense-id order statistic + one broadcast comparison.
+    "conformal_coverage",
 ]
 
 

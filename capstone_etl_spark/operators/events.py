@@ -2179,8 +2179,11 @@ def _logit_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min(F.when(F.col("event_type") == AB_CONVERT_TYPE, sec)).alias("fp"),
         F.min(sec).alias("fe"),
     )
+    from capstone_etl_spark.operators.sampling import split_column
+
     return agg.select(
         "user_id",
+        split_column(F.col("user_id")).alias("split"),
         F.when(
             F.col("fp").isNotNull() & (F.col("fp") - F.col("fe") < LOGIT_FAST_SEC),
             F.lit(1.0),
@@ -2257,13 +2260,18 @@ def logistic_conversion_model(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.col("r.term").alias("term"), F.col("r.value").alias("value"))
 
 
-def _fit_logit(spark: SparkSession, sf_dir: str):
+def _fit_logit(spark: SparkSession, sf_dir: str, train_only: bool = False):
     """Train the standardized logistic model; returns (cached feature
     relation, z-scored feature Column list [1, z1..z4], learned
     weights). Shared by logistic_conversion_model and the calibration
-    readout so both tell one story about one model."""
+    readout so both tell one story about one model. With
+    train_only=True the standardization stats AND the gradient
+    aggregates see only the salted-hash train bucket (the conformal
+    protocol's proper-training set); the returned feats relation is
+    always the full cohort."""
     feats = cached(_logit_features(spark, sf_dir))
-    st = feats.agg(
+    fit_src = feats.filter(F.col("split") == "train") if train_only else feats
+    st = fit_src.agg(
         F.count("*").alias("n"),
         *[
             a
@@ -2293,7 +2301,7 @@ def _fit_logit(spark: SparkSession, sf_dir: str):
     for _ in range(LOGIT_ROUNDS):
         z = sum((F.lit(wj) * xj for wj, xj in zip(w, xs)), F.lit(0.0))
         p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
-        grads = feats.agg(
+        grads = fit_src.agg(
             F.count("*").alias("n"),
             *[
                 F.sum(((p - F.col("y")) * xj).cast("decimal(28,12)")).alias(f"g{j}")
@@ -2311,9 +2319,11 @@ def _fit_logit(spark: SparkSession, sf_dir: str):
 def _logit_feat_sql() -> str:
     """The per-user behavioral feature CTE — shared by the logistic
     trainer's oracle and the WoE binning oracle."""
+    from capstone_etl_spark.operators.sampling import split_sql_case
+
     return f"""
 feat AS MATERIALIZED (
-  SELECT user_id,
+  SELECT user_id, {split_sql_case('user_id')} AS split,
          CAST(CASE WHEN MIN(CASE WHEN event_type = '{AB_CONVERT_TYPE}'
                                  THEN FLOOR(epoch(ts))::BIGINT END)
                    - MIN(FLOOR(epoch(ts))::BIGINT) < {LOGIT_FAST_SEC}
@@ -2326,11 +2336,14 @@ feat AS MATERIALIZED (
 )"""
 
 
-def _logit_chain_sql() -> tuple[str, str]:
+def _logit_chain_sql(train_only: bool = False) -> tuple[str, str]:
     """(WITH-prefix through w{LOGIT_ROUNDS}, the p(f, w) expression) —
-    the trained-model chain shared by the logistic oracle and the
-    calibration oracle."""
+    the trained-model chain shared by the logistic, calibration, and
+    conformal oracles. train_only mirrors _fit_logit: stats and
+    gradients see only the salted train bucket."""
     feat = _logit_feat_sql()
+    fit_where = "WHERE split = 'train'" if train_only else ""
+    fit_where_f = "WHERE f.split = 'train'" if train_only else ""
     stats = """
 st AS MATERIALIZED (
   SELECT COUNT(*) AS n,
@@ -2339,15 +2352,17 @@ st AS MATERIALIZED (
         f"SUM(CAST(x{j} * x{j} AS DECIMAL(28,12))) AS q{j}"
         for j in range(1, 5)
     ) + """
-  FROM feat
+  FROM feat {fit_where}
 )"""
+    stats = stats.replace("{fit_where}", fit_where)
+
     def _std(j: int) -> str:
         mean = f"(CAST(st.s{j} AS DOUBLE) / st.n)"
         var = f"(CAST(st.q{j} AS DOUBLE) / st.n - {mean} * {mean})"
         return f"(CASE WHEN {var} > 0 THEN SQRT({var}) ELSE 1.0 END)"
 
     zfeat = (
-        "zfeat AS MATERIALIZED (\n  SELECT f.user_id, f.y,\n         "
+        "zfeat AS MATERIALIZED (\n  SELECT f.user_id, f.split, f.y,\n         "
         + ",\n         ".join(
             f"(f.x{j} - (CAST(st.s{j} AS DOUBLE) / st.n)) / {_std(j)} AS x{j}"
             for j in range(1, 5)
@@ -2372,7 +2387,7 @@ st AS MATERIALIZED (
         # blow-up. Materializing pins each round to one 1-row scan.
         rounds.append(f"""
 , g{r} AS MATERIALIZED (
-  SELECT COUNT(*) AS n, {gsel} FROM zfeat f, w{r - 1} w
+  SELECT COUNT(*) AS n, {gsel} FROM zfeat f, w{r - 1} w {fit_where_f}
 ), w{r} AS MATERIALIZED (
   SELECT {wsel} FROM w{r - 1} w, g{r} g
 )""")
@@ -2646,6 +2661,98 @@ SELECT user_id, recency_sec, n_events, CAST(monetary AS DOUBLE) AS monetary,
          || CAST(1 + (m_rank * {RFM_BUCKETS}) // n_u AS VARCHAR) AS segment
 FROM base
 """
+
+
+# ------------- split-conformal interval for the logistic model
+
+CONF_ALPHA = 0.1  # target miscoverage
+
+
+def conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(alpha, q, n_cal, n_test, coverage) — split-conformal
+    prediction for the logistic model, run honestly: the model fits
+    on the salted 'train' bucket ONLY (_fit_logit(train_only=True)),
+    the nonconformity scores |y − p| on the untouched 'val' bucket set
+    the quantile q at the finite-sample-corrected rank
+    ⌈(1−α)(n_cal+1)⌉, and the 'test' bucket reports the achieved
+    coverage of the interval [p−q, p+q] — the distribution-free
+    guarantee (coverage ≥ 1−α in expectation) that turns a propensity
+    score into a calibrated prediction SET.
+
+    Scale plan: shares the trained chain; scores are one map over the
+    cohort; the calibration order statistic rides with_dense_ids (no
+    global window); q and n_cal re-enter as a 1-row broadcast over the
+    test aggregation. Exactness: identical weights (snapped
+    trajectory), identical |y − p| doubles, an integer rank cut, and
+    one comparison per test row."""
+    feats, xs, w = _fit_logit(spark, sf_dir, train_only=True)
+    z = sum((F.lit(wj) * xj for wj, xj in zip(w, xs)), F.lit(0.0))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    scored = feats.select(
+        "user_id", "split", "y", F.abs(F.col("y") - p).alias("s")
+    )
+    cal = scored.filter(F.col("split") == "val").select("user_id", "s")
+    n_rel = cal.agg(F.count("*").alias("n_cal"))
+    ranked = with_dense_ids(cal, [F.col("s"), F.col("user_id")], id_name="_rid")
+    q_rel = (
+        ranked.crossJoin(F.broadcast(n_rel))
+        .filter(
+            F.col("_rid")
+            == F.least(
+                F.col("n_cal") - 1,
+                F.ceil(F.lit(1.0 - CONF_ALPHA) * (F.col("n_cal") + 1)).cast("long")
+                - 1,
+            )
+        )
+        .select(F.col("s").alias("q"), "n_cal")
+    )
+    return (
+        scored.filter(F.col("split") == "test")
+        .crossJoin(F.broadcast(q_rel))
+        .groupBy("q", "n_cal")
+        .agg(
+            F.count("*").cast("long").alias("n_test"),
+            F.round(F.avg((F.col("s") <= F.col("q")).cast("double")), 6).alias(
+                "coverage"
+            ),
+        )
+        .select(
+            F.lit(CONF_ALPHA).alias("alpha"),
+            F.round(F.col("q"), 6).alias("q"),
+            "n_cal",
+            "n_test",
+            "coverage",
+        )
+    )
+
+
+def _conformal_sql() -> str:
+    prefix, p = _logit_chain_sql(train_only=True)
+    return (
+        prefix
+        + f"""
+, scored AS MATERIALIZED (
+  SELECT f.user_id, f.split, f.y, ABS(f.y - {p}) AS s
+  FROM zfeat f, w{LOGIT_ROUNDS} w
+), cal AS (
+  SELECT s, ROW_NUMBER() OVER (ORDER BY s, user_id) - 1 AS rid
+  FROM scored WHERE split = 'val'
+), nc AS (
+  SELECT CAST(COUNT(*) AS BIGINT) AS n_cal FROM cal
+), qv AS (
+  SELECT c.s AS q, nc.n_cal
+  FROM cal c CROSS JOIN nc
+  WHERE c.rid = LEAST(nc.n_cal - 1,
+                      CAST(CEIL({1.0 - CONF_ALPHA} * (nc.n_cal + 1)) AS BIGINT) - 1)
+)
+SELECT {CONF_ALPHA} AS alpha, ROUND(q.q, 6) AS q, q.n_cal,
+       CAST(COUNT(*) AS BIGINT) AS n_test,
+       ROUND(AVG(CASE WHEN t.s <= q.q THEN 1.0 ELSE 0.0 END), 6) AS coverage
+FROM scored t CROSS JOIN qv q
+WHERE t.split = 'test'
+GROUP BY q.q, q.n_cal
+"""
+    )
 
 
 # ---------- next-event Markov predictor with held-out accuracy
@@ -2956,6 +3063,7 @@ QUERIES = {
     "markov_next_accuracy": markov_next_accuracy,
     "rfm_segments": rfm_segments,
     "bootstrap_ci": bootstrap_ci,
+    "conformal_coverage": conformal_coverage,
 }
 
 ORACLE_SQL = {
@@ -3001,4 +3109,5 @@ ORACLE_SQL = {
     "markov_next_accuracy": MARKOV_NEXT_ACCURACY_SQL,
     "rfm_segments": RFM_SEGMENTS_SQL,
     "bootstrap_ci": _bootstrap_sql(),
+    "conformal_coverage": _conformal_sql(),
 }

@@ -190,6 +190,8 @@ def test_first_fifty_span_every_family():
             "event_bot_score",
             "markov_next_accuracy",
             "rfm_segments",
+            "bootstrap_ci",
+            "conformal_coverage",
             "logistic_conversion_model",
             "woe_feature_bins",
             "conversion_model_calibration",

@@ -644,3 +644,90 @@ def test_bootstrap_ci_matches_python(spark, sf_dir):
     assert row.point == pytest.approx(sum(ys.values()) / len(ys), abs=1e-6)
     assert row.lo95 <= row.point <= row.hi95
     assert row.lo95 < row.hi95  # a real interval, not degenerate
+
+
+def test_conformal_coverage_matches_python(spark):
+    """q and coverage equal a pure-python split-conformal recompute
+    (train-only GD fit, val-set corrected-rank quantile, test-set
+    coverage). Runs at sf0.01: the sf0.001 cohort is 15 users and its
+    salted val bucket is EMPTY (the operator then returns 0 rows —
+    also pinned here)."""
+    sf_dir = "/root/testdata/sf0.01"
+    from capstone_etl_spark.operators.events import (
+        AB_CONVERT_TYPE,
+        CONF_ALPHA,
+        LOGIT_FAST_SEC,
+        LOGIT_LR,
+        LOGIT_ROUNDS,
+        conformal_coverage,
+    )
+    from capstone_etl_spark.operators.sampling import split_sql_case
+
+    import duckdb
+
+    splits = dict(
+        duckdb.sql(
+            f"""SELECT user_id, {split_sql_case('user_id')}
+                FROM (SELECT DISTINCT user_id FROM '{sf_dir}/events.parquet')"""
+        ).fetchall()
+    )
+    by_user: dict[int, list] = {}
+    for u, _eid, _us, sec, et, v in _py_events(sf_dir):
+        by_user.setdefault(u, []).append((sec, et, v))
+    rows = {}
+    for u, evs in by_user.items():
+        secs = [s for s, _, _ in evs]
+        cents = sum(round(v * 100) for _, _, v in evs)
+        fp = min((s for s, et, _ in evs if et == AB_CONVERT_TYPE), default=None)
+        y = 1.0 if fp is not None and fp - min(secs) < LOGIT_FAST_SEC else 0.0
+        rows[u] = (
+            y,
+            math.log(1.0 + len(evs)),
+            math.log(1.0 + cents / 100.0),
+            float(len({et for _, et, _ in evs})),
+            math.log(1.0 + (max(secs) - min(secs))),
+        )
+    train = [rows[u] for u in rows if splits[u] == "train"]
+    n_tr = len(train)
+    zs, ms, sds = [], [], []
+    for j in range(1, 5):
+        xs = [f[j] for f in train]
+        m = sum(xs) / n_tr
+        var = sum(x * x for x in xs) / n_tr - m * m
+        ms.append(m)
+        sds.append(math.sqrt(var) if var > 0 else 1.0)
+
+    def zrow(f):
+        return [1.0] + [(f[j] - ms[j - 1]) / sds[j - 1] for j in range(1, 5)]
+
+    w = [0.0] * 5
+    for _ in range(LOGIT_ROUNDS):
+        g = [0.0] * 5
+        for f in train:
+            xs = zrow(f)
+            pr = 1.0 / (1.0 + math.exp(-sum(a * b for a, b in zip(w, xs))))
+            for j in range(5):
+                g[j] += (pr - f[0]) * xs[j]
+        w = [a - LOGIT_LR * b / n_tr for a, b in zip(w, g)]
+
+    def score(f):
+        pr = 1.0 / (1.0 + math.exp(-sum(a * b for a, b in zip(w, zrow(f)))))
+        return abs(f[0] - pr)
+
+    cal = sorted(
+        (score(rows[u]), u) for u in rows if splits[u] == "val"
+    )
+    n_cal = len(cal)
+    k = min(n_cal - 1, math.ceil((1 - CONF_ALPHA) * (n_cal + 1)) - 1)
+    q = cal[k][0]
+    test = [score(rows[u]) for u in rows if splits[u] == "test"]
+    cov = sum(1.0 for s in test if s <= q) / len(test)
+    got = conformal_coverage(spark, sf_dir).collect()[0]
+    assert got.n_cal == n_cal and got.n_test == len(test)
+    assert got.q == pytest.approx(q, abs=1e-6)
+    assert got.coverage == pytest.approx(cov, abs=1e-6)
+    assert got.alpha == CONF_ALPHA
+    # empty calibration bucket -> empty (not wrong) result
+    from capstone_etl_spark.operators.events import conformal_coverage as cc
+
+    assert cc(spark, "/root/testdata/sf0.001").count() == 0
