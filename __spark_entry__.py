@@ -149,6 +149,7 @@ _PRIORITY = [
     "stream_naive_bayes",
     "bootstrap_ci",
     "conformal_coverage",
+    "event_cuped_adjustment",
     "mixing_allocation",
     "bm25_topk",
     "multimodal_frame_dedup",

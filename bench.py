@@ -241,6 +241,9 @@ HEADLINE = [
     # r8 session 5 (cont.): split-conformal prediction — the train-only
     # chain + one dense-id order statistic + one broadcast comparison.
     "conformal_coverage",
+    # r8 session 5 (cont.): CUPED — one user-keyed pre/post agg + a
+    # 1-row pooled-theta broadcast over the 2-row variant rollup.
+    "event_cuped_adjustment",
 ]
 
 

@@ -2663,6 +2663,164 @@ FROM base
 """
 
 
+# ---------------- CUPED variance-reduced experiment readout
+
+def event_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(variant, n_users, mean_y, mean_y_adj, var_y, var_y_adj,
+    var_reduction) — CUPED (controlled-experiment using pre-experiment
+    data): each user's post-period spend Y is adjusted by
+    θ·(X − X̄) where X is their PRE-period spend and θ = cov(X,Y)/
+    var(X) pooled across variants — the industry-standard variance
+    reduction that lets the same experiment detect a smaller lift.
+    Pre/post split at the corpus time midpoint (event_psi_drift's
+    deploy-midpoint convention); variants are the shared salted
+    assignment (ab_variant_col), so this composes with
+    ab_test_analysis.
+
+    Scale plan: ONE user-keyed aggregation (pre/post conditional
+    decimal sums), a 1-row pooled-moment broadcast for θ, and a ≤
+    AB_VARIANTS-row rollup. Exactness: X/Y are exact DECIMAL(18,2)
+    sums cast once to double; every product moment snaps to
+    DECIMAL(28,12) before its order-free sum; θ and the variance
+    algebra are identical IEEE expressions on identical doubles."""
+    ev = _events(spark, sf_dir)
+    mid = ev.agg(
+        ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2).alias("t_mid")
+    )
+    per_user = cached(
+        ev.crossJoin(F.broadcast(mid))
+        .groupBy("user_id")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.unix_micros("ts") <= F.col("t_mid"),
+                        F.col("value").cast("decimal(18,2)"),
+                    )
+                ),
+                F.lit(0).cast("decimal(18,2)"),
+            ).cast("double").alias("x"),
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.unix_micros("ts") > F.col("t_mid"),
+                        F.col("value").cast("decimal(18,2)"),
+                    )
+                ),
+                F.lit(0).cast("decimal(18,2)"),
+            ).cast("double").alias("y"),
+        )
+        .select("user_id", ab_variant_col().alias("variant"), "x", "y")
+    )
+    d28 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    pooled = per_user.agg(
+        F.count("*").alias("n"),
+        F.sum(d28(F.col("x"))).alias("sx"),
+        F.sum(d28(F.col("y"))).alias("sy"),
+        F.sum(d28(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(d28(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    sxx_c = F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx").cast("double") / F.col("n")
+    sxy_c = F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy").cast("double") / F.col("n")
+    theta_rel = pooled.select(
+        F.when(sxx_c > 0, sxy_c / sxx_c).otherwise(F.lit(0.0)).alias("theta"),
+        (F.col("sx").cast("double") / F.col("n")).alias("x_bar"),
+    )
+    per_v = per_user.groupBy("variant").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum(d28(F.col("x"))).alias("sx"),
+        F.sum(d28(F.col("y"))).alias("sy"),
+        F.sum(d28(F.col("x") * F.col("x"))).alias("sxx"),
+        F.sum(d28(F.col("y") * F.col("y"))).alias("syy"),
+        F.sum(d28(F.col("x") * F.col("y"))).alias("sxy"),
+    )
+    n = F.col("n_users")
+    xb = F.col("sx").cast("double") / n
+    yb = F.col("sy").cast("double") / n
+    var_x = F.col("sxx").cast("double") / n - xb * xb
+    var_y = F.col("syy").cast("double") / n - yb * yb
+    cov = F.col("sxy").cast("double") / n - xb * yb
+    th = F.col("theta")
+    var_adj = var_y - 2 * th * cov + th * th * var_x
+    return per_v.crossJoin(F.broadcast(theta_rel)).select(
+        "variant",
+        "n_users",
+        F.round(yb, 6).alias("mean_y"),
+        F.round(yb - th * (xb - F.col("x_bar")), 6).alias("mean_y_adj"),
+        F.round(var_y, 6).alias("var_y"),
+        F.round(var_adj, 6).alias("var_y_adj"),
+        F.when(var_y > 0, F.round((var_y - var_adj) / var_y, 6)).alias(
+            "var_reduction"
+        ),
+    )
+
+
+def _cuped_sql() -> str:
+    v = md5_hash60_sql(f"'{AB_SALT}' || CAST(user_id AS VARCHAR)")
+    return f"""
+WITH mid AS (
+  SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) / 2.0 AS t_mid FROM events
+), per_user AS MATERIALIZED (
+  SELECT user_id, ({v}) % {AB_VARIANTS} AS variant,
+         CAST(COALESCE(SUM(CASE WHEN epoch_us(e.ts) <= m.t_mid
+                                THEN CAST(value AS DECIMAL(18,2)) END),
+                       CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS x,
+         CAST(COALESCE(SUM(CASE WHEN epoch_us(e.ts) > m.t_mid
+                                THEN CAST(value AS DECIMAL(18,2)) END),
+                       CAST(0 AS DECIMAL(18,2))) AS DOUBLE) AS y
+  FROM events e CROSS JOIN mid m
+  GROUP BY user_id, m.t_mid
+), pooled AS (
+  SELECT COUNT(*) AS n,
+         SUM(CAST(x AS DECIMAL(28,12))) AS sx,
+         SUM(CAST(y AS DECIMAL(28,12))) AS sy,
+         SUM(CAST(x * x AS DECIMAL(28,12))) AS sxx,
+         SUM(CAST(x * y AS DECIMAL(28,12))) AS sxy
+  FROM per_user
+), theta AS (
+  SELECT CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n > 0
+              THEN (CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / n)
+                   / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n)
+              ELSE 0.0 END AS theta,
+         CAST(sx AS DOUBLE) / n AS x_bar
+  FROM pooled
+), per_v AS (
+  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
+         SUM(CAST(x AS DECIMAL(28,12))) AS sx,
+         SUM(CAST(y AS DECIMAL(28,12))) AS sy,
+         SUM(CAST(x * x AS DECIMAL(28,12))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(28,12))) AS syy,
+         SUM(CAST(x * y AS DECIMAL(28,12))) AS sxy
+  FROM per_user GROUP BY 1
+)
+SELECT variant, n_users,
+       ROUND(CAST(sy AS DOUBLE) / n_users, 6) AS mean_y,
+       ROUND(CAST(sy AS DOUBLE) / n_users
+             - t.theta * (CAST(sx AS DOUBLE) / n_users - t.x_bar), 6) AS mean_y_adj,
+       ROUND(CAST(syy AS DOUBLE) / n_users
+             - (CAST(sy AS DOUBLE) / n_users) * (CAST(sy AS DOUBLE) / n_users), 6) AS var_y,
+       ROUND((CAST(syy AS DOUBLE) / n_users
+              - (CAST(sy AS DOUBLE) / n_users) * (CAST(sy AS DOUBLE) / n_users))
+             - 2 * t.theta * (CAST(sxy AS DOUBLE) / n_users
+                              - (CAST(sx AS DOUBLE) / n_users) * (CAST(sy AS DOUBLE) / n_users))
+             + t.theta * t.theta * (CAST(sxx AS DOUBLE) / n_users
+                                    - (CAST(sx AS DOUBLE) / n_users) * (CAST(sx AS DOUBLE) / n_users)), 6) AS var_y_adj,
+       CASE WHEN CAST(syy AS DOUBLE) / n_users
+                 - (CAST(sy AS DOUBLE) / n_users) * (CAST(sy AS DOUBLE) / n_users) > 0
+            THEN ROUND(((CAST(syy AS DOUBLE) / n_users
+                         - (CAST(sy AS DOUBLE) / n_users) * (CAST(sy AS DOUBLE) / n_users))
+                        - ((CAST(syy AS DOUBLE) / n_users
+                            - (CAST(sy AS DOUBLE) / n_users) * (CAST(sy AS DOUBLE) / n_users))
+                           - 2 * t.theta * (CAST(sxy AS DOUBLE) / n_users
+                                            - (CAST(sx AS DOUBLE) / n_users) * (CAST(sy AS DOUBLE) / n_users))
+                           + t.theta * t.theta * (CAST(sxx AS DOUBLE) / n_users
+                                                  - (CAST(sx AS DOUBLE) / n_users) * (CAST(sx AS DOUBLE) / n_users))))
+                       / (CAST(syy AS DOUBLE) / n_users
+                          - (CAST(sy AS DOUBLE) / n_users) * (CAST(sy AS DOUBLE) / n_users)), 6) END AS var_reduction
+FROM per_v CROSS JOIN theta t
+"""
+
+
 # ------------- split-conformal interval for the logistic model
 
 CONF_ALPHA = 0.1  # target miscoverage
@@ -3064,6 +3222,7 @@ QUERIES = {
     "rfm_segments": rfm_segments,
     "bootstrap_ci": bootstrap_ci,
     "conformal_coverage": conformal_coverage,
+    "event_cuped_adjustment": event_cuped_adjustment,
 }
 
 ORACLE_SQL = {
@@ -3110,4 +3269,5 @@ ORACLE_SQL = {
     "rfm_segments": RFM_SEGMENTS_SQL,
     "bootstrap_ci": _bootstrap_sql(),
     "conformal_coverage": _conformal_sql(),
+    "event_cuped_adjustment": _cuped_sql(),
 }

@@ -328,6 +328,10 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "readout; the replicate relation is BOOT_B rows by "
         "construction (events.py)"
     ),
+    "event_cuped_adjustment": (
+        "1-row time-midpoint and pooled-theta broadcasts over the "
+        "<= AB_VARIANTS-row rollup (events.py)"
+    ),
 }
 
 # NOTE: conversion_model_calibration and logistic_conversion_model are
@@ -557,4 +561,5 @@ HEADLINE: list[str] = [
     "event_attribution_credit",
     "event_bot_score",
     "bootstrap_ci",
+    "event_cuped_adjustment",
 ]

@@ -731,3 +731,58 @@ def test_conformal_coverage_matches_python(spark):
     from capstone_etl_spark.operators.events import conformal_coverage as cc
 
     assert cc(spark, "/root/testdata/sf0.001").count() == 0
+
+
+def test_cuped_matches_python(spark, sf_dir):
+    """theta, adjusted means, and the variance reduction equal a pure
+    python CUPED recompute, and the adjustment preserves the pooled
+    mean (sum of n*mean_y_adj equals sum of n*mean_y)."""
+    import hashlib
+
+    from capstone_etl_spark.operators.events import (
+        AB_SALT,
+        AB_VARIANTS,
+        event_cuped_adjustment,
+    )
+
+    by_user: dict[int, list] = {}
+    for u, _eid, us, _sec, _et, v in _py_events(sf_dir):
+        by_user.setdefault(u, []).append((us, v))
+    all_us = [us for rows in by_user.values() for us, _ in rows]
+    t_mid = (min(all_us) + max(all_us)) / 2
+    pu = {}
+    for u, rows in by_user.items():
+        x = sum(round(v * 100) for us, v in rows if us <= t_mid) / 100.0
+        y = sum(round(v * 100) for us, v in rows if us > t_mid) / 100.0
+        var = int(hashlib.md5(f"{AB_SALT}{u}".encode()).hexdigest()[:15], 16) % AB_VARIANTS
+        pu[u] = (var, x, y)
+    n = len(pu)
+    sx = sum(x for _v, x, _y in pu.values())
+    sy = sum(y for _v, _x, y in pu.values())
+    sxx = sum(x * x for _v, x, _y in pu.values())
+    sxy = sum(x * y for _v, x, y in pu.values())
+    den = sxx - sx * sx / n
+    theta = (sxy - sx * sy / n) / den if den > 0 else 0.0
+    x_bar = sx / n
+    got = {r.variant: r for r in event_cuped_adjustment(spark, sf_dir).collect()}
+    for var in got:
+        grp = [(x, y) for v2, x, y in pu.values() if v2 == var]
+        m = len(grp)
+        xb = sum(x for x, _ in grp) / m
+        yb = sum(y for _, y in grp) / m
+        var_y = sum(y * y for _, y in grp) / m - yb * yb
+        var_x = sum(x * x for x, _ in grp) / m - xb * xb
+        cov = sum(x * y for x, y in grp) / m - xb * yb
+        var_adj = var_y - 2 * theta * cov + theta * theta * var_x
+        r = got[var]
+        assert r.n_users == m
+        assert r.mean_y == pytest.approx(yb, abs=1e-5)
+        assert r.mean_y_adj == pytest.approx(yb - theta * (xb - x_bar), abs=1e-5)
+        assert r.var_y == pytest.approx(var_y, rel=1e-5)
+        assert r.var_y_adj == pytest.approx(var_adj, rel=1e-5)
+        if var_y > 0:
+            assert r.var_reduction == pytest.approx((var_y - var_adj) / var_y, abs=1e-4)
+    # CUPED is mean-preserving in the pooled cohort
+    tot = sum(r.n_users * r.mean_y for r in got.values())
+    tot_adj = sum(r.n_users * r.mean_y_adj for r in got.values())
+    assert tot_adj == pytest.approx(tot, rel=1e-6)
