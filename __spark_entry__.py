@@ -150,6 +150,7 @@ _PRIORITY = [
     "bootstrap_ci",
     "conformal_coverage",
     "event_cuped_adjustment",
+    "stream_cuped",
     "mixing_allocation",
     "bm25_topk",
     "multimodal_frame_dedup",

@@ -244,6 +244,9 @@ HEADLINE = [
     # r8 session 5 (cont.): CUPED — one user-keyed pre/post agg + a
     # 1-row pooled-theta broadcast over the 2-row variant rollup.
     "event_cuped_adjustment",
+    # r8 session 5 (cont.): CUPED at ingest — order-free per-user
+    # pre/post decimal state + the shared theta/variance tail.
+    "stream_cuped",
 ]
 
 

@@ -2712,6 +2712,13 @@ def event_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("user_id", ab_variant_col().alias("variant"), "x", "y")
     )
+    return cuped_release(per_user)
+
+
+def cuped_release(per_user: DataFrame) -> DataFrame:
+    """The CUPED tail over a (user_id, variant, x, y) relation —
+    shared by the batch query above and stream_cuped (whose pre/post
+    decimal sums merge order-free once the midpoint is fixed)."""
     d28 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
     pooled = per_user.agg(
         F.count("*").alias("n"),

@@ -1327,6 +1327,12 @@ WHERE c.cum_prev < g.target AND g.target <= c.cum
 """
 
 
+def _stream_cuped_sql() -> str:
+    from capstone_etl_spark.operators.events import _cuped_sql
+
+    return _cuped_sql()
+
+
 def _stream_nb_sql() -> str:
     from capstone_etl_spark.operators.textstats import NAIVE_BAYES_SOURCE_MODEL_SQL
 
@@ -1506,6 +1512,49 @@ def stream_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stream_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUPED experiment readout kept current DURING ingest: the
+    pre/post midpoint is fixed at deploy time from the landed staging
+    data (stream_psi_drift's convention — the literal equals the
+    batch plan's in-plan expression over the same rows), per-user
+    (pre-spend, post-spend) decimal sums accumulate as complete-mode
+    state merged order-free by addition, and the shared θ/variance
+    tail (events.cuped_release) runs on the drained snapshot. Oracle:
+    the batch CUPED SQL verbatim.
+
+    checkpoint_truncate first: the tail references the per-user
+    relation twice (pooled moments + per-variant rollup)."""
+    from capstone_etl_spark.operators.events import ab_variant_col, cuped_release
+    from capstone_etl_spark.session import checkpoint_truncate
+
+    work = tempfile.mkdtemp(prefix="spark_stream_cuped_")
+    try:
+        staged = stage_events(spark, sf_dir, f"{work}/staging", n_files=4)
+        t_mid = staged.agg(
+            ((F.min(F.unix_micros("ts")) + F.max(F.unix_micros("ts"))) / 2).alias("m")
+        ).first()[0]
+        stream = events_stream(spark, f"{work}/staging", max_files_per_trigger=2)
+        dec = F.col("value").cast("decimal(18,2)")
+        per_user = (
+            stream.groupBy("user_id")
+            .agg(
+                F.coalesce(
+                    F.sum(F.when(F.unix_micros("ts") <= F.lit(t_mid), dec)),
+                    F.lit(0).cast("decimal(18,2)"),
+                ).cast("double").alias("x"),
+                F.coalesce(
+                    F.sum(F.when(F.unix_micros("ts") > F.lit(t_mid), dec)),
+                    F.lit(0).cast("decimal(18,2)"),
+                ).cast("double").alias("y"),
+            )
+            .select("user_id", ab_variant_col().alias("variant"), "x", "y")
+        )
+        snap = run_to_memory(per_user, f"{work}/checkpoint", output_mode="complete")
+        return cuped_release(checkpoint_truncate(snap))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PSI drift monitor kept current DURING ingest: the reference
     window's (t_mid, v_lo, v_hi) grid is fixed at deploy time from the
@@ -1657,6 +1706,7 @@ QUERIES = {
     "stream_ks_drift": stream_ks_drift,
     "stream_rfm_segments": stream_rfm_segments,
     "stream_naive_bayes": stream_naive_bayes,
+    "stream_cuped": stream_cuped,
 }
 
 ORACLE_SQL = {
@@ -1707,4 +1757,7 @@ ORACLE_SQL = {
     # split is a per-row salted hash, so the drained model equals the
     # batch one exactly
     "stream_naive_bayes": _stream_nb_sql(),
+    # the batch CUPED SQL verbatim: per-user pre/post decimal sums
+    # merge by addition once the midpoint literal is fixed
+    "stream_cuped": _stream_cuped_sql(),
 }

@@ -332,6 +332,10 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "1-row time-midpoint and pooled-theta broadcasts over the "
         "<= AB_VARIANTS-row rollup (events.py)"
     ),
+    "stream_cuped": (
+        "shares cuped_release — the same 1-row pooled-theta broadcast "
+        "over the drained per-user snapshot (streaming_queries.py)"
+    ),
 }
 
 # NOTE: conversion_model_calibration and logistic_conversion_model are

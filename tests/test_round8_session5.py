@@ -786,3 +786,16 @@ def test_cuped_matches_python(spark, sf_dir):
     tot = sum(r.n_users * r.mean_y for r in got.values())
     tot_adj = sum(r.n_users * r.mean_y_adj for r in got.values())
     assert tot_adj == pytest.approx(tot, rel=1e-6)
+
+
+def test_stream_cuped_equals_batch(spark):
+    """The ingest-time CUPED table must equal the batch one
+    row-for-row: per-user pre/post decimal sums merge order-free once
+    the midpoint is fixed, and both forms share events.cuped_release."""
+    from capstone_etl_spark.operators.events import event_cuped_adjustment
+    from capstone_etl_spark.operators.streaming_queries import stream_cuped
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.variant: r.asDict() for r in stream_cuped(spark, sf).collect()}
+    want = {r.variant: r.asDict() for r in event_cuped_adjustment(spark, sf).collect()}
+    assert got == want
