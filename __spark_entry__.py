@@ -151,6 +151,7 @@ _PRIORITY = [
     "conformal_coverage",
     "event_cuped_adjustment",
     "stream_cuped",
+    "pareto_frontier_docs",
     "mixing_allocation",
     "bm25_topk",
     "multimodal_frame_dedup",

@@ -247,6 +247,9 @@ HEADLINE = [
     # r8 session 5 (cont.): CUPED at ingest — order-free per-user
     # pre/post decimal state + the shared theta/variance tail.
     "stream_cuped",
+    # r8 session 5 (cont.): the skyline operator — per-length maxima +
+    # a distinct-length-domain cumulative-max window, never O(N^2).
+    "pareto_frontier_docs",
 ]
 
 

@@ -2718,8 +2718,14 @@ def event_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cuped_release(per_user: DataFrame) -> DataFrame:
     """The CUPED tail over a (user_id, variant, x, y) relation —
     shared by the batch query above and stream_cuped (whose pre/post
-    decimal sums merge order-free once the midpoint is fixed)."""
-    d28 = lambda c: c.cast("decimal(28,12)")  # noqa: E731
+    decimal sums merge order-free once the midpoint is fixed).
+
+    Moments snap to DECIMAL(38,6), not the repo's usual (28,12): x·x
+    at a 1e9 spend is 1e18, past (28,12)'s 16 integer digits. The
+    wider quantum is still engine-exact — both engines form the SAME
+    product double from the SAME exact-decimal x/y, so the per-row
+    decimals are identical and the sum is order-free."""
+    d28 = lambda c: c.cast("decimal(38,6)")  # noqa: E731
     pooled = per_user.agg(
         F.count("*").alias("n"),
         F.sum(d28(F.col("x"))).alias("sx"),
@@ -2749,13 +2755,15 @@ def cuped_release(per_user: DataFrame) -> DataFrame:
     cov = F.col("sxy").cast("double") / n - xb * yb
     th = F.col("theta")
     var_adj = var_y - 2 * th * cov + th * th * var_x
+    # ROUND(tiny negative) lands on -0.0 in one engine and 0.0 in the
+    # other; + 0.0 AFTER the round normalizes the sign (IEEE -0+0=+0)
     return per_v.crossJoin(F.broadcast(theta_rel)).select(
         "variant",
         "n_users",
         F.round(yb, 6).alias("mean_y"),
         F.round(yb - th * (xb - F.col("x_bar")), 6).alias("mean_y_adj"),
-        F.round(var_y, 6).alias("var_y"),
-        F.round(var_adj, 6).alias("var_y_adj"),
+        (F.round(var_y, 6) + F.lit(0.0)).alias("var_y"),
+        (F.round(var_adj, 6) + F.lit(0.0)).alias("var_y_adj"),
         F.when(var_y > 0, F.round((var_y - var_adj) / var_y, 6)).alias(
             "var_reduction"
         ),
@@ -2779,10 +2787,10 @@ WITH mid AS (
   GROUP BY user_id, m.t_mid
 ), pooled AS (
   SELECT COUNT(*) AS n,
-         SUM(CAST(x AS DECIMAL(28,12))) AS sx,
-         SUM(CAST(y AS DECIMAL(28,12))) AS sy,
-         SUM(CAST(x * x AS DECIMAL(28,12))) AS sxx,
-         SUM(CAST(x * y AS DECIMAL(28,12))) AS sxy
+         SUM(CAST(x AS DECIMAL(38,6))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,6))) AS sy,
+         SUM(CAST(x * x AS DECIMAL(38,6))) AS sxx,
+         SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy
   FROM per_user
 ), theta AS (
   SELECT CASE WHEN CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) / n > 0
@@ -2793,11 +2801,11 @@ WITH mid AS (
   FROM pooled
 ), per_v AS (
   SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_users,
-         SUM(CAST(x AS DECIMAL(28,12))) AS sx,
-         SUM(CAST(y AS DECIMAL(28,12))) AS sy,
-         SUM(CAST(x * x AS DECIMAL(28,12))) AS sxx,
-         SUM(CAST(y * y AS DECIMAL(28,12))) AS syy,
-         SUM(CAST(x * y AS DECIMAL(28,12))) AS sxy
+         SUM(CAST(x AS DECIMAL(38,6))) AS sx,
+         SUM(CAST(y AS DECIMAL(38,6))) AS sy,
+         SUM(CAST(x * x AS DECIMAL(38,6))) AS sxx,
+         SUM(CAST(y * y AS DECIMAL(38,6))) AS syy,
+         SUM(CAST(x * y AS DECIMAL(38,6))) AS sxy
   FROM per_user GROUP BY 1
 )
 SELECT variant, n_users,
@@ -2805,13 +2813,13 @@ SELECT variant, n_users,
        ROUND(CAST(sy AS DOUBLE) / n_users
              - t.theta * (CAST(sx AS DOUBLE) / n_users - t.x_bar), 6) AS mean_y_adj,
        ROUND(CAST(syy AS DOUBLE) / n_users
-             - (CAST(sy AS DOUBLE) / n_users) * (CAST(sy AS DOUBLE) / n_users), 6) AS var_y,
+             - (CAST(sy AS DOUBLE) / n_users) * (CAST(sy AS DOUBLE) / n_users), 6) + 0.0 AS var_y,
        ROUND((CAST(syy AS DOUBLE) / n_users
               - (CAST(sy AS DOUBLE) / n_users) * (CAST(sy AS DOUBLE) / n_users))
              - 2 * t.theta * (CAST(sxy AS DOUBLE) / n_users
                               - (CAST(sx AS DOUBLE) / n_users) * (CAST(sy AS DOUBLE) / n_users))
              + t.theta * t.theta * (CAST(sxx AS DOUBLE) / n_users
-                                    - (CAST(sx AS DOUBLE) / n_users) * (CAST(sx AS DOUBLE) / n_users)), 6) AS var_y_adj,
+                                    - (CAST(sx AS DOUBLE) / n_users) * (CAST(sx AS DOUBLE) / n_users)), 6) + 0.0 AS var_y_adj,
        CASE WHEN CAST(syy AS DOUBLE) / n_users
                  - (CAST(sy AS DOUBLE) / n_users) * (CAST(sy AS DOUBLE) / n_users) > 0
             THEN ROUND(((CAST(syy AS DOUBLE) / n_users

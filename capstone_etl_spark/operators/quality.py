@@ -1298,6 +1298,72 @@ FROM per_src
 """
 
 
+# ------------------- Pareto-frontier (skyline) selection
+
+def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_chars, n_distinct_tokens) — the Pareto frontier of
+    the corpus under (maximize length, maximize vocabulary richness):
+    a document is kept iff NO other document is >= on both dimensions
+    and > on one — the SKYLINE operator, i.e. multi-objective
+    selection without collapsing the objectives into one weighted
+    score (the shape a curation pass uses to shortlist "long AND
+    lexically rich" exemplars).
+
+    NOT the naive O(N²) anti-join: for 2-D the frontier is a
+    cumulative max — d survives iff its richness equals the best at
+    its exact length (same-x dominance) AND strictly exceeds the best
+    at every greater length (larger-x dominance). Both relations are
+    per-length aggregates, so every window below runs over the
+    DISTINCT length domain (bounded by max doc length, not N) under
+    the explicit bounded_window_key. Exact ints end to end; ties on
+    both dimensions all survive (neither strictly dominates)."""
+    from capstone_etl_spark.functions.windows import bounded_window_key
+
+    toks = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "n_chars",
+        F.size(F.array_distinct(tokenize("text"))).cast("long").alias("ndt"),
+    )
+    per_x = toks.groupBy("n_chars").agg(F.max("ndt").alias("mx"))
+    wc = (
+        Window.partitionBy(bounded_window_key("n_chars"))
+        .orderBy(F.col("n_chars").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    grid = per_x.select(
+        "n_chars",
+        "mx",
+        F.coalesce(F.max("mx").over(wc), F.lit(-1)).alias("cmx"),
+    )
+    return (
+        toks.join(grid, "n_chars")
+        .filter((F.col("ndt") == F.col("mx")) & (F.col("ndt") > F.col("cmx")))
+        .select("doc_id", "n_chars", F.col("ndt").alias("n_distinct_tokens"))
+    )
+
+
+PARETO_FRONTIER_DOCS_SQL = """
+WITH toks AS (
+  SELECT doc_id, n_chars,
+         CAST(len(list_distinct(list_filter(
+           string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +'),
+           t -> t <> ''))) AS BIGINT) AS ndt
+  FROM documents
+), per_x AS (
+  SELECT n_chars, MAX(ndt) AS mx FROM toks GROUP BY 1
+), grid AS (
+  SELECT n_chars, mx,
+         COALESCE(MAX(mx) OVER (ORDER BY n_chars DESC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                  -1) AS cmx
+  FROM per_x
+)
+SELECT t.doc_id, t.n_chars, t.ndt AS n_distinct_tokens
+FROM toks t JOIN grid g ON t.n_chars = g.n_chars
+WHERE t.ndt = g.mx AND t.ndt > g.cmx
+"""
+
+
 # --------------- cross-source quantile normalization
 
 def quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1395,6 +1461,7 @@ QUERIES = {
     "split_perplexity_gap": split_perplexity_gap,
     "group_dro_weights": group_dro_weights,
     "quantile_normalization": quantile_normalization,
+    "pareto_frontier_docs": pareto_frontier_docs,
 }
 
 ORACLE_SQL = {
@@ -1414,4 +1481,5 @@ ORACLE_SQL = {
     "split_perplexity_gap": SPLIT_PERPLEXITY_GAP_SQL,
     "group_dro_weights": GROUP_DRO_WEIGHTS_SQL,
     "quantile_normalization": QUANTILE_NORMALIZATION_SQL,
+    "pareto_frontier_docs": PARETO_FRONTIER_DOCS_SQL,
 }

@@ -566,4 +566,5 @@ HEADLINE: list[str] = [
     "event_bot_score",
     "bootstrap_ci",
     "event_cuped_adjustment",
+    "pareto_frontier_docs",
 ]

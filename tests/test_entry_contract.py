@@ -149,6 +149,7 @@ def test_first_fifty_span_every_family():
             "quality_filter_flags", "quality_filter_funnel",
             "difficulty_deciles", "code_detection", "curriculum_schedule",
             "group_dro_weights", "quantile_normalization",
+            "pareto_frontier_docs",
         ),
         # privacy family added in round-7 session 4 (k_anonymity_audit
         # sits in the session-2 head block, dp_source_histogram in the

@@ -799,3 +799,35 @@ def test_stream_cuped_equals_batch(spark):
     got = {r.variant: r.asDict() for r in stream_cuped(spark, sf).collect()}
     want = {r.variant: r.asDict() for r in event_cuped_adjustment(spark, sf).collect()}
     assert got == want
+
+
+def test_pareto_frontier_matches_python(spark, sf_dir):
+    """The frontier equals a brute-force O(N^2) dominance check in
+    python — the naive definition the distributed cumulative-max plan
+    must reproduce exactly (including all-ties-survive)."""
+    import re
+
+    import duckdb
+
+    from capstone_etl_spark.operators.quality import pareto_frontier_docs
+
+    rows = duckdb.sql(
+        f"SELECT doc_id, n_chars, text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall()
+    pts = []
+    for d, L, text in rows:
+        ws = {w for w in re.sub(r"[^a-zA-Z0-9 ]", "", text).lower().split() if w}
+        pts.append((d, L, len(ws)))
+    want = {
+        d
+        for d, x, y in pts
+        if not any(
+            (x2 >= x and y2 >= y and (x2 > x or y2 > y)) for _d2, x2, y2 in pts
+        )
+    }
+    got = {r.doc_id: (r.n_chars, r.n_distinct_tokens)
+           for r in pareto_frontier_docs(spark, sf_dir).collect()}
+    assert set(got) == want
+    by_id = {d: (x, y) for d, x, y in pts}
+    for d, xy in got.items():
+        assert xy == by_id[d]
