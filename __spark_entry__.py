@@ -129,13 +129,6 @@ _PRIORITY = [
     "kmeans_lloyd",
     "sequence_packing_greedy",
     "campaign_window_stats",
-    # Block 4: least-recently-attested fillers — the driver's remaining
-    # window slots refresh the stalest driver signal first (none of
-    # these has a row newer than r5).
-    "event_anomaly_zscore",
-    "ann_recall_eval",
-    "stream_quality_funnel",
-    "winnowing_pairs",
     # ---- position 51+: every query below is driver-green in some
     # round AND green on the committed local full gate; ordered
     # least-recently-attested first so any extra driver sampling adds
@@ -152,6 +145,13 @@ _PRIORITY = [
     "event_cuped_adjustment",
     "stream_cuped",
     "pareto_frontier_docs",
+    # former Block-4 fillers (multi-round driver-green; families
+    # covered) — after the seven above so extra sampling hits the
+    # never-driver-attested queries first
+    "event_anomaly_zscore",
+    "ann_recall_eval",
+    "stream_quality_funnel",
+    "winnowing_pairs",
     "mixing_allocation",
     "bm25_topk",
     "multimodal_frame_dedup",
