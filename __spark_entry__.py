@@ -145,6 +145,7 @@ _PRIORITY = [
     "event_cuped_adjustment",
     "stream_cuped",
     "pareto_frontier_docs",
+    "stream_pareto_frontier",
     # former Block-4 fillers (multi-round driver-green; families
     # covered) — after the seven above so extra sampling hits the
     # never-driver-attested queries first

@@ -250,6 +250,9 @@ HEADLINE = [
     # r8 session 5 (cont.): the skyline operator — per-length maxima +
     # a distinct-length-domain cumulative-max window, never O(N^2).
     "pareto_frontier_docs",
+    # r8 session 5 (cont.): the skyline at ingest — length-domain MAX
+    # state + the shared cumulative-max tail on the drained maxima.
+    "stream_pareto_frontier",
 ]
 
 

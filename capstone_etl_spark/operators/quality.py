@@ -1319,12 +1319,26 @@ def pareto_frontier_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     both dimensions all survive (neither strictly dominates)."""
     from capstone_etl_spark.functions.windows import bounded_window_key
 
-    toks = load_table(spark, sf_dir, "documents").select(
+    toks = _pareto_toks(spark, sf_dir)
+    per_x = toks.groupBy("n_chars").agg(F.max("ndt").alias("mx"))
+    return pareto_release(toks, per_x)
+
+
+def _pareto_toks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select(
         "doc_id",
         "n_chars",
         F.size(F.array_distinct(tokenize("text"))).cast("long").alias("ndt"),
     )
-    per_x = toks.groupBy("n_chars").agg(F.max("ndt").alias("mx"))
+
+
+def pareto_release(toks: DataFrame, per_x: DataFrame) -> DataFrame:
+    """The skyline tail over the doc relation and a (n_chars, mx)
+    per-length maxima relation — shared by the batch query above and
+    stream_pareto_frontier (whose per-length maxima merge order-free
+    as MAX state)."""
+    from capstone_etl_spark.functions.windows import bounded_window_key
+
     wc = (
         Window.partitionBy(bounded_window_key("n_chars"))
         .orderBy(F.col("n_chars").desc())

@@ -1327,6 +1327,12 @@ WHERE c.cum_prev < g.target AND g.target <= c.cum
 """
 
 
+def _stream_pareto_sql() -> str:
+    from capstone_etl_spark.operators.quality import PARETO_FRONTIER_DOCS_SQL
+
+    return PARETO_FRONTIER_DOCS_SQL
+
+
 def _stream_cuped_sql() -> str:
     from capstone_etl_spark.operators.events import _cuped_sql
 
@@ -1555,6 +1561,44 @@ def stream_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stream_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The skyline kept current DURING ingest: per-length best
+    vocabulary richness accumulates as complete-mode MAX state —
+    bounded by the distinct length domain, merged order-free — and
+    the shared cumulative-max tail (quality.pareto_release) evaluates
+    the drained maxima against the static doc relation. Every
+    micro-batch could re-publish the frontier shortlist without
+    rescanning landed text. Oracle: the batch skyline SQL verbatim.
+
+    checkpoint_truncate first: the tail windows over and joins the
+    maxima relation, and memory-sink self-references conflict."""
+    from capstone_etl_spark.functions.text import tokenize
+    from capstone_etl_spark.operators.quality import _pareto_toks, pareto_release
+    from capstone_etl_spark.session import checkpoint_truncate
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_pareto_")
+    try:
+        staging = f"{work}/staging"
+        load_table(spark, sf_dir, "documents").repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        per_x = stream.select(
+            "n_chars",
+            F.size(F.array_distinct(tokenize("text"))).cast("long").alias("ndt"),
+        ).groupBy("n_chars").agg(F.max("ndt").alias("mx"))
+        snap = run_to_memory(per_x, f"{work}/checkpoint", output_mode="complete")
+        return pareto_release(
+            _pareto_toks(spark, sf_dir), checkpoint_truncate(snap)
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
 def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The PSI drift monitor kept current DURING ingest: the reference
     window's (t_mid, v_lo, v_hi) grid is fixed at deploy time from the
@@ -1707,6 +1751,7 @@ QUERIES = {
     "stream_rfm_segments": stream_rfm_segments,
     "stream_naive_bayes": stream_naive_bayes,
     "stream_cuped": stream_cuped,
+    "stream_pareto_frontier": stream_pareto_frontier,
 }
 
 ORACLE_SQL = {
@@ -1760,4 +1805,6 @@ ORACLE_SQL = {
     # the batch CUPED SQL verbatim: per-user pre/post decimal sums
     # merge by addition once the midpoint literal is fixed
     "stream_cuped": _stream_cuped_sql(),
+    # the batch skyline SQL verbatim: per-length maxima merge as MAX
+    "stream_pareto_frontier": _stream_pareto_sql(),
 }

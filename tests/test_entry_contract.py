@@ -99,7 +99,7 @@ def test_first_fifty_span_every_family():
             "stream_conversion_survival", "stream_quantile_sketch",
             "stream_psi_drift", "stream_group_dro", "stream_ab_test",
             "stream_ks_drift", "stream_rfm_segments", "stream_naive_bayes",
-            "stream_cuped",
+            "stream_cuped", "stream_pareto_frontier",
         ),
         # multimodal_caption_pairs (round-8 pair admission, head
         # block) covers the window for the demoted frame dedup

@@ -831,3 +831,16 @@ def test_pareto_frontier_matches_python(spark, sf_dir):
     by_id = {d: (x, y) for d, x, y in pts}
     for d, xy in got.items():
         assert xy == by_id[d]
+
+
+def test_stream_pareto_equals_batch(spark):
+    """The ingest-time skyline must equal the batch one row-for-row:
+    per-length maxima merge order-free as MAX and both forms share
+    quality.pareto_release."""
+    from capstone_etl_spark.operators.quality import pareto_frontier_docs
+    from capstone_etl_spark.operators.streaming_queries import stream_pareto_frontier
+
+    sf = "/root/testdata/sf0.001"
+    got = {r.doc_id: r.asDict() for r in stream_pareto_frontier(spark, sf).collect()}
+    want = {r.doc_id: r.asDict() for r in pareto_frontier_docs(spark, sf).collect()}
+    assert got == want
