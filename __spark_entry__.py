@@ -146,6 +146,7 @@ _PRIORITY = [
     "stream_cuped",
     "pareto_frontier_docs",
     "stream_pareto_frontier",
+    "event_overdispersion",
     # former Block-4 fillers (multi-round driver-green; families
     # covered) — after the seven above so extra sampling hits the
     # never-driver-attested queries first

@@ -253,6 +253,9 @@ HEADLINE = [
     # r8 session 5 (cont.): the skyline at ingest — length-domain MAX
     # state + the shared cumulative-max tail on the drained maxima.
     "stream_pareto_frontier",
+    # r8 session 5 (cont.): the Poisson-assumption audit — two hash
+    # aggs, exact integer moments.
+    "event_overdispersion",
 ]
 
 

@@ -2836,6 +2836,70 @@ FROM per_v CROSS JOIN theta t
 """
 
 
+# --------------- overdispersion audit of per-user event counts
+
+VMR_THRESHOLD = 1.5  # variance/mean ratio above this = overdispersed
+
+
+def event_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(event_type, n_users, mean_count, var_count, vmr,
+    overdispersed) — the Poisson-assumption audit: per event type, the
+    variance/mean ratio of per-user event counts. A Poisson arrival
+    model implies VMR ≈ 1; heavy-tailed user activity (the usual
+    reality) shows VMR ≫ 1, which changes every sample-size and
+    anomaly threshold downstream — the check that decides whether
+    count models need a negative-binomial (overdispersed) form.
+
+    Scale plan: one (type, user) hash agg then one |types|-key
+    rollup — map-side combine eats the skew. Exactness: counts are
+    exact int64; Σc and Σc² are exact integer sums, so mean and the
+    population variance n·Σc² − (Σc)² divide identical integers; the
+    VMR flag compares identical doubles. Users who never emit a type
+    contribute no row for it — the audit is over ACTIVE users per
+    type, documented (zero-inflation is a separate question)."""
+    ev = _events(spark, sf_dir)
+    cu = ev.groupBy("event_type", "user_id").agg(F.count("*").alias("c"))
+    agg = cu.groupBy("event_type").agg(
+        F.count("*").cast("long").alias("n_users"),
+        F.sum("c").cast("long").alias("sc"),
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("sc2"),
+    )
+    n = F.col("n_users")
+    mean = F.col("sc").cast("double") / n
+    var = (n * F.col("sc2") - F.col("sc") * F.col("sc")).cast("double") / (n * n)
+    vmr = F.when(F.col("sc") > 0, var / mean)
+    return agg.select(
+        "event_type",
+        "n_users",
+        F.round(mean, 6).alias("mean_count"),
+        F.round(var, 6).alias("var_count"),
+        F.round(vmr, 6).alias("vmr"),
+        (F.coalesce(vmr, F.lit(0.0)) > VMR_THRESHOLD).alias("overdispersed"),
+    )
+
+
+EVENT_OVERDISPERSION_SQL = f"""
+WITH cu AS (
+  SELECT event_type, user_id, COUNT(*) AS c FROM events GROUP BY 1, 2
+), agg AS (
+  SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_users,
+         CAST(SUM(c) AS BIGINT) AS sc, CAST(SUM(c * c) AS BIGINT) AS sc2
+  FROM cu GROUP BY 1
+)
+SELECT event_type, n_users,
+       ROUND(CAST(sc AS DOUBLE) / n_users, 6) AS mean_count,
+       ROUND(CAST(n_users * sc2 - sc * sc AS DOUBLE) / (n_users * n_users), 6) AS var_count,
+       ROUND(CASE WHEN sc > 0
+                  THEN (CAST(n_users * sc2 - sc * sc AS DOUBLE) / (n_users * n_users))
+                       / (CAST(sc AS DOUBLE) / n_users) END, 6) AS vmr,
+       COALESCE(CASE WHEN sc > 0
+                     THEN (CAST(n_users * sc2 - sc * sc AS DOUBLE) / (n_users * n_users))
+                          / (CAST(sc AS DOUBLE) / n_users) END, 0.0)
+         > {VMR_THRESHOLD} AS overdispersed
+FROM agg
+"""
+
+
 # ------------- split-conformal interval for the logistic model
 
 CONF_ALPHA = 0.1  # target miscoverage
@@ -3238,6 +3302,7 @@ QUERIES = {
     "bootstrap_ci": bootstrap_ci,
     "conformal_coverage": conformal_coverage,
     "event_cuped_adjustment": event_cuped_adjustment,
+    "event_overdispersion": event_overdispersion,
 }
 
 ORACLE_SQL = {
@@ -3285,4 +3350,5 @@ ORACLE_SQL = {
     "bootstrap_ci": _bootstrap_sql(),
     "conformal_coverage": _conformal_sql(),
     "event_cuped_adjustment": _cuped_sql(),
+    "event_overdispersion": EVENT_OVERDISPERSION_SQL,
 }

@@ -567,4 +567,5 @@ HEADLINE: list[str] = [
     "bootstrap_ci",
     "event_cuped_adjustment",
     "pareto_frontier_docs",
+    "event_overdispersion",
 ]

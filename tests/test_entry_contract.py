@@ -194,6 +194,8 @@ def test_first_fifty_span_every_family():
             "rfm_segments",
             "bootstrap_ci",
             "conformal_coverage",
+            "event_cuped_adjustment",
+            "event_overdispersion",
             "logistic_conversion_model",
             "woe_feature_bins",
             "conversion_model_calibration",

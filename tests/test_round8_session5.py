@@ -844,3 +844,31 @@ def test_stream_pareto_equals_batch(spark):
     got = {r.doc_id: r.asDict() for r in stream_pareto_frontier(spark, sf).collect()}
     want = {r.doc_id: r.asDict() for r in pareto_frontier_docs(spark, sf).collect()}
     assert got == want
+
+
+def test_overdispersion_matches_python(spark, sf_dir):
+    """Per-type VMR equals a pure-python recompute over active users,
+    and the degenerate-events sweep picks this query up automatically
+    (it is event_-prefixed)."""
+    from capstone_etl_spark.operators.events import (
+        VMR_THRESHOLD,
+        event_overdispersion,
+    )
+
+    counts: dict[str, dict[int, int]] = {}
+    for u, _eid, _us, _sec, et, _v in _py_events(sf_dir):
+        counts.setdefault(et, {}).setdefault(u, 0)
+        counts[et][u] += 1
+    got = {r.event_type: r for r in event_overdispersion(spark, sf_dir).collect()}
+    assert set(got) == set(counts)
+    for et, cu in counts.items():
+        cs = list(cu.values())
+        n = len(cs)
+        mean = sum(cs) / n
+        var = sum(c * c for c in cs) / n - mean * mean
+        r = got[et]
+        assert r.n_users == n
+        assert r.mean_count == pytest.approx(mean, abs=1e-6)
+        assert r.var_count == pytest.approx(var, abs=1e-5)
+        assert r.vmr == pytest.approx(var / mean, abs=1e-5)
+        assert r.overdispersed == (var / mean > VMR_THRESHOLD)
