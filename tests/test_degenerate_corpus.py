@@ -203,6 +203,24 @@ NAMES = [
     # several zero-token docs → rank ties at x=0 and a possibly-zero
     # token total: the NULL-gini guard must fire identically
     "token_gini",
+    # round-8 session 5: empty-token train docs feed the NB cells, the
+    # salted split can leave buckets empty, and score TIES (identical
+    # texts would tie exactly; here the 'the'-run doc vs short docs)
+    # must argmax identically
+    "naive_bayes_source_model",
+    # duplicated n_chars values → tied ECDF jump points; the integer
+    # max must pick the same D in both engines
+    "ks_source_drift",
+    # duplicate lengths + doc_id ties through the within-source rank →
+    # the integer rank mapping must land on the same global doc
+    "quantile_normalization",
+    # a bigram-scarce corpus (single-char / digit-run / 5000-char
+    # tokens): the greedy chain must truncate identically when the
+    # modal token has no outgoing bigram
+    "lm_greedy_decode",
+    # ties on BOTH dimensions (several zero-token docs share
+    # (n_chars, 0)) must all survive the skyline in both engines
+    "pareto_frontier_docs",
 ]
 
 
