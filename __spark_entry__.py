@@ -27,117 +27,22 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness samples the FIRST ~50 registered
-# queries in registry order. Lifetime driver attestation after r7:
-# 245/261 — exactly the 16 round-7 session-4/5 additions have never
-# had a driver CORRECTNESS row (VERDICT r7, item 1). Round-8 order:
-# those 16 lead, then round-8 additions as they land, then one canary
-# per family (tests/test_entry_contract.py enforces the span — the
-# head-block members count toward their families), then
-# least-recently-attested queries fill the window so the stalest
-# driver signal refreshes first.
+# The driver's correctness harness samples the FIRST ~50 registered
+# queries in registry order. Lifetime driver attestation after r8:
+# 290/299 — exactly the 9 round-8 session-5 additions have never had a
+# driver CORRECTNESS row (VERDICT r8, item 2). Round-9 order: those 9
+# lead, then round-9 additions as they land, then one stalest-attested
+# canary per family (tests/test_entry_contract.py enforces the span —
+# head-block members count toward their families), then the 25
+# least-recently-attested queries fill the window; past position 50 the
+# rest of the registry rides in staleness order so any extra driver
+# sampling refreshes the stalest signal first.
 _PRIORITY = [
     # ---- driver window (first ~50) -----------------------------------
-    # Block 1: the 16 round-7 session-4/5 queries with no driver
-    # CORRECTNESS row in any round (all green in ATTEST_r7.json and the
-    # r7 judge's independent 261/261 gate). A green r8 row for each
-    # completes 261/261 lifetime driver attestation.
-    "ivf_cell_medoids",
-    "heaps_law_fit",
-    "l_diversity_audit",
-    "ab_test_analysis",
-    "hubness_audit",
-    "event_tail_index",
-    "stream_ab_test",
-    "negative_sampling_table",
-    "stream_dp_histogram",
-    "event_psi_drift",
-    "split_perplexity_gap",
-    "association_rules",
-    "label_propagation",
-    "token_gini",
-    "conversion_survival",
-    "event_seasonality",
-    # Block 2: NEW in round 8 — first driver attestation.
-    "dedup_clusters_incremental",
-    "stream_conversion_survival",
-    # Block 2b: NEW in round-8 session 2 — first driver attestation.
-    # Families: events (event_frequent_sequences, next_event_examples),
-    # corpus (span_corruption_masks, dataset_card), textstats
-    # (kneser_ney_bigram), privacy (dp_quantile_release), streaming
-    # (stream_quantile_sketch). The seven window seats come from the
-    # tail of Block 4 (all multi-round driver-green; their families
-    # stay covered by Block-1/3 members).
-    "event_frequent_sequences",
-    "next_event_examples",
-    "span_corruption_masks",
-    "kneser_ney_bigram",
-    "dataset_card",
-    "dp_quantile_release",
-    "stream_quantile_sketch",
-    # Block 2c: NEW in round-8 session 3 — first driver attestation.
-    # Families: ann (ivf_probe_recall_curve), sketches
-    # (kmv_set_difference), streaming (stream_psi_drift), quality/
-    # mixing (group_dro_weights), doc_similarity (rag_chunk_retrieval).
-    # The six seats come from the Block-4 tail (all multi-round
-    # driver-green; textstats stays covered by heaps_law_fit /
-    # token_gini in Block 1, dedup by Block-1/3 members).
-    "ivf_probe_recall_curve",
-    "kmv_set_difference",
-    "stream_psi_drift",
-    "group_dro_weights",
-    "rag_chunk_retrieval",
-    # Block 2d: NEW in round-8 session 4 — first driver attestation.
-    # multimodal_caption_pairs joins the multimodal family (covered
-    # alongside multimodal_frame_dedup in Block 3); stream_group_dro
-    # joins streaming (covered by three stream_* head entries).
-    "multimodal_caption_pairs",
-    "stream_group_dro",
-    # Block 2e: NEW in round-8 session 5 — first driver attestation.
-    # All three join the events family (covered by five Block-1
-    # members); logistic_conversion_model is the first supervised-
-    # learning iterative loop in the window.
-    "event_attribution_credit",
-    "event_bot_score",
-    "logistic_conversion_model",
-    "naive_bayes_source_model",
-    "ks_source_drift",
-    "stream_ks_drift",
-    "woe_feature_bins",
-    "conversion_model_calibration",
-    "quantile_normalization",
-    "markov_next_accuracy",
-    "lm_greedy_decode",
-    "pq_distortion_audit",
-    "rfm_segments",
-    # stream_rfm_segments lands at position 51+ (the window is at
-    # capacity with every family covered); it rides the committed
-    # ATTEST_r8 gate this round and leads the next rotation.
-    # Block 3: family canaries — every operator family keeps >=1 row in
-    # the window (tests/test_entry_contract.py enforces the span). The
-    # Block-1 members cover ann (ivf_cell_medoids, hubness_audit),
-    # textstats (heaps_law_fit, token_gini), privacy (l_diversity_audit,
-    # stream_dp_histogram), events (ab_test_analysis, event_tail_index,
-    # event_psi_drift, conversion_survival, event_seasonality),
-    # streaming (stream_ab_test, stream_dp_histogram), dedup
-    # (label_propagation, association_rules), sampling
-    # (negative_sampling_table), and splits (split_perplexity_gap);
-    # the canaries below cover the rest, each multi-round driver-green
-    # and least-recently-attested within its family (most carry r5/r6
-    # rows — the freshest r7 rows rest this round).
-    "wikibooks_docs",
-    "repeated_ngram_spans",
-    "kmeans_lloyd",
-    "sequence_packing_greedy",
-    "campaign_window_stats",
-    # ---- position 51+: every query below is driver-green in some
-    # round AND green on the committed local full gate; ordered
-    # least-recently-attested first so any extra driver sampling adds
-    # the stalest signal. The round-7 window (all r7-green) rides the
-    # committed ATTEST gate this round. (mixing_allocation, bm25_topk,
-    # and multimodal_frame_dedup demoted here in session 5: their
-    # family window seats are covered by head-block members —
-    # dataset_card/span_corruption_masks, rag_chunk_retrieval, and
-    # multimodal_caption_pairs respectively.)
+    # Block 1: the 9 round-8 session-5 queries with no driver
+    # CORRECTNESS row in any round (all green in ATTEST_r8.json and the
+    # r8 judge's independent 299/299 gate). A green r9 row for each
+    # completes 299/299 lifetime driver attestation.
     "stream_rfm_segments",
     "stream_naive_bayes",
     "bootstrap_ci",
@@ -147,212 +52,313 @@ _PRIORITY = [
     "pareto_frontier_docs",
     "stream_pareto_frontier",
     "event_overdispersion",
-    # former Block-4 fillers (multi-round driver-green; families
-    # covered) — after the seven above so extra sampling hits the
-    # never-driver-attested queries first
-    "event_anomaly_zscore",
-    "ann_recall_eval",
-    "stream_quality_funnel",
-    "winnowing_pairs",
-    "mixing_allocation",
-    "bm25_topk",
-    "multimodal_frame_dedup",
-    # (difficulty_deciles, kmv_source_overlap, cluster_aware_splits,
-    # and dedup_agreement demoted late in session 5 for the same
-    # reason: quality/sketches/splits/dedup all keep head-block
-    # members — group_dro_weights + quantile_normalization,
-    # kmv_set_difference, split_perplexity_gap, and
-    # dedup_clusters_incremental respectively.)
-    "chunk_packing",
-    "reservoir_sample",
-    "difficulty_deciles",
-    "kmv_source_overlap",
-    "cluster_aware_splits",
-    "dedup_agreement",
-    "stream_kmv_sketch",
-    "language_id_confusion",
-    "semantic_dedup",
-    "length_histogram",
-    "tokenizer_fertility",
-    "bigram_lm_perplexity",
-    "min_cost_supplier",
-    "local_supplier_volume",
-    "important_parts",
-    "stream_reservoir_sample",
-    "skipgram_pairs",
-    "mad_outliers",
-    "training_shuffle",
-    "feature_hashing_vectors",
-    "dedup_source_matrix",
-    "doc_keywords",
-    "embedding_whitening",
-    "bt_source_ratings",
-    "template_extraction",
-    "embedding_coverage_audit",
-    "bucketed_batching",
-    "matryoshka_recall",
-    "dedup_containment",
-    "embedding_outliers",
-    "retrieval_ndcg",
-    "stream_template_extraction",
-    "dedup_keep_best",
-    "stopword_discovery",
-    "unicode_audit",
-    "bpe_encode",
-    "stream_dedup_incremental",
-    "unigram_tokenizer",
-    "training_manifest",
-    "lsh_tuning_curve",
-    "stream_ann_topk",
-    "multimodal_audio_resample",
-    "cms_join_size",
-    "histogram_quantiles",
-    "k_anonymity_audit",
-    "kmeans_silhouette",
-    "event_changelog_apply",
-    "stream_changelog_apply",
-    "quality_agreement_matrix",
-    "dedup_threshold_sweep",
-    "tokenizer_comparison",
-    "ann_radius_search",
-    "label_separability",
-    "dedup_aware_weights",
-    "stream_ivf_assign",
-    "hll_distinct_sketch",
-    "stream_hll_sketch",
-    "corpus_cube",
-    "multimodal_phash_dedup",
-    "dedup_sorted_neighborhood",
-    "split_leakage_audit",
-    "code_detection",
-    "semantic_decontamination",
-    "curriculum_schedule",
-    "dp_source_histogram",
-    "source_loso_influence",
-    "rendezvous_sharding",
-    "zipf_fit",
+    # Block 2: NEW in round 9 — first driver attestation. Inserted as
+    # they land (hierarchical quantizer, KLL sketch twins, the
+    # streaming training-manifest composition).
+    # Block 3: family canaries — every operator family keeps >=1 row in
+    # the window (tests/test_entry_contract.py enforces the span). The
+    # Block-1 members cover streaming (5 head entries), events
+    # (bootstrap_ci, conformal_coverage, event_cuped_adjustment,
+    # event_overdispersion) and quality (pareto_frontier_docs); each
+    # canary below is the LEAST-recently-driver-attested member of its
+    # family (round shown).
+    "corpus_pipeline",  # corpus, r4
+    "dedup_exact",  # dedup, r3
+    "decontamination",  # decontamination, r4
+    "ann_ivf_topk",  # ann, r3
+    "label_centroids",  # kmeans, r3
+    "doc_similarity_topk",  # doc_similarity, r4
+    "multimodal_meta",  # multimodal, r3
+    "tokens_collection",  # outputs, r3
+    "doc_chunks",  # chunking, r4
+    "sequence_packing",  # packing, r4
+    "doc_splits",  # splits, r4
+    "doc_sample_stratified",  # sampling, r4
+    "campaign_window_stats",  # rangejoin, r8
+    "text_quality",  # textstats, r4
+    "pii_scan",  # privacy, r6
+    "kmv_distinct_shingles",  # sketches, r4
+    # Block 4: the 25 least-recently-attested remaining queries (r1/r2
+    # relational + §2 core rows whose freshest driver signal is seven
+    # rounds old) fill the window.
+    "event_daily_matrix",  # last driver row: r1
+    "blocking_suppliers",  # last driver row: r2
+    "customer_order_distribution",  # last driver row: r2
+    "customer_year_setops",  # last driver row: r2
+    "customer_yoy_revenue",  # last driver row: r2
+    "dictionary_file_gate",  # last driver row: r2
+    "dictionary_gate",  # last driver row: r2
+    "disjunctive_part_revenue",  # last driver row: r2
+    "doc_dense_ids",  # last driver row: r2
+    "doc_stats",  # last driver row: r2
+    "doc_token_arrays",  # last driver row: r2
+    "event_dedup",  # last driver row: r2
+    "event_props_json",  # last driver row: r2
+    "event_sessions",  # last driver row: r2
+    "event_sliding_windows",  # last driver row: r2
+    "event_tumbling_windows",  # last driver row: r2
+    "event_user_rank",  # last driver row: r2
+    "forecast_revenue_change",  # last driver row: r2
+    "fuzzy_part_names",  # last driver row: r2
+    "idle_rich_customers",  # last driver row: r2
+    "inverted_index",  # last driver row: r2
+    "large_orders",  # last driver row: r2
+    "market_share",  # last driver row: r2
+    "nation_trade_flows",  # last driver row: r2
+    "order_date_rollup",  # last driver row: r2
     # ---- position 51+: every query below is driver-green in some
-    # round AND green on the committed local full gate (the r6 window's
-    # 32 rows are the freshest); ordered least-recently-attested first
-    # so any extra driver sampling adds the stalest signal. Unlisted
-    # queries follow in module order.
-    "late_shipment_priority",
-    "supplier_count_by_part_class",
-    "dominant_bolt_suppliers",
-    "event_ewma_daily",
-    "event_scd_intervals",
-    "event_grouping_sets",
-    "signal_correlations",
-    "salted_hot_key_join",
-    "pii_scan",
-    "pii_redaction",
-    "stream_pii_scan",
-    "stream_decontamination",
-    "stream_mixing_weights",
-    "boilerplate_lines",
-    "cooccurrence_triangles",
-    "source_quality_summary",
-    "length_quartiles_per_source",
-    "bpe_apply_merge",
-    "bloom_membership",
-    "count_min_error",
-    "embedding_dim_stats",
-    "embedding_pq",
-    "ann_pq_topk",
-    "ann_ivf_pq_topk",
-    "hard_negative_mining",
-    "hybrid_retrieval_rrf",
-    "multimodal_resize",
-    "zorder_file_layout",
-    "zorder_pruning_gain",
-    "embedding_covariance",
-    "pca_power_iteration",
-    "key_skew_audit",
-    "bpe_learn_merges",
-    "stream_count_min",
-    "curation_verdict",
-    "hierarchy_rollup",
-    "dsir_importance",
-    "token_budget_selection",
-    "output_file_plan",
-    "ivf_cell_balance",
-    "weighted_sample",
-    "retrieval_mrr",
-    "dedup_incremental",
-    "doc_similarity_topk",
-    "corpus_pipeline",
-    "stream_event_dedup",
-    "packing_efficiency",
-    "quality_filter_funnel",
-    "quality_filter_flags",
-    "ann_ivf_topk",
-    "dedup_minhash_lsh",
-    "ann_lsh_topk",
-    "multimodal_stats",
-    "source_mixing_weights",
-    "text_quality",
-    "label_centroids",
-    "packed_sequences",
-    "pack_attention_spans",
-    "multimodal_meta",
+    # round AND green on the committed local full gate; ordered
+    # least-recently-attested first so any extra driver sampling adds
+    # the stalest signal.
+    "order_priority_rollup",
+    "orders_per_customer_rank",
+    "parent_child",
+    "parent_child_agg",
+    "part_cooccurrence",
+    "parts_without_orders",
+    "positional_index",
+    "posting_stats",
+    "pricing_summary",
+    "priority_order_counts",
+    "product_profit",
+    "promo_revenue",
+    "returned_item_losses",
+    "revenue_by_nation",
+    "segment_status_matrix",
+    "shipping_priority",
+    "small_qty_revenue",
+    "sparse_vector_strings",
+    "sparse_vectors",
+    "substring_counts",
+    "supplier_part_volume",
+    "tf_idf",
+    "tf_per_doc",
+    "top_customers",
+    "top_supplier",
+    "vocab_ids",
+    "ann_brute_topk",
+    "bigram_pmi",
+    "corpus_summary",
+    "decontamination_spans",
+    "dedup_ngram_jaccard",
+    "dedup_simhash",
+    "doc_chunks_overlap",
+    "doc_fingerprint",
+    "embedding_norms",
+    "embedding_quantize",
+    "gram_novelty",
+    "language_id",
     "multimodal_frames",
-    "decontamination",
-    "embedding_pairs",
-    "doc_chunks",
-    "doc_splits",
-    "dedup_clusters",
-    "dedup_exact",
-    "sequence_packing",
-    "winnowing_fingerprints",
-    "corpus_drift",
+    "multimodal_stats",
+    "repetition_ratio",
+    "stream_event_dedup",
+    "stream_sliding_windows",
+    "stream_tier_rollup",
+    "stream_user_activity",
+    "token_counts",
+    "token_entropy",
+    "token_vector_collection",
+    "top_tokens_per_source",
+    "vocab_coverage",
+    "ann_lsh_topk",
     "bpe_merge_pairs",
-    "unigram_logprob",
-    "kmv_distinct_shingles",
-    "hierarchy_pagerank",
+    "corpus_drift",
+    "dedup_clusters",
+    "dedup_minhash_lsh",
+    "embedding_pairs",
     "event_asof_last_view",
-    "event_retention_cohorts",
-    "stream_tumbling_windows",
-    "stream_user_sessions",
-    "stream_click_attribution",
-    "event_user_rank_profile",
-    "doc_sample_stratified",
     "event_daily_pivot",
     "event_daily_unpivot",
     "event_day_type_cube",
     "event_gap_fill",
     "event_gap_stats",
     "event_props_redaction",
+    "event_retention_cohorts",
     "event_trailing_value",
     "event_transitions",
     "event_user_deciles",
     "event_user_funnel",
+    "event_user_rank_profile",
     "event_value_histogram",
     "event_value_percentiles",
-    "stream_user_activity",
-    "stream_tier_rollup",
-    "stream_sliding_windows",
-    "language_id",
-    "corpus_summary",
-    "dedup_ngram_jaccard",
-    "dedup_simhash",
-    "decontamination_spans",
-    "ann_brute_topk",
-    "tokens_collection",
-    "token_vector_collection",
-    "vocab_coverage",
-    "token_entropy",
-    "doc_fingerprint",
-    "event_user_rank",
-    "event_props_json",
-    "event_daily_matrix",
-    "doc_chunks_overlap",
-    "gram_novelty",
-    "token_counts",
-    "bigram_pmi",
-    "repetition_ratio",
-    "top_tokens_per_source",
-    "embedding_quantize",
-    "embedding_norms",
+    "hierarchy_pagerank",
+    "pack_attention_spans",
+    "packed_sequences",
+    "packing_efficiency",
+    "quality_filter_flags",
+    "quality_filter_funnel",
+    "source_mixing_weights",
+    "stream_click_attribution",
+    "stream_tumbling_windows",
+    "stream_user_sessions",
+    "unigram_logprob",
+    "winnowing_fingerprints",
+    "bigram_lm_perplexity",
+    "bpe_learn_merges",
+    "curation_verdict",
+    "dedup_incremental",
+    "dedup_source_matrix",
+    "doc_keywords",
+    "dsir_importance",
+    "embedding_whitening",
+    "feature_hashing_vectors",
+    "hierarchy_rollup",
+    "important_parts",
+    "ivf_cell_balance",
+    "language_id_confusion",
+    "length_histogram",
+    "local_supplier_volume",
+    "mad_outliers",
+    "min_cost_supplier",
+    "output_file_plan",
+    "retrieval_mrr",
+    "semantic_dedup",
+    "skipgram_pairs",
+    "stream_count_min",
+    "stream_kmv_sketch",
+    "stream_reservoir_sample",
+    "token_budget_selection",
+    "tokenizer_fertility",
+    "training_shuffle",
+    "weighted_sample",
+    "winnowing_pairs",
+    "ann_ivf_pq_topk",
+    "ann_pq_topk",
+    "ann_recall_eval",
+    "bloom_membership",
+    "bm25_topk",
+    "boilerplate_lines",
+    "bpe_apply_merge",
+    "cluster_aware_splits",
+    "cooccurrence_triangles",
+    "count_min_error",
+    "dedup_agreement",
+    "difficulty_deciles",
+    "dominant_bolt_suppliers",
+    "embedding_covariance",
+    "embedding_dim_stats",
+    "embedding_pq",
+    "event_anomaly_zscore",
+    "event_ewma_daily",
+    "event_grouping_sets",
+    "event_scd_intervals",
+    "hard_negative_mining",
+    "hybrid_retrieval_rrf",
+    "key_skew_audit",
+    "kmv_source_overlap",
+    "late_shipment_priority",
+    "length_quartiles_per_source",
+    "mixing_allocation",
+    "multimodal_frame_dedup",
+    "multimodal_resize",
+    "pca_power_iteration",
+    "pii_redaction",
+    "salted_hot_key_join",
+    "signal_correlations",
+    "source_quality_summary",
+    "stream_decontamination",
+    "stream_mixing_weights",
+    "stream_pii_scan",
+    "stream_quality_funnel",
+    "supplier_count_by_part_class",
+    "zorder_file_layout",
+    "zorder_pruning_gain",
+    "ann_radius_search",
+    "bpe_encode",
+    "bt_source_ratings",
+    "bucketed_batching",
+    "chunk_packing",
+    "cms_join_size",
+    "code_detection",
+    "corpus_cube",
+    "curriculum_schedule",
+    "dedup_aware_weights",
+    "dedup_containment",
+    "dedup_keep_best",
+    "dedup_sorted_neighborhood",
+    "dedup_threshold_sweep",
+    "dp_source_histogram",
+    "embedding_coverage_audit",
+    "embedding_outliers",
+    "event_changelog_apply",
+    "histogram_quantiles",
+    "hll_distinct_sketch",
+    "k_anonymity_audit",
+    "kmeans_silhouette",
+    "label_separability",
+    "lsh_tuning_curve",
+    "matryoshka_recall",
+    "multimodal_audio_resample",
+    "multimodal_phash_dedup",
+    "quality_agreement_matrix",
+    "rendezvous_sharding",
+    "reservoir_sample",
+    "retrieval_ndcg",
+    "semantic_decontamination",
+    "source_loso_influence",
+    "split_leakage_audit",
+    "stopword_discovery",
+    "stream_ann_topk",
+    "stream_changelog_apply",
+    "stream_dedup_incremental",
+    "stream_hll_sketch",
+    "stream_ivf_assign",
+    "stream_template_extraction",
+    "template_extraction",
+    "tokenizer_comparison",
+    "training_manifest",
+    "unicode_audit",
+    "unigram_tokenizer",
+    "zipf_fit",
+    "ab_test_analysis",
+    "association_rules",
+    "conversion_model_calibration",
+    "conversion_survival",
+    "dataset_card",
+    "dedup_clusters_incremental",
+    "dp_quantile_release",
+    "event_attribution_credit",
+    "event_bot_score",
+    "event_frequent_sequences",
+    "event_psi_drift",
+    "event_seasonality",
+    "event_tail_index",
+    "group_dro_weights",
+    "heaps_law_fit",
+    "hubness_audit",
+    "ivf_cell_medoids",
+    "ivf_probe_recall_curve",
+    "kmeans_lloyd",
+    "kmv_set_difference",
+    "kneser_ney_bigram",
+    "ks_source_drift",
+    "l_diversity_audit",
+    "label_propagation",
+    "lm_greedy_decode",
+    "logistic_conversion_model",
+    "markov_next_accuracy",
+    "multimodal_caption_pairs",
+    "naive_bayes_source_model",
+    "negative_sampling_table",
+    "next_event_examples",
+    "pq_distortion_audit",
+    "quantile_normalization",
+    "rag_chunk_retrieval",
+    "repeated_ngram_spans",
+    "rfm_segments",
+    "sequence_packing_greedy",
+    "span_corruption_masks",
+    "split_perplexity_gap",
+    "stream_ab_test",
+    "stream_conversion_survival",
+    "stream_dp_histogram",
+    "stream_group_dro",
+    "stream_ks_drift",
+    "stream_psi_drift",
+    "stream_quantile_sketch",
+    "token_gini",
+    "wikibooks_docs",
+    "woe_feature_bins",
 ]
 
 

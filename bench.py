@@ -259,49 +259,71 @@ HEADLINE = [
 ]
 
 
-def _prior_round_timings() -> dict[str, float]:
-    """Per-query seconds from the most recent BENCH_r*.json, for the
-    regression gate. Empty dict when no prior round exists."""
+def _latest_round_no() -> int:
+    """Highest N among driver-recorded BENCH_r{N}.json files (0 when
+    none exist). The current run is therefore round N+1."""
     import glob
     import re
 
     here = os.path.dirname(os.path.abspath(__file__))
-    rounds = []
+    rounds = [0]
     for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
         m = re.search(r"BENCH_r(\d+)\.json$", path)
         if m:
-            rounds.append((int(m.group(1)), path))
+            rounds.append(int(m.group(1)))
+    return max(rounds)
+
+
+def _prior_round_doc() -> dict:
+    """Payload of the most recent benchmark round, for the regression
+    gate. Prefers this repo's own full-fidelity BENCH_full_r{N}.json
+    (written by main() below — the driver's BENCH_r{N}.json keeps only
+    a 2000-char stdout tail, which the 95-query map outgrew in round 8,
+    leaving `parsed: null`); falls back to the driver artifact's parsed
+    payload. Empty dict when nothing prior exists or nothing parses —
+    never raises (VERDICT r8: `parsed: null` must not crash the bench)."""
+    import glob
+    import re
+
+    here = os.path.dirname(os.path.abspath(__file__))
+    rounds: dict[int, dict[str, str]] = {}
+    for kind, pat in (("full", "BENCH_full_r*.json"), ("driver", "BENCH_r*.json")):
+        for path in glob.glob(os.path.join(here, pat)):
+            m = re.search(r"BENCH(?:_full)?_r(\d+)\.json$", path)
+            if m:
+                rounds.setdefault(int(m.group(1)), {})[kind] = path
     if not rounds:
         return {}
-    path = max(rounds)[1]
-    try:
-        with open(path) as f:
-            doc = json.load(f)
-        return dict(doc.get("parsed", doc).get("queries", {}))
-    except (OSError, ValueError):
-        return {}
+    latest = rounds[max(rounds)]
+    for kind in ("full", "driver"):
+        path = latest.get(kind)
+        if not path:
+            continue
+        try:
+            with open(path) as f:
+                doc = json.load(f)
+            payload = (doc.get("parsed") or doc) if isinstance(doc, dict) else None
+            if isinstance(payload, dict) and payload:
+                return payload
+        except (OSError, ValueError, TypeError, AttributeError):
+            continue
+    return {}
+
+
+def _prior_round_timings() -> dict[str, float]:
+    """Per-query seconds from the most recent benchmark round, for the
+    regression gate. Empty dict when no prior round exists."""
+    q = _prior_round_doc().get("queries")
+    return dict(q) if isinstance(q, dict) else {}
 
 
 def _prior_round_sf() -> float | None:
-    """The sf the most recent BENCH_r*.json was taken at (None when no
+    """The sf the most recent benchmark round was taken at (None when no
     prior round exists or it carries no sf)."""
-    import glob
-    import re
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    rounds = []
-    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if m:
-            rounds.append((int(m.group(1)), path))
-    if not rounds:
-        return None
+    v = _prior_round_doc().get("sf")
     try:
-        with open(max(rounds)[1]) as f:
-            doc = json.load(f)
-        v = doc.get("parsed", doc).get("sf")
         return float(v) if v is not None else None
-    except (OSError, ValueError, TypeError):
+    except (ValueError, TypeError):
         return None
 
 
@@ -366,23 +388,10 @@ def _host_probe(spark) -> float:
 
 
 def _prior_probe_sec() -> float | None:
-    import glob
-    import re
-
-    here = os.path.dirname(os.path.abspath(__file__))
-    rounds = []
-    for path in glob.glob(os.path.join(here, "BENCH_r*.json")):
-        m = re.search(r"BENCH_r(\d+)\.json$", path)
-        if m:
-            rounds.append((int(m.group(1)), path))
-    if not rounds:
-        return None
+    v = _prior_round_doc().get("probe_sec")
     try:
-        with open(max(rounds)[1]) as f:
-            doc = json.load(f)
-        v = doc.get("parsed", doc).get("probe_sec")
         return float(v) if v else None
-    except (OSError, ValueError, TypeError):
+    except (ValueError, TypeError):
         return None
 
 
@@ -570,15 +579,44 @@ def main() -> None:
             )
             timings[name] = min(timings[name], resec)
     total = round(sum(timings.values()), 3)
+    # Full-fidelity artifact: the driver keeps only a 2000-char stdout
+    # tail, which a 95-query map outgrows (round 8's BENCH_r08.json came
+    # back `parsed: null`). The complete per-query map therefore goes to
+    # a committed BENCH_full_r{N}.json (N = latest driver round + 1);
+    # the stdout JSON line stays small — totals plus the top-10 slowest.
+    full_doc = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "probe_sec": probe_sec,
+        "n_queries": len(timings),
+    }
+    full_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)),
+        f"BENCH_full_r{_latest_round_no() + 1}.json",
+    )
+    try:
+        with open(full_path, "w") as f:
+            json.dump(full_doc, f, indent=1, sort_keys=True)
+            f.write("\n")
+    except OSError as exc:  # read-only checkout: still emit stdout line
+        print(f"# BENCH_full write failed: {exc}", file=sys.stderr)
+    slowest = dict(
+        sorted(((k, round(v, 2)) for k, v in timings.items()), key=lambda kv: -kv[1])[:10]
+    )
     print(
         json.dumps(
             {
                 "metric": "headline_queries_total",
                 "value": total,
                 "unit": "sec",
-                "queries": timings,
+                "queries": slowest,
                 "sf": sf,
-                "probe_sec": probe_sec,
+                "probe_sec": round(probe_sec, 3),
+                "n_queries": len(timings),
+                "full": os.path.basename(full_path),
             }
         )
     )
