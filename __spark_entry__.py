@@ -55,6 +55,7 @@ _PRIORITY = [
     # Block 2: NEW in round 9 — first driver attestation. Inserted as
     # they land (hierarchical quantizer, KLL sketch twins, the
     # streaming training-manifest composition).
+    "ann_hivf_topk",
     # Block 3: family canaries — every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span). The
     # Block-1 members cover streaming (5 head entries), events

@@ -134,6 +134,11 @@ HEADLINE = [
     # one.
     "source_loso_influence",
     "ivf_cell_medoids",
+    # r9: the two-level coarse quantizer — the production mitigation
+    # for the measured flat-IVF N^1.5 assignment frontier (SCALE.md);
+    # benched beside the flat-assignment family (ann_ivf_pq_topk,
+    # ivf_cell_medoids) so the crossover is tracked per round.
+    "ann_hivf_topk",
     "heaps_law_fit",
     # r7 session 5 (cont.): the train-LM split scoring (token-shuffle
     # bound), the bounded-pair basket miner, and the fixed-round LP

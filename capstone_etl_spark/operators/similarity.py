@@ -776,6 +776,239 @@ SELECT query_id, neighbor_id, sim FROM scored WHERE sim >= {ANN_RADIUS_SIM}
 )
 
 
+# ------------------------------- hierarchical (two-level) coarse IVF
+
+# Branches a vector (or query) routes to before probing second-level
+# seeds. A constant >1 softens Voronoi-boundary misroutes (the standard
+# multi-branch descent in two-level inverted files); the asymptotic
+# assignment cost stays O(N·N^(1/4)) for any constant.
+BRANCH_PROBES = 2
+
+
+def _d2_fold(a: str, b) -> F.Column:
+    """Exact integer squared distance between two quantized arrays."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def hier_branches(emb_q: DataFrame) -> DataFrame:
+    """(branch, bq) — the level-1 branch seeds of the two-level coarse
+    quantizer: the subset of quantizer_seeds whose 60-bit vec_id hash
+    ALSO clears the tighter 2^60/N^(3/4) threshold. Seed hashes are
+    uniform below 2^60/√N (that is how they were selected), so the
+    conditional survival probability is N^(-1/4) and the expected
+    branch count is √N·N^(-1/4) = N^(1/4); branches ⊆ seeds by
+    construction (one hash, two thresholds). The global min-hash seed
+    is always a branch, so the router is total on any corpus. N^(3/4)
+    is computed as sqrt(N)·sqrt(sqrt(N)) — correctly-rounded IEEE ops
+    on both engines (pow() is not), so the branch set is engine-exact."""
+    seeds = quantizer_seeds(emb_q)
+    hseed = seeds.select(
+        "cell", "sq", md5_hash60(F.col("cell").cast("string")).alias("h")
+    )
+    stats = emb_q.agg(F.count("*").alias("n_vec"))
+    mh = hseed.agg(F.min(F.struct("h", "cell")).alias("mh"))
+    nv = F.greatest(F.col("n_vec"), F.lit(1)).cast("double")
+    thresh_b = F.floor(
+        F.lit(float(HASH_SPACE_INT)) / (F.sqrt(nv) * F.sqrt(F.sqrt(nv)))
+    ).cast("long")
+    return (
+        hseed.join(F.broadcast(stats), F.lit(True))
+        .join(F.broadcast(mh), F.lit(True))
+        .filter((F.col("h") < thresh_b) | (F.col("cell") == F.col("mh.cell")))
+        .select(F.col("cell").alias("branch"), F.col("sq").alias("bq"))
+    )
+
+
+def _hivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The hierarchical-IVF candidate pipeline (quantize → seed →
+    branch → route → assign → probe → exact-cosine score) up to the
+    scored candidate relation — ann_hivf_topk takes its per-query
+    top-k. This is the production mitigation for the measured flat-IVF
+    N^1.5 assignment frontier (SCALE.md): a ≈N^(1/4) branch layer
+    routes every vector in-row against a collected branch array (one
+    1-row broadcast; zero shuffle), and assignment probes only the
+    routed branches' ≈N^(1/4) second-level seeds — O(N·N^(1/4)) dot
+    products instead of the flat quantizer's O(N·√N). Cells, cell
+    populations (≈√N) and the probe/rerank tail are unchanged, so
+    within-cell work inherits the flat index's cell cap.
+
+    Exactness for the oracle: branch selection, seed→branch routing,
+    vector routing and assignment are all fixed-point integer algebra
+    with (d2, id) tiebreaks, so both engines build the identical
+    two-level index and rank identical candidates."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_q = emb.select("vec_id", quantize_fp().alias("vq"))
+    seeds = quantizer_seeds(emb_q)
+    branches = hier_branches(emb_q)
+    # one collected branch array (≈N^(1/4)·DIM longs) broadcast to every
+    # row: routing = an in-row sort of BRANCH-many integer distances —
+    # no explode, no shuffle, no per-vector window
+    barr = branches.agg(F.collect_list(F.struct("branch", "bq")).alias("bs"))
+
+    def route_arr(vec_col: str) -> F.Column:
+        return F.array_sort(
+            F.transform(
+                "bs",
+                lambda b: F.struct(
+                    _d2_fold(vec_col, b["bq"]).alias("bd2"),
+                    b["branch"].alias("branch"),
+                ),
+            )
+        )
+
+    # level-2 seeds labeled with their own nearest branch (argmin in-row)
+    seeds_b = (
+        seeds.join(F.broadcast(barr), F.lit(True))
+        .select("cell", "sq", F.element_at(route_arr("sq"), 1)["branch"].alias("branch"))
+    )
+    # vectors route to their BRANCH_PROBES nearest branches
+    routed = (
+        emb_q.join(F.broadcast(barr), F.lit(True))
+        .select("vec_id", "vq", F.slice(route_arr("vq"), 1, BRANCH_PROBES).alias("route"))
+        .select("vec_id", "vq", F.explode("route").alias("r"))
+        .select("vec_id", "vq", F.col("r.branch").alias("branch"))
+    )
+    # assignment candidates: only the routed branches' seeds (broadcast
+    # equi-join on branch — ≈B·N^(1/4) seeds per vector, not √N)
+    cand_seed = routed.join(F.broadcast(seeds_b), "branch").select(
+        "vec_id", "cell", _d2_fold("vq", F.col("sq")).alias("d2")
+    )
+    assign = (
+        cand_seed.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
+    )
+    # probe: each query's max(3, ⌈√cells⌉) nearest ROUTED cells — the
+    # hierarchical narrowing applies to the query side too
+    pw = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    n_cells = seeds.agg(F.count("*").alias("n_cells"))
+    probe_k = F.greatest(
+        F.lit(IVF_PROBES_MIN).cast("long"),
+        F.ceil(F.sqrt(F.col("n_cells").cast("double"))),
+    )
+    probes = (
+        cand_seed.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("prnk", F.row_number().over(pw))
+        .join(F.broadcast(n_cells), F.lit(True))
+        .filter(F.col("prnk") <= probe_k)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    cand = (
+        probes.join(assign.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    return (
+        cand.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(cosine("qe", "ne"), 6).alias("sim"))
+    )
+
+
+def ann_hivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-level (hierarchical) IVF ANN: ≈N^(1/4) hash-sampled branch
+    seeds route each vector to its BRANCH_PROBES nearest branches;
+    assignment probes only those branches' second-level seeds. Same
+    ≈√N cells, same probe ≈ √cells and exact-cosine rerank tail as
+    ann_ivf_topk — the quantizer-assignment stage drops from O(N·√N)
+    to O(N·N^(1/4)) dot products, which is the measured flat-IVF
+    N^1.5 frontier (SCALE.md) paid down. Recall vs the flat index is
+    pinned on a clustered fixture in tests (identical where cluster
+    structure exists; boundary vectors may route differently)."""
+    from pyspark.sql import Window
+
+    scored = _hivf_scored(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+ANN_HIVF_TOPK_SQL = f"""
+WITH by_dim AS (
+  SELECT vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
+), {_SEED_IDS_SQL}, seeds AS (
+  SELECT b.vec_id AS cell, b.d, b.vs AS ss
+  FROM by_dim b JOIN seed_ids si ON si.vec_id = b.vec_id
+), hcell AS (
+  SELECT vec_id AS cell, {md5_hash60_sql("CAST(vec_id AS VARCHAR)")} AS h FROM seed_ids
+), branch_ids AS (
+  SELECT cell AS branch FROM hcell
+  WHERE h < CAST(floor(CAST({HASH_SPACE_INT} AS DOUBLE) / (
+          sqrt(GREATEST((SELECT COUNT(*) FROM embeddings), 1))
+        * sqrt(sqrt(GREATEST((SELECT COUNT(*) FROM embeddings), 1))))) AS BIGINT)
+     OR cell = (SELECT cell FROM hcell ORDER BY h, cell LIMIT 1)
+), branches AS (
+  SELECT s.cell AS branch, s.d, s.ss AS bs
+  FROM seeds s JOIN branch_ids b ON b.branch = s.cell
+), seed_branch_d2 AS (
+  SELECT s.cell, b.branch, CAST(SUM((s.ss - b.bs) * (s.ss - b.bs)) AS BIGINT) AS bd2
+  FROM seeds s JOIN branches b ON b.d = s.d
+  GROUP BY 1, 2
+), seed_route AS (
+  SELECT cell, branch FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cell ORDER BY bd2, branch) AS rn
+    FROM seed_branch_d2
+  ) t WHERE rn = 1
+), vec_branch_d2 AS (
+  SELECT v.vec_id, b.branch, CAST(SUM((v.vs - b.bs) * (v.vs - b.bs)) AS BIGINT) AS bd2
+  FROM by_dim v JOIN branches b ON b.d = v.d
+  GROUP BY 1, 2
+), vec_route AS (
+  SELECT vec_id, branch FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY bd2, branch) AS rn
+    FROM vec_branch_d2
+  ) t WHERE rn <= {BRANCH_PROBES}
+), cand_seed AS (
+  SELECT r.vec_id, sr.cell, CAST(SUM((v.vs - s.ss) * (v.vs - s.ss)) AS BIGINT) AS d2
+  FROM vec_route r
+  JOIN seed_route sr ON sr.branch = r.branch
+  JOIN seeds s ON s.cell = sr.cell
+  JOIN by_dim v ON v.vec_id = r.vec_id AND v.d = s.d
+  GROUP BY 1, 2
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS arnk
+    FROM cand_seed
+  ) t WHERE arnk = 1
+), probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS prnk
+    FROM cand_seed WHERE vec_id < {N_QUERIES}
+  ) t WHERE prnk <= GREATEST({IVF_PROBES_MIN},
+        CAST(ceil(sqrt((SELECT COUNT(*) FROM seed_ids))) AS BIGINT))
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND({_COSINE_SQL.replace('qe', 'q.embedding').replace('ne', 'n.embedding')}, 6) AS sim
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM scored
+) t WHERE rnk <= {TOP_K}
+"""
+
+
 # -------------------------------------------- IVF probe-count sweep
 
 IVF_PROBE_GRID = (1, 2, 4, 8)
@@ -2711,6 +2944,7 @@ QUERIES = {
     "semantic_decontamination": semantic_decontamination,
     "ivf_cell_medoids": ivf_cell_medoids,
     "hubness_audit": hubness_audit,
+    "ann_hivf_topk": ann_hivf_topk,
 }
 
 ORACLE_SQL = {
@@ -2742,4 +2976,5 @@ ORACLE_SQL = {
     "semantic_decontamination": SEMANTIC_DECONTAMINATION_SQL,
     "ivf_cell_medoids": IVF_CELL_MEDOIDS_SQL,
     "hubness_audit": HUBNESS_AUDIT_SQL,
+    "ann_hivf_topk": ANN_HIVF_TOPK_SQL,
 }

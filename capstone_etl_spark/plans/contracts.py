@@ -336,6 +336,12 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "shares cuped_release — the same 1-row pooled-theta broadcast "
         "over the drained per-user snapshot (streaming_queries.py)"
     ),
+    "ann_hivf_topk": (
+        "1-row corpus-stats / min-hash / probe-count broadcasts + the "
+        "1-row collected ~N^(1/4) branch-array broadcast that routes "
+        "every vector in-row (similarity._hivf_scored); the only "
+        "Generate is the bounded BRANCH_PROBES=2 route explode"
+    ),
 }
 
 # NOTE: conversion_model_calibration and logistic_conversion_model are
@@ -361,6 +367,7 @@ HEADLINE: list[str] = [
     "dedup_minhash_lsh",
     "embedding_pairs",
     "ann_ivf_topk",
+    "ann_hivf_topk",
     "doc_similarity_topk",
     "bigram_pmi",
     "campaign_window_stats",
