@@ -1953,9 +1953,10 @@ def next_event_examples(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ts_sec",
         F.concat_ws(
             ">",
-            F.lag("event_type", EXAMPLE_CONTEXT).over(ws),
-            F.lag("event_type", 2).over(ws),
-            F.lag("event_type", 1).over(ws),
+            *[
+                F.lag("event_type", lag).over(ws)
+                for lag in range(EXAMPLE_CONTEXT, 0, -1)
+            ],
         ).alias("context"),
         F.col("event_type").alias("target"),
     ).filter(F.col("context") != "")
@@ -1978,9 +1979,7 @@ WITH flagged AS (
 )
 SELECT user_id, session_seq, ts_sec,
        concat_ws('>',
-         LAG(event_type, {EXAMPLE_CONTEXT}) OVER w,
-         LAG(event_type, 2) OVER w,
-         LAG(event_type, 1) OVER w) AS context,
+         {", ".join(f"LAG(event_type, {lag}) OVER w" for lag in range(EXAMPLE_CONTEXT, 0, -1))}) AS context,
        event_type AS target
 FROM with_sid
 WINDOW w AS (PARTITION BY user_id, session_seq ORDER BY ts, event_id)
@@ -2102,11 +2101,14 @@ def event_bot_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("g").cast("long").alias("sg"),
         F.sum(F.col("g") * F.col("g")).cast("long").alias("sg2"),
     )
+    # ng > 0 with sg == 0 is the most metronomic client possible (every
+    # gap exactly zero) — cv = 0, not NULL, so is_bot catches it
+    # (ADVICE r8)
     cv = F.when(
         (F.col("ng") > 0) & (F.col("sg") > 0),
         F.sqrt((F.col("ng") * F.col("sg2") - F.col("sg") * F.col("sg")).cast("double"))
         / F.col("sg"),
-    )
+    ).when((F.col("ng") > 0) & (F.col("sg") == 0), F.lit(0.0))
     return agg.select(
         "user_id",
         "n_events",
@@ -2139,10 +2141,12 @@ WITH gaps AS (
 SELECT user_id, n_events,
        CASE WHEN ng > 0 THEN ROUND(CAST(sg AS DOUBLE) / ng, 6) END AS mean_gap_sec,
        ROUND(CASE WHEN ng > 0 AND sg > 0
-                  THEN SQRT(CAST(ng * sg2 - sg * sg AS DOUBLE)) / sg END, 6) AS gap_cv,
+                  THEN SQRT(CAST(ng * sg2 - sg * sg AS DOUBLE)) / sg
+                  WHEN ng > 0 AND sg = 0 THEN 0.0 END, 6) AS gap_cv,
        CAST(n_events >= {BOT_MIN_EVENTS}
             AND COALESCE(CASE WHEN ng > 0 AND sg > 0
-                      THEN SQRT(CAST(ng * sg2 - sg * sg AS DOUBLE)) / sg END, 1e18)
+                      THEN SQRT(CAST(ng * sg2 - sg * sg AS DOUBLE)) / sg
+                      WHEN ng > 0 AND sg = 0 THEN 0.0 END, 1e18)
                 < {BOT_CV_MAX}
             AS INT) AS is_bot
 FROM agg
@@ -2285,6 +2289,12 @@ def _fit_logit(spark: SparkSession, sf_dir: str, train_only: bool = False):
         ],
     ).first()
     n_st = st["n"]
+    if n_st == 0:
+        # empty (or train-only-empty) cohort: zero weights over raw
+        # features — the downstream readouts release their documented
+        # degenerate shapes instead of a driver ZeroDivisionError
+        # (ADVICE r8)
+        return feats, [F.lit(1.0)] + [F.col(f"x{j}") for j in range(1, 5)], [0.0] * 5
     means, stds = [], []
     for j in range(1, 5):
         mj = float(st[f"s{j}"]) / n_st
@@ -2921,7 +2931,14 @@ def conformal_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     global window); q and n_cal re-enter as a 1-row broadcast over the
     test aggregation. Exactness: identical weights (snapped
     trajectory), identical |y − p| doubles, an integer rank cut, and
-    one comparison per test row."""
+    one comparison per test row.
+
+    Degenerate contract (ADVICE r8): an EMPTY 'val' calibration bucket
+    yields ZERO rows (the rank cut least(n_cal−1, …) = −1 matches
+    nothing), identically in both engines — downstream consumers must
+    treat a missing release as "no calibration data", not as coverage
+    achieved; observed at sf0.001 where the cohort is too small to
+    populate all three salted buckets."""
     feats, xs, w = _fit_logit(spark, sf_dir, train_only=True)
     z = sum((F.lit(wj) * xj for wj, xj in zip(w, xs)), F.lit(0.0))
     p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))

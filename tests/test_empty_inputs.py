@@ -343,3 +343,29 @@ def test_session2_ops_empty_tables(spark, tmp_path):
             assert fn(spark, sf).count() == 0, fn.__name__
     finally:
         release_caches()
+
+
+def test_logistic_family_empty_events(spark, tmp_path):
+    """ADVICE r8: _fit_logit divided by the cohort count with no guard —
+    an empty (or train-only-empty) events table raised ZeroDivisionError
+    on the driver. The trainer now short-circuits to zero weights, so
+    every consumer of the trained chain releases a well-defined (often
+    empty) relation instead of crashing."""
+    from capstone_etl_spark.operators.events import (
+        conformal_coverage,
+        conversion_model_calibration,
+        logistic_conversion_model,
+    )
+    from capstone_etl_spark.session import release_caches
+
+    spark.createDataFrame(
+        [],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    sf = str(tmp_path)
+    try:
+        for fn in (logistic_conversion_model, conversion_model_calibration, conformal_coverage):
+            assert fn(spark, sf).count() >= 0, fn.__name__
+    finally:
+        release_caches()

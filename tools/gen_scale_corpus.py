@@ -18,14 +18,26 @@ Replication model (and what it does/doesn't measure):
   referential integrity holds and per-key densities (orders/customer,
   lineitems/order, events/user) stay constant — the realistic growth
   mode where MORE entities arrive, not fatter ones.
-- documents: every token gets a per-replica suffix (replica 0 is the
-  original), so replicas share no shingles and the near-dup structure
-  WITHIN each replica is preserved exactly. The corpus therefore
-  models R disjoint sub-corpora: candidate-pair volume must scale
-  ~linearly in R if the df-cap/index design holds. (A real 10×
-  corpus would ALSO raise common-shingle df — that effect is pruned
-  by MAX_SHINGLE_DF by design, which is exactly the claim being
-  measured.) n_chars is recomputed from the salted text.
+- documents: Heaps-law-honest shared-vocabulary growth (VERDICT r8,
+  item 4 — the old per-replica salt multiplied the type count
+  LINEARLY with R, making every token-distinct-keyed exponent at the
+  second decade a generator artifact). Replica 0 keeps the original
+  text; in replica k>0 every token t gets the suffix
+  'zr' || (hash(t, k) mod T) with tag-space T = round(√R), so:
+  * each base type grows into ≈T(1-(1-1/T)^R) ≈ √R variants — the
+    global type count scales ~N^0.5 (Heaps' β ≈ 0.5);
+  * each variant appears in ≈R/T ≈ √R replicas — the grown
+    vocabulary is SHARED across replicas and keeps the base Zipf
+    shape (every variant's frequency = base frequency × R/T);
+  * the tag depends only on (token, replica), so within one replica
+    the salting is an exact isomorphic rename: TF vectors, df
+    profiles and near-dup pairs inside each replica are preserved
+    exactly;
+  * cross-replica shingle collisions need all w tokens of a shingle
+    to draw matching tags — probability T^(-w) ≈ 0 at w = 5 — so
+    replicas still contribute no spurious near-dup pairs while
+    common-shingle df grows mildly, as in a real corpus.
+  n_chars is recomputed from the salted text.
 - embeddings: deterministic per-(replica, vec, dim) jitter of ±0.05
   decorrelates replicas (no degenerate all-ties ANN distances) while
   keeping the cluster structure; labels are preserved.
@@ -102,26 +114,24 @@ def main() -> None:
         "event_type, value, props",
     )
     # replica 0 keeps the original text; replica k>0 suffixes every
-    # whitespace token with a lowercase alphanumeric tag that survives
-    # the engine's tokenize (lowercase + [^a-z0-9 ] strip), so shingle
-    # sets across replicas are disjoint while within-replica near-dup
-    # structure (and token counts) are preserved.
+    # whitespace token t with a lowercase alphanumeric tag drawn from a
+    # round(sqrt(R))-sized space via hash(t, k) — the tag survives the
+    # engine's tokenize (lowercase + [^a-z0-9 ] strip), depends only on
+    # (token, replica) so each replica is an exact isomorphic rename,
+    # and the shared tag space makes the global type count grow ~sqrt(R)
+    # (Heaps-honest) instead of linearly. See the module docstring.
+    T = max(1, round(R**0.5))
+    salted = (
+        "array_to_string(list_transform(string_split(text, ' '), "
+        "t -> CASE WHEN t = '' THEN t ELSE t || 'zr' || "
+        f"CAST(hash(t || '|' || CAST(k AS VARCHAR)) % {T} AS VARCHAR) END), ' ')"
+    )
     emit(
         "documents",
         f"""doc_id + k * {d_n} AS doc_id,
-        CASE WHEN k = 0 THEN text
-             ELSE array_to_string(
-               list_transform(string_split(text, ' '),
-                              t -> CASE WHEN t = '' THEN t ELSE t || 'zr' || CAST(k AS VARCHAR) END),
-               ' ')
-        END AS text,
+        CASE WHEN k = 0 THEN text ELSE {salted} END AS text,
         lang, source,
-        CASE WHEN k = 0 THEN n_chars
-             ELSE length(array_to_string(
-               list_transform(string_split(text, ' '),
-                              t -> CASE WHEN t = '' THEN t ELSE t || 'zr' || CAST(k AS VARCHAR) END),
-               ' '))
-        END AS n_chars""",
+        CASE WHEN k = 0 THEN n_chars ELSE length({salted}) END AS n_chars""",
     )
     # deterministic ±0.05 jitter per (replica, vec, dim): decorrelates
     # replicas without moving cluster structure.
