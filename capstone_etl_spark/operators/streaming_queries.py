@@ -1720,6 +1720,222 @@ def stream_dp_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stream_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship composition AT INGEST — the full admission chain
+    (quality gate → near-dup screen vs the static corpus index →
+    benchmark decontamination screen → shard/split assignment → token
+    accounting) as ONE streaming query over arriving documents, drained
+    result equal to the batch corpus.training_manifest and sharing its
+    oracle verbatim. Composes the proven pieces (stream_quality_funnel's
+    gate, stream_dedup_incremental's capped pair state,
+    stream_decontamination's n_first trick) into the query a 100 TB
+    ingest tier actually runs while shards land.
+
+    Mechanics: the df-capped shingle indexes are STATIC relations (the
+    published artifacts of the committed corpus — the kept-scoped cap
+    feeds the dedup leg, the full-corpus cap the decontamination leg,
+    exactly the batch pass's two cap domains). Each arriving document
+    fans into three row kinds that share ONE streaming aggregation
+    (structured streaming allows a single agg per query — the union
+    trick keeps the composition one query):
+
+      ("doc", doc_id, shard_id, n_tokens, kept, split) — the stateless
+        admission facts: quality flag, hash shard, salted split, exact
+        token count (one state row per kept non-bench doc — the
+        manifest store's own working set);
+      ("dd", arriving, partner, 1, 0) — capped near-dup candidate
+        pairs vs the static kept index, partner > arriving so each
+        unordered pair counts exactly once; count = batch n_inter
+        (raw∩capped = capped∩capped — a shingle the cap removed is in
+        neither side of the join);
+      ("dc", train, bench, 1, pos=1?) — decontamination overlaps vs
+        the static bench postings; Σ(pos=1) recovers the train doc's
+        post-cap shingle count sz_c without a second pass.
+
+    The drained table then runs the IDENTICAL batch verdict assembly:
+    Jaccard-threshold pairs → connected components (bounded by the
+    drained candidate edges) → keep-one (doc_id = component min; a
+    bench doc CAN be the keep-one, taking its cluster with it) →
+    contamination anti-join → per-(split, shard) rollup. State is
+    bounded by df-capped candidate pairs + cross-cut overlap pairs +
+    one row per admitted doc."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.functions.hashing import md5_hash60
+    from capstone_etl_spark.functions.text import token_ngrams, tokenize
+    from capstone_etl_spark.operators.corpus import MIN_CHARS, N_SHARDS
+    from capstone_etl_spark.operators.dedup import (
+        BENCH_MOD,
+        CONTAINMENT_THRESHOLD,
+        JACCARD_THRESHOLD,
+        NGRAM_N,
+        connected_components,
+        shingle_df_cap,
+    )
+    from capstone_etl_spark.operators.sampling import split_column
+    from capstone_etl_spark.session import cached
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_manifest_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        # static index artifacts — ONE tokenize pass, two cap domains
+        # (the batch operator's exact sharing shape, corpus.py)
+        toks_b = docs.select(
+            "doc_id", (F.col("n_chars") >= MIN_CHARS).alias("kept"), tokenize("text").alias("toks")
+        )
+        uncapped = cached(
+            toks_b.select(
+                "doc_id", "kept", F.explode(token_ngrams("toks", NGRAM_N)).alias("shingle")
+            )
+            .select("doc_id", "kept", md5_hash60(F.col("shingle")).alias("sh"))
+            .distinct()
+        )
+        kept_sh = cached(
+            shingle_df_cap(uncapped.filter(F.col("kept")).select("doc_id", "sh"))
+        )
+        full_sh = cached(shingle_df_cap(uncapped.select("doc_id", "sh")))
+        kept_sizes = kept_sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
+        dd_index = kept_sh.select("sh", F.col("doc_id").alias("partner"))
+        bench = full_sh.filter(F.col("doc_id") % BENCH_MOD == 0).select(
+            "sh", F.col("doc_id").alias("bench_doc")
+        )
+        sz_b = bench.groupBy("bench_doc").agg(F.count("*").alias("sz_b"))
+        pw = Window.partitionBy("sh").orderBy("bench_doc")
+        posts = bench.withColumn("pos", F.row_number().over(pw))
+        dc_index = cached(
+            full_sh.select("sh")
+            .distinct()
+            .join(posts, "sh", "left")
+            .select("sh", "bench_doc", F.coalesce("pos", F.lit(1)).alias("pos"))
+        )
+
+        staging = f"{work}/staging"
+        docs.repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        stoks = stream.select(
+            "doc_id",
+            (F.col("n_chars") >= MIN_CHARS).alias("kept"),
+            tokenize("text").alias("toks"),
+        )
+        raw_sh = stoks.select(
+            "doc_id",
+            "kept",
+            F.explode(
+                F.array_distinct(F.transform(token_ngrams("toks", NGRAM_N), md5_hash60))
+            ).alias("sh"),
+        )
+        doc_rows = (
+            stoks.filter(F.col("kept") & (F.col("doc_id") % BENCH_MOD != 0))
+            .select(
+                F.lit("doc").alias("kind"),
+                F.col("doc_id").alias("a"),
+                (
+                    md5_hash60(F.concat(F.lit("shard:"), F.col("doc_id").cast("string")))
+                    % N_SHARDS
+                ).cast("long").alias("b"),
+                F.size("toks").cast("long").alias("v1"),
+                F.lit(1).cast("long").alias("v2"),
+                split_column(F.col("doc_id")).alias("split"),
+            )
+        )
+        dd_rows = (
+            raw_sh.filter("kept")
+            .join(dd_index, "sh")
+            .filter(F.col("partner") > F.col("doc_id"))
+            .select(
+                F.lit("dd").alias("kind"),
+                F.col("doc_id").alias("a"),
+                F.col("partner").alias("b"),
+                F.lit(1).cast("long").alias("v1"),
+                F.lit(0).cast("long").alias("v2"),
+                F.lit(None).cast("string").alias("split"),
+            )
+        )
+        dc_rows = (
+            raw_sh.filter(F.col("doc_id") % BENCH_MOD != 0)
+            .join(dc_index, "sh")
+            .select(
+                F.lit("dc").alias("kind"),
+                F.col("doc_id").alias("a"),
+                F.col("bench_doc").alias("b"),
+                F.lit(1).cast("long").alias("v1"),
+                (F.col("pos") == 1).cast("long").alias("v2"),
+                F.lit(None).cast("string").alias("split"),
+            )
+        )
+        agg = (
+            doc_rows.unionByName(dd_rows)
+            .unionByName(dc_rows)
+            .groupBy("kind", "a", "b", "split")
+            .agg(F.count("*").alias("cnt"), F.sum("v1").alias("s1"), F.sum("v2").alias("s2"))
+        )
+        got = cached(run_to_memory(agg, f"{work}/checkpoint", output_mode="complete"))
+
+        # batch verdict assembly over the drained state table
+        sa = kept_sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
+        sb = kept_sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b2"))
+        jac_dd = F.col("cnt") / (F.col("sz_a") + F.col("sz_b2") - F.col("cnt"))
+        pairs = (
+            got.filter(F.col("kind") == "dd")
+            .join(sa, "a")
+            .join(sb, "b")
+            .filter(jac_dd >= JACCARD_THRESHOLD)
+            .select("a", "b")
+        )
+        edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
+            pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
+        )
+        labels = connected_components(edges)
+        # sz_c via a per-train window over the drained table (a sink
+        # self-join carries conflicting references — the
+        # stream_decontamination lesson)
+        dc = got.filter(F.col("kind") == "dc").withColumn(
+            "sz_c", F.sum("s2").over(Window.partitionBy("a"))
+        )
+        jac_dc = F.col("cnt") / (F.col("sz_c") + F.col("sz_b") - F.col("cnt"))
+        cont = F.col("cnt") / F.col("sz_b")
+        contaminated = (
+            dc.filter(F.col("b").isNotNull())
+            .join(sz_b.withColumnRenamed("bench_doc", "b"), "b")
+            .filter((jac_dc >= JACCARD_THRESHOLD) | (cont >= CONTAINMENT_THRESHOLD))
+            .select(F.col("a").alias("doc_id"))
+            .distinct()
+        )
+        admitted = (
+            got.filter(F.col("kind") == "doc")
+            .select(
+                F.col("a").alias("doc_id"),
+                F.col("b").alias("shard_id"),
+                F.col("s1").alias("n_tokens"),
+                "split",
+            )
+            .join(labels, "doc_id", "left")
+            .filter(F.col("doc_id") == F.coalesce("label", "doc_id"))
+            .join(contaminated, "doc_id", "left_anti")
+        )
+        return admitted.groupBy("split", "shard_id").agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("doc_id").cast("long").alias("min_doc_id"),
+            F.max("doc_id").cast("long").alias("max_doc_id"),
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stream_training_manifest_sql() -> str:
+    from capstone_etl_spark.operators.corpus import _training_manifest_sql
+
+    return _training_manifest_sql()
+
+
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
     "stream_sliding_windows": stream_sliding_windows,
@@ -1752,6 +1968,7 @@ QUERIES = {
     "stream_naive_bayes": stream_naive_bayes,
     "stream_cuped": stream_cuped,
     "stream_pareto_frontier": stream_pareto_frontier,
+    "stream_training_manifest": stream_training_manifest,
 }
 
 ORACLE_SQL = {
@@ -1807,4 +2024,8 @@ ORACLE_SQL = {
     "stream_cuped": _stream_cuped_sql(),
     # the batch skyline SQL verbatim: per-length maxima merge as MAX
     "stream_pareto_frontier": _stream_pareto_sql(),
+    # the batch manifest SQL verbatim: the drained admission state runs
+    # the identical verdict assembly, so the streamed manifest equals
+    # the batch one row-for-row
+    "stream_training_manifest": _stream_training_manifest_sql(),
 }

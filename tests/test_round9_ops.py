@@ -129,3 +129,26 @@ def test_hivf_plan_shape(spark):
     # fan-out must not return.
     tree_gens = re.findall(r"Generate \(\d+\)", plan)
     assert len(tree_gens) <= 2, tree_gens
+
+
+def test_stream_training_manifest_equals_batch(spark, sf_dir):
+    """The flagship batch/stream proof: the ingest-time admission chain
+    drains to EXACTLY the batch training_manifest (same keep-one
+    minima, same contamination set, same shard arithmetic, same token
+    sums)."""
+    from capstone_etl_spark.operators.corpus import training_manifest
+    from capstone_etl_spark.operators.streaming_queries import stream_training_manifest
+    from capstone_etl_spark.session import release_caches
+
+    try:
+        batch = {
+            (r.split, r.shard_id): (r.n_docs, r.n_tokens, r.min_doc_id, r.max_doc_id)
+            for r in training_manifest(spark, sf_dir).collect()
+        }
+        stream = {
+            (r.split, r.shard_id): (r.n_docs, r.n_tokens, r.min_doc_id, r.max_doc_id)
+            for r in stream_training_manifest(spark, sf_dir).collect()
+        }
+    finally:
+        release_caches()
+    assert stream == batch
