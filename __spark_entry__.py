@@ -57,6 +57,8 @@ _PRIORITY = [
     # streaming training-manifest composition).
     "ann_hivf_topk",
     "stream_training_manifest",
+    "kll_quantile_sketch",
+    "stream_kll_sketch",
     # Block 3: family canaries — every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span). The
     # Block-1 members cover streaming (5 head entries), events

@@ -139,6 +139,12 @@ HEADLINE = [
     # benched beside the flat-assignment family (ann_ivf_pq_topk,
     # ivf_cell_medoids) so the crossover is tracked per round.
     "ann_hivf_topk",
+    # r9: the rank-adaptive mergeable quantile sketch (level-subsample,
+    # ~K survivors per source) + its ingest twin, and the flagship
+    # admission chain composed as one streaming query.
+    "kll_quantile_sketch",
+    "stream_kll_sketch",
+    "stream_training_manifest",
     "heaps_law_fit",
     # r7 session 5 (cont.): the train-LM split scoring (token-shuffle
     # bound), the bounded-pair basket miner, and the fixed-round LP

@@ -988,6 +988,207 @@ FROM est e JOIN exact x USING (q)
 """
 
 
+# --- KLL-class mergeable quantile sketch ---------------------------------------
+#
+# histogram_quantiles answers quantiles to one bin width on a FIXED
+# grid; the production structure for per-source quantiles at 100 TB is
+# a rank-adaptive MERGEABLE sketch. This is the deterministic
+# level-subsampling member of that family (KLL's level hierarchy with
+# the portable hash standing in for the coin flips — the established
+# KMV/CMS/HLL discipline): a value survives at level L iff its 60-bit
+# row hash is divisible by 2^L, so
+#   * P(survive L) = 2^-L exactly (the hash is uniform on [0, 2^60)),
+#     and each survivor represents weight 2^L rows;
+#   * the per-source level L = ⌈log2⌈n/K⌉⌉ (pure integer bit-length —
+#     no cross-engine log2) caps the expected sample at ≈K rows;
+#   * samples are NESTED (h ≡ 0 mod 2^(L+1) ⇒ h ≡ 0 mod 2^L), which is
+#     the merge rule: shards sketched at different levels merge by
+#     re-filtering the lower-level sample at the higher level, then
+#     unioning — associative, deterministic, no resampling;
+#   * quantile estimate = min value whose cumulative sample weight
+#     reaches ⌈q·n⌉, with the sample max as the shortfall fallback.
+# Rank error is O(1/√K) uniformly; the audit columns report the
+# value-space and rank-space error against the exact quantile.
+KLL_K = 256
+KLL_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def _kll_stats(vals: DataFrame) -> DataFrame:
+    """(source, n, L, w): per-source row count, subsample level (the
+    smallest L with n ≤ K·2^L, via integer bit-length) and survivor
+    weight w = 2^L."""
+    t = F.expr(f"(n + {KLL_K - 1}) div {KLL_K}")
+    lvl = (
+        F.when(t <= 1, F.lit(0))
+        .otherwise(F.length(F.bin(t - 1)))
+        .cast("int")
+        .alias("L")
+    )
+    return (
+        vals.groupBy("source")
+        .agg(F.count("*").alias("n"))
+        .select("source", "n", lvl)
+        .select(
+            "source",
+            "n",
+            "L",
+            F.expr("shiftleft(CAST(1 AS BIGINT), L)").alias("w"),
+        )
+    )
+
+
+def kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(source, q, n, level, sample_size, target_rank, est_quantile,
+    exact_quantile, abs_error) — per-source quantiles of
+    documents.n_chars from the mergeable level-subsample sketch, with
+    the exact discrete quantile and the value-space error as audit
+    columns (the CMS/HLL estimate-vs-exact convention).
+
+    Exactness: survival (h mod 2^L = 0), weights, cumulative ranks and
+    the ⌈q·n⌉ target are all int64; the only doubles are the emitted
+    quantile values. 100 TB: one map filter keeps ≈K rows per source
+    (the 1-row-per-source stats relation broadcasts), every window runs
+    over the ≤K-row sample or the bounded distinct-value domain, and
+    the sketch merges across shards/streams by union — never a global
+    sort of the data."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    vals = docs.select(
+        "source",
+        F.col("n_chars").alias("v"),
+        md5_hash60(F.concat(F.lit("kll:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+    stats = _kll_stats(vals)
+    samp = (
+        vals.join(F.broadcast(stats), "source")
+        .filter(F.col("h") % F.col("w") == 0)
+        .groupBy("source", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    wv = Window.partitionBy("source").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    samp_cum = samp.join(F.broadcast(stats), "source").select(
+        "source", "v", "c", "w", (F.sum(F.col("c")).over(wv) * F.col("w")).alias("cumw")
+    )
+    szs = samp.groupBy("source").agg(F.sum("c").cast("long").alias("sample_size"))
+    smax = samp.groupBy("source").agg(F.max("v").alias("vmax"))
+    qcfg = stats.select(
+        "source",
+        "n",
+        "L",
+        F.explode(F.array(*[F.lit(q) for q in KLL_QS])).alias("q"),
+    ).select(
+        "source", "n", "L", "q",
+        F.ceil(F.col("q") * F.col("n").cast("double")).cast("long").alias("r"),
+    )
+    est = (
+        qcfg.join(
+            samp_cum,
+            (qcfg["source"] == samp_cum["source"]) & (F.col("cumw") >= F.col("r")),
+            "left",
+        )
+        .groupBy(qcfg["source"], "q", "n", "L", "r")
+        .agg(F.min("v").alias("est_v"))
+    )
+    wvx = Window.partitionBy("source").orderBy("v").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    val_cum = (
+        vals.groupBy("source", "v")
+        .agg(F.count("*").alias("cnt"))
+        .select("source", "v", F.sum("cnt").over(wvx).alias("cum"))
+    )
+    exact = (
+        qcfg.select("source", "q", "r")
+        .alias("c")
+        .join(
+            val_cum.alias("vc"),
+            (F.col("c.source") == F.col("vc.source")) & (F.col("vc.cum") >= F.col("c.r")),
+        )
+        .groupBy(F.col("c.source").alias("source"), "q")
+        .agg(F.min("v").cast("double").alias("exact_quantile"))
+    )
+    return (
+        est.join(smax, "source")
+        .join(szs, "source")
+        .join(exact, ["source", "q"])
+        .select(
+            "source",
+            "q",
+            F.col("n").cast("long").alias("n"),
+            F.col("L").cast("long").alias("level"),
+            "sample_size",
+            F.col("r").alias("target_rank"),
+            F.coalesce(F.col("est_v"), F.col("vmax")).cast("double").alias("est_quantile"),
+            "exact_quantile",
+            F.round(
+                F.abs(
+                    F.coalesce(F.col("est_v"), F.col("vmax")).cast("double")
+                    - F.col("exact_quantile")
+                ),
+                6,
+            ).alias("abs_error"),
+        )
+    )
+
+
+KLL_QUANTILE_SKETCH_SQL = f"""
+WITH vals AS (
+  SELECT source, n_chars AS v,
+         {md5_hash60_sql("'kll:' || CAST(doc_id AS VARCHAR)")} AS h
+  FROM documents
+), stats AS (
+  SELECT source, n,
+         CAST(CASE WHEN t <= 1 THEN 0 ELSE length(bin(t - 1)) END AS INT) AS L,
+         (CAST(1 AS BIGINT) << CAST(CASE WHEN t <= 1 THEN 0
+                                         ELSE length(bin(t - 1)) END AS INT)) AS w
+  FROM (SELECT source, COUNT(*) AS n,
+               (COUNT(*) + {KLL_K - 1}) // {KLL_K} AS t
+        FROM vals GROUP BY 1) b
+), samp AS (
+  SELECT v.source, v.v, COUNT(*) AS c
+  FROM vals v JOIN stats s USING (source)
+  WHERE v.h % s.w = 0
+  GROUP BY 1, 2
+), samp_cum AS (
+  SELECT sa.source, sa.v,
+         SUM(sa.c) OVER (PARTITION BY sa.source ORDER BY sa.v) * st.w AS cumw
+  FROM samp sa JOIN stats st USING (source)
+), szs AS (
+  SELECT source, CAST(SUM(c) AS BIGINT) AS sample_size, MAX(v) AS vmax
+  FROM samp GROUP BY 1
+), qcfg AS (
+  SELECT s.source, s.n, s.L, CAST(q AS DOUBLE) AS q,
+         CAST(ceil(CAST(q AS DOUBLE) * CAST(s.n AS DOUBLE)) AS BIGINT) AS r
+  FROM stats s CROSS JOIN (SELECT UNNEST({list(KLL_QS)}) AS q) qs
+), est AS (
+  SELECT c.source, c.q, c.n, c.L, c.r, MIN(sc.v) AS est_v
+  FROM qcfg c LEFT JOIN samp_cum sc
+    ON sc.source = c.source AND sc.cumw >= c.r
+  GROUP BY 1, 2, 3, 4, 5
+), val_cum AS (
+  SELECT source, v, SUM(cnt) OVER (PARTITION BY source ORDER BY v) AS cum
+  FROM (SELECT source, v, COUNT(*) AS cnt FROM vals GROUP BY 1, 2) t
+), exact AS (
+  SELECT c.source, c.q, CAST(MIN(vc.v) AS DOUBLE) AS exact_quantile
+  FROM (SELECT source, q, r FROM qcfg) c
+  JOIN val_cum vc ON vc.source = c.source AND vc.cum >= c.r
+  GROUP BY 1, 2
+)
+SELECT e.source, e.q, CAST(e.n AS BIGINT) AS n, CAST(e.L AS BIGINT) AS level,
+       z.sample_size, e.r AS target_rank,
+       CAST(COALESCE(e.est_v, z.vmax) AS DOUBLE) AS est_quantile,
+       x.exact_quantile,
+       ROUND(ABS(CAST(COALESCE(e.est_v, z.vmax) AS DOUBLE) - x.exact_quantile), 6)
+         AS abs_error
+FROM est e
+JOIN szs z USING (source)
+JOIN exact x ON x.source = e.source AND x.q = e.q
+"""
+
+
 QUERIES = {
     "kmv_distinct_shingles": kmv_distinct_shingles,
     "kmv_source_overlap": kmv_source_overlap,
@@ -997,6 +1198,7 @@ QUERIES = {
     "cms_join_size": cms_join_size,
     "histogram_quantiles": histogram_quantiles,
     "hll_distinct_sketch": hll_distinct_sketch,
+    "kll_quantile_sketch": kll_quantile_sketch,
 }
 
 ORACLE_SQL = {
@@ -1008,4 +1210,5 @@ ORACLE_SQL = {
     "kmv_set_difference": KMV_SET_DIFFERENCE_SQL,
     "count_min_error": COUNT_MIN_ERROR_SQL,
     "bloom_membership": BLOOM_MEMBERSHIP_SQL,
+    "kll_quantile_sketch": KLL_QUANTILE_SKETCH_SQL,
 }

@@ -1936,6 +1936,150 @@ def _stream_training_manifest_sql() -> str:
     return _training_manifest_sql()
 
 
+def stream_kll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mergeable quantile sketch AT INGEST — sketches.
+    kll_quantile_sketch's level-subsample maintained over a live
+    document stream: the per-source subsample level L (a deploy-time
+    artifact of the committed corpus, the stream_psi_drift
+    deploy-literal convention) rides in as a static broadcast; each
+    arriving document either survives (h mod 2^L = 0) into a per-
+    (source, value) weighted cell or just ticks its source's row
+    count — two row kinds, ONE streaming aggregation, state bounded by
+    ≈K survivors per source plus |sources| count rows. The drained
+    state runs the identical batch quantile assembly (cumulative
+    sample weight → ⌈q·n⌉ rank cut → max-value fallback; exact branch
+    from the corpus for the audit columns), so the streamed release
+    equals the batch sketch row-for-row and shares its oracle
+    verbatim. The nested-sample property (level L+1 ⊆ level L) is what
+    makes this THE 100 TB shape: shards sketched at different corpus
+    epochs merge by re-filter + union, never by resampling."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.functions.hashing import md5_hash60
+    from capstone_etl_spark.operators.sketches import KLL_QS, _kll_stats
+    from capstone_etl_spark.session import cached
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_kll_")
+    try:
+        docs = load_table(spark, sf_dir, "documents")
+        h = md5_hash60(F.concat(F.lit("kll:"), F.col("doc_id").cast("string")))
+        vals_b = docs.select("source", F.col("n_chars").alias("v"), h.alias("h"))
+        stats = cached(_kll_stats(vals_b))
+
+        staging = f"{work}/staging"
+        docs.repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        svals = stream.select("source", F.col("n_chars").alias("v"), h.alias("h"))
+        surv = (
+            svals.join(stats, "source")
+            .filter(F.col("h") % F.col("w") == 0)
+            .select(F.lit("s").alias("kind"), "source", "v")
+        )
+        ticks = svals.select(
+            F.lit("n").alias("kind"), "source", F.lit(None).cast("long").alias("v")
+        )
+        agg = (
+            surv.unionByName(ticks)
+            .groupBy("kind", "source", "v")
+            .agg(F.count("*").alias("c"))
+        )
+        got = cached(run_to_memory(agg, f"{work}/checkpoint", output_mode="complete"))
+
+        # batch assembly over the drained state (the n ticks reproduce
+        # the batch per-source counts, so L/w/r recompute identically)
+        samp = got.filter(F.col("kind") == "s").select("source", "v", "c")
+        wv = Window.partitionBy("source").orderBy("v").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        samp_cum = samp.join(F.broadcast(stats), "source").select(
+            "source", "v", (F.sum(F.col("c")).over(wv) * F.col("w")).alias("cumw")
+        )
+        szs = samp.groupBy("source").agg(
+            F.sum("c").cast("long").alias("sample_size"), F.max("v").alias("vmax")
+        )
+        # qcfg and samp_cum both descend from the drained sink — truncate
+        # one side's lineage so the join carries no conflicting
+        # references (the sink-self-join lesson, checkpoint_truncate)
+        from capstone_etl_spark.session import checkpoint_truncate
+
+        qcfg = checkpoint_truncate(
+            got.filter(F.col("kind") == "n")
+            .groupBy("source")
+            .agg(F.sum("c").cast("long").alias("n"))
+            .join(F.broadcast(stats.select("source", "L")), "source")
+            .select(
+                F.col("source").alias("qsrc"), "n", "L",
+                F.explode(F.array(*[F.lit(q) for q in KLL_QS])).alias("q"),
+            )
+            .select(
+                "qsrc", "n", "L", "q",
+                F.ceil(F.col("q") * F.col("n").cast("double")).cast("long").alias("r"),
+            )
+        )
+        est = (
+            qcfg.join(
+                samp_cum,
+                (F.col("qsrc") == F.col("source")) & (F.col("cumw") >= F.col("r")),
+                "left",
+            )
+            .groupBy(F.col("qsrc").alias("source"), "q", "n", "L", "r")
+            .agg(F.min("v").alias("est_v"))
+        )
+        wvx = Window.partitionBy("source").orderBy("v").rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        val_cum = (
+            vals_b.groupBy("source", "v")
+            .agg(F.count("*").alias("cnt"))
+            .select("source", "v", F.sum("cnt").over(wvx).alias("cum"))
+        )
+        exact = (
+            qcfg.select("qsrc", "q", "r")
+            .join(
+                val_cum,
+                (F.col("qsrc") == F.col("source")) & (F.col("cum") >= F.col("r")),
+            )
+            .groupBy(F.col("qsrc").alias("source"), "q")
+            .agg(F.min("v").cast("double").alias("exact_quantile"))
+        )
+        return (
+            est.join(szs, "source")
+            .join(exact, ["source", "q"])
+            .select(
+                "source",
+                "q",
+                F.col("n").cast("long").alias("n"),
+                F.col("L").cast("long").alias("level"),
+                "sample_size",
+                F.col("r").alias("target_rank"),
+                F.coalesce(F.col("est_v"), F.col("vmax")).cast("double").alias("est_quantile"),
+                "exact_quantile",
+                F.round(
+                    F.abs(
+                        F.coalesce(F.col("est_v"), F.col("vmax")).cast("double")
+                        - F.col("exact_quantile")
+                    ),
+                    6,
+                ).alias("abs_error"),
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stream_kll_sketch_sql() -> str:
+    from capstone_etl_spark.operators.sketches import KLL_QUANTILE_SKETCH_SQL
+
+    return KLL_QUANTILE_SKETCH_SQL
+
+
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
     "stream_sliding_windows": stream_sliding_windows,
@@ -1969,6 +2113,7 @@ QUERIES = {
     "stream_cuped": stream_cuped,
     "stream_pareto_frontier": stream_pareto_frontier,
     "stream_training_manifest": stream_training_manifest,
+    "stream_kll_sketch": stream_kll_sketch,
 }
 
 ORACLE_SQL = {
@@ -2028,4 +2173,8 @@ ORACLE_SQL = {
     # the identical verdict assembly, so the streamed manifest equals
     # the batch one row-for-row
     "stream_training_manifest": _stream_training_manifest_sql(),
+    # the batch sketch SQL verbatim: the deploy-time level literals are
+    # the batch expressions, survivor cells merge by addition, and the
+    # drained assembly is the batch tail
+    "stream_kll_sketch": _stream_kll_sketch_sql(),
 }

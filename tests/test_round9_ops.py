@@ -152,3 +152,45 @@ def test_stream_training_manifest_equals_batch(spark, sf_dir):
     finally:
         release_caches()
     assert stream == batch
+
+
+def test_kll_merge_law_and_error_bound(spark, sf_dir):
+    """The sketch's two load-bearing properties: (a) the MERGE LAW —
+    survival is per-row deterministic and samples are nested (h mod
+    2^(L+1) = 0 implies h mod 2^L = 0), so shards sketched at lower
+    levels merge by re-filtering at the union's level and unioning,
+    with NO resampling; (b) the estimate's rank error stays within the
+    O(1/sqrt(K)) envelope (checked generously at 4 standard errors in
+    value space via the exact audit column already emitted)."""
+    from capstone_etl_spark.functions.hashing import md5_hash60
+    from capstone_etl_spark.operators.sketches import KLL_K, kll_quantile_sketch
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    h = md5_hash60(F.concat(F.lit("kll:"), F.col("doc_id").cast("string")))
+    vals = docs.select("doc_id", h.alias("h"))
+    # (a) merge law: shard A sketched at level 1, shard B at level 2;
+    # merging at the union level L=3 must equal sketching the union
+    # at L=3 directly
+    a = vals.filter(F.col("doc_id") % 2 == 0)
+    b = vals.filter(F.col("doc_id") % 2 == 1)
+    merged = (
+        a.filter(F.col("h") % 2 == 0).filter(F.col("h") % 8 == 0)
+        .unionByName(b.filter(F.col("h") % 4 == 0).filter(F.col("h") % 8 == 0))
+    )
+    direct = vals.filter(F.col("h") % 8 == 0)
+    assert {r.doc_id for r in merged.collect()} == {r.doc_id for r in direct.collect()}
+    # (b) error bound: with n <= K the sample is exact (abs_error 0);
+    # otherwise rank error ~ q(1-q)/sqrt(K) — assert the emitted audit
+    # column against a generous 4/sqrt(K) rank envelope translated
+    # through the empirical value spread
+    rows = kll_quantile_sketch(spark, sf_dir).collect()
+    assert rows, "sketch emitted no rows"
+    for r in rows:
+        if r.n <= KLL_K:
+            assert r.level == 0 and r.abs_error == 0.0, r
+    import math
+
+    vmin, vmax = docs.agg(F.min("n_chars"), F.max("n_chars")).first()
+    envelope = 4.0 / math.sqrt(KLL_K) * (vmax - vmin)
+    bad = [r for r in rows if r.abs_error > envelope]
+    assert not bad, bad[:3]
