@@ -1758,7 +1758,14 @@ def stream_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench doc CAN be the keep-one, taking its cluster with it) →
     contamination anti-join → per-(split, shard) rollup. State is
     bounded by df-capped candidate pairs + cross-cut overlap pairs +
-    one row per admitted doc."""
+    one row per admitted doc.
+
+    Cost shape: the self-contained query form rebuilds the static
+    shingle indexes from the corpus (~40% of its bench time — the same
+    documented trade as dedup_clusters_incremental's self-contained
+    rebuild); the production deployment reads them as published
+    artifacts and pays only the streaming legs + the drained
+    assembly."""
     import shutil
     import tempfile
 
@@ -1876,7 +1883,14 @@ def stream_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("kind", "a", "b", "split")
             .agg(F.count("*").alias("cnt"), F.sum("v1").alias("s1"), F.sum("v2").alias("s2"))
         )
-        got = cached(run_to_memory(agg, f"{work}/checkpoint", output_mode="complete"))
+        # corpus-scale shingle joins run per trigger here — throughput
+        # work, not bounded-state overhead — so keep the session's full
+        # shuffle parallelism (state_partitions=None)
+        got = cached(
+            run_to_memory(
+                agg, f"{work}/checkpoint", output_mode="complete", state_partitions=None
+            )
+        )
 
         # batch verdict assembly over the drained state table
         sa = kept_sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))

@@ -27,7 +27,7 @@ def run_to_memory(
     name: str | None = None,
     timeout_sec: int = 300,
     once: bool = False,
-    state_partitions: int | None = STATE_PARTITIONS,
+    state_partitions: int | None | str = "default",
 ) -> DataFrame:
     """Start sdf → memory sink, await termination, return the sink
     table. output_mode: 'complete' for aggregations, 'append' for
@@ -57,6 +57,8 @@ def run_to_memory(
         .option("checkpointLocation", checkpoint_dir)
     )
     writer = writer.trigger(once=True) if once else writer.trigger(availableNow=True)
+    if state_partitions == "default":
+        state_partitions = STATE_PARTITIONS
     prev_parts = spark.conf.get("spark.sql.shuffle.partitions")
     if state_partitions:
         spark.conf.set("spark.sql.shuffle.partitions", str(state_partitions))
