@@ -27,7 +27,6 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # The driver's correctness harness samples the FIRST ~50 registered
-# The driver's correctness harness samples the FIRST ~50 registered
 # queries in registry order. Lifetime driver attestation after r8:
 # 290/299 — exactly the 9 round-8 session-5 additions have never had a
 # driver CORRECTNESS row (VERDICT r8, item 2). Round-9 order: those 9
@@ -59,6 +58,7 @@ _PRIORITY = [
     "stream_training_manifest",
     "kll_quantile_sketch",
     "stream_kll_sketch",
+    "hivf_cell_medoids",
     # Block 3: family canaries — every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span). The
     # Block-1 members cover streaming (5 head entries), events

@@ -139,6 +139,9 @@ HEADLINE = [
     # benched beside the flat-assignment family (ann_ivf_pq_topk,
     # ivf_cell_medoids) so the crossover is tracked per round.
     "ann_hivf_topk",
+    # r9: the medoid release with BOTH measured N^1.5 terms paid down
+    # (two-level assignment + sampled-candidate medoid, O(N*M) pairwise)
+    "hivf_cell_medoids",
     # r9: the rank-adaptive mergeable quantile sketch (level-subsample,
     # ~K survivors per source) + its ingest twin, and the flagship
     # admission chain composed as one streaming query.

@@ -823,6 +823,57 @@ def hier_branches(emb_q: DataFrame) -> DataFrame:
     )
 
 
+def _hier_cand_seed(emb_q: DataFrame) -> DataFrame:
+    """(vec_id, vq, cell, d2) — each vector's exact integer distances
+    to the second-level seeds of its BRANCH_PROBES routed branches
+    only: the shared core of the two-level quantizer. Routing is
+    in-row against a collected branch array (1-row broadcast, zero
+    shuffle); the seed join is a broadcast equi-join on branch —
+    O(N·N^(1/4)) dot products total vs the flat quantizer's O(N·√N),
+    the measured flat-IVF frontier's assignment term paid down
+    (SCALE.md)."""
+    seeds = quantizer_seeds(emb_q)
+    branches = hier_branches(emb_q)
+    barr = branches.agg(F.collect_list(F.struct("branch", "bq")).alias("bs"))
+
+    def route_arr(vec_col: str) -> F.Column:
+        return F.array_sort(
+            F.transform(
+                "bs",
+                lambda b: F.struct(
+                    _d2_fold(vec_col, b["bq"]).alias("bd2"),
+                    b["branch"].alias("branch"),
+                ),
+            )
+        )
+
+    seeds_b = (
+        seeds.join(F.broadcast(barr), F.lit(True))
+        .select("cell", "sq", F.element_at(route_arr("sq"), 1)["branch"].alias("branch"))
+    )
+    routed = (
+        emb_q.join(F.broadcast(barr), F.lit(True))
+        .select("vec_id", "vq", F.slice(route_arr("vq"), 1, BRANCH_PROBES).alias("route"))
+        .select("vec_id", "vq", F.explode("route").alias("r"))
+        .select("vec_id", "vq", F.col("r.branch").alias("branch"))
+    )
+    return routed.join(F.broadcast(seeds_b), "branch").select(
+        "vec_id", "vq", "cell", _d2_fold("vq", F.col("sq")).alias("d2")
+    )
+
+
+def hier_assign(emb_q: DataFrame) -> DataFrame:
+    """(vec_id, vq, cell) — the two-level quantizer assignment (argmin
+    over the routed candidate seeds), shared by ann_hivf_topk and
+    hivf_cell_medoids."""
+    return (
+        _hier_cand_seed(emb_q)
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell", "vq")).alias("m"))
+        .select("vec_id", F.col("m.vq").alias("vq"), F.col("m.cell").alias("cell"))
+    )
+
+
 def _hivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The hierarchical-IVF candidate pipeline (quantize → seed →
     branch → route → assign → probe → exact-cosine score) up to the
@@ -845,40 +896,7 @@ def _hivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     emb_q = emb.select("vec_id", quantize_fp().alias("vq"))
     seeds = quantizer_seeds(emb_q)
-    branches = hier_branches(emb_q)
-    # one collected branch array (≈N^(1/4)·DIM longs) broadcast to every
-    # row: routing = an in-row sort of BRANCH-many integer distances —
-    # no explode, no shuffle, no per-vector window
-    barr = branches.agg(F.collect_list(F.struct("branch", "bq")).alias("bs"))
-
-    def route_arr(vec_col: str) -> F.Column:
-        return F.array_sort(
-            F.transform(
-                "bs",
-                lambda b: F.struct(
-                    _d2_fold(vec_col, b["bq"]).alias("bd2"),
-                    b["branch"].alias("branch"),
-                ),
-            )
-        )
-
-    # level-2 seeds labeled with their own nearest branch (argmin in-row)
-    seeds_b = (
-        seeds.join(F.broadcast(barr), F.lit(True))
-        .select("cell", "sq", F.element_at(route_arr("sq"), 1)["branch"].alias("branch"))
-    )
-    # vectors route to their BRANCH_PROBES nearest branches
-    routed = (
-        emb_q.join(F.broadcast(barr), F.lit(True))
-        .select("vec_id", "vq", F.slice(route_arr("vq"), 1, BRANCH_PROBES).alias("route"))
-        .select("vec_id", "vq", F.explode("route").alias("r"))
-        .select("vec_id", "vq", F.col("r.branch").alias("branch"))
-    )
-    # assignment candidates: only the routed branches' seeds (broadcast
-    # equi-join on branch — ≈B·N^(1/4) seeds per vector, not √N)
-    cand_seed = routed.join(F.broadcast(seeds_b), "branch").select(
-        "vec_id", "cell", _d2_fold("vq", F.col("sq")).alias("d2")
-    )
+    cand_seed = _hier_cand_seed(emb_q)
     assign = (
         cand_seed.groupBy("vec_id")
         .agg(F.min(F.struct("d2", "cell")).alias("m"))
@@ -936,7 +954,9 @@ def ann_hivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-ANN_HIVF_TOPK_SQL = f"""
+# WITH-chain through the two-level assignment — shared by the
+# ann_hivf_topk and hivf_cell_medoids oracles.
+_HIER_ASSIGN_SQL = f"""
 WITH by_dim AS (
   SELECT vec_id, d,
          CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
@@ -985,7 +1005,13 @@ WITH by_dim AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS arnk
     FROM cand_seed
   ) t WHERE arnk = 1
-), probes AS (
+)"""
+
+
+ANN_HIVF_TOPK_SQL = (
+    _HIER_ASSIGN_SQL
+    + f"""
+, probes AS (
   SELECT vec_id AS query_id, cell FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS prnk
     FROM cand_seed WHERE vec_id < {N_QUERIES}
@@ -1007,6 +1033,110 @@ SELECT query_id, neighbor_id, sim, rnk FROM (
   FROM scored
 ) t WHERE rnk <= {TOP_K}
 """
+)
+
+
+# Candidate medoids sampled per cell; each candidate's distance total
+# runs against ALL members, so the per-cell cost is pop·M — linear in
+# pop — instead of the exact medoid's pop².
+MEDOID_CANDIDATES = 8
+
+
+def hivf_cell_medoids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, medoid, pop, n_cand, mean_d2) — ivf_cell_medoids' release
+    with BOTH of the measured N^1.5 terms paid down (SCALE.md): the
+    two-level quantizer assignment (hier_assign — O(N·N^(1/4)) dot
+    products, not O(N·√N)) and a SAMPLED medoid (per cell, the
+    M = MEDOID_CANDIDATES hash-least members stand as candidates; each
+    candidate's exact distance total runs against all members, so the
+    pairwise stage is Σ pop·M = O(N·M), not Σ pop² = O(N^1.5)). The
+    released medoid is the exact argmin over the candidate set — the
+    standard big-data medoid estimator (sampled candidates, exact
+    totals), with n_cand as the audit column.
+
+    Exactness: candidate selection (hash-least per cell with vec_id
+    tiebreak), distance totals (int64 fixed-point sums) and the
+    (tot_d2, vec_id) argmin are identical algebra in both engines."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_q = emb.select("vec_id", quantize_fp().alias("vq"))
+    assign = cached(hier_assign(emb_q))
+    ch = md5_hash60(F.concat(F.lit("med:"), F.col("vec_id").cast("string")))
+    cw = Window.partitionBy("cell").orderBy("ch", "vec_id")
+    cands = (
+        assign.select("cell", "vec_id", "vq", ch.alias("ch"))
+        .withColumn("crnk", F.row_number().over(cw))
+        .filter(F.col("crnk") <= MEDOID_CANDIDATES)
+        .select(
+            F.col("cell").alias("cellc"),
+            F.col("vec_id").alias("vb"),
+            F.col("vq").alias("vqb"),
+        )
+    )
+    d2_pair = F.aggregate(
+        F.zip_with("vq", "vqb", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    tot = (
+        assign.join(cands, F.col("cell") == F.col("cellc"))
+        .select("cell", "vb", d2_pair.alias("d2"))
+        .groupBy("cell", "vb")
+        .agg(F.sum("d2").alias("tot_d2"), F.count("*").alias("pop"))
+    )
+    return (
+        tot.groupBy("cell")
+        .agg(
+            F.min(F.struct("tot_d2", "vb")).alias("m"),
+            F.max("pop").cast("long").alias("pop"),
+            F.count("*").cast("long").alias("n_cand"),
+        )
+        .select(
+            "cell",
+            F.col("m.vb").alias("medoid"),
+            "pop",
+            "n_cand",
+            F.round(F.col("m.tot_d2").cast("double") / F.col("pop"), 6).alias("mean_d2"),
+        )
+    )
+
+
+HIVF_CELL_MEDOIDS_SQL = (
+    _HIER_ASSIGN_SQL
+    + f"""
+, cands AS (
+  SELECT cell, vec_id AS vb FROM (
+    SELECT a.cell, a.vec_id,
+           ROW_NUMBER() OVER (
+             PARTITION BY a.cell
+             ORDER BY {md5_hash60_sql("'med:' || CAST(a.vec_id AS VARCHAR)")}, a.vec_id
+           ) AS crnk
+    FROM assign a
+  ) t WHERE crnk <= {MEDOID_CANDIDATES}
+), pd AS (
+  SELECT a.cell, c.vb, a.vec_id AS va,
+         CAST(SUM((x.vs - y.vs) * (x.vs - y.vs)) AS BIGINT) AS d2
+  FROM assign a
+  JOIN cands c ON c.cell = a.cell
+  JOIN by_dim x ON x.vec_id = a.vec_id
+  JOIN by_dim y ON y.vec_id = c.vb AND y.d = x.d
+  GROUP BY 1, 2, 3
+), tot AS (
+  SELECT cell, vb, CAST(SUM(d2) AS BIGINT) AS tot_d2, COUNT(*) AS pop
+  FROM pd GROUP BY 1, 2
+)
+SELECT cell, vb AS medoid, CAST(pop AS BIGINT) AS pop,
+       CAST(n_cand AS BIGINT) AS n_cand,
+       ROUND(CAST(tot_d2 AS DOUBLE) / pop, 6) AS mean_d2
+FROM (
+  SELECT cell, vb, tot_d2, pop,
+         COUNT(*) OVER (PARTITION BY cell) AS n_cand,
+         ROW_NUMBER() OVER (PARTITION BY cell ORDER BY tot_d2, vb) AS rnk
+  FROM tot
+) t WHERE rnk = 1
+"""
+)
 
 
 # -------------------------------------------- IVF probe-count sweep
@@ -2945,6 +3075,7 @@ QUERIES = {
     "ivf_cell_medoids": ivf_cell_medoids,
     "hubness_audit": hubness_audit,
     "ann_hivf_topk": ann_hivf_topk,
+    "hivf_cell_medoids": hivf_cell_medoids,
 }
 
 ORACLE_SQL = {
@@ -2977,4 +3108,5 @@ ORACLE_SQL = {
     "ivf_cell_medoids": IVF_CELL_MEDOIDS_SQL,
     "hubness_audit": HUBNESS_AUDIT_SQL,
     "ann_hivf_topk": ANN_HIVF_TOPK_SQL,
+    "hivf_cell_medoids": HIVF_CELL_MEDOIDS_SQL,
 }

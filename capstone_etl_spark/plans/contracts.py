@@ -342,6 +342,12 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "every vector in-row (similarity._hivf_scored); the only "
         "Generate is the bounded BRANCH_PROBES=2 route explode"
     ),
+    "hivf_cell_medoids": (
+        "inherits hier_assign's 1-row stats / min-hash / branch-array "
+        "broadcasts (similarity._hier_cand_seed); candidate selection "
+        "is a cell-cap-bounded window, the pairwise stage is pop*M per "
+        "cell"
+    ),
     "kll_quantile_sketch": (
         "1-row-per-source stats broadcast into the survivor filter, "
         "plus rank-range probes of the <=K-row-per-source sample and "
@@ -512,6 +518,7 @@ HEADLINE: list[str] = [
     "histogram_quantiles",
     # round-9 additions
     "kll_quantile_sketch",
+    "hivf_cell_medoids",
     "k_anonymity_audit",
     "kmeans_silhouette",
     "event_changelog_apply",

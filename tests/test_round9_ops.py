@@ -194,3 +194,46 @@ def test_kll_merge_law_and_error_bound(spark, sf_dir):
     envelope = 4.0 / math.sqrt(KLL_K) * (vmax - vmin)
     bad = [r for r in rows if r.abs_error > envelope]
     assert not bad, bad[:3]
+
+
+def test_hivf_medoids_partition_and_quality(spark, tmp_path):
+    """The sampled medoid is a real partition release: every vector is
+    assigned exactly once (sum of pops = N), candidate counts respect
+    min(pop, M), and on clustered data the sampled medoid's tightness
+    matches the exact medoid's (the hash-least candidates of a tight
+    cluster are all near-equivalent centers)."""
+    from capstone_etl_spark.operators.similarity import (
+        MEDOID_CANDIDATES,
+        hivf_cell_medoids,
+    )
+
+    sf = _clustered_corpus(spark, tmp_path)
+    rows = hivf_cell_medoids(spark, sf).collect()
+    n = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    assert sum(r.pop for r in rows) == n
+    for r in rows:
+        assert 1 <= r.n_cand <= min(r.pop, MEDOID_CANDIDATES), r
+        assert r.mean_d2 >= 0.0
+    # estimator quality: per cell, the sampled medoid's exact total
+    # distance is within a small factor of the TRUE medoid's (computed
+    # brute-force here — deterministic fixture, stable factor). Cells
+    # can legitimately be diffuse (a cluster whose hash draw yielded no
+    # seed lands in a neighbor's cell), so the bound is relative, not
+    # absolute.
+    import numpy as np
+
+    from capstone_etl_spark.operators.similarity import hier_assign, quantize_fp
+
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet")
+    assign = hier_assign(emb.select("vec_id", quantize_fp().alias("vq"))).collect()
+    by_cell: dict[int, list] = {}
+    for a in assign:
+        by_cell.setdefault(a.cell, []).append((a.vec_id, np.array(a.vq, dtype=np.float64)))
+    got = {r.cell: r for r in rows}
+    for cell, members in by_cell.items():
+        mat = np.stack([v for _, v in members])
+        totals = ((mat[:, None, :] - mat[None, :, :]) ** 2).sum(axis=2).sum(axis=1)
+        exact_best = totals.min()
+        sampled = got[cell]
+        sampled_tot = sampled.mean_d2 * sampled.pop
+        assert sampled_tot <= 2.0 * exact_best + 1e-6, (cell, sampled_tot, exact_best)
