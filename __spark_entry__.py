@@ -59,6 +59,7 @@ _PRIORITY = [
     "kll_quantile_sketch",
     "stream_kll_sketch",
     "hivf_cell_medoids",
+    "semantic_dedup_hier",
     # Block 3: family canaries — every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span). The
     # Block-1 members cover streaming (5 head entries), events

@@ -2080,6 +2080,65 @@ FROM assign s LEFT JOIN dup ON dup.vec_b = s.vec_id
 """
 
 
+def semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """semantic_dedup with the two-level quantizer (hier_assign): the
+    SemDeDup blocking/verify/keep-one semantics are unchanged — only
+    the cell-assignment stage swaps from the flat O(N·√N) pass to the
+    hierarchical O(N·N^(1/4)) one, which is the family's measured
+    N^1.5 frontier paid down (SCALE.md). Cells, within-cell candidate
+    pairs and the exact-cosine threshold verify keep the flat
+    operator's bounded shapes; blocking is approximate either way
+    (SemDeDup's own design), so the hierarchical router's boundary
+    differences change WHICH near-identical pairs share a block, not
+    the operator's contract."""
+    from capstone_etl_spark.functions.vectors import dot, norm2
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_q = emb.select("vec_id", quantize_fp().alias("vq"))
+    assign = cached(hier_assign(emb_q).select("vec_id", "cell"))
+    withv = assign.join(emb.select("vec_id", "embedding"), "vec_id").withColumn(
+        "nrm", norm2("embedding")
+    )
+    a = withv.select(
+        F.col("vec_id").alias("vec_a"), "cell",
+        F.col("embedding").alias("qe"), F.col("nrm").alias("na"),
+    )
+    b = withv.select(
+        F.col("vec_id").alias("vec_b"), "cell",
+        F.col("embedding").alias("ne"), F.col("nrm").alias("nb"),
+    )
+    pair_cos = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        dot("qe", "ne") / (F.col("na") * F.col("nb")),
+    ).otherwise(F.lit(None))
+    dup = (
+        a.join(b, (a.cell == b.cell) & (F.col("vec_a") < F.col("vec_b")))
+        .filter(pair_cos >= SEMDEDUP_THRESHOLD)
+        .groupBy("vec_b")
+        .agg(F.min("vec_a").alias("dup_of"))
+    )
+    return assign.join(dup, assign.vec_id == dup.vec_b, "left").select(
+        "vec_id", "cell", F.col("dup_of").isNull().alias("keep"), "dup_of"
+    )
+
+
+SEMANTIC_DEDUP_HIER_SQL = (
+    _HIER_ASSIGN_SQL
+    + f"""
+, dup AS (
+  SELECT b.vec_id AS vec_b, MIN(a.vec_id) AS dup_of
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE {_COSINE_SQL.replace('qe', 'ea.embedding').replace('ne', 'eb.embedding')} >= {SEMDEDUP_THRESHOLD}
+  GROUP BY b.vec_id
+)
+SELECT s.vec_id, s.cell, dup.dup_of IS NULL AS keep, dup.dup_of
+FROM assign s LEFT JOIN dup ON dup.vec_b = s.vec_id
+"""
+)
+
+
 def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@k of the two approximate ANN methods against the
     brute-force ground truth — the evaluation table an index-tuning
@@ -3076,6 +3135,7 @@ QUERIES = {
     "hubness_audit": hubness_audit,
     "ann_hivf_topk": ann_hivf_topk,
     "hivf_cell_medoids": hivf_cell_medoids,
+    "semantic_dedup_hier": semantic_dedup_hier,
 }
 
 ORACLE_SQL = {
@@ -3109,4 +3169,5 @@ ORACLE_SQL = {
     "hubness_audit": HUBNESS_AUDIT_SQL,
     "ann_hivf_topk": ANN_HIVF_TOPK_SQL,
     "hivf_cell_medoids": HIVF_CELL_MEDOIDS_SQL,
+    "semantic_dedup_hier": SEMANTIC_DEDUP_HIER_SQL,
 }

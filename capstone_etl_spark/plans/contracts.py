@@ -348,6 +348,11 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "is a cell-cap-bounded window, the pairwise stage is pop*M per "
         "cell"
     ),
+    "semantic_dedup_hier": (
+        "inherits hier_assign's 1-row stats / min-hash / branch-array "
+        "broadcasts (similarity._hier_cand_seed); the pair stage is the "
+        "flat semantic_dedup's cell-bounded equi-join"
+    ),
     "kll_quantile_sketch": (
         "1-row-per-source stats broadcast into the survivor filter, "
         "plus rank-range probes of the <=K-row-per-source sample and "
