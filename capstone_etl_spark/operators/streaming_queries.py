@@ -1039,6 +1039,175 @@ def _stream_ann_topk_sql() -> str:
     return ANN_IVF_TOPK_SQL
 
 
+def stream_ann_hivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SERVING on the two-level index — stream_ann_topk's shape over
+    the round-9 hierarchical quantizer: the corpus assignment
+    (hier_assign) and a 1-row branch→cells broadcast (each branch
+    carries its second-level seeds as a nested array) are the static
+    published artifacts; each arriving query routes to its
+    BRANCH_PROBES nearest branches, computes distances to ONLY those
+    branches' ≈B·N^(1/4) seeds and slices its probe set — all in-row
+    (array_sort over (d2, id) structs reproduces the batch tiebreaks),
+    zero streaming state. Candidates flow through append-mode
+    stream-static joins; top-k runs on the drained candidate table.
+    The per-query routing work drops from the flat serving twin's ≈√N
+    seed folds to ≈N^(1/4) + B·N^(1/4) — the same asymptotic win the
+    batch index measured (SCALE.md). Oracle: ANN_HIVF_TOPK_SQL
+    verbatim."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.functions.vectors import cosine
+    from capstone_etl_spark.operators.similarity import (
+        BRANCH_PROBES,
+        IVF_PROBES_MIN,
+        N_QUERIES,
+        TOP_K,
+        _d2_fold,
+        hier_assign,
+        hier_branches,
+        quantize_fp,
+        quantizer_seeds,
+    )
+    from capstone_etl_spark.session import cached
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_hivf_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        quant = quantize_fp()
+        emb_q = emb.select("vec_id", quant.alias("vq"))
+        assign = cached(
+            hier_assign(emb_q).select(
+                F.col("vec_id").alias("neighbor_id"), "cell"
+            )
+        )
+        neigh = emb.select(
+            F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
+        )
+        # branch → second-level seed list, one nested 1-row broadcast
+        seeds = quantizer_seeds(emb_q)
+        branches = hier_branches(emb_q)
+        barr = branches.agg(F.collect_list(F.struct("branch", "bq")).alias("bs"))
+        seeds_b = (
+            seeds.join(F.broadcast(barr), F.lit(True))
+            .select(
+                "cell",
+                "sq",
+                F.element_at(
+                    F.array_sort(
+                        F.transform(
+                            "bs",
+                            lambda b: F.struct(
+                                _d2_fold("sq", b["bq"]).alias("bd2"),
+                                b["branch"].alias("branch"),
+                            ),
+                        )
+                    ),
+                    1,
+                )["branch"].alias("branch"),
+            )
+        )
+        bcells = seeds_b.groupBy("branch").agg(
+            F.collect_list(F.struct("cell", "sq")).alias("cells")
+        )
+        brow = cached(
+            branches.join(bcells, "branch", "left")
+            .select(
+                F.struct(
+                    "branch",
+                    "bq",
+                    F.coalesce("cells", F.array()).alias("cells"),
+                ).alias("b")
+            )
+            .agg(
+                F.collect_list("b").alias("bs"),
+                F.sum(F.size(F.col("b.cells"))).cast("long").alias("n_cells"),
+            )
+        )
+
+        staging = f"{work}/staging"
+        emb.repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        arriving = stream.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qe"),
+            quant.alias("vq"),
+        )
+        route = F.slice(
+            F.array_sort(
+                F.transform(
+                    "bs",
+                    lambda b: F.struct(
+                        _d2_fold("vq", b["bq"]).alias("bd2"),
+                        b["branch"].alias("branch"),
+                        b["cells"].alias("cells"),
+                    ),
+                )
+            ),
+            1,
+            BRANCH_PROBES,
+        )
+        cand_cells = F.flatten(F.transform(F.col("route"), lambda r: r["cells"]))
+        ds = F.array_sort(
+            F.transform(
+                "cand",
+                lambda s: F.struct(
+                    _d2_fold("vq", s["sq"]).alias("d2"), s["cell"].alias("cell")
+                ),
+            )
+        )
+        probes = (
+            arriving.join(F.broadcast(brow), F.lit(True))
+            .withColumn(
+                "pk",
+                F.greatest(
+                    F.lit(IVF_PROBES_MIN).cast("long"),
+                    F.ceil(F.sqrt(F.col("n_cells").cast("double"))),
+                ),
+            )
+            .withColumn("route", route)
+            .withColumn("cand", cand_cells)
+            .withColumn("ds", ds)
+            .select(
+                "query_id",
+                "qe",
+                F.explode(F.expr("slice(ds, 1, pk)")).alias("p"),
+            )
+            .select("query_id", "qe", F.col("p.cell").alias("cell"))
+        )
+        scored = (
+            probes.join(assign, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .join(neigh, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(cosine("qe", "ne"), 6).alias("sim"),
+            )
+        )
+        got = run_to_memory(scored, f"{work}/checkpoint", output_mode="append")
+        w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+        return (
+            got.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= TOP_K)
+            .select("query_id", "neighbor_id", "sim", "rnk")
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stream_ann_hivf_topk_sql() -> str:
+    from capstone_etl_spark.operators.similarity import ANN_HIVF_TOPK_SQL
+
+    return ANN_HIVF_TOPK_SQL
+
+
 def stream_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC apply AT INGEST — the streaming form of
     events.changelog_apply, built from the SAME changelog_state /
@@ -2128,6 +2297,7 @@ QUERIES = {
     "stream_pareto_frontier": stream_pareto_frontier,
     "stream_training_manifest": stream_training_manifest,
     "stream_kll_sketch": stream_kll_sketch,
+    "stream_ann_hivf_topk": stream_ann_hivf_topk,
 }
 
 ORACLE_SQL = {
@@ -2191,4 +2361,8 @@ ORACLE_SQL = {
     # the batch expressions, survivor cells merge by addition, and the
     # drained assembly is the batch tail
     "stream_kll_sketch": _stream_kll_sketch_sql(),
+    # the batch two-level-index SQL verbatim: the in-row route/probe
+    # reproduces the batch tiebreaks exactly, so the drained serving
+    # results equal the batch index lookups
+    "stream_ann_hivf_topk": _stream_ann_hivf_topk_sql(),
 }
