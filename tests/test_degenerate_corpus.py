@@ -51,6 +51,9 @@ NAMES = [
     "dedup_exact",
     "sequence_packing",
     "reservoir_sample",
+    # round 9: tiny per-source counts → level 0, the sample IS the
+    # corpus, est must equal exact with abs_error 0 in both engines
+    "kll_quantile_sketch",
     # round-5 training-pipeline ops (document-shaped)
     "skipgram_pairs",
     "mad_outliers",
@@ -306,6 +309,18 @@ EMB_NAMES = [
     # shared rnk tiebreak must give both engines the identical degree
     # histogram
     "hubness_audit",
+    # round 9: identical vectors → every branch at distance 0 from
+    # every seed and vector; the two-level router's (bd2, branch) and
+    # (d2, cell) tiebreaks must agree engine-for-engine through BOTH
+    # levels
+    "ann_hivf_topk",
+    # round 9: one cell, every candidate at total distance 0 — the
+    # sampled-medoid (tot_d2, vec_id) argmin and the hash-least
+    # candidate selection must tiebreak identically
+    "hivf_cell_medoids",
+    # round 9: every pair at cosine exactly 1 through the hierarchical
+    # blocking — keep-one must pick the same minima in both engines
+    "semantic_dedup_hier",
 ]
 
 
