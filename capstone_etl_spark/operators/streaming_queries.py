@@ -1917,9 +1917,11 @@ def stream_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         unordered pair counts exactly once; count = batch n_inter
         (raw∩capped = capped∩capped — a shingle the cap removed is in
         neither side of the join);
-      ("dc", train, bench, 1, pos=1?) — decontamination overlaps vs
-        the static bench postings; Σ(pos=1) recovers the train doc's
-        post-cap shingle count sz_c without a second pass.
+      ("dc", train, bench, 1, 0) — decontamination overlaps vs the
+        static BENCH postings only (1/BENCH_MOD of the index crosses
+        the stream join); both pair sizes (sz_c, sz_b) come from the
+        static full-corpus capped sizes at verdict time, exactly as
+        the batch operator reads them.
 
     The drained table then runs the IDENTICAL batch verdict assembly:
     Jaccard-threshold pairs → connected components (bounded by the
@@ -1977,15 +1979,8 @@ def stream_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         bench = full_sh.filter(F.col("doc_id") % BENCH_MOD == 0).select(
             "sh", F.col("doc_id").alias("bench_doc")
         )
+        full_sizes = full_sh.groupBy("doc_id").agg(F.count("*").alias("szf"))
         sz_b = bench.groupBy("bench_doc").agg(F.count("*").alias("sz_b"))
-        pw = Window.partitionBy("sh").orderBy("bench_doc")
-        posts = bench.withColumn("pos", F.row_number().over(pw))
-        dc_index = cached(
-            full_sh.select("sh")
-            .distinct()
-            .join(posts, "sh", "left")
-            .select("sh", "bench_doc", F.coalesce("pos", F.lit(1)).alias("pos"))
-        )
 
         staging = f"{work}/staging"
         docs.repartition(4).write.parquet(staging)
@@ -2021,36 +2016,72 @@ def stream_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 split_column(F.col("doc_id")).alias("split"),
             )
         )
+        # pair sizes ride in BEFORE the aggregation (stream-static joins
+        # are legal pre-agg; joins are NOT legal post-agg), functional
+        # on the pair key so the state grain is unchanged — which lets
+        # the Jaccard/containment verdicts run IN-STREAM after the
+        # aggregation (filter post-agg is legal in complete mode), so
+        # the memory sink receives only verdict-relevant rows instead
+        # of re-emitting the full ~|candidate-pair| state every trigger
+        # (measured >1M rows/trigger at sf0.1 before this).
+        sz_a_s = kept_sizes.select(F.col("doc_id").alias("a2"), F.col("sz").alias("za"))
+        sz_b_s = kept_sizes.select(F.col("doc_id").alias("b2"), F.col("sz").alias("zb"))
         dd_rows = (
             raw_sh.filter("kept")
             .join(dd_index, "sh")
             .filter(F.col("partner") > F.col("doc_id"))
+            .join(F.broadcast(sz_a_s), F.col("doc_id") == F.col("a2"))
+            .join(F.broadcast(sz_b_s), F.col("partner") == F.col("b2"))
             .select(
                 F.lit("dd").alias("kind"),
                 F.col("doc_id").alias("a"),
                 F.col("partner").alias("b"),
-                F.lit(1).cast("long").alias("v1"),
-                F.lit(0).cast("long").alias("v2"),
+                "za",
+                "zb",
                 F.lit(None).cast("string").alias("split"),
+                F.lit(0).cast("long").alias("v1"),
+                F.lit(0).cast("long").alias("v2"),
             )
         )
+        szc_s = full_sizes.select(F.col("doc_id").alias("a2"), F.col("szf").alias("za"))
+        szb2_s = sz_b.select(F.col("bench_doc").alias("b2"), F.col("sz_b").alias("zb"))
         dc_rows = (
             raw_sh.filter(F.col("doc_id") % BENCH_MOD != 0)
-            .join(dc_index, "sh")
+            .join(F.broadcast(bench), "sh")
+            .join(F.broadcast(szc_s), F.col("doc_id") == F.col("a2"))
+            .join(F.broadcast(szb2_s), F.col("bench_doc") == F.col("b2"))
             .select(
                 F.lit("dc").alias("kind"),
                 F.col("doc_id").alias("a"),
                 F.col("bench_doc").alias("b"),
-                F.lit(1).cast("long").alias("v1"),
-                (F.col("pos") == 1).cast("long").alias("v2"),
+                "za",
+                "zb",
                 F.lit(None).cast("string").alias("split"),
+                F.lit(0).cast("long").alias("v1"),
+                F.lit(0).cast("long").alias("v2"),
             )
         )
+        doc_rows2 = doc_rows.select(
+            "kind", "a", "b",
+            F.lit(0).cast("long").alias("za"),
+            F.lit(0).cast("long").alias("zb"),
+            "split", "v1", "v2",
+        )
+        jac_s = F.col("cnt") / (F.col("za") + F.col("zb") - F.col("cnt"))
+        cont_s = F.col("cnt") / F.col("zb")
         agg = (
-            doc_rows.unionByName(dd_rows)
+            doc_rows2.unionByName(dd_rows)
             .unionByName(dc_rows)
-            .groupBy("kind", "a", "b", "split")
+            .groupBy("kind", "a", "b", "za", "zb", "split")
             .agg(F.count("*").alias("cnt"), F.sum("v1").alias("s1"), F.sum("v2").alias("s2"))
+            .filter(
+                (F.col("kind") == "doc")
+                | ((F.col("kind") == "dd") & (jac_s >= JACCARD_THRESHOLD))
+                | (
+                    (F.col("kind") == "dc")
+                    & ((jac_s >= JACCARD_THRESHOLD) | (cont_s >= CONTAINMENT_THRESHOLD))
+                )
+            )
         )
         # corpus-scale shingle joins run per trigger here — throughput
         # work, not bounded-state overhead — so keep the session's full
@@ -2061,33 +2092,15 @@ def stream_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-        # batch verdict assembly over the drained state table
-        sa = kept_sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a"))
-        sb = kept_sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b2"))
-        jac_dd = F.col("cnt") / (F.col("sz_a") + F.col("sz_b2") - F.col("cnt"))
-        pairs = (
-            got.filter(F.col("kind") == "dd")
-            .join(sa, "a")
-            .join(sb, "b")
-            .filter(jac_dd >= JACCARD_THRESHOLD)
-            .select("a", "b")
-        )
+        # batch verdict assembly over the drained (already-thresholded)
+        # state table
+        pairs = got.filter(F.col("kind") == "dd").select("a", "b")
         edges = pairs.select(F.col("a").alias("src"), F.col("b").alias("dst")).union(
             pairs.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
         labels = connected_components(edges)
-        # sz_c via a per-train window over the drained table (a sink
-        # self-join carries conflicting references — the
-        # stream_decontamination lesson)
-        dc = got.filter(F.col("kind") == "dc").withColumn(
-            "sz_c", F.sum("s2").over(Window.partitionBy("a"))
-        )
-        jac_dc = F.col("cnt") / (F.col("sz_c") + F.col("sz_b") - F.col("cnt"))
-        cont = F.col("cnt") / F.col("sz_b")
         contaminated = (
-            dc.filter(F.col("b").isNotNull())
-            .join(sz_b.withColumnRenamed("bench_doc", "b"), "b")
-            .filter((jac_dc >= JACCARD_THRESHOLD) | (cont >= CONTAINMENT_THRESHOLD))
+            got.filter(F.col("kind") == "dc")
             .select(F.col("a").alias("doc_id"))
             .distinct()
         )
