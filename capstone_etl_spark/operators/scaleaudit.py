@@ -261,6 +261,43 @@ FROM pops CROSS JOIN total t
 """
 
 
+def hivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(cell, pop, share, over_cap) — ivf_cell_balance over the round-9
+    TWO-LEVEL quantizer assignment (similarity.hier_assign): the
+    operational health check for the hierarchical index. The multi-
+    branch router can only move boundary vectors between cells, so the
+    same √N-scaled cap applies; a cell going over_cap here says the
+    branch routing (not the hash sampling) concentrated population —
+    the signal to raise BRANCH_PROBES or rebalance seeds."""
+    from capstone_etl_spark.operators.similarity import hier_assign, quantize_fp
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_q = emb.select("vec_id", quantize_fp().alias("vq"))
+    pops = (
+        hier_assign(emb_q)
+        .groupBy("cell")
+        .agg(F.count("*").cast("long").alias("pop"))
+    )
+    return _cell_balance_tail(pops)
+
+
+def _hivf_cell_balance_sql() -> str:
+    from capstone_etl_spark.operators.similarity import _HIER_ASSIGN_SQL
+
+    return (
+        _HIER_ASSIGN_SQL
+        + f"""
+, pops AS (
+  SELECT cell, CAST(COUNT(*) AS BIGINT) AS pop FROM assign GROUP BY 1
+), total AS (SELECT CAST(SUM(pop) AS DOUBLE) AS n_vec FROM pops)
+SELECT cell, pop,
+       ROUND(pop / t.n_vec, 6) AS share,
+       pop > CAST(ceil({CELL_CAP_FACTOR} * sqrt(t.n_vec)) AS BIGINT) AS over_cap
+FROM pops CROSS JOIN total t
+"""
+    )
+
+
 # --- z-order layout ---------------------------------------------------------
 #
 # Multi-dimensional data clustering (the lakehouse OPTIMIZE ZORDER BY
@@ -926,6 +963,7 @@ FROM spine s
 
 
 QUERIES = {
+    "hivf_cell_balance": hivf_cell_balance,
     "key_skew_audit": key_skew_audit,
     "lsh_tuning_curve": lsh_tuning_curve,
     "output_file_plan": output_file_plan,
@@ -939,6 +977,7 @@ QUERIES = {
 }
 
 ORACLE_SQL = {
+    "hivf_cell_balance": _hivf_cell_balance_sql(),
     "dedup_threshold_sweep": _dedup_threshold_sweep_sql(),
     "key_skew_audit": KEY_SKEW_AUDIT_SQL,
     "lsh_tuning_curve": _lsh_tuning_curve_sql(),
