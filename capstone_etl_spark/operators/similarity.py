@@ -1139,6 +1139,127 @@ FROM (
 )
 
 
+# --------------------------- margin-based bitext mining (CCMatrix)
+
+BITEXT_K = 4        # neighborhood size for the margin denominator
+BITEXT_MARGIN = 1.0  # ratio-margin admission threshold
+
+
+def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(src_id, tgt_id, sim, margin) — margin-based parallel-pair
+    mining (Artetxe & Schwenk 2019; the CCMatrix/LASER recipe): treat
+    the even/odd vec_id halves of the embeddings corpus as the two
+    sides of a bilingual space, score cross-side candidate pairs by
+    the RATIO margin — cos(x,y) over the mean of each endpoint's
+    top-K candidate cosines — and admit pairs that are MUTUAL margin
+    argmaxes above the threshold. The margin denominator is what makes
+    this the production miner: it cancels hubness (a vector that is
+    close to everything scores a margin ≈ 1 everywhere and mines
+    nothing), which a plain cosine threshold cannot.
+
+    Candidate discipline: pairs come from the round-9 two-level
+    quantizer blocking (hier_assign — cross-side pairs sharing a
+    cell), so the pair stage is Σ popA·popB per cell under the √N cell
+    cap, never |A|×|B|; the top-K windows run per vector over its
+    cell-bounded candidate list. At 100 TB this is exactly the
+    mined-pair shape CCMatrix runs (FAISS-blocked candidates, margin
+    rerank).
+
+    Exactness: cosines are rounded to 6dp first (identical doubles in
+    both engines), the top-K means go through exact DECIMAL sums of
+    those 6dp values (float-sum order cannot drift), the margin is one
+    IEEE division of identical doubles, and every argmax tiebreaks on
+    (margin desc, sim desc, partner asc)."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_q = emb.select("vec_id", quantize_fp().alias("vq"))
+    assign = cached(hier_assign(emb_q).select("vec_id", "cell"))
+    withe = assign.join(emb.select("vec_id", "embedding"), "vec_id")
+    a = withe.filter(F.col("vec_id") % 2 == 0).select(
+        F.col("vec_id").alias("src_id"), "cell", F.col("embedding").alias("qe")
+    )
+    b = withe.filter(F.col("vec_id") % 2 == 1).select(
+        F.col("vec_id").alias("tgt_id"), "cell", F.col("embedding").alias("ne")
+    )
+    pairs = cached(
+        a.join(b, "cell").select(
+            "src_id", "tgt_id", F.round(cosine("qe", "ne"), 6).alias("sim")
+        )
+    )
+    wx = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("tgt_id"))
+    wy = Window.partitionBy("tgt_id").orderBy(F.desc("sim"), F.asc("src_id"))
+    dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+    avg_x = (
+        pairs.withColumn("rk", F.row_number().over(wx))
+        .filter(F.col("rk") <= BITEXT_K)
+        .groupBy("src_id")
+        .agg((F.sum(dec("sim")).cast("double") / F.count("*")).alias("ax"))
+    )
+    avg_y = (
+        pairs.withColumn("rk", F.row_number().over(wy))
+        .filter(F.col("rk") <= BITEXT_K)
+        .groupBy("tgt_id")
+        .agg((F.sum(dec("sim")).cast("double") / F.count("*")).alias("ay"))
+    )
+    den = F.lit(0.5) * (F.col("ax") + F.col("ay"))
+    scored = (
+        pairs.join(avg_x, "src_id")
+        .join(avg_y, "tgt_id")
+        .withColumn("margin", F.when(den > 0, F.col("sim") / den))
+        .filter(F.col("margin") >= BITEXT_MARGIN)
+    )
+    mx = Window.partitionBy("src_id").orderBy(
+        F.desc("margin"), F.desc("sim"), F.asc("tgt_id")
+    )
+    my = Window.partitionBy("tgt_id").orderBy(
+        F.desc("margin"), F.desc("sim"), F.asc("src_id")
+    )
+    return (
+        scored.withColumn("rx", F.row_number().over(mx))
+        .withColumn("ry", F.row_number().over(my))
+        .filter((F.col("rx") == 1) & (F.col("ry") == 1))
+        .select("src_id", "tgt_id", "sim", F.round("margin", 6).alias("margin"))
+    )
+
+
+BITEXT_MINING_SQL = (
+    _HIER_ASSIGN_SQL
+    + f"""
+, pairs AS (
+  SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
+         ROUND({_COSINE_SQL.replace('qe', 'ea.embedding').replace('ne', 'eb.embedding')}, 6) AS sim
+  FROM assign a JOIN assign b
+    ON a.cell = b.cell AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+), ax AS (
+  SELECT src_id, CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS ax
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rk
+        FROM pairs) t
+  WHERE rk <= {BITEXT_K} GROUP BY 1
+), ay AS (
+  SELECT tgt_id, CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS ay
+  FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY sim DESC, src_id) AS rk
+        FROM pairs) t
+  WHERE rk <= {BITEXT_K} GROUP BY 1
+), scored AS (
+  SELECT p.src_id, p.tgt_id, p.sim,
+         CASE WHEN 0.5 * (ax.ax + ay.ay) > 0
+              THEN p.sim / (0.5 * (ax.ax + ay.ay)) END AS margin
+  FROM pairs p JOIN ax USING (src_id) JOIN ay USING (tgt_id)
+)
+SELECT src_id, tgt_id, sim, ROUND(margin, 6) AS margin
+FROM (
+  SELECT *,
+         ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY margin DESC, sim DESC, tgt_id) AS rx,
+         ROW_NUMBER() OVER (PARTITION BY tgt_id ORDER BY margin DESC, sim DESC, src_id) AS ry
+  FROM scored WHERE margin >= {BITEXT_MARGIN}
+) t WHERE rx = 1 AND ry = 1
+"""
+)
+
+
 # -------------------------------------------- IVF probe-count sweep
 
 IVF_PROBE_GRID = (1, 2, 4, 8)
@@ -3136,6 +3257,7 @@ QUERIES = {
     "ann_hivf_topk": ann_hivf_topk,
     "hivf_cell_medoids": hivf_cell_medoids,
     "semantic_dedup_hier": semantic_dedup_hier,
+    "bitext_mining": bitext_mining,
 }
 
 ORACLE_SQL = {
@@ -3170,4 +3292,5 @@ ORACLE_SQL = {
     "ann_hivf_topk": ANN_HIVF_TOPK_SQL,
     "hivf_cell_medoids": HIVF_CELL_MEDOIDS_SQL,
     "semantic_dedup_hier": SEMANTIC_DEDUP_HIER_SQL,
+    "bitext_mining": BITEXT_MINING_SQL,
 }

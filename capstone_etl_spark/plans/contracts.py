@@ -353,6 +353,12 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "broadcasts (similarity._hier_cand_seed); the pair stage is the "
         "flat semantic_dedup's cell-bounded equi-join"
     ),
+    "bitext_mining": (
+        "inherits hier_assign's 1-row stats / min-hash / branch-array "
+        "broadcasts; the bipartite pair stage is cell-bounded "
+        "(popA*popB per cell under the sqrt-N cap), windows run per "
+        "vector over cell-bounded candidate lists (similarity.py)"
+    ),
     "kll_quantile_sketch": (
         "1-row-per-source stats broadcast into the survivor filter, "
         "plus rank-range probes of the <=K-row-per-source sample and "

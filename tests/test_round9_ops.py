@@ -237,3 +237,48 @@ def test_hivf_medoids_partition_and_quality(spark, tmp_path):
         sampled = got[cell]
         sampled_tot = sampled.mean_d2 * sampled.pop
         assert sampled_tot <= 2.0 * exact_best + 1e-6, (cell, sampled_tot, exact_best)
+
+
+def test_stream_hivf_serving_equals_batch(spark):
+    """The two-level index serves identically at ingest: the streaming
+    in-row route/probe (stream_ann_hivf_topk) must reproduce the batch
+    index lookups exactly — same probes, same candidates, same ranks."""
+    from capstone_etl_spark.operators.similarity import ann_hivf_topk
+    from capstone_etl_spark.operators.streaming_queries import stream_ann_hivf_topk
+    from capstone_etl_spark.session import release_caches
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        batch = {(r.query_id, r.rnk): (r.neighbor_id, r.sim) for r in ann_hivf_topk(spark, sf).collect()}
+        stream = {(r.query_id, r.rnk): (r.neighbor_id, r.sim) for r in stream_ann_hivf_topk(spark, sf).collect()}
+    finally:
+        release_caches()
+    assert stream == batch
+
+
+def test_bitext_mining_recovers_alignment(spark, tmp_path):
+    """On a constructed bilingual space — vec 2i (side A) and 2i+1
+    (side B) are tiny perturbations of the same point, distinct points
+    per i — the margin miner recovers the ground-truth alignment: each
+    mined pair is a true (2i, 2i+1) match, every id appears at most
+    once (mutual-best), and margins exceed 1 (the pair is closer than
+    either endpoint's neighborhood average)."""
+    from capstone_etl_spark.operators.similarity import DIM, bitext_mining
+
+    rows = []
+    for i in range(150):
+        center = [math.sin(0.37 * i * (d + 3)) for d in range(DIM)]
+        for side in (0, 1):
+            noise = [((i * 131 + d * 17 + side * 7) % 101) / 101.0 * 0.004 - 0.002 for d in range(DIM)]
+            rows.append((2 * i + side, [float(c + x) for c, x in zip(center, noise)], "x"))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label string"
+    ).write.mode("overwrite").parquet(str(tmp_path / "embeddings.parquet"))
+    mined = bitext_mining(spark, str(tmp_path)).collect()
+    assert len(mined) >= 100, len(mined)
+    srcs = [r.src_id for r in mined]
+    tgts = [r.tgt_id for r in mined]
+    assert len(set(srcs)) == len(srcs) and len(set(tgts)) == len(tgts)
+    true_hits = sum(1 for r in mined if r.tgt_id == r.src_id + 1)
+    assert true_hits >= 0.95 * len(mined), f"{true_hits}/{len(mined)}"
+    assert all(r.margin >= 1.0 for r in mined)
