@@ -148,6 +148,13 @@ HEADLINE = [
     "kll_quantile_sketch",
     "stream_kll_sketch",
     "stream_training_manifest",
+    # r9 (cont.): SemDeDup on the two-level router, the serving twin,
+    # the index health audit, and the margin bitext miner — tracked
+    # from day one.
+    "semantic_dedup_hier",
+    "stream_ann_hivf_topk",
+    "hivf_cell_balance",
+    "bitext_mining",
     "heaps_law_fit",
     # r7 session 5 (cont.): the train-LM split scoring (token-shuffle
     # bound), the bounded-pair basket miner, and the fixed-round LP

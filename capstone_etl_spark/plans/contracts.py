@@ -353,6 +353,11 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "broadcasts (similarity._hier_cand_seed); the pair stage is the "
         "flat semantic_dedup's cell-bounded equi-join"
     ),
+    "hivf_cell_balance": (
+        "inherits hier_assign's 1-row stats / min-hash / branch-array "
+        "broadcasts + the 1-row corpus-total broadcast of the shared "
+        "_cell_balance_tail (scaleaudit.py)"
+    ),
     "bitext_mining": (
         "inherits hier_assign's 1-row stats / min-hash / branch-array "
         "broadcasts; the bipartite pair stage is cell-bounded "
@@ -530,6 +535,9 @@ HEADLINE: list[str] = [
     # round-9 additions
     "kll_quantile_sketch",
     "hivf_cell_medoids",
+    "semantic_dedup_hier",
+    "bitext_mining",
+    "hivf_cell_balance",
     "k_anonymity_audit",
     "kmeans_silhouette",
     "event_changelog_apply",
