@@ -63,6 +63,7 @@ _PRIORITY = [
     "stream_ann_hivf_topk",
     "hivf_cell_balance",
     "bitext_mining",
+    "stream_bitext_mining",
     # Block 3: family canaries — every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span). The
     # Block-1 members cover streaming (5 head entries), events

@@ -1208,6 +1208,184 @@ def _stream_ann_hivf_topk_sql() -> str:
     return ANN_HIVF_TOPK_SQL
 
 
+def stream_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Margin-based pair MINING at ingest — bitext_mining's shape as
+    source-side vectors arrive: the committed target-side index
+    (hier_assign cells + raw vectors, static) is the published
+    artifact; each arriving source vector routes to its cell in-row
+    (the stream_ann_hivf_topk trick — collected branch array, argmin
+    over routed seeds, zero state) and emits exact-cosine candidate
+    pairs against its cell's target members through an append-mode
+    stream-static join. The drained pair table IS the batch candidate
+    relation (cell-bounded, each unordered pair once — the source side
+    drives), so the margin/mutual-argmax verdict assembly runs the
+    batch code on it and the mined set equals the batch miner
+    row-for-row. Oracle: BITEXT_MINING_SQL verbatim."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.functions.vectors import cosine
+    from capstone_etl_spark.operators.similarity import (
+        BITEXT_K,
+        BITEXT_MARGIN,
+        BRANCH_PROBES,
+        _d2_fold,
+        hier_assign,
+        hier_branches,
+        quantize_fp,
+        quantizer_seeds,
+    )
+    from capstone_etl_spark.session import cached
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_bitext_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        quant = quantize_fp()
+        emb_q = emb.select("vec_id", quant.alias("vq"))
+        assign = cached(hier_assign(emb_q).select("vec_id", "cell"))
+        tgt = assign.filter(F.col("vec_id") % 2 == 1).join(
+            emb.select("vec_id", "embedding"), "vec_id"
+        ).select(
+            F.col("vec_id").alias("tgt_id"), "cell", F.col("embedding").alias("ne")
+        )
+        seeds = quantizer_seeds(emb_q)
+        branches = hier_branches(emb_q)
+        barr = branches.agg(F.collect_list(F.struct("branch", "bq")).alias("bs"))
+        seeds_b = (
+            seeds.join(F.broadcast(barr), F.lit(True))
+            .select(
+                "cell",
+                "sq",
+                F.element_at(
+                    F.array_sort(
+                        F.transform(
+                            "bs",
+                            lambda b: F.struct(
+                                _d2_fold("sq", b["bq"]).alias("bd2"),
+                                b["branch"].alias("branch"),
+                            ),
+                        )
+                    ),
+                    1,
+                )["branch"].alias("branch"),
+            )
+        )
+        bcells = seeds_b.groupBy("branch").agg(
+            F.collect_list(F.struct("cell", "sq")).alias("cells")
+        )
+        brow = cached(
+            branches.join(bcells, "branch", "left")
+            .select(
+                F.struct(
+                    "branch", "bq", F.coalesce("cells", F.array()).alias("cells")
+                ).alias("b")
+            )
+            .agg(F.collect_list("b").alias("bs"))
+        )
+
+        staging = f"{work}/staging"
+        emb.repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        arriving = stream.filter(F.col("vec_id") % 2 == 0).select(
+            F.col("vec_id").alias("src_id"),
+            F.col("embedding").alias("qe"),
+            quant.alias("vq"),
+        )
+        route = F.slice(
+            F.array_sort(
+                F.transform(
+                    "bs",
+                    lambda b: F.struct(
+                        _d2_fold("vq", b["bq"]).alias("bd2"),
+                        b["branch"].alias("branch"),
+                        b["cells"].alias("cells"),
+                    ),
+                )
+            ),
+            1,
+            BRANCH_PROBES,
+        )
+        cand_cells = F.flatten(F.transform(F.col("route"), lambda r: r["cells"]))
+        best_cell = F.element_at(
+            F.array_sort(
+                F.transform(
+                    "cand",
+                    lambda s: F.struct(
+                        _d2_fold("vq", s["sq"]).alias("d2"), s["cell"].alias("cell")
+                    ),
+                )
+            ),
+            1,
+        )["cell"]
+        spairs = (
+            arriving.join(F.broadcast(brow), F.lit(True))
+            .withColumn("route", route)
+            .withColumn("cand", cand_cells)
+            .select("src_id", "qe", best_cell.alias("cell"))
+            .join(tgt, "cell")
+            .select("src_id", "tgt_id", F.round(cosine("qe", "ne"), 6).alias("sim"))
+        )
+        from capstone_etl_spark.session import checkpoint_truncate
+
+        # truncate the sink lineage: the assembly joins the pair table
+        # with its own per-endpoint aggregates (the sink-self-join
+        # conflicting-reference class)
+        pairs = checkpoint_truncate(
+            run_to_memory(spairs, f"{work}/checkpoint", output_mode="append")
+        )
+
+        # batch margin / mutual-argmax verdict assembly on the drained
+        # candidate relation
+        dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
+        wx = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("tgt_id"))
+        wy = Window.partitionBy("tgt_id").orderBy(F.desc("sim"), F.asc("src_id"))
+        avg_x = (
+            pairs.withColumn("rk", F.row_number().over(wx))
+            .filter(F.col("rk") <= BITEXT_K)
+            .groupBy("src_id")
+            .agg((F.sum(dec("sim")).cast("double") / F.count("*")).alias("ax"))
+        )
+        avg_y = (
+            pairs.withColumn("rk", F.row_number().over(wy))
+            .filter(F.col("rk") <= BITEXT_K)
+            .groupBy("tgt_id")
+            .agg((F.sum(dec("sim")).cast("double") / F.count("*")).alias("ay"))
+        )
+        den = F.lit(0.5) * (F.col("ax") + F.col("ay"))
+        scored = (
+            pairs.join(avg_x, "src_id")
+            .join(avg_y, "tgt_id")
+            .withColumn("margin", F.when(den > 0, F.col("sim") / den))
+            .filter(F.col("margin") >= BITEXT_MARGIN)
+        )
+        mx = Window.partitionBy("src_id").orderBy(
+            F.desc("margin"), F.desc("sim"), F.asc("tgt_id")
+        )
+        my = Window.partitionBy("tgt_id").orderBy(
+            F.desc("margin"), F.desc("sim"), F.asc("src_id")
+        )
+        return (
+            scored.withColumn("rx", F.row_number().over(mx))
+            .withColumn("ry", F.row_number().over(my))
+            .filter((F.col("rx") == 1) & (F.col("ry") == 1))
+            .select("src_id", "tgt_id", "sim", F.round("margin", 6).alias("margin"))
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stream_bitext_mining_sql() -> str:
+    from capstone_etl_spark.operators.similarity import BITEXT_MINING_SQL
+
+    return BITEXT_MINING_SQL
+
+
 def stream_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC apply AT INGEST — the streaming form of
     events.changelog_apply, built from the SAME changelog_state /
@@ -2311,6 +2489,7 @@ QUERIES = {
     "stream_training_manifest": stream_training_manifest,
     "stream_kll_sketch": stream_kll_sketch,
     "stream_ann_hivf_topk": stream_ann_hivf_topk,
+    "stream_bitext_mining": stream_bitext_mining,
 }
 
 ORACLE_SQL = {
@@ -2378,4 +2557,8 @@ ORACLE_SQL = {
     # reproduces the batch tiebreaks exactly, so the drained serving
     # results equal the batch index lookups
     "stream_ann_hivf_topk": _stream_ann_hivf_topk_sql(),
+    # the batch miner SQL verbatim: the drained append-mode pair table
+    # is the batch candidate relation, and the margin/mutual assembly
+    # is the batch code
+    "stream_bitext_mining": _stream_bitext_mining_sql(),
 }

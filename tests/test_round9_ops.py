@@ -282,3 +282,20 @@ def test_bitext_mining_recovers_alignment(spark, tmp_path):
     true_hits = sum(1 for r in mined if r.tgt_id == r.src_id + 1)
     assert true_hits >= 0.95 * len(mined), f"{true_hits}/{len(mined)}"
     assert all(r.margin >= 1.0 for r in mined)
+
+
+def test_stream_bitext_mining_equals_batch(spark):
+    """Mining at ingest drains to the batch miner exactly: the
+    append-mode pair table is the batch candidate relation, and the
+    margin/mutual assembly is the batch code."""
+    from capstone_etl_spark.operators.similarity import bitext_mining
+    from capstone_etl_spark.operators.streaming_queries import stream_bitext_mining
+    from capstone_etl_spark.session import release_caches
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        batch = {(r.src_id, r.tgt_id): (r.sim, r.margin) for r in bitext_mining(spark, sf).collect()}
+        stream = {(r.src_id, r.tgt_id): (r.sim, r.margin) for r in stream_bitext_mining(spark, sf).collect()}
+    finally:
+        release_caches()
+    assert stream == batch
