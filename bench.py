@@ -155,6 +155,9 @@ HEADLINE = [
     "stream_ann_hivf_topk",
     "hivf_cell_balance",
     "bitext_mining",
+    # r9 (cont.): the per-subspace two-level PQ encode — the last
+    # measured flat-quantizer N^1.5 term paid down.
+    "pq_hier_distortion_audit",
     "heaps_law_fit",
     # r7 session 5 (cont.): the train-LM split scoring (token-shuffle
     # bound), the bounded-pair basket miner, and the fixed-round LP

@@ -1641,6 +1641,213 @@ FROM per_m CROSS JOIN ns CROSS JOIN tot
 """
 
 
+def _pq_hier_codes(emb_q: DataFrame) -> DataFrame:
+    """(vec_id, m, cell, d2) — PQ codes through the two-level router,
+    PER SUBSPACE: codewords and vectors route on their m-th subvectors
+    (a codeword's nearest branch differs per subspace), so the encode
+    stage costs O(N·M·N^(1/4)) subvector folds instead of the flat
+    O(N·M·√N) — the last of the measured flat-quantizer N^1.5 terms
+    (pq_distortion_audit's decade-2 exponent 1.28) paid down. Routing
+    is in-row against the collected branch array; candidates flow
+    through a broadcast equi-join on (m, branch) with per-branch
+    per-subspace codeword lists; the final argmin is a partial-agg
+    min over BRANCH_PROBES in-row minima."""
+    seeds = quantizer_seeds(emb_q)
+    branches = hier_branches(emb_q)
+    barr = branches.agg(F.collect_list(F.struct("branch", "bq")).alias("bs"))
+    seed_sub = seeds.select(
+        "cell",
+        F.posexplode(
+            F.array(*[F.slice("sq", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)])
+        ).alias("m", "ssub"),
+    )
+
+    def sub_route(vec_col: str) -> F.Column:
+        # distances from this row's m-th subvector to every branch's
+        # m-th subvector — the branch slice is taken in-row by m
+        return F.array_sort(
+            F.transform(
+                "bs",
+                lambda b: F.struct(
+                    F.aggregate(
+                        F.zip_with(
+                            vec_col,
+                            F.slice(b["bq"], F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM),
+                            lambda x, y: (x - y) * (x - y),
+                        ),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("bd2"),
+                    b["branch"].alias("branch"),
+                ),
+            )
+        )
+
+    seeds_bm = seed_sub.join(F.broadcast(barr), F.lit(True)).select(
+        "m",
+        "cell",
+        "ssub",
+        F.element_at(sub_route("ssub"), 1)["branch"].alias("branch"),
+    )
+    bcells = seeds_bm.groupBy("m", "branch").agg(
+        F.collect_list(F.struct("cell", "ssub")).alias("cells")
+    )
+    vec_sub = emb_q.select(
+        "vec_id",
+        F.posexplode(
+            F.array(*[F.slice("vq", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)])
+        ).alias("m", "sub"),
+    )
+    routed = (
+        vec_sub.join(F.broadcast(barr), F.lit(True))
+        .select(
+            "vec_id",
+            "m",
+            "sub",
+            F.explode(F.slice(sub_route("sub"), 1, BRANCH_PROBES)).alias("r"),
+        )
+        .select("vec_id", "m", "sub", F.col("r.branch").alias("branch"))
+    )
+    # in-row argmin over the routed branch's codeword list (F.get is
+    # null-safe for a branch that owns no codewords in this subspace —
+    # its twin with the identical subvector holds them)
+    best_in_branch = F.get(
+        F.array_sort(
+            F.transform(
+                "cells",
+                lambda s: F.struct(
+                    F.aggregate(
+                        F.zip_with("sub", s["ssub"], lambda x, y: (x - y) * (x - y)),
+                        F.lit(0).cast("long"),
+                        lambda acc, x: acc + x,
+                    ).alias("d2"),
+                    s["cell"].alias("cell"),
+                ),
+            )
+        ),
+        F.lit(0),
+    )
+    cand = routed.join(F.broadcast(bcells), ["m", "branch"]).select(
+        "vec_id", "m", best_in_branch.alias("b")
+    )
+    return (
+        cand.groupBy("vec_id", "m")
+        .agg(F.min("b").alias("b"))
+        .select("vec_id", "m", F.col("b.cell").alias("cell"), F.col("b.d2").alias("d2"))
+    )
+
+
+def pq_hier_distortion_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """pq_distortion_audit's release over the two-level PER-SUBSPACE
+    router (_pq_hier_codes): same per-subspace health columns
+    (utilization, mse, err_share), encode cost O(N·M·N^(1/4)) instead
+    of the flat O(N·M·√N). The exact flat audit remains registered as
+    the small-scale reference; this is the production encode path the
+    measured 1.28 decade-2 exponent demands (SCALE.md)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_q = emb.select("vec_id", quantize_fp().alias("vq"))
+    seeds = quantizer_seeds(emb_q)
+    best = _pq_hier_codes(emb_q).select("m", "cell", "d2")
+    per_m = best.groupBy("m").agg(
+        F.count("*").cast("long").alias("n_vectors"),
+        F.countDistinct("cell").cast("long").alias("n_cells_used"),
+        F.sum("d2").cast("long").alias("td2"),
+    )
+    n_seeds = seeds.agg(F.count("*").alias("n_cells"))
+    tot = per_m.agg(F.sum("td2").alias("all_d2"))
+    scale2 = float(CENTROID_SCALE) * float(CENTROID_SCALE)
+    return (
+        per_m.crossJoin(F.broadcast(n_seeds))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "m",
+            "n_vectors",
+            "n_cells_used",
+            F.round(F.col("n_cells_used").cast("double") / F.col("n_cells"), 6).alias(
+                "utilization"
+            ),
+            F.round(
+                F.col("td2").cast("double") / F.col("n_vectors") / F.lit(scale2), 6
+            ).alias("mse"),
+            F.when(
+                F.col("all_d2") > 0,
+                F.round(F.col("td2").cast("double") / F.col("all_d2"), 6),
+            ).alias("err_share"),
+        )
+    )
+
+
+PQ_HIER_DISTORTION_AUDIT_SQL = f"""
+WITH by_dim AS (
+  SELECT vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
+), {_SEED_IDS_SQL}, seeds AS (
+  SELECT b.vec_id AS cell, b.d, b.vs AS ss
+  FROM by_dim b JOIN seed_ids si ON si.vec_id = b.vec_id
+), hcell AS (
+  SELECT vec_id AS cell, {md5_hash60_sql("CAST(vec_id AS VARCHAR)")} AS h FROM seed_ids
+), branch_ids AS (
+  SELECT cell AS branch FROM hcell
+  WHERE h < CAST(floor(CAST({HASH_SPACE_INT} AS DOUBLE) / (
+          sqrt(GREATEST((SELECT COUNT(*) FROM embeddings), 1))
+        * sqrt(sqrt(GREATEST((SELECT COUNT(*) FROM embeddings), 1))))) AS BIGINT)
+     OR cell = (SELECT cell FROM hcell ORDER BY h, cell LIMIT 1)
+), branches AS (
+  SELECT s.cell AS branch, s.d, s.ss AS bs
+  FROM seeds s JOIN branch_ids b ON b.branch = s.cell
+), srm AS (
+  SELECT s.cell, s.d // {PQ_SUBDIM} AS m, b.branch,
+         CAST(SUM((s.ss - b.bs) * (s.ss - b.bs)) AS BIGINT) AS bd2
+  FROM seeds s JOIN branches b ON b.d = s.d
+  GROUP BY 1, 2, 3
+), seed_route AS (
+  SELECT cell, m, branch FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cell, m ORDER BY bd2, branch) AS rn
+    FROM srm
+  ) t WHERE rn = 1
+), vrm AS (
+  SELECT v.vec_id, v.d // {PQ_SUBDIM} AS m, b.branch,
+         CAST(SUM((v.vs - b.bs) * (v.vs - b.bs)) AS BIGINT) AS bd2
+  FROM by_dim v JOIN branches b ON b.d = v.d
+  GROUP BY 1, 2, 3
+), vec_route AS (
+  SELECT vec_id, m, branch FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY bd2, branch) AS rn
+    FROM vrm
+  ) t WHERE rn <= {BRANCH_PROBES}
+), cand AS (
+  SELECT r.vec_id, r.m, sr.cell,
+         CAST(SUM((v.vs - s.ss) * (v.vs - s.ss)) AS BIGINT) AS d2
+  FROM vec_route r
+  JOIN seed_route sr ON sr.m = r.m AND sr.branch = r.branch
+  JOIN seeds s ON s.cell = sr.cell AND s.d // {PQ_SUBDIM} = r.m
+  JOIN by_dim v ON v.vec_id = r.vec_id AND v.d = s.d
+  GROUP BY 1, 2, 3
+), best AS (
+  SELECT m, cell, d2 FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) AS r
+    FROM cand
+  ) t WHERE r = 1
+), per_m AS (
+  SELECT m, CAST(COUNT(*) AS BIGINT) AS n_vectors,
+         CAST(COUNT(DISTINCT cell) AS BIGINT) AS n_cells_used,
+         CAST(SUM(d2) AS BIGINT) AS td2
+  FROM best GROUP BY 1
+), ns AS (
+  SELECT COUNT(*) AS n_cells FROM seed_ids
+), tot AS (
+  SELECT SUM(td2) AS all_d2 FROM per_m
+)
+SELECT m, n_vectors, n_cells_used,
+       ROUND(CAST(n_cells_used AS DOUBLE) / n_cells, 6) AS utilization,
+       ROUND(CAST(td2 AS DOUBLE) / n_vectors / {CENTROID_SCALE}.0 / {CENTROID_SCALE}.0, 6) AS mse,
+       CASE WHEN all_d2 > 0
+            THEN ROUND(CAST(td2 AS DOUBLE) / all_d2, 6) END AS err_share
+FROM per_m CROSS JOIN ns CROSS JOIN tot
+"""
+
+
 def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ADC (asymmetric distance computation) top-k over the PQ codes —
     the search half of product quantization: each query builds an
@@ -3258,6 +3465,7 @@ QUERIES = {
     "hivf_cell_medoids": hivf_cell_medoids,
     "semantic_dedup_hier": semantic_dedup_hier,
     "bitext_mining": bitext_mining,
+    "pq_hier_distortion_audit": pq_hier_distortion_audit,
 }
 
 ORACLE_SQL = {
@@ -3293,4 +3501,5 @@ ORACLE_SQL = {
     "hivf_cell_medoids": HIVF_CELL_MEDOIDS_SQL,
     "semantic_dedup_hier": SEMANTIC_DEDUP_HIER_SQL,
     "bitext_mining": BITEXT_MINING_SQL,
+    "pq_hier_distortion_audit": PQ_HIER_DISTORTION_AUDIT_SQL,
 }

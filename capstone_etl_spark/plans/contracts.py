@@ -358,6 +358,12 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "broadcasts + the 1-row corpus-total broadcast of the shared "
         "_cell_balance_tail (scaleaudit.py)"
     ),
+    "pq_hier_distortion_audit": (
+        "inherits the branch-array / 1-row stats broadcasts of the "
+        "per-subspace two-level router (_pq_hier_codes) + the 1-row "
+        "seed-count and distortion-total broadcasts over the PQ_M-row "
+        "audit (similarity.py)"
+    ),
     "bitext_mining": (
         "inherits hier_assign's 1-row stats / min-hash / branch-array "
         "broadcasts; the bipartite pair stage is cell-bounded "
@@ -538,6 +544,7 @@ HEADLINE: list[str] = [
     "semantic_dedup_hier",
     "bitext_mining",
     "hivf_cell_balance",
+    "pq_hier_distortion_audit",
     "k_anonymity_audit",
     "kmeans_silhouette",
     "event_changelog_apply",
