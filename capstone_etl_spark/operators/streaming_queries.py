@@ -1386,6 +1386,141 @@ def _stream_bitext_mining_sql() -> str:
     return BITEXT_MINING_SQL
 
 
+def stream_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic near-dup ADMISSION at ingest on the two-level index:
+    each arriving vector routes to its cell in-row (zero streaming
+    state) and checks itself against the committed corpus's LOWER-id
+    cell members by exact cosine through an append-mode stream-static
+    join — the SemDeDup keep-one rule evaluated as vectors land. The
+    drained dup relation left-joins the static assignment into the
+    batch output shape, so the admitted set equals the batch
+    semantic_dedup_hier row-for-row (same oracle). This is
+    stream_dedup_incremental's embedding-space sibling — the admission
+    gate an embedding-deduped 100 TB corpus runs at its front door."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.functions.vectors import cosine
+    from capstone_etl_spark.operators.similarity import (
+        BRANCH_PROBES,
+        SEMDEDUP_THRESHOLD,
+        _d2_fold,
+        hier_assign,
+        hier_branches,
+        quantize_fp,
+        quantizer_seeds,
+    )
+    from capstone_etl_spark.session import cached
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_semded_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        quant = quantize_fp()
+        emb_q = emb.select("vec_id", quant.alias("vq"))
+        assign = cached(hier_assign(emb_q).select("vec_id", "cell"))
+        members = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
+            F.col("vec_id").alias("vec_a"), "cell", F.col("embedding").alias("ne")
+        )
+        seeds = quantizer_seeds(emb_q)
+        branches = hier_branches(emb_q)
+        barr = branches.agg(F.collect_list(F.struct("branch", "bq")).alias("bs"))
+        seeds_b = (
+            seeds.join(F.broadcast(barr), F.lit(True))
+            .select(
+                "cell",
+                "sq",
+                F.element_at(
+                    F.array_sort(
+                        F.transform(
+                            "bs",
+                            lambda b: F.struct(
+                                _d2_fold("sq", b["bq"]).alias("bd2"),
+                                b["branch"].alias("branch"),
+                            ),
+                        )
+                    ),
+                    1,
+                )["branch"].alias("branch"),
+            )
+        )
+        bcells = seeds_b.groupBy("branch").agg(
+            F.collect_list(F.struct("cell", "sq")).alias("cells")
+        )
+        brow = cached(
+            branches.join(bcells, "branch", "left")
+            .select(
+                F.struct(
+                    "branch", "bq", F.coalesce("cells", F.array()).alias("cells")
+                ).alias("b")
+            )
+            .agg(F.collect_list("b").alias("bs"))
+        )
+
+        staging = f"{work}/staging"
+        emb.repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        arriving = stream.select(
+            F.col("vec_id").alias("vec_b"),
+            F.col("embedding").alias("qe"),
+            quant.alias("vq"),
+        )
+        route = F.slice(
+            F.array_sort(
+                F.transform(
+                    "bs",
+                    lambda b: F.struct(
+                        _d2_fold("vq", b["bq"]).alias("bd2"),
+                        b["branch"].alias("branch"),
+                        b["cells"].alias("cells"),
+                    ),
+                )
+            ),
+            1,
+            BRANCH_PROBES,
+        )
+        cand_cells = F.flatten(F.transform(F.col("route"), lambda r: r["cells"]))
+        best_cell = F.element_at(
+            F.array_sort(
+                F.transform(
+                    "cand",
+                    lambda s: F.struct(
+                        _d2_fold("vq", s["sq"]).alias("d2"), s["cell"].alias("cell")
+                    ),
+                )
+            ),
+            1,
+        )["cell"]
+        spairs = (
+            arriving.join(F.broadcast(brow), F.lit(True))
+            .withColumn("route", route)
+            .withColumn("cand", cand_cells)
+            .select("vec_b", "qe", best_cell.alias("cell"))
+            .join(members, "cell")
+            .filter(F.col("vec_a") < F.col("vec_b"))
+            .filter(cosine("qe", "ne") >= SEMDEDUP_THRESHOLD)
+            .select("vec_b", "vec_a")
+        )
+        got = run_to_memory(spairs, f"{work}/checkpoint", output_mode="append")
+        dup = got.groupBy("vec_b").agg(F.min("vec_a").alias("dup_of"))
+        return assign.join(dup, assign.vec_id == dup.vec_b, "left").select(
+            "vec_id", "cell", F.col("dup_of").isNull().alias("keep"), "dup_of"
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stream_semantic_dedup_hier_sql() -> str:
+    from capstone_etl_spark.operators.similarity import SEMANTIC_DEDUP_HIER_SQL
+
+    return SEMANTIC_DEDUP_HIER_SQL
+
+
 def stream_changelog_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     """CDC apply AT INGEST — the streaming form of
     events.changelog_apply, built from the SAME changelog_state /
@@ -2490,6 +2625,7 @@ QUERIES = {
     "stream_kll_sketch": stream_kll_sketch,
     "stream_ann_hivf_topk": stream_ann_hivf_topk,
     "stream_bitext_mining": stream_bitext_mining,
+    "stream_semantic_dedup_hier": stream_semantic_dedup_hier,
 }
 
 ORACLE_SQL = {
@@ -2561,4 +2697,7 @@ ORACLE_SQL = {
     # is the batch candidate relation, and the margin/mutual assembly
     # is the batch code
     "stream_bitext_mining": _stream_bitext_mining_sql(),
+    # the batch hier-SemDeDup SQL verbatim: the drained dup relation
+    # joins the static assignment into the identical output shape
+    "stream_semantic_dedup_hier": _stream_semantic_dedup_hier_sql(),
 }

@@ -321,6 +321,14 @@ EMB_NAMES = [
     # round 9: every pair at cosine exactly 1 through the hierarchical
     # blocking — keep-one must pick the same minima in both engines
     "semantic_dedup_hier",
+    # round 9: identical vectors → every per-subspace route and
+    # codeword argmin ties completely; both engines must pick the
+    # same codes through two levels of (d2, id) tiebreaks
+    "pq_hier_distortion_audit",
+    # round 9: every cross-side pair at cosine exactly 1 → margins all
+    # equal; the mutual (margin, sim, id) argmax must mine the same
+    # pairs in both engines
+    "bitext_mining",
 ]
 
 

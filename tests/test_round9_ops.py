@@ -299,3 +299,25 @@ def test_stream_bitext_mining_equals_batch(spark):
     finally:
         release_caches()
     assert stream == batch
+
+
+def test_pq_hier_distortion_close_to_flat(spark, sf_dir):
+    """The per-subspace two-level encode trades assignment cost for a
+    bounded distortion increase: each subspace's hier MSE stays within
+    a small factor of the flat exact-argmin MSE (the routed branches'
+    codewords include the true nearest codeword except at branch
+    boundaries)."""
+    from capstone_etl_spark.operators.similarity import (
+        pq_distortion_audit,
+        pq_hier_distortion_audit,
+    )
+    from capstone_etl_spark.session import release_caches
+
+    try:
+        flat = {r.m: r.mse for r in pq_distortion_audit(spark, sf_dir).collect()}
+        hier = {r.m: r.mse for r in pq_hier_distortion_audit(spark, sf_dir).collect()}
+    finally:
+        release_caches()
+    assert set(hier) == set(flat)
+    for m, mse in hier.items():
+        assert mse <= 1.5 * flat[m] + 1e-9, (m, mse, flat[m])
