@@ -1,13 +1,15 @@
-"""Round-9 operators: the two-level (hierarchical) coarse quantizer.
+"""Round-9 operators.
 
-The flat-IVF assignment stage measured exponent 1.26-1.28 at the second
-scale decade (SCALE.md) — the O(N·√N) quantizer pass heading for N^1.5.
-ann_hivf_topk is the production mitigation: an ≈N^(1/4) branch layer
-routes vectors in-row, assignment probes only the routed branches'
-seeds — O(N·N^(1/4)) dot products with the same cells, probe rule and
-rerank tail. These tests pin (a) recall on clustered data, (b) the
-branch layer's size law, and (c) plan shape (broadcast routing, no
-quantizer shuffle regression)."""
+The two-level (hierarchical) quantizer family: the flat-IVF assignment
+stage measured exponent 1.26-1.28 at the second scale decade (SCALE.md)
+— the O(N·√N) quantizer pass heading for N^1.5. ann_hivf_topk /
+hier_assign are the production mitigation (≈N^(1/4) in-row branch
+routing); hivf_cell_medoids adds the sampled-candidate medoid. These
+tests pin recall on clustered data, the branch size law, plan shape,
+medoid estimator quality, and batch/stream equality for the serving
+twin. Also covered: the stream_training_manifest drain-equality proof,
+the KLL sketch's merge law and error envelope, bitext mining's
+ground-truth alignment recovery, and the PQ-hier distortion bound."""
 
 from __future__ import annotations
 
