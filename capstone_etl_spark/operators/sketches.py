@@ -1051,14 +1051,10 @@ def kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     over the ≤K-row sample or the bounded distinct-value domain, and
     the sketch merges across shards/streams by union — never a global
     sort of the data."""
-    from pyspark.sql import Window
+    from pyspark.sql import Window  # noqa: F401  (used by the shared tail)
 
     docs = load_table(spark, sf_dir, "documents")
-    vals = docs.select(
-        "source",
-        F.col("n_chars").alias("v"),
-        md5_hash60(F.concat(F.lit("kll:"), F.col("doc_id").cast("string"))).alias("h"),
-    )
+    vals = _kll_vals(docs)
     stats = _kll_stats(vals)
     samp = (
         vals.join(F.broadcast(stats), "source")
@@ -1066,6 +1062,26 @@ def kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source", "v")
         .agg(F.count("*").alias("c"))
     )
+    return _kll_release(vals, stats, samp)
+
+
+def _kll_vals(docs: DataFrame) -> DataFrame:
+    """(source, v, h) — the sketched value stream with its portable
+    survival hash."""
+    return docs.select(
+        "source",
+        F.col("n_chars").alias("v"),
+        md5_hash60(F.concat(F.lit("kll:"), F.col("doc_id").cast("string"))).alias("h"),
+    )
+
+
+def _kll_release(vals: DataFrame, stats: DataFrame, samp: DataFrame) -> DataFrame:
+    """The sketch's release tail (cumulative weights → ⌈q·n⌉ rank cut →
+    shortfall fallback → exact-quantile audit) over any (source, v, c)
+    survivor relation — shared by the monolithic sketch, the shard
+    merge, and reused in shape by the streaming twin."""
+    from pyspark.sql import Window
+
     wv = Window.partitionBy("source").orderBy("v").rowsBetween(
         Window.unboundedPreceding, 0
     )
@@ -1134,6 +1150,63 @@ def kll_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KLL_SHARDS = 3  # shard count for the merge demonstration
+
+
+def kll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kll_quantile_sketch's release built the way a 100 TB deployment
+    actually builds it — SHARD-WISE, then merged: the corpus splits
+    into KLL_SHARDS hash shards, each shard sketches independently at
+    ITS OWN level (a small shard keeps a shallow level — more sample,
+    less error), and the shards merge by the nested-sample law:
+    re-filter every shard's survivors at the union level (L_union ≥
+    each L_shard because the level is monotone in the row count) and
+    union — NO resampling, NO access to shard-local raw data at merge
+    time beyond the k-row sketches. Because survival is per-row
+    deterministic, the merged sample IS the monolithic sample, so this
+    query's release equals kll_quantile_sketch's row-for-row and
+    shares its oracle verbatim — the dedup_clusters_incremental
+    pattern applied to the sketch family: maintenance pinned equal to
+    the rebuild.
+
+    The union level derives from the SUM of the shard counts (the
+    merge sees sketch metadata only, never a corpus recount)."""
+    docs = load_table(spark, sf_dir, "documents")
+    shard_vals = _kll_vals(docs).withColumn(
+        "_shard",
+        md5_hash60(F.concat(F.lit("shard:"), F.col("h").cast("string"))) % KLL_SHARDS,
+    )
+
+    def with_level(counts: DataFrame) -> DataFrame:
+        t = F.expr(f"(n + {KLL_K - 1}) div {KLL_K}")
+        lvl = (
+            F.when(t <= 1, F.lit(0)).otherwise(F.length(F.bin(t - 1))).cast("int")
+        )
+        return counts.withColumn("L", lvl).withColumn(
+            "w", F.expr("shiftleft(CAST(1 AS BIGINT), L)")
+        )
+
+    # per-(shard, source) sketch: own count, own level, own survivors
+    sh_stats = with_level(
+        shard_vals.groupBy("_shard", "source").agg(F.count("*").alias("n"))
+    )
+    shard_sketches = shard_vals.join(sh_stats, ["_shard", "source"]).filter(
+        F.col("h") % F.col("w") == 0
+    )
+    # union level from sketch METADATA (sum of shard counts)
+    u_stats = with_level(
+        sh_stats.groupBy("source").agg(F.sum("n").cast("long").alias("n"))
+    ).select("source", "n", "L", "w")
+    merged = (
+        shard_sketches.select("source", "v", "h")
+        .join(F.broadcast(u_stats.select("source", F.col("w").alias("wu"))), "source")
+        .filter(F.col("h") % F.col("wu") == 0)
+        .groupBy("source", "v")
+        .agg(F.count("*").alias("c"))
+    )
+    return _kll_release(_kll_vals(docs), u_stats, merged)
+
+
 KLL_QUANTILE_SKETCH_SQL = f"""
 WITH vals AS (
   SELECT source, n_chars AS v,
@@ -1199,6 +1272,7 @@ QUERIES = {
     "histogram_quantiles": histogram_quantiles,
     "hll_distinct_sketch": hll_distinct_sketch,
     "kll_quantile_sketch": kll_quantile_sketch,
+    "kll_sketch_merge": kll_sketch_merge,
 }
 
 ORACLE_SQL = {
@@ -1211,4 +1285,7 @@ ORACLE_SQL = {
     "count_min_error": COUNT_MIN_ERROR_SQL,
     "bloom_membership": BLOOM_MEMBERSHIP_SQL,
     "kll_quantile_sketch": KLL_QUANTILE_SKETCH_SQL,
+    # the monolithic sketch SQL verbatim: the shard-wise build merges
+    # by the nested-sample law to the identical sample
+    "kll_sketch_merge": KLL_QUANTILE_SKETCH_SQL,
 }

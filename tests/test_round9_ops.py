@@ -323,3 +323,22 @@ def test_pq_hier_distortion_close_to_flat(spark, sf_dir):
     assert set(hier) == set(flat)
     for m, mse in hier.items():
         assert mse <= 1.5 * flat[m] + 1e-9, (m, mse, flat[m])
+
+
+def test_kll_shard_merge_equals_monolithic(spark, sf_dir):
+    """Sketch maintenance pinned equal to the rebuild: the shard-wise
+    build (per-shard levels, metadata-only union level, re-filter +
+    union merge) must release exactly the monolithic sketch — the
+    nested-sample law makes the merged sample THE sample."""
+    from capstone_etl_spark.operators.sketches import (
+        kll_quantile_sketch,
+        kll_sketch_merge,
+    )
+    from capstone_etl_spark.session import release_caches
+
+    try:
+        mono = {(r.source, r.q): tuple(r) for r in kll_quantile_sketch(spark, sf_dir).collect()}
+        merged = {(r.source, r.q): tuple(r) for r in kll_sketch_merge(spark, sf_dir).collect()}
+    finally:
+        release_caches()
+    assert merged == mono
