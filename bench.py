@@ -146,6 +146,7 @@ HEADLINE = [
     # ~K survivors per source) + its ingest twin, and the flagship
     # admission chain composed as one streaming query.
     "kll_quantile_sketch",
+    "kll_sketch_merge",
     "stream_kll_sketch",
     "stream_training_manifest",
     # r9 (cont.): SemDeDup on the two-level router, the serving twin,
