@@ -67,6 +67,7 @@ _PRIORITY = [
     "pq_hier_distortion_audit",
     "stream_semantic_dedup_hier",
     "kll_sketch_merge",
+    "stream_hivf_cell_balance",
     # Block 3: family canaries — every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span). The
     # Block-1 members cover streaming (5 head entries), events

@@ -1515,6 +1515,123 @@ def stream_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(work, ignore_errors=True)
 
 
+def stream_hivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX MAINTENANCE on the two-level quantizer — stream_ivf_assign's
+    round-9 sibling: vectors arrive, each routes to its cell entirely
+    in-row (branch array → routed seeds → argmin; ≈N^(1/4)+B·N^(1/4)
+    folds per vector instead of the flat twin's ≈√N), and the
+    complete-mode per-cell population table is the live balance
+    dashboard for the hierarchical index. Drained, it equals the batch
+    hivf_cell_balance exactly (shared _cell_balance_tail + shared
+    oracle) — the share/cap audit a 100 TB deployment watches while
+    shards of vectors land."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.operators.scaleaudit import _cell_balance_tail
+    from capstone_etl_spark.operators.similarity import (
+        BRANCH_PROBES,
+        _d2_fold,
+        hier_branches,
+        quantize_fp,
+        quantizer_seeds,
+    )
+    from capstone_etl_spark.session import cached
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_hivf_bal_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        quant = quantize_fp()
+        emb_q = emb.select("vec_id", quant.alias("vq"))
+        seeds = quantizer_seeds(emb_q)
+        branches = hier_branches(emb_q)
+        barr = branches.agg(F.collect_list(F.struct("branch", "bq")).alias("bs"))
+        seeds_b = (
+            seeds.join(F.broadcast(barr), F.lit(True))
+            .select(
+                "cell",
+                "sq",
+                F.element_at(
+                    F.array_sort(
+                        F.transform(
+                            "bs",
+                            lambda b: F.struct(
+                                _d2_fold("sq", b["bq"]).alias("bd2"),
+                                b["branch"].alias("branch"),
+                            ),
+                        )
+                    ),
+                    1,
+                )["branch"].alias("branch"),
+            )
+        )
+        bcells = seeds_b.groupBy("branch").agg(
+            F.collect_list(F.struct("cell", "sq")).alias("cells")
+        )
+        brow = cached(
+            branches.join(bcells, "branch", "left")
+            .select(
+                F.struct(
+                    "branch", "bq", F.coalesce("cells", F.array()).alias("cells")
+                ).alias("b")
+            )
+            .agg(F.collect_list("b").alias("bs"))
+        )
+        staging = f"{work}/staging"
+        emb.repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        route = F.slice(
+            F.array_sort(
+                F.transform(
+                    "bs",
+                    lambda b: F.struct(
+                        _d2_fold("vq", b["bq"]).alias("bd2"),
+                        b["branch"].alias("branch"),
+                        b["cells"].alias("cells"),
+                    ),
+                )
+            ),
+            1,
+            BRANCH_PROBES,
+        )
+        cand_cells = F.flatten(F.transform(F.col("route"), lambda r: r["cells"]))
+        best_cell = F.element_at(
+            F.array_sort(
+                F.transform(
+                    "cand",
+                    lambda s: F.struct(
+                        _d2_fold("vq", s["sq"]).alias("d2"), s["cell"].alias("cell")
+                    ),
+                )
+            ),
+            1,
+        )["cell"]
+        assigned = (
+            stream.select(quant.alias("vq"))
+            .join(F.broadcast(brow), F.lit(True))
+            .withColumn("route", route)
+            .withColumn("cand", cand_cells)
+            .select(best_cell.alias("cell"))
+        )
+        agg = assigned.groupBy("cell").agg(F.count("*").cast("long").alias("pop"))
+        snap = run_to_memory(agg, f"{work}/checkpoint", output_mode="complete")
+        return _cell_balance_tail(snap)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stream_hivf_cell_balance_sql() -> str:
+    from capstone_etl_spark.operators.scaleaudit import _hivf_cell_balance_sql
+
+    return _hivf_cell_balance_sql()
+
+
 def _stream_semantic_dedup_hier_sql() -> str:
     from capstone_etl_spark.operators.similarity import SEMANTIC_DEDUP_HIER_SQL
 
@@ -2626,6 +2743,7 @@ QUERIES = {
     "stream_ann_hivf_topk": stream_ann_hivf_topk,
     "stream_bitext_mining": stream_bitext_mining,
     "stream_semantic_dedup_hier": stream_semantic_dedup_hier,
+    "stream_hivf_cell_balance": stream_hivf_cell_balance,
 }
 
 ORACLE_SQL = {
@@ -2700,4 +2818,7 @@ ORACLE_SQL = {
     # the batch hier-SemDeDup SQL verbatim: the drained dup relation
     # joins the static assignment into the identical output shape
     "stream_semantic_dedup_hier": _stream_semantic_dedup_hier_sql(),
+    # the batch hier balance SQL verbatim: per-cell pops merge by
+    # addition, so the drained dashboard equals the batch audit
+    "stream_hivf_cell_balance": _stream_hivf_cell_balance_sql(),
 }
