@@ -862,6 +862,86 @@ def _hier_cand_seed(emb_q: DataFrame) -> DataFrame:
     )
 
 
+def hier_branch_cells_row(emb_q: DataFrame) -> DataFrame:
+    """ONE-row (bs: array<struct(branch, bq, cells: array<struct(cell,
+    sq)>)>) — the two-level index as a single broadcastable artifact:
+    every branch with its quantized vector and its second-level seed
+    list. The streaming twins (serving, mining, admission, balance)
+    ride this as their static side; cache it so the stream-static join
+    doesn't rebuild the subtree per micro-batch."""
+    seeds = quantizer_seeds(emb_q)
+    branches = hier_branches(emb_q)
+    barr = branches.agg(F.collect_list(F.struct("branch", "bq")).alias("bs"))
+    seeds_b = (
+        seeds.join(F.broadcast(barr), F.lit(True))
+        .select(
+            "cell",
+            "sq",
+            F.element_at(
+                F.array_sort(
+                    F.transform(
+                        "bs",
+                        lambda b: F.struct(
+                            _d2_fold("sq", b["bq"]).alias("bd2"),
+                            b["branch"].alias("branch"),
+                        ),
+                    )
+                ),
+                1,
+            )["branch"].alias("branch"),
+        )
+    )
+    bcells = seeds_b.groupBy("branch").agg(
+        F.collect_list(F.struct("cell", "sq")).alias("cells")
+    )
+    return (
+        branches.join(bcells, "branch", "left")
+        .select(
+            F.struct(
+                "branch", "bq", F.coalesce("cells", F.array()).alias("cells")
+            ).alias("b")
+        )
+        .agg(F.collect_list("b").alias("bs"))
+    )
+
+
+def hier_route_expr(n_branches: int = BRANCH_PROBES) -> F.Column:
+    """In-row routing over a hier_branch_cells_row artifact: the
+    current row's `vq` against every branch in `bs`, sorted by
+    (bd2, branch), top n_branches kept with their cell lists."""
+    return F.slice(
+        F.array_sort(
+            F.transform(
+                "bs",
+                lambda b: F.struct(
+                    _d2_fold("vq", b["bq"]).alias("bd2"),
+                    b["branch"].alias("branch"),
+                    b["cells"].alias("cells"),
+                ),
+            )
+        ),
+        1,
+        n_branches,
+    )
+
+
+def hier_best_cell_expr() -> F.Column:
+    """In-row argmin over a routed candidate-cell array `cand` (the
+    flattened cell lists of the routed branches) — reproduces
+    hier_assign's (d2, cell) tiebreak per row, no state."""
+    return F.element_at(
+        F.array_sort(
+            F.transform(
+                "cand",
+                lambda s: F.struct(
+                    _d2_fold("vq", s["sq"]).alias("d2"), s["cell"].alias("cell")
+                ),
+            )
+        ),
+        1,
+    )["cell"]
+
+
 def hier_assign(emb_q: DataFrame) -> DataFrame:
     """(vec_id, vq, cell) — the two-level quantizer assignment (argmin
     over the routed candidate seeds), shared by ann_hivf_topk and

@@ -1059,13 +1059,13 @@ def stream_ann_hivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from capstone_etl_spark.functions.vectors import cosine
     from capstone_etl_spark.operators.similarity import (
-        BRANCH_PROBES,
         IVF_PROBES_MIN,
         N_QUERIES,
         TOP_K,
         _d2_fold,
         hier_assign,
-        hier_branches,
+        hier_branch_cells_row,
+        hier_route_expr,
         quantize_fp,
         quantizer_seeds,
     )
@@ -1086,44 +1086,9 @@ def stream_ann_hivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
         )
         # branch → second-level seed list, one nested 1-row broadcast
-        seeds = quantizer_seeds(emb_q)
-        branches = hier_branches(emb_q)
-        barr = branches.agg(F.collect_list(F.struct("branch", "bq")).alias("bs"))
-        seeds_b = (
-            seeds.join(F.broadcast(barr), F.lit(True))
-            .select(
-                "cell",
-                "sq",
-                F.element_at(
-                    F.array_sort(
-                        F.transform(
-                            "bs",
-                            lambda b: F.struct(
-                                _d2_fold("sq", b["bq"]).alias("bd2"),
-                                b["branch"].alias("branch"),
-                            ),
-                        )
-                    ),
-                    1,
-                )["branch"].alias("branch"),
-            )
-        )
-        bcells = seeds_b.groupBy("branch").agg(
-            F.collect_list(F.struct("cell", "sq")).alias("cells")
-        )
+        n_cells_row = quantizer_seeds(emb_q).agg(F.count("*").alias("n_cells"))
         brow = cached(
-            branches.join(bcells, "branch", "left")
-            .select(
-                F.struct(
-                    "branch",
-                    "bq",
-                    F.coalesce("cells", F.array()).alias("cells"),
-                ).alias("b")
-            )
-            .agg(
-                F.collect_list("b").alias("bs"),
-                F.sum(F.size(F.col("b.cells"))).cast("long").alias("n_cells"),
-            )
+            hier_branch_cells_row(emb_q).join(F.broadcast(n_cells_row), F.lit(True))
         )
 
         staging = f"{work}/staging"
@@ -1139,20 +1104,7 @@ def stream_ann_hivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("qe"),
             quant.alias("vq"),
         )
-        route = F.slice(
-            F.array_sort(
-                F.transform(
-                    "bs",
-                    lambda b: F.struct(
-                        _d2_fold("vq", b["bq"]).alias("bd2"),
-                        b["branch"].alias("branch"),
-                        b["cells"].alias("cells"),
-                    ),
-                )
-            ),
-            1,
-            BRANCH_PROBES,
-        )
+        route = hier_route_expr()
         cand_cells = F.flatten(F.transform(F.col("route"), lambda r: r["cells"]))
         ds = F.array_sort(
             F.transform(
@@ -1228,12 +1180,11 @@ def stream_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from capstone_etl_spark.operators.similarity import (
         BITEXT_K,
         BITEXT_MARGIN,
-        BRANCH_PROBES,
-        _d2_fold,
         hier_assign,
-        hier_branches,
+        hier_best_cell_expr,
+        hier_branch_cells_row,
+        hier_route_expr,
         quantize_fp,
-        quantizer_seeds,
     )
     from capstone_etl_spark.session import cached
     from capstone_etl_spark.sources.tables import load_table
@@ -1249,40 +1200,7 @@ def stream_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).select(
             F.col("vec_id").alias("tgt_id"), "cell", F.col("embedding").alias("ne")
         )
-        seeds = quantizer_seeds(emb_q)
-        branches = hier_branches(emb_q)
-        barr = branches.agg(F.collect_list(F.struct("branch", "bq")).alias("bs"))
-        seeds_b = (
-            seeds.join(F.broadcast(barr), F.lit(True))
-            .select(
-                "cell",
-                "sq",
-                F.element_at(
-                    F.array_sort(
-                        F.transform(
-                            "bs",
-                            lambda b: F.struct(
-                                _d2_fold("sq", b["bq"]).alias("bd2"),
-                                b["branch"].alias("branch"),
-                            ),
-                        )
-                    ),
-                    1,
-                )["branch"].alias("branch"),
-            )
-        )
-        bcells = seeds_b.groupBy("branch").agg(
-            F.collect_list(F.struct("cell", "sq")).alias("cells")
-        )
-        brow = cached(
-            branches.join(bcells, "branch", "left")
-            .select(
-                F.struct(
-                    "branch", "bq", F.coalesce("cells", F.array()).alias("cells")
-                ).alias("b")
-            )
-            .agg(F.collect_list("b").alias("bs"))
-        )
+        brow = cached(hier_branch_cells_row(emb_q))
 
         staging = f"{work}/staging"
         emb.repartition(4).write.parquet(staging)
@@ -1297,32 +1215,9 @@ def stream_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("qe"),
             quant.alias("vq"),
         )
-        route = F.slice(
-            F.array_sort(
-                F.transform(
-                    "bs",
-                    lambda b: F.struct(
-                        _d2_fold("vq", b["bq"]).alias("bd2"),
-                        b["branch"].alias("branch"),
-                        b["cells"].alias("cells"),
-                    ),
-                )
-            ),
-            1,
-            BRANCH_PROBES,
-        )
+        route = hier_route_expr()
         cand_cells = F.flatten(F.transform(F.col("route"), lambda r: r["cells"]))
-        best_cell = F.element_at(
-            F.array_sort(
-                F.transform(
-                    "cand",
-                    lambda s: F.struct(
-                        _d2_fold("vq", s["sq"]).alias("d2"), s["cell"].alias("cell")
-                    ),
-                )
-            ),
-            1,
-        )["cell"]
+        best_cell = hier_best_cell_expr()
         spairs = (
             arriving.join(F.broadcast(brow), F.lit(True))
             .withColumn("route", route)
@@ -1402,13 +1297,12 @@ def stream_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from capstone_etl_spark.functions.vectors import cosine
     from capstone_etl_spark.operators.similarity import (
-        BRANCH_PROBES,
         SEMDEDUP_THRESHOLD,
-        _d2_fold,
         hier_assign,
-        hier_branches,
+        hier_best_cell_expr,
+        hier_branch_cells_row,
+        hier_route_expr,
         quantize_fp,
-        quantizer_seeds,
     )
     from capstone_etl_spark.session import cached
     from capstone_etl_spark.sources.tables import load_table
@@ -1422,40 +1316,7 @@ def stream_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
         members = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
             F.col("vec_id").alias("vec_a"), "cell", F.col("embedding").alias("ne")
         )
-        seeds = quantizer_seeds(emb_q)
-        branches = hier_branches(emb_q)
-        barr = branches.agg(F.collect_list(F.struct("branch", "bq")).alias("bs"))
-        seeds_b = (
-            seeds.join(F.broadcast(barr), F.lit(True))
-            .select(
-                "cell",
-                "sq",
-                F.element_at(
-                    F.array_sort(
-                        F.transform(
-                            "bs",
-                            lambda b: F.struct(
-                                _d2_fold("sq", b["bq"]).alias("bd2"),
-                                b["branch"].alias("branch"),
-                            ),
-                        )
-                    ),
-                    1,
-                )["branch"].alias("branch"),
-            )
-        )
-        bcells = seeds_b.groupBy("branch").agg(
-            F.collect_list(F.struct("cell", "sq")).alias("cells")
-        )
-        brow = cached(
-            branches.join(bcells, "branch", "left")
-            .select(
-                F.struct(
-                    "branch", "bq", F.coalesce("cells", F.array()).alias("cells")
-                ).alias("b")
-            )
-            .agg(F.collect_list("b").alias("bs"))
-        )
+        brow = cached(hier_branch_cells_row(emb_q))
 
         staging = f"{work}/staging"
         emb.repartition(4).write.parquet(staging)
@@ -1470,32 +1331,9 @@ def stream_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("qe"),
             quant.alias("vq"),
         )
-        route = F.slice(
-            F.array_sort(
-                F.transform(
-                    "bs",
-                    lambda b: F.struct(
-                        _d2_fold("vq", b["bq"]).alias("bd2"),
-                        b["branch"].alias("branch"),
-                        b["cells"].alias("cells"),
-                    ),
-                )
-            ),
-            1,
-            BRANCH_PROBES,
-        )
+        route = hier_route_expr()
         cand_cells = F.flatten(F.transform(F.col("route"), lambda r: r["cells"]))
-        best_cell = F.element_at(
-            F.array_sort(
-                F.transform(
-                    "cand",
-                    lambda s: F.struct(
-                        _d2_fold("vq", s["sq"]).alias("d2"), s["cell"].alias("cell")
-                    ),
-                )
-            ),
-            1,
-        )["cell"]
+        best_cell = hier_best_cell_expr()
         spairs = (
             arriving.join(F.broadcast(brow), F.lit(True))
             .withColumn("route", route)
@@ -1530,11 +1368,10 @@ def stream_hivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from capstone_etl_spark.operators.scaleaudit import _cell_balance_tail
     from capstone_etl_spark.operators.similarity import (
-        BRANCH_PROBES,
-        _d2_fold,
-        hier_branches,
+        hier_best_cell_expr,
+        hier_branch_cells_row,
+        hier_route_expr,
         quantize_fp,
-        quantizer_seeds,
     )
     from capstone_etl_spark.session import cached
     from capstone_etl_spark.sources.tables import load_table
@@ -1544,40 +1381,7 @@ def stream_hivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
         quant = quantize_fp()
         emb_q = emb.select("vec_id", quant.alias("vq"))
-        seeds = quantizer_seeds(emb_q)
-        branches = hier_branches(emb_q)
-        barr = branches.agg(F.collect_list(F.struct("branch", "bq")).alias("bs"))
-        seeds_b = (
-            seeds.join(F.broadcast(barr), F.lit(True))
-            .select(
-                "cell",
-                "sq",
-                F.element_at(
-                    F.array_sort(
-                        F.transform(
-                            "bs",
-                            lambda b: F.struct(
-                                _d2_fold("sq", b["bq"]).alias("bd2"),
-                                b["branch"].alias("branch"),
-                            ),
-                        )
-                    ),
-                    1,
-                )["branch"].alias("branch"),
-            )
-        )
-        bcells = seeds_b.groupBy("branch").agg(
-            F.collect_list(F.struct("cell", "sq")).alias("cells")
-        )
-        brow = cached(
-            branches.join(bcells, "branch", "left")
-            .select(
-                F.struct(
-                    "branch", "bq", F.coalesce("cells", F.array()).alias("cells")
-                ).alias("b")
-            )
-            .agg(F.collect_list("b").alias("bs"))
-        )
+        brow = cached(hier_branch_cells_row(emb_q))
         staging = f"{work}/staging"
         emb.repartition(4).write.parquet(staging)
         schema = spark.read.parquet(staging).schema
@@ -1586,32 +1390,9 @@ def stream_hivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 2)
             .parquet(staging)
         )
-        route = F.slice(
-            F.array_sort(
-                F.transform(
-                    "bs",
-                    lambda b: F.struct(
-                        _d2_fold("vq", b["bq"]).alias("bd2"),
-                        b["branch"].alias("branch"),
-                        b["cells"].alias("cells"),
-                    ),
-                )
-            ),
-            1,
-            BRANCH_PROBES,
-        )
+        route = hier_route_expr()
         cand_cells = F.flatten(F.transform(F.col("route"), lambda r: r["cells"]))
-        best_cell = F.element_at(
-            F.array_sort(
-                F.transform(
-                    "cand",
-                    lambda s: F.struct(
-                        _d2_fold("vq", s["sq"]).alias("d2"), s["cell"].alias("cell")
-                    ),
-                )
-            ),
-            1,
-        )["cell"]
+        best_cell = hier_best_cell_expr()
         assigned = (
             stream.select(quant.alias("vq"))
             .join(F.broadcast(brow), F.lit(True))
