@@ -68,6 +68,10 @@ _PRIORITY = [
     "stream_semantic_dedup_hier",
     "kll_sketch_merge",
     "stream_hivf_cell_balance",
+    "knn_shapley_values",
+    "label_noise_audit",
+    "kcenter_coreset",
+    "mmr_diversified_topk",
     # Block 3: family canaries — every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span). The
     # Block-1 members cover streaming (5 head entries), events
@@ -396,6 +400,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         streaming_queries,
         text_pipeline,
         textstats,
+        valuation,
     )
 
     queries: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
@@ -420,6 +425,7 @@ def _registry() -> tuple[dict[str, Callable[[SparkSession, str], DataFrame]], di
         privacy,
         sketches,
         preference,
+        valuation,
     ):
         queries.update(mod.QUERIES)
         oracles.update(mod.ORACLE_SQL)

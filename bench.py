@@ -281,6 +281,16 @@ HEADLINE = [
     # r8 session 5 (cont.): the Poisson-assumption audit — two hash
     # aggs, exact integer moments.
     "event_overdispersion",
+    # r9 valuation: closed-form KNN-Shapley (eval-bounded brute scan +
+    # one suffix-window pass) and the within-cell K-NN label screen
+    # (semantic_dedup's blocking law).
+    "knn_shapley_values",
+    "label_noise_audit",
+    # r9 valuation (cont.): greedy k-center coreset (K fixed linear
+    # passes) and MMR diversification (retrieve once, then rounds over
+    # the C-candidate lists only).
+    "kcenter_coreset",
+    "mmr_diversified_topk",
 ]
 
 

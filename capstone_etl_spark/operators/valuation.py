@@ -1,0 +1,590 @@
+"""Training-data valuation and curation over embeddings (§7.8 ext).
+
+The reference stops at L2 norms "for use later with similarities"
+(main.go:272-281); the similarity module completed retrieval, and this
+module completes the CURATION loop a 100 TB training pipeline runs on
+top of it — which examples are worth keeping, which labels look wrong,
+which subset covers the space, and how to diversify what a retriever
+returns:
+
+- knn_shapley_values — exact closed-form KNN-Shapley data valuation
+  (Jia et al., VLDB 2019): the Shapley value of every training point
+  under a K-NN surrogate classifier, computed in O(Q·N log N) via the
+  sorted-suffix recurrence instead of O(2^N) subset enumeration.
+- label_noise_audit — confident-learning-style mislabel screen: each
+  vector's K nearest WITHIN-CELL neighbors (the SemDeDup quantizer
+  blocks the corpus, so the pair stage never goes N×N) vote on its
+  label; low agreement flags a suspect row.
+- kcenter_coreset — greedy k-center coreset selection (Gonzalez 1985;
+  the "diverse subset" selector behind coreset-based data pruning):
+  K rounds of farthest-point picks, each round one bounded broadcast
+  of the ≤K selected centers and a 1-row argmax.
+- mmr_diversified_topk — Maximal Marginal Relevance (Carbonell &
+  Goldstein 1998) reranking of the retriever's candidate list:
+  iteratively trade relevance against redundancy with the already-
+  selected set; candidate lists are bounded (top-C per query), so
+  every per-round stage is per-query-bounded.
+
+Determinism/oracle strategy (the module contract shared with the ANN
+family): similarities rank on ROUND(cos, 6) with id tiebreaks, every
+order-sensitive float accumulation snaps its terms to DECIMAL(p,12)
+before the (exact, order-free) sum, and iterative rounds unroll to the
+same fixed round count in both engines — so DuckDB reproduces ranks,
+picks and values bit-for-bit. The snap precision is 20, not the
+family's usual 28: Spark's decimal ADD result must fit precision 38
+or allowPrecisionLoss silently drops the scale to 11 (sum(20,12) →
+(30,12); (30,12)+(20,12) → (31,12) ✓ — whereas (38,12)+(28,12) →
+(38,11), which cost the 12th digit and broke oracle parity in
+development).
+
+Scale notes (100 TB):
+- knn_shapley is O(Q·N) scoring + per-test sort: Q (the validation
+  set) is the small bounded side — the standard valuation setup scores
+  the whole corpus against a fixed eval set; the suffix recurrence is
+  one window pass, no iteration.
+- label_noise_audit inherits semantic_dedup's blocking law: ≈√N cells
+  of expected population ≈√N, pair work per cell bounded, shuffle on
+  cell only.
+- kcenter_coreset is O(K·N) dot products with K fixed — each round is
+  map-side against a ≤K-row broadcast, then a 1-row TakeOrdered.
+- mmr rounds touch only the C-candidate lists (C=20/query), never the
+  corpus after the initial retrieve.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from capstone_etl_spark.functions.vectors import cosine, dot, norm2
+from capstone_etl_spark.operators.similarity import (
+    _COSINE_SQL,
+    _SEED_IDS_SQL,
+    CENTROID_SCALE,
+    DIM,
+    N_QUERIES,
+    quantize_fp,
+    quantizer_seeds,
+)
+from capstone_etl_spark.session import cached, checkpoint_truncate
+from capstone_etl_spark.sources.tables import load_table
+
+SHAP_K = 5          # the K of the K-NN surrogate classifier
+NOISE_K = 5         # neighbor votes per vector in the label screen
+NOISE_MIN_VOTES = 3  # suspect flag needs at least this many voters
+KCENTER_K = 8       # coreset size (greedy rounds)
+MMR_K = 5           # diversified list length
+MMR_CANDS = 20      # relevance candidates per query entering MMR
+MMR_LAMBDA = 0.7    # relevance weight…
+MMR_MU = 0.3        # …and the redundancy weight, kept as a separate
+                    # literal (1 - 0.7 is NOT 0.3 in binary — both
+                    # engines must multiply by the same double)
+
+
+# ---------------------------------------------------------------------
+# knn_shapley_values
+# ---------------------------------------------------------------------
+
+def knn_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact KNN-Shapley value of every training vector (Jia et al.
+    2019, Theorem 1): test set = vec_id < N_QUERIES (the family's
+    bounded query-set convention), train = the rest. Per test point,
+    train points sort by similarity (ROUND(cos,6) desc, id asc); with
+    I_j = 1[label_j = label_test] the recurrence
+
+        s_(N) = I_(N) / N
+        s_(j) = s_(j+1) + (I_(j) - I_(j+1)) / K * min(K, j) / j
+
+    is a suffix sum over the sorted order — computed as one window
+    pass. Each suffix term snaps to DECIMAL(20,12) so the sum is exact
+    and order-free; the per-train value is the mean over test points
+    (exact decimal sum / Q). Scale: the broadcast test set × corpus
+    scan is the eval-bounded brute pattern (ann_brute_topk's shape);
+    the sort is per-test-point (Q parallel sorts of N, shuffled on
+    test_id)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    test = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("test_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("tl"),
+    )
+    train = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+        F.col("vec_id").alias("train_id"),
+        F.col("embedding").alias("ne"),
+        F.col("label").alias("nl"),
+    )
+    scored = (
+        F.broadcast(test)
+        .crossJoin(train)
+        .select(
+            "test_id",
+            "train_id",
+            F.col("nl").alias("label"),
+            F.round(cosine("qe", "ne"), 6).alias("sim"),
+            (F.col("tl") == F.col("nl")).cast("int").alias("agree"),
+        )
+    )
+    w = Window.partitionBy("test_id").orderBy(F.desc("sim"), F.asc("train_id"))
+    ranked = scored.select(
+        "test_id",
+        "train_id",
+        "label",
+        "agree",
+        F.row_number().over(w).alias("rnk"),
+        F.lead("agree").over(w).alias("agree_next"),
+        F.count("*").over(Window.partitionBy("test_id")).alias("n"),
+        F.last("agree").over(
+            w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+        ).alias("agree_last"),
+    )
+    g = (
+        (F.col("agree") - F.col("agree_next"))
+        * F.least(F.lit(SHAP_K), F.col("rnk"))
+        / (F.lit(SHAP_K) * F.col("rnk")).cast("double")
+    )
+    terms = ranked.select(
+        "test_id",
+        "train_id",
+        "label",
+        "rnk",
+        F.coalesce(g, F.lit(0.0)).cast("decimal(20,12)").alias("g"),
+        (F.col("agree_last").cast("double") / F.col("n"))
+        .cast("decimal(20,12)")
+        .alias("base"),
+    )
+    wsuf = (
+        Window.partitionBy("test_id")
+        .orderBy("rnk")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    per_test = terms.select(
+        "test_id",
+        "train_id",
+        "label",
+        (F.sum("g").over(wsuf) + F.col("base")).alias("shap_tt"),
+    )
+    # No global value_rank column: ranking N corpus rows is a global
+    # single-partition window — the consumer sorts or top-k's instead.
+    # The mean is (exact decimal sum) cast to double, then ONE IEEE
+    # division by the group's row count (= the ACTUAL number of test
+    # points — the cross join emits one row per test, and vec_id <
+    # N_QUERIES is a cap, not a guarantee) — both engines divide the
+    # identical double by the identical integer, so no final rounding
+    # step is needed (a ROUND at digit 12 would sit exactly on the
+    # half boundary the /Q shift creates and the engines' half-rules
+    # diverge).
+    return per_test.groupBy("train_id", "label").agg(
+        (F.sum("shap_tt").cast("double") / F.count("*")).alias("shap_value")
+    ).select(F.col("train_id").alias("vec_id"), "label", "shap_value")
+
+
+KNN_SHAPLEY_VALUES_SQL = f"""
+WITH test AS (
+  SELECT vec_id AS test_id, embedding AS qe, label AS tl
+  FROM embeddings WHERE vec_id < {N_QUERIES}
+), train AS (
+  SELECT vec_id AS train_id, embedding AS ne, label AS nl
+  FROM embeddings WHERE vec_id >= {N_QUERIES}
+), scored AS (
+  SELECT t.test_id, r.train_id, r.nl AS label,
+         ROUND({_COSINE_SQL}, 6) AS sim,
+         CASE WHEN t.tl = r.nl THEN 1 ELSE 0 END AS agree
+  FROM test t CROSS JOIN train r
+), ranked AS (
+  SELECT test_id, train_id, label, agree,
+         ROW_NUMBER() OVER w AS rnk,
+         LEAD(agree) OVER w AS agree_next,
+         COUNT(*) OVER (PARTITION BY test_id) AS n,
+         LAST_VALUE(agree) OVER (PARTITION BY test_id ORDER BY sim DESC, train_id
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS agree_last
+  FROM scored
+  WINDOW w AS (PARTITION BY test_id ORDER BY sim DESC, train_id)
+), terms AS (
+  SELECT test_id, train_id, label, rnk,
+         CAST(COALESCE((agree - agree_next) * LEAST({SHAP_K}, rnk)
+                       / CAST({SHAP_K} * rnk AS DOUBLE), 0.0) AS DECIMAL(20,12)) AS g,
+         CAST(CAST(agree_last AS DOUBLE) / n AS DECIMAL(20,12)) AS base
+  FROM ranked
+), per_test AS (
+  SELECT test_id, train_id, label,
+         SUM(g) OVER (PARTITION BY test_id ORDER BY rnk
+             ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) + base AS shap_tt
+  FROM terms
+)
+SELECT train_id AS vec_id, label,
+       CAST(SUM(shap_tt) AS DOUBLE) / COUNT(*) AS shap_value
+FROM per_test GROUP BY train_id, label
+"""
+
+
+# ---------------------------------------------------------------------
+# label_noise_audit
+# ---------------------------------------------------------------------
+
+def label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel screen by within-cell K-NN vote (the confident-learning
+    recipe on the SemDeDup blocking): the flat quantizer assigns each
+    vector a cell (≈√N hash-sampled seeds, exact-integer argmin — the
+    identical index semantic_dedup builds); within each cell, every
+    vector's NOISE_K nearest cell-mates (ROUND(cos,6) desc, id asc)
+    vote, and agree_ratio = matching votes / votes. `suspect` fires
+    when at least NOISE_MIN_VOTES voters disagree by majority.
+
+    Scale: pair work is per-cell (expected population ≈√N — the
+    quantizer law asserted in test_quantizer_scaling); the vote window
+    runs per vector over its cell-bounded candidate list; one shuffle
+    on cell. Singleton-cell vectors emit n_votes = 0, NULL ratio,
+    suspect = false — the consumer can route them to a wider probe."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_q = emb.select("vec_id", quantize_fp().alias("vq"))
+    seeds = quantizer_seeds(emb_q)
+    d2_col = F.aggregate(
+        F.zip_with("vq", "sq", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assign = (
+        emb_q.join(F.broadcast(seeds), F.lit(True))
+        .select("vec_id", "cell", d2_col.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
+        .transform(cached)
+    )
+    withv = assign.join(
+        emb.select("vec_id", "embedding", "label"), "vec_id"
+    ).withColumn("nrm", norm2("embedding"))
+    a = withv.select(
+        F.col("vec_id").alias("vec_a"), "cell",
+        F.col("embedding").alias("qe"), F.col("nrm").alias("na"),
+        F.col("label").alias("la"),
+    )
+    b = withv.select(
+        F.col("vec_id").alias("vec_b"), "cell",
+        F.col("embedding").alias("ne"), F.col("nrm").alias("nb"),
+        F.col("label").alias("lb"),
+    )
+    pair_cos = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        dot("qe", "ne") / (F.col("na") * F.col("nb")),
+    ).otherwise(F.lit(None))
+    wv = Window.partitionBy("vec_a").orderBy(F.desc("sim"), F.asc("vec_b"))
+    votes = (
+        a.join(b, "cell")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            "vec_a", "la", "vec_b",
+            F.round(pair_cos, 6).alias("sim"),
+            (F.col("la") == F.col("lb")).cast("int").alias("match"),
+        )
+        .withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") <= NOISE_K)
+        .groupBy("vec_a")
+        .agg(
+            F.count("*").alias("n_votes"),
+            F.sum("match").alias("n_agree"),
+        )
+    )
+    out = (
+        withv.select("vec_id", "label", "cell")
+        .join(votes.withColumnRenamed("vec_a", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            F.coalesce(F.col("n_votes"), F.lit(0)).cast("long").alias("n_votes"),
+            F.coalesce(F.col("n_agree"), F.lit(0)).cast("long").alias("n_agree"),
+            # pre-coalesce inputs: unvoted rows get NULL, never 0/0
+            F.round(
+                F.col("n_agree").cast("double") / F.col("n_votes"), 6
+            ).alias("agree_ratio"),
+        )
+    )
+    return out.withColumn(
+        "suspect",
+        (F.col("n_votes") >= NOISE_MIN_VOTES)
+        & (F.col("n_agree") * 2 < F.col("n_votes")),
+    )
+
+
+LABEL_NOISE_AUDIT_SQL = f"""
+WITH by_dim AS (
+  SELECT vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
+), {_SEED_IDS_SQL}, seeds AS (
+  SELECT b.vec_id AS cell, b.d, b.vs AS ss
+  FROM by_dim b JOIN seed_ids si ON si.vec_id = b.vec_id
+), d2 AS (
+  SELECT v.vec_id, s.cell, CAST(SUM((v.vs - s.ss) * (v.vs - s.ss)) AS BIGINT) AS d2
+  FROM by_dim v JOIN seeds s ON s.d = v.d GROUP BY 1, 2
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS arnk FROM d2
+  ) t WHERE arnk = 1
+), pairs AS (
+  SELECT a.vec_id AS vec_a, ea.label AS la, b.vec_id AS vec_b,
+         ROUND({_COSINE_SQL.replace('qe', 'ea.embedding').replace('ne', 'eb.embedding')}, 6) AS sim,
+         CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END AS match
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+), votes AS (
+  SELECT vec_a, COUNT(*) AS n_votes, SUM(match) AS n_agree
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY sim DESC, vec_b) AS rnk
+    FROM pairs
+  ) t WHERE rnk <= {NOISE_K}
+  GROUP BY vec_a
+)
+SELECT s.vec_id, e.label, s.cell,
+       COALESCE(v.n_votes, 0) AS n_votes,
+       COALESCE(v.n_agree, 0) AS n_agree,
+       ROUND(CAST(v.n_agree AS DOUBLE) / v.n_votes, 6) AS agree_ratio,
+       COALESCE(v.n_votes, 0) >= {NOISE_MIN_VOTES}
+         AND COALESCE(v.n_agree, 0) * 2 < COALESCE(v.n_votes, 0) AS suspect
+FROM assign s
+JOIN embeddings e ON e.vec_id = s.vec_id
+LEFT JOIN votes v ON v.vec_a = s.vec_id
+"""
+
+
+# ---------------------------------------------------------------------
+# kcenter_coreset
+# ---------------------------------------------------------------------
+
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez's 2-approximation — the
+    farthest-point selector behind coreset data pruning): seed with
+    the minimum vec_id, then KCENTER_K-1 rounds of "the point whose
+    distance to the selected set is largest" (d = 1 - ROUND(cos,6);
+    argmax tiebreaks on the smaller id). `radius` is the covering
+    radius the pick closed — the selection-time max-min distance — and
+    decreases (weakly) round over round.
+
+    Plan per round: corpus ⟕anti selected (id equi-join), one
+    map-side crossJoin against the ≤K-row selected broadcast, a
+    groupBy-min per vector, and a 1-row TakeOrdered pick (cached —
+    each round's pick is one row, the CC-loop O(1)-driver-data
+    discipline). K is fixed: the whole operator is K linear passes."""
+    emb = cached(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    # every round's 1-row pick is checkpoint-truncated: round r's plan
+    # embeds acc_{r-1} in BOTH the anti-join and the distance scan, so
+    # an untruncated loop grows the printed/compiled tree exponentially
+    # in K (the CC-loop discipline; observed 46k-line plans with
+    # cache-only picks)
+    acc = checkpoint_truncate(
+        emb.orderBy("vec_id")
+        .limit(1)
+        .select(
+            "vec_id",
+            "embedding",
+            F.lit(1).cast("int").alias("rnd"),
+            F.lit(None).cast("double").alias("radius"),
+        )
+    )
+    for r in range(2, KCENTER_K + 1):
+        rem = emb.join(acc.select("vec_id"), "vec_id", "left_anti")
+        scored = rem.join(
+            F.broadcast(acc.select(F.col("embedding").alias("se"))), F.lit(True)
+        ).select(
+            "vec_id",
+            (F.lit(1.0) - F.round(cosine("embedding", "se"), 6)).alias("d"),
+        )
+        pick = checkpoint_truncate(
+            scored.groupBy("vec_id")
+            .agg(F.min("d").alias("mind"))
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .join(emb, "vec_id")
+            .select(
+                "vec_id",
+                "embedding",
+                F.lit(r).cast("int").alias("rnd"),
+                F.round(F.col("mind"), 6).alias("radius"),
+            )
+        )
+        acc = acc.unionByName(pick)
+    return acc.select("vec_id", "rnd", "radius")
+
+
+def _kcenter_coreset_sql() -> str:
+    cos = _COSINE_SQL.replace("qe", "e.embedding").replace("ne", "a.embedding")
+    parts = [
+        "WITH e AS (SELECT vec_id, embedding FROM embeddings)",
+        "s1 AS (SELECT vec_id, embedding, 1 AS rnd, CAST(NULL AS DOUBLE) AS radius"
+        "  FROM e ORDER BY vec_id LIMIT 1)",
+        "a1 AS (SELECT * FROM s1)",
+    ]
+    for r in range(2, KCENTER_K + 1):
+        p = r - 1
+        parts.append(
+            f"d{r} AS (SELECT e.vec_id, MIN(1.0 - ROUND({cos}, 6)) AS mind"
+            f"  FROM e CROSS JOIN a{p} a"
+            f"  WHERE e.vec_id NOT IN (SELECT vec_id FROM a{p})"
+            f"  GROUP BY e.vec_id)"
+        )
+        parts.append(
+            f"s{r} AS (SELECT d.vec_id, e2.embedding, {r} AS rnd, ROUND(d.mind, 6) AS radius"
+            f"  FROM d{r} d JOIN e e2 ON e2.vec_id = d.vec_id"
+            f"  ORDER BY d.mind DESC, d.vec_id LIMIT 1)"
+        )
+        parts.append(f"a{r} AS (SELECT * FROM a{p} UNION ALL SELECT * FROM s{r})")
+    ctes = parts[0] + ", " + ", ".join(parts[1:])
+    return f"{ctes} SELECT vec_id, rnd, radius FROM a{KCENTER_K}"
+
+
+KCENTER_CORESET_SQL = _kcenter_coreset_sql()
+
+
+# ---------------------------------------------------------------------
+# mmr_diversified_topk
+# ---------------------------------------------------------------------
+
+def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MMR-diversified top-k: retrieve MMR_CANDS candidates per query
+    by relevance (ROUND(cos,6) to the query), then MMR_K rounds of
+      argmax  λ·rel(c) − μ·max_{s∈selected} sim(c, s)
+    (λ=0.7, μ=0.3 — separate literals; 1-0.7 is not 0.3 in binary).
+    Round 1's score is the bare relevance (the selected set is empty).
+
+    Plan: the retrieve is the eval-bounded broadcast-queries pattern;
+    the candidate-candidate sim matrix is (C²·Q) rows, computed once
+    and cached; each round is an anti-join of the C-row-per-query
+    candidate list against the selected rows, a bounded groupBy-max,
+    and a per-query ROW_NUMBER pick. Nothing after the retrieve
+    touches the corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    corpus = emb.select(
+        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cid"))
+    cand = cached(
+        F.broadcast(q)
+        .crossJoin(corpus)
+        .filter(F.col("cid") != F.col("query_id"))
+        .select(
+            "query_id", "cid", "ce", F.round(cosine("qe", "ce"), 6).alias("rel")
+        )
+        .withColumn("crk", F.row_number().over(wq))
+        .filter(F.col("crk") <= MMR_CANDS)
+        .drop("crk")
+    )
+    pa = cand.select("query_id", F.col("cid").alias("ca"), F.col("ce").alias("ea"))
+    pb = cand.select("query_id", F.col("cid").alias("cb"), F.col("ce").alias("eb"))
+    ps = cached(
+        pa.join(pb, "query_id")
+        .filter(F.col("ca") != F.col("cb"))
+        .select("query_id", "ca", "cb", F.round(cosine("ea", "eb"), 6).alias("s"))
+    )
+    # per-round picks are checkpoint-truncated (≤Q rows each): round
+    # k's plan embeds acc_{k-1} twice (anti-join + selected-side join),
+    # so cache-only picks grow the compiled tree exponentially in K
+    acc = checkpoint_truncate(
+        cand.withColumn("rk", F.row_number().over(wq))
+        .filter(F.col("rk") == 1)
+        .select(
+            "query_id",
+            "cid",
+            F.lit(1).cast("int").alias("rnd"),
+            F.col("rel").alias("score"),
+        )
+    )
+    for k in range(2, MMR_K + 1):
+        rem = cand.select("query_id", "cid", "rel").join(
+            acc.select("query_id", "cid"), ["query_id", "cid"], "left_anti"
+        )
+        ms = (
+            rem.join(
+                ps,
+                (rem.query_id == ps.query_id) & (rem.cid == ps.ca),
+            )
+            .drop(ps.query_id)
+            .join(
+                acc.select(
+                    F.col("query_id").alias("sqid"), F.col("cid").alias("scid")
+                ),
+                (F.col("query_id") == F.col("sqid")) & (F.col("cb") == F.col("scid")),
+            )
+            .groupBy("query_id", "cid", "rel")
+            .agg(F.max("s").alias("msim"))
+        )
+        score = F.round(
+            F.lit(MMR_LAMBDA) * F.col("rel") - F.lit(MMR_MU) * F.col("msim"), 6
+        )
+        wk = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("cid"))
+        pick = checkpoint_truncate(
+            ms.select("query_id", "cid", score.alias("score"))
+            .withColumn("rk", F.row_number().over(wk))
+            .filter(F.col("rk") == 1)
+            .select("query_id", "cid", F.lit(k).cast("int").alias("rnd"), "score")
+        )
+        acc = acc.unionByName(pick)
+    return acc.select("query_id", "rnd", F.col("cid").alias("neighbor_id"), "score")
+
+
+def _mmr_sql() -> str:
+    cos_qc = _COSINE_SQL.replace("qe", "q.qe").replace("ne", "e.embedding")
+    cos_ab = _COSINE_SQL.replace("qe", "a.ce").replace("ne", "b.ce")
+    parts = [
+        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings"
+        f"  WHERE vec_id < {N_QUERIES})",
+        f"scored AS (SELECT q.query_id, e.vec_id AS cid, e.embedding AS ce,"
+        f"  ROUND({cos_qc}, 6) AS rel"
+        f"  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id)",
+        f"cand AS (SELECT query_id, cid, ce, rel FROM ("
+        f"  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, cid) AS crk"
+        f"  FROM scored) t WHERE crk <= {MMR_CANDS})",
+        f"ps AS (SELECT a.query_id, a.cid AS ca, b.cid AS cb, ROUND({cos_ab}, 6) AS s"
+        f"  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cid <> b.cid)",
+        "sel1 AS (SELECT query_id, cid, 1 AS rnd, rel AS score FROM ("
+        "  SELECT query_id, cid, rel,"
+        "  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, cid) AS rk"
+        "  FROM cand) t WHERE rk = 1)",
+        "acc1 AS (SELECT * FROM sel1)",
+    ]
+    for k in range(2, MMR_K + 1):
+        p = k - 1
+        parts.append(
+            f"ms{k} AS (SELECT c.query_id, c.cid, c.rel, MAX(p.s) AS msim"
+            f"  FROM cand c"
+            f"  JOIN ps p ON p.query_id = c.query_id AND p.ca = c.cid"
+            f"  JOIN acc{p} a ON a.query_id = p.query_id AND a.cid = p.cb"
+            f"  WHERE NOT EXISTS (SELECT 1 FROM acc{p} x"
+            f"    WHERE x.query_id = c.query_id AND x.cid = c.cid)"
+            f"  GROUP BY c.query_id, c.cid, c.rel)"
+        )
+        parts.append(
+            f"sel{k} AS (SELECT query_id, cid, {k} AS rnd, score FROM ("
+            f"  SELECT query_id, cid,"
+            f"  ROUND(CAST({MMR_LAMBDA} AS DOUBLE) * rel - CAST({MMR_MU} AS DOUBLE) * msim, 6) AS score,"
+            f"  ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY"
+            f"    ROUND(CAST({MMR_LAMBDA} AS DOUBLE) * rel - CAST({MMR_MU} AS DOUBLE) * msim, 6) DESC, cid) AS rk"
+            f"  FROM ms{k}) t WHERE rk = 1)"
+        )
+        parts.append(f"acc{k} AS (SELECT * FROM acc{p} UNION ALL SELECT * FROM sel{k})")
+    ctes = parts[0] + ", " + ", ".join(parts[1:])
+    return (
+        f"{ctes} SELECT query_id, rnd, cid AS neighbor_id, score FROM acc{MMR_K}"
+    )
+
+
+MMR_DIVERSIFIED_TOPK_SQL = _mmr_sql()
+
+
+QUERIES = {
+    "knn_shapley_values": knn_shapley_values,
+    "label_noise_audit": label_noise_audit,
+    "kcenter_coreset": kcenter_coreset,
+    "mmr_diversified_topk": mmr_diversified_topk,
+}
+
+ORACLE_SQL = {
+    "knn_shapley_values": KNN_SHAPLEY_VALUES_SQL,
+    "label_noise_audit": LABEL_NOISE_AUDIT_SQL,
+    "kcenter_coreset": KCENTER_CORESET_SQL,
+    "mmr_diversified_topk": MMR_DIVERSIFIED_TOPK_SQL,
+}

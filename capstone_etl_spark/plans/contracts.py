@@ -376,6 +376,29 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "the value-domain-bounded cumulative relation (sketches.py; "
         "the histogram_quantiles shape with a mergeable sample)"
     ),
+    "knn_shapley_values": (
+        "broadcast N_QUERIES-row test set x corpus scan — the "
+        "eval-bounded brute pattern (ann_brute_topk's shape); the "
+        "suffix recurrence is one window pass per test point "
+        "(valuation.py)"
+    ),
+    "label_noise_audit": (
+        "the hash-sampled ~sqrt(N) quantizer-seed broadcast + 1-row "
+        "corpus-stats broadcast (similarity.quantizer_seeds — "
+        "semantic_dedup's index); the vote stage is a within-cell "
+        "equi-join, never N x N (valuation.py)"
+    ),
+    "kcenter_coreset": (
+        "per-round crossJoin of the corpus against the <=K-row "
+        "selected-centers broadcast (greedy k-center, K=8 fixed "
+        "rounds), each round ending in a 1-row TakeOrdered pick "
+        "(valuation.py)"
+    ),
+    "mmr_diversified_topk": (
+        "broadcast N_QUERIES-row query set x corpus scan for the "
+        "retrieve; every MMR round then touches only the C=20-per-"
+        "query cached candidate lists (valuation.py)"
+    ),
 }
 
 # NOTE: conversion_model_calibration and logistic_conversion_model are
@@ -616,4 +639,9 @@ HEADLINE: list[str] = [
     "event_cuped_adjustment",
     "pareto_frontier_docs",
     "event_overdispersion",
+    # round-9 valuation additions
+    "knn_shapley_values",
+    "label_noise_audit",
+    "kcenter_coreset",
+    "mmr_diversified_topk",
 ]

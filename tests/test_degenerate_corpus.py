@@ -329,6 +329,18 @@ EMB_NAMES = [
     # equal; the mutual (margin, sim, id) argmax must mine the same
     # pairs in both engines
     "bitext_mining",
+    # round 9 valuation: all three vec_ids < N_QUERIES → the train set
+    # is EMPTY; both engines must release 0 rows, not error
+    "knn_shapley_values",
+    # round 9 valuation: every within-cell pair at cosine exactly 1 —
+    # the vote ranking is pure vec_id tiebreak in both engines
+    "label_noise_audit",
+    # round 9 valuation: only 3 vectors for K=8 greedy rounds — rounds
+    # 4+ must go empty identically (3-row output), radii exactly 0.0
+    "kcenter_coreset",
+    # round 9 valuation: all sims tie at 1.0 → every round's pick is a
+    # pure cid tiebreak; rounds beyond the candidate count go empty
+    "mmr_diversified_topk",
 ]
 
 
