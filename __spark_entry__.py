@@ -72,6 +72,8 @@ _PRIORITY = [
     "label_noise_audit",
     "kcenter_coreset",
     "mmr_diversified_topk",
+    "label_noise_incremental",
+    "stream_label_noise",
     # Block 3: family canaries — every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span). The
     # Block-1 members cover streaming (5 head entries), events

@@ -291,6 +291,10 @@ HEADLINE = [
     # the C-candidate lists only).
     "kcenter_coreset",
     "mmr_diversified_topk",
+    # r9 valuation (cont.): the delta-vs-base label screen and its
+    # stateless ingest twin (per-row routing against the static index).
+    "label_noise_incremental",
+    "stream_label_noise",
 ]
 
 

@@ -2487,6 +2487,169 @@ def _stream_kll_sketch_sql() -> str:
     return KLL_QUANTILE_SKETCH_SQL
 
 
+def stream_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LABEL-QUALITY screening at INGEST — valuation.
+    label_noise_incremental's delta-vs-base verdicts as a stream: the
+    base-built quantizer seeds and the cell-assigned base members
+    (embedding, norm, label per cell) are STATIC relations (the
+    published index artifacts); delta vectors arrive as a stream, each
+    one routes to its base cell with PER-ROW column math (the
+    stream_ivf_assign trick — 1-row collect_list seed broadcast,
+    zip_with integer fold per seed, array_min over (d2, cell)
+    structs), and the stream-static cell join emits scored (arrival,
+    base-member) vote candidates in APPEND mode — no state at all.
+    The drained candidate table goes through the IDENTICAL top-K /
+    vote-count verdict tail as the batch operator, so the oracle is
+    LABEL_NOISE_INCREMENTAL_SQL verbatim.
+
+    Scale: per-arrival work is one seed fold (≈√N_base) plus one cell's
+    members (quantizer law ≈√N_base); nothing aggregates in-stream, so
+    re-delivery cannot corrupt state (there is none) and the sink is
+    verdict-relevant rows only."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.functions.vectors import dot, norm2
+    from capstone_etl_spark.operators.dedup import _is_delta
+    from capstone_etl_spark.operators.similarity import quantize_fp, quantizer_seeds
+    from capstone_etl_spark.operators.valuation import (
+        NOISE_K,
+        NOISE_MIN_VOTES,
+    )
+    from capstone_etl_spark.session import cached
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_emb_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        quant = quantize_fp()
+        emb_q = emb.select("vec_id", quant.alias("vq"))
+        seeds = quantizer_seeds(emb_q.filter(~_is_delta(F.col("vec_id"))))
+        # cached: the stream-static join re-evaluates the static side
+        # EVERY micro-batch (stream_ivf_assign's discipline)
+        seed_row = cached(
+            seeds.agg(F.collect_list(F.struct("cell", "sq")).alias("seedlist"))
+        )
+        d2_col = F.aggregate(
+            F.zip_with("vq", "sq", lambda x, y: (x - y) * (x - y)),
+            F.lit(0).cast("long"),
+            lambda acc, x: acc + x,
+        )
+        base_assign = (
+            emb_q.filter(~_is_delta(F.col("vec_id")))
+            .join(F.broadcast(seeds), F.lit(True))
+            .select("vec_id", "cell", d2_col.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cell")).alias("m"))
+            .select("vec_id", F.col("m.cell").alias("cell"))
+        )
+        members = cached(
+            base_assign.join(emb.select("vec_id", "embedding", "label"), "vec_id")
+            .select(
+                F.col("vec_id").alias("vec_b"),
+                "cell",
+                F.col("embedding").alias("ne"),
+                norm2("embedding").alias("nb"),
+                F.col("label").alias("lb"),
+            )
+        )
+
+        staging = f"{work}/staging"
+        emb.repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        d2_structs = F.transform(
+            F.col("seedlist"),
+            lambda s: F.struct(
+                F.aggregate(
+                    F.zip_with(F.col("vq"), s["sq"], lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("d2"),
+                s["cell"].alias("cell"),
+            ),
+        )
+        routed = (
+            stream.filter(_is_delta(F.col("vec_id")))
+            .select(
+                F.col("vec_id").alias("vec_a"),
+                F.col("embedding").alias("qe"),
+                norm2("embedding").alias("na"),
+                F.col("label").alias("la"),
+                quant.alias("vq"),
+            )
+            .join(F.broadcast(seed_row), F.lit(True))
+            .select(
+                "vec_a", "qe", "na", "la",
+                F.array_min(d2_structs)["cell"].alias("cell"),
+            )
+        )
+        pair_cos = F.when(
+            (F.col("na") > 0) & (F.col("nb") > 0),
+            dot("qe", "ne") / (F.col("na") * F.col("nb")),
+        ).otherwise(F.lit(None))
+        cands = routed.join(members, "cell").select(
+            "vec_a",
+            "vec_b",
+            F.round(pair_cos, 6).alias("sim"),
+            (F.col("la") == F.col("lb")).cast("int").alias("match"),
+        )
+        drained = run_to_memory(cands, f"{work}/checkpoint", output_mode="append")
+
+        # batch verdict tail over the drained candidate table
+        from pyspark.sql import Window
+
+        wv = Window.partitionBy("vec_a").orderBy(F.desc("sim"), F.asc("vec_b"))
+        votes = (
+            drained.withColumn("rnk", F.row_number().over(wv))
+            .filter(F.col("rnk") <= NOISE_K)
+            .groupBy("vec_a")
+            .agg(
+                F.count("*").alias("n_votes"),
+                F.sum("match").alias("n_agree"),
+            )
+            .withColumnRenamed("vec_a", "vec_id")
+        )
+        # delta rows with their routed cells, recomputed batch-side for
+        # the left join (cheap: |delta| rows against the seed broadcast)
+        delta_rows = (
+            emb_q.filter(_is_delta(F.col("vec_id")))
+            .join(F.broadcast(seeds), F.lit(True))
+            .select("vec_id", "cell", d2_col.alias("d2"))
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cell")).alias("m"))
+            .select("vec_id", F.col("m.cell").alias("cell"))
+            .join(emb.select("vec_id", "label"), "vec_id")
+        )
+        out = delta_rows.join(votes, "vec_id", "left").select(
+            "vec_id",
+            "label",
+            "cell",
+            F.coalesce(F.col("n_votes"), F.lit(0)).cast("long").alias("n_votes"),
+            F.coalesce(F.col("n_agree"), F.lit(0)).cast("long").alias("n_agree"),
+            F.round(
+                F.col("n_agree").cast("double") / F.col("n_votes"), 6
+            ).alias("agree_ratio"),
+        )
+        return out.withColumn(
+            "suspect",
+            (F.col("n_votes") >= NOISE_MIN_VOTES)
+            & (F.col("n_agree") * 2 < F.col("n_votes")),
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stream_label_noise_sql() -> str:
+    from capstone_etl_spark.operators.valuation import LABEL_NOISE_INCREMENTAL_SQL
+
+    return LABEL_NOISE_INCREMENTAL_SQL
+
+
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
     "stream_sliding_windows": stream_sliding_windows,
@@ -2525,6 +2688,7 @@ QUERIES = {
     "stream_bitext_mining": stream_bitext_mining,
     "stream_semantic_dedup_hier": stream_semantic_dedup_hier,
     "stream_hivf_cell_balance": stream_hivf_cell_balance,
+    "stream_label_noise": stream_label_noise,
 }
 
 ORACLE_SQL = {
@@ -2602,4 +2766,8 @@ ORACLE_SQL = {
     # the batch hier balance SQL verbatim: per-cell pops merge by
     # addition, so the drained dashboard equals the batch audit
     "stream_hivf_cell_balance": _stream_hivf_cell_balance_sql(),
+    # the batch delta-vs-base label screen SQL verbatim: the stream is
+    # stateless (append-mode vote candidates) and the verdict tail is
+    # shared, so the drained output equals the batch screen exactly
+    "stream_label_noise": _stream_label_noise_sql(),
 }

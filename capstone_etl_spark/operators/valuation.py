@@ -56,7 +56,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from capstone_etl_spark.functions.vectors import cosine, dot, norm2
+from capstone_etl_spark.functions.vectors import dot, norm2
 from capstone_etl_spark.operators.similarity import (
     _COSINE_SQL,
     _SEED_IDS_SQL,
@@ -103,16 +103,26 @@ def knn_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sort is per-test-point (Q parallel sorts of N, shuffled on
     test_id)."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms are per-VECTOR: computed once per side before the pair
+    # join, so each scored pair evaluates ONE array fold (the dot)
+    # instead of three — same doubles bit-for-bit (semantic_dedup's
+    # norm-precompute discipline)
     test = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("test_id"),
         F.col("embedding").alias("qe"),
+        norm2("embedding").alias("na"),
         F.col("label").alias("tl"),
     )
     train = emb.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("train_id"),
         F.col("embedding").alias("ne"),
+        norm2("embedding").alias("nb"),
         F.col("label").alias("nl"),
     )
+    pair_cos = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        dot("qe", "ne") / (F.col("na") * F.col("nb")),
+    ).otherwise(F.lit(None))
     scored = (
         F.broadcast(test)
         .crossJoin(train)
@@ -120,7 +130,7 @@ def knn_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "test_id",
             "train_id",
             F.col("nl").alias("label"),
-            F.round(cosine("qe", "ne"), 6).alias("sim"),
+            F.round(pair_cos, 6).alias("sim"),
             (F.col("tl") == F.col("nl")).cast("int").alias("agree"),
         )
     )
@@ -350,6 +360,164 @@ LEFT JOIN votes v ON v.vec_a = s.vec_id
 
 
 # ---------------------------------------------------------------------
+# label_noise_incremental
+# ---------------------------------------------------------------------
+
+def label_noise_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """label_noise_audit's delta-vs-base form — the shape a production
+    pipeline consumes the screen in: the quantizer index is built from
+    the BASE corpus only (the published artifact; seeds hash-sampled
+    from base ids, dedup's salted 10% bucket marks "today's arrivals"),
+    every vector routes to a base cell, and each DELTA vector's
+    NOISE_K nearest BASE cell-mates vote on its label. Output one row
+    per delta vector — label_noise_audit's exact schema, so a consumer
+    swaps rebuild for maintenance without changing shape.
+
+    Scale: candidate work is |delta| × (base cell population) — the
+    quantizer law bounds the cell side, the delta predicate is a pure
+    vec_id expression (no join to tag rows), and the base assignment
+    (here recomputed for self-containedness) is the committed index
+    relation in the 100 TB shape."""
+    from capstone_etl_spark.operators.dedup import _is_delta
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_q = emb.select("vec_id", quantize_fp().alias("vq"))
+    seeds = quantizer_seeds(emb_q.filter(~_is_delta(F.col("vec_id"))))
+    d2_col = F.aggregate(
+        F.zip_with("vq", "sq", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assign = (
+        emb_q.join(F.broadcast(seeds), F.lit(True))
+        .select("vec_id", "cell", d2_col.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
+        .transform(cached)
+    )
+    withv = assign.join(
+        emb.select("vec_id", "embedding", "label"), "vec_id"
+    ).withColumn("nrm", norm2("embedding"))
+    delta_side = withv.filter(_is_delta(F.col("vec_id"))).select(
+        F.col("vec_id").alias("vec_a"), "cell",
+        F.col("embedding").alias("qe"), F.col("nrm").alias("na"),
+        F.col("label").alias("la"),
+    )
+    base_side = withv.filter(~_is_delta(F.col("vec_id"))).select(
+        F.col("vec_id").alias("vec_b"), "cell",
+        F.col("embedding").alias("ne"), F.col("nrm").alias("nb"),
+        F.col("label").alias("lb"),
+    )
+    pair_cos = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        dot("qe", "ne") / (F.col("na") * F.col("nb")),
+    ).otherwise(F.lit(None))
+    wv = Window.partitionBy("vec_a").orderBy(F.desc("sim"), F.asc("vec_b"))
+    votes = (
+        delta_side.join(base_side, "cell")
+        .select(
+            "vec_a", "vec_b",
+            F.round(pair_cos, 6).alias("sim"),
+            (F.col("la") == F.col("lb")).cast("int").alias("match"),
+        )
+        .withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") <= NOISE_K)
+        .groupBy("vec_a")
+        .agg(
+            F.count("*").alias("n_votes"),
+            F.sum("match").alias("n_agree"),
+        )
+        .withColumnRenamed("vec_a", "vec_id")
+    )
+    out = (
+        withv.filter(_is_delta(F.col("vec_id")))
+        .select("vec_id", "label", "cell")
+        .join(votes, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            F.coalesce(F.col("n_votes"), F.lit(0)).cast("long").alias("n_votes"),
+            F.coalesce(F.col("n_agree"), F.lit(0)).cast("long").alias("n_agree"),
+            F.round(
+                F.col("n_agree").cast("double") / F.col("n_votes"), 6
+            ).alias("agree_ratio"),
+        )
+    )
+    return out.withColumn(
+        "suspect",
+        (F.col("n_votes") >= NOISE_MIN_VOTES)
+        & (F.col("n_agree") * 2 < F.col("n_votes")),
+    )
+
+
+def _label_noise_incremental_sql() -> str:
+    from capstone_etl_spark.operators.dedup import _delta_pred_sql
+    from capstone_etl_spark.functions.hashing import md5_hash60_sql
+    from capstone_etl_spark.operators.similarity import HASH_SPACE_INT
+
+    delta = _delta_pred_sql("vec_id")
+    # base-only quantizer seeds: _SEED_IDS_SQL's structure with the
+    # hash threshold / min-hash fallback computed over the BASE subset
+    base_seeds = f"""hseed AS (
+  SELECT vec_id, {md5_hash60_sql("CAST(vec_id AS VARCHAR)")} AS h
+  FROM embeddings WHERE NOT {delta}
+), seed_ids AS (
+  SELECT vec_id FROM hseed
+  WHERE h < CAST(floor(CAST({HASH_SPACE_INT} AS DOUBLE)
+                 / sqrt(GREATEST((SELECT COUNT(*) FROM embeddings WHERE NOT {delta}), 1))) AS BIGINT)
+     OR vec_id = (SELECT vec_id FROM hseed ORDER BY h, vec_id LIMIT 1)
+)"""
+    cos = _COSINE_SQL.replace("qe", "ea.embedding").replace("ne", "eb.embedding")
+    return f"""
+WITH by_dim AS (
+  SELECT vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
+), {base_seeds}, seeds AS (
+  SELECT b.vec_id AS cell, b.d, b.vs AS ss
+  FROM by_dim b JOIN seed_ids si ON si.vec_id = b.vec_id
+), d2 AS (
+  SELECT v.vec_id, s.cell, CAST(SUM((v.vs - s.ss) * (v.vs - s.ss)) AS BIGINT) AS d2
+  FROM by_dim v JOIN seeds s ON s.d = v.d GROUP BY 1, 2
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS arnk FROM d2
+  ) t WHERE arnk = 1
+), pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         ROUND({cos}, 6) AS sim,
+         CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END AS match
+  FROM assign a JOIN assign b ON a.cell = b.cell
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  WHERE {_delta_pred_sql("a.vec_id")} AND NOT {_delta_pred_sql("b.vec_id")}
+), votes AS (
+  SELECT vec_a, COUNT(*) AS n_votes, SUM(match) AS n_agree
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY sim DESC, vec_b) AS rnk
+    FROM pairs
+  ) t WHERE rnk <= {NOISE_K}
+  GROUP BY vec_a
+)
+SELECT s.vec_id, e.label, s.cell,
+       COALESCE(v.n_votes, 0) AS n_votes,
+       COALESCE(v.n_agree, 0) AS n_agree,
+       ROUND(CAST(v.n_agree AS DOUBLE) / v.n_votes, 6) AS agree_ratio,
+       COALESCE(v.n_votes, 0) >= {NOISE_MIN_VOTES}
+         AND COALESCE(v.n_agree, 0) * 2 < COALESCE(v.n_votes, 0) AS suspect
+FROM assign s
+JOIN embeddings e ON e.vec_id = s.vec_id
+LEFT JOIN votes v ON v.vec_a = s.vec_id
+WHERE {_delta_pred_sql("s.vec_id")}
+"""
+
+
+LABEL_NOISE_INCREMENTAL_SQL = _label_noise_incremental_sql()
+
+
+# ---------------------------------------------------------------------
 # kcenter_coreset
 # ---------------------------------------------------------------------
 
@@ -367,7 +535,11 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy-min per vector, and a 1-row TakeOrdered pick (cached —
     each round's pick is one row, the CC-loop O(1)-driver-data
     discipline). K is fixed: the whole operator is K linear passes."""
-    emb = cached(load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding"))
+    emb = cached(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id", "embedding", norm2("embedding").alias("nrm")
+        )
+    )
     # every round's 1-row pick is checkpoint-truncated: round r's plan
     # embeds acc_{r-1} in BOTH the anti-join and the distance scan, so
     # an untruncated loop grows the printed/compiled tree exponentially
@@ -379,17 +551,27 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_id",
             "embedding",
+            "nrm",
             F.lit(1).cast("int").alias("rnd"),
             F.lit(None).cast("double").alias("radius"),
         )
     )
+    # norms ride as columns (one fold per pair — the norm-precompute
+    # discipline); same doubles as the oracle's sqrt-product quotient
+    pair_cos = F.when(
+        (F.col("nrm") > 0) & (F.col("sn") > 0),
+        dot("embedding", "se") / (F.col("nrm") * F.col("sn")),
+    ).otherwise(F.lit(None))
     for r in range(2, KCENTER_K + 1):
         rem = emb.join(acc.select("vec_id"), "vec_id", "left_anti")
         scored = rem.join(
-            F.broadcast(acc.select(F.col("embedding").alias("se"))), F.lit(True)
+            F.broadcast(
+                acc.select(F.col("embedding").alias("se"), F.col("nrm").alias("sn"))
+            ),
+            F.lit(True),
         ).select(
             "vec_id",
-            (F.lit(1.0) - F.round(cosine("embedding", "se"), 6)).alias("d"),
+            (F.lit(1.0) - F.round(pair_cos, 6)).alias("d"),
         )
         pick = checkpoint_truncate(
             scored.groupBy("vec_id")
@@ -400,6 +582,7 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "vec_id",
                 "embedding",
+                "nrm",
                 F.lit(r).cast("int").alias("rnd"),
                 F.round(F.col("mind"), 6).alias("radius"),
             )
@@ -455,30 +638,48 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a per-query ROW_NUMBER pick. Nothing after the retrieve
     touches the corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
+    # norms ride as columns through the candidate lists (one fold per
+    # scored pair — the norm-precompute discipline)
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("qe"),
+        norm2("embedding").alias("qn"),
     )
     corpus = emb.select(
-        F.col("vec_id").alias("cid"), F.col("embedding").alias("ce")
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").alias("ce"),
+        norm2("embedding").alias("cn"),
     )
+    rel_cos = F.when(
+        (F.col("qn") > 0) & (F.col("cn") > 0),
+        dot("qe", "ce") / (F.col("qn") * F.col("cn")),
+    ).otherwise(F.lit(None))
     wq = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cid"))
     cand = cached(
         F.broadcast(q)
         .crossJoin(corpus)
         .filter(F.col("cid") != F.col("query_id"))
-        .select(
-            "query_id", "cid", "ce", F.round(cosine("qe", "ce"), 6).alias("rel")
-        )
+        .select("query_id", "cid", "ce", "cn", F.round(rel_cos, 6).alias("rel"))
         .withColumn("crk", F.row_number().over(wq))
         .filter(F.col("crk") <= MMR_CANDS)
         .drop("crk")
     )
-    pa = cand.select("query_id", F.col("cid").alias("ca"), F.col("ce").alias("ea"))
-    pb = cand.select("query_id", F.col("cid").alias("cb"), F.col("ce").alias("eb"))
+    pa = cand.select(
+        "query_id", F.col("cid").alias("ca"),
+        F.col("ce").alias("ea"), F.col("cn").alias("na"),
+    )
+    pb = cand.select(
+        "query_id", F.col("cid").alias("cb"),
+        F.col("ce").alias("eb"), F.col("cn").alias("nb"),
+    )
+    pair_cos = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        dot("ea", "eb") / (F.col("na") * F.col("nb")),
+    ).otherwise(F.lit(None))
     ps = cached(
         pa.join(pb, "query_id")
         .filter(F.col("ca") != F.col("cb"))
-        .select("query_id", "ca", "cb", F.round(cosine("ea", "eb"), 6).alias("s"))
+        .select("query_id", "ca", "cb", F.round(pair_cos, 6).alias("s"))
     )
     # per-round picks are checkpoint-truncated (≤Q rows each): round
     # k's plan embeds acc_{k-1} twice (anti-join + selected-side join),
@@ -578,6 +779,7 @@ MMR_DIVERSIFIED_TOPK_SQL = _mmr_sql()
 QUERIES = {
     "knn_shapley_values": knn_shapley_values,
     "label_noise_audit": label_noise_audit,
+    "label_noise_incremental": label_noise_incremental,
     "kcenter_coreset": kcenter_coreset,
     "mmr_diversified_topk": mmr_diversified_topk,
 }
@@ -585,6 +787,7 @@ QUERIES = {
 ORACLE_SQL = {
     "knn_shapley_values": KNN_SHAPLEY_VALUES_SQL,
     "label_noise_audit": LABEL_NOISE_AUDIT_SQL,
+    "label_noise_incremental": LABEL_NOISE_INCREMENTAL_SQL,
     "kcenter_coreset": KCENTER_CORESET_SQL,
     "mmr_diversified_topk": MMR_DIVERSIFIED_TOPK_SQL,
 }

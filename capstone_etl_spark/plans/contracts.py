@@ -399,6 +399,18 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "retrieve; every MMR round then touches only the C=20-per-"
         "query cached candidate lists (valuation.py)"
     ),
+    "label_noise_incremental": (
+        "the base-built ~sqrt(N) quantizer-seed broadcast + 1-row "
+        "corpus-stats broadcast (quantizer_seeds over the base "
+        "subset); the delta-vs-base vote stage is a cell equi-join, "
+        "candidate volume |delta| x cell population (valuation.py)"
+    ),
+    "stream_label_noise": (
+        "inherits label_noise_incremental's base-seed / 1-row stats "
+        "broadcasts (the static index side and the delta-row batch "
+        "tail); in-stream routing is the 1-row collect_list seed "
+        "broadcast, per-row math, zero state (streaming_queries.py)"
+    ),
 }
 
 # NOTE: conversion_model_calibration and logistic_conversion_model are
@@ -644,4 +656,5 @@ HEADLINE: list[str] = [
     "label_noise_audit",
     "kcenter_coreset",
     "mmr_diversified_topk",
+    "label_noise_incremental",
 ]

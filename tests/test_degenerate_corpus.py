@@ -341,6 +341,10 @@ EMB_NAMES = [
     # round 9 valuation: all sims tie at 1.0 → every round's pick is a
     # pure cid tiebreak; rounds beyond the candidate count go empty
     "mmr_diversified_topk",
+    # round 9 valuation: the salted delta bucket may select none/all of
+    # the 3 ids — both engines must agree on the (possibly empty)
+    # delta verdict set with every sim tied at 1.0
+    "label_noise_incremental",
 ]
 
 

@@ -275,6 +275,67 @@ def test_label_noise_flags_planted_mislabels(spark, tmp_path):
     assert len(clean_flagged) <= len(voted) * 0.02, clean_flagged[:10]
 
 
+def test_label_noise_incremental_votes_from_base_only(spark, tmp_path):
+    """Delta-vs-base semantics: every verdict row is a delta vector,
+    and on a planted fixture the delta mislabels are flagged by their
+    base cluster-mates."""
+    from capstone_etl_spark.operators.dedup import _is_delta
+    from capstone_etl_spark.operators.valuation import label_noise_incremental
+    from pyspark.sql import functions as F
+
+    rows = []
+    n_clusters, per = 10, 60
+    for i in range(n_clusters * per):
+        k = i % n_clusters
+        center = [1.0 if d == 6 * k else 0.0 for d in range(DIM)]
+        noise = [((i * 131 + d * 17) % 101) / 101.0 * 0.02 - 0.01 for d in range(DIM)]
+        rows.append((i, [float(c + x) for c, x in zip(center, noise)], k))
+    sf = _write_embeddings(spark, tmp_path, rows)
+    # which ids are delta under the engine's salted predicate
+    emb = spark.createDataFrame(
+        [(i,) for i, _, _ in rows], "vec_id long"
+    )
+    delta_ids = {
+        r["vec_id"]
+        for r in emb.filter(_is_delta(F.col("vec_id"))).collect()
+    }
+    # plant mislabels on a few DELTA ids (rewrite the fixture)
+    planted = sorted(delta_ids)[:4]
+    rows = [
+        (i, v, (l + 3) % n_clusters if i in planted else l) for i, v, l in rows
+    ]
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = {r["vec_id"]: r for r in label_noise_incremental(spark, sf).collect()}
+    release_caches()
+    assert set(out) == delta_ids
+    for i in planted:
+        if out[i]["n_votes"] >= NOISE_MIN_VOTES:
+            assert out[i]["suspect"], f"planted delta mislabel {i} not flagged"
+
+
+def test_stream_label_noise_equals_batch(spark, tmp_path):
+    """Drain-equality: the ingest twin's output equals the batch
+    delta-vs-base screen row-for-row on a clustered fixture."""
+    from capstone_etl_spark.operators.streaming_queries import stream_label_noise
+    from capstone_etl_spark.operators.valuation import label_noise_incremental
+
+    rows = []
+    for i in range(400):
+        k = i % 8
+        center = [1.0 if d == 8 * k else 0.0 for d in range(DIM)]
+        noise = [((i * 53 + d * 29) % 97) / 97.0 * 0.03 for d in range(DIM)]
+        rows.append((i, [float(c + x) for c, x in zip(center, noise)], k % 3))
+    sf = _write_embeddings(spark, tmp_path, rows)
+    batch = sorted(
+        map(tuple, label_noise_incremental(spark, sf).collect())
+    )
+    release_caches()
+    stream = sorted(map(tuple, stream_label_noise(spark, sf).collect()))
+    release_caches()
+    assert stream == batch
+    assert batch, "fixture produced no delta verdicts"
+
+
 def test_label_noise_oracle_parity_on_fixture(spark, tmp_path):
     """Fixture-level DuckDB parity for the blocking-dependent operator
     (the sf0.01 gate covers the real tables; this pins agreement on
