@@ -295,6 +295,10 @@ HEADLINE = [
     # stateless ingest twin (per-row routing against the static index).
     "label_noise_incremental",
     "stream_label_noise",
+    # r9 valuation (cont.): the coreset's assignment-health audit and
+    # the per-dimension encoder-drift screen (one DIM-group aggregate).
+    "coreset_coverage_audit",
+    "embedding_shift_audit",
 ]
 
 

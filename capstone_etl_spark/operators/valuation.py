@@ -135,6 +135,7 @@ def knn_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     w = Window.partitionBy("test_id").orderBy(F.desc("sim"), F.asc("train_id"))
+    wfull = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     ranked = scored.select(
         "test_id",
         "train_id",
@@ -143,9 +144,7 @@ def knn_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.row_number().over(w).alias("rnk"),
         F.lead("agree").over(w).alias("agree_next"),
         F.count("*").over(Window.partitionBy("test_id")).alias("n"),
-        F.last("agree").over(
-            w.rowsBetween(Window.currentRow, Window.unboundedFollowing)
-        ).alias("agree_last"),
+        F.last("agree").over(wfull).alias("agree_last"),
     )
     g = (
         (F.col("agree") - F.col("agree_next"))
@@ -162,16 +161,24 @@ def knn_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(20,12)")
         .alias("base"),
     )
-    wsuf = (
-        Window.partitionBy("test_id")
-        .orderBy("rnk")
-        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
-    )
+    # Suffix sums computed as total - prefix + own term: Spark has NO
+    # reverse-running frame — a [current, unbounded following] SUM
+    # frame recomputes the aggregate per row, O(N²) per partition
+    # (measured: scale exponent 1.54 at the 10× point before this
+    # rewrite, 2 min at 20k vectors). The running-prefix and
+    # whole-partition frames are both O(N); all terms are exact
+    # decimals, so total - prefix + g is bit-identical to the direct
+    # suffix sum the oracle computes.
+    wo = Window.partitionBy("test_id").orderBy("rnk")
+    wrun = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wall = wo.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     per_test = terms.select(
         "test_id",
         "train_id",
         "label",
-        (F.sum("g").over(wsuf) + F.col("base")).alias("shap_tt"),
+        (
+            F.sum("g").over(wall) - F.sum("g").over(wrun) + F.col("g") + F.col("base")
+        ).alias("shap_tt"),
     )
     # No global value_rank column: ranking N corpus rows is a global
     # single-partition window — the consumer sorts or top-k's instead.
@@ -521,20 +528,11 @@ LABEL_NOISE_INCREMENTAL_SQL = _label_noise_incremental_sql()
 # kcenter_coreset
 # ---------------------------------------------------------------------
 
-def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Greedy k-center coreset (Gonzalez's 2-approximation — the
-    farthest-point selector behind coreset data pruning): seed with
-    the minimum vec_id, then KCENTER_K-1 rounds of "the point whose
-    distance to the selected set is largest" (d = 1 - ROUND(cos,6);
-    argmax tiebreaks on the smaller id). `radius` is the covering
-    radius the pick closed — the selection-time max-min distance — and
-    decreases (weakly) round over round.
-
-    Plan per round: corpus ⟕anti selected (id equi-join), one
-    map-side crossJoin against the ≤K-row selected broadcast, a
-    groupBy-min per vector, and a 1-row TakeOrdered pick (cached —
-    each round's pick is one row, the CC-loop O(1)-driver-data
-    discipline). K is fixed: the whole operator is K linear passes."""
+def _kcenter_select(spark: SparkSession, sf_dir: str):
+    """The greedy selection chain shared by kcenter_coreset and
+    coreset_coverage_audit: returns (emb, acc) where emb is the cached
+    (vec_id, embedding, nrm) corpus and acc the KCENTER_K selected
+    rows (vec_id, embedding, nrm, rnd, radius)."""
     emb = cached(
         load_table(spark, sf_dir, "embeddings").select(
             "vec_id", "embedding", norm2("embedding").alias("nrm")
@@ -588,10 +586,32 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         acc = acc.unionByName(pick)
+    return emb, acc
+
+
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy k-center coreset (Gonzalez's 2-approximation — the
+    farthest-point selector behind coreset data pruning): seed with
+    the minimum vec_id, then KCENTER_K-1 rounds of "the point whose
+    distance to the selected set is largest" (d = 1 - ROUND(cos,6);
+    argmax tiebreaks on the smaller id). `radius` is the covering
+    radius the pick closed — the selection-time max-min distance — and
+    decreases (weakly) round over round.
+
+    Plan per round: corpus ⟕anti selected (id equi-join), one
+    map-side crossJoin against the ≤K-row selected broadcast, a
+    groupBy-min per vector, and a 1-row TakeOrdered pick
+    (checkpoint-truncated — each round's pick is one row, the CC-loop
+    O(1)-driver-data discipline). K is fixed: the whole operator is K
+    linear passes."""
+    _, acc = _kcenter_select(spark, sf_dir)
     return acc.select("vec_id", "rnd", "radius")
 
 
-def _kcenter_coreset_sql() -> str:
+def _kcenter_ctes() -> str:
+    """The greedy-selection WITH-chain, shared by kcenter_coreset and
+    coreset_coverage_audit; the final accumulated relation is
+    a{KCENTER_K} (vec_id, embedding, rnd, radius)."""
     cos = _COSINE_SQL.replace("qe", "e.embedding").replace("ne", "a.embedding")
     parts = [
         "WITH e AS (SELECT vec_id, embedding FROM embeddings)",
@@ -613,11 +633,188 @@ def _kcenter_coreset_sql() -> str:
             f"  ORDER BY d.mind DESC, d.vec_id LIMIT 1)"
         )
         parts.append(f"a{r} AS (SELECT * FROM a{p} UNION ALL SELECT * FROM s{r})")
-    ctes = parts[0] + ", " + ", ".join(parts[1:])
-    return f"{ctes} SELECT vec_id, rnd, radius FROM a{KCENTER_K}"
+    return parts[0] + ", " + ", ".join(parts[1:])
 
 
-KCENTER_CORESET_SQL = _kcenter_coreset_sql()
+KCENTER_CORESET_SQL = f"{_kcenter_ctes()} SELECT vec_id, rnd, radius FROM a{KCENTER_K}"
+
+
+def coreset_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The coreset's operational health audit (ivf_cell_balance's role
+    for the k-center index): assign EVERY vector to its nearest
+    selected center (d = 1 - ROUND(cos,6), argmin tiebreak on
+    center_id) and report per-center population, corpus share, mean
+    and max assigned distance — max_d over all centers IS the in-use
+    covering radius, the quantity greedy k-center 2-approximates.
+
+    Plan: one map-side crossJoin of the corpus against the KCENTER_K-
+    row center broadcast, a groupBy-min argmin per vector, and a
+    K-group aggregate; mean_d sums DECIMAL(20,12)-snapped distances
+    (exact, order-free) and divides once. The selection chain itself
+    is kcenter_coreset's (self-contained query form — in production
+    the centers are a committed table)."""
+    emb, acc = _kcenter_select(spark, sf_dir)
+    centers = acc.select(
+        F.col("vec_id").alias("center_id"),
+        F.col("embedding").alias("se"),
+        F.col("nrm").alias("sn"),
+    )
+    pair_cos = F.when(
+        (F.col("nrm") > 0) & (F.col("sn") > 0),
+        dot("embedding", "se") / (F.col("nrm") * F.col("sn")),
+    ).otherwise(F.lit(None))
+    assigned = (
+        emb.join(F.broadcast(centers), F.lit(True))
+        .select(
+            "vec_id",
+            "center_id",
+            (F.lit(1.0) - F.round(pair_cos, 6)).alias("d"),
+        )
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d", "center_id")).alias("m"))
+        .select("vec_id", F.col("m.center_id").alias("center_id"), F.col("m.d").alias("d"))
+    )
+    total = emb.agg(F.count("*").alias("total"))
+    return (
+        assigned.groupBy("center_id")
+        .agg(
+            F.count("*").cast("long").alias("pop"),
+            F.sum(F.col("d").cast("decimal(20,12)")).alias("sum_d"),
+            F.max("d").alias("max_d"),
+        )
+        .join(F.broadcast(total), F.lit(True))
+        .select(
+            "center_id",
+            "pop",
+            (F.col("pop") / F.col("total")).alias("share"),
+            (F.col("sum_d").cast("double") / F.col("pop")).alias("mean_d"),
+            "max_d",
+        )
+    )
+
+
+CORESET_COVERAGE_AUDIT_SQL = f"""{_kcenter_ctes()}, centers AS (
+  SELECT vec_id AS center_id, embedding AS ce FROM a{KCENTER_K}
+), scored AS (
+  SELECT e.vec_id, c.center_id,
+         1.0 - ROUND({_COSINE_SQL.replace('qe', 'e.embedding').replace('ne', 'c.ce')}, 6) AS d
+  FROM e CROSS JOIN centers c
+), assigned AS (
+  SELECT vec_id, center_id, d FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d, center_id) AS arnk
+    FROM scored
+  ) t WHERE arnk = 1
+)
+SELECT center_id, CAST(COUNT(*) AS BIGINT) AS pop,
+       CAST(COUNT(*) AS DOUBLE) / (SELECT COUNT(*) FROM e) AS share,
+       CAST(SUM(CAST(d AS DECIMAL(20,12))) AS DOUBLE) / COUNT(*) AS mean_d,
+       MAX(d) AS max_d
+FROM assigned GROUP BY center_id
+"""
+
+
+# ---------------------------------------------------------------------
+# embedding_shift_audit
+# ---------------------------------------------------------------------
+
+def embedding_shift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoder-drift screen: per-dimension distribution shift of the
+    DELTA batch against the BASE corpus (dedup's salted arrival
+    bucket). For every dimension d: base/delta counts and means, the
+    raw mean shift, the base population sd, and the standardized
+    shift ROUND(shift / sd, 6) — the dashboard that catches a swapped
+    or fine-tuned encoder version before its vectors pollute the
+    index (cells, PQ codebooks and calibrated thresholds all assume
+    the base distribution).
+
+    Determinism: per-dim sums and sums-of-squares snap each term to
+    DECIMAL(20,12) (exact, order-free); means/variance/sd are then
+    identical IEEE expression trees in both engines. Scale: one
+    map-side posexplode and ONE aggregate with DIM groups — partial
+    (map-side) combine collapses the per-partition volume to DIM rows
+    before the shuffle, so the 64-group key skew is irrelevant."""
+    from capstone_etl_spark.operators.dedup import _is_delta
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    xs = emb.select(
+        _is_delta(F.col("vec_id")).alias("is_delta"),
+        F.posexplode("embedding").alias("d", "xf"),
+    ).select(
+        "is_delta",
+        "d",
+        F.col("xf").cast("double").alias("x"),
+    )
+    dec = lambda c: c.cast("decimal(20,12)")  # noqa: E731
+    agg = xs.groupBy("d").agg(
+        F.sum(F.when(~F.col("is_delta"), 1).otherwise(0)).cast("long").alias("n_base"),
+        F.sum(F.when(F.col("is_delta"), 1).otherwise(0)).cast("long").alias("n_delta"),
+        F.sum(F.when(~F.col("is_delta"), dec(F.col("x"))).otherwise(F.lit(None))).alias("sum_b"),
+        F.sum(F.when(F.col("is_delta"), dec(F.col("x"))).otherwise(F.lit(None))).alias("sum_d"),
+        F.sum(
+            F.when(~F.col("is_delta"), dec(F.col("x") * F.col("x"))).otherwise(F.lit(None))
+        ).alias("ssq_b"),
+    )
+    # every derived column rounds to 6 decimals (token_entropy's
+    # per-dim-mean recipe): the exact decimal sums convert to double
+    # differently at the last ulp across engines (DuckDB scales the
+    # int128 by a binary-inexact 1e-12; Spark's BigDecimal conversion
+    # is correctly rounded), so raw quotients can differ by ~2e-15
+    base_mean = F.round(F.col("sum_b").cast("double") / F.col("n_base"), 6)
+    delta_mean = F.round(F.col("sum_d").cast("double") / F.col("n_delta"), 6)
+    base_var = (
+        F.col("ssq_b").cast("double") / F.col("n_base") - base_mean * base_mean
+    )
+    base_sd = F.round(F.sqrt(F.greatest(base_var, F.lit(0.0))), 6)
+    shift = F.round(delta_mean - base_mean, 6)
+    return agg.select(
+        "d",
+        "n_base",
+        "n_delta",
+        base_mean.alias("base_mean"),
+        delta_mean.alias("delta_mean"),
+        shift.alias("shift"),
+        base_sd.alias("base_sd"),
+        F.when(base_sd > 0, F.round(shift / base_sd, 6)).alias("std_shift"),
+    )
+
+
+def _embedding_shift_audit_sql() -> str:
+    from capstone_etl_spark.operators.dedup import _delta_pred_sql
+
+    delta = _delta_pred_sql("vec_id")
+    return f"""
+WITH xs AS (
+  SELECT {delta} AS is_delta, d,
+         CAST(embedding[d + 1] AS DOUBLE) AS x
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
+), agg AS (
+  SELECT d,
+         CAST(SUM(CASE WHEN NOT is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_base,
+         CAST(SUM(CASE WHEN is_delta THEN 1 ELSE 0 END) AS BIGINT) AS n_delta,
+         SUM(CASE WHEN NOT is_delta THEN CAST(x AS DECIMAL(20,12)) END) AS sum_b,
+         SUM(CASE WHEN is_delta THEN CAST(x AS DECIMAL(20,12)) END) AS sum_d,
+         SUM(CASE WHEN NOT is_delta THEN CAST(x * x AS DECIMAL(20,12)) END) AS ssq_b
+  FROM xs GROUP BY d
+)
+, means AS (
+  SELECT d, n_base, n_delta,
+         ROUND(CAST(sum_b AS DOUBLE) / n_base, 6) AS base_mean,
+         ROUND(CAST(sum_d AS DOUBLE) / n_delta, 6) AS delta_mean,
+         CAST(ssq_b AS DOUBLE) / n_base AS msq_b
+  FROM agg
+), derived AS (
+  SELECT d, n_base, n_delta, base_mean, delta_mean,
+         ROUND(delta_mean - base_mean, 6) AS shift,
+         ROUND(sqrt(GREATEST(msq_b - base_mean * base_mean, 0.0)), 6) AS base_sd
+  FROM means
+)
+SELECT d, n_base, n_delta, base_mean, delta_mean, shift, base_sd,
+       CASE WHEN base_sd > 0 THEN ROUND(shift / base_sd, 6) END AS std_shift
+FROM derived
+"""
+
+
+EMBEDDING_SHIFT_AUDIT_SQL = _embedding_shift_audit_sql()
 
 
 # ---------------------------------------------------------------------
@@ -781,6 +978,8 @@ QUERIES = {
     "label_noise_audit": label_noise_audit,
     "label_noise_incremental": label_noise_incremental,
     "kcenter_coreset": kcenter_coreset,
+    "coreset_coverage_audit": coreset_coverage_audit,
+    "embedding_shift_audit": embedding_shift_audit,
     "mmr_diversified_topk": mmr_diversified_topk,
 }
 
@@ -789,5 +988,7 @@ ORACLE_SQL = {
     "label_noise_audit": LABEL_NOISE_AUDIT_SQL,
     "label_noise_incremental": LABEL_NOISE_INCREMENTAL_SQL,
     "kcenter_coreset": KCENTER_CORESET_SQL,
+    "coreset_coverage_audit": CORESET_COVERAGE_AUDIT_SQL,
+    "embedding_shift_audit": EMBEDDING_SHIFT_AUDIT_SQL,
     "mmr_diversified_topk": MMR_DIVERSIFIED_TOPK_SQL,
 }

@@ -411,6 +411,12 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "tail); in-stream routing is the 1-row collect_list seed "
         "broadcast, per-row math, zero state (streaming_queries.py)"
     ),
+    "coreset_coverage_audit": (
+        "inherits kcenter_coreset's per-round <=K-row selected "
+        "broadcasts; the assignment pass is one crossJoin against the "
+        "KCENTER_K-row center broadcast + a 1-row corpus-total "
+        "broadcast for the share column (valuation.py)"
+    ),
 }
 
 # NOTE: conversion_model_calibration and logistic_conversion_model are
@@ -657,4 +663,6 @@ HEADLINE: list[str] = [
     "kcenter_coreset",
     "mmr_diversified_topk",
     "label_noise_incremental",
+    "coreset_coverage_audit",
+    "embedding_shift_audit",
 ]

@@ -345,6 +345,12 @@ EMB_NAMES = [
     # the 3 ids — both engines must agree on the (possibly empty)
     # delta verdict set with every sim tied at 1.0
     "label_noise_incremental",
+    # round 9 valuation: 3 identical vectors → every center distance
+    # ties at 0; the (d, center_id) argmin must agree in both engines
+    "coreset_coverage_audit",
+    # round 9 valuation: identical vectors → per-dim base_sd exactly 0
+    # → std_shift NULL in both engines (the degenerate-sd branch)
+    "embedding_shift_audit",
 ]
 
 

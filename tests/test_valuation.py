@@ -172,6 +172,58 @@ def test_kcenter_covers_clusters(spark, tmp_path):
     assert len(clusters) == KCENTER_K
 
 
+def test_coreset_coverage_partitions_corpus(spark, tmp_path):
+    """The audit's populations partition the corpus; every center's
+    max_d is within the fixture geometry (orthogonal clusters →
+    in-cluster distance << cross-cluster), and shares sum to 1."""
+    from capstone_etl_spark.operators.valuation import coreset_coverage_audit
+
+    rows = []
+    n = KCENTER_K * 10
+    for i in range(n):
+        k = i % KCENTER_K
+        center = [1.0 if d == 8 * k else 0.0 for d in range(DIM)]
+        noise = [((i * 37 + d * 11) % 101) / 101.0 * 0.01 for d in range(DIM)]
+        rows.append((i, [float(c + x) for c, x in zip(center, noise)], k))
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = coreset_coverage_audit(spark, sf).collect()
+    release_caches()
+    assert len(out) == KCENTER_K
+    assert sum(r["pop"] for r in out) == n
+    assert sum(r["share"] for r in out) == pytest.approx(1.0, abs=1e-12)
+    for r in out:
+        assert 0.0 <= r["mean_d"] <= r["max_d"]
+        # a center covers only its own orthogonal cluster here
+        assert r["max_d"] < 0.1
+
+
+def test_embedding_shift_detects_planted_dim_shift(spark, tmp_path):
+    """Shift one dimension of every DELTA vector by +0.5: that dim's
+    std_shift dominates and the untouched dims stay near zero."""
+    from capstone_etl_spark.operators.dedup import _is_delta
+    from capstone_etl_spark.operators.valuation import embedding_shift_audit
+    from pyspark.sql import functions as F
+
+    ids = spark.createDataFrame([(i,) for i in range(500)], "vec_id long")
+    delta_ids = {
+        r["vec_id"] for r in ids.filter(_is_delta(F.col("vec_id"))).collect()
+    }
+    rows = []
+    for i in range(500):
+        v = [math.sin(0.13 * i * (d + 1)) * 0.3 for d in range(DIM)]
+        if i in delta_ids:
+            v[7] += 0.5
+        rows.append((i, v, 0))
+    sf = _write_embeddings(spark, tmp_path, rows)
+    out = {r["d"]: r for r in embedding_shift_audit(spark, sf).collect()}
+    release_caches()
+    assert len(out) == DIM
+    assert out[7]["std_shift"] > 1.5, out[7]
+    others = [abs(r["std_shift"]) for d, r in out.items() if d != 7]
+    assert max(others) < 0.5
+    assert all(r["n_base"] + r["n_delta"] == 500 for r in out.values())
+
+
 # ---------------------------------------------------------------- mmr
 
 def test_mmr_matches_reference_loop(spark, tmp_path):
