@@ -299,6 +299,10 @@ HEADLINE = [
     # the per-dimension encoder-drift screen (one DIM-group aggregate).
     "coreset_coverage_audit",
     "embedding_shift_audit",
+    # r9 valuation (cont.): the drift screen and coverage dashboard at
+    # ingest — DIM-row and KCENTER_K-row state stores respectively.
+    "stream_embedding_shift",
+    "stream_coreset_coverage",
 ]
 
 

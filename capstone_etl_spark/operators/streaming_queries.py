@@ -2650,6 +2650,201 @@ def _stream_label_noise_sql() -> str:
     return LABEL_NOISE_INCREMENTAL_SQL
 
 
+def stream_embedding_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODER-DRIFT screening at INGEST — valuation.
+    embedding_shift_audit's delta side as a stream: the base corpus's
+    per-dimension stats (count, decimal sum, decimal sum-of-squares)
+    are a STATIC 64-row relation; arriving delta vectors posexplode
+    and aggregate per-dim decimal sums in complete mode — the state
+    store is exactly DIM rows, the smallest bounded state in the
+    streaming layer. The drained delta stats join the static base
+    stats through the batch operator's identical derived tail (means,
+    shift, base sd, standardized shift, all ROUND(·,6)), so the
+    oracle is EMBEDDING_SHIFT_AUDIT_SQL verbatim. Decimal sums are
+    order-free, so micro-batch arrival order cannot change a digit."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.operators.dedup import _is_delta
+    from capstone_etl_spark.session import cached
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_emb_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        dec = lambda c: c.cast("decimal(20,12)")  # noqa: E731
+        base = cached(
+            emb.filter(~_is_delta(F.col("vec_id")))
+            .select(F.posexplode("embedding").alias("d", "xf"))
+            .select("d", F.col("xf").cast("double").alias("x"))
+            .groupBy("d")
+            .agg(
+                F.count("*").cast("long").alias("n_base"),
+                F.sum(dec(F.col("x"))).alias("sum_b"),
+                F.sum(dec(F.col("x") * F.col("x"))).alias("ssq_b"),
+            )
+        )
+        staging = f"{work}/staging"
+        emb.repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        delta_agg = (
+            stream.filter(_is_delta(F.col("vec_id")))
+            .select(F.posexplode("embedding").alias("d", "xf"))
+            .select("d", F.col("xf").cast("double").alias("x"))
+            .groupBy("d")
+            .agg(
+                F.count("*").cast("long").alias("n_delta"),
+                F.sum(dec(F.col("x"))).alias("sum_d"),
+            )
+        )
+        drained = run_to_memory(
+            delta_agg, f"{work}/checkpoint", output_mode="complete"
+        )
+        joined = base.join(drained, "d", "left").select(
+            "d",
+            "n_base",
+            F.coalesce(F.col("n_delta"), F.lit(0).cast("long")).alias("n_delta"),
+            "sum_b",
+            "sum_d",
+            "ssq_b",
+        )
+        # the batch operator's derived tail, expression for expression
+        base_mean = F.round(F.col("sum_b").cast("double") / F.col("n_base"), 6)
+        delta_mean = F.round(F.col("sum_d").cast("double") / F.col("n_delta"), 6)
+        base_var = (
+            F.col("ssq_b").cast("double") / F.col("n_base") - base_mean * base_mean
+        )
+        base_sd = F.round(F.sqrt(F.greatest(base_var, F.lit(0.0))), 6)
+        shift = F.round(delta_mean - base_mean, 6)
+        return joined.select(
+            "d",
+            "n_base",
+            "n_delta",
+            base_mean.alias("base_mean"),
+            delta_mean.alias("delta_mean"),
+            shift.alias("shift"),
+            base_sd.alias("base_sd"),
+            F.when(base_sd > 0, F.round(shift / base_sd, 6)).alias("std_shift"),
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stream_embedding_shift_sql() -> str:
+    from capstone_etl_spark.operators.valuation import EMBEDDING_SHIFT_AUDIT_SQL
+
+    return EMBEDDING_SHIFT_AUDIT_SQL
+
+
+def stream_coreset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CORESET-HEALTH dashboard at INGEST — valuation.
+    coreset_coverage_audit as a stream: the KCENTER_K selected centers
+    (with norms) are a STATIC relation riding in as a 1-row
+    collect_list broadcast; every arriving vector picks its nearest
+    center with per-row column math (one dot-product fold per center,
+    array_min over (d, center_id) structs — stream_ivf_assign's trick
+    with the cosine distance), and the per-center population / decimal
+    distance-sum / max-distance aggregate in complete mode: the state
+    store is exactly KCENTER_K rows. The drained table takes the batch
+    share/mean projection (total = sum of drained pops — the stream
+    saw the whole corpus), so the oracle is CORESET_COVERAGE_AUDIT_SQL
+    verbatim."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.functions.vectors import norm2
+    from capstone_etl_spark.operators.valuation import _kcenter_select
+    from capstone_etl_spark.session import cached
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_emb_")
+    try:
+        emb_full = load_table(spark, sf_dir, "embeddings")
+        _, acc = _kcenter_select(spark, sf_dir)
+        center_row = cached(
+            acc.agg(
+                F.collect_list(
+                    F.struct(
+                        F.col("vec_id").alias("center_id"),
+                        F.col("embedding").alias("se"),
+                        F.col("nrm").alias("sn"),
+                    )
+                ).alias("centers")
+            )
+        )
+        staging = f"{work}/staging"
+        emb_full.repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        d_structs = F.transform(
+            F.col("centers"),
+            lambda s: F.struct(
+                (
+                    F.lit(1.0)
+                    - F.round(
+                        F.when(
+                            (F.col("na") > 0) & (s["sn"] > 0),
+                            F.aggregate(
+                                F.zip_with(
+                                    F.col("qe"),
+                                    s["se"],
+                                    lambda x, y: x.cast("double") * y.cast("double"),
+                                ),
+                                F.lit(0.0),
+                                lambda a, x: a + x,
+                            )
+                            / (F.col("na") * s["sn"]),
+                        ).otherwise(F.lit(None)),
+                        6,
+                    )
+                ).alias("d"),
+                s["center_id"].alias("center_id"),
+            ),
+        )
+        assigned = (
+            stream.select(
+                F.col("embedding").alias("qe"), norm2("embedding").alias("na")
+            )
+            .join(F.broadcast(center_row), F.lit(True))
+            .select(F.array_min(d_structs).alias("m"))
+            .select(F.col("m.center_id").alias("center_id"), F.col("m.d").alias("d"))
+        )
+        agg = assigned.groupBy("center_id").agg(
+            F.count("*").cast("long").alias("pop"),
+            F.sum(F.col("d").cast("decimal(20,12)")).alias("sum_d"),
+            F.max("d").alias("max_d"),
+        )
+        drained = run_to_memory(agg, f"{work}/checkpoint", output_mode="complete")
+        total = drained.agg(F.sum("pop").alias("total"))
+        return (
+            drained.join(F.broadcast(total), F.lit(True))
+            .select(
+                "center_id",
+                "pop",
+                (F.col("pop") / F.col("total")).alias("share"),
+                (F.col("sum_d").cast("double") / F.col("pop")).alias("mean_d"),
+                "max_d",
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stream_coreset_coverage_sql() -> str:
+    from capstone_etl_spark.operators.valuation import CORESET_COVERAGE_AUDIT_SQL
+
+    return CORESET_COVERAGE_AUDIT_SQL
+
+
 QUERIES = {
     "stream_tumbling_windows": stream_tumbling_windows,
     "stream_sliding_windows": stream_sliding_windows,
@@ -2689,6 +2884,8 @@ QUERIES = {
     "stream_semantic_dedup_hier": stream_semantic_dedup_hier,
     "stream_hivf_cell_balance": stream_hivf_cell_balance,
     "stream_label_noise": stream_label_noise,
+    "stream_embedding_shift": stream_embedding_shift,
+    "stream_coreset_coverage": stream_coreset_coverage,
 }
 
 ORACLE_SQL = {
@@ -2770,4 +2967,10 @@ ORACLE_SQL = {
     # stateless (append-mode vote candidates) and the verdict tail is
     # shared, so the drained output equals the batch screen exactly
     "stream_label_noise": _stream_label_noise_sql(),
+    # the batch drift screen SQL verbatim: per-dim decimal sums merge
+    # by addition (DIM rows of state), the derived tail is shared
+    "stream_embedding_shift": _stream_embedding_shift_sql(),
+    # the batch coverage audit SQL verbatim: per-center (pop, decimal
+    # sum, max) merge by addition/max (KCENTER_K rows of state)
+    "stream_coreset_coverage": _stream_coreset_coverage_sql(),
 }

@@ -417,6 +417,17 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "KCENTER_K-row center broadcast + a 1-row corpus-total "
         "broadcast for the share column (valuation.py)"
     ),
+    "stream_embedding_shift": (
+        "no cartesian of its own: the static base side is one 64-row "
+        "aggregate, the stream side a DIM-key complete-mode aggregate "
+        "joined on d (streaming_queries.py)"
+    ),
+    "stream_coreset_coverage": (
+        "inherits kcenter_coreset's per-round broadcasts (static "
+        "center selection) + the 1-row collect_list center broadcast "
+        "for in-row routing and a 1-row drained-total broadcast "
+        "(streaming_queries.py)"
+    ),
 }
 
 # NOTE: conversion_model_calibration and logistic_conversion_model are

@@ -388,6 +388,38 @@ def test_stream_label_noise_equals_batch(spark, tmp_path):
     assert batch, "fixture produced no delta verdicts"
 
 
+def test_stream_twins_equal_batch(spark, tmp_path):
+    """Drain-equality for the two aggregate ingest twins: the drift
+    screen (DIM-row state) and the coverage dashboard (K-row state)
+    equal their batch operators row-for-row."""
+    from capstone_etl_spark.operators.streaming_queries import (
+        stream_coreset_coverage,
+        stream_embedding_shift,
+    )
+    from capstone_etl_spark.operators.valuation import (
+        coreset_coverage_audit,
+        embedding_shift_audit,
+    )
+
+    rows = []
+    for i in range(300):
+        k = i % 6
+        center = [1.0 if d == 9 * k else 0.0 for d in range(DIM)]
+        noise = [((i * 41 + d * 13) % 89) / 89.0 * 0.05 for d in range(DIM)]
+        rows.append((i, [float(c + x) for c, x in zip(center, noise)], k))
+    sf = _write_embeddings(spark, tmp_path, rows)
+    for batch_fn, stream_fn in (
+        (embedding_shift_audit, stream_embedding_shift),
+        (coreset_coverage_audit, stream_coreset_coverage),
+    ):
+        batch = sorted(map(tuple, batch_fn(spark, sf).collect()))
+        release_caches()
+        stream = sorted(map(tuple, stream_fn(spark, sf).collect()))
+        release_caches()
+        assert stream == batch, batch_fn.__name__
+        assert batch, batch_fn.__name__
+
+
 def test_label_noise_oracle_parity_on_fixture(spark, tmp_path):
     """Fixture-level DuckDB parity for the blocking-dependent operator
     (the sf0.01 gate covers the real tables; this pins agreement on
