@@ -303,6 +303,10 @@ HEADLINE = [
     # ingest — DIM-row and KCENTER_K-row state stores respectively.
     "stream_embedding_shift",
     "stream_coreset_coverage",
+    # r9 valuation flagship: the composed keep/drop manifest — one
+    # shared quantizer assignment feeds the SemDeDup and label-vote
+    # gates, the Shapley gate joins in.
+    "embedding_curation_manifest",
 ]
 
 

@@ -714,6 +714,197 @@ FROM assigned GROUP BY center_id
 
 
 # ---------------------------------------------------------------------
+# embedding_curation_manifest
+# ---------------------------------------------------------------------
+
+def embedding_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The valuation family's composed flagship (training_manifest's
+    role for the embeddings side): ONE admission verdict per vector
+    from three gates —
+
+    1. semantic keep-one (SemDeDup: dropped iff a lower-id cell-mate
+       clears SEMDEDUP_THRESHOLD — semantic_dedup's exact rule),
+    2. label sanity (label_noise_audit's K-NN vote: suspect iff
+       >= NOISE_MIN_VOTES voters and majority disagree),
+    3. value (knn_shapley_values: negative-Shapley training vectors
+       are dropped; the test split and unvalued vectors pass).
+
+    keep_final = sem keep AND NOT suspect AND shap >= 0 (where
+    valued); `reason` names the FIRST failing gate in that order.
+
+    The composition's shared subtree is the point: gates 1 and 2 both
+    need the quantizer cell assignment — computed ONCE and cached, the
+    pair stages reuse one (cell, embedding, norm, label) relation, so
+    the manifest costs one assignment pass + the two cell-bounded pair
+    stages + the eval-bounded Shapley scan, not three index builds.
+    Oracle mirrors with one shared assign CTE feeding both legs."""
+    from capstone_etl_spark.operators.similarity import SEMDEDUP_THRESHOLD
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_q = emb.select("vec_id", quantize_fp().alias("vq"))
+    seeds = quantizer_seeds(emb_q)
+    d2_col = F.aggregate(
+        F.zip_with("vq", "sq", lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    assign = (
+        emb_q.join(F.broadcast(seeds), F.lit(True))
+        .select("vec_id", "cell", d2_col.alias("d2"))
+        .groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell")).alias("m"))
+        .select("vec_id", F.col("m.cell").alias("cell"))
+    )
+    withv = cached(
+        assign.join(emb.select("vec_id", "embedding", "label"), "vec_id").withColumn(
+            "nrm", norm2("embedding")
+        )
+    )
+    a = withv.select(
+        F.col("vec_id").alias("vec_a"), "cell",
+        F.col("embedding").alias("qe"), F.col("nrm").alias("na"),
+        F.col("label").alias("la"),
+    )
+    b = withv.select(
+        F.col("vec_id").alias("vec_b"), "cell",
+        F.col("embedding").alias("ne"), F.col("nrm").alias("nb"),
+        F.col("label").alias("lb"),
+    )
+    pair_cos = F.when(
+        (F.col("na") > 0) & (F.col("nb") > 0),
+        dot("qe", "ne") / (F.col("na") * F.col("nb")),
+    ).otherwise(F.lit(None))
+    pairs = cached(
+        a.join(b, "cell")
+        .filter(F.col("vec_a") != F.col("vec_b"))
+        .select(
+            "vec_a", "vec_b",
+            pair_cos.alias("cos_raw"),
+            F.round(pair_cos, 6).alias("sim"),
+            (F.col("la") == F.col("lb")).cast("int").alias("match"),
+        )
+    )
+    # gate 1: SemDeDup keep-one over the SHARED pair relation
+    dup = (
+        pairs.filter((F.col("vec_b") < F.col("vec_a")) & (F.col("cos_raw") >= SEMDEDUP_THRESHOLD))
+        .groupBy("vec_a")
+        .agg(F.min("vec_b").alias("dup_of"))
+        .withColumnRenamed("vec_a", "vec_id")
+    )
+    # gate 2: K-NN label vote over the SHARED pair relation
+    wv = Window.partitionBy("vec_a").orderBy(F.desc("sim"), F.asc("vec_b"))
+    votes = (
+        pairs.withColumn("rnk", F.row_number().over(wv))
+        .filter(F.col("rnk") <= NOISE_K)
+        .groupBy("vec_a")
+        .agg(F.count("*").alias("n_votes"), F.sum("match").alias("n_agree"))
+        .withColumnRenamed("vec_a", "vec_id")
+    )
+    # gate 3: KNN-Shapley value (train split only)
+    shap = knn_shapley_values(spark, sf_dir).select("vec_id", "shap_value")
+    out = (
+        withv.select("vec_id", "label", "cell")
+        .join(dup, "vec_id", "left")
+        .join(votes, "vec_id", "left")
+        .join(shap, "vec_id", "left")
+        .select(
+            "vec_id",
+            "label",
+            "cell",
+            F.col("dup_of").isNull().alias("sem_keep"),
+            "dup_of",
+            (
+                (F.coalesce(F.col("n_votes"), F.lit(0)) >= NOISE_MIN_VOTES)
+                & (F.coalesce(F.col("n_agree"), F.lit(0)) * 2
+                   < F.coalesce(F.col("n_votes"), F.lit(0)))
+            ).alias("suspect"),
+            "shap_value",
+        )
+    )
+    keep = (
+        F.col("sem_keep")
+        & ~F.col("suspect")
+        & (F.col("shap_value").isNull() | (F.col("shap_value") >= 0))
+    )
+    reason = (
+        F.when(~F.col("sem_keep"), F.lit("near_duplicate"))
+        .when(F.col("suspect"), F.lit("label_suspect"))
+        .when(F.col("shap_value") < 0, F.lit("negative_value"))
+        .otherwise(F.lit(None).cast("string"))
+    )
+    return out.select(
+        "vec_id", "label", "cell", "sem_keep", "dup_of", "suspect",
+        "shap_value", keep.alias("keep_final"), reason.alias("reason"),
+    )
+
+
+def _embedding_curation_manifest_sql() -> str:
+    cos = _COSINE_SQL.replace("qe", "ea.embedding").replace("ne", "eb.embedding")
+    from capstone_etl_spark.operators.similarity import SEMDEDUP_THRESHOLD
+
+    return f"""
+WITH by_dim AS (
+  SELECT vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
+), {_SEED_IDS_SQL}, seeds AS (
+  SELECT b.vec_id AS cell, b.d, b.vs AS ss
+  FROM by_dim b JOIN seed_ids si ON si.vec_id = b.vec_id
+), d2 AS (
+  SELECT v.vec_id, s.cell, CAST(SUM((v.vs - s.ss) * (v.vs - s.ss)) AS BIGINT) AS d2
+  FROM by_dim v JOIN seeds s ON s.d = v.d GROUP BY 1, 2
+), assign AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS arnk FROM d2
+  ) t WHERE arnk = 1
+), prs AS MATERIALIZED (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {cos} AS cos_raw,
+         ROUND({cos}, 6) AS sim,
+         CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END AS match
+  FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
+  JOIN embeddings ea ON ea.vec_id = a.vec_id
+  JOIN embeddings eb ON eb.vec_id = b.vec_id
+), dup AS (
+  SELECT vec_a AS vec_id, MIN(vec_b) AS dup_of
+  FROM prs WHERE vec_b < vec_a AND cos_raw >= {SEMDEDUP_THRESHOLD}
+  GROUP BY vec_a
+), votes AS (
+  SELECT vec_a AS vec_id, COUNT(*) AS n_votes, SUM(match) AS n_agree
+  FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY sim DESC, vec_b) AS rnk
+    FROM prs
+  ) t WHERE rnk <= {NOISE_K}
+  GROUP BY vec_a
+), shap AS ({KNN_SHAPLEY_VALUES_SQL.replace('SELECT train_id AS vec_id, label,',
+                                            'SELECT train_id AS vec_id,')}
+), flags AS (
+  SELECT s.vec_id, e.label, s.cell,
+         d.dup_of IS NULL AS sem_keep, d.dup_of,
+         COALESCE(v.n_votes, 0) >= {NOISE_MIN_VOTES}
+           AND COALESCE(v.n_agree, 0) * 2 < COALESCE(v.n_votes, 0) AS suspect,
+         sh.shap_value
+  FROM assign s
+  JOIN embeddings e ON e.vec_id = s.vec_id
+  LEFT JOIN dup d ON d.vec_id = s.vec_id
+  LEFT JOIN votes v ON v.vec_id = s.vec_id
+  LEFT JOIN shap sh ON sh.vec_id = s.vec_id
+)
+SELECT vec_id, label, cell, sem_keep, dup_of, suspect, shap_value,
+       sem_keep AND NOT suspect
+         AND (shap_value IS NULL OR shap_value >= 0) AS keep_final,
+       CASE WHEN NOT sem_keep THEN 'near_duplicate'
+            WHEN suspect THEN 'label_suspect'
+            WHEN shap_value < 0 THEN 'negative_value'
+       END AS reason
+FROM flags
+"""
+
+
+EMBEDDING_CURATION_MANIFEST_SQL = _embedding_curation_manifest_sql()
+
+
+# ---------------------------------------------------------------------
 # embedding_shift_audit
 # ---------------------------------------------------------------------
 
@@ -980,6 +1171,7 @@ QUERIES = {
     "kcenter_coreset": kcenter_coreset,
     "coreset_coverage_audit": coreset_coverage_audit,
     "embedding_shift_audit": embedding_shift_audit,
+    "embedding_curation_manifest": embedding_curation_manifest,
     "mmr_diversified_topk": mmr_diversified_topk,
 }
 
@@ -990,5 +1182,6 @@ ORACLE_SQL = {
     "kcenter_coreset": KCENTER_CORESET_SQL,
     "coreset_coverage_audit": CORESET_COVERAGE_AUDIT_SQL,
     "embedding_shift_audit": EMBEDDING_SHIFT_AUDIT_SQL,
+    "embedding_curation_manifest": EMBEDDING_CURATION_MANIFEST_SQL,
     "mmr_diversified_topk": MMR_DIVERSIFIED_TOPK_SQL,
 }

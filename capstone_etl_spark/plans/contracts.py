@@ -428,6 +428,12 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "for in-row routing and a 1-row drained-total broadcast "
         "(streaming_queries.py)"
     ),
+    "embedding_curation_manifest": (
+        "composes semantic_dedup + label_noise_audit (one SHARED "
+        "quantizer-seed broadcast and one shared cell-pair relation) "
+        "+ knn_shapley_values (its N_QUERIES-row test broadcast) — "
+        "inherits those operators' bounded broadcasts (valuation.py)"
+    ),
 }
 
 # NOTE: conversion_model_calibration and logistic_conversion_model are
@@ -676,4 +682,5 @@ HEADLINE: list[str] = [
     "label_noise_incremental",
     "coreset_coverage_audit",
     "embedding_shift_audit",
+    "embedding_curation_manifest",
 ]

@@ -351,6 +351,10 @@ EMB_NAMES = [
     # round 9 valuation: identical vectors → per-dim base_sd exactly 0
     # → std_shift NULL in both engines (the degenerate-sd branch)
     "embedding_shift_audit",
+    # round 9 valuation flagship: all three ids are test-split (< 10)
+    # → shap NULL for every row; all pairs at cosine 1 → keep-one and
+    # vote ties must resolve identically through the shared pairs
+    "embedding_curation_manifest",
 ]
 
 

@@ -388,6 +388,59 @@ def test_stream_label_noise_equals_batch(spark, tmp_path):
     assert batch, "fixture produced no delta verdicts"
 
 
+def test_curation_manifest_composes_its_gates(spark, tmp_path):
+    """The manifest's flags equal the standalone operators' outputs
+    (shared-subtree composition changes the plan, not the semantics),
+    and keep_final/reason follow the documented gate order."""
+    from capstone_etl_spark.operators.valuation import (
+        embedding_curation_manifest,
+        knn_shapley_values,
+        label_noise_audit,
+    )
+    from capstone_etl_spark.operators.similarity import semantic_dedup
+
+    rows = []
+    for i in range(200):
+        k = i % 5
+        center = [1.0 if d == 11 * k else 0.0 for d in range(DIM)]
+        noise = [((i * 67 + d * 19) % 83) / 83.0 * 0.04 for d in range(DIM)]
+        label = (k + 2) % 5 if i in (40, 91) else k  # two planted mislabels
+        rows.append((i, [float(c + x) for c, x in zip(center, noise)], label))
+    sf = _write_embeddings(spark, tmp_path, rows)
+    man = {r["vec_id"]: r for r in embedding_curation_manifest(spark, sf).collect()}
+    release_caches()
+    sem = {r["vec_id"]: r for r in semantic_dedup(spark, sf).collect()}
+    release_caches()
+    noise_out = {r["vec_id"]: r for r in label_noise_audit(spark, sf).collect()}
+    release_caches()
+    shap = {r["vec_id"]: r["shap_value"] for r in knn_shapley_values(spark, sf).collect()}
+    release_caches()
+    assert len(man) == 200
+    for i, r in man.items():
+        assert r["sem_keep"] == sem[i]["keep"], i
+        assert r["dup_of"] == sem[i]["dup_of"], i
+        assert r["suspect"] == noise_out[i]["suspect"], i
+        assert r["shap_value"] == shap.get(i), i
+        expected_keep = (
+            r["sem_keep"]
+            and not r["suspect"]
+            and (r["shap_value"] is None or r["shap_value"] >= 0)
+        )
+        assert r["keep_final"] == expected_keep, i
+        if not r["sem_keep"]:
+            assert r["reason"] == "near_duplicate"
+        elif r["suspect"]:
+            assert r["reason"] == "label_suspect"
+        elif r["shap_value"] is not None and r["shap_value"] < 0:
+            assert r["reason"] == "negative_value"
+        else:
+            assert r["reason"] is None
+    # the planted mislabels fail the label gate (if they got votes)
+    for i in (40, 91):
+        if man[i]["sem_keep"] and noise_out[i]["n_votes"] >= NOISE_MIN_VOTES:
+            assert man[i]["suspect"], i
+
+
 def test_stream_twins_equal_batch(spark, tmp_path):
     """Drain-equality for the two aggregate ingest twins: the drift
     screen (DIM-row state) and the coverage dashboard (K-row state)
