@@ -79,6 +79,7 @@ _PRIORITY = [
     "stream_embedding_shift",
     "stream_coreset_coverage",
     "embedding_curation_manifest",
+    "event_double_ewma",
     # Block 3: family canaries — every operator family keeps >=1 row in
     # the window (tests/test_entry_contract.py enforces the span). The
     # Block-1 members cover streaming (5 head entries), events

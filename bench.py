@@ -307,6 +307,10 @@ HEADLINE = [
     # shared quantizer assignment feeds the SemDeDup and label-vote
     # gates, the Shapley gate joins in.
     "embedding_curation_manifest",
+    # r9: Brown's double exponential smoothing — trend + one-step
+    # forecast over the calendar-bounded daily relation, exact integer
+    # kernels in both passes.
+    "event_double_ewma",
 ]
 
 

@@ -750,6 +750,124 @@ WINDOW w AS (PARTITION BY event_type ORDER BY day)
 EWMA_DAILY_SQL = _ewma_sql()
 
 
+def event_double_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown's double exponential smoothing over the daily totals —
+    ewma_daily's kernel applied twice, yielding a TREND estimate and a
+    one-step forecast per (event_type, day): with e1 the first smooth
+    and e2 the smooth of e1 (both α = 1/2, truncated to EWMA_W),
+    level = 2·e1 − e2, trend = e1 − e2 (α/(1−α) = 1 at α = 1/2), and
+    forecast_next = level + trend. The monitoring layer's "where is
+    this heading tomorrow" readout on top of the existing smoother.
+
+    Exactness: pass 1 is ewma_daily's exact integer kernel (one IEEE
+    division, ROUND 6); its 6dp output converts to integer MICROS
+    (floor(e1·1e6 + 0.5) — exact, the quantize_fp recipe; a decimal
+    snap overflowed on 1e9-scale daily totals), so pass 2's unrolled
+    lag·weight sum is exact int64 algebra with one division at the
+    end; level/trend/forecast are identical IEEE expressions over the
+    two ROUND(·,6) smooths. int64 headroom: |e1| ≲ 7e10 with the
+    127-weight kernel. Scale: both windows run over the
+    calendar-bounded (day × type) relation — ewma_daily's argument
+    verbatim."""
+    ev = _events(spark, sf_dir)
+    day = F.date_format("ts", "yyyy-MM-dd").alias("day")
+    daily = ev.groupBy(day, "event_type").agg(
+        F.sum(F.col("value").cast("decimal(18,2)")).alias("dv")
+    )
+    w = Window.partitionBy("event_type").orderBy("day")
+    v_cents = (F.col("dv") * 100).cast("long")
+    num = F.lit(0).cast("long")
+    den = F.lit(0).cast("long")
+    for k in range(EWMA_W):
+        lg = F.lag(v_cents, k).over(w)
+        wt = 1 << (EWMA_W - 1 - k)
+        num = num + F.coalesce(lg, F.lit(0)) * wt
+        den = den + F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    e1 = F.round(num / den / F.lit(100), 6)
+    pass1 = daily.select(
+        "event_type",
+        "day",
+        e1.alias("ewma1"),
+        F.floor(e1 * F.lit(1000000.0) + F.lit(0.5)).cast("long").alias("e1_micro"),
+    )
+    num2 = F.lit(0).cast("long")
+    den2 = F.lit(0).cast("long")
+    for k in range(EWMA_W):
+        lg = F.lag("e1_micro", k).over(w)
+        wt = 1 << (EWMA_W - 1 - k)
+        num2 = num2 + F.coalesce(lg, F.lit(0)) * wt
+        den2 = den2 + F.when(lg.isNotNull(), F.lit(wt)).otherwise(F.lit(0))
+    pass2 = pass1.select(
+        "event_type", "day", "ewma1", num2.alias("num2"), den2.alias("den2")
+    )
+    both = pass2.select(
+        "event_type",
+        "day",
+        "ewma1",
+        F.round(F.col("num2") / F.col("den2") / F.lit(1000000.0), 6).alias("ewma2"),
+    )
+    level = F.round(F.lit(2.0) * F.col("ewma1") - F.col("ewma2"), 6)
+    trend = F.round(F.col("ewma1") - F.col("ewma2"), 6)
+    return both.select(
+        "event_type",
+        "day",
+        "ewma1",
+        "ewma2",
+        level.alias("level"),
+        trend.alias("trend"),
+        F.round(level + trend, 6).alias("forecast_next"),
+    )
+
+
+def _double_ewma_sql() -> str:
+    num_terms, den_terms = [], []
+    n2_terms, d2_terms = [], []
+    for k in range(EWMA_W):
+        lg = f"LAG(v_cents, {k}) OVER w"
+        wt = 1 << (EWMA_W - 1 - k)
+        num_terms.append(f"COALESCE({lg}, 0) * {wt}")
+        den_terms.append(f"CASE WHEN {lg} IS NOT NULL THEN {wt} ELSE 0 END")
+        lg2 = f"LAG(e1_micro, {k}) OVER w2"
+        n2_terms.append(f"COALESCE({lg2}, 0) * {wt}")
+        d2_terms.append(f"CASE WHEN {lg2} IS NOT NULL THEN {wt} ELSE 0 END")
+    num, den = " + ".join(num_terms), " + ".join(den_terms)
+    n2, d2 = " + ".join(n2_terms), " + ".join(d2_terms)
+    return f"""
+WITH daily AS (
+  SELECT strftime(ts, '%Y-%m-%d') AS day, event_type,
+         SUM(CAST(value AS DECIMAL(18,2))) AS dv
+  FROM events GROUP BY 1, 2
+), cents AS (
+  SELECT event_type, day, CAST(dv * 100 AS BIGINT) AS v_cents FROM daily
+), pass1 AS (
+  SELECT event_type, day,
+         ROUND(CAST({num} AS BIGINT) / CAST({den} AS BIGINT) / 100, 6) AS ewma1,
+         CAST(floor(ROUND(CAST({num} AS BIGINT) / CAST({den} AS BIGINT) / 100, 6)
+              * 1000000.0 + 0.5) AS BIGINT) AS e1_micro
+  FROM cents
+  WINDOW w AS (PARTITION BY event_type ORDER BY day)
+), pass2 AS (
+  SELECT event_type, day, ewma1,
+         CAST({n2} AS BIGINT) AS num2,
+         CAST({d2} AS BIGINT) AS den2
+  FROM pass1
+  WINDOW w2 AS (PARTITION BY event_type ORDER BY day)
+), smooths AS (
+  SELECT event_type, day, ewma1,
+         ROUND(num2 / den2 / 1000000.0, 6) AS ewma2
+  FROM pass2
+)
+SELECT event_type, day, ewma1, ewma2,
+       ROUND(2.0 * ewma1 - ewma2, 6) AS level,
+       ROUND(ewma1 - ewma2, 6) AS trend,
+       ROUND(ROUND(2.0 * ewma1 - ewma2, 6) + ROUND(ewma1 - ewma2, 6), 6) AS forecast_next
+FROM smooths
+"""
+
+
+EVENT_DOUBLE_EWMA_SQL = _double_ewma_sql()
+
+
 def gap_fill_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Time-series resample + forward fill: regularize each user's
     event stream onto a dense daily grid (observability/feature-store
@@ -3276,6 +3394,7 @@ FROM cells CROSS JOIN tot
 
 QUERIES = {
     "event_ewma_daily": ewma_daily,
+    "event_double_ewma": event_double_ewma,
     "event_scd_intervals": scd_intervals,
     "event_changelog_apply": changelog_apply,
     "event_tumbling_windows": tumbling_windows,
@@ -3324,6 +3443,7 @@ QUERIES = {
 
 ORACLE_SQL = {
     "event_ewma_daily": EWMA_DAILY_SQL,
+    "event_double_ewma": EVENT_DOUBLE_EWMA_SQL,
     "event_scd_intervals": EVENT_SCD_INTERVALS_SQL,
     "event_changelog_apply": CHANGELOG_APPLY_SQL,
     "event_tumbling_windows": TUMBLING_WINDOWS_SQL,

@@ -683,4 +683,5 @@ HEADLINE: list[str] = [
     "coreset_coverage_audit",
     "embedding_shift_audit",
     "embedding_curation_manifest",
+    "event_double_ewma",
 ]

@@ -295,6 +295,38 @@ def test_mmr_prefers_diversity_over_redundancy(spark, tmp_path):
     assert len(top_rel) < MMR_K, "MMR returned only the clone pile"
 
 
+def test_double_ewma_trend_on_planted_ramp(spark, tmp_path):
+    """On a linear daily ramp the double smooth lags the single smooth
+    (e2 < e1), the trend estimate is positive and the one-step
+    forecast exceeds the level — Brown's smoothing reading the ramp."""
+    import datetime as dt
+
+    from capstone_etl_spark.operators.events import event_double_ewma
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    rows = [
+        (i, t0 + dt.timedelta(days=i), 1, "view", 100.0 + 10.0 * i, "{}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string, value double, props string"
+    )
+    df.write.mode("overwrite").parquet(str(tmp_path / "events.parquet"))
+    out = sorted(
+        event_double_ewma(spark, str(tmp_path)).collect(), key=lambda r: r["day"]
+    )
+    assert len(out) == 20
+    # after the warm-up window the ramp is in steady state
+    for r in out[8:]:
+        assert r["ewma2"] < r["ewma1"], r
+        assert r["trend"] > 0, r
+        assert r["forecast_next"] > r["level"], r
+        assert r["level"] > r["ewma1"], r
+    # steady-state one-step forecast tracks the next day's value
+    last = out[-1]
+    assert abs(last["forecast_next"] - (100.0 + 10.0 * 20)) < 15.0
+
+
 # ---------------------------------------------------------------- noise
 
 def test_label_noise_flags_planted_mislabels(spark, tmp_path):
