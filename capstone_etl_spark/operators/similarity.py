@@ -377,6 +377,36 @@ def quantize_fp(col: str = "embedding"):
     )
 
 
+# Oracle mirror of quantize_fp + the precomputed squared norm, as a
+# relation every quantized-cosine WITH-chain splices in: one row per
+# vector with the fixed-point list `q` and its EXACT integer squared
+# norm `n2`. list_sum over BIGINT is exact under any vectorization
+# order — the whole point of ranking on the quantized cosine.
+QN_SQL = f"""qlists AS (
+  SELECT vec_id, label,
+         list_transform(embedding, x ->
+           CAST(floor(CAST(x AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT)) AS q
+  FROM embeddings
+), qn AS (
+  SELECT vec_id, label, q,
+         CAST(list_sum(list_transform(q, x -> x * x)) AS BIGINT) AS n2
+  FROM qlists
+)"""
+
+
+def cosine_q_sql(a: str, b: str) -> str:
+    """Quantized-integer cosine between two `qn` rows aliased `a` and
+    `b` — the DuckDB twin of vectors.quantized_cosine: exact HUGEINT
+    dot (order-free), then sqrt/mul/div on bit-identical doubles. The
+    expression tree mirrors the Spark column op-for-op so the final
+    double is bit-identical across engines."""
+    return (
+        f"CASE WHEN {a}.n2 > 0 AND {b}.n2 > 0 THEN "
+        f"CAST(list_sum(list_transform(range({DIM}), dd -> {a}.q[dd+1] * {b}.q[dd+1])) AS DOUBLE)"
+        f" / (sqrt(CAST({a}.n2 AS DOUBLE)) * sqrt(CAST({b}.n2 AS DOUBLE))) END"
+    )
+
+
 def label_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF building block: per-label centroid (coarse quantizer), then
     each vector's distance-to-own-centroid. (IVF probe = same pattern

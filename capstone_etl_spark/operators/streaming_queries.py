@@ -2491,7 +2491,8 @@ def stream_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LABEL-QUALITY screening at INGEST — valuation.
     label_noise_incremental's delta-vs-base verdicts as a stream: the
     base-built quantizer seeds and the cell-assigned base members
-    (embedding, norm, label per cell) are STATIC relations (the
+    (fixed-point list, exact integer squared norm, label per cell —
+    the quantized-cosine rank-key discipline) are STATIC relations (the
     published index artifacts); delta vectors arrive as a stream, each
     one routes to its base cell with PER-ROW column math (the
     stream_ivf_assign trick — 1-row collect_list seed broadcast,
@@ -2509,7 +2510,7 @@ def stream_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from capstone_etl_spark.functions.vectors import dot, norm2
+    from capstone_etl_spark.functions.vectors import dot_long, quantized_cosine
     from capstone_etl_spark.operators.dedup import _is_delta
     from capstone_etl_spark.operators.similarity import quantize_fp, quantizer_seeds
     from capstone_etl_spark.operators.valuation import (
@@ -2543,15 +2544,18 @@ def stream_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.min(F.struct("d2", "cell")).alias("m"))
             .select("vec_id", F.col("m.cell").alias("cell"))
         )
+        # rank key = quantized-integer cosine (label_noise_audit's
+        # de-fragilized key); members carry the fixed-point list + its
+        # exact squared norm, never a raw-double fold
         members = cached(
             base_assign.join(emb.select("vec_id", "embedding", "label"), "vec_id")
             .select(
                 F.col("vec_id").alias("vec_b"),
                 "cell",
-                F.col("embedding").alias("ne"),
-                norm2("embedding").alias("nb"),
+                quant.alias("qb"),
                 F.col("label").alias("lb"),
             )
+            .withColumn("nb2", dot_long("qb", "qb"))
         )
 
         staging = f"{work}/staging"
@@ -2577,25 +2581,20 @@ def stream_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             stream.filter(_is_delta(F.col("vec_id")))
             .select(
                 F.col("vec_id").alias("vec_a"),
-                F.col("embedding").alias("qe"),
-                norm2("embedding").alias("na"),
                 F.col("label").alias("la"),
                 quant.alias("vq"),
             )
+            .withColumn("na2", dot_long("vq", "vq"))
             .join(F.broadcast(seed_row), F.lit(True))
             .select(
-                "vec_a", "qe", "na", "la",
+                "vec_a", F.col("vq").alias("qa"), "na2", "la",
                 F.array_min(d2_structs)["cell"].alias("cell"),
             )
         )
-        pair_cos = F.when(
-            (F.col("na") > 0) & (F.col("nb") > 0),
-            dot("qe", "ne") / (F.col("na") * F.col("nb")),
-        ).otherwise(F.lit(None))
         cands = routed.join(members, "cell").select(
             "vec_a",
             "vec_b",
-            F.round(pair_cos, 6).alias("sim"),
+            quantized_cosine("qa", "qb", "na2", "nb2").alias("sim"),
             (F.col("la") == F.col("lb")).cast("int").alias("match"),
         )
         drained = run_to_memory(cands, f"{work}/checkpoint", output_mode="append")

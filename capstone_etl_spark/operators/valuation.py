@@ -56,13 +56,15 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from capstone_etl_spark.functions.vectors import dot, norm2
+from capstone_etl_spark.functions.vectors import dot, dot_long, norm2, quantized_cosine
 from capstone_etl_spark.operators.similarity import (
     _COSINE_SQL,
     _SEED_IDS_SQL,
     CENTROID_SCALE,
     DIM,
     N_QUERIES,
+    QN_SQL,
+    cosine_q_sql,
     quantize_fp,
     quantizer_seeds,
 )
@@ -243,9 +245,18 @@ def label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     recipe on the SemDeDup blocking): the flat quantizer assigns each
     vector a cell (≈√N hash-sampled seeds, exact-integer argmin — the
     identical index semantic_dedup builds); within each cell, every
-    vector's NOISE_K nearest cell-mates (ROUND(cos,6) desc, id asc)
-    vote, and agree_ratio = matching votes / votes. `suspect` fires
-    when at least NOISE_MIN_VOTES voters disagree by majority.
+    vector's NOISE_K nearest cell-mates (quantized cosine desc, id
+    asc) vote, and agree_ratio = matching votes / votes. `suspect`
+    fires when at least NOISE_MIN_VOTES voters disagree by majority.
+
+    The vote RANK KEY is the quantized-integer cosine
+    (vectors.quantized_cosine): exact BIGINT dot/norm folds — the same
+    fixed-point grid the cell assignment already rides — with one
+    final sqrt/div on bit-identical inputs. A raw double fold is only
+    reproducible if every engine BUILD adds in the same order; the r9
+    driver run proved it isn't (rows/schema matched, values flipped at
+    a rank boundary on the driver host), so no rank key in this family
+    may be an order-sensitive IEEE accumulation.
 
     Scale: pair work is per-cell (expected population ≈√N — the
     quantizer law asserted in test_quantizer_scaling); the vote window
@@ -253,8 +264,8 @@ def label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     on cell. Singleton-cell vectors emit n_votes = 0, NULL ratio,
     suspect = false — the consumer can route them to a wider probe."""
     emb = load_table(spark, sf_dir, "embeddings")
-    emb_q = emb.select("vec_id", quantize_fp().alias("vq"))
-    seeds = quantizer_seeds(emb_q)
+    emb_q = emb.select("vec_id", "label", quantize_fp().alias("vq"))
+    seeds = quantizer_seeds(emb_q.select("vec_id", "vq"))
     d2_col = F.aggregate(
         F.zip_with("vq", "sq", lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
@@ -268,30 +279,24 @@ def label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("m.cell").alias("cell"))
         .transform(cached)
     )
-    withv = assign.join(
-        emb.select("vec_id", "embedding", "label"), "vec_id"
-    ).withColumn("nrm", norm2("embedding"))
+    withv = assign.join(emb_q, "vec_id").withColumn("qn2", dot_long("vq", "vq"))
     a = withv.select(
         F.col("vec_id").alias("vec_a"), "cell",
-        F.col("embedding").alias("qe"), F.col("nrm").alias("na"),
+        F.col("vq").alias("qa"), F.col("qn2").alias("na2"),
         F.col("label").alias("la"),
     )
     b = withv.select(
         F.col("vec_id").alias("vec_b"), "cell",
-        F.col("embedding").alias("ne"), F.col("nrm").alias("nb"),
+        F.col("vq").alias("qb"), F.col("qn2").alias("nb2"),
         F.col("label").alias("lb"),
     )
-    pair_cos = F.when(
-        (F.col("na") > 0) & (F.col("nb") > 0),
-        dot("qe", "ne") / (F.col("na") * F.col("nb")),
-    ).otherwise(F.lit(None))
     wv = Window.partitionBy("vec_a").orderBy(F.desc("sim"), F.asc("vec_b"))
     votes = (
         a.join(b, "cell")
         .filter(F.col("vec_a") != F.col("vec_b"))
         .select(
             "vec_a", "la", "vec_b",
-            F.round(pair_cos, 6).alias("sim"),
+            quantized_cosine("qa", "qb", "na2", "nb2").alias("sim"),
             (F.col("la") == F.col("lb")).cast("int").alias("match"),
         )
         .withColumn("rnk", F.row_number().over(wv))
@@ -339,13 +344,13 @@ WITH by_dim AS (
   SELECT vec_id, cell FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS arnk FROM d2
   ) t WHERE arnk = 1
-), pairs AS (
-  SELECT a.vec_id AS vec_a, ea.label AS la, b.vec_id AS vec_b,
-         ROUND({_COSINE_SQL.replace('qe', 'ea.embedding').replace('ne', 'eb.embedding')}, 6) AS sim,
-         CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END AS match
+), {QN_SQL}, pairs AS (
+  SELECT a.vec_id AS vec_a, qa.label AS la, b.vec_id AS vec_b,
+         {cosine_q_sql('qa', 'qb')} AS sim,
+         CASE WHEN qa.label = qb.label THEN 1 ELSE 0 END AS match
   FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
-  JOIN embeddings ea ON ea.vec_id = a.vec_id
-  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  JOIN qn qa ON qa.vec_id = a.vec_id
+  JOIN qn qb ON qb.vec_id = b.vec_id
 ), votes AS (
   SELECT vec_a, COUNT(*) AS n_votes, SUM(match) AS n_agree
   FROM (
@@ -388,8 +393,10 @@ def label_noise_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     from capstone_etl_spark.operators.dedup import _is_delta
 
     emb = load_table(spark, sf_dir, "embeddings")
-    emb_q = emb.select("vec_id", quantize_fp().alias("vq"))
-    seeds = quantizer_seeds(emb_q.filter(~_is_delta(F.col("vec_id"))))
+    emb_q = emb.select("vec_id", "label", quantize_fp().alias("vq"))
+    seeds = quantizer_seeds(
+        emb_q.filter(~_is_delta(F.col("vec_id"))).select("vec_id", "vq")
+    )
     d2_col = F.aggregate(
         F.zip_with("vq", "sq", lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
@@ -403,29 +410,25 @@ def label_noise_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("m.cell").alias("cell"))
         .transform(cached)
     )
-    withv = assign.join(
-        emb.select("vec_id", "embedding", "label"), "vec_id"
-    ).withColumn("nrm", norm2("embedding"))
+    # rank key = quantized-integer cosine (label_noise_audit's
+    # de-fragilized key — see its docstring)
+    withv = assign.join(emb_q, "vec_id").withColumn("qn2", dot_long("vq", "vq"))
     delta_side = withv.filter(_is_delta(F.col("vec_id"))).select(
         F.col("vec_id").alias("vec_a"), "cell",
-        F.col("embedding").alias("qe"), F.col("nrm").alias("na"),
+        F.col("vq").alias("qa"), F.col("qn2").alias("na2"),
         F.col("label").alias("la"),
     )
     base_side = withv.filter(~_is_delta(F.col("vec_id"))).select(
         F.col("vec_id").alias("vec_b"), "cell",
-        F.col("embedding").alias("ne"), F.col("nrm").alias("nb"),
+        F.col("vq").alias("qb"), F.col("qn2").alias("nb2"),
         F.col("label").alias("lb"),
     )
-    pair_cos = F.when(
-        (F.col("na") > 0) & (F.col("nb") > 0),
-        dot("qe", "ne") / (F.col("na") * F.col("nb")),
-    ).otherwise(F.lit(None))
     wv = Window.partitionBy("vec_a").orderBy(F.desc("sim"), F.asc("vec_b"))
     votes = (
         delta_side.join(base_side, "cell")
         .select(
             "vec_a", "vec_b",
-            F.round(pair_cos, 6).alias("sim"),
+            quantized_cosine("qa", "qb", "na2", "nb2").alias("sim"),
             (F.col("la") == F.col("lb")).cast("int").alias("match"),
         )
         .withColumn("rnk", F.row_number().over(wv))
@@ -476,7 +479,6 @@ def _label_noise_incremental_sql() -> str:
                  / sqrt(GREATEST((SELECT COUNT(*) FROM embeddings WHERE NOT {delta}), 1))) AS BIGINT)
      OR vec_id = (SELECT vec_id FROM hseed ORDER BY h, vec_id LIMIT 1)
 )"""
-    cos = _COSINE_SQL.replace("qe", "ea.embedding").replace("ne", "eb.embedding")
     return f"""
 WITH by_dim AS (
   SELECT vec_id, d,
@@ -492,13 +494,13 @@ WITH by_dim AS (
   SELECT vec_id, cell FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS arnk FROM d2
   ) t WHERE arnk = 1
-), pairs AS (
+), {QN_SQL}, pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         ROUND({cos}, 6) AS sim,
-         CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END AS match
+         {cosine_q_sql('qa', 'qb')} AS sim,
+         CASE WHEN qa.label = qb.label THEN 1 ELSE 0 END AS match
   FROM assign a JOIN assign b ON a.cell = b.cell
-  JOIN embeddings ea ON ea.vec_id = a.vec_id
-  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  JOIN qn qa ON qa.vec_id = a.vec_id
+  JOIN qn qb ON qb.vec_id = b.vec_id
   WHERE {_delta_pred_sql("a.vec_id")} AND NOT {_delta_pred_sql("b.vec_id")}
 ), votes AS (
   SELECT vec_a, COUNT(*) AS n_votes, SUM(match) AS n_agree

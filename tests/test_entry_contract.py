@@ -166,6 +166,9 @@ def test_first_fifty_span_every_family():
         # kmv_set_difference (round-8 Theta-sketch a-not-b) joined the
         # family and sits in the head block, covering the window for
         # the demoted kmv_source_overlap
+        # the round-9 KLL trio (kll_quantile_sketch / kll_sketch_merge
+        # / stream_kll_sketch) joined the family and leads the round-9
+        # window, covering it for the demoted earlier canaries
         "sketches": (
             "kmv_distinct_shingles",
             "kmv_source_overlap",
@@ -173,6 +176,9 @@ def test_first_fifty_span_every_family():
             "histogram_quantiles",
             "hll_distinct_sketch",
             "kmv_set_difference",
+            "kll_quantile_sketch",
+            "kll_sketch_merge",
+            "stream_kll_sketch",
         ),
         # event_changelog_apply joined the family in round-7 session 2
         # and sits in the new-query head block, covering the window
