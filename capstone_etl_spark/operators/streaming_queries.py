@@ -2756,7 +2756,8 @@ def stream_coreset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from capstone_etl_spark.functions.vectors import norm2
+    from capstone_etl_spark.functions.vectors import dot_long
+    from capstone_etl_spark.operators.similarity import quantize_fp
     from capstone_etl_spark.operators.valuation import _kcenter_select
     from capstone_etl_spark.session import cached
     from capstone_etl_spark.sources.tables import load_table
@@ -2765,13 +2766,17 @@ def stream_coreset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         emb_full = load_table(spark, sf_dir, "embeddings")
         _, acc = _kcenter_select(spark, sf_dir)
+        # centers ride as fixed-point lists + exact squared norms —
+        # the quantized-cosine rank-key discipline (valuation.py module
+        # docstring): distance per arriving row is an exact BIGINT
+        # fold, then sqrt/mul/div on bit-identical doubles
         center_row = cached(
             acc.agg(
                 F.collect_list(
                     F.struct(
                         F.col("vec_id").alias("center_id"),
-                        F.col("embedding").alias("se"),
-                        F.col("nrm").alias("sn"),
+                        F.col("vq").alias("sq"),
+                        F.col("qn2").alias("sn2"),
                     )
                 ).alias("centers")
             )
@@ -2789,30 +2794,25 @@ def stream_coreset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda s: F.struct(
                 (
                     F.lit(1.0)
-                    - F.round(
-                        F.when(
-                            (F.col("na") > 0) & (s["sn"] > 0),
-                            F.aggregate(
-                                F.zip_with(
-                                    F.col("qe"),
-                                    s["se"],
-                                    lambda x, y: x.cast("double") * y.cast("double"),
-                                ),
-                                F.lit(0.0),
-                                lambda a, x: a + x,
-                            )
-                            / (F.col("na") * s["sn"]),
-                        ).otherwise(F.lit(None)),
-                        6,
-                    )
+                    - F.when(
+                        (F.col("na2") > 0) & (s["sn2"] > 0),
+                        F.aggregate(
+                            F.zip_with(F.col("vq"), s["sq"], lambda x, y: x * y),
+                            F.lit(0).cast("long"),
+                            lambda a, x: a + x,
+                        ).cast("double")
+                        / (
+                            F.sqrt(F.col("na2").cast("double"))
+                            * F.sqrt(s["sn2"].cast("double"))
+                        ),
+                    ).otherwise(F.lit(None))
                 ).alias("d"),
                 s["center_id"].alias("center_id"),
             ),
         )
         assigned = (
-            stream.select(
-                F.col("embedding").alias("qe"), norm2("embedding").alias("na")
-            )
+            stream.select(quantize_fp().alias("vq"))
+            .withColumn("na2", dot_long("vq", "vq"))
             .join(F.broadcast(center_row), F.lit(True))
             .select(F.array_min(d_structs).alias("m"))
             .select(F.col("m.center_id").alias("center_id"), F.col("m.d").alias("d"))

@@ -26,11 +26,15 @@ returns:
   every per-round stage is per-query-bounded.
 
 Determinism/oracle strategy (the module contract shared with the ANN
-family): similarities rank on ROUND(cos, 6) with id tiebreaks, every
-order-sensitive float accumulation snaps its terms to DECIMAL(p,12)
-before the (exact, order-free) sum, and iterative rounds unroll to the
-same fixed round count in both engines — so DuckDB reproduces ranks,
-picks and values bit-for-bit. The snap precision is 20, not the
+family): similarities rank on the QUANTIZED-INTEGER cosine with id
+tiebreaks — exact BIGINT dot/norm folds on the fixed-point grid
+(order-free under ANY engine's summation order, unlike a chained
+double fold, which the r9 driver proved host-dependent), then one
+sqrt/mul/div on bit-identical inputs; every order-sensitive float
+accumulation snaps its terms to DECIMAL(p,12) before the (exact,
+order-free) sum, and iterative rounds unroll to the same fixed round
+count in both engines — so DuckDB reproduces ranks, picks and values
+bit-for-bit. The snap precision is 20, not the
 family's usual 28: Spark's decimal ADD result must fit precision 38
 or allowPrecisionLoss silently drops the scale to 11 (sum(20,12) →
 (30,12); (30,12)+(20,12) → (31,12) ✓ — whereas (38,12)+(28,12) →
@@ -56,9 +60,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from capstone_etl_spark.functions.vectors import dot, dot_long, norm2, quantized_cosine
+from capstone_etl_spark.functions.vectors import dot_long, quantized_cosine
 from capstone_etl_spark.operators.similarity import (
-    _COSINE_SQL,
     _SEED_IDS_SQL,
     CENTROID_SCALE,
     DIM,
@@ -91,7 +94,7 @@ def knn_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact KNN-Shapley value of every training vector (Jia et al.
     2019, Theorem 1): test set = vec_id < N_QUERIES (the family's
     bounded query-set convention), train = the rest. Per test point,
-    train points sort by similarity (ROUND(cos,6) desc, id asc); with
+    train points sort by similarity (quantized cosine desc, id asc); with
     I_j = 1[label_j = label_test] the recurrence
 
         s_(N) = I_(N) / N
@@ -105,26 +108,25 @@ def knn_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
     the sort is per-test-point (Q parallel sorts of N, shuffled on
     test_id)."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # norms are per-VECTOR: computed once per side before the pair
-    # join, so each scored pair evaluates ONE array fold (the dot)
-    # instead of three — same doubles bit-for-bit (semantic_dedup's
-    # norm-precompute discipline)
-    test = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    # rank key = quantized-integer cosine (label_noise_audit's
+    # de-fragilized key: exact BIGINT folds, order-free in any engine;
+    # squared norms precomputed per SIDE so each scored pair evaluates
+    # ONE integer fold — the norm-precompute discipline)
+    emb_q = emb.select("vec_id", "label", quantize_fp().alias("vq")).withColumn(
+        "qn2", dot_long("vq", "vq")
+    )
+    test = emb_q.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("test_id"),
-        F.col("embedding").alias("qe"),
-        norm2("embedding").alias("na"),
+        F.col("vq").alias("qa"),
+        F.col("qn2").alias("na2"),
         F.col("label").alias("tl"),
     )
-    train = emb.filter(F.col("vec_id") >= N_QUERIES).select(
+    train = emb_q.filter(F.col("vec_id") >= N_QUERIES).select(
         F.col("vec_id").alias("train_id"),
-        F.col("embedding").alias("ne"),
-        norm2("embedding").alias("nb"),
+        F.col("vq").alias("qb"),
+        F.col("qn2").alias("nb2"),
         F.col("label").alias("nl"),
     )
-    pair_cos = F.when(
-        (F.col("na") > 0) & (F.col("nb") > 0),
-        dot("qe", "ne") / (F.col("na") * F.col("nb")),
-    ).otherwise(F.lit(None))
     scored = (
         F.broadcast(test)
         .crossJoin(train)
@@ -132,7 +134,7 @@ def knn_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
             "test_id",
             "train_id",
             F.col("nl").alias("label"),
-            F.round(pair_cos, 6).alias("sim"),
+            quantized_cosine("qa", "qb", "na2", "nb2").alias("sim"),
             (F.col("tl") == F.col("nl")).cast("int").alias("agree"),
         )
     )
@@ -198,15 +200,15 @@ def knn_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 KNN_SHAPLEY_VALUES_SQL = f"""
-WITH test AS (
-  SELECT vec_id AS test_id, embedding AS qe, label AS tl
-  FROM embeddings WHERE vec_id < {N_QUERIES}
+WITH {QN_SQL}, test AS (
+  SELECT vec_id AS test_id, q, n2, label AS tl
+  FROM qn WHERE vec_id < {N_QUERIES}
 ), train AS (
-  SELECT vec_id AS train_id, embedding AS ne, label AS nl
-  FROM embeddings WHERE vec_id >= {N_QUERIES}
+  SELECT vec_id AS train_id, q, n2, label AS nl
+  FROM qn WHERE vec_id >= {N_QUERIES}
 ), scored AS (
   SELECT t.test_id, r.train_id, r.nl AS label,
-         ROUND({_COSINE_SQL}, 6) AS sim,
+         {cosine_q_sql('t', 'r')} AS sim,
          CASE WHEN t.tl = r.nl THEN 1 ELSE 0 END AS agree
   FROM test t CROSS JOIN train r
 ), ranked AS (
@@ -533,12 +535,14 @@ LABEL_NOISE_INCREMENTAL_SQL = _label_noise_incremental_sql()
 def _kcenter_select(spark: SparkSession, sf_dir: str):
     """The greedy selection chain shared by kcenter_coreset and
     coreset_coverage_audit: returns (emb, acc) where emb is the cached
-    (vec_id, embedding, nrm) corpus and acc the KCENTER_K selected
-    rows (vec_id, embedding, nrm, rnd, radius)."""
+    (vec_id, vq, qn2) fixed-point corpus and acc the KCENTER_K selected
+    rows (vec_id, vq, qn2, rnd, radius). Distances rank on the
+    quantized-integer cosine (label_noise_audit's de-fragilized key:
+    exact BIGINT folds, order-free in any engine build)."""
     emb = cached(
-        load_table(spark, sf_dir, "embeddings").select(
-            "vec_id", "embedding", norm2("embedding").alias("nrm")
-        )
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", quantize_fp().alias("vq"))
+        .withColumn("qn2", dot_long("vq", "vq"))
     )
     # every round's 1-row pick is checkpoint-truncated: round r's plan
     # embeds acc_{r-1} in BOTH the anti-join and the distance scan, so
@@ -550,28 +554,26 @@ def _kcenter_select(spark: SparkSession, sf_dir: str):
         .limit(1)
         .select(
             "vec_id",
-            "embedding",
-            "nrm",
+            "vq",
+            "qn2",
             F.lit(1).cast("int").alias("rnd"),
             F.lit(None).cast("double").alias("radius"),
         )
     )
-    # norms ride as columns (one fold per pair — the norm-precompute
-    # discipline); same doubles as the oracle's sqrt-product quotient
-    pair_cos = F.when(
-        (F.col("nrm") > 0) & (F.col("sn") > 0),
-        dot("embedding", "se") / (F.col("nrm") * F.col("sn")),
-    ).otherwise(F.lit(None))
+    # squared norms ride as columns (one integer fold per pair — the
+    # norm-precompute discipline); bit-identical doubles to the
+    # oracle's sqrt-product quotient by construction
+    pair_cos = quantized_cosine("vq", "sq", "qn2", "sn2")
     for r in range(2, KCENTER_K + 1):
         rem = emb.join(acc.select("vec_id"), "vec_id", "left_anti")
         scored = rem.join(
             F.broadcast(
-                acc.select(F.col("embedding").alias("se"), F.col("nrm").alias("sn"))
+                acc.select(F.col("vq").alias("sq"), F.col("qn2").alias("sn2"))
             ),
             F.lit(True),
         ).select(
             "vec_id",
-            (F.lit(1.0) - F.round(pair_cos, 6)).alias("d"),
+            (F.lit(1.0) - pair_cos).alias("d"),
         )
         pick = checkpoint_truncate(
             scored.groupBy("vec_id")
@@ -581,8 +583,8 @@ def _kcenter_select(spark: SparkSession, sf_dir: str):
             .join(emb, "vec_id")
             .select(
                 "vec_id",
-                "embedding",
-                "nrm",
+                "vq",
+                "qn2",
                 F.lit(r).cast("int").alias("rnd"),
                 F.round(F.col("mind"), 6).alias("radius"),
             )
@@ -595,7 +597,8 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Greedy k-center coreset (Gonzalez's 2-approximation — the
     farthest-point selector behind coreset data pruning): seed with
     the minimum vec_id, then KCENTER_K-1 rounds of "the point whose
-    distance to the selected set is largest" (d = 1 - ROUND(cos,6);
+    distance to the selected set is largest" (d = 1 - qcos, the
+    quantized-integer cosine;
     argmax tiebreaks on the smaller id). `radius` is the covering
     radius the pick closed — the selection-time max-min distance — and
     decreases (weakly) round over round.
@@ -613,24 +616,26 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _kcenter_ctes() -> str:
     """The greedy-selection WITH-chain, shared by kcenter_coreset and
     coreset_coverage_audit; the final accumulated relation is
-    a{KCENTER_K} (vec_id, embedding, rnd, radius)."""
-    cos = _COSINE_SQL.replace("qe", "e.embedding").replace("ne", "a.embedding")
+    a{KCENTER_K} (vec_id, q, n2, rnd, radius). Distances rank on the
+    quantized-integer cosine (exact folds, order-free)."""
+    cos = cosine_q_sql("e", "a")
     parts = [
-        "WITH e AS (SELECT vec_id, embedding FROM embeddings)",
-        "s1 AS (SELECT vec_id, embedding, 1 AS rnd, CAST(NULL AS DOUBLE) AS radius"
+        f"WITH {QN_SQL}",
+        "e AS (SELECT vec_id, q, n2 FROM qn)",
+        "s1 AS (SELECT vec_id, q, n2, 1 AS rnd, CAST(NULL AS DOUBLE) AS radius"
         "  FROM e ORDER BY vec_id LIMIT 1)",
         "a1 AS (SELECT * FROM s1)",
     ]
     for r in range(2, KCENTER_K + 1):
         p = r - 1
         parts.append(
-            f"d{r} AS (SELECT e.vec_id, MIN(1.0 - ROUND({cos}, 6)) AS mind"
+            f"d{r} AS (SELECT e.vec_id, MIN(1.0 - ({cos})) AS mind"
             f"  FROM e CROSS JOIN a{p} a"
             f"  WHERE e.vec_id NOT IN (SELECT vec_id FROM a{p})"
             f"  GROUP BY e.vec_id)"
         )
         parts.append(
-            f"s{r} AS (SELECT d.vec_id, e2.embedding, {r} AS rnd, ROUND(d.mind, 6) AS radius"
+            f"s{r} AS (SELECT d.vec_id, e2.q, e2.n2, {r} AS rnd, ROUND(d.mind, 6) AS radius"
             f"  FROM d{r} d JOIN e e2 ON e2.vec_id = d.vec_id"
             f"  ORDER BY d.mind DESC, d.vec_id LIMIT 1)"
         )
@@ -644,7 +649,7 @@ KCENTER_CORESET_SQL = f"{_kcenter_ctes()} SELECT vec_id, rnd, radius FROM a{KCEN
 def coreset_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The coreset's operational health audit (ivf_cell_balance's role
     for the k-center index): assign EVERY vector to its nearest
-    selected center (d = 1 - ROUND(cos,6), argmin tiebreak on
+    selected center (d = 1 - qcos, argmin tiebreak on
     center_id) and report per-center population, corpus share, mean
     and max assigned distance — max_d over all centers IS the in-use
     covering radius, the quantity greedy k-center 2-approximates.
@@ -658,19 +663,16 @@ def coreset_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb, acc = _kcenter_select(spark, sf_dir)
     centers = acc.select(
         F.col("vec_id").alias("center_id"),
-        F.col("embedding").alias("se"),
-        F.col("nrm").alias("sn"),
+        F.col("vq").alias("sq"),
+        F.col("qn2").alias("sn2"),
     )
-    pair_cos = F.when(
-        (F.col("nrm") > 0) & (F.col("sn") > 0),
-        dot("embedding", "se") / (F.col("nrm") * F.col("sn")),
-    ).otherwise(F.lit(None))
+    pair_cos = quantized_cosine("vq", "sq", "qn2", "sn2")
     assigned = (
         emb.join(F.broadcast(centers), F.lit(True))
         .select(
             "vec_id",
             "center_id",
-            (F.lit(1.0) - F.round(pair_cos, 6)).alias("d"),
+            (F.lit(1.0) - pair_cos).alias("d"),
         )
         .groupBy("vec_id")
         .agg(F.min(F.struct("d", "center_id")).alias("m"))
@@ -696,10 +698,10 @@ def coreset_coverage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 CORESET_COVERAGE_AUDIT_SQL = f"""{_kcenter_ctes()}, centers AS (
-  SELECT vec_id AS center_id, embedding AS ce FROM a{KCENTER_K}
+  SELECT vec_id AS center_id, q, n2 FROM a{KCENTER_K}
 ), scored AS (
   SELECT e.vec_id, c.center_id,
-         1.0 - ROUND({_COSINE_SQL.replace('qe', 'e.embedding').replace('ne', 'c.ce')}, 6) AS d
+         1.0 - ({cosine_q_sql('e', 'c')}) AS d
   FROM e CROSS JOIN centers c
 ), assigned AS (
   SELECT vec_id, center_id, d FROM (
@@ -743,8 +745,8 @@ def embedding_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from capstone_etl_spark.operators.similarity import SEMDEDUP_THRESHOLD
 
     emb = load_table(spark, sf_dir, "embeddings")
-    emb_q = emb.select("vec_id", quantize_fp().alias("vq"))
-    seeds = quantizer_seeds(emb_q)
+    emb_q = emb.select("vec_id", "label", quantize_fp().alias("vq"))
+    seeds = quantizer_seeds(emb_q.select("vec_id", "vq"))
     d2_col = F.aggregate(
         F.zip_with("vq", "sq", lambda x, y: (x - y) * (x - y)),
         F.lit(0).cast("long"),
@@ -757,38 +759,35 @@ def embedding_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.min(F.struct("d2", "cell")).alias("m"))
         .select("vec_id", F.col("m.cell").alias("cell"))
     )
+    # both pair gates ride ONE similarity column — the quantized-
+    # integer cosine (label_noise_audit's de-fragilized key): the
+    # SemDeDup threshold and the vote rank see the identical
+    # bit-reproducible double in every engine build
     withv = cached(
-        assign.join(emb.select("vec_id", "embedding", "label"), "vec_id").withColumn(
-            "nrm", norm2("embedding")
-        )
+        assign.join(emb_q, "vec_id").withColumn("qn2", dot_long("vq", "vq"))
     )
     a = withv.select(
         F.col("vec_id").alias("vec_a"), "cell",
-        F.col("embedding").alias("qe"), F.col("nrm").alias("na"),
+        F.col("vq").alias("qa"), F.col("qn2").alias("na2"),
         F.col("label").alias("la"),
     )
     b = withv.select(
         F.col("vec_id").alias("vec_b"), "cell",
-        F.col("embedding").alias("ne"), F.col("nrm").alias("nb"),
+        F.col("vq").alias("qb"), F.col("qn2").alias("nb2"),
         F.col("label").alias("lb"),
     )
-    pair_cos = F.when(
-        (F.col("na") > 0) & (F.col("nb") > 0),
-        dot("qe", "ne") / (F.col("na") * F.col("nb")),
-    ).otherwise(F.lit(None))
     pairs = cached(
         a.join(b, "cell")
         .filter(F.col("vec_a") != F.col("vec_b"))
         .select(
             "vec_a", "vec_b",
-            pair_cos.alias("cos_raw"),
-            F.round(pair_cos, 6).alias("sim"),
+            quantized_cosine("qa", "qb", "na2", "nb2").alias("sim"),
             (F.col("la") == F.col("lb")).cast("int").alias("match"),
         )
     )
     # gate 1: SemDeDup keep-one over the SHARED pair relation
     dup = (
-        pairs.filter((F.col("vec_b") < F.col("vec_a")) & (F.col("cos_raw") >= SEMDEDUP_THRESHOLD))
+        pairs.filter((F.col("vec_b") < F.col("vec_a")) & (F.col("sim") >= SEMDEDUP_THRESHOLD))
         .groupBy("vec_a")
         .agg(F.min("vec_b").alias("dup_of"))
         .withColumnRenamed("vec_a", "vec_id")
@@ -841,7 +840,6 @@ def embedding_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _embedding_curation_manifest_sql() -> str:
-    cos = _COSINE_SQL.replace("qe", "ea.embedding").replace("ne", "eb.embedding")
     from capstone_etl_spark.operators.similarity import SEMDEDUP_THRESHOLD
 
     return f"""
@@ -859,17 +857,16 @@ WITH by_dim AS (
   SELECT vec_id, cell FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS arnk FROM d2
   ) t WHERE arnk = 1
-), prs AS MATERIALIZED (
+), {QN_SQL}, prs AS MATERIALIZED (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         {cos} AS cos_raw,
-         ROUND({cos}, 6) AS sim,
-         CASE WHEN ea.label = eb.label THEN 1 ELSE 0 END AS match
+         {cosine_q_sql('qa', 'qb')} AS sim,
+         CASE WHEN qa.label = qb.label THEN 1 ELSE 0 END AS match
   FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
-  JOIN embeddings ea ON ea.vec_id = a.vec_id
-  JOIN embeddings eb ON eb.vec_id = b.vec_id
+  JOIN qn qa ON qa.vec_id = a.vec_id
+  JOIN qn qb ON qb.vec_id = b.vec_id
 ), dup AS (
   SELECT vec_a AS vec_id, MIN(vec_b) AS dup_of
-  FROM prs WHERE vec_b < vec_a AND cos_raw >= {SEMDEDUP_THRESHOLD}
+  FROM prs WHERE vec_b < vec_a AND sim >= {SEMDEDUP_THRESHOLD}
   GROUP BY vec_a
 ), votes AS (
   SELECT vec_a AS vec_id, COUNT(*) AS n_votes, SUM(match) AS n_agree
@@ -1016,7 +1013,7 @@ EMBEDDING_SHIFT_AUDIT_SQL = _embedding_shift_audit_sql()
 
 def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MMR-diversified top-k: retrieve MMR_CANDS candidates per query
-    by relevance (ROUND(cos,6) to the query), then MMR_K rounds of
+    by relevance (quantized cosine to the query), then MMR_K rounds of
       argmax  λ·rel(c) − μ·max_{s∈selected} sim(c, s)
     (λ=0.7, μ=0.3 — separate literals; 1-0.7 is not 0.3 in binary).
     Round 1's score is the bare relevance (the selected set is empty).
@@ -1028,48 +1025,49 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     and a per-query ROW_NUMBER pick. Nothing after the retrieve
     touches the corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
-    # norms ride as columns through the candidate lists (one fold per
-    # scored pair — the norm-precompute discipline)
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+    # relevance and redundancy rank on the quantized-integer cosine
+    # (label_noise_audit's de-fragilized key); squared norms ride as
+    # columns through the candidate lists (one integer fold per scored
+    # pair — the norm-precompute discipline)
+    emb_q = emb.select("vec_id", quantize_fp().alias("vq")).withColumn(
+        "qn2", dot_long("vq", "vq")
+    )
+    q = emb_q.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
-        F.col("embedding").alias("qe"),
-        norm2("embedding").alias("qn"),
+        F.col("vq").alias("qq"),
+        F.col("qn2").alias("qn"),
     )
-    corpus = emb.select(
+    corpus = emb_q.select(
         F.col("vec_id").alias("cid"),
-        F.col("embedding").alias("ce"),
-        norm2("embedding").alias("cn"),
+        F.col("vq").alias("cq"),
+        F.col("qn2").alias("cn"),
     )
-    rel_cos = F.when(
-        (F.col("qn") > 0) & (F.col("cn") > 0),
-        dot("qe", "ce") / (F.col("qn") * F.col("cn")),
-    ).otherwise(F.lit(None))
+    rel_cos = quantized_cosine("qq", "cq", "qn", "cn")
     wq = Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("cid"))
     cand = cached(
         F.broadcast(q)
         .crossJoin(corpus)
         .filter(F.col("cid") != F.col("query_id"))
-        .select("query_id", "cid", "ce", "cn", F.round(rel_cos, 6).alias("rel"))
+        .select("query_id", "cid", "cq", "cn", rel_cos.alias("rel"))
         .withColumn("crk", F.row_number().over(wq))
         .filter(F.col("crk") <= MMR_CANDS)
         .drop("crk")
     )
     pa = cand.select(
         "query_id", F.col("cid").alias("ca"),
-        F.col("ce").alias("ea"), F.col("cn").alias("na"),
+        F.col("cq").alias("qa"), F.col("cn").alias("na2"),
     )
     pb = cand.select(
         "query_id", F.col("cid").alias("cb"),
-        F.col("ce").alias("eb"), F.col("cn").alias("nb"),
+        F.col("cq").alias("qb"), F.col("cn").alias("nb2"),
     )
-    pair_cos = F.when(
-        (F.col("na") > 0) & (F.col("nb") > 0),
-        dot("ea", "eb") / (F.col("na") * F.col("nb")),
-    ).otherwise(F.lit(None))
     ps = cached(
         pa.join(pb, "query_id")
         .filter(F.col("ca") != F.col("cb"))
-        .select("query_id", "ca", "cb", F.round(pair_cos, 6).alias("s"))
+        .select(
+            "query_id", "ca", "cb",
+            quantized_cosine("qa", "qb", "na2", "nb2").alias("s"),
+        )
     )
     # per-round picks are checkpoint-truncated (≤Q rows each): round
     # k's plan embeds acc_{k-1} twice (anti-join + selected-side join),
@@ -1118,18 +1116,19 @@ def mmr_diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _mmr_sql() -> str:
-    cos_qc = _COSINE_SQL.replace("qe", "q.qe").replace("ne", "e.embedding")
-    cos_ab = _COSINE_SQL.replace("qe", "a.ce").replace("ne", "b.ce")
+    cos_qc = cosine_q_sql("q", "e")
+    cos_ab = cosine_q_sql("a", "b")
     parts = [
-        f"WITH q AS (SELECT vec_id AS query_id, embedding AS qe FROM embeddings"
+        f"WITH {QN_SQL}",
+        f"q AS (SELECT vec_id AS query_id, q, n2 FROM qn"
         f"  WHERE vec_id < {N_QUERIES})",
-        f"scored AS (SELECT q.query_id, e.vec_id AS cid, e.embedding AS ce,"
-        f"  ROUND({cos_qc}, 6) AS rel"
-        f"  FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.query_id)",
-        f"cand AS (SELECT query_id, cid, ce, rel FROM ("
+        f"scored AS (SELECT q.query_id, e.vec_id AS cid, e.q, e.n2,"
+        f"  {cos_qc} AS rel"
+        f"  FROM q CROSS JOIN qn e WHERE e.vec_id <> q.query_id)",
+        f"cand AS (SELECT query_id, cid, q, n2, rel FROM ("
         f"  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY rel DESC, cid) AS crk"
         f"  FROM scored) t WHERE crk <= {MMR_CANDS})",
-        f"ps AS (SELECT a.query_id, a.cid AS ca, b.cid AS cb, ROUND({cos_ab}, 6) AS s"
+        f"ps AS (SELECT a.query_id, a.cid AS ca, b.cid AS cb, {cos_ab} AS s"
         f"  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.cid <> b.cid)",
         "sel1 AS (SELECT query_id, cid, 1 AS rnd, rel AS score FROM ("
         "  SELECT query_id, cid, rel,"

@@ -7,8 +7,8 @@ than the query-set / coreset constants (empty train sets, starved
 greedy rounds), and singleton corpora.
 
 Model float discipline: the model uses the IDENTICAL double sequence —
-ascending-dimension dot folds, quotient of norm products, round(·,6)
-— and mirrors the DECIMAL(20,12) snap with Decimal(str(x)) quantized
+exact-integer quantized dot/norm folds, quotient of sqrt products
+(vectors.quantized_cosine) — and mirrors the DECIMAL(20,12) snap with Decimal(str(x)) quantized
 HALF_UP (Spark's double→decimal cast goes through Double.toString,
 Python's repr is the same shortest-roundtrip string)."""
 
@@ -63,22 +63,23 @@ VEC = st.lists(
 LABELS = st.integers(0, 3)
 
 
-def _dot(a, b):
-    acc = 0.0
-    for x, y in zip(a, b):
-        acc = acc + x * y
-    return acc
+def _qz(v):
+    """quantize_fp's grid: floor(x·1e4 + 0.5) per element."""
+    return [math.floor(x * 10000.0 + 0.5) for x in v]
 
 
-def _norm(a):
-    acc = 0.0
-    for x in a:
-        acc = acc + x * x
-    return math.sqrt(acc)
-
-
-def _cos6(a, b):
-    return _r6(_dot(a, b) / (_norm(a) * _norm(b)))
+def _qcos(a, b):
+    """vectors.quantized_cosine's exact double sequence: exact integer
+    dot and squared norms (any summation order — they're ints), then
+    sqrt/mul/div, each IEEE-correctly-rounded on exact inputs."""
+    qa, qb = _qz(a), _qz(b)
+    n2a = sum(x * x for x in qa)
+    n2b = sum(x * x for x in qb)
+    if n2a <= 0 or n2b <= 0:
+        return None
+    return float(sum(x * y for x, y in zip(qa, qb))) / (
+        math.sqrt(float(n2a)) * math.sqrt(float(n2b))
+    )
 
 
 def _r6(x: float) -> float:
@@ -110,7 +111,7 @@ def _model_knn_shapley(vecs, labels):
         return {}
     sums = {i: decimal.Decimal(0) for i in train}
     for t in tests:
-        order = sorted(train, key=lambda i: (-_cos6(vecs[t], vecs[i]), i))
+        order = sorted(train, key=lambda i: (-_qcos(vecs[t], vecs[i]), i))
         agree = [int(labels[i] == labels[t]) for i in order]
         n = len(order)
         base = _dec12(agree[-1] / n)
@@ -158,7 +159,7 @@ def _model_kcenter(vecs):
         for i in range(n):
             if i in sel:
                 continue
-            mind = min(1.0 - _cos6(vecs[i], vecs[s]) for s in sel)
+            mind = min(1.0 - _qcos(vecs[i], vecs[s]) for s in sel)
             if best is None or mind > best[0] or (mind == best[0] and i < best[1]):
                 best = (mind, i)
         if best is None:
@@ -189,7 +190,7 @@ def _model_mmr(vecs):
     n = len(vecs)
     out = []
     for q in range(min(n, N_Q)):
-        rel = {i: _cos6(vecs[q], vecs[i]) for i in range(n) if i != q}
+        rel = {i: _qcos(vecs[q], vecs[i]) for i in range(n) if i != q}
         cand = sorted(rel, key=lambda i: (-rel[i], i))[:MMR_CANDS]
         if not cand:
             continue
@@ -200,7 +201,7 @@ def _model_mmr(vecs):
             for c in cand:
                 if c in sel:
                     continue
-                ms = max(_cos6(vecs[c], vecs[s]) for s in sel)
+                ms = max(_qcos(vecs[c], vecs[s]) for s in sel)
                 score = _r6(MMR_LAMBDA * rel[c] - MMR_MU * ms)
                 if best is None or score > best[0] or (
                     score == best[0] and c < best[1]
@@ -248,7 +249,7 @@ def _model_label_noise(vecs, labels):
     out = []
     for i in range(n):
         mates = [j for j in range(n) if j != i and assign[j] == assign[i]]
-        ranked = sorted(mates, key=lambda j: (-_cos6(vecs[i], vecs[j]), j))[:NOISE_K]
+        ranked = sorted(mates, key=lambda j: (-_qcos(vecs[i], vecs[j]), j))[:NOISE_K]
         nv = len(ranked)
         na = sum(int(labels[j] == labels[i]) for j in ranked)
         ratio = _r6(na / nv) if nv else None

@@ -48,12 +48,20 @@ def _det_vec(seed: int) -> list[float]:
 
 def _cos6(a, b) -> float:
     # the parquet column is array<float>: quantize through float32
-    # exactly as the stored table does before the float64 math
+    # exactly as the stored table does, then vectors.quantized_cosine's
+    # fixed-point grid — exact integer dot/norms, sqrt/mul/div on
+    # exact inputs (the family's de-fragilized rank key)
     a = np.asarray(a, dtype=np.float32).astype(np.float64)
     b = np.asarray(b, dtype=np.float32).astype(np.float64)
-    num = float(a @ b)
-    den = math.sqrt(float(a @ a)) * math.sqrt(float(b @ b))
-    return round(num / den, 6)
+    qa = [math.floor(float(x) * 10000.0 + 0.5) for x in a]
+    qb = [math.floor(float(x) * 10000.0 + 0.5) for x in b]
+    n2a = sum(x * x for x in qa)
+    n2b = sum(x * x for x in qb)
+    if n2a <= 0 or n2b <= 0:
+        return None
+    return float(sum(x * y for x, y in zip(qa, qb))) / (
+        math.sqrt(float(n2a)) * math.sqrt(float(n2b))
+    )
 
 
 # ---------------------------------------------------------------- shapley
@@ -228,7 +236,7 @@ def test_embedding_shift_detects_planted_dim_shift(spark, tmp_path):
 
 def test_mmr_matches_reference_loop(spark, tmp_path):
     """Round-for-round equality with an independent MMR loop over the
-    same candidate lists (λ=0.7, μ=0.3, ROUND(·,6) ranking)."""
+    same candidate lists (λ=0.7, μ=0.3, quantized-cosine ranking)."""
     rows = [(i, _det_vec(5 * i + 3), 0) for i in range(50)]
     sf = _write_embeddings(spark, tmp_path, rows)
     got = {
