@@ -41,7 +41,6 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from capstone_etl_spark.functions.hashing import md5_hash60, md5_hash60_sql
-from capstone_etl_spark.functions.vectors import cosine
 from capstone_etl_spark.sources.tables import load_table
 from capstone_etl_spark.session import cached, checkpoint_truncate
 
@@ -160,209 +159,6 @@ _COSINE_SQL = (
 ).format(dim=DIM)
 
 
-# ------------------------------------------------------------- queries
-
-def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """L2 norm + dimension per vector (the vector-math smoke check)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    from capstone_etl_spark.functions.vectors import norm2
-
-    return emb.select(
-        "vec_id",
-        F.size("embedding").cast("long").alias("dim"),
-        norm2("embedding").alias("norm"),
-        "label",
-    )
-
-
-EMBEDDING_NORMS_SQL = """
-SELECT vec_id, len(embedding) AS dim,
-       sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS norm,
-       label
-FROM embeddings
-"""
-
-
-def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Top-k cosine neighbors for the query set — broadcast the queries,
-    scan the corpus once, per-query heap via ranked window on the
-    (tiny) scored relation. Ranking keys on the ROUNDED similarity so
-    cross-engine last-ulp drift cannot reorder."""
-    from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
-    scored = (
-        F.broadcast(q)
-        .crossJoin(n)
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id", F.round(cosine("qe", "ne"), 6).alias("sim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "neighbor_id", "sim", "rnk")
-    )
-
-
-ANN_BRUTE_TOPK_SQL = f"""
-WITH q AS (
-  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
-), scored AS (
-  SELECT q.query_id, e.vec_id AS neighbor_id,
-         ROUND({_COSINE_SQL.replace('ne', 'e.embedding')}, 6) AS sim
-  FROM q CROSS JOIN embeddings e
-  WHERE e.vec_id <> q.query_id
-)
-SELECT query_id, neighbor_id, sim, rnk FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-  FROM scored
-) t WHERE rnk <= {TOP_K}
-"""
-
-
-def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Two-stage ANN: LSH bucket equi-join prunes candidates, cosine
-    reranks. Deterministic planes ⇒ the oracle reproduces the exact
-    candidate set and ranking."""
-    from pyspark.sql import Window
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    buckets = lsh_buckets(emb).transform(cached)
-    qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), "tbl", "bucket"
-    )
-    cand = (
-        qb.join(buckets.withColumnRenamed("vec_id", "neighbor_id"), ["tbl", "bucket"])
-        .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("query_id", "neighbor_id")
-        .distinct()
-    )
-    # filter BEFORE the broadcast hint: query_id is already bounded by
-    # N_QUERIES upstream (join key restricts rows either way), but
-    # broadcasting the unfiltered corpus-sized relation would OOM the
-    # driver at scale (ADVICE r5 #1)
-    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
-    )
-    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
-    scored = (
-        cand.join(F.broadcast(q), "query_id")
-        .join(n, "neighbor_id")
-        .select("query_id", "neighbor_id", F.round(cosine("qe", "ne"), 6).alias("sim"))
-    )
-    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
-    return (
-        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
-        .filter(F.col("rnk") <= TOP_K)
-        .select("query_id", "neighbor_id", "sim", "rnk")
-    )
-
-
-ANN_LSH_TOPK_SQL = f"""
-WITH buckets AS (
-  {_BUCKETS_SQL}
-), cand AS (
-  SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
-  FROM buckets qb
-  JOIN buckets nb ON qb.tbl = nb.tbl AND qb.bucket = nb.bucket AND qb.vec_id <> nb.vec_id
-  WHERE qb.vec_id < {N_QUERIES}
-), scored AS (
-  SELECT c.query_id, c.neighbor_id,
-         ROUND({_COSINE_SQL.replace('qe', 'q.embedding').replace('ne', 'n.embedding')}, 6) AS sim
-  FROM cand c
-  JOIN embeddings q ON q.vec_id = c.query_id
-  JOIN embeddings n ON n.vec_id = c.neighbor_id
-)
-SELECT query_id, neighbor_id, sim, rnk FROM (
-  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
-  FROM scored
-) t WHERE rnk <= {TOP_K}
-"""
-
-
-def embedding_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """All-pairs cosine ≥ threshold by cross join — O(N²), kept ONLY as
-    the recall cross-check for the LSH path (tests); never the
-    production plan."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"))
-    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ne"))
-    sim = cosine("qe", "ne")
-    return (
-        a.crossJoin(b)
-        .filter(F.col("vec_a") < F.col("vec_b"))
-        .filter(sim >= PAIR_THRESHOLD)
-        .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
-    )
-
-
-def embedding_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-dup pairs: LSH bucket equi-join generates
-    candidates (docs sharing any (table, bucket)), cosine verifies ≥
-    threshold — candidates-only, NO cartesian product in the plan. The
-    deterministic hyperplanes make the oracle reproduce the exact same
-    candidate set, so the result is hash-checkable; recall vs brute
-    force is asserted in tests (test_similarity_vectors)."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    buckets = lsh_buckets(emb, planes=_PAIR_PLANES).transform(cached)
-    a, b = buckets.alias("a"), buckets.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.tbl") == F.col("b.tbl"))
-            & (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
-        .distinct()
-    )
-    # norm is per-vector: compute once before the pair join (same
-    # doubles — see semantic_dedup's discipline note), so each
-    # candidate evaluates one array fold, not three.
-    from capstone_etl_spark.functions.vectors import dot, norm2
-
-    ea = emb.select(
-        F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"),
-        norm2("embedding").alias("na"),
-    )
-    eb = emb.select(
-        F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ne"),
-        norm2("embedding").alias("nb"),
-    )
-    sim = F.when(
-        (F.col("na") > 0) & (F.col("nb") > 0),
-        dot("qe", "ne") / (F.col("na") * F.col("nb")),
-    ).otherwise(F.lit(None))
-    return (
-        cand.join(ea, "vec_a")
-        .join(eb, "vec_b")
-        .filter(sim >= PAIR_THRESHOLD)
-        .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
-    )
-
-
-EMBEDDING_PAIRS_THRESHOLD_SQL = f"""
-WITH buckets AS (
-  {_PAIR_BUCKETS_SQL}
-), cand AS (
-  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-  FROM buckets a JOIN buckets b
-    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
-)
-SELECT c.vec_a, c.vec_b,
-       ROUND({_COSINE_SQL.replace('qe', 'ea.embedding').replace('ne', 'eb.embedding')}, 6) AS sim
-FROM cand c
-JOIN embeddings ea ON ea.vec_id = c.vec_a
-JOIN embeddings eb ON eb.vec_id = c.vec_b
-WHERE {_COSINE_SQL.replace('qe', 'ea.embedding').replace('ne', 'eb.embedding')} >= {PAIR_THRESHOLD}
-"""
-
-
 CENTROID_SCALE = 10_000  # fixed-point scale for exact accumulation
 
 
@@ -405,6 +201,265 @@ def cosine_q_sql(a: str, b: str) -> str:
         f"CAST(list_sum(list_transform(range({DIM}), dd -> {a}.q[dd+1] * {b}.q[dd+1])) AS DOUBLE)"
         f" / (sqrt(CAST({a}.n2 AS DOUBLE)) * sqrt(CAST({b}.n2 AS DOUBLE))) END"
     )
+
+
+def qcosine(a, b):
+    """Quantized-integer cosine straight from two raw embedding
+    columns (no precomputed norms — the drop-in replacement for the
+    rerank stages' cosine(): same per-pair cost class, three integer
+    folds instead of three double folds). The rank key is
+    bit-reproducible in any engine build: every fold is exact BIGINT
+    arithmetic, and the closing sqrt/mul/div are IEEE correctly-rounded
+    ops on exact inputs. NULL on zero (all-quantized-to-0) vectors,
+    like vectors.cosine."""
+    from capstone_etl_spark.functions.vectors import dot_long
+
+    qa, qb = quantize_fp(a), quantize_fp(b)
+    n2a, n2b = dot_long(qa, qa), dot_long(qb, qb)
+    return F.when(
+        (n2a > 0) & (n2b > 0),
+        dot_long(qa, qb).cast("double")
+        / (F.sqrt(n2a.cast("double")) * F.sqrt(n2b.cast("double"))),
+    ).otherwise(F.lit(None))
+
+
+def _q_expr_sql(col: str) -> str:
+    """quantize_fp's oracle mirror over an arbitrary list expression."""
+    return (
+        f"list_transform({col}, x ->"
+        f" CAST(floor(CAST(x AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT))"
+    )
+
+
+def cosine_q_cols_sql(a: str, b: str, dim: int = DIM) -> str:
+    """qcosine's DuckDB twin over two raw embedding column expressions
+    (quantization inlined — correctness-side only; the Spark plan is
+    what runs at scale)."""
+    qa, qb = _q_expr_sql(a), _q_expr_sql(b)
+    n2a = f"list_sum(list_transform({qa}, x -> x * x))"
+    n2b = f"list_sum(list_transform({qb}, x -> x * x))"
+    return (
+        f"CASE WHEN {n2a} > 0 AND {n2b} > 0 THEN "
+        f"CAST(list_sum(list_transform(range({dim}), dd -> ({qa})[dd+1] * ({qb})[dd+1])) AS DOUBLE)"
+        f" / (sqrt(CAST({n2a} AS DOUBLE)) * sqrt(CAST({n2b} AS DOUBLE))) END"
+    )
+
+
+
+# ------------------------------------------------------------- queries
+
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """L2 norm + dimension per vector (the vector-math smoke check).
+    The squared norm is an exact DECIMAL(20,12)-snapped sum of the
+    per-dimension squares (order-free — a chained double fold is only
+    reproducible when every engine build sums in the same order), then
+    ONE sqrt on the bit-identical double."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    sq = F.transform(
+        "embedding",
+        lambda x: (x.cast("double") * x.cast("double")).cast("decimal(20,12)"),
+    )
+    n2 = F.aggregate(
+        sq,
+        F.lit(0).cast("decimal(30,12)"),
+        lambda acc, x: (acc + x).cast("decimal(30,12)"),
+    )
+    return emb.select(
+        "vec_id",
+        F.size("embedding").cast("long").alias("dim"),
+        F.sqrt(n2.cast("double")).alias("norm"),
+        "label",
+    )
+
+
+EMBEDDING_NORMS_SQL = """
+SELECT vec_id, len(embedding) AS dim,
+       sqrt(CAST(list_sum(list_transform(embedding, x ->
+         CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE) AS DECIMAL(20,12)))) AS DOUBLE)) AS norm,
+       label
+FROM embeddings
+"""
+
+
+def ann_brute_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-k cosine neighbors for the query set — broadcast the queries,
+    scan the corpus once, per-query heap via ranked window on the
+    (tiny) scored relation. Ranking keys on the ROUNDED similarity so
+    cross-engine last-ulp drift cannot reorder."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    scored = (
+        F.broadcast(q)
+        .crossJoin(n)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id", F.round(qcosine("qe", "ne"), 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+ANN_BRUTE_TOPK_SQL = f"""
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT q.query_id, e.vec_id AS neighbor_id,
+         ROUND(COALESCE({cosine_q_cols_sql('qe', 'e.embedding')}, 0.0), 6) AS sim
+  FROM q CROSS JOIN embeddings e
+  WHERE e.vec_id <> q.query_id
+)
+SELECT query_id, neighbor_id, sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM scored
+) t WHERE rnk <= {TOP_K}
+"""
+
+
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage ANN: LSH bucket equi-join prunes candidates, cosine
+    reranks. Deterministic planes ⇒ the oracle reproduces the exact
+    candidate set and ranking."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = lsh_buckets(emb).transform(cached)
+    qb = buckets.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), "tbl", "bucket"
+    )
+    cand = (
+        qb.join(buckets.withColumnRenamed("vec_id", "neighbor_id"), ["tbl", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    # filter BEFORE the broadcast hint: query_id is already bounded by
+    # N_QUERIES upstream (join key restricts rows either way), but
+    # broadcasting the unfiltered corpus-sized relation would OOM the
+    # driver at scale (ADVICE r5 #1)
+    q = emb.filter(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
+    )
+    n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
+    scored = (
+        cand.join(F.broadcast(q), "query_id")
+        .join(n, "neighbor_id")
+        .select("query_id", "neighbor_id", F.round(qcosine("qe", "ne"), 6).alias("sim"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select("query_id", "neighbor_id", "sim", "rnk")
+    )
+
+
+ANN_LSH_TOPK_SQL = f"""
+WITH buckets AS (
+  {_BUCKETS_SQL}
+), cand AS (
+  SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
+  FROM buckets qb
+  JOIN buckets nb ON qb.tbl = nb.tbl AND qb.bucket = nb.bucket AND qb.vec_id <> nb.vec_id
+  WHERE qb.vec_id < {N_QUERIES}
+), scored AS (
+  SELECT c.query_id, c.neighbor_id,
+         ROUND({cosine_q_cols_sql('q.embedding', 'n.embedding')}, 6) AS sim
+  FROM cand c
+  JOIN embeddings q ON q.vec_id = c.query_id
+  JOIN embeddings n ON n.vec_id = c.neighbor_id
+)
+SELECT query_id, neighbor_id, sim, rnk FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY sim DESC, neighbor_id) AS rnk
+  FROM scored
+) t WHERE rnk <= {TOP_K}
+"""
+
+
+def embedding_pairs_brute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All-pairs cosine ≥ threshold by cross join — O(N²), kept ONLY as
+    the recall cross-check for the LSH path (tests); never the
+    production plan."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(F.col("vec_id").alias("vec_a"), F.col("embedding").alias("qe"))
+    b = emb.select(F.col("vec_id").alias("vec_b"), F.col("embedding").alias("ne"))
+    sim = qcosine("qe", "ne")
+    return (
+        a.crossJoin(b)
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .filter(sim >= PAIR_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
+    )
+
+
+def embedding_pairs_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-dup pairs: LSH bucket equi-join generates
+    candidates (docs sharing any (table, bucket)), cosine verifies ≥
+    threshold — candidates-only, NO cartesian product in the plan. The
+    deterministic hyperplanes make the oracle reproduce the exact same
+    candidate set, so the result is hash-checkable; recall vs brute
+    force is asserted in tests (test_similarity_vectors)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    buckets = lsh_buckets(emb, planes=_PAIR_PLANES).transform(cached)
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    # squared norm is per-vector: compute once before the pair join
+    # (the norm-precompute discipline), so each candidate evaluates one
+    # integer fold; the verify threshold compares the quantized-integer
+    # cosine — bit-reproducible in any engine build
+    from capstone_etl_spark.functions.vectors import dot_long, quantized_cosine
+
+    emb_q = emb.select("vec_id", quantize_fp().alias("vq")).withColumn(
+        "qn2", dot_long("vq", "vq")
+    )
+    ea = emb_q.select(
+        F.col("vec_id").alias("vec_a"), F.col("vq").alias("qa"),
+        F.col("qn2").alias("na2"),
+    )
+    eb = emb_q.select(
+        F.col("vec_id").alias("vec_b"), F.col("vq").alias("qb"),
+        F.col("qn2").alias("nb2"),
+    )
+    sim = quantized_cosine("qa", "qb", "na2", "nb2")
+    return (
+        cand.join(ea, "vec_a")
+        .join(eb, "vec_b")
+        .filter(sim >= PAIR_THRESHOLD)
+        .select("vec_a", "vec_b", F.round(sim, 6).alias("sim"))
+    )
+
+
+EMBEDDING_PAIRS_THRESHOLD_SQL = f"""
+WITH buckets AS (
+  {_PAIR_BUCKETS_SQL}
+), cand AS (
+  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+  FROM buckets a JOIN buckets b
+    ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT c.vec_a, c.vec_b,
+       ROUND({cosine_q_cols_sql('ea.embedding', 'eb.embedding')}, 6) AS sim
+FROM cand c
+JOIN embeddings ea ON ea.vec_id = c.vec_a
+JOIN embeddings eb ON eb.vec_id = c.vec_b
+WHERE {cosine_q_cols_sql('ea.embedding', 'eb.embedding')} >= {PAIR_THRESHOLD}
+"""
 
 
 def label_centroid_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -725,7 +780,7 @@ def _ivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(F.broadcast(q), "query_id")
         .join(n, "neighbor_id")
-        .select("query_id", "neighbor_id", F.round(cosine("qe", "ne"), 6).alias("sim"))
+        .select("query_id", "neighbor_id", F.round(qcosine("qe", "ne"), 6).alias("sim"))
     )
 
 
@@ -780,7 +835,7 @@ WITH by_dim AS (
   WHERE a.vec_id <> p.query_id
 ), scored AS (
   SELECT c.query_id, c.neighbor_id,
-         ROUND({_COSINE_SQL.replace('qe', 'q.embedding').replace('ne', 'n.embedding')}, 6) AS sim
+         ROUND({cosine_q_cols_sql('q.embedding', 'n.embedding')}, 6) AS sim
   FROM cand c
   JOIN embeddings q ON q.vec_id = c.query_id
   JOIN embeddings n ON n.vec_id = c.neighbor_id
@@ -1039,7 +1094,7 @@ def _hivf_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(F.broadcast(q), "query_id")
         .join(n, "neighbor_id")
-        .select("query_id", "neighbor_id", F.round(cosine("qe", "ne"), 6).alias("sim"))
+        .select("query_id", "neighbor_id", F.round(qcosine("qe", "ne"), 6).alias("sim"))
     )
 
 
@@ -1133,7 +1188,7 @@ ANN_HIVF_TOPK_SQL = (
   WHERE a.vec_id <> p.query_id
 ), scored AS (
   SELECT c.query_id, c.neighbor_id,
-         ROUND({_COSINE_SQL.replace('qe', 'q.embedding').replace('ne', 'n.embedding')}, 6) AS sim
+         ROUND({cosine_q_cols_sql('q.embedding', 'n.embedding')}, 6) AS sim
   FROM cand c
   JOIN embeddings q ON q.vec_id = c.query_id
   JOIN embeddings n ON n.vec_id = c.neighbor_id
@@ -1294,7 +1349,7 @@ def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     pairs = cached(
         a.join(b, "cell").select(
-            "src_id", "tgt_id", F.round(cosine("qe", "ne"), 6).alias("sim")
+            "src_id", "tgt_id", F.round(qcosine("qe", "ne"), 6).alias("sim")
         )
     )
     wx = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("tgt_id"))
@@ -1338,7 +1393,7 @@ BITEXT_MINING_SQL = (
     + f"""
 , pairs AS (
   SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
-         ROUND({_COSINE_SQL.replace('qe', 'ea.embedding').replace('ne', 'eb.embedding')}, 6) AS sim
+         ROUND({cosine_q_cols_sql('ea.embedding', 'eb.embedding')}, 6) AS sim
   FROM assign a JOIN assign b
     ON a.cell = b.cell AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
   JOIN embeddings ea ON ea.vec_id = a.vec_id
@@ -1432,7 +1487,7 @@ def ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = (
         cand.join(F.broadcast(q), "query_id")
         .join(n, "neighbor_id")
-        .select("n_probes", "query_id", "neighbor_id", F.round(cosine("qe", "ne"), 6).alias("sim"))
+        .select("n_probes", "query_id", "neighbor_id", F.round(qcosine("qe", "ne"), 6).alias("sim"))
     )
     tw = Window.partitionBy("n_probes", "query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     topk = scored.withColumn("rnk", F.row_number().over(tw)).filter(F.col("rnk") <= TOP_K)
@@ -1477,7 +1532,7 @@ def _ivf_probe_curve_sql() -> str:
   WHERE a.vec_id <> r.query_id
 ), scored AS (
   SELECT c.n_probes, c.query_id, c.neighbor_id,
-         ROUND({_COSINE_SQL.replace('qe', 'q.embedding').replace('ne', 'n.embedding')}, 6) AS sim
+         ROUND({cosine_q_cols_sql('q.embedding', 'n.embedding')}, 6) AS sim
   FROM cand c
   JOIN embeddings q ON q.vec_id = c.query_id
   JOIN embeddings n ON n.vec_id = c.neighbor_id
@@ -2430,7 +2485,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     codegen'd — minimizing per-pair folds is the lever)."""
     from pyspark.sql import Window
 
-    from capstone_etl_spark.functions.vectors import dot, norm2
+    from capstone_etl_spark.functions.vectors import dot_long, quantized_cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
     # Quantizer pass in ARRAY form: quantize each vector once, broadcast
@@ -2457,21 +2512,21 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("vec_id", F.col("m.cell").alias("cell"))
         .transform(cached)
     )
-    withv = assign.join(emb.select("vec_id", "embedding"), "vec_id").withColumn(
-        "nrm", norm2("embedding")
-    )
+    # pair stage rides the ALREADY-QUANTIZED vectors: the verify
+    # threshold compares the quantized-integer cosine (exact BIGINT
+    # folds + one sqrt/mul/div — bit-reproducible in any engine build;
+    # the family's de-fragilized key), with squared norms precomputed
+    # per vector so each candidate pair evaluates ONE integer fold
+    withv = assign.join(emb_q, "vec_id").withColumn("qn2", dot_long("vq", "vq"))
     a = withv.select(
         F.col("vec_id").alias("vec_a"), "cell",
-        F.col("embedding").alias("qe"), F.col("nrm").alias("na"),
+        F.col("vq").alias("qa"), F.col("qn2").alias("na2"),
     )
     b = withv.select(
         F.col("vec_id").alias("vec_b"), "cell",
-        F.col("embedding").alias("ne"), F.col("nrm").alias("nb"),
+        F.col("vq").alias("qb"), F.col("qn2").alias("nb2"),
     )
-    pair_cos = F.when(
-        (F.col("na") > 0) & (F.col("nb") > 0),
-        dot("qe", "ne") / (F.col("na") * F.col("nb")),
-    ).otherwise(F.lit(None))
+    pair_cos = quantized_cosine("qa", "qb", "na2", "nb2")
     dup = (
         a.join(b, "cell")
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -2510,7 +2565,7 @@ WITH by_dim AS (
   FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
   JOIN embeddings ea ON ea.vec_id = a.vec_id
   JOIN embeddings eb ON eb.vec_id = b.vec_id
-  WHERE {_COSINE_SQL.replace('qe', 'ea.embedding').replace('ne', 'eb.embedding')} >= {SEMDEDUP_THRESHOLD}
+  WHERE {cosine_q_cols_sql('ea.embedding', 'eb.embedding')} >= {SEMDEDUP_THRESHOLD}
   GROUP BY b.vec_id
 )
 SELECT s.vec_id, s.cell, dup.dup_of IS NULL AS keep, dup.dup_of
@@ -2529,26 +2584,26 @@ def semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     (SemDeDup's own design), so the hierarchical router's boundary
     differences change WHICH near-identical pairs share a block, not
     the operator's contract."""
-    from capstone_etl_spark.functions.vectors import dot, norm2
+    from capstone_etl_spark.functions.vectors import dot_long, quantized_cosine
 
     emb = load_table(spark, sf_dir, "embeddings")
     emb_q = emb.select("vec_id", quantize_fp().alias("vq"))
     assign = cached(hier_assign(emb_q).select("vec_id", "cell"))
-    withv = assign.join(emb.select("vec_id", "embedding"), "vec_id").withColumn(
-        "nrm", norm2("embedding")
-    )
+    # pair stage rides the ALREADY-QUANTIZED vectors: the verify
+    # threshold compares the quantized-integer cosine (exact BIGINT
+    # folds + one sqrt/mul/div — bit-reproducible in any engine build;
+    # the family's de-fragilized key), with squared norms precomputed
+    # per vector so each candidate pair evaluates ONE integer fold
+    withv = assign.join(emb_q, "vec_id").withColumn("qn2", dot_long("vq", "vq"))
     a = withv.select(
         F.col("vec_id").alias("vec_a"), "cell",
-        F.col("embedding").alias("qe"), F.col("nrm").alias("na"),
+        F.col("vq").alias("qa"), F.col("qn2").alias("na2"),
     )
     b = withv.select(
         F.col("vec_id").alias("vec_b"), "cell",
-        F.col("embedding").alias("ne"), F.col("nrm").alias("nb"),
+        F.col("vq").alias("qb"), F.col("qn2").alias("nb2"),
     )
-    pair_cos = F.when(
-        (F.col("na") > 0) & (F.col("nb") > 0),
-        dot("qe", "ne") / (F.col("na") * F.col("nb")),
-    ).otherwise(F.lit(None))
+    pair_cos = quantized_cosine("qa", "qb", "na2", "nb2")
     dup = (
         a.join(b, (a.cell == b.cell) & (F.col("vec_a") < F.col("vec_b")))
         .filter(pair_cos >= SEMDEDUP_THRESHOLD)
@@ -2568,7 +2623,7 @@ SEMANTIC_DEDUP_HIER_SQL = (
   FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id < b.vec_id
   JOIN embeddings ea ON ea.vec_id = a.vec_id
   JOIN embeddings eb ON eb.vec_id = b.vec_id
-  WHERE {_COSINE_SQL.replace('qe', 'ea.embedding').replace('ne', 'eb.embedding')} >= {SEMDEDUP_THRESHOLD}
+  WHERE {cosine_q_cols_sql('ea.embedding', 'eb.embedding')} >= {SEMDEDUP_THRESHOLD}
   GROUP BY b.vec_id
 )
 SELECT s.vec_id, s.cell, dup.dup_of IS NULL AS keep, dup.dup_of
@@ -2688,12 +2743,12 @@ def matryoshka_recall(
     harness.
 
     Zero-norm guard (ADVICE r6): full-dim norms are nonzero by fixture
-    construction but a TRUNC_DIM-prefix can be all zeros. cosine()
-    when-guards its division, returning NULL on a zero norm (an
-    unguarded double /0 would THROW under this session's ANSI mode,
-    while DuckDB's IEEE division yields inf/NaN) — both engines
+    construction but a TRUNC_DIM-prefix can be all zeros. qcosine()
+    when-guards its division, returning NULL on a zero fixed-point
+    norm (an unguarded double /0 would THROW under this session's ANSI
+    mode, while DuckDB's IEEE division yields inf/NaN) — both engines
     therefore pin zero-norm similarity to 0.0 (coalesce over the
-    guarded cosine here, CASE in the oracle)."""
+    guarded cosine here, COALESCE in the oracle)."""
     from pyspark.sql import Window
 
     td = TRUNC_DIM if trunc_dim is None else trunc_dim
@@ -2712,7 +2767,7 @@ def matryoshka_recall(
             .select(
                 "query_id",
                 "neighbor_id",
-                F.round(F.coalesce(cosine("qe", "ne"), F.lit(0.0)), 6).alias("sim"),
+                F.round(F.coalesce(qcosine("qe", "ne"), F.lit(0.0)), 6).alias("sim"),
             )
             .withColumn("rnk", F.row_number().over(w))
             .filter(F.col("rnk") <= TOP_K)
@@ -2755,7 +2810,7 @@ WITH q AS (
   SELECT vec_id AS query_id, embedding AS qe FROM embeddings WHERE vec_id < {N_QUERIES}
 ), scored_full AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         ROUND({_COSINE_SQL.replace('ne', 'e.embedding')}, 6) AS sim
+         ROUND(COALESCE({cosine_q_cols_sql('qe', 'e.embedding')}, 0.0), 6) AS sim
   FROM q CROSS JOIN embeddings e
   WHERE e.vec_id <> q.query_id
 ), full_topk AS (
@@ -2765,7 +2820,7 @@ WITH q AS (
   ) t WHERE rnk <= {TOP_K}
 ), scored_trunc AS (
   SELECT q.query_id, e.vec_id AS neighbor_id,
-         ROUND({_COSINE_TRUNC_SQL.replace('ne', 'e.embedding')}, 6) AS sim
+         ROUND(COALESCE({cosine_q_cols_sql(f'qe[1:{TRUNC_DIM}]', f'e.embedding[1:{TRUNC_DIM}]', TRUNC_DIM)}, 0.0), 6) AS sim
   FROM q CROSS JOIN embeddings e
   WHERE e.vec_id <> q.query_id
 ), trunc_topk AS (
@@ -3214,7 +3269,7 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_label",
             "neighbor_id",
             "neighbor_label",
-            F.round(cosine("qe", "ne"), 6).alias("sim"),
+            F.round(qcosine("qe", "ne"), 6).alias("sim"),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
@@ -3241,7 +3296,7 @@ WITH buckets AS (
   WHERE ql.label <> nl.label
 ), scored AS (
   SELECT c.query_id, c.query_label, c.neighbor_id, c.neighbor_label,
-         ROUND({_COSINE_SQL.replace('qe', 'q.embedding').replace('ne', 'n.embedding')}, 6) AS sim
+         ROUND({cosine_q_cols_sql('q.embedding', 'n.embedding')}, 6) AS sim
   FROM labeled c
   JOIN embeddings q ON q.vec_id = c.query_id
   JOIN embeddings n ON n.vec_id = c.neighbor_id
@@ -3286,8 +3341,6 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     embedding_pairs_threshold discipline); the verdict is one groupBy
     on train_vec whose argmax is a min(struct) aggregation, no
     windows over corpus-sized relations."""
-    from capstone_etl_spark.functions.vectors import dot, norm2
-
     emb = load_table(spark, sf_dir, "embeddings")
     buckets = lsh_buckets(emb, planes=_PAIR_PLANES).transform(cached)
     is_bench = F.col("vec_id") % SEM_BENCH_MOD == 0
@@ -3304,22 +3357,26 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    et = emb.select(
-        F.col("vec_id").alias("train_vec"), F.col("embedding").alias("qe"),
-        norm2("embedding").alias("nt"),
+    from capstone_etl_spark.functions.vectors import dot_long, quantized_cosine
+
+    emb_q = emb.select("vec_id", quantize_fp().alias("vq")).withColumn(
+        "qn2", dot_long("vq", "vq")
     )
-    eb = emb.select(
-        F.col("vec_id").alias("bench_vec"), F.col("embedding").alias("ne"),
-        norm2("embedding").alias("nb"),
+    et = emb_q.select(
+        F.col("vec_id").alias("train_vec"), F.col("vq").alias("qa"),
+        F.col("qn2").alias("na2"),
     )
-    sim = F.when(
-        (F.col("nt") > 0) & (F.col("nb") > 0),
-        dot("qe", "ne") / (F.col("nt") * F.col("nb")),
-    ).otherwise(F.lit(None))
-    # project the raw cosine BEFORE filtering so the 64-dim fold runs
+    eb = emb_q.select(
+        F.col("vec_id").alias("bench_vec"), F.col("vq").alias("qb"),
+        F.col("qn2").alias("nb2"),
+    )
+    # quantized-integer cosine (the family's de-fragilized key): exact
+    # BIGINT folds, bit-identical threshold compare in any engine build
+    sim = quantized_cosine("qa", "qb", "na2", "nb2")
+    # project the cosine BEFORE filtering so the 64-dim fold runs
     # once per candidate — a filter+select pair would evaluate it twice
     # (no cross-operator subexpression elimination); the threshold still
-    # compares the RAW value, mirroring the oracle's WHERE
+    # compares the unrounded value, mirroring the oracle's WHERE
     hits = (
         cand.join(et, "train_vec")
         .join(eb, "bench_vec")
@@ -3336,15 +3393,9 @@ def semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# zero-norm guard mirrors the Spark side's NULL (matryoshka discipline):
-# DuckDB's raw IEEE division would yield inf/NaN instead of dropping the row
-_SEM_NORM = "sqrt(list_sum(list_transform({v}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-_SEM_DECON_COS = (
-    f"(CASE WHEN {_SEM_NORM.format(v='ea.embedding')} > 0"
-    f" AND {_SEM_NORM.format(v='eb.embedding')} > 0 THEN "
-    + _COSINE_SQL.replace("qe", "ea.embedding").replace("ne", "eb.embedding")
-    + " ELSE NULL END)"
-)
+# zero-norm guard is built into the quantized cosine's CASE (NULL on a
+# zero fixed-point norm), mirroring the Spark side's when-guard
+_SEM_DECON_COS = "(" + cosine_q_cols_sql("ea.embedding", "eb.embedding") + ")"
 
 SEMANTIC_DECONTAMINATION_SQL = f"""
 WITH buckets AS (

@@ -930,7 +930,7 @@ def stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    from capstone_etl_spark.functions.vectors import cosine
+    from capstone_etl_spark.operators.similarity import qcosine
     from capstone_etl_spark.operators.similarity import (
         IVF_PROBES_MIN,
         N_QUERIES,
@@ -1019,7 +1019,7 @@ def stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "query_id",
                 "neighbor_id",
-                F.round(cosine("qe", "ne"), 6).alias("sim"),
+                F.round(qcosine("qe", "ne"), 6).alias("sim"),
             )
         )
         got = run_to_memory(scored, f"{work}/checkpoint", output_mode="append")
@@ -1057,7 +1057,7 @@ def stream_ann_hivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from capstone_etl_spark.functions.vectors import cosine
+    from capstone_etl_spark.operators.similarity import qcosine
     from capstone_etl_spark.operators.similarity import (
         IVF_PROBES_MIN,
         N_QUERIES,
@@ -1140,7 +1140,7 @@ def stream_ann_hivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "query_id",
                 "neighbor_id",
-                F.round(cosine("qe", "ne"), 6).alias("sim"),
+                F.round(qcosine("qe", "ne"), 6).alias("sim"),
             )
         )
         got = run_to_memory(scored, f"{work}/checkpoint", output_mode="append")
@@ -1176,7 +1176,7 @@ def stream_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from capstone_etl_spark.functions.vectors import cosine
+    from capstone_etl_spark.operators.similarity import qcosine
     from capstone_etl_spark.operators.similarity import (
         BITEXT_K,
         BITEXT_MARGIN,
@@ -1224,7 +1224,7 @@ def stream_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumn("cand", cand_cells)
             .select("src_id", "qe", best_cell.alias("cell"))
             .join(tgt, "cell")
-            .select("src_id", "tgt_id", F.round(cosine("qe", "ne"), 6).alias("sim"))
+            .select("src_id", "tgt_id", F.round(qcosine("qe", "ne"), 6).alias("sim"))
         )
         from capstone_etl_spark.session import checkpoint_truncate
 
@@ -1295,7 +1295,7 @@ def stream_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
     import shutil
     import tempfile
 
-    from capstone_etl_spark.functions.vectors import cosine
+    from capstone_etl_spark.operators.similarity import qcosine
     from capstone_etl_spark.operators.similarity import (
         SEMDEDUP_THRESHOLD,
         hier_assign,
@@ -1341,7 +1341,7 @@ def stream_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("vec_b", "qe", best_cell.alias("cell"))
             .join(members, "cell")
             .filter(F.col("vec_a") < F.col("vec_b"))
-            .filter(cosine("qe", "ne") >= SEMDEDUP_THRESHOLD)
+            .filter(qcosine("qe", "ne") >= SEMDEDUP_THRESHOLD)
             .select("vec_b", "vec_a")
         )
         got = run_to_memory(spairs, f"{work}/checkpoint", output_mode="append")
