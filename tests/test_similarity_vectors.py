@@ -400,3 +400,101 @@ def test_hard_negatives_cross_label_and_bucket_pruned(spark):
         assert len(rows) <= TOP_K
         sims = [r.sim for r in rows]
         assert sims == sorted(sims, reverse=True)
+
+
+# ----------------------- r10: the de-fragilized rank-key invariants
+
+
+def test_no_raw_ieee_cosine_rank_keys():
+    """Grep-able invariant (VERDICT r9 #3): no embedding-family
+    operator ranks, gates or outputs a chained-double-fold cosine.
+    label_noise proved a driver-build change can flip any rank
+    boundary fed by an order-sensitive IEEE accumulation, so every
+    similarity in these modules must ride the quantized-integer grid
+    (qcosine / quantized_cosine / cosine_q_*_sql) or an exact decimal
+    snap. The raw helpers stay in functions/vectors.py for value-level
+    math on integer-valued arrays (exact in double by construction),
+    but may not appear in the embedding operator sources."""
+    import pathlib
+    import re
+
+    ops = pathlib.Path(__file__).resolve().parents[1] / "capstone_etl_spark" / "operators"
+    forbidden = (
+        r'(?<![a-zA-Z_])cosine\("qe"',   # raw cosine between embedding sides
+        r'(?<![a-zA-Z_])dot\("qe"',      # raw double dot in a pair stage
+        r'norm2\("embedding"\)',         # raw double norm precompute
+        r'import cosine\b',              # the raw helper itself
+        r'import .*\bdot,',              # raw dot in an import list
+    )
+    for fname in (
+        "similarity.py",
+        "valuation.py",
+        "streaming_queries.py",
+        "dedup.py",
+        "scaleaudit.py",
+    ):
+        src = (ops / fname).read_text()
+        for tok in forbidden:
+            m = re.search(tok, src)
+            assert m is None, f"{fname} still uses raw IEEE fold: {m.group(0) if m else tok}"
+
+
+def test_quantized_cosine_rank_key_is_summation_order_free(spark):
+    """The property the rank key is BUILT on (VERDICT r9 #3): the
+    quantized cosine's dot and norms are exact integer sums, so ANY
+    summation order — forward, reversed, random shuffle, pairwise —
+    yields the same value to the last bit, and the closing
+    sqrt/mul/div are IEEE-correctly-rounded ops on those exact inputs.
+    Checked on full-entropy doubles (not grid-aligned fixtures), with
+    Spark's qcosine pinned equal to the order-perturbed Python model."""
+    import math
+    import random
+
+    from capstone_etl_spark.operators.similarity import DIM, qcosine
+
+    rng = random.Random(0xC0FFEE)
+    vecs = [
+        [rng.uniform(-0.6, 0.6) for _ in range(DIM)] for _ in range(12)
+    ]
+
+    def qz(v):
+        return [math.floor(x * 10000.0 + 0.5) for x in v]
+
+    def model(a, b, order):
+        qa, qb = qz(a), qz(b)
+        idx = list(range(DIM))
+        order(idx)
+        d = sum(qa[i] * qb[i] for i in idx)
+        n2a = sum(qa[i] * qa[i] for i in idx)
+        n2b = sum(qb[i] * qb[i] for i in idx)
+        if n2a <= 0 or n2b <= 0:
+            return None
+        return float(d) / (math.sqrt(float(n2a)) * math.sqrt(float(n2b)))
+
+    orders = (
+        lambda idx: None,                      # forward
+        lambda idx: idx.reverse(),             # reversed
+        lambda idx: rng.shuffle(idx),          # random
+    )
+    expected = {}
+    for i, a in enumerate(vecs):
+        for j, b in enumerate(vecs):
+            vals = {repr(model(a, b, o)) for o in orders}
+            assert len(vals) == 1, (i, j, vals)  # order-free to the bit
+            expected[(i, j)] = model(a, b, orders[0])
+
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    pdf = pd.DataFrame(
+        {"vec_id": range(len(vecs)), "embedding": [list(map(float, v)) for v in vecs]}
+    )
+    df = spark.createDataFrame(pdf)
+    a = df.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("qe"))
+    b = df.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("ne"))
+    got = {
+        (r.ia, r.ib): r.sim
+        for r in a.crossJoin(b).select("ia", "ib", qcosine("qe", "ne").alias("sim")).collect()
+    }
+    for k, v in expected.items():
+        assert repr(got[k]) == repr(v), k  # bit-identical, not approx
