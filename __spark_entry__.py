@@ -37,75 +37,41 @@ def entry(spark: SparkSession) -> DataFrame:
 # rest of the registry rides in staleness order so any extra driver
 # sampling refreshes the stalest signal first.
 _PRIORITY = [
-    # ---- driver window (first ~50) -----------------------------------
-    # Block 1: the 9 round-8 session-5 queries with no driver
-    # CORRECTNESS row in any round (all green in ATTEST_r8.json and the
-    # r8 judge's independent 299/299 gate). A green r9 row for each
-    # completes 299/299 lifetime driver attestation.
-    "stream_rfm_segments",
-    "stream_naive_bayes",
-    "bootstrap_ci",
-    "conformal_coverage",
-    "event_cuped_adjustment",
-    "stream_cuped",
-    "pareto_frontier_docs",
-    "stream_pareto_frontier",
-    "event_overdispersion",
-    # Block 2: NEW in round 9 — first driver attestation. Inserted as
-    # they land (hierarchical quantizer, KLL sketch twins, the
-    # streaming training-manifest composition).
-    "ann_hivf_topk",
-    "stream_training_manifest",
-    "kll_quantile_sketch",
-    "stream_kll_sketch",
-    "hivf_cell_medoids",
-    "semantic_dedup_hier",
-    "stream_ann_hivf_topk",
-    "hivf_cell_balance",
-    "bitext_mining",
-    "stream_bitext_mining",
-    "pq_hier_distortion_audit",
-    "stream_semantic_dedup_hier",
-    "kll_sketch_merge",
-    "stream_hivf_cell_balance",
-    "knn_shapley_values",
+    # ---- driver window (first 50), round 10 -----------------------
+    # Block 1: NEW this round (first driver attestation) + the three
+    # r9 RED rows (label_noise trio) re-attested after the
+    # quantized-cosine rank-key fix — green r10 rows here complete
+    # 326/326 lifetime attestation with zero red latest rows.
+    "ann_hivf_pq_topk",
     "label_noise_audit",
-    "kcenter_coreset",
-    "mmr_diversified_topk",
     "label_noise_incremental",
     "stream_label_noise",
-    "coreset_coverage_audit",
-    "embedding_shift_audit",
-    "stream_embedding_shift",
-    "stream_coreset_coverage",
-    "embedding_curation_manifest",
-    "event_double_ewma",
-    # Block 3: family canaries — every operator family keeps >=1 row in
-    # the window (tests/test_entry_contract.py enforces the span). The
-    # Block-1 members cover streaming (5 head entries), events
-    # (bootstrap_ci, conformal_coverage, event_cuped_adjustment,
-    # event_overdispersion) and quality (pareto_frontier_docs); each
-    # canary below is the LEAST-recently-driver-attested member of its
-    # family (round shown).
-    "corpus_pipeline",  # corpus, r4
-    "dedup_exact",  # dedup, r3
-    "decontamination",  # decontamination, r4
-    "ann_ivf_topk",  # ann, r3
-    "label_centroids",  # kmeans, r3
-    "doc_similarity_topk",  # doc_similarity, r4
-    "multimodal_meta",  # multimodal, r3
-    "tokens_collection",  # outputs, r3
-    "doc_chunks",  # chunking, r4
-    "sequence_packing",  # packing, r4
-    "doc_splits",  # splits, r4
-    "doc_sample_stratified",  # sampling, r4
-    "campaign_window_stats",  # rangejoin, r8
-    "text_quality",  # textstats, r4
-    "pii_scan",  # privacy, r6
+    # Block 2: family canaries — every operator family keeps >=1 row
+    # in the window (tests/test_entry_contract.py enforces the span);
+    # each entry is the LEAST-recently-driver-attested member of its
+    # family after round 9 (round shown).
+    "source_mixing_weights",  # corpus, r4
+    "dedup_clusters",  # dedup, r4
+    "semantic_decontamination",  # decontamination, r7
+    "ann_lsh_topk",  # ann, r4
+    "kmeans_silhouette",  # kmeans, r7
+    "bm25_topk",  # doc_similarity, r6
+    "stream_event_dedup",  # streaming, r3
+    "multimodal_frame_dedup",  # multimodal, r6
+    "wikibooks_docs",  # outputs, r8
+    "chunk_packing",  # chunking, r7
+    "sequence_packing_greedy",  # packing, r8
+    "cluster_aware_splits",  # splits, r6
+    "reservoir_sample",  # sampling, r7
+    "campaign_window_stats",  # rangejoin, r9 (single-member family)
+    "language_id_confusion",  # textstats, r5
+    "quality_filter_flags",  # quality, r4
+    "boilerplate_lines",  # privacy, r6
     "kmv_distinct_shingles",  # sketches, r4
-    # Block 4: the 25 least-recently-attested remaining queries (r1/r2
-    # relational + §2 core rows whose freshest driver signal is seven
-    # rounds old) fill the window.
+    "event_user_rank_profile",  # events, r4
+    # Block 3: the 27 least-recently-attested remaining queries (the
+    # r1/r2 relational + core rows) fill the window — the stalest
+    # lifetime signal gets refreshed first.
     "event_daily_matrix",  # last driver row: r1
     "blocking_suppliers",  # last driver row: r2
     "customer_order_distribution",  # last driver row: r2
@@ -131,13 +97,13 @@ _PRIORITY = [
     "market_share",  # last driver row: r2
     "nation_trade_flows",  # last driver row: r2
     "order_date_rollup",  # last driver row: r2
+    "order_priority_rollup",  # last driver row: r2
+    "parent_child",  # last driver row: r2
     # ---- position 51+: every query below is driver-green in some
     # round AND green on the committed local full gate; ordered
     # least-recently-attested first so any extra driver sampling adds
     # the stalest signal.
-    "order_priority_rollup",
     "orders_per_customer_rank",
-    "parent_child",
     "parent_child_agg",
     "part_cooccurrence",
     "parts_without_orders",
@@ -176,7 +142,6 @@ _PRIORITY = [
     "multimodal_frames",
     "multimodal_stats",
     "repetition_ratio",
-    "stream_event_dedup",
     "stream_sliding_windows",
     "stream_tier_rollup",
     "stream_user_activity",
@@ -185,10 +150,8 @@ _PRIORITY = [
     "token_vector_collection",
     "top_tokens_per_source",
     "vocab_coverage",
-    "ann_lsh_topk",
     "bpe_merge_pairs",
     "corpus_drift",
-    "dedup_clusters",
     "dedup_minhash_lsh",
     "embedding_pairs",
     "event_asof_last_view",
@@ -203,16 +166,13 @@ _PRIORITY = [
     "event_transitions",
     "event_user_deciles",
     "event_user_funnel",
-    "event_user_rank_profile",
     "event_value_histogram",
     "event_value_percentiles",
     "hierarchy_pagerank",
     "pack_attention_spans",
     "packed_sequences",
     "packing_efficiency",
-    "quality_filter_flags",
     "quality_filter_funnel",
-    "source_mixing_weights",
     "stream_click_attribution",
     "stream_tumbling_windows",
     "stream_user_sessions",
@@ -230,7 +190,6 @@ _PRIORITY = [
     "hierarchy_rollup",
     "important_parts",
     "ivf_cell_balance",
-    "language_id_confusion",
     "length_histogram",
     "local_supplier_volume",
     "mad_outliers",
@@ -251,10 +210,7 @@ _PRIORITY = [
     "ann_pq_topk",
     "ann_recall_eval",
     "bloom_membership",
-    "bm25_topk",
-    "boilerplate_lines",
     "bpe_apply_merge",
-    "cluster_aware_splits",
     "cooccurrence_triangles",
     "count_min_error",
     "dedup_agreement",
@@ -274,7 +230,6 @@ _PRIORITY = [
     "late_shipment_priority",
     "length_quartiles_per_source",
     "mixing_allocation",
-    "multimodal_frame_dedup",
     "multimodal_resize",
     "pca_power_iteration",
     "pii_redaction",
@@ -292,7 +247,6 @@ _PRIORITY = [
     "bpe_encode",
     "bt_source_ratings",
     "bucketed_batching",
-    "chunk_packing",
     "cms_join_size",
     "code_detection",
     "corpus_cube",
@@ -309,7 +263,6 @@ _PRIORITY = [
     "histogram_quantiles",
     "hll_distinct_sketch",
     "k_anonymity_audit",
-    "kmeans_silhouette",
     "label_separability",
     "lsh_tuning_curve",
     "matryoshka_recall",
@@ -317,9 +270,7 @@ _PRIORITY = [
     "multimodal_phash_dedup",
     "quality_agreement_matrix",
     "rendezvous_sharding",
-    "reservoir_sample",
     "retrieval_ndcg",
-    "semantic_decontamination",
     "source_loso_influence",
     "split_leakage_audit",
     "stopword_discovery",
@@ -371,7 +322,6 @@ _PRIORITY = [
     "rag_chunk_retrieval",
     "repeated_ngram_spans",
     "rfm_segments",
-    "sequence_packing_greedy",
     "span_corruption_masks",
     "split_perplexity_gap",
     "stream_ab_test",
@@ -382,7 +332,6 @@ _PRIORITY = [
     "stream_psi_drift",
     "stream_quantile_sketch",
     "token_gini",
-    "wikibooks_docs",
     "woe_feature_bins",
 ]
 

@@ -159,6 +159,10 @@ HEADLINE = [
     # r9 (cont.): the per-subspace two-level PQ encode — the last
     # measured flat-quantizer N^1.5 term paid down.
     "pq_hier_distortion_audit",
+    # r10: the production serving shape with NO flat O(N*sqrt(N)) term —
+    # the two-level coarse router composed with per-subspace hier codes
+    # and ADC ranking; benched beside ann_ivf_pq_topk for the crossover.
+    "ann_hivf_pq_topk",
     "heaps_law_fit",
     # r7 session 5 (cont.): the train-LM split scoring (token-shuffle
     # bound), the bounded-pair basket miner, and the fixed-round LP

@@ -2237,6 +2237,167 @@ FROM (
 """
 
 
+def ann_hivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HIVF-PQ top-k — ann_ivf_pq_topk with BOTH index-build stages on
+    the two-level router: the production serving shape with no flat
+    O(N·√N) term left anywhere (VERDICT r9 #5 — the last unpaid
+    frontier in a query a 100 TB user serves from).
+
+    - Coarse: _hier_cand_seed routes every vector to its BRANCH_PROBES
+      nearest ≈N^(1/4) branches in-row (1-row broadcast, zero shuffle)
+      and assigns against only those branches' second-level seeds —
+      O(N·N^(1/4)) dot products (ann_hivf_topk's stage; measured
+      decade-2 exponent 0.93 vs the flat 1.26, SCALE.md).
+    - Fine: _pq_hier_codes encodes the corpus per subspace through the
+      same router — O(N·M·N^(1/4)) subvector folds (measured 1.00 vs
+      the flat 1.23).
+    - Query side: the ADC tables stay FLAT (every codeword, all ≈√N) —
+      queries are the O(1)-bounded side, and a complete table is what
+      makes ADC a pure lookup: Q·M·√N integer folds total, ~nothing.
+      Ranking = Σ_m table[m, code_m] per candidate, exact int64; the
+      one final sqrt only formats the output distance.
+
+    Same output schema and ranking discipline as ann_ivf_pq_topk
+    (adc asc, neighbor_id tiebreak); codes differ where the router's
+    candidate subset differs (a two-level index is a different index —
+    the FAISS IVF_HNSW/IVFPQ trade), which the audit pair
+    pq_distortion_audit / pq_hier_distortion_audit quantifies.
+
+    Scale: per-vector state is M codewords + one cell id; the ADC join
+    shuffles candidates on neighbor_id against the M-row code relation
+    and broadcasts the Q·M·√N query tables; no corpus self-join, no
+    explode beyond the M-subspace posexplode."""
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_q = emb.select("vec_id", quantize_fp().alias("vq"))
+    seeds = quantizer_seeds(emb_q)
+    cand_seed = cached(_hier_cand_seed(emb_q).select("vec_id", "cell", "d2"))
+    assign = (
+        cand_seed.groupBy("vec_id")
+        .agg(F.min(F.struct("d2", "cell")).alias("a"))
+        .select("vec_id", F.col("a.cell").alias("cell"))
+    )
+    n_cells = seeds.agg(F.count("*").alias("n_cells"))
+    probe_k = F.greatest(
+        F.lit(IVF_PROBES_MIN).cast("long"),
+        F.ceil(F.sqrt(F.col("n_cells").cast("double"))),
+    )
+    pw = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
+    probes = (
+        cand_seed.filter(F.col("vec_id") < N_QUERIES)
+        .withColumn("prnk", F.row_number().over(pw))
+        .join(F.broadcast(n_cells), F.lit(True))
+        .filter(F.col("prnk") <= probe_k)
+        .select(F.col("vec_id").alias("query_id"), "cell")
+    )
+    codes = _pq_hier_codes(emb_q).select(
+        F.col("vec_id").alias("neighbor_id"), "m", F.col("cell").alias("cw")
+    )
+    qtab = _pq_subspace_dists(
+        emb_q.filter(F.col("vec_id") < N_QUERIES), seeds
+    ).select(
+        F.col("vec_id").alias("query_id"), "m",
+        F.col("cell").alias("cw"), F.col("d2").alias("qd2"),
+    )
+    cand = (
+        probes.join(assign.withColumnRenamed("vec_id", "neighbor_id"), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+    )
+    adc = (
+        cand.join(codes, "neighbor_id")
+        .join(F.broadcast(qtab), ["query_id", "m", "cw"])
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("qd2").alias("adc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rnk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rnk") <= TOP_K)
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(
+                F.sqrt(F.col("adc").cast("double")) / F.lit(float(CENTROID_SCALE)), 6
+            ).alias("adc_dist"),
+            "rnk",
+        )
+    )
+
+
+# HIVF-PQ oracle: the coarse two-level WITH-chain (_HIER_ASSIGN_SQL)
+# + the per-subspace hier code CTEs (suffixed _m — the coarse chain
+# already owns seed_route/vec_route) + flat query-side ADC tables.
+ANN_HIVF_PQ_TOPK_SQL = (
+    _HIER_ASSIGN_SQL
+    + f"""
+, probes AS (
+  SELECT vec_id AS query_id, cell FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS prnk
+    FROM cand_seed WHERE vec_id < {N_QUERIES}
+  ) t WHERE prnk <= GREATEST({IVF_PROBES_MIN},
+        CAST(ceil(sqrt((SELECT COUNT(*) FROM seed_ids))) AS BIGINT))
+), srm AS (
+  SELECT s.cell, s.d // {PQ_SUBDIM} AS m, b.branch,
+         CAST(SUM((s.ss - b.bs) * (s.ss - b.bs)) AS BIGINT) AS bd2
+  FROM seeds s JOIN branches b ON b.d = s.d
+  GROUP BY 1, 2, 3
+), seed_route_m AS (
+  SELECT cell, m, branch FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY cell, m ORDER BY bd2, branch) AS rn
+    FROM srm
+  ) t WHERE rn = 1
+), vrm AS (
+  SELECT v.vec_id, v.d // {PQ_SUBDIM} AS m, b.branch,
+         CAST(SUM((v.vs - b.bs) * (v.vs - b.bs)) AS BIGINT) AS bd2
+  FROM by_dim v JOIN branches b ON b.d = v.d
+  GROUP BY 1, 2, 3
+), vec_route_m AS (
+  SELECT vec_id, m, branch FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY bd2, branch) AS rn
+    FROM vrm
+  ) t WHERE rn <= {BRANCH_PROBES}
+), cand_m AS (
+  SELECT r.vec_id, r.m, sr.cell,
+         CAST(SUM((v.vs - s.ss) * (v.vs - s.ss)) AS BIGINT) AS d2
+  FROM vec_route_m r
+  JOIN seed_route_m sr ON sr.m = r.m AND sr.branch = r.branch
+  JOIN seeds s ON s.cell = sr.cell AND s.d // {PQ_SUBDIM} = r.m
+  JOIN by_dim v ON v.vec_id = r.vec_id AND v.d = s.d
+  GROUP BY 1, 2, 3
+), codes AS (
+  SELECT vec_id AS neighbor_id, m, cell AS cw FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m ORDER BY d2, cell) AS r
+    FROM cand_m
+  ) t WHERE r = 1
+), qtab AS (
+  SELECT v.vec_id AS query_id, s.d // {PQ_SUBDIM} AS m, s.cell AS cw,
+         CAST(SUM((v.vs - s.ss) * (v.vs - s.ss)) AS BIGINT) AS qd2
+  FROM by_dim v JOIN seeds s ON s.d = v.d
+  WHERE v.vec_id < {N_QUERIES}
+  GROUP BY 1, 2, 3
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id
+  FROM probes p JOIN assign a ON a.cell = p.cell
+  WHERE a.vec_id <> p.query_id
+), adc AS (
+  SELECT c.query_id, c.neighbor_id, CAST(SUM(q.qd2) AS BIGINT) AS adc
+  FROM cand c
+  JOIN codes k ON k.neighbor_id = c.neighbor_id
+  JOIN qtab q ON q.query_id = c.query_id AND q.m = k.m AND q.cw = k.cw
+  GROUP BY 1, 2
+)
+SELECT query_id, neighbor_id,
+       ROUND(sqrt(CAST(adc AS DOUBLE)) / {CENTROID_SCALE}.0, 6) AS adc_dist, rnk
+FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY adc, neighbor_id) AS rnk
+  FROM adc
+) t WHERE rnk <= {TOP_K}
+"""
+)
+
+
 KMEANS_CELLS = 8
 
 
@@ -3627,6 +3788,7 @@ QUERIES = {
     "semantic_dedup_hier": semantic_dedup_hier,
     "bitext_mining": bitext_mining,
     "pq_hier_distortion_audit": pq_hier_distortion_audit,
+    "ann_hivf_pq_topk": ann_hivf_pq_topk,
 }
 
 ORACLE_SQL = {
@@ -3663,4 +3825,5 @@ ORACLE_SQL = {
     "semantic_dedup_hier": SEMANTIC_DEDUP_HIER_SQL,
     "bitext_mining": BITEXT_MINING_SQL,
     "pq_hier_distortion_audit": PQ_HIER_DISTORTION_AUDIT_SQL,
+    "ann_hivf_pq_topk": ANN_HIVF_PQ_TOPK_SQL,
 }

@@ -348,6 +348,14 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "is a cell-cap-bounded window, the pairwise stage is pop*M per "
         "cell"
     ),
+    "ann_hivf_pq_topk": (
+        "composes the two-level coarse router (ann_hivf_topk's 1-row "
+        "branch-array / stats / probe-count broadcasts) with the "
+        "per-subspace hier encode (_pq_hier_codes' (m, branch) "
+        "broadcast equi-join) and the flat Qx M x ~sqrt(N) query ADC "
+        "table broadcast — every crossJoin side is 1-row or "
+        "query-bounded (similarity.py)"
+    ),
     "semantic_dedup_hier": (
         "inherits hier_assign's 1-row stats / min-hash / branch-array "
         "broadcasts (similarity._hier_cand_seed); the pair stage is the "
@@ -598,6 +606,8 @@ HEADLINE: list[str] = [
     "histogram_quantiles",
     # round-9 additions
     "kll_quantile_sketch",
+    # round-10: HIVF-PQ — both index-build stages on the two-level router
+    "ann_hivf_pq_topk",
     "hivf_cell_medoids",
     "semantic_dedup_hier",
     "bitext_mining",

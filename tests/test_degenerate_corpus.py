@@ -279,6 +279,10 @@ EMB_NAMES = [
     # tied coarse probes AND tied ADC codes — both stages must
     # tiebreak identically in both engines
     "ann_ivf_pq_topk",
+    # round 10: the same total ties through BOTH router levels AND the
+    # per-subspace hier codes — every (bd2, branch) / (d2, cell) /
+    # (adc, neighbor_id) tiebreak must agree engine-for-engine
+    "ann_hivf_pq_topk",
     # round 6: identical vectors → every distance-to-centroid 0.0,
     # ranking must tiebreak on vec_id identically in both engines
     "embedding_outliers",
