@@ -43,6 +43,7 @@ _PRIORITY = [
     # quantized-cosine rank-key fix — green r10 rows here complete
     # 326/326 lifetime attestation with zero red latest rows.
     "ann_hivf_pq_topk",
+    "stream_ann_hivf_pq_topk",
     "label_noise_audit",
     "label_noise_incremental",
     "stream_label_noise",

@@ -163,6 +163,7 @@ HEADLINE = [
     # the two-level coarse router composed with per-subspace hier codes
     # and ADC ranking; benched beside ann_ivf_pq_topk for the crossover.
     "ann_hivf_pq_topk",
+    "stream_ann_hivf_pq_topk",
     "heaps_law_fit",
     # r7 session 5 (cont.): the train-LM split scoring (token-shuffle
     # bound), the bounded-pair basket miner, and the fixed-round LP

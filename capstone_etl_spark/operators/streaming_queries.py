@@ -1160,6 +1160,159 @@ def _stream_ann_hivf_topk_sql() -> str:
     return ANN_HIVF_TOPK_SQL
 
 
+def stream_ann_hivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN SERVING at INGEST over the COMPRESSED index — similarity.
+    ann_hivf_pq_topk's query path as a stream: the hier cell
+    assignment, the per-subspace hier PQ codes and the (m, codeword)
+    subvector table are STATIC relations (the published index
+    artifacts — at 100 TB the codes ARE the corpus the serving tier
+    holds); arriving queries route in-row through the branch artifact
+    (stream_ann_hivf_topk's zero-state trick), probe their top-√cells
+    routed cells, and the stream-static joins emit one EXACT integer
+    per-(query, neighbor, subspace) ADC term into the append sink —
+    no state at all. The drained term table goes through the batch
+    operator's identical Σ_m / rank / TOP_K tail, so the oracle is
+    ANN_HIVF_PQ_TOPK_SQL verbatim.
+
+    Scale: per-arrival work is one branch fold pass (≈N^(1/4) + the
+    routed branches' seeds) plus M code-term lookups per candidate
+    (probed cells' members) — the serving cost the batch operator
+    measured (decade-2 exponent 0.95 vs the flat 1.24, SCALE.md); the
+    sink holds candidate×M bounded rows, and re-delivery cannot
+    corrupt anything because nothing aggregates in-stream."""
+    import shutil
+    import tempfile
+
+    from capstone_etl_spark.operators.similarity import (
+        CENTROID_SCALE,
+        IVF_PROBES_MIN,
+        N_QUERIES,
+        PQ_M,
+        PQ_SUBDIM,
+        TOP_K,
+        _d2_fold,
+        _pq_hier_codes,
+        hier_assign,
+        hier_branch_cells_row,
+        hier_route_expr,
+        quantize_fp,
+        quantizer_seeds,
+    )
+    from capstone_etl_spark.session import cached
+    from capstone_etl_spark.sources.tables import load_table
+
+    work = tempfile.mkdtemp(prefix="spark_stream_hivfpq_")
+    try:
+        emb = load_table(spark, sf_dir, "embeddings")
+        quant = quantize_fp()
+        emb_q = emb.select("vec_id", quant.alias("vq"))
+        seeds = quantizer_seeds(emb_q)
+        assign = cached(
+            hier_assign(emb_q).select(F.col("vec_id").alias("neighbor_id"), "cell")
+        )
+        # static code relation joined to its codeword subvectors ONCE:
+        # (neighbor_id, m, ssub) is the compressed corpus the serving
+        # tier actually stores
+        seed_sub = seeds.select(
+            F.col("cell").alias("cw"),
+            F.posexplode(
+                F.array(
+                    *[F.slice("sq", m * PQ_SUBDIM + 1, PQ_SUBDIM) for m in range(PQ_M)]
+                )
+            ).alias("m", "ssub"),
+        )
+        code_sub = cached(
+            _pq_hier_codes(emb_q)
+            .select(F.col("vec_id").alias("neighbor_id"), "m", F.col("cell").alias("cw"))
+            .join(seed_sub, ["m", "cw"])
+        )
+        n_cells_row = seeds.agg(F.count("*").alias("n_cells"))
+        brow = cached(
+            hier_branch_cells_row(emb_q).join(F.broadcast(n_cells_row), F.lit(True))
+        )
+
+        staging = f"{work}/staging"
+        emb.repartition(4).write.parquet(staging)
+        schema = spark.read.parquet(staging).schema
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 2)
+            .parquet(staging)
+        )
+        arriving = stream.filter(F.col("vec_id") < N_QUERIES).select(
+            F.col("vec_id").alias("query_id"), quant.alias("vq")
+        )
+        route = hier_route_expr()
+        cand_cells = F.flatten(F.transform(F.col("route"), lambda r: r["cells"]))
+        ds = F.array_sort(
+            F.transform(
+                "cand",
+                lambda s: F.struct(
+                    _d2_fold("vq", s["sq"]).alias("d2"), s["cell"].alias("cell")
+                ),
+            )
+        )
+        probes = (
+            arriving.join(F.broadcast(brow), F.lit(True))
+            .withColumn(
+                "pk",
+                F.greatest(
+                    F.lit(IVF_PROBES_MIN).cast("long"),
+                    F.ceil(F.sqrt(F.col("n_cells").cast("double"))),
+                ),
+            )
+            .withColumn("route", route)
+            .withColumn("cand", cand_cells)
+            .withColumn("ds", ds)
+            .select(
+                "query_id",
+                "vq",
+                F.explode(F.expr("slice(ds, 1, pk)")).alias("p"),
+            )
+            .select("query_id", "vq", F.col("p.cell").alias("cell"))
+        )
+        qsub = F.slice("vq", F.col("m") * PQ_SUBDIM + 1, PQ_SUBDIM)
+        terms = (
+            probes.join(assign, "cell")
+            .filter(F.col("query_id") != F.col("neighbor_id"))
+            .join(code_sub, "neighbor_id")
+            .select(
+                "query_id",
+                "neighbor_id",
+                "m",
+                F.aggregate(
+                    F.zip_with(qsub, F.col("ssub"), lambda x, y: (x - y) * (x - y)),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).alias("qd2"),
+            )
+        )
+        got = run_to_memory(terms, f"{work}/checkpoint", output_mode="append")
+        adc = got.groupBy("query_id", "neighbor_id").agg(F.sum("qd2").alias("adc"))
+        w = Window.partitionBy("query_id").orderBy(F.asc("adc"), F.asc("neighbor_id"))
+        return (
+            adc.withColumn("rnk", F.row_number().over(w).cast("long"))
+            .filter(F.col("rnk") <= TOP_K)
+            .select(
+                "query_id",
+                "neighbor_id",
+                F.round(
+                    F.sqrt(F.col("adc").cast("double")) / F.lit(float(CENTROID_SCALE)),
+                    6,
+                ).alias("adc_dist"),
+                "rnk",
+            )
+        )
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+
+
+def _stream_ann_hivf_pq_topk_sql() -> str:
+    from capstone_etl_spark.operators.similarity import ANN_HIVF_PQ_TOPK_SQL
+
+    return ANN_HIVF_PQ_TOPK_SQL
+
+
 def stream_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Margin-based pair MINING at ingest — bitext_mining's shape as
     source-side vectors arrive: the committed target-side index
@@ -2879,6 +3032,7 @@ QUERIES = {
     "stream_training_manifest": stream_training_manifest,
     "stream_kll_sketch": stream_kll_sketch,
     "stream_ann_hivf_topk": stream_ann_hivf_topk,
+    "stream_ann_hivf_pq_topk": stream_ann_hivf_pq_topk,
     "stream_bitext_mining": stream_bitext_mining,
     "stream_semantic_dedup_hier": stream_semantic_dedup_hier,
     "stream_hivf_cell_balance": stream_hivf_cell_balance,
@@ -2952,6 +3106,7 @@ ORACLE_SQL = {
     # reproduces the batch tiebreaks exactly, so the drained serving
     # results equal the batch index lookups
     "stream_ann_hivf_topk": _stream_ann_hivf_topk_sql(),
+    "stream_ann_hivf_pq_topk": _stream_ann_hivf_pq_topk_sql(),
     # the batch miner SQL verbatim: the drained append-mode pair table
     # is the batch candidate relation, and the margin/mutual assembly
     # is the batch code

@@ -348,6 +348,12 @@ ALLOWED_CARTESIAN: dict[str, str] = {
         "is a cell-cap-bounded window, the pairwise stage is pop*M per "
         "cell"
     ),
+    "stream_ann_hivf_pq_topk": (
+        "ann_hivf_pq_topk's serving path at ingest — the 1-row "
+        "branch-cells routing artifact broadcast against the stream; "
+        "candidates and code terms flow through stream-static "
+        "equi-joins (streaming_queries.py)"
+    ),
     "ann_hivf_pq_topk": (
         "composes the two-level coarse router (ann_hivf_topk's 1-row "
         "branch-array / stats / probe-count broadcasts) with the "
@@ -608,6 +614,7 @@ HEADLINE: list[str] = [
     "kll_quantile_sketch",
     # round-10: HIVF-PQ — both index-build stages on the two-level router
     "ann_hivf_pq_topk",
+    "stream_ann_hivf_pq_topk",
     "hivf_cell_medoids",
     "semantic_dedup_hier",
     "bitext_mining",

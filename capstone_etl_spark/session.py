@@ -151,6 +151,14 @@ def get_spark(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # the streaming TEST harness drains to a memory sink (a driver
+        # collect); at the sf10 scale point its candidate tables pass
+        # 1 GiB — a harness artifact (a deployment writes a real sink),
+        # so the cap is env-tunable for scale runs
+        .config(
+            "spark.driver.maxResultSize",
+            os.environ.get("SPARK_GRAFT_MAX_RESULT", "1g"),
+        )
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -85,3 +85,26 @@ def test_hivf_pq_plan_shape(spark):
     finally:
         release_caches()
     assert "CartesianProduct" not in plan
+
+
+def test_stream_hivf_pq_serving_equals_batch(spark):
+    """The ingest serving twin drains the IDENTICAL result as the
+    batch HIVF-PQ operator: the per-(query, neighbor, subspace) ADC
+    terms emitted by the stream-static joins sum to the same exact
+    integers the batch ADC lookup sums (same codes, same probes, same
+    quantized grid)."""
+    from capstone_etl_spark.operators.similarity import ann_hivf_pq_topk
+    from capstone_etl_spark.operators.streaming_queries import (
+        stream_ann_hivf_pq_topk,
+    )
+    from capstone_etl_spark.session import release_caches
+
+    sf = "/root/testdata/sf0.001"
+    try:
+        batch = sorted(map(tuple, ann_hivf_pq_topk(spark, sf).collect()))
+        release_caches()
+        stream = sorted(map(tuple, stream_ann_hivf_pq_topk(spark, sf).collect()))
+    finally:
+        release_caches()
+    assert stream == batch
+    assert batch
