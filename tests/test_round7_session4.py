@@ -44,13 +44,16 @@ def test_semantic_decon_sides_and_bounds(spark, sf_dir):
 
 
 def test_semantic_decon_argmax_matches_direct_cosine(spark):
-    """For every flagged vector, recomputing cosine(train, worst_bench)
-    from the raw embeddings reproduces max_cos exactly (the argmax
-    partner really is a maximizer)."""
+    """For every flagged vector, recomputing the quantized cosine
+    (the operator's r10 de-fragilized key) between train and
+    worst_bench from the raw embeddings reproduces max_cos exactly
+    (the argmax partner really is a maximizer)."""
     from pyspark.sql import functions as F
 
-    from capstone_etl_spark.functions.vectors import cosine
-    from capstone_etl_spark.operators.similarity import semantic_decontamination
+    from capstone_etl_spark.operators.similarity import (
+        qcosine,
+        semantic_decontamination,
+    )
     from capstone_etl_spark.sources.tables import load_table
 
     out = semantic_decontamination(spark, SF_01)
@@ -64,7 +67,7 @@ def test_semantic_decon_argmax_matches_direct_cosine(spark):
             emb.select(F.col("vec_id").alias("worst_bench"), F.col("embedding").alias("ne")),
             "worst_bench",
         )
-        .withColumn("direct", F.round(cosine("qe", "ne"), 6))
+        .withColumn("direct", F.round(qcosine("qe", "ne"), 6))
     )
     assert joined.filter(F.col("direct") != F.col("max_cos")).count() == 0
 
