@@ -40,3 +40,34 @@ def stopwords_sql_in_list(words: tuple[str, ...] = STOPWORDS) -> str:
     """Render the set as a SQL IN-list literal (shared by the Spark SQL
     form and the DuckDB oracle so both engines filter identically)."""
     return ", ".join("'" + w.replace("'", "''") + "'" for w in words)
+
+
+# Reference-cardinality fixture (S3 at full size). The reference
+# compiles a 667-entry table (main.go:301-969) sourced from a public
+# stopword list (its own comment cites ranks.nl) plus "t" and "". We do
+# NOT copy that table's content — the wordlist precedent
+# (tools/gen_wordlist.py, FIXTURES.md) applies: the fixture below
+# expands the classic-IR default with DETERMINISTIC derived variants to
+# the exact reference cardinality, so the gate mechanism (IN-list /
+# broadcast anti-join width, Zipf-head removal ahead of the shuffle)
+# runs at reference scale while the content stays synthesized.
+FULL_STOPWORD_COUNT = 667
+
+
+def full_stopwords() -> tuple[str, ...]:
+    """The 151 defaults + suffix-derived variants of the base words, in
+    a fixed derivation order, truncated to FULL_STOPWORD_COUNT and
+    sorted — deterministic, engine-neutral configuration data."""
+    out = list(STOPWORDS)
+    seen = set(out)
+    for suffix in ("s", "ed", "ing", "ly", "er", "est", "ness", "ful"):
+        for w in STOPWORDS:
+            if not w or w in ("t",):
+                continue
+            cand = w + suffix
+            if cand not in seen:
+                seen.add(cand)
+                out.append(cand)
+            if len(out) == FULL_STOPWORD_COUNT:
+                return tuple(sorted(out))
+    raise AssertionError("derivation exhausted below FULL_STOPWORD_COUNT")

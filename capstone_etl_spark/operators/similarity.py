@@ -203,6 +203,21 @@ def cosine_q_sql(a: str, b: str) -> str:
     )
 
 
+def d2_q_sql(a: str, b: str) -> str:
+    """Exact integer squared L2 distance between two `qn` rows aliased
+    `a` and `b` — the DuckDB twin of _d2_fold on the fixed-point grid.
+    Unlike the quantized cosine there is NO closing float op at all:
+    every term and the fold are integer arithmetic, so the rank key it
+    feeds is exact on any engine/host by construction (the label_noise
+    family's r11 de-fragilization — the r9/r10 driver reds survived
+    two cosine-key theories, so the family now carries no floats
+    anywhere in its rank path)."""
+    return (
+        f"CAST(list_sum(list_transform(range({DIM}), dd ->"
+        f" ({a}.q[dd+1] - {b}.q[dd+1]) * ({a}.q[dd+1] - {b}.q[dd+1]))) AS BIGINT)"
+    )
+
+
 def qcosine(a, b):
     """Quantized-integer cosine straight from two raw embedding
     columns (no precomputed norms — the drop-in replacement for the
@@ -908,7 +923,7 @@ def hier_branches(emb_q: DataFrame) -> DataFrame:
     )
 
 
-def _hier_cand_seed(emb_q: DataFrame) -> DataFrame:
+def _hier_cand_seed(emb_q: DataFrame, index_q: DataFrame | None = None) -> DataFrame:
     """(vec_id, vq, cell, d2) — each vector's exact integer distances
     to the second-level seeds of its BRANCH_PROBES routed branches
     only: the shared core of the two-level quantizer. Routing is
@@ -916,9 +931,16 @@ def _hier_cand_seed(emb_q: DataFrame) -> DataFrame:
     shuffle); the seed join is a broadcast equi-join on branch —
     O(N·N^(1/4)) dot products total vs the flat quantizer's O(N·√N),
     the measured flat-IVF frontier's assignment term paid down
-    (SCALE.md)."""
-    seeds = quantizer_seeds(emb_q)
-    branches = hier_branches(emb_q)
+    (SCALE.md).
+
+    `index_q` (default: emb_q itself) is the population the INDEX is
+    built from — seeds, branches and thresholds. The incremental /
+    streaming forms pass the committed BASE corpus here and route the
+    full (base + delta) relation through it, so delta arrivals ride a
+    published index instead of triggering a rebuild."""
+    src = emb_q if index_q is None else index_q
+    seeds = quantizer_seeds(src)
+    branches = hier_branches(src)
     barr = branches.agg(F.collect_list(F.struct("branch", "bq")).alias("bs"))
 
     def route_arr(vec_col: str) -> F.Column:

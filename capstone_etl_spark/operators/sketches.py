@@ -900,7 +900,14 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     binned = vals.join(F.broadcast(stats), F.lit(True)).select(
         F.expr(f"((v - mn) * {HQ_W}) div (mx - mn + 1)").alias("bin")
     )
-    w_bin = Window.orderBy("bin").rowsBetween(Window.unboundedPreceding, 0)
+    from capstone_etl_spark.functions.windows import bounded_window_key
+
+    w_bin = (
+        # bound: ≤HQ_W histogram rows (fixed bin count, not volume)
+        Window.partitionBy(bounded_window_key("bin"))
+        .orderBy("bin")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     hist = (
         binned.groupBy("bin")
         .agg(F.count("*").alias("cnt"))
@@ -927,11 +934,30 @@ def histogram_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("est_quantile"),
         )
     )
-    w_val = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    # Exact-audit cumulative WITHOUT a global window over the distinct-
+    # value domain (ADVICE r10 #6 — the old Window.orderBy("v") ran
+    # unpartitioned over every distinct n_chars value, unbounded at
+    # 100×): each value's global cumulative = the histogram's
+    # cumulative below its bin (≤HQ_W rows, already built) + a running
+    # sum WITHIN its bin. The within-bin window is partitioned by bin,
+    # and a bin spans ≤⌈domain/HQ_W⌉ distinct values by construction
+    # (value-range binning), so no window input grows with the corpus.
+    w_val = (
+        Window.partitionBy("bin")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
     val_cum = (
-        vals.groupBy("v")
+        vals.join(F.broadcast(stats), F.lit(True))
+        .select("v", F.expr(f"((v - mn) * {HQ_W}) div (mx - mn + 1)").alias("bin"))
+        .groupBy("bin", "v")
         .agg(F.count("*").alias("cnt"))
-        .select("v", F.sum("cnt").over(w_val).alias("cum"))
+        .select("bin", "v", F.sum("cnt").over(w_val).alias("in_bin_cum"))
+        .join(
+            F.broadcast(hist.select("bin", (F.col("cum") - F.col("cnt")).alias("below"))),
+            "bin",
+        )
+        .select("v", (F.col("below") + F.col("in_bin_cum")).alias("cum"))
     )
     exact = (
         qcfg.select("q", "r")

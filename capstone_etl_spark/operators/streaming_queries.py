@@ -2643,32 +2643,44 @@ def _stream_kll_sketch_sql() -> str:
 def stream_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LABEL-QUALITY screening at INGEST — valuation.
     label_noise_incremental's delta-vs-base verdicts as a stream: the
-    base-built quantizer seeds and the cell-assigned base members
-    (fixed-point list, exact integer squared norm, label per cell —
-    the quantized-cosine rank-key discipline) are STATIC relations (the
+    base-built TWO-LEVEL hier index (hier_branch_cells_row — one
+    broadcastable row carrying every branch with its second-level seed
+    list) and the cell-assigned base members are STATIC relations (the
     published index artifacts); delta vectors arrive as a stream, each
     one routes to its base cell with PER-ROW column math (the
-    stream_ivf_assign trick — 1-row collect_list seed broadcast,
-    zip_with integer fold per seed, array_min over (d2, cell)
-    structs), and the stream-static cell join emits scored (arrival,
-    base-member) vote candidates in APPEND mode — no state at all.
+    stream_ann_hivf trick — hier_route_expr picks the BRANCH_PROBES
+    nearest branches in-row, then an integer argmin over the routed
+    branches' flattened cell lists), and the stream-static cell join
+    emits (arrival, base-member) vote candidates keyed by the EXACT
+    integer squared-L2 distance in APPEND mode — no state at all, no
+    float anywhere in the rank path (the family's r11 discipline).
     The drained candidate table goes through the IDENTICAL top-K /
     vote-count verdict tail as the batch operator, so the oracle is
     LABEL_NOISE_INCREMENTAL_SQL verbatim.
 
-    Scale: per-arrival work is one seed fold (≈√N_base) plus one cell's
-    members (quantizer law ≈√N_base); nothing aggregates in-stream, so
-    re-delivery cannot corrupt state (there is none) and the sink is
-    verdict-relevant rows only."""
+    Scale: per-arrival work is the hier route (≈N^(1/4) branch folds +
+    BRANCH_PROBES·N^(1/4) seed folds — vs the flat router's √N) plus
+    one cell's members (quantizer law ≈√N_base); nothing aggregates
+    in-stream, so re-delivery cannot corrupt state (there is none) and
+    the sink is verdict-relevant rows only."""
     import shutil
     import tempfile
 
-    from capstone_etl_spark.functions.vectors import dot_long, quantized_cosine
     from capstone_etl_spark.operators.dedup import _is_delta
-    from capstone_etl_spark.operators.similarity import quantize_fp, quantizer_seeds
+    from capstone_etl_spark.operators.similarity import (
+        BRANCH_PROBES,
+        _d2_fold,
+        _hier_cand_seed,
+        hier_assign,
+        hier_best_cell_expr,
+        hier_branch_cells_row,
+        hier_route_expr,
+        quantize_fp,
+    )
     from capstone_etl_spark.operators.valuation import (
         NOISE_K,
         NOISE_MIN_VOTES,
+        _noise_verdict_cols,
     )
     from capstone_etl_spark.session import cached
     from capstone_etl_spark.sources.tables import load_table
@@ -2678,37 +2690,19 @@ def stream_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
         quant = quantize_fp()
         emb_q = emb.select("vec_id", quant.alias("vq"))
-        seeds = quantizer_seeds(emb_q.filter(~_is_delta(F.col("vec_id"))))
+        base_q = emb_q.filter(~_is_delta(F.col("vec_id")))
         # cached: the stream-static join re-evaluates the static side
         # EVERY micro-batch (stream_ivf_assign's discipline)
-        seed_row = cached(
-            seeds.agg(F.collect_list(F.struct("cell", "sq")).alias("seedlist"))
-        )
-        d2_col = F.aggregate(
-            F.zip_with("vq", "sq", lambda x, y: (x - y) * (x - y)),
-            F.lit(0).cast("long"),
-            lambda acc, x: acc + x,
-        )
-        base_assign = (
-            emb_q.filter(~_is_delta(F.col("vec_id")))
-            .join(F.broadcast(seeds), F.lit(True))
-            .select("vec_id", "cell", d2_col.alias("d2"))
-            .groupBy("vec_id")
-            .agg(F.min(F.struct("d2", "cell")).alias("m"))
-            .select("vec_id", F.col("m.cell").alias("cell"))
-        )
-        # rank key = quantized-integer cosine (label_noise_audit's
-        # de-fragilized key); members carry the fixed-point list + its
-        # exact squared norm, never a raw-double fold
+        index_row = cached(hier_branch_cells_row(base_q))
         members = cached(
-            base_assign.join(emb.select("vec_id", "embedding", "label"), "vec_id")
+            hier_assign(base_q)
+            .join(emb.select("vec_id", "label"), "vec_id")
             .select(
                 F.col("vec_id").alias("vec_b"),
                 "cell",
-                quant.alias("qb"),
+                F.col("vq").alias("qb"),
                 F.col("label").alias("lb"),
             )
-            .withColumn("nb2", dot_long("qb", "qb"))
         )
 
         staging = f"{work}/staging"
@@ -2719,17 +2713,6 @@ def stream_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("maxFilesPerTrigger", 2)
             .parquet(staging)
         )
-        d2_structs = F.transform(
-            F.col("seedlist"),
-            lambda s: F.struct(
-                F.aggregate(
-                    F.zip_with(F.col("vq"), s["sq"], lambda x, y: (x - y) * (x - y)),
-                    F.lit(0).cast("long"),
-                    lambda acc, x: acc + x,
-                ).alias("d2"),
-                s["cell"].alias("cell"),
-            ),
-        )
         routed = (
             stream.filter(_is_delta(F.col("vec_id")))
             .select(
@@ -2737,17 +2720,20 @@ def stream_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("label").alias("la"),
                 quant.alias("vq"),
             )
-            .withColumn("na2", dot_long("vq", "vq"))
-            .join(F.broadcast(seed_row), F.lit(True))
+            .join(F.broadcast(index_row), F.lit(True))
+            .withColumn("route", hier_route_expr(BRANCH_PROBES))
+            .withColumn("cand", F.flatten(F.transform("route", lambda r: r["cells"])))
             .select(
-                "vec_a", F.col("vq").alias("qa"), "na2", "la",
-                F.array_min(d2_structs)["cell"].alias("cell"),
+                "vec_a",
+                F.col("vq").alias("qa"),
+                "la",
+                hier_best_cell_expr().alias("cell"),
             )
         )
         cands = routed.join(members, "cell").select(
             "vec_a",
             "vec_b",
-            quantized_cosine("qa", "qb", "na2", "nb2").alias("sim"),
+            _d2_fold("qa", F.col("qb")).alias("d2p"),
             (F.col("la") == F.col("lb")).cast("int").alias("match"),
         )
         drained = run_to_memory(cands, f"{work}/checkpoint", output_mode="append")
@@ -2755,7 +2741,7 @@ def stream_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         # batch verdict tail over the drained candidate table
         from pyspark.sql import Window
 
-        wv = Window.partitionBy("vec_a").orderBy(F.desc("sim"), F.asc("vec_b"))
+        wv = Window.partitionBy("vec_a").orderBy(F.asc("d2p"), F.asc("vec_b"))
         votes = (
             drained.withColumn("rnk", F.row_number().over(wv))
             .filter(F.col("rnk") <= NOISE_K)
@@ -2767,25 +2753,16 @@ def stream_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withColumnRenamed("vec_a", "vec_id")
         )
         # delta rows with their routed cells, recomputed batch-side for
-        # the left join (cheap: |delta| rows against the seed broadcast)
+        # the left join (cheap: |delta| rows against the hier index)
         delta_rows = (
-            emb_q.filter(_is_delta(F.col("vec_id")))
-            .join(F.broadcast(seeds), F.lit(True))
-            .select("vec_id", "cell", d2_col.alias("d2"))
+            _hier_cand_seed(emb_q.filter(_is_delta(F.col("vec_id"))), index_q=base_q)
             .groupBy("vec_id")
             .agg(F.min(F.struct("d2", "cell")).alias("m"))
             .select("vec_id", F.col("m.cell").alias("cell"))
             .join(emb.select("vec_id", "label"), "vec_id")
         )
         out = delta_rows.join(votes, "vec_id", "left").select(
-            "vec_id",
-            "label",
-            "cell",
-            F.coalesce(F.col("n_votes"), F.lit(0)).cast("long").alias("n_votes"),
-            F.coalesce(F.col("n_agree"), F.lit(0)).cast("long").alias("n_agree"),
-            F.round(
-                F.col("n_agree").cast("double") / F.col("n_votes"), 6
-            ).alias("agree_ratio"),
+            "vec_id", "label", "cell", *_noise_verdict_cols()
         )
         return out.withColumn(
             "suspect",

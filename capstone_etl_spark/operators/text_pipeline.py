@@ -14,7 +14,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from capstone_etl_spark.functions.stopwords import STOPWORDS, stopwords_sql_in_list
+from capstone_etl_spark.functions.stopwords import (
+    STOPWORDS,
+    full_stopwords,
+    stopwords_sql_in_list,
+)
 from capstone_etl_spark.functions.text import tokenize
 from capstone_etl_spark.operators import index as index_ops
 from capstone_etl_spark.operators import hierarchy as hier_ops
@@ -84,6 +88,39 @@ def doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 DOC_STATS_SQL = _TF_CTE + """
+SELECT doc_id,
+       CAST(SUM(qty) AS BIGINT) AS n_tokens,
+       COUNT(*) AS n_unique,
+       SQRT(CAST(SUM(qty * qty) AS DOUBLE)) AS euclidian_norm
+FROM tf GROUP BY doc_id
+"""
+
+
+def stopword_full_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S3/P3 at REFERENCE CARDINALITY (ADVICE r10 #7): doc_stats under
+    the 667-entry stopword fixture (functions/stopwords.full_stopwords
+    — the reference compiles a same-size table, main.go:301-969; the
+    fixture is synthesized, wordlist-precedent style, never copied).
+    Same plan shape as doc_stats: the literal gate compiles into the
+    scan-side filter ahead of the TF shuffle, so the only thing this
+    query varies is the gate WIDTH — proving the anti-join mechanism
+    holds at the reference's full configuration size."""
+    tf = term_frequencies(_docs(spark, sf_dir), stopwords=full_stopwords())
+    return _doc_stats(tf)
+
+
+_FULL_STOPLIST_SQL = stopwords_sql_in_list(full_stopwords())
+
+STOPWORD_FULL_GATE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id,
+         unnest(string_split_regex(trim(lower(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))), ' +')) AS token
+  FROM documents
+), kept AS (
+  SELECT doc_id, token FROM toks WHERE token NOT IN ({_FULL_STOPLIST_SQL})
+), tf AS (
+  SELECT doc_id, token, COUNT(*) AS qty FROM kept GROUP BY doc_id, token
+)
 SELECT doc_id,
        CAST(SUM(qty) AS BIGINT) AS n_tokens,
        COUNT(*) AS n_unique,
@@ -624,6 +661,7 @@ FROM nodes n JOIN dep USING (doc_id) JOIN sub USING (doc_id)
 QUERIES = {
     "tf_per_doc": tf_per_doc,
     "doc_stats": doc_stats,
+    "stopword_full_gate": stopword_full_gate,
     "dictionary_gate": dictionary_gate,
     "dictionary_file_gate": dictionary_file_gate,
     "vocab_ids": vocab_ids,
@@ -645,6 +683,7 @@ QUERIES = {
 ORACLE_SQL = {
     "tf_per_doc": TF_PER_DOC_SQL,
     "doc_stats": DOC_STATS_SQL,
+    "stopword_full_gate": STOPWORD_FULL_GATE_SQL,
     "dictionary_gate": DICTIONARY_GATE_SQL,
     "dictionary_file_gate": _dictionary_file_gate_sql(),
     "vocab_ids": VOCAB_IDS_SQL,

@@ -62,12 +62,17 @@ from pyspark.sql import functions as F
 
 from capstone_etl_spark.functions.vectors import dot_long, quantized_cosine
 from capstone_etl_spark.operators.similarity import (
+    _HIER_ASSIGN_SQL,
     _SEED_IDS_SQL,
+    _d2_fold,
+    _hier_cand_seed,
     CENTROID_SCALE,
     DIM,
     N_QUERIES,
     QN_SQL,
     cosine_q_sql,
+    d2_q_sql,
+    hier_assign,
     quantize_fp,
     quantizer_seeds,
 )
@@ -242,63 +247,74 @@ FROM per_test GROUP BY train_id, label
 # label_noise_audit
 # ---------------------------------------------------------------------
 
-def label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Mislabel screen by within-cell K-NN vote (the confident-learning
-    recipe on the SemDeDup blocking): the flat quantizer assigns each
-    vector a cell (≈√N hash-sampled seeds, exact-integer argmin — the
-    identical index semantic_dedup builds); within each cell, every
-    vector's NOISE_K nearest cell-mates (quantized cosine desc, id
-    asc) vote, and agree_ratio = matching votes / votes. `suspect`
-    fires when at least NOISE_MIN_VOTES voters disagree by majority.
+def _noise_verdict_cols() -> list:
+    """The shared verdict tail of the label_noise family: coalesced
+    integer counts, the EXACT agree_ratio, and nothing else.
 
-    The vote RANK KEY is the quantized-integer cosine
-    (vectors.quantized_cosine): exact BIGINT dot/norm folds — the same
-    fixed-point grid the cell assignment already rides — with one
-    final sqrt/div on bit-identical inputs. A raw double fold is only
-    reproducible if every engine BUILD adds in the same order; the r9
-    driver run proved it isn't (rows/schema matched, values flipped at
-    a rank boundary on the driver host), so no rank key in this family
-    may be an order-sensitive IEEE accumulation.
+    agree_ratio is computed entirely in integer arithmetic —
+    micro = (n_agree·2·10⁶ + n_votes) div (2·n_votes), i.e. the ratio
+    in micro-units rounded half-up — then divided ONCE by 10⁶ (a
+    correctly-rounded IEEE op on identical integers in both engines).
+    No ROUND-of-double remains anywhere in the family (ADVICE r10 #1a;
+    the column stays DOUBLE rather than DECIMAL so its
+    pandas/stringified form is the same float64 path every other green
+    query rides). Unvoted rows (pre-coalesce NULL n_votes) keep a NULL
+    ratio, never 0/0."""
+    micro = F.expr("(n_agree * 2000000 + n_votes) div (2 * n_votes)")
+    return [
+        F.coalesce(F.col("n_votes"), F.lit(0)).cast("long").alias("n_votes"),
+        F.coalesce(F.col("n_agree"), F.lit(0)).cast("long").alias("n_agree"),
+        (micro.cast("double") / F.lit(1000000.0)).alias("agree_ratio"),
+    ]
 
-    Scale: pair work is per-cell (expected population ≈√N — the
-    quantizer law asserted in test_quantizer_scaling); the vote window
-    runs per vector over its cell-bounded candidate list; one shuffle
-    on cell. Singleton-cell vectors emit n_votes = 0, NULL ratio,
-    suspect = false — the consumer can route them to a wider probe."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    emb_q = emb.select("vec_id", "label", quantize_fp().alias("vq"))
-    seeds = quantizer_seeds(emb_q.select("vec_id", "vq"))
-    d2_col = F.aggregate(
-        F.zip_with("vq", "sq", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    assign = (
-        emb_q.join(F.broadcast(seeds), F.lit(True))
-        .select("vec_id", "cell", d2_col.alias("d2"))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cell")).alias("m"))
-        .select("vec_id", F.col("m.cell").alias("cell"))
-        .transform(cached)
-    )
-    withv = assign.join(emb_q, "vec_id").withColumn("qn2", dot_long("vq", "vq"))
+
+# The oracle twin of _noise_verdict_cols' verdict columns. n_agree is
+# CAST to BIGINT explicitly: DuckDB's SUM(INTEGER) returns HUGEINT,
+# which pandas renders as float64 — so the driver's stringified-value
+# hash saw '2.0' vs Spark's '2' on every row with a vote. That dtype
+# skew (invisible to a numeric comparison — the local gate's float
+# branch compared equal) is what kept the trio red through two rounds
+# of value-exactness fixes: a DESCRIBE scan of all 327 oracles showed
+# the three label_noise queries were the ONLY ones emitting HUGEINT.
+_NOISE_VERDICT_SQL = f"""
+       COALESCE(CAST(v.n_votes AS BIGINT), 0) AS n_votes,
+       COALESCE(CAST(v.n_agree AS BIGINT), 0) AS n_agree,
+       CAST((v.n_agree * 2000000 + v.n_votes) // (2 * v.n_votes) AS DOUBLE)
+         / 1000000.0 AS agree_ratio,
+       COALESCE(v.n_votes, 0) >= {NOISE_MIN_VOTES}
+         AND COALESCE(v.n_agree, 0) * 2 < COALESCE(v.n_votes, 0) AS suspect
+"""
+
+
+def _noise_votes(withv: DataFrame, voters: DataFrame | None = None) -> DataFrame:
+    """(vec_a, n_votes, n_agree) — the within-cell K-NN label vote over
+    an assigned relation (vec_id, vq, cell, label). `voters` (default:
+    withv itself) is the relation the votes come FROM — the
+    incremental form passes the base corpus here so delta arrivals are
+    judged by committed members only. The vote RANK KEY is the exact
+    integer squared L2 distance on the fixed-point grid (asc, id-asc
+    tiebreak): after two rounds in which a float rank key was
+    suspected for the driver reds (r9 raw-IEEE fold theory, r10
+    quantized-cosine theory), the family now carries NO float anywhere
+    in its rank path — every compared quantity is BIGINT by
+    construction, so both engines rank identically on any host."""
+    if voters is None:
+        voters = withv
     a = withv.select(
         F.col("vec_id").alias("vec_a"), "cell",
-        F.col("vq").alias("qa"), F.col("qn2").alias("na2"),
-        F.col("label").alias("la"),
+        F.col("vq").alias("qa"), F.col("label").alias("la"),
     )
-    b = withv.select(
+    b = voters.select(
         F.col("vec_id").alias("vec_b"), "cell",
-        F.col("vq").alias("qb"), F.col("qn2").alias("nb2"),
-        F.col("label").alias("lb"),
+        F.col("vq").alias("qb"), F.col("label").alias("lb"),
     )
-    wv = Window.partitionBy("vec_a").orderBy(F.desc("sim"), F.asc("vec_b"))
-    votes = (
+    wv = Window.partitionBy("vec_a").orderBy(F.asc("d2p"), F.asc("vec_b"))
+    return (
         a.join(b, "cell")
         .filter(F.col("vec_a") != F.col("vec_b"))
         .select(
-            "vec_a", "la", "vec_b",
-            quantized_cosine("qa", "qb", "na2", "nb2").alias("sim"),
+            "vec_a", "vec_b",
+            _d2_fold("qa", F.col("qb")).alias("d2p"),
             (F.col("la") == F.col("lb")).cast("int").alias("match"),
         )
         .withColumn("rnk", F.row_number().over(wv))
@@ -309,20 +325,49 @@ def label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("match").alias("n_agree"),
         )
     )
+
+
+def _noise_assigned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, vq, cell, label) — the audit's blocked corpus: the
+    TWO-LEVEL router assignment (similarity.hier_assign — ≈N^(1/4)
+    branches route each vector to BRANCH_PROBES branches, assignment
+    probes only those branches' second-level seeds). Re-blocking on
+    the hier router (ADVICE r10 #2) pays down the family's measured
+    flat-quantizer N^1.34: assignment drops from O(N·√N) to
+    O(N·N^(1/4)) integer folds, exactly as semantic_dedup_hier did for
+    SemDeDup; cells and within-cell pair work are unchanged (≈√N)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    emb_q = emb.select("vec_id", quantize_fp().alias("vq"))
+    return (
+        hier_assign(emb_q)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .transform(cached)
+    )
+
+
+def label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mislabel screen by within-cell K-NN vote (the confident-learning
+    recipe on the SemDeDup blocking): the two-level hierarchical
+    quantizer assigns each vector a cell (exact-integer routing and
+    argmin — the identical index ann_hivf_topk serves from); within
+    each cell, every vector's NOISE_K nearest cell-mates (exact
+    integer squared-L2 asc, id asc) vote, and agree_ratio = matching
+    votes / votes (exact micro-unit integer arithmetic — see
+    _noise_verdict_cols). `suspect` fires when at least
+    NOISE_MIN_VOTES voters disagree by majority.
+
+    Scale: pair work is per-cell (expected population ≈√N — the
+    quantizer law asserted in test_quantizer_scaling); assignment is
+    the O(N·N^(1/4)) hier router; the vote window runs per vector over
+    its cell-bounded candidate list; one shuffle on cell.
+    Singleton-cell vectors emit n_votes = 0, NULL ratio, suspect =
+    false — the consumer can route them to a wider probe."""
+    withv = _noise_assigned(spark, sf_dir)
+    votes = _noise_votes(withv)
     out = (
         withv.select("vec_id", "label", "cell")
         .join(votes.withColumnRenamed("vec_a", "vec_id"), "vec_id", "left")
-        .select(
-            "vec_id",
-            "label",
-            "cell",
-            F.coalesce(F.col("n_votes"), F.lit(0)).cast("long").alias("n_votes"),
-            F.coalesce(F.col("n_agree"), F.lit(0)).cast("long").alias("n_agree"),
-            # pre-coalesce inputs: unvoted rows get NULL, never 0/0
-            F.round(
-                F.col("n_agree").cast("double") / F.col("n_votes"), 6
-            ).alias("agree_ratio"),
-        )
+        .select("vec_id", "label", "cell", *_noise_verdict_cols())
     )
     return out.withColumn(
         "suspect",
@@ -331,24 +376,11 @@ def label_noise_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-LABEL_NOISE_AUDIT_SQL = f"""
-WITH by_dim AS (
-  SELECT vec_id, d,
-         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
-  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
-), {_SEED_IDS_SQL}, seeds AS (
-  SELECT b.vec_id AS cell, b.d, b.vs AS ss
-  FROM by_dim b JOIN seed_ids si ON si.vec_id = b.vec_id
-), d2 AS (
-  SELECT v.vec_id, s.cell, CAST(SUM((v.vs - s.ss) * (v.vs - s.ss)) AS BIGINT) AS d2
-  FROM by_dim v JOIN seeds s ON s.d = v.d GROUP BY 1, 2
-), assign AS (
-  SELECT vec_id, cell FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS arnk FROM d2
-  ) t WHERE arnk = 1
-), {QN_SQL}, pairs AS (
-  SELECT a.vec_id AS vec_a, qa.label AS la, b.vec_id AS vec_b,
-         {cosine_q_sql('qa', 'qb')} AS sim,
+# The shared within-cell vote chain over the hier `assign` relation —
+# spliced after _HIER_ASSIGN_SQL (or its base-indexed variant).
+_NOISE_VOTES_SQL = f""", {QN_SQL}, pairs AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         {d2_q_sql('qa', 'qb')} AS d2p,
          CASE WHEN qa.label = qb.label THEN 1 ELSE 0 END AS match
   FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
   JOIN qn qa ON qa.vec_id = a.vec_id
@@ -356,21 +388,73 @@ WITH by_dim AS (
 ), votes AS (
   SELECT vec_a, COUNT(*) AS n_votes, SUM(match) AS n_agree
   FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY sim DESC, vec_b) AS rnk
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY d2p, vec_b) AS rnk
     FROM pairs
   ) t WHERE rnk <= {NOISE_K}
   GROUP BY vec_a
-)
-SELECT s.vec_id, e.label, s.cell,
-       COALESCE(v.n_votes, 0) AS n_votes,
-       COALESCE(v.n_agree, 0) AS n_agree,
-       ROUND(CAST(v.n_agree AS DOUBLE) / v.n_votes, 6) AS agree_ratio,
-       COALESCE(v.n_votes, 0) >= {NOISE_MIN_VOTES}
-         AND COALESCE(v.n_agree, 0) * 2 < COALESCE(v.n_votes, 0) AS suspect
+)"""
+
+
+LABEL_NOISE_AUDIT_SQL = (
+    _HIER_ASSIGN_SQL
+    + _NOISE_VOTES_SQL
+    + f"""
+SELECT s.vec_id, e.label, s.cell, {_NOISE_VERDICT_SQL}
 FROM assign s
 JOIN embeddings e ON e.vec_id = s.vec_id
 LEFT JOIN votes v ON v.vec_a = s.vec_id
 """
+)
+
+
+# ---------------------------------------------------------------------
+# label_noise_cells / label_noise_votes — staged driver diagnostics
+# ---------------------------------------------------------------------
+
+def label_noise_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED DIAGNOSTIC (ADVICE r10 #1b, registered at the head of the
+    r11 driver window; remove in r12 once the trio is green): the
+    audit's cell ASSIGNMENT alone — (vec_id, cell), both BIGINT. If
+    the driver reds survive r11's fixes, this row localizes whether
+    the divergence is already in the two-level integer routing."""
+    return _noise_assigned(spark, sf_dir).select("vec_id", "cell").orderBy("vec_id")
+
+
+LABEL_NOISE_CELLS_SQL = (
+    _HIER_ASSIGN_SQL + "\nSELECT vec_id, cell FROM assign ORDER BY vec_id"
+)
+
+
+def label_noise_votes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STAGED DIAGNOSTIC (ADVICE r10 #1b — see label_noise_cells): the
+    audit's VOTE STAGE alone — (vec_id, n_votes, n_agree), all BIGINT,
+    no ratio column. Green cells + red votes ⇒ the rank; green votes +
+    red audit ⇒ the ratio/suspect tail."""
+    withv = _noise_assigned(spark, sf_dir)
+    votes = _noise_votes(withv)
+    return (
+        withv.select("vec_id")
+        .join(votes.withColumnRenamed("vec_a", "vec_id"), "vec_id", "left")
+        .select(
+            "vec_id",
+            F.coalesce(F.col("n_votes"), F.lit(0)).cast("long").alias("n_votes"),
+            F.coalesce(F.col("n_agree"), F.lit(0)).cast("long").alias("n_agree"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+LABEL_NOISE_VOTES_SQL = (
+    _HIER_ASSIGN_SQL
+    + _NOISE_VOTES_SQL
+    + """
+SELECT s.vec_id,
+       COALESCE(CAST(v.n_votes AS BIGINT), 0) AS n_votes,
+       COALESCE(CAST(v.n_agree AS BIGINT), 0) AS n_agree
+FROM assign s LEFT JOIN votes v ON v.vec_a = s.vec_id
+ORDER BY s.vec_id
+"""
+)
 
 
 # ---------------------------------------------------------------------
@@ -391,71 +475,29 @@ def label_noise_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantizer law bounds the cell side, the delta predicate is a pure
     vec_id expression (no join to tag rows), and the base assignment
     (here recomputed for self-containedness) is the committed index
-    relation in the 100 TB shape."""
+    relation in the 100 TB shape. The index is the TWO-LEVEL hier
+    router built from base ids only (ADVICE r10 #2) — both the base
+    members and the delta arrivals route through it at O(N^(1/4))
+    folds per vector."""
     from capstone_etl_spark.operators.dedup import _is_delta
 
     emb = load_table(spark, sf_dir, "embeddings")
-    emb_q = emb.select("vec_id", "label", quantize_fp().alias("vq"))
-    seeds = quantizer_seeds(
-        emb_q.filter(~_is_delta(F.col("vec_id"))).select("vec_id", "vq")
-    )
-    d2_col = F.aggregate(
-        F.zip_with("vq", "sq", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
+    emb_q = emb.select("vec_id", quantize_fp().alias("vq"))
+    base_q = emb_q.filter(~_is_delta(F.col("vec_id")))
     assign = (
-        emb_q.join(F.broadcast(seeds), F.lit(True))
-        .select("vec_id", "cell", d2_col.alias("d2"))
+        _hier_cand_seed(emb_q, index_q=base_q)
         .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cell")).alias("m"))
-        .select("vec_id", F.col("m.cell").alias("cell"))
-        .transform(cached)
+        .agg(F.min(F.struct("d2", "cell", "vq")).alias("m"))
+        .select("vec_id", F.col("m.vq").alias("vq"), F.col("m.cell").alias("cell"))
     )
-    # rank key = quantized-integer cosine (label_noise_audit's
-    # de-fragilized key — see its docstring)
-    withv = assign.join(emb_q, "vec_id").withColumn("qn2", dot_long("vq", "vq"))
-    delta_side = withv.filter(_is_delta(F.col("vec_id"))).select(
-        F.col("vec_id").alias("vec_a"), "cell",
-        F.col("vq").alias("qa"), F.col("qn2").alias("na2"),
-        F.col("label").alias("la"),
-    )
-    base_side = withv.filter(~_is_delta(F.col("vec_id"))).select(
-        F.col("vec_id").alias("vec_b"), "cell",
-        F.col("vq").alias("qb"), F.col("qn2").alias("nb2"),
-        F.col("label").alias("lb"),
-    )
-    wv = Window.partitionBy("vec_a").orderBy(F.desc("sim"), F.asc("vec_b"))
-    votes = (
-        delta_side.join(base_side, "cell")
-        .select(
-            "vec_a", "vec_b",
-            quantized_cosine("qa", "qb", "na2", "nb2").alias("sim"),
-            (F.col("la") == F.col("lb")).cast("int").alias("match"),
-        )
-        .withColumn("rnk", F.row_number().over(wv))
-        .filter(F.col("rnk") <= NOISE_K)
-        .groupBy("vec_a")
-        .agg(
-            F.count("*").alias("n_votes"),
-            F.sum("match").alias("n_agree"),
-        )
-        .withColumnRenamed("vec_a", "vec_id")
-    )
+    withv = assign.join(emb.select("vec_id", "label"), "vec_id").transform(cached)
+    delta_v = withv.filter(_is_delta(F.col("vec_id")))
+    base_v = withv.filter(~_is_delta(F.col("vec_id")))
+    votes = _noise_votes(delta_v, base_v).withColumnRenamed("vec_a", "vec_id")
     out = (
-        withv.filter(_is_delta(F.col("vec_id")))
-        .select("vec_id", "label", "cell")
+        delta_v.select("vec_id", "label", "cell")
         .join(votes, "vec_id", "left")
-        .select(
-            "vec_id",
-            "label",
-            "cell",
-            F.coalesce(F.col("n_votes"), F.lit(0)).cast("long").alias("n_votes"),
-            F.coalesce(F.col("n_agree"), F.lit(0)).cast("long").alias("n_agree"),
-            F.round(
-                F.col("n_agree").cast("double") / F.col("n_votes"), 6
-            ).alias("agree_ratio"),
-        )
+        .select("vec_id", "label", "cell", *_noise_verdict_cols())
     )
     return out.withColumn(
         "suspect",
@@ -464,41 +506,58 @@ def label_noise_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _label_noise_incremental_sql() -> str:
-    from capstone_etl_spark.operators.dedup import _delta_pred_sql
+def _hier_assign_base_sql() -> str:
+    """_HIER_ASSIGN_SQL's base-indexed variant: seeds, branches and
+    both hash thresholds come from the BASE subset only (NOT delta),
+    while by_dim — and therefore routing and assignment — covers the
+    full relation. The tail (branches → assign) is SLICED OUT of
+    similarity._HIER_ASSIGN_SQL itself so the two chains cannot drift;
+    only the population-dependent head is restated here."""
     from capstone_etl_spark.functions.hashing import md5_hash60_sql
-    from capstone_etl_spark.operators.similarity import HASH_SPACE_INT
+    from capstone_etl_spark.operators.dedup import _delta_pred_sql
+    from capstone_etl_spark.operators.similarity import (
+        _HIER_ASSIGN_SQL as full_sql,
+        HASH_SPACE_INT,
+    )
 
     delta = _delta_pred_sql("vec_id")
-    # base-only quantizer seeds: _SEED_IDS_SQL's structure with the
-    # hash threshold / min-hash fallback computed over the BASE subset
-    base_seeds = f"""hseed AS (
+    nbase = f"(SELECT COUNT(*) FROM embeddings WHERE NOT {delta})"
+    tail = full_sql[full_sql.index("), branches AS ("):]
+    head = f"""
+WITH by_dim AS (
+  SELECT vec_id, d,
+         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
+  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
+), hseed AS (
   SELECT vec_id, {md5_hash60_sql("CAST(vec_id AS VARCHAR)")} AS h
   FROM embeddings WHERE NOT {delta}
 ), seed_ids AS (
   SELECT vec_id FROM hseed
   WHERE h < CAST(floor(CAST({HASH_SPACE_INT} AS DOUBLE)
-                 / sqrt(GREATEST((SELECT COUNT(*) FROM embeddings WHERE NOT {delta}), 1))) AS BIGINT)
+                 / sqrt(GREATEST({nbase}, 1))) AS BIGINT)
      OR vec_id = (SELECT vec_id FROM hseed ORDER BY h, vec_id LIMIT 1)
-)"""
-    return f"""
-WITH by_dim AS (
-  SELECT vec_id, d,
-         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
-  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
-), {base_seeds}, seeds AS (
+), seeds AS (
   SELECT b.vec_id AS cell, b.d, b.vs AS ss
   FROM by_dim b JOIN seed_ids si ON si.vec_id = b.vec_id
-), d2 AS (
-  SELECT v.vec_id, s.cell, CAST(SUM((v.vs - s.ss) * (v.vs - s.ss)) AS BIGINT) AS d2
-  FROM by_dim v JOIN seeds s ON s.d = v.d GROUP BY 1, 2
-), assign AS (
-  SELECT vec_id, cell FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS arnk FROM d2
-  ) t WHERE arnk = 1
-), {QN_SQL}, pairs AS (
+), hcell AS (
+  SELECT vec_id AS cell, {md5_hash60_sql("CAST(vec_id AS VARCHAR)")} AS h FROM seed_ids
+), branch_ids AS (
+  SELECT cell AS branch FROM hcell
+  WHERE h < CAST(floor(CAST({HASH_SPACE_INT} AS DOUBLE) / (
+          sqrt(GREATEST({nbase}, 1))
+        * sqrt(sqrt(GREATEST({nbase}, 1))))) AS BIGINT)
+     OR cell = (SELECT cell FROM hcell ORDER BY h, cell LIMIT 1)"""
+    return head + tail
+
+
+def _label_noise_incremental_sql() -> str:
+    from capstone_etl_spark.operators.dedup import _delta_pred_sql
+
+    return (
+        _hier_assign_base_sql()
+        + f""", {QN_SQL}, pairs AS (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-         {cosine_q_sql('qa', 'qb')} AS sim,
+         {d2_q_sql('qa', 'qb')} AS d2p,
          CASE WHEN qa.label = qb.label THEN 1 ELSE 0 END AS match
   FROM assign a JOIN assign b ON a.cell = b.cell
   JOIN qn qa ON qa.vec_id = a.vec_id
@@ -507,22 +566,18 @@ WITH by_dim AS (
 ), votes AS (
   SELECT vec_a, COUNT(*) AS n_votes, SUM(match) AS n_agree
   FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY sim DESC, vec_b) AS rnk
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY d2p, vec_b) AS rnk
     FROM pairs
   ) t WHERE rnk <= {NOISE_K}
   GROUP BY vec_a
 )
-SELECT s.vec_id, e.label, s.cell,
-       COALESCE(v.n_votes, 0) AS n_votes,
-       COALESCE(v.n_agree, 0) AS n_agree,
-       ROUND(CAST(v.n_agree AS DOUBLE) / v.n_votes, 6) AS agree_ratio,
-       COALESCE(v.n_votes, 0) >= {NOISE_MIN_VOTES}
-         AND COALESCE(v.n_agree, 0) * 2 < COALESCE(v.n_votes, 0) AS suspect
+SELECT s.vec_id, e.label, s.cell, {_NOISE_VERDICT_SQL}
 FROM assign s
 JOIN embeddings e ON e.vec_id = s.vec_id
 LEFT JOIN votes v ON v.vec_a = s.vec_id
 WHERE {_delta_pred_sql("s.vec_id")}
 """
+    )
 
 
 LABEL_NOISE_INCREMENTAL_SQL = _label_noise_incremental_sql()
@@ -727,9 +782,11 @@ def embedding_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     from three gates —
 
     1. semantic keep-one (SemDeDup: dropped iff a lower-id cell-mate
-       clears SEMDEDUP_THRESHOLD — semantic_dedup's exact rule),
+       clears SEMDEDUP_THRESHOLD — semantic_dedup_HIER's exact rule:
+       same verify threshold, hier-routed cells),
     2. label sanity (label_noise_audit's K-NN vote: suspect iff
-       >= NOISE_MIN_VOTES voters and majority disagree),
+       >= NOISE_MIN_VOTES voters and majority disagree — exact
+       integer squared-L2 rank, the family's r11 key),
     3. value (knn_shapley_values: negative-Shapley training vectors
        are dropped; the test split and unvalued vectors pass).
 
@@ -737,34 +794,25 @@ def embedding_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     valued); `reason` names the FIRST failing gate in that order.
 
     The composition's shared subtree is the point: gates 1 and 2 both
-    need the quantizer cell assignment — computed ONCE and cached, the
-    pair stages reuse one (cell, embedding, norm, label) relation, so
-    the manifest costs one assignment pass + the two cell-bounded pair
-    stages + the eval-bounded Shapley scan, not three index builds.
-    Oracle mirrors with one shared assign CTE feeding both legs."""
+    need the TWO-LEVEL quantizer cell assignment (hier_assign — the
+    family's O(N·N^(1/4)) scale path, ADVICE r10 #2) — computed ONCE
+    and cached, the pair stages reuse one (cell, vq, label) relation
+    carrying BOTH pair keys (quantized cosine for the SemDeDup
+    threshold, integer d2p for the vote rank), so the manifest costs
+    one assignment pass + the two cell-bounded pair stages + the
+    eval-bounded Shapley scan, not three index builds. Oracle mirrors
+    with one shared assign CTE feeding both legs."""
     from capstone_etl_spark.operators.similarity import SEMDEDUP_THRESHOLD
 
     emb = load_table(spark, sf_dir, "embeddings")
-    emb_q = emb.select("vec_id", "label", quantize_fp().alias("vq"))
-    seeds = quantizer_seeds(emb_q.select("vec_id", "vq"))
-    d2_col = F.aggregate(
-        F.zip_with("vq", "sq", lambda x, y: (x - y) * (x - y)),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    assign = (
-        emb_q.join(F.broadcast(seeds), F.lit(True))
-        .select("vec_id", "cell", d2_col.alias("d2"))
-        .groupBy("vec_id")
-        .agg(F.min(F.struct("d2", "cell")).alias("m"))
-        .select("vec_id", F.col("m.cell").alias("cell"))
-    )
-    # both pair gates ride ONE similarity column — the quantized-
-    # integer cosine (label_noise_audit's de-fragilized key): the
-    # SemDeDup threshold and the vote rank see the identical
-    # bit-reproducible double in every engine build
+    emb_q = emb.select("vec_id", quantize_fp().alias("vq"))
+    # both pair gates ride ONE cell assignment (hier) and one pair
+    # relation; the SemDeDup threshold sees the bit-reproducible
+    # quantized cosine, the vote rank sees the all-integer d2p
     withv = cached(
-        assign.join(emb_q, "vec_id").withColumn("qn2", dot_long("vq", "vq"))
+        hier_assign(emb_q)
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .withColumn("qn2", dot_long("vq", "vq"))
     )
     a = withv.select(
         F.col("vec_id").alias("vec_a"), "cell",
@@ -782,6 +830,7 @@ def embedding_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "vec_a", "vec_b",
             quantized_cosine("qa", "qb", "na2", "nb2").alias("sim"),
+            _d2_fold("qa", F.col("qb")).alias("d2p"),
             (F.col("la") == F.col("lb")).cast("int").alias("match"),
         )
     )
@@ -793,7 +842,7 @@ def embedding_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("vec_a", "vec_id")
     )
     # gate 2: K-NN label vote over the SHARED pair relation
-    wv = Window.partitionBy("vec_a").orderBy(F.desc("sim"), F.asc("vec_b"))
+    wv = Window.partitionBy("vec_a").orderBy(F.asc("d2p"), F.asc("vec_b"))
     votes = (
         pairs.withColumn("rnk", F.row_number().over(wv))
         .filter(F.col("rnk") <= NOISE_K)
@@ -842,24 +891,12 @@ def embedding_curation_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _embedding_curation_manifest_sql() -> str:
     from capstone_etl_spark.operators.similarity import SEMDEDUP_THRESHOLD
 
-    return f"""
-WITH by_dim AS (
-  SELECT vec_id, d,
-         CAST(floor(CAST(embedding[d + 1] AS DOUBLE) * {CENTROID_SCALE} + 0.5) AS BIGINT) AS vs
-  FROM embeddings CROSS JOIN (SELECT unnest(range(0, {DIM})) AS d) dims
-), {_SEED_IDS_SQL}, seeds AS (
-  SELECT b.vec_id AS cell, b.d, b.vs AS ss
-  FROM by_dim b JOIN seed_ids si ON si.vec_id = b.vec_id
-), d2 AS (
-  SELECT v.vec_id, s.cell, CAST(SUM((v.vs - s.ss) * (v.vs - s.ss)) AS BIGINT) AS d2
-  FROM by_dim v JOIN seeds s ON s.d = v.d GROUP BY 1, 2
-), assign AS (
-  SELECT vec_id, cell FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY d2, cell) AS arnk FROM d2
-  ) t WHERE arnk = 1
-), {QN_SQL}, prs AS MATERIALIZED (
+    return (
+        _HIER_ASSIGN_SQL
+        + f""", {QN_SQL}, prs AS MATERIALIZED (
   SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
          {cosine_q_sql('qa', 'qb')} AS sim,
+         {d2_q_sql('qa', 'qb')} AS d2p,
          CASE WHEN qa.label = qb.label THEN 1 ELSE 0 END AS match
   FROM assign a JOIN assign b ON a.cell = b.cell AND a.vec_id <> b.vec_id
   JOIN qn qa ON qa.vec_id = a.vec_id
@@ -871,7 +908,7 @@ WITH by_dim AS (
 ), votes AS (
   SELECT vec_a AS vec_id, COUNT(*) AS n_votes, SUM(match) AS n_agree
   FROM (
-    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY sim DESC, vec_b) AS rnk
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_a ORDER BY d2p, vec_b) AS rnk
     FROM prs
   ) t WHERE rnk <= {NOISE_K}
   GROUP BY vec_a
@@ -898,6 +935,7 @@ SELECT vec_id, label, cell, sem_keep, dup_of, suspect, shap_value,
        END AS reason
 FROM flags
 """
+    )
 
 
 EMBEDDING_CURATION_MANIFEST_SQL = _embedding_curation_manifest_sql()
@@ -1167,6 +1205,8 @@ MMR_DIVERSIFIED_TOPK_SQL = _mmr_sql()
 
 QUERIES = {
     "knn_shapley_values": knn_shapley_values,
+    "label_noise_cells": label_noise_cells,
+    "label_noise_votes": label_noise_votes,
     "label_noise_audit": label_noise_audit,
     "label_noise_incremental": label_noise_incremental,
     "kcenter_coreset": kcenter_coreset,
@@ -1178,6 +1218,8 @@ QUERIES = {
 
 ORACLE_SQL = {
     "knn_shapley_values": KNN_SHAPLEY_VALUES_SQL,
+    "label_noise_cells": LABEL_NOISE_CELLS_SQL,
+    "label_noise_votes": LABEL_NOISE_VOTES_SQL,
     "label_noise_audit": LABEL_NOISE_AUDIT_SQL,
     "label_noise_incremental": LABEL_NOISE_INCREMENTAL_SQL,
     "kcenter_coreset": KCENTER_CORESET_SQL,

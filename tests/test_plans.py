@@ -145,7 +145,7 @@ def test_no_unpartitioned_windows_in_registered_queries(spark):
         "token_vector_collection", "order_date_rollup",
         "orders_per_customer_rank", "customer_yoy_revenue", "top_supplier",
         "sparse_vectors", "sparse_vector_strings", "doc_similarity_topk",
-        "event_scd_intervals",
+        "event_scd_intervals", "histogram_quantiles",
     ]
     bad = {}
     for name in names:

@@ -232,9 +232,15 @@ def test_mmr_matches_python_model(spark, tmp_path_factory, vecs):
 # --- label_noise_audit -------------------------------------------------------
 
 
-def _model_label_noise(vecs, labels):
-    n = len(vecs)
-    q = [[math.floor(x * 10_000 + 0.5) for x in v] for v in vecs]
+def _model_hier_assign(q):
+    """similarity.hier_assign's python model: hash-sampled seeds, the
+    tighter N^(3/4) branch threshold (both with min-hash fallbacks),
+    seed→branch argmin routing, per-vector top-BRANCH_PROBES branch
+    descent, argmin over the routed branches' seeds — every key an
+    exact integer with id tiebreaks."""
+    from capstone_etl_spark.operators.similarity import BRANCH_PROBES
+
+    n = len(q)
     hs = {i: _h60(str(i)) for i in range(n)}
     thresh = math.floor(2.0**60 / math.sqrt(max(n, 1)))
     mh = min(range(n), key=lambda i: (hs[i], i))
@@ -243,18 +249,43 @@ def _model_label_noise(vecs, labels):
     def d2(a, b):
         return sum((x - y) * (x - y) for x, y in zip(a, b))
 
-    assign = {
-        i: min(seeds, key=lambda s: (d2(q[i], q[s]), s)) for i in range(n)
+    nv = float(max(n, 1))
+    thresh_b = math.floor(2.0**60 / (math.sqrt(nv) * math.sqrt(math.sqrt(nv))))
+    mh_b = min(seeds, key=lambda s: (hs[s], s))
+    branches = sorted(s for s in seeds if hs[s] < thresh_b or s == mh_b)
+    seed_route = {
+        s: min(branches, key=lambda b: (d2(q[s], q[b]), b)) for s in seeds
     }
+    assign = {}
+    for i in range(n):
+        routed = sorted(branches, key=lambda b: (d2(q[i], q[b]), b))[:BRANCH_PROBES]
+        cand = [s for s in seeds if seed_route[s] in routed]
+        assign[i] = min(cand, key=lambda s: (d2(q[i], q[s]), s))
+    return assign, d2
+
+
+def _micro_ratio(na: int, nv: int):
+    """_noise_verdict_cols' exact ratio: integer micro-units rounded
+    half-up, then ONE IEEE division by 10⁶."""
+    if not nv:
+        return None
+    return float((na * 2_000_000 + nv) // (2 * nv)) / 1e6
+
+
+def _model_label_noise(vecs, labels):
+    n = len(vecs)
+    q = [[math.floor(x * 10_000 + 0.5) for x in v] for v in vecs]
+    assign, d2 = _model_hier_assign(q)
     out = []
     for i in range(n):
         mates = [j for j in range(n) if j != i and assign[j] == assign[i]]
-        ranked = sorted(mates, key=lambda j: (-_qcos(vecs[i], vecs[j]), j))[:NOISE_K]
+        # r11 rank key: exact integer squared L2 asc, id asc — no
+        # float anywhere in the rank path
+        ranked = sorted(mates, key=lambda j: (d2(q[i], q[j]), j))[:NOISE_K]
         nv = len(ranked)
         na = sum(int(labels[j] == labels[i]) for j in ranked)
-        ratio = _r6(na / nv) if nv else None
         suspect = nv >= NOISE_MIN_VOTES and na * 2 < nv
-        out.append((i, labels[i], assign[i], nv, na, ratio, suspect))
+        out.append((i, labels[i], assign[i], nv, na, _micro_ratio(na, nv), suspect))
     return sorted(out)
 
 

@@ -437,7 +437,7 @@ def test_curation_manifest_composes_its_gates(spark, tmp_path):
         knn_shapley_values,
         label_noise_audit,
     )
-    from capstone_etl_spark.operators.similarity import semantic_dedup
+    from capstone_etl_spark.operators.similarity import semantic_dedup_hier
 
     rows = []
     for i in range(200):
@@ -449,7 +449,7 @@ def test_curation_manifest_composes_its_gates(spark, tmp_path):
     sf = _write_embeddings(spark, tmp_path, rows)
     man = {r["vec_id"]: r for r in embedding_curation_manifest(spark, sf).collect()}
     release_caches()
-    sem = {r["vec_id"]: r for r in semantic_dedup(spark, sf).collect()}
+    sem = {r["vec_id"]: r for r in semantic_dedup_hier(spark, sf).collect()}
     release_caches()
     noise_out = {r["vec_id"]: r for r in label_noise_audit(spark, sf).collect()}
     release_caches()

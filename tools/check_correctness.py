@@ -37,6 +37,26 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[
     for col in s_cols:
         sv, dv = s[col], d[col]
         try:
+            # The driver hashes STRINGIFIED values, so a dtype-kind skew
+            # between the engines' pandas frames diverges even when the
+            # values compare numerically equal — int64 2 stringifies
+            # '2', float64 2.0 stringifies '2.0'. This is exactly how
+            # the label_noise trio stayed red through r9-r10 while this
+            # gate passed: DuckDB returns SUM(INTEGER) as HUGEINT,
+            # which pandas renders float64, while Spark returned
+            # BIGINT. Flag any int-vs-float kind pairing UNLESS the
+            # float side carries NaNs (pandas itself widens a nullable
+            # int column to float64, identically on both sides' paths
+            # only when both have NULLs — asymmetric NULLs change the
+            # row multiset and are caught by the value compare).
+            kinds = {sv.dtype.kind, dv.dtype.kind}
+            if kinds == {"i", "f"}:
+                fside = sv if sv.dtype.kind == "f" else dv
+                if not fside.isna().any():
+                    problems.append(
+                        f"col {col}: dtype kind skew spark={sv.dtype} duck={dv.dtype}"
+                        " (stringified-hash hazard: '2' vs '2.0')"
+                    )
             if sv.dtype.kind == "f" or dv.dtype.kind == "f":
                 sv, dv = sv.astype(float), dv.astype(float)
                 neq = ~((sv == dv) | (sv.isna() & dv.isna()))
