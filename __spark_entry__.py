@@ -51,6 +51,9 @@ _PRIORITY = [
     "label_noise_audit",
     "label_noise_incremental",
     "stream_label_noise",
+    # ...plus the round's one NEW parity query (first driver
+    # attestation): the reference-cardinality stopword gate.
+    "stopword_full_gate",
     # Block 2: family canaries — every operator family keeps >=1 row
     # in the window (tests/test_entry_contract.py enforces the span);
     # each entry is the LEAST-recently-driver-attested member of its
@@ -73,7 +76,7 @@ _PRIORITY = [
     "sequence_packing",  # packing, r9
     "tokens_collection",  # outputs, r9
     "campaign_window_stats",  # rangejoin, r10
-    # Block 3: the 27 least-recently-attested remaining queries fill
+    # Block 3: the 26 least-recently-attested remaining queries fill
     # the window — the stalest lifetime signal gets refreshed first.
     "orders_per_customer_rank",  # last driver row: r2
     "parent_child",  # last driver row: r2
@@ -101,11 +104,11 @@ _PRIORITY = [
     "top_supplier",  # last driver row: r2
     "vocab_ids",  # last driver row: r2
     "ann_brute_topk",  # last driver row: r3
-    "bigram_pmi",  # last driver row: r3
     # ---- position 51+: every query below is driver-green in some
     # round AND green on the committed local full gate; ordered
     # least-recently-attested first so any extra driver sampling adds
     # the stalest signal.
+    "bigram_pmi",
     "corpus_summary",
     "decontamination_spans",
     "dedup_ngram_jaccard",
