@@ -1330,6 +1330,92 @@ FROM (
 
 BITEXT_K = 4        # neighborhood size for the margin denominator
 BITEXT_MARGIN = 1.0  # ratio-margin admission threshold
+# Per-source candidate cap: each source vector keeps only its top-C
+# within-cell cosines as candidates (C >= K so the source-side top-K
+# mean is unaffected). This is the FAISS-retrieval semantic the
+# CCMatrix recipe actually runs — each x scores only its K retrieved
+# neighbors, never its whole IVF cell — and it is what bounds the
+# candidate relation to N·C rows. Without it the pair stage shuffles
+# Σ popA·popB ≈ N^1.5 rows through four windows and two joins, the
+# shape measured at decade-2 exponent 1.41 on the r11 sf10 run.
+BITEXT_C = 8
+
+
+def _bitext_capped_pairs(src: DataFrame, tgt: DataFrame) -> DataFrame:
+    """(src_id, tgt_id, sim) — each source's top-BITEXT_C within-cell
+    cosines against the target side, computed IN-ROW against per-cell
+    target posting arrays. src: (src_id, qe, cell); tgt: (tgt_id, ne,
+    cell).
+
+    Scale shape: the target side is grouped once into ≈√N per-cell
+    arrays (one shuffle of N rows, pre-quantized so the per-pair work
+    is one BIGINT dot); each source row then scores its cell's array
+    entirely inside whole-stage codegen (transform → filter →
+    array_sort comparator → slice) and emits ≤C rows. The N·√N cosine
+    flops still happen — candidates must be scored to be ranked — but
+    they are map-side arithmetic with NO shuffle participation: the
+    relation that reaches the margin windows, the endpoint-mean joins
+    and (in the streaming twin) the memory sink is N·C rows, not
+    N^1.5. At 100 TB the per-cell array (≈√N members) is the row-size
+    bound to watch; the router's depth is the knob (a third level
+    makes cells N^(3/4)/pop N^(1/4)) if cell arrays outgrow a row.
+
+    Exactness: sims are the same ROUND(quantized-cosine, 6) doubles as
+    everywhere (exact BIGINT folds, one IEEE sqrt/mul/div on identical
+    inputs), the comparator tiebreaks (sim desc, tgt_id asc), and
+    NULL-sim pairs (zero vectors) are dropped on both engines — so the
+    capped relation is bit-identical to the oracle's ROW_NUMBER form."""
+    from capstone_etl_spark.functions.vectors import dot_long
+
+    tgt_q = tgt.select(
+        "cell", F.col("tgt_id"), quantize_fp("ne").alias("qb")
+    ).select(
+        "cell",
+        F.struct(
+            "tgt_id", "qb", dot_long("qb", "qb").alias("n2b")
+        ).alias("m"),
+    )
+    tgt_arr = tgt_q.groupBy("cell").agg(F.collect_list("m").alias("members"))
+    s = src.select(
+        "src_id", "cell", quantize_fp("qe").alias("qa")
+    ).withColumn("n2a", dot_long("qa", "qa"))
+    scored = F.filter(
+        F.transform(
+            "members",
+            lambda m: F.struct(
+                F.round(
+                    F.when(
+                        (F.col("n2a") > 0) & (m["n2b"] > 0),
+                        dot_long("qa", m["qb"]).cast("double")
+                        / (
+                            F.sqrt(F.col("n2a").cast("double"))
+                            * F.sqrt(m["n2b"].cast("double"))
+                        ),
+                    ),
+                    6,
+                ).alias("sim"),
+                m["tgt_id"].alias("tgt_id"),
+            ),
+        ),
+        lambda p: p["sim"].isNotNull(),
+    )
+    cmp = lambda x, y: (  # noqa: E731 — (sim desc, tgt_id asc)
+        F.when(x["sim"] > y["sim"], F.lit(-1))
+        .when(x["sim"] < y["sim"], F.lit(1))
+        .when(x["tgt_id"] < y["tgt_id"], F.lit(-1))
+        .when(x["tgt_id"] > y["tgt_id"], F.lit(1))
+        .otherwise(F.lit(0))
+    )
+    return (
+        s.join(tgt_arr, "cell")
+        .select("src_id", F.slice(F.array_sort(scored, cmp), 1, BITEXT_C).alias("top"))
+        .select("src_id", F.explode("top").alias("p"))
+        .select(
+            "src_id",
+            F.col("p.tgt_id").alias("tgt_id"),
+            F.col("p.sim").alias("sim"),
+        )
+    )
 
 
 def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1344,13 +1430,20 @@ def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     close to everything scores a margin ≈ 1 everywhere and mines
     nothing), which a plain cosine threshold cannot.
 
-    Candidate discipline: pairs come from the round-9 two-level
+    Candidate discipline (r11): pairs come from the two-level
     quantizer blocking (hier_assign — cross-side pairs sharing a
-    cell), so the pair stage is Σ popA·popB per cell under the √N cell
-    cap, never |A|×|B|; the top-K windows run per vector over its
-    cell-bounded candidate list. At 100 TB this is exactly the
-    mined-pair shape CCMatrix runs (FAISS-blocked candidates, margin
-    rerank).
+    cell), AND each source keeps only its top-BITEXT_C within-cell
+    cosines (_bitext_capped_pairs — scored in-row against per-cell
+    target arrays, ≤C rows emitted per source). The relation every
+    window/join downstream touches is therefore N·C rows; the r10
+    uncapped form shuffled the full Σ popA·popB ≈ N^1.5 within-cell
+    pair relation through four windows and measured decade-2 exponent
+    1.41 in its streaming twin (BENCH_scale_r11.json). The cap is the
+    CCMatrix semantic, not an approximation of it: production miners
+    score each x against its FAISS-retrieved K neighbors only. The
+    target-side margin mean (ay) is correspondingly over the pairs
+    that survive some source's cap — the retrieved relation, exactly
+    what the production recipe's y-side sees.
 
     Exactness: cosines are rounded to 6dp first (identical doubles in
     both engines), the top-K means go through exact DECIMAL sums of
@@ -1369,11 +1462,7 @@ def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     b = withe.filter(F.col("vec_id") % 2 == 1).select(
         F.col("vec_id").alias("tgt_id"), "cell", F.col("embedding").alias("ne")
     )
-    pairs = cached(
-        a.join(b, "cell").select(
-            "src_id", "tgt_id", F.round(qcosine("qe", "ne"), 6).alias("sim")
-        )
-    )
+    pairs = cached(_bitext_capped_pairs(a, b))
     wx = Window.partitionBy("src_id").orderBy(F.desc("sim"), F.asc("tgt_id"))
     wy = Window.partitionBy("tgt_id").orderBy(F.desc("sim"), F.asc("src_id"))
     dec = lambda c: F.col(c).cast("decimal(18,6)")  # noqa: E731
@@ -1413,13 +1502,20 @@ def bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
 BITEXT_MINING_SQL = (
     _HIER_ASSIGN_SQL
     + f"""
-, pairs AS (
+, allpairs AS (
   SELECT a.vec_id AS src_id, b.vec_id AS tgt_id,
          ROUND({cosine_q_cols_sql('ea.embedding', 'eb.embedding')}, 6) AS sim
   FROM assign a JOIN assign b
     ON a.cell = b.cell AND a.vec_id % 2 = 0 AND b.vec_id % 2 = 1
   JOIN embeddings ea ON ea.vec_id = a.vec_id
   JOIN embeddings eb ON eb.vec_id = b.vec_id
+), pairs AS (
+  -- the per-source candidate cap (_bitext_capped_pairs): top-C
+  -- within-cell cosines per source, NULL sims (zero vectors) dropped
+  SELECT src_id, tgt_id, sim FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS crk
+    FROM allpairs WHERE sim IS NOT NULL
+  ) c WHERE crk <= {BITEXT_C}
 ), ax AS (
   SELECT src_id, CAST(SUM(CAST(sim AS DECIMAL(18,6))) AS DOUBLE) / COUNT(*) AS ax
   FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY src_id ORDER BY sim DESC, tgt_id) AS rk

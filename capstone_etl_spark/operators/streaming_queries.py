@@ -1322,10 +1322,11 @@ def stream_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     over routed seeds, zero state) and emits exact-cosine candidate
     pairs against its cell's target members through an append-mode
     stream-static join. The drained pair table IS the batch candidate
-    relation (cell-bounded, each unordered pair once — the source side
-    drives), so the margin/mutual-argmax verdict assembly runs the
-    batch code on it and the mined set equals the batch miner
-    row-for-row. Oracle: BITEXT_MINING_SQL verbatim."""
+    relation (cell-bounded AND per-source top-C capped — the source
+    side drives, ≤BITEXT_C rows per arrival), so the margin/
+    mutual-argmax verdict assembly runs the batch code on it and the
+    mined set equals the batch miner row-for-row. Oracle:
+    BITEXT_MINING_SQL verbatim."""
     import shutil
     import tempfile
 
@@ -1333,6 +1334,7 @@ def stream_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     from capstone_etl_spark.operators.similarity import (
         BITEXT_K,
         BITEXT_MARGIN,
+        _bitext_capped_pairs,
         hier_assign,
         hier_best_cell_expr,
         hier_branch_cells_row,
@@ -1371,14 +1373,20 @@ def stream_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         route = hier_route_expr()
         cand_cells = F.flatten(F.transform(F.col("route"), lambda r: r["cells"]))
         best_cell = hier_best_cell_expr()
-        spairs = (
+        # r11: each arriving source emits only its top-BITEXT_C
+        # within-cell cosines (_bitext_capped_pairs — in-row scoring
+        # against the static per-cell target arrays), so the memory
+        # sink drains N·C rows. The r10 uncapped stream drained the
+        # FULL within-cell pair relation (≈N^1.5 rows) and measured
+        # decade-2 exponent 1.41 at sf10 — the sink volume, not the
+        # mining, was the scale wall.
+        routed = (
             arriving.join(F.broadcast(brow), F.lit(True))
             .withColumn("route", route)
             .withColumn("cand", cand_cells)
             .select("src_id", "qe", best_cell.alias("cell"))
-            .join(tgt, "cell")
-            .select("src_id", "tgt_id", F.round(qcosine("qe", "ne"), 6).alias("sim"))
         )
+        spairs = _bitext_capped_pairs(routed, tgt)
         from capstone_etl_spark.session import checkpoint_truncate
 
         # truncate the sink lineage: the assembly joins the pair table
