@@ -380,9 +380,12 @@ ALLOWED_CARTESIAN: dict[str, str] = {
     ),
     "bitext_mining": (
         "inherits hier_assign's 1-row stats / min-hash / branch-array "
-        "broadcasts; the bipartite pair stage is cell-bounded "
-        "(popA*popB per cell under the sqrt-N cap), windows run per "
-        "vector over cell-bounded candidate lists (similarity.py)"
+        "broadcasts; candidates are each source's top-BITEXT_C "
+        "within-cell cosines scored IN-ROW against per-cell target "
+        "posting arrays (_bitext_capped_pairs — r11; the uncapped "
+        "popA*popB pair shuffle measured decade-2 exponent 1.41 and "
+        "was replaced), so every window/join downstream runs on the "
+        "N*C relation (similarity.py)"
     ),
     "kll_quantile_sketch": (
         "1-row-per-source stats broadcast into the survivor filter, "
