@@ -57,6 +57,13 @@ def main() -> None:
         ("/tmp/rescale_sf01.out", sf01),
         ("/tmp/rescale_sf1.out", sf1),
         ("/tmp/rescale_sf10.out", sf10),
+        # stream_training_manifest sf10 re-measured at 96g after the
+        # 64g point (986.3 s) logged repeated TaskMemoryManager
+        # page-allocation failures: 725.7 s with ZERO allocation
+        # failures — the properly-provisioned harness point (the 26%
+        # gap is single-JVM memory pressure, confirmed by experiment,
+        # not operator shape).
+        ("/tmp/retest_manifest96.out", sf10),
     ):
         d.update(from_log(log))
     exps1 = {q: round(math.log10(sf1[q] / sf01[q]), 2) for q in sf01 if q in sf1}
