@@ -265,6 +265,7 @@ def connected_components(edges: DataFrame) -> DataFrame:
         .select("doc_id", F.col("doc_id").alias("label"))
     )
     changed = -1
+    prev_ck = labels
     for rounds in range(1, CC_MAX_ROUNDS + 1):
         nmin = (
             edges.join(
@@ -274,8 +275,15 @@ def connected_components(edges: DataFrame) -> DataFrame:
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.min("nl").alias("nmin"))
         )
+        # the PRE-round label rides along as `old` so the convergence
+        # check below is a column compare over the checkpointed blocks —
+        # the previous shape joined the new labels back to the old
+        # relation, paying a two-sided shuffle join per round for a
+        # single count (guide §2.4: remove shuffles outright)
         hop = labels.join(nmin, "doc_id", "left").select(
-            "doc_id", F.least("label", F.coalesce("nmin", "label")).alias("label")
+            "doc_id",
+            F.col("label").alias("old"),
+            F.least("label", F.coalesce("nmin", "label")).alias("label"),
         )
         # pointer jump: follow label -> label(label); labels only shrink,
         # so the parent's label is always <= the current one
@@ -285,19 +293,15 @@ def connected_components(edges: DataFrame) -> DataFrame:
                 "label",
                 "left",
             )
-            .select("doc_id", F.coalesce("pl", "label").alias("label"))
+            .select("doc_id", "old", F.coalesce("pl", "label").alias("label"))
         )
-        changed = (
-            jump.alias("n")
-            .join(labels.alias("o"), "doc_id")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .count()
-        )
+        changed = jump.filter(F.col("label") != F.col("old")).count()
         # round N-1's checkpointed blocks are dead once the changed
         # count is taken — free them so loop memory stays O(2 rounds),
         # not O(rounds)
-        release_checkpoint(labels)
-        labels = jump
+        release_checkpoint(prev_ck)
+        prev_ck = jump
+        labels = jump.select("doc_id", "label")
         _LAST_CC_ROUNDS = rounds
         if changed == 0:
             return labels

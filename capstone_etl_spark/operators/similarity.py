@@ -1587,26 +1587,38 @@ def ivf_probe_recall_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         vec_seed_d2.filter(F.col("vec_id") < N_QUERIES)
         .withColumn("prnk", F.row_number().over(pw))
     )
-    probes_g = ranked.select(
-        F.col("vec_id").alias("query_id"),
-        "cell",
-        "prnk",
-        F.explode(F.array(*[F.lit(p) for p in IVF_PROBE_GRID])).alias("n_probes"),
-    ).filter(F.col("prnk") <= F.col("n_probes"))
-    cand = (
-        probes_g.join(assign, "cell")
+    # Score each (query, neighbor) cosine ONCE at the grid maximum and
+    # explode the grid AFTER scoring: the grid values are nested
+    # (candidates at p ⊆ candidates at p'>p — a neighbor lives in
+    # exactly one cell, at one probe rank), so the per-grid-value
+    # scoring recomputed the same cosine for every grid value it
+    # appeared under (~1.9× the flops and the neighbor-embedding join
+    # volume for the 1/2/4/8 grid). Same rows reach the per-grid top-k
+    # window either way — guide §1.2: don't compute things twice.
+    cand1 = (
+        ranked.filter(F.col("prnk") <= max(IVF_PROBE_GRID))
+        .select(F.col("vec_id").alias("query_id"), "cell", "prnk")
+        .join(assign, "cell")
         .filter(F.col("query_id") != F.col("neighbor_id"))
-        .select("n_probes", "query_id", "neighbor_id")
+        .select("query_id", "neighbor_id", "prnk")
     )
     q = emb.filter(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("embedding").alias("qe")
     )
     n = emb.select(F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne"))
-    scored = (
-        cand.join(F.broadcast(q), "query_id")
+    scored1 = (
+        cand1.join(F.broadcast(q), "query_id")
         .join(n, "neighbor_id")
-        .select("n_probes", "query_id", "neighbor_id", F.round(qcosine("qe", "ne"), 6).alias("sim"))
+        .select("query_id", "neighbor_id", "prnk", F.round(qcosine("qe", "ne"), 6).alias("sim"))
     )
+    scored = scored1.select(
+        "query_id",
+        "neighbor_id",
+        "sim",
+        "prnk",
+        F.explode(F.array(*[F.lit(p) for p in IVF_PROBE_GRID])).alias("n_probes"),
+    ).filter(F.col("prnk") <= F.col("n_probes")).drop("prnk")
+    cand = scored.select("n_probes", "query_id", "neighbor_id")
     tw = Window.partitionBy("n_probes", "query_id").orderBy(F.desc("sim"), F.asc("neighbor_id"))
     topk = scored.withColumn("rnk", F.row_number().over(tw)).filter(F.col("rnk") <= TOP_K)
     exact = cached(ann_brute_topk(spark, sf_dir).select("query_id", "neighbor_id"))

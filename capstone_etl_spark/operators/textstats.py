@@ -2775,11 +2775,15 @@ def lm_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bg")
     ).select("bg.w1", "bg.w2")
     bc = bigr.groupBy("w1", "w2").agg(F.count("*").alias("c"))
-    wa = Window.partitionBy("w1").orderBy(F.col("c").desc(), F.col("w2").asc())
+    # argmax as min(struct(-c, w2)) instead of a row_number window: the
+    # window re-shuffled bc by w1 AND sorted every partition; the
+    # aggregate gets map-side partial combine and no sort, and ranks
+    # identically ((-c, w2) ascending == (c desc, w2 asc)) — guide §2.3
+    # "aggregate before you shuffle".
     best = cached(
-        bc.withColumn("_rn", F.row_number().over(wa))
-        .filter(F.col("_rn") == 1)
-        .select("w1", F.col("w2").alias("nxt"))
+        bc.groupBy("w1")
+        .agg(F.min(F.struct((-F.col("c")).alias("nc"), F.col("w2").alias("t"))).alias("m"))
+        .select("w1", F.col("m.t").alias("nxt"))
     )
     uni = (
         toks.select(F.explode("t").alias("w"))
