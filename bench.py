@@ -592,6 +592,41 @@ def main() -> None:
         ).collect()
         release_caches()
 
+    # Streaming-machinery warmup (r11, guide §1: don't charge one-time
+    # engine compilation to the first measured query): the first
+    # stream_* query in the sequence used to absorb the one-time
+    # micro-batch-planner / state-store / streaming-codegen compilation
+    # — measured ~6-9 s of stream_ab_test's cold time vs its own warm
+    # re-run — exactly the class of cost the batch warmups above
+    # already keep out of the timed region. A 20-row 2-file stream with
+    # one stateful aggregation compiles that path untimed. Prior
+    # rounds' stream numbers keep their meaning: the cost was one-time
+    # per session, not per-query (see OPTIMIZATION_r11.md).
+    if any(n.startswith("stream_") for n in names):
+        import shutil
+        import tempfile
+
+        from capstone_etl_spark.streaming import run_to_memory
+
+        wdir = tempfile.mkdtemp(prefix="bench_stream_warm_")
+        try:
+            spark.range(20).select(
+                (F.col("id") % 3).alias("k"), F.col("id").alias("v")
+            ).repartition(2).write.mode("overwrite").parquet(f"{wdir}/src")
+            schema = spark.read.parquet(f"{wdir}/src").schema
+            sdf = (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", "1")
+                .parquet(f"{wdir}/src")
+                .groupBy("k")
+                .agg(F.count("*").alias("c"))
+            )
+            run_to_memory(
+                sdf, f"{wdir}/ckpt", output_mode="complete", name="bench_stream_warm"
+            ).collect()
+        finally:
+            shutil.rmtree(wdir, ignore_errors=True)
+
     def _time_query(name: str) -> tuple[float, int]:
         t0 = time.perf_counter()
         df = qs[name](spark, sf_dir)
