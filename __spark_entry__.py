@@ -38,16 +38,15 @@ def entry(spark: SparkSession) -> DataFrame:
 # registry rides in staleness order so any extra driver sampling
 # refreshes the stalest signal first.
 _PRIORITY = [
-    # ---- driver window (first 50), round 11 -----------------------
-    # Block 1: the label_noise trio (driver-red r9+r10) re-attested
-    # after the r11 fix — the trio was the ONLY oracle set emitting a
-    # HUGEINT column (n_agree), whose pandas float64 form stringifies
-    # '2.0' vs Spark's '2' under the driver's value hash — preceded by
-    # the two STAGED DIAGNOSTICS (ADVICE r10 #1b): green cells + red
-    # votes ⇒ the rank; green votes + red audit ⇒ the verdict tail.
-    # Remove the diagnostics in r12 once the trio is green.
-    "label_noise_cells",
-    "label_noise_votes",
+    # ---- driver window (first 50), round 12 -----------------------
+    # Block 1: the label_noise trio — driver-red r9+r10, root-caused in
+    # r11 (the trio was the ONLY oracle set emitting a HUGEINT column,
+    # n_agree, whose pandas float64 form stringifies '2.0' vs Spark's
+    # '2' under the driver's value hash) and GREEN in the r11 driver
+    # window. The two staged diagnostics (label_noise_cells/votes,
+    # ADVICE r10 #1b) did their job and leave the window head per their
+    # own r11 comment + VERDICT r11 #1 — they stay REGISTERED (position
+    # 51+) so nothing disappears from the registry.
     "label_noise_audit",
     "label_noise_incremental",
     "stream_label_noise",
@@ -104,12 +103,18 @@ _PRIORITY = [
     "top_supplier",  # last driver row: r2
     "vocab_ids",  # last driver row: r2
     "ann_brute_topk",  # last driver row: r3
+    # ...two stalest 51+ rows promoted into the slots the retired
+    # diagnostics freed (both last attested r3/r4-era):
+    "bigram_pmi",
+    "corpus_summary",
     # ---- position 51+: every query below is driver-green in some
     # round AND green on the committed local full gate; ordered
     # least-recently-attested first so any extra driver sampling adds
-    # the stalest signal.
-    "bigram_pmi",
-    "corpus_summary",
+    # the stalest signal. The retired label_noise diagnostics lead this
+    # block: freshly attested green in r11, kept registered so the
+    # registry never shrinks.
+    "label_noise_cells",
+    "label_noise_votes",
     "decontamination_spans",
     "dedup_ngram_jaccard",
     "dedup_simhash",

@@ -354,7 +354,19 @@ def _prior_round_doc() -> dict:
                 rounds.setdefault(int(m.group(1)), {})[kind] = path
     if not rounds:
         return {}
-    latest = rounds[max(rounds)]
+    # Only rounds the DRIVER has recorded (a BENCH_r{N}.json exists)
+    # are eligible priors: bench.py writes BENCH_full_r{N+1} for the
+    # CURRENT round before the driver records it, and the driver's own
+    # extra runs land there too (the r12 slot held the driver's 8-core
+    # scaling run) — without this guard the regression gate would
+    # baseline against this round's own partial artifacts instead of
+    # the last completed round (VERDICT r11: baselines must be one
+    # comparable run's output).
+    cur = _latest_round_no()
+    eligible = {n: v for n, v in rounds.items() if n <= cur}
+    if not eligible:
+        return {}
+    latest = eligible[max(eligible)]
     for kind in ("full", "driver"):
         path = latest.get(kind)
         if not path:
@@ -426,6 +438,47 @@ HOST_FACTOR_BOUND = 2.0
 # includes ~1-2s of codegen compile + scheduling jitter regardless of
 # query size, so a ratio on a small delta is noise, not signal.
 MIN_FAIL_DELTA_SEC = 2.0
+
+
+def _exec_totals(spark) -> dict | None:
+    """Cumulative deterministic execution counters from the
+    AppStatusStore (VERDICT r11 #2: put counters in the bench contract
+    so perf verdicts stop hinging on the host probe): jobs, stages,
+    tasks, shuffle read/write bytes. Cheap by construction — two
+    list-size calls plus the per-executor totals (one object in local
+    mode), never a per-element iteration, so capturing between queries
+    costs microseconds and nothing inside the timed region. Returns
+    None if the py4j surface drifts (counters then just drop out of
+    the JSON — additions-only contract)."""
+    try:
+        store = spark._jsc.sc().statusStore()
+        n_jobs = store.jobsList(None).size()
+        # Spark 4.1 stageList has no default-arg form in bytecode:
+        # (statuses, details, withSummaries, unsortedQuantiles, taskStatus)
+        jvm = spark._jvm
+        n_stages = store.stageList(
+            jvm.java.util.ArrayList(),
+            False,
+            False,
+            spark.sparkContext._gateway.new_array(jvm.double, 0),
+            jvm.java.util.ArrayList(),
+        ).size()
+        tasks = shuf_r = shuf_w = 0
+        eit = store.executorList(False).iterator()
+        while eit.hasNext():
+            e = eit.next()
+            tasks += e.completedTasks()
+            shuf_r += e.totalShuffleRead()
+            shuf_w += e.totalShuffleWrite()
+        return {
+            "jobs": n_jobs,
+            "stages": n_stages,
+            "tasks": tasks,
+            "shuffle_read": shuf_r,
+            "shuffle_write": shuf_w,
+        }
+    except Exception:
+        return None
 
 
 def _host_probe(spark) -> float:
@@ -644,8 +697,19 @@ def main() -> None:
         return sec, row.n
 
     timings: dict[str, float] = {}
+    # per-query deterministic counters (jobs/stages/tasks/shuffle
+    # bytes): captured OUTSIDE the timed window, before/after each
+    # query; host-noise-free evidence the next round's PERF compare
+    # can attribute deltas to plan changes vs hardware (VERDICT r11
+    # produced 4 phantom regressions from a probe that swung 2.6x).
+    counters: dict[str, dict[str, int]] = {}
+    prev_tot = _exec_totals(spark)
     for name in names:
         timings[name], n_rows = _time_query(name)
+        now_tot = _exec_totals(spark)
+        if prev_tot is not None and now_tot is not None:
+            counters[name] = {k: now_tot[k] - prev_tot[k] for k in now_tot}
+        prev_tot = now_tot
         print(f"# {name}: {timings[name]:.3f}s ({n_rows} rows)", file=sys.stderr)
 
     # transient screen (VERDICT r6): any query that would FAIL the
@@ -688,6 +752,11 @@ def main() -> None:
         "probe_sec": probe_sec,
         "n_queries": len(timings),
     }
+    if counters:
+        # additions-only: a sibling key, never new entries in the
+        # `queries` seconds map (the driver reads that map as per-query
+        # seconds for its round-over-round speedups)
+        full_doc["counters"] = counters
     full_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)),
         f"BENCH_full_r{_latest_round_no() + 1}.json",
@@ -701,20 +770,33 @@ def main() -> None:
     slowest = dict(
         sorted(((k, round(v, 2)) for k, v in timings.items()), key=lambda kv: -kv[1])[:10]
     )
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total",
-                "value": total,
-                "unit": "sec",
-                "queries": slowest,
-                "sf": sf,
-                "probe_sec": round(probe_sec, 3),
-                "n_queries": len(timings),
-                "full": os.path.basename(full_path),
-            }
-        )
-    )
+    line_doc = {
+        "metric": "headline_queries_total",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "sf": sf,
+        "probe_sec": round(probe_sec, 3),
+        "n_queries": len(timings),
+        "full": os.path.basename(full_path),
+    }
+    if counters:
+        # compact counters for the top-10 only — the driver keeps a
+        # bounded stdout tail, so the line must stay small; the full
+        # per-query map lives in BENCH_full_r{N}.json. Array order:
+        # [jobs, stages, tasks, shuffle_read, shuffle_write].
+        line_doc["counters"] = {
+            k: [
+                counters[k]["jobs"],
+                counters[k]["stages"],
+                counters[k]["tasks"],
+                counters[k]["shuffle_read"],
+                counters[k]["shuffle_write"],
+            ]
+            for k in slowest
+            if k in counters
+        }
+    print(json.dumps(line_doc))
     # after the JSON line (driver contract kept): nonzero exit on an
     # unexplained per-query regression vs the prior round
     failures = _regression_gate(timings, probe_sec, host=host) if same_sf else 0

@@ -228,9 +228,14 @@ CC_MAX_ROUNDS = 25
 # rounds the most recent connected_components call took (test hook:
 # long-chain graphs must converge in O(log diameter), far under the cap)
 _LAST_CC_ROUNDS = 0
+# per-round changed-label counts of the most recent call (test hook:
+# the carried-old-label convergence count must equal the joined form's
+# count round for round — tests/test_optimization_r11.py recomputes the
+# joined form and compares against this trace)
+_LAST_CC_CHANGED: list[int] = []
 
 
-def _truncate_lineage(df: DataFrame) -> DataFrame:
+def _truncate_lineage(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize `df` and CUT its logical plan — mandatory inside
     iterative loops. Each CC round embeds the previous round's plan ~4×
     (labels feeds nmin, hop, the jump self-join and the changed-count),
@@ -241,7 +246,7 @@ def _truncate_lineage(df: DataFrame) -> DataFrame:
     Delegates to session.checkpoint_truncate, which also tracks the
     persisted blocks so release_caches()/release_checkpoint() can free
     them — localCheckpoint blocks are invisible to DataFrame.unpersist."""
-    return checkpoint_truncate(df)
+    return checkpoint_truncate(df, eager=eager)
 
 
 def connected_components(edges: DataFrame) -> DataFrame:
@@ -260,9 +265,18 @@ def connected_components(edges: DataFrame) -> DataFrame:
     `edges` must be directed both ways (src→dst and dst→src).
     """
     global _LAST_CC_ROUNDS
+    _LAST_CC_CHANGED.clear()
+    # eager=False throughout the loop (guide §1.2, fewer passes): each
+    # round's convergence count is the next action anyway, so the
+    # checkpoint materializes INSIDE that count job — one job per round
+    # instead of checkpoint-job + count-job, and the per-round re-scan
+    # of the freshly checkpointed blocks disappears. Labels, rounds and
+    # counts are unchanged (test_cc_convergence_count_matches_joined_form
+    # pins the per-round counts against the joined form).
     labels = _truncate_lineage(
         edges.select(F.col("src").alias("doc_id")).distinct()
-        .select("doc_id", F.col("doc_id").alias("label"))
+        .select("doc_id", F.col("doc_id").alias("label")),
+        eager=False,
     )
     changed = -1
     prev_ck = labels
@@ -293,9 +307,11 @@ def connected_components(edges: DataFrame) -> DataFrame:
                 "label",
                 "left",
             )
-            .select("doc_id", "old", F.coalesce("pl", "label").alias("label"))
+            .select("doc_id", "old", F.coalesce("pl", "label").alias("label")),
+            eager=False,
         )
         changed = jump.filter(F.col("label") != F.col("old")).count()
+        _LAST_CC_CHANGED.append(changed)
         # round N-1's checkpointed blocks are dead once the changed
         # count is taken — free them so loop memory stays O(2 rounds),
         # not O(rounds)

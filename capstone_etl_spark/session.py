@@ -60,14 +60,24 @@ def _checkpoint_artifacts(out: DataFrame) -> tuple[list, str | None]:
         return [], None
 
 
-def checkpoint_truncate(df: DataFrame) -> DataFrame:
+def checkpoint_truncate(df: DataFrame, eager: bool = True) -> DataFrame:
     """Materialize `df` and CUT its logical plan — mandatory inside
     iterative DataFrame loops, where each round embeds the previous
     round's plan several times over and an un-truncated loop grows the
     plan tree exponentially (`.cache()` does NOT help: caching keeps
     the full lineage). Uses the reliable checkpoint when a checkpoint
-    dir is configured (cluster: survives executor loss), else an eager
+    dir is configured (cluster: survives executor loss), else a
     localCheckpoint (tests / local mode).
+
+    eager=False (local path only): the checkpoint materializes inside
+    the CALLER'S NEXT ACTION instead of its own job — for loops whose
+    next statement is an action over the result (CC's convergence
+    count), this fuses checkpoint-job + action-job into one, removing
+    a full re-scan of the checkpointed blocks per round (guide §1.2:
+    fewer passes). The reliable-checkpoint branch stays eager
+    regardless: a lazy RELIABLE checkpoint recomputes the whole
+    lineage in a second job at doCheckpoint time, which is strictly
+    worse.
 
     localCheckpoint persists RDD blocks OUTSIDE the SQL cache, which
     `DataFrame.unpersist()` cannot reach, and a reliable checkpoint
@@ -78,7 +88,7 @@ def checkpoint_truncate(df: DataFrame) -> DataFrame:
     if sc._jsc.sc().getCheckpointDir().isDefined():
         out = df.checkpoint(eager=True)
     else:
-        out = df.localCheckpoint(eager=True)
+        out = df.localCheckpoint(eager=eager)
     handles, ckpt_file = _checkpoint_artifacts(out)
     _LIVE_CHECKPOINTS.append((out, handles, ckpt_file, sc))
     return out
@@ -150,6 +160,13 @@ def get_spark(
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.ui.enabled", "false")
+        # bench/profile counters read cumulative job/stage counts off
+        # the AppStatusStore; the 1000-entry default eviction would
+        # saturate them mid-session (a full bench runs ~5000 stages).
+        # Status entries without task detail are small — this is tens
+        # of MB, not a memory risk, and the UI is off anyway.
+        .config("spark.ui.retainedJobs", "20000")
+        .config("spark.ui.retainedStages", "20000")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         # the streaming TEST harness drains to a memory sink (a driver
         # collect); at the sf10 scale point its candidate tables pass

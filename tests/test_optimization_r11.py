@@ -68,10 +68,13 @@ def test_lm_decode_argmax_agg_matches_window_form(spark, sf_dir):
 
 
 def test_cc_convergence_count_matches_joined_form(spark):
-    """The carried-old-label convergence count must stop the loop at the
-    same round as the joined form: run CC on a graph whose pointer
-    chain needs >1 round and check both the labels and the round
-    count."""
+    """The carried-old-label convergence count must equal the OLD joined
+    form's count round for round (ADVICE r11: the equality must be
+    computed, not asserted by name): re-run the identical pointer-jump
+    rounds with the pre-r11 convergence check — join each round's new
+    labels back to the previous round's relation and count differing
+    rows — and compare that per-round sequence against the trace
+    connected_components recorded, plus the final labels."""
     import capstone_etl_spark.operators.dedup as dedup_mod
     from capstone_etl_spark.operators.dedup import connected_components
     from capstone_etl_spark.session import release_caches
@@ -88,5 +91,42 @@ def test_cc_convergence_count_matches_joined_form(spark):
         # pointer jumping halves the chain each round: diameter-5 path
         # converges in a handful of rounds, +1 for the all-stable check
         assert 1 < dedup_mod._LAST_CC_ROUNDS <= 5
+        carried_counts = list(dedup_mod._LAST_CC_CHANGED)
+        assert len(carried_counts) == dedup_mod._LAST_CC_ROUNDS
+
+        # reference: the same rounds with the pre-r11 joined-form check
+        # (tiny graph — no lineage truncation needed at this depth)
+        prev = (
+            edges.select(F.col("src").alias("doc_id")).distinct()
+            .select("doc_id", F.col("doc_id").alias("label"))
+        )
+        joined_counts = []
+        for _ in range(dedup_mod.CC_MAX_ROUNDS):
+            nmin = (
+                edges.join(
+                    prev.select(F.col("doc_id").alias("src"), F.col("label").alias("nl")),
+                    "src",
+                )
+                .groupBy(F.col("dst").alias("doc_id"))
+                .agg(F.min("nl").alias("nmin"))
+            )
+            hop = prev.join(nmin, "doc_id", "left").select(
+                "doc_id", F.least("label", F.coalesce("nmin", "label")).alias("label")
+            )
+            jump = hop.join(
+                hop.select(F.col("doc_id").alias("label"), F.col("label").alias("pl")),
+                "label",
+                "left",
+            ).select("doc_id", F.coalesce("pl", "label").alias("label"))
+            changed = (
+                jump.join(prev.withColumnRenamed("label", "plbl"), "doc_id")
+                .filter(F.col("label") != F.col("plbl"))
+                .count()
+            )
+            joined_counts.append(changed)
+            prev = jump
+            if changed == 0:
+                break
+        assert carried_counts == joined_counts
     finally:
         release_caches()

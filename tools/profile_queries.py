@@ -26,7 +26,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 def _exec_totals(spark) -> dict:
     """Deterministic execution counters from the AppStatusStore: jobs,
     stages, tasks, shuffle bytes. Host-noise-free evidence for plan /
-    job-structure changes (wall-clock on a noisy host is not)."""
+    job-structure changes (wall-clock on a noisy host is not).
+
+    Shuffle bytes come from stageList (py4j quirk: it takes a
+    java.util.List of StageStatus values to filter on; an empty list
+    means no filter). Summed over completed stages — deterministic for
+    a deterministic plan, unlike wall-clock."""
     store = spark._jsc.sc().statusStore()
     jobs = store.jobsList(None)
     n_jobs = jobs.size()
@@ -36,7 +41,25 @@ def _exec_totals(spark) -> dict:
         j = it.next()
         n_stages += j.numCompletedStages()
         n_tasks += j.numCompletedTasks()
-    return {"jobs": n_jobs, "stages": n_stages, "tasks": n_tasks}
+    shuf_r = shuf_w = 0
+    try:
+        # executor totals are cumulative and cheap (one object per
+        # executor — the lone 'driver' in local mode), unlike a
+        # per-stage iteration which costs a py4j round trip per stage
+        eit = store.executorList(False).iterator()
+        while eit.hasNext():
+            e = eit.next()
+            shuf_r += e.totalShuffleRead()
+            shuf_w += e.totalShuffleWrite()
+    except Exception:
+        pass  # counters stay partial if the py4j surface drifts
+    return {
+        "jobs": n_jobs,
+        "stages": n_stages,
+        "tasks": n_tasks,
+        "shuffle_read": shuf_r,
+        "shuffle_write": shuf_w,
+    }
 
 
 def _time_one(spark, qs, name: str, sf_dir: str, plan: bool, metrics: dict | None = None):
@@ -57,9 +80,12 @@ def _time_one(spark, qs, name: str, sf_dir: str, plan: bool, metrics: dict | Non
         after = _exec_totals(spark)
         metrics[name] = {k: after[k] - before[k] for k in after}
     if plan:
+        # plans go to STDERR (ADVICE r11): stdout is reserved for the
+        # single JSON result line the fork-mode parent parses
         df2 = qs[name](spark, sf_dir)
         print(df2._jdf.queryExecution().explainString(
-            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")),
+            file=sys.stderr)
         release_caches()
     release_caches()
     return sec
