@@ -151,6 +151,50 @@ def load_table_sqlite(
     return spark.createDataFrame(rows, fields)
 
 
+# Tables whose consumers run EXPANSION-HEAVY map work directly on the
+# scan output (tokenize → n-gram explode → md5 per gram for documents;
+# per-row quantizer/distance folds for embeddings): work per input byte
+# is 100×+, so scan parallelism — not byte count — bounds the map side.
+_FAN_OUT_TABLES = {"documents", "embeddings"}
+# (applicationId, input files) -> scan partition count, so the fan-out
+# guard plans each scan once per session, not once per load_table call
+_SCAN_PARTS: dict = {}
+
+
+def _fan_out_small_scan(spark: SparkSession, df: DataFrame, path: str) -> DataFrame:
+    """Round-robin repartition a scan whose FILE LAYOUT under-parallelizes
+    the session (guide §2.5, input skew: "one huge unsplittable file ...
+    repartition immediately after the read"). The driver's test tables
+    are single small parquet files — one scan task — so every
+    tokenize/n-gram/fold lineage otherwise runs serially on 1 of N
+    cores. No-op whenever the scan already has >= target partitions,
+    i.e. for ANY real multi-file corpus at cluster scale, so nothing
+    here shuffles 100 TB. Filters/projections still push down: Catalyst
+    moves them through Repartition into the parquet reader. Results are
+    partitioning-independent across this repo by design (sort-first
+    dense ids, key-based aggregations; tests pin it)."""
+    import os as _os
+
+    target = int(
+        _os.environ.get(
+            "SPARK_GRAFT_FANOUT",
+            str(min(int(spark.conf.get("spark.sql.shuffle.partitions")), 16)),
+        )
+    )
+    if target <= 1:
+        return df
+    # memoized per (app, path): getNumPartitions plans the scan —
+    # cheap once, not per load_table call (queries call this a lot)
+    key = (spark.sparkContext.applicationId, path)
+    n = _SCAN_PARTS.get(key)
+    if n is None:
+        n = df.rdd.getNumPartitions()
+        _SCAN_PARTS[key] = n
+    if n >= target:
+        return df
+    return df.repartition(target)
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Columnar scan of one table. Pushdown-friendly: callers select/filter
     on the returned frame and Catalyst prunes at the parquet reader.
@@ -177,7 +221,11 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    if name in _FAN_OUT_TABLES:
+        df = _fan_out_small_scan(spark, df, path)
+    return df
 
 
 def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
