@@ -27,7 +27,6 @@ from capstone_etl_spark.functions.hashing import (
     MERSENNE_P,
     md5_hash60,
     md5_hash60_sql,
-    minhash_expr,
     minhash_expr_sql,
     minhash_params,
 )
@@ -711,14 +710,22 @@ def minhash_signatures(docs: DataFrame, sh: DataFrame | None = None) -> DataFram
     """(doc_id, h0..h{k-1}) — k universal-hash minima over the shingle
     set. One groupBy; k aggregates computed in a single pass. Pass a
     pre-built (ideally cached) shingle relation to share the
-    tokenize/n-gram pass with other consumers."""
+    tokenize/n-gram pass with other consumers.
+
+    The shared `sh % p` is projected ONCE below the aggregate (guide
+    §1.2, per-task work): the k per-hash update expressions each
+    computed their own `x % p` — k redundant mods per input row, which
+    aggregate-update codegen does not common-subexpression — and
+    (xm*a+b) % p over xm = x % p is the identical integer arithmetic
+    (measured bit-identical signatures; oracle unchanged)."""
     if sh is None:
         sh = shingles(docs)
+    pre = sh.select("doc_id", (F.col("sh") % MERSENNE_P).alias("xm"))
     aggs = [
-        F.min(minhash_expr(F.col("sh"), a, b)).alias(f"h{i}")
+        F.min((F.col("xm") * F.lit(a) + F.lit(b)) % MERSENNE_P).alias(f"h{i}")
         for i, (a, b) in enumerate(_MINHASH_AB)
     ]
-    return sh.groupBy("doc_id").agg(*aggs)
+    return pre.groupBy("doc_id").agg(*aggs)
 
 
 def lsh_band_candidates(sig: DataFrame) -> DataFrame:

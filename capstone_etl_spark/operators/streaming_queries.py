@@ -47,6 +47,21 @@ from capstone_etl_spark.streaming.stateful import running_user_activity
 SESSION_GAP_SEC = 30 * 60
 
 
+def _stream_static(df: DataFrame) -> DataFrame:
+    """Materialize a STATIC relation consumed inside a streaming query
+    (index artifacts, broadcast rows) and cut its plan to a LogicalRDD.
+
+    `cached()` is not enough here: Spark matches a cache BY PLAN, and
+    IncrementalExecution re-plans the query every micro-batch, so deep
+    static lineages were partially RE-EXECUTED per trigger (measured on
+    stream_training_manifest: 1211 -> 808 tasks and -6 MB shuffle write
+    after switching to truncation, output hash identical). The blocks
+    are tracked and freed by release_caches() like every cache."""
+    from capstone_etl_spark.session import checkpoint_truncate
+
+    return checkpoint_truncate(df)
+
+
 def _horizon_watermark(staged: DataFrame) -> str:
     """Replaying a historical table: files arrive in arbitrary event-time
     order, so batch-exact results need a watermark beyond the replay
@@ -623,7 +638,7 @@ def stream_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
         sz_b = bench.groupBy("bench_doc").agg(F.count("*").alias("sz_b"))
         pw = Window.partitionBy("sh").orderBy("bench_doc")
         posts = bench.withColumn("pos", F.row_number().over(pw))
-        static = cached(
+        static = _stream_static(
             sh.select("sh")
             .distinct()
             .join(posts, "sh", "left")
@@ -838,7 +853,7 @@ def stream_dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="spark_stream_docs_")
     try:
         docs = load_table(spark, sf_dir, "documents")
-        sh = cached(shingles(docs))
+        sh = _stream_static(shingles(docs))
         sizes = sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
         index = sh.select("sh", F.col("doc_id").alias("doc_b"))
 
@@ -952,7 +967,7 @@ def stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(0).cast("long"),
             lambda acc, x: acc + x,
         )
-        assign = cached(
+        assign = _stream_static(
             emb_q.join(F.broadcast(seeds), F.lit(True))
             .select("vec_id", "cell", d2_col.alias("d2"))
             .groupBy("vec_id")
@@ -962,7 +977,7 @@ def stream_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         neigh = emb.select(
             F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("ne")
         )
-        seed_row = cached(
+        seed_row = _stream_static(
             seeds.agg(
                 F.collect_list(F.struct("cell", "sq")).alias("seeds"),
                 F.count("*").alias("n_cells"),
@@ -1077,7 +1092,7 @@ def stream_ann_hivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
         quant = quantize_fp()
         emb_q = emb.select("vec_id", quant.alias("vq"))
-        assign = cached(
+        assign = _stream_static(
             hier_assign(emb_q).select(
                 F.col("vec_id").alias("neighbor_id"), "cell"
             )
@@ -1087,7 +1102,7 @@ def stream_ann_hivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         # branch → second-level seed list, one nested 1-row broadcast
         n_cells_row = quantizer_seeds(emb_q).agg(F.count("*").alias("n_cells"))
-        brow = cached(
+        brow = _stream_static(
             hier_branch_cells_row(emb_q).join(F.broadcast(n_cells_row), F.lit(True))
         )
 
@@ -1207,7 +1222,7 @@ def stream_ann_hivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         quant = quantize_fp()
         emb_q = emb.select("vec_id", quant.alias("vq"))
         seeds = quantizer_seeds(emb_q)
-        assign = cached(
+        assign = _stream_static(
             hier_assign(emb_q).select(F.col("vec_id").alias("neighbor_id"), "cell")
         )
         # static code relation joined to its codeword subvectors ONCE:
@@ -1221,13 +1236,13 @@ def stream_ann_hivf_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("m", "ssub"),
         )
-        code_sub = cached(
+        code_sub = _stream_static(
             _pq_hier_codes(emb_q)
             .select(F.col("vec_id").alias("neighbor_id"), "m", F.col("cell").alias("cw"))
             .join(seed_sub, ["m", "cw"])
         )
         n_cells_row = seeds.agg(F.count("*").alias("n_cells"))
-        brow = cached(
+        brow = _stream_static(
             hier_branch_cells_row(emb_q).join(F.broadcast(n_cells_row), F.lit(True))
         )
 
@@ -1349,13 +1364,13 @@ def stream_bitext_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
         quant = quantize_fp()
         emb_q = emb.select("vec_id", quant.alias("vq"))
-        assign = cached(hier_assign(emb_q).select("vec_id", "cell"))
+        assign = _stream_static(hier_assign(emb_q).select("vec_id", "cell"))
         tgt = assign.filter(F.col("vec_id") % 2 == 1).join(
             emb.select("vec_id", "embedding"), "vec_id"
         ).select(
             F.col("vec_id").alias("tgt_id"), "cell", F.col("embedding").alias("ne")
         )
-        brow = cached(hier_branch_cells_row(emb_q))
+        brow = _stream_static(hier_branch_cells_row(emb_q))
 
         staging = f"{work}/staging"
         emb.repartition(4).write.parquet(staging)
@@ -1473,11 +1488,11 @@ def stream_semantic_dedup_hier(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
         quant = quantize_fp()
         emb_q = emb.select("vec_id", quant.alias("vq"))
-        assign = cached(hier_assign(emb_q).select("vec_id", "cell"))
+        assign = _stream_static(hier_assign(emb_q).select("vec_id", "cell"))
         members = assign.join(emb.select("vec_id", "embedding"), "vec_id").select(
             F.col("vec_id").alias("vec_a"), "cell", F.col("embedding").alias("ne")
         )
-        brow = cached(hier_branch_cells_row(emb_q))
+        brow = _stream_static(hier_branch_cells_row(emb_q))
 
         staging = f"{work}/staging"
         emb.repartition(4).write.parquet(staging)
@@ -1542,7 +1557,7 @@ def stream_hivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb = load_table(spark, sf_dir, "embeddings")
         quant = quantize_fp()
         emb_q = emb.select("vec_id", quant.alias("vq"))
-        brow = cached(hier_branch_cells_row(emb_q))
+        brow = _stream_static(hier_branch_cells_row(emb_q))
         staging = f"{work}/staging"
         emb.repartition(4).write.parquet(staging)
         schema = spark.read.parquet(staging).schema
@@ -1637,7 +1652,7 @@ def stream_ivf_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
         # EVERY micro-batch — without this the full embeddings scan +
         # hash + collect_list subtree runs once per trigger
         # (stream_ann_topk's discipline)
-        seed_row = cached(
+        seed_row = _stream_static(
             seeds.agg(F.collect_list(F.struct("cell", "sq")).alias("seedlist"))
         )
         staging = f"{work}/staging"
@@ -2329,23 +2344,33 @@ def stream_training_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     work = tempfile.mkdtemp(prefix="spark_stream_manifest_")
     try:
+        # static index legs go through checkpoint_truncate, not cached()
+        # (r12, guide §1.2/§5): a cache is matched BY PLAN, and the
+        # per-micro-batch IncrementalExecution re-derives the stream
+        # plan each trigger, so parts of the deep static lineage were
+        # re-executed per batch (measured: 1211 -> 808 tasks, 43 -> 37
+        # MB shuffle write, wall roughly halved on quiet pairs, hash
+        # identical). A LogicalRDD is position-matched — every batch
+        # reads the materialized blocks, full stop. Same trade the
+        # production deployment makes by reading published artifacts.
+        _static = _stream_static
         docs = load_table(spark, sf_dir, "documents")
         # static index artifacts — ONE tokenize pass, two cap domains
         # (the batch operator's exact sharing shape, corpus.py)
         toks_b = docs.select(
             "doc_id", (F.col("n_chars") >= MIN_CHARS).alias("kept"), tokenize("text").alias("toks")
         )
-        uncapped = cached(
+        uncapped = _static(
             toks_b.select(
                 "doc_id", "kept", F.explode(token_ngrams("toks", NGRAM_N)).alias("shingle")
             )
             .select("doc_id", "kept", md5_hash60(F.col("shingle")).alias("sh"))
             .distinct()
         )
-        kept_sh = cached(
+        kept_sh = _static(
             shingle_df_cap(uncapped.filter(F.col("kept")).select("doc_id", "sh"))
         )
-        full_sh = cached(shingle_df_cap(uncapped.select("doc_id", "sh")))
+        full_sh = _static(shingle_df_cap(uncapped.select("doc_id", "sh")))
         kept_sizes = kept_sh.groupBy("doc_id").agg(F.count("*").alias("sz"))
         dd_index = kept_sh.select("sh", F.col("doc_id").alias("partner"))
         bench = full_sh.filter(F.col("doc_id") % BENCH_MOD == 0).select(
@@ -2534,7 +2559,7 @@ def stream_kll_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs = load_table(spark, sf_dir, "documents")
         h = md5_hash60(F.concat(F.lit("kll:"), F.col("doc_id").cast("string")))
         vals_b = docs.select("source", F.col("n_chars").alias("v"), h.alias("h"))
-        stats = cached(_kll_stats(vals_b))
+        stats = _stream_static(_kll_stats(vals_b))
 
         staging = f"{work}/staging"
         docs.repartition(4).write.parquet(staging)
@@ -2699,10 +2724,11 @@ def stream_label_noise(spark: SparkSession, sf_dir: str) -> DataFrame:
         quant = quantize_fp()
         emb_q = emb.select("vec_id", quant.alias("vq"))
         base_q = emb_q.filter(~_is_delta(F.col("vec_id")))
-        # cached: the stream-static join re-evaluates the static side
-        # EVERY micro-batch (stream_ivf_assign's discipline)
-        index_row = cached(hier_branch_cells_row(base_q))
-        members = cached(
+        # truncated, not cached: the stream-static join re-plans the
+        # static side EVERY micro-batch and a deep cached lineage was
+        # partially re-executed per trigger (_stream_static docstring)
+        index_row = _stream_static(hier_branch_cells_row(base_q))
+        members = _stream_static(
             hier_assign(base_q)
             .join(emb.select("vec_id", "label"), "vec_id")
             .select(
@@ -2810,7 +2836,7 @@ def stream_embedding_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         emb = load_table(spark, sf_dir, "embeddings")
         dec = lambda c: c.cast("decimal(20,12)")  # noqa: E731
-        base = cached(
+        base = _stream_static(
             emb.filter(~_is_delta(F.col("vec_id")))
             .select(F.posexplode("embedding").alias("d", "xf"))
             .select("d", F.col("xf").cast("double").alias("x"))
@@ -2908,7 +2934,7 @@ def stream_coreset_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         # the quantized-cosine rank-key discipline (valuation.py module
         # docstring): distance per arriving row is an exact BIGINT
         # fold, then sqrt/mul/div on bit-identical doubles
-        center_row = cached(
+        center_row = _stream_static(
             acc.agg(
                 F.collect_list(
                     F.struct(
