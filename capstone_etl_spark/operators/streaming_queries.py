@@ -1744,30 +1744,54 @@ def _stream_hll_sketch_sql() -> str:
 
 def stream_ab_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The experiment readout computed DURING ingest: per-user
-    exposure/conversion state evolved across micro-batches
-    (applyInPandasWithState — O(1) state per user: first-view min,
-    last-purchase max in exact microseconds; min/max merges are
+    exposure/conversion state evolved across micro-batches as a
+    BUILT-IN streaming aggregation — O(1) state per user (first-view
+    min, last-purchase max in exact microseconds; min/max merges are
     replay-order free, so a purchase arriving batches before its
     preceding view still classifies correctly), then the SAME shared
     variant-rollup/lift/z tail as the batch query (events.ab_readout)
     over the drained per-user table. Oracle: the batch readout SQL —
-    streaming and batch experiments agree row-for-row."""
-    from capstone_etl_spark.operators.events import ab_readout, ab_variant_col
-    from capstone_etl_spark.streaming.stateful import _AB_NO_VIEW, running_ab_exposure
+    streaming and batch experiments agree row-for-row.
 
-    got = _run(spark, sf_dir, lambda s, wm: running_ab_exposure(s), "update")
-    final = (
-        got.groupBy("user_id")
-        .agg(F.max(F.struct("upd", "min_view_us", "max_purchase_us")).alias("s"))
-        .select(
-            "user_id",
-            F.col("s.min_view_us").alias("mn"),
-            F.col("s.max_purchase_us").alias("mx"),
-        )
+    r12 (guide §4.1): the tracker moved from applyInPandasWithState to
+    groupBy(user_id).agg(min/max) — the state IS two min/max cells, so
+    the JVM streaming aggregation expresses it exactly, and the Python
+    boundary (one pandas group call + one 1-row DataFrame per user per
+    micro-batch) disappears. Update-mode emissions are cumulative
+    per-user (mn never rises, mx never falls), so the drained table's
+    per-user min(mn)/max(mx) is the final state — the `upd` counter
+    the Python form needed for last-emission selection is redundant.
+    Output equality is oracle-pinned (same batch SQL)."""
+    from capstone_etl_spark.operators.events import (
+        AB_CONVERT_TYPE,
+        AB_EXPOSE_TYPE,
+        ab_readout,
+        ab_variant_col,
     )
-    per_user = final.filter(F.col("mn") < _AB_NO_VIEW).select(
+
+    def transform(stream, wm):
+        prepared = stream.filter(
+            F.col("event_type").isin(AB_EXPOSE_TYPE, AB_CONVERT_TYPE)
+        ).select(
+            "user_id",
+            (F.col("event_type") == AB_CONVERT_TYPE).alias("is_purchase"),
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        return prepared.groupBy("user_id").agg(
+            F.min(F.when(~F.col("is_purchase"), F.col("ts_us"))).alias("mn"),
+            F.max(F.when(F.col("is_purchase"), F.col("ts_us"))).alias("mx"),
+        )
+
+    got = _run(spark, sf_dir, transform, "update")
+    final = got.groupBy("user_id").agg(
+        F.min("mn").alias("mn"), F.max("mx").alias("mx")
+    )
+    # no view ⇒ mn NULL (excluded, as the sentinel form excluded it);
+    # no purchase ⇒ mx NULL ⇒ NULL > mn is NULL ⇒ coalesce to 0, the
+    # sentinel form's (very-negative > mn) = False
+    per_user = final.filter(F.col("mn").isNotNull()).select(
         ab_variant_col().alias("variant"),
-        (F.col("mx") > F.col("mn")).cast("long").alias("conv"),
+        F.coalesce((F.col("mx") > F.col("mn")).cast("long"), F.lit(0)).alias("conv"),
     )
     return ab_readout(per_user)
 
@@ -2201,44 +2225,92 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def stream_conversion_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The Kaplan-Meier time-to-conversion curve computed DURING
-    ingest: per-user (first-exposure, last-event, first-qualifying-
-    conversion) state evolved across micro-batches
-    (applyInPandasWithState — order-free exact merges, so a conversion
-    replayed batches before its exposure still classifies correctly;
-    see streaming/stateful.py running_km_exposure for the pre-exposure
-    pending-set argument), then the SAME shared KM tail as the batch
-    query (events.km_curve) over the drained per-user table — the
-    curve is a bounded complete-mode relation (one row per observed
-    minute bucket). Oracle: the batch KM SQL verbatim — the streaming
-    and batch survival curves agree row-for-row."""
-    from capstone_etl_spark.operators.events import KM_BUCKET_US, km_curve
-    from capstone_etl_spark.streaming.stateful import (
-        _KM_NO_CONV,
-        _KM_NO_EXPOSE,
-        running_km_exposure,
-    )
+    ingest: per-user (first-exposure, last-event) state plus the
+    per-(user, conversion-ts) qualifying set evolved across
+    micro-batches as ONE built-in streaming aggregation (the
+    training-manifest union trick: two row kinds, one agg), then the
+    SAME shared KM tail as the batch query (events.km_curve) over the
+    drained state — the curve is a bounded complete-mode relation (one
+    row per observed minute bucket). Oracle: the batch KM SQL verbatim
+    — the streaming and batch survival curves agree row-for-row.
 
-    got = _run(spark, sf_dir, lambda s, wm: running_km_exposure(s), "update")
-    final = (
-        got.groupBy("user_id")
-        .agg(F.max(F.struct("upd", "fv", "last_us", "cand")).alias("s"))
-        .select(
-            F.col("s.fv").alias("fv"),
-            F.col("s.last_us").alias("last_us"),
-            F.col("s.cand").alias("cand"),
-        )
+    r12 (guide §4.1): this replaced an applyInPandasWithState tracker
+    whose cost was one pandas group invocation + one 1-row DataFrame
+    per user per micro-batch — the single most expensive stream query
+    in the bench (driver 8c: 25.7 s). The subtle piece the Python
+    state solved with a pending set — `cand` = min{conversion ts
+    STRICTLY AFTER first exposure}, where first-exposure only
+    DECREASES as replayed batches land — is solved relationally
+    instead: conversions keep their own (user, ts) state rows ('c'
+    kind, exact integers, order-free), and the qualifying minimum is
+    taken over the DRAINED state where fv is final. State is one 'm'
+    row per user + one 'c' row per distinct (user, conversion ts) —
+    the same accepted class as stream_training_manifest's one row per
+    admitted doc; merges are min/max on exact integers, so the drained
+    table is replay-order-independent like the Python form."""
+    from capstone_etl_spark.operators.events import (
+        AB_CONVERT_TYPE,
+        AB_EXPOSE_TYPE,
+        KM_BUCKET_US,
+        km_curve,
     )
-    per_user = final.filter(F.col("fv") < _KM_NO_EXPOSE).select(
+    from capstone_etl_spark.session import checkpoint_truncate
+
+    def transform(stream, wm):
+        ev = stream.select(
+            "user_id",
+            F.col("event_type"),
+            F.unix_micros("ts").alias("ts_us"),
+        )
+        m_rows = ev.select(
+            F.lit("m").alias("kind"),
+            "user_id",
+            F.lit(0).cast("long").alias("k2"),
+            F.when(F.col("event_type") == AB_EXPOSE_TYPE, F.col("ts_us")).alias("ex"),
+            F.col("ts_us").alias("ts"),
+        )
+        c_rows = ev.filter(F.col("event_type") == AB_CONVERT_TYPE).select(
+            F.lit("c").alias("kind"),
+            "user_id",
+            F.col("ts_us").alias("k2"),
+            F.lit(None).cast("long").alias("ex"),
+            F.lit(None).cast("long").alias("ts"),
+        )
+        return (
+            m_rows.unionByName(c_rows)
+            .groupBy("kind", "user_id", "k2")
+            .agg(F.min("ex").alias("fv"), F.max("ts").alias("last"))
+        )
+
+    # truncate, not cache: m and convs below both descend from the
+    # drained sink, and a memory-sink self-join carries conflicting
+    # references (stream_kll_sketch's lesson) — the LogicalRDD form
+    # joins cleanly and the drained table is tiny
+    got = checkpoint_truncate(_run(spark, sf_dir, transform, "update"))
+    # per-user finals from the 'm' rows: update-mode emissions are
+    # cumulative (fv never rises, last never falls), so min/max over
+    # emissions IS the drained state
+    m = (
+        got.filter(F.col("kind") == "m")
+        .groupBy("user_id")
+        .agg(F.min("fv").alias("fv"), F.max("last").alias("last_us"))
+        .filter(F.col("fv").isNotNull())  # exposed users only
+    )
+    convs = (
+        got.filter(F.col("kind") == "c")
+        .select("user_id", F.col("k2").alias("cts"))
+        .distinct()
+    )
+    qual = (
+        m.join(convs, "user_id", "left")
+        .groupBy("user_id", "fv", "last_us")
+        .agg(F.min(F.when(F.col("cts") > F.col("fv"), F.col("cts"))).alias("cand"))
+    )
+    per_user = qual.select(
         F.floor(
-            (
-                F.when(F.col("cand") < _KM_NO_CONV, F.col("cand")).otherwise(
-                    F.col("last_us")
-                )
-                - F.col("fv")
-            )
-            / KM_BUCKET_US
+            (F.coalesce("cand", "last_us") - F.col("fv")) / KM_BUCKET_US
         ).cast("long").alias("dur_min"),
-        (F.col("cand") < _KM_NO_CONV).cast("long").alias("is_conv"),
+        F.col("cand").isNotNull().cast("long").alias("is_conv"),
     )
     return km_curve(per_user)
 

@@ -672,14 +672,23 @@ def _kcenter_ctes() -> str:
     """The greedy-selection WITH-chain, shared by kcenter_coreset and
     coreset_coverage_audit; the final accumulated relation is
     a{KCENTER_K} (vec_id, q, n2, rnd, radius). Distances rank on the
-    quantized-integer cosine (exact folds, order-free)."""
+    quantized-integer cosine (exact folds, order-free).
+
+    Every per-round CTE is MATERIALIZED (r12): each a{r} is referenced
+    three times downstream (the next round's cross join, its NOT IN
+    subquery, and a{r+1}), so DuckDB's inliner otherwise triples the
+    expression tree PER ROUND — 3^K growth that cost tens of MINUTES
+    of planner CPU per oracle run even on a 3-row corpus (this was the
+    test/gate wall-clock monster VERDICT r11 #1 traced; the repo-wide
+    iterative-oracle lesson from the logistic chain, applied here).
+    MATERIALIZED is an optimizer fence only — results are unchanged."""
     cos = cosine_q_sql("e", "a")
     parts = [
         f"WITH {QN_SQL}",
-        "e AS (SELECT vec_id, q, n2 FROM qn)",
+        "e AS MATERIALIZED (SELECT vec_id, q, n2 FROM qn)",
         "s1 AS (SELECT vec_id, q, n2, 1 AS rnd, CAST(NULL AS DOUBLE) AS radius"
         "  FROM e ORDER BY vec_id LIMIT 1)",
-        "a1 AS (SELECT * FROM s1)",
+        "a1 AS MATERIALIZED (SELECT * FROM s1)",
     ]
     for r in range(2, KCENTER_K + 1):
         p = r - 1
@@ -694,7 +703,7 @@ def _kcenter_ctes() -> str:
             f"  FROM d{r} d JOIN e e2 ON e2.vec_id = d.vec_id"
             f"  ORDER BY d.mind DESC, d.vec_id LIMIT 1)"
         )
-        parts.append(f"a{r} AS (SELECT * FROM a{p} UNION ALL SELECT * FROM s{r})")
+        parts.append(f"a{r} AS MATERIALIZED (SELECT * FROM a{p} UNION ALL SELECT * FROM s{r})")
     return parts[0] + ", " + ", ".join(parts[1:])
 
 
